@@ -1,0 +1,261 @@
+package graft
+
+/** DuckDB oracle SQL, one entry per SparkEntry.queries key.
+  *
+  * Determinism discipline (SURVEY.md §4): monetary aggregates go
+  * through DECIMAL(18,4) exactly as the Spark side does, then CAST to
+  * DOUBLE; integral sums CAST to BIGINT (DuckDB integer SUM widens to
+  * HUGEINT, which would break the schema compare); every query has a
+  * total ORDER BY.
+  */
+object Oracles {
+
+  /** Fixed-point revenue sum, identical to Num.revenueSum. */
+  private val REV =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  $REV AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity < 5 AND l_discount > 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_top_revenue" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+         |  $REV AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_regional_revenue" ->
+      s"""SELECT n_name, $REV AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS forecast_revenue
+        |FROM lineitem
+        |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q08_distinct_count" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+        |       COUNT(*) AS n_customers
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q09_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+        |   INTERSECT SELECT o_custkey FROM orders)
+        |  UNION
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |   EXCEPT SELECT o_custkey FROM orders)
+        |) t
+        |ORDER BY custkey""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT
+        |  COALESCE(r_name, 'ALL') AS region_name,
+        |  COALESCE(n_name, 'ALL') AS nation_name,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+        |  COUNT(*) AS n_cust
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+
+    "q11_having" ->
+      """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING SUM(CAST(l_quantity AS BIGINT)) > 200
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q12_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
+        |  CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_lines,
+        |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS high_tax_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_outer_join_hist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, $REV AS total_revenue
+         |  FROM lineitem GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_sort_limit" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |ORDER BY p_retailprice DESC, p_partkey
+        |LIMIT 20""".stripMargin,
+
+    "q17_avg_compare" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN (SELECT l_partkey AS ap_partkey,
+        |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_partkey
+        |WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150) b ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT $REV AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_in_subquery" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_name LIKE 'NATION_1%')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_brand) AS brand_uc,
+        |       SUBSTR(p_name, 1, 12) AS name_pfx,
+        |       REPLACE(p_type, ' ', '_') AS type_tag,
+        |       CAST(LENGTH(p_name) AS BIGINT) AS name_len
+        |FROM part
+        |WHERE p_name LIKE '%a%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q22_regex_extract" ->
+      """SELECT event_id,
+        |       TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS k_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q23_events_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q24_sessionize" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM (SELECT user_id, ts, event_id,
+        |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events) t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q25_upsert_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT COALESCE(event_type, 'ALL') AS etype,
+        |       CAST(COALESCE(EXTRACT(day FROM ts), -1) AS INT) AS dom,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE(event_type, EXTRACT(day FROM ts))
+        |ORDER BY etype, dom""".stripMargin,
+
+    "q27_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.25) AS p25,
+        |       quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.75) AS p75,
+        |       MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q05RegionalRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.q01PricingSummary(_, _)),
+    "q02_filter_project" -> (Relational.q02FilterProject(_, _)),
+    "q03_top_revenue" -> (Relational.q03TopRevenue(_, _)),
+    "q04_order_priority" -> (Relational.q04OrderPriority(_, _)),
+    "q05_regional_revenue" -> (Relational.q05RegionalRevenue(_, _)),
+    "q06_forecast_revenue" -> (Relational.q06ForecastRevenue(_, _)),
+    "q07_window_rank" -> (Relational.q07WindowRank(_, _)),
+    "q08_distinct_count" -> (Relational.q08DistinctCount(_, _)),
+    "q09_set_ops" -> (Relational.q09SetOps(_, _)),
+    "q10_rollup" -> (Relational.q10Rollup(_, _)),
+    "q11_having" -> (Relational.q11Having(_, _)),
+    "q12_conditional_agg" -> (Relational.q12ConditionalAgg(_, _)),
+    "q13_outer_join_hist" -> (Relational.q13OuterJoinHist(_, _)),
+    "q14_anti_join" -> (Relational.q14AntiJoin(_, _)),
+    "q15_top_supplier" -> (Relational.q15TopSupplier(_, _)),
+    "q16_sort_limit" -> (Relational.q16SortLimit(_, _)),
+    "q17_avg_compare" -> (Relational.q17AvgCompare(_, _)),
+    "q18_large_orders" -> (Relational.q18LargeOrders(_, _)),
+    "q19_disjunctive" -> (Relational.q19Disjunctive(_, _)),
+    "q20_in_subquery" -> (Relational.q20InSubquery(_, _)),
+    "q21_string_funcs" -> (Relational.q21StringFuncs(_, _)),
+    "q22_regex_extract" -> (Relational.q22RegexExtract(_, _)),
+    "q23_events_window" -> (Relational.q23EventsWindow(_, _)),
+    "q24_sessionize" -> (Relational.q24Sessionize(_, _)),
+    "q25_upsert_latest" -> (Relational.q25UpsertLatest(_, _)),
+    "q26_cube" -> (Relational.q26Cube(_, _)),
+    "q27_percentile" -> (Relational.q27Percentile(_, _))
+  )
+
+  /** DuckDB-equivalent SQL for the driver's correctness gate. */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,420 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.Tables
+import graft.functions.Num._
+
+/** Relational query surface (SURVEY.md §2.B).
+  *
+  * Every query is declared with the DataFrame API so Catalyst owns the
+  * physical plan: filters/projections reach the parquet scan, small
+  * dimension tables are broadcast (explicit `broadcast()` hints where
+  * the dimension is known-small at any scale factor — region/nation are
+  * fixed-cardinality; supplier/customer/part grow but stay dimension-
+  * sized relative to the facts), and fact-fact joins shuffle on their
+  * keys under AQE. All monetary aggregates use the fixed-point helpers
+  * in [[graft.functions.Num]] for partition-order-independent results.
+  */
+object Relational {
+
+  /** q01: groupBy multi-aggregate scan of lineitem (TPC-H Q1 shape).
+    * One shuffle on the 2-value group key; partial aggregation
+    * (map-side combine) does nearly all the work before it.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        lsum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        revenueSum.as("sum_disc_price"),
+        intAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q02: selective filter + narrow projection; both must reach the
+    * parquet scan (PushedFilters + 3-column ReadSchema) — at 100 TB this
+    * is the difference between reading 3 columns of a few row groups and
+    * reading everything.
+    */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_quantity") < 5 && col("l_discount") > 0.08)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q03: segment customers ⋈ orders ⋈ lineitem, revenue top-10
+    * (TPC-H Q3 shape). customer is dimension-sized → broadcast; the
+    * orders⋈lineitem join shuffles on orderkey.
+    */
+  def q03TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    t.lineitem
+      .join(t.orders.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
+        col("o_orderpriority"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q04: EXISTS semi-join — orders having any discounted line, counted
+    * by priority. Left-semi keeps the probe side narrow and never
+    * duplicates order rows.
+    */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val discounted = t.lineitem.filter(col("l_discount") > 0.05).select("l_orderkey")
+    t.orders
+      .join(discounted, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q05: regional revenue — 6-way join (TPC-H Q5 shape). region/nation
+    * are fixed-size → broadcast; supplier/customer broadcast at dim
+    * scale; the lineitem⋈orders backbone shuffles on orderkey.
+    */
+  def q05RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val asiaNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(revenueSum.as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** q06: selective scan → scalar aggregate; filter fully pushed down,
+    * no join, no shuffle beyond the final single-row reduce.
+    */
+  def q06ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("forecast_revenue"))
+  }
+
+  /** q07: window ranking — top-2 orders per customer. Single shuffle on
+    * the partition key; rank computed within partitions.
+    */
+  def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q08: distinct aggregation per group (expands then dedups map-side). */
+  def q08DistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q09: set operators — INTERSECT / EXCEPT / UNION (distinct forms). */
+  def q09SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orderCust = t.orders.select(col("o_custkey").as("custkey"))
+    val active = t.customer.filter(col("c_acctbal") > 0)
+      .select(col("c_custkey").as("custkey"))
+      .intersect(orderCust)
+    val machineryNoOrders = t.customer.filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey").as("custkey"))
+      .except(orderCust)
+    active.union(machineryNoOrders).distinct().orderBy("custkey")
+  }
+
+  /** q10: ROLLUP over region→nation. Subtotal rows are labelled 'ALL'
+    * via COALESCE (the group columns are non-null in the data, so NULL
+    * unambiguously means "subtotal"), keeping the output null-free and
+    * deterministically ordered.
+    */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("rg"), col("n_name").as("nt"), col("c_acctbal"))
+      // expr()-based grouping: rollup's Expand duplicates dataset-tagged
+      // attributes, which falsely trips the ambiguous-self-join detector
+      // when the grouping columns carry __dataset_id metadata (as
+      // rollup(String*) / col() do). expr() resolves purely by name.
+      .rollup(expr("rg"), expr("nt"))
+      .agg(decSum(expr("c_acctbal")).as("sum_acctbal"), count(lit(1)).as("n_cust"))
+      .selectExpr(
+        "coalesce(rg, 'ALL') AS region_name",
+        "coalesce(nt, 'ALL') AS nation_name",
+        "sum_acctbal", "n_cust")
+      .orderBy("region_name", "nation_name")
+  }
+
+  /** q11: aggregate + HAVING filter on the aggregate. */
+  def q11Having(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_partkey")
+      .agg(lsum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 200)
+      .orderBy("l_partkey")
+  }
+
+  /** q12: CASE-WHEN conditional aggregation (pivot-style counts). */
+  def q12ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned_lines"),
+        sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("kept_lines"),
+        sum(when(col("l_tax") > 0.04, 1L).otherwise(0L)).as("high_tax_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q13: customer⋈orders left outer join → per-customer order counts →
+    * distribution histogram (TPC-H Q13 shape; two shuffles, the second
+    * over a tiny key space coalesced by AQE).
+    */
+  def q13OuterJoinHist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** q14: NOT EXISTS anti-join — customers with no orders. */
+  def q14AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** q15: scalar-subquery-on-aggregate — supplier(s) with max revenue
+    * (TPC-H Q15 shape). The single-row max side is broadcast so the
+    * "subquery" costs one extra stage, not a shuffle.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = t.lineitem.groupBy("l_suppkey").agg(revenueSum.as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    rev
+      .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** q16: multi-key global sort + limit (TakeOrderedAndProject — no full
+    * sort materialization at scale).
+    */
+  def q16SortLimit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .limit(20)
+  }
+
+  /** q17: correlated-average comparison (TPC-H Q17 shape) — lines whose
+    * quantity is below 20% of their part's average. The correlated
+    * subquery is decorrelated by hand into a per-part aggregate joined
+    * back on partkey; the per-part average uses exact integer sums so
+    * the 0.2*avg threshold is bit-identical across engines.
+    */
+  def q17AvgCompare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val partAvg = t.lineitem.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(intAvg(col("l_quantity")).as("avg_qty"))
+    val brandParts = t.part.filter(col("p_brand") === "Brand#23").select("p_partkey")
+    t.lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(partAvg, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((decSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** q18: HAVING-subquery + join-back (TPC-H Q18 shape) — large orders
+    * with their customers.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem.groupBy("l_orderkey")
+      .agg(lsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    t.orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** q19: OR-of-ANDs predicate bundles over a part⋈lineitem join
+    * (TPC-H Q19 shape). The disjunction stays declarative so Catalyst
+    * can extract the common p_brand IN (...) / quantity range filters
+    * for pushdown.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(revenueSum.as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** q20: IN-subquery as a broadcast left-semi join. */
+  def q20InSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val picked = t.nation.filter(col("n_name").like("NATION_1%")).select("n_nationkey")
+    t.supplier
+      .join(broadcast(picked), col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** q21: string function pipeline (all codegen'd builtins). */
+  def q21StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .filter(col("p_name").like("%a%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 12).as("name_pfx"),
+        translate(col("p_type"), " ", "_").as("type_tag"),
+        length(col("p_name")).cast(LongType).as("name_len"))
+      .orderBy("p_partkey")
+  }
+
+  /** q22: regexp extraction over JSON-ish props (RE2-portable pattern),
+    * null-safe numeric cast.
+    */
+  def q22RegexExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(col("event_id"),
+        regexp_extract(col("props"), "([0-9]+)", 1).as("kstr"))
+      .select(col("event_id"), expr("try_cast(kstr AS BIGINT)").as("k_val"))
+      .orderBy("event_id")
+  }
+
+  /** q23: time-bucketed aggregation (hourly counts + exact value sums).
+    * The bucket is emitted as a string so both engines serialize the
+    * NTZ timestamp identically.
+    */
+  def q23EventsWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
+  /** q24: gap-based sessionization in batch — lag + flag + per-user
+    * session counts; 30-minute inactivity gap. One shuffle on user_id.
+    */
+  def q24Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q25: CDC "latest row per key" (upsert/merge read-side semantics;
+    * also the table form of the incremental-sync planner f03).
+    */
+  def q25UpsertLatest(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** q26: CUBE over (event_type, day-of-month) with 'ALL'/-1 subtotal
+    * labels (group columns non-null, same COALESCE convention as q10).
+    */
+  def q26Cube(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(col("event_type"), dayofmonth(col("ts")).as("day_of_month"), col("value"))
+      .cube("event_type", "day_of_month")
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("day_of_month"), lit(-1)).as("dom"),
+        col("n"), col("sum_value"))
+      .orderBy("etype", "dom")
+  }
+
+  /** q27: exact percentiles over integral quantities — interpolation on
+    * integer order statistics at quarter fractions is fp-exact, so the
+    * result is bit-identical across engines with no rounding.
+    */
+  def q27Percentile(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+}
