@@ -256,6 +256,76 @@ object Oracles {
         |       MAX(l_quantity) AS max_qty
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "t01_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+        |       AS BIGINT) AS n_tokens_bpe
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      """SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+        |  CASE WHEN n_tokens < 8 THEN 0.0
+        |       ELSE round(1.0 - stopword_ratio, 4) END AS quality_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |         w -> length(w))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS avg_token_len,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         w -> w IN ('the', 'a'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stopword_ratio
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "d01_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY keep_id""".stripMargin,
+
+    "d05_embed_neardup" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_a, vec_b, cos_sim FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+        |  FROM d a JOIN d b ON a.vec_id < b.vec_id) t
+        |WHERE cos_sim >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "s03_knn_join" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT query_id, vec_id, rank, cos_sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id,
+        |    round(list_dot_product(c.v, q.v) /
+        |      (sqrt(list_dot_product(c.v, c.v)) *
+        |       sqrt(list_dot_product(q.v, q.v))), 4) AS cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_dot_product(c.v, q.v) /
+        |        (sqrt(list_dot_product(c.v, c.v)) *
+        |         sqrt(list_dot_product(q.v, q.v))), 4) DESC, c.vec_id) AS rank
+        |  FROM d q JOIN d c ON q.vec_id < 10 AND c.vec_id >= 10) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -39,7 +39,19 @@ object SparkEntry {
     "q24_sessionize" -> (Relational.q24Sessionize(_, _)),
     "q25_upsert_latest" -> (Relational.q25UpsertLatest(_, _)),
     "q26_cube" -> (Relational.q26Cube(_, _)),
-    "q27_percentile" -> (Relational.q27Percentile(_, _))
+    "q27_percentile" -> (Relational.q27Percentile(_, _)),
+    // C. LLM-training-data pipeline operators
+    "t01_token_count" -> (TextOps.t01TokenCount(_, _)),
+    "t02_quality_score" -> (TextOps.t02QualityScore(_, _)),
+    "t03_lang_id" -> (TextOps.t03LangId(_, _)),
+    "d01_dedup_exact" -> (Dedup.d01DedupExact(_, _)),
+    "d02_dedup_minhash" -> ((s, dir) => Dedup.d02DedupMinhash(s, dir)),
+    "d03_dedup_simhash" -> ((s, dir) => Dedup.d03DedupSimhash(s, dir)),
+    "d04_ngram_jaccard" -> ((s, dir) => Dedup.d04NgramJaccard(s, dir)),
+    "d05_embed_neardup" -> ((s, dir) => Dedup.d05EmbedNeardup(s, dir)),
+    "s01_ann_bruteforce" -> ((s, dir) => Ann.s01AnnBruteforce(s, dir)),
+    "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),
+    "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir))
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness gate. */

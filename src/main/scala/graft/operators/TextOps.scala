@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.Tables
+
+/** Text-analysis operators for LLM-training-data pipelines
+  * (SURVEY.md §2.C, t01–t03). All are per-row, shuffle-free,
+  * codegen'd builtins — they scale linearly with the corpus and
+  * pushdown-project only the columns they touch.
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` (single-space split — the corpus is
+    * single-space delimited; empty fields count the same way in both
+    * engines).
+    */
+  private def wsTokens: Column = split(col("text"), " ")
+
+  /** BPE-ish lexer: words | digit runs | single non-alnum glyphs.
+    * RE2-portable so the oracle can run the identical pattern.
+    */
+  private val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** t01: token counting — whitespace tokens + BPE-ish lexer tokens
+    * per document. Narrow projection (doc_id, text) reaches the scan.
+    */
+  def t01TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(
+        col("doc_id"),
+        size(wsTokens).cast(LongType).as("n_tokens_ws"),
+        size(regexp_extract_all(col("text"), lit(BpeishPattern), lit(0)))
+          .cast(LongType).as("n_tokens_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** t02: quality scoring — length, token stats, stopword ratio, and a
+    * composite quality score. All arithmetic is exact-integer until the
+    * final per-row division, so results are bit-identical across
+    * engines and partitionings.
+    */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = wsTokens
+    val nToks = size(toks).cast(LongType)
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast(LongType))
+    val nStop = size(filter(toks, w => w.isin("the", "a"))).cast(LongType)
+    t.documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        nToks.as("n_tokens"),
+        (sumLen.cast("double") / nToks).as("avg_token_len"),
+        (nStop.cast("double") / nToks).as("stopword_ratio"))
+      .withColumn("quality_score",
+        when(col("n_tokens") < 8, 0.0)
+          .otherwise(round(lit(1.0) - col("stopword_ratio"), 4)))
+      .orderBy("doc_id")
+  }
+
+  /** Characteristic high-frequency words per language (public stopword
+    * lists). Used by the t03 scorer; content-free corpora simply score
+    * 0 everywhere and fall back to 'und' (undetermined).
+    */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "que", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "est", "une", "dans", "pas"),
+    "zh" -> Seq("的", "是", "不", "在", "了", "我", "有"))
+
+  /** Marker-hit score for one language over a lowercased token array. */
+  private def langScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, w => w.isin(markers: _*))).cast(LongType)
+
+  /** t03: language identification — count characteristic-marker hits
+    * per language, pick the argmax (ties and zero-score rows → 'und').
+    * Pure codegen'd array functions; one pass over the tokens per
+    * language profile. Accuracy is spec-tested on real multilingual
+    * samples (the synthetic corpus is content-uniform, TESTDATA).
+    */
+  def t03LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    langIdOver(t.documents).orderBy("doc_id")
+  }
+
+  /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
+  def langIdOver(docs: DataFrame): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val scored = docs.withColumn("_toks", toks)
+    val langs = LangMarkers.keys.toSeq.sorted
+    val withScores = langs.foldLeft(scored) { (df, l) =>
+      df.withColumn(s"_s_$l", langScore(col("_toks"), LangMarkers(l)))
+    }
+    // argmax via greatest + chained when (first lang in sorted order
+    // wins ties deterministically); zero hits → 'und'
+    val best = greatest(langs.map(l => col(s"_s_$l")): _*)
+    val pred = langs.foldRight(lit("und")) { (l, elseCol) =>
+      when(col(s"_s_$l") === best && best > 0, lit(l)).otherwise(elseCol)
+    }
+    withScores
+      .withColumn("pred_lang", pred)
+      .drop("_toks" +: langs.map(l => s"_s_$l"): _*)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf001
+
+  test("s01 brute-force top-k is ordered and complete") {
+    val rows = Ann.s01AnnBruteforce(spark, dir, k = 10).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("s02 LSH recall beats its scanned fraction by a wide margin") {
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.s02AnnLsh(spark, dir, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 37 of 256 buckets probed ≈ 14% of the corpus; random scanning at
+    // that fraction would yield ~0.14 recall in expectation.
+    assert(recall >= 0.3, s"recall $recall too low for 14% scan")
+  }
+
+  test("s02 results are true cosines (subset of brute-force ranking by value)") {
+    val exactAll = Ann.s01AnnBruteforce(spark, dir, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = Ann.s02AnnLsh(spark, dir, k = 10).collect()
+    approx.foreach { r =>
+      assert(math.abs(exactAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("s03 kNN join returns k ranked neighbors per query") {
+    val rows = Ann.s03KnnJoin(spark, dir, k = 5, nQueries = 10).collect()
+    assert(rows.length == 50)
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { g =>
+      assert(g.map(_.getLong(3)).sorted.sameElements(1L to 5L))
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

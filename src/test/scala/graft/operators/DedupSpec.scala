@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Correctness of the near-dup pipelines against in-Spark brute-force
+  * ground truth on the sf0.01 corpus (which has injected near-dup
+  * pairs; TESTDATA.md).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf001
+
+  test("d02 MinHash+LSH finds exactly the exact-Jaccard pairs at its threshold") {
+    // d04 is the exact inverted-index join — brute-force truth here.
+    val exact = Dedup.d04NgramJaccard(spark, dir, shingleK = 5, threshold = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d02DedupMinhash(spark, dir, shingleK = 5, threshold = 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain injected near-dup pairs")
+    // LSH output is always a subset (verified by exact Jaccard);
+    // at 16 bands × 4 rows the miss probability at J≥0.7 is ~(1-0.24)^16≈1%.
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size - 1,
+      s"LSH missed too many: ${exact.size - lsh.size} of ${exact.size}")
+  }
+
+  test("d03 SimHash band join equals brute-force Hamming pairs (pigeonhole exact)") {
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh64"))
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.sh64").bitwiseXOR(col("y.sh64"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.d03DedupSimhash(spark, dir, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands × 16 bits: any pair with Hamming ≤ 3 must collide in ≥1 band.
+    assert(banded == brute)
+    assert(banded.nonEmpty)
+  }
+
+  test("d01 exact dedup keeps one row per distinct text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDistinct = docs.select("text").distinct().count()
+    val out = Dedup.d01DedupExact(spark, dir)
+    assert(out.count() == nDistinct)
+    assert(out.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("d05 embedding near-dup pairs are symmetric-free and above threshold") {
+    val out = Dedup.d05EmbedNeardup(spark, dir, threshold = 0.4).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(r => r.getDouble(2) >= 0.4))
+  }
+}

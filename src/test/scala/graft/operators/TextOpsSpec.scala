@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("t03 language ID identifies real multilingual samples") {
+    import spark.implicits._
+    // Real-language snippets (the synthetic corpus is content-uniform,
+    // so accuracy is asserted on these instead; TESTDATA.md).
+    val samples = Seq(
+      (1L, "the cat sat on the mat and looked at the dog", "en"),
+      (2L, "der hund ist nicht in das haus und die katze", "de"),
+      (3L, "el perro es grande y la casa que tiene una puerta", "es"),
+      (4L, "le chien est dans la maison et les chats ne sont pas", "fr"),
+      (5L, "我 是 一个 学生 我 在 学校 学习 了 很多 的 知识", "zh")
+    ).toDF("doc_id", "text", "expected")
+    val out = TextOps.langIdOver(samples).collect()
+    out.foreach { r =>
+      assert(r.getAs[String]("pred_lang") == r.getAs[String]("expected"),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("t03 returns 'und' when no profile matches") {
+    import spark.implicits._
+    val df = Seq((1L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    assert(TextOps.langIdOver(df).head.getAs[String]("pred_lang") == "und")
+  }
+
+  test("t01/t02 agree on token counts") {
+    val t1 = TextOps.t01TokenCount(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t2 = TextOps.t02QualityScore(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t1 == t2)
+    assert(t1.nonEmpty)
+  }
+}
