@@ -51,7 +51,9 @@ object SparkEntry {
     "d05_embed_neardup" -> ((s, dir) => Dedup.d05EmbedNeardup(s, dir)),
     "s01_ann_bruteforce" -> ((s, dir) => Ann.s01AnnBruteforce(s, dir)),
     "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),
-    "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir))
+    "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir)),
+    "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
+    "m01_multimodal" -> (Multimodal.m01Multimodal(_, _))
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness gate. */

@@ -3,10 +3,37 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** Catalog entries for graft's native Catalyst expressions. */
+import org.apache.spark.sql.graft.{CosineSim, Fingerprint64, SimHash64}
+
+/** Catalog entries for graft's native Catalyst expressions (SURVEY.md
+  * §2.E). Injected via GraftExtensions so plain SQL can call them.
+  */
 object ExprRegistrations {
   type FunctionDescription =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  def all: Seq[FunctionDescription] = Seq.empty
+  private def desc(name: String, usage: String)(
+      builder: Seq[Expression] => Expression): FunctionDescription =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo("org.apache.spark.sql.graft", name, usage),
+      builder)
+
+  def all: Seq[FunctionDescription] = Seq(
+    desc("cosine_sim",
+      "cosine_sim(a, b) - deterministic cosine similarity of two float arrays") {
+      case Seq(a, b) => CosineSim(a, b)
+      case other => throw new IllegalArgumentException(
+        s"cosine_sim expects 2 arguments, got ${other.size}")
+    },
+    desc("simhash64", "simhash64(text) - 64-bit SimHash of whitespace tokens") {
+      case Seq(c) => SimHash64(c)
+      case other => throw new IllegalArgumentException(
+        s"simhash64 expects 1 argument, got ${other.size}")
+    },
+    desc("fingerprint64",
+      "fingerprint64(text) - 64-bit rolling-hash document fingerprint") {
+      case Seq(c) => Fingerprint64(c)
+      case other => throw new IllegalArgumentException(
+        s"fingerprint64 expects 1 argument, got ${other.size}")
+    })
 }

@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{Bridge, CosineSim, Fingerprint64, SimHash64}
+
+/** Typed Column API over graft's native Catalyst expressions — usable
+  * without SQL-function registration (plans embed the expression
+  * directly, so any session can run them).
+  */
+object F {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def e(col: Column): Expression = Bridge.expression(col)
+
+  /** Native codegen cosine similarity of two array<float> columns. */
+  def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
+
+  /** Native codegen 64-bit SimHash of whitespace tokens. */
+  def simhash64(text: Column): Column = c(SimHash64(e(text)))
+
+  /** Native codegen 64-bit rolling-hash document fingerprint. */
+  def fingerprint64(text: Column): Column = c(Fingerprint64(e(text)))
+}

@@ -159,7 +159,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
     val sigs = t.documents
-      .select(col("doc_id"), simhash64(col("text")).as("sh64")).cache()
+      .select(col("doc_id"), graft.functions.F.simhash64(col("text")).as("sh64"))
+      .cache()
     val bnd = sigs.select(col("doc_id"), col("sh64"), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
         call_function("shiftright", col("sh64"), j * lit(16))

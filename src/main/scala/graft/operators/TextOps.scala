@@ -88,6 +88,18 @@ object TextOps {
     langIdOver(t.documents).orderBy("doc_id")
   }
 
+  /** t04: document fingerprinting — 64-bit rolling hash (Rabin–Karp
+    * over UTF-8 bytes) via the native codegen expression
+    * [[graft.functions.expr.Fingerprint64]]. Order-sensitive: content
+    * permutations fingerprint differently. Per-row, shuffle-free.
+    */
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), graft.functions.F.fingerprint64(col("text")).as("fp64"))
+      .orderBy("doc_id")
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val toks = split(lower(col("text")), " ")

@@ -1,0 +1,155 @@
+// Lives under org.apache.spark.sql so the private[sql] Catalyst types
+// (AbstractDataType, ExpressionUtils) are accessible — the standard
+// placement for third-party native expressions. Public API: graft.functions.F.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code — the
+  * generated code calls these directly (a static call the JIT inlines),
+  * so both paths are one implementation and whole-stage codegen never
+  * falls back to interpretation.
+  */
+object Kernels {
+
+  /** Deterministic cosine over float arrays: float→double per element,
+    * left-to-right fold (SURVEY.md §4 determinism discipline).
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** 64-bit SimHash over space-delimited tokens. Token hash is Spark's
+    * xxhash64 (seed 42) so the result is bit-identical to the
+    * HOF composition in [[graft.operators.Dedup.simhash64]].
+    */
+  def simhash64(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    val s = text.toString
+    var start = 0
+    while (start <= s.length) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = s.length
+      val tok = UTF8String.fromString(s.substring(start, end))
+      val h = XxHash64Function.hash(tok, StringType, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      start = end + 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit polynomial rolling-hash fingerprint over UTF-8 bytes
+    * (Rabin–Karp base-257 accumulation — order-sensitive, so content
+    * permutations fingerprint differently, unlike bag-of-words hashes).
+    */
+  def fingerprint64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 257L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+}
+
+/** e01: native codegen cosine similarity over two array<float> columns.
+  * `cosine_sim(a, b)` in SQL after GraftExtensions registration.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.Kernels.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** e02: native codegen 64-bit SimHash of a text column.
+  * `simhash64(text)` in SQL after GraftExtensions registration.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Kernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** t04 kernel as an expression: 64-bit rolling-hash fingerprint.
+  * `fingerprint64(text)` in SQL after GraftExtensions registration.
+  */
+case class Fingerprint64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fingerprint64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.fingerprint64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Kernels.fingerprint64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+/** Column↔Expression bridge for the public graft API (ExpressionUtils
+  * is private[sql]; this subpackage placement grants access).
+  */
+object Bridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}

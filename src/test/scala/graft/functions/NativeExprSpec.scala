@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorOps
+import graft.operators.Dedup
+
+/** e01/e02/e03: native codegen expressions match their higher-order-
+  * function reference compositions bit-for-bit, and are callable from
+  * SQL via the GraftExtensions registration.
+  */
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf001
+
+  test("e01 native cosine == HOF cosine on all embedding pairs vs vec 0") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(q)
+      .select(
+        VectorOps.cosine(col("embedding"), col("qv")).as("hof"),
+        F.cosineSim(col("embedding"), col("qv")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("e02 native simhash == HOF simhash on the corpus") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(
+        Dedup.simhash64(col("text")).as("hof"),
+        F.simhash64(col("text")).as("native"))
+      .collect()
+    assert(d.nonEmpty)
+    d.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("e03 SQL registration: cosine_sim/simhash64/fingerprint64 callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |  simhash64('hello world') AS s,
+        |  fingerprint64('hello world') AS f""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) != 0L)
+    assert(r.getLong(2) != 0L)
+  }
+
+  test("fingerprint64 is order-sensitive and deterministic") {
+    val r = spark.sql(
+      """SELECT fingerprint64('a b c') AS x, fingerprint64('c b a') AS y,
+        |       fingerprint64('a b c') AS x2""".stripMargin).head()
+    assert(r.getLong(0) != r.getLong(1))
+    assert(r.getLong(0) == r.getLong(2))
+  }
+}
