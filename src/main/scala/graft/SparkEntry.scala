@@ -53,7 +53,12 @@ object SparkEntry {
     "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),
     "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir)),
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
-    "m01_multimodal" -> (Multimodal.m01Multimodal(_, _))
+    "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
+    // A. file-pipeline surface (manifest of the sf directory tree)
+    "f01_manifest" -> ((s, dir) =>
+      graft.sources.FilePipeline.catalog(s, dir).toDF()
+        .select("path", "name", "rel_path", "ext", "size")
+        .orderBy("path"))
   )
 
   /** DuckDB-equivalent SQL for the driver's correctness gate. */

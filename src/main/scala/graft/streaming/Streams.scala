@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY.md §2.D). Each takes a
+  * streaming Dataset of events and returns a streaming DataFrame —
+  * sources/sinks are the caller's choice (`readStream`/MemoryStream in,
+  * any sink out), so the same transform runs on Kafka at scale and on
+  * MemoryStream in the spec suite.
+  */
+object Streams {
+
+  /** Stream-shaped event record (mirrors the batch events table). */
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+      value: Double)
+
+  /** Session summary emitted by st02 when a session closes. */
+  final case class SessionSummary(
+      user_id: Long, n_events: Int, start_ts: Timestamp, end_ts: Timestamp)
+
+  /** In-flight session state for st02. */
+  final case class SessionState(
+      n_events: Int, start_ms: Long, last_ms: Long)
+
+  /** st01: watermarked tumbling-window counts per event type. Late data
+    * beyond the watermark is dropped; state is bounded by
+    * (windows in watermark horizon) × (event types) regardless of
+    * stream volume.
+    */
+  def st01WindowedAgg(events: Dataset[Event],
+      window_dur: String = "10 minutes",
+      watermark: String = "20 minutes"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_dur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** st02: gap-based sessionization with explicit state —
+    * flatMapGroupsWithState keyed by user, event-time timeout at
+    * `gapMinutes` past the watermark. Emits one summary per closed
+    * session; state per key is O(1) (count + two timestamps).
+    */
+  def st02Sessionize(events: Dataset[Event],
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionSummary(
+          userId, s.n_events, new Timestamp(s.start_ms), new Timestamp(s.last_ms)))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionSummary]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last_ms <= gapMs =>
+              cur = Some(s.copy(n_events = s.n_events + 1, last_ms = t))
+            case Some(s) =>
+              closed ::= SessionSummary(
+                userId, s.n_events, new Timestamp(s.start_ms), new Timestamp(s.last_ms))
+              cur = Some(SessionState(1, t, t))
+            case None =>
+              cur = Some(SessionState(1, t, t))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last_ms + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** st03: streaming dedup — dropDuplicates on event_id within the
+    * watermark horizon (state bounded by the horizon, exactly-once per
+    * id inside it).
+    */
+  def st03DedupStream(events: Dataset[Event],
+      watermark: String = "30 minutes"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}

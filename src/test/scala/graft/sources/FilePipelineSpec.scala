@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.nio.file.{Files, Path => JPath, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** End-to-end file-pipeline specs on a generated local tree (the
+  * Hadoop FS API makes local and object-store paths the same code).
+  */
+class FilePipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Build a small tree: root/{a.txt, sub1/b.bin, sub1/deep/c.txt, sub2/d.csv} */
+  private def mkTree(): JPath = {
+    val root = Files.createTempDirectory("graft_src")
+    Files.writeString(root.resolve("a.txt"), "alpha")
+    Files.createDirectories(root.resolve("sub1/deep"))
+    Files.write(root.resolve("sub1/b.bin"), Array.fill[Byte](2048)(7))
+    Files.writeString(root.resolve("sub1/deep/c.txt"), "gamma content")
+    Files.createDirectories(root.resolve("sub2"))
+    Files.writeString(root.resolve("sub2/d.csv"), "x,y\n1,2\n")
+    root
+  }
+
+  test("f01 catalog enumerates the full tree with rel_path/ext/size") {
+    val root = mkTree()
+    val m = FilePipeline.catalog(spark, root.toString).collect()
+    assert(m.length == 4)
+    val byRel = m.map(e => e.rel_path -> e).toMap
+    assert(byRel.keySet == Set("a.txt", "sub1/b.bin", "sub1/deep/c.txt", "sub2/d.csv"))
+    assert(byRel("sub1/b.bin").size == 2048)
+    assert(byRel("sub1/b.bin").ext == "bin")
+    assert(byRel("sub2/d.csv").name == "d.csv")
+  }
+
+  test("f01 catalog distributes listing when the frontier is wide") {
+    val root = Files.createTempDirectory("graft_wide")
+    (1 to 40).foreach { i =>
+      Files.createDirectories(root.resolve(s"d$i"))
+      Files.writeString(root.resolve(s"d$i/f$i.txt"), s"file $i")
+    }
+    // threshold 8 << 40 dirs → second BFS level goes through the cluster
+    val m = FilePipeline.catalog(spark, root.toString, distributeThreshold = 8)
+    assert(m.count() == 40)
+  }
+
+  test("f02 copy mirrors structure, is idempotent, and audits failures") {
+    val root = mkTree()
+    val dest = Files.createTempDirectory("graft_dst")
+    val m = FilePipeline.catalog(spark, root.toString)
+    val audit1 = FilePipeline.distCopy(spark, m, dest.toString, partitions = 4).collect()
+    assert(audit1.count(_.status == "copied") == 4)
+    assert(Files.readString(dest.resolve("sub1/deep/c.txt")) == "gamma content")
+    assert(Files.size(dest.resolve("sub1/b.bin")) == 2048)
+    // idempotent re-run: all skipped
+    val audit2 = FilePipeline.distCopy(spark, m, dest.toString, partitions = 4).collect()
+    assert(audit2.count(_.status == "skipped") == 4)
+    // vanished source → failed audit row, not a job abort
+    import spark.implicits._
+    val ghost = spark.createDataset(Seq(FilePipeline.FileEntry(
+      root.resolve("missing.txt").toString, "missing.txt", "missing.txt",
+      "txt", 10L, 0L)))
+    val audit3 = FilePipeline.distCopy(spark, ghost, dest.toString, partitions = 1).collect()
+    assert(audit3.length == 1 && audit3.head.status == "failed")
+  }
+
+  test("f03 sync planner classifies new/changed/deleted/noop") {
+    val root = mkTree()
+    val dest = Files.createTempDirectory("graft_sync")
+    val m1 = FilePipeline.catalog(spark, root.toString)
+    FilePipeline.distCopy(spark, m1, dest.toString, partitions = 2).count()
+    // mutate: new file, changed file, deleted file
+    Files.writeString(root.resolve("new.txt"), "brand new")
+    Files.writeString(root.resolve("a.txt"), "alpha changed content")
+    Files.delete(root.resolve("sub2/d.csv"))
+    val src2 = FilePipeline.catalog(spark, root.toString)
+    val tgt = FilePipeline.catalog(spark, dest.toString)
+    val plan = FilePipeline.syncPlan(src2, tgt).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan("new.txt") == "copy_new")
+    assert(plan("a.txt") == "copy_changed")
+    assert(plan("sub2/d.csv") == "delete")
+    assert(plan("sub1/b.bin") == "noop")
+  }
+
+  test("f05 audit summary rolls up by top-level dir") {
+    val root = mkTree()
+    val dest = Files.createTempDirectory("graft_audit")
+    val m = FilePipeline.catalog(spark, root.toString)
+    val audit = FilePipeline.distCopy(spark, m, dest.toString, partitions = 2)
+    val sums = FilePipeline.auditSummary(audit).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(sums("sub1")._1 == 2)           // b.bin + deep/c.txt
+    assert(sums("")._1 == 1)               // a.txt at root
+    assert(sums("sub1")._2 == 2048 + 13)   // bytes copied
+  }
+
+  test("f04 grant ledger merge is idempotent") {
+    import spark.implicits._
+    val ledger0 = GrantLedger.emptyLedger(spark)
+    val requested = Seq(
+      ("appB", "site1", "write"), ("appA", "site1", "write"))
+      .toDF("principal", "resource", "role")
+    val plan1 = GrantLedger.plan(ledger0, requested)
+    assert(plan1.filter("action = 'create'").count() == 2)
+    val ledger1 = GrantLedger.apply(ledger0, plan1, "2026-08-12")
+    assert(ledger1.count() == 2)
+    // replay: everything 'already', ledger unchanged
+    val plan2 = GrantLedger.plan(ledger1, requested)
+    assert(plan2.filter("action = 'create'").count() == 0)
+    assert(plan2.filter("action = 'already'").count() == 2)
+    val ledger2 = GrantLedger.apply(ledger1, plan2, "2026-08-13")
+    assert(ledger2.count() == 2)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.Streams._
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+  private def tsh(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00")
+
+  test("st01 tumbling windows count per type and drop late data") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = st01WindowedAgg(input.toDS(), "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("st01_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two windows for type A, one for B
+    input.addData(
+      Event(1, ts(1), 10, "A", 1.0), Event(2, ts(4), 11, "A", 2.0),
+      Event(3, ts(12), 10, "A", 3.0), Event(4, ts(2), 12, "B", 4.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark far, closing earlier windows
+    input.addData(Event(5, tsh(11, 30), 10, "A", 5.0))
+    q.processAllAvailable()
+    // batch 3: a very late event for the first window → dropped
+    input.addData(Event(6, ts(3), 13, "A", 99.0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT win_start, event_type, n_events, sum_value FROM st01_out ORDER BY win_start, event_type")
+      .collect()
+    q.stop()
+    val a0 = rows.find(r => r.getString(1) == "A" &&
+      r.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00")).get
+    assert(a0.getLong(2) == 2 && a0.getDouble(3) == 3.0, "late event must not inflate the closed window")
+    val a1 = rows.find(r => r.getString(1) == "A" &&
+      r.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:10:00")).get
+    assert(a1.getLong(2) == 1)
+    assert(rows.exists(r => r.getString(1) == "B" && r.getLong(2) == 1))
+  }
+
+  test("st02 flatMapGroupsWithState closes sessions on gap and timeout") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = st02Sessionize(input.toDS(), gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("st02_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1: events 10:01,10:05 then a 40-min gap then 10:45 → first session closes
+    input.addData(
+      Event(1, ts(1), 1, "A", 0), Event(2, ts(5), 1, "A", 0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(45), 1, "A", 0))
+    q.processAllAvailable()
+    // advance event time far past 10:45+30m+watermark → timeout closes session 2
+    input.addData(Event(4, tsh(13, 0), 2, "A", 0))
+    q.processAllAvailable()
+    input.addData(Event(5, tsh(14, 0), 2, "A", 0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT user_id, n_events, start_ts, end_ts FROM st02_out WHERE user_id = 1 ORDER BY start_ts")
+      .collect()
+    q.stop()
+    assert(rows.length == 2, s"expected both user-1 sessions closed, got ${rows.length}")
+    assert(rows(0).getInt(1) == 2 && rows(0).getTimestamp(2) == ts(1) &&
+      rows(0).getTimestamp(3) == ts(5))
+    assert(rows(1).getInt(1) == 1 && rows(1).getTimestamp(2) == ts(45))
+  }
+
+  test("st03 dedup drops repeated event ids within the watermark") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = st03DedupStream(input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st03_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(
+      Event(1, ts(1), 1, "A", 0), Event(1, ts(2), 1, "A", 0),
+      Event(2, ts(3), 1, "B", 0))
+    q.processAllAvailable()
+    input.addData(Event(1, ts(4), 1, "A", 0), Event(3, ts(5), 2, "C", 0))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT COUNT(*) FROM st03_out").head.getLong(0)
+    val distinct = spark.sql("SELECT COUNT(DISTINCT event_id) FROM st03_out").head.getLong(0)
+    q.stop()
+    assert(n == 3 && distinct == 3)
+  }
+}
