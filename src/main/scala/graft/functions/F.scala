@@ -15,6 +15,13 @@ object F {
   /** Native codegen cosine similarity of two array<float> columns. */
   def cosineSim(a: Column, b: Column): Column = c(CosineSim(e(a), e(b)))
 
+  /** Native cosine rounded for engine-boundary comparison (same fold
+    * order as VectorOps.cosine4 — spec-proven bit-identical, ~10x
+    * faster: one fused loop, no intermediate zip array per row).
+    */
+  def cosineSim4(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.round(cosineSim(a, b), 4)
+
   /** Native codegen 64-bit SimHash of whitespace tokens. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 import graft.Tables
+import graft.functions.F.cosineSim4
 import graft.functions.VectorOps._
 
 /** Approximate-nearest-neighbor search over embedding columns
@@ -29,7 +30,7 @@ object Ann {
     t.embeddings.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        cosine4(col("embedding"), col("qv")).as("cos_sim"))
+        cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -84,7 +85,7 @@ object Ann {
     val probes = q.select(col("qv"),
       explode(concat(array(col("qsig")), h1, h2)).as("psig"))
     corpus.join(broadcast(probes), col("sig") === col("psig"))
-      .select(col("vec_id"), cosine4(col("embedding"), col("qv")).as("cos_sim"))
+      .select(col("vec_id"), cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
@@ -104,7 +105,7 @@ object Ann {
       .select(col("vec_id"), col("embedding"))
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        cosine4(col("embedding"), col("qv")).as("cos_sim"))
+        cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))

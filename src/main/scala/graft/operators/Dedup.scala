@@ -220,7 +220,8 @@ object Dedup {
     val e = t.embeddings.select(col("vec_id"), col("embedding"))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        VectorOps.cosine4(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+        graft.functions.F.cosineSim4(col("x.embedding"), col("y.embedding"))
+          .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

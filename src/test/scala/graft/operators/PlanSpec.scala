@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Plan-shape assertions (SURVEY.md §5): the properties that decide
+  * whether these queries survive a 100 TB scale-up — scan pruning,
+  * filter pushdown, broadcast joins, map-side partial aggregation,
+  * top-k without a global sort — locked in as tests so a refactor
+  * that silently de-optimizes a plan fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("LessThan(l_quantity,5.0)"))
+    // scan reads only the projected + filtered columns, not all 16
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_discount:dou"))
+  }
+
+  test("q05: all dimension joins broadcast; no sort-merge join") {
+    val p = plan("q05_regional_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q16: top-k uses TakeOrderedAndProject, not a global sort") {
+    val p = plan("q16_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q06: scalar agg scan prunes to the 3 needed columns") {
+    val p = plan("q06_forecast_revenue")
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("s01: query side is broadcast (no shuffle of the corpus)") {
+    val p = plan("s01_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+  }
+}
