@@ -139,7 +139,8 @@ object Oracles {
     "q14_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q15_top_supplier" ->
@@ -288,6 +289,24 @@ object Oracles {
         |FROM documents
         |GROUP BY text
         |ORDER BY keep_id""".stripMargin,
+
+    "d04_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w)-5+2),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |       FROM toks WHERE len(w) >= 5),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN (SELECT doc_id, len(s) AS n FROM sh) za ON doc_a = za.doc_id
+        |JOIN (SELECT doc_id, len(s) AS n FROM sh) zb ON doc_b = zb.doc_id
+        |WHERE round(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d05_embed_neardup" ->
       """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -217,11 +217,15 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
-  /** q14: NOT EXISTS anti-join — customers with no orders. */
+  /** q14: NOT EXISTS anti-join — customers with no high-value order
+    * (the subset predicate keeps the result non-empty at every SF,
+    * unlike "no orders at all", which is vacuously empty in this data).
+    */
   def q14AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 100000).select("o_custkey")
     t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
   }

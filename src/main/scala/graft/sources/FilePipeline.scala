@@ -106,6 +106,14 @@ object FilePipeline {
     import spark.implicits._
     val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
 
+    // a root that doesn't exist yet is an empty tree (lets syncCopy
+    // bootstrap a fresh destination with a full copy instead of failing)
+    val rootPath = new Path(rootDir)
+    if (!rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(rootPath)) {
+      return spark.emptyDataset[FileEntry]
+    }
+
     var frontier: Seq[String] = Seq(rootDir)
     val all = mutable.ArrayBuffer[FileEntry]()
     val driverConf = spark.sparkContext.hadoopConfiguration
@@ -197,6 +205,41 @@ object FilePipeline {
           .when(col("src_size") =!= col("dst_size"), "copy_changed")
           .otherwise("noop"))
       .select("rel_path", "action", "src_path", "dst_path", "src_size", "dst_size")
+  }
+
+  /** Incremental sync (f01+f03+f02 composed): catalog both trees, diff,
+    * copy only new/changed files. The reference re-downloads everything
+    * on every run (py:284-305); here an unchanged lake costs two
+    * listings and zero data movement. Deletion of target-only files is
+    * opt-in (`pruneDeleted`) — destructive actions don't default on.
+    */
+  def syncCopy(spark: SparkSession, srcRoot: String, dstRoot: String,
+      pruneDeleted: Boolean = false, partitions: Int = 0): Dataset[CopyAudit] = {
+    import spark.implicits._
+    val src = catalog(spark, srcRoot)
+    val dst = catalog(spark, dstRoot)
+    val plan = syncPlan(src, dst)
+    val toCopy = plan
+      .filter(col("action").isin("copy_new", "copy_changed"))
+      .select(col("src_path"), col("rel_path"), col("src_size"))
+      .as[(String, String, Long)]
+      .map { case (p, rel, size) =>
+        val name = rel.substring(rel.lastIndexOf('/') + 1)
+        FileEntry(p, name, rel, extOf(name), size, 0L)
+      }
+    if (pruneDeleted) {
+      val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val doomed = plan.filter(col("action") === "delete")
+        .select(col("dst_path")).as[String]
+      val pruned = doomed.map { p =>
+        val path = new Path(p)
+        val fs = path.getFileSystem(confSer.value)
+        val ok = fs.delete(path, false)
+        CopyAudit(p, p, "", 0L, if (ok) "deleted" else "failed", "")
+      }
+      // force the copy before exposing the union (single audit pass)
+      distCopy(spark, toCopy, dstRoot, partitions).union(pruned)
+    } else distCopy(spark, toCopy, dstRoot, partitions)
   }
 
   /** f05: audit aggregation — the reference's printed tallies

@@ -97,6 +97,31 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(sums("sub1")._2 == 2048 + 13)   // bytes copied
   }
 
+  test("f03+f02 syncCopy moves only new/changed files and can prune deletes") {
+    val root = mkTree()
+    // bootstrap: destination doesn't exist yet → full copy, no crash
+    val dest = Files.createTempDirectory("graft_synccopy").resolve("fresh")
+    val boot = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      partitions = 2).collect()
+    assert(boot.length == 4 && boot.forall(_.status == "copied"))
+    // mutate source
+    Files.writeString(root.resolve("new.txt"), "brand new")
+    Files.writeString(root.resolve("a.txt"), "alpha changed content")
+    Files.delete(root.resolve("sub2/d.csv"))
+    val audit = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      pruneDeleted = true, partitions = 2).collect()
+    val byStatus = audit.groupBy(_.status).view.mapValues(_.length).toMap
+    assert(byStatus.getOrElse("copied", 0) == 2, s"got $byStatus")
+    assert(byStatus.getOrElse("deleted", 0) == 1)
+    assert(Files.readString(dest.resolve("a.txt")) == "alpha changed content")
+    assert(Files.readString(dest.resolve("new.txt")) == "brand new")
+    assert(!Files.exists(dest.resolve("sub2/d.csv")))
+    // second sync: nothing to do
+    val audit2 = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      pruneDeleted = true, partitions = 2).collect()
+    assert(audit2.isEmpty, s"expected empty second-sync audit, got ${audit2.toSeq}")
+  }
+
   test("f04 grant ledger merge is idempotent") {
     import spark.implicits._
     val ledger0 = GrantLedger.emptyLedger(spark)
