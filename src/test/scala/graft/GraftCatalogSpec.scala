@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface produces the same results as the DataFrame surface. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  test("spark.sql over registered views matches the DataFrame operators") {
+    GraftCatalog.register(spark, dir)
+    val sqlRows = spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin).collect()
+    val dfRows = graft.operators.Relational.q04OrderPriority(spark, dir).collect()
+    assert(sqlRows.map(_.toString).sameElements(dfRows.map(_.toString)))
+  }
+
+  test("native functions work over the views in SQL") {
+    GraftCatalog.register(spark, dir)
+    val n = spark.sql(
+      """SELECT count(DISTINCT simhash64(text)) AS n FROM documents""")
+      .head.getLong(0)
+    assert(n > 0)
+    val top = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+        |WHERE a.vec_id <> 0
+        |ORDER BY c DESC, a.vec_id LIMIT 1""".stripMargin).head
+    assert(top.getDouble(1) <= 1.0 && top.getDouble(1) >= -1.0)
+  }
+}
