@@ -10,5 +10,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.GraftFunctions.register(ext)
+    ext.injectOptimizerRule(_ => CosineSelfSimRule)
+    ext.injectOptimizerRule(_ => RedundantRoundRule)
   }
 }
