@@ -69,23 +69,23 @@ object Dedup {
     Array.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signatures: explode shingles → 32-bit hash → k min-perm
-    * aggregates → signature array. One shuffle on doc_id; the k mins
-    * fold map-side (partial agg), so shuffle volume is n_docs·k longs
-    * regardless of corpus size.
+  /** MinHash signatures as a pure per-row projection: hash the shingle
+    * set once, then each permutation's minimum folds over that array —
+    * zero shuffle (the earlier explode→groupBy formulation shuffled
+    * every shingle; at 100 TB that's the difference between an
+    * embarrassingly parallel map stage and a corpus-wide exchange).
     */
   def minhashSignatures(docs: DataFrame, shingleK: Int, numPerm: Int): DataFrame = {
-    val hashed = docShingles(docs, shingleK)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val pArr = perms(numPerm)
+    val aArr = array(pArr.map(p => lit(p._1)): _*)
+    val bArr = array(pArr.map(p => lit(p._2)): _*)
+    docShingles(docs, shingleK)
+      .withColumn("_h",
+        transform(col("sh"), s => pmod(xxhash64(s), lit(4294967296L))))
       .select(col("doc_id"),
-        pmod(xxhash64(col("s")), lit(4294967296L)).as("h"))
-    val minCols = perms(numPerm).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"m$i")
-    }
-    hashed.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numPerm).map(i => col(s"m$i")): _*).as("sig"))
+        zip_with(aArr, bArr, (a, b) =>
+          aggregate(col("_h"), lit(Long.MaxValue),
+            (m, h) => least(m, pmod(a * h + b, lit(MinhashP))))).as("sig"))
   }
 
   /** LSH banding: signature → (band_id, band_hash) rows. Collisions in
