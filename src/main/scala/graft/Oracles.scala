@@ -259,6 +259,15 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    "q29_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  CAST(p.ts AS VARCHAR) AS purchase_ts,
+        |  c.event_id AS click_id, CAST(c.ts AS VARCHAR) AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+
     "t01_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,

@@ -55,6 +55,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
+    "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

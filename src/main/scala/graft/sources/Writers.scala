@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Lake-layout writers (SURVEY.md §5).
+  *
+  * At 100 TB the write layout decides every future read: directory
+  * partitioning gives coarse pruning (PartitionFilters — entire
+  * directories never listed), and within-file sorting tightens parquet
+  * min/max row-group statistics for fine pruning. These wrappers
+  * encode that discipline.
+  */
+object Writers {
+
+  /** Hive-style partitioned parquet write. `partitionCols` become
+    * directory levels — queries filtering on them prune at the listing
+    * step, before any I/O.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Partitioned + sorted-within-partitions write: coarse directory
+    * pruning plus tight row-group min/max stats on `sortCols`.
+    */
+  def writePartitionedSorted(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Events laid out for time-ranged queries: partitioned by event
+    * date, sorted by (event_type, ts) within files.
+    */
+  def writeEventsLake(events: DataFrame, path: String): Unit =
+    writePartitionedSorted(
+      events.withColumn("event_date", to_date(col("ts"))),
+      path, Seq("event_date"), Seq("event_type", "ts"))
+}
