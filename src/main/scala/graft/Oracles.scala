@@ -268,6 +268,17 @@ object Oracles {
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
 
+    "q30_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('micro', 0.0, 9999.99), ('small', 10000.0, 49999.99),
+        |  ('mid', 50000.0, 149999.99), ('large', 150000.0, 299999.99),
+        |  ('jumbo', 300000.0, 10000000.0))
+        |SELECT band, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
+
     "t01_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,

@@ -56,6 +56,7 @@ object SparkEntry {
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
     "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
+    "q30_range_join" -> (RangeJoin.q30RangeJoin(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()
