@@ -279,6 +279,32 @@ object Oracles {
         |GROUP BY band
         |ORDER BY band""".stripMargin,
 
+    "q31_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice) OVER w AS prev_price,
+        |  LEAD(o_totalprice) OVER w AS next_price,
+        |  DENSE_RANK() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC) AS price_rank,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q32_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, '*') AS rf,
+        |       COALESCE(l_linestatus, '*') AS ls,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin,
+
     "t01_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,

@@ -57,6 +57,8 @@ object SparkEntry {
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
     "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
     "q30_range_join" -> (RangeJoin.q30RangeJoin(_, _)),
+    "q31_window_funcs" -> (Relational.q31WindowFuncs(_, _)),
+    "q32_grouping_sets" -> (Relational.q32GroupingSets(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

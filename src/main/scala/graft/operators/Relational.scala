@@ -405,6 +405,46 @@ object Relational {
       .orderBy("etype", "dom")
   }
 
+  /** q31: window-function breadth — lag/lead, dense_rank, running sum,
+    * per-partition share — over each customer's order history. All in
+    * one window pass (single shuffle on the partition key).
+    */
+  def q31WindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+    val wAll = Window.partitionBy("o_custkey")
+    t.orders
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("price_rank",
+        dense_rank().over(wAll.orderBy(col("o_totalprice").desc)).cast(LongType))
+      .withColumn("running_spend",
+        sum(dec(col("o_totalprice"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q32: explicit GROUPING SETS with grouping_id — finer control than
+    * rollup/cube (only the requested combinations are expanded).
+    */
+  def q32GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.createOrReplaceTempView("g32_lineitem")
+    spark.sql(
+      """SELECT COALESCE(l_returnflag, '*') AS rf,
+        |       COALESCE(l_linestatus, '*') AS ls,
+        |       CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM g32_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin)
+  }
+
   /** q27: exact percentiles over integral quantities — interpolation on
     * integer order statistics at quarter fractions is fp-exact, so the
     * result is bit-identical across engines with no rounding.
