@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{CosineSim, Fingerprint64, SimHash64}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, SimHash64}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -24,6 +24,12 @@ object ExprRegistrations {
       case Seq(a, b) => CosineSim(a, b)
       case other => throw new IllegalArgumentException(
         s"cosine_sim expects 2 arguments, got ${other.size}")
+    },
+    desc("dot_product",
+      "dot_product(a, b) - deterministic dot product of two float arrays") {
+      case Seq(a, b) => DotProd(a, b)
+      case other => throw new IllegalArgumentException(
+        s"dot_product expects 2 arguments, got ${other.size}")
     },
     desc("simhash64", "simhash64(text) - 64-bit SimHash of whitespace tokens") {
       case Seq(c) => SimHash64(c)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, Fingerprint64, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, SimHash64}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -21,6 +21,16 @@ object F {
     */
   def cosineSim4(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.round(cosineSim(a, b), 4)
+
+  /** Native codegen dot product of two array<float> columns. */
+  def dotProd(a: Column, b: Column): Column = c(DotProd(e(a), e(b)))
+
+  /** Norm-precomputed cosine: dot(a,b)/(na*nb), rounded. Bit-identical
+    * to cosineSim4 when na/nb are sqrt(dotProd(x,x)) — use when many
+    * pairs share a vector, so each norm is computed once, not per pair.
+    */
+  def cosineSim4Pre(a: Column, na: Column, b: Column, nb: Column): Column =
+    org.apache.spark.sql.functions.round(dotProd(a, b) / (na * nb), 4)
 
   /** Native codegen 64-bit SimHash of whitespace tokens. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))

@@ -98,14 +98,18 @@ object Ann {
     */
   def s03KnnJoin(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 10): DataFrame = {
+    import graft.functions.F
     val t = Tables(spark, dir)
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("qn"))
     val corpus = t.embeddings.filter(col("vec_id") >= nQueries)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("cn"))
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col("query_id"), col("vec_id"),
-        cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
+        F.cosineSim4Pre(col("embedding"), col("cn"), col("qv"), col("qn"))
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))

@@ -212,16 +212,21 @@ object Dedup {
   /** d05: embedding-cosine near-dup pairs (brute force) — the
     * correctness baseline for s02's LSH buckets. The O(n²) cross join
     * is intentional here; at scale the same verify step runs on LSH
-    * candidates instead of all pairs.
+    * candidates instead of all pairs. Norms are precomputed once per
+    * vector (not per pair), so the pair loop is a single fused dot
+    * product — bit-identical to the full cosine kernel.
     */
   def d05EmbedNeardup(spark: SparkSession, dir: String,
       threshold: Double = 0.4): DataFrame = {
     val t = Tables(spark, dir)
-    val e = t.embeddings.select(col("vec_id"), col("embedding"))
+    val e = t.embeddings.select(col("vec_id"), col("embedding"),
+      sqrt(graft.functions.F.dotProd(col("embedding"), col("embedding")))
+        .as("nrm"))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        graft.functions.F.cosineSim4(col("x.embedding"), col("y.embedding"))
-          .as("cos_sim"))
+        graft.functions.F.cosineSim4Pre(
+          col("x.embedding"), col("x.nrm"),
+          col("y.embedding"), col("y.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }

@@ -18,6 +18,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
+  /** Deterministic dot product: float→double per element, left-to-right
+    * fold (SURVEY.md §4 determinism discipline).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
   /** Deterministic cosine over float arrays: float→double per element,
     * left-to-right fold (SURVEY.md §4 determinism discipline).
     */
@@ -77,6 +91,34 @@ object Kernels {
     }
     h
   }
+}
+
+/** Native codegen dot product over two array<float> columns — the
+  * building block for norm-precomputed cosine: callers that score many
+  * pairs per vector compute each side's norm once and divide, cutting
+  * per-pair arithmetic to one fused dot loop. Same float→double
+  * left-to-right fold as the cosine kernel, so
+  * dot(a,b)/(norm(a)*norm(b)) is bit-identical to cosine_sim(a,b).
+  * `dot_product(a, b)` in SQL after GraftExtensions registration.
+  */
+case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.Kernels.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
 }
 
 /** e01: native codegen cosine similarity over two array<float> columns.
