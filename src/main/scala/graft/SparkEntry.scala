@@ -59,6 +59,7 @@ object SparkEntry {
     "q30_range_join" -> (RangeJoin.q30RangeJoin(_, _)),
     "q31_window_funcs" -> (Relational.q31WindowFuncs(_, _)),
     "q32_grouping_sets" -> (Relational.q32GroupingSets(_, _)),
+    "q33_multi_exists" -> (Relational.q33MultiExists(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

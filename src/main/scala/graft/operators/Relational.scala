@@ -445,6 +445,32 @@ object Relational {
         |ORDER BY gid, rf, ls""".stripMargin)
   }
 
+  /** q33: "supplier kept everyone waiting" (TPC-H Q21 shape) — late
+    * lines in multi-supplier orders where this supplier was the ONLY
+    * late one. The correlated EXISTS / NOT EXISTS pair decorrelates
+    * into one per-order aggregate (distinct suppliers, distinct late
+    * suppliers) joined back — two shuffles on orderkey total, vs the
+    * three correlated re-scans of the literal SQL.
+    */
+  def q33MultiExists(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lo = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("po_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    lo.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   /** q27: exact percentiles over integral quantities — interpolation on
     * integer order statistics at quarter fractions is fp-exact, so the
     * result is bit-identical across engines with no rounding.

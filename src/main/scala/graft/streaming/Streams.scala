@@ -93,6 +93,20 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** st04: file-source streaming — treat a lake directory as a stream
+    * (each new file is a micro-batch input; `Trigger.AvailableNow`
+    * drains the backlog then stops, the pattern for incremental batch
+    * over a landing zone fed by the copy pipeline). Returns the
+    * streaming DataFrame; the caller picks trigger + sink.
+    */
+  def st04FileStream(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
   /** st03: streaming dedup — dropDuplicates on event_id within the
     * watermark horizon (state bounded by the horizon, exactly-once per
     * id inside it).

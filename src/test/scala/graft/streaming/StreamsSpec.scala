@@ -73,6 +73,28 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(1).getInt(1) == 1 && rows(1).getTimestamp(2) == ts(45))
   }
 
+  test("st04 file-source stream drains a landing zone incrementally") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_landing").toString
+    // two "arrivals" in the landing zone (as the copy pipeline would write)
+    Seq(Event(1, ts(1), 1, "A", 1.0), Event(2, ts(2), 1, "B", 2.0))
+      .toDF().write.parquet(s"$dir/batch1")
+    Seq(Event(3, ts(3), 2, "A", 3.0))
+      .toDF().write.parquet(s"$dir/batch2")
+    val schema = Seq.empty[Event].toDF().schema
+    val q = Streams.st04FileStream(spark, s"$dir/*", schema, maxFilesPerTrigger = 1)
+      .groupBy("event_type").count()
+      .writeStream.format("memory").queryName("st04_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val counts = spark.sql("SELECT event_type, count FROM st04_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("A" -> 2L, "B" -> 1L))
+  }
+
   test("st03 dedup drops repeated event ids within the watermark") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
