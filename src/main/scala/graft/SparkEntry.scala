@@ -53,6 +53,7 @@ object SparkEntry {
     "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),
     "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir)),
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
+    "c01_clean_corpus" -> ((s, dir) => Corpus.c01CleanCorpus(s, dir)),
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
     "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
