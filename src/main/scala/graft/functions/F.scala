@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MinHashSig, MinHashSigText, SimHash64}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -31,6 +31,16 @@ object F {
     */
   def cosineSim4Pre(a: Column, na: Column, b: Column, nb: Column): Column =
     org.apache.spark.sql.functions.round(dotProd(a, b) / (na * nb), 4)
+
+  /** Native fused MinHash signature over a shingle-array column. */
+  def minhashSig(shingles: Column, numPerm: Int = 64): Column =
+    c(MinHashSig(e(shingles), numPerm))
+
+  /** Native text→MinHash signature: tokenize + shingle + hash + fold in
+    * one kernel pass (null for docs shorter than shingleK tokens).
+    */
+  def minhashSigText(text: Column, shingleK: Int, numPerm: Int = 64): Column =
+    c(MinHashSigText(e(text), shingleK, numPerm))
 
   /** Native codegen 64-bit SimHash of whitespace tokens. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))

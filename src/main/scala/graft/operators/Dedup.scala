@@ -69,13 +69,21 @@ object Dedup {
     Array.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signatures as a pure per-row projection: hash the shingle
-    * set once, then each permutation's minimum folds over that array —
-    * zero shuffle (the earlier explode→groupBy formulation shuffled
-    * every shingle; at 100 TB that's the difference between an
-    * embarrassingly parallel map stage and a corpus-wide exchange).
+  /** MinHash signatures as a pure per-row projection — zero shuffle
+    * (map-only at any corpus size) via the native fused kernel
+    * [[org.apache.spark.sql.graft.MinHashSig]] (e06). The HOF
+    * composition below ([[minhashSignaturesHof]]) is the readable
+    * reference implementation: bit-identical, but interpreted by the
+    * higher-order-function runtime (~40× slower) — spec-checked
+    * against the native path.
     */
-  def minhashSignatures(docs: DataFrame, shingleK: Int, numPerm: Int): DataFrame = {
+  def minhashSignatures(docs: DataFrame, shingleK: Int, numPerm: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.F.minhashSigText(col("text"), shingleK, numPerm).as("sig"))
+      .filter(col("sig").isNotNull)
+
+  /** Reference HOF formulation of [[minhashSignatures]] (spec parity). */
+  def minhashSignaturesHof(docs: DataFrame, shingleK: Int, numPerm: Int): DataFrame = {
     val pArr = perms(numPerm)
     val aArr = array(pArr.map(p => lit(p._1)): _*)
     val bArr = array(pArr.map(p => lit(p._2)): _*)
@@ -116,7 +124,13 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = docShingles(docs, shingleK)
+    // exact-Jaccard verify needs shingle sets only for candidate ids —
+    // the semi-join pushes the id filter below the (interpreted HOF)
+    // shingling, so it runs on O(candidates), not the whole corpus
+    val candIds = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val sh = docShingles(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleK)
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))

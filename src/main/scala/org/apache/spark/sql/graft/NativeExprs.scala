@@ -5,7 +5,9 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -17,6 +19,93 @@ import org.apache.spark.unsafe.types.UTF8String
   * falls back to interpretation.
   */
 object Kernels {
+
+  /** MinHash permutation parameters (a_i, b_i), identical derivation to
+    * graft.operators.Dedup.perms — fixed seed, so signatures are stable
+    * across executors and runs.
+    */
+  private val MinhashP = 4294967311L
+  private val MinhashM = 4294967296L
+  private def permsFor(k: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = new Array[Long](k); val b = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      a(i) = rnd.nextInt(Int.MaxValue - 1).toLong + 1
+      b(i) = rnd.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (a, b)
+  }
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  /** Fused MinHash signature kernel (see MinHashSig). */
+  def minhashSig(shingles: ArrayData, numPerm: Int): ArrayData = {
+    val (pa, pb) = permCache.computeIfAbsent(numPerm, permsFor)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(shingles.getUTF8String(i), StringType, 42L)
+      val h32 = ((h % MinhashM) + MinhashM) % MinhashM // pmod, matches builtin
+      var j = 0
+      while (j < numPerm) {
+        val v = (pa(j) * h32 + pb(j)) % MinhashP // positive: no pmod needed
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Text-to-signature kernel: tokenize on single spaces (Spark
+    * split-with-limit=-1 semantics, empties kept), slide a k-token
+    * window, hash each shingle string, fold all permutation minima —
+    * no intermediate shingle array materialized. Duplicate shingles
+    * don't affect a minimum, so array_distinct is unnecessary here.
+    * Returns null for documents with fewer than k tokens (the
+    * `size(sh) > 0` filter of the array formulation).
+    */
+  def minhashSigText(text: UTF8String, k: Int, numPerm: Int): ArrayData = {
+    val s = text.toString
+    // split on ' ' keeping empty tokens (limit -1 semantics)
+    val toks = new java.util.ArrayList[String]()
+    var start = 0
+    var idx = s.indexOf(' ')
+    while (idx >= 0) {
+      toks.add(s.substring(start, idx)); start = idx + 1
+      idx = s.indexOf(' ', start)
+    }
+    toks.add(s.substring(start))
+    val n = toks.size
+    if (n < k) return null
+    val (pa, pb) = permCache.computeIfAbsent(numPerm, permsFor)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var t = 0
+      while (t < k) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(i + t))
+        t += 1
+      }
+      val h = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      val h32 = ((h % MinhashM) + MinhashM) % MinhashM
+      var j = 0
+      while (j < numPerm) {
+        val v = (pa(j) * h32 + pb(j)) % MinhashP
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
 
   /** Deterministic dot product: float→double per element, left-to-right
     * fold (SURVEY.md §4 determinism discipline).
@@ -91,6 +180,75 @@ object Kernels {
     }
     h
   }
+}
+
+/** e06: native MinHash signature — one fused loop over the shingle
+  * array computing all `numPerm` permutation minima. The HOF
+  * formulation (zip_with outer, aggregate inner) is interpreted per
+  * element by Spark's higher-order-function runtime (~40× slower at
+  * corpus scale); this kernel is a plain nested loop the JIT vectorizes.
+  * Hash/permutation math matches the HOF version bit-for-bit:
+  * xxhash64(seed 42) → pmod 2^32 → (a·h+b) mod P, params drawn from
+  * Random(42). `minhash_sig(shingles)` in SQL.
+  */
+case class MinHashSig(child: Expression, numPerm: Int = 64)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minhashSig(input.asInstanceOf[ArrayData], numPerm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Kernels.minhashSig($c, $numPerm)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** e06b: MinHash signature straight from text — tokenize, shingle, hash
+  * and fold minima in one kernel pass, no intermediate shingle array.
+  * Null (not a signature) for documents shorter than `shingleK` tokens.
+  * Bit-identical to MinHashSig over the shingles-array formulation.
+  */
+case class MinHashSigText(child: Expression, shingleK: Int, numPerm: Int = 64)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.minhashSigText(input.asInstanceOf[UTF8String], shingleK, numPerm)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Kernels.minhashSigText(v.asInstanceOf[UTF8String], shingleK, numPerm)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} = org.apache.spark.sql.graft.Kernels.minhashSigText(
+            ${childGen.value}, $shingleK, $numPerm);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigText =
+    copy(child = newChild)
 }
 
 /** Native codegen dot product over two array<float> columns — the

@@ -27,6 +27,16 @@ class NativeExprSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("e06 native minhash signatures == HOF signatures on the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val native = Dedup.minhashSignatures(docs, shingleK = 5, numPerm = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Dedup.minhashSignaturesHof(docs, shingleK = 5, numPerm = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == hof.keySet && native.nonEmpty)
+    native.foreach { case (id, sig) => assert(sig == hof(id), s"doc $id") }
+  }
+
   test("e02 native simhash == HOF simhash on the corpus") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(
