@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MinHashSig, MinHashSigText, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, SimHash64}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -41,6 +41,10 @@ object F {
     */
   def minhashSigText(text: Column, shingleK: Int, numPerm: Int = 64): Column =
     c(MinHashSigText(e(text), shingleK, numPerm))
+
+  /** Native marker-token counter (comma-separated marker set). */
+  def markerCount(text: Column, markers: String): Column =
+    c(MarkerCount(e(text), e(org.apache.spark.sql.functions.lit(markers))))
 
   /** Native codegen 64-bit SimHash of whitespace tokens. */
   def simhash64(text: Column): Column = c(SimHash64(e(text)))

@@ -30,7 +30,7 @@ object Corpus {
     // 1. quality gate
     val toks = split(col("text"), " ")
     val nToks = size(toks).cast("long")
-    val nStop = size(filter(toks, w => w.isin("the", "a"))).cast("long")
+    val nStop = graft.functions.F.markerCount(col("text"), "the,a")
     val gated = t.documents
       .withColumn("n_tokens", nToks)
       .withColumn("stop_ratio", nStop.cast("double") / nToks)

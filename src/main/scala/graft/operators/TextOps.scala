@@ -47,8 +47,11 @@ object TextOps {
     val t = Tables(spark, dir)
     val toks = wsTokens
     val nToks = size(toks).cast(LongType)
-    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast(LongType))
-    val nStop = size(filter(toks, w => w.isin("the", "a"))).cast(LongType)
+    // exact identity: sum of token lengths = total chars − separators
+    // (holds for any single-char-delimited split, empties included) —
+    // replaces an interpreted HOF aggregate with codegen'd arithmetic
+    val sumLen = length(col("text")).cast(LongType) - (nToks - lit(1L))
+    val nStop = graft.functions.F.markerCount(col("text"), "the,a")
     t.documents
       .select(
         col("doc_id"),
@@ -73,9 +76,11 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "est", "une", "dans", "pas"),
     "zh" -> Seq("的", "是", "不", "在", "了", "我", "有"))
 
-  /** Marker-hit score for one language over a lowercased token array. */
-  private def langScore(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, w => w.isin(markers: _*))).cast(LongType)
+  /** Marker-hit score for one language over the lowercased text
+    * (native kernel — the HOF filter/isin form is interpreted).
+    */
+  private def langScore(lowered: Column, markers: Seq[String]): Column =
+    graft.functions.F.markerCount(lowered, markers.mkString(","))
 
   /** t03: language identification — count characteristic-marker hits
     * per language, pick the argmax (ties and zero-score rows → 'und').
@@ -102,8 +107,7 @@ object TextOps {
 
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), " ")
-    val scored = docs.withColumn("_toks", toks)
+    val scored = docs.withColumn("_toks", lower(col("text")))
     val langs = LangMarkers.keys.toSeq.sorted
     val withScores = langs.foldLeft(scored) { (df, l) =>
       df.withColumn(s"_s_$l", langScore(col("_toks"), LangMarkers(l)))

@@ -107,6 +107,31 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  private val markerSetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashSet[String]]()
+
+  /** Count whitespace tokens of `text` that are in the comma-separated
+    * `markers` set (exact string equality — same semantics as
+    * size(filter(split(text,' '), w => w.isin(markers)))).
+    */
+  def markerCount(text: UTF8String, markers: UTF8String): Long = {
+    val set = markerSetCache.computeIfAbsent(markers.toString, m => {
+      val s = new java.util.HashSet[String]()
+      m.split(',').foreach(s.add)
+      s
+    })
+    val str = text.toString
+    var count = 0L
+    var start = 0
+    while (start <= str.length) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = str.length
+      if (set.contains(str.substring(start, end))) count += 1
+      start = end + 1
+    }
+    count
+  }
+
   /** Deterministic dot product: float→double per element, left-to-right
     * fold (SURVEY.md §4 determinism discipline).
     */
@@ -276,6 +301,30 @@ case class DotProd(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+}
+
+/** e08: native marker-token counter — counts whitespace tokens present
+  * in a comma-separated marker set. Replaces the interpreted
+  * size(filter(split(...), isin(...))) HOF on text hot paths (language
+  * ID scoring, stopword ratios). `marker_count(text, markers)` in SQL.
+  */
+case class MarkerCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "marker_count"
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    Kernels.markerCount(t.asInstanceOf[UTF8String], m.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, m) =>
+      s"org.apache.spark.sql.graft.Kernels.markerCount($t, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MarkerCount =
     copy(left = newLeft, right = newRight)
 }
 
