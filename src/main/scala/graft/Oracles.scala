@@ -12,17 +12,17 @@ object Oracles {
 
   /** Fixed-point revenue sum, identical to Num.revenueSum. */
   private val REV =
-    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
-      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
+      "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)"
 
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
          |  $REV AS sum_disc_price,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
          |  COUNT(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -67,8 +67,8 @@ object Oracles {
          |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q06_forecast_revenue" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS forecast_revenue
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS forecast_revenue
         |FROM lineitem
         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
 
@@ -102,7 +102,7 @@ object Oracles {
       """SELECT
         |  COALESCE(r_name, 'ALL') AS region_name,
         |  COALESCE(n_name, 'ALL') AS nation_name,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal,
         |  COUNT(*) AS n_cust
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -159,7 +159,7 @@ object Oracles {
         |LIMIT 20""".stripMargin,
 
     "q17_avg_compare" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
         |JOIN (SELECT l_partkey AS ap_partkey,
@@ -214,7 +214,7 @@ object Oracles {
     "q23_events_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
         |       COUNT(*) AS n_events,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
@@ -243,7 +243,7 @@ object Oracles {
       """SELECT COALESCE(event_type, 'ALL') AS etype,
         |       CAST(COALESCE(EXTRACT(day FROM ts), -1) AS INT) AS dom,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY CUBE(event_type, EXTRACT(day FROM ts))
         |ORDER BY etype, dom""".stripMargin,
@@ -274,7 +274,7 @@ object Oracles {
         |  ('mid', 50000.0, 149999.99), ('large', 150000.0, 299999.99),
         |  ('jumbo', 300000.0, 10000000.0))
         |SELECT band, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
         |GROUP BY band
         |ORDER BY band""".stripMargin,
@@ -285,9 +285,9 @@ object Oracles {
         |  LEAD(o_totalprice) OVER w AS next_price,
         |  DENSE_RANK() OVER (PARTITION BY o_custkey
         |                     ORDER BY o_totalprice DESC) AS price_rank,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |    AS running_spend
         |FROM orders
         |WHERE o_custkey < 50

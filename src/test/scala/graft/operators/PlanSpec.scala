@@ -37,6 +37,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"))
   }
 
+  test("q07: per-group top-k gets Partial WindowGroupLimit before the shuffle") {
+    // Spark 4's WindowGroupLimit pushes rank<=k into a map-side bounded
+    // top-k — which is why graft does NOT ship a custom top-k-per-key
+    // operator (custom-plan ladder: compose first; the builtin already
+    // plans the optimal shape).
+    val p = plan("q07_window_rank")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"))
+  }
+
   test("q16: top-k uses TakeOrderedAndProject, not a global sort") {
     val p = plan("q16_sort_limit")
     assert(p.contains("TakeOrderedAndProject"))
