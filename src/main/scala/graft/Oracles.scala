@@ -320,6 +320,30 @@ object Oracles {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
+    "q34_json_extract" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q35_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'F'
+        |           THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
+        |  SUM(CASE WHEN l_linestatus = 'O'
+        |           THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q36_unpivot" ->
+      """SELECT p_partkey, attr, val
+        |FROM (SELECT p_partkey,
+        |        CAST(p_retailprice AS DOUBLE) AS retailprice,
+        |        CAST(p_size AS DOUBLE) AS size
+        |      FROM part) t
+        |UNPIVOT (val FOR attr IN (retailprice, size))
+        |ORDER BY p_partkey, attr""".stripMargin,
+
     "t01_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,

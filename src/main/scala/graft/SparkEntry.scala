@@ -61,6 +61,9 @@ object SparkEntry {
     "q31_window_funcs" -> (Relational.q31WindowFuncs(_, _)),
     "q32_grouping_sets" -> (Relational.q32GroupingSets(_, _)),
     "q33_multi_exists" -> (Relational.q33MultiExists(_, _)),
+    "q34_json_extract" -> (Relational.q34JsonExtract(_, _)),
+    "q35_pivot" -> (Relational.q35Pivot(_, _)),
+    "q36_unpivot" -> (Relational.q36Unpivot(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

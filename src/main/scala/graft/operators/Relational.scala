@@ -471,6 +471,44 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
+  /** q34: JSON path extraction from the events props column (proper
+    * JSON semantics, vs q22's regex fallback). Codegen'd
+    * get_json_object; no UDF, no parse-per-field repetition.
+    */
+  def q34JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+      .orderBy("event_id")
+  }
+
+  /** q35: pivot — per-returnflag quantity totals spread across
+    * linestatus columns. Explicit pivot values keep the plan static
+    * (no extra distinct-scan job) — required practice at scale.
+    */
+  def q35Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(lsum(col("l_quantity")))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q36: unpivot/melt — wide part attributes to long (attr, val) rows. */
+  def q36Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.part
+      .select(col("p_partkey"),
+        col("p_retailprice").cast(DoubleType).as("retailprice"),
+        col("p_size").cast(DoubleType).as("size"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("retailprice"), col("size")), "attr", "val")
+      .orderBy("p_partkey", "attr")
+  }
+
   /** q27: exact percentiles over integral quantities — interpolation on
     * integer order statistics at quarter fractions is fp-exact, so the
     * result is bit-identical across engines with no rounding.
