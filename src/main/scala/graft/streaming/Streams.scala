@@ -107,6 +107,17 @@ object Streams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** st05: stream-static enrichment — join a stream against a batch
+    * dimension table. The static side is re-planned per micro-batch
+    * (picking up dimension updates) and broadcast when small; no state
+    * store involved.
+    */
+  def st05EnrichJoin(events: Dataset[Event], dim: DataFrame,
+      dimKey: String): DataFrame =
+    events.toDF().join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col("user_id") === col(dimKey), "left_outer")
+
   /** st03: streaming dedup — dropDuplicates on event_id within the
     * watermark horizon (state bounded by the horizon, exactly-once per
     * id inside it).

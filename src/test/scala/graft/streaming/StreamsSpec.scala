@@ -95,6 +95,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(counts == Map("A" -> 2L, "B" -> 1L))
   }
 
+  test("st05 stream-static join enriches events with dimension rows") {
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_user", "tier")
+    val input = MemoryStream[Event](spark)
+    val q = Streams.st05EnrichJoin(input.toDS(), dim, "d_user")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("st05_out")
+      .outputMode("append").start()
+    input.addData(
+      Event(1, ts(1), 1, "A", 0), Event(2, ts(2), 2, "B", 0),
+      Event(3, ts(3), 9, "C", 0)) // user 9 has no dim row
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_id, tier FROM st05_out ORDER BY event_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    q.stop()
+    assert(rows == Map(1L -> "gold", 2L -> "silver", 3L -> null))
+  }
+
   test("st03 dedup drops repeated event ids within the watermark") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
