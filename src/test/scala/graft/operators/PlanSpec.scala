@@ -61,4 +61,20 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("global sweep: no accidental cartesian/nested-loop joins in any query") {
+    // these intentionally score all pairs (brute-force baselines) or
+    // broadcast a tiny side against a non-equi condition:
+    val allowedNlj = Set(
+      "s01_ann_bruteforce", "s02_ann_lsh", "s03_knn_join",
+      "d05_embed_neardup")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val bad =
+        (p.contains("CartesianProduct") ||
+          (p.contains("BroadcastNestedLoopJoin") && !allowedNlj(name)))
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unexpected NLJ/cartesian in: $offenders")
+  }
 }
