@@ -1,5 +1,6 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,19 +13,33 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink: evaluates every output row AND column. count() would
+    // let Catalyst prune the projections being measured (column pruning
+    // deletes expensive expressions, EliminateSorts drops orderBys), so
+    // scan-and-transform queries would be benchmarked with their work
+    // optimized away.
+    def run(fn: (SparkSession, String) => DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // JVM/codegen warm-up outside the timed region, so the first query
     // in map order doesn't absorb ~5s of JIT + classloading
-    try SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
+    try SparkEntry.queries.headOption.foreach(q => run(q._2))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // no cross-query cache credit
+      name -> (if (ok) sec else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the sbt log prefix makes stdout unparseable for the driver; the
+    // file copy is the machine-readable record
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
     spark.stop()
   }
 }

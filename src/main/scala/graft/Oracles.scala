@@ -327,10 +327,10 @@ object Oracles {
 
     "q35_pivot" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_linestatus = 'F'
-        |           THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
-        |  SUM(CASE WHEN l_linestatus = 'O'
-        |           THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |           THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |           THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

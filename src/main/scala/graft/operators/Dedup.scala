@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -114,10 +115,19 @@ object Dedup {
     * bounded by real collisions, never the n² pair space.
     */
   def d02DedupMinhash(spark: SparkSession, dir: String,
+      shingleK: Int = 5, threshold: Double = 0.7): DataFrame =
+    d02PairsOver(Tables(spark, dir).documents, shingleK, threshold)
+
+  /** d02 over an arbitrary (doc_id, text) DataFrame — lets composed
+    * pipelines (c01) run near-dup detection on their own survivors
+    * instead of re-scanning the raw corpus. No cache: the band
+    * self-join's two sides are canonically identical, so the shuffle is
+    * computed once and the second side is a ReusedExchange — no
+    * executor memory pinned after the query finishes.
+    */
+  def d02PairsOver(docs: DataFrame,
       shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
-    val t = Tables(spark, dir)
-    val docs = t.documents
-    val sigs = minhashSignatures(docs, shingleK, numPerm = 64).cache()
+    val sigs = minhashSignatures(docs, shingleK, numPerm = 64)
     val bnd = bandRows(sigs, bands = 16, rowsPerBand = 4)
     val cand = bnd.as("x").join(bnd.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -172,9 +182,10 @@ object Dedup {
   def d03DedupSimhash(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     val t = Tables(spark, dir)
+    // no cache: the band self-join's sides are canonically identical →
+    // one shuffle + ReusedExchange, nothing pinned across queries
     val sigs = t.documents
       .select(col("doc_id"), graft.functions.F.simhash64(col("text")).as("sh64"))
-      .cache()
     val bnd = sigs.select(col("doc_id"), col("sh64"), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
         call_function("shiftright", col("sh64"), j * lit(16))
@@ -194,29 +205,42 @@ object Dedup {
 
   // ---------------------------------------------------------------- d04
 
-  /** d04: exact n-gram Jaccard similarity join via inverted index —
-    * explode distinct shingles, self-join on the shingle, count
-    * intersections per pair, compute |A∩B| / (|A|+|B|−|A∩B|). Exact
-    * (no LSH miss) but the shingle join is the scale bottleneck; d02
-    * is the 100 TB path. Stop-shingle filtering (drop shingles in >1%
-    * of docs) would bound the blowup at scale.
+  /** d04: EXACT n-gram Jaccard similarity join via prefix filtering
+    * (the AllPairs/PPJoin family): order each document's shingles by
+    * ascending global document frequency and index only the first
+    * |A| − ⌈t·|A|⌉ + 1 of them. Any pair with J ≥ t has overlap
+    * ≥ ⌈t·max(|A|,|B|)⌉, which cannot fit entirely in either doc's
+    * unindexed suffix — so every qualifying pair collides on some
+    * indexed shingle, and exact-Jaccard verification on the candidates
+    * returns the exact answer. Hot "stop shingles" land at the END of
+    * the frequency order and rarely enter a prefix, which removes the
+    * m²/2 pair blowup of the naive inverted-index self-join — the
+    * property that lets this run at 100 TB, not just at bench SF.
     */
   def d04NgramJaccard(spark: SparkSession, dir: String,
       shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
     val t = Tables(spark, dir)
-    val sh = docShingles(t.documents, shingleK).cache()
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = inv.as("x").join(inv.as("y"),
+    // localCheckpoint (not cache): shingling is consumed by three
+    // branches; blocks are released when the RDD is GC'd instead of
+    // pinning CacheManager memory across queries
+    val sh = docShingles(t.documents, shingleK).localCheckpoint(false)
+    val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefixes = inv.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "s")
+    val cand = prefixes.as("x").join(prefixes.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("n_inter")), 4).as("jaccard"))
+        round(jaccard(col("sa.sh"), col("sb.sh")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
   }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -33,10 +34,35 @@ object Merge {
   def delete(target: DataFrame, keys: DataFrame, key: String): DataFrame =
     target.join(keys, Seq(key), "left_anti")
 
-  /** Atomically publish a merged table: write to a staging path then
-    * swap (parquet has no transactions; staging-and-swap is the
-    * portable pattern, table formats make it metadata-only).
+  /** Atomically publish a merged table: write to a staging path, then
+    * swap via two directory renames (parquet has no transactions;
+    * staging-and-swap is the portable pattern, table formats make it
+    * metadata-only). A failure during the staging write leaves the
+    * published table untouched; the swap itself is two metadata-only
+    * renames, so the window with no table present is microseconds, and
+    * a crash inside it leaves the previous version recoverable at
+    * `<path>.prev`. Because the full write happens before the target
+    * moves, `merged` may safely read from `path` itself (the natural
+    * upsert-then-publish flow) — the input is consumed before the swap.
     */
-  def publish(merged: DataFrame, path: String): Unit =
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
+  def publish(merged: DataFrame, path: String): Unit = {
+    val spark = merged.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    val staging = new Path(path + ".staging")
+    val prev = new Path(path + ".prev")
+    fs.delete(staging, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    // swap: old version aside, staging in, old version dropped
+    fs.delete(prev, true)
+    if (fs.exists(target) && !fs.rename(target, prev))
+      throw new java.io.IOException(s"publish: cannot move $target aside")
+    if (!fs.rename(staging, target)) {
+      // restore the previous version rather than leaving no table
+      if (fs.exists(prev)) fs.rename(prev, target)
+      throw new java.io.IOException(s"publish: cannot promote $staging")
+    }
+    fs.delete(prev, true)
+  }
 }

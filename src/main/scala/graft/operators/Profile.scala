@@ -17,8 +17,10 @@ object Profile {
   def table(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val n = df.count()
-    val aggs = df.schema.fields.flatMap { f =>
+    // row count folds into the same aggregate as the per-column stats —
+    // genuinely one pass over the table, not count() + agg
+    val rowCountAgg = Seq(count(lit(1)).as("__n_rows"))
+    val aggs = rowCountAgg ++ df.schema.fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
@@ -36,6 +38,7 @@ object Profile {
         })
     }
     val row: Row = df.agg(aggs.head, aggs.tail: _*).head
+    val n = row.getLong(row.fieldIndex("__n_rows"))
     val profiles = df.schema.fields.map { f =>
       def g(suffix: String): Any = row.get(row.fieldIndex(s"${f.name}__$suffix"))
       (f.name, f.dataType.typeName, n,

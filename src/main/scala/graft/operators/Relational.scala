@@ -264,11 +264,19 @@ object Relational {
     */
   def q17AvgCompare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val partAvg = t.lineitem.groupBy(col("l_partkey").as("ap_partkey"))
-      .agg(intAvg(col("l_quantity")).as("avg_qty"))
     val brandParts = t.part.filter(col("p_brand") === "Brand#23").select("p_partkey")
-    t.lineitem
+    // prune lineitem to the brand's parts BEFORE the per-part aggregate:
+    // the broadcast semi-filter cuts the aggregate's input (and its
+    // shuffle) ~25× — aggregating quantity stats for parts no one asks
+    // about is pure waste at 100 TB
+    val brandLines = t.lineitem
       .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val partAvg = brandLines.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg(intAvg(col("l_quantity")).as("avg_qty"))
+    // no broadcast hint on partAvg: it is small after the brand filter
+    // at bench scale (AQE re-plans it to broadcast at runtime), but a
+    // forced hint would OOM the driver at 1000× part counts
+    brandLines
       .join(partAvg, col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((decSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
@@ -448,23 +456,27 @@ object Relational {
   /** q33: "supplier kept everyone waiting" (TPC-H Q21 shape) — late
     * lines in multi-supplier orders where this supplier was the ONLY
     * late one. The correlated EXISTS / NOT EXISTS pair decorrelates
-    * into one per-order aggregate (distinct suppliers, distinct late
-    * suppliers) joined back — two shuffles on orderkey total, vs the
-    * three correlated re-scans of the literal SQL.
+    * into per-order distinct-supplier counts computed as WINDOW
+    * aggregates over the orderkey partitioning the join already
+    * established — the fact⋈fact intermediate is built and shuffled
+    * ONCE (vs the join-back formulation's second full lineitem⋈orders
+    * pass), and the window adds no exchange because its partition key
+    * matches the join key.
     */
   def q33MultiExists(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val lo = t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val perOrder = lo.groupBy(col("l_orderkey").as("po_orderkey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
-    lo.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
-      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    val w = Window.partitionBy("l_orderkey")
+    lo
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+      .filter(col("late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))

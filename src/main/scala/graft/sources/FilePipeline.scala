@@ -114,24 +114,37 @@ object FilePipeline {
       return spark.emptyDataset[FileEntry]
     }
 
+    // Phase 1 — BFS *directory discovery*. Only directory paths ever
+    // reach the driver (O(#dirs) strings — the frontier is small
+    // relative to files); file entries stay on the executors. Small
+    // frontiers list on the driver (RPC latency dominates); past
+    // `distributeThreshold` the level fans out as a Spark job.
     var frontier: Seq[String] = Seq(rootDir)
-    val all = mutable.ArrayBuffer[FileEntry]()
+    val allDirs = mutable.ArrayBuffer[String]()
     val driverConf = spark.sparkContext.hadoopConfiguration
+    val rd = rootDir
     while (frontier.nonEmpty) {
-      val results =
+      allDirs ++= frontier
+      frontier =
         if (frontier.size < distributeThreshold)
-          frontier.map(d => listDir(driverConf, rootDir, d))
-        else {
-          val rd = rootDir
+          frontier.flatMap(d => listDir(driverConf, rd, d)._1)
+        else
           spark.sparkContext
             .parallelize(frontier, math.min(frontier.size, 256))
-            .map(d => listDir(confSer.value, rd, d))
+            .flatMap(d => listDir(confSer.value, rd, d)._1)
             .collect().toSeq
-        }
-      frontier = results.flatMap(_._1)
-      all ++= results.flatMap(_._2)
     }
-    spark.createDataset(all.toSeq)
+
+    // Phase 2 — one distributed job lists every discovered directory
+    // and yields the manifest as a Dataset. File entries never
+    // materialize on the driver (at 10M files that would OOM it); the
+    // cost is a second listing per directory, which — like any lazy
+    // scan over a filesystem — is re-paid on recompute unless the
+    // caller persists.
+    spark.createDataset(
+      spark.sparkContext
+        .parallelize(allDirs.toSeq, math.min(allDirs.size, 256))
+        .flatMap(d => listDir(confSer.value, rd, d)._2))
   }
 
   /** f02: distributed copy — manifest → round-robin partitions →
@@ -161,8 +174,15 @@ object FilePipeline {
           val srcFs = srcPath.getFileSystem(conf)
           val dstFs = destPath.getFileSystem(conf)
           dstFs.setWriteChecksum(false) // no .crc side files on local FS
-          if (dstFs.exists(destPath) &&
-              dstFs.getFileStatus(destPath).getLen == e.size) {
+          // skip only when the destination is both same-size AND at
+          // least as new as the source — a same-size content change
+          // (src mtime newer than the copy) must re-copy. mtime 0 in
+          // the manifest means "unknown" and degrades to size-only.
+          val dstStat =
+            if (dstFs.exists(destPath)) Some(dstFs.getFileStatus(destPath))
+            else None
+          if (dstStat.exists(st =>
+              st.getLen == e.size && st.getModificationTime >= e.mtime)) {
             CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "skipped", "")
           } else {
             dstFs.mkdirs(destPath.getParent)
@@ -197,14 +217,20 @@ object FilePipeline {
       col("rel_path"), col("path").as("src_path"), col("size").as("src_size"),
       col("mtime").as("src_mtime"))
     val t = target.toDF().select(
-      col("rel_path"), col("path").as("dst_path"), col("size").as("dst_size"))
+      col("rel_path"), col("path").as("dst_path"), col("size").as("dst_size"),
+      col("mtime").as("dst_mtime"))
     s.join(t, Seq("rel_path"), "full_outer")
       .withColumn("action",
         when(col("dst_path").isNull, "copy_new")
           .when(col("src_path").isNull, "delete")
-          .when(col("src_size") =!= col("dst_size"), "copy_changed")
+          // size differs, OR source modified after the target copy was
+          // made — catches same-size content changes (fixed-width
+          // records, overwritten configs) that size-only diffing misses
+          .when(col("src_size") =!= col("dst_size") ||
+            col("src_mtime") > col("dst_mtime"), "copy_changed")
           .otherwise("noop"))
-      .select("rel_path", "action", "src_path", "dst_path", "src_size", "dst_size")
+      .select("rel_path", "action", "src_path", "dst_path",
+        "src_size", "dst_size", "src_mtime", "dst_mtime")
   }
 
   /** Incremental sync (f01+f03+f02 composed): catalog both trees, diff,
@@ -221,11 +247,14 @@ object FilePipeline {
     val plan = syncPlan(src, dst)
     val toCopy = plan
       .filter(col("action").isin("copy_new", "copy_changed"))
-      .select(col("src_path"), col("rel_path"), col("src_size"))
-      .as[(String, String, Long)]
-      .map { case (p, rel, size) =>
+      .select(col("src_path"), col("rel_path"), col("src_size"),
+        col("src_mtime"))
+      .as[(String, String, Long, Long)]
+      .map { case (p, rel, size, mtime) =>
         val name = rel.substring(rel.lastIndexOf('/') + 1)
-        FileEntry(p, name, rel, extOf(name), size, 0L)
+        // src mtime rides along so distCopy's skip check can see a
+        // same-size-but-newer source and re-copy it
+        FileEntry(p, name, rel, extOf(name), size, mtime)
       }
     if (pruneDeleted) {
       val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)

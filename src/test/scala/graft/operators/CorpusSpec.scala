@@ -8,10 +8,15 @@ class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf001
 
-  test("c01 resolves every near-dup pair to one survivor") {
+  test("c01 resolves every near-dup pair among survivors to one winner") {
     val survivors = Corpus.c01CleanCorpus(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val pairs = Dedup.d02DedupMinhash(spark, dir, threshold = 0.7)
+    // the pairs c01 actually decides on: near-dups among the
+    // gated+exact-deduped survivors (a doc can only lose to a winner
+    // that itself survived stages 1-2)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairInput = Corpus.exactDedupKept(Corpus.qualityGate(docs))
+    val pairs = Dedup.d02PairsOver(pairInput, threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
     pairs.foreach { case (a, b) =>

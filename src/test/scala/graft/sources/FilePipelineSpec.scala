@@ -46,6 +46,29 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(m.count() == 40)
   }
 
+  test("f01 manifest stays distributed over a deep+wide tree (no driver materialization)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // wide at the top, deep chain below — exercises both BFS shapes
+    val root = Files.createTempDirectory("graft_deepwide")
+    (1 to 12).foreach { i =>
+      Files.createDirectories(root.resolve(s"w$i"))
+      Files.writeString(root.resolve(s"w$i/f.txt"), s"w$i")
+    }
+    var deep = root.resolve("deep")
+    (1 to 15).foreach { lvl =>
+      deep = deep.resolve(s"l$lvl")
+      Files.createDirectories(deep)
+      Files.writeString(deep.resolve(s"leaf$lvl.txt"), s"level $lvl")
+    }
+    val m = FilePipeline.catalog(spark, root.toString, distributeThreshold = 8)
+    // a driver-accumulated manifest would be a LocalRelation; the
+    // distributed build scans an executor-side RDD
+    val local = m.queryExecution.optimizedPlan.collect { case l: LocalRelation => l }
+    assert(local.isEmpty, "manifest materialized on the driver as a LocalRelation")
+    assert(m.count() == 12 + 15)
+    assert(m.filter(_.rel_path.startsWith("deep/")).count() == 15)
+  }
+
   test("f02 copy mirrors structure, is idempotent, and audits failures") {
     val root = mkTree()
     val dest = Files.createTempDirectory("graft_dst")
@@ -120,6 +143,34 @@ class FilePipelineSpec extends AnyFunSuite {
     val audit2 = FilePipeline.syncCopy(spark, root.toString, dest.toString,
       pruneDeleted = true, partitions = 2).collect()
     assert(audit2.isEmpty, s"expected empty second-sync audit, got ${audit2.toSeq}")
+  }
+
+  test("f03 detects a same-size content change via mtime and re-copies it") {
+    val root = mkTree()
+    val dest = Files.createTempDirectory("graft_msync")
+    FilePipeline.syncCopy(spark, root.toString, dest.toString, partitions = 2).count()
+    // same-size rewrite: "alpha" -> "bravo" (both 5 bytes) — size-only
+    // diffing calls this a noop and silently never re-copies
+    Files.writeString(root.resolve("a.txt"), "bravo")
+    // deterministic ordering regardless of FS timestamp granularity:
+    // the target copy looks 60s older than the source change
+    Files.setLastModifiedTime(dest.resolve("a.txt"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60000))
+    val plan = FilePipeline.syncPlan(
+      FilePipeline.catalog(spark, root.toString),
+      FilePipeline.catalog(spark, dest.toString))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan("a.txt") == "copy_changed", s"got $plan")
+    assert(plan("sub1/b.bin") == "noop")
+    val audit = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      partitions = 2).collect()
+    assert(audit.count(_.status == "copied") == 1, s"got ${audit.toSeq}")
+    assert(Files.readString(dest.resolve("a.txt")) == "bravo")
+    // converged: the next sync is a no-op
+    val audit2 = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      partitions = 2).collect()
+    assert(audit2.isEmpty, s"expected converged sync, got ${audit2.toSeq}")
   }
 
   test("f04 grant ledger merge is idempotent") {
