@@ -68,6 +68,14 @@ object SparkEntry {
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()
         .select("path", "name", "rel_path", "ext", "size")
+        .orderBy("path")),
+    // f07: paged-REST enumeration over the deterministic synthetic
+    // endpoint (the sf dir has no HTTP surface; the fixture exercises
+    // the same pagination/BFS path the HTTP fetcher uses)
+    "f07_paged_manifest" -> ((s, _) =>
+      graft.sources.PagedSource.pagedCatalog(s,
+        graft.sources.PagedSource.SyntheticFetcher(
+          dirs = 8, filesPerDir = 25, pageSize = 7)).toDF()
         .orderBy("path"))
   )
 
