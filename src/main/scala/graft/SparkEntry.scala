@@ -49,9 +49,12 @@ object SparkEntry {
     "d03_dedup_simhash" -> ((s, dir) => Dedup.d03DedupSimhash(s, dir)),
     "d04_ngram_jaccard" -> ((s, dir) => Dedup.d04NgramJaccard(s, dir)),
     "d05_embed_neardup" -> ((s, dir) => Dedup.d05EmbedNeardup(s, dir)),
+    "d06_embed_neardup_lsh" -> ((s, dir) => Dedup.d06EmbedNeardupDemo(s, dir)),
     "s01_ann_bruteforce" -> ((s, dir) => Ann.s01AnnBruteforce(s, dir)),
     "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),
     "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir)),
+    "s04_ann_ivf" -> ((s, dir) => Ann.s04AnnIvf(s, dir)),
+    "s05_knn_join_lsh" -> ((s, dir) => Ann.s05KnnJoinLsh(s, dir)),
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
     "c01_clean_corpus" -> ((s, dir) => Corpus.c01CleanCorpus(s, dir)),
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, SimHash64}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, SimHash64, SrpSig64}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -41,5 +41,11 @@ object ExprRegistrations {
       case Seq(c) => Fingerprint64(c)
       case other => throw new IllegalArgumentException(
         s"fingerprint64 expects 1 argument, got ${other.size}")
+    },
+    desc("srp_sig64",
+      "srp_sig64(embedding) - 64-bit sign-random-projection signature") {
+      case Seq(c) => SrpSig64(c)
+      case other => throw new IllegalArgumentException(
+        s"srp_sig64 expects 1 argument, got ${other.size}")
     })
 }

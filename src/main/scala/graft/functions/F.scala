@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, SimHash64, SrpSig64}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -51,4 +51,9 @@ object F {
 
   /** Native codegen 64-bit rolling-hash document fingerprint. */
   def fingerprint64(text: Column): Column = c(Fingerprint64(e(text)))
+
+  /** 64-bit sign-random-projection signature of a float-array column
+    * (e09) — one fused native loop over 64 deterministic hyperplanes.
+    */
+  def srpSig64(v: Column): Column = c(SrpSig64(e(v)))
 }

@@ -116,4 +116,139 @@ object Ann {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  // ---------------------------------------------------------------- s04
+
+  /** Spherical k-means coarse quantizer, trained on a deterministic
+    * bounded sample (hash-ordered TakeOrdered — driver memory is capped
+    * at `sampleN` vectors no matter the corpus size; quantizer training
+    * on a sample is standard IVF practice). Fixed init (first `nlist`
+    * sampled vectors) + fixed iteration count → identical centroids on
+    * every run and executor.
+    */
+  private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
+      sampleN: Int = 2048, iters: Int = 5): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def normed(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val pts = corpus
+      .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+      .limit(sampleN)
+      .select("embedding").as[Array[Float]].collect()
+      .map(normed)
+    require(pts.length >= nlist, s"sample ${pts.length} < nlist $nlist")
+    val dim = pts.head.length
+    var cents = pts.take(nlist)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Int](nlist)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var ci = 0
+        while (ci < nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += p(i).toDouble * cents(ci)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(nlist)(ci =>
+        if (counts(ci) == 0) cents(ci) // empty cell keeps its centroid
+        else normed(sums(ci).map(_.toFloat)))
+    }
+    cents
+  }
+
+  /** Scores against every centroid (one native dot kernel each —
+    * centroids are unit vectors, so argmax(dot) == argmax(cosine)).
+    */
+  private def centroidScores(v: Column, cents: Array[Array[Float]]): Column =
+    array(cents.map(c => graft.functions.F.dotProd(v, typedLit(c))): _*)
+
+  /** s04: IVF ANN — the inverted-file scale path beside s02's LSH.
+    * A coarse quantizer (spherical k-means over a bounded sample)
+    * partitions the corpus into `nlist` cells; a query scores the
+    * `nlist` centroids, probes only its best `nprobe` cells, and
+    * exact-cosine reranks inside them. At 100 TB the cell assignment is
+    * a one-off write partitioned by `cell` (same posture as s02's
+    * bucket-once); each query then scans ~nprobe/nlist of the corpus
+    * with partition pruning doing the skipping, and `nprobe` is the
+    * recall/cost dial. Cell assignment is a per-row projection through
+    * the native dot kernel — no shuffle, no UDF.
+    */
+  def s04AnnIvf(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") =!= 0)
+    val cents = trainCentroids(corpus, nlist)
+    val celled = corpus.select(col("vec_id"), col("embedding"),
+      array_position(centroidScores(col("embedding"), cents),
+        array_max(centroidScores(col("embedding"), cents))).as("cell"))
+    // the query's nprobe best cells (1-based to match array_position)
+    val qcells = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+        posexplode(centroidScores(col("embedding"), cents)))
+      .orderBy(col("col").desc, col("pos"))
+      .limit(nprobe)
+      .select(col("qv"), (col("pos") + 1).cast(LongType).as("pcell"))
+    celled.join(broadcast(qcells), col("cell") === col("pcell"))
+      .select(col("vec_id"),
+        cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // ---------------------------------------------------------------- s05
+
+  /** s05: LSH k-NN join — s03's scale path for LARGE query sets, where
+    * broadcasting the queries against every corpus row (s03's cross
+    * join) stops being an option. Both sides take the same SRP
+    * signature; the join keys on the bucket with Hamming ≤ 2
+    * multi-probe on the query side, so each query meets only its
+    * bucket-colliding corpus rows, reranked by norm-precomputed exact
+    * cosine. The equi-join on `sig` shuffles both sides by signature —
+    * at 100 TB that's a hash-partitioned join over ~37/2^nBits
+    * of the pair space instead of a cross product. ANN semantics:
+    * a query whose true neighbors never collide returns fewer than k
+    * rows; recall is spec-checked against exact s03.
+    */
+  def s05KnnJoinLsh(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, nBits: Int = 8, dim: Int = 64): DataFrame = {
+    import graft.functions.F
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("cn"),
+        srpSignature(col("embedding"), nBits, dim).as("sig"))
+    val queries = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("qn"),
+        srpSignature(col("embedding"), nBits, dim).as("qsig"))
+    val h1 = transform(sequence(lit(0), lit(nBits - 1)),
+      i => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), i)))
+    val h2 = flatten(transform(sequence(lit(0), lit(nBits - 2)), i =>
+      transform(sequence(i + lit(1), lit(nBits - 1)), j =>
+        col("qsig")
+          .bitwiseXOR(call_function("shiftleft", lit(1L), i))
+          .bitwiseXOR(call_function("shiftleft", lit(1L), j)))))
+    val probes = queries.select(col("query_id"), col("qv"), col("qn"),
+      explode(concat(array(col("qsig")), h1, h2)).as("psig"))
+    val scored = corpus.join(probes, col("sig") === col("psig"))
+      .select(col("query_id"), col("vec_id"),
+        F.cosineSim4Pre(col("embedding"), col("cn"), col("qv"), col("qn"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
+  }
 }

@@ -268,4 +268,76 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  // ---------------------------------------------------------------- d06
+
+  /** d06: embedding near-dup at scale — d05's answer without the O(n²)
+    * cross join. Each vector takes one native 64-bit SRP signature
+    * (e09); the signature splits into `bands` bands joined SimHash-style
+    * (d03's scheme, transplanted to vector space): two vectors become a
+    * candidate pair iff some band matches exactly, then candidates are
+    * verified by exact norm-precomputed cosine. With 8 bands × 8 bits
+    * and P(bit)=1−θ/π, a 0.9-cosine pair (θ≈26°) collides with
+    * probability ≈ 1−(1−0.856⁸)⁸ ≈ 0.94 while a random pair's chance is
+    * ≈ 8/2⁸ — candidate volume rides real near-dup density, never the
+    * pair space. Reported pairs are exact-cosine-verified, so precision
+    * is 1 by construction; band count is the recall dial.
+    */
+  def d06EmbedNeardupLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val t = Tables(spark, dir)
+    d06PairsOver(
+      t.embeddings.select(col("vec_id"), col("embedding")), threshold)
+  }
+
+  /** d06 driver query: the synthetic embeddings have no natural
+    * ≥ 0.9-cosine pairs (max observed ≈ 0.6), so the demo plants one
+    * deterministic near-dup per vector — a small index-keyed
+    * perturbation at angle ≈ 1.4° — and asks d06 to find them. The
+    * expected answer is exactly the (v, v+1e6) pairs, making the
+    * rows-only check self-validating.
+    */
+  def d06EmbedNeardupDemo(spark: SparkSession, dir: String,
+      threshold: Double = 0.9): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + lit(0.015f) * cos(i.cast("double")).cast("float")))
+        .as("embedding"))
+    d06PairsOver(base.union(planted), threshold)
+  }
+
+  /** d06 over an arbitrary (vec_id, embedding) DataFrame. */
+  def d06PairsOver(vectors: DataFrame, threshold: Double = 0.9,
+      bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, s"bands $bands must divide 64")
+    val bits = 64 / bands
+    import graft.functions.F
+    // localCheckpoint (lazy): signatures feed the band explode AND both
+    // verify sides; blocks release on GC instead of pinning the cache
+    val sigs = vectors.select(col("vec_id"), col("embedding"),
+      sqrt(F.dotProd(col("embedding"), col("embedding"))).as("nrm"),
+      F.srpSig64(col("embedding")).as("sig"))
+      .localCheckpoint(false)
+    val bnd = sigs.select(col("vec_id"), explode(
+      transform(sequence(lit(0), lit(bands - 1)), b => struct(
+        b.as("band"),
+        call_function("shiftright", col("sig"), b * lit(bits))
+          .bitwiseAND(lit((1L << bits) - 1)).as("bh")))).as("e"))
+      .select(col("vec_id"), col("e.band"), col("e.bh"))
+    val cand = bnd.as("x").join(bnd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(sigs.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(sigs.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        F.cosineSim4Pre(col("a.embedding"), col("a.nrm"),
+          col("b.embedding"), col("b.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
 }

@@ -205,6 +205,50 @@ object Kernels {
     }
     h
   }
+
+  /** splitmix64 finalizer — the deterministic pseudo-random source for
+    * SRP hyperplane signs (same constants as java.util.SplittableRandom).
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** ±1 hyperplane sign table for 64 planes × dim, derived from mix64
+    * of the (plane, dim) index — no stored planes to ship, identical on
+    * every executor. Cached per dim (64 × dim doubles ≈ 32 KB at 64-d).
+    */
+  private val srpPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+  private def srpPlanes(dim: Int): Array[Array[Double]] =
+    srpPlaneCache.computeIfAbsent(dim, d =>
+      Array.tabulate(64, d)((bit, j) =>
+        if ((mix64(bit.toLong * 65537L + j) & 1L) == 0L) 1.0 else -1.0))
+
+  /** 64-bit sign-random-projection signature: bit i = [v · h_i > 0]
+    * over 64 deterministic ±1 hyperplanes. One fused loop — the HOF
+    * formulation (64 interpreted zip_with/aggregate dots per row) is
+    * the 40× interpreted-expression trap this kernel family exists to
+    * avoid. P(bit match) for vectors at angle θ is 1 − θ/π, the SRP
+    * collision guarantee banding schemes build on.
+    */
+  def srpSig64(v: ArrayData): Long = {
+    val n = v.numElements()
+    val planes = srpPlanes(n)
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      val p = planes(bit)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += p(j) * v.getFloat(j); j += 1 }
+      if (acc > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
 }
 
 /** e06: native MinHash signature — one fused loop over the shingle
@@ -390,6 +434,30 @@ case class Fingerprint64(child: Expression)
       s"org.apache.spark.sql.graft.Kernels.fingerprint64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+/** e09: native 64-bit SRP (sign-random-projection) signature of an
+  * embedding column — the vector-space analogue of e02's text SimHash,
+  * shared by the banded near-dup self-join (d06) and available to ANN
+  * bucketing. `srp_sig64(embedding)` in SQL after GraftExtensions
+  * registration.
+  */
+case class SrpSig64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_sig64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.srpSig64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Kernels.srpSig64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSig64 =
     copy(child = newChild)
 }
 

@@ -35,6 +35,51 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s04 IVF probes a corpus fraction yet recalls most true neighbors") {
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.s04AnnIvf(spark, dir, k = 10, nlist = 16, nprobe = 4)
+      .collect()
+    assert(approx.length == 10)
+    val recall = (exact & approx.map(_.getLong(0)).toSet).size.toDouble / 10
+    // 4 of 16 cells probed = 25% of the corpus; the quantizer must beat
+    // random-fraction recall decisively
+    assert(recall >= 0.5, s"recall $recall too low for a 25% probe")
+    // scores are true cosines, not quantized approximations
+    val exactAll = Ann.s01AnnBruteforce(spark, dir, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach { r =>
+      assert(math.abs(exactAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("s04 centroid training is deterministic") {
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+    val a = Ann.trainCentroids(corpus, nlist = 16)
+    val b = Ann.trainCentroids(corpus, nlist = 16)
+    assert(a.length == 16)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+  }
+
+  test("s05 LSH kNN join recalls most of the exact s03 neighbors") {
+    val exact = Ann.s03KnnJoin(spark, dir, k = 5, nQueries = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.s05KnnJoinLsh(spark, dir, k = 5, nQueries = 10)
+      .collect()
+    val approxSet = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approxSet).size.toDouble / exact.size
+    // Hamming ≤ 2 probing covers 37/256 of the bucket space (~14%);
+    // near neighbors collide far more often than that
+    assert(recall >= 0.3, s"recall $recall too low for a 14% probe")
+    // per-query output is ranked and at most k
+    approx.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.length <= 5)
+      val sims = g.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("s03 kNN join returns k ranked neighbors per query") {
     val rows = Ann.s03KnnJoin(spark, dir, k = 5, nQueries = 10).collect()
     assert(rows.length == 50)

@@ -56,4 +56,28 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(0) < r.getLong(1)))
     assert(out.forall(r => r.getDouble(2) >= 0.4))
   }
+
+  test("d06 banded SRP finds every planted near-dup pair, exactly") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9).collect()
+    // each planted copy sits ~1.4° from its base: every (v, v+1e6) pair
+    // must surface, and nothing else clears 0.9 (natural max ≈ 0.6)
+    assert(out.length == n, s"expected $n pairs, got ${out.length}")
+    assert(out.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+    assert(out.forall(_.getDouble(2) >= 0.9))
+  }
+
+  test("d06 candidates verify exactly: subset of d05 brute force with equal values") {
+    // same corpus, same threshold — d06's result must be a subset of
+    // brute force (precision 1) with bit-identical cosine values
+    val exact = Dedup.d05EmbedNeardup(spark, dir, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.d06EmbedNeardupLsh(spark, dir, threshold = 0.4).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k), s"$k not in brute-force pairs")
+      assert(exact(k) == r.getDouble(2))
+    }
+  }
 }
