@@ -127,4 +127,35 @@ object Streams {
     events.toDF()
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** st06: stream-stream interval join — attribute each right-stream
+    * event (a "click") to left-stream events (the "impressions") from
+    * the same user within the preceding `horizonMinutes`. Both sides
+    * carry watermarks AND the join has an event-time range condition,
+    * which is what lets the state store evict buffered rows once they
+    * can no longer match — state is bounded by
+    * watermark + horizon × per-user rate, independent of stream length.
+    * Without the range condition Spark would (correctly) refuse to plan
+    * an append-mode stream-stream join, because neither side could ever
+    * be released.
+    */
+  def st06StreamStreamJoin(impressions: Dataset[Event],
+      clicks: Dataset[Event], horizonMinutes: Int = 10,
+      watermark: String = "20 minutes"): DataFrame = {
+    val imp = impressions.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+    val clk = clicks.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    imp.join(clk,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") +
+          expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
 }

@@ -62,6 +62,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
   }
 
+  test("q17: per-part aggregate input is brand-pruned before the shuffle") {
+    val p = plan("q17_avg_compare")
+    // both consumers of lineitem — the per-part aggregate branch AND the
+    // probe side — must join broadcast(brandParts) first; an unpruned
+    // aggregate would show only one p_partkey broadcast join
+    assert("BroadcastHashJoin \\[l_partkey".r.findAllIn(p).size >= 2, p)
+    // the brand filter reaches the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#23)"))
+  }
+
+  test("q33: one fact-fact join — each fact table is scanned once") {
+    val p = plan("q33_multi_exists")
+    // window formulation: lineitem and orders each appear exactly once
+    // (the join-back formulation scanned and shuffled them twice)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+    assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("s04: cell probe is an equi broadcast join, not a nested loop") {
+    val p = plan("s04_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("global sweep: no accidental cartesian/nested-loop joins in any query") {
     // these intentionally score all pairs (brute-force baselines) or
     // broadcast a tiny side against a non-equi condition:

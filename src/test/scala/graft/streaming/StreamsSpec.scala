@@ -130,4 +130,29 @@ class StreamsSpec extends AnyFunSuite {
     q.stop()
     assert(n == 3 && distinct == 3)
   }
+
+  test("st06 stream-stream join attributes clicks within the horizon only") {
+    import spark.implicits._
+    val imps = MemoryStream[Event](spark)
+    val clicks = MemoryStream[Event](spark)
+    val q = st06StreamStreamJoin(imps.toDS(), clicks.toDS(),
+      horizonMinutes = 10, watermark = "20 minutes")
+      .writeStream.format("memory").queryName("st06_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1: imp at 10:01 — clicks at 10:05 (in horizon) and 10:30 (out)
+    // user 2: click at 10:06 with no impression → never emitted
+    imps.addData(Event(100, ts(1), 1, "imp", 0))
+    clicks.addData(
+      Event(200, ts(5), 1, "click", 0), Event(201, ts(30), 1, "click", 0),
+      Event(202, ts(6), 2, "click", 0))
+    q.processAllAvailable()
+    // a click arriving in a later batch still joins if within horizon
+    clicks.addData(Event(203, ts(9), 1, "click", 0))
+    q.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT imp_id, click_id FROM st06_out ORDER BY click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(rows.toSeq == Seq((100L, 200L), (100L, 203L)), rows.toSeq)
+  }
 }
