@@ -58,6 +58,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
     "c01_clean_corpus" -> ((s, dir) => Corpus.c01CleanCorpus(s, dir)),
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
+    "m02_frame_sample" -> ((s, dir) => Multimodal.m02FrameSample(s, dir)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
     "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
     "q30_range_join" -> (RangeJoin.q30RangeJoin(_, _)),

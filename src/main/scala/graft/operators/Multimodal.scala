@@ -85,4 +85,64 @@ object Multimodal {
           .cast("double"), 4).as("avg_feat0"))
       .orderBy("media_type")
   }
+
+  /** One sampled, resized frame of a video payload. */
+  final case class FrameFeatures(
+      doc_id: Long, frame_idx: Int, n_frames: Int, resized: Array[Float])
+
+  /** STUB resize: bucket-average a frame's bytes down to `outRes`
+    * values — the stand-in for a real scaler/thumbnailer. Swapping in a
+    * codec changes only this function.
+    */
+  def stubResize(frame: Array[Byte], outRes: Int): Array[Float] = {
+    val out = new Array[Float](outRes)
+    if (frame.isEmpty) return out
+    val counts = new Array[Int](outRes)
+    var i = 0
+    while (i < frame.length) {
+      // proportional bucket; multiply first to avoid len<outRes collapse
+      val b = (i.toLong * outRes / frame.length).toInt
+      out(b) += (frame(i) & 0xff)
+      counts(b) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < outRes) {
+      if (counts(j) > 0) out(j) /= counts(j)
+      j += 1
+    }
+    out
+  }
+
+  /** m02: frame-sample + resize over video payloads. A payload is
+    * treated as a sequence of fixed-`frameBytes` frames; every
+    * `stride`-th frame is sampled and resized to `outRes` values. The
+    * flatMap-shaped mapPartitions (one input row → few frame rows) is
+    * the real contract a codec-backed sampler would keep: per-partition
+    * decoder amortization, streaming iterators, no driver involvement,
+    * output partitioning inherited from the input so a downstream
+    * per-doc groupBy needs no extra shuffle beyond the agg's own.
+    */
+  def m02FrameSample(spark: SparkSession, dir: String,
+      frameBytes: Int = 256, stride: Int = 4, outRes: Int = 16): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val nFrames = (payload.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            val frame = java.util.Arrays.copyOfRange(payload,
+              f * frameBytes, math.min((f + 1) * frameBytes, payload.length))
+            FrameFeatures(id, f, nFrames, stubResize(frame, outRes))
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        round(element_at(col("resized"), 1).cast("double"), 4).as("feat0"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -38,4 +38,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.sameElements(b))
     assert(a.length == 3) // image / audio / video
   }
+
+  test("m02 samples every stride-th frame with correct frame accounting") {
+    import spark.implicits._
+    val frames = Multimodal.m02FrameSample(spark, dir,
+      frameBytes = 64, stride = 3).collect()
+    assert(frames.nonEmpty)
+    val videoLens = Multimodal.mediaTable(spark, dir)
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"), length(col("payload")))
+      .as[(Long, Int)].collect().toMap
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.keySet == videoLens.filter(_._2 > 0).keySet)
+    byDoc.foreach { case (id, fs) =>
+      val expectedTotal = (videoLens(id) + 63) / 64
+      assert(fs.forall(_.getInt(2) == expectedTotal))
+      // sampled indices are exactly 0, 3, 6, ...
+      val idxs = fs.map(_.getInt(1)).sorted
+      assert(idxs.sameElements(0 until expectedTotal by 3), s"doc $id: ${idxs.toSeq}")
+    }
+  }
+
+  test("m02 stub resize bucket-averages to the target resolution") {
+    // 4 bytes → 2 buckets: (10,20 | 30,40) → (15, 35)
+    val r = Multimodal.stubResize(Array[Byte](10, 20, 30, 40), 2)
+    assert(r.toSeq == Seq(15.0f, 35.0f))
+    // shorter frame than resolution: empty buckets stay zero
+    val short = Multimodal.stubResize(Array[Byte](100), 4)
+    assert(short.length == 4 && short(0) == 100.0f && short.drop(1).forall(_ == 0f))
+    assert(Multimodal.stubResize(Array.empty[Byte], 4).forall(_ == 0f))
+  }
 }
