@@ -43,4 +43,31 @@ object Writers {
     writePartitionedSorted(
       events.withColumn("event_date", to_date(col("ts"))),
       path, Seq("event_date"), Seq("event_type", "ts"))
+
+  /** x08: small-files compaction — rewrite a parquet directory into
+    * ≈`targetBytes` files. At lake scale small files are the silent
+    * killer: listing dominates planning, each file costs a task, and
+    * fragmented row groups defeat min/max pruning. Sizing comes from
+    * the actual on-disk bytes (not row counts), the rewrite is one
+    * `repartition` shuffle to evenly-sized outputs, and the swap reuses
+    * the staging+rename publish, so a crash mid-compaction leaves the
+    * original directory intact. Run it per partition directory on a
+    * partitioned lake — each directory compacts independently, so the
+    * shuffle never exceeds one partition's data.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+    val before = dataFiles.length
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    graft.operators.Merge.publish(
+      spark.read.parquet(path).repartition(n), path)
+    (before, n)
+  }
 }

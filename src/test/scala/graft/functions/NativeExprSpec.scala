@@ -66,4 +66,21 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getLong(0) != r.getLong(1))
     assert(r.getLong(0) == r.getLong(2))
   }
+
+  test("e09 srp_sig64: SQL == column API, deterministic, scale-invariant") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    e.createOrReplaceTempView("ne_emb")
+    val viaSql = spark.sql(
+      "SELECT vec_id, srp_sig64(embedding) AS s FROM ne_emb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = e.select(col("vec_id"), F.srpSig64(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    // sign-projection is invariant to positive scaling of the vector
+    val scaled = e.select(col("vec_id"),
+      F.srpSig64(transform(col("embedding"),
+        x => (x * lit(2.5f)))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scaled == viaSql)
+  }
 }

@@ -30,4 +30,23 @@ class WritersSpec extends AnyFunSuite {
       .map(_.getName).filter(_.startsWith("event_date="))
     assert(dirs.nonEmpty)
   }
+
+  test("x08 compaction merges small files without losing a row") {
+    val t = Tables(spark, dir)
+    val path = Files.createTempDirectory("graft_compact").toString + "/orders"
+    // fragment: 24 tiny files
+    t.orders.repartition(24).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 24)
+    val expectedCount = t.orders.count()
+    val expectedSum = t.orders.agg(sum("o_orderkey")).head.getLong(0)
+
+    val (before, after) = Writers.compact(spark, path, targetBytes = 1L << 30)
+    assert(before == 24 && after == 1)
+    assert(parquetFiles == 1, s"still $parquetFiles files after compaction")
+    val compacted = spark.read.parquet(path)
+    assert(compacted.count() == expectedCount)
+    assert(compacted.agg(sum("o_orderkey")).head.getLong(0) == expectedSum)
+  }
 }
