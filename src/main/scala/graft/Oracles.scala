@@ -430,6 +430,21 @@ object Oracles {
         |         sqrt(list_dot_product(q.v, q.v))), 4) DESC, c.vec_id) AS rank
         |  FROM d q JOIN d c ON q.vec_id < 10 AND c.vec_id >= 10) t
         |WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // f07's SyntheticFetcher manifest is a pure function of (dirs=8,
+    // filesPerDir=25, pageSize=7) — the oracle regenerates it from
+    // generate_series, proving the BFS walker + pagination reassemble
+    // the exact tree (no page dropped or duplicated at any boundary).
+    "f07_paged_manifest" ->
+      """SELECT 'd'||d||'/f'||f AS path,
+        |  'file'||f||'.txt' AS name,
+        |  'dir'||d||'/file'||f||'.txt' AS rel_path,
+        |  'txt' AS ext,
+        |  CAST(64 + (d*31 + f*7) % 192 AS BIGINT) AS size,
+        |  CAST(1700000000000 + f AS BIGINT) AS mtime
+        |FROM generate_series(0, 7) AS gd(d),
+        |     generate_series(0, 24) AS gf(f)
+        |ORDER BY path""".stripMargin
   )
 }

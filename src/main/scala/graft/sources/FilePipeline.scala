@@ -159,7 +159,8 @@ object FilePipeline {
     * (idempotently, but it costs a full source scan).
     */
   def distCopy(spark: SparkSession, manifest: Dataset[FileEntry],
-      destRoot: String, partitions: Int = 0): Dataset[CopyAudit] = {
+      destRoot: String, partitions: Int = 0,
+      maxRetries: Int = 3, baseBackoffMs: Long = 100): Dataset[CopyAudit] = {
     import spark.implicits._
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism * 4
@@ -185,17 +186,24 @@ object FilePipeline {
               st.getLen == e.size && st.getModificationTime >= e.mtime)) {
             CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "skipped", "")
           } else {
-            dstFs.mkdirs(destPath.getParent)
-            val in = srcFs.open(srcPath)
-            val out = dstFs.create(destPath, true)
-            val buf = new Array[Byte](1 << 20)
-            var total = 0L
-            try {
-              var read = in.read(buf)
-              while (read >= 0) {
-                out.write(buf, 0, read); total += read; read = in.read(buf)
-              }
-            } finally { in.close(); out.close() }
+            // retry with backoff: cloud object stores throttle (S3 503
+            // SlowDown, ABFS 429) and those must be absorbed, not
+            // turned into failure rows that force a re-sync. A missing
+            // source (404) is permanent and fails immediately.
+            val total = PagedSource.withRetry(maxRetries, baseBackoffMs) {
+              dstFs.mkdirs(destPath.getParent)
+              val in = srcFs.open(srcPath)
+              val out = dstFs.create(destPath, true)
+              val buf = new Array[Byte](1 << 20)
+              var copied = 0L
+              try {
+                var read = in.read(buf)
+                while (read >= 0) {
+                  out.write(buf, 0, read); copied += read; read = in.read(buf)
+                }
+              } finally { in.close(); out.close() }
+              copied
+            }
             CopyAudit(e.path, destPath.toString, e.rel_path, total, "copied", "")
           }
         } catch {
