@@ -432,6 +432,35 @@ object Oracles {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // t03's marker argmax in SQL: per-language occurrence counts over
+    // the space-split lowered text, argmax with the same sorted-lang
+    // tie-break (first CASE arm wins) and zero-hit → 'und'.
+    "t03_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, text, lang, source, n_chars,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('the','and','of','to','is','with','that'))) AS s_en,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('el','la','los','las','que','es','una'))) AS s_es,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('le','la','les','est','une','dans','pas'))) AS s_fr,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |      t -> t IN ('的','是','不','在','了','我','有'))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, text, lang, source, n_chars,
+        |  CASE
+        |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |    ELSE 'zh'
+        |  END AS pred_lang
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
     // f07's SyntheticFetcher manifest is a pure function of (dirs=8,
     // filesPerDir=25, pageSize=7) — the oracle regenerates it from
     // generate_series, proving the BFS walker + pagination reassemble
