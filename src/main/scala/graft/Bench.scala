@@ -29,13 +29,18 @@ object Bench {
       val ok = try { run(fn); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // no cross-query cache credit
-      name -> (if (ok) sec else -1.0)
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // elapsed time is recorded for every query — a failure must not
+    // corrupt the wall-clock total with a sentinel; failures are
+    // reported by name instead
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, _, false) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // the sbt log prefix makes stdout unparseable for the driver; the
     // file copy is the machine-readable record

@@ -57,6 +57,22 @@ object Ann {
     bits.reduce[Column]((a, b) => a.bitwiseOR(b))
   }
 
+  /** All signatures within Hamming distance 2 of `sig` as one array
+    * column: the signature itself, every 1-bit flip, and every 2-bit
+    * flip — 1 + n + n(n−1)/2 probes (37 at 8 bits). Shared by s02 and
+    * s05 so their probe sets cannot drift apart.
+    */
+  private def hamming2Probes(sig: Column, nBits: Int): Column = {
+    val h1 = transform(sequence(lit(0), lit(nBits - 1)),
+      i => sig.bitwiseXOR(call_function("shiftleft", lit(1L), i)))
+    val h2 = flatten(transform(sequence(lit(0), lit(nBits - 2)), i =>
+      transform(sequence(i + lit(1), lit(nBits - 1)), j =>
+        sig
+          .bitwiseXOR(call_function("shiftleft", lit(1L), i))
+          .bitwiseXOR(call_function("shiftleft", lit(1L), j)))))
+    concat(array(sig), h1, h2)
+  }
+
   /** s02: LSH-bucketed ANN — signature-bucket the corpus, multi-probe
     * the query's bucket plus all buckets within Hamming distance 2
     * (1 + n + n(n−1)/2 probes; 37/256 of the space at 8 bits), rank by
@@ -74,16 +90,8 @@ object Ann {
     val q = t.embeddings.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"),
         srpSignature(col("embedding"), nBits, dim).as("qsig"))
-    // multi-probe set: Hamming 0, 1, and 2 perturbations of qsig
-    val h1 = transform(sequence(lit(0), lit(nBits - 1)),
-      i => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), i)))
-    val h2 = flatten(transform(sequence(lit(0), lit(nBits - 2)), i =>
-      transform(sequence(i + lit(1), lit(nBits - 1)), j =>
-        col("qsig")
-          .bitwiseXOR(call_function("shiftleft", lit(1L), i))
-          .bitwiseXOR(call_function("shiftleft", lit(1L), j)))))
     val probes = q.select(col("qv"),
-      explode(concat(array(col("qsig")), h1, h2)).as("psig"))
+      explode(hamming2Probes(col("qsig"), nBits)).as("psig"))
     corpus.join(broadcast(probes), col("sig") === col("psig"))
       .select(col("vec_id"), cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -232,15 +240,8 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         sqrt(F.dotProd(col("embedding"), col("embedding"))).as("qn"),
         srpSignature(col("embedding"), nBits, dim).as("qsig"))
-    val h1 = transform(sequence(lit(0), lit(nBits - 1)),
-      i => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), i)))
-    val h2 = flatten(transform(sequence(lit(0), lit(nBits - 2)), i =>
-      transform(sequence(i + lit(1), lit(nBits - 1)), j =>
-        col("qsig")
-          .bitwiseXOR(call_function("shiftleft", lit(1L), i))
-          .bitwiseXOR(call_function("shiftleft", lit(1L), j)))))
     val probes = queries.select(col("query_id"), col("qv"), col("qn"),
-      explode(concat(array(col("qsig")), h1, h2)).as("psig"))
+      explode(hamming2Probes(col("qsig"), nBits)).as("psig"))
     val scored = corpus.join(probes, col("sig") === col("psig"))
       .select(col("query_id"), col("vec_id"),
         F.cosineSim4Pre(col("embedding"), col("cn"), col("qv"), col("qn"))

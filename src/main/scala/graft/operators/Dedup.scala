@@ -230,7 +230,13 @@ object Dedup {
     val prefixes = inv.join(dfreq, Seq("s"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      // ceil in exact terms: double rounding can push t·n just above
+      // its true integer value (0.28×25 → 7.000000000000001 → ceil 8),
+      // silently shortening the prefix below the correctness bound. The
+      // 1e-9 nudge can only err toward a LONGER prefix — extra
+      // candidates, which the exact-Jaccard verify then discards.
+      .filter(col("rk") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
       .select("doc_id", "s")
     val cand = prefixes.as("x").join(prefixes.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

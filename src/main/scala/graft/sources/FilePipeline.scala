@@ -60,9 +60,29 @@ object FilePipeline {
     pUri.stripPrefix(rootUri).stripPrefix("/")
   }
 
-  private def extOf(name: String): String = {
+  private[sources] def extOf(name: String): String = {
     val i = name.lastIndexOf('.')
     if (i > 0 && i < name.length - 1) name.substring(i + 1).toLowerCase else ""
+  }
+
+  /** Shared streaming copy (1 MiB buffer): create the destination with
+    * its parents and drain `in` into it, returning bytes copied. Both
+    * copy executors (FS and paged) route here so retry/fault behavior
+    * can't drift between them.
+    */
+  private[sources] def streamTo(in: java.io.InputStream,
+      dstFs: FileSystem, destPath: Path): Long = {
+    dstFs.mkdirs(destPath.getParent)
+    val out = dstFs.create(destPath, true)
+    val buf = new Array[Byte](1 << 20)
+    var total = 0L
+    try {
+      var read = in.read(buf)
+      while (read >= 0) {
+        out.write(buf, 0, read); total += read; read = in.read(buf)
+      }
+    } finally { in.close(); out.close() }
+    total
   }
 
   /** f01: recursive tree enumeration → manifest Dataset.
@@ -191,18 +211,7 @@ object FilePipeline {
             // turned into failure rows that force a re-sync. A missing
             // source (404) is permanent and fails immediately.
             val total = PagedSource.withRetry(maxRetries, baseBackoffMs) {
-              dstFs.mkdirs(destPath.getParent)
-              val in = srcFs.open(srcPath)
-              val out = dstFs.create(destPath, true)
-              val buf = new Array[Byte](1 << 20)
-              var copied = 0L
-              try {
-                var read = in.read(buf)
-                while (read >= 0) {
-                  out.write(buf, 0, read); copied += read; read = in.read(buf)
-                }
-              } finally { in.close(); out.close() }
-              copied
+              streamTo(srcFs.open(srcPath), dstFs, destPath)
             }
             CopyAudit(e.path, destPath.toString, e.rel_path, total, "copied", "")
           }

@@ -99,22 +99,27 @@ object PagedSource {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Per-JVM token bucket (burst = 1 s of permits, starts with one).
-    * Keyed so independent endpoints get independent budgets. Executors
-    * are separate JVMs on a cluster, so the cap is per executor.
+  /** Per-JVM token bucket (burst = max(1 s of permits, one permit),
+    * starting with one). Buckets are keyed by (purpose, rate): two
+    * endpoints configured at different rates never share a budget, and
+    * a rate change takes effect on the next job instead of being frozen
+    * by the first bucket created in the JVM. Executors are separate
+    * JVMs on a cluster, so the cap is per executor.
     */
   object RateLimiter {
     private val buckets =
       new java.util.concurrent.ConcurrentHashMap[String, Bucket]()
     private final class Bucket(permitsPerSec: Double) {
+      // cap never below one full token, or fractional rates (< 1/s)
+      // could accumulate forever without ever reaching a whole permit
+      private val cap = math.max(permitsPerSec, 1.0)
       private var tokens = 1.0
       private var last = System.nanoTime()
       def acquire(): Unit = synchronized {
         var acquired = false
         while (!acquired) {
           val now = System.nanoTime()
-          tokens = math.min(permitsPerSec,
-            tokens + (now - last) / 1e9 * permitsPerSec)
+          tokens = math.min(cap, tokens + (now - last) / 1e9 * permitsPerSec)
           last = now
           if (tokens >= 1.0) { tokens -= 1.0; acquired = true }
           else Thread.sleep((((1.0 - tokens) / permitsPerSec) * 1000).toLong + 1)
@@ -123,12 +128,8 @@ object PagedSource {
     }
     def acquire(key: String, permitsPerSec: Double): Unit =
       if (permitsPerSec > 0)
-        buckets.computeIfAbsent(key, _ => new Bucket(permitsPerSec)).acquire()
-  }
-
-  private def extOf(name: String): String = {
-    val i = name.lastIndexOf('.')
-    if (i > 0 && i < name.length - 1) name.substring(i + 1).toLowerCase else ""
+        buckets.computeIfAbsent(s"$key@$permitsPerSec",
+          _ => new Bucket(permitsPerSec)).acquire()
   }
 
   /** Walk every page of one directory (sequential by contract — each
@@ -149,8 +150,8 @@ object PagedSource {
       page.items.foreach { it =>
         val rel = if (dirRel.isEmpty) it.name else s"$dirRel/${it.name}"
         if (it.isDir) dirs += ((it.id, rel))
-        else files += FileEntry(it.id, it.name, rel, extOf(it.name),
-          it.size, it.mtime)
+        else files += FileEntry(it.id, it.name, rel,
+          FilePipeline.extOf(it.name), it.size, it.mtime)
       }
       token = page.nextToken
     }
@@ -222,20 +223,9 @@ object PagedSource {
               st.getLen == e.size && st.getModificationTime >= e.mtime)) {
             CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "skipped", "")
           } else {
-            dstFs.mkdirs(destPath.getParent)
             val total = withRetry(maxRetries, baseBackoffMs) {
               RateLimiter.acquire("content", permitsPerSec)
-              val in = fetcher.open(e.path)
-              val out = dstFs.create(destPath, true)
-              val buf = new Array[Byte](1 << 20)
-              var copied = 0L
-              try {
-                var read = in.read(buf)
-                while (read >= 0) {
-                  out.write(buf, 0, read); copied += read; read = in.read(buf)
-                }
-              } finally { in.close(); out.close() }
-              copied
+              FilePipeline.streamTo(fetcher.open(e.path), dstFs, destPath)
             }
             CopyAudit(e.path, destPath.toString, e.rel_path, total, "copied", "")
           }
@@ -292,7 +282,7 @@ object PagedSource {
       val body =
         try new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
         finally c.disconnect()
-      val root: JsonNode = new ObjectMapper().readTree(body)
+      val root: JsonNode = PagedSource.JsonMapper.readTree(body)
       val items = (0 until root.path("items").size()).map { i =>
         val it = root.path("items").get(i)
         PageItem(it.path("id").asText(), it.path("name").asText(),
@@ -308,6 +298,12 @@ object PagedSource {
       connect(url).getInputStream
     }
   }
+
+  /** Shared mapper — ObjectMapper construction is Jackson's most
+    * expensive operation (per-instance introspection caches); readTree
+    * is thread-safe, so one per JVM serves every page fetch.
+    */
+  private lazy val JsonMapper = new ObjectMapper()
 
   /** Deterministic in-memory endpoint — the pagination fixture used by
     * the f07 driver query and as a template for fakes in tests. `dirs`

@@ -149,6 +149,16 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(sample.length == m.find(_.rel_path == "dir2/file3.txt").get.size)
   }
 
+  test("rate limiter makes progress at fractional (sub-1/s) rates") {
+    // regression: with the cap clamped to permitsPerSec, a rate < 1
+    // could never accumulate a whole token and acquire() hung forever
+    val t0 = System.nanoTime()
+    PagedSource.RateLimiter.acquire("spec-frac", 0.8)
+    PagedSource.RateLimiter.acquire("spec-frac", 0.8) // ~1.25s refill
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 1000, s"second acquire at 0.8/s took ${elapsedMs}ms")
+  }
+
   test("rate limiter enforces a lower bound on elapsed time") {
     val t0 = System.nanoTime()
     // 1 burst token + 50/s refill → 11 acquires need ≥ ~200ms
