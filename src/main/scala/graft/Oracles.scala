@@ -432,6 +432,35 @@ object Oracles {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "c02_mixture_plan" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |         AS BIGINT) AS tot_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, tot_tokens,
+        |  round(least(1.0,
+        |    (100000.0 / (SELECT COUNT(*) FROM per)) / tot_tokens), 6)
+        |    AS sample_rate
+        |FROM per
+        |ORDER BY source""".stripMargin,
+
+    // same shingle construction as the d04 oracle; bench set = doc_id
+    // divisible by 10, contamination = ≥3 shared distinct shingles
+    "c03_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(w)-5+2),
+        |           i -> array_to_string(w[i:i+4], ' '))) AS s
+        |       FROM toks WHERE len(w) >= 5),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+        |train AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT t.doc_id, CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared
+        |FROM train t JOIN bench b ON t.g = b.g
+        |GROUP BY t.doc_id
+        |HAVING COUNT(DISTINCT t.g) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
     // t03's marker argmax in SQL: per-language occurrence counts over
     // the space-split lowered text, argmax with the same sorted-lang
     // tie-break (first CASE arm wins) and zero-hit → 'und'.

@@ -57,6 +57,8 @@ object SparkEntry {
     "s05_knn_join_lsh" -> ((s, dir) => Ann.s05KnnJoinLsh(s, dir)),
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
     "c01_clean_corpus" -> ((s, dir) => Corpus.c01CleanCorpus(s, dir)),
+    "c02_mixture_plan" -> ((s, dir) => Corpus.c02MixturePlan(s, dir)),
+    "c03_contamination" -> ((s, dir) => Corpus.c03Contamination(s, dir)),
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
     "m02_frame_sample" -> ((s, dir) => Multimodal.m02FrameSample(s, dir)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),

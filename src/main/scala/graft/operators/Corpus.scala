@@ -74,4 +74,59 @@ object Corpus {
       .select("doc_id", "lang", "source", "n_tokens", "pred_lang")
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- c02
+
+  /** c02: training-mixture planner — compute each source's document
+    * and token mass, then the per-source sampling rate that hits an
+    * equal share of `targetTokens`. One groupBy shuffle over (source),
+    * one tiny unpartitioned window over the handful of source rows (a
+    * single task over |sources| rows — nothing at data scale). The
+    * rates feed deterministic hash-sampling (x06) so a 100 TB mixture
+    * rebalance is plan + one filtered pass, never a collect.
+    */
+  def c02MixturePlan(spark: SparkSession, dir: String,
+      targetTokens: Long = 100000L): DataFrame = {
+    val t = Tables(spark, dir)
+    val perSource = t.documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSource
+      .withColumn("sample_rate",
+        round(least(lit(1.0),
+          (lit(targetTokens.toDouble) / count(lit(1)).over(w)) /
+            col("tot_tokens")), 6))
+      .select("source", "n_docs", "tot_tokens", "sample_rate")
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- c03
+
+  /** c03: benchmark-contamination scan — flag training documents that
+    * share at least `minShared` distinct word-k-shingles with an
+    * eval/benchmark set (here the deterministic stand-in: doc_id
+    * divisible by 10; a real run substitutes its benchmark table).
+    * The benchmark shingle set is small by nature (eval sets are), so
+    * the join broadcasts it; per-doc distinct counting is the only
+    * shuffle. This is the standard train/test leakage gate every
+    * training-data pipeline runs before a model ever sees the corpus.
+    */
+  def c03Contamination(spark: SparkSession, dir: String,
+      shingleK: Int = 5, minShared: Long = 3L): DataFrame = {
+    val t = Tables(spark, dir)
+    val sh = Dedup.docShingles(t.documents, shingleK)
+    val benchShingles = sh.filter(col("doc_id") % 10 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    val trainShingles = sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    trainShingles
+      .join(broadcast(benchShingles), Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
 }

@@ -46,7 +46,7 @@ object Dedup {
   }
 
   /** (doc_id, shingles) with empty/short docs dropped. */
-  private def docShingles(docs: DataFrame, k: Int): DataFrame =
+  private[operators] def docShingles(docs: DataFrame, k: Int): DataFrame =
     docs.select(col("doc_id"), shingles(k).as("sh"))
       .filter(size(col("sh")) > 0)
 

@@ -8,6 +8,43 @@ class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf001
 
+  test("c02 mixture plan computes equal-share rates capped at 1") {
+    val rows = Corpus.c02MixturePlan(spark, dir, targetTokens = 100000L)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    rows.foreach { r =>
+      val tot = r.getLong(2)
+      val expected = math.min(1.0,
+        (100000.0 / n) / tot)
+      val rate = r.getDouble(3)
+      assert(rate > 0 && rate <= 1.0)
+      assert(math.abs(rate - expected) < 1e-6,
+        s"${r.getString(0)}: rate $rate vs expected $expected")
+    }
+  }
+
+  test("c03 flags exactly the docs sharing >=3 distinct shingles with the bench set") {
+    val flagged = Corpus.c03Contamination(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.nonEmpty)
+    // brute-force ground truth on the collected corpus
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val benchSh = docs.filter(_._1 % 10 == 0).flatMap(d => shingleSet(d._2)).toSet
+    val expected = docs.filter(_._1 % 10 != 0)
+      .map { case (id, t) => id -> (shingleSet(t) & benchSh).size.toLong }
+      .filter(_._2 >= 3).toMap
+    assert(flagged == expected,
+      s"diff: ${(flagged.keySet diff expected.keySet) ++ (expected.keySet diff flagged.keySet)}")
+  }
+
   test("c01 resolves every near-dup pair among survivors to one winner") {
     val survivors = Corpus.c01CleanCorpus(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
