@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, SimHash64, SrpSig64}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -56,4 +56,10 @@ object F {
     * (e09) — one fused native loop over 64 deterministic hyperplanes.
     */
   def srpSig64(v: Column): Column = c(SrpSig64(e(v)))
+
+  /** Distinct 64-bit shingle hashes of text (e10) — the hashed-set
+    * form of word-k-shingling, one fused kernel pass.
+    */
+  def shingleHashes64(text: Column, shingleK: Int): Column =
+    c(ShingleHashes64(e(text), shingleK))
 }

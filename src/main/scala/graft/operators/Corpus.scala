@@ -117,7 +117,9 @@ object Corpus {
   def c03Contamination(spark: SparkSession, dir: String,
       shingleK: Int = 5, minShared: Long = 3L): DataFrame = {
     val t = Tables(spark, dir)
-    val sh = Dedup.docShingles(t.documents, shingleK)
+    // hashed shingles: the broadcast set and the per-doc distinct agg
+    // carry 8-byte longs, not ~50-byte shingle strings
+    val sh = Dedup.docShingleHashes(t.documents, shingleK)
     val benchShingles = sh.filter(col("doc_id") % 10 === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val trainShingles = sh.filter(col("doc_id") % 10 =!= 0)

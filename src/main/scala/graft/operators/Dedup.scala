@@ -50,6 +50,17 @@ object Dedup {
     docs.select(col("doc_id"), shingles(k).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** (doc_id, distinct shingle hashes) via the fused native kernel
+    * (e10) — the set-identical, 8-bytes-per-element form of
+    * [[docShingles]] for everything downstream that only needs shingle
+    * IDENTITY (joins, distinct counts, intersection/union sizes).
+    * Spec-checked set-equal to xxhash64 over the HOF shingles.
+    */
+  private[operators] def docShingleHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.F.shingleHashes64(col("text"), k).as("sh"))
+      .filter(col("sh").isNotNull)
+
   /** Exact Jaccard between two shingle-array columns (set semantics —
     * arrays are already distinct).
     */
@@ -135,12 +146,14 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // exact-Jaccard verify needs shingle sets only for candidate ids —
-    // the semi-join pushes the id filter below the (interpreted HOF)
-    // shingling, so it runs on O(candidates), not the whole corpus
+    // the semi-join pushes the id filter below the shingling, so it
+    // runs on O(candidates), not the whole corpus; hashed shingles keep
+    // the verify joins long-keyed
     val candIds = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val sh = docShingles(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleK)
+    val sh =
+      docShingleHashes(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleK)
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -222,8 +235,12 @@ object Dedup {
     val t = Tables(spark, dir)
     // localCheckpoint (not cache): shingling is consumed by three
     // branches; blocks are released when the RDD is GC'd instead of
-    // pinning CacheManager memory across queries
-    val sh = docShingles(t.documents, shingleK).localCheckpoint(false)
+    // pinning CacheManager memory across queries. Hashed shingles:
+    // the inverted index, frequency agg, and prefix self-join all key
+    // on 8-byte longs instead of shingle strings, and the (df, hash)
+    // prefix order is just as valid a global total order as
+    // (df, string) — any consistent order satisfies the prefix bound.
+    val sh = docShingleHashes(t.documents, shingleK).localCheckpoint(false)
     val inv = sh.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))

@@ -206,6 +206,51 @@ object Kernels {
     h
   }
 
+  /** Distinct 64-bit shingle hashes of the k-token shingles of `text` —
+    * the hashed-set form of the HOF shingles() column. Tokenization is
+    * identical to minhashSigText (split on single spaces, empties
+    * kept); each shingle string hashes via xxhash64(seed 42);
+    * first-occurrence order. Null for documents under k tokens (the
+    * `size(sh) > 0` filter of the array formulation). Set operations
+    * (distinct counts, intersect/union sizes) over the hashes are
+    * value-identical to the string sets absent a 64-bit collision
+    * (~1e-13 at a million shingles), while shuffles carry 8-byte longs
+    * instead of ~50-byte strings.
+    */
+  def shingleHashes64(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var start = 0
+    var idx = s.indexOf(' ')
+    while (idx >= 0) {
+      toks.add(s.substring(start, idx)); start = idx + 1
+      idx = s.indexOf(' ', start)
+    }
+    toks.add(s.substring(start))
+    val n = toks.size
+    if (n < k) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var t = 0
+      while (t < k) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(i + t))
+        t += 1
+      }
+      seen.add(XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — the deterministic pseudo-random source for
     * SRP hyperplane signs (same constants as java.util.SplittableRandom).
     */
@@ -434,6 +479,48 @@ case class Fingerprint64(child: Expression)
       s"org.apache.spark.sql.graft.Kernels.fingerprint64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Fingerprint64 =
+    copy(child = newChild)
+}
+
+/** e10: native shingle-hash set — tokenize, shingle, hash, dedup in
+  * one kernel pass (no interpreted transform/concat_ws/array_distinct
+  * chain, no string intermediates into the shuffle). Null for
+  * documents shorter than `shingleK` tokens.
+  */
+case class ShingleHashes64(child: Expression, shingleK: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleHashes64(input.asInstanceOf[UTF8String], shingleK)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Kernels.shingleHashes64(v.asInstanceOf[UTF8String], shingleK)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} = org.apache.spark.sql.graft.Kernels.shingleHashes64(
+            ${childGen.value}, $shingleK);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
     copy(child = newChild)
 }
 

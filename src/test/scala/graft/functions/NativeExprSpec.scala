@@ -67,6 +67,29 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(2))
   }
 
+  test("e10 shingle hashes == xxhash64 of HOF shingles, as sets") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val toks = split(col("text"), " ")
+    val hofShingles = array_distinct(
+      transform(sequence(lit(0), size(toks) - 5),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(5)))))
+    val rows = d
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(
+        sort_array(transform(hofShingles, s => xxhash64(s))).as("hof"),
+        sort_array(F.shingleHashes64(col("text"), 5)).as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // short docs are null, matching the size(sh) > 0 filter semantics
+    import spark.implicits._
+    val short = Seq("a b c").toDF("text")
+      .select(F.shingleHashes64(col("text"), 5)).head
+    assert(short.isNullAt(0))
+  }
+
   test("e09 srp_sig64: SQL == column API, deterministic, scale-invariant") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     e.createOrReplaceTempView("ne_emb")
