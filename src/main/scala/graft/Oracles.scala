@@ -432,6 +432,34 @@ object Oracles {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // d07 = connected components over the exact d04 pair graph; the
+    // recursive CTE computes each node's min reachable id (UNION
+    // dedups, so the walk reaches a fixpoint).
+    "d07_dedup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  sh AS (SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(w)-5+2),
+        |             i -> array_to_string(w[i:i+4], ' '))) AS s
+        |         FROM toks WHERE len(w) >= 5),
+        |  inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |            GROUP BY 1, 2)
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) za ON doc_a = za.doc_id
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) zb ON doc_b = zb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) >= 0.5),
+        |bidir AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(doc, lab) AS (
+        |  SELECT a, a FROM bidir
+        |  UNION
+        |  SELECT e.b, w.lab FROM walk w JOIN bidir e ON e.a = w.doc)
+        |SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |FROM walk GROUP BY doc
+        |ORDER BY doc_id""".stripMargin,
+
     "c02_mixture_plan" ->
       """WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -50,6 +50,7 @@ object SparkEntry {
     "d04_ngram_jaccard" -> ((s, dir) => Dedup.d04NgramJaccard(s, dir)),
     "d05_embed_neardup" -> ((s, dir) => Dedup.d05EmbedNeardup(s, dir)),
     "d06_embed_neardup_lsh" -> ((s, dir) => Dedup.d06EmbedNeardupDemo(s, dir)),
+    "d07_dedup_clusters" -> ((s, dir) => Dedup.d07DedupClusters(s, dir)),
     "s01_ann_bruteforce" -> ((s, dir) => Ann.s01AnnBruteforce(s, dir)),
     "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),
     "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir)),

@@ -292,6 +292,60 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------------------------------------- d07
+
+  /** Connected components by min-label propagation over an undirected
+    * edge list: every node starts labeled with its own id; each round,
+    * a node takes the minimum of its label and its neighbors' labels.
+    * A label travels one hop per round, so convergence needs
+    * O(component diameter) rounds — near-dup clusters are shallow
+    * (chains of pairwise-similar docs), so a handful. Each round is
+    * one join + one groupBy, eagerly checkpointed to truncate lineage
+    * (the standard iterative-DataFrame discipline — without it, round
+    * N replans rounds 1..N−1). The driver sees only the per-round
+    * changed-count scalar.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val bidir = edges.toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select(col("src"), col("dst")))
+      .localCheckpoint(true) // reused every round: materialize once
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = bidir.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val next = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), col("lab").as("old"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lab") =!= col("old")).count()
+      labels = next.select("id", "lab")
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents: no fixpoint in $maxIter rounds")
+    labels.select(col("id"), col("lab"))
+  }
+
+  /** d07: near-dup CLUSTER resolution — pairwise similarity is not an
+    * equivalence relation (A~B, B~C but A≁C), so per-pair loser-drop
+    * can over- or under-delete chains. Connected components over the
+    * verified pair graph assigns every document its transitive
+    * cluster; keep min-id per cluster for a principled one-per-cluster
+    * dedup. Pairs here come from the exact d04 join (oracle-able
+    * end-to-end); the same resolution runs over d02/d06 pairs at scale.
+    */
+  def d07DedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = d04NgramJaccard(spark, dir, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- d06
 
   /** d06: embedding near-dup at scale — d05's answer without the O(n²)

@@ -57,6 +57,37 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(2) >= 0.4))
   }
 
+  test("d07 clusters equal brute-force union-find over the same pairs") {
+    val pairs = Dedup.d04NgramJaccard(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.d07DedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // a multi-node chain exists (the test is not vacuous)
+    assert(got.groupBy(_._2).values.exists(_.size >= 2))
+  }
+
+  test("d07 propagation resolves a long chain (diameter > 1 round)") {
+    import spark.implicits._
+    // path graph 1-2-3-...-8: min label must travel 7 hops
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (1L to 8L).map(_ -> 1L).toMap)
+  }
+
   test("d06 banded SRP finds every planted near-dup pair, exactly") {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9).collect()
