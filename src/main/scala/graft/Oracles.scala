@@ -432,6 +432,17 @@ object Oracles {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "q37_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_trailing_hour,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR)
+        |       AS DOUBLE) AS sum_trailing_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     // d07 = connected components over the exact d04 pair graph; the
     // recursive CTE computes each node's min reachable id (UNION
     // dedups, so the walk reaches a fixpoint).

@@ -71,6 +71,7 @@ object SparkEntry {
     "q34_json_extract" -> (Relational.q34JsonExtract(_, _)),
     "q35_pivot" -> (Relational.q35Pivot(_, _)),
     "q36_unpivot" -> (Relational.q36Unpivot(_, _)),
+    "q37_rolling_window" -> (Relational.q37RollingWindow(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, SimHash64, SrpSig64}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -47,5 +48,24 @@ object ExprRegistrations {
       case Seq(c) => SrpSig64(c)
       case other => throw new IllegalArgumentException(
         s"srp_sig64 expects 1 argument, got ${other.size}")
+    },
+    desc("marker_count",
+      "marker_count(text, markers) - count of whitespace tokens in the comma-separated marker set") {
+      case Seq(t, m) => MarkerCount(t, m)
+      case other => throw new IllegalArgumentException(
+        s"marker_count expects 2 arguments, got ${other.size}")
+    },
+    desc("shingle_hashes64",
+      "shingle_hashes64(text, k) - distinct 64-bit hashes of the word-k-shingles") {
+      case Seq(c, Literal(k: Int, IntegerType)) => ShingleHashes64(c, k)
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes64 expects (text, int literal k), got $other")
+    },
+    desc("minhash_sig_text",
+      "minhash_sig_text(text, k, numPerm) - fused MinHash signature of the word-k-shingles") {
+      case Seq(c, Literal(k: Int, IntegerType), Literal(p: Int, IntegerType)) =>
+        MinHashSigText(c, k, p)
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig_text expects (text, int literal k, int literal numPerm), got $other")
     })
 }

@@ -537,4 +537,27 @@ object Relational {
         max(col("l_quantity")).as("max_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** q37: rolling time-range window — each event's trailing-hour count
+    * and value sum for its user, via RANGE BETWEEN on event-time
+    * seconds. RANGE (not ROWS) frames make timestamp peers aggregate
+    * together, so results are independent of any within-timestamp
+    * ordering; the fixed-point sum keeps the frame total independent
+    * of evaluation order. One shuffle on user_id, frames evaluated by
+    * a single running pass per partition.
+    */
+  def q37RollingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // NTZ → timestamp → epoch seconds; the session is UTC-pinned, so
+    // the NTZ wall-clock IS the epoch both engines see
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast("timestamp").cast(LongType))
+      .rangeBetween(-3599, Window.currentRow)
+    t.events
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        sum(dec(col("value"))).over(w).cast(DoubleType)
+          .as("sum_trailing_hour"))
+      .orderBy("event_id")
+  }
 }

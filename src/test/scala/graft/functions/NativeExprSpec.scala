@@ -67,6 +67,18 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getLong(0) == r.getLong(2))
   }
 
+  test("e03 SQL registration: marker_count/shingle_hashes64/minhash_sig_text") {
+    val r = spark.sql(
+      """SELECT
+        |  marker_count('the cat and the hat', 'the,and') AS mc,
+        |  size(shingle_hashes64('a b c d e f', 5)) AS nsh,
+        |  size(minhash_sig_text('a b c d e f', 5, 16)) AS nsig""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 3)
+    assert(r.getInt(1) == 2) // "a b c d e", "b c d e f"
+    assert(r.getInt(2) == 16)
+  }
+
   test("e10 shingle hashes == xxhash64 of HOF shingles, as sets") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val toks = split(col("text"), " ")
