@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Lake-layout writers (SURVEY.md §5).
@@ -43,6 +43,49 @@ object Writers {
     writePartitionedSorted(
       events.withColumn("event_date", to_date(col("ts"))),
       path, Seq("event_date"), Seq("event_type", "ts"))
+
+  /** Spread the low 16 bits of `c` to even bit positions (the Morton
+    * interleave half-step), as codegen'd bitwise Columns.
+    */
+  private def spread16(c: Column): Column = {
+    var v = c.bitwiseAND(lit(0xffffL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00ff00ffL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0f0f0f0fL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton (Z-order) value of two 16-bit normalized ranks. */
+  def zValue(a16: Column, b16: Column): Column =
+    spread16(a16).bitwiseOR(shiftleft(spread16(b16), 1))
+
+  /** x09: Z-order clustered write — range-partition and sort by the
+    * Morton interleave of two columns' normalized ranks, so parquet
+    * min/max stats stay tight on BOTH columns at once and either
+    * predicate prunes row groups (a lexicographic sort only serves its
+    * leading column). The min/max normalization pass is one cheap
+    * scalar aggregate; the write is one range shuffle. This is the
+    * layout move for fact tables queried by two independent selective
+    * dimensions (user × time, key × date).
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, colB: String, numFiles: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+    val (loA, hiA, loB, hiB) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    def rank16(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+        .cast("long")
+    val z = zValue(rank16(col(colA), loA, hiA), rank16(col(colB), loB, hiB))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** x08: small-files compaction — rewrite a parquet directory into
     * ≈`targetBytes` files. At lake scale small files are the silent

@@ -31,6 +31,50 @@ class WritersSpec extends AnyFunSuite {
     assert(dirs.nonEmpty)
   }
 
+  test("dynamic partition pruning fires on a dim-filtered join against the lake") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val path = Files.createTempDirectory("graft_dpp").toString + "/events"
+    Writers.writeEventsLake(t.events, path)
+    val lake = spark.read.parquet(path)
+    // dimension carrying the partition key, filtered at query time —
+    // the classic DPP shape: the fact side's partition list must be
+    // pruned by the dim filter's runtime result, not scanned fully
+    val dim = t.events.select(to_date(col("ts")).as("event_date"))
+      .distinct().withColumn("is_probe", col("event_date") === "2024-01-02")
+    val q = lake.join(dim.filter(col("is_probe")), Seq("event_date"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP in plan:\n$plan")
+    val expected = t.events.filter(to_date(col("ts")) === "2024-01-02").count()
+    assert(q.count() == expected && expected > 0)
+  }
+
+  test("x09 z-order keeps per-file spans tight on BOTH cluster columns") {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val path = Files.createTempDirectory("graft_zorder").toString + "/orders"
+    val src = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    Writers.writeZOrdered(src, path, "o_custkey", "o_totalprice",
+      numFiles = 16)
+    val back = spark.read.parquet(path)
+    assert(back.count() == src.count())
+    // per-file spans: a z-ordered layout bounds the span of BOTH
+    // columns per file; a single-column sort would leave the other
+    // column's span at ~100% of global
+    val spans = back.groupBy(input_file_name().as("f"))
+      .agg(
+        (max("o_custkey") - min("o_custkey")).cast("double").as("span_a"),
+        (max("o_totalprice") - min("o_totalprice")).as("span_b"))
+      .collect()
+    assert(spans.length >= 8, s"expected >=8 files, got ${spans.length}")
+    val globA = src.agg(max("o_custkey") - min("o_custkey")).head.getLong(0).toDouble
+    val globB = src.agg(max("o_totalprice") - min("o_totalprice")).head.getDouble(0)
+    val avgA = spans.map(_.getDouble(1)).sum / spans.length / globA
+    val avgB = spans.map(_.getDouble(2)).sum / spans.length / globB
+    assert(avgA <= 0.5, s"avg custkey span fraction $avgA")
+    assert(avgB <= 0.5, s"avg totalprice span fraction $avgB")
+  }
+
   test("x08 compaction merges small files without losing a row") {
     val t = Tables(spark, dir)
     val path = Files.createTempDirectory("graft_compact").toString + "/orders"
