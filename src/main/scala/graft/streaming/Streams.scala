@@ -128,6 +128,46 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** st07: streaming upsert sink — foreachBatch → latest-per-key MERGE
+    * into a parquet lake with an atomic staging+rename publish per
+    * micro-batch. This is CDC materialization onto a format with no
+    * transactional upsert of its own: each batch reduces to one row
+    * per key (latest by event time, id as tiebreak), merges against
+    * the currently-published table, and swaps; a crash between batches
+    * leaves the previous consistent version readable. Exactly-once
+    * per key follows from the merge being idempotent — a replayed
+    * batch upserts identical rows. The per-batch cost is one key
+    * shuffle over table ∪ batch; at scale, key-prefix partitioning
+    * confines the rewrite to affected partitions.
+    */
+  def st07UpsertSink(events: Dataset[Event], path: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[Event], _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        import spark.implicits._
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val latest = batch.toDF()
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val current =
+          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+            spark.read.parquet(path)
+          else latest.limit(0)
+        graft.operators.Merge.publish(
+          graft.operators.Merge.upsert(current, latest, "user_id"), path)
+        ()
+      }
+      .start()
+  }
+
   /** st06: stream-stream interval join — attribute each right-stream
     * event (a "click") to left-stream events (the "impressions") from
     * the same user within the preceding `horizonMinutes`. Both sides

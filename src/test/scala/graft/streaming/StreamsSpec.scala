@@ -131,6 +131,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(n == 3 && distinct == 3)
   }
 
+  test("st07 foreachBatch upsert sink materializes latest-per-key across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st07")
+    val path = dir.resolve("users").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[Event](spark)
+    val q = st07UpsertSink(input.toDS(), path, ckpt)
+    // batch 1: users 1 and 2
+    input.addData(
+      Event(1, ts(1), 1, "A", 10.0), Event(2, ts(2), 1, "B", 20.0),
+      Event(3, ts(3), 2, "C", 30.0))
+    q.processAllAvailable()
+    val v1 = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    assert(v1 == Map(1L -> ("B", 20.0), 2L -> ("C", 30.0)))
+    // batch 2: user 1 updated, user 3 inserted, user 2 untouched
+    input.addData(Event(4, ts(9), 1, "D", 40.0), Event(5, ts(8), 3, "E", 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val v2 = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    assert(v2 == Map(1L -> ("D", 40.0), 2L -> ("C", 30.0), 3L -> ("E", 50.0)))
+  }
+
   test("st06 stream-stream join attributes clicks within the horizon only") {
     import spark.implicits._
     val imps = MemoryStream[Event](spark)
