@@ -432,6 +432,36 @@ object Oracles {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "t05_vocab_topk" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE len(token) > 0
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 100""".stripMargin,
+
+    // c04 replays the same deterministic PII planting, then redacts;
+    // patterns use only constructs with identical Java-regex/RE2
+    // semantics
+    "c04_redact_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || doc_id || '@example.com ssn 123-45-6789'
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS BIGINT)
+        |    AS n_ssns,
+        |  regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS clean_text
+        |FROM p
+        |ORDER BY doc_id""".stripMargin,
+
     "q37_rolling_window" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_trailing_hour,

@@ -103,6 +103,37 @@ object Corpus {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- c04
+
+  /** c04: PII redaction — regex scrub of emails/SSN-shaped tokens with
+    * per-document redaction counts, the pre-training privacy pass. The
+    * synthetic corpus carries no PII, so the demo deterministically
+    * plants some (every 7th doc gets an email + SSN suffix) and the
+    * redactor must find exactly those; the oracle replays the same
+    * construction. Pure per-row projection — shuffle-free at any
+    * scale; patterns restricted to constructs with identical
+    * semantics in Java regex and RE2.
+    */
+  def c04RedactPii(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\d{3}-\\d{2}-\\d{4}"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id"),
+          lit("@example.com ssn 123-45-6789"))).otherwise(lit("")))
+    t.documents
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ssn), lit(0)))
+          .cast("long").as("n_ssns"),
+        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+          ssn, "<SSN>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- c03
 
   /** c03: benchmark-contamination scan — flag training documents that

@@ -105,6 +105,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t05: corpus vocabulary — token frequencies, top-k. The classic
+    * corpus-analysis primitive (vocab coverage, stopword discovery,
+    * tokenizer sanity). One explode + one groupBy shuffle with map-side
+    * partial counts; the top-k is TakeOrdered, never a global sort.
+    * Ties break on the token for a deterministic cut.
+    */
+  def t05VocabTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))

@@ -45,6 +45,22 @@ class CorpusSpec extends AnyFunSuite {
       s"diff: ${(flagged.keySet diff expected.keySet) ++ (expected.keySet diff flagged.keySet)}")
   }
 
+  test("c04 redacts exactly the planted PII and nothing survives redaction") {
+    val rows = Corpus.c04RedactPii(spark, dir).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 0) {
+        assert(r.getLong(1) == 1 && r.getLong(2) == 1, s"doc $id: $r")
+        assert(r.getString(3).contains("<EMAIL>") &&
+          r.getString(3).contains("<SSN>"))
+      } else {
+        assert(r.getLong(1) == 0 && r.getLong(2) == 0, s"doc $id: $r")
+      }
+      assert(!r.getString(3).contains("@example.com"))
+      assert(!r.getString(3).contains("123-45-6789"))
+    }
+  }
+
   test("c01 resolves every near-dup pair among survivors to one winner") {
     val survivors = Corpus.c01CleanCorpus(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
