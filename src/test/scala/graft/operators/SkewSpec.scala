@@ -12,6 +12,35 @@ class SkewSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // isolated session: tiny skew thresholds must not leak into other
+    // suites (newSession shares the context but not the SQLConf)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    // one hot key carrying ~90% of rows, long payloads to cross the
+    // byte thresholds, plus a uniform tail
+    val fact = s.range(0, 60000)
+      .select(when(col("id") < 54000, 0L).otherwise(col("id")).as("k"),
+        concat(lit("x"), col("id").cast("string"),
+          lit("padpadpadpadpadpadpadpad")).as("payload"))
+    val dim = s.range(0, 60000).select(col("id").as("k"),
+      (col("id") % 100).as("grp"))
+    val joined = fact.join(dim, Seq("k"))
+    // collect() executes joined's own QueryExecution, finalizing ITS
+    // adaptive plan (count() would plan a separate query)
+    assert(joined.collect().length == 60000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n$plan")
+  }
+
   test("salted join equals plain join (multiplicity preserved)") {
     val t = Tables(spark, dir)
     val fact = t.lineitem.select("l_orderkey", "l_quantity")
