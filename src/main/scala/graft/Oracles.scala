@@ -432,6 +432,16 @@ object Oracles {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    // q38's oracle recomputes the aggregate from the FULL table — the
+    // hash match proves merged partials == full recompute
+    "q38_incr_agg" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |       AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "t05_vocab_topk" ->
       """SELECT token, COUNT(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -74,6 +74,7 @@ object SparkEntry {
     "q35_pivot" -> (Relational.q35Pivot(_, _)),
     "q36_unpivot" -> (Relational.q36Unpivot(_, _)),
     "q37_rolling_window" -> (Relational.q37RollingWindow(_, _)),
+    "q38_incr_agg" -> (Relational.q38IncrAgg(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

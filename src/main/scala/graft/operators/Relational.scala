@@ -538,6 +538,27 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q38: incremental aggregate maintenance end-to-end — split events
+    * into a "base" and a "delta" stream, aggregate each independently,
+    * and merge the partials with [[Merge.refreshAgg]]. The oracle
+    * aggregates the full table directly, so the hash compare IS the
+    * materialized-view refresh correctness proof: merged partials must
+    * equal the full recompute exactly (decimal partial sums make the
+    * merge order-independent).
+    */
+  def q38IncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def partial(df: DataFrame): DataFrame = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).as("sum_value_dec"))
+    val base = partial(t.events.filter(pmod(col("event_id"), lit(4)) =!= 0))
+    val delta = partial(t.events.filter(pmod(col("event_id"), lit(4)) === 0))
+    Merge.refreshAgg(base, delta, "user_id", Seq("n_events", "sum_value_dec"))
+      .select(col("user_id"), col("n_events"),
+        col("sum_value_dec").cast(DoubleType).as("sum_value"))
+      .orderBy("user_id")
+  }
+
   /** q37: rolling time-range window — each event's trailing-hour count
     * and value sum for its user, via RANGE BETWEEN on event-time
     * seconds. RANGE (not ROWS) frames make timestamp peers aggregate
