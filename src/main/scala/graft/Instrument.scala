@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** x11: job instrumentation — "measure, don't guess" as a library
@@ -21,48 +21,57 @@ object Instrument {
       inputReadBytes: Long, recordsRead: Long)
 
   private final class Collector extends SparkListener {
+    // only stages of jobs that STARTED while this collector was
+    // attached count — a backlogged listener bus delivering a previous
+    // action's task-ends must not bleed into this measurement
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val jobsStarted = new AtomicLong
+    val jobsEnded = new AtomicLong
     val shuffleRead = new AtomicLong
     val shuffleWrite = new AtomicLong
     val memSpill = new AtomicLong
     val diskSpill = new AtomicLong
     val input = new AtomicLong
     val records = new AtomicLong
-    val tasks = new AtomicLong
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      js.stageIds.foreach(id => stages.add(id))
+      jobsStarted.incrementAndGet()
+    }
+    override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+      jobsEnded.incrementAndGet()
+    }
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) {
+      if (m != null && stages.contains(te.stageId)) {
         shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         memSpill.addAndGet(m.memoryBytesSpilled)
         diskSpill.addAndGet(m.diskBytesSpilled)
         input.addAndGet(m.inputMetrics.bytesRead)
         records.addAndGet(m.inputMetrics.recordsRead)
-        tasks.incrementAndGet()
       }
     }
   }
 
   /** Run `body` (which must trigger exactly the Spark actions to be
     * measured) and return its result with the summed task metrics.
-    * Listener events are delivered asynchronously, so after the action
-    * returns we poll until the counters go quiet (bounded at ~2 s) —
-    * the public-API alternative to the internal listener-bus flush.
+    * Listener events arrive asynchronously; completion is detected by
+    * job accounting (every job started during the body must end),
+    * bounded at ~10 s — the public-API alternative to the internal
+    * listener-bus flush.
     */
   def measure[T](spark: SparkSession)(body: => T): (T, JobMetrics) = {
     val c = new Collector
     spark.sparkContext.addSparkListener(c)
     try {
       val result = body
-      var prev = -1L
-      var settled = 0
       var waited = 0
-      while (settled < 2 && waited < 20) {
+      while ((c.jobsStarted.get() == 0 ||
+          c.jobsEnded.get() < c.jobsStarted.get()) && waited < 100) {
         Thread.sleep(100)
-        val now = c.tasks.get()
-        if (now == prev) settled += 1 else settled = 0
-        prev = now
         waited += 1
       }
+      Thread.sleep(200) // drain task-end events behind the job-end
       (result, JobMetrics(
         c.shuffleRead.get(), c.shuffleWrite.get(),
         c.memSpill.get(), c.diskSpill.get(),

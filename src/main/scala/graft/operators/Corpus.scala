@@ -148,9 +148,12 @@ object Corpus {
   def c03Contamination(spark: SparkSession, dir: String,
       shingleK: Int = 5, minShared: Long = 3L): DataFrame = {
     val t = Tables(spark, dir)
-    // hashed shingles: the broadcast set and the per-doc distinct agg
-    // carry 8-byte longs, not ~50-byte shingle strings
+    // hashed shingles: the broadcast set and the per-doc agg carry
+    // 8-byte longs, not ~50-byte shingle strings. localCheckpoint:
+    // the kernel scan feeds BOTH the bench and train branches —
+    // materialize once instead of re-shingling the corpus per branch
     val sh = Dedup.docShingleHashes(t.documents, shingleK)
+      .localCheckpoint(false)
     val benchShingles = sh.filter(col("doc_id") % 10 === 0)
       .select(explode(col("sh")).as("g")).distinct()
     val trainShingles = sh.filter(col("doc_id") % 10 =!= 0)
@@ -158,7 +161,9 @@ object Corpus {
     trainShingles
       .join(broadcast(benchShingles), Seq("g"))
       .groupBy("doc_id")
-      .agg(countDistinct(col("g")).as("n_shared"))
+      // plain count: (doc_id, g) is already unique — `sh` arrays are
+      // distinct per doc and the broadcast side was dedup'd
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_id")
   }

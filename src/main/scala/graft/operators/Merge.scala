@@ -35,22 +35,25 @@ object Merge {
     target.join(keys, Seq(key), "left_anti")
 
   /** x14: incremental aggregate maintenance — merge a delta's partial
-    * aggregates into a materialized aggregate table. Works for any
-    * commutative-monoid measures (counts, sums, min/max): union the
-    * partials and re-reduce per key, touching only |agg| + |delta-agg|
-    * rows instead of rescanning the base fact table. This is the
-    * refresh step of a materialized view: at 100 TB the base scan is
-    * the cost you're avoiding, and correctness is exactly "merged
-    * partials == full recompute" (oracle-checked via q38).
-    * `sumCols` must already be mergeable partials (e.g. decimal sums,
-    * counts-as-longs) in BOTH inputs, aligned by name.
+    * aggregates into a materialized aggregate table by summation:
+    * union the partials and re-reduce per key, touching only
+    * |agg| + |delta-agg| rows instead of rescanning the base fact
+    * table. This is the refresh step of a materialized view: at 100 TB
+    * the base scan is the cost you're avoiding, and correctness is
+    * exactly "merged partials == full recompute" (oracle-checked via
+    * q38). `sumCols` must be SUM-mergeable partials (decimal sums,
+    * counts-as-longs) aligned by name in both inputs; other monoids
+    * (min/max) need their own reduce and are not served by this
+    * helper.
     */
   def refreshAgg(baseAgg: DataFrame, deltaAgg: DataFrame,
-      key: String, sumCols: Seq[String]): DataFrame =
+      key: String, sumCols: Seq[String]): DataFrame = {
+    require(sumCols.nonEmpty, "refreshAgg needs at least one measure column")
     baseAgg.unionByName(deltaAgg)
       .groupBy(key)
       .agg(sum(sumCols.head).as(sumCols.head),
         sumCols.tail.map(c => sum(c).as(c)): _*)
+  }
 
   /** Atomically publish a merged table: write to a staging path, then
     * swap via two directory renames (parquet has no transactions;

@@ -43,18 +43,20 @@ object Snapshots {
   }
 
   /** The pointer's version; falls back to the highest complete version
-    * directory when the pointer is mid-swap or lost.
+    * directory when the pointer is mid-swap or lost. The open itself
+    * may race a concurrent pointer swap (exists-then-deleted), so a
+    * missing file at either step takes the fallback, as documented.
     */
   def latestVersion(spark: SparkSession, path: String): Option[Long] = {
     val f = fs(spark, path)
     val ptr = new Path(path, PointerName)
     val fromPointer =
-      if (f.exists(ptr)) {
+      try {
         val in = f.open(ptr)
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
         finally in.close()
-      } else None
+      } catch { case _: java.io.FileNotFoundException => None }
     fromPointer.orElse(versions(spark, path).lastOption)
   }
 
@@ -66,7 +68,13 @@ object Snapshots {
     require(keep >= 1, s"keep $keep must be >= 1")
     val spark = df.sparkSession
     val f = fs(spark, path)
-    val next = latestVersion(spark, path).getOrElse(0L) + 1
+    // next must clear BOTH the pointer and the highest version dir: a
+    // crash after the version rename but before the pointer swap leaves
+    // an orphaned _v<N> above the pointer, and renaming onto it would
+    // nest the new staging dir inside it (Hadoop rename-into-existing)
+    val next = math.max(
+      latestVersion(spark, path).getOrElse(0L),
+      versions(spark, path).lastOption.getOrElse(0L)) + 1
     val staging = new Path(path, s"$VersionPrefix$next.staging")
     val live = new Path(path, s"$VersionPrefix$next")
     f.delete(staging, true)

@@ -73,6 +73,10 @@ object Writers {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+    if (r.isNullAt(0)) { // empty input: nothing to cluster, write as-is
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (loA, hiA, loB, hiB) =
       (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     def rank16(c: Column, lo: Double, hi: Double): Column =

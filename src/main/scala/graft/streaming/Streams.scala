@@ -149,20 +149,27 @@ object Streams {
       .foreachBatch { (batch: Dataset[Event], _: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
-        import spark.implicits._
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val latest = batch.toDF()
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
         val fs = new org.apache.hadoop.fs.Path(path)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // crash recovery: publish renames the old table to <path>.prev
+        // before promoting staging; a crash in that window leaves no
+        // <path> but a complete <path>.prev — recover from it instead
+        // of silently restarting from an empty table
         val current =
           if (fs.exists(new org.apache.hadoop.fs.Path(path)))
             spark.read.parquet(path)
-          else latest.limit(0)
-        graft.operators.Merge.publish(
-          graft.operators.Merge.upsert(current, latest, "user_id"), path)
+          else if (fs.exists(new org.apache.hadoop.fs.Path(path + ".prev")))
+            spark.read.parquet(path + ".prev")
+          else batch.toDF().limit(0)
+        // latest-per-key must hold ACROSS batches: union the published
+        // state with the batch and re-take the event-time maximum, so a
+        // late (older) event in a later batch can never regress a key
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val merged = current.unionByName(batch.toDF())
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        graft.operators.Merge.publish(merged, path)
         ()
       }
       .start()

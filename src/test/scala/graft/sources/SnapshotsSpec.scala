@@ -41,5 +41,15 @@ class SnapshotsSpec extends AnyFunSuite {
     // and the next publish continues from the pointer lineage
     assert(Snapshots.publish(table(5), path, keep = 2) == 4L)
     assert(Snapshots.readLatest(spark, path).count() == 5)
+
+    // orphaned version ABOVE the pointer (crash after the version
+    // rename, before the pointer swap): the next publish must number
+    // past it, never rename onto it
+    fs.rename(new org.apache.hadoop.fs.Path(path, "_v4"),
+      new org.apache.hadoop.fs.Path(path, "_v7"))
+    // pointer still says 4 but only _v3/_v7 exist; fallback serves 7
+    assert(Snapshots.publish(table(6), path, keep = 2) == 8L)
+    assert(Snapshots.readLatest(spark, path).count() == 6)
+    assert(Snapshots.versions(spark, path) == Seq(7L, 8L))
   }
 }

@@ -150,6 +150,11 @@ class StreamsSpec extends AnyFunSuite {
     // batch 2: user 1 updated, user 3 inserted, user 2 untouched
     input.addData(Event(4, ts(9), 1, "D", 40.0), Event(5, ts(8), 3, "E", 50.0))
     q.processAllAvailable()
+    // batch 3: a LATE event for user 1 (older event time than the
+    // published row) — latest-per-key must hold ACROSS batches, so the
+    // table must not regress to it
+    input.addData(Event(6, ts(4), 1, "LATE", 99.0))
+    q.processAllAvailable()
     q.stop()
     val v2 = spark.read.parquet(path).collect()
       .map(r => r.getAs[Long]("user_id") ->
