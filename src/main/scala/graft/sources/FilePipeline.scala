@@ -256,23 +256,30 @@ object FilePipeline {
     * listings and zero data movement. Deletion of target-only files is
     * opt-in (`pruneDeleted`) — destructive actions don't default on.
     */
-  def syncCopy(spark: SparkSession, srcRoot: String, dstRoot: String,
-      pruneDeleted: Boolean = false, partitions: Int = 0): Dataset[CopyAudit] = {
-    import spark.implicits._
-    val src = catalog(spark, srcRoot)
-    val dst = catalog(spark, dstRoot)
-    val plan = syncPlan(src, dst)
-    val toCopy = plan
+  /** The copy work-list of a sync plan as a manifest: new/changed rows
+    * back in FileEntry form, src mtime riding along so the copy
+    * executors' skip check can see a same-size-but-newer source.
+    */
+  private[sources] def copyTargets(plan: DataFrame): Dataset[FileEntry] = {
+    import plan.sparkSession.implicits._
+    plan
       .filter(col("action").isin("copy_new", "copy_changed"))
       .select(col("src_path"), col("rel_path"), col("src_size"),
         col("src_mtime"))
       .as[(String, String, Long, Long)]
       .map { case (p, rel, size, mtime) =>
         val name = rel.substring(rel.lastIndexOf('/') + 1)
-        // src mtime rides along so distCopy's skip check can see a
-        // same-size-but-newer source and re-copy it
         FileEntry(p, name, rel, extOf(name), size, mtime)
       }
+  }
+
+  def syncCopy(spark: SparkSession, srcRoot: String, dstRoot: String,
+      pruneDeleted: Boolean = false, partitions: Int = 0): Dataset[CopyAudit] = {
+    import spark.implicits._
+    val src = catalog(spark, srcRoot)
+    val dst = catalog(spark, dstRoot)
+    val plan = syncPlan(src, dst)
+    val toCopy = copyTargets(plan)
     if (pruneDeleted) {
       val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
       val doomed = plan.filter(col("action") === "delete")

@@ -238,6 +238,27 @@ object PagedSource {
     }
   }
 
+  /** f09: incremental sync FROM a paged source — the composition that
+    * completes the reference-parity story: where the reference
+    * re-downloads the whole remote tree every run (ref py:284-305),
+    * this enumerates the API (f07), diffs against the destination's
+    * own catalog (f03's planner works on manifests from ANY source),
+    * and moves only new/changed files through the throttle-tolerant
+    * copy (f08). An unchanged remote costs one enumeration and zero
+    * content downloads.
+    */
+  def syncCopyPaged(spark: SparkSession, fetcher: PageFetcher,
+      dstRoot: String, rootId: String = "", partitions: Int = 0,
+      maxRetries: Int = 4, baseBackoffMs: Long = 100,
+      permitsPerSec: Double = 0): Dataset[CopyAudit] = {
+    val src = pagedCatalog(spark, fetcher, rootId, maxRetries,
+      baseBackoffMs, permitsPerSec)
+    val dst = FilePipeline.catalog(spark, dstRoot)
+    val plan = FilePipeline.syncPlan(src, dst)
+    distCopyPaged(spark, fetcher, FilePipeline.copyTargets(plan), dstRoot,
+      partitions, maxRetries, baseBackoffMs, permitsPerSec)
+  }
+
   /** Concrete [[PageFetcher]] over a generic JSON list endpoint:
     *
     *   GET {base}/list?dir={id}&token={t}

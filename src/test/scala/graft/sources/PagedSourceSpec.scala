@@ -149,6 +149,28 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(sample.length == m.find(_.rel_path == "dir2/file3.txt").get.size)
   }
 
+  test("f09 paged sync copies all, then nothing, then only the damaged file") {
+    withServer() { (base, _, _) =>
+      val fetcher = new PagedSource.HttpJsonFetcher(base)
+      val dest = Files.createTempDirectory("graft_psync")
+      def sync() = PagedSource.syncCopyPaged(spark, fetcher, dest.toString,
+        partitions = 2, maxRetries = 8, baseBackoffMs = 1).collect()
+      // first sync: the full remote (7 good files; the poisoned one
+      // 404s at content download and stays a failure row)
+      val a1 = sync()
+      assert(a1.count(_.status == "copied") == 7, s"got ${a1.toSeq}")
+      // unchanged remote: no copies at all (the failed file's entry
+      // still differs — dest has no copy of it — so it retries+fails)
+      val a2 = sync()
+      assert(a2.count(_.status == "copied") == 0, s"got ${a2.toSeq}")
+      // damage one destination file (size change): only it re-syncs
+      Files.writeString(dest.resolve("sub1/c.txt"), "x")
+      val a3 = sync()
+      assert(a3.count(_.status == "copied") == 1, s"got ${a3.toSeq}")
+      assert(Files.readString(dest.resolve("sub1/c.txt")) == "charlie")
+    }
+  }
+
   test("rate limiter makes progress at fractional (sub-1/s) rates") {
     // regression: with the cap clamped to permitsPerSec, a rate < 1
     // could never accumulate a whole token and acquire() hung forever
