@@ -20,6 +20,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // runtime bloom-filter semi-join reduction: when a selective dim
+      // filter survives into a SHUFFLE join (too big to broadcast), the
+      // fact side is pre-filtered by a bloom filter built from the dim
+      // keys — at 100 TB this is the difference between shuffling the
+      // whole fact table and shuffling the ~matching fraction.
+      // Size thresholds keep Spark's defaults (10 MB creation side /
+      // 10 GB application side), which only engage at real scale.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)

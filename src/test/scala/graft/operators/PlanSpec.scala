@@ -86,6 +86,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x15: runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // thresholds forced in an isolated session (local data is far below
+    // the 10 GB application-side default that gates it at real scale)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val t = graft.Tables(s, dir)
+    val selectiveDim = t.orders
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val q = t.lineitem.join(selectiveDim,
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+      s"no runtime bloom filter in plan:\n$plan")
+  }
+
   test("global sweep: no accidental cartesian/nested-loop joins in any query") {
     // these intentionally score all pairs (brute-force baselines) or
     // broadcast a tiny side against a non-equi condition:
