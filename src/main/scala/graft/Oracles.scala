@@ -432,6 +432,43 @@ object Oracles {
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "q39_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year, $REV AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+         |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q40_market_share" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |    l_extendedprice, l_discount, sn.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |  WHERE year(o_orderdate) BETWEEN 1996 AND 1997),
+         |den AS (SELECT o_year, $REV AS total_rev FROM base GROUP BY o_year),
+         |num AS (SELECT o_year AS ny, $REV AS nation_rev FROM base
+         |        WHERE supp_nation = 'NATION_2' GROUP BY o_year)
+         |SELECT o_year,
+         |  round(coalesce(nation_rev, 0.0) / total_rev, 6) AS mkt_share
+         |FROM den LEFT JOIN num ON o_year = ny
+         |ORDER BY o_year""".stripMargin,
+
     // q38's oracle recomputes the aggregate from the FULL table — the
     // hash match proves merged partials == full recompute
     "q38_incr_agg" ->

@@ -75,6 +75,8 @@ object SparkEntry {
     "q36_unpivot" -> (Relational.q36Unpivot(_, _)),
     "q37_rolling_window" -> (Relational.q37RollingWindow(_, _)),
     "q38_incr_agg" -> (Relational.q38IncrAgg(_, _)),
+    "q39_volume_shipping" -> (Relational.q39VolumeShipping(_, _)),
+    "q40_market_share" -> (Relational.q40MarketShare(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

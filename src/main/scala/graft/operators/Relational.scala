@@ -538,6 +538,74 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q39: two-nation volume shipping (TPC-H Q7 shape) — revenue
+    * flowing between a nation pair, by supplier nation, customer
+    * nation, and ship year. The nation filter lands on BOTH dimension
+    * sides before the fact joins (each side pre-restricted to the two
+    * nations, the pair condition applied after), so the fact shuffle
+    * carries only the two nations' commerce.
+    */
+  def q39VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pair = Seq("NATION_1", "NATION_2")
+    val suppNation = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNation = t.customer
+      .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .filter(year(col("l_shipdate")).between(1996, 1997))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(LongType).as("l_year"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** q40: market share (TPC-H Q8 shape) — the target nation's share of
+    * revenue among ASIA-region customers for one part type, by order
+    * year. Numerator and denominator are separate decimal aggregates
+    * joined on year (a windowed double sum would be partition-order
+    * dependent); at scale the shared join tree is one cached/reused
+    * intermediate.
+    */
+  def q40MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val asiaCust = t.customer
+      .join(broadcast(t.nation.join(
+          broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val base = t.lineitem
+      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t.orders.filter(year(col("o_orderdate")).between(1996, 1997))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+    val den = base.groupBy("o_year").agg(revenueSum.as("total_rev"))
+    val num = base.filter(col("supp_nation") === "NATION_2")
+      .groupBy(col("o_year").as("ny")).agg(revenueSum.as("nation_rev"))
+    den.join(num, col("o_year") === col("ny"), "left")
+      .select(col("o_year"),
+        round(coalesce(col("nation_rev"), lit(0.0)) / col("total_rev"), 6)
+          .as("mkt_share"))
+      .orderBy("o_year")
+  }
+
   /** q38: incremental aggregate maintenance end-to-end — split events
     * into a "base" and a "delta" stream, aggregate each independently,
     * and merge the partials with [[Merge.refreshAgg]]. The oracle
