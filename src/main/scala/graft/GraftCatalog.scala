@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** SQL-surface parity: register the graft tables as temp views so the
   * whole engine is usable from plain `spark.sql` — every DataFrame
   * operator in [[SparkEntry.queries]] has the same semantics when the
-  * user writes SQL against these views (plus the registered native
-  * functions cosine_sim / simhash64 / fingerprint64).
+  * user writes SQL against these views, plus the registered native
+  * functions (cosine_sim, dot_product, simhash64, fingerprint64,
+  * srp_sig64, shingle_hashes64, minhash_sig_text, marker_count — see
+  * [[graft.functions.ExprRegistrations]]).
   */
 object GraftCatalog {
   val TableNames: Seq[String] = Seq(
