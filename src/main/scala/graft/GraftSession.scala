@@ -24,9 +24,12 @@ object GraftSession {
       // filter survives into a SHUFFLE join (too big to broadcast), the
       // fact side is pre-filtered by a bloom filter built from the dim
       // keys — at 100 TB this is the difference between shuffling the
-      // whole fact table and shuffling the ~matching fraction.
-      // Size thresholds keep Spark's defaults (10 MB creation side /
-      // 10 GB application side), which only engage at real scale.
+      // whole fact table and shuffling the ~matching fraction. This is
+      // Spark's default since 3.4 — set here as a PIN against default
+      // drift (the engine's plans count on it; x15 spec asserts the
+      // injection). Size thresholds keep Spark's defaults (10 MB
+      // creation side / 10 GB application side), which only engage at
+      // real scale.
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.ui.enabled", "false")

@@ -460,13 +460,15 @@ object Oracles {
          |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
          |  JOIN supplier ON l_suppkey = s_suppkey
          |  JOIN nation sn ON s_nationkey = sn.n_nationkey
-         |  WHERE year(o_orderdate) BETWEEN 1996 AND 1997),
-         |den AS (SELECT o_year, $REV AS total_rev FROM base GROUP BY o_year),
-         |num AS (SELECT o_year AS ny, $REV AS nation_rev FROM base
-         |        WHERE supp_nation = 'NATION_2' GROUP BY o_year)
+         |  WHERE year(o_orderdate) BETWEEN 1996 AND 1997)
          |SELECT o_year,
-         |  round(coalesce(nation_rev, 0.0) / total_rev, 6) AS mkt_share
-         |FROM den LEFT JOIN num ON o_year = ny
+         |  round(coalesce(
+         |    CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+         |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+         |      END) AS VARCHAR) AS DOUBLE), 0.0) / $REV, 6) AS mkt_share
+         |FROM base
+         |GROUP BY o_year
          |ORDER BY o_year""".stripMargin,
 
     // q38's oracle recomputes the aggregate from the FULL table — the

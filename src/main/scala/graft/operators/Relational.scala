@@ -571,10 +571,10 @@ object Relational {
 
   /** q40: market share (TPC-H Q8 shape) — the target nation's share of
     * revenue among ASIA-region customers for one part type, by order
-    * year. Numerator and denominator are separate decimal aggregates
-    * joined on year (a windowed double sum would be partition-order
-    * dependent); at scale the shared join tree is one cached/reused
-    * intermediate.
+    * year. ONE pass: numerator and denominator are conditional
+    * fixed-point sums in the same aggregate (decimal addition is
+    * order-independent, so the conditional sum is exact), so the
+    * 7-way join tree is built and shuffled once.
     */
   def q40MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -596,10 +596,12 @@ object Relational {
       .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
-    val den = base.groupBy("o_year").agg(revenueSum.as("total_rev"))
-    val num = base.filter(col("supp_nation") === "NATION_2")
-      .groupBy(col("o_year").as("ny")).agg(revenueSum.as("nation_rev"))
-    den.join(num, col("o_year") === col("ny"), "left")
+    base.groupBy("o_year")
+      .agg(
+        // null-else conditional sum: SUM skips nulls, stays decimal
+        sum(when(col("supp_nation") === "NATION_2", revenueExpr))
+          .cast(DoubleType).as("nation_rev"),
+        revenueSum.as("total_rev"))
       .select(col("o_year"),
         round(coalesce(col("nation_rev"), lit(0.0)) / col("total_rev"), 6)
           .as("mkt_share"))

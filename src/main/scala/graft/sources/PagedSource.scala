@@ -41,7 +41,10 @@ object PagedSource {
 
   /** One listing entry as the endpoint returns it. `id` is opaque — a
     * path, a REST item id, or a download URL; only the fetcher
-    * interprets it.
+    * interprets it. `mtime` is epoch MILLISECONDS (the Hadoop
+    * FileStatus unit) — fetchers adapting endpoints that report
+    * seconds or ISO timestamps must convert, or the sync planner's
+    * mtime comparison against local manifests silently never fires.
     */
   final case class PageItem(
       id: String, name: String, isDir: Boolean, size: Long, mtime: Long)
@@ -263,7 +266,8 @@ object PagedSource {
     *
     *   GET {base}/list?dir={id}&token={t}
     *     → {"items":[{"id","name","isDir","size","mtime"}...],
-    *        "nextToken": "..."}          (absent ⇒ last page)
+    *        "nextToken": "..."}          (absent ⇒ last page;
+    *                                      mtime in epoch millis)
     *   GET {fileId}  (absolute, or resolved against {base})
     *     → raw content bytes
     *

@@ -64,7 +64,8 @@ class PagedSourceSpec extends AnyFunSuite {
         val page = all.slice(off, off + 2)
         val items = page.map { case (id, name, isDir) =>
           val size = if (isDir) 0 else content.getOrElse(id, "MISSING").length
-          s"""{"id":"$id","name":"$name","isDir":$isDir,"size":$size,"mtime":1700000000}"""
+          // epoch MILLIS per the PageItem contract
+          s"""{"id":"$id","name":"$name","isDir":$isDir,"size":$size,"mtime":1700000000000}"""
         }.mkString("[", ",", "]")
         val next = if (off + 2 < all.size) s""","nextToken":"${off + 2}"""" else ""
         send(ex, 200,
@@ -168,6 +169,16 @@ class PagedSourceSpec extends AnyFunSuite {
       val a3 = sync()
       assert(a3.count(_.status == "copied") == 1, s"got ${a3.toSeq}")
       assert(Files.readString(dest.resolve("sub1/c.txt")) == "charlie")
+      // SAME-SIZE divergence must also re-sync via the mtime contract:
+      // rewrite a dest file with equal length but backdate it before
+      // the remote's (millis) mtime — size-only diffing would call
+      // this a noop forever
+      Files.writeString(dest.resolve("sub2/x.txt"), "XRAY") // len 4 == "xray"
+      Files.setLastModifiedTime(dest.resolve("sub2/x.txt"),
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L - 60000))
+      val a4 = sync()
+      assert(a4.count(_.status == "copied") == 1, s"got ${a4.toSeq}")
+      assert(Files.readString(dest.resolve("sub2/x.txt")) == "xray")
     }
   }
 
