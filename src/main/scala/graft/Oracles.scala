@@ -471,6 +471,34 @@ object Oracles {
          |GROUP BY o_year
          |ORDER BY o_year""".stripMargin,
 
+    "q41_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id AS u, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id AS u, MIN(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |  GROUP BY e.user_id)
+        |SELECT s1.u AS user_id,
+        |  CAST(1 + (s2.u IS NOT NULL)::INT + (s3.u IS NOT NULL)::INT
+        |       AS BIGINT) AS funnel_stage
+        |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+        |ORDER BY user_id""".stripMargin,
+
+    "t06_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |       AS BIGINT) AS n_chars_norm
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
     // q38's oracle recomputes the aggregate from the FULL table — the
     // hash match proves merged partials == full recompute
     "q38_incr_agg" ->

@@ -77,6 +77,8 @@ object SparkEntry {
     "q38_incr_agg" -> (Relational.q38IncrAgg(_, _)),
     "q39_volume_shipping" -> (Relational.q39VolumeShipping(_, _)),
     "q40_market_share" -> (Relational.q40MarketShare(_, _)),
+    "q41_funnel" -> (Relational.q41Funnel(_, _)),
+    "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

@@ -608,6 +608,40 @@ object Relational {
       .orderBy("o_year")
   }
 
+  /** q41: funnel analysis — how deep each user gets through
+    * view → click → purchase, where each stage must occur AT OR AFTER
+    * the user's first completion of the previous stage. Three
+    * per-stage min-timestamp aggregates chained by user_id joins (the
+    * per-type filters prune each scan to one event type before its
+    * shuffle); the output is the reached depth only — timestamps stay
+    * internal per the determinism rules.
+    */
+  def q41Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def stageMin(typ: String, after: Option[DataFrame]): DataFrame = {
+      val base = t.events.filter(col("event_type") === typ)
+        .select(col("user_id").as("u"), col("ts"))
+      val gated = after match {
+        case Some(prev) => base.join(prev, col("u") === col("pu"))
+          .filter(col("ts") >= col("pt")).select(col("u"), col("ts"))
+        case None => base
+      }
+      gated.groupBy(col("u").as("pu")).agg(min(col("ts")).as("pt"))
+    }
+    val s1 = stageMin("view", None)
+    val s2 = stageMin("click", Some(s1))
+    val s3 = stageMin("purchase", Some(s2))
+    s1.select(col("pu").as("user_id"))
+      .join(s2.select(col("pu").as("u2"), lit(1L).as("hit2")),
+        col("user_id") === col("u2"), "left")
+      .join(s3.select(col("pu").as("u3"), lit(1L).as("hit3")),
+        col("user_id") === col("u3"), "left")
+      .select(col("user_id"),
+        (lit(1L) + coalesce(col("hit2"), lit(0L)) +
+          coalesce(col("hit3"), lit(0L))).as("funnel_stage"))
+      .orderBy("user_id")
+  }
+
   /** q38: incremental aggregate maintenance end-to-end — split events
     * into a "base" and a "delta" stream, aggregate each independently,
     * and merge the partials with [[Merge.refreshAgg]]. The oracle

@@ -122,6 +122,20 @@ object TextOps {
       .limit(k)
   }
 
+  /** t06: text normalization — the pre-tokenization cleanup pass:
+    * lowercase, collapse whitespace runs, trim. Pure per-row
+    * projection (shuffle-free at any scale); regex restricted to
+    * Java↔RE2-identical constructs so the oracle replays it.
+    */
+  def t06Normalize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    t.documents
+      .select(col("doc_id"), norm.as("norm_text"),
+        length(norm).cast("long").as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))
