@@ -491,6 +491,20 @@ object Oracles {
         |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
         |ORDER BY user_id""".stripMargin,
 
+    // day-arithmetic week buckets (datediff/7) — deliberately NOT
+    // calendar week truncation, whose week-start conventions differ
+    "q42_retention" ->
+      """WITH fd AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(cohort_date AS VARCHAR) AS cohort,
+        |  CAST(floor(date_diff('day', cohort_date, CAST(e.ts AS DATE)) / 7)
+        |       AS BIGINT) AS week_offset,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM events e JOIN fd ON e.user_id = fd.user_id
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "t06_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,

@@ -78,6 +78,7 @@ object SparkEntry {
     "q39_volume_shipping" -> (Relational.q39VolumeShipping(_, _)),
     "q40_market_share" -> (Relational.q40MarketShare(_, _)),
     "q41_funnel" -> (Relational.q41Funnel(_, _)),
+    "q42_retention" -> (Relational.q42Retention(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>

@@ -642,6 +642,28 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q42: cohort retention — users grouped by their first-activity
+    * date (the cohort), counted distinct in each subsequent week-offset
+    * bucket. Offsets are pure day arithmetic (datediff / 7) rather
+    * than calendar week truncation, so both engines bucket identically
+    * with no week-start semantics in play. Two shuffles: the per-user
+    * first-date aggregate, then the (cohort, offset) distinct count.
+    */
+  def q42Retention(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val firstDay = t.events
+      .groupBy(col("user_id").as("fu"))
+      .agg(min(to_date(col("ts"))).as("cohort_date"))
+    t.events
+      .select(col("user_id"), to_date(col("ts")).as("event_date"))
+      .join(firstDay, col("user_id") === col("fu"))
+      .groupBy(col("cohort_date").cast("string").as("cohort"),
+        (datediff(col("event_date"), col("cohort_date")) / 7)
+          .cast(LongType).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort", "week_offset")
+  }
+
   /** q38: incremental aggregate maintenance end-to-end — split events
     * into a "base" and a "delta" stream, aggregate each independently,
     * and merge the partials with [[Merge.refreshAgg]]. The oracle
