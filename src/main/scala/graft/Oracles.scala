@@ -491,6 +491,17 @@ object Oracles {
         |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
         |ORDER BY user_id""".stripMargin,
 
+    "q43_purchase_cadence" ->
+      """SELECT user_id, COUNT(*) AS n_purchases,
+        |  round(CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+        |    MAX(CAST(ts AS DATE))) AS DOUBLE) / (COUNT(*) - 1), 4)
+        |    AS avg_gap_days
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |GROUP BY user_id
+        |HAVING COUNT(*) >= 2
+        |ORDER BY user_id""".stripMargin,
+
     // day-arithmetic week buckets (datediff/7) — deliberately NOT
     // calendar week truncation, whose week-start conventions differ
     "q42_retention" ->

@@ -79,6 +79,7 @@ object SparkEntry {
     "q40_market_share" -> (Relational.q40MarketShare(_, _)),
     "q41_funnel" -> (Relational.q41Funnel(_, _)),
     "q42_retention" -> (Relational.q42Retention(_, _)),
+    "q43_purchase_cadence" -> (Relational.q43PurchaseCadence(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>

@@ -642,6 +642,26 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q43: purchase cadence — for each repeat purchaser, the mean days
+    * between first and last purchase per interval. All-integer inputs
+    * (day diff, counts) into one double division keep the result
+    * bit-deterministic; one aggregate shuffle on user_id.
+    */
+  def q43PurchaseCadence(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.events.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        min(to_date(col("ts"))).as("first_d"),
+        max(to_date(col("ts"))).as("last_d"))
+      .filter(col("n_purchases") >= 2)
+      .select(col("user_id"), col("n_purchases"),
+        round(datediff(col("last_d"), col("first_d")).cast(DoubleType) /
+          (col("n_purchases") - 1), 4).as("avg_gap_days"))
+      .orderBy("user_id")
+  }
+
   /** q42: cohort retention — users grouped by their first-activity
     * date (the cohort), counted distinct in each subsequent week-offset
     * bucket. Offsets are pure day arithmetic (datediff / 7) rather
