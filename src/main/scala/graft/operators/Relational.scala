@@ -11,13 +11,19 @@ import graft.functions.Num._
 /** Relational query surface (SURVEY.md §2.B).
   *
   * Every query is declared with the DataFrame API so Catalyst owns the
-  * physical plan: filters/projections reach the parquet scan, small
-  * dimension tables are broadcast (explicit `broadcast()` hints where
-  * the dimension is known-small at any scale factor — region/nation are
-  * fixed-cardinality; supplier/customer/part grow but stay dimension-
-  * sized relative to the facts), and fact-fact joins shuffle on their
-  * keys under AQE. All monetary aggregates use the fixed-point helpers
-  * in [[graft.functions.Num]] for partition-order-independent results.
+  * physical plan: filters/projections reach the parquet scan, and
+  * fact-fact joins shuffle on their keys under AQE. Explicit
+  * `broadcast()` hints appear ONLY where the side is bounded at EVERY
+  * scale factor: region/nation (fixed 5/25 rows) and single-row /
+  * limit-bounded derivations (e.g. q15's global max). Tables that grow
+  * with SF — customer, supplier, part, orders, lineitem — carry NO
+  * forced hint: at bench scale AQE re-plans their joins to broadcast
+  * from observed runtime sizes, while at the 100 TB design point a
+  * forced hint would bypass AQE's size check and OOM the driver
+  * (customer is ~10^10 rows at TPC-H ratios). PlanSpec's hint sweep
+  * locks this rule in. All monetary aggregates use the fixed-point
+  * helpers in [[graft.functions.Num]] for partition-order-independent
+  * results.
   */
 object Relational {
 
@@ -54,15 +60,18 @@ object Relational {
   }
 
   /** q03: segment customers ⋈ orders ⋈ lineitem, revenue top-10
-    * (TPC-H Q3 shape). customer is dimension-sized → broadcast; the
-    * orders⋈lineitem join shuffles on orderkey.
+    * (TPC-H Q3 shape). The segment-filtered customer side carries no
+    * broadcast hint — it is a fixed fraction of a table that grows with
+    * SF, so AQE auto-broadcasts it at bench scale and falls back to a
+    * shuffle join when it outgrows the threshold; the orders⋈lineitem
+    * join shuffles on orderkey.
     */
   def q03TopRevenue(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     t.lineitem
-      .join(t.orders.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+      .join(t.orders.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"),
         col("o_orderpriority"))
@@ -86,8 +95,9 @@ object Relational {
   }
 
   /** q05: regional revenue — 6-way join (TPC-H Q5 shape). region/nation
-    * are fixed-size → broadcast; supplier/customer broadcast at dim
-    * scale; the lineitem⋈orders backbone shuffles on orderkey.
+    * are fixed-size → broadcast hints; supplier/customer grow with SF so
+    * their joins are left to AQE (auto-broadcast at bench scale, shuffle
+    * at 100 TB); the lineitem⋈orders backbone shuffles on orderkey.
     */
   def q05RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -97,8 +107,8 @@ object Relational {
       .select("n_nationkey", "n_name")
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -231,8 +241,10 @@ object Relational {
   }
 
   /** q15: scalar-subquery-on-aggregate — supplier(s) with max revenue
-    * (TPC-H Q15 shape). The single-row max side is broadcast so the
-    * "subquery" costs one extra stage, not a shuffle.
+    * (TPC-H Q15 shape). The single-row max side keeps its broadcast
+    * hint (a grouping-free aggregate is one row at ANY scale) so the
+    * "subquery" costs one extra stage, not a shuffle; supplier grows
+    * with SF, so its join is AQE's call.
     */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -240,7 +252,7 @@ object Relational {
     val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
     rev
       .join(broadcast(maxRev), col("total_revenue") === col("max_rev"))
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_revenue")
       .orderBy("s_suppkey")
   }
@@ -266,11 +278,12 @@ object Relational {
     val t = Tables(spark, dir)
     val brandParts = t.part.filter(col("p_brand") === "Brand#23").select("p_partkey")
     // prune lineitem to the brand's parts BEFORE the per-part aggregate:
-    // the broadcast semi-filter cuts the aggregate's input (and its
-    // shuffle) ~25× — aggregating quantity stats for parts no one asks
-    // about is pure waste at 100 TB
+    // the semi-filter cuts the aggregate's input (and its shuffle) ~25×
+    // — aggregating quantity stats for parts no one asks about is pure
+    // waste at 100 TB. No forced hint: brandParts is a fixed fraction
+    // of part (which grows with SF); AQE broadcasts it while it fits
     val brandLines = t.lineitem
-      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
     val partAvg = brandLines.groupBy(col("l_partkey").as("ap_partkey"))
       .agg(intAvg(col("l_quantity")).as("avg_qty"))
     // no broadcast hint on partAvg: it is small after the brand filter
@@ -292,7 +305,7 @@ object Relational {
       .filter(col("sum_qty") > 150)
     t.orders
       .join(big, col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("order_date"),
         col("o_totalprice"), col("sum_qty"))
@@ -308,7 +321,7 @@ object Relational {
   def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.lineitem
-      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
           col("l_quantity").between(1, 11)) ||
@@ -477,7 +490,7 @@ object Relational {
       .withColumn("n_late_supp",
         size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
       .filter(col("late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
@@ -543,7 +556,9 @@ object Relational {
     * nation, and ship year. The nation filter lands on BOTH dimension
     * sides before the fact joins (each side pre-restricted to the two
     * nations, the pair condition applied after), so the fact shuffle
-    * carries only the two nations' commerce.
+    * carries only the two nations' commerce. Hints only on the
+    * fixed-25-row nation filters; the supplier/customer mappings grow
+    * with SF, so their joins are AQE's call.
     */
   def q39VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -558,10 +573,10 @@ object Relational {
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     t.lineitem
       .filter(year(col("l_shipdate")).between(1996, 1997))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .join(t.orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast(LongType).as("l_year"))
@@ -574,7 +589,9 @@ object Relational {
     * year. ONE pass: numerator and denominator are conditional
     * fixed-point sums in the same aggregate (decimal addition is
     * order-independent, so the conditional sum is exact), so the
-    * 7-way join tree is built and shuffled once.
+    * 7-way join tree is built and shuffled once. Hints only on
+    * nation/region; the customer/supplier/part derivations all scale
+    * with SF and are left to AQE.
     */
   def q40MarketShare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -588,13 +605,13 @@ object Relational {
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     val base = t.lineitem
-      .join(broadcast(t.part.filter(col("p_type") === "ECONOMY")
-        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t.part.filter(col("p_type") === "ECONOMY")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
       .join(t.orders.filter(year(col("o_orderdate")).between(1996, 1997))
         .select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
     base.groupBy("o_year")
       .agg(

@@ -106,6 +106,43 @@ class PlanSpec extends AnyFunSuite {
       s"no runtime bloom filter in plan:\n$plan")
   }
 
+  test("global sweep: no forced broadcast hint on an SF-scaling table lineage") {
+    // The rule (VERDICT r2 #1): a forced broadcast() bypasses AQE's
+    // runtime size check, so it is only ever legal on a side that is
+    // bounded at EVERY scale factor — region/nation (fixed 5/25 rows)
+    // or a subtree whose cardinality a Limit / grouping-free Aggregate
+    // provably caps (q15's 1-row max, s04's nprobe cells). A hint whose
+    // lineage reaches customer/supplier/part/orders/lineitem without
+    // such a cap is a driver OOM at the 100 TB design point.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scaling = Set("customer", "supplier", "part", "orders", "lineitem")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val analyzed = SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
+      analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      }.flatMap { h =>
+        val leaves = h.child.collectLeaves().flatMap {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation => fs.location.rootPaths.map(_.getName)
+            case _ => Nil
+          }
+          case _ => Nil
+        }
+        val scalingLeaves = leaves.map(_.stripSuffix(".parquet")).filter(scaling)
+        val bounded = h.child.exists {
+          case _: GlobalLimit | _: LocalLimit => true
+          case a: Aggregate if a.groupingExpressions.isEmpty => true
+          case _ => false
+        }
+        if (scalingLeaves.nonEmpty && !bounded) Some(s"$name -> $scalingLeaves")
+        else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcast on SF-scaling lineage without a cardinality cap: $offenders")
+  }
+
   test("global sweep: no accidental cartesian/nested-loop joins in any query") {
     // these intentionally score all pairs (brute-force baselines) or
     // broadcast a tiny side against a non-equi condition:
