@@ -56,6 +56,9 @@ object SparkEntry {
     "s03_knn_join" -> ((s, dir) => Ann.s03KnnJoin(s, dir)),
     "s04_ann_ivf" -> ((s, dir) => Ann.s04AnnIvf(s, dir)),
     "s05_knn_join_lsh" -> ((s, dir) => Ann.s05KnnJoinLsh(s, dir)),
+    "s06_knn_join_ivf" -> ((s, dir) => Ann.s06KnnJoinIvf(s, dir)),
+    "s07_ann_lsh_indexed" -> ((s, dir) => Ann.s07AnnLshIndexedDemo(s, dir)),
+    "s08_ann_ivf_indexed" -> ((s, dir) => Ann.s08AnnIvfIndexedDemo(s, dir)),
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
     "c01_clean_corpus" -> ((s, dir) => Corpus.c01CleanCorpus(s, dir)),
     "c02_mixture_plan" -> ((s, dir) => Corpus.c02MixturePlan(s, dir)),

@@ -70,8 +70,10 @@ object Ann {
     * the query's bucket plus all buckets within Hamming distance 2
     * (1 + n + n(n−1)/2 probes; 37/256 of the space at 8 bits), rank by
     * exact cosine inside the probed buckets. At 100 TB the corpus
-    * bucketing is a one-off write partitioned by signature; each query
-    * then touches ~14% of the data instead of all of it, and the probe
+    * bucketing is a one-off write partitioned by signature — the
+    * materialized form is [[buildLshIndex]]/[[s07AnnLshIndexed]], where
+    * the probe set becomes literal partition filters; each query then
+    * touches ~14% of the data instead of all of it, and the probe
     * radius is the recall/cost dial.
     */
   def s02AnnLsh(spark: SparkSession, dir: String, k: Int = 10,
@@ -179,11 +181,13 @@ object Ann {
     * partitions the corpus into `nlist` cells; a query scores the
     * `nlist` centroids, probes only its best `nprobe` cells, and
     * exact-cosine reranks inside them. At 100 TB the cell assignment is
-    * a one-off write partitioned by `cell` (same posture as s02's
-    * bucket-once); each query then scans ~nprobe/nlist of the corpus
-    * with partition pruning doing the skipping, and `nprobe` is the
-    * recall/cost dial. Cell assignment is a per-row projection through
-    * the native dot kernel — no shuffle, no UDF.
+    * a one-off write partitioned by `cell` — materialized as
+    * [[buildIvfIndex]]/[[s08AnnIvfIndexed]], which persists centroids
+    * beside the celled data and probes via partition pruning; each
+    * query then scans ~nprobe/nlist of the corpus with partition
+    * pruning doing the skipping, and `nprobe` is the recall/cost dial.
+    * Cell assignment is a per-row projection through the native dot
+    * kernel — no shuffle, no UDF.
     */
   def s04AnnIvf(spark: SparkSession, dir: String, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
@@ -205,6 +209,197 @@ object Ann {
         cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // ---------------------------------------------------------------- s05
+
+  // ------------------------------------------------ persisted indexes
+
+  /** The Hamming ≤ 2 probe set of `sig` as driver-side longs — the
+    * literal form of [[hamming2Probes]] for index probes, where the
+    * probe list must reach the reader as partition-filter literals
+    * (that is what makes directory pruning possible). Bit-identical to
+    * the Column form by construction (same flips, same order).
+    */
+  private def hamming2ProbesLocal(sig: Long, nBits: Int): Seq[Long] =
+    (sig +:
+      ((0 until nBits).map(i => sig ^ (1L << i)) ++
+        (for { i <- 0 until nBits - 1; j <- (i + 1) until nBits }
+          yield sig ^ (1L << i) ^ (1L << j)))).distinct
+
+  /** s07 build: persist the SRP-bucketed corpus — the "bucket once"
+    * half of s02's posture (s02 docstring; VERDICT r2 #2). One
+    * map-only signature pass, written hive-partitioned by `sig`, so
+    * every future probe prunes at the directory listing instead of
+    * re-signaturing the corpus. At 100 TB this is the difference
+    * between a one-off full pass and a full pass PER QUERY.
+    */
+  def buildLshIndex(corpus: DataFrame, path: String,
+      nBits: Int = 8, dim: Int = 64): Unit =
+    graft.sources.Writers.writePartitioned(
+      corpus.select(col("vec_id"), col("embedding"),
+        srpSignature(col("embedding"), nBits, dim).as("sig")),
+      path, Seq("sig"))
+
+  /** s07 probe: ANN against a persisted LSH index. The query's
+    * signature is computed in one 1-row job; its Hamming ≤ 2 probe set
+    * expands to literal partition filters, so the scan touches only
+    * the probed `sig=` directories (PartitionFilters — spec-asserted,
+    * including a garbage file planted in an unprobed partition that
+    * pruning must never read). The explicit read schema skips
+    * partition-type inference, keeping `sig` a BIGINT so the probe
+    * literals hit the partition filter without casts.
+    */
+  def s07AnnLshIndexed(spark: SparkSession, indexPath: String,
+      queryVec: Array[Float], k: Int = 10, nBits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val qsig = Seq(queryVec).toDF("embedding")
+      .select(srpSignature(col("embedding"), nBits, dim).as("s"))
+      .head.getLong(0)
+    val probes = hamming2ProbesLocal(qsig, nBits)
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, sig BIGINT")
+      .parquet(indexPath)
+      .filter(col("sig").isin(probes: _*))
+      .select(col("vec_id"),
+        cosineSim4(col("embedding"), typedLit(queryVec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** s08 build: persist the IVF-celled corpus — s04's "cell once"
+    * posture materialized. The corpus is written hive-partitioned by
+    * `cell`; the quantizer's centroids ride beside it (`.centroids`,
+    * nlist rows) because a probe MUST score against the same quantizer
+    * that built the cells — retraining at probe time would assign
+    * queries to cells the data wasn't laid out by.
+    */
+  def buildIvfIndex(corpus: DataFrame, path: String,
+      nlist: Int = 16): Array[Array[Float]] = {
+    val cents = trainCentroids(corpus, nlist)
+    val celled = corpus.select(col("vec_id"), col("embedding"),
+      array_position(centroidScores(col("embedding"), cents),
+        array_max(centroidScores(col("embedding"), cents))).as("cell"))
+    graft.sources.Writers.writePartitioned(celled, path, Seq("cell"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + ".centroids")
+    cents
+  }
+
+  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** s08 probe: ANN against a persisted IVF index. Centroids load as
+    * nlist rows (bounded by construction); the query scores them
+    * driver-side — same ascending-index accumulation as the native dot
+    * kernel, so cell choice matches the inline s04 exactly — and the
+    * best `nprobe` cells become literal partition filters on the
+    * celled corpus. Exact-cosine rerank inside the probed cells.
+    */
+  def s08AnnIvfIndexed(spark: SparkSession, indexPath: String,
+      queryVec: Array[Float], k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(indexPath + ".centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cells = cents
+      .map { case (cell, c) => (cell, dotLocal(queryVec, c)) }
+      .sortBy { case (cell, score) => (-score, cell) }
+      .take(nprobe).map(_._1).toSeq
+    spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT")
+      .parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"),
+        cosineSim4(col("embedding"), typedLit(queryVec)).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** s07 driver query: build-then-probe in one call (the driver's
+    * queries take only (spark, dir)). The index lands in a fresh temp
+    * directory per run — the rows check asserts the probe result,
+    * which must equal the inline s02 (same corpus, same signature
+    * family, same probe set); AnnIndexSpec asserts the equality and
+    * the partition pruning explicitly.
+    */
+  def s07AnnLshIndexedDemo(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_s07")
+      .toString + "/index"
+    buildLshIndex(
+      t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      path)
+    val qv = t.embeddings.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    s07AnnLshIndexed(spark, path, qv, k)
+  }
+
+  /** s08 driver query: build-then-probe, IVF form (see s07 demo). */
+  def s08AnnIvfIndexedDemo(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_s08")
+      .toString + "/index"
+    buildIvfIndex(
+      t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      path)
+    val qv = t.embeddings.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    s08AnnIvfIndexed(spark, path, qv, k)
+  }
+
+  // ---------------------------------------------------------------- s06
+
+  /** s06: IVF k-NN join — the celled counterpart of s05 for query SETS,
+    * and the better recall/cost point when embeddings cluster (cells
+    * adapt to data density; SRP buckets don't). Both sides take the
+    * same quantizer: the corpus its best cell, each query its best
+    * `nprobe` cells (a per-query window over nlist centroid scores —
+    * the scored-queries side is |Q|·nlist rows, never corpus-sized).
+    * The equi-join on `cell` shuffles both sides by cell — each query
+    * meets only ~nprobe/nlist of the corpus — and exact cosine + a
+    * per-query window pick the top k. ANN semantics: recall is
+    * spec-checked against exact s03 on the same data.
+    */
+  def s06KnnJoinIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import graft.functions.F
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") >= nQueries)
+    val cents = trainCentroids(corpus, nlist)
+    val celled = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(F.dotProd(col("embedding"), col("embedding"))).as("cn"),
+      array_position(centroidScores(col("embedding"), cents),
+        array_max(centroidScores(col("embedding"), cents))).as("cell"))
+    val qScored = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("qn"),
+        posexplode(centroidScores(col("embedding"), cents)))
+    val wCell = Window.partitionBy("query_id")
+      .orderBy(col("col").desc, col("pos"))
+    val qcells = qScored
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        (col("pos") + 1).cast(LongType).as("pcell"))
+    val scored = celled.join(qcells, col("cell") === col("pcell"))
+      .select(col("query_id"), col("vec_id"),
+        F.cosineSim4Pre(col("embedding"), col("cn"), col("qv"), col("qn"))
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .orderBy("query_id", "rank")
   }
 
   // ---------------------------------------------------------------- s05
