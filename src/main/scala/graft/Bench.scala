@@ -21,9 +21,16 @@ object Bench {
     def run(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // JVM/codegen warm-up outside the timed region, so the first query
-    // in map order doesn't absorb ~5s of JIT + classloading
-    try SparkEntry.queries.headOption.foreach(q => run(q._2))
-    catch { case _: Throwable => () }
+    // in map order doesn't absorb ~5s of JIT + classloading. A warm-up
+    // failure is logged by query name (a broken head query must not
+    // hide here) — the timed run still reports it in `failed`.
+    SparkEntry.queries.headOption.foreach { case (name, fn) =>
+      try run(fn)
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] warm-up query '$name' failed: $t")
+      }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case _: Throwable => false }

