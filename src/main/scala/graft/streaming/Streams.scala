@@ -129,50 +129,106 @@ object Streams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** st07: streaming upsert sink — foreachBatch → latest-per-key MERGE
-    * into a parquet lake with an atomic staging+rename publish per
-    * micro-batch. This is CDC materialization onto a format with no
-    * transactional upsert of its own: each batch reduces to one row
+    * into a parquet lake partitioned by a key prefix
+    * (`part = pmod(user_id, nParts)`), rewriting ONLY the partitions
+    * the batch touches. This is CDC materialization onto a format with
+    * no transactional upsert of its own: each batch reduces to one row
     * per key (latest by event time, id as tiebreak), merges against
-    * the currently-published table, and swaps; a crash between batches
-    * leaves the previous consistent version readable. Exactly-once
-    * per key follows from the merge being idempotent — a replayed
-    * batch upserts identical rows. The per-batch cost is one key
-    * shuffle over table ∪ batch; at scale, key-prefix partitioning
-    * confines the rewrite to affected partitions.
+    * the published rows of its own partitions, and swaps those
+    * partition directories — per-batch I/O is O(touched partitions),
+    * not O(table), which is what keeps a long-lived sink from
+    * degrading quadratically in stream length. Exactly-once per key
+    * follows from the merge being idempotent: a replayed batch upserts
+    * identical rows.
+    *
+    * Durability is per partition: each touched `part=K` moves aside to
+    * `<path>.prev/part=K` before its staged replacement promotes, so a
+    * crash mid-swap leaves every partition either at its old or its
+    * new version, with the displaced version recoverable — per-key
+    * (= per-partition) consistency holds even though cross-partition
+    * atomicity is, by design, only per-batch-replay. External readers
+    * of `<path>` never see staging or prev (both live outside the
+    * table root). At 100 TB, `nParts` sizes the rewrite unit: pick it
+    * so one partition ≈ a few GB, and a batch touching few keys
+    * rewrites a few GB, not the lake.
     */
   def st07UpsertSink(events: Dataset[Event], path: String,
-      checkpointDir: String)
+      checkpointDir: String, nParts: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Update)
       .foreachBatch { (batch: Dataset[Event], _: Long) =>
-        val spark = batch.sparkSession
-        import org.apache.spark.sql.expressions.Window
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // crash recovery: publish renames the old table to <path>.prev
-        // before promoting staging; a crash in that window leaves no
-        // <path> but a complete <path>.prev — recover from it instead
-        // of silently restarting from an empty table
-        val current =
-          if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-            spark.read.parquet(path)
-          else if (fs.exists(new org.apache.hadoop.fs.Path(path + ".prev")))
-            spark.read.parquet(path + ".prev")
-          else batch.toDF().limit(0)
-        // latest-per-key must hold ACROSS batches: union the published
-        // state with the batch and re-take the event-time maximum, so a
-        // late (older) event in a later batch can never regress a key
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        val merged = current.unionByName(batch.toDF())
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
-        graft.operators.Merge.publish(merged, path)
-        ()
+        upsertBatchPartitioned(batch.toDF(), path, nParts)
       }
       .start()
+  }
+
+  /** One micro-batch of the partition-confined upsert (st07's body,
+    * callable directly for crash-recovery tests and batch backfills).
+    */
+  private[streaming] def upsertBatchPartitioned(batch: DataFrame,
+      path: String, nParts: Int): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    val b = batch.withColumn("part", pmod(col("user_id"), lit(nParts.toLong)))
+    // bounded collect: ≤ nParts values by construction
+    val touched = b.select("part").distinct().collect()
+      .map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+
+    // published rows of ONLY the touched partitions, crash-recovered
+    // per partition: a dir caught mid-swap leaves a complete
+    // <path>.prev/part=K — read that instead of silently dropping keys
+    val sources = touched.flatMap { k =>
+      val live = p(s"$path/part=$k")
+      val prev = p(s"$path.prev/part=$k")
+      if (fs.exists(live)) Some(live.toString)
+      else if (fs.exists(prev)) Some(prev.toString)
+      else None
+    }
+    val current =
+      if (sources.isEmpty) b.drop("part").limit(0)
+      else spark.read.parquet(sources.toSeq: _*)
+
+    // latest-per-key must hold ACROSS batches: union the published
+    // partition state with the batch and re-take the event-time
+    // maximum, so a late (older) event can never regress a key. The
+    // window's partition key implies the directory partition, so no
+    // extra shuffle is introduced by re-deriving `part`.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val merged = current.unionByName(b.drop("part"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("part", pmod(col("user_id"), lit(nParts.toLong)))
+
+    val staging = p(s"$path.staging")
+    fs.delete(staging, true)
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("part").parquet(staging.toString)
+
+    // swap each touched partition: live aside, staged in, aside dropped
+    fs.mkdirs(p(path))
+    fs.mkdirs(p(s"$path.prev"))
+    touched.foreach { k =>
+      val live = p(s"$path/part=$k")
+      val prev = p(s"$path.prev/part=$k")
+      val staged = p(s"$staging/part=$k")
+      fs.delete(prev, true)
+      if (fs.exists(live) && !fs.rename(live, prev))
+        throw new java.io.IOException(s"st07 publish: cannot move $live aside")
+      if (!fs.exists(staged) || !fs.rename(staged, live)) {
+        if (fs.exists(prev)) fs.rename(prev, live)
+        throw new java.io.IOException(s"st07 publish: cannot promote $staged")
+      }
+      fs.delete(prev, true)
+    }
+    fs.delete(staging, true)
   }
 
   /** st06: stream-stream interval join — attribute each right-stream

@@ -162,6 +162,80 @@ class StreamsSpec extends AnyFunSuite {
     assert(v2 == Map(1L -> ("D", 40.0), 2L -> ("C", 30.0), 3L -> ("E", 50.0)))
   }
 
+  test("st07 rewrites only the partitions a batch touches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st07p")
+    val path = dir.resolve("users").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[Event](spark)
+    val q = st07UpsertSink(input.toDS(), path, ckpt, nParts = 8)
+    // batch 1: users 1, 2, 3 → partitions 1, 2, 3
+    input.addData(
+      Event(1, ts(1), 1, "A", 10.0), Event(2, ts(2), 2, "B", 20.0),
+      Event(3, ts(3), 3, "C", 30.0))
+    q.processAllAvailable()
+
+    def snapshot(part: Long): Map[String, (Long, Long)] = {
+      val d = java.nio.file.Paths.get(path, s"part=$part")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    }
+    val before1 = snapshot(1)
+    val before3 = snapshot(3)
+    val tableBytes = Seq(1L, 2L, 3L)
+      .flatMap(k => snapshot(k).values.map(_._1)).sum
+
+    // batch 2 touches ONLY user 2 → partition 2
+    val (_, m) = graft.Instrument.measure(spark) {
+      input.addData(Event(4, ts(9), 2, "D", 40.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // untouched partitions: bit-identical files (same names/sizes/mtimes)
+    assert(snapshot(1) == before1, "partition 1 was rewritten")
+    assert(snapshot(3) == before3, "partition 3 was rewritten")
+    assert(snapshot(2) != Map.empty && snapshot(2).nonEmpty)
+    // x11 byte accounting: the batch read less than the whole table
+    // (a full-table merge would read every partition plus the batch)
+    assert(m.inputReadBytes < tableBytes,
+      s"batch read ${m.inputReadBytes} bytes >= table $tableBytes — not partition-confined")
+    // cross-batch latest-per-key still holds
+    val v = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    assert(v == Map(1L -> ("A", 10.0), 2L -> ("D", 40.0), 3L -> ("C", 30.0)))
+  }
+
+  test("st07 recovers a partition caught mid-swap from its prev version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st07r")
+    val path = dir.resolve("users").toString
+    Streams.upsertBatchPartitioned(
+      Seq(Event(1, ts(1), 1, "A", 10.0), Event(2, ts(2), 2, "B", 20.0))
+        .toDF(), path, nParts = 8)
+    // simulate a crash between "live moved aside" and "staged promoted":
+    // part=1 exists only as <path>.prev/part=1
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".prev"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/part=1"),
+      new org.apache.hadoop.fs.Path(s"$path.prev/part=1")))
+    // the next batch touching partition 1 must see user 1's old row
+    // (so a late event cannot regress it) and republish the partition
+    Streams.upsertBatchPartitioned(
+      Seq(Event(3, ts(0), 1, "LATE", 99.0)).toDF(), path, nParts = 8)
+    val v = spark.read.parquet(path).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    assert(v == Map(1L -> ("A", 10.0), 2L -> ("B", 20.0)))
+  }
+
   test("st06 stream-stream join attributes clicks within the horizon only") {
     import spark.implicits._
     val imps = MemoryStream[Event](spark)
