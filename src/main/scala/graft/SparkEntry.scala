@@ -45,8 +45,8 @@ object SparkEntry {
     "t02_quality_score" -> (TextOps.t02QualityScore(_, _)),
     "t03_lang_id" -> (TextOps.t03LangId(_, _)),
     "d01_dedup_exact" -> (Dedup.d01DedupExact(_, _)),
-    "d02_dedup_minhash" -> ((s, dir) => Dedup.d02DedupMinhash(s, dir)),
-    "d03_dedup_simhash" -> ((s, dir) => Dedup.d03DedupSimhash(s, dir)),
+    "d02_dedup_minhash" -> ((s, dir) => Dedup.d02DedupMinhashDemo(s, dir)),
+    "d03_dedup_simhash" -> ((s, dir) => Dedup.d03DedupSimhashDemo(s, dir)),
     "d04_ngram_jaccard" -> ((s, dir) => Dedup.d04NgramJaccard(s, dir)),
     "d05_embed_neardup" -> ((s, dir) => Dedup.d05EmbedNeardup(s, dir)),
     "d06_embed_neardup_lsh" -> ((s, dir) => Dedup.d06EmbedNeardupDemo(s, dir)),

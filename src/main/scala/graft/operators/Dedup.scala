@@ -193,11 +193,16 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming.
     */
   def d03DedupSimhash(spark: SparkSession, dir: String,
-      maxHamming: Int = 3): DataFrame = {
-    val t = Tables(spark, dir)
+      maxHamming: Int = 3): DataFrame =
+    d03PairsOver(Tables(spark, dir).documents, maxHamming)
+
+  /** d03 over an arbitrary (doc_id, text) DataFrame (same contract as
+    * [[d02PairsOver]]).
+    */
+  def d03PairsOver(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // no cache: the band self-join's sides are canonically identical →
     // one shuffle + ReusedExchange, nothing pinned across queries
-    val sigs = t.documents
+    val sigs = docs
       .select(col("doc_id"), graft.functions.F.simhash64(col("text")).as("sh64"))
     val bnd = sigs.select(col("doc_id"), col("sh64"), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
@@ -215,6 +220,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  // ---------------------------------------------- planted-pair demos
+
+  /** Doc-unique token tagging: every token of `text` gets a doc-id
+    * suffix, so no shingle (and no SimHash token vote) can ever match
+    * across documents — the demo corpus has cross-document similarity
+    * exactly 0 at ANY scale factor. Against that zero background, a
+    * perturbed copy of each document is planted (id + 1e6, one token
+    * appended — which adds exactly one shingle, so the pair's Jaccard
+    * is m/(m+1) for a doc with m shingles), and the expected answer is
+    * exactly the planted (id, id+1e6) pairs: the rows check asserts a
+    * KNOWN answer instead of a stable count (d06's demo pattern,
+    * VERDICT r2 #6). The raw corpus can't serve this purpose — its
+    * natural near-dup similarity reaches 1.0 at sf0.1, inseparable
+    * from any planted signal.
+    */
+  private def tagTokens(text: Column, id: Column): Column =
+    array_join(
+      transform(split(text, " "), t => concat(t, lit("_"), id)), " ")
+
+  /** The tagged demo corpus: originals ∪ one perturbed copy each. */
+  private[operators] def plantedTextCorpus(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      tagTokens(col("text"), col("doc_id")).as("text"))
+    base.union(base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" plantedtail")).as("text")))
+  }
+
+  /** d02 driver query: MinHash+LSH over the planted corpus — expected
+    * output is exactly the (id, id+1e6) pairs whose exact Jaccard
+    * m/(m+1) clears the threshold (spec-asserted pair-for-pair).
+    */
+  def d02DedupMinhashDemo(spark: SparkSession, dir: String,
+      shingleK: Int = 5, threshold: Double = 0.7): DataFrame =
+    d02PairsOver(plantedTextCorpus(Tables(spark, dir).documents),
+      shingleK, threshold)
+
+  /** d03 driver query: SimHash banding over the planted corpus —
+    * expected output is exactly the planted pairs within `maxHamming`
+    * (banding is pigeonhole-exact at ≤ 3, so the spec derives the
+    * expected set from the signatures directly and asserts equality).
+    */
+  def d03DedupSimhashDemo(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    d03PairsOver(plantedTextCorpus(Tables(spark, dir).documents),
+      maxHamming)
 
   // ---------------------------------------------------------------- d04
 

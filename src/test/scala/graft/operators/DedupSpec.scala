@@ -42,6 +42,46 @@ class DedupSpec extends AnyFunSuite {
     assert(banded.nonEmpty)
   }
 
+  test("d02 planted-pair demo finds exactly the planted pairs (known answer)") {
+    val corpus = Dedup.plantedTextCorpus(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    // expected set computed WITHOUT LSH: each planted pair's exact
+    // Jaccard from the shingle sets directly; tagging guarantees no
+    // cross-document pair can exist at all
+    val sh = Dedup.docShingleHashes(corpus, 5)
+    val expected = sh.as("a")
+      .join(sh.as("b"), col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(col("a.doc_id").as("da"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .filter(col("j") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val got = Dedup.d02DedupMinhashDemo(spark, dir).collect()
+    assert(got.forall(r => r.getLong(1) == r.getLong(0) + 1000000L),
+      "a non-planted pair surfaced — token tagging failed")
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(expected.size >= 400, s"demo near-vacuous: ${expected.size} pairs")
+  }
+
+  test("d03 planted-pair demo: banding finds exactly the <=3-Hamming planted pairs") {
+    val corpus = Dedup.plantedTextCorpus(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val sigs = corpus.select(col("doc_id"),
+      graft.functions.F.simhash64(col("text")).as("s"))
+    val expected = sigs.as("a")
+      .join(sigs.as("b"), col("b.doc_id") === col("a.doc_id") + 1000000L)
+      .select(col("a.doc_id").as("da"),
+        bit_count(col("a.s").bitwiseXOR(col("b.s"))).as("h"))
+      .filter(col("h") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val got = Dedup.d03DedupSimhashDemo(spark, dir).collect()
+    assert(got.forall(r => r.getLong(1) == r.getLong(0) + 1000000L),
+      "a non-planted pair surfaced — cross-doc SimHash collision")
+    // banding is pigeonhole-exact at Hamming <= 3: equality, not recall
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("d01 exact dedup keeps one row per distinct text") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val nDistinct = docs.select("text").distinct().count()
