@@ -72,6 +72,35 @@ object PagedSource {
     def listPage(dirId: String, token: Option[String]): Page
     /** Open the content stream of a file item (for the copy executor). */
     def open(fileId: String): InputStream
+
+    /** Resolve a human-readable root — "site/library/folder" — to the
+      * opaque dirId that [[pagedCatalog]] starts from. This is the
+      * reference's entry step (ref py:52-66 resolves a site name to its
+      * id, py:156-197 locates the document library and target folder by
+      * display name) which callers otherwise hand-write before every
+      * walk. The default pages through each level's listing matching
+      * directory names segment by segment — correct against any
+      * fetcher, O(path depth) listings, driver-side (it runs once per
+      * job, before the distributed walk). Endpoints with a direct
+      * resolver (Graph's `/sites/{host}:/{path}`) should override.
+      */
+    def resolveRoot(name: String): String = {
+      var cur = ""
+      name.split("/").filter(_.nonEmpty).foreach { seg =>
+        var token: Option[String] = None
+        var first = true
+        var found: Option[String] = None
+        while ((first || token.nonEmpty) && found.isEmpty) {
+          first = false
+          val p = listPage(cur, token)
+          found = p.items.find(it => it.isDir && it.name == seg).map(_.id)
+          token = p.nextToken
+        }
+        cur = found.getOrElse(throw new FileNotFoundException(
+          s"resolveRoot: no directory '$seg' under '$cur' (resolving '$name')"))
+      }
+      cur
+    }
   }
 
   /** HTTP 429/503 with the server's Retry-After, if any. */
@@ -193,6 +222,16 @@ object PagedSource {
     }
     spark.createDataset(spark.sparkContext.union(levels.toSeq))
   }
+
+  /** f07 by name: resolve a human-readable root path first (the
+    * reference's site→drive→folder preamble), then walk from its id.
+    */
+  def pagedCatalogByName(spark: SparkSession, fetcher: PageFetcher,
+      rootName: String, maxRetries: Int = 4, baseBackoffMs: Long = 100,
+      permitsPerSec: Double = 0): Dataset[FileEntry] =
+    pagedCatalog(spark, fetcher,
+      withRetry(maxRetries, baseBackoffMs)(fetcher.resolveRoot(rootName)),
+      maxRetries, baseBackoffMs, permitsPerSec)
 
   /** f08: distributed copy from a paged source — the REST analogue of
     * f02 distCopy (ref py:284-305 download loop, one file at a time,

@@ -99,6 +99,31 @@ class PagedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveRoot maps a human-readable path to the walk's rootId") {
+    // synthetic endpoint: display names ("dir3") differ from ids ("d3"),
+    // so the resolution is a genuine name→id mapping, paged (pageSize 3
+    // forces the name-walk across pages)
+    val f = PagedSource.SyntheticFetcher(dirs = 8, filesPerDir = 25, pageSize = 3)
+    assert(f.resolveRoot("dir5") == "d5")
+    assert(f.resolveRoot("") == "")
+    val m = PagedSource.pagedCatalogByName(spark, f, "dir5").collect()
+    assert(m.length == 25)
+    assert(m.forall(e => e.path.startsWith("d5/")))
+    intercept[java.io.FileNotFoundException](f.resolveRoot("nope"))
+  }
+
+  test("resolveRoot works over live HTTP, absorbing injected 429s") {
+    withServer() { (base, _, throttled) =>
+      val fetcher = new PagedSource.HttpJsonFetcher(base)
+      val m = PagedSource.pagedCatalogByName(spark, fetcher, "sub1",
+        maxRetries = 8, baseBackoffMs = 1).collect()
+      assert(m.length == 5, s"got ${m.map(_.rel_path).toSeq.sorted}")
+      assert(m.map(_.name).toSet ==
+        Set("a.txt", "b.txt", "c.txt", "d.txt", "e.txt"))
+      assert(throttled.get() > 0, "throttling never fired — test weakened")
+    }
+  }
+
   test("f07 retries are bounded: a hard-throttled endpoint fails, not hangs") {
     withServer(throttleEvery = 1) { (base, _, _) =>
       val fetcher = new PagedSource.HttpJsonFetcher(base)
