@@ -369,6 +369,29 @@ object Oracles {
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
+    "t07_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |            CAST(count(*) AS BIGINT) AS n_distinct,
+        |            max(c) AS top_tok
+        |          FROM tc GROUP BY 1),
+        |grams AS (SELECT doc_id,
+        |            unnest(list_transform(range(1, len(w)),
+        |              i -> w[i] || ' ' || w[i+1])) AS g
+        |          FROM toks WHERE len(w) >= 2),
+        |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+        |gstat AS (SELECT doc_id, max(c) AS top_gram, sum(c) AS n_grams
+        |          FROM gc GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens,
+        |  round(1 - CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS dup_tok_ratio,
+        |  round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_tok_ratio,
+        |  round(coalesce(CAST(top_gram AS DOUBLE) / n_grams, 0.0), 4)
+        |    AS top_2gram_ratio
+        |FROM tstat t LEFT JOIN gstat USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "d01_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents

@@ -84,6 +84,7 @@ object SparkEntry {
     "q42_retention" -> (Relational.q42Retention(_, _)),
     "q43_purchase_cadence" -> (Relational.q43PurchaseCadence(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
+    "t07_repetition" -> (TextOps.t07Repetition(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

@@ -10,12 +10,15 @@ import graft.functions.F.cosineSim4
 import graft.functions.VectorOps._
 
 /** Approximate-nearest-neighbor search over embedding columns
-  * (SURVEY.md §2.C, s01–s03).
+  * (SURVEY.md §2.C, s01–s08).
   *
-  * s01 is the exact brute-force baseline; s02 is the random-hyperplane
-  * LSH path that survives 100 TB (bucket the corpus once, probe only
-  * matching buckets); s03 generalizes to a k-NN join of a query set
-  * against the corpus.
+  * s01 is the exact brute-force baseline; s02/s04 are the
+  * random-hyperplane-LSH and IVF probe paths; s03 the exact k-NN join
+  * with s05 (LSH) and s06 (IVF) as its bucketed scale forms; s07/s08
+  * materialize the bucket-once posture — the corpus persisted
+  * partitioned by signature/cell, probes pruning at the directory
+  * listing — so a static 100 TB corpus pays the signature/cell pass
+  * once, not per query.
   */
 object Ann {
 

@@ -44,4 +44,20 @@ object Sampling {
     val v = ((trainFrac + valFrac) * Buckets).toLong
     (df.filter(h < t), df.filter(h >= t && h < v), df.filter(h >= v))
   }
+
+  /** x16: deterministic corpus shuffle — the global example-order
+    * permutation every training run needs. Ordering by a seeded hash
+    * of the key is a fixed pseudo-random permutation: seed-sensitive,
+    * layout-independent (same order on any cluster or partitioning),
+    * and reproducible a year later — none of which holds for
+    * `orderBy(rand())`. The key tiebreak makes it total even under
+    * hash collisions. Physically this is one range-partitioned sort —
+    * the same cost class as any global sort Spark plans, and the
+    * sorted write doubles as the x09-style layout pass; downstream
+    * trainers read partitions in filename order and see the
+    * permutation without any further shuffle.
+    */
+  def shuffleDeterministic(df: DataFrame, keyCol: Column,
+      seed: Long): DataFrame =
+    df.orderBy(xxhash64(lit(seed), keyCol), keyCol)
 }

@@ -136,6 +136,51 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t07: intra-document repetition scoring — the Gopher-family
+    * quality rule that length/stopword ratios (t02) can't see: a
+    * boilerplate or looping document repeats itself. Three signals per
+    * document: duplicate-token fraction (1 − distinct/total), the most
+    * frequent token's share, and the most frequent word-2-gram's
+    * share. Token multiplicities come from one explode + two
+    * doc-keyed aggregations (shuffles on doc_id — linear at any
+    * corpus size, no pairwise anything); all ratios are exact-integer
+    * divisions rounded once, so the oracle replays them bit-exactly.
+    */
+  def t07Repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOver(Tables(spark, dir).documents)
+
+  /** t07 over any (doc_id, text) DataFrame (spec + pipeline reuse). */
+  def repetitionOver(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(wsTokens).as(Seq("pos", "tok")))
+    // per-token and per-2gram multiplicities, reduced per doc
+    val tokCounts = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_tok"))
+    // single-token docs have no 2-grams (guard: sequence(0, n-2) would
+    // otherwise run DESCENDING for n=1 and fabricate windows)
+    val grams = docs.filter(size(wsTokens) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(wsTokens) - 2),
+          i => concat_ws(" ", slice(wsTokens, i + lit(1), lit(2))))).as("g"))
+    val gramCounts = grams.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_gram"), sum(col("c")).as("n_grams"))
+    tokCounts.join(gramCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 4)
+          .as("dup_tok_ratio"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 4)
+          .as("top_tok_ratio"),
+        round(coalesce(col("top_gram").cast("double") / col("n_grams"),
+          lit(0.0)), 4).as("top_2gram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))

@@ -50,4 +50,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(ids.distinct.length == n)
     assert(a.toDouble / n > 0.6 && a.toDouble / n < 0.8)
   }
+
+  test("x16 deterministic shuffle is a reproducible, seed-sensitive permutation") {
+    val t = graft.Tables(spark, dir)
+    val docs = t.documents.select("doc_id")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Sampling.shuffleDeterministic(df, col("doc_id"), seed)
+        .collect().map(_.getLong(0)).toSeq
+    val a = order(docs, 42L)
+    // permutation: same multiset, different order than the identity
+    assert(a.sorted == docs.collect().map(_.getLong(0)).toSeq.sorted)
+    assert(a != a.sorted, "hash order degenerated to the identity")
+    // reproducible across runs AND physical layouts
+    assert(order(docs, 42L) == a)
+    assert(order(docs.repartition(17), 42L) == a)
+    // seed-sensitive
+    assert(order(docs, 43L) != a)
+  }
 }

@@ -39,4 +39,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(t1 == t2)
     assert(t1.nonEmpty)
   }
+
+  test("t07 repetition scores match hand-computed values on planted docs") {
+    import spark.implicits._
+    // "a a a b" -> 4 tokens, 2 distinct, top tok 'a' x3;
+    // 2-grams: "a a","a a","a b" -> top gram 2/3
+    val docs = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionOver(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((4L, 0.5, 0.75, round4(2.0 / 3))))
+    assert(out(2L) == ((3L, 0.0, round4(1.0 / 3), 0.5)))
+    assert(out(3L) == ((1L, 0.0, 1.0, 0.0)))
+  }
+
+  private def round4(x: Double): Double = math.rint(x * 10000) / 10000
 }
