@@ -64,6 +64,7 @@ object SparkEntry {
     "c02_mixture_plan" -> ((s, dir) => Corpus.c02MixturePlan(s, dir)),
     "c03_contamination" -> ((s, dir) => Corpus.c03Contamination(s, dir)),
     "c04_redact_pii" -> ((s, dir) => Corpus.c04RedactPii(s, dir)),
+    "c05_mixture_build" -> ((s, dir) => Corpus.c05MixtureBuild(s, dir)),
     "t05_vocab_topk" -> ((s, dir) => TextOps.t05VocabTopK(s, dir)),
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
     "m02_frame_sample" -> ((s, dir) => Multimodal.m02FrameSample(s, dir)),

@@ -103,6 +103,34 @@ object Corpus {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- c05
+
+  /** c05: materialize the training mixture — the composition c02's
+    * plan exists for. Per-source sampling rates (c02) feed the
+    * deterministic stratified hash-sample (x06), and the survivors get
+    * the seeded global shuffle (x16) that fixes the example order a
+    * trainer will consume. Everything is layout-independent and
+    * reproducible: same corpus + target + seed → byte-identical
+    * mixture and order on any cluster, today or in a year — which is
+    * what makes a 100 TB dataset build auditable. The rates collect is
+    * bounded by |sources| (a handful of rows, same class as IVF's
+    * centroid load); the sample is a shuffle-free filter; the shuffle
+    * is one range-partitioned sort.
+    */
+  def c05MixtureBuild(spark: SparkSession, dir: String,
+      targetTokens: Long = 100000L, seed: Long = 42L): DataFrame = {
+    val t = Tables(spark, dir)
+    val rates = c02MixturePlan(spark, dir, targetTokens)
+      .select("source", "sample_rate").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sampled = Sampling.stratifiedSample(
+      t.documents, col("doc_id"), col("source"), rates, defaultRate = 0.0)
+    Sampling.shuffleDeterministic(
+      sampled.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      col("doc_id"), seed)
+  }
+
   // ---------------------------------------------------------------- c04
 
   /** c04: PII redaction — regex scrub of emails/SSN-shaped tokens with

@@ -86,4 +86,34 @@ class CorpusSpec extends AnyFunSuite {
     // this corpus: ~25 near-dup losers + any short docs
     assert(kept >= total - 50 && kept < total)
   }
+
+  test("c05 mixture build is a reproducible sample in the planned proportions") {
+    import org.apache.spark.sql.functions._
+    val out = Corpus.c05MixtureBuild(spark, dir).collect()
+    assert(out.nonEmpty)
+    // reproducible: same inputs, same seed -> identical example ORDER
+    val again = Corpus.c05MixtureBuild(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // every kept doc passes its source's hash gate (subset-of-corpus +
+    // the gate recomputed independently of the operator)
+    val rates = Corpus.c02MixturePlan(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("sample_rate")).toMap
+    val gate = graft.Tables(spark, dir).documents
+      .filter(pmod(xxhash64(col("doc_id")), lit(1L << 20)) <
+        rates.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("source") === k, lit(v)).otherwise(acc)
+        }.multiply(lit(1L << 20)).cast("long"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == gate)
+    // proportions: each source's sampled token mass is near the equal
+    // share the plan targeted (hash sampling is exact only in expectation)
+    val bySource = out.groupBy(_.getString(1))
+      .map { case (src, rows) => src -> rows.map(_.getLong(2)).sum }
+    val target = 100000.0 / rates.size
+    bySource.foreach { case (src, toks) =>
+      if (rates(src) < 1.0) // uncapped sources should land near the share
+        assert(toks > target * 0.5 && toks < target * 1.6,
+          s"$src sampled $toks tokens vs target $target")
+    }
+  }
 }
