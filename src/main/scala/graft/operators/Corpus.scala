@@ -117,8 +117,11 @@ object Corpus {
     * centroid load); the sample is a shuffle-free filter; the shuffle
     * is one range-partitioned sort.
     */
+  // default target sized BELOW the sf0.01 corpus mass (~27k tokens)
+  // so the demo's rates land under 1.0 and the sample is a genuine
+  // subset, not the capped identity
   def c05MixtureBuild(spark: SparkSession, dir: String,
-      targetTokens: Long = 100000L, seed: Long = 42L): DataFrame = {
+      targetTokens: Long = 12000L, seed: Long = 42L): DataFrame = {
     val t = Tables(spark, dir)
     val rates = c02MixturePlan(spark, dir, targetTokens)
       .select("source", "sample_rate").collect()
