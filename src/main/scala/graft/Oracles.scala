@@ -369,6 +369,23 @@ object Oracles {
         |  FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
+    "q44_no_order_rich" ->
+      """WITH pool AS (SELECT * FROM customer WHERE c_nationkey < 13),
+        |thr AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s,
+        |               COUNT(*) AS n
+        |        FROM pool WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  COUNT(*) AS n_cust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+        |       AS DOUBLE) AS total_bal
+        |FROM pool, thr
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = pool.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
     "t07_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),

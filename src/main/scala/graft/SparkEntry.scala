@@ -68,6 +68,7 @@ object SparkEntry {
     "t05_vocab_topk" -> ((s, dir) => TextOps.t05VocabTopK(s, dir)),
     "m01_multimodal" -> (Multimodal.m01Multimodal(_, _)),
     "m02_frame_sample" -> ((s, dir) => Multimodal.m02FrameSample(s, dir)),
+    "m03_audio_windows" -> ((s, dir) => Multimodal.m03AudioWindows(s, dir)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
     "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
     "q30_range_join" -> (RangeJoin.q30RangeJoin(_, _)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "q41_funnel" -> (Relational.q41Funnel(_, _)),
     "q42_retention" -> (Relational.q42Retention(_, _)),
     "q43_purchase_cadence" -> (Relational.q43PurchaseCadence(_, _)),
+    "q44_no_order_rich" -> (Relational.q44NoOrderRich(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     "t07_repetition" -> (TextOps.t07Repetition(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)

@@ -114,6 +114,61 @@ object Multimodal {
     out
   }
 
+  /** One audio analysis window (what a real PCM featurizer emits). */
+  final case class AudioWindow(
+      doc_id: Long, win_idx: Int, n_windows: Int, energy: Double)
+
+  /** STUB energy: RMS over the window's bytes centered at 128 — the
+    * stand-in for decode-to-PCM + a spectral feature. Swapping in a
+    * codec changes only this function.
+    */
+  def stubEnergy(window: Array[Byte]): Double = {
+    if (window.isEmpty) return 0.0
+    var s = 0.0
+    var i = 0
+    while (i < window.length) {
+      val v = (window(i) & 0xff) - 128.0
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s / window.length)
+  }
+
+  /** m03: overlapping-window audio featurization — the spectrogram-
+    * frame contract m02's stride sampling doesn't cover: windows of
+    * `windowBytes` advance by `hopBytes` (overlapping when
+    * hop < window, the standard STFT shape), each yielding one
+    * feature row. Same batch discipline as m01/m02: flatMap-shaped
+    * mapPartitions, per-partition decoder amortization, streaming
+    * iterators, no driver hop; the ~window/hop× row expansion happens
+    * executor-side and flows straight into whatever aggregation
+    * follows.
+    */
+  def m03AudioWindows(spark: SparkSession, dir: String,
+      windowBytes: Int = 512, hopBytes: Int = 256): DataFrame = {
+    require(hopBytes > 0 && windowBytes > 0, "window/hop must be positive")
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val starts = (0 until math.max(payload.length, 1) by hopBytes)
+          val n = starts.length
+          starts.iterator.zipWithIndex.map { case (start, w) =>
+            val window = java.util.Arrays.copyOfRange(payload,
+              start, math.min(start + windowBytes, payload.length))
+            AudioWindow(id, w, n, stubEnergy(window))
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("win_idx"), col("n_windows"),
+        round(col("energy"), 4).as("energy"))
+      .orderBy("doc_id", "win_idx")
+  }
+
   /** m02: frame-sample + resize over video payloads. A payload is
     * treated as a sequence of fixed-`frameBytes` frames; every
     * `stride`-th frame is sampled and resized to `outRes` values. The

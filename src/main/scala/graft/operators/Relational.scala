@@ -722,6 +722,36 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q44: "rich customers with no orders" (TPC-H Q22 shape) —
+    * customers in a nation subset whose balance exceeds the average
+    * POSITIVE balance of that subset and who placed no orders, rolled
+    * up per nation. The scalar "avg" subquery is decorrelated into a
+    * 1-row (sum, count) aggregate, and the threshold compare is
+    * cross-multiplied (c·n > S ⟺ c > S/n for n > 0) so no division
+    * ever happens — the compare is exact decimal arithmetic, bit-
+    * identical in any engine and partition order. The 1-row threshold
+    * side keeps its broadcast hint (a grouping-free aggregate is
+    * bounded at ANY scale — the one inequality join is a 1×N
+    * nested-loop, which is why q44 sits in PlanSpec's NLJ allowlist);
+    * the anti-join probes orders once. Q22's "no orders at all" is
+    * vacuously empty in this data (every customer orders — the q14
+    * lesson), so the anti-join targets very-large orders instead.
+    */
+  def q44NoOrderRich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pool = t.customer.filter(col("c_nationkey") < 13)
+    val thr = pool.filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+    pool
+      .crossJoin(broadcast(thr))
+      .filter(dec(col("c_acctbal")) * col("n") > col("s"))
+      .join(t.orders.filter(col("o_totalprice") > 400000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast(LongType).as("nation"))
+      .agg(count(lit(1)).as("n_cust"), decSum(col("c_acctbal")).as("total_bal"))
+      .orderBy("nation")
+  }
+
   /** q37: rolling time-range window — each event's trailing-hour count
     * and value sum for its user, via RANGE BETWEEN on event-time
     * seconds. RANGE (not ROWS) frames make timestamp peers aggregate

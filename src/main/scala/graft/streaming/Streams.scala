@@ -150,7 +150,11 @@ object Streams {
     * of `<path>` never see staging or prev (both live outside the
     * table root). At 100 TB, `nParts` sizes the rewrite unit: pick it
     * so one partition ≈ a few GB, and a batch touching few keys
-    * rewrites a few GB, not the lake.
+    * rewrites a few GB, not the lake. `nParts` is part of the table's
+    * on-disk identity — changing it re-homes keys to different
+    * partitions and strands the rows merged under the old layout, so
+    * resizing requires a one-off full rewrite (read → repartition by
+    * the new prefix → publish), never a config flip.
     */
   def st07UpsertSink(events: Dataset[Event], path: String,
       checkpointDir: String, nParts: Int = 16)

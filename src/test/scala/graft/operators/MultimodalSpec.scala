@@ -68,4 +68,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(short.length == 4 && short(0) == 100.0f && short.drop(1).forall(_ == 0f))
     assert(Multimodal.stubResize(Array.empty[Byte], 4).forall(_ == 0f))
   }
+
+  test("m03 windows overlap at the hop and account correctly") {
+    val out = Multimodal.m03AudioWindows(spark, dir,
+      windowBytes = 512, hopBytes = 256).collect()
+    assert(out.nonEmpty)
+    // audio docs only (media_type round-robins on doc_id % 3 == 1)
+    assert(out.forall(_.getLong(0) % 3 == 1))
+    // per-doc: indices are 0..n-1, n matches ceil(len/hop), and the
+    // n_windows column is constant within the doc
+    val media = Multimodal.mediaTable(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("media_type") === "audio")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val len = math.max(media(id).length, 1)
+      val expectN = (len + 255) / 256
+      assert(rows.length == expectN, s"doc $id: ${rows.length} vs $expectN")
+      assert(rows.map(_.getInt(1)).sorted.sameElements(0 until expectN))
+      assert(rows.forall(_.getInt(2) == expectN))
+    }
+  }
+
+  test("m03 stub energy matches a hand-computed RMS") {
+    // bytes 128 -> centered 0 -> energy 0; bytes 138/118 -> |v|=10 -> RMS 10
+    assert(Multimodal.stubEnergy(Array.fill(4)(128.toByte)) == 0.0)
+    val w = Array[Byte](138.toByte, 118.toByte, 138.toByte, 118.toByte)
+    assert(math.abs(Multimodal.stubEnergy(w) - 10.0) < 1e-12)
+    assert(Multimodal.stubEnergy(Array.emptyByteArray) == 0.0)
+  }
 }

@@ -145,10 +145,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("global sweep: no accidental cartesian/nested-loop joins in any query") {
     // these intentionally score all pairs (brute-force baselines) or
-    // broadcast a tiny side against a non-equi condition:
+    // broadcast a tiny side against a non-equi condition (q44's 1-row
+    // scalar threshold joined on an inequality):
     val allowedNlj = Set(
       "s01_ann_bruteforce", "s02_ann_lsh", "s03_knn_join",
-      "d05_embed_neardup")
+      "d05_embed_neardup", "q44_no_order_rich")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = plan(name)
       val bad =
