@@ -224,7 +224,7 @@ object Ann {
     * (that is what makes directory pruning possible). Bit-identical to
     * the Column form by construction (same flips, same order).
     */
-  private def hamming2ProbesLocal(sig: Long, nBits: Int): Seq[Long] =
+  private[operators] def hamming2ProbesLocal(sig: Long, nBits: Int): Seq[Long] =
     (sig +:
       ((0 until nBits).map(i => sig ^ (1L << i)) ++
         (for { i <- 0 until nBits - 1; j <- (i + 1) until nBits }
@@ -294,7 +294,7 @@ object Ann {
     cents
   }
 
-  private def dotLocal(a: Array[Float], b: Array[Float]): Double = {
+  private[operators] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
     s
@@ -333,11 +333,17 @@ object Ann {
     * family, same probe set); AnnIndexSpec asserts the equality and
     * the partition pruning explicitly.
     */
+  /** Fixed per-sfdir demo index path: rebuilt (Overwrite) on every
+    * call, so repeated bench/spec runs reuse one directory instead of
+    * accumulating a full index copy per invocation.
+    */
+  private def demoIndexPath(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.hashCode.toHexString}/index"
+
   def s07AnnLshIndexedDemo(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft_s07")
-      .toString + "/index"
+    val path = demoIndexPath("s07", dir)
     buildLshIndex(
       t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
       path)
@@ -350,8 +356,7 @@ object Ann {
   def s08AnnIvfIndexedDemo(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
-    val path = java.nio.file.Files.createTempDirectory("graft_s08")
-      .toString + "/index"
+    val path = demoIndexPath("s08", dir)
     buildIvfIndex(
       t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
       path)

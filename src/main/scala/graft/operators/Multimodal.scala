@@ -154,7 +154,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          val starts = (0 until math.max(payload.length, 1) by hopBytes)
+          // an empty payload has ZERO windows (no phantom silent frame
+          // skewing downstream energy aggregates)
+          val starts = 0 until payload.length by hopBytes
           val n = starts.length
           starts.iterator.zipWithIndex.map { case (start, w) =>
             val window = java.util.Arrays.copyOfRange(payload,

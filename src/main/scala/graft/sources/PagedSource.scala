@@ -83,8 +83,14 @@ object PagedSource {
       * fetcher, O(path depth) listings, driver-side (it runs once per
       * job, before the distributed walk). Endpoints with a direct
       * resolver (Graph's `/sites/{host}:/{path}`) should override.
+      * Retry is PER PAGE (walkDir's discipline): one 429 costs one
+      * backoff, never a restart of the whole multi-segment resolution
+      * — wrapping the full walk would both multiply request load
+      * against an already-throttling endpoint and fail permanently
+      * under any sustained throttle rate.
       */
-    def resolveRoot(name: String): String = {
+    def resolveRoot(name: String, maxRetries: Int = 4,
+        baseBackoffMs: Long = 100): String = {
       var cur = ""
       name.split("/").filter(_.nonEmpty).foreach { seg =>
         var token: Option[String] = None
@@ -92,7 +98,7 @@ object PagedSource {
         var found: Option[String] = None
         while ((first || token.nonEmpty) && found.isEmpty) {
           first = false
-          val p = listPage(cur, token)
+          val p = withRetry(maxRetries, baseBackoffMs)(listPage(cur, token))
           found = p.items.find(it => it.isDir && it.name == seg).map(_.id)
           token = p.nextToken
         }
@@ -230,7 +236,7 @@ object PagedSource {
       rootName: String, maxRetries: Int = 4, baseBackoffMs: Long = 100,
       permitsPerSec: Double = 0): Dataset[FileEntry] =
     pagedCatalog(spark, fetcher,
-      withRetry(maxRetries, baseBackoffMs)(fetcher.resolveRoot(rootName)),
+      fetcher.resolveRoot(rootName, maxRetries, baseBackoffMs),
       maxRetries, baseBackoffMs, permitsPerSec)
 
   /** f08: distributed copy from a paged source — the REST analogue of

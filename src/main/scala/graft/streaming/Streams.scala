@@ -216,16 +216,24 @@ object Streams {
     merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("part").parquet(staging.toString)
 
-    // swap each touched partition: live aside, staged in, aside dropped
+    // swap each touched partition: live aside, staged in, aside
+    // dropped. ORDER MATTERS for the crash-recovery invariant: when
+    // live is absent, prev may be the ONLY durable copy (the state a
+    // crash between "live moved aside" and "staged promoted" leaves
+    // behind) — it must survive until the staged replacement is live,
+    // because a restart deletes the staging dir before re-merging.
     fs.mkdirs(p(path))
     fs.mkdirs(p(s"$path.prev"))
     touched.foreach { k =>
       val live = p(s"$path/part=$k")
       val prev = p(s"$path.prev/part=$k")
       val staged = p(s"$staging/part=$k")
-      fs.delete(prev, true)
-      if (fs.exists(live) && !fs.rename(live, prev))
-        throw new java.io.IOException(s"st07 publish: cannot move $live aside")
+      if (fs.exists(live)) {
+        // live is current → any prev is stale and safe to drop
+        fs.delete(prev, true)
+        if (!fs.rename(live, prev))
+          throw new java.io.IOException(s"st07 publish: cannot move $live aside")
+      }
       if (!fs.exists(staged) || !fs.rename(staged, live)) {
         if (fs.exists(prev)) fs.rename(prev, live)
         throw new java.io.IOException(s"st07 publish: cannot promote $staged")

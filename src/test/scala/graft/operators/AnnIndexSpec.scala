@@ -70,13 +70,12 @@ class AnnIndexSpec extends AnyFunSuite {
     val inline = Ann.s02AnnLsh(spark, dir, k = 10).collect()
     val sigDirs = Files.list(Paths.get(path)).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("sig=")).size
-    // recompute the probe set exactly as the operator does
+    // recompute the probe set with the operator's OWN helper, so the
+    // poison set can never drift from what s07 actually probes
     import spark.implicits._
     val qsig = Seq(qv).toDF("embedding")
       .select(Ann.srpSignature(col("embedding"), 8, 64)).head.getLong(0)
-    val probes = (qsig +: ((0 until 8).map(i => qsig ^ (1L << i)) ++
-      (for { i <- 0 until 7; j <- (i + 1) until 8 }
-        yield qsig ^ (1L << i) ^ (1L << j)))).distinct.toSet
+    val probes = Ann.hamming2ProbesLocal(qsig, 8).toSet
     val poisoned = poisonUnprobed(path, "sig", probes)
     assert(poisoned > 0, s"test vacuous: all $sigDirs partitions probed")
     val got = Ann.s07AnnLshIndexed(spark, path, qv, k = 10).collect()
@@ -105,12 +104,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val stored = spark.read.parquet(path + ".centroids")
       .orderBy("cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    def dot(a: Array[Float], b: Array[Float]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
-      s
-    }
-    val cells = stored.map { case (cl, c) => (cl, dot(qv, c)) }
+    val cells = stored.map { case (cl, c) => (cl, Ann.dotLocal(qv, c)) }
       .sortBy { case (cl, sc) => (-sc, cl) }.take(4).map(_._1).toSet
     val poisoned = poisonUnprobed(path, "cell", cells)
     assert(poisoned > 0, "test vacuous: all cells probed")

@@ -82,12 +82,14 @@ class MultimodalSpec extends AnyFunSuite {
       .select("doc_id", "payload").collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
     out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
-      val len = math.max(media(id).length, 1)
-      val expectN = (len + 255) / 256
+      val expectN = (media(id).length + 255) / 256
       assert(rows.length == expectN, s"doc $id: ${rows.length} vs $expectN")
       assert(rows.map(_.getInt(1)).sorted.sameElements(0 until expectN))
       assert(rows.forall(_.getInt(2) == expectN))
     }
+    // empty payloads yield zero windows, never a phantom silent frame
+    val outIds = out.map(_.getLong(0)).toSet
+    media.filter(_._2.isEmpty).keys.foreach(id => assert(!outIds(id)))
   }
 
   test("m03 stub energy matches a hand-computed RMS") {

@@ -17,6 +17,16 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Built once and shared by both global sweeps: CONSTRUCTING some
+    * queries runs real side effects (s07/s08 build+persist an index,
+    * f07 walks its fixture, c05/s04 collect bounded driver state) —
+    * paying them once instead of once per sweep.
+    */
+  private lazy val allQueryExecutions
+      : Seq[(String, org.apache.spark.sql.execution.QueryExecution)] =
+    SparkEntry.queries.keys.toSeq.sorted
+      .map(n => n -> SparkEntry.queries(n)(spark, dir).queryExecution)
+
   test("q02: filters and projection reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
@@ -117,9 +127,8 @@ class PlanSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem")
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val analyzed = SparkEntry.queries(name)(spark, dir).queryExecution.analyzed
-      analyzed.collect {
+    val offenders = allQueryExecutions.flatMap { case (name, qe) =>
+      qe.analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
       }.flatMap { h =>
         val leaves = h.child.collectLeaves().flatMap {
@@ -150,8 +159,8 @@ class PlanSpec extends AnyFunSuite {
     val allowedNlj = Set(
       "s01_ann_bruteforce", "s02_ann_lsh", "s03_knn_join",
       "d05_embed_neardup", "q44_no_order_rich")
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = plan(name)
+    val offenders = allQueryExecutions.flatMap { case (name, qe) =>
+      val p = qe.executedPlan.toString
       val bad =
         (p.contains("CartesianProduct") ||
           (p.contains("BroadcastNestedLoopJoin") && !allowedNlj(name)))
