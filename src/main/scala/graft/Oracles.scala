@@ -386,6 +386,49 @@ object Oracles {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 
+    "q45_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n,
+        |                      SUM(CAST(value AS DECIMAL(18,4))) AS v
+        |               FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+        |         FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |             CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM span)
+        |SELECT grid.user_id, CAST(d AS VARCHAR) AS day,
+        |  COALESCE(n, 0) AS n_events,
+        |  COALESCE(CAST(CAST(v AS VARCHAR) AS DOUBLE), 0.0) AS day_value,
+        |  CAST(SUM(COALESCE(n, 0)) OVER (PARTITION BY grid.user_id ORDER BY d)
+        |       AS BIGINT) AS cum_events
+        |FROM grid LEFT JOIN daily USING (user_id, d)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q46_forward_fill" ->
+      """WITH ranked AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type,
+        |                       event_id,
+        |                       ROW_NUMBER() OVER (
+        |                         PARTITION BY user_id, CAST(ts AS DATE)
+        |                         ORDER BY ts DESC, event_id DESC) AS rn
+        |                FROM events),
+        |lastday AS (SELECT user_id, d, event_type AS et, event_id AS eid
+        |            FROM ranked WHERE rn = 1),
+        |span AS (SELECT user_id, min(d) AS d0, max(d) AS d1
+        |         FROM lastday GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |             CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        |         FROM span)
+        |SELECT grid.user_id, CAST(d AS VARCHAR) AS day,
+        |  last_value(et IGNORE NULLS) OVER (PARTITION BY grid.user_id
+        |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS carried_type,
+        |  CAST(last_value(eid IGNORE NULLS) OVER (PARTITION BY grid.user_id
+        |    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS carried_event_id
+        |FROM grid LEFT JOIN lastday USING (user_id, d)
+        |ORDER BY 1, 2""".stripMargin,
+
     "t07_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),

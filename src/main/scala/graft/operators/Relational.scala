@@ -752,6 +752,72 @@ object Relational {
       .orderBy("nation")
   }
 
+  /** q45: time-series gap-fill / daily resample — each user's event
+    * history projected onto a dense daily grid between their first and
+    * last activity, with zero-filled gaps and a running event total.
+    * The grid generates WITH the data (per-user `sequence` over the
+    * date span, exploded) — no calendar table to join, no driver
+    * involvement, and the row expansion is bounded by span × users.
+    * Three user-keyed shuffles (daily agg, span agg + grid join,
+    * running window) and the window's partition key matches the join
+    * key, so no extra exchange. Day is emitted as an ISO string (sorts
+    * identically to the date), daily money through the fixed-point
+    * helpers.
+    */
+  def q45GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val daily = t.events
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
+    val grid = daily
+      .groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("v").cast(DoubleType), lit(0.0)).as("day_value"))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .select(col("user_id"), col("d").cast("string").as("day"),
+        col("n_events"), col("day_value"), col("cum_events"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q46: forward-fill / LOCF resample — q45's dense daily grid, but
+    * carrying the last observation forward across gap days (the other
+    * canonical resample semantic; what makes event streams joinable
+    * with daily panels). Per active day the carried observation is the
+    * day's LAST event, picked deterministically by (ts, event_id); the
+    * fill is one `last(ignoreNulls)` running window per user — and
+    * because the grid starts at each user's first active day, the
+    * carried columns are never null. Same shuffle budget as q45.
+    */
+  def q46ForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w1 = Window.partitionBy("user_id", "d")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val lastPerDay = t.events
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("d"),
+        col("event_type").as("et"), col("event_id").as("eid"))
+    val grid = lastPerDay
+      .groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w2 = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerDay, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d").cast("string").as("day"),
+        last(col("et"), ignoreNulls = true).over(w2).as("carried_type"),
+        last(col("eid"), ignoreNulls = true).over(w2).as("carried_event_id"))
+      .orderBy("user_id", "day")
+  }
+
   /** q37: rolling time-range window — each event's trailing-hour count
     * and value sum for its user, via RANGE BETWEEN on event-time
     * seconds. RANGE (not ROWS) frames make timestamp peers aggregate
