@@ -429,6 +429,25 @@ object Oracles {
         |FROM grid LEFT JOIN lastday USING (user_id, d)
         |ORDER BY 1, 2""".stripMargin,
 
+    "q47_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM e),
+        |p AS (SELECT user_id, sess_id,
+        |        string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path
+        |LIMIT 20""".stripMargin,
+
     "t07_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),

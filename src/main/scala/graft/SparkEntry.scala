@@ -88,6 +88,7 @@ object SparkEntry {
     "q44_no_order_rich" -> (Relational.q44NoOrderRich(_, _)),
     "q45_gap_fill" -> (Relational.q45GapFill(_, _)),
     "q46_forward_fill" -> (Relational.q46ForwardFill(_, _)),
+    "q47_session_paths" -> (Relational.q47SessionPaths(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     "t07_repetition" -> (TextOps.t07Repetition(_, _)),
     // A. file-pipeline surface (manifest of the sf directory tree)

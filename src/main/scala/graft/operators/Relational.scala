@@ -818,6 +818,41 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** q47: session-path mining — the behavioral-sequence primitive on
+    * top of q24's sessionization: each gap-bounded session becomes its
+    * ordered event-type path ("view->click->purchase"), counted
+    * corpus-wide, top-k. Order inside a session is made deterministic
+    * by sorting collected (ts, event_id, type) structs — collect_list
+    * alone guarantees NO order — and the per-session arrays are
+    * bounded by session length, so the HOF extract stays off the
+    * per-row hot path. Shuffles: the sessionize window, the per-
+    * session path agg (same user key), one tiny path-count agg;
+    * top-k is TakeOrdered, never a global sort.
+    */
+  def q47SessionPaths(spark: SparkSession, dir: String,
+      k: Int = 20): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "sess_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), "->").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** q37: rolling time-range window — each event's trailing-hour count
     * and value sum for its user, via RANGE BETWEEN on event-time
     * seconds. RANGE (not ROWS) frames make timestamp peers aggregate
