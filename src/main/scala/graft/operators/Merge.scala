@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * update, unmatched-source rows insert, unmatched-target rows persist
   * (or drop, for delete keys). At 100 TB the join shuffles both sides
   * once on the key — partition the table by a key prefix and rewrite
-  * only affected partitions to avoid the full-table cost.
+  * only affected partitions to avoid the full-table cost: that
+  * partition-confined form is implemented (and crash-safety-spec'd) by
+  * [[graft.streaming.Streams.upsertBatchPartitioned]], which works as
+  * a batch upsert as well as st07's micro-batch body.
   */
 object Merge {
 

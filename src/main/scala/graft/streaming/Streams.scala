@@ -168,10 +168,12 @@ object Streams {
       .start()
   }
 
-  /** One micro-batch of the partition-confined upsert (st07's body,
-    * callable directly for crash-recovery tests and batch backfills).
+  /** One micro-batch of the partition-confined upsert — st07's body,
+    * public because it doubles as the BATCH upsert API (backfills, CDC
+    * replays): same partition confinement, same per-partition
+    * staging+swap durability, no streaming query required.
     */
-  private[streaming] def upsertBatchPartitioned(batch: DataFrame,
+  def upsertBatchPartitioned(batch: DataFrame,
       path: String, nParts: Int): Unit = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.expressions.Window
