@@ -381,17 +381,31 @@ object Relational {
       .orderBy("hour_ts", "event_type")
   }
 
-  /** q24: gap-based sessionization in batch — lag + flag + per-user
-    * session counts; 30-minute inactivity gap. One shuffle on user_id.
+  /** Gap-based sessionization prelude shared by q24 and q47 (ONE
+    * definition of a "session", so the gap or tie-break can never
+    * silently diverge between session counts and session paths): each
+    * event gets its new-session flag and running session ordinal,
+    * 30-minute inactivity gap, (ts, event_id) tie-break. One shuffle
+    * on user_id; consumers that drop `sess_id` get it pruned from the
+    * window by Catalyst.
     */
-  def q24Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+  private def sessionized(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    t.events
+    events
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
           expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** q24: gap-based sessionization in batch — per-user session counts
+    * over the shared [[sessionized]] prelude.
+    */
+  def q24Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    sessionized(t.events)
       .groupBy("user_id")
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
@@ -764,16 +778,24 @@ object Relational {
     * identically to the date), daily money through the fixed-point
     * helpers.
     */
+  /** Dense per-user daily grid between each user's first and last day
+    * in `perDay` (must carry `user_id` and a date column `d`) — the
+    * resample skeleton shared by q45 and q46, so the pair can never
+    * disagree on which days exist.
+    */
+  private def denseDailyGrid(perDay: DataFrame): DataFrame =
+    perDay
+      .groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+
   def q45GapFill(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val daily = t.events
       .groupBy(col("user_id"), to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("v"))
-    val grid = daily
-      .groupBy("user_id")
-      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-      .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val grid = denseDailyGrid(daily)
     val w = Window.partitionBy("user_id").orderBy("d")
     grid.join(daily, Seq("user_id", "d"), "left")
       .select(col("user_id"), col("d"),
@@ -804,11 +826,7 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("user_id"), col("d"),
         col("event_type").as("et"), col("event_id").as("eid"))
-    val grid = lastPerDay
-      .groupBy("user_id")
-      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-      .select(col("user_id"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val grid = denseDailyGrid(lastPerDay)
     val w2 = Window.partitionBy("user_id").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(lastPerDay, Seq("user_id", "d"), "left")
@@ -832,15 +850,7 @@ object Relational {
   def q47SessionPaths(spark: SparkSession, dir: String,
       k: Int = 20): DataFrame = {
     val t = Tables(spark, dir)
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val sessions = t.events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull ||
-          expr("ts - prev_ts > INTERVAL '30' MINUTE"), 1L).otherwise(0L))
-      .withColumn("sess_id", sum(col("new_sess")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sessions
+    sessionized(t.events)
       .groupBy("user_id", "sess_id")
       .agg(array_join(
         transform(
