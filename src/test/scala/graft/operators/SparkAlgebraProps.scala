@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.functions._
+
+/** Property-based laws for the distributed algorithms, on arbitrary
+  * (small, seeded) inputs. Few successful cases each — every case runs
+  * Spark jobs — but each case is a full adversarial instance the
+  * example specs never enumerate (random graphs, random splits).
+  */
+object SparkAlgebraProps extends Properties("graft.spark-algebra") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private val edgesGen: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    edges <- Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 25L)
+      b <- Gen.choose(1L, 25L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+  } yield edges
+
+  property("connectedComponents == union-find on random graphs") =
+    forAll(edgesGen) { edges =>
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+
+  private val rowsGen: Gen[List[(Long, Long, Boolean)]] = for {
+    n <- Gen.choose(1, 60)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(1L, 8L)     // key
+      v <- Gen.choose(-50L, 50L)  // measure
+      inDelta <- Gen.oneOf(true, false)
+    } yield (k, v, inDelta))
+  } yield rows
+
+  property("refreshAgg(base, delta) == direct aggregation of the union") =
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("k", "v", "in_delta")
+      def agg(d: org.apache.spark.sql.DataFrame) = d.groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val merged = Merge.refreshAgg(
+        agg(df.filter(!col("in_delta"))), agg(df.filter(col("in_delta"))),
+        "k", Seq("n", "s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val direct = agg(df)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      merged == direct
+    }
+
+  property("split3 is disjoint and exhaustive for any fractions") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
+      import spark.implicits._
+      val trainFrac = math.min(a, b)
+      val valFrac = math.max(a, b) - trainFrac
+      val df = (1L to 200L).toDF("id")
+      val (tr, va, te) = Sampling.split3(df, col("id"), trainFrac, valFrac)
+      val sets = Seq(tr, va, te).map(_.collect().map(_.getLong(0)).toSet)
+      sets.combinations(2).forall { case Seq(x, y) => (x & y).isEmpty } &&
+        sets.reduce(_ ++ _) == (1L to 200L).toSet
+    }
+
+  property("deterministic shuffle is a permutation for any seed") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue)) { seed =>
+      import spark.implicits._
+      val df = (1L to 100L).toDF("id")
+      val order = Sampling.shuffleDeterministic(df, col("id"), seed)
+        .collect().map(_.getLong(0)).toSeq
+      val again = Sampling.shuffleDeterministic(df.repartition(7), col("id"), seed)
+        .collect().map(_.getLong(0)).toSeq
+      order.sorted == (1L to 100L) && order == again
+    }
+}
