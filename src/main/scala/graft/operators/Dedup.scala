@@ -37,12 +37,21 @@ object Dedup {
 
   // ------------------------------------------------------ shingling
 
-  /** Distinct word-k-shingles of `text` as an array column. */
+  /** Distinct word-k-shingles of `text` as an array column. Guarded
+    * for docs with fewer than k tokens: `sequence(0, n-k)` runs
+    * DESCENDING when n < k (fabricating negative window starts that
+    * crash `slice`), so short docs yield the empty set instead —
+    * matching the native kernel's null-for-short-docs contract after
+    * the standard `size(sh) > 0` / `isNotNull` filters. Found by the
+    * NativeKernelProps fuzz; the corpus never exercises short docs.
+    */
   def shingles(k: Int): Column = {
     val toks = split(col("text"), " ")
     array_distinct(
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** (doc_id, shingles) with empty/short docs dropped. */
