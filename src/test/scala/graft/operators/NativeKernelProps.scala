@@ -53,6 +53,64 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
       native == hof
     }
 
+  property("markerCount == driver-side exact token membership count") =
+    forAll(Gen.listOfN(10, textGen)) { texts =>
+      val docs = docsDf(texts)
+      val markers = Set("the", "a", "中文", "x")
+      val native = docs.select(col("doc_id"),
+        graft.functions.F.markerCount(col("text"), markers.mkString(",")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.split(" ", -1).count(markers).toLong
+      }.toMap
+      native == expected
+    }
+
+  property("dotProd == driver left-to-right double fold, bit-identical") =
+    forAll(Gen.listOfN(6,
+      Gen.zip(Gen.listOfN(8, Gen.choose(-100.0, 100.0)),
+        Gen.listOfN(8, Gen.choose(-100.0, 100.0))))) { pairs =>
+      import spark.implicits._
+      val vecs = pairs.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, a.map(_.toFloat).toArray, b.map(_.toFloat).toArray)
+      }
+      val df = vecs.toDF("id", "a", "b")
+      val native = df.select(col("id"),
+        graft.functions.F.dotProd(col("a"), col("b")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = vecs.map { case (i, a, b) =>
+        i -> Ann.dotLocal(a, b)
+      }.toMap
+      native == expected // bit-exact: same fold order, same widening
+    }
+
+  property("cosineSim4 == rounded driver fold, bit-identical") =
+    forAll(Gen.listOfN(6,
+      Gen.zip(Gen.listOfN(8, Gen.choose(-100.0, 100.0)),
+        Gen.listOfN(8, Gen.choose(-100.0, 100.0))))) { pairs =>
+      import spark.implicits._
+      val vecs = pairs.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, a.map(_.toFloat).toArray, b.map(_.toFloat).toArray)
+      }
+      val df = vecs.toDF("id", "a", "b")
+      val native = df.select(col("id"),
+        graft.functions.F.cosineSim4(col("a"), col("b")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = vecs.map { case (i, a, b) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < a.length) {
+          val x = a(j).toDouble; val y = b(j).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        // Spark's round(_, 4) is BigDecimal HALF_UP on the exact double
+        i -> BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      native == expected
+    }
+
   property("native shingle-hash set == xxhash64 over HOF shingles") =
     forAll(Gen.listOfN(12, textGen)) { texts =>
       val docs = docsDf(texts)
