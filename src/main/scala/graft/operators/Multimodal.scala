@@ -1,61 +1,312 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 import graft.Tables
 
-/** m01: multimodal-column plumbing (SURVEY.md §2.C).
+/** m01–m03: multimodal columns with REAL pure-JDK codecs (SURVEY.md §2.C).
   *
   * Media payloads are opaque `binary` columns with a typed metadata
   * struct; decode/feature-extract runs as a typed `mapPartitions`
   * pipeline (the Scala analogue of `mapInPandas` batch UDFs) so each
   * partition amortizes decoder setup and the work distributes with the
-  * data. The actual byte→pixels decode is a STUB — the container has no
-  * image/audio codecs — replaced by a deterministic fake that preserves
-  * the real contract: schema, null handling, batch shape, partitioning.
+  * data. Decoding is real: images are PNG decoded with
+  * `javax.imageio.ImageIO`, audio is 16-bit PCM WAV parsed with
+  * `javax.sound.sampled.AudioSystem`, and video is a length-prefixed
+  * container of PNG frames (no pure-JDK video codec exists; the
+  * container keeps frame decode honest). The demo `mediaTable`
+  * synthesizes genuine encoded payloads so the decode path exercises
+  * the actual codecs end-to-end; at 100 TB the same pipeline reads
+  * `spark.read.format("binaryFile")` and only the synthesis goes away.
   */
 object Multimodal {
 
-  /** Decoded-media feature record (what a real decoder would emit). */
-  final case class MediaFeatures(
-      doc_id: Long, media_type: String, n_bytes: Long, feat: Array[Float])
-
-  /** STUB decode: deterministic fake features from the payload bytes
-    * (byte-histogram moments standing in for pixel statistics). A real
-    * deployment swaps only this function for an actual codec call; the
-    * surrounding pipeline is unchanged.
+  /** Pure-JDK encode/decode kernels. Kept tiny, deterministic, and
+    * driver-free so ScalaCheck can fuzz round-trip laws on them.
     */
-  def stubDecode(payload: Array[Byte]): Array[Float] = {
-    val nBins = 8
-    val hist = new Array[Long](nBins)
-    var i = 0
-    while (i < payload.length) {
-      hist((payload(i) & 0xff) % nBins) += 1
-      i += 1
+  object Codecs {
+    // keep ImageIO in-memory: executor-side decode must not touch /tmp
+    ImageIO.setUseCache(false)
+
+    /** Encode an 8-bit grayscale image (row-major `gray`, values
+      * 0..255) as PNG. Java's PNG writer emits no timestamp chunks, so
+      * the bytes are a deterministic function of the pixels.
+      */
+    def encodePng(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+      require(gray.length == w * h, s"expected ${w * h} pixels, got ${gray.length}")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, gray(y * w + x) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
-    val n = math.max(payload.length, 1).toFloat
-    hist.map(_ / n)
+
+    /** Decode any ImageIO-supported image (PNG/JPEG/BMP/GIF) to
+      * (width, height, row-major luminance 0..255). Rec.601 integer
+      * luma; for grayscale sources r==g==b so luma == the gray value
+      * exactly.
+      */
+    def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Int](w * h)
+      val singleBand = img.getRaster.getNumBands == 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out(y * w + x) =
+            if (singleBand) {
+              // gray sources: raw raster sample — getRGB would route the
+              // linear gray space through sRGB gamma and corrupt values
+              img.getRaster.getSample(x, y, 0) & 0xff
+            } else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              (r * 299 + g * 587 + b * 114) / 1000
+            }
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, out)
+    }
+
+    /** Encode 16-bit signed PCM mono samples as a WAV file. */
+    def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val pcm = ByteBuffer.allocate(samples.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(pcm.putShort)
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(pcm.array()), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Parse a WAV payload back to its 16-bit PCM mono samples. */
+    def decodeWav(bytes: Array[Byte]): Array[Short] = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        val bb = ByteBuffer.wrap(raw).order(
+          if (fmt.isBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Short](raw.length / 2)
+        var i = 0
+        while (i < out.length) { out(i) = bb.getShort(); i += 1 }
+        out
+      } finally ais.close()
+    }
+
+    /** Normalized n-bin luminance histogram (sums to 1 for any
+      * non-empty image).
+      */
+    def lumaHistogram(pixels: Array[Int], nBins: Int = 8): Array[Float] = {
+      val hist = new Array[Long](nBins)
+      var i = 0
+      while (i < pixels.length) {
+        hist(math.min(pixels(i) * nBins / 256, nBins - 1)) += 1
+        i += 1
+      }
+      val n = math.max(pixels.length, 1).toFloat
+      hist.map(_ / n)
+    }
+
+    /** Normalized n-bin amplitude histogram over the full 16-bit range. */
+    def amplitudeHistogram(samples: Array[Short], nBins: Int = 8): Array[Float] = {
+      val hist = new Array[Long](nBins)
+      var i = 0
+      while (i < samples.length) {
+        hist(((samples(i) + 32768) * nBins) >>> 16) += 1
+        i += 1
+      }
+      val n = math.max(samples.length, 1).toFloat
+      hist.map(_ / n)
+    }
+
+    /** RMS of normalized samples (|s|/32768 ∈ [0,1]) over [from, until). */
+    def rms(samples: Array[Short], from: Int, until: Int): Double = {
+      val n = until - from
+      if (n <= 0) return 0.0
+      var s = 0.0
+      var i = from
+      while (i < until) {
+        val v = samples(i) / 32768.0
+        s += v * v
+        i += 1
+      }
+      math.sqrt(s / n)
+    }
+
+    /** Block-average a w×h grayscale image down to an outRes×outRes
+      * grid (row-major, length outRes²) — a real thumbnailer without a
+      * resample kernel dependency. Cells with no source pixels (only
+      * possible when w or h < outRes) stay 0.
+      */
+    def blockResize(w: Int, h: Int, pixels: Array[Int], outRes: Int): Array[Float] = {
+      require(pixels.length == w * h, s"expected ${w * h} pixels, got ${pixels.length}")
+      val out = new Array[Float](outRes * outRes)
+      val cnt = new Array[Int](outRes * outRes)
+      var y = 0
+      while (y < h) {
+        val by = y * outRes / h
+        var x = 0
+        while (x < w) {
+          val b = by * outRes + x * outRes / w
+          out(b) += pixels(y * w + x)
+          cnt(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var j = 0
+      while (j < out.length) {
+        if (cnt(j) > 0) out(j) /= cnt(j)
+        j += 1
+      }
+      out
+    }
+
+    /** Pack PNG frames into a length-prefixed container (4-byte
+      * big-endian length per frame). Stand-in for a video bitstream:
+      * frame boundaries are explicit, each frame is a real encoded
+      * image.
+      */
+    def packFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      frames.foreach { f =>
+        bos.write(ByteBuffer.allocate(4).putInt(f.length).array())
+        bos.write(f)
+      }
+      bos.toByteArray
+    }
+
+    /** Unpack a length-prefixed frame container. */
+    def unpackFrames(container: Array[Byte]): Array[Array[Byte]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var pos = 0
+      while (pos + 4 <= container.length) {
+        val len = ByteBuffer.wrap(container, pos, 4).getInt
+        require(len >= 0 && pos + 4 + len <= container.length,
+          s"corrupt frame container at offset $pos")
+        out += java.util.Arrays.copyOfRange(container, pos + 4, pos + 4 + len)
+        pos += 4 + len
+      }
+      out.toArray
+    }
   }
 
-  /** Media table derived deterministically from documents: payload =
-    * UTF-8 bytes, media_type round-robins image/audio/video. At 100 TB
+  // ---- deterministic payload synthesis (demo corpus; real deployments
+  //      read binaryFile/manifest instead) ----
+
+  private val ImgRes = 8
+
+  private def pixel(seed: Long, f: Int, x: Int, y: Int): Int =
+    (((seed * 31 + f * 101 + x * 7 + y * 13) % 256 + 256) % 256).toInt
+
+  /** An 8×8 grayscale PNG whose pixels are a fixed function of the id. */
+  def synthImage(seed: Long): Array[Byte] = {
+    val px = Array.tabulate(ImgRes * ImgRes)(i => pixel(seed, 0, i % ImgRes, i / ImgRes))
+    Codecs.encodePng(ImgRes, ImgRes, px)
+  }
+
+  /** A mono 16-bit WAV: sine tone whose frequency/amplitude/length are
+    * fixed functions of the id. StrictMath keeps the samples bit-exact
+    * across executors.
+    */
+  def synthWav(seed: Long): Array[Byte] = {
+    val sr = 8000.0
+    val n = 512 + (seed % 8).toInt * 128
+    val freq = 220.0 + (seed % 16).toInt * 55.0
+    val amp = 6000.0 + (seed % 8).toInt * 2000.0
+    val samples = Array.tabulate(n)(i =>
+      math.round(amp * StrictMath.sin(2.0 * StrictMath.PI * freq * i / sr)).toShort)
+    Codecs.encodeWav(samples)
+  }
+
+  /** 3–8 PNG frames in the length-prefixed container. */
+  def synthVideo(seed: Long): Array[Byte] = {
+    val nFrames = 3 + (seed % 6).toInt
+    Codecs.packFrames((0 until nFrames).map { f =>
+      val px = Array.tabulate(ImgRes * ImgRes)(i => pixel(seed, f, i % ImgRes, i / ImgRes))
+      Codecs.encodePng(ImgRes, ImgRes, px)
+    })
+  }
+
+  /** Typed metadata travelling with each payload. */
+  final case class MediaMeta(content_length: Long, origin: String, tag: String)
+  final case class MediaRow(
+      doc_id: Long, media_type: String, payload: Array[Byte], meta: MediaMeta)
+
+  /** Media table derived deterministically from documents: payloads are
+    * REAL encoded PNG/WAV/frame-container bytes (media_type round-robins
+    * image/audio/video on doc_id%3 = 0/1/2). Synthesis runs executor-side
+    * in the same mapPartitions batch shape the decoders use. At 100 TB
     * this is `spark.read.format("binaryFile")` or a manifest join — the
     * downstream pipeline is identical.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    t.documents.select(
-      col("doc_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        length(col("text")).cast(LongType).as("content_length"),
-        col("source").as("origin"),
-        col("lang").as("tag")).as("meta"))
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("text_len"))
+      .as[(Long, String, String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, source, lang, textLen) =>
+          val (mt, payload) = (id % 3) match {
+            case 0 => ("image", synthImage(id))
+            case 1 => ("audio", synthWav(id))
+            case _ => ("video", synthVideo(id))
+          }
+          MediaRow(id, mt, payload, MediaMeta(textLen, source, lang))
+        }
+      }
+      .toDF()
   }
+
+  /** Decoded-media feature record. */
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, n_bytes: Long, feat: Array[Float])
+
+  /** Real decode + featurize: PNG → luminance histogram, WAV →
+    * amplitude histogram, video → first-frame luminance histogram.
+    * Always 8 bins, normalized.
+    */
+  def decodeFeatures(mediaType: String, payload: Array[Byte]): Array[Float] =
+    mediaType match {
+      case "image" =>
+        val (_, _, px) = Codecs.decodeGray(payload)
+        Codecs.lumaHistogram(px)
+      case "audio" =>
+        Codecs.amplitudeHistogram(Codecs.decodeWav(payload))
+      case _ =>
+        val frames = Codecs.unpackFrames(payload)
+        require(frames.nonEmpty, "video payload has no frames")
+        val (_, _, px) = Codecs.decodeGray(frames(0))
+        Codecs.lumaHistogram(px)
+    }
 
   /** m01: decode + feature-extract over the media table, then a
     * per-media-type rollup. The mapPartitions stage is the batch-UDF
@@ -64,14 +315,14 @@ object Multimodal {
     */
   def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaTable(spark, dir)
-    val features = media
+    val features = mediaTable(spark, dir)
       .select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder setup happens here (stubbed)
+        // per-partition decoder setup amortizes here (ImageIO/AudioSystem
+        // are static, so setup cost is class-loading, once per executor)
         rows.map { case (id, mt, payload) =>
-          MediaFeatures(id, mt, payload.length.toLong, stubDecode(payload))
+          MediaFeatures(id, mt, payload.length.toLong, decodeFeatures(mt, payload))
         }
       }
     features.toDF()
@@ -90,98 +341,18 @@ object Multimodal {
   final case class FrameFeatures(
       doc_id: Long, frame_idx: Int, n_frames: Int, resized: Array[Float])
 
-  /** STUB resize: bucket-average a frame's bytes down to `outRes`
-    * values — the stand-in for a real scaler/thumbnailer. Swapping in a
-    * codec changes only this function.
-    */
-  def stubResize(frame: Array[Byte], outRes: Int): Array[Float] = {
-    val out = new Array[Float](outRes)
-    if (frame.isEmpty) return out
-    val counts = new Array[Int](outRes)
-    var i = 0
-    while (i < frame.length) {
-      // proportional bucket; multiply first to avoid len<outRes collapse
-      val b = (i.toLong * outRes / frame.length).toInt
-      out(b) += (frame(i) & 0xff)
-      counts(b) += 1
-      i += 1
-    }
-    var j = 0
-    while (j < outRes) {
-      if (counts(j) > 0) out(j) /= counts(j)
-      j += 1
-    }
-    out
-  }
-
-  /** One audio analysis window (what a real PCM featurizer emits). */
-  final case class AudioWindow(
-      doc_id: Long, win_idx: Int, n_windows: Int, energy: Double)
-
-  /** STUB energy: RMS over the window's bytes centered at 128 — the
-    * stand-in for decode-to-PCM + a spectral feature. Swapping in a
-    * codec changes only this function.
-    */
-  def stubEnergy(window: Array[Byte]): Double = {
-    if (window.isEmpty) return 0.0
-    var s = 0.0
-    var i = 0
-    while (i < window.length) {
-      val v = (window(i) & 0xff) - 128.0
-      s += v * v
-      i += 1
-    }
-    math.sqrt(s / window.length)
-  }
-
-  /** m03: overlapping-window audio featurization — the spectrogram-
-    * frame contract m02's stride sampling doesn't cover: windows of
-    * `windowBytes` advance by `hopBytes` (overlapping when
-    * hop < window, the standard STFT shape), each yielding one
-    * feature row. Same batch discipline as m01/m02: flatMap-shaped
-    * mapPartitions, per-partition decoder amortization, streaming
-    * iterators, no driver hop; the ~window/hop× row expansion happens
-    * executor-side and flows straight into whatever aggregation
-    * follows.
-    */
-  def m03AudioWindows(spark: SparkSession, dir: String,
-      windowBytes: Int = 512, hopBytes: Int = 256): DataFrame = {
-    require(hopBytes > 0 && windowBytes > 0, "window/hop must be positive")
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .filter(col("media_type") === "audio")
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.flatMap { case (id, payload) =>
-          // an empty payload has ZERO windows (no phantom silent frame
-          // skewing downstream energy aggregates)
-          val starts = 0 until payload.length by hopBytes
-          val n = starts.length
-          starts.iterator.zipWithIndex.map { case (start, w) =>
-            val window = java.util.Arrays.copyOfRange(payload,
-              start, math.min(start + windowBytes, payload.length))
-            AudioWindow(id, w, n, stubEnergy(window))
-          }
-        }
-      }
-      .toDF()
-      .select(col("doc_id"), col("win_idx"), col("n_windows"),
-        round(col("energy"), 4).as("energy"))
-      .orderBy("doc_id", "win_idx")
-  }
-
-  /** m02: frame-sample + resize over video payloads. A payload is
-    * treated as a sequence of fixed-`frameBytes` frames; every
-    * `stride`-th frame is sampled and resized to `outRes` values. The
+  /** m02: frame-sample + resize over video payloads. The container is
+    * parsed executor-side, every `stride`-th frame is PNG-decoded with
+    * ImageIO and block-averaged to an outRes×outRes grid. The
     * flatMap-shaped mapPartitions (one input row → few frame rows) is
-    * the real contract a codec-backed sampler would keep: per-partition
+    * the batch contract a codec-backed sampler keeps: per-partition
     * decoder amortization, streaming iterators, no driver involvement,
     * output partitioning inherited from the input so a downstream
     * per-doc groupBy needs no extra shuffle beyond the agg's own.
     */
   def m02FrameSample(spark: SparkSession, dir: String,
-      frameBytes: Int = 256, stride: Int = 4, outRes: Int = 16): DataFrame = {
+      stride: Int = 2, outRes: Int = 4): DataFrame = {
+    require(stride > 0 && outRes > 0, "stride/outRes must be positive")
     import spark.implicits._
     mediaTable(spark, dir)
       .filter(col("media_type") === "video")
@@ -189,11 +360,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          val nFrames = (payload.length + frameBytes - 1) / frameBytes
-          (0 until nFrames by stride).iterator.map { f =>
-            val frame = java.util.Arrays.copyOfRange(payload,
-              f * frameBytes, math.min((f + 1) * frameBytes, payload.length))
-            FrameFeatures(id, f, nFrames, stubResize(frame, outRes))
+          val frames = Codecs.unpackFrames(payload)
+          (0 until frames.length by stride).iterator.map { f =>
+            val (w, h, px) = Codecs.decodeGray(frames(f))
+            FrameFeatures(id, f, frames.length, Codecs.blockResize(w, h, px, outRes))
           }
         }
       }
@@ -201,5 +371,46 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("n_frames"),
         round(element_at(col("resized"), 1).cast("double"), 4).as("feat0"))
       .orderBy("doc_id", "frame_idx")
+  }
+
+  /** One audio analysis window. */
+  final case class AudioWindow(
+      doc_id: Long, win_idx: Int, n_windows: Int, energy: Double)
+
+  /** m03: overlapping-window audio featurization — the spectrogram-
+    * frame contract: the WAV payload is parsed to PCM samples with
+    * AudioSystem, then windows of `windowSamples` advance by
+    * `hopSamples` (overlapping when hop < window, the standard STFT
+    * shape), each yielding one normalized-RMS energy row. Same batch
+    * discipline as m01/m02: flatMap-shaped mapPartitions, streaming
+    * iterators, no driver hop; the ~len/hop× row expansion happens
+    * executor-side and flows straight into whatever aggregation
+    * follows.
+    */
+  def m03AudioWindows(spark: SparkSession, dir: String,
+      windowSamples: Int = 256, hopSamples: Int = 128): DataFrame = {
+    require(hopSamples > 0 && windowSamples > 0, "window/hop must be positive")
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val samples = Codecs.decodeWav(payload)
+          // an empty stream has ZERO windows (no phantom silent frame
+          // skewing downstream energy aggregates)
+          val starts = 0 until samples.length by hopSamples
+          val n = starts.length
+          starts.iterator.zipWithIndex.map { case (start, w) =>
+            val until = math.min(start + windowSamples, samples.length)
+            AudioWindow(id, w, n, Codecs.rms(samples, start, until))
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("win_idx"), col("n_windows"),
+        round(col("energy"), 4).as("energy"))
+      .orderBy("doc_id", "win_idx")
   }
 }

@@ -32,19 +32,46 @@ object KernelProps extends Properties("graft.kernels") {
         Ann.dotLocal(a.map(_ * 2f), b) == 2.0 * Ann.dotLocal(a, b)
     }
 
-  property("stubEnergy: bounded by max byte deviation, zero iff centered") =
-    forAll(Gen.listOf(Gen.choose(0, 255))) { bytes =>
-      val w = bytes.map(_.toByte).toArray
-      val e = Multimodal.stubEnergy(w)
-      val maxDev =
-        if (w.isEmpty) 0.0 else bytes.map(b => math.abs(b - 128.0)).max
-      e >= 0.0 && e <= maxDev + 1e-9 &&
-        ((e == 0.0) == bytes.forall(_ == 128) || w.isEmpty)
+  property("PNG codec: encode∘decode is the identity on gray pixels") =
+    forAll(Gen.choose(1, 12), Gen.choose(1, 12)) { (w, h) =>
+      forAll(Gen.listOfN(w * h, Gen.choose(0, 255))) { pixels =>
+        val px = pixels.toArray
+        val (dw, dh, back) = Multimodal.Codecs.decodeGray(
+          Multimodal.Codecs.encodePng(w, h, px))
+        dw == w && dh == h && back.sameElements(px)
+      }
     }
 
-  property("stubResize: exact length, values within byte range") =
-    forAll(Gen.listOf(Gen.choose(0, 255)), Gen.choose(1, 32)) { (bytes, res) =>
-      val out = Multimodal.stubResize(bytes.map(_.toByte).toArray, res)
-      out.length == res && out.forall(v => v >= 0f && v <= 255f)
+  property("WAV codec: encode∘decode is the identity on 16-bit PCM") =
+    forAll(Gen.listOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))) { xs =>
+      val samples = xs.map(_.toShort).toArray
+      Multimodal.Codecs.decodeWav(
+        Multimodal.Codecs.encodeWav(samples)).sameElements(samples)
+    }
+
+  property("rms: in [0,1+ε], bounded by max |sample|, zero iff silent") =
+    forAll(Gen.listOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))) { xs =>
+      val s = xs.map(_.toShort).toArray
+      val e = Multimodal.Codecs.rms(s, 0, s.length)
+      val maxAmp = if (s.isEmpty) 0.0 else xs.map(v => math.abs(v / 32768.0)).max
+      e >= 0.0 && e <= maxAmp + 1e-12 &&
+        ((e == 0.0) == s.forall(_ == 0))
+    }
+
+  property("blockResize: exact length, values within pixel range") =
+    forAll(Gen.choose(1, 10), Gen.choose(1, 10), Gen.choose(1, 8)) { (w, h, res) =>
+      forAll(Gen.listOfN(w * h, Gen.choose(0, 255))) { pixels =>
+        val out = Multimodal.Codecs.blockResize(w, h, pixels.toArray, res)
+        out.length == res * res && out.forall(v => v >= 0f && v <= 255f)
+      }
+    }
+
+  property("frame container: pack∘unpack is the identity") =
+    forAll(Gen.listOf(Gen.listOf(Gen.choose(-128, 127)))) { framesList =>
+      val frames = framesList.map(_.map(_.toByte).toArray)
+      val back = Multimodal.Codecs.unpackFrames(
+        Multimodal.Codecs.packFrames(frames))
+      back.length == frames.length &&
+        back.zip(frames).forall { case (a, b) => a.sameElements(b) }
     }
 }

@@ -4,31 +4,114 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+import graft.operators.Multimodal.Codecs
 
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
-  test("m01 media table has binary payload + typed metadata schema") {
+  // ---- codec kernels: real JDK decode against hand-built payloads ----
+
+  test("PNG round-trip: encode then ImageIO-decode returns the exact pixels") {
+    val px = Array(0, 85, 170, 255)
+    val png = Codecs.encodePng(2, 2, px)
+    // a real PNG: magic bytes present
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, back) = Codecs.decodeGray(png)
+    assert(w == 2 && h == 2)
+    assert(back.sameElements(px))
+  }
+
+  test("WAV round-trip: encode then AudioSystem-decode returns the exact samples") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 7)
+    val wav = Codecs.encodeWav(samples)
+    // a real RIFF/WAVE file
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(Codecs.decodeWav(wav).sameElements(samples))
+  }
+
+  test("luma histogram of known pixels lands in the expected bins") {
+    // 0→bin0, 85→bin2, 170→bin5, 255→bin7 (8 bins over 0..255)
+    val hist = Codecs.lumaHistogram(Array(0, 85, 170, 255))
+    assert(hist.toSeq == Seq(0.25f, 0f, 0.25f, 0f, 0f, 0.25f, 0f, 0.25f))
+  }
+
+  test("440 Hz sine WAV has the known RMS (A/sqrt2) after a real decode") {
+    val sr = 8000.0
+    val amp = 16000.0
+    // 10 full cycles → windows aligned to whole cycles have RMS A/√2
+    val n = (10 * sr / 440.0).round.toInt
+    val sine = Array.tabulate(n)(i =>
+      math.round(amp * StrictMath.sin(2 * StrictMath.PI * 440.0 * i / sr)).toShort)
+    val decoded = Codecs.decodeWav(Codecs.encodeWav(sine))
+    val rms = Codecs.rms(decoded, 0, decoded.length)
+    val expected = amp / math.sqrt(2.0) / 32768.0
+    assert(math.abs(rms - expected) < 0.01 * expected,
+      s"rms $rms vs expected $expected")
+    // silence decodes to zero energy
+    val silent = Codecs.decodeWav(Codecs.encodeWav(Array.fill[Short](256)(0)))
+    assert(Codecs.rms(silent, 0, silent.length) == 0.0)
+  }
+
+  test("blockResize averages real quadrants; identity at native res") {
+    // 4×4 with constant quadrants 10/20/30/40 → 2×2 exactly those values
+    val px = Array(
+      10, 10, 20, 20,
+      10, 10, 20, 20,
+      30, 30, 40, 40,
+      30, 30, 40, 40)
+    assert(Codecs.blockResize(4, 4, px, 2).toSeq == Seq(10f, 20f, 30f, 40f))
+    // outRes == image res: resize is the identity
+    val some = Array(1, 2, 3, 4)
+    assert(Codecs.blockResize(2, 2, some, 2).toSeq == some.map(_.toFloat).toSeq)
+  }
+
+  test("frame container round-trips and rejects corruption") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](), Array[Byte](9))
+    val packed = Codecs.packFrames(frames)
+    val back = Codecs.unpackFrames(packed)
+    assert(back.length == 3 && back(0).toSeq == Seq[Byte](1, 2, 3) &&
+      back(1).isEmpty && back(2).toSeq == Seq[Byte](9))
+    // truncated container must fail loudly, not yield garbage frames
+    intercept[IllegalArgumentException] {
+      Codecs.unpackFrames(packed.dropRight(1))
+    }
+  }
+
+  // ---- table + pipeline: real payloads flow through the real codecs ----
+
+  test("m01 media table has binary payloads that actually decode") {
     val m = Multimodal.mediaTable(spark, dir)
     val s = m.schema
     assert(s("payload").dataType.typeName == "binary")
     assert(s("meta").dataType.typeName == "struct")
-    assert(m.count() > 0)
+    val rows = m.select("media_type", "payload").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      r.getString(0) match {
+        case "image" =>
+          val (w, h, _) = Codecs.decodeGray(payload)
+          assert(w == 8 && h == 8)
+        case "audio" =>
+          assert(Codecs.decodeWav(payload).length >= 512)
+        case "video" =>
+          val fs = Codecs.unpackFrames(payload)
+          assert(fs.length >= 3)
+          assert(Codecs.decodeGray(fs(0))._1 == 8)
+      }
+    }
   }
 
-  test("m01 feature pipeline: stub decode emits normalized 8-bin features") {
-    import spark.implicits._
-    val media = Multimodal.mediaTable(spark, dir)
-      .select(col("doc_id"), col("media_type"), col("payload"))
-      .as[(Long, String, Array[Byte])]
-    val feats = media.mapPartitions(_.map { case (id, mt, p) =>
-      Multimodal.MediaFeatures(id, mt, p.length.toLong, Multimodal.stubDecode(p))
-    }).collect()
+  test("m01 features are normalized 8-bin histograms from real decodes") {
+    val feats = Multimodal.mediaTable(spark, dir)
+      .select("media_type", "payload").collect()
+      .map(r => Multimodal.decodeFeatures(r.getString(0), r.getAs[Array[Byte]](1)))
     assert(feats.nonEmpty)
     feats.foreach { f =>
-      assert(f.feat.length == 8)
-      assert(math.abs(f.feat.sum - 1.0f) < 1e-3, "histogram should normalize")
+      assert(f.length == 8)
+      assert(math.abs(f.sum - 1.0f) < 1e-3, "histogram should normalize")
     }
   }
 
@@ -39,64 +122,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.length == 3) // image / audio / video
   }
 
-  test("m02 samples every stride-th frame with correct frame accounting") {
+  test("m02 samples every stride-th decoded frame with correct accounting") {
     import spark.implicits._
-    val frames = Multimodal.m02FrameSample(spark, dir,
-      frameBytes = 64, stride = 3).collect()
+    val frames = Multimodal.m02FrameSample(spark, dir, stride = 3).collect()
     assert(frames.nonEmpty)
-    val videoLens = Multimodal.mediaTable(spark, dir)
+    val videoFrameCounts = Multimodal.mediaTable(spark, dir)
       .filter(col("media_type") === "video")
-      .select(col("doc_id"), length(col("payload")))
-      .as[(Long, Int)].collect().toMap
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, p) => id -> Codecs.unpackFrames(p).length }.toMap
     val byDoc = frames.groupBy(_.getLong(0))
-    assert(byDoc.keySet == videoLens.filter(_._2 > 0).keySet)
+    assert(byDoc.keySet == videoFrameCounts.keySet)
     byDoc.foreach { case (id, fs) =>
-      val expectedTotal = (videoLens(id) + 63) / 64
-      assert(fs.forall(_.getInt(2) == expectedTotal))
+      val total = videoFrameCounts(id)
+      assert(fs.forall(_.getInt(2) == total))
       // sampled indices are exactly 0, 3, 6, ...
       val idxs = fs.map(_.getInt(1)).sorted
-      assert(idxs.sameElements(0 until expectedTotal by 3), s"doc $id: ${idxs.toSeq}")
+      assert(idxs.sameElements(0 until total by 3), s"doc $id: ${idxs.toSeq}")
     }
+    // feat0 is a real pixel average: reproduce one row by hand
+    val (docId, fsRows) = byDoc.head
+    val frame0 = Codecs.unpackFrames(
+      Multimodal.mediaTable(spark, dir)
+        .filter(col("doc_id") === docId).select("payload")
+        .as[Array[Byte]].head())(0)
+    val (w, h, px) = Codecs.decodeGray(frame0)
+    val expected = BigDecimal(Codecs.blockResize(w, h, px, 4)(0).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = fsRows.find(_.getInt(1) == 0).get.getDouble(3)
+    assert(math.abs(got - expected) < 1e-9, s"feat0 $got vs $expected")
   }
 
-  test("m02 stub resize bucket-averages to the target resolution") {
-    // 4 bytes → 2 buckets: (10,20 | 30,40) → (15, 35)
-    val r = Multimodal.stubResize(Array[Byte](10, 20, 30, 40), 2)
-    assert(r.toSeq == Seq(15.0f, 35.0f))
-    // shorter frame than resolution: empty buckets stay zero
-    val short = Multimodal.stubResize(Array[Byte](100), 4)
-    assert(short.length == 4 && short(0) == 100.0f && short.drop(1).forall(_ == 0f))
-    assert(Multimodal.stubResize(Array.empty[Byte], 4).forall(_ == 0f))
-  }
-
-  test("m03 windows overlap at the hop and account correctly") {
+  test("m03 windows overlap at the hop over real decoded PCM") {
     val out = Multimodal.m03AudioWindows(spark, dir,
-      windowBytes = 512, hopBytes = 256).collect()
+      windowSamples = 256, hopSamples = 128).collect()
     assert(out.nonEmpty)
     // audio docs only (media_type round-robins on doc_id % 3 == 1)
     assert(out.forall(_.getLong(0) % 3 == 1))
-    // per-doc: indices are 0..n-1, n matches ceil(len/hop), and the
-    // n_windows column is constant within the doc
-    val media = Multimodal.mediaTable(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("media_type") === "audio")
-      .select("doc_id", "payload").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    import spark.implicits._
+    val sampleCounts = Multimodal.mediaTable(spark, dir)
+      .filter(col("media_type") === "audio")
+      .select("doc_id", "payload")
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, p) => id -> Codecs.decodeWav(p).length }.toMap
     out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
-      val expectN = (media(id).length + 255) / 256
+      val expectN = (sampleCounts(id) + 127) / 128
       assert(rows.length == expectN, s"doc $id: ${rows.length} vs $expectN")
       assert(rows.map(_.getInt(1)).sorted.sameElements(0 until expectN))
       assert(rows.forall(_.getInt(2) == expectN))
+      // a sine tone: full windows carry real energy, near A/√2
+      assert(rows.filter(_.getInt(1) == 0).forall(_.getDouble(3) > 0.05))
     }
-    // empty payloads yield zero windows, never a phantom silent frame
-    val outIds = out.map(_.getLong(0)).toSet
-    media.filter(_._2.isEmpty).keys.foreach(id => assert(!outIds(id)))
-  }
-
-  test("m03 stub energy matches a hand-computed RMS") {
-    // bytes 128 -> centered 0 -> energy 0; bytes 138/118 -> |v|=10 -> RMS 10
-    assert(Multimodal.stubEnergy(Array.fill(4)(128.toByte)) == 0.0)
-    val w = Array[Byte](138.toByte, 118.toByte, 138.toByte, 118.toByte)
-    assert(math.abs(Multimodal.stubEnergy(w) - 10.0) < 1e-12)
-    assert(Multimodal.stubEnergy(Array.emptyByteArray) == 0.0)
   }
 }
