@@ -15,6 +15,29 @@ object Oracles {
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)"
 
+  /** The t08 greedy longest-match tokenizer as a recursive CTE,
+    * generated from the SAME vocab constant the native kernel uses
+    * (single source of truth — vocab drift can't silently pass).
+    */
+  private def SubwordStepCte: String = {
+    val values = graft.operators.TextOps.SubwordVocab
+      .map(p => s"('${p.replace("'", "''")}')").mkString(",")
+    s"""WITH RECURSIVE vocab(piece, len) AS (
+       |  SELECT piece, length(piece) FROM (VALUES $values) t(piece)),
+       |step(doc_id, pos, n_sub, n_unk, text) AS (
+       |  SELECT doc_id, 1, 0, 0, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    pos + COALESCE((SELECT MAX(len) FROM vocab
+       |                    WHERE substr(text, pos, len) = piece), 1),
+       |    n_sub + 1,
+       |    n_unk + CASE WHEN (SELECT MAX(len) FROM vocab
+       |                       WHERE substr(text, pos, len) = piece) IS NULL
+       |            THEN 1 ELSE 0 END,
+       |    text
+       |  FROM step WHERE pos <= length(text))""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -763,6 +786,33 @@ object Oracles {
         |  END AS pred_lang
         |FROM s
         |ORDER BY doc_id""".stripMargin,
+
+    // t08: the greedy longest-match tokenizer replayed char-by-char as
+    // a recursive CTE — each step consumes the longest matching vocab
+    // piece (max(len) over matches) or one UNK char. The vocab VALUES
+    // list is generated from the same Scala constant the kernel uses.
+    "t08_subword_tokenize" ->
+      s"""$SubwordStepCte
+         |SELECT doc_id, CAST(n_sub AS BIGINT) AS n_subwords,
+         |  CAST(n_unk AS BIGINT) AS n_unk
+         |FROM step WHERE pos > length(text)
+         |ORDER BY doc_id""".stripMargin,
+
+    // c06: c02's equal-share planner budgeted in t08 subword tokens —
+    // same recursive tokenizer CTE, then the per-source rollup.
+    "c06_mixture_subword" ->
+      s"""$SubwordStepCte,
+         |counts AS (SELECT doc_id, n_sub FROM step WHERE pos > length(text)),
+         |per AS (SELECT d.source, COUNT(*) AS n_docs,
+         |          CAST(SUM(CAST(c.n_sub AS BIGINT)) AS BIGINT) AS tot_tokens
+         |        FROM counts c JOIN documents d USING (doc_id)
+         |        GROUP BY d.source)
+         |SELECT source, n_docs, tot_tokens,
+         |  round(least(1.0,
+         |    (100000.0 / (SELECT COUNT(*) FROM per)) / tot_tokens), 6)
+         |    AS sample_rate
+         |FROM per
+         |ORDER BY source""".stripMargin,
 
     // f07's SyntheticFetcher manifest is a pure function of (dirs=8,
     // filesPerDir=25, pageSize=7) — the oracle regenerates it from

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordStats}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -67,5 +67,11 @@ object ExprRegistrations {
         MinHashSigText(c, k, p)
       case other => throw new IllegalArgumentException(
         s"minhash_sig_text expects (text, int literal k, int literal numPerm), got $other")
+    },
+    desc("subword_stats",
+      "subword_stats(text, vocab) - [n_subwords, n_unk] of greedy longest-match segmentation against the comma-separated vocab") {
+      case Seq(t, v) => SubwordStats(t, v)
+      case other => throw new IllegalArgumentException(
+        s"subword_stats expects 2 arguments, got ${other.size}")
     })
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordStats}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -62,4 +62,10 @@ object F {
     */
   def shingleHashes64(text: Column, shingleK: Int): Column =
     c(ShingleHashes64(e(text), shingleK))
+
+  /** Native greedy longest-match subword segmentation stats (e11):
+    * [n_subwords, n_unk] against a comma-separated vocab.
+    */
+  def subwordStats(text: Column, vocabCsv: String): Column =
+    c(SubwordStats(e(text), e(org.apache.spark.sql.functions.lit(vocabCsv))))
 }

@@ -86,11 +86,29 @@ object Corpus {
     * rebalance is plan + one filtered pass, never a collect.
     */
   def c02MixturePlan(spark: SparkSession, dir: String,
-      targetTokens: Long = 100000L): DataFrame = {
-    val t = Tables(spark, dir)
-    val perSource = t.documents
-      .select(col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      targetTokens: Long = 100000L): DataFrame =
+    mixturePlanOver(Tables(spark, dir).documents,
+      size(split(col("text"), " ")).cast("long"), targetTokens)
+
+  /** c06: c02's planner budgeted in MODEL-TOKENIZER tokens — per-doc
+    * counts come from the t08 greedy longest-match kernel instead of
+    * whitespace splitting. Same single groupBy shuffle; only the
+    * per-row token counter changes, which is the point: sources with
+    * high subword fertility (more pieces per word) weigh heavier, so
+    * rates hit the actual token budget a trainer consumes.
+    */
+  def c06MixtureSubword(spark: SparkSession, dir: String,
+      targetTokens: Long = 100000L): DataFrame =
+    mixturePlanOver(Tables(spark, dir).documents,
+      element_at(TextOps.subwordStatsCol(col("text")), 1), targetTokens)
+
+  /** Shared planner body: per-source doc/token mass → equal-share
+    * sampling rates, parameterized by the per-row token counter.
+    */
+  def mixturePlanOver(docs: DataFrame, tokenCount: org.apache.spark.sql.Column,
+      targetTokens: Long): DataFrame = {
+    val perSource = docs
+      .select(col("source"), tokenCount.as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -120,17 +138,25 @@ object Corpus {
   // default target sized BELOW the sf0.01 corpus mass (~27k tokens)
   // so the demo's rates land under 1.0 and the sample is a genuine
   // subset, not the capped identity
+  // `subwordTokens = true` budgets and reports in t08 model-tokenizer
+  // tokens (c06 plan) instead of whitespace tokens (c02 plan)
   def c05MixtureBuild(spark: SparkSession, dir: String,
-      targetTokens: Long = 12000L, seed: Long = 42L): DataFrame = {
+      targetTokens: Long = 12000L, seed: Long = 42L,
+      subwordTokens: Boolean = false): DataFrame = {
     val t = Tables(spark, dir)
-    val rates = c02MixturePlan(spark, dir, targetTokens)
+    val plan =
+      if (subwordTokens) c06MixtureSubword(spark, dir, targetTokens)
+      else c02MixturePlan(spark, dir, targetTokens)
+    val rates = plan
       .select("source", "sample_rate").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val tokenCount =
+      if (subwordTokens) element_at(TextOps.subwordStatsCol(col("text")), 1)
+      else size(split(col("text"), " ")).cast("long")
     val sampled = Sampling.stratifiedSample(
       t.documents, col("doc_id"), col("source"), rates, defaultRate = 0.0)
     Sampling.shuffleDeterministic(
-      sampled.select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      sampled.select(col("doc_id"), col("source"), tokenCount.as("n_tokens")),
       col("doc_id"), seed)
   }
 

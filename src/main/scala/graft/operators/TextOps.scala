@@ -181,6 +181,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Demo subword vocabulary — whole words plus BPE-flavored merges
+    * ("customer" → cust+om+er, "window" → wind+ow, "query" → qu+ery)
+    * and a few single-char pieces; anything else falls back to
+    * one-char UNK tokens. A real deployment substitutes its model
+    * tokenizer's vocab; the apply rule (greedy longest-match) is the
+    * standard public WordPiece/BPE inference algorithm.
+    */
+  val SubwordVocab: Seq[String] = Seq(
+    " ", "table", "value", "part", "scan", "fast", "slow", "key", "row",
+    "agg", "the", "line", "sort", "order", "data", "col", "umn", "qu",
+    "ery", "join", "str", "eam", "gr", "oup", "wind", "ow", "merge",
+    "batch", "spark", "hash", "small", "big", "cust", "om", "er", "at",
+    "an", "in", "on", "a", "e", "s", "t")
+
+  /** Subword stats column: [n_subwords, n_unk] via the native e11
+    * kernel (one codegen'd pass; the vocab trie builds once per
+    * executor, not per row).
+    */
+  def subwordStatsCol(text: Column, vocab: Seq[String] = SubwordVocab): Column =
+    graft.functions.F.subwordStats(text, vocab.mkString(","))
+
+  /** t08: tokenizer-apply — greedy longest-match subword segmentation
+    * of every document against the (broadcast-literal) vocab, emitting
+    * model-tokenizer token counts and the UNK fallback count. Per-row,
+    * shuffle-free, codegen'd; this is the token counter a mixture
+    * planner should budget with (c06), since whitespace counts ignore
+    * per-source subword fertility.
+    */
+  def t08SubwordTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), subwordStatsCol(col("text")).as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_subwords"),
+        element_at(col("st"), 2).as("n_unk"))
+      .orderBy("doc_id")
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))

@@ -132,6 +132,52 @@ object Kernels {
     count
   }
 
+  /** Vocab pieces grouped by first char, longest first — the greedy
+    * longest-match lookup structure. Built once per distinct vocab
+    * string, shared across rows and threads.
+    */
+  private val subwordVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[Character, Array[String]]]()
+
+  private def buildSubwordVocab(csv: String): java.util.HashMap[Character, Array[String]] = {
+    val byFirst = new java.util.HashMap[Character, Array[String]]()
+    csv.split(',').filter(_.nonEmpty).distinct
+      .groupBy(_.charAt(0))
+      .foreach { case (c, ps) =>
+        byFirst.put(c, ps.sortBy(p => (-p.length, p)))
+      }
+    byFirst
+  }
+
+  /** Greedy longest-match subword segmentation (the WordPiece/BPE-apply
+    * inference rule, public algorithm): at each position take the
+    * longest vocab piece matching there; no match → consume one char as
+    * an UNK token. Returns [n_subwords, n_unk]. Comma-separated vocab
+    * (pieces must not contain commas); single pass, no allocation
+    * beyond the result pair.
+    */
+  def subwordStats(text: UTF8String, vocabCsv: UTF8String): ArrayData = {
+    val vocab = subwordVocabCache.computeIfAbsent(vocabCsv.toString, buildSubwordVocab)
+    val s = text.toString
+    var pos = 0
+    var nSub = 0L
+    var nUnk = 0L
+    while (pos < s.length) {
+      var matched = 0
+      val candidates = vocab.get(s.charAt(pos))
+      if (candidates != null) {
+        var i = 0
+        while (i < candidates.length && matched == 0) {
+          if (s.startsWith(candidates(i), pos)) matched = candidates(i).length
+          i += 1
+        }
+      }
+      if (matched == 0) { nUnk += 1; pos += 1 } else pos += matched
+      nSub += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nSub, nUnk))
+  }
+
   /** Deterministic dot product: float→double per element, left-to-right
     * fold (SURVEY.md §4 determinism discipline).
     */
@@ -414,6 +460,32 @@ case class MarkerCount(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MarkerCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** e11: native subword tokenizer-apply — greedy longest-match
+  * segmentation against a comma-separated vocab, returning
+  * [n_subwords, n_unk] in one codegen'd pass. The model-tokenizer
+  * token counter for mixture planning (t08/c06): whitespace counts
+  * over- or under-budget a mixture by the subword fertility of each
+  * source. `subword_stats(text, vocab)` in SQL.
+  */
+case class SubwordStats(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "subword_stats"
+
+  override protected def nullSafeEval(t: Any, v: Any): Any =
+    Kernels.subwordStats(t.asInstanceOf[UTF8String], v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) =>
+      s"org.apache.spark.sql.graft.Kernels.subwordStats($t, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubwordStats =
     copy(left = newLeft, right = newRight)
 }
 

@@ -122,4 +122,33 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
       native == hof
     }
+
+  /** Plain-Scala greedy longest-match reference for subwordStats. */
+  private def subwordRef(text: String, vocab: Seq[String]): (Long, Long) = {
+    val sorted = vocab.sortBy(p => (-p.length, p))
+    var pos = 0; var nSub = 0L; var nUnk = 0L
+    while (pos < text.length) {
+      sorted.find(p => text.startsWith(p, pos)) match {
+        case Some(p) => pos += p.length
+        case None    => nUnk += 1; pos += 1
+      }
+      nSub += 1
+    }
+    (nSub, nUnk)
+  }
+
+  property("subwordStats kernel == driver-side greedy longest-match") =
+    forAll(Gen.listOfN(10, textGen)) { texts =>
+      val docs = docsDf(texts)
+      val vocab = TextOps.SubwordVocab
+      val native = docs.select(col("doc_id"),
+        TextOps.subwordStatsCol(col("text")))
+        .collect().map(r => r.getLong(0) -> {
+          val a = r.getSeq[Long](1); (a(0), a(1))
+        }).toMap
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> subwordRef(t, vocab)
+      }.toMap
+      native == expected
+    }
 }

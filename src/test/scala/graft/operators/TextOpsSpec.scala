@@ -53,5 +53,63 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 0.0, 1.0, 0.0)))
   }
 
+  test("t08 tokenizes hand-built fixtures exactly (BPE-style merges)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "customer window query" → cust|om|er|␣|wind|ow|␣|qu|ery = 9 pieces
+    // "xyz" → x,y,z: only single-char fallbacks (none in vocab) = 3 UNK
+    // "the table" → the|␣|table = 3 pieces
+    // "" → zero tokens
+    val docs = Seq(
+      (1L, "customer window query"), (2L, "xyz"), (3L, "the table"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), TextOps.subwordStatsCol(col("text")).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(9L, 0L))
+    assert(out(2L) == Seq(3L, 3L))
+    assert(out(3L) == Seq(3L, 0L))
+    assert(out(4L) == Seq(0L, 0L))
+  }
+
+  test("t08 greedy rule prefers the longest piece at each position") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // "a" and "agg" and "at" all start with 'a': "aggat" must segment
+    // agg|at (2 pieces), not a|g|g|a|t
+    val docs = Seq((1L, "aggat")).toDF("doc_id", "text")
+    val st = docs.select(TextOps.subwordStatsCol(col("text")))
+      .head.getSeq[Long](0)
+    assert(st == Seq(2L, 0L))
+  }
+
+  test("c06 subword mixture totals are the per-source sums of t08 counts") {
+    val dir = TestSpark.Sf0001
+    val t08 = TextOps.t08SubwordTokenize(spark, dir)
+    val docs = graft.Tables(spark, dir).documents.select("doc_id", "source")
+    val expected = t08.join(docs, "doc_id")
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_subwords").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = Corpus.c06MixtureSubword(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(plan == expected)
+    assert(plan.nonEmpty)
+  }
+
+  test("c05 subword leg budgets and reports in t08 tokens") {
+    val dir = TestSpark.Sf0001
+    val built = Corpus.c05MixtureBuild(spark, dir,
+      targetTokens = 3000L, subwordTokens = true).collect()
+    assert(built.nonEmpty)
+    val t08 = TextOps.t08SubwordTokenize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every emitted n_tokens is that doc's subword count, not its
+    // whitespace count
+    built.foreach { r =>
+      assert(r.getLong(2) == t08(r.getLong(0)))
+    }
+  }
+
   private def round4(x: Double): Double = math.rint(x * 10000) / 10000
 }
