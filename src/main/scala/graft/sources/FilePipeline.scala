@@ -32,11 +32,14 @@ object FilePipeline {
       size: Long, mtime: Long)
 
   /** Per-file copy audit row (ref notebook py:299-305 prints; here the
-    * audit is data, aggregable by f05).
+    * audit is data, aggregable by f05). `checksum` is the CRC32C of the
+    * bytes actually written (0 for skipped/failed/deleted rows) —
+    * computed inside the copy's own byte loop, so integrity recording
+    * costs zero extra I/O.
     */
   final case class CopyAudit(
       src: String, dest: String, rel_path: String, bytes: Long,
-      status: String, error: String)
+      status: String, error: String, checksum: Long = 0L)
 
   /** Hadoop Configuration is not Serializable; standard Writable-based
     * wrapper so executors receive the driver's FS settings (credentials,
@@ -66,23 +69,43 @@ object FilePipeline {
   }
 
   /** Shared streaming copy (1 MiB buffer): create the destination with
-    * its parents and drain `in` into it, returning bytes copied. Both
-    * copy executors (FS and paged) route here so retry/fault behavior
-    * can't drift between them.
+    * its parents and drain `in` into it, returning (bytes copied,
+    * CRC32C of those bytes). Both copy executors (FS and paged) route
+    * here so retry/fault behavior can't drift between them. CRC32C is
+    * the streaming choice: chunk-boundary-independent (unlike a chained
+    * block hash), hardware-accelerated on modern JVMs, pure JDK — and
+    * it rides the existing loop, so integrity costs zero extra reads.
     */
   private[sources] def streamTo(in: java.io.InputStream,
-      dstFs: FileSystem, destPath: Path): Long = {
+      dstFs: FileSystem, destPath: Path): (Long, Long) = {
     dstFs.mkdirs(destPath.getParent)
     val out = dstFs.create(destPath, true)
     val buf = new Array[Byte](1 << 20)
+    val crc = new java.util.zip.CRC32C()
     var total = 0L
     try {
       var read = in.read(buf)
       while (read >= 0) {
-        out.write(buf, 0, read); total += read; read = in.read(buf)
+        out.write(buf, 0, read); crc.update(buf, 0, read)
+        total += read; read = in.read(buf)
       }
     } finally { in.close(); out.close() }
-    total
+    (total, crc.getValue)
+  }
+
+  /** CRC32C of a file's content — the read-side twin of streamTo's
+    * write-side accounting (same polynomial, so copy audits and
+    * verification sweeps compare directly).
+    */
+  private[sources] def checksumOf(fs: FileSystem, p: Path): Long = {
+    val in = fs.open(p)
+    val buf = new Array[Byte](1 << 20)
+    val crc = new java.util.zip.CRC32C()
+    try {
+      var read = in.read(buf)
+      while (read >= 0) { crc.update(buf, 0, read); read = in.read(buf) }
+    } finally in.close()
+    crc.getValue
   }
 
   /** f01: recursive tree enumeration → manifest Dataset.
@@ -180,7 +203,8 @@ object FilePipeline {
     */
   def distCopy(spark: SparkSession, manifest: Dataset[FileEntry],
       destRoot: String, partitions: Int = 0,
-      maxRetries: Int = 3, baseBackoffMs: Long = 100): Dataset[CopyAudit] = {
+      maxRetries: Int = 3, baseBackoffMs: Long = 100,
+      force: Boolean = false): Dataset[CopyAudit] = {
     import spark.implicits._
     val n = if (partitions > 0) partitions
       else spark.sparkContext.defaultParallelism * 4
@@ -199,8 +223,10 @@ object FilePipeline {
           // least as new as the source — a same-size content change
           // (src mtime newer than the copy) must re-copy. mtime 0 in
           // the manifest means "unknown" and degrades to size-only.
+          // `force` (checksum-verified sync) bypasses the check: those
+          // rows were flagged precisely because their metadata lies.
           val dstStat =
-            if (dstFs.exists(destPath)) Some(dstFs.getFileStatus(destPath))
+            if (!force && dstFs.exists(destPath)) Some(dstFs.getFileStatus(destPath))
             else None
           if (dstStat.exists(st =>
               st.getLen == e.size && st.getModificationTime >= e.mtime)) {
@@ -210,10 +236,11 @@ object FilePipeline {
             // SlowDown, ABFS 429) and those must be absorbed, not
             // turned into failure rows that force a re-sync. A missing
             // source (404) is permanent and fails immediately.
-            val total = PagedSource.withRetry(maxRetries, baseBackoffMs) {
+            val (total, crc) = PagedSource.withRetry(maxRetries, baseBackoffMs) {
               streamTo(srcFs.open(srcPath), dstFs, destPath)
             }
-            CopyAudit(e.path, destPath.toString, e.rel_path, total, "copied", "")
+            CopyAudit(e.path, destPath.toString, e.rel_path, total, "copied",
+              "", crc)
           }
         } catch {
           case ex: Exception =>
@@ -273,13 +300,60 @@ object FilePipeline {
       }
   }
 
+  /** Checksum diff mode for f03: re-examine the plan's `noop` rows
+    * (same size AND dst at least as new — the blind spot where a
+    * corrupted or tampered destination hides) by content CRC32C and
+    * upgrade mismatches to `copy_changed`. Opt-in because it reads
+    * every unchanged file on BOTH sides — a full-content verification
+    * sweep, distributed as one mapPartitions over the noop pairs (no
+    * shuffle: the plan join already co-located the pair on one row).
+    * Plain metadata sync stays the cheap default.
+    */
+  def syncPlanChecksum(plan: DataFrame): DataFrame = {
+    val spark = plan.sparkSession
+    import spark.implicits._
+    val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val cols = Seq("rel_path", "action", "src_path", "dst_path",
+      "src_size", "dst_size", "src_mtime", "dst_mtime")
+    val rechecked = plan.filter(col("action") === "noop")
+      .select(col("rel_path"), col("src_path"), col("dst_path"),
+        col("src_size"), col("dst_size"), col("src_mtime"), col("dst_mtime"))
+      .as[(String, String, String, Long, Long, Long, Long)]
+      .mapPartitions { rows =>
+        val conf = confSer.value
+        rows.map { case (rel, sp, dp, ss, ds, sm, dm) =>
+          val spth = new Path(sp)
+          val dpth = new Path(dp)
+          val same = checksumOf(spth.getFileSystem(conf), spth) ==
+            checksumOf(dpth.getFileSystem(conf), dpth)
+          (rel, if (same) "noop" else "copy_changed", sp, dp, ss, ds, sm, dm)
+        }
+      }
+      .toDF(cols: _*)
+    plan.filter(col("action") =!= "noop").select(cols.map(col): _*)
+      .unionByName(rechecked)
+  }
+
   def syncCopy(spark: SparkSession, srcRoot: String, dstRoot: String,
-      pruneDeleted: Boolean = false, partitions: Int = 0): Dataset[CopyAudit] = {
+      pruneDeleted: Boolean = false, partitions: Int = 0,
+      verifyChecksums: Boolean = false): Dataset[CopyAudit] = {
     import spark.implicits._
     val src = catalog(spark, srcRoot)
     val dst = catalog(spark, dstRoot)
-    val plan = syncPlan(src, dst)
-    val toCopy = copyTargets(plan)
+    val metaPlan = syncPlan(src, dst)
+    val plan = if (verifyChecksums) syncPlanChecksum(metaPlan) else metaPlan
+    // checksum-upgraded rows look metadata-clean (same size, dst not
+    // older), so the copy executors' idempotent skip check would skip
+    // exactly the corruption the sweep found — route them force-copied
+    val metaClean = col("src_size") === col("dst_size") &&
+      col("src_mtime") <= col("dst_mtime")
+    val upgraded = col("action") === "copy_changed" && metaClean
+    val copied =
+      if (verifyChecksums)
+        distCopy(spark, copyTargets(plan.filter(!upgraded)), dstRoot, partitions)
+          .union(distCopy(spark, copyTargets(plan.filter(upgraded)), dstRoot,
+            partitions, force = true))
+      else distCopy(spark, copyTargets(plan), dstRoot, partitions)
     if (pruneDeleted) {
       val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
       val doomed = plan.filter(col("action") === "delete")
@@ -291,8 +365,8 @@ object FilePipeline {
         CopyAudit(p, p, "", 0L, if (ok) "deleted" else "failed", "")
       }
       // force the copy before exposing the union (single audit pass)
-      distCopy(spark, toCopy, dstRoot, partitions).union(pruned)
-    } else distCopy(spark, toCopy, dstRoot, partitions)
+      copied.union(pruned)
+    } else copied
   }
 
   /** f05: audit aggregation — the reference's printed tallies

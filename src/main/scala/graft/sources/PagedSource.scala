@@ -271,11 +271,12 @@ object PagedSource {
               st.getLen == e.size && st.getModificationTime >= e.mtime)) {
             CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "skipped", "")
           } else {
-            val total = withRetry(maxRetries, baseBackoffMs) {
+            val (total, crc) = withRetry(maxRetries, baseBackoffMs) {
               RateLimiter.acquire("content", permitsPerSec)
               FilePipeline.streamTo(fetcher.open(e.path), dstFs, destPath)
             }
-            CopyAudit(e.path, destPath.toString, e.rel_path, total, "copied", "")
+            CopyAudit(e.path, destPath.toString, e.rel_path, total, "copied",
+              "", crc)
           }
         } catch {
           case ex: Exception =>

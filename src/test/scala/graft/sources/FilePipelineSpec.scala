@@ -173,6 +173,56 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(audit2.isEmpty, s"expected converged sync, got ${audit2.toSeq}")
   }
 
+  test("f02 copy audits carry the content CRC32C at zero extra reads") {
+    val root = mkTree()
+    val dest = Files.createTempDirectory("graft_crc")
+    val audit = FilePipeline.distCopy(spark,
+      FilePipeline.catalog(spark, root.toString), dest.toString,
+      partitions = 2).collect()
+    assert(audit.length == 4 && audit.forall(_.status == "copied"))
+    audit.foreach { a =>
+      val crc = new java.util.zip.CRC32C()
+      val bytes = Files.readAllBytes(Paths.get(new java.net.URI(a.dest).getPath))
+      crc.update(bytes, 0, bytes.length)
+      assert(a.checksum == crc.getValue, s"${a.rel_path}")
+      assert(a.bytes == bytes.length)
+    }
+    // skipped rows don't fake a checksum
+    val again = FilePipeline.distCopy(spark,
+      FilePipeline.catalog(spark, root.toString), dest.toString,
+      partitions = 2).collect()
+    assert(again.forall(a => a.status == "skipped" && a.checksum == 0L))
+  }
+
+  test("f03 checksum sync heals same-size+same-mtime corruption; plain sync can't") {
+    val root = mkTree()
+    val dest = Files.createTempDirectory("graft_csync")
+    FilePipeline.syncCopy(spark, root.toString, dest.toString, partitions = 2).count()
+    // corrupt the destination copy: same byte count, same mtime as the
+    // source — the metadata blind spot (bit rot, tampering, torn write)
+    val victim = dest.resolve("sub1/deep/c.txt")
+    Files.writeString(victim, "gamma corrupt")
+    assert(Files.size(victim) == Files.size(root.resolve("sub1/deep/c.txt")))
+    Files.setLastModifiedTime(victim,
+      Files.getLastModifiedTime(root.resolve("sub1/deep/c.txt")))
+    // plain metadata sync sees nothing to do
+    val plain = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      partitions = 2).collect()
+    assert(plain.isEmpty, s"metadata sync should be blind here, got ${plain.toSeq}")
+    assert(Files.readString(victim) == "gamma corrupt")
+    // checksum sync finds and heals exactly the corrupted file
+    val healed = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      partitions = 2, verifyChecksums = true).collect()
+    assert(healed.length == 1 && healed.head.status == "copied",
+      s"got ${healed.toSeq}")
+    assert(healed.head.rel_path == "sub1/deep/c.txt")
+    assert(Files.readString(victim) == "gamma content")
+    // converged: a second checksum sweep finds nothing
+    val again = FilePipeline.syncCopy(spark, root.toString, dest.toString,
+      partitions = 2, verifyChecksums = true).collect()
+    assert(again.isEmpty, s"expected converged checksum sync, got ${again.toSeq}")
+  }
+
   test("f04 grant ledger merge is idempotent") {
     import spark.implicits._
     val ledger0 = GrantLedger.emptyLedger(spark)
