@@ -396,6 +396,89 @@ object Dedup {
     labels.select(col("id"), col("lab"))
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", public algorithm) — the adversarial-diameter-safe
+    * engine: converges in O(log n) rounds on ANY graph shape, where
+    * min-label propagation needs O(diameter) rounds and a single long
+    * chain makes that O(n).
+    *
+    *   large-star(u): every neighbor v > u re-links to
+    *     m = min(Γ(u) ∪ {u}) — strictly-decreasing hooks, keeps
+    *     connectivity, no cycles (m < v always);
+    *   small-star(u): every neighbor v < u (and u itself) links to
+    *     m = min of those — flattens local stars.
+    *
+    * Each half-round is one groupBy + one join; edges stay canonical
+    * (bigger, smaller) and deduped, so the edge set never exceeds the
+    * input size class. Fixpoint detection is a (count, hash-sum)
+    * signature — one scalar pair to the driver per round, never edges.
+    * Returns (labels, rounds): at the fixpoint every node's min
+    * neighbor IS its component min, which the union-find law and the
+    * d07 recursive-CTE oracle both pin.
+    */
+  def connectedComponentsStarWithRounds(edges: DataFrame,
+      maxIter: Int = 40): (DataFrame, Int) = {
+    var e = edges.toDF("u", "v")
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    // set signature: (|E|, xor of per-edge hashes) — order-independent,
+    // overflow-free under ANSI mode, one tiny scalar row per round
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def bidir(df: DataFrame): DataFrame =
+      df.union(df.select(col("v").as("u"), col("u").as("v")))
+
+    var sig = signature(e)
+    var iter = 0
+    var converged = e.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: center u, neighbors from both directions
+      val b = bidir(e)
+      val lm = b.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = b.join(lm, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: center = larger endpoint, neighbors all smaller
+      val sm = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(sm, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(sm.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // truncate lineage every round
+      val nextSig = signature(small)
+      converged = nextSig == sig
+      sig = nextSig
+      e = small
+      iter += 1
+    }
+    require(converged || iter < maxIter,
+      s"connectedComponentsStar: no fixpoint in $maxIter rounds")
+    // at the fixpoint each node's min neighbor is its component min;
+    // roots keep their own id (all their neighbors are larger)
+    val labels = bidir(e).groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("id"), least(col("id"), col("mv")).as("lab"))
+    (labels, iter)
+  }
+
+  /** Star-contraction components with the labels-only signature. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 40): DataFrame =
+    connectedComponentsStarWithRounds(edges, maxIter)._1
+
   /** d07: near-dup CLUSTER resolution — pairwise similarity is not an
     * equivalence relation (A~B, B~C but A≁C), so per-pair loser-drop
     * can over- or under-delete chains. Connected components over the
@@ -403,12 +486,15 @@ object Dedup {
     * cluster; keep min-id per cluster for a principled one-per-cluster
     * dedup. Pairs here come from the exact d04 join (oracle-able
     * end-to-end); the same resolution runs over d02/d06 pairs at scale.
+    * Engine: large-star/small-star (O(log n) rounds at any diameter);
+    * [[connectedComponents]] remains as the O(diameter) propagation
+    * alternative for provably-shallow cluster graphs.
     */
   def d07DedupClusters(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     val pairs = d04NgramJaccard(spark, dir, threshold = threshold)
       .select(col("doc_a"), col("doc_b"))
-    connectedComponents(pairs)
+    connectedComponentsStar(pairs)
       .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
       .orderBy("doc_id")
   }

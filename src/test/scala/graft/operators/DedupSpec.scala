@@ -128,6 +128,32 @@ class DedupSpec extends AnyFunSuite {
     assert(cc == (1L to 8L).map(_ -> 1L).toMap)
   }
 
+  test("star CC collapses a 1200-hop chain in O(log n) rounds, exactly") {
+    import spark.implicits._
+    // adversarial diameter: a single path graph 1-2-...-1201. Min-label
+    // propagation needs 1200 rounds here; star contraction must stay
+    // logarithmic (the 100 TB posture for arbitrary cluster shapes).
+    val n = 1201L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(edges)
+    val cc = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == (1L to n).map(_ -> 1L).toMap)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"$rounds rounds > O(log n) bound $bound")
+  }
+
+  test("star CC handles worst-case star + multi-component mixes") {
+    import spark.implicits._
+    // two components with interleaved ids + an already-star component
+    val edges = (Seq((10L, 2L), (2L, 30L), (30L, 4L)) ++ // comp min 2
+      Seq((5L, 99L), (99L, 7L)) ++                       // comp min 5
+      Seq((100L, 200L))).toDF("src", "dst")              // comp min 100
+    val cc = Dedup.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 2L, 2L -> 2L, 30L -> 2L, 4L -> 2L,
+      5L -> 5L, 99L -> 5L, 7L -> 5L, 100L -> 100L, 200L -> 100L))
+  }
+
   test("d06 banded SRP finds every planted near-dup pair, exactly") {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9).collect()

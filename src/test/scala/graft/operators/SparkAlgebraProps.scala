@@ -43,6 +43,24 @@ object SparkAlgebraProps extends Properties("graft.spark-algebra") {
       got == expected
     }
 
+  property("connectedComponentsStar == union-find on random graphs") =
+    forAll(edgesGen) { edges =>
+      import spark.implicits._
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponentsStar(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }
+
   private val rowsGen: Gen[List[(Long, Long, Boolean)]] = for {
     n <- Gen.choose(1, 60)
     rows <- Gen.listOfN(n, for {
