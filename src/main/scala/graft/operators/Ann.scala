@@ -365,6 +365,50 @@ object Ann {
     s08AnnIvfIndexed(spark, path, qv, k)
   }
 
+  // ------------------------------------------------- bench phase split
+  // The combined demos above are the driver's correctness entries, but
+  // their wall-clock is dominated by the one-off index build — which
+  // buries the number the index exists to improve: the repeated probe.
+  // Bench times the two phases as separate rows (build strictly before
+  // probe, same deterministic demo path), so the probe row measures
+  // what a 100 TB deployment repeats per query — a directory-pruned
+  // partition read in the s02 time class — and the build row measures
+  // what it pays once per corpus version.
+
+  private def demoQueryVec(spark: SparkSession, dir: String): Array[Float] =
+    Tables(spark, dir).embeddings.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+  /** s07 build phase: write the SRP-partitioned index; returns a 1-row
+    * audit (the build is eager, so timing the call times the build).
+    */
+  def s07BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = demoIndexPath("s07", dir)
+    buildLshIndex(Tables(spark, dir).embeddings
+      .filter(col("vec_id") =!= 0).select("vec_id", "embedding"), path)
+    Seq(path).toDF("index_path")
+  }
+
+  /** s07 probe phase: query the index s07BenchBuild wrote for `dir`. */
+  def s07BenchProbe(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    s07AnnLshIndexed(spark, demoIndexPath("s07", dir),
+      demoQueryVec(spark, dir), k)
+
+  /** s08 build phase: write the IVF-celled index + centroids sidecar. */
+  def s08BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = demoIndexPath("s08", dir)
+    buildIvfIndex(Tables(spark, dir).embeddings
+      .filter(col("vec_id") =!= 0).select("vec_id", "embedding"), path)
+    Seq(path).toDF("index_path")
+  }
+
+  /** s08 probe phase: query the index s08BenchBuild wrote for `dir`. */
+  def s08BenchProbe(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    s08AnnIvfIndexed(spark, demoIndexPath("s08", dir),
+      demoQueryVec(spark, dir), k)
+
   // ---------------------------------------------------------------- s06
 
   /** s06: IVF k-NN join — the celled counterpart of s05 for query SETS,

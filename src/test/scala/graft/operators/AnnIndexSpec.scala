@@ -115,6 +115,21 @@ class AnnIndexSpec extends AnyFunSuite {
       inline.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
   }
 
+  test("bench phase split: probe-after-build equals the combined demos") {
+    // Bench replaces the combined s07/s08 rows with build/probe phase
+    // rows; the split must not change the answer — probe against the
+    // build phase's index == the one-call demo.
+    val s07Combined = Ann.s07AnnLshIndexedDemo(spark, dir).collect().toSeq
+    Ann.s07BenchBuild(spark, dir)
+    val s07Split = Ann.s07BenchProbe(spark, dir).collect().toSeq
+    assert(s07Split == s07Combined)
+
+    val s08Combined = Ann.s08AnnIvfIndexedDemo(spark, dir).collect().toSeq
+    Ann.s08BenchBuild(spark, dir)
+    val s08Split = Ann.s08BenchProbe(spark, dir).collect().toSeq
+    assert(s08Split == s08Combined)
+  }
+
   test("s06 IVF kNN join recalls most exact s03 neighbors, ranked per query") {
     val exact = Ann.s03KnnJoin(spark, dir, k = 5, nQueries = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
