@@ -15,15 +15,19 @@ object Oracles {
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
       "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)"
 
-  /** The t08 greedy longest-match tokenizer as a recursive CTE,
+  /** The t08/t09 greedy longest-match tokenizer as a recursive CTE,
     * generated from the SAME vocab constant the native kernel uses
-    * (single source of truth — vocab drift can't silently pass).
+    * (single source of truth — vocab drift can't silently pass). A
+    * piece's id is its index in the constant, the same id contract the
+    * e11b kernel emits.
     */
-  private def SubwordStepCte: String = {
-    val values = graft.operators.TextOps.SubwordVocab
-      .map(p => s"('${p.replace("'", "''")}')").mkString(",")
-    s"""WITH RECURSIVE vocab(piece, len) AS (
-       |  SELECT piece, length(piece) FROM (VALUES $values) t(piece)),
+  private def subwordVocabValues: String =
+    graft.operators.TextOps.SubwordVocab.zipWithIndex
+      .map { case (p, i) => s"('${p.replace("'", "''")}', $i)" }.mkString(",")
+
+  private def SubwordStepCte: String =
+    s"""WITH RECURSIVE vocab(piece, id, len) AS (
+       |  SELECT piece, id, length(piece) FROM (VALUES $subwordVocabValues) t(piece, id)),
        |step(doc_id, pos, n_sub, n_unk, text) AS (
        |  SELECT doc_id, 1, 0, 0, text FROM documents
        |  UNION ALL
@@ -36,7 +40,25 @@ object Oracles {
        |            THEN 1 ELSE 0 END,
        |    text
        |  FROM step WHERE pos <= length(text))""".stripMargin
-  }
+
+  /** t09 variant: the same walk accumulating the piece-id sequence
+    * itself (UNK → −1), comma-prefixed per step so the final
+    * `substr(ids, 2)` is the CSV the Spark side emits via concat_ws.
+    */
+  private def SubwordIdsCte: String =
+    s"""WITH RECURSIVE vocab(piece, id, len) AS (
+       |  SELECT piece, id, length(piece) FROM (VALUES $subwordVocabValues) t(piece, id)),
+       |step(doc_id, pos, ids, text) AS (
+       |  SELECT doc_id, 1, '', text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id,
+       |    pos + COALESCE((SELECT MAX(len) FROM vocab
+       |                    WHERE substr(text, pos, len) = piece), 1),
+       |    ids || ',' || CAST(COALESCE(
+       |      (SELECT id FROM vocab WHERE substr(text, pos, len) = piece
+       |       ORDER BY len DESC LIMIT 1), -1) AS VARCHAR),
+       |    text
+       |  FROM step WHERE pos <= length(text))""".stripMargin
 
   val sql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -795,6 +817,18 @@ object Oracles {
       s"""$SubwordStepCte
          |SELECT doc_id, CAST(n_sub AS BIGINT) AS n_subwords,
          |  CAST(n_unk AS BIGINT) AS n_unk
+         |FROM step WHERE pos > length(text)
+         |ORDER BY doc_id""".stripMargin,
+
+    // t09: piece-id materialization — same recursive walk, ids
+    // accumulated as a CSV string (n_pieces = comma count: every step
+    // appends exactly one comma-prefixed integer).
+    "t09_subword_ids" ->
+      s"""$SubwordIdsCte
+         |SELECT doc_id,
+         |  CAST(length(ids) - length(replace(ids, ',', '')) AS BIGINT)
+         |    AS n_pieces,
+         |  substr(ids, 2) AS ids_csv
          |FROM step WHERE pos > length(text)
          |ORDER BY doc_id""".stripMargin,
 

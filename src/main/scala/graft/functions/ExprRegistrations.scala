@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordStats}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -69,9 +69,15 @@ object ExprRegistrations {
         s"minhash_sig_text expects (text, int literal k, int literal numPerm), got $other")
     },
     desc("subword_stats",
-      "subword_stats(text, vocab) - [n_subwords, n_unk] of greedy longest-match segmentation against the comma-separated vocab") {
+      "subword_stats(text, vocab) - [n_subwords, n_unk] of greedy longest-match segmentation against the U+001F-joined vocab") {
       case Seq(t, v) => SubwordStats(t, v)
       case other => throw new IllegalArgumentException(
         s"subword_stats expects 2 arguments, got ${other.size}")
+    },
+    desc("subword_ids",
+      "subword_ids(text, vocab) - piece-id sequence of greedy longest-match segmentation against the U+001F-joined vocab (UNK -> -1)") {
+      case Seq(t, v) => SubwordIds(t, v)
+      case other => throw new IllegalArgumentException(
+        s"subword_ids expects 2 arguments, got ${other.size}")
     })
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordStats}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -64,8 +64,22 @@ object F {
     c(ShingleHashes64(e(text), shingleK))
 
   /** Native greedy longest-match subword segmentation stats (e11):
-    * [n_subwords, n_unk] against a comma-separated vocab.
+    * [n_subwords, n_unk] against a U+001F-joined vocab (use
+    * [[joinVocab]] — the separator encoding lets pieces contain
+    * commas).
     */
-  def subwordStats(text: Column, vocabCsv: String): Column =
-    c(SubwordStats(e(text), e(org.apache.spark.sql.functions.lit(vocabCsv))))
+  def subwordStats(text: Column, vocabJoined: String): Column =
+    c(SubwordStats(e(text), e(org.apache.spark.sql.functions.lit(vocabJoined))))
+
+  /** Native tokenize-materialize (e11b): the piece-id sequence of the
+    * greedy longest-match segmentation as array<int> (UNK → −1).
+    */
+  def subwordIds(text: Column, vocabJoined: String): Column =
+    c(SubwordIds(e(text), e(org.apache.spark.sql.functions.lit(vocabJoined))))
+
+  /** Encode a vocab piece list in the kernel wire format (U+001F
+    * joined; a piece's id is its index here).
+    */
+  def joinVocab(pieces: Seq[String]): String =
+    pieces.mkString(org.apache.spark.sql.graft.Kernels.VocabSep.toString)
 }

@@ -140,9 +140,13 @@ object Corpus {
   // subset, not the capped identity
   // `subwordTokens = true` budgets and reports in t08 model-tokenizer
   // tokens (c06 plan) instead of whitespace tokens (c02 plan)
+  // `materializeIds = true` rides the t09/e11b kernel to emit each
+  // sampled document's piece-id sequence — the mixture leaves as
+  // training-ready token ids, not just an id list to re-join
   def c05MixtureBuild(spark: SparkSession, dir: String,
       targetTokens: Long = 12000L, seed: Long = 42L,
-      subwordTokens: Boolean = false): DataFrame = {
+      subwordTokens: Boolean = false,
+      materializeIds: Boolean = false): DataFrame = {
     val t = Tables(spark, dir)
     val plan =
       if (subwordTokens) c06MixtureSubword(spark, dir, targetTokens)
@@ -155,9 +159,11 @@ object Corpus {
       else size(split(col("text"), " ")).cast("long")
     val sampled = Sampling.stratifiedSample(
       t.documents, col("doc_id"), col("source"), rates, defaultRate = 0.0)
-    Sampling.shuffleDeterministic(
-      sampled.select(col("doc_id"), col("source"), tokenCount.as("n_tokens")),
-      col("doc_id"), seed)
+    val base = Seq(col("doc_id"), col("source"), tokenCount.as("n_tokens"))
+    val cols =
+      if (materializeIds) base :+ TextOps.subwordIdsCol(col("text")).as("piece_ids")
+      else base
+    Sampling.shuffleDeterministic(sampled.select(cols: _*), col("doc_id"), seed)
   }
 
   // ---------------------------------------------------------------- c04

@@ -193,14 +193,23 @@ object TextOps {
     "agg", "the", "line", "sort", "order", "data", "col", "umn", "qu",
     "ery", "join", "str", "eam", "gr", "oup", "wind", "ow", "merge",
     "batch", "spark", "hash", "small", "big", "cust", "om", "er", "at",
-    "an", "in", "on", "a", "e", "s", "t")
+    "an", "in", "on", "a", "e", "s", "t",
+    // punctuation pieces — incl. the comma, which the U+001F vocab wire
+    // encoding exists to carry (a CSV vocab cannot express it)
+    ",", ", ", ".")
 
   /** Subword stats column: [n_subwords, n_unk] via the native e11
     * kernel (one codegen'd pass; the vocab trie builds once per
     * executor, not per row).
     */
   def subwordStatsCol(text: Column, vocab: Seq[String] = SubwordVocab): Column =
-    graft.functions.F.subwordStats(text, vocab.mkString(","))
+    graft.functions.F.subwordStats(text, graft.functions.F.joinVocab(vocab))
+
+  /** Piece-id sequence column (e11b): array<int> of vocab indices,
+    * UNK → −1 — the training-ready form of [[subwordStatsCol]].
+    */
+  def subwordIdsCol(text: Column, vocab: Seq[String] = SubwordVocab): Column =
+    graft.functions.F.subwordIds(text, graft.functions.F.joinVocab(vocab))
 
   /** t08: tokenizer-apply — greedy longest-match subword segmentation
     * of every document against the (broadcast-literal) vocab, emitting
@@ -216,6 +225,25 @@ object TextOps {
       .select(col("doc_id"),
         element_at(col("st"), 1).as("n_subwords"),
         element_at(col("st"), 2).as("n_unk"))
+      .orderBy("doc_id")
+  }
+
+  /** t09: tokenize-materialize — the actual piece-id sequence per
+    * document (e11b kernel), the step that turns mixture planning
+    * (t08/c06 count budgets) into training-ready output. Per-row,
+    * shuffle-free, codegen'd. The driver entry exposes the sequence as
+    * a CSV string beside its length so the DuckDB oracle (a recursive
+    * CTE replaying the same greedy rule over the same vocab constant)
+    * can hash-compare it; API users take [[subwordIdsCol]] directly
+    * for the array<int> column.
+    */
+  def t09SubwordIds(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"), subwordIdsCol(col("text")).as("ids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast(LongType).as("n_pieces"),
+        concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
       .orderBy("doc_id")
   }
 

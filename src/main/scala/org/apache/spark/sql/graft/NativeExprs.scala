@@ -132,19 +132,31 @@ object Kernels {
     count
   }
 
-  /** Vocab pieces grouped by first char, longest first — the greedy
-    * longest-match lookup structure. Built once per distinct vocab
-    * string, shared across rows and threads.
+  /** Vocab wire format: pieces joined by UNIT SEPARATOR (U+001F). A C0
+    * control that never occurs in text, so — unlike the original CSV
+    * encoding — pieces may contain commas (real BPE vocabs do). A
+    * piece's id is its index in the joined sequence (first occurrence
+    * wins for duplicates), which is what [[subwordIds]] emits.
+    */
+  val VocabSep: Char = '\u001F'
+
+  /** Vocab pieces grouped by first char, longest first, each carrying
+    * its vocab id — the greedy longest-match lookup structure. Built
+    * once per distinct vocab string, shared across rows and threads.
     */
   private val subwordVocabCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[Character, Array[String]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[Character, (Array[String], Array[Int])]]()
 
-  private def buildSubwordVocab(csv: String): java.util.HashMap[Character, Array[String]] = {
-    val byFirst = new java.util.HashMap[Character, Array[String]]()
-    csv.split(',').filter(_.nonEmpty).distinct
-      .groupBy(_.charAt(0))
+  private def buildSubwordVocab(joined: String)
+      : java.util.HashMap[Character, (Array[String], Array[Int])] = {
+    val byFirst = new java.util.HashMap[Character, (Array[String], Array[Int])]()
+    joined.split(VocabSep).zipWithIndex
+      .filter(_._1.nonEmpty)
+      .distinctBy(_._1)
+      .groupBy(_._1.charAt(0))
       .foreach { case (c, ps) =>
-        byFirst.put(c, ps.sortBy(p => (-p.length, p)))
+        val sorted = ps.sortBy { case (p, _) => (-p.length, p) }
+        byFirst.put(c, (sorted.map(_._1), sorted.map(_._2)))
       }
     byFirst
   }
@@ -152,12 +164,12 @@ object Kernels {
   /** Greedy longest-match subword segmentation (the WordPiece/BPE-apply
     * inference rule, public algorithm): at each position take the
     * longest vocab piece matching there; no match → consume one char as
-    * an UNK token. Returns [n_subwords, n_unk]. Comma-separated vocab
-    * (pieces must not contain commas); single pass, no allocation
-    * beyond the result pair.
+    * an UNK token. Returns [n_subwords, n_unk]. Vocab is U+001F-joined
+    * (see [[VocabSep]]); single pass, no allocation beyond the result
+    * pair.
     */
-  def subwordStats(text: UTF8String, vocabCsv: UTF8String): ArrayData = {
-    val vocab = subwordVocabCache.computeIfAbsent(vocabCsv.toString, buildSubwordVocab)
+  def subwordStats(text: UTF8String, vocabJoined: UTF8String): ArrayData = {
+    val vocab = subwordVocabCache.computeIfAbsent(vocabJoined.toString, buildSubwordVocab)
     val s = text.toString
     var pos = 0
     var nSub = 0L
@@ -166,9 +178,10 @@ object Kernels {
       var matched = 0
       val candidates = vocab.get(s.charAt(pos))
       if (candidates != null) {
+        val ps = candidates._1
         var i = 0
-        while (i < candidates.length && matched == 0) {
-          if (s.startsWith(candidates(i), pos)) matched = candidates(i).length
+        while (i < ps.length && matched == 0) {
+          if (s.startsWith(ps(i), pos)) matched = ps(i).length
           i += 1
         }
       }
@@ -176,6 +189,35 @@ object Kernels {
       nSub += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(nSub, nUnk))
+  }
+
+  /** Tokenize-MATERIALIZE: the same greedy longest-match walk as
+    * [[subwordStats]], emitting the piece-id sequence itself (id =
+    * piece index in the vocab; UNK char → −1). This is the step that
+    * turns a mixture build into training-ready output — counts plan
+    * the budget, ids are what a trainer consumes.
+    */
+  def subwordIds(text: UTF8String, vocabJoined: UTF8String): ArrayData = {
+    val vocab = subwordVocabCache.computeIfAbsent(vocabJoined.toString, buildSubwordVocab)
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(s.length / 3 + 1)
+    var pos = 0
+    while (pos < s.length) {
+      var matched = 0
+      var id = -1
+      val candidates = vocab.get(s.charAt(pos))
+      if (candidates != null) {
+        val ps = candidates._1
+        var i = 0
+        while (i < ps.length && matched == 0) {
+          if (s.startsWith(ps(i), pos)) { matched = ps(i).length; id = candidates._2(i) }
+          i += 1
+        }
+      }
+      if (matched == 0) { out += -1; pos += 1 } else { out += id; pos += matched }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
   }
 
   /** Deterministic dot product: float→double per element, left-to-right
@@ -486,6 +528,32 @@ case class SubwordStats(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SubwordStats =
+    copy(left = newLeft, right = newRight)
+}
+
+/** e11b: tokenize-materialize — the piece-id sequence of the greedy
+  * longest-match segmentation (id = piece index in the vocab, UNK
+  * char → −1). Same walk, same per-executor vocab cache as
+  * [[SubwordStats]]; this is the `array<int>` a trainer consumes,
+  * where the stats form only budgets. `subword_ids(text, vocab)` in
+  * SQL.
+  */
+case class SubwordIds(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "subword_ids"
+
+  override protected def nullSafeEval(t: Any, v: Any): Any =
+    Kernels.subwordIds(t.asInstanceOf[UTF8String], v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) =>
+      s"org.apache.spark.sql.graft.Kernels.subwordIds($t, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubwordIds =
     copy(left = newLeft, right = newRight)
 }
 

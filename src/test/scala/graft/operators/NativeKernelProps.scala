@@ -20,7 +20,8 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
 
   private val wordGen: Gen[String] = Gen.oneOf(
     Gen.stringOfN(3, Gen.alphaLowerChar),
-    Gen.oneOf("the", "a", "zyx", "Wort", "héllo", "中文", "data", "x"))
+    Gen.oneOf("the", "a", "zyx", "Wort", "héllo", "中文", "data", "x",
+      "a,b", ",", "big,data"))
 
   private val textGen: Gen[String] = for {
     n <- Gen.choose(0, 24)
@@ -148,6 +149,33 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
         }).toMap
       val expected = texts.zipWithIndex.map { case (t, i) =>
         i.toLong -> subwordRef(t, vocab)
+      }.toMap
+      native == expected
+    }
+
+  /** Plain-Scala greedy reference emitting vocab indices (UNK → −1). */
+  private def subwordIdsRef(text: String, vocab: Seq[String]): List[Int] = {
+    val sorted = vocab.zipWithIndex.sortBy { case (p, _) => (-p.length, p) }
+    var pos = 0
+    val out = List.newBuilder[Int]
+    while (pos < text.length) {
+      sorted.find { case (p, _) => text.startsWith(p, pos) } match {
+        case Some((p, i)) => out += i; pos += p.length
+        case None         => out += -1; pos += 1
+      }
+    }
+    out.result()
+  }
+
+  property("subwordIds kernel == driver-side greedy ids (comma pieces ride the U+001F encoding)") =
+    forAll(Gen.listOfN(10, textGen)) { texts =>
+      val docs = docsDf(texts)
+      val vocab = TextOps.SubwordVocab
+      val native = docs.select(col("doc_id"),
+        TextOps.subwordIdsCol(col("text")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      val expected = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> subwordIdsRef(t, vocab)
       }.toMap
       native == expected
     }

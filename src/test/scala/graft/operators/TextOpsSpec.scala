@@ -83,6 +83,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert(st == Seq(2L, 0L))
   }
 
+  test("t09 materializes piece ids, with comma pieces riding the U+001F vocab encoding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vocab = TextOps.SubwordVocab
+    // "the, table": greedy takes the 2-char ", " piece over the 1-char
+    // "," — impossible to express at all under the old CSV vocab wire
+    // format, which is the encoding bug this pins
+    val docs = Seq((1L, "the, table"), (2L, "a,a")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextOps.subwordIdsCol(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(out(1L) == List(vocab.indexOf("the"), vocab.indexOf(", "),
+      vocab.indexOf("table")))
+    assert(out(2L) == List(vocab.indexOf("a"), vocab.indexOf(","),
+      vocab.indexOf("a")))
+  }
+
+  test("t09 n_pieces == t08 n_subwords corpus-wide, and ids_csv replays the sequence") {
+    val dir = TestSpark.Sf0001
+    val t08 = TextOps.t08SubwordTokenize(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val t09 = TextOps.t09SubwordIds(spark, dir).collect()
+    assert(t09.map(r => r.getLong(0) -> r.getLong(1)).toMap == t08)
+    // CSV form is exactly the comma join of the id sequence
+    t09.take(5).foreach { r =>
+      val n = r.getLong(1)
+      val csv = r.getString(2)
+      if (n == 0) assert(csv.isEmpty)
+      else assert(csv.split(",", -1).length.toLong == n)
+    }
+  }
+
+  test("c05 can materialize piece ids for the sampled mixture") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSpark.Sf0001
+    val built = Corpus.c05MixtureBuild(spark, dir, targetTokens = 3000L,
+      subwordTokens = true, materializeIds = true)
+    val t09 = TextOps.t09SubwordIds(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = built.select(col("doc_id"),
+      org.apache.spark.sql.functions.size(col("piece_ids")).cast("long"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == t09(r.getLong(0))))
+  }
+
   test("c06 subword mixture totals are the per-source sums of t08 counts") {
     val dir = TestSpark.Sf0001
     val t08 = TextOps.t08SubwordTokenize(spark, dir)
