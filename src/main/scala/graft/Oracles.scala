@@ -820,6 +820,76 @@ object Oracles {
          |FROM step WHERE pos > length(text)
          |ORDER BY doc_id""".stripMargin,
 
+    // d08: substring-level dedup — the oracle replays the planted-span
+    // construction (token tagging + shared passage on every 10th doc)
+    // and the whole pipeline (positional shingles → df-classed pairing
+    // with the same maxDf=32 split → diagonal runs → interval union) on
+    // shingle STRINGS, so a hash-collision shortcut on the Spark side
+    // could not silently pass. Passage is generated from the same
+    // constant the demo plants (Dedup.SharedPassage).
+    "d08_substring_dedup" -> {
+      val passage = graft.operators.Dedup.SharedPassage.mkString(" ")
+      s"""WITH tagged AS (
+         |  SELECT doc_id,
+         |    list_transform(string_split(text, ' '),
+         |      t -> t || '_' || CAST(doc_id AS VARCHAR)) AS wt
+         |  FROM documents),
+         |docs AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         |    THEN list_concat(wt, string_split('$passage', ' '))
+         |    ELSE wt END AS w
+         |  FROM tagged),
+         |shp AS (
+         |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(w) - 8 + 1),
+         |      i -> struct_pack(pos := i, g := array_to_string(w[i+1:i+8], ' ')))) AS u
+         |    FROM docs WHERE len(w) >= 8)),
+         |dfreq AS (
+         |  SELECT g, COUNT(DISTINCT doc_id) AS df FROM shp GROUP BY g
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |m AS (SELECT s.doc_id, s.pos, s.g, d.df FROM shp s JOIN dfreq d USING (g)),
+         |pairs_low AS (
+         |  SELECT y.doc_id AS doc_id, x.doc_id AS src_id, y.pos AS pos,
+         |    y.pos - x.pos AS diag
+         |  FROM m x JOIN m y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  WHERE x.df <= 32),
+         |canon AS (
+         |  SELECT g, doc_id AS cdoc, pos AS cpos FROM (
+         |    SELECT g, doc_id, pos,
+         |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |    FROM m WHERE df > 32) WHERE rn = 1),
+         |pairs_high AS (
+         |  SELECT m.doc_id, c.cdoc AS src_id, m.pos, m.pos - c.cpos AS diag
+         |  FROM m JOIN canon c USING (g)
+         |  WHERE m.df > 32 AND m.doc_id <> c.cdoc),
+         |allp AS (SELECT * FROM pairs_low UNION ALL SELECT * FROM pairs_high),
+         |runs AS (
+         |  SELECT doc_id, MIN(pos) AS start_tok, MAX(pos) + 7 AS end_tok
+         |  FROM (
+         |    SELECT doc_id, src_id, diag, pos,
+         |      pos - ROW_NUMBER() OVER (PARTITION BY doc_id, src_id, diag
+         |                               ORDER BY pos) AS island
+         |    FROM allp)
+         |  GROUP BY doc_id, src_id, diag, island
+         |  HAVING MAX(pos) + 7 - MIN(pos) + 1 >= 15),
+         |ordered AS (
+         |  SELECT doc_id, start_tok, end_tok,
+         |    MAX(end_tok) OVER (PARTITION BY doc_id ORDER BY start_tok, end_tok
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM runs),
+         |grp AS (
+         |  SELECT doc_id, start_tok, end_tok,
+         |    SUM(CASE WHEN prev_max IS NULL OR start_tok > prev_max + 1
+         |        THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start_tok, end_tok) AS g
+         |  FROM ordered)
+         |SELECT doc_id, CAST(MIN(start_tok) AS BIGINT) AS span_start,
+         |  CAST(MAX(end_tok) AS BIGINT) AS span_end,
+         |  CAST(MAX(end_tok) - MIN(start_tok) + 1 AS BIGINT) AS n_tokens
+         |FROM grp GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin
+    },
+
     // t09: piece-id materialization — same recursive walk, ids
     // accumulated as a CSV string (n_pieces = comma count: every step
     // appends exactly one comma-prefixed integer).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -60,6 +60,12 @@ object ExprRegistrations {
       case Seq(c, Literal(k: Int, IntegerType)) => ShingleHashes64(c, k)
       case other => throw new IllegalArgumentException(
         s"shingle_hashes64 expects (text, int literal k), got $other")
+    },
+    desc("shingle_pos_hashes64",
+      "shingle_pos_hashes64(text, k) - positional 64-bit word-k-shingle hashes (index = token position)") {
+      case Seq(c, Literal(k: Int, IntegerType)) => ShinglePosHashes64(c, k)
+      case other => throw new IllegalArgumentException(
+        s"shingle_pos_hashes64 expects (text, int literal k), got $other")
     },
     desc("minhash_sig_text",
       "minhash_sig_text(text, k, numPerm) - fused MinHash signature of the word-k-shingles") {

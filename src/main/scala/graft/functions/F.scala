@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -62,6 +62,12 @@ object F {
     */
   def shingleHashes64(text: Column, shingleK: Int): Column =
     c(ShingleHashes64(e(text), shingleK))
+
+  /** Positional shingle hashes (e12): index = token position,
+    * duplicates kept — the substring-dedup form of [[shingleHashes64]].
+    */
+  def shinglePosHashes64(text: Column, shingleK: Int): Column =
+    c(ShinglePosHashes64(e(text), shingleK))
 
   /** Native greedy longest-match subword segmentation stats (e11):
     * [n_subwords, n_unk] against a U+001F-joined vocab (use

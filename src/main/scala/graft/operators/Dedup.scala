@@ -538,6 +538,118 @@ object Dedup {
     d06PairsOver(base.union(planted), threshold)
   }
 
+  // ---------------------------------------------------------------- d08
+
+  /** d08: substring-level exact dedup — find maximal cross-document
+    * duplicated TOKEN SPANS (boilerplate, license headers, quoted
+    * passages), the "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al., public) problem that document-granular dedup
+    * (d01–d06) cannot see: two distinct documents sharing a 50-token
+    * passage are neither exact nor near duplicates, yet a trainer sees
+    * the passage twice.
+    *
+    * Pipeline (all shuffles keyed on 8-byte hashes or (doc, partner,
+    * diagonal) triples — never the pair space):
+    *
+    *   1. positional k-shingles (e12 kernel: index = token position);
+    *   2. inverted index on shingle hash, keeping hashes seen in ≥2
+    *      docs. Buckets split by document frequency: df ≤ `maxDf`
+    *      docs pair ALL-PAIRS (exact); hotter shingles pair each
+    *      occurrence with the CANONICAL (minimum (doc, pos))
+    *      occurrence only — cost linear in occurrences, so a
+    *      million-document boilerplate cannot go quadratic, and the
+    *      duplicated region is still flagged in every non-canonical
+    *      doc (against the canonical copy);
+    *   3. matches on the same (flagged doc, source doc, pos_flagged −
+    *      pos_source) diagonal with consecutive positions merge into
+    *      runs (gaps-and-islands), kept at ≥ `minSpanTokens`;
+    *   4. per-document interval union merges overlapping/adjacent runs
+    *      from different partners into maximal spans.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens) — 0-based
+    * inclusive token positions of content duplicated from some
+    * lower-id document (min-id doc keeps its copy, the d01/d07
+    * winner convention). Downstream removal is a per-row token slice.
+    */
+  def d08SpansOver(docs: DataFrame, shingleK: Int = 8,
+      minSpanTokens: Int = 15, maxDf: Int = 32): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.F.shinglePosHashes64(col("text"), shingleK))
+          .as(Seq("pos", "h")))
+    // df per shingle hash; join back so each occurrence knows its
+    // bucket class. One shuffle on h, reused by the self-join below.
+    val withDf = sh.join(
+      sh.groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2), Seq("h"))
+      .localCheckpoint(false) // feeds both branches + both join sides
+    val low = withDf.filter(col("df") <= maxDf)
+    val pairsLow = low.as("x").join(low.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("src_id"),
+        col("y.pos").as("pos"), (col("y.pos") - col("x.pos")).as("diag"))
+    val high = withDf.filter(col("df") > maxDf)
+    val canon = high.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+    val pairsHigh = high.join(canon, Seq("h"))
+      .filter(col("doc_id") =!= col("c.doc_id"))
+      .select(col("doc_id"), col("c.doc_id").as("src_id"),
+        col("pos"), (col("pos") - col("c.pos")).as("diag"))
+    // consecutive positions on one (doc, src, diag) diagonal = one run
+    val w = Window.partitionBy("doc_id", "src_id", "diag").orderBy("pos")
+    val runs = pairsLow.union(pairsHigh)
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "src_id", "diag", "island")
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(shingleK - 1)).as("end_tok"))
+      .filter(col("end_tok") - col("start_tok") + 1 >= minSpanTokens)
+    // per-doc interval union: overlapping or adjacent runs merge
+    val w2 = Window.partitionBy("doc_id").orderBy("start_tok", "end_tok")
+    runs
+      .withColumn("prev_max",
+        max(col("end_tok")).over(w2.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max").isNull || col("start_tok") > col("prev_max") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(
+        w2.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("start_tok")).as("span_start"),
+        max(col("end_tok")).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast(LongType).as("span_start"),
+        col("span_end").cast(LongType).as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast(LongType).as("n_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** The 20-token passage the d08 demo plants (a stand-in for a
+    * license header / boilerplate block). Public: the oracle builder
+    * regenerates it so demo and oracle share one source of truth.
+    */
+  val SharedPassage: Seq[String] = (0 until 20).map(i => s"shared$i")
+
+  /** d08 driver query: the planted-span demo. Token tagging zeroes all
+    * natural cross-document shingle matches (d02's demo construction),
+    * then every 10th document gets the SAME 20-token passage appended —
+    * the expected answer is exactly one span per planted doc (except
+    * the minimum, which keeps its copy) covering precisely the
+    * appended tokens: [n_base_tokens, n_base_tokens + 19]. The demo
+    * corpus crosses the `maxDf` boundary as SF grows (5 planted docs
+    * at sf0.001 → all-pairs branch; 50 at sf0.01 → canonical branch),
+    * so both pairing strategies are oracle-covered.
+    */
+  def d08SubstringDedup(spark: SparkSession, dir: String,
+      shingleK: Int = 8, minSpanTokens: Int = 15, maxDf: Int = 32): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), tagTokens(col("text"), col("doc_id")).as("text"))
+    val planted = base.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(" " + SharedPassage.mkString(" "))))
+        .otherwise(col("text")).as("text"))
+    d08SpansOver(planted, shingleK, minSpanTokens, maxDf)
+  }
+
   /** d06 over an arbitrary (vec_id, embedding) DataFrame. */
   def d06PairsOver(vectors: DataFrame, threshold: Double = 0.9,
       bands: Int = 8): DataFrame = {

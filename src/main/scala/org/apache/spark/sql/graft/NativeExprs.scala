@@ -339,6 +339,44 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** POSITIONAL k-shingle hashes: one hash per shingle START POSITION,
+    * in order, duplicates kept — array index IS the token position of
+    * the shingle, which is what substring-level dedup (d08) needs and
+    * the deduped set form ([[shingleHashes64]]) destroys. Same
+    * tokenization (single-space split, empties kept) and same
+    * xxhash64(seed 42) per shingle string, so the two forms agree on
+    * shingle identity. Null for documents under k tokens.
+    */
+  def shingleHashesPos64(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var start = 0
+    var idx = s.indexOf(' ')
+    while (idx >= 0) {
+      toks.add(s.substring(start, idx)); start = idx + 1
+      idx = s.indexOf(' ', start)
+    }
+    toks.add(s.substring(start))
+    val n = toks.size
+    if (n < k) return null
+    val out = new Array[Long](n - k + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var t = 0
+      while (t < k) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(i + t))
+        t += 1
+      }
+      out(i) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** splitmix64 finalizer — the deterministic pseudo-random source for
     * SRP hyperplane signs (same constants as java.util.SplittableRandom).
     */
@@ -661,6 +699,48 @@ case class ShingleHashes64(child: Expression, shingleK: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
+    copy(child = newChild)
+}
+
+/** e12: positional shingle hashes — one 64-bit hash per shingle start
+  * position, order-preserving and duplicate-keeping (index = token
+  * position). The substring-dedup (d08) companion of e10's deduped
+  * set form. Null for documents shorter than `shingleK` tokens.
+  */
+case class ShinglePosHashes64(child: Expression, shingleK: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_pos_hashes64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleHashesPos64(input.asInstanceOf[UTF8String], shingleK)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else Kernels.shingleHashesPos64(v.asInstanceOf[UTF8String], shingleK)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} = org.apache.spark.sql.graft.Kernels.shingleHashesPos64(
+            ${childGen.value}, $shingleK);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePosHashes64 =
     copy(child = newChild)
 }
 

@@ -154,6 +154,89 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 99L -> 5L, 7L -> 5L, 100L -> 100L, 200L -> 100L))
   }
 
+  test("d08 finds planted shared passages at exact token offsets (all-pairs branch)") {
+    import spark.implicits._
+    // 16-token passage embedded in three docs at different offsets;
+    // fillers are doc-unique so no other shingle can match. k=8,
+    // minSpan=15 → the 16-token span qualifies; doc 1 (min id) keeps.
+    val p = (0 until 16).map(i => s"p$i").mkString(" ")
+    def filler(d: Int, n: Int) = (0 until n).map(i => s"f${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${filler(1, 4)} $p ${filler(1, 11)}"), // passage at 4..19
+      (2L, s"${filler(2, 9)} $p"),                  // passage at 9..24
+      (3L, s"$p ${filler(3, 13)}")                  // passage at 0..15
+    ).toDF("doc_id", "text")
+    val out = Dedup.d08SpansOver(docs, shingleK = 8, minSpanTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == Set((2L, 9L, 24L, 16L), (3L, 0L, 15L, 16L)))
+  }
+
+  test("d08 canonical branch flags hot boilerplate at linear cost (df > maxDf)") {
+    import spark.implicits._
+    val p = (0 until 16).map(i => s"p$i").mkString(" ")
+    def filler(d: Int, n: Int) = (0 until n).map(i => s"f${d}_$i").mkString(" ")
+    val docs = (1 to 5).map(d =>
+      (d.toLong, s"${filler(d, d + 2)} $p")).toDF("doc_id", "text")
+    // maxDf=2 < df=5 → every non-canonical doc pairs ONLY with doc 1
+    val out = Dedup.d08SpansOver(docs, shingleK = 8, minSpanTokens = 15,
+      maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (2 to 5).map { d =>
+      val start = (d + 2).toLong // passage starts after the filler
+      (d.toLong, start, start + 15L, 16L)
+    }.toSet
+    assert(out.toSet == expected)
+  }
+
+  test("d08 merges overlapping runs from different partners into one maximal span") {
+    import spark.implicits._
+    // doc 3 = a0..a15 x0..x7. It shares a0..a15 (tokens 0..15) with
+    // doc 1 and a8..a15 x0..x7 (tokens 8..23) with doc 2 → the two
+    // runs overlap and must merge into one maximal span 0..23.
+    val a = (0 until 16).map(i => s"a$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"$a g0 g1 g2 g3 g4 g5 g6 g7"),
+      (2L, s"h0 h1 h2 h3 h4 h5 h6 h7 " +
+        s"${(8 until 16).map(i => s"a$i").mkString(" ")} x0 x1 x2 x3 x4 x5 x6 x7"),
+      (3L, s"$a x0 x1 x2 x3 x4 x5 x6 x7")
+    ).toDF("doc_id", "text")
+    val out = Dedup.d08SpansOver(docs2, shingleK = 8, minSpanTokens = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3: tokens 0..15 (a0..a15) dup of doc 1; tokens 8..23
+    // (a8..a15 x0..x7) dup of doc 2 → merged maximal span 0..23
+    assert(out.contains((3L, 0L, 23L, 24L)))
+    val doc3 = out.filter(_._1 == 3L)
+    assert(doc3.length == 1, s"expected one merged span, got ${doc3.toSeq}")
+  }
+
+  test("d08 drops runs under minSpanTokens") {
+    import spark.implicits._
+    val p = (0 until 14).map(i => s"p$i").mkString(" ") // 14 < 15 min
+    def filler(d: Int, n: Int) = (0 until n).map(i => s"f${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$p ${filler(1, 6)}"),
+      (2L, s"${filler(2, 6)} $p")).toDF("doc_id", "text")
+    assert(Dedup.d08SpansOver(docs, shingleK = 8, minSpanTokens = 15).isEmpty)
+  }
+
+  test("d08 demo: every planted doc except the min gets exactly its 20-token span") {
+    val out = Dedup.d08SubstringDedup(spark, TestSpark.Sf0001).collect()
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val plantedIds = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.length == plantedIds.length - 1)
+    assert(out.forall(_.getLong(3) == 20L))
+    assert(out.map(_.getLong(0)).toSet == plantedIds.drop(1).toSet)
+    // span covers exactly the appended passage: [n_base_tokens, +19]
+    val nToks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) == nToks(r.getLong(0)))
+      assert(r.getLong(2) == nToks(r.getLong(0)) + 19L)
+    }
+  }
+
   test("d06 banded SRP finds every planted near-dup pair, exactly") {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9).collect()

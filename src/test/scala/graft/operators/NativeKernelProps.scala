@@ -124,6 +124,24 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
       native == hof
     }
 
+  property("positional shingle hashes == xxhash64 over HOF positional shingles") =
+    forAll(Gen.listOfN(12, textGen)) { texts =>
+      val docs = docsDf(texts)
+      val native = docs.select(col("doc_id"),
+        graft.functions.F.shinglePosHashes64(col("text"), 3).as("h"))
+        .filter(col("h").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val toks = split(col("text"), " ")
+      val hof = docs
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), size(toks) - 3),
+            i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+            .as("h"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      native == hof
+    }
+
   /** Plain-Scala greedy longest-match reference for subwordStats. */
   private def subwordRef(text: String, vocab: Seq[String]): (Long, Long) = {
     val sorted = vocab.sortBy(p => (-p.length, p))
