@@ -245,6 +245,58 @@ object Streams {
     fs.delete(staging, true)
   }
 
+  /** st08: continuous ingestion — the reference's scenario (ref
+    * notebook py:247-305's download loop) run as a SERVICE, composed
+    * from the pieces that already exist: the throttle-tolerant paged
+    * sync copy (f09) lands new/changed remote files in a landing zone,
+    * a file-source stream (st04) drains the zone with
+    * `Trigger.AvailableNow`, and every micro-batch merges through the
+    * partition-confined upsert (st07's body) into the lake. One call =
+    * one ingest cycle; scheduling cycles (cron, long-running loop) is
+    * the caller's choice — the checkpoint + the sync diff make every
+    * cycle incremental, so an unchanged remote costs one enumeration,
+    * zero downloads, and an empty drain.
+    *
+    * Contract: the landing zone is APPEND-ONLY in file names (the
+    * standard event-log layout). Spark's file stream source tracks
+    * seen file PATHS, so a re-copied (changed) file is synced at the
+    * file level but not re-streamed; sources that mutate files in
+    * place should version the name (the audit's `copy_changed` rows
+    * make those visible).
+    *
+    * Returns the copy-phase audit, eagerly materialized BEFORE the
+    * drain starts (the copy must not re-run lazily mid-stream).
+    */
+  def st08PagedIngest(spark: SparkSession,
+      fetcher: graft.sources.PagedSource.PageFetcher,
+      landingZone: String, lakePath: String, checkpointDir: String,
+      rootId: String = "", nParts: Int = 16, partitions: Int = 0,
+      maxFilesPerTrigger: Int = 10)
+      : Dataset[graft.sources.FilePipeline.CopyAudit] = {
+    import spark.implicits._
+    // 1. land: enumerate the remote, diff against the zone's own
+    //    catalog, copy only new/changed files (f07+f03+f08). Eager
+    //    localCheckpoint forces the side-effecting copy exactly once.
+    val audit = graft.sources.PagedSource
+      .syncCopyPaged(spark, fetcher, landingZone, rootId, partitions)
+      .localCheckpoint(true)
+    // 2. drain: stream the zone (st04) → partition-confined upsert
+    //    (st07 body) until the backlog is empty, then stop.
+    val events = st04FileStream(spark, landingZone,
+      implicitly[org.apache.spark.sql.Encoder[Event]].schema,
+      maxFilesPerTrigger).as[Event]
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Event], _: Long) =>
+        upsertBatchPartitioned(batch.toDF(), lakePath, nParts)
+      }
+      .start()
+    q.awaitTermination()
+    audit
+  }
+
   /** st06: stream-stream interval join — attribute each right-stream
     * event (a "click") to left-stream events (the "impressions") from
     * the same user within the preceding `horizonMinutes`. Both sides

@@ -9,6 +9,30 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 import graft.streaming.Streams._
 
+object StreamsSpec {
+  /** Minimal paged endpoint over a local directory — the spec's
+    * stand-in for a remote listing API (pagination exercised via
+    * pageSize). Top-level so it serializes without a suite $outer.
+    */
+  final case class LocalFsFetcher(root: String, pageSize: Int = 2)
+      extends graft.sources.PagedSource.PageFetcher {
+    import graft.sources.PagedSource.{Page, PageItem}
+    override def listPage(dirId: String, token: Option[String]): Page = {
+      val dir = new java.io.File(if (dirId.isEmpty) root else dirId)
+      val all = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .sortBy(_.getName)
+        .map(f => PageItem(f.getAbsolutePath, f.getName, f.isDirectory,
+          f.length(), f.lastModified()))
+      val off = token.map(_.toInt).getOrElse(0)
+      Page(all.slice(off, off + pageSize).toSeq,
+        if (off + pageSize < all.length) Some((off + pageSize).toString) else None)
+    }
+    override def open(fileId: String): java.io.InputStream =
+      new java.io.FileInputStream(fileId)
+  }
+}
+
 class StreamsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
@@ -235,6 +259,87 @@ class StreamsSpec extends AnyFunSuite {
         (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
     assert(v == Map(1L -> ("A", 10.0), 2L -> ("B", 20.0)))
   }
+
+  test("st08 ingestion composition converges the lake to the remote across two drains") {
+    import StreamsSpec.LocalFsFetcher
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st08")
+    val remote = dir.resolve("remote").toString
+    val landing = dir.resolve("landing").toString
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    new java.io.File(remote).mkdirs()
+
+    // "the remote drops a file": one parquet file per remote object
+    def publishRemote(name: String, events: Seq[Event]): Unit = {
+      val tmp = dir.resolve(s"tmp_$name").toString
+      events.toDF().coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(remote, name))
+    }
+    def lakeState(): Map[Long, (String, Double)] =
+      spark.read.parquet(lake).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[String]("event_type"), r.getAs[Double]("value"))).toMap
+    def snapshot(part: Long): Map[String, (Long, Long)] = {
+      val d = java.nio.file.Paths.get(lake, s"part=$part")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    }
+
+    publishRemote("b1.parquet", Seq(
+      Event(1, ts(1), 1, "A", 10.0), Event(2, ts(2), 2, "B", 20.0),
+      Event(3, ts(3), 3, "C", 30.0)))
+    val fetcher = LocalFsFetcher(remote)
+    // drain 1: lands b1, streams it, lake = latest per key
+    val audit1 = Streams.st08PagedIngest(spark, fetcher, landing, lake,
+      ckpt, nParts = 8).collect()
+    // the audit is the sync DIFF's work-list: unchanged files are noop
+    // in the plan and never reach the copy, so drain 1 = 1 copied row
+    assert(audit1.map(_.status).toSeq == Seq("copied"), audit1.mkString("; "))
+    assert(lakeState() == Map(1L -> ("A", 10.0), 2L -> ("B", 20.0),
+      3L -> ("C", 30.0)))
+
+    val before1 = snapshot(1)
+    val before3 = snapshot(3)
+
+    // the remote drops b2: user 2 updated, user 10 new — both land in
+    // partition 2 (2 % 8 == 10 % 8), so partitions 1 and 3 must not move
+    publishRemote("b2.parquet", Seq(
+      Event(4, ts(9), 2, "D", 40.0), Event(5, ts(8), 10, "E", 50.0)))
+    val audit2 = Streams.st08PagedIngest(spark, fetcher, landing, lake,
+      ckpt, nParts = 8).collect()
+    // incremental: only the new b2 moves; the unchanged b1 is a plan
+    // noop (zero downloads, not even a skipped-copy round trip)
+    assert(audit2.map(_.status).toSeq == Seq("copied"), audit2.mkString("; "))
+    assert(audit2.head.rel_path == "b2.parquet")
+    assert(lakeState() == Map(1L -> ("A", 10.0), 2L -> ("D", 40.0),
+      3L -> ("C", 30.0), 10L -> ("E", 50.0)))
+    // untouched partitions bit-identical across the drain (st07's
+    // confinement, now proven through the whole composition)
+    assert(snapshot(1) == before1, "partition 1 was rewritten")
+    assert(snapshot(3) == before3, "partition 3 was rewritten")
+
+    // drain 3 with an unchanged remote: zero downloads, lake untouched
+    val allBefore = Seq(1L, 2L, 3L).map(k => k -> snapshot(k)).toMap
+    val audit3 = Streams.st08PagedIngest(spark, fetcher, landing, lake,
+      ckpt, nParts = 8).collect()
+    assert(audit3.isEmpty, audit3.mkString("; "))
+    Seq(1L, 2L, 3L).foreach(k =>
+      assert(snapshot(k) == allBefore(k), s"partition $k moved on a no-op drain"))
+  }
+
+  // (LocalFsFetcher lives in the companion object: an inner class would
+  // capture the non-serializable suite as $outer and break the
+  // executor-shipped fetcher contract)
 
   test("st06 stream-stream join attributes clicks within the horizon only") {
     import spark.implicits._
