@@ -693,24 +693,57 @@ object Oracles {
     // c04 replays the same deterministic PII planting, then redacts;
     // patterns use only constructs with identical Java-regex/RE2
     // semantics
-    "c04_redact_pii" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    text || CASE WHEN doc_id % 7 = 0
-        |      THEN ' contact user' || doc_id || '@example.com ssn 123-45-6789'
-        |      ELSE '' END AS t
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-        |    AS n_emails,
-        |  CAST(len(regexp_extract_all(t, '\d{3}-\d{2}-\d{4}')) AS BIGINT)
-        |    AS n_ssns,
-        |  regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS clean_text
-        |FROM p
-        |ORDER BY doc_id""".stripMargin,
+    // c04: the Luhn filter is unrolled digit-by-digit (identical
+    // arithmetic to the Spark column expression); the card redaction
+    // seeds list_reduce with the scrubbed text via list_prepend
+    // (DuckDB's 2-arg reduce takes its init from the first element),
+    // mirroring Spark's aggregate(ccs, scrubbed, replace).
+    "c04_redact_pii" -> {
+      val luhn = (1 to 16).map { i =>
+        if (i % 2 == 1)
+          s"(CASE WHEN 2*CAST(substr(c,$i,1) AS INT) > 9 " +
+            s"THEN 2*CAST(substr(c,$i,1) AS INT) - 9 " +
+            s"ELSE 2*CAST(substr(c,$i,1) AS INT) END)"
+        else s"CAST(substr(c,$i,1) AS INT)"
+      }.mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    text || CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact user' || doc_id || '@example.com ssn 123-45-6789'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0
+         |      THEN ' call 415-555-0137 card 4539578763621486' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0
+         |      THEN ' ip 10.20.30.40 card 4539578763621487' ELSE '' END AS t
+         |  FROM documents),
+         |cc AS (
+         |  SELECT doc_id, t,
+         |    list_filter(regexp_extract_all(t, '\\d{16}'),
+         |      c -> ($luhn) % 10 = 0) AS ccs
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT)
+         |    AS n_ssns,
+         |  CAST(len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(t,
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+         |    AS n_ips,
+         |  CAST(len(ccs) AS BIGINT) AS n_ccs,
+         |  list_reduce(list_prepend(
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g'),
+         |      '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    ccs),
+         |    (acc, c) -> replace(acc, c, '<CC>')) AS clean_text
+         |FROM cc
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q37_rolling_window" ->
       """SELECT event_id, user_id,

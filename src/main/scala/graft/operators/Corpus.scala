@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -168,32 +168,68 @@ object Corpus {
 
   // ---------------------------------------------------------------- c04
 
-  /** c04: PII redaction — regex scrub of emails/SSN-shaped tokens with
-    * per-document redaction counts, the pre-training privacy pass. The
-    * synthetic corpus carries no PII, so the demo deterministically
-    * plants some (every 7th doc gets an email + SSN suffix) and the
-    * redactor must find exactly those; the oracle replays the same
-    * construction. Pure per-row projection — shuffle-free at any
-    * scale; patterns restricted to constructs with identical
-    * semantics in Java regex and RE2.
+  /** Luhn check over a 16-digit candidate string, as a pure column
+    * expression (exact integer arithmetic, no UDF): double every
+    * odd 1-based position (the even-length form of the public mod-10
+    * algorithm), subtract 9 when the double exceeds 9, sum, test
+    * mod 10. Replayed digit-for-digit by the DuckDB oracle.
+    */
+  private def luhnValid16(c: Column): Column =
+    (1 to 16).map { i =>
+      val d = substring(c, i, 1).cast("int")
+      if (i % 2 == 1) { val dd = d * lit(2); when(dd > 9, dd - 9).otherwise(dd) }
+      else d
+    }.reduce(_ + _) % 10 === 0
+
+  /** c04: PII redaction — the pre-training privacy pass, five classes:
+    * email, SSN, US phone, IPv4, and 16-digit credit-card numbers
+    * gated by the Luhn mod-10 check (a digit run that fails Luhn is
+    * NOT a card number and must survive — regex alone over-redacts).
+    * The synthetic corpus carries no PII, so the demo deterministically
+    * plants some (every 7th doc: email+SSN; every 11th: phone + a
+    * Luhn-VALID card; every 13th: IPv4 + a Luhn-INVALID near-card that
+    * must pass through); the oracle replays the same construction.
+    * Pure per-row projection — shuffle-free at any scale; patterns
+    * restricted to constructs with identical semantics in Java regex
+    * and RE2. The card filter/redact pair are the only HOFs: they run
+    * over the per-row candidate list (almost always 0–2 elements), not
+    * over tokens, so the interpreted-HOF cost is bounded per document.
     */
   def c04RedactPii(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ssn = "\\d{3}-\\d{2}-\\d{4}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val cc16 = "\\d{16}"
     val planted = concat(col("text"),
       when(col("doc_id") % 7 === 0,
         concat(lit(" contact user"), col("doc_id"),
-          lit("@example.com ssn 123-45-6789"))).otherwise(lit("")))
+          lit("@example.com ssn 123-45-6789"))).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        lit(" call 415-555-0137 card 4539578763621486")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0,
+        lit(" ip 10.20.30.40 card 4539578763621487")).otherwise(lit("")))
+    val ccs = filter(regexp_extract_all(col("t"), lit(cc16), lit(0)),
+      c => luhnValid16(c))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(col("t"), email, "<EMAIL>"),
+      ssn, "<SSN>"), phone, "<PHONE>"), ipv4, "<IP>")
     t.documents
       .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"), col("t"), ccs.as("ccs"), scrubbed.as("scrubbed"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(email), lit(0)))
           .cast("long").as("n_emails"),
         size(regexp_extract_all(col("t"), lit(ssn), lit(0)))
           .cast("long").as("n_ssns"),
-        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
-          ssn, "<SSN>").as("clean_text"))
+        size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(ipv4), lit(0)))
+          .cast("long").as("n_ips"),
+        size(col("ccs")).cast("long").as("n_ccs"),
+        aggregate(col("ccs"), col("scrubbed"),
+          (acc, c) => replace(acc, c, lit("<CC>"))).as("clean_text"))
       .orderBy("doc_id")
   }
 

@@ -47,18 +47,39 @@ class CorpusSpec extends AnyFunSuite {
 
   test("c04 redacts exactly the planted PII and nothing survives redaction") {
     val rows = Corpus.c04RedactPii(spark, dir).collect()
+    // columns: doc_id, n_emails, n_ssns, n_phones, n_ips, n_ccs, clean_text
     rows.foreach { r =>
       val id = r.getLong(0)
+      val clean = r.getString(6)
       if (id % 7 == 0) {
         assert(r.getLong(1) == 1 && r.getLong(2) == 1, s"doc $id: $r")
-        assert(r.getString(3).contains("<EMAIL>") &&
-          r.getString(3).contains("<SSN>"))
+        assert(clean.contains("<EMAIL>") && clean.contains("<SSN>"))
       } else {
         assert(r.getLong(1) == 0 && r.getLong(2) == 0, s"doc $id: $r")
       }
-      assert(!r.getString(3).contains("@example.com"))
-      assert(!r.getString(3).contains("123-45-6789"))
+      if (id % 11 == 0) {
+        assert(r.getLong(3) == 1 && r.getLong(5) == 1, s"doc $id: $r")
+        assert(clean.contains("<PHONE>") && clean.contains("<CC>"))
+      } else assert(r.getLong(3) == 0, s"doc $id: $r")
+      if (id % 13 == 0) {
+        assert(r.getLong(4) == 1, s"doc $id: $r")
+        assert(clean.contains("<IP>"))
+        // the Luhn-INVALID near-card is NOT a card: it must survive
+        // both the count and the redaction
+        assert(clean.contains("4539578763621487"), s"doc $id over-redacted")
+      } else assert(r.getLong(4) == 0, s"doc $id: $r")
+      if (id % 13 != 0 && id % 11 == 0)
+        assert(r.getLong(5) == 1, s"doc $id: $r")
+      assert(!clean.contains("@example.com"))
+      assert(!clean.contains("123-45-6789"))
+      assert(!clean.contains("415-555-0137"))
+      assert(!clean.contains("10.20.30.40"))
+      assert(!clean.contains("4539578763621486"))
     }
+    // non-vacuity: every planted class occurred at least once
+    assert(rows.exists(_.getLong(5) == 1))
+    assert(rows.exists(_.getLong(4) == 1))
+    assert(rows.exists(_.getLong(3) == 1))
   }
 
   test("c01 resolves every near-dup pair among survivors to one winner") {
