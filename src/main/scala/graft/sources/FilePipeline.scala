@@ -157,25 +157,35 @@ object FilePipeline {
       return spark.emptyDataset[FileEntry]
     }
 
-    // Phase 1 — BFS *directory discovery*. Only directory paths ever
-    // reach the driver (O(#dirs) strings — the frontier is small
-    // relative to files); file entries stay on the executors. Small
-    // frontiers list on the driver (RPC latency dominates); past
-    // `distributeThreshold` the level fans out as a Spark job.
+    // Phase 1 — BFS *directory discovery*. Small frontiers list on the
+    // driver (RPC latency dominates); the moment a level exceeds
+    // `distributeThreshold`, the frontier becomes an RDD and STAYS
+    // distributed: each further level is a flatMap over the previous
+    // one, locally checkpointed (count() materializes it so each
+    // directory lists exactly once and lineage never replays), and the
+    // driver sees only the per-level COUNT scalar — never directory
+    // names. A pathological 10M-directory level therefore lives on the
+    // executors, not in driver memory.
     var frontier: Seq[String] = Seq(rootDir)
-    val allDirs = mutable.ArrayBuffer[String]()
+    val driverDirs = mutable.ArrayBuffer[String]()
+    val rddLevels = mutable.ArrayBuffer[org.apache.spark.rdd.RDD[String]]()
     val driverConf = spark.sparkContext.hadoopConfiguration
     val rd = rootDir
-    while (frontier.nonEmpty) {
-      allDirs ++= frontier
-      frontier =
-        if (frontier.size < distributeThreshold)
-          frontier.flatMap(d => listDir(driverConf, rd, d)._1)
-        else
-          spark.sparkContext
-            .parallelize(frontier, math.min(frontier.size, 256))
-            .flatMap(d => listDir(confSer.value, rd, d)._1)
-            .collect().toSeq
+    while (frontier.nonEmpty && frontier.size < distributeThreshold) {
+      driverDirs ++= frontier
+      frontier = frontier.flatMap(d => listDir(driverConf, rd, d)._1)
+    }
+    if (frontier.nonEmpty) {
+      var level = spark.sparkContext
+        .parallelize(frontier, math.min(frontier.size, 256))
+      var n = frontier.size.toLong
+      while (n > 0) {
+        rddLevels += level
+        val next = level.flatMap(d => listDir(confSer.value, rd, d)._1)
+        next.localCheckpoint()
+        n = next.count() // materializes the checkpoint; scalar to driver
+        level = next
+      }
     }
 
     // Phase 2 — one distributed job lists every discovered directory
@@ -184,10 +194,12 @@ object FilePipeline {
     // cost is a second listing per directory, which — like any lazy
     // scan over a filesystem — is re-paid on recompute unless the
     // caller persists.
-    spark.createDataset(
-      spark.sparkContext
-        .parallelize(allDirs.toSeq, math.min(allDirs.size, 256))
-        .flatMap(d => listDir(confSer.value, rd, d)._2))
+    val head = spark.sparkContext
+      .parallelize(driverDirs.toSeq, math.max(1, math.min(driverDirs.size, 256)))
+    val dirs =
+      if (rddLevels.isEmpty) head
+      else spark.sparkContext.union(head +: rddLevels.toSeq)
+    spark.createDataset(dirs.flatMap(d => listDir(confSer.value, rd, d)._2))
   }
 
   /** f02: distributed copy — manifest → round-robin partitions →
