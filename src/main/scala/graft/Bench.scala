@@ -53,14 +53,17 @@ object Bench {
     }
     // elapsed time is recorded for every query — a failure must not
     // corrupt the wall-clock total with a sentinel; failures are
-    // reported by name instead
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // reported by name instead. 4-decimal formatting keeps the JSON
+    // line compact (a 17-digit double per query once truncated the
+    // driver's captured artifact mid-key).
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // the sbt log prefix makes stdout unparseable for the driver; the
     // file copy is the machine-readable record
