@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -79,6 +79,12 @@ object ExprRegistrations {
       case Seq(t, v) => SubwordStats(t, v)
       case other => throw new IllegalArgumentException(
         s"subword_stats expects 2 arguments, got ${other.size}")
+    },
+    desc("repetition_stats",
+      "repetition_stats(text) - [n_tokens, n_distinct, top_token_count, top_2gram_count, n_2grams] in one pass") {
+      case Seq(c) => RepetitionStats(c)
+      case other => throw new IllegalArgumentException(
+        s"repetition_stats expects 1 argument, got ${other.size}")
     },
     desc("subword_ids",
       "subword_ids(text, vocab) - piece-id sequence of greedy longest-match segmentation against the U+001F-joined vocab (UNK -> -1)") {

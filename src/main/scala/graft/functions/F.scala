@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -82,6 +82,11 @@ object F {
     */
   def subwordIds(text: Column, vocabJoined: String): Column =
     c(SubwordIds(e(text), e(org.apache.spark.sql.functions.lit(vocabJoined))))
+
+  /** One-pass per-document repetition stats (e13): [n_tokens,
+    * n_distinct, top_token_count, top_2gram_count, n_2grams].
+    */
+  def repetitionStats(text: Column): Column = c(RepetitionStats(e(text)))
 
   /** Encode a vocab piece list in the kernel wire format (U+001F
     * joined; a piece's id is its index here).

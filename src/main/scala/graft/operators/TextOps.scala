@@ -141,16 +141,42 @@ object TextOps {
     * boilerplate or looping document repeats itself. Three signals per
     * document: duplicate-token fraction (1 − distinct/total), the most
     * frequent token's share, and the most frequent word-2-gram's
-    * share. Token multiplicities come from one explode + two
-    * doc-keyed aggregations (shuffles on doc_id — linear at any
-    * corpus size, no pairwise anything); all ratios are exact-integer
-    * divisions rounded once, so the oracle replays them bit-exactly.
+    * share. All multiplicities come from the one-pass e13 kernel, so
+    * the whole operator is a shuffle-free per-row projection (the
+    * explode formulation it replaced pushed ~doc_len rows per
+    * document through TWO doc-keyed shuffles); ratios are
+    * exact-integer divisions rounded once, so the oracle replays them
+    * bit-exactly.
     */
   def t07Repetition(spark: SparkSession, dir: String): DataFrame =
     repetitionOver(Tables(spark, dir).documents)
 
   /** t07 over any (doc_id, text) DataFrame (spec + pipeline reuse). */
   def repetitionOver(docs: DataFrame): DataFrame = {
+    val st = graft.functions.F.repetitionStats(col("text"))
+    docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).as("n_tokens"),
+        round(lit(1.0) -
+          element_at(col("st"), 2).cast("double") / element_at(col("st"), 1), 4)
+          .as("dup_tok_ratio"),
+        round(element_at(col("st"), 3).cast("double") / element_at(col("st"), 1), 4)
+          .as("top_tok_ratio"),
+        // 0-gram docs: try_divide(0, 0) → null, coalesced to 0.0 — the
+        // same value the exploded form's left join produced (a plain
+        // division is an ANSI divide-by-zero error here)
+        round(coalesce(
+          try_divide(element_at(col("st"), 4).cast("double"),
+            element_at(col("st"), 5)),
+          lit(0.0)), 4).as("top_2gram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The explode + doc-keyed aggregation formulation of t07 — the
+    * readable reference implementation the e13 kernel is fuzz-checked
+    * against (NativeKernelProps); not on any hot path.
+    */
+  def repetitionOverExploded(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode(wsTokens).as(Seq("pos", "tok")))
     // per-token and per-2gram multiplicities, reduced per doc

@@ -377,6 +377,45 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-document repetition statistics in ONE pass:
+    * [n_tokens, n_distinct, top_token_count, top_2gram_count,
+    * n_2grams] over single-space tokens (empties kept — split
+    * semantics). The t07 explode formulation materializes ~doc_len
+    * rows per document into TWO doc-keyed aggregations; this kernel
+    * touches each token once in place, turning repetition scoring
+    * into a shuffle-free per-row projection. Gram identity is the
+    * same "prev tok" string the concat_ws slice builds, so counts
+    * are value-identical to the exploded form.
+    */
+  def repetitionStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val tokCounts = new java.util.HashMap[String, Integer]()
+    val gramCounts = new java.util.HashMap[String, Integer]()
+    var nTokens = 0L
+    var nGrams = 0L
+    var topTok = 0L
+    var topGram = 0L
+    var prev: String = null
+    var start = 0
+    while (start <= s.length) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = s.length
+      val tok = s.substring(start, end)
+      nTokens += 1
+      val c = tokCounts.merge(tok, 1, (a, b) => a + b)
+      if (c > topTok) topTok = c.longValue()
+      if (prev != null) {
+        nGrams += 1
+        val gc = gramCounts.merge(prev + " " + tok, 1, (a, b) => a + b)
+        if (gc > topGram) topGram = gc.longValue()
+      }
+      prev = tok
+      start = end + 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(nTokens, tokCounts.size.toLong, topTok, topGram, nGrams))
+  }
+
   /** splitmix64 finalizer — the deterministic pseudo-random source for
     * SRP hyperplane signs (same constants as java.util.SplittableRandom).
     */
@@ -699,6 +738,28 @@ case class ShingleHashes64(child: Expression, shingleK: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
+    copy(child = newChild)
+}
+
+/** e13: one-pass per-document repetition statistics —
+  * [n_tokens, n_distinct, top_token_count, top_2gram_count, n_2grams].
+  * `repetition_stats(text)` in SQL.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.Kernels.repetitionStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 

@@ -142,6 +142,16 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
       native == hof
     }
 
+  property("one-pass repetition kernel == explode formulation, value-exact") =
+    forAll(Gen.listOfN(10, textGen)) { texts =>
+      val docs = docsDf(texts)
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      asMap(TextOps.repetitionOver(docs)) ==
+        asMap(TextOps.repetitionOverExploded(docs))
+    }
+
   /** Plain-Scala greedy longest-match reference for subwordStats. */
   private def subwordRef(text: String, vocab: Seq[String]): (Long, Long) = {
     val sorted = vocab.sortBy(p => (-p.length, p))
