@@ -923,6 +923,32 @@ object Oracles {
          |ORDER BY doc_id, span_start""".stripMargin
     },
 
+    // d09: the expected CLEANED corpus is closed-form from the demo's
+    // construction — the span pipeline must restore every non-minimum
+    // planted doc to exactly its tagged base text (20 tokens removed)
+    // and leave everything else untouched. Asserting the closed form
+    // (rather than replaying the pipeline) makes this an independent
+    // end-to-end check of d08 find + e14 apply together.
+    "d09_substring_apply" -> {
+      val passage = graft.operators.Dedup.SharedPassage.mkString(" ")
+      s"""WITH tagged AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(string_split(text, ' '),
+         |      t -> t || '_' || CAST(doc_id AS VARCHAR)), ' ') AS tt
+         |  FROM documents),
+         |mn AS (SELECT MIN(doc_id) AS m FROM documents WHERE doc_id % 10 = 0)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0 AND doc_id <> (SELECT m FROM mn)
+         |         THEN tt
+         |       WHEN doc_id % 10 = 0
+         |         THEN tt || ' $passage'
+         |       ELSE tt END AS clean_text,
+         |  CAST(CASE WHEN doc_id % 10 = 0 AND doc_id <> (SELECT m FROM mn)
+         |       THEN 20 ELSE 0 END AS BIGINT) AS n_removed
+         |FROM tagged
+         |ORDER BY doc_id""".stripMargin
+    },
+
     // t09: piece-id materialization — same recursive walk, ids
     // accumulated as a CSV string (n_pieces = comma count: every step
     // appends exactly one comma-prefixed integer).

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -85,6 +85,12 @@ object ExprRegistrations {
       case Seq(c) => RepetitionStats(c)
       case other => throw new IllegalArgumentException(
         s"repetition_stats expects 1 argument, got ${other.size}")
+    },
+    desc("remove_token_spans",
+      "remove_token_spans(text, starts, ends) - drop tokens inside sorted disjoint position ranges") {
+      case Seq(t, s, e) => RemoveTokenSpans(t, s, e)
+      case other => throw new IllegalArgumentException(
+        s"remove_token_spans expects 3 arguments, got ${other.size}")
     },
     desc("subword_ids",
       "subword_ids(text, vocab) - piece-id sequence of greedy longest-match segmentation against the U+001F-joined vocab (UNK -> -1)") {

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -87,6 +87,12 @@ object F {
     * n_distinct, top_token_count, top_2gram_count, n_2grams].
     */
   def repetitionStats(text: Column): Column = c(RepetitionStats(e(text)))
+
+  /** Token-span removal (e14): drop tokens inside sorted disjoint
+    * [start, end] position ranges, rejoin with single spaces.
+    */
+  def removeTokenSpans(text: Column, starts: Column, ends: Column): Column =
+    c(RemoveTokenSpans(e(text), e(starts), e(ends)))
 
   /** Encode a vocab piece list in the kernel wire format (U+001F
     * joined; a piece's id is its index here).

@@ -639,15 +639,65 @@ object Dedup {
     * at sf0.001 → all-pairs branch; 50 at sf0.01 → canonical branch),
     * so both pairing strategies are oracle-covered.
     */
-  def d08SubstringDedup(spark: SparkSession, dir: String,
-      shingleK: Int = 8, minSpanTokens: Int = 15, maxDf: Int = 32): DataFrame = {
-    val base = Tables(spark, dir).documents
+  /** The d08/d09 demo corpus: token-tagged docs, every 10th with the
+    * shared passage appended.
+    */
+  private[operators] def plantedSpanCorpus(docs: DataFrame): DataFrame = {
+    val base = docs
       .select(col("doc_id"), tagTokens(col("text"), col("doc_id")).as("text"))
-    val planted = base.select(col("doc_id"),
+    base.select(col("doc_id"),
       when(col("doc_id") % 10 === 0,
         concat(col("text"), lit(" " + SharedPassage.mkString(" "))))
         .otherwise(col("text")).as("text"))
-    d08SpansOver(planted, shingleK, minSpanTokens, maxDf)
+  }
+
+  def d08SubstringDedup(spark: SparkSession, dir: String,
+      shingleK: Int = 8, minSpanTokens: Int = 15, maxDf: Int = 32): DataFrame =
+    d08SpansOver(plantedSpanCorpus(Tables(spark, dir).documents),
+      shingleK, minSpanTokens, maxDf)
+
+  // ---------------------------------------------------------------- d09
+
+  /** d09: substring-dedup APPLY — remove d08's duplicated spans from
+    * the corpus, emitting the cleaned text (the step that turns span
+    * DETECTION into a training-ready corpus). Spans group per doc
+    * (sort_array over few rows each), then the e14 kernel drops the
+    * covered tokens in one codegen'd pass; docs without spans pass
+    * through a left join untouched. One shuffle (the span groupBy +
+    * join on doc_id); text itself never shuffles twice.
+    */
+  def applySpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val agg = spans.groupBy("doc_id")
+      .agg(sort_array(collect_list(
+        struct(col("span_start"), col("span_end")))).as("sp"))
+    val empty = array().cast("array<bigint>")
+    val clean = graft.functions.F.removeTokenSpans(col("text"),
+      coalesce(col("sp.span_start"), empty),
+      coalesce(col("sp.span_end"), empty))
+    // removed-token count from the spans themselves (a text-length
+    // diff would miscount the all-tokens-removed edge, where split of
+    // "" still yields one empty token)
+    val removed = coalesce(
+      aggregate(col("sp"), lit(0L), (a, s) =>
+        a + s.getField("span_end") - s.getField("span_start") + lit(1L)),
+      lit(0L))
+    docs.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), clean.as("clean_text"),
+        removed.cast(LongType).as("n_removed"))
+  }
+
+  /** d09 driver query: apply the d08 demo's spans to the same planted
+    * corpus. The expected answer is CLOSED-FORM from the construction
+    * — every non-minimum planted doc returns exactly its tagged base
+    * text (passage excised, 20 tokens removed), everything else
+    * passes through unchanged — which is what the oracle asserts
+    * independently of the span pipeline.
+    */
+  def d09SubstringApply(spark: SparkSession, dir: String,
+      shingleK: Int = 8, minSpanTokens: Int = 15, maxDf: Int = 32): DataFrame = {
+    val planted = plantedSpanCorpus(Tables(spark, dir).documents)
+    val spans = d08SpansOver(planted, shingleK, minSpanTokens, maxDf)
+    applySpans(planted, spans).orderBy("doc_id")
   }
 
   /** d06 over an arbitrary (vec_id, embedding) DataFrame. */

@@ -416,6 +416,39 @@ object Kernels {
       Array(nTokens, tokCounts.size.toLong, topTok, topGram, nGrams))
   }
 
+  /** Remove token ranges from `text`: tokens whose 0-based position
+    * falls inside any [starts(k), ends(k)] are dropped, survivors
+    * rejoin with single spaces. Spans must be sorted by start and
+    * disjoint (d08's output contract) — the walk advances one span
+    * pointer alongside the token scan, so cost is O(tokens + spans)
+    * per row regardless of span count.
+    */
+  def removeTokenSpans(text: UTF8String, starts: ArrayData,
+      ends: ArrayData): UTF8String = {
+    val s = text.toString
+    val n = starts.numElements()
+    val sb = new java.lang.StringBuilder(s.length)
+    var tokIdx = 0
+    var spanIdx = 0
+    var start = 0
+    var first = true
+    while (start <= s.length) {
+      var end = s.indexOf(' ', start)
+      if (end < 0) end = s.length
+      while (spanIdx < n && ends.getLong(spanIdx) < tokIdx) spanIdx += 1
+      val drop = spanIdx < n && starts.getLong(spanIdx) <= tokIdx &&
+        tokIdx <= ends.getLong(spanIdx)
+      if (!drop) {
+        if (!first) sb.append(' ')
+        sb.append(s, start, end)
+        first = false
+      }
+      tokIdx += 1
+      start = end + 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** splitmix64 finalizer — the deterministic pseudo-random source for
     * SRP hyperplane signs (same constants as java.util.SplittableRandom).
     */
@@ -739,6 +772,34 @@ case class ShingleHashes64(child: Expression, shingleK: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
     copy(child = newChild)
+}
+
+/** e14: token-span removal — drop tokens inside sorted disjoint
+  * [start, end] position ranges and rejoin with single spaces; the
+  * apply step of substring dedup (d09). `remove_token_spans(text,
+  * starts, ends)` in SQL.
+  */
+case class RemoveTokenSpans(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "remove_token_spans"
+
+  override protected def nullSafeEval(t: Any, s: Any, e: Any): Any =
+    Kernels.removeTokenSpans(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s, e) =>
+      s"org.apache.spark.sql.graft.Kernels.removeTokenSpans($t, $s, $e)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RemoveTokenSpans =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** e13: one-pass per-document repetition statistics —

@@ -237,6 +237,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d09 applySpans removes exactly the covered tokens (hand fixture)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "k l m n o p")).toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 1L, 2L), (1L, 5L, 6L) // two disjoint spans in doc 1
+    ).toDF("doc_id", "span_start", "span_end")
+    val out = Dedup.applySpans(docs, spans).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("a d e h", 4L)))
+    assert(out(2L) == (("k l m n o p", 0L))) // span-free doc untouched
+  }
+
+  test("d09 demo restores every non-min planted doc to its tagged base text") {
+    val base = Dedup.plantedSpanCorpus(
+      spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val taggedOnly = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val tagged = taggedOnly.select(col("doc_id"),
+      array_join(transform(split(col("text"), " "),
+        t => concat(t, lit("_"), col("doc_id"))), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val minPlanted = tagged.keys.filter(_ % 10 == 0).min
+    val out = Dedup.d09SubstringApply(spark, TestSpark.Sf0001).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 10 == 0 && id != minPlanted) {
+        assert(r.getString(1) == tagged(id), s"doc $id not restored")
+        assert(r.getLong(2) == 20L)
+      } else {
+        assert(r.getString(1) == base(id), s"doc $id changed")
+        assert(r.getLong(2) == 0L)
+      }
+    }
+    assert(out.count(_.getLong(2) == 20L) ==
+      tagged.keys.count(_ % 10 == 0) - 1)
+  }
+
   test("d06 banded SRP finds every planted near-dup pair, exactly") {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9).collect()
