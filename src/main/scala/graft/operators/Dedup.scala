@@ -589,12 +589,22 @@ object Dedup {
       .select(col("y.doc_id").as("doc_id"), col("x.doc_id").as("src_id"),
         col("y.pos").as("pos"), (col("y.pos") - col("x.pos")).as("diag"))
     val high = withDf.filter(col("df") > maxDf)
+    // canonical occurrence = lexicographic min of (doc_id, pos),
+    // packed into one long (doc_id << 24 | pos) so the aggregate
+    // stays a HashAggregate — min over a struct plans as a
+    // SortAggregate, which would SORT exactly the hottest buckets.
+    // Bound: token positions < 2^24 (a 16M-token single document is
+    // far beyond any sane row size; the kernel's array would overflow
+    // long before).
     val canon = high.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("c"))
+      .agg(min(shiftleft(col("doc_id"), 24) + col("pos")).as("packed"))
+      .select(col("h"),
+        shiftright(col("packed"), 24).as("c_doc"),
+        col("packed").bitwiseAND(lit((1L << 24) - 1)).as("c_pos"))
     val pairsHigh = high.join(canon, Seq("h"))
-      .filter(col("doc_id") =!= col("c.doc_id"))
-      .select(col("doc_id"), col("c.doc_id").as("src_id"),
-        col("pos"), (col("pos") - col("c.pos")).as("diag"))
+      .filter(col("doc_id") =!= col("c_doc"))
+      .select(col("doc_id"), col("c_doc").as("src_id"),
+        col("pos"), (col("pos") - col("c_pos")).as("diag"))
     // consecutive positions on one (doc, src, diag) diagonal = one run
     val w = Window.partitionBy("doc_id", "src_id", "diag").orderBy("pos")
     val runs = pairsLow.union(pairsHigh)
