@@ -50,16 +50,25 @@ object Corpus {
 
   def c01CleanCorpus(spark: SparkSession, dir: String,
       minTokens: Long = 8, maxStopwordRatio: Double = 0.9,
-      nearDupThreshold: Double = 0.7): DataFrame = {
-    val t = Tables(spark, dir)
+      nearDupThreshold: Double = 0.7,
+      removeDupSpans: Boolean = false): DataFrame =
+    c01Over(Tables(spark, dir).documents, minTokens, maxStopwordRatio,
+      nearDupThreshold, removeDupSpans)
 
+  /** c01 over any (doc_id, text, lang, source, …) DataFrame (spec +
+    * composition reuse).
+    */
+  def c01Over(docs: DataFrame,
+      minTokens: Long = 8, maxStopwordRatio: Double = 0.9,
+      nearDupThreshold: Double = 0.7,
+      removeDupSpans: Boolean = false): DataFrame = {
     // stages 1+2; localCheckpoint (lazy) because the survivors feed
     // BOTH the near-dup pair generation and the final anti-join —
     // materialize the gated+deduped set once instead of re-running the
     // gate per consumer (blocks are freed when the RDD is GC'd, unlike
     // a CacheManager entry)
     val exactKept =
-      exactDedupKept(qualityGate(t.documents, minTokens, maxStopwordRatio))
+      exactDedupKept(qualityGate(docs, minTokens, maxStopwordRatio))
         .localCheckpoint(false)
 
     // 3. near-dup removal on the survivors (not the raw corpus): junk
@@ -69,8 +78,22 @@ object Corpus {
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = exactKept.join(losers, Seq("doc_id"), "left_anti")
 
+    // 3b (opt-in): substring-level span removal over the survivors —
+    // DOCUMENT-granular stages can't see a shared passage inside two
+    // otherwise-different documents; d08 finds those spans and d09's
+    // apply excises them, with token counts refreshed to the cleaned
+    // text. Off by default: span removal rewrites text, which not
+    // every corpus build wants.
+    val cleaned =
+      if (removeDupSpans)
+        Dedup.applySpans(deduped, Dedup.d08SpansOver(deduped))
+          .withColumn("text", col("clean_text"))
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .drop("clean_text", "n_removed")
+      else deduped
+
     // 4. language tag
-    TextOps.langIdOver(deduped)
+    TextOps.langIdOver(cleaned)
       .select("doc_id", "lang", "source", "n_tokens", "pred_lang")
       .orderBy("doc_id")
   }

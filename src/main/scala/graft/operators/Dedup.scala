@@ -691,9 +691,12 @@ object Dedup {
       aggregate(col("sp"), lit(0L), (a, s) =>
         a + s.getField("span_end") - s.getField("span_start") + lit(1L)),
       lit(0L))
+    // docs columns carry through (composed pipelines keep their
+    // metadata); clean_text/n_removed ride alongside the original text
     docs.join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), clean.as("clean_text"),
-        removed.cast(LongType).as("n_removed"))
+      .withColumn("clean_text", clean)
+      .withColumn("n_removed", removed.cast(LongType))
+      .drop("sp")
   }
 
   /** d09 driver query: apply the d08 demo's spans to the same planted
@@ -707,7 +710,9 @@ object Dedup {
       shingleK: Int = 8, minSpanTokens: Int = 15, maxDf: Int = 32): DataFrame = {
     val planted = plantedSpanCorpus(Tables(spark, dir).documents)
     val spans = d08SpansOver(planted, shingleK, minSpanTokens, maxDf)
-    applySpans(planted, spans).orderBy("doc_id")
+    applySpans(planted, spans)
+      .select("doc_id", "clean_text", "n_removed")
+      .orderBy("doc_id")
   }
 
   /** d06 over an arbitrary (vec_id, embedding) DataFrame. */

@@ -45,6 +45,33 @@ class CorpusSpec extends AnyFunSuite {
       s"diff: ${(flagged.keySet diff expected.keySet) ++ (expected.keySet diff flagged.keySet)}")
   }
 
+  test("c01 removeDupSpans excises shared passages from surviving docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three clean docs (pass the gate, not near-dups of each other),
+    // docs 1 and 2 sharing a 20-token passage — document-granular
+    // stages keep both; the substring stage must strip the passage
+    // from doc 2 (higher id) only
+    val passage = (0 until 20).map(i => s"p$i").mkString(" ")
+    def uniq(d: Int, n: Int) = (0 until n).map(i => s"u${d}_$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq(1, 30)} $passage"),
+      (2L, s"$passage ${uniq(2, 30)}"),
+      (3L, uniq(3, 40))
+    ).map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val without = Corpus.c01Over(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val withSpans = Corpus.c01Over(docs, removeDupSpans = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // all three survive both ways; doc 2 lost exactly the 20 passage
+    // tokens, doc 1 (min id) and doc 3 are untouched
+    assert(without.keySet == Set(1L, 2L, 3L))
+    assert(withSpans.keySet == Set(1L, 2L, 3L))
+    assert(without(1L) == 50L && without(2L) == 50L && without(3L) == 40L)
+    assert(withSpans(1L) == 50L && withSpans(2L) == 30L && withSpans(3L) == 40L)
+  }
+
   test("c04 redacts exactly the planted PII and nothing survives redaction") {
     val rows = Corpus.c04RedactPii(spark, dir).collect()
     // columns: doc_id, n_emails, n_ssns, n_phones, n_ips, n_ccs, clean_text

@@ -245,7 +245,8 @@ class DedupSpec extends AnyFunSuite {
     val spans = Seq(
       (1L, 1L, 2L), (1L, 5L, 6L) // two disjoint spans in doc 1
     ).toDF("doc_id", "span_start", "span_end")
-    val out = Dedup.applySpans(docs, spans).collect()
+    val out = Dedup.applySpans(docs, spans)
+      .select("doc_id", "clean_text", "n_removed").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L) == (("a d e h", 4L)))
     assert(out(2L) == (("k l m n o p", 0L))) // span-free doc untouched
