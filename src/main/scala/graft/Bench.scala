@@ -41,7 +41,12 @@ object Bench {
       "s07_build" -> ((s, d) => operators.Ann.s07BenchBuild(s, d)),
       "s07_probe" -> ((s, d) => operators.Ann.s07BenchProbe(s, d)),
       "s08_build" -> ((s, d) => operators.Ann.s08BenchBuild(s, d)),
-      "s08_probe" -> ((s, d) => operators.Ann.s08BenchProbe(s, d)))
+      "s08_probe" -> ((s, d) => operators.Ann.s08BenchProbe(s, d)),
+      // the d06 collision-floor dial measured, not asserted: 16-bit
+      // bands admit 64x fewer random candidates (n²/2¹⁶ vs n²/2⁸)
+      // at ~full recall for the planted ultra-close pairs
+      "d06_wide_bands" -> ((s, d) =>
+        operators.Dedup.d06EmbedNeardupDemo(s, d, bands = 4)))
     val timed = SparkEntry.queries.toSeq
       .filterNot { case (name, _) => phaseSplit(name) } ++ phased
     val results = timed.map { case (name, fn) =>

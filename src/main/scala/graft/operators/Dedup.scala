@@ -527,15 +527,20 @@ object Dedup {
     * expected answer is exactly the (v, v+1e6) pairs, making the
     * rows-only check self-validating.
     */
+  // `bands` is the collision-floor dial (see d06PairsOver): the
+  // planted pairs land at ~4.9° (cos ≈ 0.9964), where 16-bit bands
+  // (bands = 4) retain ~0.98 recall while admitting 64× fewer random
+  // candidates — the bench carries both settings so the tradeoff is
+  // measured, not asserted
   def d06EmbedNeardupDemo(spark: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, bands: Int = 8): DataFrame = {
     val t = Tables(spark, dir)
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
     val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         (x + lit(0.015f) * cos(i.cast("double")).cast("float")))
         .as("embedding"))
-    d06PairsOver(base.union(planted), threshold)
+    d06PairsOver(base.union(planted), threshold, bands)
   }
 
   // ---------------------------------------------------------------- d08

@@ -287,6 +287,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) >= 0.9))
   }
 
+  test("d06 wide bands (16-bit) trade bounded recall for 64x fewer collisions") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    // bands = 4 → 16-bit bands: 64× fewer random collisions
+    // (n²/2¹⁶ floor vs n²/2⁸). Planted pairs sit at ~4.9°
+    // (cos ≈ 0.9964): p(bit) ≈ 0.973, so per-pair band recall is
+    // 1 − (1 − 0.973¹⁶)⁴ ≈ 0.98 — assert the ≥ 0.95 envelope and
+    // that nothing BUT planted pairs surfaces (precision stays 1
+    // by exact-cosine verification at any band width)
+    val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9,
+      bands = 4).collect()
+    assert(out.length >= (n * 95) / 100,
+      s"recall ${out.length}/$n below the 0.95 envelope")
+    assert(out.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+  }
+
   test("d06 candidates verify exactly: subset of d05 brute force with equal values") {
     // same corpus, same threshold — d06's result must be a subset of
     // brute force (precision 1) with bit-identical cosine values
