@@ -923,6 +923,20 @@ object Oracles {
          |ORDER BY doc_id, span_start""".stripMargin
     },
 
+    // t10: the two-pass sketch pipeline's output is EXACT (candidate
+    // false positives are removed by the exact second pass), so the
+    // oracle is a plain frequency threshold.
+    "t10_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT t AS token FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE len(t) > 0),
+        |tot AS (SELECT COUNT(*) AS n FROM tok)
+        |SELECT token, COUNT(*) AS n
+        |FROM tok GROUP BY token
+        |HAVING COUNT(*) > CAST(floor(0.002 * (SELECT n FROM tot)) AS BIGINT)
+        |ORDER BY n DESC, token""".stripMargin,
+
     // d09: the expected CLEANED corpus is closed-form from the demo's
     // construction — the span pipeline must restore every non-minimum
     // planted doc to exactly its tagged base text (20 tokens removed)

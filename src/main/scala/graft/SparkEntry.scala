@@ -95,6 +95,7 @@ object SparkEntry {
     "t07_repetition" -> (TextOps.t07Repetition(_, _)),
     "t08_subword_tokenize" -> (TextOps.t08SubwordTokenize(_, _)),
     "t09_subword_ids" -> (TextOps.t09SubwordIds(_, _)),
+    "t10_heavy_hitters" -> ((s, dir) => TextOps.t10HeavyHitters(s, dir)),
     "c06_mixture_subword" -> ((s, dir) => Corpus.c06MixtureSubword(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>

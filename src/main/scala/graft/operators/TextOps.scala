@@ -273,6 +273,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t10: corpus heavy hitters — every token whose frequency exceeds
+    * `support` of all tokens, EXACTLY, via the standard two-pass
+    * scale pattern: a one-pass Karp–Papadimitriou–Shenker candidate
+    * sweep (`stat.freqItems` — guaranteed superset of the true heavy
+    * hitters, ≤ 1/support candidates) followed by an exact count of
+    * candidates only. Where t05's vocabulary build shuffles every
+    * distinct token, this shuffles at most 1/support tokens'
+    * occurrences — the right shape when the vocabulary is billions of
+    * tokens but the heavy tail is what you're after. The second pass
+    * makes the output exact (sketch false positives are filtered), so
+    * the result is deterministic and oracle-checkable.
+    */
+  def t10HeavyHitters(spark: SparkSession, dir: String,
+      support: Double = 0.002): DataFrame = {
+    val t = Tables(spark, dir)
+    val toks = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // pass 1: KPS candidates (driver-side array, ≤ 1/support entries)
+    val candidates = toks.stat.freqItems(Seq("token"), support)
+      .head.getSeq[String](0)
+    // pass 2: exact counts for candidates only; threshold on the
+    // exact total. count(*) over the unfiltered scan is a cheap
+    // map-side-combined pass (no explode row survives to a shuffle).
+    val total = toks.count()
+    val threshold = (support * total).toLong
+    toks.filter(col("token").isin(candidates: _*))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > threshold)
+      .orderBy(col("n").desc, col("token"))
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))

@@ -128,6 +128,23 @@ class TextOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) == t09(r.getLong(0))))
   }
 
+  test("t10 two-pass heavy hitters equal the brute-force frequency threshold") {
+    import org.apache.spark.sql.functions._
+    val dir = TestSpark.Sf0001
+    val support = 0.002
+    val got = TextOps.t10HeavyHitters(spark, dir, support)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = graft.Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.count()
+    val expected = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") > (support * total).toLong)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "demo vacuous: no heavy hitters at this support")
+  }
+
   test("c06 subword mixture totals are the per-source sums of t08 counts") {
     val dir = TestSpark.Sf0001
     val t08 = TextOps.t08SubwordTokenize(spark, dir)
