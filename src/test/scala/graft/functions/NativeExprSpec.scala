@@ -79,6 +79,23 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getInt(2) == 16)
   }
 
+  test("e03 SQL registration: round-5 kernels callable from SQL") {
+    val vocab = graft.functions.F.joinVocab(Seq("ab", "a", "b"))
+    val r = spark.sql(
+      s"""SELECT
+         |  subword_stats('abab', '$vocab') AS st,
+         |  subword_ids('abab', '$vocab') AS ids,
+         |  repetition_stats('a a b') AS rep,
+         |  size(shingle_pos_hashes64('a b a b a', 2)) AS nsp,
+         |  remove_token_spans('a b c d', array(1L, 3L), array(1L, 3L)) AS rm
+         |""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(2L, 0L))       // ab|ab
+    assert(r.getSeq[Int](1) == Seq(0, 0))          // both pieces id 0
+    assert(r.getSeq[Long](2) == Seq(3L, 2L, 2L, 1L, 2L))
+    assert(r.getInt(3) == 4)                       // positions 0..3
+    assert(r.getString(4) == "a c")
+  }
+
   test("e10 shingle hashes == xxhash64 of HOF shingles, as sets") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val toks = split(col("text"), " ")
