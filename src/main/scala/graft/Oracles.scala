@@ -493,6 +493,28 @@ object Oracles {
         |ORDER BY n_sessions DESC, path
         |LIMIT 20""".stripMargin,
 
+    "q48_markov_transitions" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |n AS (SELECT event_type,
+        |        lead(event_type) OVER w2 AS next_type,
+        |        lead(new_sess) OVER w2 AS next_new
+        |      FROM e
+        |      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+        |         count(*) AS n_trans
+        |       FROM n WHERE next_type IS NOT NULL AND next_new = 0
+        |       GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  round(CAST(n_trans AS DOUBLE) /
+        |    SUM(n_trans) OVER (PARTITION BY from_type), 4) AS p
+        |FROM tr
+        |ORDER BY from_type, to_type""".stripMargin,
+
     "t07_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, unnest(w) AS tok FROM toks),
@@ -959,6 +981,25 @@ object Oracles {
          |       ELSE tt END AS clean_text,
          |  CAST(CASE WHEN doc_id % 10 = 0 AND doc_id <> (SELECT m FROM mn)
          |       THEN 20 ELSE 0 END AS BIGINT) AS n_removed
+         |FROM tagged
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // c07: substring decontamination — the expected cleaned corpus is
+    // CLOSED-FORM from the demo's construction (tagging zeroes natural
+    // train↔eval matches; the planted passage on every 7th doc must be
+    // excised in full, everything else untouched) — an independent
+    // end-to-end check of spansAgainst find + e14 apply together.
+    "c07_decontaminate" -> {
+      val passage = graft.operators.Dedup.SharedPassage.mkString(" ")
+      s"""WITH tagged AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_transform(string_split(text, ' '),
+         |      t -> t || '_' || CAST(doc_id AS VARCHAR)), ' ') AS tt
+         |  FROM documents)
+         |SELECT doc_id, tt AS clean_text,
+         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 20 ELSE 0 END AS BIGINT)
+         |    AS n_removed
          |FROM tagged
          |ORDER BY doc_id""".stripMargin
     },

@@ -91,12 +91,14 @@ object SparkEntry {
     "q45_gap_fill" -> (Relational.q45GapFill(_, _)),
     "q46_forward_fill" -> (Relational.q46ForwardFill(_, _)),
     "q47_session_paths" -> (Relational.q47SessionPaths(_, _)),
+    "q48_markov_transitions" -> (Relational.q48MarkovTransitions(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     "t07_repetition" -> (TextOps.t07Repetition(_, _)),
     "t08_subword_tokenize" -> (TextOps.t08SubwordTokenize(_, _)),
     "t09_subword_ids" -> (TextOps.t09SubwordIds(_, _)),
     "t10_heavy_hitters" -> ((s, dir) => TextOps.t10HeavyHitters(s, dir)),
     "c06_mixture_subword" -> ((s, dir) => Corpus.c06MixtureSubword(s, dir)),
+    "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

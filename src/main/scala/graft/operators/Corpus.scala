@@ -256,6 +256,49 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- c07
+
+  /** c07: substring-level DECONTAMINATION — c03 flags documents that
+    * overlap the eval set; this REMOVES the overlapping passages and
+    * keeps the rest of the document. Span finding is
+    * [[Dedup.spansAgainst]] (train positional shingles ⋈ broadcast
+    * eval shingle set → maximal matched spans); the apply step is
+    * d09's [[Dedup.applySpans]] (e14 kernel). Per-document outcome:
+    * clean_text with every ≥`minSpanTokens`-token eval passage
+    * excised and n_removed tokens dropped — a training corpus that
+    * can quote an eval benchmark loses the quotes, not the documents.
+    */
+  def decontaminateOver(train: DataFrame, evalDocs: DataFrame,
+      shingleK: Int = 8, minSpanTokens: Int = 15): DataFrame =
+    Dedup.applySpans(train,
+      Dedup.spansAgainst(train, evalDocs, shingleK, minSpanTokens))
+
+  /** c07 driver query: the planted-contamination demo. Token tagging
+    * (d02's construction) zeroes every natural train↔eval shingle
+    * match, then every 7th document gets the UNTAGGED shared passage
+    * ([[Dedup.SharedPassage]]) appended — the planted contamination.
+    * The eval corpus is one synthetic document: the passage itself.
+    * Expected output is CLOSED-FORM: every 7th doc's clean_text is
+    * exactly its tagged base text (20 tokens removed), every other doc
+    * passes through untouched — which the oracle asserts independently
+    * of the span pipeline (an end-to-end check of spansAgainst find +
+    * e14 apply together).
+    */
+  def c07Decontaminate(spark: SparkSession, dir: String,
+      shingleK: Int = 8, minSpanTokens: Int = 15): DataFrame = {
+    val t = Tables(spark, dir)
+    val passage = Dedup.SharedPassage.mkString(" ")
+    val tagged = t.documents.select(col("doc_id"),
+      Dedup.tagTokens(col("text"), col("doc_id")).as("text"))
+    val train = tagged.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + passage)))
+        .otherwise(col("text")).as("text"))
+    val evalDocs = spark.range(1).select(lit(passage).as("text"))
+    decontaminateOver(train, evalDocs, shingleK, minSpanTokens)
+      .select("doc_id", "clean_text", "n_removed")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- c03
 
   /** c03: benchmark-contamination scan — flag training documents that

@@ -245,7 +245,7 @@ object Dedup {
     * natural near-dup similarity reaches 1.0 at sf0.1, inseparable
     * from any planted signal.
     */
-  private def tagTokens(text: Column, id: Column): Column =
+  private[operators] def tagTokens(text: Column, id: Column): Column =
     array_join(
       transform(split(text, " "), t => concat(t, lit("_"), id)), " ")
 
@@ -618,7 +618,16 @@ object Dedup {
       .agg(min(col("pos")).as("start_tok"),
         (max(col("pos")) + lit(shingleK - 1)).as("end_tok"))
       .filter(col("end_tok") - col("start_tok") + 1 >= minSpanTokens)
-    // per-doc interval union: overlapping or adjacent runs merge
+    unionSpans(runs)
+  }
+
+  /** Per-doc interval union: overlapping or adjacent (doc_id,
+    * start_tok, end_tok) runs merge into maximal (doc_id, span_start,
+    * span_end, n_tokens) spans — the closing stage shared by d08's
+    * cross-document dedup and c07's decontamination. One window pass
+    * per doc (runs per doc are few by construction).
+    */
+  private[operators] def unionSpans(runs: DataFrame): DataFrame = {
     val w2 = Window.partitionBy("doc_id").orderBy("start_tok", "end_tok")
     runs
       .withColumn("prev_max",
@@ -636,6 +645,43 @@ object Dedup {
         col("span_end").cast(LongType).as("span_end"),
         (col("span_end") - col("span_start") + 1).cast(LongType).as("n_tokens"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Cross-corpus span finder — every maximal token span of a `train`
+    * document whose k-shingles ALL appear in the `evalDocs` shingle
+    * set: d08's machinery pointed at train/eval decontamination (c07)
+    * instead of train/train dedup. No pairing or diagonals are needed
+    * — membership in the eval shingle set is position-free — so the
+    * pipeline is: positional shingles on the train side (e12), DEDUPED
+    * shingle-hash set on the eval side (e10; the two kernels share
+    * tokenization and xxhash64(42), so identity agrees), one equi-join
+    * on the 8-byte hash, consecutive matched positions merge into runs
+    * (gaps-and-islands), runs ≥ `minSpanTokens` survive, per-doc
+    * interval union closes overlaps (runs from non-consecutive matches
+    * still overlap in token coverage when their gap < k).
+    *
+    * Scale: eval/benchmark sets are small by nature, so their distinct
+    * shingle set broadcasts (c03's argument); the train side streams
+    * one posexplode through a broadcast-hash join — no shuffle of the
+    * corpus at all.
+    */
+  def spansAgainst(train: DataFrame, evalDocs: DataFrame,
+      shingleK: Int = 8, minSpanTokens: Int = 15): DataFrame = {
+    import graft.functions.F
+    val trainSh = train.select(col("doc_id"),
+      posexplode(F.shinglePosHashes64(col("text"), shingleK))
+        .as(Seq("pos", "h")))
+    val evalSh = evalDocs
+      .select(explode(F.shingleHashes64(col("text"), shingleK)).as("h"))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = trainSh.join(broadcast(evalSh), Seq("h"))
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + lit(shingleK - 1)).as("end_tok"))
+      .filter(col("end_tok") - col("start_tok") + 1 >= minSpanTokens)
+    unionSpans(runs)
   }
 
   /** The 20-token passage the d08 demo plants (a stand-in for a

@@ -863,6 +863,32 @@ object Relational {
       .limit(k)
   }
 
+  /** q48: session transition matrix — the Markov-chain view of q47's
+    * paths: within-session adjacent event-type transitions counted
+    * corpus-wide, with each (from → to) edge's exact conditional
+    * probability. Rides the SAME per-user window the sessionize
+    * prelude already established (lead of type + lead of new_sess
+    * flag, so a transition never crosses a session boundary) — no
+    * second shuffle on (user, session); the transition aggregation
+    * shuffles only |event_type|² rows. The probability is one exact
+    * integer division rounded once, so the oracle replays it
+    * bit-identically.
+    */
+  def q48MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wFrom = Window.partitionBy("from_type")
+    sessionized(t.events)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_new", lead(col("new_sess"), 1).over(w))
+      .filter(col("next_type").isNotNull && col("next_new") === 0)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p",
+        round(col("n_trans").cast(DoubleType) / sum(col("n_trans")).over(wFrom), 4))
+      .orderBy("from_type", "to_type")
+  }
+
   /** q37: rolling time-range window — each event's trailing-hour count
     * and value sum for its user, via RANGE BETWEEN on event-time
     * seconds. RANGE (not ROWS) frames make timestamp peers aggregate

@@ -72,6 +72,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(withSpans(1L) == 50L && withSpans(2L) == 30L && withSpans(3L) == 40L)
   }
 
+  test("c07 excises exactly the eval passages, keeps sub-minimum quotes") {
+    import spark.implicits._
+    val passage = (0 until 20).map(i => s"e$i").mkString(" ")
+    def uniq(p: String, n: Int) = (0 until n).map(i => s"${p}_$i").mkString(" ")
+    val train = Seq(
+      // passage mid-document → one span [10, 29]
+      (1L, s"${uniq("a", 10)} $passage ${uniq("b", 10)}"),
+      // two disjoint copies → spans [0, 19] and [32, 51]
+      (2L, s"$passage ${uniq("c", 12)} $passage"),
+      // no overlap → untouched
+      (3L, uniq("d", 40)),
+      // a 12-token eval quote: matched, but below minSpanTokens=15 →
+      // the span filter must keep it
+      (4L, s"${(0 until 12).map(i => s"e$i").mkString(" ")} ${uniq("f", 10)}")
+    ).toDF("doc_id", "text")
+    val evalDocs = Seq(passage).toDF("text")
+
+    val spans = Dedup.spansAgainst(train, evalDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 10L, 29L), (2L, 0L, 19L), (2L, 32L, 51L)))
+
+    val cleaned = Corpus.decontaminateOver(train, evalDocs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(cleaned(1L) == (s"${uniq("a", 10)} ${uniq("b", 10)}", 20L))
+    assert(cleaned(2L) == (uniq("c", 12), 40L))
+    assert(cleaned(3L) == (uniq("d", 40), 0L))
+    assert(cleaned(4L)._2 == 0L)
+  }
+
   test("c04 redacts exactly the planted PII and nothing survives redaction") {
     val rows = Corpus.c04RedactPii(spark, dir).collect()
     // columns: doc_id, n_emails, n_ssns, n_phones, n_ips, n_ccs, clean_text
