@@ -52,6 +52,7 @@ object SparkEntry {
     "d06_embed_neardup_lsh" -> ((s, dir) => Dedup.d06EmbedNeardupDemo(s, dir)),
     "d07_dedup_clusters" -> ((s, dir) => Dedup.d07DedupClusters(s, dir)),
     "d08_substring_dedup" -> ((s, dir) => Dedup.d08SubstringDedup(s, dir)),
+    "d10_semantic_dedup" -> ((s, dir) => Dedup.d10SemanticDedupDemo(s, dir)),
     "d09_substring_apply" -> ((s, dir) => Dedup.d09SubstringApply(s, dir)),
     "s01_ann_bruteforce" -> ((s, dir) => Ann.s01AnnBruteforce(s, dir)),
     "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),

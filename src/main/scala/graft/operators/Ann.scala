@@ -176,7 +176,7 @@ object Ann {
   /** Scores against every centroid (one native dot kernel each —
     * centroids are unit vectors, so argmax(dot) == argmax(cosine)).
     */
-  private def centroidScores(v: Column, cents: Array[Array[Float]]): Column =
+  private[operators] def centroidScores(v: Column, cents: Array[Array[Float]]): Column =
     array(cents.map(c => graft.functions.F.dotProd(v, typedLit(c))): _*)
 
   /** s04: IVF ANN — the inverted-file scale path beside s02's LSH.

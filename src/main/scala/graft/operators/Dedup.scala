@@ -766,6 +766,75 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d10
+
+  /** d10: SEMANTIC dedup — SemDeDup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * public) beside d06's LSH path: cluster the embedding space with
+    * the same sample-trained spherical k-means quantizer the IVF ANN
+    * family uses (s04), then resolve near-duplicates ONLY within each
+    * cluster — pairwise work is Σ|cell|² instead of n², and `nlist`
+    * grows with the corpus so the expected cell stays bounded. A
+    * vector is dropped when a smaller-id vector in its cell sits at
+    * cosine ≥ `threshold`; the canonical winner convention (min id,
+    * as d01/d07/d08) makes the output deterministic. Differences vs
+    * d06: the candidate structure is a partition of the space (every
+    * in-cell pair is examined — no banding recall floor), at the cost
+    * of missing pairs that straddle a cell boundary — the published
+    * SemDeDup tradeoff, measured here by the planted-pair recall spec.
+    *
+    * Scale: cell assignment is a per-row projection through the native
+    * dot kernel (no shuffle); the self-join shuffles on `cell` once
+    * (two canonically-identical sides → ReusedExchange); at 100 TB the
+    * celled corpus persists partitioned by `cell` (s08's layout) and
+    * the pairwise stage runs per cell partition.
+    */
+  def d10SemanticDedupOver(vectors: DataFrame, threshold: Double = 0.9,
+      nlist: Int = 16): DataFrame = {
+    import graft.functions.F
+    val cents = Ann.trainCentroids(vectors, nlist)
+    val scores = Ann.centroidScores(col("embedding"), cents)
+    // localCheckpoint (lazy): the celled projection feeds both join
+    // sides; blocks release on GC instead of pinning the cache
+    val celled = vectors.select(col("vec_id"), col("embedding"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("nrm"),
+        array_position(scores, array_max(scores)).as("cell"))
+      .localCheckpoint(false)
+    celled.as("x").join(celled.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("partner"),
+        F.cosineSim4Pre(col("x.embedding"), col("x.nrm"),
+          col("y.embedding"), col("y.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      // one row per dropped vector: canonical winner = min partner id,
+      // max_cos = the closest similarity that doomed it
+      .groupBy("vec_id")
+      .agg(min(col("partner")).as("dup_of"),
+        round(max(col("cos_sim")), 4).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** d10 driver query: d06's planted-pair demo pointed at the semantic
+    * path — the synthetic embeddings have no natural ≥ 0.9-cosine
+    * pairs (max observed ≈ 0.6), so each vector gets one deterministic
+    * planted near-dup (id + 1e6, ~1.4° perturbation). The expected
+    * answer is exactly the planted copies dropped against their
+    * originals (vec_id = v + 1e6, dup_of = v) for every pair the
+    * quantizer co-cells; the spec pins precision = 1 on that closed
+    * form and recall ≥ 0.9 (cell-boundary straddles are the measured
+    * SemDeDup loss).
+    */
+  def d10SemanticDedupDemo(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, nlist: Int = 16): DataFrame = {
+    val t = Tables(spark, dir)
+    val base = t.embeddings.select(col("vec_id"), col("embedding"))
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + lit(0.015f) * cos(i.cast("double")).cast("float")))
+        .as("embedding"))
+    d10SemanticDedupOver(base.union(planted), threshold, nlist)
+  }
+
   /** d06 over an arbitrary (vec_id, embedding) DataFrame. */
   def d06PairsOver(vectors: DataFrame, threshold: Double = 0.9,
       bands: Int = 8): DataFrame = {

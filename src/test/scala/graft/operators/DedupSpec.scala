@@ -302,6 +302,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
   }
 
+  test("d10 semantic dedup drops planted copies against their originals") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val out = Dedup.d10SemanticDedupDemo(spark, dir).collect()
+    // precision 1 on the closed form: only planted copies (v + 1e6)
+    // can clear 0.9 cosine, and their canonical winner is the base v
+    assert(out.forall(r => r.getLong(0) >= 1000000L &&
+      r.getLong(1) == r.getLong(0) - 1000000L), s"non-planted drop in d10")
+    assert(out.forall(_.getDouble(2) >= 0.9))
+    // recall: the published SemDeDup loss is pairs straddling a cell
+    // boundary; at a ~1.4° perturbation the quantizer co-cells almost
+    // every planted pair — pin the ≥ 0.9 envelope
+    assert(out.length >= (n * 90) / 100,
+      s"recall ${out.length}/$n below the 0.9 envelope")
+  }
+
+  test("d10 within-cell pruning is exact: co-celled d05 pairs all resolve") {
+    // d10's only approximation is the cell partition: a (dup_of,
+    // dropped) decision can only arise from a real ≥-threshold pair,
+    // so every emitted pair must exist in d05's brute-force answer
+    // over the same id slice (precision 1 w.r.t. pair existence).
+    val exact = Dedup.d05EmbedNeardup(spark, dir, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = Dedup.d10SemanticDedupOver(
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(org.apache.spark.sql.functions.col("vec_id") < 1000)
+        .select("vec_id", "embedding"),
+      threshold = 0.4).collect()
+    assert(sem.nonEmpty)
+    sem.foreach { r =>
+      val k = (r.getLong(1), r.getLong(0)) // (dup_of=smaller, dropped)
+      // dup_of is the MIN partner ≥ threshold; d05 must know that pair
+      assert(exact.contains(k), s"$k not in brute-force pairs")
+    }
+  }
+
   test("d06 candidates verify exactly: subset of d05 brute force with equal values") {
     // same corpus, same threshold — d06's result must be a subset of
     // brute force (precision 1) with bit-identical cosine values
