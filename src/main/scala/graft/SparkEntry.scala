@@ -98,6 +98,7 @@ object SparkEntry {
     "t08_subword_tokenize" -> (TextOps.t08SubwordTokenize(_, _)),
     "t09_subword_ids" -> (TextOps.t09SubwordIds(_, _)),
     "t10_heavy_hitters" -> ((s, dir) => TextOps.t10HeavyHitters(s, dir)),
+    "t11_bpe_train" -> ((s, dir) => TextOps.t11BpeTrain(s, dir)),
     "c06_mixture_subword" -> ((s, dir) => Corpus.c06MixtureSubword(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)

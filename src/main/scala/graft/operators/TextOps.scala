@@ -306,6 +306,126 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
   }
 
+  /** Left-to-right greedy application of one BPE merge to a symbol
+    * sequence — "aaa" under (a,a) becomes ("aa", "a"), the standard
+    * public rule (Sennrich et al. 2016). Runs on executors over the
+    * bounded words table.
+    */
+  private[operators] def applyMerge(syms: Seq[String], l: String,
+      r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** t11: distributed BPE vocabulary TRAINING — the learn side of the
+    * tokenizer family (t08/t09 only APPLY a vocab). Standard byte-pair
+    * encoding over word frequencies (Sennrich et al. 2016, public):
+    *
+    *   1. ONE corpus-scale pass: whitespace tokens → word-frequency
+    *      table (one shuffle with map-side partials), capped to the
+    *      `maxWords` most frequent words (TakeOrdered, the standard
+    *      practical cap) — everything after runs on this BOUNDED
+    *      distinct-words table, never the corpus;
+    *   2. each word starts as its character sequence;
+    *   3. per merge round: adjacent-pair frequencies (flatMap + one
+    *      small groupBy), the argmax pair by (count desc, left,
+    *      right) — ONE row to the driver per round, d07's fixpoint
+    *      discipline — then a left-to-right greedy merge applied to
+    *      every word, localCheckpoint'd eagerly so round N's lineage
+    *      never replays rounds 1..N−1. Early stop when no pair
+    *      repeats.
+    *
+    * The words table is Heaps-law bounded (millions of rows at 100 TB
+    * while the corpus is billions of documents), so typed flatMap/map
+    * stages here are NOT the per-row-UDF hot-path anti-pattern — the
+    * corpus itself is touched exactly once, by a codegen'd
+    * explode+count. Output: (rank, left, right, merged, cnt) — the
+    * ordered merge table a tokenizer ships; [[bpeLearnedVocab]] turns
+    * it into a vocab for the e11/e11b apply kernels. Deterministic at
+    * any partitioning: integer counts + a total argmax order.
+    */
+  /** The corpus-scale pass shared by training and vocab assembly: the
+    * `maxWords` most frequent words with their counts (one shuffle,
+    * TakeOrdered cut on (freq desc, word)).
+    */
+  private def cappedWords(docs: DataFrame, maxWords: Int): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(maxWords)
+
+  def t11BpeTrainOver(docs: DataFrame, numMerges: Int = 24,
+      maxWords: Int = 50000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words0 = cappedWords(docs, maxWords)
+      .as[(String, Long)]
+      .map { case (w, f) => (f, w.map(_.toString): Seq[String]) }
+      .toDF("freq", "syms")
+    var words = words0.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val best = words.as[(Long, Seq[String])]
+        .flatMap { case (f, syms) =>
+          if (syms.length < 2) Iterator.empty
+          else syms.sliding(2).map(p => (p(0), p(1), f))
+        }
+        .toDF("l", "r", "freq")
+        .groupBy("l", "r").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (best.isEmpty || best(0).getLong(2) < 2) done = true
+      else {
+        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((rank, l, r, l + r, cnt))
+        val next = words.as[(Long, Seq[String])]
+          .map { case (f, syms) => (f, applyMerge(syms, l, r)) }
+          .toDF("freq", "syms").localCheckpoint(true)
+        words = next
+        rank += 1
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "left", "right", "merged", "cnt")
+      .select(col("rank").cast(LongType).as("rank"), col("left"),
+        col("right"), col("merged"), col("cnt"))
+      .orderBy("rank")
+  }
+
+  /** t11 driver query: train on the corpus documents. */
+  def t11BpeTrain(spark: SparkSession, dir: String,
+      numMerges: Int = 24): DataFrame =
+    t11BpeTrainOver(Tables(spark, dir).documents, numMerges)
+
+  /** The learned-vocab form of [[t11BpeTrainOver]]'s merge table for
+    * the greedy apply kernels (e11/e11b): every single character seen
+    * in the capped words table (so no in-vocab word can produce UNK),
+    * the space separator, and each merged piece. Bounded by
+    * |alphabet| + numMerges + 1 — a driver-side constant, same class
+    * as IVF's centroid load.
+    */
+  def bpeLearnedVocab(docs: DataFrame, numMerges: Int = 24,
+      maxWords: Int = 50000): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merged = t11BpeTrainOver(docs, numMerges, maxWords)
+      .select("merged").as[String].collect().toSeq
+    val chars = cappedWords(docs, maxWords)
+      .as[(String, Long)]
+      .flatMap { case (w, _) => w.map(_.toString) }
+      .distinct().collect().toSeq.sorted
+    (chars :+ " ") ++ merged
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))

@@ -145,6 +145,89 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "demo vacuous: no heavy hitters at this support")
   }
 
+  test("t11 distributed BPE training equals an independent local reference") {
+    import spark.implicits._
+    // independent reference: plain-Scala BPE over local word counts —
+    // same public rule (max-count pair, (left, right) tiebreak,
+    // leftmost-first greedy apply), written without the operator's code
+    def refBpe(corpus: Seq[String], numMerges: Int)
+        : Seq[(Long, String, String, String, Long)] = {
+      def applyM(syms: List[String], l: String, r: String): List[String] =
+        syms match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: applyM(rest, l, r)
+          case a :: rest => a :: applyM(rest, l, r)
+          case Nil => Nil
+        }
+      var ws = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).toSeq
+        .map { case (w, g) => (w.toList.map(_.toString), g.size.toLong) }
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String, String, String, Long)]
+      var rank = 0L
+      var stop = false
+      while (rank < numMerges && !stop) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        ws.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) += f
+            case _ =>
+          }
+        }
+        val cands = counts.toSeq
+        if (cands.isEmpty || cands.map(_._2).max < 2) stop = true
+        else {
+          val ((l, r), c) = cands.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((rank, l, r, l + r, c))
+          ws = ws.map { case (syms, f) => (applyM(syms, l, r), f) }
+          rank += 1
+        }
+      }
+      out.toSeq
+    }
+    // repetition inside words ("aaaa") exercises the leftmost-greedy
+    // rule; cross-word frequencies drive the merge order
+    val corpus = Seq(
+      "low lower lowest low low",
+      "newer newest new newer",
+      "aaaa aaaa aa baaa",
+      "widest wide wider widest")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.t11BpeTrainOver(docs, numMerges = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == refBpe(corpus, 12), s"got:\n${got.mkString("\n")}")
+    // determinism across partitionings: the argmax order is total
+    val got7 = TextOps.t11BpeTrainOver(docs.repartition(7), numMerges = 12)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got7 == got)
+  }
+
+  test("t11 learned vocab drives the apply kernels with zero UNK") {
+    import spark.implicits._
+    val corpus = Seq(
+      "the merge table ships to the apply kernel",
+      "the kernel applies the merge table",
+      "table merge table kernel the the the")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = TextOps.bpeLearnedVocab(docs, numMerges = 16)
+    // every character of every capped word is in the vocab, so greedy
+    // longest-match can always fall back to single chars: no UNK
+    val stats = docs
+      .select(TextOps.subwordStatsCol(org.apache.spark.sql.functions.col("text"),
+        vocab).as("st"))
+      .collect().map(_.getSeq[Long](0))
+    assert(stats.forall(_(1) == 0L), "UNK under the learned vocab")
+    // merges compress: strictly fewer pieces than characters
+    val nChars = corpus.map(_.length).sum
+    assert(stats.map(_(0)).sum < nChars)
+  }
+
   test("c06 subword mixture totals are the per-source sums of t08 counts") {
     val dir = TestSpark.Sf0001
     val t08 = TextOps.t08SubwordTokenize(spark, dir)
