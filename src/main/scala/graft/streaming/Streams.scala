@@ -27,6 +27,33 @@ object Streams {
   final case class SessionState(
       n_events: Int, start_ms: Long, last_ms: Long)
 
+  /** Stream-shaped document record for the corpus-intake stream (st09):
+    * arrival event time + the document payload.
+    */
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  /** st09: streaming corpus intake — the head of the c01 cleaning
+    * pipeline run as a stream, for corpora that arrive continuously
+    * (crawl drops, st08's landing zone): the per-row quality gate
+    * (stateless, same [[graft.operators.Corpus.qualityGate]] the batch
+    * pipeline uses), then exact-dup suppression by the native 64-bit
+    * content fingerprint (e04 kernel) within the watermark horizon —
+    * dropDuplicatesWithinWatermark keys state on the 8-byte fp64, so
+    * state is bounded by the horizon's distinct-content volume and a
+    * re-crawled page in that window is dropped no matter its doc_id.
+    * Near-dup and substring stages stay batch jobs over the deduped
+    * landing table (d02/d08 need corpus-wide joins a per-row stream
+    * cannot see); this stage is the cheap always-on front door that
+    * keeps junk and exact repeats out of the lake.
+    */
+  def st09CleanStream(docs: Dataset[Doc],
+      minTokens: Long = 8, maxStopwordRatio: Double = 0.9,
+      watermark: String = "30 minutes"): DataFrame =
+    graft.operators.Corpus.qualityGate(docs.toDF(), minTokens, maxStopwordRatio)
+      .withColumn("fp64", graft.functions.F.fingerprint64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp64")
+
   /** st01: watermarked tumbling-window counts per event type. Late data
     * beyond the watermark is dropped; state is bounded by
     * (windows in watermark horizon) × (event types) regardless of

@@ -155,6 +155,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(n == 3 && distinct == 3)
   }
 
+  test("st09 intake stream gates junk and drops repeated content by fingerprint") {
+    import spark.implicits._
+    val good1 = (0 until 20).map(i => s"w$i").mkString(" ")
+    val good2 = (0 until 20).map(i => s"x$i").mkString(" ")
+    val good3 = (0 until 20).map(i => s"y$i").mkString(" ")
+    val input = MemoryStream[Doc](spark)
+    val q = st09CleanStream(input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("st09_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: two good docs + one under the token gate
+    input.addData(
+      Doc(1, ts(1), good1), Doc(2, ts(2), "too short"), Doc(3, ts(3), good2))
+    q.processAllAvailable()
+    // batch 2: doc 4 repeats doc 1's CONTENT under a new id (within
+    // the watermark → dropped); doc 5 is new
+    input.addData(Doc(4, ts(5), good1), Doc(5, ts(6), good3))
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT doc_id FROM st09_out")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(ids == Set(1L, 3L, 5L),
+      s"expected gate to drop 2 and fingerprint-dedup to drop 4, got $ids")
+  }
+
   test("st07 foreachBatch upsert sink materializes latest-per-key across batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st07")
