@@ -587,6 +587,29 @@ object Oracles {
         |ORDER BY cos_sim DESC, vec_id
         |LIMIT 10""".stripMargin,
 
+    "s09_ann_quantized" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc,
+        |        sqrt(list_dot_product(v, v)) AS nrm FROM d),
+        |qz AS (SELECT vec_id, v, sc, nrm,
+        |        CASE WHEN sc > 0
+        |          THEN list_transform(v, x -> floor(x / sc + 0.5))
+        |          ELSE list_transform(v, x -> 0.0) END AS q FROM s),
+        |qry AS (SELECT v, sc, nrm, q FROM qz WHERE vec_id = 0),
+        |cand AS (SELECT c.vec_id, c.v AS cv, qry.v AS qv, c.nrm AS cnrm,
+        |           qry.nrm AS qnrm,
+        |           round(list_dot_product(c.q, qry.q) * c.sc * qry.sc /
+        |             (c.nrm * qry.nrm), 4) AS q_sim
+        |         FROM qz c, qry WHERE c.vec_id <> 0
+        |         ORDER BY q_sim DESC, c.vec_id LIMIT 40)
+        |SELECT vec_id,
+        |  round(list_dot_product(cv, qv) / (cnrm * qnrm), 4) AS cos_sim,
+        |  q_sim
+        |FROM cand
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
     "s03_knn_join" ->
       """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT query_id, vec_id, rank, cos_sim FROM (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -31,6 +31,18 @@ object ExprRegistrations {
       case Seq(a, b) => DotProd(a, b)
       case other => throw new IllegalArgumentException(
         s"dot_product expects 2 arguments, got ${other.size}")
+    },
+    desc("i8_quantize",
+      "i8_quantize(v) - int8 scalar quantization of a float array (scale max|v|/127)") {
+      case Seq(v) => I8Quantize(v)
+      case other => throw new IllegalArgumentException(
+        s"i8_quantize expects 1 argument, got ${other.size}")
+    },
+    desc("i8_dot",
+      "i8_dot(a, b) - exact int64 dot product of two int8 code arrays") {
+      case Seq(a, b) => I8Dot(a, b)
+      case other => throw new IllegalArgumentException(
+        s"i8_dot expects 2 arguments, got ${other.size}")
     },
     desc("simhash64", "simhash64(text) - 64-bit SimHash of whitespace tokens") {
       case Seq(c) => SimHash64(c)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -24,6 +24,14 @@ object F {
 
   /** Native codegen dot product of two array<float> columns. */
   def dotProd(a: Column, b: Column): Column = c(DotProd(e(a), e(b)))
+
+  /** e15: int8 scalar quantization (array<float> → array<byte>, 4×
+    * smaller; per-vector symmetric scale max|v|/127).
+    */
+  def i8Quantize(v: Column): Column = c(I8Quantize(e(v)))
+
+  /** e15: exact int64 dot product over two int8 code arrays. */
+  def i8Dot(a: Column, b: Column): Column = c(I8Dot(e(a), e(b)))
 
   /** Norm-precomputed cosine: dot(a,b)/(na*nb), rounded. Bit-identical
     * to cosineSim4 when na/nb are sqrt(dotProd(x,x)) — use when many

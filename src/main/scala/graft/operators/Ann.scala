@@ -38,6 +38,49 @@ object Ann {
       .limit(k)
   }
 
+  /** s09: int8-quantized ANN — scalar quantization (e15) as the coarse
+    * scoring pass: every vector is coded once into 4×-smaller int8
+    * codes (per-vector symmetric scale max|v|/127), candidates are
+    * ranked by the EXACT-integer code dot rescaled to approximate
+    * cosine, and the top k·`rerank` survivors are re-ranked by the
+    * full-precision kernel. At 100 TB this is the memory lever the
+    * LSH/IVF paths don't give: the coarse pass reads a quarter of the
+    * bytes (codes stay executor-resident where floats spill), and the
+    * exact pass touches only k·rerank rows. Composable with s04/s08:
+    * IVF prunes WHICH vectors are scored, quantization shrinks WHAT
+    * each scoring touches. Every arithmetic step is engine-exact
+    * (integer dot; correctly-rounded IEEE double scale/divide), so the
+    * whole pipeline — not just the re-rank — is oracle-checkable.
+    */
+  def s09AnnQuantized(spark: SparkSession, dir: String, k: Int = 10,
+      rerank: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    import graft.functions.F
+    // per-vector quantization artifacts: codes, scale, norm — at scale
+    // these persist beside the corpus (the codes ARE the index)
+    def quantized(df: DataFrame): DataFrame = df.select(
+      col("vec_id"), col("embedding"),
+      F.i8Quantize(col("embedding")).as("q"),
+      (array_max(transform(col("embedding"), abs(_))).cast("double") / 127.0)
+        .as("sc"),
+      sqrt(F.dotProd(col("embedding"), col("embedding"))).as("nrm"))
+    val corpus = quantized(t.embeddings.filter(col("vec_id") =!= 0))
+    val qv = quantized(t.embeddings.filter(col("vec_id") === 0))
+      .select(col("embedding").as("qemb"), col("q").as("qq"),
+        col("sc").as("qsc"), col("nrm").as("qnrm"))
+    corpus.crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"), col("qemb"), col("qnrm"),
+        round(F.i8Dot(col("q"), col("qq")).cast("double") * col("sc") *
+          col("qsc") / (col("nrm") * col("qnrm")), 4).as("q_sim"))
+      .orderBy(col("q_sim").desc, col("vec_id"))
+      .limit(k * rerank)
+      .select(col("vec_id"),
+        cosineSim4(col("embedding"), col("qemb")).as("cos_sim"),
+        col("q_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Sign-random-projection signature: bit i = [v · h_i > 0] over the
     * native 64-plane kernel (e09), masked to the low `nBits` planes.
     * The per-plane HOF formulation (one interpreted zip_with+aggregate

@@ -234,6 +234,49 @@ object Kernels {
     acc
   }
 
+  /** e15: int8 scalar quantization of a float vector — per-vector
+    * symmetric scale max|v|/127, code = floor(v/scale + 0.5) (explicit
+    * floor form so DuckDB can replay it literally: Java's Math.round
+    * and SQL round() disagree on negative halves). Every step is a
+    * correctly-rounded IEEE double op, so the codes are engine-exact.
+    * All-zero vectors quantize to all-zero codes.
+    */
+  def i8Quantize(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(v.getFloat(i).toDouble)
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0.0) {
+      val scale = maxAbs / 127.0
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(v.getFloat(i).toDouble / scale + 0.5).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** e15: integer dot product over two int8 code arrays. Exact int64
+    * arithmetic — order-independent, no float fold discipline needed;
+    * |result| ≤ dim·127² so a 100M-dim vector is still overflow-free.
+    */
+  def i8Dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Deterministic cosine over float arrays: float→double per element,
     * left-to-right fold (SURVEY.md §4 determinism discipline).
     */
@@ -588,6 +631,56 @@ case class DotProd(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+}
+
+/** e15: int8 scalar quantization of an array<float> embedding — the
+  * 100 TB ANN memory lever: codes are 4× smaller than float32, so a
+  * corpus whose float vectors spill to disk keeps its codes in executor
+  * memory. Pairs with [[I8Dot]] for the coarse scoring pass; exact
+  * re-rank on the surviving candidates restores full precision.
+  * `i8_quantize(v)` in SQL.
+  */
+case class I8Quantize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "i8_quantize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Kernels.i8Quantize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graft.Kernels.i8Quantize($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): I8Quantize =
+    copy(child = newChild)
+}
+
+/** e15: exact int64 dot product over two int8 code arrays — the
+  * quantized scoring kernel. Integer accumulation is order-independent,
+  * so this is the one similarity score with NO float-fold determinism
+  * caveat. `i8_dot(a, b)` in SQL.
+  */
+case class I8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "i8_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.i8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.Kernels.i8Dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): I8Dot =
     copy(left = newLeft, right = newRight)
 }
 

@@ -53,6 +53,37 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s09 with a corpus-covering rerank collapses to s01 exactly") {
+    // when k·rerank ≥ |corpus| the coarse quantized cut keeps everyone,
+    // so the exact re-rank IS brute force: output must equal s01
+    // row-for-row (same ids, same cos_sim values, same order)
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Ann.s09AnnQuantized(spark, dir, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+  }
+
+  test("s09 default rerank recalls the true top-k from the int8 coarse cut") {
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rows = Ann.s09AnnQuantized(spark, dir, k = 10).collect()
+    assert(rows.length == 10)
+    val recall = (exact & rows.map(_.getLong(0)).toSet).size.toDouble / 10
+    // int8 quantization of 64-dim vectors perturbs cosine by ~1e-2;
+    // a 4× rerank margin should recover essentially all true neighbors
+    assert(recall >= 0.8, s"recall $recall too low for int8 + 4× rerank")
+    // emitted cos_sim is the full-precision value, and the quantized
+    // coarse score sits close to it
+    val exactAll = Ann.s01AnnBruteforce(spark, dir, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(exactAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) < 0.05,
+        s"quantized score drifted: ${r.getDouble(2)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("s04 centroid training is deterministic") {
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)

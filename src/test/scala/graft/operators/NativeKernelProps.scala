@@ -85,6 +85,50 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
       native == expected // bit-exact: same fold order, same widening
     }
 
+  property("i8Quantize == floor reference; dequantized error ≤ scale/2") =
+    forAll(Gen.listOfN(6, Gen.oneOf(
+      Gen.listOfN(8, Gen.choose(-100.0, 100.0)),
+      Gen.const(List.fill(8)(0.0))))) { vecs0 =>
+      import spark.implicits._
+      val vecs = vecs0.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat).toArray)
+      }
+      val native = vecs.toDF("id", "v")
+        .select(col("id"), graft.functions.F.i8Quantize(col("v")))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+      vecs.forall { case (i, v) =>
+        val maxAbs = v.map(x => math.abs(x.toDouble)).foldLeft(0.0)(math.max)
+        val expected =
+          if (maxAbs == 0.0) v.map(_ => 0.toByte).toSeq
+          else v.map(x =>
+            math.floor(x.toDouble / (maxAbs / 127.0) + 0.5).toByte).toSeq
+        val scale = if (maxAbs == 0.0) 0.0 else maxAbs / 127.0
+        native(i) == expected &&
+          native(i).zip(v).forall { case (q, x) =>
+            math.abs(q * scale - x.toDouble) <= scale / 2 + 1e-12
+          }
+      }
+    }
+
+  property("i8Dot == exact BigInt reference") =
+    forAll(Gen.listOfN(6,
+      Gen.zip(Gen.listOfN(8, Gen.choose(-127, 127)),
+        Gen.listOfN(8, Gen.choose(-127, 127))))) { pairs =>
+      import spark.implicits._
+      // Seq[Byte], not Array[Byte]: the latter encodes as BINARY while
+      // the kernel contract is array<tinyint> (i8Quantize's output type)
+      val vecs = pairs.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, a.map(_.toByte), b.map(_.toByte))
+      }
+      val native = vecs.toDF("id", "a", "b")
+        .select(col("id"), graft.functions.F.i8Dot(col("a"), col("b")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      vecs.forall { case (i, a, b) =>
+        native(i) == a.zip(b).map { case (x, y) =>
+          BigInt(x.toInt) * BigInt(y.toInt) }.sum.toLong
+      }
+    }
+
   property("cosineSim4 == rounded driver fold, bit-identical") =
     forAll(Gen.listOfN(6,
       Gen.zip(Gen.listOfN(8, Gen.choose(-100.0, 100.0)),
