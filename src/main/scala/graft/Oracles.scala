@@ -829,6 +829,31 @@ object Oracles {
         |FROM walk GROUP BY doc
         |ORDER BY doc_id""".stripMargin,
 
+    "c08_mixture_temperature" ->
+      """WITH per AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |         AS BIGINT) AS tot_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT *,
+        |        CAST(floor(sqrt(CAST(tot_tokens AS DOUBLE)) * 1000000.0
+        |          + 0.5) AS BIGINT) AS sqrt_i
+        |      FROM per),
+        |w AS (SELECT *,
+        |        round(CAST(sqrt_i AS DOUBLE) /
+        |          CAST((SELECT CAST(SUM(sqrt_i) AS BIGINT) FROM s)
+        |               AS DOUBLE), 6) AS weight
+        |      FROM s),
+        |b AS (SELECT *,
+        |        CAST(floor(weight * 100000.0 + 0.5) AS BIGINT)
+        |          AS budget_tokens
+        |      FROM w)
+        |SELECT source, n_docs, tot_tokens, weight, budget_tokens,
+        |  round(least(1.0, CAST(budget_tokens AS DOUBLE) /
+        |    CAST(tot_tokens AS DOUBLE)), 6) AS sample_rate
+        |FROM b
+        |ORDER BY source""".stripMargin,
+
     "c02_mixture_plan" ->
       """WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -102,6 +102,7 @@ object SparkEntry {
     "t11_bpe_train" -> ((s, dir) => TextOps.t11BpeTrain(s, dir)),
     "c06_mixture_subword" -> ((s, dir) => Corpus.c06MixtureSubword(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
+    "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

@@ -125,6 +125,47 @@ object Corpus {
     mixturePlanOver(Tables(spark, dir).documents,
       element_at(TextOps.subwordStatsCol(col("text")), 1), targetTokens)
 
+  /** c08: TEMPERATURE-scaled mixture planner — c02 gives every source
+    * an equal token share; real multilingual/multi-domain training
+    * uses exponent smoothing p_s ∝ mass_s^α (the public XLM-R /
+    * multilingual-BERT scheme): α=1 is proportional (head sources
+    * dominate), α=0 is equal-share, between them the head is damped
+    * and the tail boosted. α is FIXED at 0.5 here because sqrt is the
+    * one exponent that is a correctly-rounded IEEE op in every engine
+    * — weight arithmetic stays bit-replayable (arbitrary-α pow is not,
+    * so it would demote the oracle to a rows-only check). The
+    * smoothed-weight sum runs over 6-decimal scaled BIGINTs (exact,
+    * order-independent — no float-fold caveat); weights, budgets, and
+    * rates are each rounded ONCE. Same single groupBy shuffle as c02;
+    * the window runs over |sources| rows.
+    */
+  def c08TemperatureMixture(spark: SparkSession, dir: String,
+      targetTokens: Long = 100000L): DataFrame = {
+    val perSource = Tables(spark, dir).documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSource
+      // smoothed mass as a scaled integer: floor-form rounding (e15's
+      // discipline) so the summed quantity is exact in both engines
+      .withColumn("sqrt_i",
+        floor(sqrt(col("tot_tokens").cast("double")) * 1000000.0d + 0.5d))
+      .withColumn("weight",
+        round(col("sqrt_i").cast("double") /
+          sum(col("sqrt_i")).over(w).cast("double"), 6))
+      .withColumn("budget_tokens",
+        floor(col("weight") * lit(targetTokens.toDouble) + 0.5d))
+      .withColumn("sample_rate",
+        round(least(lit(1.0),
+          col("budget_tokens").cast("double") /
+            col("tot_tokens").cast("double")), 6))
+      .select("source", "n_docs", "tot_tokens", "weight", "budget_tokens",
+        "sample_rate")
+      .orderBy("source")
+  }
+
   /** Shared planner body: per-source doc/token mass → equal-share
     * sampling rates, parameterized by the per-row token counter.
     */

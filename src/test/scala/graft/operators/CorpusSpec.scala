@@ -8,6 +8,39 @@ class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf001
 
+  test("c08 temperature weights sit between proportional and equal-share") {
+    val rows = Corpus.c08TemperatureMixture(spark, dir, targetTokens = 100000L)
+      .collect()
+    assert(rows.length >= 2)
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    val n = rows.length
+    // α=0.5 damps the head and boosts the tail: every source's weight
+    // lands strictly between its proportional share (α=1) and the
+    // equal share 1/n (α=0) — unless the source IS at the mean mass
+    rows.foreach { r =>
+      val prop = r.getLong(2) / total
+      val w = r.getDouble(3)
+      val lo = math.min(prop, 1.0 / n) - 1e-6
+      val hi = math.max(prop, 1.0 / n) + 1e-6
+      assert(w >= lo && w <= hi,
+        s"${r.getString(0)}: weight $w outside [$lo, $hi]")
+      // weight is exactly the sqrt-mass share, rounded once
+      val sqrts = rows.map(x => math.floor(math.sqrt(x.getLong(2).toDouble)
+        * 1e6 + 0.5))
+      val expected = math.floor(math.sqrt(r.getLong(2).toDouble) * 1e6 + 0.5) /
+        sqrts.sum
+      assert(math.abs(w - expected) < 1e-6)
+    }
+    // weights form a distribution; budgets conserve the target
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getLong(4)).sum - 100000L) <= n)
+    // sample_rate = budget/mass capped at 1
+    rows.foreach { r =>
+      val expected = math.min(1.0, r.getLong(4).toDouble / r.getLong(2))
+      assert(math.abs(r.getDouble(5) - expected) < 1e-6)
+    }
+  }
+
   test("c02 mixture plan computes equal-share rates capped at 1") {
     val rows = Corpus.c02MixturePlan(spark, dir, targetTokens = 100000L)
       .collect()
