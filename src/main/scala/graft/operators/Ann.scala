@@ -337,6 +337,90 @@ object Ann {
     cents
   }
 
+  /** One micro-batch of streaming IVF-index maintenance (st10's body;
+    * public because it doubles as the BATCH append API for backfills):
+    * cell-confined merge of new vectors into a persisted s08 index.
+    * Cells are assigned with the index's OWN persisted centroids —
+    * never retrained, because the directory layout was built by them
+    * and a probe must score the same quantizer. Only the cell
+    * partitions the batch touches are read, merged (vec_id-deduped:
+    * re-delivered rows are idempotent inserts — embeddings are
+    * immutable per vec_id by contract, so replaying a failed batch
+    * cannot duplicate or corrupt), and swapped back with st07's
+    * per-partition staging+swap crash-recovery invariant. Batch I/O is
+    * O(touched cells + batch), never O(index) — at 100 TB a trickle of
+    * new vectors costs a trickle of partition rewrites, and `nlist`
+    * bounds the worst case. s08AnnIvfIndexed probes the maintained
+    * index unchanged.
+    */
+  def ivfUpsertBatch(batch: DataFrame, indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // bounded collect: nlist centroid rows by construction
+    val cents = spark.read.parquet(indexPath + ".centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    def cellOf(v: Column): Column =
+      array_position(centroidScores(v, cents),
+        array_max(centroidScores(v, cents)))
+    val b = batch.select(col("vec_id"), col("embedding"),
+      cellOf(col("embedding")).as("cell"))
+    // bounded collect: ≤ nlist cell ids
+    val touched = b.select("cell").distinct().collect()
+      .map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+
+    // live rows of ONLY the touched cells, crash-recovered per cell
+    // (a dir caught mid-swap leaves a complete .prev/cell=K)
+    val sources = touched.flatMap { k =>
+      val live = p(s"$indexPath/cell=$k")
+      val prev = p(s"$indexPath.prev/cell=$k")
+      if (fs.exists(live)) Some(live.toString)
+      else if (fs.exists(prev)) Some(prev.toString)
+      else None
+    }
+    val current =
+      if (sources.isEmpty) batch.select("vec_id", "embedding").limit(0)
+      else spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .parquet(sources.toSeq: _*)
+    // re-deriving `cell` from the merged embeddings is deterministic
+    // (same centroids), so the write lands every row back in its dir
+    val merged = current
+      .unionByName(batch.select("vec_id", "embedding"))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("embedding"),
+        cellOf(col("embedding")).as("cell"))
+
+    val staging = p(s"$indexPath.staging")
+    fs.delete(staging, true)
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cell").parquet(staging.toString)
+
+    // swap each touched cell — same order-sensitive invariant as
+    // st07UpsertSink (Streams.scala): prev must survive until the
+    // staged replacement is live
+    fs.mkdirs(p(indexPath))
+    fs.mkdirs(p(s"$indexPath.prev"))
+    touched.foreach { k =>
+      val live = p(s"$indexPath/cell=$k")
+      val prev = p(s"$indexPath.prev/cell=$k")
+      val staged = p(s"$staging/cell=$k")
+      if (fs.exists(live)) {
+        fs.delete(prev, true)
+        if (!fs.rename(live, prev))
+          throw new java.io.IOException(s"st10 publish: cannot move $live aside")
+      }
+      if (!fs.exists(staged) || !fs.rename(staged, live)) {
+        if (fs.exists(prev)) fs.rename(prev, live)
+        throw new java.io.IOException(s"st10 publish: cannot promote $staged")
+      }
+      fs.delete(prev, true)
+    }
+    fs.delete(staging, true)
+  }
+
   private[operators] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }

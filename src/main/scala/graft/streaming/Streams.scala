@@ -54,6 +54,31 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp64")
 
+  /** st10: streaming ANN-index maintenance — a stream of new vectors
+    * (vec_id, embedding) kept merged into a persisted s08 IVF index:
+    * every micro-batch runs [[graft.operators.Ann.ivfUpsertBatch]]'s
+    * cell-confined merge (cells assigned by the index's own persisted
+    * centroids, only touched cell partitions read and swapped, vec_id
+    * dedup makes replayed batches idempotent). With an st04 file
+    * stream over a landing zone + `Trigger.AvailableNow` this is the
+    * index-freshness analogue of st08's lake ingestion: probes
+    * (s08AnnIvfIndexed) see new vectors after the next drain, with no
+    * full-index rebuild anywhere. Centroids are fixed at build time —
+    * the published IVF maintenance tradeoff: drift in the vector
+    * distribution degrades cell balance until the owner rebuilds,
+    * which x12-style snapshot versioning makes a swap, not an outage.
+    */
+  def st10IndexMaintain(vectors: DataFrame, indexPath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ann.ivfUpsertBatch(batch.toDF(), indexPath)
+      }
+      .start()
+
   /** st01: watermarked tumbling-window counts per event type. Late data
     * beyond the watermark is dropped; state is bounded by
     * (windows in watermark horizon) × (event types) regardless of
