@@ -1007,6 +1007,50 @@ object Oracles {
         |HAVING COUNT(*) > CAST(floor(0.002 * (SELECT n FROM tot)) AS BIGINT)
         |ORDER BY n DESC, token""".stripMargin,
 
+    // c09: sequence-packing offsets — the distributed prefix-sum must
+    // equal the one-pass global running sum, replayed here exactly
+    // (all-integer: // is DuckDB floor division, div on the Spark
+    // side; SUM OVER returns HUGEINT → cast back to BIGINT).
+    "c09_pack_offsets" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tok_start
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tok_start,
+        |  tok_start // 512 AS seq_first,
+        |  (tok_start + n_tokens - 1) // 512 AS seq_last,
+        |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_seqs
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // t12: bigram novelty — replayed on bigram STRINGS (the Spark side
+    // shuffles e12 hashes; counting by string here means a
+    // hash-collision shortcut could not silently pass). Bigram
+    // construction matches d04/d08's slicing convention.
+    "t12_bigram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM toks WHERE len(w) >= 2),
+        |occ AS (SELECT doc_id, g, COUNT(*) AS occ FROM bi GROUP BY 1, 2),
+        |dfs AS (SELECT g, COUNT(*) AS df FROM occ GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN df = 1 THEN occ ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  round(CAST(SUM(CASE WHEN df = 1 THEN occ ELSE 0 END) AS DOUBLE) /
+        |    SUM(occ), 4) AS novelty
+        |FROM occ JOIN dfs USING (g)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // d09: the expected CLEANED corpus is closed-form from the demo's
     // construction — the span pipeline must restore every non-minimum
     // planted doc to exactly its tagged base text (20 tokens removed)

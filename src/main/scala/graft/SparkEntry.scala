@@ -101,6 +101,8 @@ object SparkEntry {
     "t10_heavy_hitters" -> ((s, dir) => TextOps.t10HeavyHitters(s, dir)),
     "t11_bpe_train" -> ((s, dir) => TextOps.t11BpeTrain(s, dir)),
     "c06_mixture_subword" -> ((s, dir) => Corpus.c06MixtureSubword(s, dir)),
+    "c09_pack_offsets" -> ((s, dir) => Corpus.c09PackOffsets(s, dir)),
+    "t12_bigram_novelty" -> ((s, dir) => TextOps.t12BigramNovelty(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)

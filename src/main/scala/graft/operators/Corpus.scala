@@ -230,6 +230,77 @@ object Corpus {
     Sampling.shuffleDeterministic(sampled.select(cols: _*), col("doc_id"), seed)
   }
 
+  // ---------------------------------------------------------------- c09
+
+  /** c09: sequence PACKING offsets — the step between a built mixture
+    * (c05) and a trainer's data loader. GPT-style pretraining
+    * concatenates the corpus in a fixed document order and chops the
+    * token stream into `seqLen`-token training sequences; a document's
+    * placement is fully determined by its global token offset. This
+    * computes, per document: the exclusive running token offset
+    * (`tok_start`) and the first/last training sequence it lands in —
+    * documents straddle sequence boundaries by design (that IS the
+    * public packing scheme; no padding, no truncation).
+    *
+    * The running sum is a DISTRIBUTED prefix-sum, not a global window:
+    * a `Window.orderBy(doc_id)` with no partition key collapses the
+    * whole corpus into ONE task — the canonical window scale-killer.
+    * Instead: range-partition by the order key, per-partition running
+    * sums (window keyed by the partition id — parallel), then a
+    * per-partition token total (one tiny row per partition) is
+    * prefix-summed and broadcast back. The only single-task window
+    * runs over ≤ `spark.sql.shuffle.partitions` rows — the same
+    * bounded class as c02's |sources| window. All arithmetic is exact
+    * integer (`div`, not float division), so the oracle replays it
+    * bit-for-bit at any scale.
+    */
+  def c09PackOffsets(spark: SparkSession, dir: String,
+      seqLen: Long = 512L): DataFrame =
+    packOffsetsOver(
+      Tables(spark, dir).documents.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      seqLen)
+      .orderBy("doc_id")
+
+  /** Distributed prefix-sum packing over any (doc_id, n_tokens) frame.
+    * `doc_id` must be unique — it is the total concatenation order.
+    */
+  def packOffsetsOver(docs: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    val spark = docs.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // range partitions are ordered by doc_id, so partition id order ==
+    // global key order; localCheckpoint materializes the slim
+    // (doc_id, n_tokens, _pid) rows once — both consumers (the local
+    // window and the per-partition totals) read the same layout, and
+    // the nondeterministic-flagged partition id is evaluated exactly
+    // once per row
+    val ranged = docs
+      .repartitionByRange(nParts, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy("doc_id")
+    val local = ranged
+      .withColumn("_end_local", sum(col("n_tokens")).over(wLocal))
+    // per-partition totals: ≤ nParts rows — the prefix window over
+    // them is single-task by construction and bounded by construction
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .orderBy("_pid").rowsBetween(Long.MinValue, -1)
+    val prefixed = ranged
+      .groupBy("_pid").agg(sum(col("n_tokens")).as("_ptot"))
+      .withColumn("_poff", coalesce(sum(col("_ptot")).over(wPrefix), lit(0L)))
+      .select("_pid", "_poff")
+    local.join(broadcast(prefixed), Seq("_pid"))
+      .withColumn("tok_start", col("_poff") + col("_end_local") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"tok_start div $seqLen"))
+      .withColumn("_last_tok", col("tok_start") + col("n_tokens") - 1)
+      .withColumn("seq_last", expr(s"_last_tok div $seqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
+        "n_seqs")
+  }
+
   // ---------------------------------------------------------------- c04
 
   /** Luhn check over a 16-digit candidate string, as a pure column

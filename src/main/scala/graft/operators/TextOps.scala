@@ -426,6 +426,44 @@ object TextOps {
     (chars :+ " ") ++ merged
   }
 
+  // ---------------------------------------------------------------- t12
+
+  /** t12: bigram-novelty quality signal — for each document, the
+    * fraction of its word-bigram occurrences that are UNIQUE to it
+    * (corpus document frequency 1). High novelty means the document's
+    * local word transitions appear nowhere else: characteristic of
+    * garbled text, OCR noise, and machine-generated filler — the
+    * signal an n-gram LM quality filter thresholds on, kept in exact
+    * integer arithmetic (a real LM's log-probs are float folds no two
+    * engines reproduce bit-for-bit).
+    *
+    * Plumbing is the e12 positional-shingle kernel at k=2: every
+    * shuffle carries 8-byte bigram hashes, never bigram strings. Three
+    * key-partitioned shuffles — (doc,bigram) occurrence counts, bigram
+    * document frequency, per-doc rollup — each linear in corpus
+    * tokens; the df join is co-partitioned with the groupBy that feeds
+    * it. The oracle replays the pipeline on bigram STRINGS, so a
+    * hash-collision shortcut could not silently pass.
+    */
+  def t12BigramNovelty(spark: SparkSession, dir: String): DataFrame =
+    bigramNoveltyOver(Tables(spark, dir).documents).orderBy("doc_id")
+
+  def bigramNoveltyOver(docs: DataFrame): DataFrame = {
+    val occ = docs
+      .filter(size(wsTokens) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.F.shinglePosHashes64(col("text"), 2)).as("bh"))
+      .groupBy("doc_id", "bh")
+      .agg(count(lit(1)).as("occ"))
+    val dfreq = occ.groupBy("bh").agg(count(lit(1)).as("df"))
+    occ.join(dfreq, Seq("bh"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(when(col("df") === 1, col("occ")).otherwise(lit(0L))).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_bigrams"), 4))
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))

@@ -8,6 +8,62 @@ class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf001
 
+  test("c09 distributed prefix-sum == naive global window, any layout") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+    val naive = docs
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("seq_first", expr("tok_start div 512"))
+      .withColumn("seq_last", expr("(tok_start + n_tokens - 1) div 512"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
+        "n_seqs")
+      .orderBy("doc_id").collect()
+    // adversarial input layouts: the result must not depend on them
+    for (layout <- Seq(docs, docs.repartition(7), docs.coalesce(1))) {
+      val got = Corpus.packOffsetsOver(layout, 512L).orderBy("doc_id").collect()
+      assert(got.toSeq == naive.toSeq)
+    }
+  }
+
+  test("c09 packs a hand fixture: offsets, straddles, sequence spans") {
+    import spark.implicits._
+    // token counts 3, 10, 4 with seqLen 8: doc 1 [0,3), doc 2 [3,13)
+    // straddles seqs 0 and 1, doc 3 [13,17) straddles 1 and 2
+    val docs = Seq((1L, "a b c"), (2L, ("x " * 10).trim), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).cast("long")
+        .as("n_tokens"))
+    val got = Corpus.packOffsetsOver(docs, 8L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, 1L),
+      (2L, 3L, 0L, 1L, 2L),
+      (3L, 13L, 1L, 2L, 2L)))
+  }
+
+  test("c09 plan: the corpus-wide window is partition-parallel") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+    val plan = Corpus.packOffsetsOver(docs, 512L)
+      .queryExecution.executedPlan.toString
+    // the per-row running sum must be keyed by the range-partition id —
+    // a corpus-sized single-partition window would show a Window node
+    // whose required ordering has no partitioning expression on _pid
+    assert(plan.contains("hashpartitioning(_pid"),
+      s"expected the corpus window keyed by _pid:\n$plan")
+  }
+
   test("c08 temperature weights sit between proportional and equal-share") {
     val rows = Corpus.c08TemperatureMixture(spark, dir, targetTokens = 100000L)
       .collect()

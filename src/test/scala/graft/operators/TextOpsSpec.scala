@@ -7,6 +7,44 @@ import graft.TestSpark
 class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("t12 bigram novelty matches hand-computed planted docs") {
+    import spark.implicits._
+    // doc 1: bigrams (a b)(b c)(c a)(a b) — "a b" also in doc 2, so
+    // unique = (b c)(c a) → 2/4; doc 2: (a b)(b x) → (b x) unique →
+    // 1/2; doc 3: single token → no bigrams, excluded
+    val docs = Seq((1L, "a b c a b"), (2L, "a b x"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramNoveltyOver(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("t12 hashed pipeline == string-bigram reference on the corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    // reference: identical pipeline over bigram STRINGS — if the e12
+    // kernel's shingle construction or hashing drifted, counts differ
+    val toks = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val occ = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"))
+        .as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
+    val dfreq = occ.groupBy("g").agg(count(lit(1)).as("df"))
+    val ref = occ.join(dfreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(when(col("df") === 1, col("occ")).otherwise(lit(0L)))
+          .as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_bigrams"), 4))
+      .orderBy("doc_id").collect()
+    val got = TextOps.bigramNoveltyOver(docs).orderBy("doc_id").collect()
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("t03 language ID identifies real multilingual samples") {
     import spark.implicits._
     // Real-language snippets (the synthetic corpus is content-uniform,
