@@ -81,6 +81,141 @@ object Ann {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- s10
+
+  /** Per-subspace L2 k-means codebooks for product quantization,
+    * trained on the same deterministic bounded sample as s04's coarse
+    * quantizer (hash-ordered TakeOrdered, capped at `sampleN` vectors —
+    * driver memory is constant in corpus size). Vectors are normalized
+    * first (PQ over unit vectors makes the ADC sum approximate cosine
+    * directly); each of the `m` subspaces runs fixed-init fixed-iters
+    * Lloyd independently. Returns codebooks(j)(c) = centroid c of
+    * subspace j.
+    */
+  private[operators] def trainPqCodebooks(corpus: DataFrame, m: Int,
+      ksub: Int, sampleN: Int = 2048, iters: Int = 5): Array[Array[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus
+      .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+      .limit(sampleN)
+      .select("embedding").as[Array[Float]].collect()
+      .map { v =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        val n = math.sqrt(s)
+        if (n == 0) v else v.map(x => (x / n).toFloat)
+      }
+    require(pts.length >= ksub, s"sample ${pts.length} < ksub $ksub")
+    val dim = pts.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = pts.map(_.slice(j * dsub, (j + 1) * dsub))
+      var cents = sub.take(ksub).map(_.clone)
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        sub.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < ksub) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val diff = p(i).toDouble - cents(ci)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(ksub)(ci =>
+          if (counts(ci) == 0) cents(ci)
+          else sums(ci).map(x => (x / counts(ci)).toFloat))
+      }
+      cents
+    }
+  }
+
+  /** PQ code for subspace `j`: nearest codebook centroid to the
+    * document's NORMALIZED j-th subvector, as a 1-based index column.
+    * Uses the dot-product identity argmin_c ‖v̂_j − c‖² =
+    * argmax_c (v_j·c / ‖v‖ − ‖c‖²/2), so the normalization never
+    * materializes — every term is a native dot kernel over the raw
+    * subvector (no interpreted per-element HOF). First-max tie-break
+    * (array_position) keeps codes deterministic.
+    */
+  private def pqCode(v: Column, nrm: Column, cents: Array[Array[Float]],
+      j: Int, dsub: Int): Column = {
+    val sub = slice(v, j * dsub + 1, dsub)
+    val scores = array(cents.map { c =>
+      val cn2 = c.map(x => x.toDouble * x).sum
+      graft.functions.F.dotProd(sub, typedLit(c)) / nrm - lit(cn2 / 2.0)
+    }: _*)
+    array_position(scores, array_max(scores))
+  }
+
+  /** s10: product-quantized ANN — the 8-byte-per-vector memory lever
+    * beyond s09's int8 codes: at the default m=16, ksub=16 each vector
+    * is 16 4-bit codebook indices (8 bytes packed — 32× smaller than
+    * float32, 8× smaller than int8). Every vector is encoded ONCE into
+    * m codebook indices; a query builds an
+    * m×ksub lookup table of subspace dot products driver-side (the
+    * public ADC — asymmetric distance computation — scheme: Jégou et
+    * al., TPAMI 2011), and the coarse pass scores each document as a
+    * fixed-order sum of m table lookups, approximating cosine without
+    * touching the floats. The top k·`rerank` survivors re-rank
+    * full-precision. At 100 TB the codes table IS the index: 8 bytes ×
+    * n stays executor-resident where even int8 codes (64 B) spill;
+    * composable with IVF (s04/s08 prune WHICH vectors, PQ shrinks WHAT
+    * the coarse pass reads). Training and encoding are deterministic
+    * (fixed sample, init, iters, first-max tie-breaks), so the demo is
+    * stable across clusters and partitionings.
+    */
+  def s10AnnPq(spark: SparkSession, dir: String, k: Int = 10,
+      m: Int = 16, ksub: Int = 16, rerank: Int = 8): DataFrame = {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") =!= 0)
+    val books = trainPqCodebooks(corpus, m, ksub)
+    val dim = books.length * books.head.head.length
+    val dsub = dim / m
+    val nrm = sqrt(graft.functions.F.dotProd(col("embedding"), col("embedding")))
+    // encode: m native-kernel argmax projections, no shuffle — at scale
+    // this is the one-off pass whose output persists beside the corpus
+    val coded = corpus.select(col("vec_id"), col("embedding"),
+      array((0 until m).map(j =>
+        pqCode(col("embedding"), nrm, books(j), j, dsub)): _*).as("codes"))
+    // query-side ADC lookup table: ltab(j)(c) = q̂_j · c — m×ksub doubles,
+    // computed once on the driver (the 1-row class of collect, like
+    // s04's centroid scores)
+    val q = t.embeddings.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val ltab = Array.tabulate(m) { j =>
+      books(j).map { c =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += (q(j * dsub + i) / qn) * c(i); i += 1 }
+        d
+      }
+    }
+    val qv = typedLit(q)
+    // coarse ADC score: fixed-order static sum of m lookups — codegen'd
+    // element_at over literal arrays, deterministic on any partitioning
+    val adc = (0 until m).map(j =>
+      element_at(typedLit(ltab(j)), element_at(col("codes"), j + 1).cast("int")))
+      .reduce(_ + _)
+    coded
+      .select(col("vec_id"), col("embedding"), round(adc, 4).as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(k * rerank)
+      .select(col("vec_id"),
+        cosineSim4(col("embedding"), qv).as("cos_sim"), col("pq_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Sign-random-projection signature: bit i = [v · h_i > 0] over the
     * native 64-plane kernel (e09), masked to the low `nBits` planes.
     * The per-plane HOF formulation (one interpreted zip_with+aggregate

@@ -84,6 +84,43 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s10 with a corpus-covering rerank collapses to s01 exactly") {
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Ann.s10AnnPq(spark, dir, k = 10, rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+  }
+
+  test("s10 default rerank recalls the true top-k from the ADC coarse cut") {
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rows = Ann.s10AnnPq(spark, dir, k = 10).collect()
+    assert(rows.length == 10)
+    val recall = (exact & rows.map(_.getLong(0)).toSet).size.toDouble / 10
+    info(s"s10 recall@10 (m=16, ksub=16, rerank=8): $recall")
+    // 4-dim subspaces quantize this unclustered corpus tightly enough
+    // that the measured recall is 1.0; 0.8 leaves sampling headroom
+    assert(recall >= 0.8, s"recall $recall too low for PQ + 8× rerank")
+    // emitted cos_sim is full precision
+    val exactAll = Ann.s01AnnBruteforce(spark, dir, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(exactAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("s10 codebook training is deterministic") {
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
+    val a = Ann.trainPqCodebooks(corpus, m = 16, ksub = 16)
+    val b = Ann.trainPqCodebooks(corpus, m = 16, ksub = 16)
+    assert(a.length == 16 && a.head.length == 16)
+    a.zip(b).foreach { case (xs, ys) =>
+      xs.zip(ys).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+  }
+
   test("s04 centroid training is deterministic") {
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
