@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** x17: file-level min/max statistics index — the data-skipping layer
+  * table formats (Delta/Iceberg/Hudi — all public designs) put between
+  * the query planner and the file listing. Parquet row-group stats
+  * only prune AFTER a file is opened; partition directories only prune
+  * on the partition key. This closes the gap in between: a manifest of
+  * per-file [min, max] on a chosen column lets a range query drop
+  * whole files at PLANNING time, from a manifest that is itself a tiny
+  * parquet table.
+  *
+  * Scale posture: the stats pass is one distributed scan of the
+  * written files (`input_file_name` groupBy — no driver involvement);
+  * the manifest holds ONE row per file, so even a million-file table
+  * is a ~50 MB manifest. Query planning filters the manifest and
+  * collects only the MATCHED file names — the same object a table
+  * format's driver-side planner holds, bounded by the query's
+  * selectivity, which is the point of range-laying-out the data in the
+  * first place (files whose range doesn't overlap never reach the
+  * driver).
+  */
+object StatsIndex {
+
+  private def statsPath(path: String): String = path + ".stats"
+
+  /** Build: write `df` range-laid-out on `statsCol` (so file ranges
+    * are disjoint and skipping has teeth), then scan the written files
+    * once to record per-file min/max/rows. Works on any ordered column
+    * type (dates, timestamps, numerics, strings).
+    */
+  def writeWithStats(df: DataFrame, path: String, statsCol: String,
+      nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .repartition(1) // one row per file — the manifest is tiny by design
+      .write.mode(SaveMode.Overwrite).parquet(statsPath(path))
+  }
+
+  /** The manifest as a DataFrame (file, min_v, max_v, n_rows). */
+  def stats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(statsPath(path))
+
+  /** Files whose [min_v, max_v] overlaps [lo, hi] — the planning step,
+    * exposed for specs and composition.
+    */
+  def candidateFiles(spark: SparkSession, path: String,
+      lo: Any, hi: Any): Seq[String] =
+    stats(spark, path)
+      .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Query: read only the overlapping files, then apply the exact
+    * range predicate (stats are necessary, not sufficient — edge files
+    * straddle the bounds). Equal to a full-scan filter by
+    * construction; reads a selectivity-bounded subset of the files.
+    */
+  def prunedRead(spark: SparkSession, path: String, statsCol: String,
+      lo: Any, hi: Any): DataFrame = {
+    val files = candidateFiles(spark, path, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+  }
+}

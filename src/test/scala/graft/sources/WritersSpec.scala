@@ -75,6 +75,48 @@ class WritersSpec extends AnyFunSuite {
     assert(avgB <= 0.5, s"avg totalprice span fraction $avgB")
   }
 
+  test("x17 stats index prunes files a range query cannot touch") {
+    val t = Tables(spark, dir)
+    val path = Files.createTempDirectory("graft_stats").toString + "/lineitem"
+    val src = t.lineitem.select("l_orderkey", "l_shipdate", "l_quantity")
+    StatsIndex.writeWithStats(src, path, "l_shipdate", nFiles = 16)
+
+    // manifest: one row per written file, rows conserved
+    val manifest = StatsIndex.stats(spark, path).collect()
+    val nFilesOnDisk = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(manifest.length == nFilesOnDisk && manifest.length >= 8)
+    assert(manifest.map(_.getLong(3)).sum == src.count())
+
+    // a narrow shipdate range: the candidate list must be a strict
+    // subset of the files (range layout makes file spans disjoint)
+    val (lo, hi) = ("1996-01-01", "1996-03-31")
+    val files = StatsIndex.candidateFiles(spark, path, lo, hi)
+    assert(files.nonEmpty && files.size < manifest.length,
+      s"${files.size} of ${manifest.length} files — no pruning happened")
+
+    // pruned read == full-scan filter, row-for-row
+    val got = StatsIndex.prunedRead(spark, path, "l_shipdate", lo, hi)
+      .orderBy("l_orderkey", "l_shipdate", "l_quantity").collect()
+    val want = src
+      .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)
+      .orderBy("l_orderkey", "l_shipdate", "l_quantity").collect()
+    assert(got.toSeq == want.toSeq && want.nonEmpty)
+
+    // the scan's file list is exactly the candidates — nothing else is
+    // opened (planted-garbage equivalent: an out-of-range file with
+    // poison rows could never affect the result)
+    val scanned = StatsIndex.prunedRead(spark, path, "l_shipdate", lo, hi)
+      .inputFiles.toSet
+    assert(scanned == files.toSet)
+
+    // an empty range prunes everything and still returns the schema
+    val none = StatsIndex.prunedRead(spark, path, "l_shipdate",
+      "2099-01-01", "2099-12-31")
+    assert(none.count() == 0 &&
+      none.columns.sameElements(src.columns))
+  }
+
   test("x08 compaction merges small files without losing a row") {
     val t = Tables(spark, dir)
     val path = Files.createTempDirectory("graft_compact").toString + "/orders"
