@@ -1007,6 +1007,42 @@ object Oracles {
         |HAVING COUNT(*) > CAST(floor(0.002 * (SELECT n FROM tot)) AS BIGINT)
         |ORDER BY n DESC, token""".stripMargin,
 
+    "q49_promo_share" ->
+      s"""WITH base AS (
+         |  SELECT l_extendedprice, l_discount, p_type
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'),
+         |a AS (
+         |  SELECT
+         |    coalesce(CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+         |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+         |      END) AS VARCHAR) AS DOUBLE), 0.0) AS promo_rev,
+         |    $REV AS total_rev
+         |  FROM base)
+         |SELECT round(100.0 * promo_rev / total_rev, 6) AS promo_share,
+         |  promo_rev, total_rev
+         |FROM a""".stripMargin,
+
+    "q50_revenue_concentration" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS DECIMAL(27,4)) AS part_rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (
+        |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS DECIMAL(27,4)) AS tot_rev,
+        |    CAST(COUNT(DISTINCT l_partkey) * 10 AS INTEGER) AS np_x
+        |  FROM lineitem)
+        |SELECT l_partkey,
+        |  CAST(CAST(part_rev AS VARCHAR) AS DOUBLE) AS part_rev
+        |FROM pp, tot
+        |WHERE part_rev * np_x > tot_rev * 13
+        |ORDER BY part_rev DESC, l_partkey""".stripMargin,
+
     // c09: sequence-packing offsets — the distributed prefix-sum must
     // equal the one-pass global running sum, replayed here exactly
     // (all-integer: // is DuckDB floor division, div on the Spark

@@ -95,6 +95,8 @@ object SparkEntry {
     "q46_forward_fill" -> (Relational.q46ForwardFill(_, _)),
     "q47_session_paths" -> (Relational.q47SessionPaths(_, _)),
     "q48_markov_transitions" -> (Relational.q48MarkovTransitions(_, _)),
+    "q49_promo_share" -> (Relational.q49PromoShare(_, _)),
+    "q50_revenue_concentration" -> (Relational.q50RevenueConcentration(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     "t07_repetition" -> (TextOps.t07Repetition(_, _)),
     "t08_subword_tokenize" -> (TextOps.t08SubwordTokenize(_, _)),

@@ -874,6 +874,59 @@ object Relational {
     * integer division rounded once, so the oracle replays it
     * bit-identically.
     */
+  /** q49: promo revenue share (TPC-H Q14 shape) — the fraction of one
+    * quarter's revenue earned by promo-type parts. One lineitem⋈part
+    * join shuffled once; numerator and denominator are conditional
+    * fixed-point sums in the SAME aggregate (q40's one-pass
+    * discipline), so the answer is a single once-rounded division of
+    * two exact decimals. The date filter reaches the scan.
+    */
+  def q49PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= "1996-01-01" &&
+        col("l_shipdate") < "1996-04-01")
+      .join(t.part.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenueExpr))
+          .cast(DoubleType).as("promo_rev"),
+        revenueSum.as("total_rev"))
+      .select(
+        round(lit(100.0) * coalesce(col("promo_rev"), lit(0.0)) /
+          col("total_rev"), 6).as("promo_share"),
+        coalesce(col("promo_rev"), lit(0.0)).as("promo_rev"),
+        col("total_rev"))
+  }
+
+  /** q50: revenue concentration (TPC-H Q11 shape, adapted — the
+    * testdata carries no partsupp): parts earning more than
+    * `numer`/`denom` times the AVERAGE per-part revenue. The
+    * average-relative threshold is SCALE-INVARIANT (per-part lineitem
+    * count is constant across SFs, so a fixed global-share threshold
+    * empties at scale), and the group-vs-global compare is
+    * CROSS-MULTIPLIED in decimal (q44's discipline — no division, no
+    * float fold): part_rev · n_parts · denom > tot_rev · numer, with
+    * DECIMAL(27,4) casts keeping every product inside DECIMAL(38) in
+    * both engines. The 1-row global aggregate broadcasts; the per-part
+    * rollup shuffles once.
+    */
+  def q50RevenueConcentration(spark: SparkSession, dir: String,
+      numer: Int = 13, denom: Int = 10): DataFrame = {
+    val t = Tables(spark, dir)
+    val perPart = t.lineitem.groupBy("l_partkey")
+      .agg(sum(revenueExpr).cast("decimal(27,4)").as("part_rev"))
+    val total = t.lineitem.agg(
+      sum(revenueExpr).cast("decimal(27,4)").as("tot_rev"),
+      (countDistinct(col("l_partkey")) * denom).cast("int").as("np_x"))
+    perPart
+      .join(broadcast(total),
+        col("part_rev") * col("np_x") > col("tot_rev") * lit(numer))
+      .select(col("l_partkey"),
+        col("part_rev").cast(DoubleType).as("part_rev"))
+      .orderBy(col("part_rev").desc, col("l_partkey"))
+  }
+
   def q48MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
