@@ -413,4 +413,130 @@ object Multimodal {
         round(col("energy"), 4).as("energy"))
       .orderBy("doc_id", "win_idx")
   }
+
+  // ---------------------------------------------------------------- m04
+
+  /** 64-bit average-hash (the public aHash perceptual fingerprint) of
+    * a decoded grayscale image: block-average to an 8×8 grid, bit i =
+    * cell i brighter than the grid mean. Invariant to uniform
+    * brightness shifts (p + c > mean + c ⇔ p > mean) and, via the
+    * block resize, to scaling — the properties that make it a NEAR-dup
+    * signature where a byte hash (d01) sees nothing. Fixed-order
+    * arithmetic over 64 cells: bit-identical on every executor.
+    */
+  def aHash64(w: Int, h: Int, pixels: Array[Int]): Long = {
+    val grid = Codecs.blockResize(w, h, pixels, 8)
+    var mean = 0.0
+    var i = 0
+    while (i < 64) { mean += grid(i); i += 1 }
+    mean /= 64.0
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (grid(i) > mean) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Perceptual-hash pair record. */
+  final case class PhashSig(doc_id: Long, ah64: Long)
+
+  /** m04: image near-dup pairs over any (doc_id, payload) frame of
+    * encoded images — the dedup family (d01–d10) extended to the
+    * multimodal columns. Decode + hash is one mapPartitions batch pass
+    * (8 bytes out per image, whatever the payload size); candidate
+    * generation is d03's pigeonhole-exact banding on the aHash — 4×16
+    * bit bands, at least one band survives ≤ 3 flipped bits — so the
+    * self-join shuffles 8-byte signatures, never pixels, and no pair
+    * outside a shared band is ever scored. At 100 TB: one decode pass
+    * over `binaryFile` payloads, one band shuffle of n×4 16-byte rows.
+    */
+  def m04PhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val sigs = images
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val (w, h, px) = Codecs.decodeGray(png)
+          PhashSig(id, aHash64(w, h, px))
+        }
+      }
+      .toDF()
+    val bnd = sigs.select(col("doc_id"), col("ah64"), explode(
+      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
+        call_function("shiftright", col("ah64"), j * lit(16))
+          .bitwiseAND(lit(0xFFFFL)).as("bh"))))
+      .as("bk"))
+      .select(col("doc_id"), col("ah64"), col("bk.band"), col("bk.bh"))
+    bnd.as("x").join(bnd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.ah64").bitwiseXOR(col("y.ah64")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** splitmix64 finalizer — the public 64-bit mixer. m04's demo needs
+    * it because [[pixel]] is LINEAR in the seed: two nearby ids give
+    * uniformly-shifted images, which aHash (correctly) calls
+    * near-identical — every id pair would be a "near-dup". Decorrelated
+    * noise makes the planted pairs the only signal.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** An 8×8 PNG of id-seeded DECORRELATED noise (per-pixel mixed). */
+  def synthImageNoise(seed: Long): Array[Byte] = {
+    val px = Array.tabulate(ImgRes * ImgRes)(i =>
+      (mix64(seed * 64 + i) & 0xffL).toInt)
+    Codecs.encodePng(ImgRes, ImgRes, px)
+  }
+
+  /** A brightness-shifted, lightly-damaged copy of [[synthImageNoise]]:
+    * +10 brightness (clamped at white) and two pixels blown out —
+    * what a re-encode/re-upload of the same picture looks like. */
+  def synthImageVariant(seed: Long): Array[Byte] = {
+    val px = Array.tabulate(ImgRes * ImgRes) { i =>
+      val p = math.min(255, (mix64(seed * 64 + i) & 0xffL).toInt + 10)
+      if (i == 5 || i == 42) 255 else p
+    }
+    Codecs.encodePng(ImgRes, ImgRes, px)
+  }
+
+  /** The planted image corpus: a noise PNG per image-typed doc, plus a
+    * [[synthImageVariant]] copy (id + 1e6) for every 30th doc_id. The
+    * base hashes are mutually random (P[Hamming ≤ 3] ≈ 2⁻⁴⁸ per pair),
+    * so the only sub-`maxHamming` pairs are the planted copies — the
+    * spec recomputes the exact expected set locally.
+    */
+  def plantedImageCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val orig = (id, synthImageNoise(id))
+          if (id % 30 == 0) Iterator(orig, (id + 1000000L, synthImageVariant(id)))
+          else Iterator(orig)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** m04 driver query: perceptual near-dup pairs over the planted
+    * image corpus — expected output is exactly the planted pairs whose
+    * aHash Hamming distance clears `maxHamming` (spec-asserted
+    * pair-for-pair against locally recomputed hashes).
+    */
+  def m04PhashDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    m04PhashPairsOver(plantedImageCorpus(spark, dir), maxHamming)
 }

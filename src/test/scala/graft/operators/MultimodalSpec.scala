@@ -174,4 +174,46 @@ class MultimodalSpec extends AnyFunSuite {
       assert(rows.filter(_.getInt(1) == 0).forall(_.getDouble(3) > 0.05))
     }
   }
+
+  test("m04 aHash is invariant to uniform brightness shift") {
+    val px = Array.tabulate(64)(i => (i * 37) % 200) // headroom for +40
+    val shifted = px.map(_ + 40)
+    assert(Multimodal.aHash64(8, 8, px) == Multimodal.aHash64(8, 8, shifted))
+    // and sensitive to content: a different image hashes differently
+    val other = Array.tabulate(64)(i => ((i * 53) + 11) % 256)
+    assert(Multimodal.aHash64(8, 8, px) != Multimodal.aHash64(8, 8, other))
+  }
+
+  test("m04 finds exactly the planted perceptual near-dup pairs") {
+    import spark.implicits._
+    val got = Multimodal.m04PhashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // ground truth recomputed locally: hash every corpus image through
+    // the same decode path and enumerate ALL pairs within Hamming ≤ 3
+    val ids = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select("doc_id")
+      .as[Long].collect().sorted
+    val hashes: Map[Long, Long] =
+      (ids.map { id =>
+        val (w, h, px) = Codecs.decodeGray(Multimodal.synthImageNoise(id))
+        id -> Multimodal.aHash64(w, h, px)
+      } ++ ids.filter(_ % 30 == 0).map { id =>
+        val (w, h, px) = Codecs.decodeGray(Multimodal.synthImageVariant(id))
+        (id + 1000000L) -> Multimodal.aHash64(w, h, px)
+      }).toMap
+    val all = hashes.keys.toSeq.sorted
+    val expected = for {
+      i <- all.indices; j <- (i + 1) until all.length
+      h = java.lang.Long.bitCount(hashes(all(i)) ^ hashes(all(j)))
+      if h <= 3
+    } yield (all(i), all(j), h.toLong)
+
+    assert(got.toSeq.sorted == expected.sorted)
+    // the demo is not vacuous: most planted variants survive ≤ 3 bits
+    val planted = ids.count(_ % 30 == 0)
+    val foundPlanted = got.count { case (a, b, _) => b == a + 1000000L }
+    assert(planted > 0 && foundPlanted * 2 >= planted,
+      s"$foundPlanted of $planted planted variants found")
+  }
 }
