@@ -71,4 +71,39 @@ object StatsIndex {
       else spark.read.parquet(files: _*)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
+
+  /** st11's batch engine: append one micro-batch to a stats-indexed
+    * table and keep the manifest fresh. The batch lands in a
+    * DETERMINISTIC directory (`batch=<id>`) written with Overwrite, so
+    * a replayed batch (the foreachBatch at-least-once contract)
+    * rewrites the same directory instead of duplicating rows; the
+    * manifest merge drops any rows for that directory before unioning
+    * the fresh stats, making the whole step idempotent. Manifest
+    * updates go through [[graft.operators.Merge.publish]]'s
+    * staging+swap, so a crash mid-update leaves the previous manifest
+    * readable. Per batch: one write of the batch, one stats scan OF
+    * THE BATCH ONLY, one manifest rewrite (manifest is one row per
+    * file — tiny at any table size).
+    */
+  def appendBatchWithStats(batch: DataFrame, path: String, statsCol: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dirPath = s"$path/batch=$batchId"
+    batch.sortWithinPartitions(statsCol)
+      .write.mode(SaveMode.Overwrite).parquet(dirPath)
+    val fresh = spark.read.parquet(dirPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+    val sp = new org.apache.hadoop.fs.Path(statsPath(path))
+    val merged =
+      if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sp))
+        // match on the slash-bounded directory name: `file` is a URI
+        // (file:///…), dirPath a bare path — prefix compare won't do
+        stats(spark, path)
+          .filter(!col("file").contains(s"/batch=$batchId/"))
+          .unionByName(fresh)
+      else fresh
+    graft.operators.Merge.publish(merged.repartition(1), statsPath(path))
+  }
 }

@@ -79,6 +79,29 @@ object Streams {
       }
       .start()
 
+  /** st11: streaming stats-index maintenance — a row stream appended
+    * to an x17 stats-indexed table with the per-file min/max manifest
+    * kept fresh per micro-batch
+    * ([[graft.sources.StatsIndex.appendBatchWithStats]]: deterministic
+    * `batch=<id>` target so replays overwrite instead of duplicate;
+    * manifest rewritten through staging+swap). Range queries via
+    * [[graft.sources.StatsIndex.prunedRead]] see each batch's rows
+    * after its drain and keep skipping files the query range can't
+    * touch — data skipping that never goes stale, the streaming
+    * analogue of what a table format's transaction log maintains.
+    */
+  def st11StatsMaintain(rows: DataFrame, tablePath: String,
+      statsCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.sources.StatsIndex.appendBatchWithStats(
+          batch.toDF(), tablePath, statsCol, id)
+      }
+      .start()
+
   /** st01: watermarked tumbling-window counts per event type. Late data
     * beyond the watermark is dropped; state is bounded by
     * (windows in watermark horizon) × (event types) regardless of

@@ -449,4 +449,42 @@ class StreamsSpec extends AnyFunSuite {
     q.stop()
     assert(rows.toSeq == Seq((100L, 200L), (100L, 203L)), rows.toSeq)
   }
+
+  test("st11 streamed appends keep the stats manifest fresh and prunable") {
+    import spark.implicits._
+    import graft.sources.StatsIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_st11")
+    val table = dir.resolve("table").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = Streams.st11StatsMaintain(
+      input.toDS().toDF("id", "v"), table, "v", ckpt)
+    // drain 1: values 0–99
+    input.addData((0L until 100L).map(i => (i, i)): _*)
+    q.processAllAvailable()
+    // drain 2: values 100–199
+    input.addData((100L until 200L).map(i => (i, i)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // manifest covers exactly the files on disk; rows conserved
+    val manifest = StatsIndex.stats(spark, table).collect()
+    assert(manifest.map(_.getLong(3)).sum == 200L)
+    val probe = StatsIndex.prunedRead(spark, table, "v", 150L, 180L)
+    assert(probe.count() == 31L)
+    // pruning has teeth across batches: drain 1's files can't overlap
+    val scanned = probe.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.forall(_.contains("/batch=1/")),
+      s"expected only batch=1 files, got $scanned")
+    assert(scanned.subsetOf(manifest.map(_.getString(0)).toSet))
+
+    // replay idempotency: re-running a batch id with the same rows
+    // leaves the table row set and the manifest unchanged
+    val again = Seq((100L until 200L).map(i => (i, i)): _*).toDF("id", "v")
+    StatsIndex.appendBatchWithStats(again, table, "v", 1L)
+    assert(StatsIndex.stats(spark, table).collect()
+      .map(_.getLong(3)).sum == 200L)
+    assert(spark.read.parquet(table).count() == 200L)
+  }
 }
