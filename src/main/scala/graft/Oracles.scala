@@ -1064,6 +1064,40 @@ object Oracles {
         |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_seqs
         |FROM o ORDER BY doc_id""".stripMargin,
 
+    // c10: epochs + residual — all-integer until the one rounded
+    // residual division (// is floor division on BIGINTs, matching
+    // Spark's div; window COUNT(*) OVER () replays n_src)
+    "c10_mixture_epochs" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens
+        |  FROM documents GROUP BY source),
+        |b AS (
+        |  SELECT *, CAST(500000 // (COUNT(*) OVER ()) AS BIGINT)
+        |    AS budget_tokens
+        |  FROM s)
+        |SELECT source, n_docs, tot_tokens, budget_tokens,
+        |  budget_tokens // tot_tokens AS n_epochs,
+        |  round(CAST(budget_tokens - (budget_tokens // tot_tokens) *
+        |      tot_tokens AS DOUBLE) / tot_tokens, 6) AS residual_rate
+        |FROM b ORDER BY source""".stripMargin,
+
+    "c11_corpus_report" ->
+      """SELECT source, lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot_tokens,
+        |  CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+        |  CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+        |  round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) /
+        |    COUNT(*), 4) AS avg_tokens,
+        |  CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 8
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  round(CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 8
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS short_frac
+        |FROM documents
+        |GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
     // t12: bigram novelty — replayed on bigram STRINGS (the Spark side
     // shuffles e12 hashes; counting by string here means a
     // hash-collision shortcut could not silently pass). Bigram

@@ -106,6 +106,8 @@ object SparkEntry {
     "t11_bpe_train" -> ((s, dir) => TextOps.t11BpeTrain(s, dir)),
     "c06_mixture_subword" -> ((s, dir) => Corpus.c06MixtureSubword(s, dir)),
     "c09_pack_offsets" -> ((s, dir) => Corpus.c09PackOffsets(s, dir)),
+    "c10_mixture_epochs" -> ((s, dir) => Corpus.c10MixtureEpochs(s, dir)),
+    "c11_corpus_report" -> ((s, dir) => Corpus.c11CorpusReport(s, dir)),
     "t12_bigram_novelty" -> ((s, dir) => TextOps.t12BigramNovelty(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),

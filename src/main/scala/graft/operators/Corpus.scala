@@ -230,6 +230,70 @@ object Corpus {
     Sampling.shuffleDeterministic(sampled.select(cols: _*), col("doc_id"), seed)
   }
 
+  // ---------------------------------------------------------------- c10
+
+  /** c10: mixture EPOCHS — c02 caps sampling rates at 1.0, but a real
+    * training mixture upsamples scarce sources past one pass (the
+    * public data-budget practice: small high-quality sources run
+    * multiple epochs). For each source under an equal token share:
+    * `n_epochs` full passes (exact integer division of budget by
+    * mass) plus a fractional `residual_rate` pass covering the
+    * remainder — n_epochs + residual_rate passes consume exactly the
+    * source's budget. Same single groupBy as c02; every quantity is
+    * exact-integer until the one once-rounded residual division.
+    */
+  def c10MixtureEpochs(spark: SparkSession, dir: String,
+      targetTokens: Long = 500000L): DataFrame = {
+    val perSource = Tables(spark, dir).documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perSource
+      // the |sources| window is the same bounded single-task class as
+      // c02's; div keeps every step in exact longs
+      .withColumn("n_src", count(lit(1)).over(w))
+      .withColumn("budget_tokens", expr(s"$targetTokens div n_src"))
+      .withColumn("n_epochs", expr("budget_tokens div tot_tokens"))
+      .withColumn("residual_rate",
+        round((col("budget_tokens") - col("n_epochs") * col("tot_tokens"))
+          .cast("double") / col("tot_tokens"), 6))
+      .select("source", "n_docs", "tot_tokens", "budget_tokens", "n_epochs",
+        "residual_rate")
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- c11
+
+  /** c11: corpus report — the per-(source, lang) governance rollup a
+    * training-data card is built from: document and token mass, doc
+    * length distribution (min/max/avg), and the short-doc fraction the
+    * c01 gate would drop. One groupBy shuffle; counts and sums stay
+    * exact longs, the two ratios are each divided and rounded ONCE.
+    */
+  def c11CorpusReport(spark: SparkSession, dir: String,
+      shortDocTokens: Long = 8L): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    docs.groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("n_tokens") < shortDocTokens, 1L).otherwise(0L))
+          .as("n_short"))
+      .withColumn("avg_tokens",
+        round(col("tot_tokens").cast("double") / col("n_docs"), 4))
+      .withColumn("short_frac",
+        round(col("n_short").cast("double") / col("n_docs"), 4))
+      .select("source", "lang", "n_docs", "tot_tokens", "min_tokens",
+        "max_tokens", "avg_tokens", "n_short", "short_frac")
+      .orderBy("source", "lang")
+  }
+
   // ---------------------------------------------------------------- c09
 
   /** c09: sequence PACKING offsets — the step between a built mixture

@@ -64,6 +64,22 @@ class CorpusSpec extends AnyFunSuite {
       s"expected the corpus window keyed by _pid:\n$plan")
   }
 
+  test("c10 epochs + residual consume exactly the per-source budget") {
+    val rows = Corpus.c10MixtureEpochs(spark, dir, targetTokens = 500000L)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tot, budget, epochs, residual) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(epochs == budget / tot)
+      assert(residual >= 0.0 && residual < 1.0)
+      // epochs + residual passes cover the budget to rounding precision
+      assert(math.abs(epochs * tot + residual * tot - budget) <= tot * 1e-6 + 1)
+      // the demo target actually exercises upsampling
+      assert(epochs >= 1, s"${r.getString(0)}: no upsampling at this target")
+    }
+  }
+
   test("c08 temperature weights sit between proportional and equal-share") {
     val rows = Corpus.c08TemperatureMixture(spark, dir, targetTokens = 100000L)
       .collect()
