@@ -154,14 +154,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("global sweep: no accidental cartesian/nested-loop joins in any query") {
     // these intentionally score all pairs (brute-force baselines) or
-    // broadcast a tiny side against a non-equi condition (q44's 1-row
-    // scalar threshold joined on an inequality); s09's coarse pass is
-    // BY DESIGN a linear scan with a 1-row broadcast query — scalar
-    // quantization shrinks what the scan reads, not which rows it
-    // touches (IVF composes for that):
+    // broadcast a tiny side against a non-equi condition (q44's and
+    // q50's 1-row scalar thresholds joined on an inequality); s09's
+    // coarse pass is BY DESIGN a linear scan with a 1-row broadcast
+    // query — scalar quantization shrinks what the scan reads, not
+    // which rows it touches (IVF composes for that):
     val allowedNlj = Set(
       "s01_ann_bruteforce", "s02_ann_lsh", "s03_knn_join",
-      "d05_embed_neardup", "q44_no_order_rich", "s09_ann_quantized")
+      "d05_embed_neardup", "q44_no_order_rich", "s09_ann_quantized",
+      "q50_revenue_concentration")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =
