@@ -449,12 +449,17 @@ object TextOps {
     bigramNoveltyOver(Tables(spark, dir).documents).orderBy("doc_id")
 
   def bigramNoveltyOver(docs: DataFrame): DataFrame = {
+    // localCheckpoint: occ feeds BOTH the df rollup and the join's
+    // probe side — materialize the slim (doc_id, bh, occ) rows once
+    // instead of re-shingling the corpus per consumer (c03's pattern;
+    // without it the plan shows two full parquet scans)
     val occ = docs
       .filter(size(wsTokens) >= 2)
       .select(col("doc_id"),
         explode(graft.functions.F.shinglePosHashes64(col("text"), 2)).as("bh"))
       .groupBy("doc_id", "bh")
       .agg(count(lit(1)).as("occ"))
+      .localCheckpoint(false)
     val dfreq = occ.groupBy("bh").agg(count(lit(1)).as("df"))
     occ.join(dfreq, Seq("bh"))
       .groupBy("doc_id")
