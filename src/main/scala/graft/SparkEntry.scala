@@ -64,6 +64,7 @@ object SparkEntry {
     "s08_ann_ivf_indexed" -> ((s, dir) => Ann.s08AnnIvfIndexedDemo(s, dir)),
     "s09_ann_quantized" -> ((s, dir) => Ann.s09AnnQuantized(s, dir)),
     "s10_ann_pq" -> ((s, dir) => Ann.s10AnnPq(s, dir)),
+    "s11_ann_ivf_pq" -> ((s, dir) => Ann.s11AnnIvfPq(s, dir)),
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
     "c01_clean_corpus" -> ((s, dir) => Corpus.c01CleanCorpus(s, dir)),
     "c02_mixture_plan" -> ((s, dir) => Corpus.c02MixturePlan(s, dir)),

@@ -216,6 +216,73 @@ object Ann {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------- s11
+
+  /** s11: IVF + PQ composed — the two scale levers the docstrings of
+    * s04/s09/s10 promise compose, actually composed: the IVF coarse
+    * quantizer prunes WHICH vectors are scored (nprobe of nlist
+    * cells), the PQ codes shrink WHAT the coarse pass reads inside
+    * those cells (ADC lookups over 8-byte codes), and only the top
+    * k·rerank survivors touch full-precision floats. Cell assignment
+    * and PQ encoding happen in ONE shuffle-free projection pass; the
+    * query's probe cells and ADC table are both computed driver-side
+    * from the same deterministic trained artifacts. This is the
+    * billion-vector layout FAISS popularized (IVFADC, Jégou et al.,
+    * public), in declarative Spark: at 100 TB the celled+coded corpus
+    * persists partitioned by cell (s08's layout with codes beside the
+    * floats) and a query reads ~nprobe/nlist of the directory, codes
+    * first.
+    */
+  def s11AnnIvfPq(spark: SparkSession, dir: String, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
+      rerank: Int = 8): DataFrame = {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") =!= 0)
+    val cents = trainCentroids(corpus, nlist)
+    val books = trainPqCodebooks(corpus, m, ksub)
+    val dim = books.length * books.head.head.length
+    val dsub = dim / m
+    val nrm = sqrt(graft.functions.F.dotProd(col("embedding"), col("embedding")))
+    val celled = corpus.select(col("vec_id"), col("embedding"),
+      array_position(centroidScores(col("embedding"), cents),
+        array_max(centroidScores(col("embedding"), cents))).as("cell"),
+      array((0 until m).map(j =>
+        pqCode(col("embedding"), nrm, books(j), j, dsub)): _*).as("codes"))
+    // driver-side query artifacts: probe cells (same first-max
+    // tie-break as array_position) + ADC lookup table
+    val q = t.embeddings.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val cellScores = cents.map { c =>
+      var d = 0.0; var i = 0
+      while (i < dim) { d += q(i).toDouble * c(i); i += 1 }
+      d
+    }
+    val probeCells: Seq[Long] = cellScores.zipWithIndex
+      .sortBy { case (s, i) => (-s, i) }.take(nprobe)
+      .map { case (_, i) => (i + 1).toLong }.toSeq
+    val ltab = Array.tabulate(m) { j =>
+      books(j).map { c =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { d += (q(j * dsub + i) / qn) * c(i); i += 1 }
+        d
+      }
+    }
+    val adc = (0 until m).map(j =>
+      element_at(typedLit(ltab(j)), element_at(col("codes"), j + 1).cast("int")))
+      .reduce(_ + _)
+    celled
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"), col("embedding"), round(adc, 4).as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col("vec_id"))
+      .limit(k * rerank)
+      .select(col("vec_id"),
+        cosineSim4(col("embedding"), typedLit(q)).as("cos_sim"),
+        col("pq_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Sign-random-projection signature: bit i = [v · h_i > 0] over the
     * native 64-plane kernel (e09), masked to the low `nBits` planes.
     * The per-plane HOF formulation (one interpreted zip_with+aggregate

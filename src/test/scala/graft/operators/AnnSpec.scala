@@ -110,6 +110,34 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s11 full probe + covering rerank collapses to s01 exactly") {
+    // nprobe = nlist prunes nothing, k·rerank ≥ |corpus| keeps all —
+    // the composed path degenerates to brute force, row-for-row
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Ann.s11AnnIvfPq(spark, dir, k = 10, nprobe = 16,
+      rerank = 100).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == exact.toSeq)
+  }
+
+  test("s11 composed IVF+PQ recalls true neighbors from a 25% probe") {
+    val exact = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val rows = Ann.s11AnnIvfPq(spark, dir, k = 10).collect()
+    assert(rows.length == 10)
+    val recall = (exact & rows.map(_.getLong(0)).toSet).size.toDouble / 10
+    info(s"s11 recall@10 (nprobe 4/16, PQ coarse, 8× rerank): $recall")
+    // bounded by s04's IVF recall at the same probe fraction (PQ's
+    // in-cell recall measured 1.0 in s10); must beat random 25% scan
+    assert(recall >= 0.5, s"recall $recall too low for composed path")
+    // emitted cos_sim is full precision
+    val exactAll = Ann.s01AnnBruteforce(spark, dir, k = 499)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(math.abs(exactAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
   test("s10 codebook training is deterministic") {
     val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(org.apache.spark.sql.functions.col("vec_id") =!= 0)
