@@ -1043,6 +1043,36 @@ object Oracles {
         |WHERE part_rev * np_x > tot_rev * 13
         |ORDER BY part_rev DESC, l_partkey""".stripMargin,
 
+    // c12: packed training sequences — the FULL materialization
+    // replays: greedy tokenizer CTE (same vocab constant) → per-doc
+    // running token offset → positional unnest to global positions →
+    // per-sequence ordered string_agg. Value-exact including the UNK
+    // −1 ids and every straddled boundary.
+    "c12_pack_sequences" -> {
+      s"""$SubwordIdsCte,
+         |docs2 AS (
+         |  SELECT doc_id, substr(ids, 2) AS ids_csv,
+         |    CAST(length(ids) - length(replace(ids, ',', '')) AS BIGINT)
+         |      AS n_pieces
+         |  FROM step WHERE pos > length(text)),
+         |off AS (
+         |  SELECT doc_id, ids_csv,
+         |    CAST(COALESCE(SUM(n_pieces) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_start
+         |  FROM docs2),
+         |tok AS (
+         |  SELECT unnest(list_transform(range(1, len(l) + 1),
+         |    i -> struct_pack(gpos := tok_start + i - 1, id := l[i]))) AS u
+         |  FROM (SELECT tok_start, string_split(ids_csv, ',') AS l FROM off))
+         |SELECT u.gpos // 128 AS seq_id,
+         |  COUNT(*) AS n_tokens,
+         |  string_agg(u.id, ',' ORDER BY u.gpos) AS ids_csv
+         |FROM tok
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
+    },
+
     // c09: sequence-packing offsets — the distributed prefix-sum must
     // equal the one-pass global running sum, replayed here exactly
     // (all-integer: // is DuckDB floor division, div on the Spark

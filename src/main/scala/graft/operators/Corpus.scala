@@ -365,6 +365,46 @@ object Corpus {
         "n_seqs")
   }
 
+  // ---------------------------------------------------------------- c12
+
+  /** c12: MATERIALIZE the packed training sequences — the pipeline's
+    * terminal artifact, where t09's piece ids and c09's packing
+    * offsets become actual fixed-length rows a trainer reads. Each
+    * document's pieces explode with their GLOBAL token position
+    * (c09's distributed prefix-sum supplies the per-doc offset), land
+    * in sequence `gpos div seqLen`, and each sequence collects its
+    * tokens in position order (q47's sorted-struct collect — the
+    * per-group list is bounded by seqLen). The token-granular explode
+    * is the unavoidable cost of materialization; it is one projection
+    * and ONE shuffle on seq_id. The offsets side re-runs the subword
+    * kernel in stats-only form (no array construction) rather than
+    * checkpointing the exploded arrays — kernels are cheap, token
+    * arrays are not. Ids ride as a CSV string (the t09 oracle's wire
+    * form) so the DuckDB replay — greedy tokenizer CTE → running sum →
+    * positional unnest → ordered string_agg — is value-exact.
+    */
+  def c12PackSequences(spark: SparkSession, dir: String,
+      seqLen: Long = 128L): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val offsets = packOffsetsOver(
+      docs.select(col("doc_id"),
+        element_at(TextOps.subwordStatsCol(col("text")), 1).as("n_tokens")),
+      seqLen)
+      .select("doc_id", "tok_start")
+    docs
+      .select(col("doc_id"), TextOps.subwordIdsCol(col("text")).as("pieces"))
+      .join(offsets, Seq("doc_id"))
+      .select(col("tok_start"), posexplode(col("pieces")))
+      .withColumn("gpos", col("tok_start") + col("pos"))
+      .withColumn("seq_id", expr(s"gpos div $seqLen"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("gpos"), col("col")))),
+            s => s.getField("col").cast("string"))).as("ids_csv"))
+      .orderBy("seq_id")
+  }
+
   // ---------------------------------------------------------------- c04
 
   /** Luhn check over a 16-digit candidate string, as a pure column

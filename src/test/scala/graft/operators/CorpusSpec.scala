@@ -64,6 +64,26 @@ class CorpusSpec extends AnyFunSuite {
       s"expected the corpus window keyed by _pid:\n$plan")
   }
 
+  test("c12 sequences are full except the tail; tokens conserve t09's") {
+    val seqLen = 128L
+    val rows = Corpus.c12PackSequences(spark, TestSpark.Sf0001, seqLen)
+      .collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getLong(0)).sorted
+    assert(ids.sameElements(ids.head to ids.last), "seq_ids not dense")
+    // every sequence holds exactly seqLen tokens except the last
+    rows.sortBy(_.getLong(0)).dropRight(1)
+      .foreach(r => assert(r.getLong(1) == seqLen, r.toString))
+    // token conservation vs the t09 per-doc counts
+    val t09Total = TextOps.t09SubwordIds(spark, TestSpark.Sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_pieces")).head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == t09Total)
+    // each csv really carries n_tokens ids
+    rows.foreach { r =>
+      assert(r.getString(2).split(",").length.toLong == r.getLong(1))
+    }
+  }
+
   test("c10 epochs + residual consume exactly the per-source budget") {
     val rows = Corpus.c10MixtureEpochs(spark, dir, targetTokens = 500000L)
       .collect()
