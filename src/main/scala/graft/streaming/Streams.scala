@@ -79,6 +79,53 @@ object Streams {
       }
       .start()
 
+  /** Incoming document-size record for st12 (source = packing shard). */
+  final case class DocSize(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Per-doc packing placement emitted by st12. */
+  final case class PackPlacement(
+      doc_id: Long, source: String, n_tokens: Long, tok_start: Long,
+      seq_first: Long, seq_last: Long)
+
+  /** Per-source running token total (st12 state — O(1) per source). */
+  final case class PackState(next_offset: Long)
+
+  /** st12: STREAMING sequence packing — c09's placement computed as
+    * documents arrive, per source (the packing shard a trainer reads
+    * independently; a global stream order would serialize the stream
+    * the same way a global window serializes the batch). State per
+    * source is ONE long (the next free token offset): each micro-batch
+    * assigns its documents offsets in deterministic (doc_id) order
+    * within the batch and advances the counter, so a document's
+    * placement is fixed the moment it lands and the emitted
+    * (tok_start, seq_first, seq_last) agree with a batch c09 run over
+    * the same per-source arrival prefix. Late/replayed ids are the
+    * caller's contract (st08's landing zone + st09's dedup sit in
+    * front at ingest).
+    */
+  def st12StreamPack(docs: Dataset[DocSize], seqLen: Long = 512L)
+      : Dataset[PackPlacement] = {
+    import docs.sparkSession.implicits._
+    require(seqLen > 0)
+    def assign(source: String, rows: Iterator[DocSize],
+        state: GroupState[PackState]): Iterator[PackPlacement] = {
+      var off = state.getOption.map(_.next_offset).getOrElse(0L)
+      val placed = rows.toSeq.sortBy(_.doc_id).map { d =>
+        val start = off
+        off += d.n_tokens
+        PackPlacement(d.doc_id, source, d.n_tokens, start,
+          start / seqLen, (start + d.n_tokens - 1) / seqLen)
+      }
+      state.update(PackState(off))
+      placed.iterator
+    }
+    docs.groupByKey(_.source)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (k: String, it: Iterator[DocSize], s: GroupState[PackState]) =>
+          assign(k, it, s).toSeq)
+      .flatMap(identity)
+  }
+
   /** st11: streaming stats-index maintenance — a row stream appended
     * to an x17 stats-indexed table with the per-file min/max manifest
     * kept fresh per micro-batch

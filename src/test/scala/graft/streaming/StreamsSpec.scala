@@ -450,6 +450,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((100L, 200L), (100L, 203L)), rows.toSeq)
   }
 
+  test("st12 streaming pack offsets continue exactly across drains") {
+    import spark.implicits._
+    val input = MemoryStream[Streams.DocSize](spark)
+    val q = Streams.st12StreamPack(input.toDS(), seqLen = 8L)
+      .writeStream.format("memory").queryName("st12_out")
+      .outputMode("update").start()
+    // drain 1: A gets docs 1(5 tok) and 3(10); B gets 2(7)
+    input.addData(
+      Streams.DocSize(3L, "A", 10L), Streams.DocSize(1L, "A", 5L),
+      Streams.DocSize(2L, "B", 7L))
+    q.processAllAvailable()
+    // drain 2: A gets 5(4); B gets 4(9) and 6(2)
+    input.addData(
+      Streams.DocSize(5L, "A", 4L), Streams.DocSize(6L, "B", 2L),
+      Streams.DocSize(4L, "B", 9L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT doc_id, source, tok_start, seq_first, seq_last " +
+        "FROM st12_out ORDER BY source, doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // per-source offsets: batch order within a drain is doc_id-sorted,
+    // state carries the counter across drains; seqLen 8 boundaries
+    assert(got.toSeq == Seq(
+      (1L, "A", 0L, 0L, 0L),   // [0,5)
+      (3L, "A", 5L, 0L, 1L),   // [5,15) straddles
+      (5L, "A", 15L, 1L, 2L),  // [15,19) straddles
+      (2L, "B", 0L, 0L, 0L),   // [0,7)
+      (4L, "B", 7L, 0L, 1L),   // [7,16)
+      (6L, "B", 16L, 2L, 2L))) // [16,18)
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
