@@ -286,6 +286,30 @@ object Multimodal {
       .toDF()
   }
 
+  /** The production intake the demo `mediaTable` stands in for: read a
+    * directory tree of media files through Spark's `binaryFile` source
+    * (path, modificationTime, length, content), type them by
+    * extension, and surface the same (doc_id, media_type, payload)
+    * contract every m-operator consumes — `m01Features`,
+    * [[m04PhashPairsOver]], the frame/audio windows all run unchanged
+    * on top. doc_id is the 63-bit xxhash of the file path (stable
+    * across re-listings; collision-free in practice at any corpus
+    * size). `pathGlobFilter`/`recursiveFileLookup` are the listing
+    * dials; at 100 TB the listing itself distributes, and everything
+    * downstream is the already-tested decode pipeline.
+    */
+  def mediaFromDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(path)
+      .select(
+        abs(xxhash64(col("path"))).as("doc_id"),
+        when(lower(col("path")).endsWith(".png"), "image")
+          .when(lower(col("path")).endsWith(".wav"), "audio")
+          .otherwise("video").as("media_type"),
+        col("content").as("payload"),
+        col("path"), col("length").as("n_bytes"))
+
   /** Decoded-media feature record. */
   final case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Long, feat: Array[Float])

@@ -175,6 +175,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile intake decodes and near-dups real files on disk") {
+    // write REAL media files, read them back through the production
+    // binaryFile path, and run the m-pipeline on the result
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("nested"))
+    java.nio.file.Files.write(dir.resolve("a.png"),
+      Multimodal.synthImageNoise(1L))
+    java.nio.file.Files.write(sub.resolve("a_copy.png"),
+      Multimodal.synthImageVariant(1L))
+    java.nio.file.Files.write(dir.resolve("b.png"),
+      Multimodal.synthImageNoise(2L))
+    java.nio.file.Files.write(dir.resolve("tone.wav"),
+      Multimodal.synthWav(3L))
+
+    val media = Multimodal.mediaFromDir(spark, dir.toString)
+    val rows = media.collect()
+    assert(rows.length == 4)
+    assert(rows.count(_.getString(1) == "image") == 3)
+    assert(rows.count(_.getString(1) == "audio") == 1)
+    // payloads decode with the real codecs
+    rows.filter(_.getString(1) == "image").foreach { r =>
+      val (w, h, _) = Codecs.decodeGray(r.getAs[Array[Byte]](2))
+      assert(w == 8 && h == 8)
+    }
+    // the near-dup pipeline runs unchanged on the binaryFile frame:
+    // exactly the planted (a.png, a_copy.png) pair comes back
+    val pairs = Multimodal.m04PhashPairsOver(
+      media.filter(col("media_type") === "image")).collect()
+    val idOf = rows.filter(_.getString(1) == "image")
+      .map(r => r.getString(3).split("/").last -> r.getLong(0)).toMap
+    val expected = Set(
+      (idOf("a.png") min idOf("a_copy.png"),
+        idOf("a.png") max idOf("a_copy.png")))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
   test("m04 aHash is invariant to uniform brightness shift") {
     val px = Array.tabulate(64)(i => (i * 37) % 200) // headroom for +40
     val shifted = px.map(_ + 40)
