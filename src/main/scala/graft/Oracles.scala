@@ -1043,6 +1043,35 @@ object Oracles {
         |WHERE part_rev * np_x > tot_rev * 13
         |ORDER BY part_rev DESC, l_partkey""".stripMargin,
 
+    "q51_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(SUM(
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) -
+        |    CAST(p_retailprice AS DECIMAL(18,4)) *
+        |      CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q52_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, $REV AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin,
+
     // c12: packed training sequences — the FULL materialization
     // replays: greedy tokenizer CTE (same vocab constant) → per-doc
     // running token offset → positional unnest to global positions →

@@ -99,6 +99,8 @@ object SparkEntry {
     "q48_markov_transitions" -> (Relational.q48MarkovTransitions(_, _)),
     "q49_promo_share" -> (Relational.q49PromoShare(_, _)),
     "q50_revenue_concentration" -> (Relational.q50RevenueConcentration(_, _)),
+    "q51_product_profit" -> (Relational.q51ProductProfit(_, _)),
+    "q52_returned_items" -> (Relational.q52ReturnedItems(_, _)),
     "t06_normalize" -> (TextOps.t06Normalize(_, _)),
     "t07_repetition" -> (TextOps.t07Repetition(_, _)),
     "t08_subword_tokenize" -> (TextOps.t08SubwordTokenize(_, _)),

@@ -927,6 +927,59 @@ object Relational {
       .orderBy(col("part_rev").desc, col("l_partkey"))
   }
 
+  /** q51: product profit by nation and year (TPC-H Q9 shape, adapted —
+    * the testdata has no partsupp, so cost is p_retailprice·quantity):
+    * profit = Σ(revenue − cost) as ONE fixed-point conditional sum per
+    * (nation, year) group, every term decimal-exact. The part-name
+    * filter prunes the part side before its join; only the fixed
+    * 25-row nation dim is hint-broadcast.
+    */
+  def q51ProductProfit(spark: SparkSession, dir: String,
+      namePart: String = "widget"): DataFrame = {
+    val t = Tables(spark, dir)
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    t.lineitem
+      .join(t.part.filter(col("p_name").contains(namePart))
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(sum(revenueExpr -
+          dec(col("p_retailprice")) * dec(col("l_quantity")))
+        .cast(DoubleType).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** q52: returned-item revenue report (TPC-H Q10 shape): customers
+    * who returned items in one quarter, ranked by lost revenue. The
+    * returnflag filter prunes lineitem at the scan; the quarter
+    * restriction prunes orders before the join; customers join by key
+    * (AQE's call — the derivation scales with SF); top-20 rides
+    * TakeOrderedAndProject on the (revenue, custkey) total order, not
+    * a global sort.
+    */
+  def q52ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .join(t.orders
+        .filter(col("o_orderdate") >= "1996-01-01" &&
+          col("o_orderdate") < "1996-04-01")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_name", "c_acctbal",
+        "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(revenueSum.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   def q48MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
