@@ -112,6 +112,7 @@ object SparkEntry {
     "c10_mixture_epochs" -> ((s, dir) => Corpus.c10MixtureEpochs(s, dir)),
     "c11_corpus_report" -> ((s, dir) => Corpus.c11CorpusReport(s, dir)),
     "c12_pack_sequences" -> ((s, dir) => Corpus.c12PackSequences(s, dir)),
+    "c13_leakproof_split" -> ((s, dir) => Corpus.c13LeakproofSplit(s, dir)),
     "t12_bigram_novelty" -> ((s, dir) => TextOps.t12BigramNovelty(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),

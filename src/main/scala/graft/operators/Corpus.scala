@@ -365,6 +365,58 @@ object Corpus {
         "n_seqs")
   }
 
+  // ---------------------------------------------------------------- c13
+
+  /** c13: LEAK-PROOF train/val/test split — a hash split (x06) is
+    * uniform but leakage-blind: a held-out document sharing a passage
+    * with a training document inflates eval scores exactly like c03's
+    * train/bench contamination. This composes the split with the
+    * contamination sweep and QUARANTINES the leaks: any val/test
+    * document sharing ≥ `minShared` distinct word-`shingleK`-shingles
+    * with ANY train document is reassigned to train (the public
+    * held-out-dedup practice: eval must shrink, training may grow —
+    * dropping would also be sound, reassignment keeps the corpus).
+    * Cost: one shingle-hash scan, one semi-join of held-out shingles
+    * against train shingles (8-byte keys), one per-doc threshold — the
+    * c03 machinery pointed across splits. Deterministic: same corpus →
+    * same split → same quarantine, on any cluster.
+    */
+  def c13LeakproofSplit(spark: SparkSession, dir: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      shingleK: Int = 8, minShared: Long = 3L): DataFrame =
+    leakproofSplitOver(Tables(spark, dir).documents, trainFrac, valFrac,
+      shingleK, minShared)
+
+  def leakproofSplitOver(docs: DataFrame, trainFrac: Double,
+      valFrac: Double, shingleK: Int, minShared: Long): DataFrame = {
+    val buckets = 1000000L
+    val h = pmod(xxhash64(col("doc_id")), lit(buckets))
+    val t = (trainFrac * buckets).toLong
+    val v = ((trainFrac + valFrac) * buckets).toLong
+    val assigned = docs.select(col("doc_id"), col("text"),
+      when(h < t, "train").when(h < v, "val").otherwise("test")
+        .as("split"))
+    // one shingle scan feeds both sides of the cross-split sweep
+    val sh = Dedup.docShingleHashes(assigned, shingleK)
+      .join(assigned.select("doc_id", "split"), Seq("doc_id"))
+      .localCheckpoint(false)
+    val trainShingles = sh.filter(col("split") === "train")
+      .select(explode(col("sh")).as("g")).distinct()
+    val leaky = sh.filter(col("split") =!= "train")
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(trainShingles, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), lit(true).as("leaked"))
+    assigned.select("doc_id", "split")
+      .join(leaky, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        when(col("leaked"), "train").otherwise(col("split"))
+          .as("final_split"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- c12
 
   /** c12: MATERIALIZE the packed training sequences — the pipeline's

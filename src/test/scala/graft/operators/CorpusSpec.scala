@@ -64,6 +64,37 @@ class CorpusSpec extends AnyFunSuite {
       s"expected the corpus window keyed by _pid:\n$plan")
   }
 
+  test("c13 quarantines exactly the held-out docs sharing a train passage") {
+    import org.apache.spark.sql.functions._
+    // tagged corpus: zero natural cross-doc overlap; every 7th doc
+    // carries the same untagged passage — the planted leak
+    val passage = Dedup.SharedPassage.mkString(" ")
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+      .select(col("doc_id"),
+        Dedup.tagTokens(col("text"), col("doc_id")).as("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")).as("text"))
+    val got = Corpus.leakproofSplitOver(docs, 0.8, 0.1, 8, 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    // the hash split must put at least one planted doc in train for
+    // the leak to exist (holds for this corpus; assert, don't assume)
+    val plantedInTrain = got.exists { case (id, s, _) =>
+      id % 7 == 0 && s == "train" }
+    assert(plantedInTrain)
+    got.foreach { case (id, split, fin) =>
+      if (id % 7 == 0 && split != "train")
+        assert(fin == "train", s"doc $id: leaked but kept $fin")
+      else
+        assert(fin == split, s"doc $id: $split flipped to $fin")
+    }
+    // the split is a real 80/10/10-ish partition before quarantine
+    val bySplit = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySplit("train") > bySplit.getOrElse("val", 0))
+    assert(bySplit.getOrElse("val", 0) > 0 && bySplit.getOrElse("test", 0) > 0)
+  }
+
   test("c12 sequences are full except the tail; tokens conserve t09's") {
     val seqLen = 128L
     val rows = Corpus.c12PackSequences(spark, TestSpark.Sf0001, seqLen)
