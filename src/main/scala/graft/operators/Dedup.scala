@@ -172,6 +172,83 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- d11
+
+  /** d11: INCREMENTAL near-dup admission — a new batch deduped AGAINST
+    * an already-ingested lake, the case d02's self-join doesn't cover
+    * and every continuously-ingested corpus hits (st08/st09's landing
+    * flow): an incoming document must be dropped if the lake already
+    * holds a near-duplicate, without ever re-pairing the lake against
+    * itself. The band join is ASYMMETRIC — new×lake only — so the cost
+    * is bounded by the batch's collisions: the lake contributes one
+    * signature/banding pass (at scale those persist beside the corpus,
+    * s07-style, making the lake side a read, not a compute) and no
+    * lake×lake pair is ever formed. Verify is exact Jaccard on
+    * semi-join-pruned shingle sets, candidates only. Output is an
+    * admission verdict per new document: its best lake match (highest
+    * Jaccard, min lake id on ties) and `admit` = no match ≥ threshold.
+    * Batch-internal duplicates are the existing d02+d07 composition's
+    * job; this operator is the new-vs-history gate in front of it.
+    */
+  def d11IncrementalDedup(newDocs: DataFrame, lake: DataFrame,
+      shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val sigsNew = minhashSignatures(newDocs, shingleK, numPerm = 64)
+    val sigsLake = minhashSignatures(lake, shingleK, numPerm = 64)
+    val bndNew = bandRows(sigsNew, bands = 16, rowsPerBand = 4)
+    val bndLake = bandRows(sigsLake, bands = 16, rowsPerBand = 4)
+    val cand = bndNew.as("x").join(bndLake.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("lake_id"))
+      .distinct()
+    val shNew = docShingleHashes(
+      newDocs.join(cand.select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), shingleK)
+    val shLake = docShingleHashes(
+      lake.join(cand.select(col("lake_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi"), shingleK)
+    val verified = cand
+      .join(shNew.as("sa"), col("new_id") === col("sa.doc_id"))
+      .join(shLake.as("sb"), col("lake_id") === col("sb.doc_id"))
+      .select(col("new_id"), col("lake_id"),
+        round(jaccard(col("sa.sh"), col("sb.sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id")
+      .orderBy(col("jaccard").desc, col("lake_id"))
+    val best = verified
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("new_id").as("doc_id"), col("lake_id").as("dup_of"),
+        col("jaccard"))
+    newDocs.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("admit"),
+        col("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
+  /** d11 driver query: planted admission demo over the tagged corpus.
+    * Lake = tagged originals. The new batch: every 3rd doc arrives as
+    * a perturbed re-submission (id + 2e6, one token appended — Jaccard
+    * m/(m+1) against its lake original, above threshold for any
+    * real document) and every 5th-but-not-3rd doc as genuinely new
+    * content (id + 3e6, fresh tagging — zero overlap with the lake).
+    * Expected: re-submissions rejected with dup_of = original id,
+    * fresh docs admitted — spec-asserted doc-for-doc.
+    */
+  def d11IncrementalDedupDemo(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val base = Tables(spark, dir).documents.select(col("doc_id"),
+      tagTokens(col("text"), col("doc_id")).as("text"))
+    val resub = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" resubmitted")).as("text"))
+    val fresh = Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        tagTokens(col("text"), col("doc_id") + 3000000L).as("text"))
+    d11IncrementalDedup(resub.union(fresh), base, threshold = threshold)
+  }
+
   // ---------------------------------------------------------------- d03
 
   /** 64-bit SimHash of the word tokens of `text`, via codegen'd

@@ -13,6 +13,39 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf001
 
+  test("d11 admits fresh docs and rejects lake near-dups, doc-for-doc") {
+    val got = Dedup.d11IncrementalDedupDemo(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+
+    // operator-independent expectation: a resubmission is rejected iff
+    // its base doc has ≥ 3 distinct shingles (Jaccard m/(m+1) ≥ 0.7 ⇔
+    // m ≥ 3 — one appended token adds exactly one shingle)
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+      .select(col("doc_id"), Dedup.tagTokens(col("text"), col("doc_id"))
+        .as("text"))
+    val shSizes = Dedup.docShingleHashes(docs, 5)
+      .select(col("doc_id"), size(col("sh")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(got.nonEmpty)
+    var rejected = 0
+    got.foreach { case (id, admit, dupOf) =>
+      if (id >= 3000000L) {
+        assert(admit && dupOf == -1L, s"fresh doc $id not admitted")
+      } else {
+        val base = id - 2000000L
+        if (shSizes.getOrElse(base, 0) >= 3) {
+          assert(!admit && dupOf == base,
+            s"resub $id: admit=$admit dup_of=$dupOf (want $base)")
+          rejected += 1
+        }
+      }
+    }
+    assert(rejected > 10, s"only $rejected rejections — demo is vacuous")
+  }
+
   test("d02 MinHash+LSH finds exactly the exact-Jaccard pairs at its threshold") {
     // d04 is the exact inverted-index join — brute-force truth here.
     val exact = Dedup.d04NgramJaccard(spark, dir, shingleK = 5, threshold = 0.7)

@@ -96,6 +96,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q52: top-20 rides TakeOrderedAndProject, not a global sort") {
+    val p = Relational.q52ReturnedItems(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q51: the part-name filter reaches the part scan") {
+    val p = Relational.q51ProductProfit(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(p_name)") ||
+      p.contains("Contains(p_name"), s"part filter not pushed:\n$p")
+  }
+
   test("x15: runtime bloom filter prunes the fact side of a selective shuffle join") {
     // thresholds forced in an isolated session (local data is far below
     // the 10 GB application-side default that gates it at real scale)
