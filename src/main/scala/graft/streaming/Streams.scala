@@ -126,6 +126,61 @@ object Streams {
       .flatMap(identity)
   }
 
+  /** st13's batch engine: admit one micro-batch of documents into a
+    * near-dup-gated lake. The lake (a `batch=<id>`-partitioned parquet
+    * tree) is read EXCLUDING the current batch's own directory — on a
+    * replay the previous attempt's output would otherwise sit in the
+    * lake and reject its own documents, emptying the batch; with the
+    * exclusion a replay sees exactly the pre-batch lake and lands the
+    * same verdicts (idempotent). Admission is d11's asymmetric
+    * new-vs-lake gate; survivors stage to a sibling directory (the
+    * staging write CONSUMES the lake read before anything moves) and
+    * swap in with two metadata renames.
+    */
+  def admitBatch(batch: DataFrame, lakePath: String, batchId: Long,
+      threshold: Double = 0.7): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(lakePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lake = spark.read.parquet(lakePath)
+      .filter(!input_file_name().contains(s"/batch=$batchId/"))
+      .select("doc_id", "text")
+    val verdicts =
+      graft.operators.Dedup.d11IncrementalDedup(batch, lake, threshold = threshold)
+    val admitted = batch
+      .join(verdicts.filter(col("admit")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val staging = new Path(s"$lakePath.staging_$batchId")
+    fs.delete(staging, true)
+    admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val target = new Path(s"$lakePath/batch=$batchId")
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"admitBatch: cannot promote $staging")
+  }
+
+  /** st13: STREAMING near-dup admission — d11's new-vs-history gate
+    * run continuously in front of the lake: each micro-batch is gated
+    * against everything admitted so far (including earlier batches of
+    * this same stream — the lake the gate reads GROWS with each
+    * drain), survivors append under `batch=<id>`, rejects vanish.
+    * This is the piece that makes st09's exact-fingerprint front door
+    * near-dup-strong: a re-crawl with one changed sentence slips
+    * fingerprint dedup but not this gate.
+    */
+  def st13AdmitStream(docs: DataFrame, lakePath: String,
+      checkpointDir: String, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        admitBatch(batch.toDF(), lakePath, id, threshold)
+      }
+      .start()
+
   /** st11: streaming stats-index maintenance — a row stream appended
     * to an x17 stats-indexed table with the per-file min/max manifest
     * kept fresh per micro-batch

@@ -483,6 +483,46 @@ class StreamsSpec extends AnyFunSuite {
       (6L, "B", 16L, 2L, 2L))) // [16,18)
   }
 
+  test("st13 admission gate rejects near-dups of earlier drains' admits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // seed the lake with one long tagged document
+    def doc(id: Long, tag: String) =
+      (id, (1 to 30).map(i => s"w${i}_$tag").mkString(" "))
+    Seq(doc(1L, "seed")).toDF("doc_id", "text")
+      .write.parquet(s"$lake/batch=-1")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st13AdmitStream(
+      input.toDS().toDF("doc_id", "text"), lake, ckpt)
+    // drain 1: a near-dup of the seed (reject) + fresh content (admit)
+    input.addData(
+      (100L, doc(1L, "seed")._2 + " tail"), doc(200L, "fresh"))
+    q.processAllAvailable()
+    // drain 2: a near-dup of drain 1's ADMITTED doc (reject — the
+    // lake the gate reads must have grown) + more fresh content
+    input.addData(
+      (300L, doc(200L, "fresh")._2 + " tail"), doc(400L, "other"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 200L, 400L),
+      s"lake holds $ids — want seed + the two fresh docs only")
+
+    // replay idempotency: re-running batch 1 against the grown lake
+    // (which now CONTAINS batch 1's own output) must not empty it
+    Streams.admitBatch(
+      Seq((300L, doc(200L, "fresh")._2 + " tail"), doc(400L, "other"))
+        .toDF("doc_id", "text"), lake, 1L)
+    val after = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 200L, 400L), s"replay changed the lake: $after")
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
