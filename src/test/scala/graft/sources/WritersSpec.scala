@@ -115,6 +115,17 @@ class WritersSpec extends AnyFunSuite {
       "2099-01-01", "2099-12-31")
     assert(none.count() == 0 &&
       none.columns.sameElements(src.columns))
+
+    // byte-level proof (x11): the pruned read moves fewer input bytes
+    // than the same filter over a full scan — data skipping is real
+    // I/O avoided, not just a shorter file list
+    val prunedBytes = graft.Instrument.profile(
+      StatsIndex.prunedRead(spark, path, "l_shipdate", lo, hi)).inputReadBytes
+    val fullBytes = graft.Instrument.profile(
+      spark.read.parquet(path)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)).inputReadBytes
+    assert(prunedBytes > 0 && prunedBytes < fullBytes,
+      s"pruned $prunedBytes vs full $fullBytes — no byte reduction")
   }
 
   test("x08 compaction merges small files without losing a row") {
