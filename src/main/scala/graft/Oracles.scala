@@ -1072,6 +1072,33 @@ object Oracles {
          |ORDER BY revenue DESC, c_custkey
          |LIMIT 20""".stripMargin,
 
+    "t13_source_overlap" ->
+      """WITH counts AS (
+        |  SELECT source, t AS tok, COUNT(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents) WHERE len(t) > 0
+        |  GROUP BY source, t),
+        |topk AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, tok,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY cnt DESC, tok) AS rn
+        |    FROM counts) WHERE rn <= 50),
+        |sizes AS (SELECT source, COUNT(*) AS sz FROM topk GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS n_shared
+        |  FROM topk a JOIN topk b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) /
+        |    (sa.sz + sb.sz - n_shared), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON source_a = sa.source
+        |JOIN sizes sb ON source_b = sb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
     // c12: packed training sequences — the FULL materialization
     // replays: greedy tokenizer CTE (same vocab constant) → per-doc
     // running token offset → positional unnest to global positions →

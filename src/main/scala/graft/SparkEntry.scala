@@ -115,6 +115,7 @@ object SparkEntry {
     "c12_pack_sequences" -> ((s, dir) => Corpus.c12PackSequences(s, dir)),
     "c13_leakproof_split" -> ((s, dir) => Corpus.c13LeakproofSplit(s, dir)),
     "t12_bigram_novelty" -> ((s, dir) => TextOps.t12BigramNovelty(s, dir)),
+    "t13_source_overlap" -> ((s, dir) => TextOps.t13SourceOverlap(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)

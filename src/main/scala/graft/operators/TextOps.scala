@@ -469,6 +469,46 @@ object TextOps {
         round(col("n_unique").cast("double") / col("n_bigrams"), 4))
   }
 
+  // ---------------------------------------------------------------- t13
+
+  /** t13: cross-source vocabulary overlap — pairwise Jaccard of each
+    * source's top-`k` token vocabulary, the mixture diagnostic that
+    * says which sources are lexically redundant (near-1 overlap →
+    * temperature/epoch planning treats them as one pool) and which
+    * bring genuinely new vocabulary. One (source, token) count
+    * shuffle over the corpus; everything after operates on |sources|·k
+    * rows — the per-source top-k (deterministic (count desc, token)
+    * total order), the token self-join, and the pair rollup are all
+    * bounded regardless of corpus size. Pairs sharing zero tokens are
+    * absent (inner join), which the oracle mirrors.
+    */
+  def t13SourceOverlap(spark: SparkSession, dir: String,
+      k: Int = 50): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val counts = docs
+      .select(col("source"), explode(wsTokens).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("cnt").desc, col("tok"))
+    val topk = counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("source", "tok")
+    val sizes = topk.groupBy("source").agg(count(lit(1)).as("sz"))
+    topk.as("a")
+      .join(topk.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.as("sa"), col("source_a") === col("sa.source"))
+      .join(sizes.as("sb"), col("source_b") === col("sb.source"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("n_shared")), 4).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))
