@@ -72,6 +72,45 @@ object StatsIndex {
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
+  /** x18 build: Z-order the table (x09) AND record a TWO-dimensional
+    * per-file stats manifest — min/max of both cluster columns. The
+    * Morton layout is what makes the manifest useful: it bounds BOTH
+    * columns' spans per file (x09's spec-pinned property), so a 2-D
+    * box query can drop most files, where a single-column sort leaves
+    * the second column's span at ~100% per file and prunes nothing on
+    * that dimension.
+    */
+  def writeZOrderedWithStats(df: DataFrame, path: String,
+      colA: String, colB: String, nFiles: Int): Unit = {
+    Writers.writeZOrdered(df, path, colA, colB, numFiles = nFiles)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("min_a"), max(col(colA)).as("max_a"),
+        min(col(colB)).as("min_b"), max(col(colB)).as("max_b"),
+        count(lit(1)).as("n_rows"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(statsPath(path))
+  }
+
+  /** x18 query: read only files whose 2-D bounding box overlaps the
+    * query box, then apply the exact predicate. Equal to a full-scan
+    * filter by construction.
+    */
+  def prunedBoxRead(spark: SparkSession, path: String,
+      colA: String, aLo: Any, aHi: Any,
+      colB: String, bLo: Any, bHi: Any): DataFrame = {
+    val files = stats(spark, path)
+      .filter(col("max_a") >= lit(aLo) && col("min_a") <= lit(aHi) &&
+        col("max_b") >= lit(bLo) && col("min_b") <= lit(bHi))
+      .select("file").collect().map(_.getString(0)).toSeq
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(colA).between(lit(aLo), lit(aHi)) &&
+      col(colB).between(lit(bLo), lit(bHi)))
+  }
+
   /** st11's batch engine: append one micro-batch to a stats-indexed
     * table and keep the manifest fresh. The batch lands in a
     * DETERMINISTIC directory (`batch=<id>`) written with Overwrite, so

@@ -128,6 +128,33 @@ class WritersSpec extends AnyFunSuite {
       s"pruned $prunedBytes vs full $fullBytes — no byte reduction")
   }
 
+  test("x18 z-order + 2-D stats prune a box query on BOTH dimensions") {
+    val t = Tables(spark, dir)
+    val path = Files.createTempDirectory("graft_zstats").toString + "/orders"
+    val src = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    StatsIndex.writeZOrderedWithStats(src, path, "o_custkey", "o_totalprice",
+      nFiles = 16)
+    val manifest = StatsIndex.stats(spark, path).collect()
+    assert(manifest.length >= 8)
+    assert(manifest.map(_.getLong(5)).sum == src.count())
+
+    // a box covering ~1/16 of each dimension's range
+    val (aLo, aHi) = (100L, 200L)
+    val (bLo, bHi) = (100000.0, 150000.0)
+    val pruned = StatsIndex.prunedBoxRead(spark, path,
+      "o_custkey", aLo, aHi, "o_totalprice", bLo, bHi)
+    val want = src.filter(
+      col("o_custkey").between(aLo, aHi) &&
+        col("o_totalprice").between(bLo, bHi))
+      .orderBy("o_orderkey").collect()
+    assert(pruned.orderBy("o_orderkey").collect().toSeq == want.toSeq)
+    assert(want.nonEmpty, "box query matched nothing — widen the box")
+    // 2-D pruning has teeth: the box reads a strict subset of files
+    val scanned = pruned.inputFiles.toSet
+    assert(scanned.size < manifest.length,
+      s"${scanned.size} of ${manifest.length} files — no 2-D pruning")
+  }
+
   test("x08 compaction merges small files without losing a row") {
     val t = Tables(spark, dir)
     val path = Files.createTempDirectory("graft_compact").toString + "/orders"
