@@ -20,17 +20,6 @@ object Bench {
     // optimized away.
     def run(fn: (SparkSession, String) => DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // JVM/codegen warm-up outside the timed region, so the first query
-    // in map order doesn't absorb ~5s of JIT + classloading. A warm-up
-    // failure is logged by query name (a broken head query must not
-    // hide here) — the timed run still reports it in `failed`.
-    SparkEntry.queries.headOption.foreach { case (name, fn) =>
-      try run(fn)
-      catch {
-        case t: Throwable =>
-          System.err.println(s"[bench] warm-up query '$name' failed: $t")
-      }
-    }
     // s07/s08's combined demos (build-then-probe in one call) stay the
     // driver's correctness entries, but as bench rows they'd report a
     // one-off build cost as if it were the per-query cost. Bench
@@ -42,13 +31,29 @@ object Bench {
       "s07_probe" -> ((s, d) => operators.Ann.s07BenchProbe(s, d)),
       "s08_build" -> ((s, d) => operators.Ann.s08BenchBuild(s, d)),
       "s08_probe" -> ((s, d) => operators.Ann.s08BenchProbe(s, d)),
-      // the d06 collision-floor dial measured, not asserted: 16-bit
-      // bands admit 64x fewer random candidates (n²/2¹⁶ vs n²/2⁸)
-      // at ~full recall for the planted ultra-close pairs
-      "d06_wide_bands" -> ((s, d) =>
-        operators.Dedup.d06EmbedNeardupDemo(s, d, bands = 4)))
-    val timed = SparkEntry.queries.toSeq
-      .filterNot { case (name, _) => phaseSplit(name) } ++ phased
+      // the d06 collision-floor dial measured, not asserted: the
+      // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
+      // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff
+      // visible round-over-round
+      "d06_narrow_bands" -> ((s, d) =>
+        operators.Dedup.d06EmbedNeardupDemo(s, d, bands = 8)))
+    // name-sorted so round-over-round per-query deltas reflect plan
+    // changes, not placement: map-order scheduling once moved a query
+    // next to the warm-up slot and its time 3.8×'d with no plan change
+    val timed = (SparkEntry.queries.toSeq
+      .filterNot { case (name, _) => phaseSplit(name) } ++ phased)
+      .sortBy(_._1)
+    // JVM/codegen warm-up outside the timed region, so the (sorted)
+    // head query doesn't absorb ~5s of JIT + classloading. A warm-up
+    // failure is logged by query name (a broken head query must not
+    // hide here) — the timed run still reports it in `failed`.
+    timed.headOption.foreach { case (name, fn) =>
+      try run(fn)
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] warm-up query '$name' failed: $t")
+      }
+    }
     val results = timed.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn); true } catch { case _: Throwable => false }

@@ -1029,13 +1029,13 @@ object Oracles {
         |  SELECT l_partkey,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
-        |      AS DECIMAL(27,4)) AS part_rev
+        |      AS DECIMAL(19,4)) AS part_rev
         |  FROM lineitem GROUP BY l_partkey),
         |tot AS (
         |  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
         |      AS DECIMAL(27,4)) AS tot_rev,
-        |    CAST(COUNT(DISTINCT l_partkey) * 10 AS INTEGER) AS np_x
+        |    CAST(COUNT(DISTINCT l_partkey) * 10 AS DECIMAL(18,0)) AS np_x
         |  FROM lineitem)
         |SELECT l_partkey,
         |  CAST(CAST(part_rev AS VARCHAR) AS DOUBLE) AS part_rev
@@ -1098,6 +1098,98 @@ object Oracles {
         |JOIN sizes sa ON source_a = sa.source
         |JOIN sizes sb ON source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // t14: tf/df ranking — the division is one IEEE double op on two
+    // exact integers (correctly rounded by definition), so the ORDER
+    // BY agrees bit-for-bit with Spark's; ties break on the token.
+    "t14_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        |  WHERE len(token) > 0 GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |ranked AS (
+        |  SELECT t.doc_id, t.token, t.tf, df.df,
+        |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |      ORDER BY CAST(t.tf AS DOUBLE) / df.df DESC, t.token) AS rk
+        |  FROM tf t JOIN df USING (token))
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    // d12: d07's full recursive-CTE component replay, extended with
+    // the t02 quality fragment and the per-cluster argmax — the
+    // entire keep-best resolution recomputed from raw text.
+    "d12_keep_best_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  sh AS (SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(w)-5+2),
+        |             i -> array_to_string(w[i:i+4], ' '))) AS s
+        |         FROM toks WHERE len(w) >= 5),
+        |  inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |            GROUP BY 1, 2)
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) za ON doc_a = za.doc_id
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) zb ON doc_b = zb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) >= 0.5),
+        |bidir AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(doc, lab) AS (
+        |  SELECT a, a FROM bidir
+        |  UNION
+        |  SELECT e.b, w.lab FROM walk w JOIN bidir e ON e.a = w.doc),
+        |lab AS (SELECT doc AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |        FROM walk GROUP BY doc),
+        |qual AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 8 THEN 0.0
+        |         ELSE round(1.0 - stopword_ratio, 4) END AS quality_score
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the', 'a'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS stopword_ratio
+        |    FROM documents) t),
+        |ranked AS (
+        |  SELECT l.doc_id, l.cluster_id, q.quality_score,
+        |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY q.quality_score DESC, l.doc_id) AS rn
+        |  FROM lab l JOIN qual q USING (doc_id)),
+        |keep AS (SELECT cluster_id, doc_id AS kept_doc_id
+        |         FROM ranked WHERE rn = 1)
+        |SELECT r.doc_id, r.cluster_id, k.kept_doc_id, r.quality_score,
+        |  CASE WHEN r.doc_id = k.kept_doc_id THEN 'keep' ELSE 'drop' END AS action
+        |FROM ranked r JOIN keep k USING (cluster_id)
+        |ORDER BY r.doc_id""".stripMargin,
+
+    // q53: the oracle ranks with ONE global window (fine single-
+    // threaded); the engine must reproduce it with the distributed
+    // prefix-sum — rank arithmetic is exact-integer (// matches div),
+    // money stays DECIMAL until the VARCHAR→DOUBLE exit.
+    "q53_revenue_deciles" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS cust_rev
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, cust_rev,
+        |    ROW_NUMBER() OVER (ORDER BY cust_rev DESC, o_custkey) AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM rev)
+        |SELECT CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile,
+        |  COUNT(*) AS n_customers,
+        |  CAST(CAST(SUM(cust_rev) AS VARCHAR) AS DOUBLE) AS decile_revenue,
+        |  CAST(MIN(rnk) AS BIGINT) AS rank_lo,
+        |  CAST(MAX(rnk) AS BIGINT) AS rank_hi
+        |FROM ranked GROUP BY 1
+        |ORDER BY decile""".stripMargin,
 
     // c12: packed training sequences — the FULL materialization
     // replays: greedy tokenizer CTE (same vocab constant) → per-doc

@@ -116,6 +116,10 @@ object SparkEntry {
     "c13_leakproof_split" -> ((s, dir) => Corpus.c13LeakproofSplit(s, dir)),
     "t12_bigram_novelty" -> ((s, dir) => TextOps.t12BigramNovelty(s, dir)),
     "t13_source_overlap" -> ((s, dir) => TextOps.t13SourceOverlap(s, dir)),
+    "t14_tfidf_keywords" -> ((s, dir) => TextOps.t14TfidfKeywords(s, dir)),
+    "d12_keep_best_dedup" -> ((s, dir) => Dedup.d12KeepBestDedup(s, dir)),
+    "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
+    "m06_dhash_dedup" -> ((s, dir) => Multimodal.m06DhashDedup(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)

@@ -376,10 +376,15 @@ object Corpus {
     * with ANY train document is reassigned to train (the public
     * held-out-dedup practice: eval must shrink, training may grow —
     * dropping would also be sound, reassignment keeps the corpus).
-    * Cost: one shingle-hash scan, one semi-join of held-out shingles
-    * against train shingles (8-byte keys), one per-doc threshold — the
-    * c03 machinery pointed across splits. Deterministic: same corpus →
-    * same split → same quarantine, on any cluster.
+    * The quarantine iterates to a FIXPOINT: reassignment grows the
+    * train shingle set, which can expose held-out docs whose only
+    * overlap is with a just-moved doc — sweeping until no doc moves is
+    * what makes the final eval splits share nothing with ANY train
+    * document, original or reassigned. Cost: one shingle-hash scan,
+    * then per round one semi-join of surviving held-out shingles
+    * against the cumulative train shingles (8-byte keys) — rounds are
+    * bounded by the longest leak chain, 1-2 in practice. Deterministic:
+    * same corpus → same split → same quarantine, on any cluster.
     */
   def c13LeakproofSplit(spark: SparkSession, dir: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1,
@@ -396,18 +401,46 @@ object Corpus {
     val assigned = docs.select(col("doc_id"), col("text"),
       when(h < t, "train").when(h < v, "val").otherwise("test")
         .as("split"))
-    // one shingle scan feeds both sides of the cross-split sweep
+    // one shingle scan feeds every round of the cross-split sweep
     val sh = Dedup.docShingleHashes(assigned, shingleK)
       .join(assigned.select("doc_id", "split"), Seq("doc_id"))
       .localCheckpoint(false)
-    val trainShingles = sh.filter(col("split") === "train")
+    // fixpoint rounds: each recounts SURVIVING held-out docs against
+    // the CUMULATIVE train shingle set (the threshold is on total
+    // shared shingles — counting only against the newly-moved docs'
+    // shingles would undercount a doc that shares some with original
+    // train and some with a reassigned doc). localCheckpoint per round
+    // keeps lineage flat; `moved` is the driver's only scalar.
+    var trainShingles = sh.filter(col("split") === "train")
       .select(explode(col("sh")).as("g")).distinct()
-    val leaky = sh.filter(col("split") =!= "train")
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(trainShingles, Seq("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+      .localCheckpoint(false)
+    var heldout = sh.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(false)
+    var leakyAll: Option[DataFrame] = None
+    var moved = 1L
+    while (moved > 0) {
+      val leakyRound = heldout
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(trainShingles, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+        .select("doc_id")
+        .localCheckpoint(false)
+      moved = leakyRound.count()
+      if (moved > 0) {
+        leakyAll = Some(leakyAll.fold(leakyRound)(_.union(leakyRound)))
+        trainShingles = trainShingles
+          .union(heldout.join(leakyRound, Seq("doc_id"), "left_semi")
+            .select(explode(col("sh")).as("g")))
+          .distinct()
+          .localCheckpoint(false)
+        heldout = heldout.join(leakyRound, Seq("doc_id"), "left_anti")
+          .localCheckpoint(false)
+      }
+    }
+    val leaky = leakyAll.getOrElse(assigned.select("doc_id").limit(0))
       .select(col("doc_id"), lit(true).as("leaked"))
     assigned.select("doc_id", "split")
       .join(leaky, Seq("doc_id"), "left")

@@ -140,20 +140,26 @@ object Dedup {
 
   /** d02 over an arbitrary (doc_id, text) DataFrame — lets composed
     * pipelines (c01) run near-dup detection on their own survivors
-    * instead of re-scanning the raw corpus. No cache: the band
-    * self-join's two sides are canonically identical, so the shuffle is
-    * computed once and the second side is a ReusedExchange — no
-    * executor memory pinned after the query finishes.
+    * instead of re-scanning the raw corpus. The band self-join's two
+    * sides are canonically identical (one shuffle + ReusedExchange);
+    * the candidate set and the candidate shingle sets are lazily
+    * localCheckpointed because each feeds two downstream consumers —
+    * blocks release on GC instead of pinning the cache.
     */
   def d02PairsOver(docs: DataFrame,
       shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignatures(docs, shingleK, numPerm = 64)
     val bnd = bandRows(sigs, bands = 16, rowsPerBand = 4)
+    // localCheckpoint (lazy): cand feeds the id-prune AND the verify
+    // join, sh feeds BOTH verify sides — without materialization the
+    // band join runs twice and candidate shingling twice (measured:
+    // d02 was the second-slowest sf1 bench row on exactly that)
     val cand = bnd.as("x").join(bnd.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      .localCheckpoint(false)
     // exact-Jaccard verify needs shingle sets only for candidate ids —
     // the semi-join pushes the id filter below the shingling, so it
     // runs on O(candidates), not the whole corpus; hashed shingles keep
@@ -163,6 +169,7 @@ object Dedup {
       .distinct()
     val sh =
       docShingleHashes(docs.join(candIds, Seq("doc_id"), "left_semi"), shingleK)
+        .localCheckpoint(false)
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -196,10 +203,14 @@ object Dedup {
     val sigsLake = minhashSignatures(lake, shingleK, numPerm = 64)
     val bndNew = bandRows(sigsNew, bands = 16, rowsPerBand = 4)
     val bndLake = bandRows(sigsLake, bands = 16, rowsPerBand = 4)
+    // localCheckpoint (lazy): cand feeds both semi-join prunes AND the
+    // verify join — d02's discipline, or the asymmetric band join runs
+    // three times
     val cand = bndNew.as("x").join(bndLake.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("new_id"), col("y.doc_id").as("lake_id"))
       .distinct()
+      .localCheckpoint(false)
     val shNew = docShingleHashes(
       newDocs.join(cand.select(col("new_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi"), shingleK)
@@ -576,6 +587,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- d12
+
+  /** d12: keep-best dedup RESOLUTION — d07 assigns every near-dup its
+    * transitive cluster; this decides WHICH document each cluster
+    * keeps. d07's min-id policy is principled but content-blind; the
+    * public corpus-build practice retains the highest-QUALITY member
+    * of each near-dup set and drops the rest. Representative = argmax
+    * by (t02 quality score desc, doc_id asc) — deterministic on any
+    * cluster, on any partitioning. Output: one verdict row per
+    * clustered doc (`keep`/`drop` + the cluster's kept_doc_id);
+    * unclustered docs are implicit keeps and carry no row.
+    *
+    * Shape at scale: CC runs on the pruned pair graph (O(collisions)
+    * edges, never all-pairs), quality is a shuffle-free per-row
+    * projection joined on doc_id, and the argmax is a cluster-keyed
+    * window — near-dup clusters are small by construction, so no
+    * window partition is hot; the kept-id join reuses the window's
+    * cluster_id exchange.
+    */
+  def d12KeepBestDedup(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = d04NgramJaccard(spark, dir, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponentsStar(pairs)
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"))
+    val quality = TextOps.qualityScoreOver(t.documents.select("doc_id", "text"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val ranked = labels.join(quality, Seq("doc_id"))
+      .withColumn("_rn", row_number().over(w))
+    val kept = ranked.filter(col("_rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"))
+    ranked.join(kept, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("kept_doc_id"),
+        col("quality_score"),
+        when(col("doc_id") === col("kept_doc_id"), "keep")
+          .otherwise("drop").as("action"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- d06
 
   /** d06: embedding near-dup at scale — d05's answer without the O(n²)
@@ -583,18 +635,21 @@ object Dedup {
     * (e09); the signature splits into `bands` bands joined SimHash-style
     * (d03's scheme, transplanted to vector space): two vectors become a
     * candidate pair iff some band matches exactly, then candidates are
-    * verified by exact norm-precomputed cosine. With 8 bands × 8 bits
-    * and P(bit)=1−θ/π, a 0.9-cosine pair (θ≈26°) collides with
-    * probability ≈ 1−(1−0.856⁸)⁸ ≈ 0.94 while a random pair's chance is
-    * ≈ 8/2⁸ — candidate volume rides real near-dup density, never the
-    * pair space. Reported pairs are exact-cosine-verified, so precision
-    * is 1 by construction; band count is the recall dial.
+    * verified by exact norm-precomputed cosine. Reported pairs are
+    * exact-cosine-verified, so precision is 1 by construction; band
+    * count is the recall dial. The DEFAULT is the scale-safe 4 bands ×
+    * 16 bits: random pairs collide at ≈ 4·n²/2¹⁶ — measured ~2×
+    * wall-clock at 10× data — while a 0.99-cosine near-dup still
+    * collides with probability ≈ 1−(1−0.973¹⁶)⁴ ≈ 0.98. The 8 × 8-bit
+    * form (≈ 0.94 recall even at 0.9 cosine, but an 8·n²/2⁸ random-
+    * collision floor that goes quadratic at corpus scale) remains the
+    * explicit high-recall opt-in via `bands = 8`.
     */
   def d06EmbedNeardupLsh(spark: SparkSession, dir: String,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9, bands: Int = 4): DataFrame = {
     val t = Tables(spark, dir)
     d06PairsOver(
-      t.embeddings.select(col("vec_id"), col("embedding")), threshold)
+      t.embeddings.select(col("vec_id"), col("embedding")), threshold, bands)
   }
 
   /** d06 driver query: the synthetic embeddings have no natural
@@ -605,12 +660,13 @@ object Dedup {
     * rows-only check self-validating.
     */
   // `bands` is the collision-floor dial (see d06PairsOver): the
-  // planted pairs land at ~4.9° (cos ≈ 0.9964), where 16-bit bands
-  // (bands = 4) retain ~0.98 recall while admitting 64× fewer random
-  // candidates — the bench carries both settings so the tradeoff is
-  // measured, not asserted
+  // planted pairs land at ~4.9° (cos ≈ 0.9964), where the default
+  // 16-bit bands (bands = 4) retain ~0.98 recall while admitting 64×
+  // fewer random candidates than the 8-bit high-recall form — the
+  // bench carries both settings so the tradeoff is measured, not
+  // asserted
   def d06EmbedNeardupDemo(spark: SparkSession, dir: String,
-      threshold: Double = 0.9, bands: Int = 8): DataFrame = {
+      threshold: Double = 0.9, bands: Int = 4): DataFrame = {
     val t = Tables(spark, dir)
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
     val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -867,9 +923,21 @@ object Dedup {
     * the pairwise stage runs per cell partition.
     */
   def d10SemanticDedupOver(vectors: DataFrame, threshold: Double = 0.9,
-      nlist: Int = 16): DataFrame = {
+      nlist: Int = 0, targetCellSize: Int = 256): DataFrame = {
     import graft.functions.F
-    val cents = Ann.trainCentroids(vectors, nlist)
+    // nlist scales WITH the corpus by default: Σ|cell|² under a FIXED
+    // cell count is O(n²/nlist) — measured 10× wall at 10× data — so
+    // the default derives nlist from one cheap count to hold the mean
+    // cell near `targetCellSize`, making in-cell work ~n·targetCellSize
+    // (linear). Pass nlist > 0 to pin a reproducible fixed layout
+    // (spec closed forms, s08 index interop).
+    val k = if (nlist > 0) nlist
+      else {
+        val n = vectors.count()
+        math.max(1, math.min(n, math.max(16L, n / targetCellSize)).toInt)
+      }
+    val cents = Ann.trainCentroids(vectors, k,
+      sampleN = math.max(2048, 8 * k))
     val scores = Ann.centroidScores(col("embedding"), cents)
     // localCheckpoint (lazy): the celled projection feeds both join
     // sides; blocks release on GC instead of pinning the cache
@@ -902,7 +970,7 @@ object Dedup {
     * SemDeDup loss).
     */
   def d10SemanticDedupDemo(spark: SparkSession, dir: String,
-      threshold: Double = 0.9, nlist: Int = 16): DataFrame = {
+      threshold: Double = 0.9, nlist: Int = 0): DataFrame = {
     val t = Tables(spark, dir)
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
     val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
@@ -912,9 +980,16 @@ object Dedup {
     d10SemanticDedupOver(base.union(planted), threshold, nlist)
   }
 
-  /** d06 over an arbitrary (vec_id, embedding) DataFrame. */
+  /** d06 over an arbitrary (vec_id, embedding) DataFrame. Default
+    * `bands = 4` (16-bit bands) is the scale-safe config — the random-
+    * collision floor is bands·n²/2^bits, and 16-bit bands keep it 64×
+    * below the 8-bit form's (measured: ~2× vs ~19× wall at 10× data).
+    * `bands = 8` is the high-recall opt-in for borderline-similarity
+    * corpora (recall ≈ 0.94 at 0.9 cosine vs ≈ 0.6); pick it for
+    * bounded corpora, not 100 TB sweeps.
+    */
   def d06PairsOver(vectors: DataFrame, threshold: Double = 0.9,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands $bands must divide 64")
     val bits = 64 / bands
     import graft.functions.F

@@ -288,8 +288,10 @@ object Multimodal {
 
   /** The production intake the demo `mediaTable` stands in for: read a
     * directory tree of media files through Spark's `binaryFile` source
-    * (path, modificationTime, length, content), type them by
-    * extension, and surface the same (doc_id, media_type, payload)
+    * (path, modificationTime, length, content), type them by an
+    * explicit extension allowlist (png/jpg/jpeg/bmp/gif → image,
+    * wav → audio, vid → the frame container; anything else fails at
+    * intake), and surface the same (doc_id, media_type, payload)
     * contract every m-operator consumes — `m01Features`,
     * [[m04PhashPairsOver]], the frame/audio windows all run unchanged
     * on top. doc_id is the 63-bit xxhash of the file path (stable
@@ -304,9 +306,19 @@ object Multimodal {
       .load(path)
       .select(
         abs(xxhash64(col("path"))).as("doc_id"),
-        when(lower(col("path")).endsWith(".png"), "image")
+        // explicit allowlist: every ImageIO-decodable extension routes
+        // to the image path (decodeGray reads them all); "video" is
+        // RESERVED for the frame-container extension — a catch-all
+        // `otherwise("video")` once sent .jpg files into unpackFrames
+        // to die as "corrupt frame container" at decode time. Unknown
+        // extensions fail HERE, at intake, with the offending path.
+        when(regexp_like(lower(col("path")),
+            lit("\\.(png|jpg|jpeg|bmp|gif)$")), "image")
           .when(lower(col("path")).endsWith(".wav"), "audio")
-          .otherwise("video").as("media_type"),
+          .when(lower(col("path")).endsWith(".vid"), "video")
+          .otherwise(raise_error(concat(
+            lit("mediaFromDir: unknown media extension: "), col("path"))))
+          .as("media_type"),
         col("content").as("payload"),
         col("path"), col("length").as("n_bytes"))
 
@@ -563,4 +575,117 @@ object Multimodal {
   def m04PhashDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame =
     m04PhashPairsOver(plantedImageCorpus(spark, dir), maxHamming)
+
+  // ---------------------------------------------------------------- m06
+
+  /** 64-bit difference-hash (the public dHash perceptual fingerprint):
+    * block-average to an 8×8 grid, bit (y,x) set iff cell (y,x) is
+    * darker than its right neighbor — 56 horizontal-gradient bits
+    * (top 8 bits zero). Where aHash compares every cell against the
+    * GLOBAL mean (invariant only to affine tone changes — the mean
+    * moves with the curve), dHash encodes local gradient ORDER, so it
+    * survives any monotone tone curve: gamma, contrast S-curves,
+    * histogram stretch — the re-grade/re-encode class aHash
+    * misclassifies. Fixed-order arithmetic over the grid:
+    * bit-identical on every executor.
+    */
+  def dHash64(w: Int, h: Int, pixels: Array[Int]): Long = {
+    val g = Codecs.blockResize(w, h, pixels, 8)
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 7) {
+        if (g(y * 8 + x) < g(y * 8 + x + 1)) bits |= (1L << (y * 7 + x))
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Difference-hash signature record. */
+  final case class DhashSig(doc_id: Long, dh64: Long)
+
+  /** m06: gradient-hash image near-dup pairs — m04's banding scheme
+    * re-cut for the 56-bit dHash: decode + hash in one mapPartitions
+    * batch pass (8 bytes out per image), then 4 bands × 14 bits —
+    * pigeonhole-exact, ≤ `maxHamming` = 3 flipped bits always leave
+    * one band intact — so the self-join shuffles 8-byte signatures,
+    * never pixels. Same 100 TB shape as m04: one decode pass, one
+    * band shuffle of n×4 short rows.
+    */
+  def m06DhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val sigs = images
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val (w, h, px) = Codecs.decodeGray(png)
+          DhashSig(id, dHash64(w, h, px))
+        }
+      }
+      .toDF()
+    val bnd = sigs.select(col("doc_id"), col("dh64"), explode(
+      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
+        call_function("shiftright", col("dh64"), j * lit(14))
+          .bitwiseAND(lit(0x3FFFL)).as("bh"))))
+      .as("bk"))
+      .select(col("doc_id"), col("dh64"), col("bk.band"), col("bk.bh"))
+    bnd.as("x").join(bnd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dh64").bitwiseXOR(col("y.dh64")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Monotone NON-affine tone curve: tone(p) = p·(p+255)/510 — a
+    * gamma-style darkening (0→0, 255→255, convex in between) that
+    * preserves neighbor order up to integer-floor collapses at the
+    * dark end, but moves cells across the global mean. A re-graded
+    * copy therefore keeps its dHash (gradient order survives) while
+    * its aHash drifts (mean-relative bits flip) — exactly the pair
+    * class m06 exists for.
+    */
+  def synthImageTone(seed: Long): Array[Byte] = {
+    val px = Array.tabulate(ImgRes * ImgRes) { i =>
+      val p = (mix64(seed * 64 + i) & 0xffL).toInt
+      (p * (p + 255)) / 510
+    }
+    Codecs.encodePng(ImgRes, ImgRes, px)
+  }
+
+  /** The m06 planted corpus: the same decorrelated-noise base as m04,
+    * but every 30th image's copy is TONE-MAPPED ([[synthImageTone]]),
+    * not brightness-shifted — the monotone-regrade near-dup class.
+    */
+  def plantedToneCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val orig = (id, synthImageNoise(id))
+          if (id % 30 == 0) Iterator(orig, (id + 1000000L, synthImageTone(id)))
+          else Iterator(orig)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** m06 driver query: gradient-hash near-dup pairs over the planted
+    * tone-mapped corpus (spec-asserted pair-for-pair against locally
+    * recomputed hashes, plus the aHash-misses-what-dHash-catches
+    * differentiator).
+    */
+  def m06DhashDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    m06DhashPairsOver(plantedToneCorpus(spark, dir), maxHamming)
 }

@@ -914,11 +914,17 @@ object Relational {
   def q50RevenueConcentration(spark: SparkSession, dir: String,
       numer: Int = 13, denom: Int = 10): DataFrame = {
     val t = Tables(spark, dir)
+    // per-part revenue is SF-invariant (~constant lineitems/part), so
+    // DECIMAL(19,4) holds it at any scale; np_x = n_parts·denom GROWS
+    // with SF — DECIMAL(18,0) (an int would wrap near SF ~1000) keeps
+    // the cross-multiply at precision 19+18+1 = 38 exactly, no clamp,
+    // in Spark and DuckDB alike
     val perPart = t.lineitem.groupBy("l_partkey")
-      .agg(sum(revenueExpr).cast("decimal(27,4)").as("part_rev"))
+      .agg(sum(revenueExpr).cast("decimal(19,4)").as("part_rev"))
     val total = t.lineitem.agg(
       sum(revenueExpr).cast("decimal(27,4)").as("tot_rev"),
-      (countDistinct(col("l_partkey")) * denom).cast("int").as("np_x"))
+      (countDistinct(col("l_partkey")) * denom).cast("decimal(18,0)")
+        .as("np_x"))
     perPart
       .join(broadcast(total),
         col("part_rev") * col("np_x") > col("tot_rev") * lit(numer))
@@ -978,6 +984,56 @@ object Relational {
       .agg(revenueSum.as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
+  }
+
+  /** q53: exact revenue-decile report — per-customer lifetime spend,
+    * every customer ranked globally, cut into 10 equal-population
+    * deciles, per-decile population/revenue/rank-span. The global rank
+    * is c09's DISTRIBUTED prefix-sum, not `Window.orderBy` with no
+    * partition key (the canonical single-task scale-killer): range-
+    * partition on the (spend desc, custkey) total order, per-partition
+    * row_numbers run in parallel, and only the per-partition COUNTS
+    * (≤ shuffle-partition rows) ride a single-task prefix window
+    * before AQE broadcasts them back. Rank/decile arithmetic is exact
+    * integer `div`; money rides DECIMAL fixed-point end to end, so
+    * the report is bit-stable at any partitioning and any SF.
+    */
+  def q53RevenueDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rev = t.orders.groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"))).as("cust_rev"))
+    // range partitions follow the global sort order, so partition id
+    // order == rank order; localCheckpoint materializes the slim rows
+    // once for both consumers (c09's discipline — and the
+    // nondeterministic-flagged partition id is evaluated exactly once)
+    val ranged = rev
+      .repartitionByRange(nParts, col("cust_rev").desc, col("o_custkey"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = Window.partitionBy("_pid")
+      .orderBy(col("cust_rev").desc, col("o_custkey"))
+    val local = ranged
+      .withColumn("_r_local", row_number().over(wLocal).cast(LongType))
+    val wPrefix = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTotal = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ≤ nParts rows by construction; no broadcast hint — the lineage
+    // reaches orders, so the hint sweep can't prove the cap and AQE's
+    // runtime size check broadcasts it anyway
+    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_pc"))
+      .withColumn("_poff", coalesce(sum(col("_pc")).over(wPrefix), lit(0L)))
+      .withColumn("_n", sum(col("_pc")).over(wTotal))
+      .select("_pid", "_poff", "_n")
+    local.join(offsets, Seq("_pid"))
+      .withColumn("rnk", col("_poff") + col("_r_local"))
+      .withColumn("decile", expr("((rnk - 1) * 10) div _n") + lit(1L))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cust_rev")).cast(DoubleType).as("decile_revenue"),
+        min(col("rnk")).as("rank_lo"), max(col("rnk")).as("rank_hi"))
+      .orderBy("decile")
   }
 
   def q48MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {

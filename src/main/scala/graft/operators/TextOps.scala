@@ -65,6 +65,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t02's composite score alone, over any (doc_id, text) frame — the
+    * reusable form d12's keep-best resolution ranks candidates with.
+    * Same arithmetic order as [[t02QualityScore]] (divide, subtract,
+    * round) so the two agree bit-for-bit and one oracle SQL fragment
+    * replays both.
+    */
+  def qualityScoreOver(docs: DataFrame): DataFrame = {
+    val nToks = size(wsTokens).cast(LongType)
+    val nStop = graft.functions.F.markerCount(col("text"), "the,a")
+    docs.select(col("doc_id"),
+      when(nToks < 8, 0.0)
+        .otherwise(round(lit(1.0) - nStop.cast("double") / nToks, 4))
+        .as("quality_score"))
+  }
+
   /** Characteristic high-frequency words per language (public stopword
     * lists). Used by the t03 scorer; content-free corpora simply score
     * 0 everywhere and fall back to 'und' (undetermined).
@@ -507,6 +522,49 @@ object TextOps {
         round(col("n_shared").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("n_shared")), 4).as("jaccard"))
       .orderBy("source_a", "source_b")
+  }
+
+  // ---------------------------------------------------------------- t14
+
+  /** t14: per-document distinctive keywords — top-`k` tokens by
+    * tf/df ratio, the TF-IDF ranking in its cross-engine-exact form.
+    * Because the corpus size N is constant across a ranking,
+    * tf·idf(term) orderings under the linear idf N/df reduce to
+    * tf/df — one IEEE double division of two exact integers, which is
+    * correctly rounded by definition and therefore bit-identical in
+    * Spark and DuckDB (a log-idf would rank identically per term-pair
+    * only without the tf factor, and ln is not exactly portable).
+    *
+    * Shape at scale: one (doc, token) count shuffle (map-side
+    * combined), a df rollup over the (doc, token) pairs (never a
+    * second corpus scan), a token-keyed join co-partitioned with the
+    * rollup, and a doc-keyed window for the per-doc top-k — every
+    * stage keyed, nothing global. Ties break (ratio desc, token asc)
+    * for a deterministic cut.
+    */
+  def t14TfidfKeywords(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame =
+    tfidfKeywordsOver(Tables(spark, dir).documents, k)
+      .orderBy("doc_id", "rk")
+
+  /** t14 over any (doc_id, text) frame. */
+  def tfidfKeywordsOver(docs: DataFrame, k: Int): DataFrame = {
+    // localCheckpoint: tf feeds BOTH the df rollup and the join probe
+    // side (t12's pattern — without it the corpus tokenizes twice)
+    val tf = docs
+      .select(col("doc_id"), explode(wsTokens).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "token", "tf", "df", "rk")
   }
 
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */

@@ -59,9 +59,85 @@ object PagedSource {
     */
   trait AuthProvider extends Serializable {
     def headers(): Map[String, String]
+    /** Drop any cached credential — called on HTTP 401 so the retry
+      * path re-mints instead of replaying a dead token. No-op for
+      * providers without state.
+      */
+    def invalidate(): Unit = ()
   }
   object NoAuth extends AuthProvider {
     override def headers(): Map[String, String] = Map.empty
+  }
+
+  /** OAuth2 client-credentials grant — the runnable public analog of
+    * the reference's MSAL confidential-client flow (ref py:31-48:
+    * acquire a bearer token for an app id + secret, send it as
+    * `Authorization: Bearer ...`). POSTs
+    * `grant_type=client_credentials` form-encoded to `tokenUrl`,
+    * parses `{access_token, expires_in}`, and caches the token until
+    * `refreshSkewSecs` before expiry.
+    *
+    * Executor discipline: the cache is `@transient` — the provider
+    * ships in closures WITHOUT a token, so each executor JVM mints its
+    * own on first use and refreshes on its own clock (a driver-minted
+    * token serialized into 10M-file tasks would expire mid-job; ref's
+    * single driver-side acquisition has exactly that bug at scale).
+    * On a 401 the fetcher calls [[invalidate]] and the normal
+    * [[withRetry]] path re-enters [[headers]], which mints fresh —
+    * one expired-token failure costs one re-mint plus one retried
+    * request, never a job restart. Minting itself retries through the
+    * caller's retry wrapper only implicitly (an IOException from the
+    * token endpoint surfaces as the request's IOException — same
+    * backoff schedule, no separate policy to tune).
+    */
+  final class OAuth2ClientCredentials(tokenUrl: String, clientId: String,
+      clientSecret: String, scope: String = "",
+      refreshSkewSecs: Long = 60, connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 60000) extends AuthProvider {
+
+    @transient private var token: String = _
+    @transient private var expiresAtMs: Long = 0L
+
+    override def headers(): Map[String, String] = synchronized {
+      if (token == null ||
+          System.currentTimeMillis() >= expiresAtMs - refreshSkewSecs * 1000)
+        mint()
+      Map("Authorization" -> s"Bearer $token")
+    }
+
+    override def invalidate(): Unit = synchronized {
+      token = null
+      expiresAtMs = 0L
+    }
+
+    private def mint(): Unit = {
+      val c = new URI(tokenUrl).toURL.openConnection()
+        .asInstanceOf[HttpURLConnection]
+      c.setConnectTimeout(connectTimeoutMs)
+      c.setReadTimeout(readTimeoutMs)
+      c.setRequestMethod("POST")
+      c.setDoOutput(true)
+      c.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+      def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
+      val form = s"grant_type=client_credentials&client_id=${enc(clientId)}" +
+        s"&client_secret=${enc(clientSecret)}" +
+        (if (scope.nonEmpty) s"&scope=${enc(scope)}" else "")
+      try {
+        c.getOutputStream.write(form.getBytes(StandardCharsets.UTF_8))
+        val code = c.getResponseCode
+        if (code >= 400)
+          throw new IOException(s"token endpoint HTTP $code: $tokenUrl")
+        val body =
+          new String(c.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+        val root = JsonMapper.readTree(body)
+        val tok = root.path("access_token").asText("")
+        if (tok.isEmpty)
+          throw new IOException(s"token endpoint returned no access_token")
+        token = tok
+        expiresAtMs = System.currentTimeMillis() +
+          root.path("expires_in").asLong(3600L) * 1000
+      } finally c.disconnect()
+    }
   }
 
   /** The endpoint contract. Implementations must be Serializable —
@@ -107,11 +183,47 @@ object PagedSource {
       }
       cur
     }
+
+    /** Resolve the root LIBRARY the reference's way (ref py:166-177):
+      * prefer the top-level directory named `preferred` ("Documents" —
+      * the default document library's display name); when no name
+      * matches, fall back to the FIRST directory listed. This is the
+      * ambiguous-root entry [[resolveRoot]]'s exact-segment matching
+      * can't express — a tenant that renamed its default library still
+      * resolves. Pages the whole top level before falling back (the
+      * preferred name may sit on a later page); retry is per page,
+      * walkDir's discipline.
+      */
+    def resolveLibrary(preferred: String = "Documents",
+        parentId: String = "", maxRetries: Int = 4,
+        baseBackoffMs: Long = 100): String = {
+      var token: Option[String] = None
+      var first = true
+      var firstDir: Option[String] = None
+      var found: Option[String] = None
+      while ((first || token.nonEmpty) && found.isEmpty) {
+        first = false
+        val p = withRetry(maxRetries, baseBackoffMs)(listPage(parentId, token))
+        if (firstDir.isEmpty) firstDir = p.items.find(_.isDir).map(_.id)
+        found = p.items.find(it => it.isDir && it.name == preferred).map(_.id)
+        token = p.nextToken
+      }
+      found.orElse(firstDir).getOrElse(throw new FileNotFoundException(
+        s"resolveLibrary: no directories under '$parentId'"))
+    }
   }
 
   /** HTTP 429/503 with the server's Retry-After, if any. */
   final class Throttled(val retryAfterMs: Long)
       extends IOException(s"throttled, retry after ${retryAfterMs}ms")
+
+  /** A listed item with no downloadable content — the reference's
+    * "no downloadUrl, skipping" case (ref py:285-286). PERMANENT for
+    * the item (retrying won't grow a download handle) but not an
+    * error for the job: [[distCopyPaged]] turns it into a `skipped`
+    * audit row with the reason, and the copy moves on.
+    */
+  final class NoContent(msg: String) extends IOException(msg)
 
   /** Bounded retry with exponential backoff. Throttled errors honor
     * the server's Retry-After (never sleeping less than the backoff
@@ -126,6 +238,7 @@ object PagedSource {
       try return f
       catch {
         case e: FileNotFoundException => throw e
+        case e: NoContent => throw e // permanent per item, by contract
         case t: Throttled if attempt < maxRetries =>
           Thread.sleep(math.max(t.retryAfterMs, baseBackoffMs << attempt))
           attempt += 1
@@ -199,12 +312,20 @@ object PagedSource {
   /** f07: paged enumeration → manifest Dataset.
     *
     * Level-by-level BFS over directories. Each level is one Spark job;
-    * the level's listing RDD is locally checkpointed and materialized
-    * by the (small) subdirectory collect, so every page is fetched from
-    * the API exactly once even though the file entries are consumed
-    * later — re-walking a REST endpoint is not free the way re-listing
-    * a filesystem is. Only directory (id, rel_path) pairs ever reach
-    * the driver; at 10M files the manifest stays distributed.
+    * the level's listing RDD is locally checkpointed, so every page is
+    * fetched from the API exactly once even though the file entries
+    * are consumed later — re-walking a REST endpoint is not free the
+    * way re-listing a filesystem is.
+    *
+    * Frontier discipline (f01 `catalog`'s): levels at or below
+    * `distributeThreshold` collect their subdirectory (id, rel_path)
+    * pairs to the driver (which lets each level parallelize at its own
+    * width); the moment a level exceeds it, the frontier becomes an
+    * RDD and STAYS on the executors — each further level is a flatMap
+    * over the previous one, repartitioned for walk parallelism,
+    * locally checkpointed, and the driver sees only the per-level
+    * COUNT scalar, never directory ids. A pathological 10M-directory
+    * level therefore lives on the executors, not in driver memory.
     *
     * Skew note: one directory's page chain is sequential by contract,
     * so a single 1M-file directory bounds the level's wall-clock — the
@@ -212,11 +333,12 @@ object PagedSource {
     */
   def pagedCatalog(spark: SparkSession, fetcher: PageFetcher,
       rootId: String = "", maxRetries: Int = 4, baseBackoffMs: Long = 100,
-      permitsPerSec: Double = 0): Dataset[FileEntry] = {
+      permitsPerSec: Double = 0, distributeThreshold: Int = 4096)
+      : Dataset[FileEntry] = {
     import spark.implicits._
-    var frontier: Seq[(String, String)] = Seq((rootId, ""))
     val levels = mutable.ArrayBuffer[RDD[FileEntry]]()
-    while (frontier.nonEmpty) {
+    var frontier: Seq[(String, String)] = Seq((rootId, ""))
+    while (frontier.nonEmpty && frontier.size <= distributeThreshold) {
       val listed = spark.sparkContext
         .parallelize(frontier, math.min(frontier.size, 256))
         .map { case (id, rel) =>
@@ -225,6 +347,24 @@ object PagedSource {
       listed.localCheckpoint()
       frontier = listed.flatMap(_._1).collect().toSeq // materializes the level
       levels += listed.flatMap(_._2)
+    }
+    if (frontier.nonEmpty) {
+      // distributed-frontier mode: `n` is the only thing the driver
+      // ever holds about a level from here on
+      var level: RDD[(String, String)] = spark.sparkContext
+        .parallelize(frontier, 256)
+      var n = frontier.size.toLong
+      while (n > 0) {
+        val listed = level.map { case (id, rel) =>
+          walkDir(fetcher, id, rel, maxRetries, baseBackoffMs, permitsPerSec)
+        }
+        listed.localCheckpoint()
+        val next = listed.flatMap(_._1).repartition(256)
+        next.localCheckpoint()
+        n = next.count() // one action: fetches+checkpoints listed, then next
+        levels += listed.flatMap(_._2)
+        level = next
+      }
     }
     spark.createDataset(spark.sparkContext.union(levels.toSeq))
   }
@@ -279,6 +419,13 @@ object PagedSource {
               "", crc)
           }
         } catch {
+          // an item without a content handle is the endpoint saying
+          // "nothing to download" (ref py:285-286 skips it): a skipped
+          // row with the reason, not a failure — and distinguishable
+          // from the size/mtime skip above by its non-empty error field
+          case nc: NoContent =>
+            CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "skipped",
+              s"no_content: ${String.valueOf(nc.getMessage)}")
           case ex: Exception =>
             CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "failed",
               String.valueOf(ex.getMessage))
@@ -339,6 +486,14 @@ object PagedSource {
         throw new Throttled(retryMs)
       }
       if (code == 404) { c.disconnect(); throw new FileNotFoundException(url) }
+      if (code == 401) {
+        // expired/revoked credential: drop the provider's cache so the
+        // withRetry re-attempt re-enters headers() and mints fresh —
+        // one 401 costs one re-mint + one retried request
+        auth.invalidate()
+        c.disconnect()
+        throw new IOException(s"HTTP 401 (auth retry): $url")
+      }
       if (code >= 400) { c.disconnect(); throw new IOException(s"HTTP $code: $url") }
       c
     }

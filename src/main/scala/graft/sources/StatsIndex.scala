@@ -58,6 +58,21 @@ object StatsIndex {
       .filter(col("max_v") >= lit(lo) && col("min_v") <= lit(hi))
       .select("file").collect().map(_.getString(0)).toSeq
 
+  /** Empty frame with the LEAF-FILE schema: reading the table root
+    * would discover directory partition columns (`batch=<id>` from
+    * appendBatchWithStats) that leaf-file reads lack — the two
+    * prunedRead branches must agree on schema or a caller unioning
+    * across queries breaks on the no-candidates edge. One leaf path
+    * from the manifest pins the schema; a table with no files at all
+    * has no rows either way.
+    */
+  private def emptyLike(spark: SparkSession, path: String): DataFrame = {
+    val anyFile = stats(spark, path).select("file").limit(1)
+      .collect().map(_.getString(0))
+    if (anyFile.isEmpty) spark.read.parquet(path).limit(0)
+    else spark.read.parquet(anyFile.head).limit(0)
+  }
+
   /** Query: read only the overlapping files, then apply the exact
     * range predicate (stats are necessary, not sufficient — edge files
     * straddle the bounds). Equal to a full-scan filter by
@@ -67,7 +82,7 @@ object StatsIndex {
       lo: Any, hi: Any): DataFrame = {
     val files = candidateFiles(spark, path, lo, hi)
     val base =
-      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      if (files.isEmpty) emptyLike(spark, path)
       else spark.read.parquet(files: _*)
     base.filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
@@ -105,7 +120,7 @@ object StatsIndex {
         col("max_b") >= lit(bLo) && col("min_b") <= lit(bHi))
       .select("file").collect().map(_.getString(0)).toSeq
     val base =
-      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      if (files.isEmpty) emptyLike(spark, path)
       else spark.read.parquet(files: _*)
     base.filter(col(colA).between(lit(aLo), lit(aHi)) &&
       col(colB).between(lit(bLo), lit(bHi)))

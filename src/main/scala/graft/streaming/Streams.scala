@@ -141,11 +141,22 @@ object Streams {
       threshold: Double = 0.7): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
+    import spark.implicits._
     val fs = new Path(lakePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lake = spark.read.parquet(lakePath)
-      .filter(!input_file_name().contains(s"/batch=$batchId/"))
-      .select("doc_id", "text")
+    // bootstrap: on the FIRST batch of a fresh deployment the lake
+    // path doesn't exist (or holds no parquet yet) and the read would
+    // throw — an empty history admits everything and batch 0 creates
+    // the tree. Catching AnalysisException (not pre-checking existence)
+    // also covers the empty-directory-no-footer case.
+    val lake =
+      try spark.read.parquet(lakePath)
+        .filter(!input_file_name().contains(s"/batch=$batchId/"))
+        .select("doc_id", "text")
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          Seq.empty[(Long, String)].toDF("doc_id", "text")
+      }
     val verdicts =
       graft.operators.Dedup.d11IncrementalDedup(batch, lake, threshold = threshold)
     val admitted = batch

@@ -95,6 +95,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(bySplit.getOrElse("val", 0) > 0 && bySplit.getOrElse("test", 0) > 0)
   }
 
+  test("c13 quarantine reaches the fixpoint: transitive leak chains all land in train") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // pick ids landing in each split under the operator's own hash
+    // assignment (bucket = xxhash64(doc_id) mod 1e6; train < 8e5,
+    // val < 9e5, test above) — planted, not assumed
+    val buckets = spark.range(0, 4000)
+      .select(col("id"), pmod(xxhash64(col("id")), lit(1000000L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def pick(lo: Long, hi: Long, skip: Set[Long]): Long =
+      buckets.find { case (id, b) => b >= lo && b < hi && !skip(id) }.get._1
+    val idA = pick(0L, 800000L, Set.empty)            // train
+    val idB = pick(800000L, 900000L, Set.empty)       // val
+    val idC = pick(900000L, 1000000L, Set.empty)      // test
+    val idD = pick(900000L, 1000000L, Set(idC))       // test, clean
+
+    // 12-word passages → 5 distinct 8-shingles each, ≥ minShared = 3.
+    // Chain: A(train) ~P1~ B(val) ~P2~ C(test); C shares NOTHING with
+    // the original train split — only the fixpoint can catch it.
+    val p1 = (1 to 12).map(i => s"p1w$i").mkString(" ")
+    val p2 = (1 to 12).map(i => s"p2w$i").mkString(" ")
+    def base(tag: String) = (1 to 15).map(i => s"${tag}w$i").mkString(" ")
+    val docs = Seq(
+      (idA, base("a") + " " + p1),
+      (idB, base("b") + " " + p1 + " " + p2),
+      (idC, base("c") + " " + p2),
+      (idD, base("d"))).toDF("doc_id", "text")
+
+    val got = Corpus.leakproofSplitOver(docs, 0.8, 0.1, 8, 3L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got(idA) == ("train", "train"))
+    assert(got(idB) == ("val", "train"), s"direct leak: ${got(idB)}")
+    // the single-pass implementation left this one in test
+    assert(got(idC) == ("test", "train"), s"transitive leak: ${got(idC)}")
+    assert(got(idD) == ("test", "test"), s"clean doc moved: ${got(idD)}")
+  }
+
   test("c12 sequences are full except the tail; tokens conserve t09's") {
     val seqLen = 128L
     val rows = Corpus.c12PackSequences(spark, TestSpark.Sf0001, seqLen)

@@ -152,6 +152,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got.groupBy(_._2).values.exists(_.size >= 2))
   }
 
+  test("d12 keeps exactly the highest-quality member of every cluster") {
+    // independent ground truth: d04's verified pairs → driver-side
+    // union-find → per-cluster argmax on a locally recomputed t02
+    // quality score (split/count/round redone in plain Scala, no
+    // engine code shared)
+    val pairs = Dedup.d04NgramJaccard(spark, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def quality(text: String): Double = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 8) 0.0
+      else {
+        val stop = toks.count(t => t == "the" || t == "a")
+        BigDecimal(1.0 - stop.toDouble / toks.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val byCluster = parent.keys.toSeq.groupBy(find)
+    val expected = byCluster.flatMap { case (_, members) =>
+      val cluster = members.min
+      val kept = members.minBy(id => (-quality(texts(id)), id))
+      members.map(id =>
+        id -> (cluster, kept, if (id == kept) "keep" else "drop"))
+    }
+    val got = Dedup.d12KeepBestDedup(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4)))
+      .toMap
+    assert(got == expected)
+    // not vacuous: clusters exist, so something was dropped
+    assert(got.values.exists(_._3 == "drop"))
+  }
+
   test("d07 propagation resolves a long chain (diameter > 1 round)") {
     import spark.implicits._
     // path graph 1-2-3-...-8: min label must travel 7 hops
@@ -310,9 +355,10 @@ class DedupSpec extends AnyFunSuite {
       tagged.keys.count(_ % 10 == 0) - 1)
   }
 
-  test("d06 banded SRP finds every planted near-dup pair, exactly") {
+  test("d06 narrow bands (8-bit, high-recall opt-in) find every planted pair, exactly") {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9).collect()
+    val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9,
+      bands = 8).collect()
     // each planted copy sits ~1.4° from its base: every (v, v+1e6) pair
     // must surface, and nothing else clears 0.9 (natural max ≈ 0.6)
     assert(out.length == n, s"expected $n pairs, got ${out.length}")
@@ -320,16 +366,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) >= 0.9))
   }
 
-  test("d06 wide bands (16-bit) trade bounded recall for 64x fewer collisions") {
+  test("d06 default (16-bit bands) holds the >=0.95 recall envelope") {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    // bands = 4 → 16-bit bands: 64× fewer random collisions
-    // (n²/2¹⁶ floor vs n²/2⁸). Planted pairs sit at ~4.9°
+    // the DEFAULT is the scale-safe config: 64× fewer random
+    // collisions (n²/2¹⁶ floor vs n²/2⁸). Planted pairs sit at ~4.9°
     // (cos ≈ 0.9964): p(bit) ≈ 0.973, so per-pair band recall is
     // 1 − (1 − 0.973¹⁶)⁴ ≈ 0.98 — assert the ≥ 0.95 envelope and
     // that nothing BUT planted pairs surfaces (precision stays 1
     // by exact-cosine verification at any band width)
-    val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9,
-      bands = 4).collect()
+    val out = Dedup.d06EmbedNeardupDemo(spark, dir, threshold = 0.9).collect()
     assert(out.length >= (n * 95) / 100,
       s"recall ${out.length}/$n below the 0.95 envelope")
     assert(out.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
@@ -375,7 +420,11 @@ class DedupSpec extends AnyFunSuite {
     // brute force (precision 1) with bit-identical cosine values
     val exact = Dedup.d05EmbedNeardup(spark, dir, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = Dedup.d06EmbedNeardupLsh(spark, dir, threshold = 0.4).collect()
+    // bands = 8: the high-recall form surfaces enough borderline
+    // (~0.4-cosine) candidates for a meaningful subset check — the
+    // default 16-bit bands would correctly return few-to-none here
+    val lsh = Dedup.d06EmbedNeardupLsh(spark, dir, threshold = 0.4,
+      bands = 8).collect()
     assert(lsh.nonEmpty)
     lsh.foreach { r =>
       val k = (r.getLong(0), r.getLong(1))

@@ -188,12 +188,25 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.synthImageNoise(2L))
     java.nio.file.Files.write(dir.resolve("tone.wav"),
       Multimodal.synthWav(3L))
+    // other ImageIO extensions route to the image decoder (ImageIO
+    // sniffs content, so PNG bytes under .jpg exercise the routing,
+    // which is what broke — .jpg once fell through to "video"), and
+    // the frame container rides its reserved extension
+    java.nio.file.Files.write(sub.resolve("extra.jpg"),
+      Multimodal.synthImageNoise(4L))
+    java.nio.file.Files.write(dir.resolve("clip.vid"),
+      Multimodal.synthVideo(5L))
 
     val media = Multimodal.mediaFromDir(spark, dir.toString)
     val rows = media.collect()
-    assert(rows.length == 4)
-    assert(rows.count(_.getString(1) == "image") == 3)
+    assert(rows.length == 6)
+    assert(rows.count(_.getString(1) == "image") == 4)
     assert(rows.count(_.getString(1) == "audio") == 1)
+    assert(rows.count(_.getString(1) == "video") == 1)
+    // the video payload decodes through the frame pipeline
+    rows.filter(_.getString(1) == "video").foreach { r =>
+      assert(Codecs.unpackFrames(r.getAs[Array[Byte]](2)).nonEmpty)
+    }
     // payloads decode with the real codecs
     rows.filter(_.getString(1) == "image").foreach { r =>
       val (w, h, _) = Codecs.decodeGray(r.getAs[Array[Byte]](2))
@@ -209,6 +222,22 @@ class MultimodalSpec extends AnyFunSuite {
       (idOf("a.png") min idOf("a_copy.png"),
         idOf("a.png") max idOf("a_copy.png")))
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
+  test("mediaFromDir fails fast at intake on unknown extensions, naming the path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_bad")
+    java.nio.file.Files.write(dir.resolve("ok.png"),
+      Multimodal.synthImageNoise(1L))
+    java.nio.file.Files.writeString(dir.resolve("notes.txt"), "not media")
+    val ex = intercept[Exception] {
+      Multimodal.mediaFromDir(spark, dir.toString).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("unknown media extension") && m.contains("notes.txt")),
+      s"got: ${messages(ex)}")
   }
 
   test("m04 aHash is invariant to uniform brightness shift") {
@@ -251,5 +280,65 @@ class MultimodalSpec extends AnyFunSuite {
     val foundPlanted = got.count { case (a, b, _) => b == a + 1000000L }
     assert(planted > 0 && foundPlanted * 2 >= planted,
       s"$foundPlanted of $planted planted variants found")
+  }
+
+  test("m06 dHash survives a monotone tone curve that flips aHash") {
+    // by construction: bimodal 0/248 cells plus one 128 mid-cell. The
+    // convex tone curve p·(p+255)/510 maps 0→0, 128→96, 248→244 —
+    // strictly order-preserving (dHash bit-identical) but the mid-cell
+    // crosses the global mean (128 > 126 before; 96 < 123.5 after), so
+    // aHash MUST differ: the exact failure class m06 exists for.
+    val px = Array.tabulate(64)(i =>
+      if (i == 20) 128 else if (i % 2 == 0) 0 else 248)
+    val toned = px.map(p => (p * (p + 255)) / 510)
+    assert(Multimodal.dHash64(8, 8, px) == Multimodal.dHash64(8, 8, toned))
+    assert(Multimodal.aHash64(8, 8, px) != Multimodal.aHash64(8, 8, toned))
+    // and dHash is still content-sensitive
+    val other = Array.tabulate(64)(i => ((i * 53) + 11) % 256)
+    assert(Multimodal.dHash64(8, 8, px) != Multimodal.dHash64(8, 8, other))
+  }
+
+  test("m06 finds exactly the planted tone-mapped near-dup pairs") {
+    import spark.implicits._
+    val got = Multimodal.m06DhashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // ground truth recomputed locally, m04's discipline: hash every
+    // corpus image through the same decode path, enumerate ALL pairs
+    // within Hamming ≤ 3
+    val ids = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select("doc_id")
+      .as[Long].collect().sorted
+    val dhashes: Map[Long, Long] =
+      (ids.map { id =>
+        val (w, h, px) = Codecs.decodeGray(Multimodal.synthImageNoise(id))
+        id -> Multimodal.dHash64(w, h, px)
+      } ++ ids.filter(_ % 30 == 0).map { id =>
+        val (w, h, px) = Codecs.decodeGray(Multimodal.synthImageTone(id))
+        (id + 1000000L) -> Multimodal.dHash64(w, h, px)
+      }).toMap
+    val all = dhashes.keys.toSeq.sorted
+    val expected = for {
+      i <- all.indices; j <- (i + 1) until all.length
+      h = java.lang.Long.bitCount(dhashes(all(i)) ^ dhashes(all(j)))
+      if h <= 3
+    } yield (all(i), all(j), h.toLong)
+    assert(got.toSeq.sorted == expected.sorted)
+
+    // the demo is not vacuous, and the tone class is REAL: dHash keeps
+    // most planted regrades within 3 bits...
+    val planted = ids.count(_ % 30 == 0)
+    val foundPlanted = got.count { case (a, b, _) => b == a + 1000000L }
+    assert(planted > 0 && foundPlanted * 2 >= planted,
+      s"$foundPlanted of $planted planted regrades found")
+    // ...while the same pairs drift past aHash's banding tolerance for
+    // at least one planted pair (m04 alone would MISS tone regrades)
+    val aMissed = ids.filter(_ % 30 == 0).count { id =>
+      val (w1, h1, p1) = Codecs.decodeGray(Multimodal.synthImageNoise(id))
+      val (w2, h2, p2) = Codecs.decodeGray(Multimodal.synthImageTone(id))
+      java.lang.Long.bitCount(
+        Multimodal.aHash64(w1, h1, p1) ^ Multimodal.aHash64(w2, h2, p2)) > 3
+    }
+    assert(aMissed >= 1, s"aHash caught every tone regrade — differentiator vacuous")
   }
 }

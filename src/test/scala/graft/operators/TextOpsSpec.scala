@@ -294,5 +294,45 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t14 ranks distinctive terms by tf/df with deterministic tie-breaks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common"),
+      (3L, "cherry cherry cherry common")).toDF("doc_id", "text")
+    // df: apple 1, banana 2, cherry 2, common 3 — hand-computed ratios:
+    // doc1 apple 2/1, common 3/3, banana 1/2
+    // doc2 common 2/3, then the 1/2 tie breaks banana < cherry
+    // doc3 cherry 3/2, common 1/3
+    val got = TextOps.tfidfKeywordsOver(docs, 3)
+      .orderBy("doc_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val expected = Seq(
+      (1L, "apple", 2L, 1L, 1L),
+      (1L, "common", 3L, 3L, 2L),
+      (1L, "banana", 1L, 2L, 3L),
+      (2L, "common", 2L, 3L, 1L),
+      (2L, "banana", 1L, 2L, 2L),
+      (2L, "cherry", 1L, 2L, 3L),
+      (3L, "cherry", 3L, 2L, 1L),
+      (3L, "common", 1L, 3L, 2L))
+    assert(got.toSeq == expected)
+  }
+
+  test("t14 keeps at most k rows per doc and never a zero-length token") {
+    val out = TextOps.t14TfidfKeywords(spark, TestSpark.Sf0001, k = 3)
+      .collect()
+    assert(out.nonEmpty)
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(_.length <= 3))
+    // rk is 1..len within each doc
+    perDoc.values.foreach { rows =>
+      assert(rows.map(_.getLong(4)).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    assert(out.forall(_.getString(1).nonEmpty))
+  }
+
   private def round4(x: Double): Double = math.rint(x * 10000) / 10000
 }

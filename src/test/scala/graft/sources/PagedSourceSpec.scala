@@ -207,6 +207,161 @@ class PagedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("f07 deep/wide tree walks distributed: frontier stays on executors, every page fetched once") {
+    PagedSourceSpec.pageCalls.clear()
+    // depth 3, branch 4: levels of 4, 16, 64 directories — threshold 2
+    // forces RDD-frontier mode from level 1 on, so the driver loop sees
+    // only counts for every wide level
+    val f = TreeFetcher(depth = 3, branch = 4, filesPerDir = 2, pageSize = 3)
+    val m = PagedSource.pagedCatalog(spark, f, distributeThreshold = 2)
+      .collect()
+    val nDirs = 1 + 4 + 16 + 64
+    assert(m.length == nDirs * 2, s"got ${m.length} files")
+    assert(m.map(_.rel_path).distinct.length == nDirs * 2)
+    // deepest level really arrived
+    assert(m.count(_.rel_path.count(_ == '/') == 3) == 64 * 2)
+    // the checkpoint discipline holds in RDD-frontier mode: file
+    // entries are consumed long after the frontier advanced, yet no
+    // page is ever fetched from the endpoint twice
+    val multi = PagedSourceSpec.pageCalls.entrySet().stream()
+      .filter(e => e.getValue.get() > 1).count()
+    assert(multi == 0, s"$multi pages fetched more than once")
+    // and the distributed walk returns byte-identical manifests to the
+    // collect-frontier walk
+    val viaDriver = PagedSource.pagedCatalog(spark, f).collect()
+    assert(m.map(e => (e.rel_path, e.size, e.mtime)).sorted.toSeq ==
+      viaDriver.map(e => (e.rel_path, e.size, e.mtime)).sorted.toSeq)
+  }
+
+  test("oauth2 provider mints, caches, and re-mints on server-side 401 mid-walk") {
+    // token endpoint + protected listing: the server revokes EVERY
+    // token after 3 uses, and each directory pages 4 times on one
+    // task's cached token — so the walk MUST re-mint mid-walk through
+    // the 401 → invalidate → retry path (per token, so concurrent
+    // tasks holding different tokens never invalidate each other)
+    val mints = new AtomicInteger(0)
+    val unauthorized = new AtomicInteger(0)
+    val tokenUses =
+      new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/token", (ex: HttpExchange) => {
+      val form = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      assert(form.contains("grant_type=client_credentials") &&
+        form.contains("client_id=app") && form.contains("client_secret=s3cr3t"))
+      val tok = s"tok-${mints.incrementAndGet()}"
+      tokenUses.put(tok, new AtomicInteger(0))
+      send(ex, 200,
+        s"""{"access_token":"$tok","expires_in":3600}"""
+          .getBytes(StandardCharsets.UTF_8))
+    })
+    server.createContext("/list", (ex: HttpExchange) => {
+      val tok = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+        .flatMap(t => Option(tokenUses.get(t)))
+      if (tok.isEmpty || tok.get.incrementAndGet() > 3) {
+        unauthorized.incrementAndGet()
+        send(ex, 401, Array.empty)
+      } else {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+          }.toMap
+        val dir = params.getOrElse("dir", "")
+        // root: 2 dirs; each dir: 8 files paged 2 at a time → 4 pages
+        // on one task's cached token → the 4th listing 401s
+        val all =
+          if (dir.isEmpty)
+            (0 until 2).map(d => (s"d$d", s"d$d", true))
+          else
+            (0 until 8).map(f => (s"/c/$dir-$f", s"f$f.txt", false))
+        val off = params.get("token").map(_.toInt).getOrElse(0)
+        val items = all.slice(off, off + 2).map { case (id, name, isDir) =>
+          s"""{"id":"$id","name":"$name","isDir":$isDir,"size":4,"mtime":1700000000000}"""
+        }
+        val next = if (off + 2 < all.size) s""","nextToken":"${off + 2}""""
+          else ""
+        send(ex, 200, s"""{"items":${items.mkString("[", ",", "]")}$next}"""
+          .getBytes(StandardCharsets.UTF_8))
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val auth = new PagedSource.OAuth2ClientCredentials(
+        s"$base/token", "app", "s3cr3t")
+      val fetcher = new PagedSource.HttpJsonFetcher(base, auth)
+      val m = PagedSource.pagedCatalog(spark, fetcher,
+        maxRetries = 8, baseBackoffMs = 1).collect()
+      assert(m.length == 16, s"got ${m.map(_.rel_path).toSeq.sorted}")
+      assert(mints.get() >= 2,
+        s"walk survived on one token (${mints.get()} mints) — revocation never bit")
+      assert(unauthorized.get() >= 1, "no 401 was ever served — test is vacuous")
+    } finally server.stop(0)
+  }
+
+  test("oauth2 provider re-mints client-side once the expiry window closes") {
+    val mints = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/token", (ex: HttpExchange) => {
+      val n = mints.incrementAndGet()
+      ex.getRequestBody.readAllBytes()
+      val body = s"""{"access_token":"tok-$n","expires_in":0}"""
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val auth = new PagedSource.OAuth2ClientCredentials(
+        s"http://127.0.0.1:${server.getAddress.getPort}/token", "app", "s")
+      // expires_in 0 with the default refresh skew ⇒ every headers()
+      // call is past the refresh point and must mint fresh
+      assert(auth.headers() == Map("Authorization" -> "Bearer tok-1"))
+      assert(auth.headers() == Map("Authorization" -> "Bearer tok-2"))
+      assert(mints.get() == 2)
+    } finally server.stop(0)
+  }
+
+  test("f08 audits a missing content handle as skipped-with-reason, not failed") {
+    val inner = PagedSource.SyntheticFetcher(dirs = 2, filesPerDir = 3,
+      pageSize = 4)
+    val fetcher = NoContentFetcher(inner, poison = "d1/f1")
+    val dest = Files.createTempDirectory("graft_nocontent")
+    val audit = PagedSource.distCopyPaged(spark, fetcher,
+      PagedSource.pagedCatalog(spark, fetcher), dest.toString,
+      partitions = 2, maxRetries = 3, baseBackoffMs = 1).collect()
+    assert(audit.count(_.status == "copied") == 5, s"got ${audit.toSeq}")
+    val skipped = audit.filter(_.status == "skipped")
+    assert(skipped.map(_.rel_path).toSeq == Seq("dir1/file1.txt"))
+    // the reason distinguishes it from an already-in-sync skip
+    assert(skipped.head.error.startsWith("no_content:"),
+      s"reason was '${skipped.head.error}'")
+    assert(audit.forall(_.status != "failed"))
+  }
+
+  test("resolveLibrary prefers the named library and falls back to the first") {
+    // preferred name sits on the LAST page — the search must keep paging
+    val withDocs = LibraryFetcher(
+      Seq("archive" -> "lib-a", "media" -> "lib-m", "Documents" -> "lib-d"),
+      pageSize = 2)
+    assert(withDocs.resolveLibrary() == "lib-d")
+    // no name match → first directory listed (ref py:166-177's fallback)
+    val renamed = LibraryFetcher(
+      Seq("archive" -> "lib-a", "media" -> "lib-m"), pageSize = 2)
+    assert(renamed.resolveLibrary() == "lib-a")
+    // no directories at all → permanent error
+    intercept[java.io.FileNotFoundException](
+      LibraryFetcher(Seq.empty, pageSize = 2).resolveLibrary())
+  }
+
   test("rate limiter makes progress at fractional (sub-1/s) rates") {
     // regression: with the cap clamped to permitsPerSec, a rate < 1
     // could never accumulate a whole token and acquire() hung forever
@@ -224,4 +379,81 @@ class PagedSourceSpec extends AnyFunSuite {
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 150, s"11 acquires at 50/s took only ${elapsedMs}ms")
   }
+}
+
+object PagedSourceSpec {
+  /** (dirId@token → fetch count) — local[*] is one JVM, so a static
+    * map observes every executor-side page fetch.
+    */
+  val pageCalls =
+    new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+}
+
+/** Deterministic in-memory tree of `depth` levels × `branch` subdirs,
+  * `filesPerDir` files everywhere, paged — wide-BFS fixture for the
+  * distributed-frontier leg. Every listPage call is counted in
+  * [[PagedSourceSpec.pageCalls]].
+  */
+final case class TreeFetcher(depth: Int, branch: Int, filesPerDir: Int,
+    pageSize: Int) extends PagedSource.PageFetcher {
+  private def level(dirId: String): Int =
+    if (dirId.isEmpty) 0 else dirId.count(_ == '/') + 1
+  private def children(dirId: String): IndexedSeq[PagedSource.PageItem] = {
+    val dirs =
+      if (level(dirId) < depth)
+        (0 until branch).map { b =>
+          val id = if (dirId.isEmpty) s"D$b" else s"$dirId/D$b"
+          PagedSource.PageItem(id, s"D$b", isDir = true, 0L, 0L)
+        }
+      else IndexedSeq.empty[PagedSource.PageItem]
+    val files = (0 until filesPerDir).map { f =>
+      val id = if (dirId.isEmpty) s"F$f" else s"$dirId/F$f"
+      PagedSource.PageItem(id, s"F$f.txt", isDir = false, 10L,
+        1700000000000L)
+    }
+    dirs ++ files
+  }
+  override def listPage(dirId: String, token: Option[String])
+      : PagedSource.Page = {
+    PagedSourceSpec.pageCalls
+      .computeIfAbsent(s"$dirId@${token.getOrElse("^")}",
+        _ => new AtomicInteger(0))
+      .incrementAndGet()
+    val all = children(dirId)
+    val off = token.map(_.toInt).getOrElse(0)
+    val next = if (off + pageSize < all.size) Some((off + pageSize).toString)
+      else None
+    PagedSource.Page(all.slice(off, off + pageSize), next)
+  }
+  override def open(fileId: String): java.io.InputStream =
+    new java.io.ByteArrayInputStream(Array.fill(10)('x'.toByte))
+}
+
+/** Wraps a fetcher so one file id has no downloadable content. */
+final case class NoContentFetcher(inner: PagedSource.SyntheticFetcher,
+    poison: String) extends PagedSource.PageFetcher {
+  override def listPage(dirId: String, token: Option[String])
+      : PagedSource.Page = inner.listPage(dirId, token)
+  override def open(fileId: String): java.io.InputStream =
+    if (fileId == poison)
+      throw new PagedSource.NoContent(s"item $fileId has no download URL")
+    else inner.open(fileId)
+}
+
+/** Top level holds only the given (name → id) directories, paged. */
+final case class LibraryFetcher(libs: Seq[(String, String)], pageSize: Int)
+    extends PagedSource.PageFetcher {
+  override def listPage(dirId: String, token: Option[String])
+      : PagedSource.Page = {
+    require(dirId.isEmpty, "library fixture lists the top level only")
+    val all = libs.map { case (name, id) =>
+      PagedSource.PageItem(id, name, isDir = true, 0L, 0L)
+    }.toIndexedSeq
+    val off = token.map(_.toInt).getOrElse(0)
+    val next = if (off + pageSize < all.size) Some((off + pageSize).toString)
+      else None
+    PagedSource.Page(all.slice(off, off + pageSize), next)
+  }
+  override def open(fileId: String): java.io.InputStream =
+    throw new java.io.FileNotFoundException(fileId)
 }

@@ -128,6 +128,26 @@ class WritersSpec extends AnyFunSuite {
       s"pruned $prunedBytes vs full $fullBytes — no byte reduction")
   }
 
+  test("x17 pruned reads agree on schema between hit and no-candidate branches") {
+    import spark.implicits._
+    // batch-appended layout: reading the ROOT discovers a `batch`
+    // partition column that leaf-file reads lack — the no-candidate
+    // branch must build its empty frame from a LEAF file or a caller
+    // unioning across queries breaks on exactly the empty edge
+    val path = Files.createTempDirectory("graft_statsschema").toString + "/t"
+    StatsIndex.appendBatchWithStats(
+      (0L until 50L).map(i => (i, i)).toDF("id", "v"), path, "v", 0L)
+    StatsIndex.appendBatchWithStats(
+      (50L until 100L).map(i => (i, i)).toDF("id", "v"), path, "v", 1L)
+    val hit = StatsIndex.prunedRead(spark, path, "v", 10L, 20L)
+    val miss = StatsIndex.prunedRead(spark, path, "v", 1000L, 2000L)
+    assert(hit.count() == 11L && miss.count() == 0L)
+    assert(miss.schema == hit.schema,
+      s"empty-branch schema ${miss.schema} != hit-branch ${hit.schema}")
+    // the contract that matters downstream: the union is legal
+    assert(hit.unionByName(miss).count() == 11L)
+  }
+
   test("x18 z-order + 2-D stats prune a box query on BOTH dimensions") {
     val t = Tables(spark, dir)
     val path = Files.createTempDirectory("graft_zstats").toString + "/orders"

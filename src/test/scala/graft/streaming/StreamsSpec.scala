@@ -523,6 +523,32 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == Set(1L, 200L, 400L), s"replay changed the lake: $after")
   }
 
+  test("st13 bootstraps a fresh deployment: batch 0 admits into a lake that doesn't exist yet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13boot")
+    val lake = dir.resolve("lake").toString // never created
+    val ckpt = dir.resolve("ckpt").toString
+    def doc(id: Long, tag: String) =
+      (id, (1 to 30).map(i => s"w${i}_$tag").mkString(" "))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st13AdmitStream(
+      input.toDS().toDF("doc_id", "text"), lake, ckpt)
+    // drain 1 against the nonexistent lake: everything admits, the
+    // tree is created
+    input.addData(doc(1L, "a"), doc(2L, "b"))
+    q.processAllAvailable()
+    // drain 2 still gates against what batch 0 just admitted
+    input.addData((3L, doc(1L, "a")._2 + " tail"), doc(4L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 4L),
+      s"lake holds $ids — want batch 0 fully admitted, near-dup 3 rejected")
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
