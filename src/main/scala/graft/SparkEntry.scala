@@ -121,6 +121,7 @@ object SparkEntry {
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
     "m06_dhash_dedup" -> ((s, dir) => Multimodal.m06DhashDedup(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
+    "c14_importance_weights" -> ((s, dir) => Corpus.c14ImportanceWeights(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>

@@ -633,4 +633,82 @@ object Corpus {
       .filter(col("n_shared") >= minShared)
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- c14
+
+  /** c14: importance-weighted data selection (DSIR — Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling",
+    * public): score every raw document by how much more likely its
+    * hashed n-gram features are under a TARGET domain than under the
+    * raw corpus — the importance weight that resamples a generic
+    * crawl toward a quality exemplar set. Features are the e12
+    * positional bigram hashes bucketed to 2¹⁶ (DSIR's hashed-ngram
+    * trick: fixed feature space at any corpus size); both
+    * distributions are add-1-smoothed bucket frequencies; weight =
+    * Σ_b n_b(doc) · (ln p_target(b) − ln p_raw(b)).
+    *
+    * Determinism discipline: ln runs on identical doubles everywhere
+    * (StrictMath — fdlibm, platform-exact), and the per-doc sum
+    * accumulates in fixed-point DECIMAL on 9-dp-rounded terms, so the
+    * result is bit-identical at any partitioning — float Σ would be
+    * partition-order-dependent. Shape at scale: one bigram scan, two
+    * bounded (≤ 2¹⁶-row) frequency tables broadcast to a bucket join,
+    * one doc-keyed rollup. The target table is built from the
+    * exemplar subset only — at 100 TB the exemplar is tiny by design
+    * (DSIR targets Wikipedia-sized sets), the crawl side streams.
+    */
+  def c14ImportanceWeights(spark: SparkSession, dir: String,
+      targetSource: String = ""): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.documents
+    // demo exemplar: the alphabetically-first source (deterministic)
+    val tgt = if (targetSource.nonEmpty) targetSource
+      else docs.select(min(col("source"))).collect().head.getString(0)
+    importanceWeightsOver(
+      docs.select(col("doc_id"), col("text")),
+      docs.filter(col("source") === tgt).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+  }
+
+  /** c14 over any raw/target (doc_id, text) pair of frames. Emits
+    * (doc_id, n_feats, weight) for every raw doc with ≥ 1 bigram.
+    */
+  def importanceWeightsOver(raw: DataFrame, target: DataFrame,
+      buckets: Int = 65536): DataFrame = {
+    def bucketCounts(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        explode(graft.functions.F.shinglePosHashes64(col("text"), 2))
+          .as("bh"))
+      .select(col("doc_id"), pmod(col("bh"), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    // localCheckpoint: the raw scan feeds the raw distribution AND the
+    // per-doc scoring join — one corpus tokenization, not two
+    val rawCounts = bucketCounts(raw).localCheckpoint(false)
+    val tgtCounts = bucketCounts(target)
+    // bounded driver scalars (one long each), the mixture-rate class
+    val nRaw = rawCounts.agg(sum(col("n"))).collect().head.getLong(0)
+    val nTgt = tgtCounts.agg(sum(col("n"))).collect().head.getLong(0)
+    // bucket log-ratio table, ≤ 2¹⁶ rows by construction: every
+    // bucket a doc can hit exists on the raw side (doc ⊆ raw), the
+    // target side smooths absent buckets to count 0 (add-1)
+    val lnRatio =
+      log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+        lit((nTgt + buckets).toDouble)) -
+      log((col("c_r") + lit(1L)).cast("double") /
+        lit((nRaw + buckets).toDouble))
+    val lr = rawCounts.groupBy("b").agg(sum(col("n")).as("c_r"))
+      .join(tgtCounts.groupBy("b").agg(sum(col("n")).as("c_t")),
+        Seq("b"), "left")
+      .select(col("b"), lnRatio.as("lr"))
+    // fixed-point accumulation: the per-doc Σ n_b·lr(b) runs on
+    // 9-dp-rounded DECIMAL terms — decimal addition is associative,
+    // so the weight is bit-identical at any partition order (a float
+    // Σ would not be)
+    rawCounts.join(broadcast(lr), Seq("b"))
+      .select(col("doc_id"), col("n"),
+        round(col("n") * col("lr"), 9).cast("decimal(28,9)").as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("term")).cast("double").as("weight"))
+  }
 }

@@ -126,6 +126,86 @@ object StatsIndex {
       col(colB).between(lit(bLo), lit(bHi)))
   }
 
+  /** x19 build: per-file membership FILTERS for equality lookups on a
+    * high-cardinality key — the skipping class min/max stats can't
+    * serve. A table laid out by time (st11's batches, x08's compacted
+    * runs) has every file's [min_id, max_id] spanning ~the whole key
+    * domain, so x17 prunes nothing for `key = v`; table formats
+    * (Delta/Iceberg/Hudi, all public designs) add per-file bloom
+    * filters for exactly this. Here each file records TWO independent
+    * 16-bit fingerprint sets (xxhash64 under different seed mixes) in
+    * sparse form — a candidate file must contain BOTH fingerprints of
+    * the probe, so for a file of n distinct keys the false-candidate
+    * rate is ~(n/2¹⁶)², under 3% at 10k keys/file, while present keys
+    * are NEVER skipped (no false negatives, the bloom guarantee).
+    *
+    * Scale posture: the filter pass is one distributed scan of the
+    * written files (input_file_name groupBy, positions dedup'd
+    * map-side by collect_set); the manifest holds one row per file
+    * (two ≤2¹⁶-int arrays ≈ 100 KB worst case), and planning filters
+    * it with two array_contains — the same tiny-manifest planner
+    * discipline as x17.
+    */
+  def writeWithBloom(df: DataFrame, path: String, keyCol: String,
+      nFiles: Int): Unit = {
+    df.repartition(nFiles) // hash layout: the adversarial case for x17
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        collect_set(fingerprint(col(keyCol), 1)).as("fp1"),
+        collect_set(fingerprint(col(keyCol), 2)).as("fp2"),
+        count(lit(1)).as("n_rows"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(bloomPath(path))
+  }
+
+  private def bloomPath(path: String): String = path + ".bloom"
+
+  /** 16-bit fingerprint of `c` under seed-mix `seed` — the engine
+    * expression AND the planner's probe run the same codegen'd
+    * xxhash64, so fingerprints agree by construction.
+    */
+  private def fingerprint(c: org.apache.spark.sql.Column,
+      seed: Int): org.apache.spark.sql.Column =
+    (xxhash64(lit(seed), c).bitwiseAND(lit(0xFFFFL))).cast("int")
+
+  /** x19 planning: files whose BOTH fingerprint sets contain the
+    * probe's. The probe fingerprints are computed by the engine itself
+    * (1-row query) — no re-implementation of the hash driver-side.
+    */
+  def bloomCandidateFiles(spark: SparkSession, path: String,
+      value: Any): Seq[String] = {
+    val probe = spark.range(1)
+      .select(fingerprint(lit(value), 1).as("p1"),
+        fingerprint(lit(value), 2).as("p2"))
+      .collect().head
+    val (p1, p2) = (probe.getInt(0), probe.getInt(1))
+    spark.read.parquet(bloomPath(path))
+      .filter(array_contains(col("fp1"), p1) &&
+        array_contains(col("fp2"), p2))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** x19 query: read only may-contain files, then apply the exact
+    * equality predicate. Equal to a full-scan filter by construction
+    * (no false negatives); reads a ~(n/2¹⁶)²-bounded fraction of the
+    * files for absent or rare keys.
+    */
+  def bloomPrunedRead(spark: SparkSession, path: String, keyCol: String,
+      value: Any): DataFrame = {
+    val files = bloomCandidateFiles(spark, path, value)
+    val base =
+      if (files.isEmpty) {
+        val anyFile = spark.read.parquet(bloomPath(path))
+          .select("file").limit(1).collect().map(_.getString(0))
+        if (anyFile.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(anyFile.head).limit(0)
+      } else spark.read.parquet(files: _*)
+    base.filter(col(keyCol) === lit(value))
+  }
+
   /** st11's batch engine: append one micro-batch to a stats-indexed
     * table and keep the manifest fresh. The batch lands in a
     * DETERMINISTIC directory (`batch=<id>`) written with Overwrite, so

@@ -8,6 +8,67 @@ class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf001
 
+  test("c14 importance weights == plain-Scala DSIR recompute on a hand corpus") {
+    import spark.implicits._
+    // fixture bigrams are all distinct strings (no two docs share a
+    // bigram unless planted), so each distinct bigram is its own
+    // 2^16 bucket w.h.p. — expected weights derive from bigram-string
+    // counts alone
+    val raw = Seq(
+      (1L, "alpha beta gamma"),        // bigrams: "alpha beta","beta gamma"
+      (2L, "alpha beta delta"),        // "alpha beta","beta delta"
+      (3L, "epsilon zeta eta theta"),  // 3 unique bigrams
+      (4L, "iota kappa")).toDF("doc_id", "text") // 1 unique bigram
+    val target = Seq(
+      (1L, "alpha beta gamma"),
+      (9L, "alpha beta mu")).toDF("doc_id", "text")
+    val b = 65536
+    // bigram counts: raw N = 2+2+3+1 = 8; target N = 2+2 = 4
+    val rawC = Map("alpha beta" -> 2L, "beta gamma" -> 1L,
+      "beta delta" -> 1L, "epsilon zeta" -> 1L, "zeta eta" -> 1L,
+      "eta theta" -> 1L, "iota kappa" -> 1L)
+    val tgtC = Map("alpha beta" -> 2L, "beta gamma" -> 1L,
+      "alpha mu" -> 0L, "beta mu" -> 1L)
+    val (nRaw, nTgt) = (8L, 4L)
+    def lr(g: String): Double =
+      StrictMath.log((tgtC.getOrElse(g, 0L) + 1L).toDouble / (nTgt + b)) -
+        StrictMath.log((rawC(g) + 1L).toDouble / (nRaw + b))
+    def weight(bigrams: Seq[String]): Double =
+      bigrams.groupBy(identity).map { case (g, occ) =>
+        BigDecimal(occ.size * lr(g))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    val expected = Map(
+      1L -> (2L, weight(Seq("alpha beta", "beta gamma"))),
+      2L -> (2L, weight(Seq("alpha beta", "beta delta"))),
+      3L -> (3L, weight(Seq("epsilon zeta", "zeta eta", "eta theta"))),
+      4L -> (1L, weight(Seq("iota kappa"))))
+    val got = Corpus.importanceWeightsOver(raw, target)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == expected)
+    // the signal points the right way: docs sharing the target's
+    // bigrams outscore the disjoint ones
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+  }
+
+  test("c14 demo: target-source docs outscore the rest on average") {
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    val tgt = docs.select(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("source")))
+      .collect().head.getString(0)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = Corpus.c14ImportanceWeights(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    val (in, out) = w.partition { case (id, _) => srcOf(id) == tgt }
+    assert(in.nonEmpty && out.nonEmpty)
+    val meanIn = in.map(_._2).sum / in.size
+    val meanOut = out.map(_._2).sum / out.size
+    assert(meanIn > meanOut,
+      s"target-source mean $meanIn ≤ other mean $meanOut — no signal")
+  }
+
   test("c09 distributed prefix-sum == naive global window, any layout") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

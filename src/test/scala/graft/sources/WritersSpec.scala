@@ -128,6 +128,51 @@ class WritersSpec extends AnyFunSuite {
       s"pruned $prunedBytes vs full $fullBytes — no byte reduction")
   }
 
+  test("x19 bloom skipping serves equality lookups a min/max index cannot") {
+    val t = Tables(spark, dir)
+    val path = Files.createTempDirectory("graft_bloom").toString + "/orders"
+    val src = t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    StatsIndex.writeWithBloom(src, path, "o_orderkey", nFiles = 16)
+
+    // manifest: one row per file, rows conserved
+    val manifest = spark.read.parquet(path + ".bloom").collect()
+    val nFilesOnDisk = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(manifest.length == nFilesOnDisk && manifest.length >= 8)
+    assert(manifest.map(_.getLong(3)).sum == src.count())
+
+    // present keys: NEVER skipped (bloom guarantee) — pruned read ==
+    // full-scan filter row-for-row, on a spread of real keys
+    val keys = src.select("o_orderkey").distinct()
+      .orderBy("o_orderkey").collect().map(_.getLong(0))
+    val sample = Seq(keys.head, keys(keys.length / 3),
+      keys(2 * keys.length / 3), keys.last)
+    sample.foreach { k =>
+      val got = StatsIndex.bloomPrunedRead(spark, path, "o_orderkey", k)
+        .orderBy("o_custkey", "o_totalprice").collect()
+      val want = src.filter(col("o_orderkey") === k)
+        .orderBy("o_custkey", "o_totalprice").collect()
+      assert(got.toSeq == want.toSeq && want.nonEmpty, s"key $k mismatch")
+      // and the lookup opened a bounded candidate set, not the table:
+      // the key lives in few files; false candidates are ~(n/2^16)^2
+      val scanned = StatsIndex.bloomPrunedRead(spark, path, "o_orderkey", k)
+        .inputFiles.toSet
+      assert(scanned.size < manifest.length / 2,
+        s"key $k scanned ${scanned.size}/${manifest.length} files")
+      assert(scanned ==
+        StatsIndex.bloomCandidateFiles(spark, path, k).toSet)
+    }
+
+    // absent key: result empty with the data schema, and the bloom
+    // pruned (almost) everything — this is the case where x17's
+    // min/max manifest over a hash layout prunes NOTHING
+    val absent = keys.max + 999983L
+    val none = StatsIndex.bloomPrunedRead(spark, path, "o_orderkey", absent)
+    assert(none.count() == 0 && none.columns.sameElements(src.columns))
+    assert(StatsIndex.bloomCandidateFiles(spark, path, absent).size <
+      manifest.length / 2)
+  }
+
   test("x17 pruned reads agree on schema between hit and no-candidate branches") {
     import spark.implicits._
     // batch-appended layout: reading the ROOT discovers a `batch`
