@@ -1099,6 +1099,21 @@ object Oracles {
         |JOIN sizes sb ON source_b = sb.source
         |ORDER BY source_a, source_b""".stripMargin,
 
+    // s12: the filtered exact search replays as s01's SQL plus the
+    // pre-filter — all k rows must satisfy the predicate.
+    "s12_ann_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |    (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                           CAST(embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0 AND label = 1
+        |ORDER BY cos_sim DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
     // t14: tf/df ranking — the division is one IEEE double op on two
     // exact integers (correctly rounded by definition), so the ORDER
     // BY agrees bit-for-bit with Spark's; ties break on the token.

@@ -66,6 +66,8 @@ object SparkEntry {
     "s09_ann_quantized" -> ((s, dir) => Ann.s09AnnQuantized(s, dir)),
     "s10_ann_pq" -> ((s, dir) => Ann.s10AnnPq(s, dir)),
     "s11_ann_ivf_pq" -> ((s, dir) => Ann.s11AnnIvfPq(s, dir)),
+    "s12_ann_filtered" -> ((s, dir) => Ann.s12AnnFiltered(s, dir)),
+    "s13_ann_filtered_ivf" -> ((s, dir) => Ann.s13AnnFilteredIvf(s, dir)),
     "t04_fingerprint" -> (TextOps.t04Fingerprint(_, _)),
     "c01_clean_corpus" -> ((s, dir) => Corpus.c01CleanCorpus(s, dir)),
     "c02_mixture_plan" -> ((s, dir) => Corpus.c02MixturePlan(s, dir)),
@@ -120,6 +122,7 @@ object SparkEntry {
     "d12_keep_best_dedup" -> ((s, dir) => Dedup.d12KeepBestDedup(s, dir)),
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
     "m06_dhash_dedup" -> ((s, dir) => Multimodal.m06DhashDedup(s, dir)),
+    "m07_scene_detect" -> ((s, dir) => Multimodal.m07SceneDetect(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c14_importance_weights" -> ((s, dir) => Corpus.c14ImportanceWeights(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),

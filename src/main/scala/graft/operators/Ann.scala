@@ -38,6 +38,63 @@ object Ann {
       .limit(k)
   }
 
+  /** s12: attribute-FILTERED exact search — "top-k most similar WHERE
+    * label = v", the vector+metadata query every retrieval corpus
+    * serves. Public design point: the predicate applies BEFORE
+    * ranking (pre-filtering), so all k results satisfy it — ranking
+    * first and filtering after can return under k rows for any
+    * selective predicate. Here the label filter reaches the parquet
+    * scan (PushedFilters) and the s01 kernel ranks only survivors.
+    * This is the exact bar s13's probed form is measured against.
+    */
+  def s12AnnFiltered(spark: SparkSession, dir: String, k: Int = 10,
+      label: Int = 1): DataFrame = {
+    val t = Tables(spark, dir)
+    val q = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    t.embeddings.filter(col("vec_id") =!= 0 && col("label") === label)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** s13: filtered IVF — s12 at scale. The predicate applies inside
+    * the probed cells, and the probe list OVERSAMPLES (nprobe ×
+    * `oversample` cells, capped at nlist): a filter keeping fraction
+    * s of each cell leaves ~s·|cell| candidates, so an unwidened
+    * probe returns a thinner — possibly under-k — candidate pool and
+    * recall sags exactly when the predicate is selective. Centroids
+    * are the full-corpus ones (cells stay query-independent, the s04
+    * index is reusable); the filter prunes BEFORE cell assignment so
+    * unmatched vectors never score a centroid. Exact re-rank on the
+    * probed survivors, s04's discipline.
+    */
+  def s13AnnFilteredIvf(spark: SparkSession, dir: String, k: Int = 10,
+      label: Int = 1, nlist: Int = 16, nprobe: Int = 4,
+      oversample: Int = 4): DataFrame = {
+    val t = Tables(spark, dir)
+    val corpus = t.embeddings.filter(col("vec_id") =!= 0)
+    val cents = trainCentroids(corpus, nlist)
+    val celled = corpus.filter(col("label") === label)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        array_position(centroidScores(col("embedding"), cents),
+          array_max(centroidScores(col("embedding"), cents))).as("cell"))
+    val probes = math.min(nlist, nprobe * oversample)
+    val qcells = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"),
+        posexplode(centroidScores(col("embedding"), cents)))
+      .orderBy(col("col").desc, col("pos"))
+      .limit(probes)
+      .select(col("qv"), (col("pos") + 1).cast(LongType).as("pcell"))
+    celled.join(broadcast(qcells), col("cell") === col("pcell"))
+      .select(col("vec_id"), col("label"),
+        cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** s09: int8-quantized ANN — scalar quantization (e15) as the coarse
     * scoring pass: every vector is coded once into 4×-smaller int8
     * codes (per-vector symmetric scale max|v|/127), candidates are

@@ -688,4 +688,96 @@ object Multimodal {
   def m06DhashDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame =
     m06DhashPairsOver(plantedToneCorpus(spark, dir), maxHamming)
+
+  // ---------------------------------------------------------------- m07
+
+  /** Shot-structured synthetic video: shots of identical frames, one
+    * decorrelated noise image per shot (splitmix per-element, the m04
+    * lesson). Closed form for the m07 spec: consecutive-frame delta
+    * is exactly 0 inside a shot and decorrelated-noise-large (E|Δ| ≈
+    * 85) at exactly the shot boundaries.
+    */
+  def synthShotVideo(seed: Long): Array[Byte] = {
+    val nShots = 2 + (seed % 3).toInt
+    val shotLen = 2 + (seed % 2).toInt
+    Codecs.packFrames((0 until nShots).flatMap { s =>
+      val px = Array.tabulate(ImgRes * ImgRes)(i =>
+        (mix64(seed * 1024 + s * 64 + i) & 0xffL).toInt)
+      val png = Codecs.encodePng(ImgRes, ImgRes, px)
+      Seq.fill(shotLen)(png)
+    })
+  }
+
+  /** One consecutive-frame comparison. */
+  final case class FrameDelta(
+      doc_id: Long, frame_idx: Int, n_frames: Int, delta: Double)
+
+  /** m07: shot-boundary (scene-cut) detection over the frame
+    * container — the segmentation primitive that belongs BEFORE m02's
+    * stride sampling (sample per SCENE and long static shots stop
+    * dominating the sample set; every public frame pipeline cuts
+    * first). Per consecutive frame pair: mean absolute difference on
+    * the 8×8 block grid — resolution-independent (64 subtractions per
+    * pair whatever the frame size) and decode-once (each frame's grid
+    * is computed once and carried to the next comparison). Emits one
+    * row per pair (frame_idx ≥ 1 compares frame_idx−1 → frame_idx)
+    * with the boundary verdict and the frame's scene index (running
+    * boundary count — a per-video window, bounded by frames-per-video
+    * by construction). Same mapPartitions batch contract as m01–m03:
+    * pixels never shuffle, 20-byte rows do.
+    */
+  def sceneDetectOver(videos: DataFrame, threshold: Double = 30.0): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    val deltas = videos
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val frames = Codecs.unpackFrames(payload)
+          var prev: Array[Float] = null
+          frames.iterator.zipWithIndex.map { case (png, f) =>
+            val (w, h, px) = Codecs.decodeGray(png)
+            val g = Codecs.blockResize(w, h, px, 8)
+            val out =
+              if (f == 0) None
+              else {
+                var s = 0.0
+                var i = 0
+                while (i < 64) { s += math.abs(g(i) - prev(i)); i += 1 }
+                Some(FrameDelta(id, f, frames.length, s / 64.0))
+              }
+            prev = g
+            out
+          }.flatten
+        }
+      }
+      .toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    deltas
+      .withColumn("delta", round(col("delta"), 4))
+      .withColumn("boundary", col("delta") >= threshold)
+      .withColumn("scene_idx",
+        sum(col("boundary").cast("long")).over(w))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** m07 planted corpus: a shot-structured video per fifth document. */
+  def plantedShotCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, synthShotVideo(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** m07 driver query: scene cuts over the planted shot corpus —
+    * boundaries land exactly at the planted shot edges (spec pins the
+    * closed form per video).
+    */
+  def m07SceneDetect(spark: SparkSession, dir: String,
+      threshold: Double = 30.0): DataFrame =
+    sceneDetectOver(plantedShotCorpus(spark, dir), threshold)
 }

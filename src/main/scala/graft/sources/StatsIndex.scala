@@ -206,6 +206,43 @@ object StatsIndex {
     base.filter(col(keyCol) === lit(value))
   }
 
+  /** x20: compaction that RESTORES range-layout pruning teeth. A
+    * batch-appended table ([[appendBatchWithStats]] / st11) stays
+    * correct but its skipping degrades: every arriving batch spans
+    * ~the whole key domain, so after k batches a narrow range query's
+    * candidate set is ~all k·files — the manifest is fresh, the
+    * LAYOUT is wrong. This is the lake-maintenance step table formats
+    * schedule as OPTIMIZE/rewrite (public Delta/Iceberg design):
+    * re-range-partition the whole table on the stats column, publish
+    * via the staging+swap ([[graft.operators.Merge.publish]] — a
+    * crash mid-compaction leaves the previous table readable), and
+    * rebuild the manifest from one distributed scan. The `batch=<id>`
+    * layout column is a physical artifact and is dropped — after
+    * compaction the table IS the x17 shape, and x17/x18 pruning specs
+    * apply verbatim. Idempotent: re-running compacts the already-
+    * compacted layout to itself.
+    *
+    * At 100 TB this is the one full-table rewrite in the maintenance
+    * cycle — one range shuffle — which is exactly what it costs in
+    * any table format; everything incremental stays in st11.
+    */
+  def compactToRangeLayout(spark: SparkSession, path: String,
+      statsCol: String, nFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val data = if (df.columns.contains("batch")) df.drop("batch") else df
+    // publish writes staging FULLY before the swap, so reading from
+    // `path` while replacing `path` is safe by construction
+    graft.operators.Merge.publish(
+      data.repartitionByRange(nFiles, col(statsCol))
+        .sortWithinPartitions(statsCol), path)
+    val manifest = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).as("min_v"), max(col(statsCol)).as("max_v"),
+        count(lit(1)).as("n_rows"))
+      .repartition(1)
+    graft.operators.Merge.publish(manifest, statsPath(path))
+  }
+
   /** st11's batch engine: append one micro-batch to a stats-indexed
     * table and keep the manifest fresh. The batch lands in a
     * DETERMINISTIC directory (`batch=<id>`) written with Overwrite, so

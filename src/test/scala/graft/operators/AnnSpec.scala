@@ -53,6 +53,36 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s13 filtered IVF: predicate holds, scores exact, recall beats the probe fraction") {
+    val exact = Ann.s12AnnFiltered(spark, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(exact.length == 10 && exact.forall(_._2 == 1))
+    val exactMap = Ann.s12AnnFiltered(spark, dir, k = 10000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+    val probed = Ann.s13AnnFilteredIvf(spark, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // pre-filter contract: every returned row satisfies the predicate,
+    // and k survivors exist despite the filter thinning each cell
+    assert(probed.length == 10 && probed.forall(_._2 == 1))
+    // scores are true cosines (the probe prunes candidates, never
+    // perturbs values): every emitted score equals the exact kernel's
+    probed.foreach { case (id, _, s) =>
+      assert(math.abs(exactMap(id) - s) < 1e-12, s"vec $id score drift")
+    }
+    // oversampled probe (16/16 cells here at the defaults) must hold
+    // recall well above the unwidened 4/16 fraction
+    val recall = (exact.map(_._1).toSet & probed.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.8, s"filtered recall $recall")
+    // and the oversampling is the load-bearing part: an unwidened
+    // probe over the thinned cells loses recall on this corpus
+    val narrow = Ann.s13AnnFilteredIvf(spark, dir, k = 10, oversample = 1)
+      .collect().map(_.getLong(0)).toSet
+    val narrowRecall = (exact.map(_._1).toSet & narrow).size / 10.0
+    assert(narrowRecall <= recall,
+      s"narrow $narrowRecall > oversampled $recall — widening does nothing")
+  }
+
   test("s09 with a corpus-covering rerank collapses to s01 exactly") {
     // when k·rerank ≥ |corpus| the coarse quantized cut keeps everyone,
     // so the exact re-rank IS brute force: output must equal s01

@@ -341,4 +341,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(aMissed >= 1, s"aHash caught every tone regrade — differentiator vacuous")
   }
+
+  test("m07 finds exactly the planted shot boundaries, scenes indexed in order") {
+    import spark.implicits._
+    val got = Multimodal.m07SceneDetect(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getDouble(3), r.getBoolean(4), r.getLong(5)))
+      .toMap
+
+    // closed form per video: seed → nShots shots of shotLen identical
+    // frames; within-shot deltas are EXACTLY 0, boundaries land
+    // exactly at the shot edges, scene_idx counts boundaries so far
+    val ids = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.nonEmpty)
+    var checked = 0
+    ids.foreach { id =>
+      val nShots = 2 + (id % 3).toInt
+      val shotLen = 2 + (id % 2).toInt
+      val n = nShots * shotLen
+      (1 until n).foreach { f =>
+        val (nf, delta, boundary, scene) = got((id, f))
+        assert(nf == n)
+        val isEdge = f % shotLen == 0
+        assert(boundary == isEdge, s"video $id frame $f: boundary=$boundary")
+        if (!isEdge) assert(delta == 0.0, s"video $id frame $f: delta=$delta")
+        else assert(delta >= 30.0, s"video $id frame $f: edge delta=$delta")
+        assert(scene == f / shotLen, s"video $id frame $f: scene=$scene")
+        checked += 1
+      }
+    }
+    assert(got.size == checked, s"${got.size} rows vs $checked expected pairs")
+  }
 }

@@ -175,7 +175,10 @@ class PlanSpec extends AnyFunSuite {
     val allowedNlj = Set(
       "s01_ann_bruteforce", "s02_ann_lsh", "s03_knn_join",
       "d05_embed_neardup", "q44_no_order_rich", "s09_ann_quantized",
-      "q50_revenue_concentration")
+      "q50_revenue_concentration",
+      // s12 is s01's intentional scan with the label pre-filter: the
+      // 1-row query side broadcasts against the filtered corpus
+      "s12_ann_filtered")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =

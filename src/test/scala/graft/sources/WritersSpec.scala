@@ -173,6 +173,47 @@ class WritersSpec extends AnyFunSuite {
       manifest.length / 2)
   }
 
+  test("x20 compaction restores range-pruning teeth to a batch-appended table") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_compactr").toString + "/t"
+    // three batches, each spanning the FULL key domain (interleaved
+    // residues): correct manifest, useless layout — the worst case
+    // for x17 pruning that real time-ordered ingest produces
+    (0 until 3).foreach { i =>
+      val batch = (0L until 6000L).filter(_ % 3 == i)
+        .map(v => (v, s"p$v")).toDF("v", "payload").repartition(2)
+      StatsIndex.appendBatchWithStats(batch, path, "v", i.toLong)
+    }
+    val preFiles = StatsIndex.stats(spark, path).count()
+    val (lo, hi) = (1000L, 1200L)
+    val preCand = StatsIndex.candidateFiles(spark, path, lo, hi)
+    assert(preCand.size == preFiles,
+      s"interleaved batches should defeat pruning: ${preCand.size}/$preFiles")
+    val want = (lo to hi).map(v => (v, s"p$v"))
+
+    StatsIndex.compactToRangeLayout(spark, path, "v", nFiles = 12)
+
+    // rows conserved, layout column gone, manifest matches disk
+    val after = spark.read.parquet(path)
+    assert(after.count() == 6000L && !after.columns.contains("batch"))
+    val manifest = StatsIndex.stats(spark, path).collect()
+    assert(manifest.map(_.getLong(3)).sum == 6000L && manifest.length >= 8)
+    // pruning has teeth again: strict-subset candidates, exact rows
+    val postCand = StatsIndex.candidateFiles(spark, path, lo, hi)
+    assert(postCand.nonEmpty && postCand.size < manifest.length / 2,
+      s"${postCand.size}/${manifest.length} files after compaction")
+    val got = StatsIndex.prunedRead(spark, path, "v", lo, hi)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == want)
+
+    // idempotent: compacting the compacted layout changes nothing
+    StatsIndex.compactToRangeLayout(spark, path, "v", nFiles = 12)
+    val again = StatsIndex.prunedRead(spark, path, "v", lo, hi)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(again.toSeq == want &&
+      spark.read.parquet(path).count() == 6000L)
+  }
+
   test("x17 pruned reads agree on schema between hit and no-candidate branches") {
     import spark.implicits._
     // batch-appended layout: reading the ROOT discovers a `batch`
