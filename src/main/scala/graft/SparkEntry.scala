@@ -54,6 +54,7 @@ object SparkEntry {
     "d08_substring_dedup" -> ((s, dir) => Dedup.d08SubstringDedup(s, dir)),
     "d10_semantic_dedup" -> ((s, dir) => Dedup.d10SemanticDedupDemo(s, dir)),
     "d11_incr_dedup" -> ((s, dir) => Dedup.d11IncrementalDedupDemo(s, dir)),
+    "d13_indexed_admit" -> ((s, dir) => Dedup.d13IndexedAdmitDemo(s, dir)),
     "d09_substring_apply" -> ((s, dir) => Dedup.d09SubstringApply(s, dir)),
     "s01_ann_bruteforce" -> ((s, dir) => Ann.s01AnnBruteforce(s, dir)),
     "s02_ann_lsh" -> ((s, dir) => Ann.s02AnnLsh(s, dir)),

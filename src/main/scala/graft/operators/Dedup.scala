@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -199,10 +199,24 @@ object Dedup {
     */
   def d11IncrementalDedup(newDocs: DataFrame, lake: DataFrame,
       shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
-    val sigsNew = minhashSignatures(newDocs, shingleK, numPerm = 64)
     val sigsLake = minhashSignatures(lake, shingleK, numPerm = 64)
+    admitAgainst(newDocs,
+      bandRows(sigsLake, bands = 16, rowsPerBand = 4),
+      ids => docShingleHashes(
+        lake.join(ids, Seq("doc_id"), "left_semi"), shingleK),
+      shingleK, threshold)
+  }
+
+  /** The shared admission core of d11/d13: gate `newDocs` against a
+    * lake presented as its BAND ROWS plus a shingle-set provider
+    * (candidate lake ids → (doc_id, sh)) — d11 computes both from the
+    * lake texts, d13 reads both from the persisted index.
+    */
+  private def admitAgainst(newDocs: DataFrame, bndLake: DataFrame,
+      shLakeFor: DataFrame => DataFrame,
+      shingleK: Int, threshold: Double): DataFrame = {
+    val sigsNew = minhashSignatures(newDocs, shingleK, numPerm = 64)
     val bndNew = bandRows(sigsNew, bands = 16, rowsPerBand = 4)
-    val bndLake = bandRows(sigsLake, bands = 16, rowsPerBand = 4)
     // localCheckpoint (lazy): cand feeds both semi-join prunes AND the
     // verify join — d02's discipline, or the asymmetric band join runs
     // three times
@@ -214,9 +228,8 @@ object Dedup {
     val shNew = docShingleHashes(
       newDocs.join(cand.select(col("new_id").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi"), shingleK)
-    val shLake = docShingleHashes(
-      lake.join(cand.select(col("lake_id").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi"), shingleK)
+    val shLake = shLakeFor(
+      cand.select(col("lake_id").as("doc_id")).distinct())
     val verified = cand
       .join(shNew.as("sa"), col("new_id") === col("sa.doc_id"))
       .join(shLake.as("sb"), col("lake_id") === col("sb.doc_id"))
@@ -258,6 +271,106 @@ object Dedup {
       .select((col("doc_id") + 3000000L).as("doc_id"),
         tagTokens(col("text"), col("doc_id") + 3000000L).as("text"))
     d11IncrementalDedup(resub.union(fresh), base, threshold = threshold)
+  }
+
+  // ---------------------------------------------------------------- d13
+
+  /** d13: PERSISTED dedup-signature index — d11's documented at-scale
+    * cost model made real. d11 recomputes the lake's MinHash
+    * signatures (a full lake scan) and re-shingles lake candidates on
+    * EVERY batch; correct, but at 100 TB the lake pass IS the cost —
+    * the batch is tiny. The index persists, once per lake doc, both
+    * artifacts the gate reads:
+    *
+    *   `<path>/bands`    (doc_id, band, bh)  — candidate generation
+    *   `<path>/shingles` (doc_id, sh)        — exact-Jaccard verify
+    *
+    * so a batch touches the lake only through on-disk reads, and
+    * [[d13AdmitAndMaintain]] appends the ADMITTED docs' rows under
+    * replay-safe `batch=<id>` directories (st11's idempotence
+    * discipline: a replayed micro-batch overwrites its own directory,
+    * never duplicates) — tomorrow's gate stays as cheap as today's.
+    * Build cost is one signature+shingle pass, the pass d11 pays per
+    * batch, paid once.
+    */
+  def d13BuildDedupIndex(docs: DataFrame, path: String,
+      shingleK: Int = 5, batchId: Long = -1L): Unit = {
+    val sigs = minhashSignatures(docs, shingleK, numPerm = 64)
+    bandRows(sigs, bands = 16, rowsPerBand = 4)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands/batch=$batchId")
+    docShingleHashes(docs, shingleK)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/shingles/batch=$batchId")
+  }
+
+  /** d11's gate, reading the lake through the d13 index: no lake
+    * signature recompute, no lake re-shingling — the lake side is two
+    * keyed reads of persisted tables. `excludeBatch` drops one
+    * `batch=<id>` directory from the lake view — the replay case: a
+    * re-run batch must not be gated against its own previous
+    * admissions, or every replayed doc self-matches and the rewrite
+    * erases them (st13's input_file_name discipline).
+    */
+  def d13IncrementalDedupIndexed(newDocs: DataFrame, indexPath: String,
+      shingleK: Int = 5, threshold: Double = 0.7,
+      excludeBatch: Option[Long] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    def readExcl(sub: String): DataFrame = {
+      val base = spark.read.parquet(s"$indexPath/$sub")
+      excludeBatch.fold(base)(id =>
+        base.filter(!input_file_name().contains(s"/batch=$id/")))
+    }
+    val bndLake = readExcl("bands").select("doc_id", "band", "bh")
+    val shAll = readExcl("shingles").select("doc_id", "sh")
+    admitAgainst(newDocs, bndLake,
+      ids => shAll.join(ids, Seq("doc_id"), "left_semi"),
+      shingleK, threshold)
+  }
+
+  /** Gate a batch AND grow the index: verdicts come from the stored
+    * index minus this batch's own directory (replay-safe), the
+    * admitted docs' band/shingle rows then land under `batch=<id>` —
+    * a replayed batch re-derives the same verdicts and rewrites the
+    * same directory. Returns the verdicts, materialized before the
+    * index writes.
+    */
+  def d13AdmitAndMaintain(newDocs: DataFrame, indexPath: String,
+      batchId: Long, shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val verdicts =
+      d13IncrementalDedupIndexed(newDocs, indexPath, shingleK, threshold,
+        excludeBatch = Some(batchId))
+        .localCheckpoint(true)
+    val admitted = newDocs.join(
+      verdicts.filter(col("admit")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    d13BuildDedupIndex(admitted, indexPath, shingleK, batchId)
+    verdicts
+  }
+
+  /** d13 driver query: the d11 demo corpus run through the PERSISTED
+    * index — build once from the lake, gate the same batch. Verdicts
+    * must equal d11's row-for-row (spec-pinned); the demo clears the
+    * index path first so re-runs are self-contained.
+    */
+  def d13IndexedAdmitDemo(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val path = s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_d13_${dir.hashCode.toHexString}/index"
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val base = Tables(spark, dir).documents.select(col("doc_id"),
+      tagTokens(col("text"), col("doc_id")).as("text"))
+    d13BuildDedupIndex(base, path)
+    val resub = base.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" resubmitted")).as("text"))
+    val fresh = Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        tagTokens(col("text"), col("doc_id") + 3000000L).as("text"))
+    d13IncrementalDedupIndexed(resub.union(fresh), path,
+      threshold = threshold)
   }
 
   // ---------------------------------------------------------------- d03

@@ -197,6 +197,47 @@ class DedupSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 == "drop"))
   }
 
+  test("d13 indexed gate == d11, and maintenance makes the lake remember admissions") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))
+    // the persisted index must change NOTHING about verdicts: same
+    // demo corpus through d11 (recompute) and d13 (index) agree
+    // row-for-row including jaccard values
+    val viaLake = Dedup.d11IncrementalDedupDemo(spark, dir)
+      .collect().map(key).toSeq
+    val viaIndex = Dedup.d13IndexedAdmitDemo(spark, dir)
+      .collect().map(key).toSeq
+    assert(viaIndex == viaLake && viaLake.nonEmpty)
+
+    // maintenance: an admitted doc becomes part of the lake the NEXT
+    // batch is gated against — and a replayed batch grows nothing
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_d13m").toString + "/index"
+    def doc(id: Long, tag: String) =
+      (id, (1 to 30).map(i => s"w${i}_$tag").mkString(" "))
+    Dedup.d13BuildDedupIndex(
+      Seq(doc(1L, "a"), doc(2L, "b")).toDF("doc_id", "text"), path)
+    val batch1 = Seq(doc(10L, "c")).toDF("doc_id", "text")
+    val v1 = Dedup.d13AdmitAndMaintain(batch1, path, batchId = 1L).collect()
+    assert(v1.length == 1 && v1.head.getBoolean(1), "fresh doc must admit")
+    // resubmission of the ADMITTED doc (same text, new id): only the
+    // maintained index can reject it — doc 10 was never in the build
+    val v2 = Dedup.d13AdmitAndMaintain(
+      Seq(doc(20L, "c")).toDF("doc_id", "text"), path, batchId = 2L)
+      .collect()
+    assert(v2.length == 1 && !v2.head.getBoolean(1) &&
+      v2.head.getLong(2) == 10L,
+      s"resubmission not caught by the maintained index: ${v2.toSeq}")
+    // replay idempotence: re-running batch 1 rewrites its own
+    // directory, never duplicates index rows
+    val before = spark.read.parquet(s"$path/bands").count()
+    Dedup.d13AdmitAndMaintain(batch1, path, batchId = 1L).collect()
+    assert(spark.read.parquet(s"$path/bands").count() == before)
+  }
+
   test("d07 propagation resolves a long chain (diameter > 1 round)") {
     import spark.implicits._
     // path graph 1-2-3-...-8: min label must travel 7 hops
