@@ -567,6 +567,86 @@ object TextOps {
       .select("doc_id", "token", "tf", "df", "rk")
   }
 
+  // ---------------------------------------------------------------- t15
+
+  /** t15: n-gram language-model quality scoring — the CCNet-style
+    * filter (public: CCNet scores CommonCrawl with a reference-domain
+    * KenLM and keeps the low-perplexity tail): train a BIGRAM model
+    * with stupid backoff (Brants et al., public — no discounting, the
+    * web-scale standard) on a reference corpus, score every raw doc
+    * by mean per-bigram log-probability (high = reference-like;
+    * perplexity is exp(−score), same ranking):
+    *
+    *   p(w2|w1) = c(w1 w2)/c(w1 ·)   if the bigram was seen
+    *            = 0.4 · c(w2)/T      else if w2 was seen (backoff)
+    *            = 0.4 · 1/T          else (OOV)
+    *
+    * Where c14 asks "target-like vs raw-like" (a two-corpus ratio),
+    * t15 asks "how fluent under the reference LM" — the two public
+    * quality axes. Determinism: c14's discipline — StrictMath ln on
+    * identical doubles, per-doc Σ in fixed-point DECIMAL on
+    * 9-dp-rounded terms, one final exact division.
+    *
+    * Shape at scale: LM tables are vocab-bounded (Heaps' law) keyed
+    * aggregations built once from the reference; scoring is three
+    * keyed joins (bigram, prefix, unigram) against the raw corpus's
+    * exploded bigrams and one doc-keyed rollup — every stage keyed,
+    * nothing global, no UDFs (arrays_zip/slice are codegen).
+    */
+  def t15LmScore(spark: SparkSession, dir: String,
+      refSource: String = ""): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val ref = if (refSource.nonEmpty) refSource
+      else docs.select(min(col("source"))).collect().head.getString(0)
+    lmScoreOver(
+      docs.select(col("doc_id"), col("text")),
+      docs.filter(col("source") === ref).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+  }
+
+  /** t15 over any raw/reference (doc_id, text) pair of frames. Emits
+    * (doc_id, n_bigrams, mean_lp) for every raw doc with ≥ 1 bigram.
+    */
+  def lmScoreOver(raw: DataFrame, ref: DataFrame,
+      alpha: Double = 0.4): DataFrame = {
+    def bigrams(docs: DataFrame): DataFrame = {
+      val toks = wsTokens
+      docs.filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(arrays_zip(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1))).as("bg"))
+        .select(col("doc_id"),
+          col("bg").getField("0").as("w1"),
+          col("bg").getField("1").as("w2"))
+    }
+    // reference LM tables — vocab-bounded aggregations, built once
+    val refBg = bigrams(ref)
+    val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false) // feeds prefix counts AND the score join
+    val prefix = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val uni = refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val total = refBg.count().toDouble
+    // stupid backoff, exactly the three cases; every division is one
+    // IEEE op on exact longs, ln is StrictMath on both engines
+    val p = when(col("c12").isNotNull,
+        col("c12").cast("double") / col("c1"))
+      .when(col("c2").isNotNull,
+        lit(alpha) * (col("c2").cast("double") / lit(total)))
+      .otherwise(lit(alpha) * lit(1.0 / total))
+    bigrams(raw)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(prefix, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
+      .select(col("doc_id"),
+        round(log(p), 9).cast("decimal(28,9)").as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        // exact-decimal Σ → one double conversion → one IEEE divide:
+        // replayable in plain Scala without Spark's decimal-division
+        // scale rules
+        (sum(col("term")).cast("double") / count(lit(1))).as("mean_lp"))
+  }
+
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */
   def langIdOver(docs: DataFrame): DataFrame = {
     val scored = docs.withColumn("_toks", lower(col("text")))

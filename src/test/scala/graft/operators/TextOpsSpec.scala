@@ -334,5 +334,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getString(1).nonEmpty))
   }
 
+  test("t15 LM scores == plain-Scala stupid-backoff recompute") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b d")).toDF("doc_id", "text")
+    // ref bigrams: (a,b)×3, (b,a), (b,c), (b,d) — T = 6
+    // prefix c(w1·): a→3, b→3 ; second-position c(w2): b→3, a→1, c→1, d→1
+    val raw = Seq(
+      (10L, "a b c"),   // seen bigrams: 3/3 and 1/3
+      (11L, "a z b"),   // OOV backoff and seen-w2 backoff
+      (12L, "q")).toDF("doc_id", "text") // no bigram → no row
+    val T = 6.0
+    def term(p: Double): BigDecimal =
+      BigDecimal(StrictMath.log(p)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def mean(ps: Seq[Double]): Double =
+      (ps.map(term).sum.toDouble) / ps.size
+    val expected = Map(
+      10L -> (2L, mean(Seq(3.0 / 3, 1.0 / 3))),
+      11L -> (2L, mean(Seq(0.4 * (1.0 / T), 0.4 * (3.0 / T)))))
+    val got = TextOps.lmScoreOver(raw, ref)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got == expected)
+    // fluent beats disfluent: the all-seen doc outscores the OOV one
+    assert(got(10L)._2 > got(11L)._2)
+  }
+
+  test("t15 demo: reference-source docs outscore the rest on average") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    val ref = docs.select(min(col("source"))).collect().head.getString(0)
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = TextOps.t15LmScore(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    val (in, out) = w.partition { case (id, _) => srcOf(id) == ref }
+    assert(in.nonEmpty && out.nonEmpty)
+    assert(in.map(_._2).sum / in.size > out.map(_._2).sum / out.size,
+      "reference-source docs are not scored as more reference-like")
+  }
+
   private def round4(x: Double): Double = math.rint(x * 10000) / 10000
 }
