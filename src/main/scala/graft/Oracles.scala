@@ -1184,6 +1184,35 @@ object Oracles {
         |FROM ranked r JOIN keep k USING (cluster_id)
         |ORDER BY r.doc_id""".stripMargin,
 
+    // c15: the schedule replayed with one global window (fine
+    // single-threaded) over the t02 quality fragment; the engine must
+    // reproduce it with the distributed prefix-sum rank.
+    "c15_curriculum_phases" ->
+      """WITH qual AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 8 THEN 0.0
+        |         ELSE round(1.0 - stopword_ratio, 4) END AS quality_score,
+        |    n_tokens
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |      CAST(len(list_filter(string_split(text, ' '),
+        |           w -> w IN ('the', 'a'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')) AS stopword_ratio
+        |    FROM documents) t),
+        |ranked AS (
+        |  SELECT quality_score, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY quality_score DESC, doc_id) AS rnk,
+        |    COUNT(*) OVER () AS n
+        |  FROM qual)
+        |SELECT CAST((rnk - 1) * 4 // n AS BIGINT) AS phase,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+        |  MIN(quality_score) AS min_quality,
+        |  MAX(quality_score) AS max_quality
+        |FROM ranked GROUP BY 1
+        |ORDER BY phase""".stripMargin,
+
     // q53: the oracle ranks with ONE global window (fine single-
     // threaded); the engine must reproduce it with the distributed
     // prefix-sum — rank arithmetic is exact-integer (// matches div),

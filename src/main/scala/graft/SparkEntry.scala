@@ -127,6 +127,7 @@ object SparkEntry {
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c14_importance_weights" -> ((s, dir) => Corpus.c14ImportanceWeights(s, dir)),
     "t15_lm_score" -> ((s, dir) => TextOps.t15LmScore(s, dir)),
+    "c15_curriculum_phases" -> ((s, dir) => Corpus.c15CurriculumPhases(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>

@@ -670,6 +670,61 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- c15
+
+  /** c15: curriculum phases — the data-ordering schedule (public
+    * curriculum-learning / annealing practice: train on broad data
+    * first, anneal on the highest-quality slice last). Every document
+    * is ranked globally by the t02 quality score and cut into
+    * `nPhases` equal-population phases; the emitted table is the
+    * SCHEDULE — per phase: population, token budget, and the quality
+    * span — what a training loop consumes to plan its epochs (phase 0
+    * holds the top-ranked docs: the annealing slice a run saves for
+    * last). The global rank is q53's
+    * distributed prefix-sum (range-partition on the (quality desc,
+    * doc_id) total order, parallel local row_numbers, per-partition
+    * COUNTS through the one bounded single-task window) — never an
+    * unpartitioned Window over the corpus. Exact-integer rank/phase
+    * arithmetic; deterministic at any partitioning.
+    */
+  def c15CurriculumPhases(spark: SparkSession, dir: String,
+      nPhases: Int = 4): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val quality = TextOps.qualityScoreOver(docs.select("doc_id", "text"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = quality
+      .repartitionByRange(nParts, col("quality_score").desc, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val local = ranged
+      .withColumn("_r_local", row_number().over(wLocal).cast("long"))
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .orderBy("_pid")
+      .rowsBetween(Long.MinValue, -1)
+    val wTotal = org.apache.spark.sql.expressions.Window
+      .orderBy("_pid")
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val offsets = ranged.groupBy("_pid").agg(count(lit(1)).as("_pc"))
+      .withColumn("_poff", coalesce(sum(col("_pc")).over(wPrefix), lit(0L)))
+      .withColumn("_n", sum(col("_pc")).over(wTotal))
+      .select("_pid", "_poff", "_n")
+    local.join(offsets, Seq("_pid"))
+      .withColumn("rnk", col("_poff") + col("_r_local"))
+      .withColumn("phase", expr(s"((rnk - 1) * $nPhases) div _n"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("phase_tokens"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"))
+      .orderBy("phase")
+  }
+
   /** c14 over any raw/target (doc_id, text) pair of frames. Emits
     * (doc_id, n_feats, weight) for every raw doc with ≥ 1 bigram.
     */

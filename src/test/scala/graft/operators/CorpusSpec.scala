@@ -52,6 +52,47 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
   }
 
+  test("c15 schedule == naive driver-side quality ranking") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def quality(text: String): Double = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 8) 0.0
+      else {
+        val stop = toks.count(t => t == "the" || t == "a")
+        BigDecimal(1.0 - stop.toDouble / toks.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val n = docs.length.toLong
+    val expected = docs
+      .map { case (id, text) =>
+        (id, quality(text), text.split(" ", -1).length.toLong)
+      }
+      .sortBy { case (id, q, _) => (-q, id) }
+      .zipWithIndex
+      .map { case ((_, q, toks), i) => ((i.toLong * 4L) / n, q, toks) }
+      .groupBy(_._1)
+      .map { case (phase, rows) =>
+        phase -> (rows.length.toLong, rows.map(_._3).sum,
+          rows.map(_._2).min, rows.map(_._2).max)
+      }
+    val got = Corpus.c15CurriculumPhases(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == expected)
+    // phases balanced; phase 0 (the annealing slice) strictly
+    // dominates the last phase on quality
+    val sizes = got.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1)
+    assert(got(0L)._3 >= got(3L)._4,
+      s"phase 0 min ${got(0L)._3} < phase 3 max ${got(3L)._4}")
+  }
+
   test("c14 demo: target-source docs outscore the rest on average") {
     val docs = graft.Tables(spark, TestSpark.Sf0001).documents
     val tgt = docs.select(org.apache.spark.sql.functions.min(
