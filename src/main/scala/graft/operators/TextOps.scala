@@ -604,28 +604,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** (doc_id, w1, w2) bigram rows of a (doc_id, text) frame. */
+  private def lmBigrams(docs: DataFrame): DataFrame = {
+    val toks = wsTokens
+    docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1))).as("bg"))
+      .select(col("doc_id"),
+        col("bg").getField("0").as("w1"),
+        col("bg").getField("1").as("w2"))
+  }
+
   /** t15 over any raw/reference (doc_id, text) pair of frames. Emits
     * (doc_id, n_bigrams, mean_lp) for every raw doc with ≥ 1 bigram.
     */
   def lmScoreOver(raw: DataFrame, ref: DataFrame,
       alpha: Double = 0.4): DataFrame = {
-    def bigrams(docs: DataFrame): DataFrame = {
-      val toks = wsTokens
-      docs.filter(size(toks) >= 2)
-        .select(col("doc_id"), explode(arrays_zip(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1))).as("bg"))
-        .select(col("doc_id"),
-          col("bg").getField("0").as("w1"),
-          col("bg").getField("1").as("w2"))
-    }
     // reference LM tables — vocab-bounded aggregations, built once
-    val refBg = bigrams(ref)
+    val refBg = lmBigrams(ref)
     val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(false) // feeds prefix counts AND the score join
     val prefix = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val uni = refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
-    val total = refBg.count().toDouble
+    lmScoreWith(raw, big, prefix, uni, refBg.count(), alpha)
+  }
+
+  /** Score against prebuilt LM tables — the shared core of the batch
+    * (t15) and persisted/streaming (st14) forms.
+    */
+  def lmScoreWith(raw: DataFrame, big: DataFrame, prefix: DataFrame,
+      uni: DataFrame, totalBigrams: Long, alpha: Double = 0.4): DataFrame = {
+    val total = totalBigrams.toDouble
     // stupid backoff, exactly the three cases; every division is one
     // IEEE op on exact longs, ln is StrictMath on both engines
     val p = when(col("c12").isNotNull,
@@ -633,7 +643,7 @@ object TextOps {
       .when(col("c2").isNotNull,
         lit(alpha) * (col("c2").cast("double") / lit(total)))
       .otherwise(lit(alpha) * lit(1.0 / total))
-    bigrams(raw)
+    lmBigrams(raw)
       .join(big, Seq("w1", "w2"), "left")
       .join(prefix, Seq("w1"), "left")
       .join(uni, Seq("w2"), "left")
@@ -645,6 +655,37 @@ object TextOps {
         // replayable in plain Scala without Spark's decimal-division
         // scale rules
         (sum(col("term")).cast("double") / count(lit(1))).as("mean_lp"))
+  }
+
+  /** Persist the t15 LM tables once (vocab-bounded parquet: bigram
+    * conditionals, prefix totals, unigram counts, and a 1-row meta
+    * with T) — the train-once artifact st14's streaming gate scores
+    * against without ever re-scanning the reference corpus.
+    */
+  def lmTrainTables(ref: DataFrame, path: String): Unit = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val refBg = lmBigrams(ref).localCheckpoint(false)
+    val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    big.write.mode("overwrite").parquet(s"$path/big")
+    big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      .write.mode("overwrite").parquet(s"$path/prefix")
+    refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").parquet(s"$path/uni")
+    Seq(refBg.count()).toDF("total")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a frame against [[lmTrainTables]]' persisted artifact. */
+  def lmScoreIndexed(raw: DataFrame, lmPath: String,
+      alpha: Double = 0.4): DataFrame = {
+    val spark = raw.sparkSession
+    lmScoreWith(raw,
+      spark.read.parquet(s"$lmPath/big"),
+      spark.read.parquet(s"$lmPath/prefix"),
+      spark.read.parquet(s"$lmPath/uni"),
+      spark.read.parquet(s"$lmPath/meta").head.getLong(0), alpha)
   }
 
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */

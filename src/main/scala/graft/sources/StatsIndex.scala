@@ -206,6 +206,39 @@ object StatsIndex {
     base.filter(col(keyCol) === lit(value))
   }
 
+  /** x19's st11-style maintenance: append one micro-batch to a
+    * bloom-indexed table and keep the fingerprint manifest fresh —
+    * same replay-idempotent `batch=<id>` discipline as
+    * [[appendBatchWithStats]] (a replayed batch rewrites its own
+    * directory and its own manifest rows), same staging+swap publish.
+    * Per batch: one write, one fingerprint scan OF THE BATCH ONLY,
+    * one tiny-manifest rewrite. Equality lookups stay pruned as the
+    * table grows — the case where batch append does NOT degrade the
+    * index (each batch's files carry their own fingerprints; a key
+    * lives in the few files that contain it regardless of arrival
+    * order), unlike x17's range manifests (x20's job).
+    */
+  def appendBatchWithBloom(batch: DataFrame, path: String, keyCol: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dirPath = s"$path/batch=$batchId"
+    batch.write.mode(SaveMode.Overwrite).parquet(dirPath)
+    val fresh = spark.read.parquet(dirPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(
+        collect_set(fingerprint(col(keyCol), 1)).as("fp1"),
+        collect_set(fingerprint(col(keyCol), 2)).as("fp2"),
+        count(lit(1)).as("n_rows"))
+    val bp = new org.apache.hadoop.fs.Path(bloomPath(path))
+    val merged =
+      if (bp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(bp))
+        spark.read.parquet(bloomPath(path))
+          .filter(!col("file").contains(s"/batch=$batchId/"))
+          .unionByName(fresh)
+      else fresh
+    graft.operators.Merge.publish(merged.repartition(1), bloomPath(path))
+  }
+
   /** x20: compaction that RESTORES range-layout pruning teeth. A
     * batch-appended table ([[appendBatchWithStats]] / st11) stays
     * correct but its skipping degrades: every arriving batch spans

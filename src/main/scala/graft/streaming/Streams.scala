@@ -192,6 +192,43 @@ object Streams {
       }
       .start()
 
+  /** st14's batch body: score one micro-batch against the PERSISTED
+    * t15 LM tables and land only the fluent docs (mean per-bigram
+    * log-prob ≥ `minLp`) under the batch's own directory. The LM is
+    * trained once ([[graft.operators.TextOps.lmTrainTables]]) — the
+    * reference corpus is never re-scanned on the stream; replays
+    * rewrite their own `batch=<id>` directory (idempotent by the same
+    * discipline as [[admitBatch]], without the lake read: the gate is
+    * stateless given the LM, so no exclusion dance is needed).
+    */
+  def fluencyBatch(batch: DataFrame, lmPath: String, lakePath: String,
+      batchId: Long, minLp: Double): Unit = {
+    val scored = graft.operators.TextOps.lmScoreIndexed(batch, lmPath)
+    val admitted = batch.join(
+      scored.filter(col("mean_lp") >= minLp).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+  }
+
+  /** st14: STREAMING fluency admission — t15's stupid-backoff LM as a
+    * continuous ingest filter (the public web-crawl practice: score
+    * incoming pages under a reference-domain LM, keep the fluent
+    * tail). Complements st09 (exact/junk gate) and st13 (near-dup
+    * gate): those ask "have we seen this?", this asks "is it even
+    * language?" — the three admission axes a corpus front door runs.
+    */
+  def st14FluencyStream(docs: DataFrame, lmPath: String, lakePath: String,
+      checkpointDir: String, minLp: Double = -9.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        fluencyBatch(batch.toDF(), lmPath, lakePath, id, minLp)
+      }
+      .start()
+
   /** st11: streaming stats-index maintenance — a row stream appended
     * to an x17 stats-indexed table with the per-file min/max manifest
     * kept fresh per micro-batch

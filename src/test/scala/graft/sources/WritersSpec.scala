@@ -173,6 +173,32 @@ class WritersSpec extends AnyFunSuite {
       manifest.length / 2)
   }
 
+  test("x19 batch appends keep equality lookups pruned and are replay-idempotent") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_bloomapp").toString + "/t"
+    def batchDf(lo: Long, hi: Long) =
+      (lo until hi).map(v => (v, s"p$v")).toDF("k", "payload").repartition(2)
+    StatsIndex.appendBatchWithBloom(batchDf(0, 2000), path, "k", 0L)
+    StatsIndex.appendBatchWithBloom(batchDf(2000, 4000), path, "k", 1L)
+    StatsIndex.appendBatchWithBloom(batchDf(4000, 6000), path, "k", 2L)
+    val manifest = spark.read.parquet(path + ".bloom").collect()
+    assert(manifest.map(_.getLong(3)).sum == 6000L && manifest.length >= 6)
+    // lookups across all three batches: exact row, bounded file set
+    Seq(10L, 2500L, 5999L).foreach { k =>
+      val got = StatsIndex.bloomPrunedRead(spark, path, "k", k).collect()
+      assert(got.length == 1 && got.head.getString(1) == s"p$k")
+      assert(StatsIndex.bloomCandidateFiles(spark, path, k).size <
+        manifest.length / 2, s"key $k: no pruning")
+    }
+    // replay: re-appending batch 1 rewrites its directory and its
+    // manifest rows — row counts and lookups unchanged
+    StatsIndex.appendBatchWithBloom(batchDf(2000, 4000), path, "k", 1L)
+    val manifest2 = spark.read.parquet(path + ".bloom").collect()
+    assert(manifest2.map(_.getLong(3)).sum == 6000L)
+    assert(StatsIndex.bloomPrunedRead(spark, path, "k", 2500L)
+      .collect().map(_.getString(1)).toSeq == Seq("p2500"))
+  }
+
   test("x20 compaction restores range-pruning teeth to a batch-appended table") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_compactr").toString + "/t"

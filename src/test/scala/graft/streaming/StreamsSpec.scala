@@ -523,6 +523,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == Set(1L, 200L, 400L), s"replay changed the lake: $after")
   }
 
+  test("st14 fluency gate admits reference-like docs, rejects gibberish, replays clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st14")
+    val lmPath = dir.resolve("lm").toString
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // reference: one deterministic chain — every bigram (r_i, r_i+1)
+    // has c12 = c1 = 1, so an in-domain doc scores mean_lp = 0 while
+    // OOV gibberish scores ln(0.4/T) << 0
+    val ref = Seq((1L, (1 to 40).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.operators.TextOps.lmTrainTables(ref, lmPath)
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st14FluencyStream(
+      input.toDS().toDF("doc_id", "text"), lmPath, lake, ckpt, minLp = -3.0)
+    input.addData(
+      (10L, (5 to 12).map(i => s"r$i").mkString(" ")), // fluent
+      (11L, "zz qq ww ee rr tt"))                      // OOV junk
+    q.processAllAvailable()
+    input.addData(
+      (12L, (20 to 30).map(i => s"r$i").mkString(" ")),
+      (13L, "xx yy zz aa bb cc"))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(10L, 12L), s"lake holds $ids")
+    // replay: re-running a batch body rewrites its own directory with
+    // the same verdicts — stateless gate, idempotent landing
+    Streams.fluencyBatch(
+      Seq((10L, (5 to 12).map(i => s"r$i").mkString(" ")),
+        (11L, "zz qq ww ee rr tt")).toDF("doc_id", "text"),
+      lmPath, lake, batchId = 0L, minLp = -3.0)
+    val after = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(10L, 12L), s"replay changed the lake: $after")
+  }
+
   test("st13 bootstraps a fresh deployment: batch 0 admits into a lake that doesn't exist yet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st13boot")
