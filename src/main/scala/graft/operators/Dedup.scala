@@ -317,8 +317,11 @@ object Dedup {
     val spark = newDocs.sparkSession
     def readExcl(sub: String): DataFrame = {
       val base = spark.read.parquet(s"$indexPath/$sub")
-      excludeBatch.fold(base)(id =>
-        base.filter(!input_file_name().contains(s"/batch=$id/")))
+      // `batch` is a DISCOVERED partition column, so the exclusion is
+      // a partition filter — the excluded directory's files are never
+      // opened (an input_file_name substring match would scan every
+      // batch's files just to row-filter one of them out)
+      excludeBatch.fold(base)(id => base.filter(col("batch") =!= id))
     }
     val bndLake = readExcl("bands").select("doc_id", "band", "bh")
     val shAll = readExcl("shingles").select("doc_id", "sh")
@@ -1043,14 +1046,24 @@ object Dedup {
     // the default derives nlist from one cheap count to hold the mean
     // cell near `targetCellSize`, making in-cell work ~n·targetCellSize
     // (linear). Pass nlist > 0 to pin a reproducible fixed layout
-    // (spec closed forms, s08 index interop).
+    // (spec closed forms, s08 index interop). BOTH driver-side costs
+    // are capped: nlist ≤ 1024 and the training sample ≤ 16384, so
+    // the quantizer's driver k-means (sampleN·nlist·dim per round)
+    // stays bounded no matter the corpus — an UNcapped nlist ~ n/256
+    // with sampleN = 8·nlist would make training itself the new
+    // quadratic floor. Past nlist·targetCellSize (~260k vectors)
+    // mean cells grow linearly again; corpora beyond that belong on
+    // d06's banding (or a distributed trainer), which the docstring
+    // above declares as the scale path.
     val k = if (nlist > 0) nlist
       else {
         val n = vectors.count()
-        math.max(1, math.min(n, math.max(16L, n / targetCellSize)).toInt)
+        math.max(1,
+          math.min(1024L, math.min(n, math.max(16L, n / targetCellSize)))
+            .toInt)
       }
     val cents = Ann.trainCentroids(vectors, k,
-      sampleN = math.max(2048, 8 * k))
+      sampleN = math.max(2048, math.min(8 * k, 16384)))
     val scores = Ann.centroidScores(col("embedding"), cents)
     // localCheckpoint (lazy): the celled projection feeds both join
     // sides; blocks release on GC instead of pinning the cache

@@ -621,8 +621,10 @@ object TextOps {
     */
   def lmScoreOver(raw: DataFrame, ref: DataFrame,
       alpha: Double = 0.4): DataFrame = {
-    // reference LM tables — vocab-bounded aggregations, built once
-    val refBg = lmBigrams(ref)
+    // reference LM tables — vocab-bounded aggregations, built once;
+    // refBg feeds big, uni AND the total count, so it materializes
+    // once (the reference corpus tokenizes once, not three times)
+    val refBg = lmBigrams(ref).localCheckpoint(false)
     val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .localCheckpoint(false) // feeds prefix counts AND the score join
     val prefix = big.groupBy("w1").agg(sum(col("c12")).as("c1"))

@@ -77,11 +77,13 @@ object PagedSource {
     * parses `{access_token, expires_in}`, and caches the token until
     * `refreshSkewSecs` before expiry.
     *
-    * Executor discipline: the cache is `@transient` — the provider
-    * ships in closures WITHOUT a token, so each executor JVM mints its
-    * own on first use and refreshes on its own clock (a driver-minted
-    * token serialized into 10M-file tasks would expire mid-job; ref's
-    * single driver-side acquisition has exactly that bug at scale).
+    * Executor discipline: tokens live in the JVM-wide companion cache,
+    * never in the serialized provider — closures deserialize one
+    * provider instance PER TASK, so instance state would mint per
+    * task; the shared cache means each executor JVM mints once and
+    * refreshes on its own clock (a driver-minted token serialized
+    * into 10M-file tasks would expire mid-job; ref's single
+    * driver-side acquisition has exactly that bug at scale).
     * On a 401 the fetcher calls [[invalidate]] and the normal
     * [[withRetry]] path re-enters [[headers]], which mints fresh —
     * one expired-token failure costs one re-mint plus one retried
@@ -90,27 +92,44 @@ object PagedSource {
     * token endpoint surfaces as the request's IOException — same
     * backoff schedule, no separate policy to tune).
     */
+  object OAuth2ClientCredentials {
+    /** JVM-wide token cache keyed by endpoint+client+scope. Spark
+      * deserializes the provider once PER TASK (not per executor), so
+      * instance state alone would mint a token per task — hundreds of
+      * IdP hits per job. The companion cache makes every task in the
+      * executor JVM share one live token per (endpoint, client).
+      */
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  }
+
   final class OAuth2ClientCredentials(tokenUrl: String, clientId: String,
       clientSecret: String, scope: String = "",
       refreshSkewSecs: Long = 60, connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 60000) extends AuthProvider {
 
-    @transient private var token: String = _
-    @transient private var expiresAtMs: Long = 0L
+    private def cacheKey = s"$tokenUrl|$clientId|$scope"
 
-    override def headers(): Map[String, String] = synchronized {
-      if (token == null ||
-          System.currentTimeMillis() >= expiresAtMs - refreshSkewSecs * 1000)
-        mint()
-      Map("Authorization" -> s"Bearer $token")
+    override def headers(): Map[String, String] = {
+      // compute() is atomic per key: concurrent tasks needing a fresh
+      // token block on one mint instead of stampeding the endpoint
+      val entry = OAuth2ClientCredentials.cache.compute(cacheKey,
+        (_, cur) => {
+          val now = System.currentTimeMillis()
+          if (cur != null && now < cur._2 - refreshSkewSecs * 1000) cur
+          else mint()
+        })
+      Map("Authorization" -> s"Bearer ${entry._1}")
     }
 
-    override def invalidate(): Unit = synchronized {
-      token = null
-      expiresAtMs = 0L
-    }
+    // a 401 drops the shared entry; the retry path re-enters headers()
+    // and mints fresh. A racing task that 401s on the OLD token right
+    // after a peer re-minted drops the fresh one too — one redundant
+    // mint, never a livelock (retries are bounded by withRetry).
+    override def invalidate(): Unit =
+      OAuth2ClientCredentials.cache.remove(cacheKey)
 
-    private def mint(): Unit = {
+    private def mint(): (String, Long) = {
       val c = new URI(tokenUrl).toURL.openConnection()
         .asInstanceOf[HttpURLConnection]
       c.setConnectTimeout(connectTimeoutMs)
@@ -133,9 +152,8 @@ object PagedSource {
         val tok = root.path("access_token").asText("")
         if (tok.isEmpty)
           throw new IOException(s"token endpoint returned no access_token")
-        token = tok
-        expiresAtMs = System.currentTimeMillis() +
-          root.path("expires_in").asLong(3600L) * 1000
+        (tok, System.currentTimeMillis() +
+          root.path("expires_in").asLong(3600L) * 1000)
       } finally c.disconnect()
     }
   }

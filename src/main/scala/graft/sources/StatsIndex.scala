@@ -66,9 +66,16 @@ object StatsIndex {
     * from the manifest pins the schema; a table with no files at all
     * has no rows either way.
     */
-  private def emptyLike(spark: SparkSession, path: String): DataFrame = {
-    val anyFile = stats(spark, path).select("file").limit(1)
-      .collect().map(_.getString(0))
+  private def emptyLike(spark: SparkSession, path: String): DataFrame =
+    emptyLikeFrom(spark, path, statsPath(path))
+
+  /** The shared leaf-schema fallback, parameterized by which manifest
+    * (stats or bloom) knows the leaf files.
+    */
+  private def emptyLikeFrom(spark: SparkSession, path: String,
+      manifestPath: String): DataFrame = {
+    val anyFile = spark.read.parquet(manifestPath)
+      .select("file").limit(1).collect().map(_.getString(0))
     if (anyFile.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(anyFile.head).limit(0)
   }
@@ -173,13 +180,19 @@ object StatsIndex {
 
   /** x19 planning: files whose BOTH fingerprint sets contain the
     * probe's. The probe fingerprints are computed by the engine itself
-    * (1-row query) — no re-implementation of the hash driver-side.
+    * (1-row query) — no re-implementation of the hash driver-side —
+    * and the probe literal is CAST to the stored key column's type
+    * first: xxhash64 hashes an Int and a Long to different values, so
+    * an uncast probe whose Scala type differs from the column's would
+    * silently produce false negatives — the one failure class a bloom
+    * index must never have.
     */
   def bloomCandidateFiles(spark: SparkSession, path: String,
-      value: Any): Seq[String] = {
+      keyCol: String, value: Any): Seq[String] = {
+    val keyType = spark.read.parquet(path).schema(keyCol).dataType
     val probe = spark.range(1)
-      .select(fingerprint(lit(value), 1).as("p1"),
-        fingerprint(lit(value), 2).as("p2"))
+      .select(fingerprint(lit(value).cast(keyType), 1).as("p1"),
+        fingerprint(lit(value).cast(keyType), 2).as("p2"))
       .collect().head
     val (p1, p2) = (probe.getInt(0), probe.getInt(1))
     spark.read.parquet(bloomPath(path))
@@ -195,14 +208,10 @@ object StatsIndex {
     */
   def bloomPrunedRead(spark: SparkSession, path: String, keyCol: String,
       value: Any): DataFrame = {
-    val files = bloomCandidateFiles(spark, path, value)
+    val files = bloomCandidateFiles(spark, path, keyCol, value)
     val base =
-      if (files.isEmpty) {
-        val anyFile = spark.read.parquet(bloomPath(path))
-          .select("file").limit(1).collect().map(_.getString(0))
-        if (anyFile.isEmpty) spark.read.parquet(path).limit(0)
-        else spark.read.parquet(anyFile.head).limit(0)
-      } else spark.read.parquet(files: _*)
+      if (files.isEmpty) emptyLikeFrom(spark, path, bloomPath(path))
+      else spark.read.parquet(files: _*)
     base.filter(col(keyCol) === lit(value))
   }
 

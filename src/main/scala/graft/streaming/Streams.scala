@@ -147,14 +147,20 @@ object Streams {
     // bootstrap: on the FIRST batch of a fresh deployment the lake
     // path doesn't exist (or holds no parquet yet) and the read would
     // throw — an empty history admits everything and batch 0 creates
-    // the tree. Catching AnalysisException (not pre-checking existence)
-    // also covers the empty-directory-no-footer case.
+    // the tree. ONLY the missing/empty-path error classes map to the
+    // empty history: a catch-all here once meant any real analysis
+    // error (schema drift, a renamed doc_id/text column) silently
+    // became "empty lake" and every batch admitted everything — the
+    // gate must fail loudly on those, not corrupt the lake.
     val lake =
       try spark.read.parquet(lakePath)
         .filter(!input_file_name().contains(s"/batch=$batchId/"))
         .select("doc_id", "text")
       catch {
-        case _: org.apache.spark.sql.AnalysisException =>
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              c.contains("PATH_NOT_FOUND") ||
+                c.contains("UNABLE_TO_INFER_SCHEMA")) =>
           Seq.empty[(Long, String)].toDF("doc_id", "text")
       }
     val verdicts =
@@ -200,6 +206,13 @@ object Streams {
     * rewrite their own `batch=<id>` directory (idempotent by the same
     * discipline as [[admitBatch]], without the lake read: the gate is
     * stateless given the LM, so no exclusion dance is needed).
+    *
+    * CONTRACT for sub-bigram docs: a document with fewer than two
+    * whitespace tokens has no bigram, gets no score, and is REJECTED
+    * regardless of `minLp` — by design: a fluency gate cannot vouch
+    * for text it cannot score, and a sub-two-token "document" is junk
+    * for a training corpus anyway. Route such docs around the gate
+    * explicitly if a pipeline wants to keep them.
     */
   def fluencyBatch(batch: DataFrame, lmPath: String, lakePath: String,
       batchId: Long, minLp: Double): Unit = {

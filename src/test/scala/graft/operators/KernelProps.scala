@@ -74,4 +74,28 @@ object KernelProps extends Properties("graft.kernels") {
       back.length == frames.length &&
         back.zip(frames).forall { case (a, b) => a.sameElements(b) }
     }
+
+  property("dHash: invariant under ANY strictly increasing tone map; aHash only affine") =
+    forAll(Gen.listOfN(64, Gen.choose(0, 30)),
+      Gen.choose(1, 4), Gen.choose(0, 50)) { (raw, a, b) =>
+      // pixels on a ×8 lattice; strictly increasing integer maps stay
+      // strict on it (slope ≥ 1 on the lattice spacing), so every
+      // pairwise order — and therefore the dHash — is preserved; the
+      // same holds for aHash ONLY because this map is affine (cell
+      // means are exact here: 1-pixel cells, integer values < 2²⁴)
+      val px = raw.map(_ * 8).toArray
+      val affine = px.map(p => a * p + b) // ≤ 4·240+50, within Int
+      Multimodal.dHash64(8, 8, px) == Multimodal.dHash64(8, 8, affine) &&
+        Multimodal.aHash64(8, 8, px) == Multimodal.aHash64(8, 8, affine)
+    }
+
+  property("dHash: the convex tone curve preserves the hash on spaced pixels") =
+    forAll(Gen.listOfN(64, Gen.choose(0, 31))) { raw =>
+      // p·(p+255)/510 gains ≥ 4 per +8 input step (d(2p+263)/510 at
+      // d = 8), so ×8-lattice pixels keep strict order through the
+      // floor — the m06 invariance class, fuzzed
+      val px = raw.map(_ * 8).toArray
+      val toned = px.map(p => (p * (p + 255)) / 510)
+      Multimodal.dHash64(8, 8, px) == Multimodal.dHash64(8, 8, toned)
+    }
 }

@@ -235,10 +235,10 @@ class PagedSourceSpec extends AnyFunSuite {
 
   test("oauth2 provider mints, caches, and re-mints on server-side 401 mid-walk") {
     // token endpoint + protected listing: the server revokes EVERY
-    // token after 3 uses, and each directory pages 4 times on one
-    // task's cached token — so the walk MUST re-mint mid-walk through
-    // the 401 → invalidate → retry path (per token, so concurrent
-    // tasks holding different tokens never invalidate each other)
+    // token after 3 uses, while the walk needs 4+ pages per directory
+    // on the JVM-shared cached token — so it MUST re-mint mid-walk
+    // through the 401 → invalidate → retry path (the cache entry
+    // drops, the retry re-enters headers() and mints fresh)
     val mints = new AtomicInteger(0)
     val unauthorized = new AtomicInteger(0)
     val tokenUses =

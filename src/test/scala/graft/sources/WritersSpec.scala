@@ -160,7 +160,7 @@ class WritersSpec extends AnyFunSuite {
       assert(scanned.size < manifest.length / 2,
         s"key $k scanned ${scanned.size}/${manifest.length} files")
       assert(scanned ==
-        StatsIndex.bloomCandidateFiles(spark, path, k).toSet)
+        StatsIndex.bloomCandidateFiles(spark, path, "o_orderkey", k).toSet)
     }
 
     // absent key: result empty with the data schema, and the bloom
@@ -169,7 +169,7 @@ class WritersSpec extends AnyFunSuite {
     val absent = keys.max + 999983L
     val none = StatsIndex.bloomPrunedRead(spark, path, "o_orderkey", absent)
     assert(none.count() == 0 && none.columns.sameElements(src.columns))
-    assert(StatsIndex.bloomCandidateFiles(spark, path, absent).size <
+    assert(StatsIndex.bloomCandidateFiles(spark, path, "o_orderkey", absent).size <
       manifest.length / 2)
   }
 
@@ -187,8 +187,13 @@ class WritersSpec extends AnyFunSuite {
     Seq(10L, 2500L, 5999L).foreach { k =>
       val got = StatsIndex.bloomPrunedRead(spark, path, "k", k).collect()
       assert(got.length == 1 && got.head.getString(1) == s"p$k")
-      assert(StatsIndex.bloomCandidateFiles(spark, path, k).size <
+      assert(StatsIndex.bloomCandidateFiles(spark, path, "k", k).size <
         manifest.length / 2, s"key $k: no pruning")
+      // the probe-type guard: an Int-typed probe of the Long key
+      // column must find the same files (the cast, not the caller's
+      // Scala type, decides the hash input)
+      assert(StatsIndex.bloomCandidateFiles(spark, path, "k", k.toInt).size ==
+        StatsIndex.bloomCandidateFiles(spark, path, "k", k).size)
     }
     // replay: re-appending batch 1 rewrites its directory and its
     // manifest rows — row counts and lookups unchanged

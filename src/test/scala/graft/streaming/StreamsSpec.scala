@@ -541,7 +541,8 @@ class StreamsSpec extends AnyFunSuite {
       input.toDS().toDF("doc_id", "text"), lmPath, lake, ckpt, minLp = -3.0)
     input.addData(
       (10L, (5 to 12).map(i => s"r$i").mkString(" ")), // fluent
-      (11L, "zz qq ww ee rr tt"))                      // OOV junk
+      (11L, "zz qq ww ee rr tt"),                      // OOV junk
+      (14L, "r7"))         // sub-bigram: unscorable, rejected by contract
     q.processAllAvailable()
     input.addData(
       (12L, (20 to 30).map(i => s"r$i").mkString(" ")),
