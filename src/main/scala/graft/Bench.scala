@@ -25,12 +25,18 @@ object Bench {
     // one-off build cost as if it were the per-query cost. Bench
     // replaces them with explicit build/probe phase rows, ordered so
     // each probe hits the index its build row just wrote.
-    val phaseSplit = Set("s07_ann_lsh_indexed", "s08_ann_ivf_indexed")
+    val phaseSplit = Set("s07_ann_lsh_indexed", "s08_ann_ivf_indexed",
+      "d13_indexed_admit")
     val phased: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "s07_build" -> ((s, d) => operators.Ann.s07BenchBuild(s, d)),
       "s07_probe" -> ((s, d) => operators.Ann.s07BenchProbe(s, d)),
       "s08_build" -> ((s, d) => operators.Ann.s08BenchBuild(s, d)),
       "s08_probe" -> ((s, d) => operators.Ann.s08BenchProbe(s, d)),
+      // name-sort keeps d13_build before d13_gate, so the gate row
+      // measures ONLY the recurring per-batch cost of the persisted
+      // index — the one-time signature pass has its own row
+      "d13_build" -> ((s, d) => operators.Dedup.d13BenchBuild(s, d)),
+      "d13_gate" -> ((s, d) => operators.Dedup.d13BenchGate(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff
