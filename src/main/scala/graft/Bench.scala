@@ -37,6 +37,12 @@ object Bench {
       // index — the one-time signature pass has its own row
       "d13_build" -> ((s, d) => operators.Dedup.d13BenchBuild(s, d)),
       "d13_gate" -> ((s, d) => operators.Dedup.d13BenchGate(s, d)),
+      // st13's streaming admission measured as its two phases: the
+      // one-time lake+index bootstrap, then the recurring per-drain
+      // cost (gate + lake landing + index append) — name-sort keeps
+      // build before gate
+      "st13_build" -> ((s, d) => streaming.Streams.st13BenchBuild(s, d)),
+      "st13_gate" -> ((s, d) => streaming.Streams.st13BenchGate(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

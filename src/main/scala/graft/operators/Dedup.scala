@@ -282,8 +282,11 @@ object Dedup {
     * the batch is tiny. The index persists, once per lake doc, both
     * artifacts the gate reads:
     *
-    *   `<path>/bands`    (doc_id, band, bh)  — candidate generation
-    *   `<path>/shingles` (doc_id, sh)        — exact-Jaccard verify
+    *   `<path>/bands`    (doc_id, band, bh)      — candidate generation
+    *   `<path>/shingles` (doc_id, sh) / `sp=<k>`  — exact-Jaccard verify,
+    *                     bucketed by doc-id hash so a gate reads only
+    *                     candidate-touched buckets
+    *   `<path>/meta`     build parameters, validated on every call
     *
     * so a batch touches the lake only through on-disk reads, and
     * [[d13AdmitAndMaintain]] appends the ADMITTED docs' rows under
@@ -293,13 +296,54 @@ object Dedup {
     * Build cost is one signature+shingle pass, the pass d11 pays per
     * batch, paid once.
     */
+  /** Shingle-table bucket count: shingle rows are written under
+    * `sp = pmod(xxhash64(doc_id), ShingleParts)` partition directories,
+    * so the gate's exact-Jaccard verify reads only the buckets its
+    * candidate lake ids hash into — candidates are bounded by the
+    * batch's collisions, so per-batch shingle I/O is a
+    * |candidate buckets|/ShingleParts share of the table, never the
+    * whole lake's shingle sets (the table's dominant component: one
+    * 8-byte hash per token position).
+    */
+  private val ShingleParts = 64
+
+  /** The sp bucket of a doc_id (build and gate must agree). */
+  private def spBucket(id: Column): Column =
+    pmod(xxhash64(id), lit(ShingleParts.toLong)).cast("int")
+
+  /** Validate-or-create the index meta (1-row parquet, the
+    * lmTrainTables discipline for persisted artifacts): a gate whose
+    * shingleK disagrees with the build's produces near-zero Jaccard on
+    * every candidate and silently ADMITS everything — so the build
+    * parameters are persisted with the index and re-checked on every
+    * build/gate call, failing loudly on mismatch.
+    */
+  private def d13Meta(spark: SparkSession, path: String, shingleK: Int): Unit = {
+    import spark.implicits._
+    val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta))
+      Seq((shingleK, 64, 16, 4, ShingleParts))
+        .toDF("shingle_k", "num_perm", "bands", "rows_per_band", "shingle_parts")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(meta.toString)
+    else {
+      val r = spark.read.parquet(meta.toString).head()
+      require(r.getInt(0) == shingleK,
+        s"d13 index at $path was built with shingleK=${r.getInt(0)} but the " +
+          s"caller passed shingleK=$shingleK — mismatched shingles make every " +
+          "Jaccard near zero and the gate would admit everything")
+    }
+  }
+
   def d13BuildDedupIndex(docs: DataFrame, path: String,
       shingleK: Int = 5, batchId: Long = -1L): Unit = {
+    d13Meta(docs.sparkSession, path, shingleK)
     val sigs = minhashSignatures(docs, shingleK, numPerm = 64)
     bandRows(sigs, bands = 16, rowsPerBand = 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands/batch=$batchId")
     docShingleHashes(docs, shingleK)
-      .write.mode(SaveMode.Overwrite)
+      .withColumn("sp", spBucket(col("doc_id")))
+      .write.mode(SaveMode.Overwrite).partitionBy("sp")
       .parquet(s"$path/shingles/batch=$batchId")
   }
 
@@ -315,6 +359,7 @@ object Dedup {
       shingleK: Int = 5, threshold: Double = 0.7,
       excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
+    d13Meta(spark, indexPath, shingleK)
     def readExcl(sub: String): DataFrame = {
       val base = spark.read.parquet(s"$indexPath/$sub")
       // `batch` is a DISCOVERED partition column, so the exclusion is
@@ -324,9 +369,21 @@ object Dedup {
       excludeBatch.fold(base)(id => base.filter(col("batch") =!= id))
     }
     val bndLake = readExcl("bands").select("doc_id", "band", "bh")
-    val shAll = readExcl("shingles").select("doc_id", "sh")
+    val shAll = readExcl("shingles")
     admitAgainst(newDocs, bndLake,
-      ids => shAll.join(ids, Seq("doc_id"), "left_semi"),
+      ids => {
+        // bounded collect (≤ ShingleParts values): the candidate lake
+        // ids' sp buckets become a PARTITION filter on the shingle
+        // table, so the verify opens only touched bucket directories —
+        // a zero-collision batch reads zero shingle bytes, and no batch
+        // ever pays a full shingle-table scan
+        val sps = ids.select(spBucket(col("doc_id")).as("sp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (sps.isEmpty) shAll.filter(lit(false)).select("doc_id", "sh")
+        else shAll.filter(col("sp").isin(sps: _*))
+          .select("doc_id", "sh")
+          .join(ids, Seq("doc_id"), "left_semi")
+      },
       shingleK, threshold)
   }
 
@@ -354,10 +411,16 @@ object Dedup {
     s"${System.getProperty("java.io.tmpdir")}" +
       s"/graft_d13_${dir.hashCode.toHexString}/index"
 
-  /** The d11/d13 demo batch: re-submissions + fresh content. */
-  private def d13DemoBatch(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir).documents.select(col("doc_id"),
+  /** The d11/d13 demo lake: the tagged corpus (st13's bench reuses it
+    * as the seeded admission lake).
+    */
+  private[graft] def d13DemoLake(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"),
       tagTokens(col("text"), col("doc_id")).as("text"))
+
+  /** The d11/d13 demo batch: re-submissions + fresh content. */
+  private[graft] def d13DemoBatch(spark: SparkSession, dir: String): DataFrame = {
+    val base = d13DemoLake(spark, dir)
     val resub = base.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat(col("text"), lit(" resubmitted")).as("text"))
@@ -377,9 +440,7 @@ object Dedup {
     val path = d13DemoPath(dir)
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    val base = Tables(spark, dir).documents.select(col("doc_id"),
-      tagTokens(col("text"), col("doc_id")).as("text"))
-    d13BuildDedupIndex(base, path)
+    d13BuildDedupIndex(d13DemoLake(spark, dir), path)
     Seq(path).toDF("index_path")
   }
 

@@ -126,66 +126,97 @@ object Streams {
       .flatMap(identity)
   }
 
+  /** The d13 signature index maintained beside an st13 lake — a
+    * SIBLING of the lake root (like st07's `.prev`/`.staging`), so
+    * readers of the lake path never see index rows.
+    */
+  def lakeIndexPath(lakePath: String): String = s"$lakePath.index"
+
+  /** List the `batch=<id>` child directories of `dir` (empty when the
+    * directory doesn't exist). This filesystem probe is what decides
+    * "no history yet" — never an exception catch: a batch directory
+    * that exists but fails to READ (corrupt files, schema drift)
+    * propagates loudly instead of silently becoming an empty lake that
+    * admits everything.
+    */
+  private def listBatches(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Set[Long] =
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).toSet
+
   /** st13's batch engine: admit one micro-batch of documents into a
-    * near-dup-gated lake. The lake (a `batch=<id>`-partitioned parquet
-    * tree) is read EXCLUDING the current batch's own directory — on a
-    * replay the previous attempt's output would otherwise sit in the
-    * lake and reject its own documents, emptying the batch; with the
-    * exclusion a replay sees exactly the pre-batch lake and lands the
-    * same verdicts (idempotent). Admission is d11's asymmetric
-    * new-vs-lake gate; survivors stage to a sibling directory (the
-    * staging write CONSUMES the lake read before anything moves) and
-    * swap in with two metadata renames.
+    * near-dup-gated lake, reading the lake ONLY through its persisted
+    * d13 signature index — the lake's documents are never re-read, let
+    * alone re-MinHashed, so per-batch cost is O(batch + collisions +
+    * touched index buckets) instead of the O(lake) re-signature the
+    * inline d11 form pays (the cost model d13 exists to kill; at a
+    * 100 TB lake the lake pass IS the cost).
+    *
+    * Replay safety: [[graft.operators.Dedup.d13AdmitAndMaintain]]
+    * excludes the batch's own index rows with a `batch=<id>` PARTITION
+    * filter (the excluded directory is never opened), so a replayed
+    * batch is gated against exactly the pre-batch history and rewrites
+    * the same lake/index directories. A lake with batch directories
+    * the index doesn't cover yet (a pre-seeded lake, an index wiped
+    * for rebuild, a torn build) is caught up first — each uncovered
+    * batch's rows are indexed once under the SAME batch id, keeping
+    * future replay exclusions exact.
     */
   def admitBatch(batch: DataFrame, lakePath: String, batchId: Long,
       threshold: Double = 0.7): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    import spark.implicits._
     val fs = new Path(lakePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bootstrap: on the FIRST batch of a fresh deployment the lake
-    // path doesn't exist (or holds no parquet yet) and the read would
-    // throw — an empty history admits everything and batch 0 creates
-    // the tree. ONLY the missing/empty-path error classes map to the
-    // empty history: a catch-all here once meant any real analysis
-    // error (schema drift, a renamed doc_id/text column) silently
-    // became "empty lake" and every batch admitted everything — the
-    // gate must fail loudly on those, not corrupt the lake.
-    val lake =
-      try spark.read.parquet(lakePath)
-        .filter(!input_file_name().contains(s"/batch=$batchId/"))
-        .select("doc_id", "text")
-      catch {
-        case e: org.apache.spark.sql.AnalysisException
-            if Option(e.getCondition).exists(c =>
-              c.contains("PATH_NOT_FOUND") ||
-                c.contains("UNABLE_TO_INFER_SCHEMA")) =>
-          Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val indexPath = lakeIndexPath(lakePath)
+    // coverage is the INTERSECTION of the two index tables' batch sets:
+    // a crash between the bands and shingles writes leaves a torn batch
+    // that must be rebuilt (the per-batch Overwrite makes that
+    // idempotent)
+    val covered =
+      listBatches(fs, new Path(s"$indexPath/bands")) intersect
+        listBatches(fs, new Path(s"$indexPath/shingles"))
+    val lakeBatches = listBatches(fs, new Path(lakePath))
+    (lakeBatches -- covered - batchId).toSeq.sorted.foreach { b =>
+      graft.operators.Dedup.d13BuildDedupIndex(
+        spark.read.parquet(s"$lakePath/batch=$b").select("doc_id", "text"),
+        indexPath, batchId = b)
+    }
+    val admitted =
+      if ((lakeBatches ++ covered - batchId).nonEmpty) {
+        val verdicts = graft.operators.Dedup.d13AdmitAndMaintain(
+          batch, indexPath, batchId, threshold = threshold)
+        batch.join(verdicts.filter(col("admit")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      } else {
+        // fresh deployment — no history anywhere (decided by the
+        // filesystem probes above): everything admits, and this batch
+        // seeds the index tree
+        graft.operators.Dedup.d13BuildDedupIndex(
+          batch.select("doc_id", "text"), indexPath, batchId = batchId)
+        batch
       }
-    val verdicts =
-      graft.operators.Dedup.d11IncrementalDedup(batch, lake, threshold = threshold)
-    val admitted = batch
-      .join(verdicts.filter(col("admit")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
     val staging = new Path(s"$lakePath.staging_$batchId")
     fs.delete(staging, true)
     admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(staging.toString)
+    fs.mkdirs(new Path(lakePath))
     val target = new Path(s"$lakePath/batch=$batchId")
     fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"admitBatch: cannot promote $staging")
   }
 
-  /** st13: STREAMING near-dup admission — d11's new-vs-history gate
-    * run continuously in front of the lake: each micro-batch is gated
+  /** st13: STREAMING near-dup admission — the new-vs-history gate run
+    * continuously in front of the lake: each micro-batch is gated
     * against everything admitted so far (including earlier batches of
-    * this same stream — the lake the gate reads GROWS with each
-    * drain), survivors append under `batch=<id>`, rejects vanish.
-    * This is the piece that makes st09's exact-fingerprint front door
-    * near-dup-strong: a re-crawl with one changed sentence slips
-    * fingerprint dedup but not this gate.
+    * this same stream — each drain APPENDS its admissions' signature
+    * rows to the d13 index the next drain reads), survivors land under
+    * `batch=<id>`, rejects vanish. This is the piece that makes st09's
+    * exact-fingerprint front door near-dup-strong: a re-crawl with one
+    * changed sentence slips fingerprint dedup but not this gate.
     */
   def st13AdmitStream(docs: DataFrame, lakePath: String,
       checkpointDir: String, threshold: Double = 0.7)
@@ -197,6 +228,39 @@ object Streams {
         admitBatch(batch.toDF(), lakePath, id, threshold)
       }
       .start()
+
+  private def st13BenchRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_st13_${dir.hashCode.toHexString}"
+
+  /** st13 build phase (bench): seed the admission lake + its d13 index
+    * from the demo corpus in one [[admitBatch]] call — the one-time
+    * bootstrap cost (the signature pass the index amortizes).
+    */
+  def st13BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = st13BenchRoot(dir)
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    admitBatch(graft.operators.Dedup.d13DemoLake(spark, dir),
+      s"$root/lake", batchId = 0L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  /** st13 gate phase (bench): one micro-batch through the indexed
+    * admission gate INCLUDING the lake landing and the index append —
+    * the recurring per-drain cost of the streaming near-dup front
+    * door (d13_gate measures the verdicts alone; this row adds the
+    * maintenance writes a live stream pays).
+    */
+  def st13BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = s"${st13BenchRoot(dir)}/lake"
+    admitBatch(graft.operators.Dedup.d13DemoBatch(spark, dir), lake,
+      batchId = 1L)
+    Seq(lake).toDF("lake_path")
+  }
 
   /** st14's batch body: score one micro-batch against the PERSISTED
     * t15 LM tables and land only the fluent docs (mean per-bigram

@@ -590,6 +590,73 @@ class StreamsSpec extends AnyFunSuite {
       s"lake holds $ids — want batch 0 fully admitted, near-dup 3 rejected")
   }
 
+  test("st13 gate bytes scale with batch + index touch, never the lake (x11 proof)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13bytes")
+    val lake = dir.resolve("lake").toString
+    // fat lake: 400 decorrelated docs × 500 tokens — the TEXT is the
+    // dominant on-disk artifact, exactly what the indexed gate must
+    // never read (the per-doc tag keeps cross-doc similarity at zero,
+    // so candidate sets are exactly the planted ones)
+    def fatDoc(id: Long) =
+      (id, (1 to 500).map(i => s"w${i}_d$id").mkString(" "))
+    Streams.admitBatch((1L to 400L).map(fatDoc).toDF("doc_id", "text"),
+      lake, batchId = 0L)
+
+    def dirBytes(p: String): Long = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+    }
+    val textBytes = dirBytes(s"$lake/batch=0")
+    val shingleBytes = dirBytes(s"${Streams.lakeIndexPath(lake)}/shingles")
+    assert(textBytes > 200000 && shingleBytes > 200000,
+      s"corpus too small to make the proof meaningful: " +
+        s"text=$textBytes shingles=$shingleBytes")
+
+    // zero-collision batch: the gate reads the bands index + nothing
+    // else — no lake text, no shingle bucket (sp pruning with an empty
+    // candidate set opens zero shingle files)
+    val fresh = (1000L to 1004L).map(fatDoc).toDF("doc_id", "text")
+    val (_, mFresh) = graft.Instrument.measure(spark) {
+      Streams.admitBatch(fresh, lake, batchId = 1L)
+    }
+    assert(mFresh.inputReadBytes < textBytes / 2,
+      s"fresh-batch gate read ${mFresh.inputReadBytes} bytes — " +
+        s"comparable to the lake text ($textBytes): it is re-reading the lake")
+    assert(mFresh.inputReadBytes < shingleBytes / 2,
+      s"fresh-batch gate read ${mFresh.inputReadBytes} bytes — " +
+        s"comparable to the shingle table ($shingleBytes): sp pruning is dead")
+
+    // colliding batch: 3 candidates → ≤ 3 of the 64 shingle buckets
+    // read; still nowhere near a lake scan
+    val dups = Seq(5L, 6L, 7L)
+      .map(i => (2000L + i, fatDoc(i)._2 + " tail")).toDF("doc_id", "text")
+    val (_, mDup) = graft.Instrument.measure(spark) {
+      Streams.admitBatch(dups, lake, batchId = 2L)
+    }
+    assert(mDup.inputReadBytes < textBytes / 2,
+      s"dup-batch gate read ${mDup.inputReadBytes} vs text $textBytes")
+
+    // the verdicts stayed right while the bytes shrank
+    val ids = spark.read.parquet(lake).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((1000L to 1004L).forall(ids.contains) &&
+      Seq(2005L, 2006L, 2007L).forall(id => !ids.contains(id)),
+      s"wrong admissions: $ids")
+
+    // and the inline (d11) form on the SAME lake pays the O(lake)
+    // re-signature the index kills — the round-trip comparison that
+    // makes the scaling claim concrete
+    val lakeDf = spark.read.parquet(lake).select("doc_id", "text")
+    val mInline = graft.Instrument.profile(
+      graft.operators.Dedup.d11IncrementalDedup(
+        (3000L to 3004L).map(fatDoc).toDF("doc_id", "text"), lakeDf))
+    assert(mFresh.inputReadBytes * 2 < mInline.inputReadBytes,
+      s"indexed gate (${mFresh.inputReadBytes}) should read far less than " +
+        s"the inline lake re-signature (${mInline.inputReadBytes})")
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
