@@ -116,14 +116,14 @@ class WritersSpec extends AnyFunSuite {
     assert(none.count() == 0 &&
       none.columns.sameElements(src.columns))
 
-    // byte-level proof (x11): the pruned read moves fewer input bytes
-    // than the same filter over a full scan — data skipping is real
-    // I/O avoided, not just a shorter file list
+    // byte-level proof (x11): the pruned read SELECTS fewer on-disk
+    // bytes than the same filter over a full scan — data skipping is
+    // real I/O avoided, not just a shorter file list
     val prunedBytes = graft.Instrument.profile(
-      StatsIndex.prunedRead(spark, path, "l_shipdate", lo, hi)).inputReadBytes
+      StatsIndex.prunedRead(spark, path, "l_shipdate", lo, hi)).scanSelectedBytes
     val fullBytes = graft.Instrument.profile(
       spark.read.parquet(path)
-        .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)).inputReadBytes
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)).scanSelectedBytes
     assert(prunedBytes > 0 && prunedBytes < fullBytes,
       s"pruned $prunedBytes vs full $fullBytes — no byte reduction")
   }
