@@ -311,38 +311,83 @@ object Dedup {
   private def spBucket(id: Column): Column =
     pmod(xxhash64(id), lit(ShingleParts.toLong)).cast("int")
 
-  /** Validate-or-create the index meta (1-row parquet, the
-    * lmTrainTables discipline for persisted artifacts): a gate whose
-    * shingleK disagrees with the build's produces near-zero Jaccard on
-    * every candidate and silently ADMITS everything — so the build
-    * parameters are persisted with the index and re-checked on every
-    * build/gate call, failing loudly on mismatch.
+  private val MetaCols =
+    Seq("shingle_k", "num_perm", "bands", "rows_per_band", "shingle_parts")
+
+  /** Validated (index path → shingle_k) cache: persisted build params
+    * are immutable, so each JVM validates a given path once — the
+    * per-call meta parquet round-trip was a measurable share of the
+    * d13 gate's bench cost. Advisory only: a cache miss or mismatch
+    * falls through to disk.
     */
-  private def d13Meta(spark: SparkSession, path: String, shingleK: Int): Unit = {
-    import spark.implicits._
+  private val metaValidated =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Validate the index meta (1-row parquet, the lmTrainTables
+    * discipline for persisted artifacts): a gate whose shingle or
+    * banding parameters disagree with the build's produces near-zero
+    * Jaccard on every candidate — or prunes candidates into the wrong
+    * sp buckets — and silently ADMITS everything. So EVERY build
+    * parameter is persisted with the index and re-checked, by column
+    * name, failing loudly on any mismatch.
+    *
+    * Only the BUILD path (`create = true`) creates a missing meta; a
+    * gate against a meta-less path is an explicit error — stamping a
+    * pre-meta-layout (or wrong/empty) path with parameters no build
+    * ever used would assert exactly the wrong thing. The meta table is
+    * published via temp+rename so `fs.exists` never observes a
+    * half-written table as present.
+    */
+  private def d13Meta(spark: SparkSession, path: String, shingleK: Int,
+      create: Boolean): Unit = {
+    val cached = metaValidated.get(path)
+    if (!create && cached != null && cached.intValue() == shingleK) return
     val meta = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(meta))
-      Seq((shingleK, 64, 16, 4, ShingleParts))
-        .toDF("shingle_k", "num_perm", "bands", "rows_per_band", "shingle_parts")
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(meta.toString)
-    else {
-      val r = spark.read.parquet(meta.toString).head()
-      require(r.getInt(0) == shingleK,
-        s"d13 index at $path was built with shingleK=${r.getInt(0)} but the " +
-          s"caller passed shingleK=$shingleK — mismatched shingles make every " +
-          "Jaccard near zero and the gate would admit everything")
+    val want = Seq(shingleK, 64, 16, 4, ShingleParts)
+    if (!fs.exists(meta)) {
+      metaValidated.remove(path)
+      if (!create)
+        throw new IllegalStateException(
+          s"d13 index at $path has no meta table — it predates the meta/sp " +
+            "layout, or the path is wrong or empty; rebuild it with " +
+            "d13BuildDedupIndex before gating against it")
+      import spark.implicits._
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/.meta_tmp")
+      fs.delete(tmp, true)
+      Seq((shingleK, 64, 16, 4, ShingleParts)).toDF(MetaCols: _*)
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (!fs.rename(tmp, meta) && !fs.exists(meta))
+        throw new java.io.IOException(s"d13Meta: cannot publish $meta")
+      metaValidated.put(path, shingleK)
+    } else if (cached == null || cached.intValue() != shingleK) {
+      val r = spark.read.parquet(meta.toString)
+        .select(MetaCols.map(col): _*).head()
+      MetaCols.zipWithIndex.foreach { case (name, i) =>
+        require(r.getInt(i) == want(i),
+          s"d13 index at $path was built with $name=${r.getInt(i)} but this " +
+            s"call expects $name=${want(i)} — mismatched build parameters " +
+            "make the gate silently admit every near-dup; rebuild the index " +
+            "or match the build's parameters")
+      }
+      metaValidated.put(path, shingleK)
     }
   }
 
   def d13BuildDedupIndex(docs: DataFrame, path: String,
       shingleK: Int = 5, batchId: Long = -1L): Unit = {
-    d13Meta(docs.sparkSession, path, shingleK)
+    d13Meta(docs.sparkSession, path, shingleK, create = true)
     val sigs = minhashSignatures(docs, shingleK, numPerm = 64)
     bandRows(sigs, bands = 16, rowsPerBand = 4)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands/batch=$batchId")
+    // repartition on sp before the partitioned write: without it every
+    // writer task emits a file into every bucket it holds rows for —
+    // up to tasks×ShingleParts files per batch; with it each sp lands
+    // in exactly one task, bounding the batch at ≤ ShingleParts files
+    // (the small-file growth a long-lived stream cannot afford)
     docShingleHashes(docs, shingleK)
       .withColumn("sp", spBucket(col("doc_id")))
+      .repartition(col("sp"))
       .write.mode(SaveMode.Overwrite).partitionBy("sp")
       .parquet(s"$path/shingles/batch=$batchId")
   }
@@ -359,7 +404,7 @@ object Dedup {
       shingleK: Int = 5, threshold: Double = 0.7,
       excludeBatch: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    d13Meta(spark, indexPath, shingleK)
+    d13Meta(spark, indexPath, shingleK, create = false)
     def readExcl(sub: String): DataFrame = {
       val base = spark.read.parquet(s"$indexPath/$sub")
       // `batch` is a DISCOVERED partition column, so the exclusion is
@@ -405,6 +450,89 @@ object Dedup {
       Seq("doc_id"), "left_semi")
     d13BuildDedupIndex(admitted, indexPath, shingleK, batchId)
     verdicts
+  }
+
+  /** Lake batches covered by a compacted index directory: the dir name
+    * `batch=-(W+2)` encodes watermark W = "every lake batch ≤ W is
+    * folded into this base" (atomic with the rename that publishes the
+    * consolidation — no separate watermark artifact to tear).
+    * `batch=-1` is the plain pre-stream build base and encodes no
+    * coverage.
+    */
+  private[graft] def compactWatermark(indexBatchIds: Set[Long]): Option[Long] = {
+    val ws = indexBatchIds.filter(_ <= -2L).map(id => -id - 2L)
+    if (ws.isEmpty) None else Some(ws.max)
+  }
+
+  /** x20-for-d13: consolidate the index's `batch=<id>` directories with
+    * id ≤ `upTo` (including earlier consolidations) into one compacted
+    * base per sub-table — the maintenance pass a long-lived st13
+    * stream needs, since every admitted batch appends ≤ ShingleParts
+    * shingle files + a bands file and the trees otherwise grow one
+    * directory per drain forever.
+    *
+    * Correctness contract: only compact batches that can no longer be
+    * REPLAYED (a foreachBatch stream may replay its last batch, never
+    * earlier ones — pass `upTo = currentBatch - 1`), because folding a
+    * batch into the base makes it non-excludable and a replay of it
+    * would self-match.
+    *
+    * Crash posture: the consolidated tree is staged fully, then
+    * renamed in BEFORE the source directories are deleted — every
+    * crash window leaves either the old layout or a benignly
+    * DUPLICATED one (duplicate band rows collapse in the gate's
+    * `distinct()` candidates; duplicate shingle rows collapse in the
+    * verify join's per-pair row_number), never missing rows. The one
+    * exception is a re-run after a crash that left the target
+    * consolidated directory behind: promoting the fresh consolidation
+    * then needs a delete+rename pair, a two-metadata-op window.
+    * Idempotent: re-running with the same `upTo` is a no-op.
+    */
+  def d13CompactIndex(spark: SparkSession, indexPath: String,
+      upTo: Long): Unit = {
+    require(upTo >= 0, s"d13CompactIndex: upTo=$upTo must be >= 0")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchIds(sub: String): Seq[Long] = {
+      val d = new Path(s"$indexPath/$sub")
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map { n =>
+          n.stripPrefix("batch=").toLongOption.getOrElse(
+            throw new IllegalStateException(
+              s"non-numeric batch directory '$n' under $d — remove or " +
+                "rename it before compacting"))
+        }
+    }
+    def compactSub(sub: String,
+        write: (DataFrame, String) => Unit): Unit = {
+      val ids = batchIds(sub)
+      val fold = ids.filter(_ <= upTo)
+      val watermark = math.max(
+        compactWatermark(ids.toSet).getOrElse(-1L),
+        fold.filter(_ >= 0).foldLeft(-1L)(math.max))
+      val target = new Path(s"$indexPath/$sub/batch=${-watermark - 2L}")
+      if (fold.isEmpty ||
+          (fold.toSet == Set(-watermark - 2L))) return // already compact
+      val df = spark.read.parquet(s"$indexPath/$sub")
+        .filter(col("batch") <= upTo).drop("batch")
+      val staging = new Path(s"$indexPath/$sub/.compact_staging")
+      fs.delete(staging, true)
+      write(df, staging.toString)
+      if (fs.exists(target)) fs.delete(target, true) // crashed prior run
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(
+          s"d13CompactIndex: cannot promote $staging to $target")
+      fold.filter(_ != -watermark - 2L)
+        .foreach(b => fs.delete(new Path(s"$indexPath/$sub/batch=$b"), true))
+    }
+    compactSub("bands",
+      (df, out) => df.write.mode(SaveMode.Overwrite).parquet(out))
+    compactSub("shingles",
+      (df, out) => df.repartition(col("sp"))
+        .write.mode(SaveMode.Overwrite).partitionBy("sp").parquet(out))
   }
 
   private def d13DemoPath(dir: String): String =

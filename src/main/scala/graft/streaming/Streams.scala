@@ -144,7 +144,15 @@ object Streams {
     if (!fs.exists(dir)) Set.empty
     else fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong).toSet
+      .map { n =>
+        // a stray non-numeric directory fails loudly WITH ITS PATH —
+        // a bare .toLong here would wedge every later admitBatch on
+        // this lake with an error naming neither
+        n.stripPrefix("batch=").toLongOption.getOrElse(
+          throw new IllegalStateException(
+            s"non-numeric batch directory '$n' under $dir — remove or " +
+              "rename it (batch directories must be batch=<long>)"))
+      }.toSet
 
   /** st13's batch engine: admit one micro-batch of documents into a
     * near-dup-gated lake, reading the lake ONLY through its persisted
@@ -178,12 +186,18 @@ object Streams {
     val covered =
       listBatches(fs, new Path(s"$indexPath/bands")) intersect
         listBatches(fs, new Path(s"$indexPath/shingles"))
+    // a compacted base directory (batch=-(W+2)) covers every lake
+    // batch ≤ W — compaction folds batch dirs away, so coverage can't
+    // be judged by directory listing alone
+    val watermark = graft.operators.Dedup.compactWatermark(covered)
     val lakeBatches = listBatches(fs, new Path(lakePath))
-    (lakeBatches -- covered - batchId).toSeq.sorted.foreach { b =>
-      graft.operators.Dedup.d13BuildDedupIndex(
-        spark.read.parquet(s"$lakePath/batch=$b").select("doc_id", "text"),
-        indexPath, batchId = b)
-    }
+    lakeBatches
+      .filter(b => !covered(b) && !watermark.exists(b <= _) && b != batchId)
+      .toSeq.sorted.foreach { b =>
+        graft.operators.Dedup.d13BuildDedupIndex(
+          spark.read.parquet(s"$lakePath/batch=$b").select("doc_id", "text"),
+          indexPath, batchId = b)
+      }
     val admitted =
       if ((lakeBatches ++ covered - batchId).nonEmpty) {
         val verdicts = graft.operators.Dedup.d13AdmitAndMaintain(
@@ -207,7 +221,21 @@ object Streams {
     fs.delete(target, true)
     if (!fs.rename(staging, target))
       throw new java.io.IOException(s"admitBatch: cannot promote $staging")
+    // self-maintenance: each drain appends ≤ ShingleParts shingle files
+    // + a bands file, so a long-lived stream grows one index directory
+    // per batch forever; fold history when it piles up. Only batches
+    // STRICTLY BEFORE this one are folded — the at-least-once contract
+    // can replay the current batch, and a folded batch is no longer
+    // excludable (its replay would self-match and erase itself)
+    if (batchId >= 1 &&
+        covered.count(b => b >= 0 && b < batchId) >= AutoCompactBatches)
+      graft.operators.Dedup.d13CompactIndex(spark, indexPath, batchId - 1)
   }
+
+  /** Positive index batch directories that trigger [[admitBatch]]'s
+    * automatic d13 index compaction.
+    */
+  private val AutoCompactBatches = 16
 
   /** st13: STREAMING near-dup admission — the new-vs-history gate run
     * continuously in front of the lake: each micro-batch is gated

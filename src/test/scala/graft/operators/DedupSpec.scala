@@ -238,6 +238,90 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/bands").count() == before)
   }
 
+  test("d13 meta gates loudly: no meta on the gate path, any param mismatch") {
+    import spark.implicits._
+    def doc(id: Long, tag: String) =
+      (id, (1 to 30).map(i => s"w${i}_$tag").mkString(" "))
+    // gating a path no build ever stamped must NOT invent a meta —
+    // it must name the rebuild remedy
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_d13meta0").toString + "/index"
+    val e0 = intercept[IllegalStateException] {
+      Dedup.d13IncrementalDedupIndexed(
+        Seq(doc(1L, "a")).toDF("doc_id", "text"), empty).collect()
+    }
+    assert(e0.getMessage.contains("no meta table") &&
+      e0.getMessage.contains("rebuild"))
+    // and no meta directory was left behind asserting parameters no
+    // build ever used
+    assert(!new java.io.File(s"$empty/meta").exists())
+
+    // a shingle_k mismatch against a REAL build fails naming the param
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_d13meta1").toString + "/index"
+    Dedup.d13BuildDedupIndex(
+      Seq(doc(1L, "a"), doc(2L, "b")).toDF("doc_id", "text"), path)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.d13IncrementalDedupIndexed(
+        Seq(doc(3L, "c")).toDF("doc_id", "text"), path, shingleK = 7)
+        .collect()
+    }
+    assert(e1.getMessage.contains("shingle_k"))
+  }
+
+  test("d13 compaction folds batch dirs, keeps verdicts, stays idempotent") {
+    import spark.implicits._
+    def doc(id: Long, tag: String) =
+      (id, (1 to 30).map(i => s"w${i}_$tag").mkString(" "))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_d13c").toString + "/index"
+    Dedup.d13BuildDedupIndex(
+      Seq(doc(1L, "a"), doc(2L, "b")).toDF("doc_id", "text"), path)
+    Dedup.d13AdmitAndMaintain(
+      Seq(doc(10L, "c")).toDF("doc_id", "text"), path, batchId = 1L).collect()
+    Dedup.d13AdmitAndMaintain(
+      Seq(doc(11L, "d")).toDF("doc_id", "text"), path, batchId = 2L).collect()
+
+    def batchDirs(sub: String): Set[String] =
+      new java.io.File(s"$path/$sub").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    assert(batchDirs("bands") == Set("batch=-1", "batch=1", "batch=2"))
+
+    // verdicts for a next batch, measured BEFORE compaction: one dup
+    // of the build base, one dup of a streamed admission, one fresh
+    val probe = Seq(doc(20L, "a"), doc(21L, "c"), doc(22L, "z"))
+      .toDF("doc_id", "text")
+    def verdicts() = Dedup.d13IncrementalDedupIndexed(probe, path)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    val before = verdicts()
+    assert(before == Seq((20L, false, Some(1L)), (21L, false, Some(10L)),
+      (22L, true, None)))
+
+    // compact everything through batch 2: one base dir per sub-table,
+    // name encoding watermark 2, and the SAME verdicts
+    Dedup.d13CompactIndex(spark, path, upTo = 2L)
+    assert(batchDirs("bands") == Set("batch=-4") &&
+      batchDirs("shingles") == Set("batch=-4"))
+    assert(verdicts() == before)
+    assert(Dedup.compactWatermark(Set(-4L)) == Some(2L))
+
+    // idempotent: re-running changes nothing on disk
+    val snapshot = new java.io.File(s"$path/bands/batch=-4").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    Dedup.d13CompactIndex(spark, path, upTo = 2L)
+    assert(new java.io.File(s"$path/bands/batch=-4").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap == snapshot)
+
+    // and the maintained gate keeps working on the compacted index
+    val v = Dedup.d13AdmitAndMaintain(
+      Seq(doc(30L, "c"), doc(31L, "q")).toDF("doc_id", "text"),
+      path, batchId = 3L).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v == Map(30L -> false, 31L -> true))
+  }
+
   test("d07 propagation resolves a long chain (diameter > 1 round)") {
     import spark.implicits._
     // path graph 1-2-3-...-8: min label must travel 7 hops

@@ -249,10 +249,11 @@ class StreamsSpec extends AnyFunSuite {
     assert(snapshot(1) == before1, "partition 1 was rewritten")
     assert(snapshot(3) == before3, "partition 3 was rewritten")
     assert(snapshot(2) != Map.empty && snapshot(2).nonEmpty)
-    // x11 byte accounting: the batch read less than the whole table
-    // (a full-table merge would read every partition plus the batch)
-    assert(m.inputReadBytes < tableBytes,
-      s"batch read ${m.inputReadBytes} bytes >= table $tableBytes — not partition-confined")
+    // x11 byte accounting: the batch's scans selected less than the
+    // whole table (a full-table merge would read every partition plus
+    // the batch)
+    assert(m.scanSelectedBytes < tableBytes,
+      s"batch scanned ${m.scanSelectedBytes} bytes >= table $tableBytes — not partition-confined")
     // cross-batch latest-per-key still holds
     val v = spark.read.parquet(path).collect()
       .map(r => r.getAs[Long]("user_id") ->
@@ -590,6 +591,39 @@ class StreamsSpec extends AnyFunSuite {
       s"lake holds $ids — want batch 0 fully admitted, near-dup 3 rejected")
   }
 
+  test("st13 catch-up respects a compacted index: watermark coverage, no re-index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13c")
+    val lake = dir.resolve("lake").toString
+    def doc(id: Long, tag: String) =
+      (id, (1 to 30).map(i => s"w${i}_$tag").mkString(" "))
+    Streams.admitBatch(
+      Seq(doc(1L, "a"), doc(2L, "b")).toDF("doc_id", "text"), lake, 0L)
+    Streams.admitBatch(
+      Seq(doc(3L, "c")).toDF("doc_id", "text"), lake, 1L)
+
+    val index = Streams.lakeIndexPath(lake)
+    graft.operators.Dedup.d13CompactIndex(spark, index, upTo = 1L)
+    def bandDirs(): Set[String] =
+      new java.io.File(s"$index/bands").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(_.getName).toSet
+    assert(bandDirs() == Set("batch=-3"), s"compact left ${bandDirs()}")
+
+    // the folded dir covers lake batches 0..1: the next admission must
+    // NOT re-index them (no batch=0/1 dirs reappear) and must still
+    // reject a near-dup of a folded batch's doc
+    Streams.admitBatch(
+      Seq((10L, doc(1L, "a")._2 + " tail"), doc(11L, "z"))
+        .toDF("doc_id", "text"), lake, 2L)
+    assert(bandDirs() == Set("batch=-3", "batch=2"),
+      s"catch-up re-indexed folded batches: ${bandDirs()}")
+    val ids = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 11L),
+      s"lake holds $ids — near-dup 10 must be rejected via the compacted base")
+  }
+
   test("st13 gate bytes scale with batch + index touch, never the lake (x11 proof)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st13bytes")
@@ -616,16 +650,18 @@ class StreamsSpec extends AnyFunSuite {
 
     // zero-collision batch: the gate reads the bands index + nothing
     // else — no lake text, no shingle bucket (sp pruning with an empty
-    // candidate set opens zero shingle files)
+    // candidate set opens zero shingle files). scanSelectedBytes sums
+    // the scans' post-pruning selected file bytes — the honest pruning
+    // metric (inputReadBytes misses parquet data-page IO on local FS)
     val fresh = (1000L to 1004L).map(fatDoc).toDF("doc_id", "text")
     val (_, mFresh) = graft.Instrument.measure(spark) {
       Streams.admitBatch(fresh, lake, batchId = 1L)
     }
-    assert(mFresh.inputReadBytes < textBytes / 2,
-      s"fresh-batch gate read ${mFresh.inputReadBytes} bytes — " +
+    assert(mFresh.scanSelectedBytes < textBytes / 2,
+      s"fresh-batch gate scanned ${mFresh.scanSelectedBytes} bytes — " +
         s"comparable to the lake text ($textBytes): it is re-reading the lake")
-    assert(mFresh.inputReadBytes < shingleBytes / 2,
-      s"fresh-batch gate read ${mFresh.inputReadBytes} bytes — " +
+    assert(mFresh.scanSelectedBytes < shingleBytes / 2,
+      s"fresh-batch gate scanned ${mFresh.scanSelectedBytes} bytes — " +
         s"comparable to the shingle table ($shingleBytes): sp pruning is dead")
 
     // colliding batch: 3 candidates → ≤ 3 of the 64 shingle buckets
@@ -635,8 +671,8 @@ class StreamsSpec extends AnyFunSuite {
     val (_, mDup) = graft.Instrument.measure(spark) {
       Streams.admitBatch(dups, lake, batchId = 2L)
     }
-    assert(mDup.inputReadBytes < textBytes / 2,
-      s"dup-batch gate read ${mDup.inputReadBytes} vs text $textBytes")
+    assert(mDup.scanSelectedBytes < textBytes / 2,
+      s"dup-batch gate scanned ${mDup.scanSelectedBytes} vs text $textBytes")
 
     // the verdicts stayed right while the bytes shrank
     val ids = spark.read.parquet(lake).select("doc_id")
@@ -652,9 +688,9 @@ class StreamsSpec extends AnyFunSuite {
     val mInline = graft.Instrument.profile(
       graft.operators.Dedup.d11IncrementalDedup(
         (3000L to 3004L).map(fatDoc).toDF("doc_id", "text"), lakeDf))
-    assert(mFresh.inputReadBytes * 2 < mInline.inputReadBytes,
-      s"indexed gate (${mFresh.inputReadBytes}) should read far less than " +
-        s"the inline lake re-signature (${mInline.inputReadBytes})")
+    assert(mFresh.scanSelectedBytes * 2 < mInline.scanSelectedBytes,
+      s"indexed gate (${mFresh.scanSelectedBytes}) should scan far less " +
+        s"than the inline lake re-signature (${mInline.scanSelectedBytes})")
   }
 
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
