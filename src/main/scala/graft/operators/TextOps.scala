@@ -379,40 +379,75 @@ object TextOps {
       maxWords: Int = 50000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val words0 = cappedWords(docs, maxWords)
-      .as[(String, Long)]
-      .map { case (w, f) => (f, w.map(_.toString): Seq[String]) }
-      .toDF("freq", "syms")
-    var words = words0.localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
-    var rank = 0
+    // ONE distributed pass — the corpus-scale explode + groupBy +
+    // TakeOrdered — then the merge loop runs DRIVER-SIDE over the
+    // collected ≤ maxWords table. The previous shape scheduled two
+    // Spark jobs per merge rank (argmax + checkpointed rewrite): fine
+    // at the demo's 24 merges, ~64k driver-bottlenecked jobs at a real
+    // 32k-merge vocab. The capped word table is a bounded artifact
+    // (IVF's centroid-load class); looping over it is not distributed
+    // work, and the loop is what a single-node BPE trainer does anyway.
+    val freqs = cappedWords(docs, maxWords).as[(String, Long)].collect()
+    val wordFreq = freqs.map(_._2)
+    val wordSyms = freqs.map { case (w, _) =>
+      scala.collection.mutable.ArrayBuffer.from(w.map(_.toString)) }
+    // pair counts maintained incrementally: only words CONTAINING the
+    // merged pair change between ranks, so each rank re-counts the
+    // touched words, not the table. Contributions are removed and
+    // re-added wholesale per word, which keeps the overlapping-repeat
+    // accounting ("aaaa" holds (a,a) three sliding times but merges
+    // leftmost-greedy to "aa aa") exact by construction.
+    val counts = scala.collection.mutable.HashMap
+      .empty[(String, String), Long].withDefaultValue(0L)
+    val touch = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def contribute(i: Int, sign: Long): Unit = {
+      val syms = wordSyms(i)
+      val f = wordFreq(i)
+      var j = 0
+      while (j + 1 < syms.length) {
+        val p = (syms(j), syms(j + 1))
+        val c = counts(p) + sign * f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0L)
+          touch.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[Int]) += i
+        j += 1
+      }
+    }
+    wordSyms.indices.foreach(contribute(_, 1L))
+    val merges = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 0L
     var done = false
     while (rank < numMerges && !done) {
-      val best = words.as[(Long, Seq[String])]
-        .flatMap { case (f, syms) =>
-          if (syms.length < 2) Iterator.empty
-          else syms.sliding(2).map(p => (p(0), p(1), f))
-        }
-        .toDF("l", "r", "freq")
-        .groupBy("l", "r").agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
-        .collect()
-      if (best.isEmpty || best(0).getLong(2) < 2) done = true
+      if (counts.isEmpty) done = true
       else {
-        val (l, r, cnt) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        merges += ((rank, l, r, l + r, cnt))
-        val next = words.as[(Long, Seq[String])]
-          .map { case (f, syms) => (f, applyMerge(syms, l, r)) }
-          .toDF("freq", "syms").localCheckpoint(true)
-        words = next
-        rank += 1
+        // same total order as the distributed argmax had: max count,
+        // then (left, right) lexicographic — determinism is free here
+        // (no partitioning in sight) but the ORDER is part of the
+        // operator's contract with the spec's independent reference
+        val ((l, r), cnt) =
+          counts.minBy { case ((a, b), n) => (-n, a, b) }
+        if (cnt < 2L) done = true
+        else {
+          merges += ((rank, l, r, l + r, cnt))
+          // entries for words whose (l,r) was merged away by an earlier
+          // rank are stale: remove+reapply+re-add is the identity for
+          // them, so staleness costs a word re-count, never correctness
+          touch.get((l, r)).foreach(_.toArray.foreach { i =>
+            contribute(i, -1L)
+            wordSyms(i) = scala.collection.mutable.ArrayBuffer
+              .from(applyMerge(wordSyms(i).toSeq, l, r))
+            contribute(i, 1L)
+          })
+          touch.remove((l, r))
+          rank += 1L
+        }
       }
     }
     merges.toSeq
       .toDF("rank", "left", "right", "merged", "cnt")
-      .select(col("rank").cast(LongType).as("rank"), col("left"),
-        col("right"), col("merged"), col("cnt"))
       .orderBy("rank")
   }
 

@@ -183,46 +183,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "demo vacuous: no heavy hitters at this support")
   }
 
-  test("t11 distributed BPE training equals an independent local reference") {
-    import spark.implicits._
-    // independent reference: plain-Scala BPE over local word counts —
-    // same public rule (max-count pair, (left, right) tiebreak,
-    // leftmost-first greedy apply), written without the operator's code
-    def refBpe(corpus: Seq[String], numMerges: Int)
-        : Seq[(Long, String, String, String, Long)] = {
-      def applyM(syms: List[String], l: String, r: String): List[String] =
-        syms match {
-          case a :: b :: rest if a == l && b == r => (l + r) :: applyM(rest, l, r)
-          case a :: rest => a :: applyM(rest, l, r)
-          case Nil => Nil
-        }
-      var ws = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
-        .groupBy(identity).toSeq
-        .map { case (w, g) => (w.toList.map(_.toString), g.size.toLong) }
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, String, String, String, Long)]
-      var rank = 0L
-      var stop = false
-      while (rank < numMerges && !stop) {
-        val counts = scala.collection.mutable.Map
-          .empty[(String, String), Long].withDefaultValue(0L)
-        ws.foreach { case (syms, f) =>
-          syms.sliding(2).foreach {
-            case Seq(a, b) => counts((a, b)) += f
-            case _ =>
-          }
-        }
-        val cands = counts.toSeq
-        if (cands.isEmpty || cands.map(_._2).max < 2) stop = true
-        else {
-          val ((l, r), c) = cands.minBy { case ((a, b), n) => (-n, a, b) }
-          out += ((rank, l, r, l + r, c))
-          ws = ws.map { case (syms, f) => (applyM(syms, l, r), f) }
-          rank += 1
+  // independent reference: plain-Scala BPE over local word counts —
+  // same public rule (max-count pair, (left, right) tiebreak,
+  // leftmost-first greedy apply), written without the operator's code.
+  // Deliberately naive (full pair re-count per rank): the oracle,
+  // not the implementation under test.
+  private def refBpe(corpus: Seq[String], numMerges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    def applyM(syms: List[String], l: String, r: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: applyM(rest, l, r)
+        case a :: rest => a :: applyM(rest, l, r)
+        case Nil => Nil
+      }
+    var ws = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
+      .groupBy(identity).toSeq
+      .map { case (w, g) => (w.toList.map(_.toString), g.size.toLong) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, String, Long)]
+    var rank = 0L
+    var stop = false
+    while (rank < numMerges && !stop) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      ws.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += f
+          case _ =>
         }
       }
-      out.toSeq
+      val cands = counts.toSeq
+      if (cands.isEmpty || cands.map(_._2).max < 2) stop = true
+      else {
+        val ((l, r), c) = cands.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, l + r, c))
+        ws = ws.map { case (syms, f) => (applyM(syms, l, r), f) }
+        rank += 1
+      }
     }
+    out.toSeq
+  }
+
+  test("t11 distributed BPE training equals an independent local reference") {
+    import spark.implicits._
     // repetition inside words ("aaaa") exercises the leftmost-greedy
     // rule; cross-word frequencies drive the merge order
     val corpus = Seq(
@@ -243,6 +246,33 @@ class TextOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getString(3), r.getLong(4))).toSeq
     assert(got7 == got)
+  }
+
+  test("t11 BPE at vocab scale: 512 merges equal the reference, in seconds") {
+    import spark.implicits._
+    // a corpus rich enough to sustain 512 merges with count ≥ 2:
+    // 2500 zipf-weighted pseudo-words over a 12-letter alphabet
+    val rnd = new scala.util.Random(42)
+    val vocabWords = (0 until 2500).map { _ =>
+      val len = 4 + rnd.nextInt(8)
+      (0 until len).map(_ => ('a' + rnd.nextInt(12)).toChar).mkString
+    }
+    val bag = vocabWords.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(1 + 2500 / (i + 1))(w) }
+    val corpus = rnd.shuffle(bag).grouped(50).map(_.mkString(" ")).toSeq
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = TextOps.t11BpeTrainOver(docs, numMerges = 512)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.length == 512, s"corpus exhausted at ${got.length} merges")
+    assert(got == refBpe(corpus, 512))
+    // the old 2-jobs-per-rank shape took minutes here; the driver-side
+    // loop must not (the distributed part is one corpus pass)
+    assert(sec < 60.0, s"512 merges took ${sec}s")
   }
 
   test("t11 learned vocab drives the apply kernels with zero UNK") {
