@@ -627,6 +627,112 @@ object Streams {
     audit
   }
 
+  /** One micro-batch's gate accounting from [[st15ServiceCycle]]. */
+  final case class ServiceAudit(
+      batch_id: Long, arrived: Long, fluent: Long, admitted: Long)
+
+  /** st15: the reference notebook's download loop (ref py:1-305) run
+    * as the COMPLETE corpus service — every admission axis the engine
+    * has, composed end to end. One call = one service cycle:
+    *
+    *   1. st08's landing step: the throttle-tolerant paged sync copy
+    *      (f07 enumerate → f03 diff → f08 copy) moves only new/changed
+    *      remote files into an append-only landing zone of document
+    *      files, one document per LINE (the crawl-drop convention).
+    *   2. one `AvailableNow` drain of the zone through the three
+    *      admission gates in order: st09 (per-row quality + exact
+    *      fingerprint dedup, the always-on stream transforms), st14
+    *      (LM fluency against the persisted t15 tables — trained once,
+    *      never re-scanned here), st13 (indexed near-dup via
+    *      [[admitBatch]]: verdicts from the d13 signature index,
+    *      admissions land under `batch=<id>`, their signature rows
+    *      append, auto-compaction folds old history).
+    *   3. per-batch maintenance: admitted docs' token counts append to
+    *      an st11 stats-indexed table (`<root>/doclen`), so range
+    *      probes over document length stay prunable and fresh; the
+    *      d13 index freshness is admitBatch's own contract. (Vector
+    *      index maintenance, st10, needs an embedding column no text
+    *      crawl carries — it stays the vector pipelines' composition.)
+    *
+    * Per-batch audit rows land under `<root>/audit/batch=<id>`
+    * (replay-overwrite idempotent, st11's discipline):
+    * `arrived` (past st09) − `fluent` = fluency rejects,
+    * `fluent` − `admitted` = near-dup rejects — the conservation a
+    * service operator alarms on. doc_id = xxhash64(path, text): stable
+    * across replays, distinct for identical text landing as distinct
+    * files (those are st09's exact-dedup job, not an id collision).
+    *
+    * Cost per cycle at scale: one remote enumeration, copies bounded
+    * by the diff, one drain bounded by new files, gates bounded by
+    * O(batch + index touch) — an unchanged remote costs one
+    * enumeration, zero downloads, an empty drain.
+    */
+  def st15ServiceCycle(spark: SparkSession,
+      fetcher: graft.sources.PagedSource.PageFetcher,
+      root: String, lmPath: String,
+      minLp: Double = -3.0, threshold: Double = 0.7,
+      minTokens: Long = 8, maxFilesPerTrigger: Int = 10)
+      : Dataset[graft.sources.FilePipeline.CopyAudit] = {
+    val landing = s"$root/landing"
+    val lake = s"$root/lake"
+    val audit = graft.sources.PagedSource
+      .syncCopyPaged(spark, fetcher, landing)
+      .localCheckpoint(true)
+    val raw = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landing)
+      .select(
+        xxhash64(input_file_name(), col("value")).as("doc_id"),
+        current_timestamp().as("ts"),
+        col("value").as("text"))
+    // st09's stream form: quality gate + watermarked exact-fp dedup
+    // (state bounded by the horizon's distinct-content volume and
+    // carried across cycles by the checkpoint)
+    val clean = graft.operators.Corpus
+      .qualityGate(raw, minTokens, maxStopwordRatio = 0.9)
+      .withColumn("fp64", graft.functions.F.fingerprint64(col("text")))
+      .withWatermark("ts", "7 days")
+      .dropDuplicatesWithinWatermark("fp64")
+    val q = clean.writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch0: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        import batch0.sparkSession.implicits._
+        val batch = batch0.toDF()
+          .select("doc_id", "text").localCheckpoint(true)
+        val arrived = batch.count()
+        // AvailableNow runs a final EMPTY micro-batch to commit the
+        // dedup state's watermark — nothing to gate, audit, or append
+        // (no return/throw here: a non-local return from a foreachBatch
+        // closure kills the stream)
+        if (arrived > 0) {
+          // st14: fluency against the persisted LM tables
+          val scored = graft.operators.TextOps.lmScoreIndexed(batch, lmPath)
+          val fluent = batch.join(
+            scored.filter(col("mean_lp") >= minLp).select("doc_id"),
+            Seq("doc_id"), "left_semi").localCheckpoint(true)
+          // st13: indexed near-dup gate + lake landing + index append
+          admitBatch(fluent, lake, id, threshold)
+          val admitted = batch0.sparkSession.read
+            .parquet(s"$lake/batch=$id").localCheckpoint(true)
+          // st11: admitted docs' length stats keep the doclen table
+          // prunable and fresh
+          graft.sources.StatsIndex.appendBatchWithStats(
+            admitted.select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens")),
+            s"$root/doclen", "n_tokens", id)
+          Seq(ServiceAudit(id, arrived, fluent.count(), admitted.count()))
+            .toDF().coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/audit/batch=$id")
+        }
+      }
+      .start()
+    q.awaitTermination()
+    audit
+  }
+
   /** st06: stream-stream interval join — attribute each right-stream
     * event (a "click") to left-stream events (the "impressions") from
     * the same user within the preceding `horizonMinutes`. Both sides

@@ -693,6 +693,84 @@ class StreamsSpec extends AnyFunSuite {
         s"than the inline lake re-signature (${mInline.scanSelectedBytes})")
   }
 
+  test("st15 service cycles: land → st09 → st14 → st13 → maintain, counts conserve") {
+    import StreamsSpec.LocalFsFetcher
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15")
+    val remote = dir.resolve("remote").toString
+    val root = dir.resolve("svc").toString
+    val lmPath = dir.resolve("lm").toString
+    new java.io.File(remote).mkdirs()
+    // the t15 LM, trained ONCE on the reference chain (st14's fixture:
+    // in-domain contiguous spans score 0, OOV gibberish ≪ 0)
+    locally {
+      import spark.implicits._
+      graft.operators.TextOps.lmTrainTables(
+        Seq((1L, (1 to 40).map(i => s"r$i").mkString(" ")))
+          .toDF("doc_id", "text"), lmPath)
+    }
+    def span(a: Int, b: Int) = (a to b).map(i => s"r$i").mkString(" ")
+    def drop(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(remote, name), text + "\n")
+    def lakeTexts(): Set[String] =
+      spark.read.parquet(s"$root/lake")
+        .select("text").collect().map(_.getString(0)).toSet
+    def audits(): Map[Long, (Long, Long, Long)] =
+      spark.read.parquet(s"$root/audit").collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          ((r.getAs[Long]("arrived"), r.getAs[Long]("fluent"),
+            r.getAs[Long]("admitted")))).toMap
+
+    val fetcher = LocalFsFetcher(remote)
+    // cycle 1: a fluent admit, a too-short junk doc (st09), an OOV
+    // gibberish doc (st14), a second fluent admit
+    drop("a.txt", span(1, 10))
+    drop("b.txt", "r5 tiny")
+    drop("c.txt", "zz qq ww ee rr tt uu vv")
+    drop("d.txt", span(20, 30))
+    val audit1 = Streams.st15ServiceCycle(spark, fetcher, root, lmPath)
+      .collect()
+    assert(audit1.length == 4 && audit1.forall(_.status == "copied"))
+    assert(lakeTexts() == Set(span(1, 10), span(20, 30)))
+    // st09 dropped b before the batch; st14 rejected c; both admits
+    // (batch ids are the checkpoint's business — assert on the rows)
+    assert(audits().values.toSeq == Seq((3L, 2L, 2L)), s"got ${audits()}")
+
+    // cycle 2: an exact re-crawl of a (new file, same text — st09's
+    // cross-cycle fingerprint state), a near-dup of d (st13, via the
+    // maintained index: d was admitted by a PREVIOUS cycle), a fresh doc
+    drop("e.txt", span(1, 10))
+    drop("f.txt", span(20, 30) + " r31")
+    drop("g.txt", span(32, 40))
+    val audit2 = Streams.st15ServiceCycle(spark, fetcher, root, lmPath)
+      .collect()
+    assert(audit2.map(_.rel_path).sorted.toSeq ==
+      Seq("e.txt", "f.txt", "g.txt"), audit2.mkString("; "))
+    assert(lakeTexts() == Set(span(1, 10), span(20, 30), span(32, 40)),
+      s"lake = ${lakeTexts()}")
+    assert(audits().values.toSet == Set((3L, 2L, 2L), (2L, 2L, 1L)),
+      s"got ${audits()}")
+
+    // cycle 3: unchanged remote — one enumeration, zero downloads,
+    // empty drain, nothing moves
+    val lakeBefore = lakeTexts()
+    val auditsBefore = audits()
+    val audit3 = Streams.st15ServiceCycle(spark, fetcher, root, lmPath)
+      .collect()
+    assert(audit3.isEmpty, audit3.mkString("; "))
+    assert(lakeTexts() == lakeBefore && audits() == auditsBefore)
+
+    // maintenance stayed fresh: the doclen stats table covers exactly
+    // the admissions and prunes by token count (g is the only 9-token
+    // admit; a=10, d=11)
+    import graft.sources.StatsIndex
+    val manifest = StatsIndex.stats(spark, s"$root/doclen").collect()
+    assert(manifest.map(_.getLong(3)).sum == 3L)
+    val probe = StatsIndex.prunedRead(spark, s"$root/doclen",
+      "n_tokens", 9L, 9L).collect()
+    assert(probe.length == 1 && probe.head.getAs[Long]("n_tokens") == 9L)
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
