@@ -680,6 +680,74 @@ object Ann {
     fs.delete(staging, true)
   }
 
+  /** One micro-batch of streaming LSH-index maintenance (the s07
+    * analogue of [[ivfUpsertBatch]]; st10's discipline on the `sig=`
+    * layout). Signatures are DETERMINISTIC from the embedding (no
+    * trained quantizer to drift from), so appends are naturally
+    * partition-confined: only the `sig=` directories the batch's own
+    * signatures hash into are read, merged (vec_id-deduped — replays
+    * are idempotent inserts), and swapped back under st07's
+    * per-partition staging+swap crash invariant. Batch I/O is
+    * O(touched sigs + batch), never O(index); probes
+    * ([[s07AnnLshIndexed]]) see new vectors after the next drain with
+    * no rebuild anywhere.
+    */
+  def lshUpsertBatch(batch: DataFrame, indexPath: String,
+      nBits: Int = 8, dim: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val b = batch.select(col("vec_id"), col("embedding"),
+      srpSignature(col("embedding"), nBits, dim).as("sig"))
+    // bounded collect: ≤ min(batch size, 2^nBits) signature values
+    val touched = b.select("sig").distinct().collect()
+      .map(_.getLong(0)).sorted
+    if (touched.nonEmpty) {
+      val sources = touched.flatMap { s =>
+        val live = p(s"$indexPath/sig=$s")
+        val prev = p(s"$indexPath.prev/sig=$s")
+        if (fs.exists(live)) Some(live.toString)
+        else if (fs.exists(prev)) Some(prev.toString)
+        else None
+      }
+      val current =
+        if (sources.isEmpty) batch.select("vec_id", "embedding").limit(0)
+        else spark.read.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+          .parquet(sources.toSeq: _*)
+      // re-deriving `sig` from the merged embeddings is deterministic,
+      // so every row lands back in its own directory
+      val merged = current
+        .unionByName(batch.select("vec_id", "embedding"))
+        .dropDuplicates("vec_id")
+        .select(col("vec_id"), col("embedding"),
+          srpSignature(col("embedding"), nBits, dim).as("sig"))
+      val staging = p(s"$indexPath.staging")
+      fs.delete(staging, true)
+      merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("sig").parquet(staging.toString)
+      fs.mkdirs(p(indexPath))
+      fs.mkdirs(p(s"$indexPath.prev"))
+      touched.foreach { s =>
+        val live = p(s"$indexPath/sig=$s")
+        val prev = p(s"$indexPath.prev/sig=$s")
+        val staged = p(s"$staging/sig=$s")
+        if (fs.exists(live)) {
+          fs.delete(prev, true)
+          if (!fs.rename(live, prev))
+            throw new java.io.IOException(
+              s"lsh publish: cannot move $live aside")
+        }
+        if (!fs.exists(staged) || !fs.rename(staged, live)) {
+          if (fs.exists(prev)) fs.rename(prev, live)
+          throw new java.io.IOException(s"lsh publish: cannot promote $staged")
+        }
+        fs.delete(prev, true)
+      }
+      fs.delete(staging, true)
+    }
+  }
+
   private[operators] def dotLocal(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }

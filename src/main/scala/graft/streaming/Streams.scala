@@ -79,6 +79,23 @@ object Streams {
       }
       .start()
 
+  /** st10's LSH twin: keep a persisted s07 SRP index fresh from a
+    * vector stream ([[graft.operators.Ann.lshUpsertBatch]] per
+    * micro-batch — signature-confined merges, replay-idempotent,
+    * untouched `sig=` partitions never move; s07AnnLshIndexed probes
+    * the maintained index unchanged).
+    */
+  def st10LshIndexMaintain(vectors: DataFrame, indexPath: String,
+      checkpointDir: String, nBits: Int = 8, dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ann.lshUpsertBatch(batch.toDF(), indexPath, nBits, dim)
+      }
+      .start()
+
   /** Incoming document-size record for st12 (source = packing shard). */
   final case class DocSize(doc_id: Long, source: String, n_tokens: Long)
 

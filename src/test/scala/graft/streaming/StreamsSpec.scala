@@ -426,6 +426,67 @@ class StreamsSpec extends AnyFunSuite {
     assert(rowsAfter == rowsBefore)
   }
 
+  test("st10 LSH twin: streamed vectors reach s07 probes; untouched sigs bit-identical") {
+    import spark.implicits._
+    import graft.operators.Ann
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_st10lsh")
+    val index = dir.resolve("index").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val base = spark.read.parquet(s"${graft.TestSpark.Sf001}/embeddings.parquet")
+    Ann.buildLshIndex(
+      base.filter(col("vec_id") =!= 0).select("vec_id", "embedding"), index)
+    val qv = base.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = Streams.st10LshIndexMaintain(
+      input.toDS().toDF("vec_id", "embedding"), index, ckpt)
+    // drain 1: a new vector equal to the query — must become the top hit
+    input.addData((900001L, qv))
+    q.processAllAvailable()
+    val top1 = Ann.s07AnnLshIndexed(spark, index, qv, k = 1).collect()
+    assert(top1.head.getLong(0) == 900001L && top1.head.getDouble(1) == 1.0)
+
+    // drain 2 touches only the query's signature: every other sig's
+    // files must stay bit-identical (st07's confinement, on the index)
+    def snapshot(sig: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(index, sig))
+        .iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.nio.file.Files.getLastModifiedTime(f).toMillis))
+        .toMap
+    }
+    val qSig = spark.read
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, sig BIGINT")
+      .parquet(index)
+      .filter(col("vec_id") === 900001L)
+      .select("sig").head.getLong(0)
+    val others = new java.io.File(index).listFiles()
+      .map(_.getName).filter(_.startsWith("sig="))
+      .filterNot(_ == s"sig=$qSig").toSeq
+    assert(others.nonEmpty)
+    val before = others.map(s => s -> snapshot(s)).toMap
+    input.addData((900002L, qv))
+    q.processAllAvailable()
+    q.stop()
+    val top2 = Ann.s07AnnLshIndexed(spark, index, qv, k = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(900001L, 900002L))
+    others.foreach(s => assert(snapshot(s) == before(s), s"$s was rewritten"))
+
+    // replaying a delivered batch is an idempotent insert (vec_id dedup)
+    val rowsBefore = spark.read.parquet(index)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    Ann.lshUpsertBatch(Seq((900002L, qv)).toDF("vec_id", "embedding"), index)
+    val rowsAfter = spark.read.parquet(index)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+  }
+
   test("st06 stream-stream join attributes clicks within the horizon only") {
     import spark.implicits._
     val imps = MemoryStream[Event](spark)
