@@ -576,6 +576,156 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     m04PhashPairsOver(plantedImageCorpus(spark, dir), maxHamming)
 
+  // ---------------------------------------------------------------- m08
+
+  /** 64-bit audio fingerprint over a decoded PCM stream — the
+    * chromaprint-style construction from public descriptions: bits
+    * encode the SIGN of energy transitions between consecutive
+    * overlapping RMS windows (m03's frame contract), folded into 64
+    * slots by majority vote so any duration hashes to the same width.
+    * Uniform gain scales every window's RMS equally, preserving each
+    * comparison — a volume-normalized remaster fingerprints
+    * identically up to rounding; re-encode dither flips only
+    * near-tie transitions, which banding absorbs. Meaningful when the
+    * stream spans ≳ 64 transitions (the chromaprint minimum-duration
+    * caveat); shorter streams leave high slots at zero. Fixed
+    * iteration order: bit-identical on every executor.
+    */
+  def audioFingerprint64(samples: Array[Short],
+      windowSamples: Int = 256, hopSamples: Int = 128): Long = {
+    val starts = (0 until samples.length by hopSamples).toArray
+    val up = new Array[Int](64)
+    val dn = new Array[Int](64)
+    var i = 0
+    while (i + 1 < starts.length) {
+      val e1 = Codecs.rms(samples, starts(i),
+        math.min(starts(i) + windowSamples, samples.length))
+      val e2 = Codecs.rms(samples, starts(i + 1),
+        math.min(starts(i + 1) + windowSamples, samples.length))
+      if (e2 > e1) up(i % 64) += 1 else dn(i % 64) += 1
+      i += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 64) { if (up(j) > dn(j)) bits |= (1L << j); j += 1 }
+    bits
+  }
+
+  /** [[audioFingerprint64]] straight off a WAV payload (the form specs
+    * and callers with encoded bytes use).
+    */
+  def audioFingerprint64Wav(payload: Array[Byte],
+      windowSamples: Int = 256, hopSamples: Int = 128): Long =
+    audioFingerprint64(Codecs.decodeWav(payload), windowSamples, hopSamples)
+
+  /** Audio-fingerprint signature record. */
+  final case class AfpSig(doc_id: Long, af64: Long)
+
+  /** m08: audio near-dup pairs over any (doc_id, payload) frame of WAV
+    * audio — the dedup family extended to the audio modality, closing
+    * the m04/m06 pattern: decode + fingerprint is one mapPartitions
+    * batch pass (8 bytes out per clip, whatever the payload size);
+    * candidate generation is d03's pigeonhole-exact banding (4×16-bit
+    * bands — ≤ 3 flipped bits always leave one band intact), so the
+    * self-join shuffles 8-byte signatures, never PCM. At 100 TB: one
+    * decode pass over `binaryFile` payloads, one band shuffle of n×4
+    * short rows.
+    */
+  def m08AudioPairsOver(audio: DataFrame, maxHamming: Int = 3,
+      windowSamples: Int = 256, hopSamples: Int = 128): DataFrame = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    val sigs = audio
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, wav) =>
+          AfpSig(id, audioFingerprint64Wav(wav, windowSamples, hopSamples))
+        }
+      }
+      .toDF()
+    val bnd = sigs.select(col("doc_id"), col("af64"), explode(
+      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
+        call_function("shiftright", col("af64"), j * lit(16))
+          .bitwiseAND(lit(0xFFFFL)).as("bh"))))
+      .as("bk"))
+      .select(col("doc_id"), col("af64"), col("bk.band"), col("bk.bh"))
+    bnd.as("x").join(bnd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.af64").bitwiseXOR(col("y.af64")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The audio demo needs ~64+ windows and DECORRELATED energies:
+    * [[synthWav]]'s pure tones are near-constant-RMS (transition signs
+    * ride numeric wiggle and would correlate across docs — the m04
+    * linear-pixel lesson, audio edition), and its clips are too short
+    * to populate the fold. Per-sample mixed noise gives every window
+    * an independent energy, so base fingerprints are mutually random.
+    */
+  def synthWavNoise(seed: Long, nSamples: Int = 256 * 70): Array[Byte] =
+    Codecs.encodeWav(Array.tabulate(nSamples)(i =>
+      ((mix64(seed * 131071 + i) & 0x3fffL) - 8192L).toShort))
+
+  /** A volume-normalized remaster of [[synthWavNoise]]: every sample
+    * scaled ×0.8 and rounded — RMS comparisons are gain-invariant, so
+    * the fingerprint survives up to rounding-induced near-tie flips.
+    */
+  def synthWavGain(seed: Long, nSamples: Int = 256 * 70): Array[Byte] =
+    Codecs.encodeWav(Array.tabulate(nSamples)(i =>
+      math.round(((mix64(seed * 131071 + i) & 0x3fffL) - 8192L)
+        * 0.8).toShort))
+
+  /** A lossy re-encode of [[synthWavNoise]]: deterministic ±2 LSB
+    * dither per sample — the quantization-noise class a codec round
+    * trip adds, tiny against the window-to-window energy spread.
+    */
+  def synthWavReencode(seed: Long, nSamples: Int = 256 * 70): Array[Byte] =
+    Codecs.encodeWav(Array.tabulate(nSamples)(i =>
+      (((mix64(seed * 131071 + i) & 0x3fffL) - 8192L) +
+        ((mix64(seed * 977 + i) % 5L) - 2L)).toShort))
+
+  /** The planted audio corpus: a noise clip per audio-typed doc, plus
+    * for every 30th doc_id ONE variant copy (id + 1e6) — alternating
+    * gain-shifted and re-encoded so both damage classes are exercised
+    * without variant-variant pairs muddying the expected set. Base
+    * fingerprints are mutually random (P[Hamming ≤ 3] ≈ 2⁻⁴⁸ per
+    * pair), so the only sub-threshold pairs are the planted copies.
+    */
+  def plantedAudioCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val orig = (id, synthWavNoise(id))
+          // audio ids are ≡ 1 (mod 3); every 30th of them (≡ 1 mod 30)
+          // gets its variant, type alternating on the 60-cycle
+          if (id % 30 == 1) {
+            val variant = if (id % 60 == 1) synthWavGain(id)
+            else synthWavReencode(id)
+            Iterator(orig, (id + 1000000L, variant))
+          } else Iterator(orig)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** m08 driver query: audio near-dup pairs over the planted corpus —
+    * expected output is exactly the planted (id, id+1e6) pairs whose
+    * fingerprint Hamming distance clears `maxHamming` (spec-asserted
+    * pair-for-pair against locally recomputed fingerprints).
+    */
+  def m08AudioDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    m08AudioPairsOver(plantedAudioCorpus(spark, dir), maxHamming)
+
   // ---------------------------------------------------------------- m06
 
   /** 64-bit difference-hash (the public dHash perceptual fingerprint):

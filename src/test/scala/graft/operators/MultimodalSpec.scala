@@ -282,6 +282,57 @@ class MultimodalSpec extends AnyFunSuite {
       s"$foundPlanted of $planted planted variants found")
   }
 
+  test("m08 fingerprint is gain-invariant and dither-robust, content-sensitive") {
+    val base = Multimodal.audioFingerprint64Wav(Multimodal.synthWavNoise(7L))
+    val gain = Multimodal.audioFingerprint64Wav(Multimodal.synthWavGain(7L))
+    val reenc = Multimodal.audioFingerprint64Wav(Multimodal.synthWavReencode(7L))
+    val other = Multimodal.audioFingerprint64Wav(Multimodal.synthWavNoise(8L))
+    assert(java.lang.Long.bitCount(base ^ gain) <= 3,
+      s"gain shift moved ${java.lang.Long.bitCount(base ^ gain)} bits")
+    assert(java.lang.Long.bitCount(base ^ reenc) <= 3,
+      s"re-encode moved ${java.lang.Long.bitCount(base ^ reenc)} bits")
+    assert(java.lang.Long.bitCount(base ^ other) > 3,
+      "different content must not fingerprint as a near-dup")
+  }
+
+  test("m08 finds exactly the planted audio near-dup pairs") {
+    import spark.implicits._
+    val got = Multimodal.m08AudioDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // ground truth recomputed locally: fingerprint every corpus clip
+    // through the same decode path, enumerate ALL pairs within ≤ 3
+    val ids = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 1).select("doc_id")
+      .as[Long].collect().sorted
+    val fps: Map[Long, Long] =
+      (ids.map { id =>
+        id -> Multimodal.audioFingerprint64Wav(Multimodal.synthWavNoise(id))
+      } ++ ids.filter(_ % 30 == 1).map { id =>
+        val v = if (id % 60 == 1) Multimodal.synthWavGain(id)
+        else Multimodal.synthWavReencode(id)
+        (id + 1000000L) -> Multimodal.audioFingerprint64Wav(v)
+      }).toMap
+    val all = fps.keys.toSeq.sorted
+    val expected = for {
+      i <- all.indices; j <- (i + 1) until all.length
+      h = java.lang.Long.bitCount(fps(all(i)) ^ fps(all(j)))
+      if h <= 3
+    } yield (all(i), all(j), h.toLong)
+
+    assert(got.toSeq.sorted == expected.sorted)
+    // not vacuous: most planted variants survive ≤ 3 bits, and BOTH
+    // damage classes are represented among the found pairs
+    val planted = ids.count(_ % 30 == 1)
+    val foundPlanted = got.collect {
+      case (a, b, _) if b == a + 1000000L => a }
+    assert(planted > 0 && foundPlanted.length * 2 >= planted,
+      s"${foundPlanted.length} of $planted planted variants found")
+    assert(foundPlanted.exists(_ % 60 == 1) &&
+      foundPlanted.exists(_ % 60 != 1),
+      "expected both gain-shifted and re-encoded variants among the finds")
+  }
+
   test("m06 dHash survives a monotone tone curve that flips aHash") {
     // by construction: bimodal 0/248 cells plus one 128 mid-cell. The
     // convex tone curve p·(p+255)/510 maps 0→0, 128→96, 248→244 —
