@@ -51,4 +51,64 @@ object GrantLedger {
     Seq.empty[(String, String, String, String)]
       .toDF("principal", "resource", "role", "granted_at")
   }
+
+  /** Principal display-name lookup contract (ref
+    * notebook/sharepoint-to-onelake-recursive-copy.py:80-107
+    * `resolve_app_name`): two directories tried in order — the
+    * service-principal enrollment first, then the application
+    * registration — so a caller can plug any identity backend (an
+    * HTTP directory, an LDAP mirror, a parquet snapshot) behind the
+    * same fallback semantics.
+    */
+  trait NameResolver extends Serializable {
+    /** Display name from the service-principal directory, if enrolled. */
+    def servicePrincipalName(principal: String): Option[String]
+    /** Display name from the application registry, if registered. */
+    def applicationName(principal: String): Option[String]
+  }
+
+  /** Per-JVM resolved-name cache (the reference's APP_NAME_CACHE):
+    * every principal is resolved AT MOST ONCE per process, whatever
+    * the row count — including negative results, which cache the
+    * caller's default exactly as the reference does.
+    */
+  private val nameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Resolve one principal through the cache: service principal, then
+    * application, then the caller's default — and a resolver that
+    * THROWS also falls back to the default (the reference's bare
+    * `except: pass`; a name lookup must never fail a grant run).
+    */
+  def resolveName(resolver: NameResolver, principal: String,
+      default: String): String =
+    nameCache.computeIfAbsent(principal, _ =>
+      try resolver.servicePrincipalName(principal)
+        .orElse(resolver.applicationName(principal))
+        .getOrElse(default)
+      catch { case _: Exception => default })
+
+  /** Test seam / tenant switch: forget cached names. */
+  def clearNameCache(): Unit = nameCache.clear()
+
+  /** Annotate grant rows (ledger, plan, or request shapes — anything
+    * with a `principal` column) with resolved display names. The
+    * DISTINCT principals are dimension-sized by contract, so they
+    * resolve DRIVER-SIDE through the cache — one lookup per unknown
+    * principal, never an RPC per row — and broadcast back onto the
+    * rows. `default` derives the fallback label from the principal id
+    * (the reference passes a human hint; id-as-name is the neutral
+    * default).
+    */
+  def withNames(rows: DataFrame, resolver: NameResolver,
+      default: String => String = identity): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val principals = rows.select("principal").distinct()
+      .collect().map(_.getString(0))
+    val named = principals
+      .map(p => (p, resolveName(resolver, p, default(p)))).toSeq
+      .toDF("principal", "display_name")
+    rows.join(broadcast(named), Seq("principal"), "left")
+  }
 }

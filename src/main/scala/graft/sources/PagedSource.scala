@@ -184,8 +184,8 @@ object PagedSource {
       * under any sustained throttle rate.
       */
     def resolveRoot(name: String, maxRetries: Int = 4,
-        baseBackoffMs: Long = 100): String = {
-      var cur = ""
+        baseBackoffMs: Long = 100, from: String = ""): String = {
+      var cur = from
       name.split("/").filter(_.nonEmpty).foreach { seg =>
         var token: Option[String] = None
         var first = true
@@ -228,6 +228,36 @@ object PagedSource {
       }
       found.orElse(firstDir).getOrElse(throw new FileNotFoundException(
         s"resolveLibrary: no directories under '$parentId'"))
+    }
+
+    /** The reference's FULL entry resolution as one call — the hop a
+      * real user replaying the notebook hits first (ref py:61-66:
+      * host + site path → siteId; py:160-183: the site's document
+      * library, preferring `preferredLibrary` with first-library
+      * fallback; py:186-197: the target folder probed under the
+      * library root). Returns the dirId the f07 walk starts from.
+      * Against a generic paged endpoint this composes the per-level
+      * resolvers, so retry stays per page at every hop; endpoints
+      * with a direct resolution URL (Graph's `/sites/{host}:/{path}`)
+      * should override. A missing folder fails naming the library and
+      * remaining path — the reference's "create it or correct the
+      * folder path" guidance.
+      */
+    def resolveSite(host: String, sitePath: String,
+        folderPath: String = "", preferredLibrary: String = "Documents",
+        maxRetries: Int = 4, baseBackoffMs: Long = 100): String = {
+      val siteId = resolveRoot(s"$host/$sitePath", maxRetries, baseBackoffMs)
+      val driveId =
+        resolveLibrary(preferredLibrary, siteId, maxRetries, baseBackoffMs)
+      if (folderPath.split("/").forall(_.isEmpty)) driveId
+      else
+        try resolveRoot(folderPath, maxRetries, baseBackoffMs, from = driveId)
+        catch {
+          case _: FileNotFoundException => throw new FileNotFoundException(
+            s"resolveSite: target folder '$folderPath' not found under " +
+              s"library '$driveId' of site '$host/$sitePath' — create it " +
+              "or correct the folder path")
+        }
     }
   }
 

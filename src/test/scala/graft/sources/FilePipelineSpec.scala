@@ -240,4 +240,95 @@ class FilePipelineSpec extends AnyFunSuite {
     val ledger2 = GrantLedger.apply(ledger1, plan2, "2026-08-13")
     assert(ledger2.count() == 2)
   }
+
+  test("f04 name resolution: SP → application fallback, cached, over live HTTP") {
+    import spark.implicits._
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    import java.nio.charset.StandardCharsets
+    GrantLedger.clearNameCache()
+    val spCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val appCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the two directories of the reference (py:83-99): service
+    // principals answer for enrolled apps, the application registry
+    // for registered-but-not-enrolled ones
+    val spDir = Map("appB" -> "Lakehouse Writer")
+    val appDir = Map("appB" -> "Lakehouse Writer (registration)",
+      "appA" -> "Notebook Caller")
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+    def appOf(ex: HttpExchange): String =
+      Option(ex.getRequestURI.getQuery).getOrElse("")
+        .stripPrefix("app=")
+    server.createContext("/sp", (ex: HttpExchange) => {
+      spCalls.incrementAndGet()
+      spDir.get(appOf(ex)) match {
+        case Some(n) => send(ex, 200, n)
+        case None => send(ex, 404, "")
+      }
+    })
+    server.createContext("/app", (ex: HttpExchange) => {
+      appCalls.incrementAndGet()
+      appDir.get(appOf(ex)) match {
+        case Some(n) => send(ex, 200, n)
+        case None => send(ex, 404, "")
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      final class HttpNameResolver(b: String) extends GrantLedger.NameResolver {
+        private def get(url: String): Option[String] = {
+          val c = new java.net.URI(url).toURL.openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          try {
+            if (c.getResponseCode != 200) None
+            else Some(new String(c.getInputStream.readAllBytes(),
+              StandardCharsets.UTF_8)).filter(_.nonEmpty)
+          } finally c.disconnect()
+        }
+        def servicePrincipalName(p: String): Option[String] =
+          get(s"$b/sp?app=$p")
+        def applicationName(p: String): Option[String] =
+          get(s"$b/app?app=$p")
+      }
+      val r = new HttpNameResolver(base)
+      // SP hit wins; SP miss falls through to the registration;
+      // neither directory knowing the app yields the caller's default
+      assert(GrantLedger.resolveName(r, "appB", "hint") == "Lakehouse Writer")
+      assert(GrantLedger.resolveName(r, "appA", "hint") == "Notebook Caller")
+      assert(GrantLedger.resolveName(r, "ghost", "Fallback-Hint")
+        == "Fallback-Hint")
+      // cached: resolving the same principals again makes NO calls
+      val (sp0, app0) = (spCalls.get(), appCalls.get())
+      assert(GrantLedger.resolveName(r, "appB", "x") == "Lakehouse Writer")
+      assert(GrantLedger.resolveName(r, "ghost", "y") == "Fallback-Hint")
+      assert(spCalls.get() == sp0 && appCalls.get() == app0,
+        "cache miss: name lookups repeated")
+      // ledger rows carry the resolved names (one lookup per DISTINCT
+      // principal, broadcast back), and a DEAD directory — the whole
+      // service unreachable — still names rows via the default
+      val plan = GrantLedger.plan(GrantLedger.emptyLedger(spark),
+        Seq(("appB", "site1", "write"), ("appA", "site1", "write"),
+          ("appB", "site2", "read"))
+          .toDF("principal", "resource", "role"))
+      val named = GrantLedger.withNames(plan, r)
+        .select("principal", "display_name").distinct().collect()
+        .map(row => row.getString(0) -> row.getString(1)).toMap
+      assert(named == Map("appB" -> "Lakehouse Writer",
+        "appA" -> "Notebook Caller"))
+      server.stop(0)
+      GrantLedger.clearNameCache()
+      val offline = GrantLedger.withNames(
+        Seq(("appZ", "site1", "write")).toDF("principal", "resource", "role"),
+        r, p => s"unresolved:$p").collect()
+      assert(offline.head.getAs[String]("display_name") == "unresolved:appZ",
+        "a throwing resolver must fall back to the default, not fail the run")
+    } finally { server.stop(0); GrantLedger.clearNameCache() }
+  }
 }

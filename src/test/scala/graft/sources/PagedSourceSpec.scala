@@ -112,6 +112,89 @@ class PagedSourceSpec extends AnyFunSuite {
     intercept[java.io.FileNotFoundException](f.resolveRoot("nope"))
   }
 
+  test("resolveSite completes host+path → site → library → folder over live HTTP") {
+    // tenant-shaped tree: host / sites / <site> / libraries / folders —
+    // the reference's entry sequence (site id, Documents drive with
+    // first-library fallback, target folder probe), display names
+    // distinct from ids so every hop is a real name→id mapping
+    val tree: Map[String, Seq[(String, String, Boolean)]] = Map(
+      "" -> Seq(("h1", "contoso.example", true)),
+      "h1" -> Seq(("h1s", "sites", true)),
+      "h1s" -> Seq(("site-eng", "eng", true), ("site-ops", "ops", true)),
+      "site-eng" -> Seq(("lib-arch", "Archive", true),
+        ("lib-docs", "Documents", true)),
+      "site-ops" -> Seq(("lib-ops1", "TeamFiles", true)), // no Documents
+      "lib-docs" -> Seq(("fold-in", "incoming", true),
+        ("/c/readme.txt", "readme.txt", false)),
+      "fold-in" -> Seq(("/c/f.txt", "f.txt", false)))
+    val content = Map("/c/f.txt" -> "payload", "/c/readme.txt" -> "hello")
+    val listCalls = new AtomicInteger(0)
+    val throttled = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/list", (ex: HttpExchange) => {
+      val n = listCalls.incrementAndGet()
+      if (n % 3 == 0) {
+        throttled.incrementAndGet()
+        ex.getResponseHeaders.add("Retry-After", "0")
+        send(ex, 429, Array.empty)
+      } else {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+          }.toMap
+        val dir = params.getOrElse("dir", "")
+        val off = params.get("token").map(_.toInt).getOrElse(0)
+        val all = tree.getOrElse(dir, Seq.empty)
+        val page = all.slice(off, off + 2)
+        val items = page.map { case (id, name, isDir) =>
+          val size = if (isDir) 0 else content.getOrElse(id, "").length
+          s"""{"id":"$id","name":"$name","isDir":$isDir,"size":$size,"mtime":1700000000000}"""
+        }.mkString("[", ",", "]")
+        val next = if (off + 2 < all.size) s""","nextToken":"${off + 2}"""" else ""
+        send(ex, 200,
+          s"""{"items":$items$next}""".getBytes(StandardCharsets.UTF_8))
+      }
+    })
+    server.createContext("/c/", (ex: HttpExchange) => {
+      content.get(ex.getRequestURI.getPath) match {
+        case Some(c) => send(ex, 200, c.getBytes(StandardCharsets.UTF_8))
+        case None => send(ex, 404, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new PagedSource.HttpJsonFetcher(base)
+      // the full hop: site path → Documents library → target folder,
+      // and the f07 walk starts exactly there
+      val folderId = f.resolveSite("contoso.example", "sites/eng",
+        "incoming", maxRetries = 8, baseBackoffMs = 1)
+      assert(folderId == "fold-in")
+      val m = PagedSource.pagedCatalog(spark, f, folderId,
+        maxRetries = 8, baseBackoffMs = 1).collect()
+      assert(m.map(_.name).toSeq == Seq("f.txt"))
+      // empty folder path stops at the library; a site with no
+      // 'Documents' falls back to its first library (ref py:173-178)
+      assert(f.resolveSite("contoso.example", "sites/eng", "",
+        maxRetries = 8, baseBackoffMs = 1) == "lib-docs")
+      assert(f.resolveSite("contoso.example", "sites/ops", "",
+        maxRetries = 8, baseBackoffMs = 1) == "lib-ops1")
+      // a missing target folder names the remedy, not just a segment
+      val e = intercept[java.io.FileNotFoundException](
+        f.resolveSite("contoso.example", "sites/eng", "nope",
+          maxRetries = 8, baseBackoffMs = 1))
+      assert(e.getMessage.contains("nope") &&
+        e.getMessage.contains("create it or correct"))
+      assert(throttled.get() > 0, "throttling never fired — test weakened")
+    } finally server.stop(0)
+  }
+
   test("resolveRoot works over live HTTP, absorbing injected 429s") {
     withServer() { (base, _, throttled) =>
       val fetcher = new PagedSource.HttpJsonFetcher(base)
