@@ -766,4 +766,147 @@ object Corpus {
       .agg(sum(col("n")).as("n_feats"),
         sum(col("term")).cast("double").as("weight"))
   }
+
+  // ---------------------------------------------------------------- c16
+
+  /** c16: TRAINED quality classifier — the GPT-3/CCNet-class gate
+    * (public practice: a logistic regression over hashed n-gram
+    * features, trained to separate an exemplar "high-quality" slice
+    * from the rest of the crawl; fastText's linear classifier without
+    * the embedding layer). Features are the e12 positional bigram
+    * hashes bucketed to 2¹⁶ (c14's fixed feature space at any corpus
+    * size); weights come from `iters` rounds of full-batch gradient
+    * descent in which EVERY per-round quantity is a bounded
+    * distributed aggregate: per-doc margins are a doc-keyed rollup of
+    * round(n_b·w_b, 9 dp) DECIMAL terms (partition-order-exact, c14's
+    * determinism discipline), the gradient is a bucket-keyed rollup
+    * of round(residual·n_b, 9) DECIMAL terms, and only the ≤ 2¹⁶-row
+    * gradient vector (plus one bias row) ever reaches the driver.
+    *
+    * Shape at 100 TB: classifier TRAINING is small-data by design —
+    * the labeled set is ~10⁵ docs in public pipelines, so the `iters`
+    * training passes run over a bounded labeled frame — while SCORING
+    * is one corpus-wide pass with the frozen ≤ 2¹⁶-double weight
+    * table broadcast (one equi bucket join + one doc rollup). The
+    * demo labels by exemplar source (c14's convention: the
+    * alphabetically-first source is the quality slice).
+    */
+  def c16QualityClassifier(spark: SparkSession, dir: String,
+      iters: Int = 8, lr: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val tgt = docs.select(min(col("source"))).collect().head.getString(0)
+    qualityClassifierOver(
+      docs.select(col("doc_id"), col("text"),
+        (col("source") === tgt).cast("int").as("label")),
+      iters, lr)
+      .orderBy("doc_id")
+  }
+
+  /** c16 over any labeled (doc_id, text, label∈{0,1}) frame: trains
+    * logistic-regression weights by distributed full-batch GD, then
+    * scores every doc. Emits (doc_id, label, n_feats, prob, keep).
+    */
+  def qualityClassifierOver(labeled: DataFrame, iters: Int = 8,
+      lr: Double = 0.5, buckets: Int = 65536): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    // one tokenization, reused by every training round and the final
+    // scoring pass (lazy localCheckpoint, c03's discipline)
+    val feats = labeled
+      .select(col("doc_id"),
+        explode(graft.functions.F.shinglePosHashes64(col("text"), 2))
+          .as("bh"))
+      .select(col("doc_id"), pmod(col("bh"), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val labels = labeled.select(col("doc_id"), col("label"))
+      .localCheckpoint(false)
+    val nDocs = labels.count().toDouble
+
+    // margin_dec(doc) = Σ_b round(n_b·w_b, 9) in DECIMAL — exact at
+    // any partition order; docs with no features get margin 0
+    def margins(w: Map[Long, Double]): DataFrame = {
+      val wDf = broadcast(w.toSeq.toDF("b", "w"))
+      labels.join(
+        feats.join(wDf, Seq("b"))
+          .select(col("doc_id"),
+            round(col("n") * col("w"), 9).cast("decimal(28,9)").as("term"))
+          .groupBy("doc_id").agg(sum(col("term")).as("margin_dec")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          coalesce(col("margin_dec").cast("double"), lit(0.0)).as("margin"))
+    }
+
+    var w = Map.empty[Long, Double]
+    var bias = 0.0
+    for (_ <- 0 until iters) {
+      val resid = margins(w)
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))) -
+            col("label").cast("double")).as("res"))
+        .localCheckpoint(false)
+      // bucket gradient: ≤ 2¹⁶ rows by construction — the ONLY thing
+      // collected; decimal fixed-point keeps it partition-order-exact
+      val grad = feats.join(resid, Seq("doc_id"))
+        .select(col("b"), round(col("res") * col("n"), 9)
+          .cast("decimal(28,9)").as("g"))
+        .groupBy("b").agg(sum(col("g")).cast("double").as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val gBias = resid
+        .select(round(col("res"), 9).cast("decimal(28,9)").as("g"))
+        .agg(sum(col("g")).cast("double")).collect().head.getDouble(0)
+      w = (w.keySet ++ grad.keySet).iterator.map { b =>
+        b -> (w.getOrElse(b, 0.0) - lr * grad.getOrElse(b, 0.0) / nDocs)
+      }.toMap
+      bias -= lr * gBias / nDocs
+    }
+
+    margins(w)
+      .join(feats.groupBy("doc_id").agg(sum(col("n")).as("n_feats")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))), 6)
+          .as("prob"))
+      .withColumn("keep", col("prob") >= 0.5)
+  }
+
+  // ---------------------------------------------------------------- c17
+
+  /** c17: semantic decontamination — c03's train/eval leakage gate
+    * lifted from lexical shingles to the embedding space (public
+    * practice: benchmark contamination increasingly survives
+    * paraphrase, so pipelines screen on embedding cosine as well as
+    * n-gram overlap). Benchmark stand-in: vec_id divisible by 10
+    * (c03's convention; a real run substitutes its benchmark
+    * embedding table). Every train vector is scored against the full
+    * benchmark set; output = flagged train vectors with their hit
+    * count and closest similarity at `threshold`.
+    *
+    * The benchmark side is small BY NATURE (eval sets are), so it
+    * broadcasts whole and the scan is one by-design-linear pass over
+    * the train side with norm-precomputed cosine (each norm computed
+    * once, not per pair) — s01's declared-baseline shape. When the
+    * benchmark itself grows, s04's IVF cells or d06's SRP banding
+    * compose in front as the candidate cut, exactly as they do for
+    * the search operators.
+    */
+  def c17SemanticDecontam(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import graft.functions.F
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("nrm"))
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    val train = emb.filter(col("vec_id") % 10 =!= 0)
+    train.as("t").join(broadcast(bench.as("b")),
+        F.cosineSim4Pre(col("t.embedding"), col("t.nrm"),
+          col("b.embedding"), col("b.nrm")) >= threshold)
+      .select(col("t.vec_id").as("vec_id"),
+        F.cosineSim4Pre(col("t.embedding"), col("t.nrm"),
+          col("b.embedding"), col("b.nrm")).as("cos"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("max_cos"))
+      .orderBy("vec_id")
+  }
 }

@@ -6,7 +6,7 @@ import java.nio.{ByteBuffer, ByteOrder}
 import javax.imageio.ImageIO
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -930,4 +930,153 @@ object Multimodal {
   def m07SceneDetect(spark: SparkSession, dir: String,
       threshold: Double = 30.0): DataFrame =
     sceneDetectOver(plantedShotCorpus(spark, dir), threshold)
+
+  // ---------------------------------------------------------------- m09
+
+  /** Fully-decorrelated noise video for the m09 demo: every frame its
+    * own splitmix-mixed noise image (per-element mixing — the m04
+    * lesson), 6–10 frames, so frame hashes are mutually random across
+    * frames AND videos and the only sub-threshold video pairs are the
+    * planted copies.
+    */
+  def synthNoiseVideo(seed: Long): Array[Byte] =
+    Codecs.packFrames((0 until noiseVideoFrames(seed)).map(f =>
+      Codecs.encodePng(ImgRes, ImgRes, noiseVideoFrame(seed, f))))
+
+  private def noiseVideoFrames(seed: Long): Int =
+    6 + java.lang.Math.floorMod(mix64(seed), 5L).toInt
+
+  private def noiseVideoFrame(seed: Long, f: Int): Array[Int] =
+    Array.tabulate(ImgRes * ImgRes)(i =>
+      (mix64(seed * 8191 + f * 64 + i) & 0xffL).toInt)
+
+  /** A lossy re-encode of [[synthNoiseVideo]]: deterministic ±1 LSB
+    * dither per pixel — the codec-round-trip damage class. Each frame's
+    * dHash drifts a few bits (a bit flips only when a neighbor-pixel
+    * gap is smaller than the dither), staying within the pigeonhole
+    * tolerance for nearly every frame.
+    */
+  def synthVideoReencode(seed: Long): Array[Byte] =
+    Codecs.packFrames((0 until noiseVideoFrames(seed)).map { f =>
+      val px = noiseVideoFrame(seed, f).zipWithIndex.map { case (p, i) =>
+        val d = java.lang.Math.floorMod(mix64(seed * 6553 + f * 64 + i), 3L).toInt - 1
+        math.max(0, math.min(255, p + d))
+      }
+      Codecs.encodePng(ImgRes, ImgRes, px)
+    })
+
+  /** A trimmed copy of [[synthNoiseVideo]]: the first two frames cut —
+    * the clip/excerpt damage class. Its frame-hash set is a strict
+    * subset of the original's, so containment on the shorter side is
+    * exactly 1.
+    */
+  def synthVideoTrim(seed: Long): Array[Byte] =
+    Codecs.packFrames((2 until noiseVideoFrames(seed)).map(f =>
+      Codecs.encodePng(ImgRes, ImgRes, noiseVideoFrame(seed, f))))
+
+  /** Distinct, sorted per-frame dHashes of a frame container — the
+    * video's temporal signature set (decode once; 8 bytes per distinct
+    * frame out, whatever the payload size).
+    */
+  def videoFrameHashes(payload: Array[Byte]): Array[Long] =
+    Codecs.unpackFrames(payload).iterator.map { png =>
+      val (w, h, px) = Codecs.decodeGray(png)
+      dHash64(w, h, px)
+    }.toArray.distinct.sorted
+
+  /** Video frame-hash-set signature record. */
+  final case class VideoSig(doc_id: Long, fhs: Array[Long])
+
+  /** m09: video near-dup pairs — the dedup axis closed over the video
+    * modality (m04/m06 images, m08 audio): each video's signature is
+    * its SET of per-frame dHashes (bag-of-perceptual-hashes, the
+    * public video-copy-detection construction), candidate pairs come
+    * from d03's pigeonhole banding applied per frame hash (4×14-bit
+    * bands — two videos pair when ANY frame pair shares a band, so a
+    * ≤ `maxHamming`-bit re-encode drift always still pairs), and the
+    * verify is a CONTAINMENT match: the fraction of the shorter
+    * video's frames with a ≤ `maxHamming` Hamming match in the other —
+    * robust to both re-encode dither (per-frame drift) and trimming
+    * (the surviving frames all match, shorter-side fraction stays 1).
+    * The match loop is codegen'd higher-order `exists`/`aggregate`
+    * over the carried hash arrays (frames-per-video is bounded, the
+    * m07 argument, so arrays are KBs). At 100 TB: one decode pass,
+    * one band shuffle of n×frames×4 short rows, verify work bounded
+    * by collisions × frames² — pixels never shuffle.
+    */
+  def m09VideoPairsOver(videos: DataFrame, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    // lazy localCheckpoint: the signature pass (the decode) runs once,
+    // not once per side of the candidate join + once per verify side
+    val sigs = videos
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, v) => VideoSig(id, videoFrameHashes(v)) }
+      }
+      .toDF()
+      .localCheckpoint(false)
+    val fh = sigs.select(col("doc_id"), explode(col("fhs")).as("fh"))
+    val bnd = fh.select(col("doc_id"), explode(
+      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
+        call_function("shiftright", col("fh"), j * lit(14))
+          .bitwiseAND(lit(0x3FFFL)).as("bh"))))
+      .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val cand = bnd.as("x").join(bnd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    def matchedIn(as: Column, bs: Column): Column =
+      aggregate(as, lit(0), (acc, x) => acc +
+        when(exists(bs, y =>
+          bit_count(x.bitwiseXOR(y)) <= lit(maxHamming)), 1).otherwise(0))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("fhs").as("fhs_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("fhs").as("fhs_b")), "doc_b")
+      .withColumn("n_a", size(col("fhs_a")).cast("long"))
+      .withColumn("n_b", size(col("fhs_b")).cast("long"))
+      .withColumn("match_frac", round(greatest(
+        matchedIn(col("fhs_a"), col("fhs_b")).cast("double") / col("n_a"),
+        matchedIn(col("fhs_b"), col("fhs_a")).cast("double") / col("n_b")), 4))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("match_frac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The planted video corpus: a decorrelated-noise video per
+    * video-typed doc, plus for every 30th doc_id ONE variant copy
+    * (id + 1e6) — alternating re-encode-dithered and trimmed so both
+    * damage classes are exercised without variant-variant pairs.
+    */
+  def plantedVideoCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 5 === 2)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val orig = (id, synthNoiseVideo(id))
+          if (id % 30 == 2) {
+            val variant = if (id % 60 == 2) synthVideoReencode(id)
+            else synthVideoTrim(id)
+            Iterator(orig, (id + 1000000L, variant))
+          } else Iterator(orig)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** m09 driver query: video near-dup pairs over the planted corpus —
+    * expected output is exactly the planted (id, id+1e6) pairs whose
+    * frame-containment clears `minMatchFrac` (spec-asserted
+    * pair-for-pair against locally recomputed frame hashes).
+    */
+  def m09VideoDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, minMatchFrac: Double = 0.5): DataFrame =
+    m09VideoPairsOver(plantedVideoCorpus(spark, dir), maxHamming, minMatchFrac)
 }

@@ -425,4 +425,77 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(got.size == checked, s"${got.size} rows vs $checked expected pairs")
   }
+
+  test("m09 frame-hash signature: re-encode drifts few bits, trim is a subset, noise unrelated") {
+    val base = Multimodal.videoFrameHashes(Multimodal.synthNoiseVideo(12L))
+    val reenc = Multimodal.videoFrameHashes(Multimodal.synthVideoReencode(12L))
+    val trim = Multimodal.videoFrameHashes(Multimodal.synthVideoTrim(12L))
+    val other = Multimodal.videoFrameHashes(Multimodal.synthNoiseVideo(13L))
+    // trim: strict subset of the original's frame set → containment 1
+    assert(trim.toSet.subsetOf(base.toSet) && trim.length < base.length)
+    // re-encode dither: most frames stay within 3 bits of a base frame
+    val matched = reenc.count(r =>
+      base.exists(b => java.lang.Long.bitCount(r ^ b) <= 3))
+    assert(matched * 2 >= reenc.length,
+      s"$matched of ${reenc.length} re-encoded frames survived ≤3 bits")
+    // unrelated noise video: zero frame-level near-matches
+    val cross = other.count(r =>
+      base.exists(b => java.lang.Long.bitCount(r ^ b) <= 3))
+    assert(cross == 0, s"$cross accidental cross-video frame matches")
+  }
+
+  test("m09 finds exactly the planted video near-dup pairs") {
+    import spark.implicits._
+    val got = Multimodal.m09VideoDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+
+    // ground truth recomputed locally, m08's discipline: signature
+    // every corpus video through the same decode path, replay the
+    // band-candidate + containment-verify pipeline over ALL pairs
+    val ids = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 5 === 2).select("doc_id")
+      .as[Long].collect().sorted
+    val sigs: Map[Long, Array[Long]] =
+      (ids.map { id =>
+        id -> Multimodal.videoFrameHashes(Multimodal.synthNoiseVideo(id))
+      } ++ ids.filter(_ % 30 == 2).map { id =>
+        val v = if (id % 60 == 2) Multimodal.synthVideoReencode(id)
+        else Multimodal.synthVideoTrim(id)
+        (id + 1000000L) -> Multimodal.videoFrameHashes(v)
+      }).toMap
+    def bandKeys(h: Long): Seq[(Int, Long)] =
+      (0 until 4).map(j => (j, (h >>> (j * 14)) & 0x3FFFL))
+    val bandSets: Map[Long, Set[(Int, Long)]] =
+      sigs.map { case (id, fhs) => id -> fhs.flatMap(bandKeys).toSet }
+    def matchedIn(as: Array[Long], bs: Array[Long]): Int =
+      as.count(a => bs.exists(b => java.lang.Long.bitCount(a ^ b) <= 3))
+    val all = sigs.keys.toSeq.sorted
+    val expected = for {
+      i <- all.indices
+      j <- (i + 1) until all.length
+      a = all(i); b = all(j)
+      if (bandSets(a) & bandSets(b)).nonEmpty
+      na = sigs(a).length; nb = sigs(b).length
+      frac = math.max(matchedIn(sigs(a), sigs(b)).toDouble / na,
+        matchedIn(sigs(b), sigs(a)).toDouble / nb)
+      // Spark round() on double: BigDecimal.valueOf + HALF_UP
+      fracR = java.math.BigDecimal.valueOf(frac)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      if fracR >= 0.5
+    } yield (a, b, na.toLong, nb.toLong, fracR)
+
+    assert(got == expected.sorted)
+
+    // not vacuous: most planted variants clear the containment bar,
+    // and BOTH damage classes appear among the found pairs
+    val planted = ids.count(_ % 30 == 2)
+    val foundPlanted = got.collect {
+      case (a, b, _, _, _) if b == a + 1000000L => a }
+    assert(planted > 0 && foundPlanted.length * 2 >= planted,
+      s"${foundPlanted.length} of $planted planted variants found")
+    assert(foundPlanted.exists(_ % 60 == 2) &&
+      foundPlanted.exists(_ % 60 != 2),
+      "expected both re-encoded and trimmed variants among the finds")
+  }
 }
