@@ -803,11 +803,23 @@ object Corpus {
   }
 
   /** c16 over any labeled (doc_id, text, label∈{0,1}) frame: trains
-    * logistic-regression weights by distributed full-batch GD, then
-    * scores every doc. Emits (doc_id, label, n_feats, prob, keep).
+    * logistic-regression weights by distributed full-batch GD with
+    * CLASS-WEIGHTED loss (the exemplar slice is tiny by nature —
+    * unweighted GD would just learn the base rate; balanced class
+    * weights n/(2·n_class) put the 0.5 decision boundary at the
+    * balanced point, standard practice for this gate), then scores
+    * every doc. Emits (doc_id, label, n_feats, prob, keep).
+    *
+    * Cost shape: training runs over a DETERMINISTIC bounded sample
+    * (every ⌈n/trainCap⌉-th doc_id — public classifiers train on
+    * ~10⁵ labeled docs however big the corpus), and each GD round is
+    * ONE chained Spark action: margins → residuals → bucket-gradient
+    * rollup, with the bias gradient folded in as sentinel bucket −1
+    * so no second pass is needed. Scoring is one corpus-wide pass.
     */
-  def qualityClassifierOver(labeled: DataFrame, iters: Int = 8,
-      lr: Double = 0.5, buckets: Int = 65536): DataFrame = {
+  def qualityClassifierOver(labeled: DataFrame, iters: Int = 12,
+      lr: Double = 0.5, buckets: Int = 65536,
+      trainCap: Long = 4096): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
     // one tokenization, reused by every training round and the final
@@ -821,14 +833,26 @@ object Corpus {
       .localCheckpoint(false)
     val labels = labeled.select(col("doc_id"), col("label"))
       .localCheckpoint(false)
-    val nDocs = labels.count().toDouble
+    val nAll = labels.count()
+    val every = math.max(1L, (nAll + trainCap - 1) / trainCap)
+    val trainLabels = labels.filter(pmod(col("doc_id"), lit(every)) === 0)
+      .localCheckpoint(false)
+    val trainFeats =
+      if (every == 1L) feats
+      else feats.filter(pmod(col("doc_id"), lit(every)) === 0)
+    val nDocs = trainLabels.count().toDouble
+    val nPos = trainLabels.filter(col("label") === 1).count().toDouble
+    require(nPos > 0 && nPos < nDocs,
+      s"training sample has one class only ($nPos of $nDocs positive)")
+    val (wPos, wNeg) = (nDocs / (2.0 * nPos), nDocs / (2.0 * (nDocs - nPos)))
 
     // margin_dec(doc) = Σ_b round(n_b·w_b, 9) in DECIMAL — exact at
     // any partition order; docs with no features get margin 0
-    def margins(w: Map[Long, Double]): DataFrame = {
+    def margins(w: Map[Long, Double], lbls: DataFrame,
+        fts: DataFrame): DataFrame = {
       val wDf = broadcast(w.toSeq.toDF("b", "w"))
-      labels.join(
-        feats.join(wDf, Seq("b"))
+      lbls.join(
+        fts.join(wDf, Seq("b"))
           .select(col("doc_id"),
             round(col("n") * col("w"), 9).cast("decimal(28,9)").as("term"))
           .groupBy("doc_id").agg(sum(col("term")).as("margin_dec")),
@@ -840,28 +864,32 @@ object Corpus {
     var w = Map.empty[Long, Double]
     var bias = 0.0
     for (_ <- 0 until iters) {
-      val resid = margins(w)
+      val resid = margins(w, trainLabels, trainFeats)
         .select(col("doc_id"),
-          (lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))) -
-            col("label").cast("double")).as("res"))
-        .localCheckpoint(false)
-      // bucket gradient: ≤ 2¹⁶ rows by construction — the ONLY thing
-      // collected; decimal fixed-point keeps it partition-order-exact
-      val grad = feats.join(resid, Seq("doc_id"))
+          ((lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))) -
+            col("label").cast("double")) *
+            when(col("label") === 1, lit(wPos)).otherwise(lit(wNeg)))
+            .as("res"))
+      // bucket gradient: ≤ 2¹⁶+1 rows by construction — the ONLY
+      // thing collected; decimal fixed-point keeps it partition-
+      // order-exact; sentinel bucket −1 (one unit row per doc) IS the
+      // bias gradient, so the whole round is a single action
+      val grad = trainFeats
+        .union(trainLabels.select(col("doc_id"), lit(-1L).as("b"),
+          lit(1L).as("n")))
+        .join(resid, Seq("doc_id"))
         .select(col("b"), round(col("res") * col("n"), 9)
           .cast("decimal(28,9)").as("g"))
         .groupBy("b").agg(sum(col("g")).cast("double").as("g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val gBias = resid
-        .select(round(col("res"), 9).cast("decimal(28,9)").as("g"))
-        .agg(sum(col("g")).cast("double")).collect().head.getDouble(0)
-      w = (w.keySet ++ grad.keySet).iterator.map { b =>
+      val gBias = grad.getOrElse(-1L, 0.0)
+      w = ((w.keySet ++ grad.keySet) - (-1L)).iterator.map { b =>
         b -> (w.getOrElse(b, 0.0) - lr * grad.getOrElse(b, 0.0) / nDocs)
       }.toMap
       bias -= lr * gBias / nDocs
     }
 
-    margins(w)
+    margins(w, labels, feats)
       .join(feats.groupBy("doc_id").agg(sum(col("n")).as("n_feats")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("label"),

@@ -491,4 +491,114 @@ class CorpusSpec extends AnyFunSuite {
           s"$src sampled $toks tokens vs target $target")
     }
   }
+
+  test("c16 classifier == plain-Scala GD replay on a hand corpus") {
+    import spark.implicits._
+    // fixture bigrams are distinct strings (each its own 2^16 bucket
+    // w.h.p., c14's argument), so the replay can treat every distinct
+    // bigram as its own feature. Positives share "alpha beta".
+    val labeled = Seq(
+      (1L, "alpha beta gamma", 1),
+      (2L, "alpha beta delta", 1),
+      (3L, "epsilon zeta eta", 0),
+      (4L, "iota kappa lambda", 0),
+      (5L, "mu nu xi omicron", 0)).toDF("doc_id", "text", "label")
+    def bigrams(t: String): Seq[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    val docs = Seq(
+      1L -> ("alpha beta gamma", 1), 2L -> ("alpha beta delta", 1),
+      3L -> ("epsilon zeta eta", 0), 4L -> ("iota kappa lambda", 0),
+      5L -> ("mu nu xi omicron", 0))
+    val featsOf: Map[Long, Map[String, Long]] = docs.map { case (id, (t, _)) =>
+      id -> bigrams(t).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val labelOf = docs.map { case (id, (_, l)) => id -> l }.toMap
+    val (iters, lr) = (3, 0.5)
+    val nDocs = 5.0
+    val (wPos, wNeg) = (nDocs / (2.0 * 2), nDocs / (2.0 * 3))
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def margin(w: Map[String, Double], id: Long): Double =
+      featsOf(id).collect { case (g, n) if w.contains(g) =>
+        r9(n * w(g)) }.sum.toDouble
+    var w = Map.empty[String, Double]
+    var bias = 0.0
+    (0 until iters).foreach { _ =>
+      val res = docs.map { case (id, (_, l)) =>
+        val sig = 1.0 / (1.0 + math.exp(-(margin(w, id) + bias)))
+        id -> (sig - l) * (if (l == 1) wPos else wNeg)
+      }.toMap
+      val grad = docs.flatMap { case (id, _) =>
+        featsOf(id).map { case (g, n) => g -> r9(res(id) * n) }
+      }.groupBy(_._1).map { case (g, ts) => g -> ts.map(_._2).sum.toDouble }
+      val gBias = docs.map { case (id, _) => r9(res(id)) }.sum.toDouble
+      w = (w.keySet ++ grad.keySet).iterator.map { g =>
+        g -> (w.getOrElse(g, 0.0) - lr * grad.getOrElse(g, 0.0) / nDocs)
+      }.toMap
+      bias -= lr * gBias / nDocs
+    }
+    val expected = docs.map { case (id, (_, l)) =>
+      val sig = 1.0 / (1.0 + math.exp(-(margin(w, id) + bias)))
+      val prob = BigDecimal(sig)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> (l, featsOf(id).values.sum, prob, prob >= 0.5)
+    }.toMap
+    val got = Corpus.qualityClassifierOver(labeled, iters, lr)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got == expected)
+    // the shared-bigram positives separate from the negatives
+    assert(got(1L)._4 && got(2L)._4 && !got(3L)._4 && !got(4L)._4)
+  }
+
+  test("c16 demo: exemplar-source docs are kept, false-positive rate bounded") {
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    val tgt = docs.select(org.apache.spark.sql.functions.min(
+      org.apache.spark.sql.functions.col("source")))
+      .collect().head.getString(0)
+    val got = Corpus.c16QualityClassifier(spark, TestSpark.Sf0001)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getDouble(3), r.getBoolean(4)))
+    val (pos, neg) = got.partition(_._2 == 1)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // recall on the exemplar slice ≥ 0.9; FP rate on the rest ≤ 10%
+    assert(pos.count(_._4) * 10 >= pos.length * 9,
+      s"${pos.count(_._4)} of ${pos.length} exemplar docs kept")
+    assert(neg.count(_._4) * 10 <= neg.length,
+      s"${neg.count(_._4)} of ${neg.length} non-exemplar docs kept")
+    // and the probabilities themselves separate on average
+    val meanPos = pos.map(_._3).sum / pos.length
+    val meanNeg = neg.map(_._3).sum / neg.length
+    assert(meanPos > meanNeg + 0.2,
+      s"mean prob: exemplar $meanPos vs rest $meanNeg — no separation")
+  }
+
+  test("c17 == brute-force cosine replay; only cross bench×train pairs count") {
+    val emb = spark.read
+      .parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos4(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bench = emb.keys.filter(_ % 10 == 0).toSeq.sorted
+    val train = emb.keys.filter(_ % 10 != 0).toSeq.sorted
+    val expected = train.flatMap { t =>
+      val hits = bench.map(b => cos4(emb(t), emb(b))).filter(_ >= 0.4)
+      if (hits.isEmpty) None
+      else Some((t, hits.length.toLong, hits.max))
+    }
+    val got = Corpus.c17SemanticDecontam(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "threshold demo is vacuous — no flagged vectors")
+  }
 }

@@ -178,7 +178,12 @@ class PlanSpec extends AnyFunSuite {
       "q50_revenue_concentration",
       // s12 is s01's intentional scan with the label pre-filter: the
       // 1-row query side broadcasts against the filtered corpus
-      "s12_ann_filtered")
+      "s12_ann_filtered",
+      // c17 is the decontamination gate: the benchmark side is small
+      // by nature (eval sets are) and broadcasts whole against a
+      // by-design-linear scan of the train side — s01's baseline
+      // shape; IVF/banding compose in front when the benchmark grows
+      "c17_semantic_decontam")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =
