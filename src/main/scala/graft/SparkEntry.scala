@@ -132,6 +132,7 @@ object SparkEntry {
     "c15_curriculum_phases" -> ((s, dir) => Corpus.c15CurriculumPhases(s, dir)),
     "c08_mixture_temperature" -> ((s, dir) => Corpus.c08TemperatureMixture(s, dir)),
     "c16_quality_classifier" -> ((s, dir) => Corpus.c16QualityClassifier(s, dir)),
+    "s14_kmeans_distributed" -> ((s, dir) => Ann.s14KmeansDistributed(s, dir)),
     "c17_semantic_decontam" -> ((s, dir) => Corpus.c17SemanticDecontam(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>

@@ -946,4 +946,100 @@ object Ann {
       .filter(col("rank") <= k)
       .orderBy("query_id", "rank")
   }
+
+  // ---------------------------------------------------------------- s14
+
+  private def l2normed(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0) v else v.map(x => (x / n).toFloat)
+  }
+
+  /** s14: DISTRIBUTED spherical k-means — the trainer [[trainCentroids]]
+    * defers to at scale. The driver trainer k-means a ≤16384-vector
+    * sample (bounded by design, but quality-capped: past ~260k vectors
+    * the sample stops representing the corpus); this runs Lloyd's
+    * iterations over the FULL corpus as Spark jobs. Per round:
+    *
+    *   - ASSIGN is a per-row projection through the native dot kernel
+    *     (centroids are unit vectors ⇒ argmax dot = argmax cosine) —
+    *     no shuffle, no UDF;
+    *   - UPDATE is posexplode → groupBy(cell, pos) with hash-partial
+    *     map-side aggregation, so the shuffle carries only
+    *     partitions × nlist × dim partial rows, NEVER n × dim — and
+    *     the per-dimension sums accumulate round-9dp DECIMAL terms
+    *     (c14's discipline: decimal addition is associative, so the
+    *     trained centroids are bit-identical at any partitioning);
+    *   - only the nlist × dim sum table reaches the driver, which
+    *     renormalizes and broadcasts the next round's centroids.
+    *
+    * Empty cells keep their centroid (trainCentroids' rule). Seeds are
+    * the hash-order-first nlist vectors — deterministic and
+    * scan-cheap. At 100 TB: iters full scans (each one job), bounded
+    * shuffle, bounded driver state — then the centroids feed
+    * s04/s08/d10 exactly as the sampled trainer's do.
+    */
+  def s14TrainDistributed(vectors: DataFrame, nlist: Int,
+      iters: Int = 4): Array[Array[Float]] = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val seeds = vectors
+      .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+      .limit(nlist)
+      .select("embedding").as[Array[Float]].collect()
+      .map(l2normed)
+    require(seeds.length >= nlist, s"corpus ${seeds.length} < nlist $nlist")
+    val dim = seeds.head.length
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val scores = centroidScores(col("embedding"), cents)
+      val sums = vectors
+        .select((array_position(scores, array_max(scores)) - 1)
+          .cast("int").as("cell"), col("embedding"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("x").cast("double"), 9).cast("decimal(28,9)"))
+          .as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      sums.foreach { r =>
+        val (cell, pos) = (r.getInt(0), r.getInt(1))
+        acc(cell)(pos) = r.getDecimal(2).doubleValue()
+        counts(cell) = r.getLong(3)
+      }
+      cents = Array.tabulate(nlist)(ci =>
+        if (counts(ci) == 0) cents(ci)
+        else l2normed(acc(ci).map(_.toFloat)))
+    }
+    cents
+  }
+
+  /** s14 driver query: train distributed centroids over the full
+    * embedding corpus, then emit the per-cell census — population and
+    * mean cosine-to-centroid (the quantization-quality number an IVF
+    * operator cares about), with the mean accumulated in DECIMAL on
+    * the 4-dp-rounded kernel cosines so it is partition-order-exact.
+    */
+  def s14KmeansDistributed(spark: SparkSession, dir: String,
+      nlist: Int = 16, iters: Int = 4): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val cents = s14TrainDistributed(emb, nlist, iters)
+    val scores = centroidScores(col("embedding"), cents)
+    emb
+      .select(col("vec_id"), col("embedding"),
+        (array_position(scores, array_max(scores)) - 1)
+          .cast("int").as("cell"))
+      .select(col("cell"),
+        round(graft.functions.F.cosineSim4(col("embedding"),
+          element_at(typedLit(cents.toSeq), col("cell") + 1)), 4)
+          .cast("decimal(18,4)").as("cos"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("cos")).cast("double") / count(lit(1)), 4)
+          .as("mean_cos"))
+      .orderBy("cell")
+  }
 }

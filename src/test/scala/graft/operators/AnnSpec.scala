@@ -217,4 +217,89 @@ class AnnSpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("s14 distributed Lloyd == serial replay, bit-identical at any partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (nlist, iters) = (8, 3)
+    val emb = graft.Tables(spark, TestSpark.Sf0001).embeddings
+      .select(col("vec_id"), col("embedding"))
+    // kernel-order helpers (left-to-right float→double folds)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def l2(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(dot(v, v))
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    // seeds via the SAME deterministic Spark expression the trainer
+    // uses (murmur3 hash order is Spark-side), then serial Lloyd
+    val seeds = emb
+      .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+      .limit(nlist).select("embedding").as[Array[Float]].collect()
+      .map(l2)
+    val vecs = emb.select("embedding").as[Array[Float]].collect()
+    val dim = seeds.head.length
+    def argmax(v: Array[Float], cents: Array[Array[Float]]): Int = {
+      var best = 0; var bd = Double.NegativeInfinity
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val d = dot(v, c); if (d > bd) { bd = d; best = i } }
+      best
+    }
+    var cents = seeds
+    (1 to iters).foreach { _ =>
+      val acc = Array.fill(nlist)(Array.fill(dim)(BigDecimal(0)))
+      val counts = new Array[Long](nlist)
+      vecs.foreach { v =>
+        val cell = argmax(v, cents)
+        counts(cell) += 1
+        var i = 0
+        while (i < dim) {
+          acc(cell)(i) += BigDecimal(v(i).toDouble)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          i += 1
+        }
+      }
+      cents = Array.tabulate(nlist)(ci =>
+        if (counts(ci) == 0) cents(ci)
+        else l2(acc(ci).map(_.toDouble.toFloat)))
+    }
+    val got = Ann.s14TrainDistributed(emb, nlist, iters)
+    assert(got.length == nlist)
+    got.zip(cents).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g.sameElements(e), s"centroid $i differs from serial replay") }
+    // decimal-fixed-point proof: a hostile partitioning changes nothing
+    val again = Ann.s14TrainDistributed(emb.repartition(7), nlist, iters)
+    got.zip(again).zipWithIndex.foreach { case ((g, a), i) =>
+      assert(g.sameElements(a), s"centroid $i depends on partitioning") }
+
+    // the census query: populations conserve the corpus, means replay
+    def cos4(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        d += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val census = Ann.s14KmeansDistributed(spark, TestSpark.Sf0001,
+      nlist, iters).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(census.values.map(_._1).sum == vecs.length.toLong)
+    val byCell = vecs.groupBy(v => argmax(v, cents))
+    byCell.foreach { case (cell, vs) =>
+      val (n, mean) = census(cell)
+      assert(n == vs.length.toLong, s"cell $cell population")
+      val expMean = BigDecimal(
+        vs.map(v => BigDecimal(cos4(v, cents(cell)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          / vs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(mean == expMean, s"cell $cell mean cos: $mean vs $expMean")
+    }
+  }
 }
