@@ -817,22 +817,28 @@ object Corpus {
     * rollup, with the bias gradient folded in as sentinel bucket −1
     * so no second pass is needed. Scoring is one corpus-wide pass.
     */
-  def qualityClassifierOver(labeled: DataFrame, iters: Int = 12,
+  def qualityClassifierOver(labeled: DataFrame, iters: Int = 8,
       lr: Double = 0.5, buckets: Int = 65536,
       trainCap: Long = 4096): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
     // one tokenization, reused by every training round and the final
     // scoring pass (lazy localCheckpoint, c03's discipline)
-    val feats = labeled
-      .select(col("doc_id"),
-        explode(graft.functions.F.shinglePosHashes64(col("text"), 2))
-          .as("bh"))
-      .select(col("doc_id"), pmod(col("bh"), lit(buckets.toLong)).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+    val feats = c16Featurize(labeled, buckets)
     val labels = labeled.select(col("doc_id"), col("label"))
       .localCheckpoint(false)
+    val (w, bias) = c16Train(feats, labels, iters, lr, trainCap)
+    c16ScoreWith(broadcast(w.toSeq.toDF("b", "w")), bias, labels, feats)
+  }
+
+  /** The c16 GD loop over a featurized corpus: returns the frozen
+    * (bucket→weight, bias) model. See [[qualityClassifierOver]] for
+    * the cost shape.
+    */
+  private def c16Train(feats: DataFrame, labels: DataFrame, iters: Int,
+      lr: Double, trainCap: Long): (Map[Long, Double], Double) = {
+    val spark = feats.sparkSession
+    import spark.implicits._
     val nAll = labels.count()
     val every = math.max(1L, (nAll + trainCap - 1) / trainCap)
     val trainLabels = labels.filter(pmod(col("doc_id"), lit(every)) === 0)
@@ -845,26 +851,11 @@ object Corpus {
     require(nPos > 0 && nPos < nDocs,
       s"training sample has one class only ($nPos of $nDocs positive)")
     val (wPos, wNeg) = (nDocs / (2.0 * nPos), nDocs / (2.0 * (nDocs - nPos)))
-
-    // margin_dec(doc) = Σ_b round(n_b·w_b, 9) in DECIMAL — exact at
-    // any partition order; docs with no features get margin 0
-    def margins(w: Map[Long, Double], lbls: DataFrame,
-        fts: DataFrame): DataFrame = {
-      val wDf = broadcast(w.toSeq.toDF("b", "w"))
-      lbls.join(
-        fts.join(wDf, Seq("b"))
-          .select(col("doc_id"),
-            round(col("n") * col("w"), 9).cast("decimal(28,9)").as("term"))
-          .groupBy("doc_id").agg(sum(col("term")).as("margin_dec")),
-        Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          coalesce(col("margin_dec").cast("double"), lit(0.0)).as("margin"))
-    }
-
     var w = Map.empty[Long, Double]
     var bias = 0.0
     for (_ <- 0 until iters) {
-      val resid = margins(w, trainLabels, trainFeats)
+      val resid = marginsOf(broadcast(w.toSeq.toDF("b", "w")),
+        trainLabels, trainFeats)
         .select(col("doc_id"),
           ((lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))) -
             col("label").cast("double")) *
@@ -888,15 +879,92 @@ object Corpus {
       }.toMap
       bias -= lr * gBias / nDocs
     }
+    (w, bias)
+  }
 
-    margins(w, labels, feats)
+  /** The c16 scoring pass: margins under a frozen weight table →
+    * sigmoid prob (6 dp) → keep at 0.5. `keyed` must carry doc_id;
+    * a `label` column rides along when present.
+    */
+  private def c16ScoreWith(wDf: DataFrame, bias: Double,
+      keyed: DataFrame, feats: DataFrame): DataFrame =
+    marginsOf(wDf, keyed, feats)
       .join(feats.groupBy("doc_id").agg(sum(col("n")).as("n_feats")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), col("label"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        round(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))), 6)
-          .as("prob"))
+      .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))), 6))
       .withColumn("keep", col("prob") >= 0.5)
+      .drop("margin")
+
+  /** margin_dec(doc) = Σ_b round(n_b·w_b, 9) in DECIMAL — exact at
+    * any partition order; docs with no weighted features get margin 0.
+    * `keyed` must carry doc_id (label or any other columns ride
+    * along); `wDf` is a (b, w) weight table, already broadcast-sized.
+    */
+  private def marginsOf(wDf: DataFrame, keyed: DataFrame,
+      fts: DataFrame): DataFrame =
+    keyed.join(
+      fts.join(wDf, Seq("b"))
+        .select(col("doc_id"),
+          round(col("n") * col("w"), 9).cast("decimal(28,9)").as("term"))
+        .groupBy("doc_id").agg(sum(col("term")).as("margin_dec")),
+      Seq("doc_id"), "left")
+      .withColumn("margin",
+        coalesce(col("margin_dec").cast("double"), lit(0.0)))
+      .drop("margin_dec")
+
+  /** The c16 feature pass: e12 bigram hashes → 2^buckets-bounded
+    * bucket counts per doc (one tokenization, localCheckpointed so
+    * every consumer reuses it).
+    */
+  private def c16Featurize(docs: DataFrame, buckets: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(graft.functions.F.shinglePosHashes64(col("text"), 2))
+          .as("bh"))
+      .select(col("doc_id"), pmod(col("bh"), lit(buckets.toLong)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+
+  /** Train the c16 classifier and PERSIST the frozen model as a
+    * (b, w) parquet weight table — the bias rides as sentinel bucket
+    * −1 (pmod keeps real buckets in [0, 2¹⁶), so it can't collide).
+    * Train once, score forever: this is what st16's streaming gate
+    * reads — the labeled corpus is never re-scanned on the stream.
+    */
+  def c16ModelBuild(labeled: DataFrame, modelPath: String,
+      iters: Int = 8, lr: Double = 0.5, buckets: Int = 65536,
+      trainCap: Long = 4096): Unit = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feats = c16Featurize(labeled, buckets)
+    val labels = labeled.select(col("doc_id"), col("label"))
+      .localCheckpoint(false)
+    val (w, bias) = c16Train(feats, labels, iters, lr, trainCap)
+    (w.toSeq :+ (-1L, bias)).toDF("b", "w")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(modelPath)
+  }
+
+  /** Score any (doc_id, text, …) frame against a PERSISTED c16 model
+    * — the inference half of the gate: one feature pass, the ≤ 2¹⁶-row
+    * weight table broadcast into a bucket equi-join, no training jobs.
+    * Probabilities are bit-identical to [[qualityClassifierOver]]'s on
+    * the same docs (same margins/rounding chain; parquet round-trips
+    * the weight doubles exactly). Emits (doc_id, n_feats, prob, keep).
+    */
+  def c16ScoreIndexed(docs: DataFrame, modelPath: String,
+      buckets: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    val model = spark.read.parquet(modelPath)
+    val bias = model.filter(col("b") === -1L)
+      .collect().headOption.map(_.getDouble(1))
+      .getOrElse(throw new IllegalStateException(
+        s"c16 model at $modelPath has no bias row — rebuild the model"))
+    c16ScoreWith(broadcast(model.filter(col("b") =!= -1L)), bias,
+      docs.select("doc_id"), c16Featurize(docs, buckets))
   }
 
   // ---------------------------------------------------------------- c17

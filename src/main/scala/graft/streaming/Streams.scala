@@ -351,6 +351,44 @@ object Streams {
       }
       .start()
 
+  /** st16's batch body: score one micro-batch against the PERSISTED
+    * c16 classifier model and land only the keepers (prob ≥ 0.5)
+    * under the batch's own directory. The classifier is trained once
+    * ([[graft.operators.Corpus.c16ModelBuild]]) — the labeled corpus
+    * is never re-scanned on the stream; the gate is stateless given
+    * the frozen weight table, so replays just rewrite their own
+    * `batch=<id>` directory (st14's idempotence discipline, no lake
+    * read, no exclusion dance).
+    */
+  def classifierBatch(batch: DataFrame, modelPath: String,
+      lakePath: String, batchId: Long): Unit = {
+    val scored = graft.operators.Corpus.c16ScoreIndexed(batch, modelPath)
+    val admitted = batch.join(
+      scored.filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+  }
+
+  /** st16: STREAMING trained-quality admission — the c16 classifier
+    * as a continuous ingest filter (the public pipeline shape:
+    * train the quality model once on a labeled set, then gate the
+    * crawl stream with the frozen weights). Sits beside st09 (junk
+    * heuristics), st14 (LM fluency) and st13 (near-dup) as the
+    * fourth admission gate; inference per batch is one feature pass
+    * plus a broadcast bucket join — no training jobs on the stream.
+    */
+  def st16ClassifierStream(docs: DataFrame, modelPath: String,
+      lakePath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        classifierBatch(batch.toDF(), modelPath, lakePath, id)
+      }
+      .start()
+
   /** st11: streaming stats-index maintenance — a row stream appended
     * to an x17 stats-indexed table with the per-file min/max manifest
     * kept fresh per micro-batch

@@ -574,6 +574,26 @@ class CorpusSpec extends AnyFunSuite {
       s"mean prob: exemplar $meanPos vs rest $meanNeg — no separation")
   }
 
+  test("c16 indexed scoring == in-memory classifier, bit-identical probs") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c16model")
+    val modelPath = tmp.resolve("model").toString
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    val tgt = docs.select(min(col("source"))).collect().head.getString(0)
+    val labeled = docs.select(col("doc_id"), col("text"),
+      (col("source") === tgt).cast("int").as("label"))
+    Corpus.c16ModelBuild(labeled, modelPath)
+    val mem = Corpus.c16QualityClassifier(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    val idx = Corpus.c16ScoreIndexed(
+      docs.select("doc_id", "text"), modelPath)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(idx == mem,
+      "persisted-model scoring diverged from the in-memory classifier")
+  }
+
   test("c17 == brute-force cosine replay; only cross bench×train pairs count") {
     val emb = spark.read
       .parquet(s"${TestSpark.Sf0001}/embeddings.parquet")

@@ -626,6 +626,52 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == Set(10L, 12L), s"replay changed the lake: $after")
   }
 
+  test("st16 classifier gate admits exemplar-like docs, rejects junk, replays clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st16")
+    val modelPath = dir.resolve("model").toString
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // the c16 hand corpus: positives share the "alpha beta" bigram
+    val labeled = Seq(
+      (1L, "alpha beta gamma", 1), (2L, "alpha beta delta", 1),
+      (3L, "epsilon zeta eta", 0), (4L, "iota kappa lambda", 0),
+      (5L, "mu nu xi omicron", 0)).toDF("doc_id", "text", "label")
+    graft.operators.Corpus.c16ModelBuild(labeled, modelPath)
+
+    val stream1 = Seq((10L, "alpha beta rho"), (11L, "qq ww ee rr"))
+    val stream2 = Seq((12L, "alpha beta sigma tau"),
+      (13L, "epsilon zeta eta"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st16ClassifierStream(
+      input.toDS().toDF("doc_id", "text"), modelPath, lake, ckpt)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the gate's verdicts ARE the indexed scorer's verdicts
+    val expected = graft.operators.Corpus.c16ScoreIndexed(
+      (stream1 ++ stream2).toDF("doc_id", "text"), modelPath)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == expected, s"lake $ids vs scorer $expected")
+    // and the planted signal holds: exemplar-bigram docs admitted,
+    // the training-negative lookalike rejected
+    assert(ids.contains(10L) && ids.contains(12L) && !ids.contains(13L),
+      s"lake holds $ids")
+    // replay: re-running a batch body rewrites its own directory with
+    // the same verdicts — stateless gate, idempotent landing
+    Streams.classifierBatch(stream1.toDF("doc_id", "text"),
+      modelPath, lake, batchId = 0L)
+    val after = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == ids, s"replay changed the lake: $after")
+  }
+
   test("st13 bootstraps a fresh deployment: batch 0 admits into a lake that doesn't exist yet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st13boot")
