@@ -126,6 +126,7 @@ object SparkEntry {
     "m07_scene_detect" -> ((s, dir) => Multimodal.m07SceneDetect(s, dir)),
     "m08_audio_dedup" -> ((s, dir) => Multimodal.m08AudioDedup(s, dir)),
     "m09_video_dedup" -> ((s, dir) => Multimodal.m09VideoDedup(s, dir)),
+    "m10_keyframe_sample" -> ((s, dir) => Multimodal.m10KeyframeSample(s, dir)),
     "c07_decontaminate" -> ((s, dir) => Corpus.c07Decontaminate(s, dir)),
     "c14_importance_weights" -> ((s, dir) => Corpus.c14ImportanceWeights(s, dir)),
     "t15_lm_score" -> ((s, dir) => TextOps.t15LmScore(s, dir)),

@@ -931,6 +931,49 @@ object Multimodal {
       threshold: Double = 30.0): DataFrame =
     sceneDetectOver(plantedShotCorpus(spark, dir), threshold)
 
+  // ---------------------------------------------------------------- m10
+
+  /** m10: scene-aware keyframe sampling — the composition m07 exists
+    * for (its docstring: segment BEFORE m02's stride sampling, so
+    * long static shots stop dominating the sample): one
+    * representative frame per detected scene — the scene's MIDDLE
+    * frame, the deterministic pick that never lands on the
+    * boundary-adjacent transition frames. Built entirely on m07's
+    * delta rows: per (video, scene) the span is an aggregate of the
+    * 20-byte delta rows (bounded by frames-per-video) — the pixels
+    * were decoded ONCE in m07's pass and never again. A video with
+    * fewer than 2 frames yields no scenes (m07's own contract).
+    * At 100 TB: one decode pass + one (doc_id, scene) rollup; the
+    * keyframe table is what m02's downstream feature extraction
+    * reads INSTEAD of every nth frame.
+    */
+  def m10KeyframesOver(videos: DataFrame,
+      threshold: Double = 30.0): DataFrame =
+    sceneDetectOver(videos, threshold)
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("first_row"),
+        max(col("frame_idx")).as("f_end"),
+        first(col("n_frames")).as("n_frames"))
+      // scene 0 starts at frame 0, which has no delta row by
+      // construction (nothing precedes it); every later scene starts
+      // at its boundary frame = the scene's min delta row
+      .withColumn("f_start",
+        when(col("scene_idx") === 0, lit(0)).otherwise(col("first_row")))
+      .withColumn("n_scene_frames", col("f_end") - col("f_start") + 1)
+      .withColumn("keyframe_idx",
+        col("f_start") + expr("(n_scene_frames - 1) div 2"))
+      .select("doc_id", "scene_idx", "f_start", "n_scene_frames",
+        "keyframe_idx")
+      .orderBy("doc_id", "scene_idx")
+
+  /** m10 driver query over m07's planted shot corpus — closed form:
+    * video id has 2+(id%3) shots of length 2+(id%2), so scene s
+    * spans [s·len, (s+1)·len) and the keyframe is s·len+(len−1)/2.
+    */
+  def m10KeyframeSample(spark: SparkSession, dir: String,
+      threshold: Double = 30.0): DataFrame =
+    m10KeyframesOver(plantedShotCorpus(spark, dir), threshold)
+
   // ---------------------------------------------------------------- m09
 
   /** Fully-decorrelated noise video for the m09 demo: every frame its

@@ -426,6 +426,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.size == checked, s"${got.size} rows vs $checked expected pairs")
   }
 
+  test("m10 keyframes: exactly one middle frame per planted shot") {
+    import spark.implicits._
+    val got = Multimodal.m10KeyframeSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toMap
+
+    val ids = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+      .as[Long].collect().sorted
+    assert(ids.nonEmpty)
+    // closed form: video id = nShots shots of shotLen identical
+    // frames; scene s spans [s·len, (s+1)·len), keyframe = middle
+    var expectedRows = 0
+    ids.foreach { id =>
+      val nShots = 2 + (id % 3).toInt
+      val shotLen = 2 + (id % 2).toInt
+      (0 until nShots).foreach { s =>
+        val (fStart, nFrames, key) = got((id, s.toLong))
+        assert(fStart == s * shotLen, s"video $id scene $s start $fStart")
+        assert(nFrames == shotLen, s"video $id scene $s len $nFrames")
+        assert(key == s * shotLen + (shotLen - 1) / 2,
+          s"video $id scene $s keyframe $key")
+        expectedRows += 1
+      }
+    }
+    assert(got.size == expectedRows,
+      s"${got.size} keyframe rows vs $expectedRows scenes")
+  }
+
   test("m09 frame-hash signature: re-encode drifts few bits, trim is a subset, noise unrelated") {
     val base = Multimodal.videoFrameHashes(Multimodal.synthNoiseVideo(12L))
     val reenc = Multimodal.videoFrameHashes(Multimodal.synthVideoReencode(12L))
