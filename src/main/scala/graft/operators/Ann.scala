@@ -581,8 +581,14 @@ object Ann {
     * queries to cells the data wasn't laid out by.
     */
   def buildIvfIndex(corpus: DataFrame, path: String,
-      nlist: Int = 16): Array[Array[Float]] = {
-    val cents = trainCentroids(corpus, nlist)
+      nlist: Int = 16,
+      distributedTrainer: Boolean = false): Array[Array[Float]] = {
+    // opt-in s14: full-corpus Lloyd instead of the ≤16384-vector
+    // sampled trainer — the right call when the corpus outgrows what
+    // a sample represents (the one-off index build amortizes it)
+    val cents =
+      if (distributedTrainer) s14TrainDistributed(corpus, nlist)
+      else trainCentroids(corpus, nlist)
     val celled = corpus.select(col("vec_id"), col("embedding"),
       array_position(centroidScores(col("embedding"), cents),
         array_max(centroidScores(col("embedding"), cents))).as("cell"))

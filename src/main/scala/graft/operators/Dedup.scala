@@ -1254,7 +1254,8 @@ object Dedup {
     * the pairwise stage runs per cell partition.
     */
   def d10SemanticDedupOver(vectors: DataFrame, threshold: Double = 0.9,
-      nlist: Int = 0, targetCellSize: Int = 256): DataFrame = {
+      nlist: Int = 0, targetCellSize: Int = 256,
+      distributedTrainer: Boolean = false): DataFrame = {
     import graft.functions.F
     // nlist scales WITH the corpus by default: Σ|cell|² under a FIXED
     // cell count is O(n²/nlist) — measured 10× wall at 10× data — so
@@ -1277,8 +1278,12 @@ object Dedup {
           math.min(1024L, math.min(n, math.max(16L, n / targetCellSize)))
             .toInt)
       }
-    val cents = Ann.trainCentroids(vectors, k,
-      sampleN = math.max(2048, math.min(8 * k, 16384)))
+    // opt-in s14: full-corpus Lloyd — "a distributed trainer", the
+    // scale path the docstring defers to past nlist·targetCellSize
+    val cents =
+      if (distributedTrainer) Ann.s14TrainDistributed(vectors, k)
+      else Ann.trainCentroids(vectors, k,
+        sampleN = math.max(2048, math.min(8 * k, 16384)))
     val scores = Ann.centroidScores(col("embedding"), cents)
     // localCheckpoint (lazy): the celled projection feeds both join
     // sides; blocks release on GC instead of pinning the cache

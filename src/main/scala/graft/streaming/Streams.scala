@@ -684,7 +684,8 @@ object Streams {
 
   /** One micro-batch's gate accounting from [[st15ServiceCycle]]. */
   final case class ServiceAudit(
-      batch_id: Long, arrived: Long, fluent: Long, admitted: Long)
+      batch_id: Long, arrived: Long, fluent: Long, kept: Long,
+      admitted: Long)
 
   /** st15: the reference notebook's download loop (ref py:1-305) run
     * as the COMPLETE corpus service — every admission axis the engine
@@ -726,7 +727,8 @@ object Streams {
       fetcher: graft.sources.PagedSource.PageFetcher,
       root: String, lmPath: String,
       minLp: Double = -3.0, threshold: Double = 0.7,
-      minTokens: Long = 8, maxFilesPerTrigger: Int = 10)
+      minTokens: Long = 8, maxFilesPerTrigger: Int = 10,
+      classifierModelPath: String = "")
       : Dataset[graft.sources.FilePipeline.CopyAudit] = {
     val landing = s"$root/landing"
     val lake = s"$root/lake"
@@ -767,8 +769,18 @@ object Streams {
           val fluent = batch.join(
             scored.filter(col("mean_lp") >= minLp).select("doc_id"),
             Seq("doc_id"), "left_semi").localCheckpoint(true)
+          // st16 (opt-in): the frozen trained-quality classifier as
+          // the fourth gate — one feature pass + broadcast bucket
+          // join per batch, no training jobs on the stream
+          val kept =
+            if (classifierModelPath.isEmpty) fluent
+            else fluent.join(
+              graft.operators.Corpus
+                .c16ScoreIndexed(fluent, classifierModelPath)
+                .filter(col("keep")).select("doc_id"),
+              Seq("doc_id"), "left_semi").localCheckpoint(true)
           // st13: indexed near-dup gate + lake landing + index append
-          admitBatch(fluent, lake, id, threshold)
+          admitBatch(kept, lake, id, threshold)
           val admitted = batch0.sparkSession.read
             .parquet(s"$lake/batch=$id").localCheckpoint(true)
           // st11: admitted docs' length stats keep the doclen table
@@ -777,7 +789,8 @@ object Streams {
             admitted.select(col("doc_id"),
               size(split(col("text"), " ")).cast("long").as("n_tokens")),
             s"$root/doclen", "n_tokens", id)
-          Seq(ServiceAudit(id, arrived, fluent.count(), admitted.count()))
+          Seq(ServiceAudit(id, arrived, fluent.count(), kept.count(),
+            admitted.count()))
             .toDF().coalesce(1)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$root/audit/batch=$id")

@@ -520,6 +520,27 @@ class DedupSpec extends AnyFunSuite {
       s"recall ${out.length}/$n below the 0.9 envelope")
   }
 
+  test("d10 with the s14 distributed trainer keeps the planted closed form") {
+    // the opt-in full-corpus Lloyd quantizer slots in where the
+    // sampled trainer was — same precision-1 closed form, recall
+    // envelope unchanged (cells move, the verify inside them doesn't)
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x + lit(0.015f) * cos(i.cast("double")).cast("float")))
+        .as("embedding"))
+    val n = base.count()
+    val out = Dedup.d10SemanticDedupOver(base.union(planted),
+      threshold = 0.9, distributedTrainer = true).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) >= 1000000L &&
+      r.getLong(1) == r.getLong(0) - 1000000L),
+      "non-planted drop under the distributed trainer")
+    assert(out.length >= (n * 90) / 100,
+      s"recall ${out.length}/$n below the 0.9 envelope")
+  }
+
   test("d10 within-cell pruning is exact: co-celled d05 pairs all resolve") {
     // d10's only approximation is the cell partition: a (dup_of,
     // dropped) decision can only arise from a real ≥-threshold pair,

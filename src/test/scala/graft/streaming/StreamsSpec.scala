@@ -878,6 +878,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(probe.length == 1 && probe.head.getAs[Long]("n_tokens") == 9L)
   }
 
+  test("st15 with the classifier model: the fourth gate fires, counts conserve") {
+    import StreamsSpec.LocalFsFetcher
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15c")
+    val remote = dir.resolve("remote").toString
+    val root = dir.resolve("svc").toString
+    val lmPath = dir.resolve("lm").toString
+    val modelPath = dir.resolve("model").toString
+    new java.io.File(remote).mkdirs()
+    def span(p: String, a: Int, b: Int) =
+      (a to b).map(i => s"$p$i").mkString(" ")
+    // the LM knows BOTH chains (r and n), so an n-span doc is FLUENT —
+    // only the classifier can tell the domains apart
+    graft.operators.TextOps.lmTrainTables(
+      Seq((1L, span("r", 1, 40)), (2L, span("n", 1, 40)))
+        .toDF("doc_id", "text"), lmPath)
+    // classifier: r-domain docs are the quality exemplar
+    graft.operators.Corpus.c16ModelBuild(
+      Seq((1L, span("r", 1, 20), 1), (2L, span("r", 21, 40), 1),
+        (3L, span("n", 1, 20), 0), (4L, span("n", 21, 40), 0))
+        .toDF("doc_id", "text", "label"), modelPath)
+
+    def drop(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(remote, name), text + "\n")
+    // both stream docs are ≥8 tokens (st09) and LM-fluent (st14);
+    // only the r-domain doc should survive the classifier
+    drop("a.txt", span("r", 5, 12))
+    drop("b.txt", span("n", 5, 12))
+    val fetcher = LocalFsFetcher(remote)
+    val audit = Streams.st15ServiceCycle(spark, fetcher, root, lmPath,
+      classifierModelPath = modelPath).collect()
+    assert(audit.length == 2 && audit.forall(_.status == "copied"))
+
+    val lake = spark.read.parquet(s"$root/lake")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(lake == Set(span("r", 5, 12)), s"lake = $lake")
+    val audits = spark.read.parquet(s"$root/audit").collect()
+      .map(r => (r.getAs[Long]("arrived"), r.getAs[Long]("fluent"),
+        r.getAs[Long]("kept"), r.getAs[Long]("admitted"))).toSeq
+    // 2 arrived, both fluent, classifier kept 1, near-dup gate kept it
+    assert(audits == Seq((2L, 2L, 1L, 1L)), s"got $audits")
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
