@@ -634,6 +634,38 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Persist the benchmark's distinct shingle-hash set — c03's
+    * broadcast side, built ONCE (eval sets are small and static by
+    * nature) so st17's streaming gate never re-shingles the benchmark
+    * per batch. 8-byte hashed shingles, not strings (c03's own
+    * discipline).
+    */
+  def c03BenchBuild(benchDocs: DataFrame, benchPath: String,
+      shingleK: Int = 5): Unit =
+    Dedup.docShingleHashes(benchDocs, shingleK)
+      .select(explode(col("sh")).as("g")).distinct()
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(benchPath)
+
+  /** c03 against a PERSISTED benchmark shingle set: flag every doc
+    * sharing ≥ `minShared` distinct `shingleK`-shingles with the
+    * benchmark — the inference half of the contamination gate (one
+    * shingle pass over the docs, benchmark broadcast whole, one
+    * doc-keyed rollup; plain count is exact because per-doc shingle
+    * arrays are distinct and the stored set was dedup'd).
+    */
+  def c03ScreenIndexed(docs: DataFrame, benchPath: String,
+      shingleK: Int = 5, minShared: Long = 3L): DataFrame = {
+    val spark = docs.sparkSession
+    val bench = spark.read.parquet(benchPath)
+    Dedup.docShingleHashes(docs, shingleK)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ---------------------------------------------------------------- c14
 
   /** c14: importance-weighted data selection (DSIR — Xie et al. 2023,

@@ -370,6 +370,46 @@ object Streams {
       .parquet(s"$lakePath/batch=$batchId")
   }
 
+  /** st17's batch body: screen one micro-batch against the PERSISTED
+    * benchmark shingle set and land only the UNcontaminated docs
+    * under the batch's own directory — c03's train/eval leakage gate
+    * as an ingest filter (public practice: decontaminate on intake,
+    * before a doc can ever reach a training mixture). The benchmark
+    * set is built once ([[graft.operators.Corpus.c03BenchBuild]]);
+    * the gate is stateless given it, so replays rewrite their own
+    * `batch=<id>` directory (st14/st16's idempotence discipline).
+    */
+  def contaminationBatch(batch: DataFrame, benchPath: String,
+      lakePath: String, batchId: Long, shingleK: Int = 5,
+      minShared: Long = 3L): Unit = {
+    val flagged = graft.operators.Corpus
+      .c03ScreenIndexed(batch, benchPath, shingleK, minShared)
+      .select("doc_id")
+    val admitted = batch.join(flagged, Seq("doc_id"), "left_anti")
+    admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+  }
+
+  /** st17: STREAMING benchmark decontamination — the c03 leakage gate
+    * as a continuous ingest filter, the fifth admission axis beside
+    * st09 (junk), st14 (fluency), st16 (trained quality) and st13
+    * (near-dup). Per batch: one shingle pass over the batch, the
+    * small-by-nature benchmark set broadcast, one doc rollup — the
+    * benchmark corpus is never re-scanned on the stream.
+    */
+  def st17DecontamStream(docs: DataFrame, benchPath: String,
+      lakePath: String, checkpointDir: String, shingleK: Int = 5,
+      minShared: Long = 3L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        contaminationBatch(batch.toDF(), benchPath, lakePath, id,
+          shingleK, minShared)
+      }
+      .start()
+
   /** st16: STREAMING trained-quality admission — the c16 classifier
     * as a continuous ingest filter (the public pipeline shape:
     * train the quality model once on a labeled set, then gate the

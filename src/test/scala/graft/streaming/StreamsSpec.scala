@@ -672,6 +672,46 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == ids, s"replay changed the lake: $after")
   }
 
+  test("st17 decontamination gate rejects benchmark-overlapping docs, replays clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st17")
+    val benchPath = dir.resolve("bench").toString
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def span(p: String, a: Int, b: Int) =
+      (a to b).map(i => s"$p$i").mkString(" ")
+    // the benchmark: one eval doc (the b-chain), shingled once
+    graft.operators.Corpus.c03BenchBuild(
+      Seq((1L, span("b", 1, 30))).toDF("doc_id", "text"), benchPath)
+
+    val stream1 = Seq(
+      // embeds an 8-token benchmark passage → 4 shared 5-shingles ≥ 3
+      (10L, "x1 x2 " + span("b", 5, 12) + " x3 x4"),
+      (11L, span("c", 1, 12)))                       // clean
+    val stream2 = Seq(
+      (12L, span("b", 10, 20)),                      // pure excerpt
+      (13L, span("d", 1, 10)))                       // clean
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st17DecontamStream(
+      input.toDS().toDF("doc_id", "text"), benchPath, lake, ckpt)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(11L, 13L), s"lake holds $ids")
+    // replay: re-running a batch body rewrites its own directory with
+    // the same verdicts — stateless gate, idempotent landing
+    Streams.contaminationBatch(stream1.toDF("doc_id", "text"),
+      benchPath, lake, batchId = 0L)
+    val after = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == ids, s"replay changed the lake: $after")
+  }
+
   test("st13 bootstraps a fresh deployment: batch 0 admits into a lake that doesn't exist yet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st13boot")
