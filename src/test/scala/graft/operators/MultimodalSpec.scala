@@ -456,6 +456,30 @@ class MultimodalSpec extends AnyFunSuite {
       s"${got.size} keyframe rows vs $expectedRows scenes")
   }
 
+  test("m09 banding pigeonhole law: any ≤3-bit drift always shares a band") {
+    // the recall guarantee the candidate cut rests on: 4 disjoint
+    // 14-bit bands cover bits 0..55; ≤3 flipped bits dirty ≤3 bands,
+    // so one band is always clean — and flips in bits 56..63 touch no
+    // band at all. Deterministic sweep: 2000 seeded (hash, ≤3-flip)
+    // trials, plus the all-bands-dirty negative direction.
+    def bandKeys(h: Long): Set[(Int, Long)] =
+      (0 until 4).map(j => (j, (h >>> (j * 14)) & 0x3FFFL)).toSet
+    val rnd = new scala.util.Random(97L)
+    (1 to 2000).foreach { _ =>
+      val h = rnd.nextLong()
+      val nFlips = 1 + rnd.nextInt(3)
+      val flipped = (1 to nFlips).foldLeft(h)((acc, _) =>
+        acc ^ (1L << rnd.nextInt(64)))
+      assert((bandKeys(h) & bandKeys(flipped)).nonEmpty,
+        f"pigeonhole violated: $h%016x vs $flipped%016x")
+    }
+    // 4 flips CAN dirty all four bands (the guarantee is tight at 3)
+    val h = 0L
+    val fourFlips = (0 until 4).foldLeft(h)((acc, j) =>
+      acc ^ (1L << (j * 14)))
+    assert((bandKeys(h) & bandKeys(fourFlips)).isEmpty)
+  }
+
   test("m09 frame-hash signature: re-encode drifts few bits, trim is a subset, noise unrelated") {
     val base = Multimodal.videoFrameHashes(Multimodal.synthNoiseVideo(12L))
     val reenc = Multimodal.videoFrameHashes(Multimodal.synthVideoReencode(12L))
