@@ -43,6 +43,15 @@ object Bench {
       // build before gate
       "st13_build" -> ((s, d) => streaming.Streams.st13BenchBuild(s, d)),
       "st13_gate" -> ((s, d) => streaming.Streams.st13BenchGate(s, d)),
+      // the other three stateless admission gates, same build/gate
+      // split: the build row is the one-time model/set persist, the
+      // gate row the recurring per-drain inference + lake landing
+      "st14_build" -> ((s, d) => streaming.Streams.st14BenchBuild(s, d)),
+      "st14_gate" -> ((s, d) => streaming.Streams.st14BenchGate(s, d)),
+      "st16_build" -> ((s, d) => streaming.Streams.st16BenchBuild(s, d)),
+      "st16_gate" -> ((s, d) => streaming.Streams.st16BenchGate(s, d)),
+      "st17_build" -> ((s, d) => streaming.Streams.st17BenchBuild(s, d)),
+      "st17_gate" -> ((s, d) => streaming.Streams.st17BenchGate(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

@@ -307,6 +307,108 @@ object Streams {
     Seq(lake).toDF("lake_path")
   }
 
+  /** Per-gate bench roots for the stateless streaming gates (st14/
+    * st16/st17) — one root per gate so the name-sorted bench rows
+    * can't trample each other's persisted artifacts.
+    */
+  private def gateBenchRoot(gate: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_${gate}_${dir.hashCode.toHexString}"
+
+  private def clearRoot(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** st14 build phase (bench): train + persist the t15 LM tables from
+    * the corpus — the one-time cost the streaming fluency gate
+    * amortizes (t15's own row trains AND scores in one call; this
+    * split isolates train from recurring inference).
+    */
+  def st14BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st14", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents
+    graft.operators.TextOps.lmTrainTables(
+      docs.select(col("doc_id"), col("text")), s"$root/lm")
+    Seq(root).toDF("root")
+  }
+
+  /** st14 gate phase (bench): one corpus-sized micro-batch through
+    * [[fluencyBatch]] against the persisted LM — the recurring
+    * per-drain cost of the fluency front door (score + lake landing,
+    * no training jobs).
+    */
+  def st14BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st14", dir)
+    val docs = graft.Tables(spark, dir).documents
+    fluencyBatch(docs.select(col("doc_id"), col("text")), s"$root/lm",
+      s"$root/lake", batchId = 1L, minLp = -9.0)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  /** st16 build phase (bench): train + persist the c16 classifier
+    * model (c16's own row trains AND scores; this split isolates the
+    * one-time train from the per-batch broadcast-join inference).
+    */
+  def st16BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st16", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents
+    val tgt = docs.select(min(col("source"))).collect().head.getString(0)
+    graft.operators.Corpus.c16ModelBuild(
+      docs.select(col("doc_id"), col("text"),
+        (col("source") === tgt).cast("int").as("label")),
+      s"$root/model")
+    Seq(root).toDF("root")
+  }
+
+  /** st16 gate phase (bench): one corpus-sized micro-batch through
+    * [[classifierBatch]] against the frozen model — one feature pass
+    * + a broadcast bucket join + the lake landing.
+    */
+  def st16BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st16", dir)
+    val docs = graft.Tables(spark, dir).documents
+    classifierBatch(docs.select(col("doc_id"), col("text")),
+      s"$root/model", s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  /** st17 build phase (bench): persist the benchmark's distinct
+    * shingle set (c03's convention: doc_id % 10 == 0 is the
+    * benchmark stand-in) — built once, eval sets are static.
+    */
+  def st17BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st17", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents
+    graft.operators.Corpus.c03BenchBuild(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")),
+      s"$root/bench")
+    Seq(root).toDF("root")
+  }
+
+  /** st17 gate phase (bench): one corpus-sized micro-batch through
+    * [[contaminationBatch]] against the persisted shingle set — one
+    * shingle pass + a broadcast join + a doc rollup + lake landing.
+    */
+  def st17BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st17", dir)
+    val docs = graft.Tables(spark, dir).documents
+    contaminationBatch(docs.select(col("doc_id"), col("text")),
+      s"$root/bench", s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** st14's batch body: score one micro-batch against the PERSISTED
     * t15 LM tables and land only the fluent docs (mean per-bigram
     * log-prob ≥ `minLp`) under the batch's own directory. The LM is
@@ -722,10 +824,14 @@ object Streams {
     audit
   }
 
-  /** One micro-batch's gate accounting from [[st15ServiceCycle]]. */
+  /** One micro-batch's gate accounting from [[st15ServiceCycle]].
+    * Conservation: `arrived − fluent` = fluency rejects, `fluent −
+    * kept` = classifier rejects, `kept − screened` = decontamination
+    * rejects, `screened − admitted` = near-dup rejects.
+    */
   final case class ServiceAudit(
       batch_id: Long, arrived: Long, fluent: Long, kept: Long,
-      admitted: Long)
+      screened: Long, admitted: Long)
 
   /** st15: the reference notebook's download loop (ref py:1-305) run
     * as the COMPLETE corpus service — every admission axis the engine
@@ -768,7 +874,8 @@ object Streams {
       root: String, lmPath: String,
       minLp: Double = -3.0, threshold: Double = 0.7,
       minTokens: Long = 8, maxFilesPerTrigger: Int = 10,
-      classifierModelPath: String = "")
+      classifierModelPath: String = "", benchShinglePath: String = "",
+      minShared: Long = 3L)
       : Dataset[graft.sources.FilePipeline.CopyAudit] = {
     val landing = s"$root/landing"
     val lake = s"$root/lake"
@@ -819,8 +926,20 @@ object Streams {
                 .c16ScoreIndexed(fluent, classifierModelPath)
                 .filter(col("keep")).select("doc_id"),
               Seq("doc_id"), "left_semi").localCheckpoint(true)
+          // st17 (opt-in): benchmark decontamination against the
+          // persisted shingle set — the fifth gate; one shingle pass
+          // + a broadcast join per batch, the benchmark never
+          // re-shingled on the stream
+          val screened =
+            if (benchShinglePath.isEmpty) kept
+            else kept.join(
+              graft.operators.Corpus
+                .c03ScreenIndexed(kept, benchShinglePath,
+                  minShared = minShared)
+                .select("doc_id"),
+              Seq("doc_id"), "left_anti").localCheckpoint(true)
           // st13: indexed near-dup gate + lake landing + index append
-          admitBatch(kept, lake, id, threshold)
+          admitBatch(screened, lake, id, threshold)
           val admitted = batch0.sparkSession.read
             .parquet(s"$lake/batch=$id").localCheckpoint(true)
           // st11: admitted docs' length stats keep the doclen table
@@ -830,7 +949,7 @@ object Streams {
               size(split(col("text"), " ")).cast("long").as("n_tokens")),
             s"$root/doclen", "n_tokens", id)
           Seq(ServiceAudit(id, arrived, fluent.count(), kept.count(),
-            admitted.count()))
+            screened.count(), admitted.count()))
             .toDF().coalesce(1)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$root/audit/batch=$id")

@@ -962,6 +962,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(audits == Seq((2L, 2L, 1L, 1L)), s"got $audits")
   }
 
+  test("st15 with the benchmark shingle set: the decontam gate fires, counts conserve") {
+    import StreamsSpec.LocalFsFetcher
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15d")
+    val remote = dir.resolve("remote").toString
+    val root = dir.resolve("svc").toString
+    val lmPath = dir.resolve("lm").toString
+    val benchPath = dir.resolve("bench").toString
+    new java.io.File(remote).mkdirs()
+    def span(p: String, a: Int, b: Int) =
+      (a to b).map(i => s"$p$i").mkString(" ")
+    // the LM knows BOTH chains (r and b), so a doc quoting the
+    // benchmark is FLUENT — only the decontam gate can reject it
+    graft.operators.TextOps.lmTrainTables(
+      Seq((1L, span("r", 1, 40)), (2L, span("b", 1, 40)))
+        .toDF("doc_id", "text"), lmPath)
+    // the persisted benchmark shingle set (st17's build half)
+    graft.operators.Corpus.c03BenchBuild(
+      Seq((1L, span("b", 1, 20))).toDF("doc_id", "text"), benchPath)
+
+    def drop(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(remote, name), text + "\n")
+    // both docs are ≥8 tokens (st09) and LM-fluent (st14); b.txt
+    // embeds an 8-token benchmark passage (4 shared 5-shingles ≥ 3)
+    // — only the decontam gate separates them
+    drop("a.txt", span("r", 5, 12))
+    drop("b.txt", span("b", 5, 12))
+    val fetcher = LocalFsFetcher(remote)
+    val audit = Streams.st15ServiceCycle(spark, fetcher, root, lmPath,
+      benchShinglePath = benchPath).collect()
+    assert(audit.length == 2 && audit.forall(_.status == "copied"))
+
+    val lake = spark.read.parquet(s"$root/lake")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(lake == Set(span("r", 5, 12)), s"lake = $lake")
+    val audits = spark.read.parquet(s"$root/audit").collect()
+      .map(r => (r.getAs[Long]("arrived"), r.getAs[Long]("fluent"),
+        r.getAs[Long]("kept"), r.getAs[Long]("screened"),
+        r.getAs[Long]("admitted"))).toSeq
+    // 2 arrived, both fluent, no classifier (kept = fluent), decontam
+    // screened out the quoting doc, near-dup admitted the survivor
+    assert(audits == Seq((2L, 2L, 2L, 1L, 1L)), s"got $audits")
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
