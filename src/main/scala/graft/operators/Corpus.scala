@@ -1037,4 +1037,114 @@ object Corpus {
       .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("max_cos"))
       .orderBy("vec_id")
   }
+
+  /** c17 build half: persist the benchmark embedding set as an IVF
+    * index (Ann.buildIvfIndex — celled parquet + the quantizer's
+    * centroids beside it). `nlist = 0` auto-sizes to ⌈√n_bench⌉, the
+    * classic IVF balance point: with a fixed `nprobe`, screen work
+    * then grows as n_train·√n_bench instead of c17's declared
+    * n_train·n_bench brute force — the subquadratic scale path the
+    * c17 docstring promises. Built ONCE per benchmark version (eval
+    * sets are static by nature), like c03BenchBuild/c16ModelBuild.
+    */
+  def c17BenchBuild(benchVectors: DataFrame, path: String,
+      nlist: Int = 0): Int = {
+    val n =
+      if (nlist > 0) nlist
+      else math.max(1, math.ceil(
+        math.sqrt(benchVectors.count().toDouble)).toInt)
+    Ann.buildIvfIndex(benchVectors.select("vec_id", "embedding"), path,
+      nlist = n)
+    n
+  }
+
+  /** c17 inference half: screen train vectors against the PERSISTED
+    * benchmark IVF index. Each train vector scores the nlist centroids
+    * in one per-row projection (native dot kernel — no shuffle, no
+    * UDF), keeps its `nprobe` best cells, and exact-cosine-verifies
+    * only the benchmark vectors in those cells via a cell equi-join —
+    * a hash join on a small int, never a cosine cross product. Flags
+    * are exact by construction (every reported pair passed the real
+    * cosine); `nprobe` is the recall dial, and `nprobe = nlist`
+    * degenerates to c17's brute force exactly (every cell probed ⇒
+    * every pair compared — the spec's equality law). Output matches
+    * c17's schema: (vec_id, n_bench_hits, max_cos).
+    */
+  def c17ScreenIndexed(train: DataFrame, indexPath: String,
+      threshold: Double = 0.4, nprobe: Int = 4): DataFrame = {
+    import graft.functions.F
+    val spark = train.sparkSession
+    // bounded by construction: nlist rows (≈ √n_bench)
+    val cents = spark.read.parquet(indexPath + ".centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val bench = spark.read.parquet(indexPath)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("cell"))
+      .withColumn("b_nrm", sqrt(F.dotProd(col("b_emb"), col("b_emb"))))
+    val np = math.min(nprobe, cents.length)
+    // top-nprobe cells per train vector: zip (score, pos), sort by
+    // (-score, pos) — deterministic tie-break — slice, 1-based cell ids
+    val scored = train.select(col("vec_id"), col("embedding"),
+      sqrt(F.dotProd(col("embedding"), col("embedding"))).as("nrm"),
+      slice(
+        sort_array(zip_with(
+          Ann.centroidScores(col("embedding"), cents),
+          sequence(lit(0), lit(cents.length - 1)),
+          (s, p) => struct((-s).as("ns"), p.as("pos")))),
+        1, np).as("probes"))
+    scored
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("probes")).as("pr"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (col("pr.pos") + 1).cast("long").as("cell"))
+      .join(broadcast(bench), Seq("cell"))
+      .select(col("vec_id"),
+        F.cosineSim4Pre(col("embedding"), col("nrm"),
+          col("b_emb"), col("b_nrm")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max(col("cos")).as("max_cos"))
+  }
+
+  private def demoPath(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_${tag}_${dir.hashCode.toHexString}/index"
+
+  /** c17 driver query, indexed form: the same vec_id%10 bench/train
+    * split as c17, screened through the persisted IVF index at the
+    * auto-sized nlist. `nprobe = 0` probes ALL cells — brute-equal
+    * output (the oracle-checkable config; the recall/cost dial only
+    * opens when a deployment lowers nprobe below nlist, measured by
+    * the bench phase rows).
+    */
+  def c17SemanticDecontamIvf(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, nprobe: Int = 0): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val path = demoPath("c17", dir)
+    val nlist = c17BenchBuild(emb.filter(col("vec_id") % 10 === 0), path)
+    val np = if (nprobe > 0) nprobe else nlist
+    c17ScreenIndexed(emb.filter(col("vec_id") % 10 =!= 0), path,
+      threshold, np)
+      .orderBy("vec_id")
+  }
+
+  /** c17 bench build phase: one-time benchmark IVF index persist. */
+  def c17BenchBuildRow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = demoPath("c17", dir)
+    val nlist = c17BenchBuild(
+      Tables(spark, dir).embeddings.filter(col("vec_id") % 10 === 0),
+      path)
+    Seq((path, nlist)).toDF("path", "nlist")
+  }
+
+  /** c17 bench screen phase: the recurring indexed screen at nprobe=4
+    * — the n_train·√n_bench shape a deployment repeats per corpus
+    * drop (build strictly before screen in bench order).
+    */
+  def c17BenchScreenRow(spark: SparkSession, dir: String): DataFrame =
+    c17ScreenIndexed(
+      Tables(spark, dir).embeddings.filter(col("vec_id") % 10 =!= 0),
+      demoPath("c17", dir), threshold = 0.4, nprobe = 4)
 }
