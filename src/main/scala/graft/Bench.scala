@@ -26,7 +26,8 @@ object Bench {
     // replaces them with explicit build/probe phase rows, ordered so
     // each probe hits the index its build row just wrote.
     val phaseSplit = Set("s07_ann_lsh_indexed", "s08_ann_ivf_indexed",
-      "d13_indexed_admit")
+      "d13_indexed_admit", "c17_semantic_decontam_ivf",
+      "q28_approx_distinct")
     val phased: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "s07_build" -> ((s, d) => operators.Ann.s07BenchBuild(s, d)),
       "s07_probe" -> ((s, d) => operators.Ann.s07BenchProbe(s, d)),
@@ -37,6 +38,16 @@ object Bench {
       // index — the one-time signature pass has its own row
       "d13_build" -> ((s, d) => operators.Dedup.d13BenchBuild(s, d)),
       "d13_gate" -> ((s, d) => operators.Dedup.d13BenchGate(s, d)),
+      // c17's indexed decontamination as its two phases: the one-time
+      // benchmark IVF persist, then the recurring nprobe=4 screen —
+      // the n_train·√n_bench shape repeated per corpus drop (name-sort
+      // keeps build before screen)
+      "c17_build" -> ((s, d) => operators.Corpus.c17BenchBuildRow(s, d)),
+      "c17_screen" -> ((s, d) => operators.Corpus.c17BenchScreenRow(s, d)),
+      // q28's driver entry computes the exact countDistinct NEXT TO the
+      // sketch (so the oracle-adjacent spec can bound the error); the
+      // bench row times the sketch alone — the 100 TB path
+      "q28_approx_distinct" -> ((s, d) => operators.Approx.q28BenchSketch(s, d)),
       // st13's streaming admission measured as its two phases: the
       // one-time lake+index bootstrap, then the recurring per-drain
       // cost (gate + lake landing + index append) — name-sort keeps
@@ -75,12 +86,20 @@ object Bench {
           System.err.println(s"[bench] warm-up query '$name' failed: $t")
       }
     }
+    // failures must be LOUD: round 8 shipped 16 silently-failed rows
+    // whose root cause took a judge repro to name. Record the exception
+    // class+message per failed row — stderr for the human, an "errors"
+    // JSON field for the artifact.
     val results = timed.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { run(fn); true } catch { case _: Throwable => false }
+      val err = try { run(fn); None } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] query '$name' failed: ${t.getClass.getName}: ${t.getMessage}")
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").linesIterator.take(1).mkString.take(200)}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // no cross-query cache credit
-      (name, sec, ok)
+      (name, sec, err)
     }
     // elapsed time is recorded for every query — a failure must not
     // corrupt the wall-clock total with a sentinel; failures are
@@ -88,13 +107,22 @@ object Bench {
     // line compact (a 17-digit double per query once truncated the
     // driver's captured artifact mid-key).
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => s"\"$k\"" }
+    val failed = results.collect { case (k, _, Some(_)) => s"\"$k\"" }
       .mkString("[", ",", "]")
+    val errors = results.collect { case (k, _, Some(m)) => s"${jstr(k)}:${jstr(m)}" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"sf":"$sfDir"}"""
     println(json)
     // the sbt log prefix makes stdout unparseable for the driver; the
     // file copy is the machine-readable record

@@ -15,18 +15,30 @@ object GraftCatalog {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Register every table in `dir` as a temp view named after it. */
-  def register(spark: SparkSession, dir: String): Unit = {
+  /** Register every table in `dir` as a temp view named after it.
+    *
+    * Registration is per-view fault-isolated: one table whose loader
+    * throws (e.g. a physical-type drift in the testdata, round 8's
+    * events breakage) must cost queries against THAT view only, not
+    * abort registration of the other nine — a single eager loop here
+    * once turned one bad table into 50 red SqlParitySpec legs. Failures
+    * are loud (stderr) and returned so callers can assert on them.
+    */
+  def register(spark: SparkSession, dir: String): Seq[(String, Throwable)] = {
     val t = Tables(spark, dir)
-    t.region.createOrReplaceTempView("region")
-    t.nation.createOrReplaceTempView("nation")
-    t.customer.createOrReplaceTempView("customer")
-    t.supplier.createOrReplaceTempView("supplier")
-    t.part.createOrReplaceTempView("part")
-    t.orders.createOrReplaceTempView("orders")
-    t.lineitem.createOrReplaceTempView("lineitem")
-    t.events.createOrReplaceTempView("events")
-    t.documents.createOrReplaceTempView("documents")
-    t.embeddings.createOrReplaceTempView("embeddings")
+    val loaders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "region" -> (() => t.region), "nation" -> (() => t.nation),
+      "customer" -> (() => t.customer), "supplier" -> (() => t.supplier),
+      "part" -> (() => t.part), "orders" -> (() => t.orders),
+      "lineitem" -> (() => t.lineitem), "events" -> (() => t.events),
+      "documents" -> (() => t.documents), "embeddings" -> (() => t.embeddings))
+    loaders.flatMap { case (name, load) =>
+      try { load().createOrReplaceTempView(name); None }
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[catalog] view '$name' failed to register: ${e.getClass.getName}: ${e.getMessage}")
+        Some(name -> e)
+      }
+    }
   }
 }

@@ -900,6 +900,22 @@ object Oracles {
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
 
+    // the IVF-indexed screen at nprobe=all is brute-equal by the
+    // equality law, so it shares c17's oracle verbatim
+    "c17_semantic_decontam_ivf" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d),
+        |p AS (SELECT t.vec_id,
+        |        round(list_dot_product(t.v, b.v) / (t.nrm * b.nrm), 4) AS cos
+        |      FROM n t JOIN n b
+        |        ON t.vec_id % 10 <> 0 AND b.vec_id % 10 = 0)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+        |  max(cos) AS max_cos
+        |FROM p WHERE cos >= 0.4
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
     // t03's marker argmax in SQL: per-language occurrence counts over
     // the space-split lowered text, argmax with the same sorted-lang
     // tie-break (first CASE arm wins) and zero-hit → 'und'.

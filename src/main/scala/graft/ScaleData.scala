@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * densities scale LINEARLY, matching how a real corpus grows), and
   * embeddings get a deterministic per-copy perturbation large enough
   * to stay below near-dup thresholds. The scaled `events.ts` column
-  * round-trips through the nanosAsLong long representation — Tables
-  * reads either encoding identically.
+  * round-trips through whatever physical type the source era uses
+  * (LONG epoch-nanos under nanosAsLong, or TIMESTAMP_NTZ micros) —
+  * the schema-adaptive `Tables.events` reads either encoding.
   *
   * Usage: runMain graft.ScaleData <srcDir> <dstDir> <factor>
   */

@@ -135,6 +135,9 @@ object SparkEntry {
     "c16_quality_classifier" -> ((s, dir) => Corpus.c16QualityClassifier(s, dir)),
     "s14_kmeans_distributed" -> ((s, dir) => Ann.s14KmeansDistributed(s, dir)),
     "c17_semantic_decontam" -> ((s, dir) => Corpus.c17SemanticDecontam(s, dir)),
+    // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
+    // flat c17 oracle checks the whole indexed path end-to-end
+    "c17_semantic_decontam_ivf" -> ((s, dir) => Corpus.c17SemanticDecontamIvf(s, dir)),
     // A. file-pipeline surface (manifest of the sf directory tree)
     "f01_manifest" -> ((s, dir) =>
       graft.sources.FilePipeline.catalog(s, dir).toDF()

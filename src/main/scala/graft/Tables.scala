@@ -20,21 +20,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Read nanos as LONG
-    * (legacy.parquet.nanosAsLong) and rebuild a TIMESTAMP_NTZ. The
-    * nanos→micros step uses integral `div` — epoch-nanos (~1.7e18)
-    * exceed double's 2^53 exact-integer range, so a float division
-    * would silently corrupt timestamps. Source data is micros-grained,
-    * so the conversion is lossless.
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * surfaces as LONG under `legacy.parquet.nanosAsLong`) vs
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read natively as
+    * TIMESTAMP_NTZ). Branch on the schema actually loaded rather than
+    * assuming either: LongType → rebuild a TIMESTAMP_NTZ via integral
+    * `div 1000` (epoch-nanos ~1.7e18 exceed double's 2^53 exact range, so
+    * float division would silently corrupt timestamps; source data is
+    * micros-grained, so the conversion is lossless); timestamp types →
+    * pass through, normalized to TIMESTAMP_NTZ so downstream queries see
+    * one type regardless of the file era.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
-        .cast("timestamp_ntz"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => raw
+      case _                => raw.withColumn("ts", raw("ts").cast(TimestampNTZType))
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

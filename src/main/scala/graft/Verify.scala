@@ -21,13 +21,28 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A query that throws (construction OR execution) must still land in
+    // the driver's correctness artifact: round 8 lost 16 entries because
+    // a failing query wrote no output dir and so was silently absent —
+    // indistinguishable from "not implemented". Write a marker parquet
+    // (one row, one `graft_error` column) so the driver records a RED
+    // row with the cause readable in the file, and collect a
+    // verify_errors.json summary for humans.
+    import spark.implicits._
+    val errs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .flatMap { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          val msg = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name failed: $msg")
+          try Seq(msg).toDF("graft_error").write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case _: Throwable => () }
+          Some(name -> msg)
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +61,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errs.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errs.nonEmpty)
+      System.err.println(s"[verify] ${errs.size} queries FAILED: ${errs.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

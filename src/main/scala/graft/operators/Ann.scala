@@ -797,7 +797,7 @@ object Ann {
     * call, so repeated bench/spec runs reuse one directory instead of
     * accumulating a full index copy per invocation.
     */
-  private def demoIndexPath(tag: String, dir: String): String =
+  private[operators] def demoIndexPath(tag: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${dir.hashCode.toHexString}/index"
 
   def s07AnnLshIndexedDemo(spark: SparkSession, dir: String,

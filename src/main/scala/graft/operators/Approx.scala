@@ -27,6 +27,20 @@ object Approx {
       .orderBy("l_returnflag")
   }
 
+  /** q28's bench shape: the HLL++ sketch ALONE. The combined demo above
+    * stays the correctness entry (the spec asserts approx within rsd of
+    * exact), but as a bench row it mostly measured the exact
+    * countDistinct expand — the very cost the sketch exists to avoid at
+    * 100 TB. This row times the mergeable-sketch path by itself.
+    */
+  def q28BenchSketch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy("l_returnflag")
+  }
+
   /** Approximate percentiles via quantile summaries (accuracy param =
     * 1/relative-error). Not in the oracle set: the summary's merge is
     * partition-order sensitive at the margin, unlike HLL.

@@ -878,35 +878,49 @@ object Corpus {
     val trainFeats =
       if (every == 1L) feats
       else feats.filter(pmod(col("doc_id"), lit(every)) === 0)
-    val nDocs = trainLabels.count().toDouble
-    val nPos = trainLabels.filter(col("label") === 1).count().toDouble
+    // The GD loop runs DRIVER-SIDE over the collected sample: the
+    // sample is bounded by construction (≤ trainCap docs — public
+    // classifiers train on ~10⁵ labeled docs however big the corpus),
+    // and running 8 rounds as 8 chained Spark actions priced each
+    // round at a full job's scheduling + shuffle latency (st16_build
+    // breached the 10 s bar on exactly that). Same justification as
+    // t11's capped word table. Bit-exactness vs the old distributed
+    // loop is preserved because every rollup the cluster did in
+    // decimal(28,9) fixed-point is replayed here as an EXACT BigDecimal
+    // sum of the identical round-9 terms (order-independent), and the
+    // per-doc double ops (sigmoid, class weight) are the same JVM
+    // arithmetic — the plain-Scala-replay spec pins this.
+    val lab = trainLabels.collect().map(r => r.getLong(0) -> r.getInt(1))
+    val featRows = trainFeats.select(col("doc_id"), col("b"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc: Map[Long, Array[(Long, Long)]] = featRows
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(t => (t._2, t._3)) }
+    val nDocs = lab.length.toDouble
+    val nPos = lab.count(_._2 == 1).toDouble
     require(nPos > 0 && nPos < nDocs,
       s"training sample has one class only ($nPos of $nDocs positive)")
     val (wPos, wNeg) = (nDocs / (2.0 * nPos), nDocs / (2.0 * (nDocs - nPos)))
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
     var w = Map.empty[Long, Double]
     var bias = 0.0
     for (_ <- 0 until iters) {
-      val resid = marginsOf(broadcast(w.toSeq.toDF("b", "w")),
-        trainLabels, trainFeats)
-        .select(col("doc_id"),
-          ((lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))) -
-            col("label").cast("double")) *
-            when(col("label") === 1, lit(wPos)).otherwise(lit(wNeg)))
-            .as("res"))
-      // bucket gradient: ≤ 2¹⁶+1 rows by construction — the ONLY
-      // thing collected; decimal fixed-point keeps it partition-
-      // order-exact; sentinel bucket −1 (one unit row per doc) IS the
-      // bias gradient, so the whole round is a single action
-      val grad = trainFeats
-        .union(trainLabels.select(col("doc_id"), lit(-1L).as("b"),
-          lit(1L).as("n")))
-        .join(resid, Seq("doc_id"))
-        .select(col("b"), round(col("res") * col("n"), 9)
-          .cast("decimal(28,9)").as("g"))
-        .groupBy("b").agg(sum(col("g")).cast("double").as("g"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val gBias = grad.getOrElse(-1L, 0.0)
-      w = ((w.keySet ++ grad.keySet) - (-1L)).iterator.map { b =>
+      val res: Array[(Long, Double)] = lab.map { case (d, l) =>
+        val margin = byDoc.get(d).fold(0.0)(
+          _.collect { case (b, n) if w.contains(b) => r9(n * w(b)) }
+            .foldLeft(BigDecimal(0))(_ + _).toDouble)
+        val sig = 1.0 / (1.0 + math.exp(-(margin + bias)))
+        d -> (sig - l) * (if (l == 1) wPos else wNeg)
+      }
+      val resOf = res.toMap
+      val grad: Map[Long, Double] = featRows.iterator
+        .map { case (d, b, n) => b -> r9(resOf(d) * n) }
+        .toSeq.groupBy(_._1)
+        .map { case (b, ts) =>
+          b -> ts.foldLeft(BigDecimal(0))(_ + _._2).toDouble }
+      val gBias = res.map { case (_, r) => r9(r) }
+        .foldLeft(BigDecimal(0))(_ + _).toDouble
+      w = (w.keySet ++ grad.keySet).iterator.map { b =>
         b -> (w.getOrElse(b, 0.0) - lr * grad.getOrElse(b, 0.0) / nDocs)
       }.toMap
       bias -= lr * gBias / nDocs
@@ -1049,10 +1063,15 @@ object Corpus {
     */
   def c17BenchBuild(benchVectors: DataFrame, path: String,
       nlist: Int = 0): Int = {
+    val count = benchVectors.count()
+    require(count > 0,
+      s"c17BenchBuild: benchmark embedding set is empty — nothing to index at $path")
+    // auto-nlist = ⌈√n⌉, clamped to the quantizer's 2048-vector sample
+    // cap: past ~4.2M bench rows ⌈√n⌉ would exceed the sample and trip
+    // trainCentroids' pts.length >= nlist requirement
     val n =
       if (nlist > 0) nlist
-      else math.max(1, math.ceil(
-        math.sqrt(benchVectors.count().toDouble)).toInt)
+      else math.min(2048, math.max(1, math.ceil(math.sqrt(count.toDouble)).toInt))
     Ann.buildIvfIndex(benchVectors.select("vec_id", "embedding"), path,
       nlist = n)
     n
@@ -1082,7 +1101,11 @@ object Corpus {
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         col("cell"))
       .withColumn("b_nrm", sqrt(F.dotProd(col("b_emb"), col("b_emb"))))
-    val np = math.min(nprobe, cents.length)
+    // nprobe <= 0 is the "probe ALL cells" sentinel (brute-equal), the
+    // same convention as c17SemanticDecontamIvf — slice(probes, 1, 0)
+    // would otherwise silently return ZERO probes and an empty screen,
+    // the exact opposite of what a caller passing 0 means.
+    val np = if (nprobe <= 0) cents.length else math.min(nprobe, cents.length)
     // top-nprobe cells per train vector: zip (score, pos), sort by
     // (-score, pos) — deterministic tie-break — slice, 1-based cell ids
     val scored = train.select(col("vec_id"), col("embedding"),
@@ -1108,8 +1131,7 @@ object Corpus {
   }
 
   private def demoPath(tag: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_${tag}_${dir.hashCode.toHexString}/index"
+    Ann.demoIndexPath(tag, dir)
 
   /** c17 driver query, indexed form: the same vec_id%10 bench/train
     * split as c17, screened through the persisted IVF index at the

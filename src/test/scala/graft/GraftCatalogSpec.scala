@@ -20,6 +20,24 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sqlRows.map(_.toString).sameElements(dfRows.map(_.toString)))
   }
 
+  test("one sabotaged table degrades its own view only, loudly") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_sabotage")
+    for (n <- GraftCatalog.TableNames)
+      Files.createSymbolicLink(tmp.resolve(s"$n.parquet"),
+        Paths.get(s"$dir/$n.parquet"))
+    // corrupt exactly one table: not-a-parquet bytes under events
+    Files.delete(tmp.resolve("events.parquet"))
+    Files.write(tmp.resolve("events.parquet"), "not parquet".getBytes)
+    val failed = GraftCatalog.register(spark, tmp.toString)
+    assert(failed.map(_._1) == Seq("events"),
+      s"expected only events to fail, got ${failed.map(_._1)}")
+    // the other nine views survived and are queryable
+    assert(spark.sql("SELECT count(*) FROM lineitem").head.getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM documents").head.getLong(0) > 0)
+    GraftCatalog.register(spark, dir) // restore for later suites
+  }
+
   test("native functions work over the views in SQL") {
     GraftCatalog.register(spark, dir)
     val n = spark.sql(

@@ -621,4 +621,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty, "threshold demo is vacuous — no flagged vectors")
   }
+
+  test("c17 IVF screen at nprobe=all equals the flat screen row-for-row") {
+    // the docstring's equality law: probing every cell means every
+    // bench×train pair gets the exact cosine check, so the indexed
+    // path must reproduce the brute-force output EXACTLY — this is
+    // what lets the flat c17 oracle certify the whole IVF machinery
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val flat = rows(Corpus.c17SemanticDecontam(spark, TestSpark.Sf0001))
+    val ivf = rows(Corpus.c17SemanticDecontamIvf(spark, TestSpark.Sf0001,
+      nprobe = 0))
+    assert(ivf == flat, "nprobe=all must degenerate to brute force exactly")
+    assert(flat.nonEmpty)
+    // narrowed nprobe is a subset: every reported pair passed the real
+    // cosine, so hits can only be missed, never invented
+    val narrowed = rows(Corpus.c17SemanticDecontamIvf(spark,
+      TestSpark.Sf0001, nprobe = 1))
+    val flatByVec = flat.map(r => r._1 -> r).toMap
+    assert(narrowed.forall { case (v, hits, maxCos) =>
+      flatByVec.get(v).exists { case (_, fh, fm) =>
+        hits <= fh && maxCos <= fm + 1e-12 }
+    }, "nprobe=1 invented a hit the flat screen never saw")
+  }
 }
