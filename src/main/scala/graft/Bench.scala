@@ -63,6 +63,9 @@ object Bench {
       "st16_gate" -> ((s, d) => streaming.Streams.st16BenchGate(s, d)),
       "st17_build" -> ((s, d) => streaming.Streams.st17BenchBuild(s, d)),
       "st17_gate" -> ((s, d) => streaming.Streams.st17BenchGate(s, d)),
+      // st18 is stateless (no trained artifact) — one row, the
+      // recurring per-drain scrub cost
+      "st18_scrub" -> ((s, d) => streaming.Streams.st18BenchScrub(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

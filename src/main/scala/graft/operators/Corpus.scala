@@ -505,27 +505,19 @@ object Corpus {
       else d
     }.reduce(_ + _) % 10 === 0
 
-  /** c04: PII redaction — the pre-training privacy pass, five classes:
-    * email, SSN, US phone, IPv4, and 16-digit credit-card numbers
-    * gated by the Luhn mod-10 check (a digit run that fails Luhn is
-    * NOT a card number and must survive — regex alone over-redacts).
-    * The synthetic corpus carries no PII, so the demo deterministically
-    * plants some (every 7th doc: email+SSN; every 11th: phone + a
-    * Luhn-VALID card; every 13th: IPv4 + a Luhn-INVALID near-card that
-    * must pass through); the oracle replays the same construction.
-    * Pure per-row projection — shuffle-free at any scale; patterns
-    * restricted to constructs with identical semantics in Java regex
-    * and RE2. The card filter/redact pair are the only HOFs: they run
-    * over the per-row candidate list (almost always 0–2 elements), not
-    * over tokens, so the interpreted-HOF cost is bounded per document.
+  /** c04: PII redaction — the pre-training privacy pass, six classes:
+    * email, SSN, international phone (`+CC-…`), US phone, IPv4, and
+    * 16-digit credit-card numbers gated by the Luhn mod-10 check (a
+    * digit run that fails Luhn is NOT a card number and must survive —
+    * regex alone over-redacts). The synthetic corpus carries no PII,
+    * so the demo deterministically plants some (every 7th doc:
+    * email+SSN; every 11th: phone + a Luhn-VALID card; every 13th:
+    * IPv4 + a Luhn-INVALID near-card that must pass through); the
+    * oracle replays the same construction. The scrub engine itself is
+    * [[redactPiiOver]] — the reusable form the st18 streaming stage
+    * and st15's opt-in scrub compose.
     */
   def c04RedactPii(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ssn = "\\d{3}-\\d{2}-\\d{4}"
-    val phone = "\\d{3}-\\d{3}-\\d{4}"
-    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val cc16 = "\\d{16}"
     val planted = concat(col("text"),
       when(col("doc_id") % 7 === 0,
         concat(lit(" contact user"), col("doc_id"),
@@ -534,27 +526,59 @@ object Corpus {
         lit(" call 415-555-0137 card 4539578763621486")).otherwise(lit("")),
       when(col("doc_id") % 13 === 0,
         lit(" ip 10.20.30.40 card 4539578763621487")).otherwise(lit("")))
+    redactPiiOver(
+      Tables(spark, dir).documents.select(col("doc_id"), planted.as("text")))
+      .orderBy("doc_id")
+  }
+
+  /** The c04 scrub engine over any (doc_id, text, …) frame: per-class
+    * PII counts on the raw text plus the redacted text with
+    * `<EMAIL>`/`<SSN>`/`<PHONE>`/`<IP>`/`<CC>` placeholders. Pure
+    * per-row projection — shuffle-free at any scale, no UDFs; patterns
+    * restricted to constructs with identical semantics in Java regex
+    * and RE2 (no lookaround, no backreferences), so DuckDB replays the
+    * IDENTICAL pattern text and the oracle certifies the byte-exact
+    * redacted string. The card filter/redact pair are the only HOFs:
+    * they run over the per-row candidate list (almost always 0–2
+    * elements), not over tokens, so the interpreted-HOF cost is
+    * bounded per document. Redaction order (email → SSN → intl phone →
+    * US phone → IP → Luhn cards) is fixed for determinism; the intl
+    * pattern runs before the US one so a `+CC-` prefix isn't orphaned
+    * by a partial inner match.
+    */
+  def redactPiiOver(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\d{3}-\\d{2}-\\d{4}"
+    val intlPhone = "\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}"
+    val phone = "\\d{3}-\\d{3}-\\d{4}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val cc16 = "\\d{16}"
     val ccs = filter(regexp_extract_all(col("t"), lit(cc16), lit(0)),
       c => luhnValid16(c))
     val scrubbed = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(col("t"), email, "<EMAIL>"),
-      ssn, "<SSN>"), phone, "<PHONE>"), ipv4, "<IP>")
-    t.documents
-      .select(col("doc_id"), planted.as("t"))
+      regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+        ssn, "<SSN>"), intlPhone, "<PHONE>"), phone, "<PHONE>"),
+      ipv4, "<IP>")
+    // US-pattern matches are counted on the intl-redacted text: the US
+    // shape is a proper substring of the intl one, so counting both on
+    // the raw text would tally one +CC number twice
+    val afterIntl = regexp_replace(col("t"), intlPhone, "<PHONE>")
+    docs
+      .select(col("doc_id"), col("text").as("t"))
       .select(col("doc_id"), col("t"), ccs.as("ccs"), scrubbed.as("scrubbed"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(email), lit(0)))
           .cast("long").as("n_emails"),
         size(regexp_extract_all(col("t"), lit(ssn), lit(0)))
           .cast("long").as("n_ssns"),
-        size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+        (size(regexp_extract_all(col("t"), lit(intlPhone), lit(0))) +
+          size(regexp_extract_all(afterIntl, lit(phone), lit(0))))
           .cast("long").as("n_phones"),
         size(regexp_extract_all(col("t"), lit(ipv4), lit(0)))
           .cast("long").as("n_ips"),
         size(col("ccs")).cast("long").as("n_ccs"),
         aggregate(col("ccs"), col("scrubbed"),
           (acc, c) => replace(acc, c, lit("<CC>"))).as("clean_text"))
-      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- c07

@@ -512,6 +512,74 @@ object Streams {
       }
       .start()
 
+  /** One st18 micro-batch: scrub PII from the batch's text and land
+    * the CLEAN rows under `batch=<id>` (replay-overwrite idempotent,
+    * st11's discipline), with a per-batch audit row of category
+    * totals beside the lake. Unlike the admission gates this stage
+    * REWRITES rather than rejects — docs always land, never carrying
+    * raw PII; the audit conserves `docs_in = docs_landed` while
+    * `n_emails/n_phones/n_ips` record what was redacted.
+    */
+  def piiScrubBatch(batch: DataFrame, lakePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val scrubbed = graft.operators.Corpus.redactPiiOver(batch)
+      .localCheckpoint(true) // one scrub pass feeds lake AND audit
+    val tot = scrubbed.agg(
+      count(lit(1)), sum(col("n_emails")), sum(col("n_ssns")),
+      sum(col("n_phones")), sum(col("n_ips")), sum(col("n_ccs"))).head
+    // AvailableNow's final empty commit batch: nothing to land or audit
+    if (tot.getLong(0) == 0) return
+    batch.drop("text")
+      .join(scrubbed.select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+    Seq((batchId, tot.getLong(0), tot.getLong(1), tot.getLong(2),
+      tot.getLong(3), tot.getLong(4), tot.getLong(5)))
+      .toDF("batch_id", "docs", "n_emails", "n_ssns", "n_phones",
+        "n_ips", "n_ccs")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.audit/batch=$batchId")
+  }
+
+  /** st18: STREAMING PII redaction — c04's scrub engine
+    * ([[graft.operators.Corpus.redactPiiOver]]: email/SSN/phone/IPv4/
+    * Luhn-gated cards) as a continuous intake stage (the public
+    * pipeline shape: crawl text must be scrubbed BEFORE it lands
+    * anywhere downstream systems read, and before near-dup signatures
+    * index it — the clean text is what the lake stores). Per batch:
+    * one per-row regex pass, no shuffle beyond the landing write, no
+    * state.
+    */
+  def st18PiiScrubStream(docs: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        piiScrubBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st18's recurring per-drain cost: one scrub pass + lake landing +
+    * audit over the full documents table as a single micro-batch. No
+    * build half — the stage is stateless (patterns are code, not a
+    * trained artifact).
+    */
+  def st18BenchScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st18", dir)
+    clearRoot(spark, root)
+    piiScrubBatch(
+      graft.Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** st16: STREAMING trained-quality admission — the c16 classifier
     * as a continuous ingest filter (the public pipeline shape:
     * train the quality model once on a labeled set, then gate the
@@ -875,7 +943,7 @@ object Streams {
       minLp: Double = -3.0, threshold: Double = 0.7,
       minTokens: Long = 8, maxFilesPerTrigger: Int = 10,
       classifierModelPath: String = "", benchShinglePath: String = "",
-      minShared: Long = 3L)
+      minShared: Long = 3L, scrubPii: Boolean = false)
       : Dataset[graft.sources.FilePipeline.CopyAudit] = {
     val landing = s"$root/landing"
     val lake = s"$root/lake"
@@ -938,8 +1006,17 @@ object Streams {
                   minShared = minShared)
                 .select("doc_id"),
               Seq("doc_id"), "left_anti").localCheckpoint(true)
+          // st18 (opt-in): PII redaction BEFORE the near-dup gate, so
+          // signatures index the clean text — which is what the lake
+          // stores. A transform, not a gate: counts conserve through it
+          val sanitized =
+            if (!scrubPii) screened
+            else screened.drop("text").join(
+              graft.operators.Corpus.redactPiiOver(screened)
+                .select(col("doc_id"), col("clean_text").as("text")),
+              Seq("doc_id")).localCheckpoint(true)
           // st13: indexed near-dup gate + lake landing + index append
-          admitBatch(screened, lake, id, threshold)
+          admitBatch(sanitized, lake, id, threshold)
           val admitted = batch0.sparkSession.read
             .parquet(s"$lake/batch=$id").localCheckpoint(true)
           // st11: admitted docs' length stats keep the doclen table

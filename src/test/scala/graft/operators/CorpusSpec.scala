@@ -435,6 +435,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(3) == 1))
   }
 
+  test("redactPiiOver: counts and redaction on hand fixtures incl. intl phones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at alice.smith+spam@corp-mail.co.uk today"),
+      (2L, "call +1-555-867-5309 or +44-020-7946-0958 now"),
+      (3L, "server 192.168.1.254 and 10.0.0.7 are up"),
+      (4L, "alice@ex.org from 10.1.2.3 dialed +1-555-010-0199"),
+      (5L, "ssn 987-65-4321 card 4539578763621486 end"),
+      // a one-intl-number doc must count ONE phone (the US shape is a
+      // substring of the intl shape — no double tally)
+      (6L, "just +1-555-867-5309 here"),
+      (7L, "no pii here, just 1234 plain. digits and dots 1.2"),
+      (8L, "")).toDF("doc_id", "text")
+    val got = Corpus.redactPiiOver(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(got === Array(
+      (1L, 1L, 0L, 0L, 0L, 0L, "mail me at <EMAIL> today"),
+      (2L, 0L, 0L, 2L, 0L, 0L, "call <PHONE> or <PHONE> now"),
+      (3L, 0L, 0L, 0L, 2L, 0L, "server <IP> and <IP> are up"),
+      (4L, 1L, 0L, 1L, 1L, 0L, "<EMAIL> from <IP> dialed <PHONE>"),
+      (5L, 0L, 1L, 0L, 0L, 1L, "ssn <SSN> card <CC> end"),
+      (6L, 0L, 0L, 1L, 0L, 0L, "just <PHONE> here"),
+      // 1.2 and 1234 must NOT trip the IPv4/phone patterns
+      (7L, 0L, 0L, 0L, 0L, 0L,
+        "no pii here, just 1234 plain. digits and dots 1.2"),
+      (8L, 0L, 0L, 0L, 0L, 0L, "")))
+  }
+
   test("c01 resolves every near-dup pair among survivors to one winner") {
     val survivors = Corpus.c01CleanCorpus(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet

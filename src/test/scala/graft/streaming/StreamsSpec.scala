@@ -712,6 +712,51 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == ids, s"replay changed the lake: $after")
   }
 
+  test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st18")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val stream1 = Seq(
+      (1L, "write to bob@mail.net or 10.0.0.1 soon"),
+      (2L, "totally clean prose"))
+    val stream2 = Seq(
+      (3L, "dial +1-555-010-0199 and +1-555-010-0200"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st18PiiScrubStream(
+      input.toDS().toDF("doc_id", "text"), lake, ckpt)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(lake)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    // every doc LANDS (transform, not gate) — with its PII redacted
+    assert(rows == Map(
+      1L -> "write to <EMAIL> or <IP> soon",
+      2L -> "totally clean prose",
+      3L -> "dial <PHONE> and <PHONE>"))
+    // audit conserves docs and records per-category totals per batch
+    val audit = spark.read.parquet(lake + ".audit")
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_ssns"), r.getAs[Long]("n_phones"),
+          r.getAs[Long]("n_ips"), r.getAs[Long]("n_ccs"))).toMap
+    assert(audit(0L) == ((2L, 1L, 0L, 0L, 1L, 0L)) &&
+      audit(1L) == ((1L, 0L, 0L, 2L, 0L, 0L)),
+      s"audit rows wrong: $audit")
+    // replay: re-running a batch body overwrites its own directory
+    // byte-identically — stateless stage, idempotent landing
+    Streams.piiScrubBatch(stream1.toDF("doc_id", "text"), lake, batchId = 0L)
+    val after = spark.read.parquet(lake)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(after == rows, s"replay changed the lake: $after")
+  }
+
   test("st13 bootstraps a fresh deployment: batch 0 admits into a lake that doesn't exist yet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st13boot")
@@ -1005,6 +1050,42 @@ class StreamsSpec extends AnyFunSuite {
     // 2 arrived, both fluent, no classifier (kept = fluent), decontam
     // screened out the quoting doc, near-dup admitted the survivor
     assert(audits == Seq((2L, 2L, 2L, 1L, 1L)), s"got $audits")
+  }
+
+  test("st15 with PII scrub: docs land redacted, counts conserve through the transform") {
+    import StreamsSpec.LocalFsFetcher
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15p")
+    val remote = dir.resolve("remote").toString
+    val root = dir.resolve("svc").toString
+    val lmPath = dir.resolve("lm").toString
+    new java.io.File(remote).mkdirs()
+    def span(p: String, a: Int, b: Int) =
+      (a to b).map(i => s"$p$i").mkString(" ")
+    graft.operators.TextOps.lmTrainTables(
+      Seq((1L, span("r", 1, 40))).toDF("doc_id", "text"), lmPath)
+    def drop(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(remote, name), text + "\n")
+    // fluent doc carrying an email — must LAND (scrub is a transform,
+    // not a gate) with the address redacted
+    drop("a.txt", span("r", 5, 12) + " ping joe@crawl.io")
+    drop("b.txt", span("r", 20, 30))
+    val fetcher = LocalFsFetcher(remote)
+    val audit = Streams.st15ServiceCycle(spark, fetcher, root, lmPath,
+      scrubPii = true).collect()
+    assert(audit.length == 2 && audit.forall(_.status == "copied"))
+
+    val lake = spark.read.parquet(s"$root/lake")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(lake == Set(span("r", 5, 12) + " ping <EMAIL>",
+      span("r", 20, 30)), s"lake = $lake")
+    val audits = spark.read.parquet(s"$root/audit").collect()
+      .map(r => (r.getAs[Long]("arrived"), r.getAs[Long]("fluent"),
+        r.getAs[Long]("kept"), r.getAs[Long]("screened"),
+        r.getAs[Long]("admitted"))).toSeq
+    // the scrub rejected nothing: every stage count is conserved
+    assert(audits == Seq((2L, 2L, 2L, 2L, 2L)), s"got $audits")
   }
 
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
