@@ -107,4 +107,42 @@ object SparkAlgebraProps extends Properties("graft.spark-algebra") {
         .collect().map(_.getLong(0)).toSeq
       order.sorted == (1L to 100L) && order == again
     }
+
+  // ---- redactPiiOver laws: random documents assembled from PII and
+  // near-PII segments (the adversarial mixes the example spec never
+  // enumerates: adjacent categories, Luhn-invalid near-cards, digit
+  // runs, bare dots)
+  private val piiSegGen: Gen[String] = Gen.oneOf(
+    Gen.oneOf("alpha", "bravo9", "x", "the"),
+    for { u <- Gen.choose(1, 99); d <- Gen.oneOf("ex.org", "a-b.co.uk") }
+      yield s"user$u@$d",
+    Gen.choose(0, 999).map(n => f"$n%03d-45-6789"),          // SSN
+    Gen.choose(0, 999).map(n => f"+1-555-$n%03d-0199"),      // intl phone
+    Gen.choose(0, 999).map(n => f"415-$n%03d-0137"),         // US phone
+    Gen.choose(0, 255).map(o => s"10.20.$o.40"),             // IPv4
+    Gen.const("4539578763621486"),                           // Luhn-valid
+    Gen.const("4539578763621487"),                           // Luhn-INVALID
+    Gen.oneOf("1234", "1.2", "12-34", "....", "@", "+1-"))   // near-misses
+  private val piiDocGen: Gen[String] =
+    Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, piiSegGen).map(_.mkString(" ")))
+
+  property("redactPiiOver is idempotent and leaves no redactable PII") =
+    forAll(Gen.listOfN(6, piiDocGen)) { texts =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Corpus.redactPiiOver(docs)
+      val clean = once.select(col("doc_id"), col("clean_text").as("text"))
+      // nothing redactable survives: a second pass counts zero in
+      // every class and rewrites nothing
+      val twice = Corpus.redactPiiOver(clean).collect()
+      val counts = twice.forall(r =>
+        r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0 &&
+          r.getLong(4) == 0 && r.getLong(5) == 0)
+      val onceTexts = once.collect()
+        .map(r => r.getLong(0) -> r.getString(6)).toMap
+      val twiceTexts = twice.map(r => r.getLong(0) -> r.getString(6)).toMap
+      counts && twiceTexts == onceTexts
+    }
 }
