@@ -53,4 +53,50 @@ class TablesSpec extends AnyFunSuite {
     assert(got.schema("ts").dataType == TimestampNTZType)
     assert(got.limit(1).count() == 1)
   }
+
+  // Pin of every table's Spark-visible schema against the LIVE driver
+  // testdata. The driver regenerates /root/testdata between rounds and
+  // has already drifted a physical type once (events.ts, round 8 —
+  // 16 queries + 56 tests red). If THIS test fails, the generator
+  // drifted again: do NOT patch call sites — make the `Tables` loader
+  // schema-adaptive for the drifted column (the events branch above is
+  // the playbook) and extend this pin with the new era.
+  test("all ten tables load with the pinned column names and types") {
+    val expected = Map(
+      "region" -> "r_regionkey:int, r_name:string",
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "supplier" -> ("s_suppkey:bigint, s_name:string, s_nationkey:int, " +
+        "s_acctbal:double"),
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, " +
+        "p_type:string, p_size:int, p_retailprice:double"),
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, " +
+        "o_orderstatus:string, o_totalprice:double, " +
+        "o_orderdate:timestamp_ntz, o_orderpriority:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, " +
+        "l_suppkey:bigint, l_linenumber:int, l_quantity:double, " +
+        "l_extendedprice:double, l_discount:double, l_tax:double, " +
+        "l_returnflag:string, l_linestatus:string, " +
+        "l_shipdate:timestamp_ntz"),
+      "events" -> ("event_id:bigint, ts:timestamp_ntz, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "documents" -> ("doc_id:bigint, text:string, lang:string, " +
+        "source:string, n_chars:bigint"),
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int")
+    val t = Tables(spark, TestSpark.Sf0001)
+    val loaders = Map(
+      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings)
+    for ((name, df) <- loaders) {
+      val got = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")
+      assert(got == expected(name),
+        s"table '$name' drifted from the pinned schema.\n  pinned: " +
+          s"${expected(name)}\n  loaded: $got\n  → adapt the Tables " +
+          "loader (see events), don't patch call sites.")
+    }
+  }
 }
