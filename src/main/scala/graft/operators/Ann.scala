@@ -95,6 +95,90 @@ object Ann {
       .limit(k)
   }
 
+  /** Driver-side cosine with the kernel's exact fold order (left-to-
+    * right float→double accumulation, 4-dp HALF_UP round) — the same
+    * semantics as [[graft.functions.F.cosineSim4]], for bounded
+    * driver-side re-ranking windows.
+    */
+  private[operators] def cosine4Local(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      d += x * y; na += x * x; nb += y * y; i += 1
+    }
+    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** MMR greedy re-rank over a retrieved candidate window (Carbonell &
+    * Goldstein '98, public): repeatedly select the candidate
+    * maximizing `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`. Ties break
+    * on smaller vec_id; λ=1 degenerates to plain top-k by query
+    * similarity exactly. The loop is O(k·C) over the C collected
+    * candidates — bounded by construction, never corpus-scale.
+    */
+  private[operators] def mmrSelect(ids: Array[Long],
+      vecs: Array[Array[Float]], simq: Array[Double], k: Int,
+      lambda: Double): Seq[(Long, Long, Double, Double)] = {
+    val n = ids.length
+    val pair = Array.tabulate(n, n)((i, j) =>
+      if (i == j) 1.0 else cosine4Local(vecs(i), vecs(j)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(0 until n: _*)
+    while (selected.length < math.min(k, n)) {
+      var bi = -1; var bs = Double.NegativeInfinity
+      for (i <- remaining) {
+        val div =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(pair(i)(_)).max
+        val s = lambda * simq(i) - (1.0 - lambda) * div
+        if (s > bs || (s == bs && (bi < 0 || ids(i) < ids(bi)))) {
+          bs = s; bi = i
+        }
+      }
+      out += ((selected.length + 1L, ids(bi), simq(bi), bs))
+      selected += bi
+      remaining -= bi
+    }
+    out.toSeq
+  }
+
+  /** s15: MMR diversity re-ranking — the retrieval-window diversifier
+    * every corpus-curation / RAG pipeline runs on top of ANN (public:
+    * maximal marginal relevance): near-duplicate hits crowd out
+    * coverage, so the top-k is re-selected greedily trading query
+    * relevance against similarity to already-selected results.
+    *
+    * Scale shape: the CORPUS-SCALE work is the top-`candidates`
+    * retrieval (here the s01 kernel; s02/s04/s07/s08 swap in when the
+    * corpus outgrows brute force — the re-ranker only ever sees C
+    * rows). The greedy pass is O(k·C) driver-side over the collected
+    * window with the kernel's exact cosine semantics — rerankers
+    * operate on a retrieved window, never the index. Output:
+    * (rank, vec_id, cos_sim, mmr_score).
+    */
+  def s15MmrRerank(spark: SparkSession, dir: String, k: Int = 10,
+      candidates: Int = 50, lambda: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val qv = t.embeddings.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val window = t.embeddings.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"),
+        cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(candidates)
+      .collect() // bounded: C rows × dim floats
+    mmrSelect(
+      window.map(_.getLong(0)),
+      window.map(_.getSeq[Float](1).toArray),
+      window.map(_.getDouble(2)), k, lambda)
+      .toDF("rank", "vec_id", "cos_sim", "mmr_score")
+  }
+
   /** s09: int8-quantized ANN — scalar quantization (e15) as the coarse
     * scoring pass: every vector is coded once into 4×-smaller int8
     * codes (per-vector symmetric scale max|v|/127), candidates are

@@ -302,4 +302,47 @@ class AnnSpec extends AnyFunSuite {
       assert(mean == expMean, s"cell $cell mean cos: $mean vs $expMean")
     }
   }
+
+  test("s15 MMR at lambda=1 is exactly the s01 top-k") {
+    val mmr = Ann.s15MmrRerank(spark, dir, k = 10, lambda = 1.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val s01 = Ann.s01AnnBruteforce(spark, dir, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mmr.toSeq == s01.toSeq,
+      "lambda=1 must degenerate to plain relevance ranking")
+  }
+
+  test("s15 MMR skips a near-duplicate hit that plain top-k keeps") {
+    import spark.implicits._
+    // planted window: a and its near-clone a' both out-rank b on query
+    // similarity; MMR at lambda=0.5 must take a then b (the clone's
+    // marginal score collapses), while plain top-2 keeps the clone.
+    // a is deliberately NOT parallel to q: for a ∥ q every candidate
+    // has sim(q,·) == sim(a,·) and all marginal scores tie.
+    val q = Array(1.0f, 0.0f, 0.0f)
+    val a = Array(0.8f, 0.6f, 0.0f)
+    val aClone = Array(0.8f, 0.6f, 0.001f)
+    val b = Array(0.75f, -0.6614378f, 0.0f)
+    val ids = Array(1L, 2L, 3L)
+    val vecs = Array(a, aClone, b)
+    val simq = vecs.map(v => Ann.cosine4Local(q, v))
+    val picked = Ann.mmrSelect(ids, vecs, simq, k = 2, lambda = 0.5)
+      .map(_._2)
+    assert(picked == Seq(1L, 3L), s"picked $picked")
+    // plain relevance top-2 would keep the clone
+    assert(simq(1) > simq(2))
+  }
+
+  test("s15 ranks are 1..k and every selected cos_sim matches s01's value") {
+    val rows = Ann.s15MmrRerank(spark, dir, k = 8, lambda = 0.7).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L))
+    val s01 = Ann.s01AnnBruteforce(spark, dir, k = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(s01(r.getLong(1)) == r.getDouble(2),
+        s"cos_sim drifted for vec ${r.getLong(1)}") }
+    // greedy MMR scores are non-increasing in rank
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, s"mmr scores not monotone: $scores")
+  }
 }
