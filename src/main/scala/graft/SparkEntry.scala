@@ -135,6 +135,7 @@ object SparkEntry {
     "c16_quality_classifier" -> ((s, dir) => Corpus.c16QualityClassifier(s, dir)),
     "s14_kmeans_distributed" -> ((s, dir) => Ann.s14KmeansDistributed(s, dir)),
     "s15_mmr_rerank" -> ((s, dir) => Ann.s15MmrRerank(s, dir)),
+    "c18_balanced_sample" -> ((s, dir) => Corpus.c18BalancedSample(s, dir)),
     "c17_semantic_decontam" -> ((s, dir) => Corpus.c17SemanticDecontam(s, dir)),
     // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
     // flat c17 oracle checks the whole indexed path end-to-end

@@ -1037,6 +1037,51 @@ object Corpus {
       docs.select("doc_id"), c16Featurize(docs, buckets))
   }
 
+  // ---------------------------------------------------------------- c18
+
+  /** c18: cluster-balanced corpus sampling — per-semantic-cluster
+    * quota selection (public practice: after SemDeDup-style
+    * clustering, curation keeps the most CENTRAL `perCluster`
+    * prototypes of every cluster, so no dense topic dominates the
+    * subsample — prototype selection / data-diet curation).
+    *
+    * Scale shape: cell assignment is one per-row projection through
+    * the native dot kernel (no shuffle — d10's layout); the only
+    * shuffle is the per-cell window, whose state is bounded by the
+    * quantizer's ~balanced cells, and the output is quota-bounded at
+    * nlist·perCluster rows no matter the corpus. At 100 TB the celled
+    * corpus persists partitioned by `cell` (s08's layout) and the
+    * window runs per partition.
+    */
+  def c18Over(vectors: DataFrame, perCluster: Int = 8,
+      nlist: Int = 16): DataFrame = {
+    import graft.functions.F
+    val cents = Ann.trainCentroids(vectors, nlist)
+    val scores = Ann.centroidScores(col("embedding"), cents)
+    // spherical centroids are unit-norm, so dot/|v| IS the cosine to
+    // the winning centroid — the centrality that ranks prototypes
+    val celled = vectors.select(col("vec_id"),
+      array_position(scores, array_max(scores)).as("cell"),
+      (array_max(scores) /
+        sqrt(F.dotProd(col("embedding"), col("embedding"))))
+        .as("centrality"))
+    celled
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(col("centrality").desc, col("vec_id"))))
+      .filter(col("rank") <= perCluster)
+      .select(col("cell"), col("rank"), col("vec_id"),
+        round(col("centrality"), 4).as("centrality"))
+      .orderBy("cell", "rank")
+  }
+
+  /** c18 driver demo over the embeddings table. */
+  def c18BalancedSample(spark: SparkSession, dir: String,
+      perCluster: Int = 8, nlist: Int = 16): DataFrame =
+    c18Over(
+      Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+      perCluster, nlist)
+
   // ---------------------------------------------------------------- c17
 
   /** c17: semantic decontamination — c03's train/eval leakage gate

@@ -674,4 +674,49 @@ class CorpusSpec extends AnyFunSuite {
         hits <= fh && maxCos <= fm + 1e-12 }
     }, "nprobe=1 invented a hit the flat screen never saw")
   }
+
+  test("c18 balanced sample: per-cluster quotas, top-central prototypes, repartition-stable") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val perCluster = 5
+    val nlist = 8
+    val got = Corpus.c18Over(emb, perCluster, nlist).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+    // independent replay: same deterministic trainer, kernel-order dots
+    val cents = Ann.trainCentroids(emb, nlist)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val assigned = vecs.map { case (id, v) =>
+      val ds = cents.map(c => dot(v, c))
+      val cell = ds.indexOf(ds.max) + 1
+      (id, cell, ds.max / math.sqrt(dot(v, v)))
+    }
+    val expected = assigned.groupBy(_._2).toSeq.flatMap { case (cell, vs) =>
+      vs.sortBy { case (id, _, cen) => (-cen, id) }.take(perCluster)
+        .zipWithIndex.map { case ((id, _, cen), i) =>
+          (cell.toLong, i + 1, id,
+            BigDecimal(cen).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == expected, "c18 diverged from the plain-Scala replay")
+
+    // quota law: every nonempty cluster contributes min(quota, size)
+    val sizes = assigned.groupBy(_._2).view.mapValues(_.length).toMap
+    val gotCounts = got.groupBy(_._1).view.mapValues(_.length).toMap
+    sizes.foreach { case (cell, n) =>
+      assert(gotCounts(cell.toLong) == math.min(perCluster, n), s"cell $cell") }
+
+    // hostile repartition must not move a single row
+    val again = Corpus.c18Over(emb.repartition(7), perCluster, nlist)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.toSeq == got.toSeq, "c18 depends on partitioning")
+  }
 }
