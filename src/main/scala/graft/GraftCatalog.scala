@@ -37,6 +37,10 @@ object GraftCatalog {
       catch { case e: Throwable =>
         System.err.println(
           s"[catalog] view '$name' failed to register: ${e.getClass.getName}: ${e.getMessage}")
+        // drop any PREVIOUS registration of this name: a stale view
+        // silently serving the old snapshot's rows is worse than a
+        // missing view that fails the query loudly
+        spark.catalog.dropTempView(name)
         Some(name -> e)
       }
     }

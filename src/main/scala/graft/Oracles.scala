@@ -759,7 +759,9 @@ object Oracles {
          |    || CASE WHEN doc_id % 11 = 0
          |      THEN ' call 415-555-0137 card 4539578763621486' ELSE '' END
          |    || CASE WHEN doc_id % 13 = 0
-         |      THEN ' ip 10.20.30.40 card 4539578763621487' ELSE '' END AS t
+         |      THEN ' ip 10.20.30.40 card 4539578763621487' ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0
+         |      THEN ' intl +44-020-7946-0958' ELSE '' END AS t
          |  FROM documents),
          |cc AS (
          |  SELECT doc_id, t,
@@ -772,16 +774,23 @@ object Oracles {
          |    AS n_emails,
          |  CAST(len(regexp_extract_all(t, '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT)
          |    AS n_ssns,
-         |  CAST(len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT)
+         |  CAST(len(regexp_extract_all(t,
+         |      '\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}'))
+         |    + len(regexp_extract_all(
+         |        regexp_replace(t, '\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}',
+         |          '<PHONE>', 'g'),
+         |        '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT)
          |    AS n_phones,
          |  CAST(len(regexp_extract_all(t,
          |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
          |    AS n_ips,
          |  CAST(len(ccs) AS BIGINT) AS n_ccs,
          |  list_reduce(list_prepend(
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(t,
          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |      '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g'),
+         |      '\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}', '<PHONE>', 'g'),
          |      '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
          |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
          |    ccs),

@@ -41,7 +41,19 @@ final case class Tables(spark: SparkSession, dir: String) {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       case TimestampNTZType => raw
-      case _                => raw.withColumn("ts", raw("ts").cast(TimestampNTZType))
+      case org.apache.spark.sql.types.TimestampType =>
+        // zoned → wall clock in the session timezone (GraftSession pins
+        // UTC, matching the oracle's epoch arithmetic)
+        raw.withColumn("ts", raw("ts").cast(TimestampNTZType))
+      case other =>
+        // an unanticipated era must FAIL LOUDLY at load: a blind cast
+        // to timestamp_ntz can silently null every value (e.g. a
+        // STRING era with a non-ISO format) while still passing any
+        // schema-level check downstream
+        throw new IllegalStateException(
+          s"events.ts loaded as unexpected type $other — the testdata " +
+            "generator drifted again; extend Tables.events with an " +
+            "explicit branch for this era (see the LongType nanos case)")
     }
   }
   def documents: DataFrame  = t("documents")

@@ -107,7 +107,11 @@ object Ann {
       val x = a(i).toDouble; val y = b(i).toDouble
       d += x * y; na += x * x; nb += y * y; i += 1
     }
-    BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+    // zero-norm guard: 0/0 is NaN and BigDecimal(NaN) THROWS — define
+    // similarity to/from a zero vector as 0 instead of crashing the
+    // re-rank on one degenerate embedding
+    if (na == 0.0 || nb == 0.0) 0.0
+    else BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
@@ -119,20 +123,25 @@ object Ann {
     * candidates — bounded by construction, never corpus-scale.
     */
   private[operators] def mmrSelect(ids: Array[Long],
-      vecs: Array[Array[Float]], simq: Array[Double], k: Int,
+      vecs: Array[Array[Float]], simq0: Array[Double], k: Int,
       lambda: Double): Seq[(Long, Long, Double, Double)] = {
     val n = ids.length
-    val pair = Array.tabulate(n, n)((i, j) =>
-      if (i == j) 1.0 else cosine4Local(vecs(i), vecs(j)))
+    // a NaN relevance (the kernel's 0/0 on a zero-norm vector) would
+    // poison every comparison and leave no candidate selectable —
+    // treat it as worst-possible relevance instead
+    val simq = simq0.map(x => if (x.isNaN) -1.0 else x)
+    // divMax(i) = max cosine from candidate i to anything selected so
+    // far, maintained incrementally: O(k·C) cosines total instead of
+    // precomputing the full C×C pair matrix (only pairs against the
+    // ≤k selected items are ever needed)
+    val divMax = Array.fill(n)(0.0)
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
     val remaining = scala.collection.mutable.ArrayBuffer(0 until n: _*)
     while (selected.length < math.min(k, n)) {
       var bi = -1; var bs = Double.NegativeInfinity
       for (i <- remaining) {
-        val div =
-          if (selected.isEmpty) 0.0
-          else selected.iterator.map(pair(i)(_)).max
+        val div = if (selected.isEmpty) 0.0 else divMax(i)
         val s = lambda * simq(i) - (1.0 - lambda) * div
         if (s > bs || (s == bs && (bi < 0 || ids(i) < ids(bi)))) {
           bs = s; bi = i
@@ -141,6 +150,8 @@ object Ann {
       out += ((selected.length + 1L, ids(bi), simq(bi), bs))
       selected += bi
       remaining -= bi
+      for (i <- remaining)
+        divMax(i) = math.max(divMax(i), cosine4Local(vecs(i), vecs(bi)))
     }
     out.toSeq
   }

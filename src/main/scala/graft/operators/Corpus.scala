@@ -525,7 +525,9 @@ object Corpus {
       when(col("doc_id") % 11 === 0,
         lit(" call 415-555-0137 card 4539578763621486")).otherwise(lit("")),
       when(col("doc_id") % 13 === 0,
-        lit(" ip 10.20.30.40 card 4539578763621487")).otherwise(lit("")))
+        lit(" ip 10.20.30.40 card 4539578763621487")).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        lit(" intl +44-020-7946-0958")).otherwise(lit("")))
     redactPiiOver(
       Tables(spark, dir).documents.select(col("doc_id"), planted.as("text")))
       .orderBy("doc_id")

@@ -524,13 +524,14 @@ object Streams {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    // AvailableNow's final empty commit batch: nothing to land or
+    // audit — bail before paying the checkpoint + aggregate jobs
+    if (batch.isEmpty) return
     val scrubbed = graft.operators.Corpus.redactPiiOver(batch)
       .localCheckpoint(true) // one scrub pass feeds lake AND audit
     val tot = scrubbed.agg(
       count(lit(1)), sum(col("n_emails")), sum(col("n_ssns")),
       sum(col("n_phones")), sum(col("n_ips")), sum(col("n_ccs"))).head
-    // AvailableNow's final empty commit batch: nothing to land or audit
-    if (tot.getLong(0) == 0) return
     batch.drop("text")
       .join(scrubbed.select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id"))

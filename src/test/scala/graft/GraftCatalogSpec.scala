@@ -29,13 +29,22 @@ class GraftCatalogSpec extends AnyFunSuite {
     // corrupt exactly one table: not-a-parquet bytes under events
     Files.delete(tmp.resolve("events.parquet"))
     Files.write(tmp.resolve("events.parquet"), "not parquet".getBytes)
-    val failed = GraftCatalog.register(spark, tmp.toString)
-    assert(failed.map(_._1) == Seq("events"),
-      s"expected only events to fail, got ${failed.map(_._1)}")
-    // the other nine views survived and are queryable
-    assert(spark.sql("SELECT count(*) FROM lineitem").head.getLong(0) > 0)
-    assert(spark.sql("SELECT count(*) FROM documents").head.getLong(0) > 0)
-    GraftCatalog.register(spark, dir) // restore for later suites
+    // a PRIOR healthy registration must not linger: re-registration
+    // over the broken dir has to DROP the stale events view, not leave
+    // it silently serving the old snapshot
+    GraftCatalog.register(spark, dir)
+    try {
+      val failed = GraftCatalog.register(spark, tmp.toString)
+      assert(failed.map(_._1) == Seq("events"),
+        s"expected only events to fail, got ${failed.map(_._1)}")
+      // the other nine views survived and are queryable
+      assert(spark.sql("SELECT count(*) FROM lineitem").head.getLong(0) > 0)
+      assert(spark.sql("SELECT count(*) FROM documents").head.getLong(0) > 0)
+      // the broken table's view is GONE — querying it fails loudly
+      // instead of reading the previous registration's data
+      assert(!spark.catalog.tableExists("events"),
+        "stale events view survived a failed re-registration")
+    } finally GraftCatalog.register(spark, dir) // restore for later suites
   }
 
   test("native functions work over the views in SQL") {

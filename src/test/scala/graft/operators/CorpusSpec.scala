@@ -410,10 +410,18 @@ class CorpusSpec extends AnyFunSuite {
       } else {
         assert(r.getLong(1) == 0 && r.getLong(2) == 0, s"doc $id: $r")
       }
+      val wantPhones =
+        (if (id % 11 == 0) 1 else 0) + (if (id % 17 == 0) 1 else 0)
+      assert(r.getLong(3) == wantPhones, s"doc $id: $r")
       if (id % 11 == 0) {
-        assert(r.getLong(3) == 1 && r.getLong(5) == 1, s"doc $id: $r")
+        assert(r.getLong(5) == 1, s"doc $id: $r")
         assert(clean.contains("<PHONE>") && clean.contains("<CC>"))
-      } else assert(r.getLong(3) == 0, s"doc $id: $r")
+      }
+      if (id % 17 == 0) {
+        // the intl number is redacted whole — no dangling '+44-' stub
+        assert(clean.contains("intl <PHONE>"), s"doc $id: $clean")
+        assert(!clean.contains("+44"), s"doc $id: $clean")
+      }
       if (id % 13 == 0) {
         assert(r.getLong(4) == 1, s"doc $id: $r")
         assert(clean.contains("<IP>"))
