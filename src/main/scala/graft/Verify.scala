@@ -24,10 +24,12 @@ object Verify {
     // A query that throws (construction OR execution) must still land in
     // the driver's correctness artifact: round 8 lost 16 entries because
     // a failing query wrote no output dir and so was silently absent —
-    // indistinguishable from "not implemented". Write a marker parquet
-    // (one row, one `graft_error` column) so the driver records a RED
-    // row with the cause readable in the file, and collect a
-    // verify_errors.json summary for humans.
+    // indistinguishable from "not implemented". Write a ZERO-row marker
+    // parquet (schema: one `graft_error` column): an oracle-checked
+    // query then mismatches its oracle rows and a rows-only query fails
+    // its spark_rows > 0 check — RED either way (a 1-row marker would
+    // make a failed rows-only query read as a healthy 1-row result).
+    // The cause goes to stderr and verify_errors.json.
     import spark.implicits._
     val errs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -39,7 +41,7 @@ object Verify {
         } catch { case e: Throwable =>
           val msg = s"${e.getClass.getName}: ${e.getMessage}"
           System.err.println(s"[verify] $name failed: $msg")
-          try Seq(msg).toDF("graft_error").write.mode("overwrite")
+          try Seq.empty[String].toDF("graft_error").write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case _: Throwable => () }
           Some(name -> msg)
