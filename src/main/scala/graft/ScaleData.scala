@@ -38,7 +38,7 @@ object ScaleData {
     def wr(df: DataFrame, t: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$dstDir/$t.parquet")
     def keySpan(t: String, c: String): Long =
-      rd(t).agg(max(col(c))).head.getLong(0) + 1
+      rd(t).agg(max(col(c))).head().getLong(0) + 1
 
     Seq("region", "nation").foreach(t => wr(rd(t), t))
 

@@ -656,7 +656,7 @@ object Ann {
     import spark.implicits._
     val qsig = Seq(queryVec).toDF("embedding")
       .select(srpSignature(col("embedding"), nBits, dim).as("s"))
-      .head.getLong(0)
+      .head().getLong(0)
     val probes = hamming2ProbesLocal(qsig, nBits)
     spark.read
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, sig BIGINT")
@@ -903,7 +903,7 @@ object Ann {
       t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
       path)
     val qv = t.embeddings.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0).toArray
+      .select("embedding").head().getSeq[Float](0).toArray
     s07AnnLshIndexed(spark, path, qv, k)
   }
 
@@ -916,7 +916,7 @@ object Ann {
       t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
       path)
     val qv = t.embeddings.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0).toArray
+      .select("embedding").head().getSeq[Float](0).toArray
     s08AnnIvfIndexed(spark, path, qv, k)
   }
 
@@ -932,7 +932,7 @@ object Ann {
 
   private def demoQueryVec(spark: SparkSession, dir: String): Array[Float] =
     Tables(spark, dir).embeddings.filter(col("vec_id") === 0)
-      .select("embedding").head.getSeq[Float](0).toArray
+      .select("embedding").head().getSeq[Float](0).toArray
 
   /** s07 build phase: write the SRP-partitioned index; returns a 1-row
     * audit (the build is eager, so timing the call times the build).

@@ -37,7 +37,7 @@ object Profile {
             lit(null).cast("double").as(s"${f.name}__max"))
         })
     }
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).head
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getLong(row.fieldIndex("__n_rows"))
     val profiles = df.schema.fields.map { f =>
       def g(suffix: String): Any = row.get(row.fieldIndex(s"${f.name}__$suffix"))

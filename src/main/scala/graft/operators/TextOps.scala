@@ -308,7 +308,7 @@ object TextOps {
       .filter(length(col("token")) > 0)
     // pass 1: KPS candidates (driver-side array, ≤ 1/support entries)
     val candidates = toks.stat.freqItems(Seq("token"), support)
-      .head.getSeq[String](0)
+      .head().getSeq[String](0)
     // pass 2: exact counts for candidates only; threshold on the
     // exact total. count(*) over the unfiltered scan is a cheap
     // map-side-combined pass (no explode row survives to a shuffle).
@@ -722,7 +722,7 @@ object TextOps {
       spark.read.parquet(s"$lmPath/big"),
       spark.read.parquet(s"$lmPath/prefix"),
       spark.read.parquet(s"$lmPath/uni"),
-      spark.read.parquet(s"$lmPath/meta").head.getLong(0), alpha)
+      spark.read.parquet(s"$lmPath/meta").head().getLong(0), alpha)
   }
 
   /** Reusable scorer: adds `pred_lang` to any DF with a `text` col. */

@@ -72,7 +72,7 @@ object Writers {
       colA: String, colB: String, numFiles: Int = 16): Unit = {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
     if (r.isNullAt(0)) { // empty input: nothing to cluster, write as-is
       df.write.mode(SaveMode.Overwrite).parquet(path)
       return

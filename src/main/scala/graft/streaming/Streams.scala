@@ -531,7 +531,7 @@ object Streams {
       .localCheckpoint(true) // one scrub pass feeds lake AND audit
     val tot = scrubbed.agg(
       count(lit(1)), sum(col("n_emails")), sum(col("n_ssns")),
-      sum(col("n_phones")), sum(col("n_ips")), sum(col("n_ccs"))).head
+      sum(col("n_phones")), sum(col("n_ips")), sum(col("n_ccs"))).head()
     batch.drop("text")
       .join(scrubbed.select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id"))
