@@ -145,4 +145,33 @@ object SparkAlgebraProps extends Properties("graft.spark-algebra") {
       val twiceTexts = twice.map(r => r.getLong(0) -> r.getString(6)).toMap
       counts && twiceTexts == onceTexts
     }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(8, Gen.choose(-100, 100)).map(_.map(_ / 100.0f).toArray)
+
+  property("mmrSelect: distinct picks, greedy head, lambda=1 is the sort order") =
+    forAll(Gen.choose(1, 12), Gen.choose(0.0, 1.0),
+      Gen.listOfN(14, vecGen)) { (k, lambda, vs) =>
+      val vecs = vs.toArray
+      val n = vecs.length
+      val ids = Array.tabulate(n)(i => (i + 1).toLong)
+      val q = vecs.head
+      val simq = vecs.map(v => Ann.cosine4Local(q, v))
+      val out = Ann.mmrSelect(ids, vecs, simq, k, lambda)
+      val picked = out.map(_._2)
+      // ranks 1..min(k,n), all picks distinct, every pick a real id
+      val shapeOk = out.map(_._1) == (1L to math.min(k, n).toLong) &&
+        picked.distinct == picked && picked.forall(ids.contains)
+      // the head pick is the pure-relevance argmax (empty selected set
+      // means the diversity term is zero for EVERY lambda), id tie-break
+      val bestSim = simq.max
+      val headOk = picked.head ==
+        ids(simq.indexWhere(_ == bestSim))
+      // lambda=1: plain relevance order with (sim desc, id) tie-break
+      val sorted = ids.zip(simq).sortBy { case (id, s) => (-s, id) }
+        .take(math.min(k, n)).map(_._1).toSeq
+      val lambda1Ok = Ann.mmrSelect(ids, vecs, simq, k, 1.0)
+        .map(_._2) == sorted
+      shapeOk && headOk && lambda1Ok
+    }
 }
