@@ -33,8 +33,11 @@ object GraftCatalog {
       "lineitem" -> (() => t.lineitem), "events" -> (() => t.events),
       "documents" -> (() => t.documents), "embeddings" -> (() => t.embeddings))
     loaders.flatMap { case (name, load) =>
+      // NonFatal only: an OOM/LinkageError means the JVM itself is
+      // compromised — swallowing it and registering the remaining
+      // views would report a corrupt session as nine healthy tables
       try { load().createOrReplaceTempView(name); None }
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[catalog] view '$name' failed to register: ${e.getClass.getName}: ${e.getMessage}")
         // drop any PREVIOUS registration of this name: a stale view

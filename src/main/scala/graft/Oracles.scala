@@ -763,37 +763,40 @@ object Oracles {
          |    || CASE WHEN doc_id % 17 = 0
          |      THEN ' intl +44-020-7946-0958' ELSE '' END AS t
          |  FROM documents),
+         |r1 AS (SELECT doc_id, t,
+         |  regexp_replace(t,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         |    AS a_email FROM p),
+         |r2 AS (SELECT *, regexp_replace(a_email,
+         |  '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g') AS a_ssn FROM r1),
+         |r3 AS (SELECT *, regexp_replace(a_ssn,
+         |  '\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}', '<PHONE>', 'g') AS a_intl
+         |  FROM r2),
+         |r4 AS (SELECT *, regexp_replace(a_intl,
+         |  '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS a_phone FROM r3),
+         |r5 AS (SELECT *, regexp_replace(a_phone,
+         |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+         |  AS scrubbed FROM r4),
          |cc AS (
-         |  SELECT doc_id, t,
-         |    list_filter(regexp_extract_all(t, '\\d{16}'),
+         |  SELECT *,
+         |    list_filter(regexp_extract_all(scrubbed, '\\d{16}'),
          |      c -> ($luhn) % 10 = 0) AS ccs
-         |  FROM p)
+         |  FROM r5)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t,
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
          |    AS n_emails,
-         |  CAST(len(regexp_extract_all(t, '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT)
-         |    AS n_ssns,
-         |  CAST(len(regexp_extract_all(t,
+         |  CAST(len(regexp_extract_all(a_email, '\\d{3}-\\d{2}-\\d{4}'))
+         |    AS BIGINT) AS n_ssns,
+         |  CAST(len(regexp_extract_all(a_ssn,
          |      '\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}'))
-         |    + len(regexp_extract_all(
-         |        regexp_replace(t, '\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}',
-         |          '<PHONE>', 'g'),
-         |        '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT)
-         |    AS n_phones,
-         |  CAST(len(regexp_extract_all(t,
+         |    + len(regexp_extract_all(a_intl, '\\d{3}-\\d{3}-\\d{4}'))
+         |    AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(a_phone,
          |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
          |    AS n_ips,
          |  CAST(len(ccs) AS BIGINT) AS n_ccs,
-         |  list_reduce(list_prepend(
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |      regexp_replace(t,
-         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-         |      '\\d{3}-\\d{2}-\\d{4}', '<SSN>', 'g'),
-         |      '\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}', '<PHONE>', 'g'),
-         |      '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g'),
-         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
-         |    ccs),
+         |  list_reduce(list_prepend(scrubbed, ccs),
          |    (acc, c) -> replace(acc, c, '<CC>')) AS clean_text
          |FROM cc
          |ORDER BY doc_id""".stripMargin

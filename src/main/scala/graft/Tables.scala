@@ -33,13 +33,27 @@ final case class Tables(spark: SparkSession, dir: String) {
     * one type regardless of the file era.
     */
   def events: DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, raise_error, timestamp_micros, when}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+        // magnitude guard: epoch-NANOS for any plausible date sits in
+        // ~[1e17, 4e18] (1973–2096); a future era shipping epoch-MICROS
+        // as plain LONG (~1.7e15) would hit this same branch and
+        // silently divide every timestamp 1000× into 1970-adjacent
+        // garbage. The guard is a per-row codegen'd branch (no extra
+        // load-time job) that fails LOUDLY on the wrong magnitude.
+        raw.withColumn("ts",
+          when(col("ts").between(100000000000000000L, 4000000000000000000L),
+            timestamp_micros(expr("ts div 1000")))
+            .otherwise(raise_error(concat(
+              lit("events.ts LONG value "), col("ts").cast("string"),
+              lit(" is outside the epoch-nanos magnitude range — a new " +
+                "testdata era (micros-as-LONG?); extend Tables.events " +
+                "with an explicit branch for this era"))))
+            .cast(TimestampNTZType))
       case TimestampNTZType => raw
       case org.apache.spark.sql.types.TimestampType =>
         // zoned → wall clock in the session timezone (GraftSession pins

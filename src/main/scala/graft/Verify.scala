@@ -24,13 +24,18 @@ object Verify {
     // A query that throws (construction OR execution) must still land in
     // the driver's correctness artifact: round 8 lost 16 entries because
     // a failing query wrote no output dir and so was silently absent —
-    // indistinguishable from "not implemented". Write a ZERO-row marker
-    // parquet (schema: one `graft_error` column): an oracle-checked
-    // query then mismatches its oracle rows and a rows-only query fails
-    // its spark_rows > 0 check — RED either way (a 1-row marker would
-    // make a failed rows-only query read as a healthy 1-row result).
-    // The cause goes to stderr and verify_errors.json.
+    // indistinguishable from "not implemented". The marker parquet
+    // (schema: one `graft_error` column) is shaped per check kind:
+    //  - ORACLE-checked query → ONE row carrying the message: the row
+    //    can never hash-match a real oracle result, so the entry is red
+    //    even against an oracle that legitimately returns zero rows (a
+    //    zero-row marker would compare EQUAL to an empty oracle under
+    //    the sorted-row hash — a false green);
+    //  - rows-only query → ZERO rows, failing its spark_rows > 0 check
+    //    (a 1-row marker would read as a healthy 1-row result).
+    // The cause also goes to stderr and verify_errors.json.
     import spark.implicits._
+    import scala.util.control.NonFatal
     val errs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
@@ -38,12 +43,15 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           None
-        } catch { case e: Throwable =>
+        } catch { case NonFatal(e) =>
           val msg = s"${e.getClass.getName}: ${e.getMessage}"
           System.err.println(s"[verify] $name failed: $msg")
-          try Seq.empty[String].toDF("graft_error").write.mode("overwrite")
+          val marker =
+            if (SparkEntry.oracleSql.contains(name)) Seq(msg.take(200))
+            else Seq.empty[String]
+          try marker.toDF("graft_error").write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          catch { case _: Throwable => () }
+          catch { case NonFatal(_) => () }
           Some(name -> msg)
         }
       }

@@ -128,7 +128,9 @@ object Ann {
     val n = ids.length
     // a NaN relevance (the kernel's 0/0 on a zero-norm vector) would
     // poison every comparison and leave no candidate selectable —
-    // treat it as worst-possible relevance instead
+    // treat it as worst-possible relevance for SELECTION ordering. The
+    // emitted cos_sim stays the original kernel value (simq0): the
+    // report must reflect kernel semantics, not the ordering sentinel.
     val simq = simq0.map(x => if (x.isNaN) -1.0 else x)
     // divMax(i) = max cosine from candidate i to anything selected so
     // far, maintained incrementally: O(k·C) cosines total instead of
@@ -147,7 +149,7 @@ object Ann {
           bs = s; bi = i
         }
       }
-      out += ((selected.length + 1L, ids(bi), simq(bi), bs))
+      out += ((selected.length + 1L, ids(bi), simq0(bi), bs))
       selected += bi
       remaining -= bi
       for (i <- remaining)
@@ -180,6 +182,10 @@ object Ann {
       .crossJoin(broadcast(qv))
       .select(col("vec_id"), col("embedding"),
         cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
+      // Spark sorts NaN LARGEST: a zero-norm embedding (kernel 0/0)
+      // would claim the head of the candidate window while carrying
+      // no usable relevance — drop degenerate vectors before ranking
+      .filter(!isnan(col("cos_sim")))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(candidates)
       .collect() // bounded: C rows × dim floats

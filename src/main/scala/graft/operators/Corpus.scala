@@ -534,7 +534,9 @@ object Corpus {
   }
 
   /** The c04 scrub engine over any (doc_id, text, …) frame: per-class
-    * PII counts on the raw text plus the redacted text with
+    * PII counts (each class counted on the text with all
+    * earlier-priority classes already redacted, so counts match the
+    * placeholders in clean_text) plus the redacted text with
     * `<EMAIL>`/`<SSN>`/`<PHONE>`/`<IP>`/`<CC>` placeholders. Pure
     * per-row projection — shuffle-free at any scale, no UDFs; patterns
     * restricted to constructs with identical semantics in Java regex
@@ -555,28 +557,40 @@ object Corpus {
     val phone = "\\d{3}-\\d{3}-\\d{4}"
     val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val cc16 = "\\d{16}"
-    val ccs = filter(regexp_extract_all(col("t"), lit(cc16), lit(0)),
+    // Each class is COUNTED on the text with every earlier-priority
+    // class already redacted, so counts always equal the placeholders
+    // that actually land in clean_text: a phone/SSN-shaped run inside
+    // an email local part ('415-555-0137@ex.org') is redacted as
+    // <EMAIL> and must not tally as a phone; likewise the US phone
+    // shape is a proper substring of the intl one. The redacted text
+    // itself is unchanged — the progressive intermediates compose to
+    // the same fixed-order chain as before. Placeholders contain no
+    // digits, so a redaction can neither create a later-class match
+    // nor join two digit runs into one.
+    val afterEmail = regexp_replace(col("t"), email, "<EMAIL>")
+    val afterSsn = regexp_replace(col("a_email"), ssn, "<SSN>")
+    val afterIntl = regexp_replace(col("a_ssn"), intlPhone, "<PHONE>")
+    val afterPhone = regexp_replace(col("a_intl"), phone, "<PHONE>")
+    val afterIp = regexp_replace(col("a_phone"), ipv4, "<IP>")
+    val ccs = filter(regexp_extract_all(col("scrubbed"), lit(cc16), lit(0)),
       c => luhnValid16(c))
-    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
-        ssn, "<SSN>"), intlPhone, "<PHONE>"), phone, "<PHONE>"),
-      ipv4, "<IP>")
-    // US-pattern matches are counted on the intl-redacted text: the US
-    // shape is a proper substring of the intl one, so counting both on
-    // the raw text would tally one +CC number twice
-    val afterIntl = regexp_replace(col("t"), intlPhone, "<PHONE>")
     docs
       .select(col("doc_id"), col("text").as("t"))
-      .select(col("doc_id"), col("t"), ccs.as("ccs"), scrubbed.as("scrubbed"))
+      .select(col("doc_id"), col("t"), afterEmail.as("a_email"))
+      .select(col("*"), afterSsn.as("a_ssn"))
+      .select(col("*"), afterIntl.as("a_intl"))
+      .select(col("*"), afterPhone.as("a_phone"))
+      .select(col("*"), afterIp.as("scrubbed"))
+      .select(col("*"), ccs.as("ccs"))
       .select(col("doc_id"),
         size(regexp_extract_all(col("t"), lit(email), lit(0)))
           .cast("long").as("n_emails"),
-        size(regexp_extract_all(col("t"), lit(ssn), lit(0)))
+        size(regexp_extract_all(col("a_email"), lit(ssn), lit(0)))
           .cast("long").as("n_ssns"),
-        (size(regexp_extract_all(col("t"), lit(intlPhone), lit(0))) +
-          size(regexp_extract_all(afterIntl, lit(phone), lit(0))))
+        (size(regexp_extract_all(col("a_ssn"), lit(intlPhone), lit(0))) +
+          size(regexp_extract_all(col("a_intl"), lit(phone), lit(0))))
           .cast("long").as("n_phones"),
-        size(regexp_extract_all(col("t"), lit(ipv4), lit(0)))
+        size(regexp_extract_all(col("a_phone"), lit(ipv4), lit(0)))
           .cast("long").as("n_ips"),
         size(col("ccs")).cast("long").as("n_ccs"),
         aggregate(col("ccs"), col("scrubbed"),
