@@ -1,0 +1,73 @@
+package graft
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Oracle side-tables: Spark-computed signature frames persisted for
+  * the DuckDB oracle replays.
+  *
+  * The deterministic hash/codec kernels (e06 MinHash, e02 SimHash,
+  * e09 SRP, the pure-JDK perceptual/audio/video fingerprints) have no
+  * DuckDB counterpart, so a full-SQL oracle for the LSH/dedup family
+  * would stop at the signature boundary — those entries were
+  * rows-only checks through round 9. Persisting exactly the signature
+  * frames lets each oracle read them back and independently replay
+  * everything DOWNSTREAM of the kernel: the banding arithmetic, the
+  * candidate self-joins, the exact verification (string-shingle
+  * Jaccard / double cosine / bit_count Hamming / containment), the
+  * thresholds and the ordering. That downstream half is the
+  * distributed logic an oracle is for; the kernels themselves are
+  * spec/fuzz-checked against plain-Scala references. d08's oracle
+  * proved the replay pattern; this generalizes it.
+  *
+  * Written by [[Verify]] (before the query dump) to a FIXED path the
+  * static oracle SQL can name. Verify-then-compare runs sequentially
+  * per scale factor, so the side-tables always describe the SF the
+  * compare is reading.
+  */
+object OracleAux {
+  /** Fixed root the oracle SQL references (oracle text is static, so
+    * the path cannot vary with the run's sfDir/outDir).
+    */
+  val Root = "/tmp/graft_oracle_aux"
+
+  /** (side-table name, driver queries it serves, producer). */
+  private val producers: Seq[(String, Set[String], (SparkSession, String) => DataFrame)] = Seq(
+    ("d02_sigs", Set("d02_dedup_minhash"),
+      (s, d) => operators.Dedup.d02AuxSigs(s, d)),
+    ("d03_sigs", Set("d03_dedup_simhash"),
+      (s, d) => operators.Dedup.d03AuxSigs(s, d)),
+    ("d06_corpus", Set("d06_embed_neardup_lsh"),
+      (s, d) => operators.Dedup.d06AuxCorpus(s, d)),
+    ("m04_sigs", Set("m04_phash_dedup"),
+      (s, d) => operators.Multimodal.m04Sigs(
+        operators.Multimodal.plantedImageCorpus(s, d))),
+    ("m06_sigs", Set("m06_dhash_dedup"),
+      (s, d) => operators.Multimodal.m06Sigs(
+        operators.Multimodal.plantedToneCorpus(s, d))),
+    ("m08_sigs", Set("m08_audio_dedup"),
+      (s, d) => operators.Multimodal.m08Sigs(
+        operators.Multimodal.plantedAudioCorpus(s, d))),
+    ("m09_sigs", Set("m09_video_dedup"),
+      (s, d) => operators.Multimodal.m09Sigs(
+        operators.Multimodal.plantedVideoCorpus(s, d))))
+
+  /** Write the side-tables (all of them, or only those serving the
+    * `onlyFor` query filter). A failed producer is loud on stderr and
+    * skipped: its oracle compare then fails on the missing file — red
+    * for that entry only, never an aborted Verify run.
+    */
+  def write(spark: SparkSession, sfDir: String,
+      onlyFor: Option[Set[String]] = None): Unit =
+    producers.foreach { case (name, serves, fn) =>
+      if (onlyFor.forall(f => serves.exists(f.contains)))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$Root/$name")
+        catch {
+          case NonFatal(e) =>
+            System.err.println(
+              s"[oracle-aux] side-table '$name' failed: ${e.getClass.getName}: ${e.getMessage}")
+        }
+    }
+}

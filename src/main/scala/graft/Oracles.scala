@@ -10,6 +10,28 @@ package graft
   */
 object Oracles {
 
+  /** The shared banded-Hamming replay (d03/m04/m06/m08 all pair on
+    * 4 bands of `bandBits` bits and verify popcount ≤ 3): reads the
+    * persisted 64-bit signatures and replays banding, candidate
+    * self-join, Hamming verify, threshold and ordering in SQL.
+    */
+  private def bandedHammingSql(auxTable: String, sigCol: String,
+      bandBits: Int): String = {
+    val mask = (1 << bandBits) - 1
+    s"""WITH sigs AS (SELECT doc_id, $sigCol AS sg
+       |  FROM '${OracleAux.Root}/$auxTable/*.parquet'),
+       |bnd AS (SELECT doc_id, sg, j AS band,
+       |          (sg >> (j*$bandBits)) & $mask AS bh
+       |        FROM sigs, generate_series(0,3) g(j)),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |            CAST(bit_count(xor(x.sg, y.sg)) AS BIGINT) AS hamming
+       |          FROM bnd x JOIN bnd y ON x.band = y.band AND x.bh = y.bh
+       |            AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM pairs
+       |WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Fixed-point revenue sum, identical to Num.revenueSum. */
   private val REV =
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
@@ -561,6 +583,152 @@ object Oracles {
         |JOIN (SELECT doc_id, len(s) AS n FROM sh) zb ON doc_b = zb.doc_id
         |WHERE round(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ---- LSH/multimodal replay oracles (signature side-tables) ----
+    // The hash/codec kernels (MinHash, SimHash, SRP, perceptual/audio/
+    // video fingerprints) have no DuckDB counterpart; OracleAux
+    // persists their Spark-computed signatures and these oracles
+    // independently replay everything downstream — banding arithmetic,
+    // candidate self-joins, exact verification, thresholds, ordering
+    // (the d08 replay pattern generalized). Bit ops are
+    // representation-identical: (x >> s) & mask reads the same 16/14
+    // bits under arithmetic or logical shift, and bit_count(xor(..))
+    // is the same two's-complement popcount both engines compute.
+
+    "d02_dedup_minhash" ->
+      s"""WITH sigs AS (SELECT doc_id, sig
+         |  FROM '${OracleAux.Root}/d02_sigs/*.parquet'),
+         |bnd AS (SELECT doc_id, j AS band, sig[j*4+1:j*4+4] AS bs
+         |        FROM sigs, generate_series(0,15) g(j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bnd x JOIN bnd y ON x.band = y.band AND x.bs = y.bs
+         |           AND x.doc_id < y.doc_id),
+         |toks AS (SELECT doc_id,
+         |           list_transform(string_split(text, ' '),
+         |             t -> t || '_' || CAST(doc_id AS VARCHAR)) AS w
+         |         FROM documents),
+         |corpus AS (SELECT doc_id, w FROM toks
+         |           UNION ALL
+         |           SELECT doc_id + 1000000, list_append(w, 'plantedtail')
+         |           FROM toks),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(w)-5+2),
+         |           i -> array_to_string(w[i:i+4], ' '))) AS s
+         |       FROM corpus WHERE len(w) >= 5)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |          len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+         |  FROM cand JOIN sh a ON doc_a = a.doc_id
+         |            JOIN sh b ON doc_b = b.doc_id) t
+         |WHERE jaccard >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d03_dedup_simhash" -> bandedHammingSql("d03_sigs", "sh64", 16),
+    "m04_phash_dedup" -> bandedHammingSql("m04_sigs", "ah64", 16),
+    "m06_dhash_dedup" -> bandedHammingSql("m06_sigs", "dh64", 14),
+    "m08_audio_dedup" -> bandedHammingSql("m08_sigs", "af64", 16),
+
+    "d06_embed_neardup_lsh" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sig
+         |  FROM '${OracleAux.Root}/d06_corpus/*.parquet'),
+         |bnd AS (SELECT vec_id, j AS band, (sig >> (j*16)) & 65535 AS bh
+         |        FROM c, generate_series(0,3) g(j)),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bnd x JOIN bnd y ON x.band = y.band AND x.bh = y.bh
+         |           AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM (
+         |  SELECT vec_a, vec_b,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) *
+         |       sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+         |  FROM cand JOIN c a ON vec_a = a.vec_id
+         |            JOIN c b ON vec_b = b.vec_id) t
+         |WHERE cos_sim >= 0.9
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "m09_video_dedup" ->
+      s"""WITH s AS (SELECT doc_id, fhs
+         |  FROM '${OracleAux.Root}/m09_sigs/*.parquet'),
+         |fh AS (SELECT doc_id, unnest(fhs) AS f FROM s),
+         |bnd AS (SELECT doc_id, j AS band, (f >> (j*14)) & 16383 AS bh
+         |        FROM fh, generate_series(0,3) g(j)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bnd x JOIN bnd y ON x.band = y.band AND x.bh = y.bh
+         |           AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, n_a, n_b, match_frac FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(len(a.fhs) AS BIGINT) AS n_a,
+         |    CAST(len(b.fhs) AS BIGINT) AS n_b,
+         |    round(greatest(
+         |      CAST(len(list_filter(a.fhs, x -> len(list_filter(b.fhs,
+         |        y -> bit_count(xor(x, y)) <= 3)) > 0)) AS DOUBLE) / len(a.fhs),
+         |      CAST(len(list_filter(b.fhs, x -> len(list_filter(a.fhs,
+         |        y -> bit_count(xor(x, y)) <= 3)) > 0)) AS DOUBLE) / len(b.fhs)
+         |      ), 4) AS match_frac
+         |  FROM cand JOIN s a ON doc_a = a.doc_id
+         |            JOIN s b ON doc_b = b.doc_id) t
+         |WHERE match_frac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // ---- file-pipeline relational oracles (f03/f05) ----
+
+    "f03_sync_plan" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS sz
+        |           FROM documents),
+        |src AS (SELECT
+        |    'd' || CAST(doc_id % 10 AS VARCHAR) || '/doc_' ||
+        |      CAST(doc_id AS VARCHAR) || '.txt' AS rel_path,
+        |    '/src/d' || CAST(doc_id % 10 AS VARCHAR) || '/doc_' ||
+        |      CAST(doc_id AS VARCHAR) || '.txt' AS src_path,
+        |    sz AS src_size, doc_id + 1000 AS src_mtime
+        |  FROM d),
+        |tgt AS (SELECT
+        |    'd' || CAST(doc_id % 10 AS VARCHAR) || '/doc_' ||
+        |      CAST(doc_id AS VARCHAR) || '.txt' AS rel_path,
+        |    '/dst/d' || CAST(doc_id % 10 AS VARCHAR) || '/doc_' ||
+        |      CAST(doc_id AS VARCHAR) || '.txt' AS dst_path,
+        |    CASE WHEN doc_id % 5 = 0 THEN sz + 1 ELSE sz END AS dst_size,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id + 999
+        |         ELSE doc_id + 1000 END AS dst_mtime
+        |  FROM d WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'old/doc_' || CAST(doc_id AS VARCHAR) || '.txt',
+        |    '/dst/old/doc_' || CAST(doc_id AS VARCHAR) || '.txt',
+        |    sz, doc_id + 1000
+        |  FROM d WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(s.rel_path, t.rel_path) AS rel_path,
+        |  CASE WHEN t.dst_path IS NULL THEN 'copy_new'
+        |       WHEN s.src_path IS NULL THEN 'delete'
+        |       WHEN s.src_size <> t.dst_size OR s.src_mtime > t.dst_mtime
+        |         THEN 'copy_changed'
+        |       ELSE 'noop' END AS action,
+        |  s.src_path AS src_path, t.dst_path AS dst_path,
+        |  s.src_size AS src_size, t.dst_size AS dst_size,
+        |  s.src_mtime AS src_mtime, t.dst_mtime AS dst_mtime
+        |FROM src s FULL OUTER JOIN tgt t ON s.rel_path = t.rel_path
+        |ORDER BY rel_path""".stripMargin,
+
+    "f05_audit_rollup" ->
+      """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS sz
+        |           FROM documents),
+        |a AS (SELECT 'd' || CAST(doc_id % 10 AS VARCHAR) AS dir,
+        |        CASE WHEN doc_id % 11 = 0 THEN 'failed'
+        |             WHEN doc_id % 4 = 0 THEN 'skipped'
+        |             ELSE 'copied' END AS status,
+        |        CASE WHEN doc_id % 11 = 0 OR doc_id % 4 = 0 THEN 0
+        |             ELSE sz END AS bytes
+        |      FROM d)
+        |SELECT dir,
+        |  CAST(SUM(CASE WHEN status = 'copied' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_copied,
+        |  CAST(SUM(CASE WHEN status = 'skipped' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_skipped,
+        |  CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_failed,
+        |  CAST(SUM(bytes) AS BIGINT) AS total_bytes
+        |FROM a GROUP BY dir
+        |ORDER BY dir""".stripMargin,
 
     "d05_embed_neardup" ->
       """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -145,6 +145,13 @@ object SparkEntry {
       graft.sources.FilePipeline.catalog(s, dir).toDF()
         .select("path", "name", "rel_path", "ext", "size")
         .orderBy("path")),
+    // f03/f05: the sync planner and audit rollup over manifests/audits
+    // synthesized deterministically from the documents table — plain
+    // relational surfaces, fully oracle-checkable in DuckDB
+    "f03_sync_plan" -> ((s, dir) =>
+      graft.sources.FilePipeline.f03SyncPlanDemo(s, dir)),
+    "f05_audit_rollup" -> ((s, dir) =>
+      graft.sources.FilePipeline.f05AuditDemo(s, dir)),
     // f07: paged-REST enumeration over the deterministic synthetic
     // endpoint (the sf dir has no HTTP surface; the fixture exercises
     // the same pagination/BFS path the HTTP fetcher uses)

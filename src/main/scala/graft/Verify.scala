@@ -36,6 +36,10 @@ object Verify {
     // The cause also goes to stderr and verify_errors.json.
     import spark.implicits._
     import scala.util.control.NonFatal
+    // signature side-tables for the LSH/multimodal oracle replays —
+    // written before the query dump so the subsequent DuckDB compare
+    // (same SF, sequential) reads side-tables matching this run
+    OracleAux.write(spark, sfDir, only)
     val errs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>

@@ -997,15 +997,51 @@ object Dedup {
   // bench carries both settings so the tradeoff is measured, not
   // asserted
   def d06EmbedNeardupDemo(spark: SparkSession, dir: String,
-      threshold: Double = 0.9, bands: Int = 4): DataFrame = {
+      threshold: Double = 0.9, bands: Int = 4): DataFrame =
+    d06PairsOver(d06DemoCorpus(spark, dir), threshold, bands)
+
+  /** The d06 demo corpus (base vectors ∪ planted near-dups) as its own
+    * frame, shared by the demo query and its oracle side-table.
+    */
+  private[graft] def d06DemoCorpus(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val base = t.embeddings.select(col("vec_id"), col("embedding"))
     val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         (x + lit(0.015f) * cos(i.cast("double")).cast("float")))
         .as("embedding"))
-    d06PairsOver(base.union(planted), threshold, bands)
+    base.union(planted)
   }
+
+  // ----------------------------------------------- oracle side-tables
+
+  /** Signature side-tables for the DuckDB oracle replays (written by
+    * [[graft.OracleAux]]): the hash kernels (e06 MinHash, e02 SimHash,
+    * e09 SRP) have no DuckDB counterpart, so a full-SQL oracle would
+    * stop at the signature boundary. Instead the oracle takes the
+    * Spark-computed signatures as INPUT and independently replays
+    * everything downstream — the banding, the candidate joins, the
+    * exact verification kernel, the threshold and ordering — which is
+    * exactly the distributed logic worth certifying (the signature
+    * kernels themselves are spec/fuzz-checked against reference
+    * implementations). This generalizes d08's proven replay pattern.
+    */
+  def d02AuxSigs(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(plantedTextCorpus(Tables(spark, dir).documents),
+      shingleK = 5, numPerm = 64)
+
+  /** SimHash signatures of the d03 demo corpus (oracle side-table). */
+  def d03AuxSigs(spark: SparkSession, dir: String): DataFrame =
+    plantedTextCorpus(Tables(spark, dir).documents)
+      .select(col("doc_id"), graft.functions.F.simhash64(col("text")).as("sh64"))
+
+  /** The d06 demo corpus with its SRP signatures (oracle side-table —
+    * embeddings ride along so the oracle's exact-cosine verify reads
+    * the same planted vectors the query scored).
+    */
+  def d06AuxCorpus(spark: SparkSession, dir: String): DataFrame =
+    d06DemoCorpus(spark, dir).select(col("vec_id"), col("embedding"),
+      graft.functions.F.srpSig64(col("embedding")).as("sig"))
 
   // ---------------------------------------------------------------- d08
 

@@ -485,10 +485,13 @@ object Multimodal {
     * outside a shared band is ever scored. At 100 TB: one decode pass
     * over `binaryFile` payloads, one band shuffle of n×4 16-byte rows.
     */
-  def m04PhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, ah64) aHash signatures of an image frame — shared by the
+    * m04 pair join and its oracle side-table.
+    */
+  def m04Sigs(images: DataFrame): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
-    val sigs = images
+    images
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -498,6 +501,10 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  def m04PhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = m04Sigs(images)
     val bnd = sigs.select(col("doc_id"), col("ah64"), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
         call_function("shiftright", col("ah64"), j * lit(16))
@@ -582,7 +589,8 @@ object Multimodal {
     * chromaprint-style construction from public descriptions: bits
     * encode the SIGN of energy transitions between consecutive
     * overlapping RMS windows (m03's frame contract), folded into 64
-    * slots by majority vote so any duration hashes to the same width.
+    * slots by majority vote (first-transition tie-break, so even-vote
+    * slots stay unbiased) so any duration hashes to the same width.
     * Uniform gain scales every window's RMS equally, preserving each
     * comparison — a volume-normalized remaster fingerprints
     * identically up to rounding; re-encode dither flips only
@@ -596,18 +604,40 @@ object Multimodal {
     val starts = (0 until samples.length by hopSamples).toArray
     val up = new Array[Int](64)
     val dn = new Array[Int](64)
+    // first observed transition sign per slot — the DEBIASING
+    // tie-break. A slot with an EVEN vote count ties with probability
+    // 1/2 on random audio, and a tie→0 rule makes those bits
+    // Bernoulli(1/4): unrelated clips then agree per bit with
+    // probability 5/8, a 16-bit band collides at (5/8)^16 ≈ 1/1850
+    // instead of 2^-16, and candidate volume goes quadratic ~35×
+    // early (the measured 3.8× wall blowup at 10× data). Breaking
+    // ties by the slot's first transition sign restores
+    // Bernoulli(1/2) on every voted slot — and keeps gain
+    // invariance, since uniform gain preserves every comparison the
+    // tie-break reads.
+    val first = new Array[Byte](64)
     var i = 0
     while (i + 1 < starts.length) {
       val e1 = Codecs.rms(samples, starts(i),
         math.min(starts(i) + windowSamples, samples.length))
       val e2 = Codecs.rms(samples, starts(i + 1),
         math.min(starts(i + 1) + windowSamples, samples.length))
-      if (e2 > e1) up(i % 64) += 1 else dn(i % 64) += 1
+      val j = i % 64
+      if (e2 > e1) {
+        if (first(j) == 0) first(j) = 1
+        up(j) += 1
+      } else {
+        if (first(j) == 0) first(j) = -1
+        dn(j) += 1
+      }
       i += 1
     }
     var bits = 0L
     var j = 0
-    while (j < 64) { if (up(j) > dn(j)) bits |= (1L << j); j += 1 }
+    while (j < 64) {
+      if (up(j) > dn(j) || (up(j) == dn(j) && first(j) > 0)) bits |= (1L << j)
+      j += 1
+    }
     bits
   }
 
@@ -631,11 +661,14 @@ object Multimodal {
     * decode pass over `binaryFile` payloads, one band shuffle of n×4
     * short rows.
     */
-  def m08AudioPairsOver(audio: DataFrame, maxHamming: Int = 3,
+  /** (doc_id, af64) audio fingerprints of a WAV frame — shared by the
+    * m08 pair join and its oracle side-table.
+    */
+  def m08Sigs(audio: DataFrame,
       windowSamples: Int = 256, hopSamples: Int = 128): DataFrame = {
     val spark = audio.sparkSession
     import spark.implicits._
-    val sigs = audio
+    audio
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -644,6 +677,11 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  def m08AudioPairsOver(audio: DataFrame, maxHamming: Int = 3,
+      windowSamples: Int = 256, hopSamples: Int = 128): DataFrame = {
+    val sigs = m08Sigs(audio, windowSamples, hopSamples)
     val bnd = sigs.select(col("doc_id"), col("af64"), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
         call_function("shiftright", col("af64"), j * lit(16))
@@ -765,10 +803,13 @@ object Multimodal {
     * never pixels. Same 100 TB shape as m04: one decode pass, one
     * band shuffle of n×4 short rows.
     */
-  def m06DhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** (doc_id, dh64) dHash signatures of an image frame — shared by the
+    * m06 pair join and its oracle side-table.
+    */
+  def m06Sigs(images: DataFrame): DataFrame = {
     val spark = images.sparkSession
     import spark.implicits._
-    val sigs = images
+    images
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -778,6 +819,10 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  def m06DhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = m06Sigs(images)
     val bnd = sigs.select(col("doc_id"), col("dh64"), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
         call_function("shiftright", col("dh64"), j * lit(14))
@@ -1047,20 +1092,28 @@ object Multimodal {
     * one band shuffle of n×frames×4 short rows, verify work bounded
     * by collisions × frames² — pixels never shuffle.
     */
-  def m09VideoPairsOver(videos: DataFrame, maxHamming: Int = 3,
-      minMatchFrac: Double = 0.5): DataFrame = {
+  /** (doc_id, fhs) per-video frame-hash sets — shared by the m09 pair
+    * join and its oracle side-table.
+    */
+  def m09Sigs(videos: DataFrame): DataFrame = {
     val spark = videos.sparkSession
     import spark.implicits._
-    // lazy localCheckpoint: the signature pass (the decode) runs once,
-    // not once per side of the candidate join + once per verify side
-    val sigs = videos
+    videos
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, v) => VideoSig(id, videoFrameHashes(v)) }
       }
       .toDF()
-      .localCheckpoint(false)
+  }
+
+  def m09VideoPairsOver(videos: DataFrame, maxHamming: Int = 3,
+      minMatchFrac: Double = 0.5): DataFrame = {
+    val spark = videos.sparkSession
+    import spark.implicits._
+    // lazy localCheckpoint: the signature pass (the decode) runs once,
+    // not once per side of the candidate join + once per verify side
+    val sigs = m09Sigs(videos).localCheckpoint(false)
     val fh = sigs.select(col("doc_id"), explode(col("fhs")).as("fh"))
     val bnd = fh.select(col("doc_id"), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),

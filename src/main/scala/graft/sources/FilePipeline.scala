@@ -381,6 +381,65 @@ object FilePipeline {
     } else copied
   }
 
+  /** f03 driver correctness entry: the sync planner over two manifests
+    * synthesized DETERMINISTICALLY from the documents table, so DuckDB
+    * can rebuild both sides and replay the full-outer diff. Coverage by
+    * construction: doc_id % 7 = 0 missing from the target (copy_new);
+    * % 5 = 0 size drift and % 3 = 0 stale-target mtime (copy_changed —
+    * both triggers exercised); % 13 = 0 target-only rows (delete);
+    * everything else noop.
+    */
+  def f03SyncPlanDemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("sz"))
+    val rel = concat(lit("d"), col("doc_id") % 10, lit("/doc_"),
+      col("doc_id"), lit(".txt"))
+    val name = concat(lit("doc_"), col("doc_id"), lit(".txt"))
+    val src = docs.select(
+      concat(lit("/src/"), rel).as("path"), name.as("name"),
+      rel.as("rel_path"), lit("txt").as("ext"), col("sz").as("size"),
+      (col("doc_id") + 1000L).as("mtime")).as[FileEntry]
+    val tgtMain = docs.filter(col("doc_id") % 7 =!= 0).select(
+      concat(lit("/dst/"), rel).as("path"), name.as("name"),
+      rel.as("rel_path"), lit("txt").as("ext"),
+      when(col("doc_id") % 5 === 0, col("sz") + 1L).otherwise(col("sz"))
+        .as("size"),
+      when(col("doc_id") % 3 === 0, col("doc_id") + 999L)
+        .otherwise(col("doc_id") + 1000L).as("mtime"))
+    val relOld = concat(lit("old/doc_"), col("doc_id"), lit(".txt"))
+    val tgtOld = docs.filter(col("doc_id") % 13 === 0).select(
+      concat(lit("/dst/"), relOld).as("path"), name.as("name"),
+      relOld.as("rel_path"), lit("txt").as("ext"), col("sz").as("size"),
+      (col("doc_id") + 1000L).as("mtime"))
+    syncPlan(src, tgtMain.union(tgtOld).as[FileEntry]).orderBy("rel_path")
+  }
+
+  /** f05 driver correctness entry: the audit rollup over a copy audit
+    * synthesized deterministically from the documents table (status by
+    * doc_id residue, bytes only on copied rows) — DuckDB replays the
+    * same construction and the per-directory aggregation.
+    */
+  def f05AuditDemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audit = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("sz"))
+      .select(
+        concat(lit("/src/f"), col("doc_id")).as("src"),
+        concat(lit("/dst/f"), col("doc_id")).as("dest"),
+        concat(lit("d"), col("doc_id") % 10, lit("/doc_"), col("doc_id"),
+          lit(".txt")).as("rel_path"),
+        when(col("doc_id") % 11 === 0, lit(0L))
+          .when(col("doc_id") % 4 === 0, lit(0L))
+          .otherwise(col("sz")).as("bytes"),
+        when(col("doc_id") % 11 === 0, lit("failed"))
+          .when(col("doc_id") % 4 === 0, lit("skipped"))
+          .otherwise(lit("copied")).as("status"),
+        lit("").as("error"), lit(0L).as("checksum"))
+      .as[CopyAudit]
+    auditSummary(audit)
+  }
+
   /** f05: audit aggregation — the reference's printed tallies
     * (py:283-305) as a per-directory rollup.
     */
