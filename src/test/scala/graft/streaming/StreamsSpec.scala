@@ -1088,6 +1088,128 @@ class StreamsSpec extends AnyFunSuite {
     assert(audits == Seq((2L, 2L, 2L, 2L, 2L)), s"got $audits")
   }
 
+  test("st15 against a live 429-throttling endpoint: counts conserve, zero duplicate landings") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import java.util.concurrent.atomic.AtomicInteger
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15t")
+    val root = dir.resolve("svc").toString
+    val lmPath = dir.resolve("lm").toString
+    def span(a: Int, b: Int) = (a to b).map(i => s"r$i").mkString(" ")
+    graft.operators.TextOps.lmTrainTables(
+      Seq((1L, span(1, 40))).toDF("doc_id", "text"), lmPath)
+
+    // the mutable "remote": name -> text, served paged over live HTTP
+    // with every 3rd list and every 4th content request answered
+    // 429 Retry-After: 0 — f08's retry must absorb the throttles at
+    // the SERVICE level, mid-enumeration and mid-copy, without
+    // duplicating or dropping a landing
+    val remote = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val listCalls = new AtomicInteger(0)
+    val contentCalls = new AtomicInteger(0)
+    val throttled = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/list", (ex: HttpExchange) => {
+      if (listCalls.incrementAndGet() % 3 == 0) {
+        throttled.incrementAndGet()
+        ex.getResponseHeaders.add("Retry-After", "0")
+        send(ex, 429, Array.empty)
+      } else {
+        val params = Option(ex.getRequestURI.getQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+          }.toMap
+        val off = params.get("token").map(_.toInt).getOrElse(0)
+        val all = remote.keySet().toArray(Array.empty[String]).sorted.toSeq
+        val page = all.slice(off, off + 2)
+        val items = page.map { name =>
+          // +1: the content endpoint serves text + "\n" — the listed
+          // size must match the served bytes or the sync diff marks
+          // every unchanged file copy_changed forever
+          val size = remote.get(name).length + 1
+          s"""{"id":"/c/$name","name":"$name","isDir":false,"size":$size,"mtime":1700000000000}"""
+        }.mkString("[", ",", "]")
+        val next =
+          if (off + 2 < all.size) s""","nextToken":"${off + 2}"""" else ""
+        send(ex, 200,
+          s"""{"items":$items$next}""".getBytes(StandardCharsets.UTF_8))
+      }
+    })
+    server.createContext("/c/", (ex: HttpExchange) => {
+      if (contentCalls.incrementAndGet() % 4 == 0) {
+        throttled.incrementAndGet()
+        ex.getResponseHeaders.add("Retry-After", "0")
+        send(ex, 429, Array.empty)
+      } else {
+        val name = ex.getRequestURI.getPath.stripPrefix("/c/")
+        Option(remote.get(name)) match {
+          case Some(t) => send(ex, 200, (t + "\n").getBytes(StandardCharsets.UTF_8))
+          case None    => send(ex, 404, Array.empty)
+        }
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = new graft.sources.PagedSource.HttpJsonFetcher(base)
+      def audits(): Seq[(Long, Long, Long)] =
+        spark.read.parquet(s"$root/audit").collect()
+          .map(r => (r.getAs[Long]("arrived"), r.getAs[Long]("fluent"),
+            r.getAs[Long]("admitted"))).toSeq
+      def lakeTexts(): Set[String] =
+        spark.read.parquet(s"$root/lake")
+          .select("text").collect().map(_.getString(0)).toSet
+
+      // cycle 1: fluent admit, st09 junk, st14 gibberish, fluent admit
+      remote.put("a.txt", span(1, 10))
+      remote.put("b.txt", "r5 tiny")
+      remote.put("c.txt", "zz qq ww ee rr tt uu vv")
+      remote.put("d.txt", span(20, 30))
+      val audit1 = Streams.st15ServiceCycle(spark, fetcher, root, lmPath)
+        .collect()
+      assert(audit1.length == 4 && audit1.forall(_.status == "copied"),
+        audit1.mkString("; "))
+      assert(lakeTexts() == Set(span(1, 10), span(20, 30)))
+      assert(audits() == Seq((3L, 2L, 2L)), s"got ${audits()}")
+      assert(throttled.get() > 0, "server never throttled — test is vacuous")
+
+      // cycle 2: one fresh admit + one near-dup reject; the unchanged
+      // remote files must be skip-diffed (no re-download, no audit row)
+      remote.put("e.txt", span(32, 40))
+      remote.put("f.txt", span(20, 30) + " r31")
+      val t0 = throttled.get()
+      val audit2 = Streams.st15ServiceCycle(spark, fetcher, root, lmPath)
+        .collect()
+      assert(audit2.map(_.rel_path).sorted.toSeq == Seq("e.txt", "f.txt"),
+        audit2.mkString("; "))
+      assert(audit2.forall(_.status == "copied"))
+      assert(lakeTexts() == Set(span(1, 10), span(20, 30), span(32, 40)))
+      assert(audits().toSet == Set((3L, 2L, 2L), (2L, 2L, 1L)),
+        s"got ${audits()}")
+      assert(throttled.get() > t0,
+        "cycle 2 saw no throttles — the mid-sync leg is vacuous")
+
+      // zero duplicate landings: exactly one landed file per remote
+      // object, bit-for-bit the remote text
+      val landed = new java.io.File(s"$root/landing").listFiles()
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+      assert(landed.map(_.getName).sorted.toSeq ==
+        Seq("a.txt", "b.txt", "c.txt", "d.txt", "e.txt", "f.txt"))
+      landed.foreach { f =>
+        assert(java.nio.file.Files.readString(f.toPath) ==
+          remote.get(f.getName) + "\n", s"landing drift in ${f.getName}")
+      }
+    } finally server.stop(0)
+  }
+
   test("st11 streamed appends keep the stats manifest fresh and prunable") {
     import spark.implicits._
     import graft.sources.StatsIndex
