@@ -681,15 +681,42 @@ object Ann {
     * that built the cells — retraining at probe time would assign
     * queries to cells the data wasn't laid out by.
     */
+  /** Auto-cutover rule between the sampled driver trainer
+    * ([[trainCentroids]]) and the distributed full-corpus trainer
+    * ([[s14TrainDistributed]]). The sampled trainer sees `sampleN`
+    * vectors no matter the corpus size, so each centroid is estimated
+    * from ~sampleN/nlist points; once the corpus exceeds
+    * 16 × sampleN the sample covers < 1/16 of the data and the
+    * sampled centroids' quantization quality (mean cosine of a vector
+    * to its assigned centroid — the recall proxy an IVF probe rides
+    * on) measurably falls behind full-corpus Lloyd on structured
+    * corpora — AnnSpec's sampled-vs-distributed leg measures the gap
+    * on a clustered corpus whose per-cluster sample support is thin.
+    * The distributed trainer's cost — `iters` full scans, each
+    * shuffling only partitions × nlist × dim partial rows — is a
+    * one-off amortized by the index write it feeds. At the default
+    * sampleN = 2048 the flip lands at 32 768 vectors; at d10's
+    * 16 384 sample cap it lands at ~262k, the "~260k sample ceiling"
+    * its docstring declares.
+    */
+  def shouldTrainDistributed(corpusSize: Long, sampleN: Int): Boolean =
+    corpusSize > 16L * sampleN
+
   def buildIvfIndex(corpus: DataFrame, path: String,
       nlist: Int = 16,
-      distributedTrainer: Boolean = false): Array[Array[Float]] = {
-    // opt-in s14: full-corpus Lloyd instead of the ≤16384-vector
-    // sampled trainer — the right call when the corpus outgrows what
-    // a sample represents (the one-off index build amortizes it)
+      distributedTrainer: Boolean = false,
+      sampleN: Int = 2048): Array[Array[Float]] = {
+    // s14 full-corpus Lloyd instead of the sampled trainer: opt-in by
+    // flag, or AUTOMATIC once the corpus outgrows what the sample
+    // represents ([[shouldTrainDistributed]] — the flip is justified
+    // by measured quantization quality, not a dial). The count() that
+    // decides it is one scan on a one-off index build; short-circuited
+    // away when the caller already chose.
     val cents =
-      if (distributedTrainer) s14TrainDistributed(corpus, nlist)
-      else trainCentroids(corpus, nlist)
+      if (distributedTrainer ||
+          shouldTrainDistributed(corpus.count(), sampleN))
+        s14TrainDistributed(corpus, nlist)
+      else trainCentroids(corpus, nlist, sampleN)
     val celled = corpus.select(col("vec_id"), col("embedding"),
       array_position(centroidScores(col("embedding"), cents),
         array_max(centroidScores(col("embedding"), cents))).as("cell"))

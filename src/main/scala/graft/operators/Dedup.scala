@@ -1307,19 +1307,27 @@ object Dedup {
     // mean cells grow linearly again; corpora beyond that belong on
     // d06's banding (or a distributed trainer), which the docstring
     // above declares as the scale path.
+    // counted = -1 on the pinned-nlist path (spec closed forms, s08
+    // interop): those layouts stay reproducible with the sampled
+    // trainer unless the caller opts in to s14 explicitly
+    val counted = if (nlist > 0) -1L else vectors.count()
     val k = if (nlist > 0) nlist
-      else {
-        val n = vectors.count()
+      else
         math.max(1,
-          math.min(1024L, math.min(n, math.max(16L, n / targetCellSize)))
+          math.min(1024L,
+            math.min(counted, math.max(16L, counted / targetCellSize)))
             .toInt)
-      }
-    // opt-in s14: full-corpus Lloyd — "a distributed trainer", the
-    // scale path the docstring defers to past nlist·targetCellSize
+    // s14 full-corpus Lloyd — opt-in by flag, or AUTOMATIC on the
+    // derived-nlist path once the corpus exceeds the sample's
+    // representational ceiling (Ann.shouldTrainDistributed: the
+    // ~260k flip this docstring's scale note defers to, now wired
+    // rather than declared)
+    val sampleCap = math.max(2048, math.min(8 * k, 16384))
     val cents =
-      if (distributedTrainer) Ann.s14TrainDistributed(vectors, k)
-      else Ann.trainCentroids(vectors, k,
-        sampleN = math.max(2048, math.min(8 * k, 16384)))
+      if (distributedTrainer ||
+          (counted >= 0 && Ann.shouldTrainDistributed(counted, sampleCap)))
+        Ann.s14TrainDistributed(vectors, k)
+      else Ann.trainCentroids(vectors, k, sampleN = sampleCap)
     val scores = Ann.centroidScores(col("embedding"), cents)
     // localCheckpoint (lazy): the celled projection feeds both join
     // sides; blocks release on GC instead of pinning the cache

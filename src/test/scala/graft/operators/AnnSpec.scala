@@ -333,6 +333,66 @@ class AnnSpec extends AnyFunSuite {
     assert(simq(1) > simq(2))
   }
 
+  test("s14 auto-cutover: rule boundary, measured sample degradation, buildIvfIndex flips") {
+    import org.apache.spark.sql.functions.{array_max, avg, col}
+    import spark.implicits._
+    // rule boundary: the flip sits exactly past 16 × sampleN
+    assert(!Ann.shouldTrainDistributed(16L * 2048, 2048))
+    assert(Ann.shouldTrainDistributed(16L * 2048 + 1, 2048))
+
+    // structured corpus the cutover exists for: 64 tight unit-norm
+    // clusters × 250 members. A 128-vector sample supports each
+    // centroid with ~2 noisy points, so the sampled trainer's
+    // centroids sit off the cluster means; full-corpus Lloyd averages
+    // all 250 — the quantization-quality gap the auto-flip is
+    // justified by, MEASURED (members are unit vectors, so the argmax
+    // centroid dot IS the assignment cosine).
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def l2(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(x => (x / n).toFloat)
+    }
+    val centers = Array.fill(64)(
+      l2(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val rows = for { c <- 0 until 64; m <- 0 until 250 } yield {
+      val noise = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (c * 250L + m,
+        l2(centers(c).zip(noise).map { case (a, b) => a + 0.35f * b }))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+      .repartition(8).localCheckpoint(true)
+    def meanQuant(cents: Array[Array[Float]]): Double =
+      corpus.select(
+          avg(array_max(Ann.centroidScores(col("embedding"), cents))))
+        .head().getDouble(0)
+    val sampled = Ann.trainCentroids(corpus, 64, sampleN = 128)
+    val distributed = Ann.s14TrainDistributed(corpus, 64)
+    val (qs, qd) = (meanQuant(sampled), meanQuant(distributed))
+    assert(qd > qs,
+      f"distributed quantization $qd%.4f not above sampled $qs%.4f")
+
+    // integration: buildIvfIndex consults the rule. Below the ceiling
+    // it trains the sampled quantizer; past it, the s14 centroids —
+    // both trainers are deterministic, so the choice is observable
+    // bit-for-bit in the returned centroids.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cutover")
+    val small = rows.take(512).toDF("vec_id", "embedding")
+      .localCheckpoint(true)
+    val centsSmall = Ann.buildIvfIndex(small,
+      tmp.resolve("ivf_small").toString, nlist = 8, sampleN = 64)
+    val expSmall = Ann.trainCentroids(small, 8, sampleN = 64)
+    centsSmall.zip(expSmall).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g.sameElements(e), s"small-corpus centroid $i not sampled-trained") }
+    val centsBig = Ann.buildIvfIndex(corpus,
+      tmp.resolve("ivf_big").toString, nlist = 8, sampleN = 64)
+    val expBig = Ann.s14TrainDistributed(corpus, 8)
+    centsBig.zip(expBig).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(g.sameElements(e), s"big-corpus centroid $i not s14-trained") }
+  }
+
   test("s15 ranks are 1..k and every selected cos_sim matches s01's value") {
     val rows = Ann.s15MmrRerank(spark, dir, k = 8, lambda = 0.7).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 8L))
