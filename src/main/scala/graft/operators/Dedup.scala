@@ -1319,13 +1319,23 @@ object Dedup {
             .toInt)
     // s14 full-corpus Lloyd — opt-in by flag, or AUTOMATIC on the
     // derived-nlist path once the corpus exceeds the sample's
-    // representational ceiling (Ann.shouldTrainDistributed: the
-    // ~260k flip this docstring's scale note defers to, now wired
-    // rather than declared)
-    val sampleCap = math.max(2048, math.min(8 * k, 16384))
+    // representational ceiling. Unlike buildIvfIndex (a one-off build
+    // that amortizes full Lloyd), d10 trains INLINE on every call, so
+    // the escalation order is: grow the sample toward the 16384
+    // driver-memory cap first (sampleN ≥ n/16 keeps the 16× coverage
+    // rule), and only past 16 × 16384 ≈ 262k vectors — the ceiling
+    // this docstring's scale note declares — pay the distributed
+    // trainer's extra full-corpus rounds per query. (Measured: flipping
+    // at 16 × 2048 made the 50k-vector sf1 bench row 6× slower for no
+    // recall need the larger sample couldn't meet.)
+    val sampleWanted = math.max(2048, math.min(8 * k, 16384))
+    val sampleCap =
+      if (counted < 0) sampleWanted
+      else math.min(16384L,
+        math.max(sampleWanted.toLong, (counted + 15) / 16)).toInt
     val cents =
       if (distributedTrainer ||
-          (counted >= 0 && Ann.shouldTrainDistributed(counted, sampleCap)))
+          (counted >= 0 && Ann.shouldTrainDistributed(counted, 16384)))
         Ann.s14TrainDistributed(vectors, k)
       else Ann.trainCentroids(vectors, k, sampleN = sampleCap)
     val scores = Ann.centroidScores(col("embedding"), cents)
