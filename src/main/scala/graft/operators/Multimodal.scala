@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.nio.{ByteBuffer, ByteOrder}
 import javax.imageio.ImageIO
-import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -19,7 +19,7 @@ import graft.Tables
   * partition amortizes decoder setup and the work distributes with the
   * data. Decoding is real: images are PNG decoded with
   * `javax.imageio.ImageIO`, audio is 16-bit PCM WAV parsed with
-  * `javax.sound.sampled.AudioSystem`, and video is a length-prefixed
+  * a hand-rolled RIFF codec, and video is a length-prefixed
   * container of PNG frames (no pure-JDK video codec exists; the
   * container keeps frame decode honest). The demo `mediaTable`
   * synthesizes genuine encoded payloads so the decode path exercises
@@ -91,33 +91,72 @@ object Multimodal {
       (w, h, out)
     }
 
-    /** Encode 16-bit signed PCM mono samples as a WAV file. */
+    /** Encode 16-bit mono PCM as a canonical RIFF/WAVE payload.
+      * Hand-rolled on purpose: `AudioSystem.write` costs milliseconds
+      * PER CALL in provider lookup and stream plumbing — ~6.5 ms/clip,
+      * which made codec overhead (not audio math) the entire audio
+      * family's wall clock at 10× data — where this is a 44-byte
+      * header plus one little-endian array copy. The emitted bytes are
+      * the same canonical PCM WAVE layout AudioSystem produces.
+      */
     def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
-      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
-      val pcm = ByteBuffer.allocate(samples.length * 2).order(ByteOrder.LITTLE_ENDIAN)
-      samples.foreach(pcm.putShort)
-      val ais = new AudioInputStream(
-        new ByteArrayInputStream(pcm.array()), fmt, samples.length.toLong)
-      val bos = new ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      val dataLen = samples.length * 2
+      val sr = sampleRate.toInt
+      val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      bb.put('R'.toByte).put('I'.toByte).put('F'.toByte).put('F'.toByte)
+        .putInt(36 + dataLen)
+        .put('W'.toByte).put('A'.toByte).put('V'.toByte).put('E'.toByte)
+        .put('f'.toByte).put('m'.toByte).put('t'.toByte).put(' '.toByte)
+        .putInt(16).putShort(1).putShort(1) // PCM, mono
+        .putInt(sr).putInt(sr * 2)          // sample rate, byte rate
+        .putShort(2).putShort(16)           // block align, bits/sample
+        .put('d'.toByte).put('a'.toByte).put('t'.toByte).put('a'.toByte)
+        .putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
     }
 
-    /** Parse a WAV payload back to its 16-bit PCM mono samples. */
+    /** Parse a WAV payload back to its 16-bit PCM mono samples — a
+      * real RIFF chunk walk (fmt validated, unknown chunks skipped,
+      * odd sizes padded per spec), so payloads written by any
+      * conformant encoder decode, not just [[encodeWav]]'s. Same
+      * per-call-overhead rationale as the encoder.
+      */
     def decodeWav(bytes: Array[Byte]): Array[Short] = {
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
-      try {
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-          s"expected 16-bit mono PCM, got $fmt")
-        val raw = ais.readAllBytes()
-        val bb = ByteBuffer.wrap(raw).order(
-          if (fmt.isBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
-        val out = new Array[Short](raw.length / 2)
-        var i = 0
-        while (i < out.length) { out(i) = bb.getShort(); i += 1 }
-        out
-      } finally ais.close()
+      require(bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a RIFF/WAVE payload")
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      var fmtOk = false
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= bytes.length && (!fmtOk || dataOff < 0)) {
+        val a = bytes(pos); val b = bytes(pos + 1)
+        val c = bytes(pos + 2); val d = bytes(pos + 3)
+        val size = bb.getInt(pos + 4)
+        if (a == 'f' && b == 'm' && c == 't' && d == ' ') {
+          val audioFormat = bb.getShort(pos + 8)
+          val channels = bb.getShort(pos + 10)
+          val bits = bb.getShort(pos + 22)
+          require(audioFormat == 1 && channels == 1 && bits == 16,
+            s"expected 16-bit mono PCM, got format=$audioFormat " +
+              s"channels=$channels bits=$bits")
+          fmtOk = true
+        } else if (a == 'd' && b == 'a' && c == 't' && d == 'a') {
+          dataOff = pos + 8
+          dataLen = size
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(fmtOk && dataOff >= 0, "missing fmt/data chunk in WAVE payload")
+      val n = math.min(dataLen.toLong, (bytes.length - dataOff).toLong).toInt / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = bb.getShort(dataOff + 2 * i); i += 1 }
+      out
     }
 
     /** Normalized n-bin luminance histogram (sums to 1 for any
@@ -255,6 +294,20 @@ object Multimodal {
     })
   }
 
+  /** The slim id/meta frame re-spread across the session's cores
+    * before an expensive per-row payload synthesis/codec pass. The
+    * scan feeding these demo corpora is a handful of small parquet
+    * files, which Spark's small-file packing coalesces into one or
+    * two partitions (openCostInBytes vs maxPartitionBytes) — the
+    * right call for scan-bound queries, but SERIAL for compute-bound
+    * mapPartitions: at 10× data the entire multimodal family was
+    * synthesizing and decoding on one thread while 31 idled. A
+    * bytes-per-row shuffle buys full-width codec parallelism; real
+    * `binaryFile` intakes (m05) split per file and don't need this.
+    */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
   /** Typed metadata travelling with each payload. */
   final case class MediaMeta(content_length: Long, origin: String, tag: String)
   final case class MediaRow(
@@ -266,12 +319,29 @@ object Multimodal {
     * in the same mapPartitions batch shape the decoders use. At 100 TB
     * this is `spark.read.format("binaryFile")` or a manifest join — the
     * downstream pipeline is identical.
+    *
+    * `only`: optional media-type pre-filter. A `media_type === …`
+    * filter ABOVE this table cannot be pushed below the typed
+    * mapPartitions by Catalyst (typed deserialization is a barrier),
+    * so a single-modality consumer would synthesize all three payload
+    * kinds and discard two — at 10× data that was most of m02/m03's
+    * wall clock (video synthesis deflate-encodes multiple PNGs per
+    * row). The type is a pure doc_id residue, so the pre-filter below
+    * the barrier is exactly the pushdown Catalyst would have wanted.
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+  def mediaTable(spark: SparkSession, dir: String,
+      only: Option[String] = None): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
+    val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("source"), col("lang"),
         length(col("text")).cast("long").as("text_len"))
+    val pre = only match {
+      case Some("image") => docs.filter(col("doc_id") % 3 === 0)
+      case Some("audio") => docs.filter(col("doc_id") % 3 === 1)
+      case Some("video") => docs.filter(col("doc_id") % 3 === 2)
+      case _             => docs
+    }
+    spreadIds(pre)
       .as[(Long, String, String, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, source, lang, textLen) =>
@@ -390,7 +460,7 @@ object Multimodal {
       stride: Int = 2, outRes: Int = 4): DataFrame = {
     require(stride > 0 && outRes > 0, "stride/outRes must be positive")
     import spark.implicits._
-    mediaTable(spark, dir)
+    mediaTable(spark, dir, only = Some("video"))
       .filter(col("media_type") === "video")
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -427,7 +497,7 @@ object Multimodal {
       windowSamples: Int = 256, hopSamples: Int = 128): DataFrame = {
     require(hopSamples > 0 && windowSamples > 0, "window/hop must be positive")
     import spark.implicits._
-    mediaTable(spark, dir)
+    mediaTable(spark, dir, only = Some("audio"))
       .filter(col("media_type") === "audio")
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -563,7 +633,7 @@ object Multimodal {
     import spark.implicits._
     Tables(spark, dir).documents
       .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).transform(spreadIds).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val orig = (id, synthImageNoise(id))
@@ -739,7 +809,7 @@ object Multimodal {
     import spark.implicits._
     Tables(spark, dir).documents
       .filter(col("doc_id") % 3 === 1)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).transform(spreadIds).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val orig = (id, synthWavNoise(id))
@@ -864,7 +934,7 @@ object Multimodal {
     import spark.implicits._
     Tables(spark, dir).documents
       .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).transform(spreadIds).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val orig = (id, synthImageNoise(id))
@@ -963,7 +1033,7 @@ object Multimodal {
     import spark.implicits._
     Tables(spark, dir).documents
       .filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).transform(spreadIds).as[Long]
       .mapPartitions(ids => ids.map(id => (id, synthShotVideo(id))))
       .toDF("doc_id", "payload")
   }
@@ -1153,7 +1223,7 @@ object Multimodal {
     import spark.implicits._
     Tables(spark, dir).documents
       .filter(col("doc_id") % 5 === 2)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id")).transform(spreadIds).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { id =>
           val orig = (id, synthNoiseVideo(id))
