@@ -51,7 +51,15 @@ object OracleAux {
         operators.Multimodal.plantedAudioCorpus(s, d))),
     ("m09_sigs", Set("m09_video_dedup"),
       (s, d) => operators.Multimodal.m09Sigs(
-        operators.Multimodal.plantedVideoCorpus(s, d))))
+        operators.Multimodal.plantedVideoCorpus(s, d))),
+    // one sig pair serves BOTH admission queries (d13 is law-equal to
+    // d11 row-for-row, so they share one oracle)
+    ("d11_sigs_lake", Set("d11_incr_dedup", "d13_indexed_admit"),
+      (s, d) => operators.Dedup.d11AuxSigsLake(s, d)),
+    ("d11_sigs_new", Set("d11_incr_dedup", "d13_indexed_admit"),
+      (s, d) => operators.Dedup.d11AuxSigsNew(s, d)),
+    ("s14_cents", Set("s14_kmeans_distributed"),
+      (s, d) => operators.Ann.s14AuxCentroids(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

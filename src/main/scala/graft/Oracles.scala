@@ -32,6 +32,61 @@ object Oracles {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The d11/d13 admission-gate replay: persisted MinHash signatures
+    * of the demo lake and batch → banding by signature slices →
+    * asymmetric new×lake candidate join → exact string-shingle
+    * Jaccard on the SQL-rebuilt tagged corpora → best lake match per
+    * new doc (jaccard desc, lake id asc) → admission verdicts for the
+    * whole batch (short docs have no signature and therefore admit).
+    */
+  private val AdmissionGateSql: String =
+    s"""WITH sl AS (SELECT doc_id, sig
+       |  FROM '${OracleAux.Root}/d11_sigs_lake/*.parquet'),
+       |sn AS (SELECT doc_id, sig
+       |  FROM '${OracleAux.Root}/d11_sigs_new/*.parquet'),
+       |bl AS (SELECT doc_id, j AS band, sig[j*4+1:j*4+4] AS bs
+       |       FROM sl, generate_series(0,15) g(j)),
+       |bn AS (SELECT doc_id, j AS band, sig[j*4+1:j*4+4] AS bs
+       |       FROM sn, generate_series(0,15) g(j)),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, l.doc_id AS lake_id
+       |         FROM bn n JOIN bl l ON n.band = l.band AND n.bs = l.bs),
+       |toksl AS (SELECT doc_id,
+       |            list_transform(string_split(text, ' '),
+       |              t -> t || '_' || CAST(doc_id AS VARCHAR)) AS w
+       |          FROM documents),
+       |neww AS (SELECT doc_id + 2000000 AS doc_id,
+       |           list_append(w, 'resubmitted') AS w
+       |         FROM toksl WHERE doc_id % 3 = 0
+       |         UNION ALL
+       |         SELECT doc_id + 3000000,
+       |           list_transform(string_split(text, ' '),
+       |             t -> t || '_' || CAST(doc_id + 3000000 AS VARCHAR))
+       |         FROM documents
+       |         WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+       |shl AS (SELECT doc_id,
+       |          list_distinct(list_transform(range(1, len(w)-5+2),
+       |            i -> array_to_string(w[i:i+4], ' '))) AS s
+       |        FROM toksl WHERE len(w) >= 5),
+       |shn AS (SELECT doc_id,
+       |          list_distinct(list_transform(range(1, len(w)-5+2),
+       |            i -> array_to_string(w[i:i+4], ' '))) AS s
+       |        FROM neww WHERE len(w) >= 5),
+       |ver AS (SELECT new_id, lake_id,
+       |          round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |                len(list_distinct(list_concat(a.s, b.s))), 4)
+       |            AS jaccard
+       |        FROM cand JOIN shn a ON new_id = a.doc_id
+       |                  JOIN shl b ON lake_id = b.doc_id),
+       |best AS (SELECT new_id, lake_id, jaccard,
+       |           row_number() OVER (PARTITION BY new_id
+       |             ORDER BY jaccard DESC, lake_id) AS rn
+       |         FROM ver WHERE jaccard >= 0.7)
+       |SELECT n.doc_id, b.lake_id IS NULL AS admit,
+       |  b.lake_id AS dup_of, b.jaccard AS jaccard
+       |FROM (SELECT doc_id FROM neww) n
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.new_id
+       |ORDER BY n.doc_id""".stripMargin
+
   /** Fixed-point revenue sum, identical to Num.revenueSum. */
   private val REV =
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
@@ -670,6 +725,32 @@ object Oracles {
          |            JOIN s b ON doc_b = b.doc_id) t
          |WHERE match_frac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // d11/d13 share one oracle: the indexed gate's verdicts are
+    // law-equal to the inline gate's row-for-row, over the same demo
+    // lake/batch and the same persisted signature pair
+    "d11_incr_dedup" -> AdmissionGateSql,
+    "d13_indexed_admit" -> AdmissionGateSql,
+
+    "s14_kmeans_distributed" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         |  FROM '${OracleAux.Root}/s14_cents/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |scored AS (SELECT e.vec_id, c.cell, e.v, c.cv,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell) AS rn
+         |  FROM e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, cell,
+         |    CAST(round(list_dot_product(v, cv) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))),
+         |      4) AS DECIMAL(18,4)) AS cos4
+         |  FROM scored WHERE rn = 1)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  round(CAST(CAST(SUM(cos4) AS VARCHAR) AS DOUBLE) / COUNT(*), 4)
+         |    AS mean_cos
+         |FROM asg GROUP BY cell
+         |ORDER BY cell""".stripMargin,
 
     // ---- file-pipeline relational oracles (f03/f05) ----
 

@@ -1150,6 +1150,22 @@ object Ann {
     cents
   }
 
+  /** The s14 census's trained centroids as a (cell, centroid) frame
+    * (oracle side-table): the trainer is deterministic, so the oracle
+    * reads the same centroids the census used and independently
+    * replays the argmax cell assignment (first-max tie-break), the
+    * 4-dp kernel cosine, and the DECIMAL mean in SQL.
+    */
+  def s14AuxCentroids(spark: SparkSession, dir: String,
+      nlist: Int = 16, iters: Int = 4): DataFrame = {
+    import spark.implicits._
+    s14TrainDistributed(
+      Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+      nlist, iters)
+      .zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
   /** s14 driver query: train distributed centroids over the full
     * embedding corpus, then emit the per-cell census — population and
     * mean cosine-to-centroid (the quantization-quality number an IVF

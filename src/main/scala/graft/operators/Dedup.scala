@@ -260,18 +260,19 @@ object Dedup {
     * fresh docs admitted — spec-asserted doc-for-doc.
     */
   def d11IncrementalDedupDemo(spark: SparkSession, dir: String,
-      threshold: Double = 0.7): DataFrame = {
-    val base = Tables(spark, dir).documents.select(col("doc_id"),
-      tagTokens(col("text"), col("doc_id")).as("text"))
-    val resub = base.filter(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + 2000000L).as("doc_id"),
-        concat(col("text"), lit(" resubmitted")).as("text"))
-    val fresh = Tables(spark, dir).documents
-      .filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 3000000L).as("doc_id"),
-        tagTokens(col("text"), col("doc_id") + 3000000L).as("text"))
-    d11IncrementalDedup(resub.union(fresh), base, threshold = threshold)
-  }
+      threshold: Double = 0.7): DataFrame =
+    d11IncrementalDedup(d13DemoBatch(spark, dir), d13DemoLake(spark, dir),
+      threshold = threshold)
+
+  /** MinHash signatures of the d11/d13 demo lake and batch (oracle
+    * side-tables — one pair serves BOTH queries, whose verdicts are
+    * law-equal row-for-row).
+    */
+  def d11AuxSigsLake(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(d13DemoLake(spark, dir), shingleK = 5, numPerm = 64)
+
+  def d11AuxSigsNew(spark: SparkSession, dir: String): DataFrame =
+    minhashSignatures(d13DemoBatch(spark, dir), shingleK = 5, numPerm = 64)
 
   // ---------------------------------------------------------------- d13
 
