@@ -38,8 +38,25 @@ object OracleAux {
       (s, d) => operators.Dedup.d02AuxSigs(s, d)),
     ("d03_sigs", Set("d03_dedup_simhash"),
       (s, d) => operators.Dedup.d03AuxSigs(s, d)),
-    ("d06_corpus", Set("d06_embed_neardup_lsh"),
+    // d10 shares the d06 demo corpus, so the embedding side-table
+    // serves both; d10 adds only its trained centroids
+    ("d06_corpus", Set("d06_embed_neardup_lsh", "d10_semantic_dedup"),
       (s, d) => operators.Dedup.d06AuxCorpus(s, d)),
+    ("d10_cents", Set("d10_semantic_dedup"),
+      (s, d) => operators.Dedup.d10AuxCentroids(s, d)),
+    // signatures cover every vec, so s02 (single-query) and s05
+    // (knn-join) share them; s04's full-corpus quantizer is exactly
+    // the one s13's filtered probe reuses by design
+    ("s02_sigs", Set("s02_ann_lsh", "s05_knn_join_lsh"),
+      (s, d) => operators.Ann.s02AuxSigs(s, d)),
+    ("s04_cents", Set("s04_ann_ivf", "s13_ann_filtered_ivf"),
+      (s, d) => operators.Ann.s04AuxCentroids(s, d)),
+    ("s06_cents", Set("s06_knn_join_ivf"),
+      (s, d) => operators.Ann.s06AuxCentroids(s, d)),
+    // f01's witness is produced by an INDEPENDENT serial walk — a
+    // differential oracle for the distributed BFS listing
+    ("f01_expected", Set("f01_manifest"),
+      (s, d) => sources.FilePipeline.f01AuxSerialWalk(s, d)),
     ("m04_sigs", Set("m04_phash_dedup"),
       (s, d) => operators.Multimodal.m04Sigs(
         operators.Multimodal.plantedImageCorpus(s, d))),

@@ -726,6 +726,180 @@ object Oracles {
          |WHERE match_frac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "d10_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM '${OracleAux.Root}/d06_corpus/*.parquet'),
+         |cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         |  FROM '${OracleAux.Root}/d10_cents/*.parquet'),
+         |asg AS (SELECT vec_id, v, cell FROM (
+         |    SELECT c.vec_id, c.v, k.cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(c.v, k.cv) DESC, k.cell) AS rn
+         |    FROM c CROSS JOIN cents k) t
+         |  WHERE rn = 1),
+         |pairs AS (SELECT y.vec_id AS vec_id, x.vec_id AS partner,
+         |    round(list_dot_product(x.v, y.v) /
+         |      (sqrt(list_dot_product(x.v, x.v)) *
+         |       sqrt(list_dot_product(y.v, y.v))), 4) AS cos_sim
+         |  FROM asg x JOIN asg y
+         |    ON x.cell = y.cell AND x.vec_id < y.vec_id)
+         |SELECT vec_id, MIN(partner) AS dup_of,
+         |  round(MAX(cos_sim), 4) AS max_cos
+         |FROM pairs WHERE cos_sim >= 0.9
+         |GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin,
+
+    "s02_ann_lsh" ->
+      s"""WITH sigs AS (SELECT vec_id, sig
+         |  FROM '${OracleAux.Root}/s02_sigs/*.parquet'),
+         |q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id = 0),
+         |masks AS (SELECT CAST(0 AS BIGINT) AS m
+         |  UNION ALL SELECT CAST(1 AS BIGINT) << i
+         |    FROM generate_series(0,7) g(i)
+         |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j)
+         |    FROM generate_series(0,6) a(i), generate_series(0,7) b(j)
+         |    WHERE j > i),
+         |probes AS (SELECT DISTINCT xor(qsig, m) AS p FROM q, masks),
+         |cand AS (SELECT s.vec_id FROM sigs s
+         |         JOIN probes ON s.sig = probes.p
+         |         WHERE s.vec_id <> 0)
+         |SELECT e.vec_id,
+         |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v) /
+         |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[]))) *
+         |     sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
+         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, qv
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    "s04_ann_ivf" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         |  FROM '${OracleAux.Root}/s04_cents/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id = 0),
+         |qcells AS (SELECT cell FROM (
+         |    SELECT k.cell,
+         |      row_number() OVER (ORDER BY list_dot_product(qv.v, k.cv)
+         |        DESC, k.cell) AS rn
+         |    FROM cents k, qv) t
+         |  WHERE rn <= 4),
+         |celled AS (SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, k.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, k.cv) DESC, k.cell) AS rn
+         |    FROM e CROSS JOIN cents k) t
+         |  WHERE rn = 1)
+         |SELECT c.vec_id,
+         |  round(list_dot_product(c.v, qv.v) /
+         |    (sqrt(list_dot_product(c.v, c.v)) *
+         |     sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
+         |FROM celled c JOIN qcells ON c.cell = qcells.cell, qv
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "s05_knn_join_lsh" ->
+      s"""WITH sigs AS (SELECT vec_id, sig
+         |  FROM '${OracleAux.Root}/s02_sigs/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |masks AS (SELECT CAST(0 AS BIGINT) AS m
+         |  UNION ALL SELECT CAST(1 AS BIGINT) << i
+         |    FROM generate_series(0,7) g(i)
+         |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j)
+         |    FROM generate_series(0,6) a(i), generate_series(0,7) b(j)
+         |    WHERE j > i),
+         |qp AS (SELECT s.vec_id AS query_id, xor(s.sig, masks.m) AS p
+         |       FROM sigs s, masks WHERE s.vec_id < 10),
+         |cand AS (SELECT DISTINCT qp.query_id, s.vec_id
+         |         FROM qp JOIN sigs s ON s.sig = qp.p
+         |         WHERE s.vec_id >= 10),
+         |scored AS (SELECT c.query_id, c.vec_id,
+         |    round(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) *
+         |       sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+         |  FROM cand c JOIN e a ON c.vec_id = a.vec_id
+         |              JOIN e b ON c.query_id = b.vec_id),
+         |rk AS (SELECT query_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM rk
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "s06_knn_join_ivf" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         |  FROM '${OracleAux.Root}/s06_cents/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+         |corpus AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+         |qc AS (SELECT query_id, cell FROM (
+         |    SELECT q.query_id, k.cell,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(q.v, k.cv) DESC, k.cell) AS rn
+         |    FROM q CROSS JOIN cents k) t
+         |  WHERE rn <= 4),
+         |celled AS (SELECT vec_id, v, cell FROM (
+         |    SELECT c.vec_id, c.v, k.cell,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY list_dot_product(c.v, k.cv) DESC, k.cell) AS rn
+         |    FROM corpus c CROSS JOIN cents k) t
+         |  WHERE rn = 1),
+         |scored AS (SELECT qc.query_id, cl.vec_id,
+         |    round(list_dot_product(cl.v, q.v) /
+         |      (sqrt(list_dot_product(cl.v, cl.v)) *
+         |       sqrt(list_dot_product(q.v, q.v))), 4) AS cos_sim
+         |  FROM celled cl JOIN qc ON cl.cell = qc.cell
+         |                 JOIN q ON q.query_id = qc.query_id),
+         |rk AS (SELECT query_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM rk
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "s13_ann_filtered_ivf" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         |  FROM '${OracleAux.Root}/s04_cents/*.parquet'),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id = 0),
+         |qcells AS (SELECT cell FROM (
+         |    SELECT k.cell,
+         |      row_number() OVER (ORDER BY list_dot_product(qv.v, k.cv)
+         |        DESC, k.cell) AS rn
+         |    FROM cents k, qv) t
+         |  WHERE rn <= 16),
+         |celled AS (SELECT vec_id, label, v, cell FROM (
+         |    SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v,
+         |      k.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |          k.cv) DESC, k.cell) AS rn
+         |    FROM embeddings e CROSS JOIN cents k
+         |    WHERE e.vec_id <> 0 AND e.label = 1) t
+         |  WHERE rn = 1)
+         |SELECT c.vec_id, c.label,
+         |  round(list_dot_product(c.v, qv.v) /
+         |    (sqrt(list_dot_product(c.v, c.v)) *
+         |     sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
+         |FROM celled c JOIN qcells ON c.cell = qcells.cell, qv
+         |ORDER BY cos_sim DESC, c.vec_id
+         |LIMIT 10""".stripMargin,
+
+    // f01: differential oracle — the side-table is an independent
+    // java.nio serial walk of the same tree; the compare certifies the
+    // distributed BFS listing against it row-for-row
+    "f01_manifest" ->
+      s"""SELECT path, name, rel_path, ext, size
+         |FROM '${OracleAux.Root}/f01_expected/*.parquet'
+         |ORDER BY path""".stripMargin,
+
     // d11/d13 share one oracle: the indexed gate's verdicts are
     // law-equal to the inline gate's row-for-row, over the same demo
     // lake/batch and the same persisted signature pair

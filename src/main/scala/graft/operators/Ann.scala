@@ -1150,6 +1150,41 @@ object Ann {
     cents
   }
 
+  /** s02's SRP signatures for every embedding, query row included
+    * (oracle side-table): the oracle rebuilds the Hamming ≤ 2 probe
+    * set by XOR masks in SQL and replays the bucket join, exact
+    * cosine, and top-k against these signatures.
+    */
+  def s02AuxSigs(spark: SparkSession, dir: String,
+      nBits: Int = 8, dim: Int = 64): DataFrame =
+    Tables(spark, dir).embeddings.select(col("vec_id"),
+      srpSignature(col("embedding"), nBits, dim).as("sig"))
+
+  /** s04's trained coarse quantizer (oracle side-table, 1-based cells
+    * matching array_position) — the deterministic sampled trainer on
+    * the same corpus the query trains on.
+    */
+  def s04AuxCentroids(spark: SparkSession, dir: String,
+      nlist: Int = 16): DataFrame = {
+    import spark.implicits._
+    trainCentroids(
+      Tables(spark, dir).embeddings.filter(col("vec_id") =!= 0), nlist)
+      .zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  /** s06's quantizer — trained on the knn-join corpus (vec_id ≥
+    * nQueries), distinct from s04's vec_id ≠ 0 corpus.
+    */
+  def s06AuxCentroids(spark: SparkSession, dir: String,
+      nlist: Int = 16, nQueries: Int = 10): DataFrame = {
+    import spark.implicits._
+    trainCentroids(
+      Tables(spark, dir).embeddings.filter(col("vec_id") >= nQueries), nlist)
+      .zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
   /** The s14 census's trained centroids as a (cell, centroid) frame
     * (oracle side-table): the trainer is deterministic, so the oracle
     * reads the same centroids the census used and independently

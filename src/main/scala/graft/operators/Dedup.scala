@@ -1290,6 +1290,45 @@ object Dedup {
     * celled corpus persists partitioned by `cell` (s08's layout) and
     * the pairwise stage runs per cell partition.
     */
+  /** d10's quantizer selection — (k, centroids) — extracted so the
+    * oracle side-table reads the SAME derivation the query trains
+    * with (drift between them would silently invalidate the replay).
+    *
+    * counted = -1 on the pinned-nlist path (spec closed forms, s08
+    * interop): those layouts stay reproducible with the sampled
+    * trainer unless the caller opts in to s14 explicitly. On the
+    * derived path the trainer escalates: grow the sample toward the
+    * 16384 driver-memory cap first (sampleN ≥ n/16 keeps the 16×
+    * coverage rule), and only past 16 × 16384 ≈ 262k vectors — the
+    * ceiling the d10 docstring declares — pay the distributed
+    * trainer's extra full-corpus rounds per query (d10 trains INLINE
+    * per call, unlike buildIvfIndex's amortized one-off; measured:
+    * flipping at 16 × 2048 made the 50k-vector sf1 bench row 6×
+    * slower for no recall need the larger sample couldn't meet).
+    */
+  private[graft] def d10Quantizer(vectors: DataFrame, nlist: Int,
+      targetCellSize: Int, distributedTrainer: Boolean)
+      : (Int, Array[Array[Float]]) = {
+    val counted = if (nlist > 0) -1L else vectors.count()
+    val k = if (nlist > 0) nlist
+      else
+        math.max(1,
+          math.min(1024L,
+            math.min(counted, math.max(16L, counted / targetCellSize)))
+            .toInt)
+    val sampleWanted = math.max(2048, math.min(8 * k, 16384))
+    val sampleCap =
+      if (counted < 0) sampleWanted
+      else math.min(16384L,
+        math.max(sampleWanted.toLong, (counted + 15) / 16)).toInt
+    val cents =
+      if (distributedTrainer ||
+          (counted >= 0 && Ann.shouldTrainDistributed(counted, 16384)))
+        Ann.s14TrainDistributed(vectors, k)
+      else Ann.trainCentroids(vectors, k, sampleN = sampleCap)
+    (k, cents)
+  }
+
   def d10SemanticDedupOver(vectors: DataFrame, threshold: Double = 0.9,
       nlist: Int = 0, targetCellSize: Int = 256,
       distributedTrainer: Boolean = false): DataFrame = {
@@ -1308,37 +1347,8 @@ object Dedup {
     // mean cells grow linearly again; corpora beyond that belong on
     // d06's banding (or a distributed trainer), which the docstring
     // above declares as the scale path.
-    // counted = -1 on the pinned-nlist path (spec closed forms, s08
-    // interop): those layouts stay reproducible with the sampled
-    // trainer unless the caller opts in to s14 explicitly
-    val counted = if (nlist > 0) -1L else vectors.count()
-    val k = if (nlist > 0) nlist
-      else
-        math.max(1,
-          math.min(1024L,
-            math.min(counted, math.max(16L, counted / targetCellSize)))
-            .toInt)
-    // s14 full-corpus Lloyd — opt-in by flag, or AUTOMATIC on the
-    // derived-nlist path once the corpus exceeds the sample's
-    // representational ceiling. Unlike buildIvfIndex (a one-off build
-    // that amortizes full Lloyd), d10 trains INLINE on every call, so
-    // the escalation order is: grow the sample toward the 16384
-    // driver-memory cap first (sampleN ≥ n/16 keeps the 16× coverage
-    // rule), and only past 16 × 16384 ≈ 262k vectors — the ceiling
-    // this docstring's scale note declares — pay the distributed
-    // trainer's extra full-corpus rounds per query. (Measured: flipping
-    // at 16 × 2048 made the 50k-vector sf1 bench row 6× slower for no
-    // recall need the larger sample couldn't meet.)
-    val sampleWanted = math.max(2048, math.min(8 * k, 16384))
-    val sampleCap =
-      if (counted < 0) sampleWanted
-      else math.min(16384L,
-        math.max(sampleWanted.toLong, (counted + 15) / 16)).toInt
-    val cents =
-      if (distributedTrainer ||
-          (counted >= 0 && Ann.shouldTrainDistributed(counted, 16384)))
-        Ann.s14TrainDistributed(vectors, k)
-      else Ann.trainCentroids(vectors, k, sampleN = sampleCap)
+    val (_, cents) = d10Quantizer(vectors, nlist, targetCellSize,
+      distributedTrainer)
     val scores = Ann.centroidScores(col("embedding"), cents)
     // localCheckpoint (lazy): the celled projection feeds both join
     // sides; blocks release on GC instead of pinning the cache
@@ -1371,14 +1381,21 @@ object Dedup {
     * SemDeDup loss).
     */
   def d10SemanticDedupDemo(spark: SparkSession, dir: String,
-      threshold: Double = 0.9, nlist: Int = 0): DataFrame = {
-    val t = Tables(spark, dir)
-    val base = t.embeddings.select(col("vec_id"), col("embedding"))
-    val planted = base.select((col("vec_id") + 1000000L).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        (x + lit(0.015f) * cos(i.cast("double")).cast("float")))
-        .as("embedding"))
-    d10SemanticDedupOver(base.union(planted), threshold, nlist)
+      threshold: Double = 0.9, nlist: Int = 0): DataFrame =
+    d10SemanticDedupOver(d06DemoCorpus(spark, dir), threshold, nlist)
+
+  /** The d10 demo's trained centroids (oracle side-table, 1-based
+    * cells matching array_position) — derived through [[d10Quantizer]]
+    * so the oracle replays with exactly the query's quantizer. The
+    * corpus embeddings themselves ride in the shared d06_corpus
+    * side-table (same demo corpus).
+    */
+  def d10AuxCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, cents) = d10Quantizer(d06DemoCorpus(spark, dir), nlist = 0,
+      targetCellSize = 256, distributedTrainer = false)
+    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("cell", "centroid")
   }
 
   /** d06 over an arbitrary (vec_id, embedding) DataFrame. Default

@@ -381,6 +381,41 @@ object FilePipeline {
     } else copied
   }
 
+  /** f01's differential witness (oracle side-table): an INDEPENDENT
+    * serial listing of the same tree via java.nio.Files.walk — none of
+    * the distributed-BFS/Hadoop-listing code path — producing the
+    * catalog's exact row contract (file: URI path, rel_path, lowercase
+    * ext, size; hidden/underscore entries pruned at every level). The
+    * oracle then compares the distributed walk against this serial
+    * reference row-for-row.
+    */
+  def f01AuxSerialWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Path => JPath, Paths}
+    import scala.jdk.CollectionConverters._
+    def hidden(p: JPath): Boolean = {
+      val n = p.getFileName.toString
+      n.startsWith(".") || n.startsWith("_")
+    }
+    val root = Paths.get(dir).toAbsolutePath.normalize()
+    def walk(d: JPath): Seq[(String, String, String, String, Long)] = {
+      val entries = {
+        val s = Files.list(d)
+        try s.iterator().asScala.toVector.sortBy(_.toString)
+        finally s.close()
+      }
+      entries.filterNot(hidden).flatMap { p =>
+        if (Files.isDirectory(p)) walk(p)
+        else {
+          val name = p.getFileName.toString
+          val rel = root.relativize(p).toString.replace('\\', '/')
+          Seq(("file:" + p.toString, name, rel, extOf(name), Files.size(p)))
+        }
+      }
+    }
+    walk(root).toDF("path", "name", "rel_path", "ext", "size")
+  }
+
   /** f03 driver correctness entry: the sync planner over two manifests
     * synthesized DETERMINISTICALLY from the documents table, so DuckDB
     * can rebuild both sides and replay the full-outer diff. Coverage by
