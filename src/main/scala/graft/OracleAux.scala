@@ -47,9 +47,9 @@ object OracleAux {
     // signatures cover every vec, so s02 (single-query) and s05
     // (knn-join) share them; s04's full-corpus quantizer is exactly
     // the one s13's filtered probe reuses by design
-    ("s02_sigs", Set("s02_ann_lsh", "s05_knn_join_lsh"),
+    ("s02_sigs", Set("s02_ann_lsh", "s05_knn_join_lsh", "s07_ann_lsh_indexed"),
       (s, d) => operators.Ann.s02AuxSigs(s, d)),
-    ("s04_cents", Set("s04_ann_ivf", "s13_ann_filtered_ivf"),
+    ("s04_cents", Set("s04_ann_ivf", "s13_ann_filtered_ivf", "s08_ann_ivf_indexed"),
       (s, d) => operators.Ann.s04AuxCentroids(s, d)),
     ("s06_cents", Set("s06_knn_join_ivf"),
       (s, d) => operators.Ann.s06AuxCentroids(s, d)),

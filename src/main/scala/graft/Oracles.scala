@@ -87,6 +87,66 @@ object Oracles {
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.doc_id = b.new_id
        |ORDER BY n.doc_id""".stripMargin
 
+  /** The SRP Hamming<=2 probe replay (persisted signatures, XOR-mask
+    * probe set, exact-cosine top-k) - serves s02 AND the s07 indexed
+    * probe, whose contract is exactly this flat answer.
+    */
+  private val SrpProbeSql: String =
+    s"""WITH sigs AS (SELECT vec_id, sig
+         |  FROM '${OracleAux.Root}/s02_sigs/*.parquet'),
+         |q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id = 0),
+         |masks AS (SELECT CAST(0 AS BIGINT) AS m
+         |  UNION ALL SELECT CAST(1 AS BIGINT) << i
+         |    FROM generate_series(0,7) g(i)
+         |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j)
+         |    FROM generate_series(0,6) a(i), generate_series(0,7) b(j)
+         |    WHERE j > i),
+         |probes AS (SELECT DISTINCT xor(qsig, m) AS p FROM q, masks),
+         |cand AS (SELECT s.vec_id FROM sigs s
+         |         JOIN probes ON s.sig = probes.p
+         |         WHERE s.vec_id <> 0)
+         |SELECT e.vec_id,
+         |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v) /
+         |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+         |                           CAST(e.embedding AS DOUBLE[]))) *
+         |     sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
+         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, qv
+         |ORDER BY cos_sim DESC, e.vec_id
+         |LIMIT 10""".stripMargin
+
+  /** The IVF nprobe=4 probe replay (persisted centroids, first-max
+    * cell assignment, probe-cell selection, exact-cosine top-k) -
+    * serves s04 AND the s08 indexed probe.
+    */
+  private val IvfProbeSql: String =
+    s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         |  FROM '${OracleAux.Root}/s04_cents/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings WHERE vec_id <> 0),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id = 0),
+         |qcells AS (SELECT cell FROM (
+         |    SELECT k.cell,
+         |      row_number() OVER (ORDER BY list_dot_product(qv.v, k.cv)
+         |        DESC, k.cell) AS rn
+         |    FROM cents k, qv) t
+         |  WHERE rn <= 4),
+         |celled AS (SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, k.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, k.cv) DESC, k.cell) AS rn
+         |    FROM e CROSS JOIN cents k) t
+         |  WHERE rn = 1)
+         |SELECT c.vec_id,
+         |  round(list_dot_product(c.v, qv.v) /
+         |    (sqrt(list_dot_product(c.v, c.v)) *
+         |     sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
+         |FROM celled c JOIN qcells ON c.cell = qcells.cell, qv
+         |ORDER BY cos_sim DESC, vec_id
+         |LIMIT 10""".stripMargin
+
   /** Fixed-point revenue sum, identical to Num.revenueSum. */
   private val REV =
     "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * " +
@@ -749,57 +809,14 @@ object Oracles {
          |GROUP BY vec_id
          |ORDER BY vec_id""".stripMargin,
 
-    "s02_ann_lsh" ->
-      s"""WITH sigs AS (SELECT vec_id, sig
-         |  FROM '${OracleAux.Root}/s02_sigs/*.parquet'),
-         |q AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
-         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
-         |       FROM embeddings WHERE vec_id = 0),
-         |masks AS (SELECT CAST(0 AS BIGINT) AS m
-         |  UNION ALL SELECT CAST(1 AS BIGINT) << i
-         |    FROM generate_series(0,7) g(i)
-         |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j)
-         |    FROM generate_series(0,6) a(i), generate_series(0,7) b(j)
-         |    WHERE j > i),
-         |probes AS (SELECT DISTINCT xor(qsig, m) AS p FROM q, masks),
-         |cand AS (SELECT s.vec_id FROM sigs s
-         |         JOIN probes ON s.sig = probes.p
-         |         WHERE s.vec_id <> 0)
-         |SELECT e.vec_id,
-         |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.v) /
-         |    (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-         |                           CAST(e.embedding AS DOUBLE[]))) *
-         |     sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
-         |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id, qv
-         |ORDER BY cos_sim DESC, e.vec_id
-         |LIMIT 10""".stripMargin,
-
-    "s04_ann_ivf" ->
-      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
-         |  FROM '${OracleAux.Root}/s04_cents/*.parquet'),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |      FROM embeddings WHERE vec_id <> 0),
-         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v
-         |       FROM embeddings WHERE vec_id = 0),
-         |qcells AS (SELECT cell FROM (
-         |    SELECT k.cell,
-         |      row_number() OVER (ORDER BY list_dot_product(qv.v, k.cv)
-         |        DESC, k.cell) AS rn
-         |    FROM cents k, qv) t
-         |  WHERE rn <= 4),
-         |celled AS (SELECT vec_id, v, cell FROM (
-         |    SELECT e.vec_id, e.v, k.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY list_dot_product(e.v, k.cv) DESC, k.cell) AS rn
-         |    FROM e CROSS JOIN cents k) t
-         |  WHERE rn = 1)
-         |SELECT c.vec_id,
-         |  round(list_dot_product(c.v, qv.v) /
-         |    (sqrt(list_dot_product(c.v, c.v)) *
-         |     sqrt(list_dot_product(qv.v, qv.v))), 4) AS cos_sim
-         |FROM celled c JOIN qcells ON c.cell = qcells.cell, qv
-         |ORDER BY cos_sim DESC, vec_id
-         |LIMIT 10""".stripMargin,
+    // s07's indexed probe must return EXACTLY the flat s02 answer on
+    // the demo corpus (same corpus, query vec 0, same signature and
+    // probe parameters) — one SQL certifies both, which is precisely
+    // the indexed-equals-flat contract. Likewise s08 vs s04.
+    "s02_ann_lsh" -> SrpProbeSql,
+    "s07_ann_lsh_indexed" -> SrpProbeSql,
+    "s04_ann_ivf" -> IvfProbeSql,
+    "s08_ann_ivf_indexed" -> IvfProbeSql,
 
     "s05_knn_join_lsh" ->
       s"""WITH sigs AS (SELECT vec_id, sig
