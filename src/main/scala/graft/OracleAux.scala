@@ -76,7 +76,15 @@ object OracleAux {
     ("d11_sigs_new", Set("d11_incr_dedup", "d13_indexed_admit"),
       (s, d) => operators.Dedup.d11AuxSigsNew(s, d)),
     ("s14_cents", Set("s14_kmeans_distributed"),
-      (s, d) => operators.Ann.s14AuxCentroids(s, d)))
+      (s, d) => operators.Ann.s14AuxCentroids(s, d)),
+    // c13's xxhash64 split assignment (the sweep itself is replayed
+    // from documents + this table in pure SQL)
+    ("c13_assigned", Set("c13_leakproof_split"),
+      (s, d) => operators.Corpus.c13AuxAssigned(s, d)),
+    // the m07 decode-kernel deltas; scene segmentation (m07) and the
+    // keyframe rollup (m10) are both replayed downstream of this
+    ("m07_deltas", Set("m07_scene_detect", "m10_keyframe_sample"),
+      (s, d) => operators.Multimodal.m07AuxDeltas(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

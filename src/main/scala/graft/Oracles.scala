@@ -1914,6 +1914,82 @@ object Oracles {
         |  CAST(1700000000000 + f AS BIGINT) AS mtime
         |FROM generate_series(0, 7) AS gd(d),
         |     generate_series(0, 24) AS gf(f)
-        |ORDER BY path""".stripMargin
+        |ORDER BY path""".stripMargin,
+
+    // c13's quarantine fixpoint replayed as bootstrap percolation: the
+    // recursive term RE-EMITS the full leaky set each round (UNION ALL
+    // keeps the previous round's full set as the working table) and
+    // the `cnt > max(n)` guard stops at the fixpoint — the monotone
+    // set-growth argument in leakproofSplitOver's docstring. Only the
+    // xxhash64 pre-assignment comes from the side-table; shingle
+    // inventories and every sweep round are recomputed from documents.
+    "c13_leakproof_split" ->
+      s"""WITH RECURSIVE assigned AS (
+         |  SELECT doc_id, split FROM '${OracleAux.Root}/c13_assigned/*.parquet'),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(w)-8+2),
+         |           i -> array_to_string(w[i:i+7], ' '))) AS s
+         |       FROM toks WHERE len(w) >= 8),
+         |inv AS (SELECT sh.doc_id, unnest(s) AS g, a.split
+         |        FROM sh JOIN assigned a ON sh.doc_id = a.doc_id),
+         |train_g AS (SELECT DISTINCT g FROM inv WHERE split = 'train'),
+         |held AS (SELECT doc_id, g FROM inv WHERE split <> 'train'),
+         |walk(doc_id, n) AS (
+         |  SELECT doc_id, CAST(count(*) OVER () AS BIGINT) FROM (
+         |    SELECT h.doc_id FROM held h JOIN train_g t ON h.g = t.g
+         |    GROUP BY 1 HAVING count(*) >= 3)
+         |  UNION ALL
+         |  SELECT doc_id, cnt FROM (
+         |    SELECT doc_id, CAST(count(*) OVER () AS BIGINT) AS cnt FROM (
+         |      SELECT h.doc_id FROM held h
+         |      JOIN (SELECT g FROM train_g
+         |            UNION SELECT h2.g FROM held h2
+         |                  JOIN walk w ON h2.doc_id = w.doc_id) u
+         |        ON h.g = u.g
+         |      GROUP BY 1 HAVING count(*) >= 3))
+         |  WHERE cnt > (SELECT max(n) FROM walk)),
+         |leaky AS (SELECT DISTINCT doc_id FROM walk)
+         |SELECT a.doc_id, a.split,
+         |  CASE WHEN l.doc_id IS NOT NULL THEN 'train' ELSE a.split END
+         |    AS final_split
+         |FROM assigned a LEFT JOIN leaky l ON a.doc_id = l.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // m07 downstream of the persisted decode-kernel deltas: boundary
+    // verdict on the 4-dp delta and the per-video running scene index
+    "m07_scene_detect" ->
+      s"""WITH d AS (SELECT doc_id, frame_idx, n_frames, delta
+         |  FROM '${OracleAux.Root}/m07_deltas/*.parquet')
+         |SELECT doc_id, frame_idx, n_frames, delta,
+         |  delta >= 30.0 AS boundary,
+         |  CAST(sum(CASE WHEN delta >= 30.0 THEN 1 ELSE 0 END) OVER
+         |    (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT)
+         |    AS scene_idx
+         |FROM d
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m10 = m07's running scene index + the per-(video, scene) span
+    // rollup and middle-frame pick, all replayed from the same deltas
+    "m10_keyframe_sample" ->
+      s"""WITH d AS (SELECT doc_id, frame_idx, n_frames, delta
+         |  FROM '${OracleAux.Root}/m07_deltas/*.parquet'),
+         |sc AS (SELECT doc_id, frame_idx,
+         |    CAST(sum(CASE WHEN delta >= 30.0 THEN 1 ELSE 0 END) OVER
+         |      (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT)
+         |      AS scene_idx
+         |  FROM d),
+         |g AS (SELECT doc_id, scene_idx,
+         |    min(frame_idx) AS first_row, max(frame_idx) AS f_end
+         |  FROM sc GROUP BY doc_id, scene_idx),
+         |f AS (SELECT doc_id, scene_idx,
+         |    CAST(CASE WHEN scene_idx = 0 THEN 0 ELSE first_row END
+         |      AS INTEGER) AS f_start,
+         |    f_end FROM g)
+         |SELECT doc_id, scene_idx, f_start,
+         |  CAST(f_end - f_start + 1 AS INTEGER) AS n_scene_frames,
+         |  CAST(f_start + (f_end - f_start) // 2 AS BIGINT) AS keyframe_idx
+         |FROM f
+         |ORDER BY doc_id, scene_idx""".stripMargin
   )
 }

@@ -392,15 +392,31 @@ object Corpus {
     leakproofSplitOver(Tables(spark, dir).documents, trainFrac, valFrac,
       shingleK, minShared)
 
-  def leakproofSplitOver(docs: DataFrame, trainFrac: Double,
-      valFrac: Double, shingleK: Int, minShared: Long): DataFrame = {
+  /** The c13 pre-sweep hash assignment (x06's split), shared by the
+    * sweep and its oracle side-table: the xxhash64 bucketing has no
+    * DuckDB counterpart, so the oracle reads the assignment back and
+    * independently replays everything DOWNSTREAM — the shingle
+    * inventories and the whole quarantine fixpoint.
+    */
+  private def c13Assign(docs: DataFrame, trainFrac: Double,
+      valFrac: Double): DataFrame = {
     val buckets = 1000000L
     val h = pmod(xxhash64(col("doc_id")), lit(buckets))
     val t = (trainFrac * buckets).toLong
     val v = ((trainFrac + valFrac) * buckets).toLong
-    val assigned = docs.select(col("doc_id"), col("text"),
+    docs.select(col("doc_id"), col("text"),
       when(h < t, "train").when(h < v, "val").otherwise("test")
         .as("split"))
+  }
+
+  /** (doc_id, split) side-table for the c13 oracle replay. */
+  def c13AuxAssigned(spark: SparkSession, dir: String): DataFrame =
+    c13Assign(Tables(spark, dir).documents, 0.8, 0.1)
+      .select("doc_id", "split")
+
+  def leakproofSplitOver(docs: DataFrame, trainFrac: Double,
+      valFrac: Double, shingleK: Int, minShared: Long): DataFrame = {
+    val assigned = c13Assign(docs, trainFrac, valFrac)
     // one shingle scan feeds every round of the cross-split sweep
     val sh = Dedup.docShingleHashes(assigned, shingleK)
       .join(assigned.select("doc_id", "split"), Seq("doc_id"))

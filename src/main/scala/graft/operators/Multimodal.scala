@@ -992,9 +992,27 @@ object Multimodal {
     * pixels never shuffle, 20-byte rows do.
     */
   def sceneDetectOver(videos: DataFrame, threshold: Double = 30.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frameDeltasOver(videos)
+      .withColumn("boundary", col("delta") >= threshold)
+      .withColumn("scene_idx",
+        sum(col("boundary").cast("long")).over(w))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** The m07 decode kernel alone: per consecutive-frame pair one
+    * (doc_id, frame_idx, n_frames, delta) row, delta already 4-dp
+    * rounded (the value the boundary verdict tests). Split out so the
+    * m07/m10 oracle side-table persists exactly the kernel output and
+    * DuckDB independently replays everything downstream — the
+    * boundary threshold, the running scene index, and m10's per-scene
+    * rollup.
+    */
+  def frameDeltasOver(videos: DataFrame): DataFrame = {
     val spark = videos.sparkSession
     import spark.implicits._
-    val deltas = videos
+    videos
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -1018,15 +1036,12 @@ object Multimodal {
         }
       }
       .toDF()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("frame_idx")
-    deltas
       .withColumn("delta", round(col("delta"), 4))
-      .withColumn("boundary", col("delta") >= threshold)
-      .withColumn("scene_idx",
-        sum(col("boundary").cast("long")).over(w))
-      .orderBy("doc_id", "frame_idx")
   }
+
+  /** m07/m10 oracle side-table: the planted-corpus frame deltas. */
+  def m07AuxDeltas(spark: SparkSession, dir: String): DataFrame =
+    frameDeltasOver(plantedShotCorpus(spark, dir))
 
   /** m07 planted corpus: a shot-structured video per fifth document. */
   def plantedShotCorpus(spark: SparkSession, dir: String): DataFrame = {
