@@ -84,7 +84,24 @@ object OracleAux {
     // the m07 decode-kernel deltas; scene segmentation (m07) and the
     // keyframe rollup (m10) are both replayed downstream of this
     ("m07_deltas", Set("m07_scene_detect", "m10_keyframe_sample"),
-      (s, d) => operators.Multimodal.m07AuxDeltas(s, d)))
+      (s, d) => operators.Multimodal.m07AuxDeltas(s, d)),
+    ("m01_feats", Set("m01_multimodal"),
+      (s, d) => operators.Multimodal.m01AuxFeatures(s, d)),
+    ("m02_frames", Set("m02_frame_sample"),
+      (s, d) => operators.Multimodal.m02AuxFrames(s, d)),
+    ("m03_pcm", Set("m03_audio_windows"),
+      (s, d) => operators.Multimodal.m03AuxPcm(s, d)),
+    // the e12 hashed-bigram bucket counts, shared by DSIR weighting
+    // and classifier scoring; the ln/model memos carry the only two
+    // non-SQL-replayable artifacts (StrictMath ln, trained weights)
+    ("c14_feats", Set("c14_importance_weights", "c16_quality_classifier"),
+      (s, d) => operators.Corpus.c14AuxFeats(s, d)),
+    ("c14_ln", Set("c14_importance_weights"),
+      (s, d) => operators.Corpus.c14AuxLn(s, d)),
+    ("c16_model", Set("c16_quality_classifier"),
+      (s, d) => operators.Corpus.c16AuxModel(s, d)),
+    ("t15_ln", Set("t15_lm_score"),
+      (s, d) => operators.TextOps.t15AuxLn(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

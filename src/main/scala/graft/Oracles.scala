@@ -1990,6 +1990,155 @@ object Oracles {
          |  CAST(f_end - f_start + 1 AS INTEGER) AS n_scene_frames,
          |  CAST(f_start + (f_end - f_start) // 2 AS BIGINT) AS keyframe_idx
          |FROM f
-         |ORDER BY doc_id, scene_idx""".stripMargin
+         |ORDER BY doc_id, scene_idx""".stripMargin,
+
+    // m01 downstream of the persisted decode features: the per-type
+    // rollup with Spark's decimal-avg chain replayed in exact HUGEINT
+    // arithmetic (sum·10⁴ half-up-divided by n = the decimal(·,13)
+    // average, then one double conversion and the 4-dp round)
+    "m01_multimodal" ->
+      s"""WITH f AS (SELECT media_type, n_bytes,
+         |    CAST(s9 * 1000000000 AS HUGEINT) AS s_int
+         |  FROM '${OracleAux.Root}/m01_feats/*.parquet'),
+         |a AS (SELECT media_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_media,
+         |    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         |    CAST(SUM(s_int) AS HUGEINT) AS s_scaled
+         |  FROM f GROUP BY media_type)
+         |SELECT media_type, n_media, total_bytes,
+         |  round(CAST((2*s_scaled*10000 + n_media) // (2*n_media)
+         |    AS DOUBLE) / 1e13, 4) AS avg_feat0
+         |FROM a ORDER BY media_type""".stripMargin,
+
+    // m02: the stride-1 superset side-table proves the sampler picked
+    // exactly the even frames and re-derives feat0 from the raw grid
+    "m02_frame_sample" ->
+      s"""SELECT doc_id, frame_idx, n_frames,
+         |  round(CAST(resized[1] AS DOUBLE), 4) AS feat0
+         |FROM '${OracleAux.Root}/m02_frames/*.parquet'
+         |WHERE frame_idx % 2 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // m03 downstream of the persisted PCM: hop/window arithmetic, the
+    // exact-dyadic Σv² (no float-order surface — see m03AuxPcm) and
+    // the normalized RMS all replayed in SQL
+    "m03_audio_windows" ->
+      s"""WITH p AS (SELECT doc_id, samples, len(samples) AS n
+         |  FROM '${OracleAux.Root}/m03_pcm/*.parquet'),
+         |w AS (SELECT doc_id, n, unnest(range(0, n, 128)) AS start
+         |      FROM p WHERE n > 0),
+         |e AS (SELECT doc_id, n, start,
+         |    CAST(start // 128 AS INTEGER) AS win_idx,
+         |    CAST((n + 127) // 128 AS INTEGER) AS n_windows,
+         |    least(start + 256, n) AS til FROM w)
+         |SELECT e.doc_id, e.win_idx, e.n_windows,
+         |  round(sqrt(list_sum(list_transform(
+         |    p.samples[e.start+1:e.til],
+         |    x -> (x/32768.0)*(x/32768.0))) / (e.til - e.start)), 4)
+         |    AS energy
+         |FROM e JOIN p ON e.doc_id = p.doc_id
+         |ORDER BY e.doc_id, e.win_idx""".stripMargin,
+
+    // c14 downstream of the persisted bucket counts: both smoothed
+    // distributions, the log-ratio table (ln via the memo — the one
+    // scalar DuckDB's libm can't replay bit-exactly), and the
+    // decimal-fixed-point per-doc rollup
+    "c14_importance_weights" ->
+      s"""WITH f AS (SELECT doc_id, b, n
+         |  FROM '${OracleAux.Root}/c14_feats/*.parquet'),
+         |lnm AS (SELECT x, lx FROM '${OracleAux.Root}/c14_ln/*.parquet'),
+         |tgt AS (SELECT doc_id FROM documents
+         |        WHERE source = (SELECT min(source) FROM documents)),
+         |rawc AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c_r
+         |         FROM f GROUP BY b),
+         |tgtc AS (SELECT f.b, CAST(SUM(f.n) AS BIGINT) AS c_t
+         |         FROM f JOIN tgt USING (doc_id) GROUP BY f.b),
+         |tot AS (SELECT
+         |    CAST((SELECT SUM(n) FROM f) AS BIGINT) AS n_raw,
+         |    CAST((SELECT SUM(f.n) FROM f JOIN tgt USING (doc_id))
+         |      AS BIGINT) AS n_tgt),
+         |lr AS (SELECT r.b, lt.lx - lq.lx AS lr
+         |       FROM rawc r LEFT JOIN tgtc t ON r.b = t.b CROSS JOIN tot
+         |       JOIN lnm lt ON lt.x = CAST(COALESCE(t.c_t, 0) + 1 AS DOUBLE)
+         |         / CAST(tot.n_tgt + 65536 AS DOUBLE)
+         |       JOIN lnm lq ON lq.x = CAST(r.c_r + 1 AS DOUBLE)
+         |         / CAST(tot.n_raw + 65536 AS DOUBLE))
+         |SELECT f.doc_id, CAST(SUM(f.n) AS BIGINT) AS n_feats,
+         |  CAST(CAST(SUM(CAST(round(f.n * lr.lr, 9) AS DECIMAL(28,9)))
+         |    AS VARCHAR) AS DOUBLE) AS weight
+         |FROM f JOIN lr ON f.b = lr.b
+         |GROUP BY f.doc_id
+         |ORDER BY f.doc_id""".stripMargin,
+
+    // c16: corpus-wide scoring replayed against the persisted frozen
+    // model — margins in decimal fixed-point, sigmoid, keep verdicts
+    "c16_quality_classifier" ->
+      s"""WITH f AS (SELECT doc_id, b, n
+         |  FROM '${OracleAux.Root}/c14_feats/*.parquet'),
+         |m AS (SELECT b, w FROM '${OracleAux.Root}/c16_model/*.parquet'
+         |      WHERE b <> -1),
+         |bias AS (SELECT w AS bw
+         |         FROM '${OracleAux.Root}/c16_model/*.parquet'
+         |         WHERE b = -1),
+         |lab AS (SELECT doc_id,
+         |    CAST(source = (SELECT min(source) FROM documents)
+         |      AS INTEGER) AS label
+         |  FROM documents),
+         |marg AS (SELECT f.doc_id,
+         |    CAST(CAST(SUM(CAST(round(f.n * m.w, 9) AS DECIMAL(28,9)))
+         |      AS VARCHAR) AS DOUBLE) AS margin
+         |  FROM f JOIN m USING (b) GROUP BY f.doc_id),
+         |nf AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats
+         |       FROM f GROUP BY doc_id),
+         |s AS (SELECT l.doc_id, l.label,
+         |    COALESCE(nf.n_feats, 0) AS n_feats,
+         |    round(1.0 / (1.0 +
+         |      exp(-(COALESCE(marg.margin, 0.0) + bias.bw))), 6) AS prob
+         |  FROM lab l LEFT JOIN marg ON l.doc_id = marg.doc_id
+         |             LEFT JOIN nf ON l.doc_id = nf.doc_id
+         |             CROSS JOIN bias)
+         |SELECT doc_id, label, n_feats, prob, prob >= 0.5 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // t15: the WHOLE stupid-backoff LM rebuilt in SQL — reference
+    // bigram tables, three-case backoff, decimal rollup — with only
+    // the scalar ln looked up from the memo side-table
+    "t15_lm_score" ->
+      s"""WITH rtoks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents
+         |  WHERE source = (SELECT min(source) FROM documents)),
+         |rbg0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |         FROM rtoks WHERE len(w) >= 2),
+         |rbg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM rbg0),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM rbg GROUP BY 1, 2),
+         |prefix AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+         |           FROM big GROUP BY 1),
+         |uni AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2
+         |        FROM rbg GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM rbg),
+         |atoks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |          FROM documents),
+         |abg0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |         FROM atoks WHERE len(w) >= 2),
+         |abg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM abg0),
+         |p AS (SELECT a.doc_id,
+         |    CASE WHEN b.c12 IS NOT NULL
+         |           THEN CAST(b.c12 AS DOUBLE) / CAST(pf.c1 AS DOUBLE)
+         |         WHEN u.c2 IS NOT NULL
+         |           THEN 0.4 * (CAST(u.c2 AS DOUBLE) / tot.T)
+         |         ELSE 0.4 * (1.0 / tot.T) END AS pv
+         |  FROM abg a LEFT JOIN big b ON a.w1 = b.w1 AND a.w2 = b.w2
+         |             LEFT JOIN prefix pf ON a.w1 = pf.w1
+         |             LEFT JOIN uni u ON a.w2 = u.w2
+         |             CROSS JOIN tot),
+         |s AS (SELECT p.doc_id,
+         |    CAST(round(l.lx, 9) AS DECIMAL(28,9)) AS term
+         |  FROM p JOIN '${OracleAux.Root}/t15_ln/*.parquet' l
+         |    ON l.x = p.pv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) / count(*)
+         |    AS mean_lp
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

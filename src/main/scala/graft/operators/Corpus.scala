@@ -747,15 +747,74 @@ object Corpus {
     */
   def c14ImportanceWeights(spark: SparkSession, dir: String,
       targetSource: String = ""): DataFrame = {
-    val t = Tables(spark, dir)
-    val docs = t.documents
-    // demo exemplar: the alphabetically-first source (deterministic)
+    val (raw, target) = c14DemoFrames(spark, dir, targetSource)
+    importanceWeightsOver(raw, target).orderBy("doc_id")
+  }
+
+  /** The c14/c16 demo corpus split: raw = every document, target =
+    * the alphabetically-first source (deterministic exemplar).
+    */
+  private def c14DemoFrames(spark: SparkSession, dir: String,
+      targetSource: String = ""): (DataFrame, DataFrame) = {
+    val docs = Tables(spark, dir).documents
     val tgt = if (targetSource.nonEmpty) targetSource
       else docs.select(min(col("source"))).collect().head.getString(0)
-    importanceWeightsOver(
-      docs.select(col("doc_id"), col("text")),
+    (docs.select(col("doc_id"), col("text")),
       docs.filter(col("source") === tgt).select(col("doc_id"), col("text")))
-      .orderBy("doc_id")
+  }
+
+  /** c14/c16 oracle side-table: the hashed-bigram bucket counts of
+    * every document — the e12 kernel output the two operators share.
+    * Everything downstream (both smoothed distributions, the
+    * log-ratio table, margins, rollups) replays in SQL.
+    */
+  def c14AuxFeats(spark: SparkSession, dir: String): DataFrame =
+    c16Featurize(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")), 65536)
+
+  /** c14 oracle ln-memo: the exact doubles importanceWeightsOver
+    * passes to `log`, with their StrictMath results — DuckDB
+    * recomputes both distributions itself and only LOOKS UP the one
+    * scalar transcendental (its libm ln can differ from fdlibm in the
+    * last ulp, which the 9-dp term rounding cannot always absorb).
+    */
+  def c14AuxLn(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 65536
+    val (raw, target) = c14DemoFrames(spark, dir)
+    val rawCounts = c16Featurize(raw, buckets)
+    val tgtCounts = c16Featurize(target, buckets)
+    val nRaw = rawCounts.agg(sum(col("n"))).collect().head.getLong(0)
+    val nTgt = tgtCounts.agg(sum(col("n"))).collect().head.getLong(0)
+    val xs = rawCounts.groupBy("b").agg(sum(col("n")).as("c_r"))
+      .join(tgtCounts.groupBy("b").agg(sum(col("n")).as("c_t")),
+        Seq("b"), "left")
+      .select(
+        ((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+          lit((nTgt + buckets).toDouble)).as("xt"),
+        ((col("c_r") + lit(1L)).cast("double") /
+          lit((nRaw + buckets).toDouble)).as("xr"))
+    xs.select(col("xt").as("x")).union(xs.select(col("xr").as("x")))
+      .distinct()
+      .select(col("x"), log(col("x")).as("lx"))
+  }
+
+  /** c16 oracle side-table: the frozen trained model in
+    * [[c16ModelBuild]]'s (b, w) + bias-at-−1 wire format. Training is
+    * deterministic, so these weights equal the driver query's own;
+    * the corpus-wide SCORING pass — margins, sigmoid, keep verdicts —
+    * replays in SQL against c14_feats.
+    */
+  def c16AuxModel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val tgt = docs.select(min(col("source"))).collect().head.getString(0)
+    val labeled = docs.select(col("doc_id"), col("text"),
+      (col("source") === tgt).cast("int").as("label"))
+    val feats = c16Featurize(labeled, 65536)
+    val labels = labeled.select(col("doc_id"), col("label"))
+      .localCheckpoint(false)
+    val (w, bias) = c16Train(feats, labels, 8, 0.5, 4096)
+    (w.toSeq :+ (-1L, bias)).toDF("b", "w")
   }
 
   // ---------------------------------------------------------------- c15

@@ -419,9 +419,15 @@ object Multimodal {
     * pattern: one decoder instantiation per partition, streaming
     * iterator in/out (no materialized partition copies).
     */
-  def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
+  /** The m01 decode kernel alone: one (doc_id, media_type, n_bytes,
+    * feat) row per media payload — shared by the m01 rollup and its
+    * oracle side-table (which persists the kernel output so DuckDB
+    * independently replays the distributed per-type aggregation).
+    */
+  def m01FeaturesOver(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    val features = mediaTable(spark, dir)
+    media
       .select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
@@ -431,7 +437,20 @@ object Multimodal {
           MediaFeatures(id, mt, payload.length.toLong, decodeFeatures(mt, payload))
         }
       }
-    features.toDF()
+      .toDF()
+  }
+
+  /** m01 oracle side-table: feat0 persisted AS the DECIMAL(18,9) the
+    * rollup averages — the quantization happens once, engine-side, so
+    * the replay has no float→decimal cast-parity surface at all.
+    */
+  def m01AuxFeatures(spark: SparkSession, dir: String): DataFrame =
+    m01FeaturesOver(mediaTable(spark, dir))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        element_at(col("feat"), 1).cast("decimal(18,9)").as("s9"))
+
+  def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    m01FeaturesOver(mediaTable(spark, dir))
       .groupBy("media_type")
       .agg(
         count(lit(1)).as("n_media"),
@@ -456,12 +475,17 @@ object Multimodal {
     * output partitioning inherited from the input so a downstream
     * per-doc groupBy needs no extra shuffle beyond the agg's own.
     */
-  def m02FrameSample(spark: SparkSession, dir: String,
-      stride: Int = 2, outRes: Int = 4): DataFrame = {
+  /** The m02 decode kernel: every `stride`-th frame's resized grid.
+    * Exposed so the oracle side-table can persist the stride=1
+    * superset and DuckDB replay the stride SELECTION plus the feature
+    * extraction downstream.
+    */
+  def frameFeaturesOver(videos: DataFrame, stride: Int,
+      outRes: Int): DataFrame = {
     require(stride > 0 && outRes > 0, "stride/outRes must be positive")
+    val spark = videos.sparkSession
     import spark.implicits._
-    mediaTable(spark, dir, only = Some("video"))
-      .filter(col("media_type") === "video")
+    videos
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -474,6 +498,25 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** m02 oracle side-table: ALL frames' resized grids (stride=1 is a
+    * superset of every stride's pick, so the oracle proves the
+    * sampling selected exactly the right frames — none extra, none
+    * missing — and re-derives feat0 from the raw grid).
+    */
+  def m02AuxFrames(spark: SparkSession, dir: String): DataFrame =
+    frameFeaturesOver(
+      mediaTable(spark, dir, only = Some("video"))
+        .filter(col("media_type") === "video"),
+      stride = 1, outRes = 4)
+
+  def m02FrameSample(spark: SparkSession, dir: String,
+      stride: Int = 2, outRes: Int = 4): DataFrame = {
+    frameFeaturesOver(
+      mediaTable(spark, dir, only = Some("video"))
+        .filter(col("media_type") === "video"),
+      stride, outRes)
       .select(col("doc_id"), col("frame_idx"), col("n_frames"),
         round(element_at(col("resized"), 1).cast("double"), 4).as("feat0"))
       .orderBy("doc_id", "frame_idx")
@@ -518,6 +561,23 @@ object Multimodal {
       .select(col("doc_id"), col("win_idx"), col("n_windows"),
         round(col("energy"), 4).as("energy"))
       .orderBy("doc_id", "win_idx")
+  }
+
+  /** m03 oracle side-table: the decoded PCM streams themselves. The
+    * windowing, the RMS and the rounding all replay in SQL — and the
+    * Σv² accumulation is EXACT in both engines (each v² = s²/2³⁰ is a
+    * dyadic rational ≤ 1; 256 of them need 38 bits — no float-order
+    * surface), so the only persisted artifact is the WAV parse.
+    */
+  def m03AuxPcm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir, only = Some("audio"))
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows =>
+        rows.map { case (id, p) => (id, Codecs.decodeWav(p)) })
+      .toDF("doc_id", "samples")
   }
 
   // ---------------------------------------------------------------- m04

@@ -694,6 +694,37 @@ object TextOps {
         (sum(col("term")).cast("double") / count(lit(1))).as("mean_lp"))
   }
 
+  /** t15 oracle ln-memo: the exact doubles lmScoreWith passes to
+    * `log` — every bigram conditional c12/c1, every backoff
+    * α·(c2/T), and the unseen constant α·(1/T) — with their
+    * StrictMath results. DuckDB rebuilds the whole LM (bigram
+    * extraction, count tables, joins, the three-case backoff, the
+    * decimal rollup) from `documents` itself and only LOOKS UP the
+    * scalar ln, the one op where libm can drift a last ulp past what
+    * 9-dp term rounding absorbs.
+    */
+  def t15AuxLn(spark: SparkSession, dir: String,
+      alpha: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val ref = docs.select(min(col("source"))).collect().head.getString(0)
+    val refBg = lmBigrams(
+      docs.filter(col("source") === ref).select(col("doc_id"), col("text")))
+      .localCheckpoint(false)
+    val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    val prefix = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val uni = refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val total = refBg.count().toDouble
+    val xBig = big.join(prefix, Seq("w1"))
+      .select((col("c12").cast("double") / col("c1")).as("x"))
+    val xUni = uni.select(
+      (lit(alpha) * (col("c2").cast("double") / lit(total))).as("x"))
+    val xElse = Seq(alpha * (1.0 / total)).toDF("x")
+    xBig.union(xUni).union(xElse).distinct()
+      .select(col("x"), log(col("x")).as("lx"))
+  }
+
   /** Persist the t15 LM tables once (vocab-bounded parquet: bigram
     * conditionals, prefix totals, unigram counts, and a 1-row meta
     * with T) — the train-once artifact st14's streaming gate scores
