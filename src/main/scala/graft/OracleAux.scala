@@ -101,7 +101,11 @@ object OracleAux {
     ("c16_model", Set("c16_quality_classifier"),
       (s, d) => operators.Corpus.c16AuxModel(s, d)),
     ("t15_ln", Set("t15_lm_score"),
-      (s, d) => operators.TextOps.t15AuxLn(s, d)))
+      (s, d) => operators.TextOps.t15AuxLn(s, d)),
+    ("c18_cents", Set("c18_balanced_sample"),
+      (s, d) => operators.Ann.c18AuxCentroids(s, d)),
+    ("c05_hash", Set("c05_mixture_build"),
+      (s, d) => operators.Corpus.c05AuxHash(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

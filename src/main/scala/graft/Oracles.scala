@@ -2139,6 +2139,112 @@ object Oracles {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) / count(*)
          |    AS mean_lp
-         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // c18 downstream of the persisted quantizer: cell assignment
+    // (first-max by dot, the array_position convention), centrality,
+    // per-cell prototype quotas — the full operator replayed
+    "c18_balanced_sample" ->
+      s"""WITH cents AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+         |  FROM '${OracleAux.Root}/c18_cents/*.parquet'),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings),
+         |asg AS (SELECT vec_id, cell, sc, v FROM (
+         |    SELECT e.vec_id, k.cell, e.v,
+         |      list_dot_product(e.v, k.cv) AS sc,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.v, k.cv) DESC, k.cell) AS rn
+         |    FROM e CROSS JOIN cents k) t WHERE rn = 1),
+         |ctr AS (SELECT vec_id, cell,
+         |    sc / sqrt(list_dot_product(v, v)) AS centrality FROM asg),
+         |rk AS (SELECT cell, vec_id, centrality,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY centrality DESC, vec_id) AS INTEGER) AS rank
+         |  FROM ctr)
+         |SELECT cell, rank, vec_id, round(centrality, 4) AS centrality
+         |FROM rk WHERE rank <= 8
+         |ORDER BY cell, rank""".stripMargin,
+
+    // c05: the c02 plan rates at the c05 token budget, the stratified
+    // hash gate (hash from the side-table — the one xxhash64 input),
+    // and the per-doc token count, all replayed; the seeded output
+    // shuffle is order-only and the sorted-row compare absorbs it
+    "c05_mixture_build" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+         |      AS BIGINT) AS tot_tokens
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT source, round(least(1.0,
+         |    (12000.0 / (SELECT COUNT(*) FROM per)) / tot_tokens), 6)
+         |    AS rate FROM per),
+         |h AS (SELECT doc_id, h
+         |      FROM '${OracleAux.Root}/c05_hash/*.parquet')
+         |SELECT d.doc_id, d.source,
+         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |FROM documents d
+         |JOIN h ON d.doc_id = h.doc_id
+         |JOIN r ON d.source = r.source
+         |WHERE h.h < CAST(trunc(r.rate * 1048576) AS BIGINT)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // s15: the full MMR greedy loop as a recursive CTE — the working
+    // set re-emits the selected prefix each round and adds the
+    // argmax, with divMax floored at 0.0 (mmrSelect's init) and λ
+    // arithmetic forced to DOUBLE (DuckDB parses 0.7 as DECIMAL, and
+    // decimal-folded 1.0−0.7 is a DIFFERENT double than Java's).
+    // Entirely self-contained: no side-table, kernel cosines included
+    "s15_mmr_rerank" ->
+      """WITH RECURSIVE
+        |lam AS (SELECT CAST(0.7 AS DOUBLE) AS l,
+        |               CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE) AS ml),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |c0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), q.qv) /
+        |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                             CAST(embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+        |  FROM embeddings, q WHERE vec_id <> 0),
+        |cand AS (SELECT vec_id, v, cos_sim FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+        |      AS rn
+        |    FROM c0 WHERE NOT isnan(cos_sim)) t WHERE rn <= 50),
+        |walk(it, rank, vec_id, cos_sim, mmr_score) AS (
+        |  SELECT 1, CAST(1 AS BIGINT), vec_id, cos_sim,
+        |         lam.l*cos_sim - lam.ml*0.0
+        |  FROM (SELECT vec_id, cos_sim, row_number() OVER (
+        |          ORDER BY lam0.l*cos_sim - lam0.ml*0.0 DESC, vec_id)
+        |          AS rn
+        |        FROM cand, lam lam0) t, lam WHERE rn = 1
+        |  UNION ALL
+        |  SELECT u.* FROM (
+        |    SELECT w.it + 1 AS it, w.rank, w.vec_id, w.cos_sim,
+        |           w.mmr_score
+        |    FROM walk w
+        |    UNION ALL
+        |    SELECT (SELECT max(it) FROM walk) + 1,
+        |           CAST((SELECT count(*) FROM walk) + 1 AS BIGINT),
+        |           s.vec_id, s.cos_sim, s.score
+        |    FROM (
+        |      SELECT d.vec_id, d.cos_sim,
+        |        lam.l*d.cos_sim - lam.ml*d.dv AS score,
+        |        row_number() OVER (
+        |          ORDER BY lam.l*d.cos_sim - lam.ml*d.dv DESC, d.vec_id)
+        |          AS rn
+        |      FROM (
+        |        SELECT c2.vec_id, c2.cos_sim,
+        |          greatest(0.0, max(round(list_dot_product(c2.v, cv.v) /
+        |            (sqrt(list_dot_product(c2.v, c2.v)) *
+        |             sqrt(list_dot_product(cv.v, cv.v))), 4))) AS dv
+        |        FROM cand c2
+        |        JOIN cand cv ON cv.vec_id IN (SELECT vec_id FROM walk)
+        |        WHERE c2.vec_id NOT IN (SELECT vec_id FROM walk)
+        |        GROUP BY c2.vec_id, c2.cos_sim) d, lam) s
+        |    WHERE s.rn = 1) u
+        |  WHERE (SELECT max(it) FROM walk) < 10
+        |)
+        |SELECT rank, vec_id, cos_sim, mmr_score FROM walk
+        |WHERE it = (SELECT max(it) FROM walk)
+        |ORDER BY rank""".stripMargin
   )
 }

@@ -1191,6 +1191,20 @@ object Ann {
     * replays the argmax cell assignment (first-max tie-break), the
     * 4-dp kernel cosine, and the DECIMAL mean in SQL.
     */
+  /** c18's quantizer — trained on the FULL embeddings table (no
+    * query-row exclusion: c18 balances the whole corpus). Cell ids
+    * are 1-based to match `array_position`'s convention.
+    */
+  def c18AuxCentroids(spark: SparkSession, dir: String,
+      nlist: Int = 16): DataFrame = {
+    import spark.implicits._
+    trainCentroids(
+      Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding")),
+      nlist)
+      .zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
   def s14AuxCentroids(spark: SparkSession, dir: String,
       nlist: Int = 16, iters: Int = 4): DataFrame = {
     import spark.implicits._

@@ -230,6 +230,15 @@ object Corpus {
     Sampling.shuffleDeterministic(sampled.select(cols: _*), col("doc_id"), seed)
   }
 
+  /** c05 oracle side-table: the x06 sampling hash per document — the
+    * one non-SQL-replayable input (xxhash64). Rates, the stratified
+    * gate, and the token counts all replay in SQL; the seeded output
+    * shuffle is order-only, which the sorted-row compare absorbs.
+    */
+  def c05AuxHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"),
+      pmod(xxhash64(col("doc_id")), lit(1L << 20)).as("h"))
+
   // ---------------------------------------------------------------- c10
 
   /** c10: mixture EPOCHS — c02 caps sampling rates at 1.0, but a real
