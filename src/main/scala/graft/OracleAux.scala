@@ -49,8 +49,11 @@ object OracleAux {
     // the one s13's filtered probe reuses by design
     ("s02_sigs", Set("s02_ann_lsh", "s05_knn_join_lsh", "s07_ann_lsh_indexed"),
       (s, d) => operators.Ann.s02AuxSigs(s, d)),
-    ("s04_cents", Set("s04_ann_ivf", "s13_ann_filtered_ivf", "s08_ann_ivf_indexed"),
+    ("s04_cents", Set("s04_ann_ivf", "s13_ann_filtered_ivf",
+        "s08_ann_ivf_indexed", "s11_ann_ivf_pq"),
       (s, d) => operators.Ann.s04AuxCentroids(s, d)),
+    ("s10_books", Set("s10_ann_pq", "s11_ann_ivf_pq"),
+      (s, d) => operators.Ann.s10AuxBooks(s, d)),
     ("s06_cents", Set("s06_knn_join_ivf"),
       (s, d) => operators.Ann.s06AuxCentroids(s, d)),
     // f01's witness is produced by an INDEPENDENT serial walk — a
@@ -105,7 +108,9 @@ object OracleAux {
     ("c18_cents", Set("c18_balanced_sample"),
       (s, d) => operators.Ann.c18AuxCentroids(s, d)),
     ("c05_hash", Set("c05_mixture_build"),
-      (s, d) => operators.Corpus.c05AuxHash(s, d)))
+      (s, d) => operators.Corpus.c05AuxHash(s, d)),
+    ("c01_sigs", Set("c01_clean_corpus"),
+      (s, d) => operators.Corpus.c01AuxSigs(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

@@ -32,6 +32,58 @@ object Oracles {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The s10/s11 PQ-ADC replay: encode every corpus vector against
+    * the persisted codebooks (the dot-identity argmax with first-max
+    * tie-break), build the query's ADC table, score as the ORDERED
+    * j-sum of table lookups (list(t ORDER BY j) → list_sum preserves
+    * Spark's fixed reduce order), coarse-cut to k·rerank, and rerank
+    * by exact kernel cosine. `cellCtes`/`adcFrom` splice in s11's IVF
+    * probe (s10 passes the identity).
+    */
+  private def pqAdcSql(cellCtes: String, adcFrom: String): String =
+    s"""WITH books AS (SELECT j, c, CAST(cv AS DOUBLE[]) AS cv
+       |  FROM '${OracleAux.Root}/s10_books/*.parquet'),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv,
+       |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                              CAST(embedding AS DOUBLE[]))) AS qn
+       |      FROM embeddings WHERE vec_id = 0),
+       |ds AS (SELECT len(v) // 16 AS d FROM e LIMIT 1),
+       |enc AS (SELECT vec_id, j, c AS code FROM (
+       |    SELECT e.vec_id, b.j, b.c,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.j
+       |        ORDER BY
+       |          list_dot_product(e.v[b.j*ds.d+1 : b.j*ds.d+ds.d], b.cv)
+       |            / sqrt(list_dot_product(e.v, e.v))
+       |            - list_dot_product(b.cv, b.cv)/2.0 DESC,
+       |          b.c) AS rn
+       |    FROM e CROSS JOIN books b CROSS JOIN ds) t WHERE rn = 1),
+       |ltab AS (SELECT b.j, b.c,
+       |    list_dot_product(list_transform(
+       |      q.qv[b.j*ds.d+1 : b.j*ds.d+ds.d], x -> x/q.qn), b.cv) AS t
+       |  FROM books b, q, ds),
+       |adc AS (SELECT enc.vec_id,
+       |    round(list_sum(list(lt.t ORDER BY lt.j)), 4) AS pq_sim
+       |  FROM enc JOIN ltab lt ON enc.j = lt.j AND enc.code = lt.c
+       |  GROUP BY enc.vec_id),
+       |$cellCtes
+       |top AS (SELECT vec_id, pq_sim FROM (
+       |    SELECT *, row_number() OVER (ORDER BY pq_sim DESC, vec_id)
+       |      AS rn
+       |    FROM $adcFrom) t WHERE rn <= 80),
+       |scored AS (SELECT t.vec_id,
+       |    round(list_dot_product(e.v, q.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) *
+       |       sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim,
+       |    t.pq_sim
+       |  FROM top t JOIN e ON t.vec_id = e.vec_id, q)
+       |SELECT vec_id, cos_sim, pq_sim FROM (
+       |  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+       |    AS rn FROM scored) t
+       |WHERE rn <= 10
+       |ORDER BY cos_sim DESC, vec_id""".stripMargin
+
   /** The d11/d13 admission-gate replay: persisted MinHash signatures
     * of the demo lake and batch → banding by signature slices →
     * asymmetric new×lake candidate join → exact string-shingle
@@ -2245,6 +2297,94 @@ object Oracles {
         |)
         |SELECT rank, vec_id, cos_sim, mmr_score FROM walk
         |WHERE it = (SELECT max(it) FROM walk)
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+
+    "s10_ann_pq" ->
+      pqAdcSql("adcf AS (SELECT * FROM adc),", "adcf"),
+
+    // s11 = s10's ADC pipeline gated to the query's nprobe=4 IVF
+    // cells (quantizer shared with s04's side-table; first-max cell
+    // assignment and probe pick replayed as in the s06 oracle)
+    "s11_ann_ivf_pq" ->
+      pqAdcSql(
+        s"""cells AS (SELECT cell, CAST(centroid AS DOUBLE[]) AS cv
+           |  FROM '${OracleAux.Root}/s04_cents/*.parquet'),
+           |probe AS (SELECT cell FROM (
+           |    SELECT k.cell, row_number() OVER (
+           |      ORDER BY list_dot_product(q.qv, k.cv) DESC, k.cell)
+           |      AS rn
+           |    FROM cells k, q) t WHERE rn <= 4),
+           |asg AS (SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, k.cell, row_number() OVER (
+           |      PARTITION BY e.vec_id
+           |      ORDER BY list_dot_product(e.v, k.cv) DESC, k.cell)
+           |      AS rn
+           |    FROM e CROSS JOIN cells k) t WHERE rn = 1),
+           |adcf AS (SELECT adc.* FROM adc
+           |  JOIN asg ON adc.vec_id = asg.vec_id
+           |  WHERE asg.cell IN (SELECT cell FROM probe)),""".stripMargin,
+        "adcf"),
+
+    // c01: the full four-stage cleaning composition — quality gate,
+    // exact dedup (min doc_id per identical text), d02-style MinHash
+    // banding + string-shingle Jaccard near-dup removal over the
+    // persisted survivor signatures, and the t03 marker argmax
+    "c01_clean_corpus" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, text, lang, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 8
+         |    AND CAST(len(list_filter(string_split(text, ' '),
+         |          w -> w IN ('the', 'a'))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) <= 0.9),
+         |x AS (SELECT g.* FROM g
+         |  JOIN (SELECT min(doc_id) AS keep FROM g GROUP BY text) k
+         |    ON g.doc_id = k.keep),
+         |sigs AS (SELECT doc_id, sig
+         |  FROM '${OracleAux.Root}/c01_sigs/*.parquet'),
+         |bnd AS (SELECT doc_id, j AS band, sig[j*4+1:j*4+4] AS bs
+         |        FROM sigs, generate_series(0,15) g2(j)),
+         |cand AS (SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+         |         FROM bnd b1 JOIN bnd b2 ON b1.band = b2.band
+         |           AND b1.bs = b2.bs AND b1.doc_id < b2.doc_id),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(w)-5+2),
+         |           i -> array_to_string(w[i:i+4], ' '))) AS s
+         |       FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |             FROM x) t
+         |       WHERE len(w) >= 5),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |    SELECT doc_a, doc_b,
+         |      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |            len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+         |    FROM cand JOIN sh a ON doc_a = a.doc_id
+         |              JOIN sh b ON doc_b = b.doc_id) t
+         |  WHERE jac >= 0.7),
+         |kept AS (SELECT x.* FROM x LEFT JOIN losers l
+         |         ON x.doc_id = l.doc_id WHERE l.doc_id IS NULL),
+         |s AS (SELECT doc_id, lang, source, n_tokens,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ('the','and','of','to','is','with','that'))) AS s_en,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ('el','la','los','las','que','es','una'))) AS s_es,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ('le','la','les','est','une','dans','pas'))) AS s_fr,
+         |    len(list_filter(string_split(lower(text), ' '),
+         |      t -> t IN ('的','是','不','在','了','我','有'))) AS s_zh
+         |  FROM kept)
+         |SELECT doc_id, lang, source, n_tokens,
+         |  CASE
+         |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+         |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+         |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+         |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+         |    ELSE 'zh'
+         |  END AS pred_lang
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
   )
 }

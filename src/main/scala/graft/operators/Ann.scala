@@ -1191,6 +1191,22 @@ object Ann {
     * replays the argmax cell assignment (first-max tie-break), the
     * 4-dp kernel cosine, and the DECIMAL mean in SQL.
     */
+  /** s10/s11's PQ codebooks — one row per (subspace j, code c) with
+    * the trained sub-centroid. Codes are 1-based (array_position's
+    * convention). Training is deterministic, so these equal the
+    * queries' own books; encoding, the ADC table, the coarse scan and
+    * the rerank all replay in SQL.
+    */
+  def s10AuxBooks(spark: SparkSession, dir: String,
+      m: Int = 16, ksub: Int = 16): DataFrame = {
+    import spark.implicits._
+    trainPqCodebooks(
+      Tables(spark, dir).embeddings.filter(col("vec_id") =!= 0), m, ksub)
+      .zipWithIndex.flatMap { case (b, j) =>
+        b.zipWithIndex.map { case (c, ci) => (j, (ci + 1).toLong, c) }
+      }.toSeq.toDF("j", "c", "cv")
+  }
+
   /** c18's quantizer — trained on the FULL embeddings table (no
     * query-row exclusion: c18 balances the whole corpus). Cell ids
     * are 1-based to match `array_position`'s convention.

@@ -48,6 +48,20 @@ object Corpus {
     fp.join(winners, Seq("doc_id"), "left_semi")
   }
 
+  /** c01 oracle side-table: MinHash signatures of the gate+exact-dedup
+    * survivors (the e06 kernel, the pipeline's one non-SQL artifact).
+    * The oracle re-derives the SURVIVOR SET itself in SQL (token gate,
+    * stopword ratio, min-doc_id-per-identical-text — fingerprint
+    * equality is text equality modulo the collision class every
+    * hashed-shingle oracle already accepts), replays d02's banding
+    * and string-shingle Jaccard over it, and finishes with the t03
+    * marker argmax — the full four-stage composition cross-checked.
+    */
+  def c01AuxSigs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(
+      exactDedupKept(qualityGate(Tables(spark, dir).documents)),
+      shingleK = 5, numPerm = 64)
+
   def c01CleanCorpus(spark: SparkSession, dir: String,
       minTokens: Long = 8, maxStopwordRatio: Double = 0.9,
       nearDupThreshold: Double = 0.7,
