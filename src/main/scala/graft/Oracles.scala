@@ -2385,6 +2385,110 @@ object Oracles {
          |    ELSE 'zh'
          |  END AS pred_lang
          |FROM s
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // t04: the rolling-hash kernel recomputed INDEPENDENTLY in SQL —
+    // UTF-8 bytes rebuilt arithmetically from code points, then the
+    // h = h·257 + byte fold in HUGEINT mod 2⁶⁴, mapped back to the
+    // signed 64-bit value. A true differential check of e04.
+    "t04_fingerprint" ->
+      """WITH cp AS (SELECT doc_id,
+        |    flatten(list_transform(
+        |      list_transform(range(1, length(text)+1),
+        |        i -> unicode(text[i])),
+        |      c -> CASE WHEN c < 128 THEN [c]
+        |                WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
+        |                ELSE [224 + c // 4096, 128 + (c // 64) % 64,
+        |                      128 + c % 64]
+        |           END)) AS bytes
+        |  FROM documents),
+        |fp AS (SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(bytes, b -> CAST(b AS HUGEINT))),
+        |      (a, b) -> (a * 257 + b)
+        |        % CAST(18446744073709551616 AS HUGEINT)) AS u
+        |  FROM cp)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+        |            THEN u - CAST(18446744073709551616 AS HUGEINT)
+        |            ELSE u END AS BIGINT) AS fp64
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    // t11: the WHOLE BPE training loop as a recursive CTE — capped
+    // word table, per-rank pair counts, (cnt desc, l, r) argmax, and
+    // the leftmost-greedy merge via run-parity (within a run of
+    // overlapping matches, every even offset merges — applyMerge's
+    // scan semantics). Self-contained: no side-table, no kernel.
+    "t11_bpe_train" ->
+      """WITH RECURSIVE
+        |wt AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE length(w) > 0 GROUP BY w
+        |  ORDER BY freq DESC, w LIMIT 50000),
+        |walk(it, w, freq, syms, mrank, ml, mr, mcnt) AS (
+        |  SELECT 0, w, freq,
+        |    list_transform(range(1, length(w)+1), i -> w[i]),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |  FROM wt
+        |  UNION ALL
+        |  SELECT u.* FROM (
+        |    WITH best AS (
+        |      SELECT l, r, cnt FROM (
+        |        SELECT syms[p] AS l, syms[p+1] AS r,
+        |          CAST(SUM(freq) AS BIGINT) AS cnt
+        |        FROM (SELECT w, freq, syms,
+        |                unnest(range(1, len(syms))) AS p
+        |              FROM walk WHERE w IS NOT NULL) t
+        |        GROUP BY 1, 2) c
+        |      WHERE cnt >= 2
+        |        AND (SELECT count(*) FROM walk WHERE w IS NULL) < 24
+        |      ORDER BY cnt DESC, l, r LIMIT 1),
+        |    pos AS (SELECT w, freq, syms, len(syms) AS n,
+        |              unnest(range(1, len(syms)+1)) AS p
+        |            FROM walk WHERE w IS NOT NULL),
+        |    mp AS (SELECT s.w, s.p,
+        |             (s.p - CAST(row_number() OVER (PARTITION BY s.w
+        |                ORDER BY s.p) AS BIGINT)) AS rid
+        |           FROM pos s, best b
+        |           WHERE s.p < s.n AND s.syms[s.p] = b.l
+        |             AND s.syms[s.p+1] = b.r),
+        |    st AS (SELECT w, p,
+        |             (p - min(p) OVER (PARTITION BY w, rid)) % 2 = 0
+        |               AS is_start
+        |           FROM mp),
+        |    starts AS (SELECT w, p FROM st WHERE is_start),
+        |    emit AS (
+        |      SELECT s.w, s.p AS ord, b.l || b.r AS tok
+        |      FROM starts s, best b
+        |      UNION ALL
+        |      SELECT s.w, s.p, s.syms[s.p] FROM pos s
+        |      WHERE NOT EXISTS (SELECT 1 FROM starts m
+        |        WHERE m.w = s.w AND (m.p = s.p OR m.p = s.p - 1))),
+        |    newseg AS (SELECT e.w, list(e.tok ORDER BY e.ord) AS syms
+        |               FROM emit e GROUP BY e.w)
+        |    SELECT it + 1, x.w, x.freq, ns.syms,
+        |           CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |    FROM walk x JOIN newseg ns ON x.w = ns.w
+        |    CROSS JOIN (SELECT 1 FROM best) g
+        |    WHERE x.w IS NOT NULL
+        |    UNION ALL
+        |    SELECT it + 1, NULL, NULL, NULL, x.mrank, x.ml, x.mr, x.mcnt
+        |    FROM walk x CROSS JOIN (SELECT 1 FROM best) g
+        |    WHERE x.w IS NULL
+        |    UNION ALL
+        |    SELECT (SELECT max(it) FROM walk) + 1, NULL, NULL, NULL,
+        |           (SELECT count(*) FROM walk WHERE w IS NULL),
+        |           b.l, b.r, b.cnt
+        |    FROM best b
+        |  ) u
+        |)
+        |SELECT mrank AS rank, ml AS "left", mr AS "right",
+        |  ml || mr AS merged, mcnt AS cnt
+        |FROM walk WHERE w IS NULL AND it = (SELECT max(it) FROM walk)
+        |ORDER BY rank""".stripMargin
   )
 }
