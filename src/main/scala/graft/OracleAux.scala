@@ -103,6 +103,10 @@ object OracleAux {
       (s, d) => operators.Corpus.c14AuxLn(s, d)),
     ("c16_model", Set("c16_quality_classifier"),
       (s, d) => operators.Corpus.c16AuxModel(s, d)),
+    // MUST follow c16_model: it reads that table back instead of
+    // training a third time (producers run in declaration order)
+    ("c16_exp", Set("c16_quality_classifier"),
+      (s, d) => operators.Corpus.c16AuxExp(s, d)),
     ("t15_ln", Set("t15_lm_score"),
       (s, d) => operators.TextOps.t15AuxLn(s, d)),
     ("c18_cents", Set("c18_balanced_sample"),

@@ -2144,11 +2144,12 @@ object Oracles {
          |       FROM f GROUP BY doc_id),
          |s AS (SELECT l.doc_id, l.label,
          |    COALESCE(nf.n_feats, 0) AS n_feats,
-         |    round(1.0 / (1.0 +
-         |      exp(-(COALESCE(marg.margin, 0.0) + bias.bw))), 6) AS prob
+         |    round(1.0 / (1.0 + em.ex), 6) AS prob
          |  FROM lab l LEFT JOIN marg ON l.doc_id = marg.doc_id
          |             LEFT JOIN nf ON l.doc_id = nf.doc_id
-         |             CROSS JOIN bias)
+         |             CROSS JOIN bias
+         |             JOIN '${OracleAux.Root}/c16_exp/*.parquet' em
+         |               ON em.x = -(COALESCE(marg.margin, 0.0) + bias.bw))
          |SELECT doc_id, label, n_feats, prob, prob >= 0.5 AS keep
          |FROM s ORDER BY doc_id""".stripMargin,
 
@@ -2398,8 +2399,10 @@ object Oracles {
         |        i -> unicode(text[i])),
         |      c -> CASE WHEN c < 128 THEN [c]
         |                WHEN c < 2048 THEN [192 + c // 64, 128 + c % 64]
-        |                ELSE [224 + c // 4096, 128 + (c // 64) % 64,
-        |                      128 + c % 64]
+        |                WHEN c < 65536 THEN [224 + c // 4096,
+        |                      128 + (c // 64) % 64, 128 + c % 64]
+        |                ELSE [240 + c // 262144, 128 + (c // 4096) % 64,
+        |                      128 + (c // 64) % 64, 128 + c % 64]
         |           END)) AS bytes
         |  FROM documents),
         |fp AS (SELECT doc_id,

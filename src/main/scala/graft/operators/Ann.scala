@@ -1185,12 +1185,6 @@ object Ann {
       .toDF("cell", "centroid")
   }
 
-  /** The s14 census's trained centroids as a (cell, centroid) frame
-    * (oracle side-table): the trainer is deterministic, so the oracle
-    * reads the same centroids the census used and independently
-    * replays the argmax cell assignment (first-max tie-break), the
-    * 4-dp kernel cosine, and the DECIMAL mean in SQL.
-    */
   /** s10/s11's PQ codebooks — one row per (subspace j, code c) with
     * the trained sub-centroid. Codes are 1-based (array_position's
     * convention). Training is deterministic, so these equal the
@@ -1221,6 +1215,12 @@ object Ann {
       .toDF("cell", "centroid")
   }
 
+  /** The s14 census's trained centroids as a (cell, centroid) frame
+    * (oracle side-table): the trainer is deterministic, so the oracle
+    * reads the same centroids the census used and independently
+    * replays the argmax cell assignment (first-max tie-break), the
+    * 4-dp kernel cosine, and the DECIMAL mean in SQL.
+    */
   def s14AuxCentroids(spark: SparkSession, dir: String,
       nlist: Int = 16, iters: Int = 4): DataFrame = {
     import spark.implicits._

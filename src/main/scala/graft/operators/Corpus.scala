@@ -829,15 +829,28 @@ object Corpus {
     */
   def c16AuxModel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
-    val tgt = docs.select(min(col("source"))).collect().head.getString(0)
-    val labeled = docs.select(col("doc_id"), col("text"),
-      (col("source") === tgt).cast("int").as("label"))
-    val feats = c16Featurize(labeled, 65536)
-    val labels = labeled.select(col("doc_id"), col("label"))
-      .localCheckpoint(false)
-    val (w, bias) = c16Train(feats, labels, 8, 0.5, 4096)
+    val (_, _, w, bias) = c16Fit(c16DemoLabeled(spark, dir),
+      C16Iters, C16Lr, C16Buckets, C16TrainCap)
     (w.toSeq :+ (-1L, bias)).toDF("b", "w")
+  }
+
+  /** c16 oracle exp-memo: the exact doubles the scoring sigmoid
+    * passes to `exp` — one per distinct −(margin+bias) — with Spark's
+    * own exp results, so the oracle's sigmoid has no JVM-vs-libm
+    * last-ulp surface (the ln-memo rationale, applied to the one
+    * other transcendental in the suite). Reads the model back from
+    * the c16_model side-table written just before it (OracleAux runs
+    * producers in declaration order) instead of training a third
+    * time; parquet round-trips the weight doubles exactly.
+    */
+  def c16AuxExp(spark: SparkSession, dir: String): DataFrame = {
+    val model = spark.read.parquet(s"${graft.OracleAux.Root}/c16_model")
+    val bias = model.filter(col("b") === -1L).collect().head.getDouble(1)
+    val labeled = c16DemoLabeled(spark, dir)
+    marginsOf(broadcast(model.filter(col("b") =!= -1L)),
+        labeled.select("doc_id"), c16Featurize(labeled, C16Buckets))
+      .select((-(col("margin") + lit(bias))).as("x")).distinct()
+      .select(col("x"), exp(col("x")).as("ex"))
   }
 
   // ---------------------------------------------------------------- c15
@@ -962,14 +975,42 @@ object Corpus {
     * alphabetically-first source is the quality slice).
     */
   def c16QualityClassifier(spark: SparkSession, dir: String,
-      iters: Int = 8, lr: Double = 0.5): DataFrame = {
+      iters: Int = C16Iters, lr: Double = C16Lr): DataFrame =
+    qualityClassifierOver(c16DemoLabeled(spark, dir), iters, lr)
+      .orderBy("doc_id")
+
+  /** The c16 demo labeling (c14's convention: the alphabetically-
+    * first source is the quality slice) — shared by the driver query
+    * and both oracle side-tables so they provably label identically.
+    */
+  private def c16DemoLabeled(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val tgt = docs.select(min(col("source"))).collect().head.getString(0)
-    qualityClassifierOver(
-      docs.select(col("doc_id"), col("text"),
-        (col("source") === tgt).cast("int").as("label")),
-      iters, lr)
-      .orderBy("doc_id")
+    docs.select(col("doc_id"), col("text"),
+      (col("source") === tgt).cast("int").as("label"))
+  }
+
+  /** The c16 demo hyper-parameters, pinned once — the driver query's
+    * defaults and the oracle side-tables train through these same
+    * constants, so they cannot drift apart.
+    */
+  private val C16Iters = 8
+  private val C16Lr = 0.5
+  private val C16Buckets = 65536
+  private val C16TrainCap = 4096L
+
+  /** One fit: featurize + labels + the driver-side GD — the shared
+    * trainer behind the demo query, [[c16ModelBuild]], and the oracle
+    * model side-table.
+    */
+  private def c16Fit(labeled: DataFrame, iters: Int, lr: Double,
+      buckets: Int, trainCap: Long)
+      : (DataFrame, DataFrame, Map[Long, Double], Double) = {
+    val feats = c16Featurize(labeled, buckets)
+    val labels = labeled.select(col("doc_id"), col("label"))
+      .localCheckpoint(false)
+    val (w, bias) = c16Train(feats, labels, iters, lr, trainCap)
+    (feats, labels, w, bias)
   }
 
   /** c16 over any labeled (doc_id, text, label∈{0,1}) frame: trains
@@ -987,17 +1028,14 @@ object Corpus {
     * rollup, with the bias gradient folded in as sentinel bucket −1
     * so no second pass is needed. Scoring is one corpus-wide pass.
     */
-  def qualityClassifierOver(labeled: DataFrame, iters: Int = 8,
-      lr: Double = 0.5, buckets: Int = 65536,
-      trainCap: Long = 4096): DataFrame = {
+  def qualityClassifierOver(labeled: DataFrame, iters: Int = C16Iters,
+      lr: Double = C16Lr, buckets: Int = C16Buckets,
+      trainCap: Long = C16TrainCap): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
     // one tokenization, reused by every training round and the final
     // scoring pass (lazy localCheckpoint, c03's discipline)
-    val feats = c16Featurize(labeled, buckets)
-    val labels = labeled.select(col("doc_id"), col("label"))
-      .localCheckpoint(false)
-    val (w, bias) = c16Train(feats, labels, iters, lr, trainCap)
+    val (feats, labels, w, bias) = c16Fit(labeled, iters, lr, buckets, trainCap)
     c16ScoreWith(broadcast(w.toSeq.toDF("b", "w")), bias, labels, feats)
   }
 
@@ -1118,14 +1156,11 @@ object Corpus {
     * reads — the labeled corpus is never re-scanned on the stream.
     */
   def c16ModelBuild(labeled: DataFrame, modelPath: String,
-      iters: Int = 8, lr: Double = 0.5, buckets: Int = 65536,
-      trainCap: Long = 4096): Unit = {
+      iters: Int = C16Iters, lr: Double = C16Lr,
+      buckets: Int = C16Buckets, trainCap: Long = C16TrainCap): Unit = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    val feats = c16Featurize(labeled, buckets)
-    val labels = labeled.select(col("doc_id"), col("label"))
-      .localCheckpoint(false)
-    val (w, bias) = c16Train(feats, labels, iters, lr, trainCap)
+    val (_, _, w, bias) = c16Fit(labeled, iters, lr, buckets, trainCap)
     (w.toSeq :+ (-1L, bias)).toDF("b", "w")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -414,11 +414,6 @@ object Multimodal {
         Codecs.lumaHistogram(px)
     }
 
-  /** m01: decode + feature-extract over the media table, then a
-    * per-media-type rollup. The mapPartitions stage is the batch-UDF
-    * pattern: one decoder instantiation per partition, streaming
-    * iterator in/out (no materialized partition copies).
-    */
   /** The m01 decode kernel alone: one (doc_id, media_type, n_bytes,
     * feat) row per media payload — shared by the m01 rollup and its
     * oracle side-table (which persists the kernel output so DuckDB
@@ -449,6 +444,11 @@ object Multimodal {
       .select(col("doc_id"), col("media_type"), col("n_bytes"),
         element_at(col("feat"), 1).cast("decimal(18,9)").as("s9"))
 
+  /** m01: decode + feature-extract over the media table, then a
+    * per-media-type rollup. The mapPartitions stage is the batch-UDF
+    * pattern: one decoder instantiation per partition, streaming
+    * iterator in/out (no materialized partition copies).
+    */
   def m01Multimodal(spark: SparkSession, dir: String): DataFrame = {
     m01FeaturesOver(mediaTable(spark, dir))
       .groupBy("media_type")
@@ -466,15 +466,6 @@ object Multimodal {
   final case class FrameFeatures(
       doc_id: Long, frame_idx: Int, n_frames: Int, resized: Array[Float])
 
-  /** m02: frame-sample + resize over video payloads. The container is
-    * parsed executor-side, every `stride`-th frame is PNG-decoded with
-    * ImageIO and block-averaged to an outRes×outRes grid. The
-    * flatMap-shaped mapPartitions (one input row → few frame rows) is
-    * the batch contract a codec-backed sampler keeps: per-partition
-    * decoder amortization, streaming iterators, no driver involvement,
-    * output partitioning inherited from the input so a downstream
-    * per-doc groupBy needs no extra shuffle beyond the agg's own.
-    */
   /** The m02 decode kernel: every `stride`-th frame's resized grid.
     * Exposed so the oracle side-table can persist the stride=1
     * superset and DuckDB replay the stride SELECTION plus the feature
@@ -511,6 +502,15 @@ object Multimodal {
         .filter(col("media_type") === "video"),
       stride = 1, outRes = 4)
 
+  /** m02: frame-sample + resize over video payloads. The container is
+    * parsed executor-side, every `stride`-th frame is PNG-decoded with
+    * ImageIO and block-averaged to an outRes×outRes grid. The
+    * flatMap-shaped mapPartitions (one input row → few frame rows) is
+    * the batch contract a codec-backed sampler keeps: per-partition
+    * decoder amortization, streaming iterators, no driver involvement,
+    * output partitioning inherited from the input so a downstream
+    * per-doc groupBy needs no extra shuffle beyond the agg's own.
+    */
   def m02FrameSample(spark: SparkSession, dir: String,
       stride: Int = 2, outRes: Int = 4): DataFrame = {
     frameFeaturesOver(

@@ -375,6 +375,16 @@ object TextOps {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(maxWords)
 
+  /** A word's initial BPE symbols: one per CODE POINT (not UTF-16
+    * unit — splitting a surrogate pair would make two broken
+    * half-character symbols, and the DuckDB oracle, which iterates
+    * code points, could never reproduce them). Shared by the trainer,
+    * the vocab assembly, and the spec's plain-Scala reference.
+    */
+  private[operators] def charSyms(w: String): Seq[String] =
+    w.codePoints().toArray.toSeq
+      .map(cp => new String(Character.toChars(cp)))
+
   def t11BpeTrainOver(docs: DataFrame, numMerges: Int = 24,
       maxWords: Int = 50000): DataFrame = {
     val spark = docs.sparkSession
@@ -390,7 +400,7 @@ object TextOps {
     val freqs = cappedWords(docs, maxWords).as[(String, Long)].collect()
     val wordFreq = freqs.map(_._2)
     val wordSyms = freqs.map { case (w, _) =>
-      scala.collection.mutable.ArrayBuffer.from(w.map(_.toString)) }
+      scala.collection.mutable.ArrayBuffer.from(charSyms(w)) }
     // pair counts maintained incrementally: only words CONTAINING the
     // merged pair change between ranks, so each rank re-counts the
     // touched words, not the table. Contributions are removed and
@@ -471,7 +481,7 @@ object TextOps {
       .select("merged").as[String].collect().toSeq
     val chars = cappedWords(docs, maxWords)
       .as[(String, Long)]
-      .flatMap { case (w, _) => w.map(_.toString) }
+      .flatMap { case (w, _) => charSyms(w) }
       .distinct().collect().toSeq.sorted
     (chars :+ " ") ++ merged
   }
@@ -631,12 +641,38 @@ object TextOps {
   def t15LmScore(spark: SparkSession, dir: String,
       refSource: String = ""): DataFrame = {
     val docs = Tables(spark, dir).documents
-    val ref = if (refSource.nonEmpty) refSource
-      else docs.select(min(col("source"))).collect().head.getString(0)
-    lmScoreOver(
-      docs.select(col("doc_id"), col("text")),
-      docs.filter(col("source") === ref).select(col("doc_id"), col("text")))
+    val ref = if (refSource.nonEmpty)
+      docs.filter(col("source") === refSource)
+        .select(col("doc_id"), col("text"))
+    else lmDemoRef(docs)
+    lmScoreOver(docs.select(col("doc_id"), col("text")), ref)
       .orderBy("doc_id")
+  }
+
+  /** The t15 demo reference slice (the alphabetically-first source) —
+    * shared by the driver query and the oracle ln-memo so they
+    * provably train on the same corpus.
+    */
+  private def lmDemoRef(docs: DataFrame): DataFrame = {
+    val ref = docs.select(min(col("source"))).collect().head.getString(0)
+    docs.filter(col("source") === ref).select(col("doc_id"), col("text"))
+  }
+
+  /** The reference LM tables of a (doc_id, text) frame — (bigram
+    * conditionals, prefix totals, unigram counts, total bigrams) —
+    * shared by the batch scorer, the persisted trainer, and the
+    * oracle ln-memo so their count tables can never drift.
+    */
+  private def lmTables(ref: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    // refBg feeds big, uni AND the total count, so it materializes
+    // once (the reference corpus tokenizes once, not three times)
+    val refBg = lmBigrams(ref).localCheckpoint(false)
+    val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false) // feeds prefix counts AND the score join
+    val prefix = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val uni = refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    (big, prefix, uni, refBg.count())
   }
 
   /** (doc_id, w1, w2) bigram rows of a (doc_id, text) frame. */
@@ -656,15 +692,8 @@ object TextOps {
     */
   def lmScoreOver(raw: DataFrame, ref: DataFrame,
       alpha: Double = 0.4): DataFrame = {
-    // reference LM tables — vocab-bounded aggregations, built once;
-    // refBg feeds big, uni AND the total count, so it materializes
-    // once (the reference corpus tokenizes once, not three times)
-    val refBg = lmBigrams(ref).localCheckpoint(false)
-    val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(false) // feeds prefix counts AND the score join
-    val prefix = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val uni = refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
-    lmScoreWith(raw, big, prefix, uni, refBg.count(), alpha)
+    val (big, prefix, uni, total) = lmTables(ref)
+    lmScoreWith(raw, big, prefix, uni, total, alpha)
   }
 
   /** Score against prebuilt LM tables — the shared core of the batch
@@ -706,16 +735,9 @@ object TextOps {
   def t15AuxLn(spark: SparkSession, dir: String,
       alpha: Double = 0.4): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
-    val ref = docs.select(min(col("source"))).collect().head.getString(0)
-    val refBg = lmBigrams(
-      docs.filter(col("source") === ref).select(col("doc_id"), col("text")))
-      .localCheckpoint(false)
-    val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(false)
-    val prefix = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val uni = refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
-    val total = refBg.count().toDouble
+    val (big, prefix, uni, totalL) =
+      lmTables(lmDemoRef(Tables(spark, dir).documents))
+    val total = totalL.toDouble
     val xBig = big.join(prefix, Seq("w1"))
       .select((col("c12").cast("double") / col("c1")).as("x"))
     val xUni = uni.select(
@@ -733,15 +755,11 @@ object TextOps {
   def lmTrainTables(ref: DataFrame, path: String): Unit = {
     val spark = ref.sparkSession
     import spark.implicits._
-    val refBg = lmBigrams(ref).localCheckpoint(false)
-    val big = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(false)
+    val (big, prefix, uni, total) = lmTables(ref)
     big.write.mode("overwrite").parquet(s"$path/big")
-    big.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      .write.mode("overwrite").parquet(s"$path/prefix")
-    refBg.groupBy("w2").agg(count(lit(1)).as("c2"))
-      .write.mode("overwrite").parquet(s"$path/uni")
-    Seq(refBg.count()).toDF("total")
+    prefix.write.mode("overwrite").parquet(s"$path/prefix")
+    uni.write.mode("overwrite").parquet(s"$path/uni")
+    Seq(total).toDF("total")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 

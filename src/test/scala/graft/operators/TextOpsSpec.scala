@@ -198,7 +198,7 @@ class TextOpsSpec extends AnyFunSuite {
       }
     var ws = corpus.flatMap(_.split(" ").filter(_.nonEmpty))
       .groupBy(identity).toSeq
-      .map { case (w, g) => (w.toList.map(_.toString), g.size.toLong) }
+      .map { case (w, g) => (TextOps.charSyms(w).toList, g.size.toLong) }
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, String, String, Long)]
     var rank = 0L
