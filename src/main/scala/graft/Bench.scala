@@ -152,6 +152,13 @@ object Bench {
         safe("s13_ann_filtered_ivf")(recallOf(
           topIds(operators.Ann.s12AnnFiltered(spark, sfDir, k = 10)),
           topIds(operators.Ann.s13AnnFilteredIvf(spark, sfDir, k = 10)))),
+        // PQ rows are oracle-checked for mechanics; the recall number
+        // tracks the ADC approximation quality itself (codebook fit),
+        // which the oracle deliberately shares and so cannot see
+        safe("s10_ann_pq")(recallOf(s01,
+          topIds(operators.Ann.s10AnnPq(spark, sfDir, k = 10)))),
+        safe("s11_ann_ivf_pq")(recallOf(s01,
+          topIds(operators.Ann.s11AnnIvfPq(spark, sfDir, k = 10)))),
         // d06 demo plants exactly one near-dup per base vector at
         // (v, v+1e6); recall is planted pairs recovered / vectors
         safe("d06_embed_neardup_lsh") {

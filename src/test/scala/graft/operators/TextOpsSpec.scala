@@ -248,6 +248,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got7 == got)
   }
 
+  test("t11 symbols are code points: astral chars never split into surrogates") {
+    import spark.implicits._
+    // U+1F600 (😀) is outside the BMP: a UTF-16-unit split would
+    // yield two broken surrogate-half symbols no other engine could
+    // reproduce; code-point symbols keep every piece a valid string
+    assert(TextOps.charSyms("a😀b") == Seq("a", "😀", "b"))
+    val corpus = Seq(
+      "😀x 😀x 😀y 😀y")
+    val docs = corpus.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.t11BpeTrainOver(docs, numMerges = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == refBpe(corpus, 2), s"got:\n${got.mkString("\n")}")
+    // the first merge is the 4x (emoji, letter-pair-winner) pair and
+    // its left side is the WHOLE emoji, not an unpaired surrogate
+    assert(got.nonEmpty && got.head._2 == "😀")
+    assert(got.head._2.codePointCount(0, got.head._2.length) == 1)
+  }
+
   test("t11 BPE at vocab scale: 512 merges equal the reference, in seconds") {
     import spark.implicits._
     // a corpus rich enough to sustain 512 merges with count ≥ 2:
