@@ -235,6 +235,56 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(idD) == ("test", "test"), s"clean doc moved: ${got(idD)}")
   }
 
+  test("c13 law: random overlap structures match a naive local fixpoint") {
+    import spark.implicits._
+    // seeded random corpora with a shared-passage pool: docs pick 0-2
+    // passages, so direct leaks, transitive chains, and clean docs all
+    // arise by chance. The reference takes the operator's OWN hash
+    // split as input (xxhash64 has no plain-Scala twin) and replays
+    // only the sweep — the same separation the DuckDB oracle uses.
+    def refLeaky(split: Map[Long, String], sh: Map[Long, Set[String]],
+        minShared: Int): Set[Long] = {
+      var trainSh = split.collect { case (d, "train") => d }.toSet
+        .flatMap((d: Long) => sh.getOrElse(d, Set.empty[String]))
+      var held = split.collect { case (d, s) if s != "train" => d }.toSet
+      var leaky = Set.empty[Long]
+      var moved = true
+      while (moved) {
+        val next = held.filter(d =>
+          (sh.getOrElse(d, Set.empty[String]) & trainSh).size >= minShared)
+        moved = next.nonEmpty
+        leaky ++= next
+        trainSh ++= next.flatMap(sh(_))
+        held --= next
+      }
+      leaky
+    }
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val passages = (0 until 6).map(p =>
+        (0 until 10 + rnd.nextInt(5)).map(i => s"s${seed}p${p}w$i"))
+      val corpus = (0L until 40L).map { id =>
+        val own = (0 until 15).map(i => s"s${seed}d${id}w$i")
+        val extra = (0 until rnd.nextInt(3))
+          .flatMap(_ => passages(rnd.nextInt(passages.length)))
+        (id, (own ++ extra).mkString(" "))
+      }
+      val got = Corpus
+        .leakproofSplitOver(corpus.toDF("doc_id", "text"), 0.8, 0.1, 8, 3L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val split = got.map { case (d, s, _) => d -> s }.toMap
+      val sh = corpus.map { case (d, t) =>
+        d -> t.split(" ").toSeq.sliding(8)
+          .filter(_.length == 8).map(_.mkString(" ")).toSet
+      }.toMap
+      val leaky = refLeaky(split, sh, 3)
+      got.foreach { case (d, s, fin) =>
+        val want = if (leaky(d)) "train" else s
+        assert(fin == want, s"seed $seed doc $d: split=$s got=$fin want=$want")
+      }
+    }
+  }
+
   test("c12 sequences are full except the tail; tokens conserve t09's") {
     val seqLen = 128L
     val rows = Corpus.c12PackSequences(spark, TestSpark.Sf0001, seqLen)
