@@ -1651,6 +1651,57 @@ object Oracles {
         |ORDER BY cos_sim DESC, vec_id
         |LIMIT 10""".stripMargin,
 
+    // d14: the full q-gram-filter + Levenshtein-verify pipeline is
+    // plain relational algebra + a character DP both engines define
+    // identically (ASCII corpus) — replayed end to end, no side-table.
+    "d14_fuzzy_join" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    array_to_string((string_split(text, ' '))[1:4], ' ') AS s,
+        |    len(array_to_string((string_split(text, ' '))[1:4], ' ')) AS len
+        |  FROM documents),
+        |g AS (SELECT id, len, pos, substr(s, CAST(pos AS INT), 3) AS gm
+        |      FROM (SELECT id, s, len, unnest(range(1, len - 1)) AS pos
+        |            FROM t WHERE len >= 3)),
+        |gcand AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM g a JOIN g b ON a.gm = b.gm AND a.id < b.id
+        |    AND abs(a.pos - b.pos) <= 1 AND abs(a.len - b.len) <= 1
+        |  GROUP BY a.id, b.id, a.len, b.len
+        |  HAVING count(*) >= greatest(a.len, b.len) - 2 - 3),
+        |keyed AS (SELECT id, unnest([len, len + 1]) AS k
+        |          FROM t WHERE len < 8),
+        |scand AS (SELECT a.id AS id_a, b.id AS id_b
+        |          FROM keyed a JOIN keyed b
+        |          ON a.k = b.k AND a.id < b.id),
+        |cand AS (SELECT DISTINCT id_a, id_b FROM
+        |  (SELECT id_a, id_b FROM gcand
+        |   UNION ALL SELECT id_a, id_b FROM scand))
+        |SELECT c.id_a AS doc_a, c.id_b AS doc_b,
+        |  ta.s AS title_a, tb.s AS title_b,
+        |  CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist
+        |FROM cand c JOIN t ta ON ta.id = c.id_a
+        |  JOIN t tb ON tb.id = c.id_b
+        |WHERE levenshtein(ta.s, tb.s) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // t16: chunk boundaries are pure integer arithmetic on the
+    // whitespace-token count (same ceil-div in both engines); the
+    // chunk text is a clamped list slice re-joined on the same
+    // delimiter, so the replay is bit-exact.
+    "t16_chunk_split" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |                  len(string_split(text, ' ')) AS n
+        |           FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |        unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS chunk_id
+        |      FROM d)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[chunk_id*48 + 1 : chunk_id*48 + 64], ' ')
+        |    AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // t14: tf/df ranking — the division is one IEEE double op on two
     // exact integers (correctly rounded by definition), so the ORDER
     // BY agrees bit-for-bit with Spark's; ties break on the token.

@@ -121,6 +121,8 @@ object SparkEntry {
     "t13_source_overlap" -> ((s, dir) => TextOps.t13SourceOverlap(s, dir)),
     "t14_tfidf_keywords" -> ((s, dir) => TextOps.t14TfidfKeywords(s, dir)),
     "d12_keep_best_dedup" -> ((s, dir) => Dedup.d12KeepBestDedup(s, dir)),
+    "t16_chunk_split" -> ((s, dir) => TextOps.t16ChunkSplit(s, dir)),
+    "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
     "m06_dhash_dedup" -> ((s, dir) => Multimodal.m06DhashDedup(s, dir)),
     "m07_scene_detect" -> ((s, dir) => Multimodal.m07SceneDetect(s, dir)),

@@ -791,4 +791,54 @@ object TextOps {
       .withColumn("pred_lang", pred)
       .drop("_toks" +: langs.map(l => s"_s_$l"): _*)
   }
+
+  /** t16: token-aware document chunking — the context-window splitter
+    * every RAG / training-prep pipeline runs before embedding or
+    * packing (ref's per-file copy loop has no analog; this is part of
+    * the mandated LLM-pipeline surface). Each document becomes
+    * ⌈(n − overlap) / stride⌉ sliding windows of `chunkSize`
+    * whitespace tokens overlapping by `overlap` (stride = size −
+    * overlap), so every token is covered and consecutive chunks share
+    * exactly `overlap` tokens; a doc shorter than one window emits a
+    * single short chunk. Chunk boundaries are exact-integer
+    * arithmetic on the token count, so the oracle replays them
+    * bit-for-bit.
+    *
+    * Scale: a per-row explode — no shuffle, no state; output volume
+    * is input tokens × (1 + overlap/stride), the documented fan-out.
+    * The projection (doc_id, text) reaches the scan, and the whole
+    * operator stays inside one WholeStageCodegen span.
+    */
+  def t16ChunkSplit(spark: SparkSession, dir: String): DataFrame =
+    chunkSplitOver(Tables(spark, dir).documents)
+      .orderBy("doc_id", "chunk_id")
+
+  /** t16 over any (doc_id, text) DataFrame. `chunkSize` > `overlap`
+    * ≥ 0 (stride must be positive or the window never advances).
+    */
+  def chunkSplitOver(docs: DataFrame, chunkSize: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val stride = chunkSize - overlap
+    // nChunks = max(1, ceil((n − overlap) / stride)) as integer div;
+    // covers all n tokens: last start = (nChunks−1)·stride < n − overlap
+    // + stride ⇒ start + chunkSize ≥ n
+    docs
+      .select(col("doc_id"), wsTokens.as("w"), size(wsTokens).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0L),
+          greatest(lit(1L),
+            expr(s"(n - $overlap + ${stride - 1}) div $stride")) - 1))
+          .as("chunk_id"))
+      .select(col("doc_id"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        (col("chunk_id") * stride).cast(LongType).as("tok_start"),
+        least(lit(chunkSize.toLong),
+          col("n") - col("chunk_id") * stride).cast(LongType)
+          .as("n_tokens"),
+        array_join(
+          slice(col("w"), col("chunk_id") * stride + 1, lit(chunkSize)),
+          " ").as("chunk_text"))
+  }
 }

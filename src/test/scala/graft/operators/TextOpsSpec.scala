@@ -20,6 +20,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 1L, 0.5)))
   }
 
+  test("t16 chunk boundaries match hand-built windows") {
+    import spark.implicits._
+    // size=4, overlap=1 → stride 3; n=8 → 3 chunks [0,4)[3,7)[6,8);
+    // a 2-token doc emits one short chunk
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextOps.chunkSplitOver(docs, chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "a b c d"),
+      (1L, 1L, 3L, 4L, "d e f g"),
+      (1L, 2L, 6L, 2L, "g h"),
+      (2L, 0L, 0L, 2L, "x y")))
+  }
+
+  test("t16 overlap-dropped chunk concat reconstructs every document") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    // every chunk i>0 starts overlap tokens inside the previous chunk's
+    // coverage (proved in the t16 docstring), so dropping the first
+    // `overlap` tokens of each non-first chunk and concatenating in
+    // chunk order must rebuild the exact original text
+    val rebuilt = TextOps.chunkSplitOver(docs) // 64 / 16
+      .withColumn("piece",
+        when(col("chunk_id") === 0, col("chunk_text"))
+          .otherwise(array_join(
+            slice(split(col("chunk_text"), " "), 17, Int.MaxValue), " ")))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("piece")))),
+        x => x.getField("piece")), " ").as("rebuilt"))
+    val bad = rebuilt.join(docs, Seq("doc_id"))
+      .filter(col("rebuilt") =!= col("text")).count()
+    assert(bad == 0L)
+    // and chunk fan-out covers all tokens exactly once after the drop
+    val nTok = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    val nPiece = rebuilt.select(
+      sum(size(split(col("rebuilt"), " ")))).head.getLong(0)
+    assert(nTok == nPiece)
+  }
+
   test("t12 hashed pipeline == string-bigram reference on the corpus") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables(spark, TestSpark.Sf0001).documents
