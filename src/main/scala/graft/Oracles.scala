@@ -554,6 +554,27 @@ object Oracles {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
+    // q54: SCD2 history — window algebra only; epoch_us mirrors
+    // Spark's unix_micros under the UTC-pinned session.
+    "q54_scd2" ->
+      """WITH ordered AS (SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, ts, event_id, event_type FROM ordered
+        |        WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id) AS BIGINT) AS version,
+        |  event_type AS state,
+        |  epoch_us(ts) AS effective_from,
+        |  epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id)) AS effective_to,
+        |  (LEAD(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM chg
+        |ORDER BY user_id, version""".stripMargin,
+
     "q34_json_extract" ->
       """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val
         |FROM events
@@ -1650,6 +1671,40 @@ object Oracles {
         |WHERE vec_id <> 0 AND label = 1
         |ORDER BY cos_sim DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    // c19: TVD drift — exact cross-multiplied integers with one final
+    // IEEE division of exactly-representable operands; replayed whole.
+    "c19_drift_report" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,
+        |    CAST(least(len(string_split(text, ' ')) // 32, 7) AS VARCHAR)
+        |      AS btok,
+        |    CAST(least(n_chars // 256, 7) AS VARCHAR) AS bchr,
+        |    lang, source
+        |  FROM documents),
+        |m AS (SELECT snap, 'tokens' AS metric, btok AS bucket FROM d
+        |  UNION ALL SELECT snap, 'chars', bchr FROM d
+        |  UNION ALL SELECT snap, 'lang', lang FROM d
+        |  UNION ALL SELECT snap, 'source', source FROM d),
+        |bc AS (SELECT metric, bucket,
+        |    CAST(SUM(CASE WHEN snap = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt_a,
+        |    CAST(SUM(CASE WHEN snap = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt_b
+        |  FROM m GROUP BY metric, bucket),
+        |tot AS (SELECT metric, COUNT(*) AS n_buckets,
+        |    CAST(SUM(cnt_a) AS BIGINT) AS total_a,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS total_b
+        |  FROM bc GROUP BY metric),
+        |agg AS (SELECT bc.metric, tot.n_buckets, tot.total_a, tot.total_b,
+        |    CAST(SUM(abs(bc.cnt_a * tot.total_b - bc.cnt_b * tot.total_a))
+        |      AS BIGINT) AS tvd_num
+        |  FROM bc JOIN tot ON bc.metric = tot.metric
+        |  GROUP BY bc.metric, tot.n_buckets, tot.total_a, tot.total_b)
+        |SELECT metric, n_buckets, total_a, total_b, tvd_num,
+        |  CAST(tvd_num AS DOUBLE) / (2.0 * total_a * total_b) AS tvd
+        |FROM agg
+        |ORDER BY metric""".stripMargin,
 
     // d14: the full q-gram-filter + Levenshtein-verify pipeline is
     // plain relational algebra + a character DP both engines define

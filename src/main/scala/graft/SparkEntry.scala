@@ -124,6 +124,7 @@ object SparkEntry {
     "t16_chunk_split" -> ((s, dir) => TextOps.t16ChunkSplit(s, dir)),
     "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
+    "q54_scd2" -> (Relational.q54Scd2(_, _)),
     "m06_dhash_dedup" -> ((s, dir) => Multimodal.m06DhashDedup(s, dir)),
     "m07_scene_detect" -> ((s, dir) => Multimodal.m07SceneDetect(s, dir)),
     "m08_audio_dedup" -> ((s, dir) => Multimodal.m08AudioDedup(s, dir)),
@@ -139,6 +140,7 @@ object SparkEntry {
     "s15_mmr_rerank" -> ((s, dir) => Ann.s15MmrRerank(s, dir)),
     "c18_balanced_sample" -> ((s, dir) => Corpus.c18BalancedSample(s, dir)),
     "c17_semantic_decontam" -> ((s, dir) => Corpus.c17SemanticDecontam(s, dir)),
+    "c19_drift_report" -> ((s, dir) => Corpus.c19DriftReport(s, dir)),
     // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
     // flat c17 oracle checks the whole indexed path end-to-end
     "c17_semantic_decontam_ivf" -> ((s, dir) => Corpus.c17SemanticDecontamIvf(s, dir)),

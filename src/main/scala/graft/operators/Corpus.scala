@@ -1387,4 +1387,58 @@ object Corpus {
     c17ScreenIndexed(
       Tables(spark, dir).embeddings.filter(col("vec_id") % 10 =!= 0),
       demoPath("c17", dir), threshold = 0.4, nprobe = 4)
+
+  /** c19: corpus drift report — the distribution-shift monitor a
+    * pipeline runs between two corpus snapshots (yesterday's crawl vs
+    * today's, pre- vs post-filter) before retraining decisions. Per
+    * monitored dimension (token-count bucket, char-count bucket,
+    * lang, source) it reports the bucket count and the total
+    * variation distance ½·Σ|p_a − p_b| between the snapshots'
+    * bucket distributions. TVD instead of PSI/KL by design: it needs
+    * no ln, so the whole report is exact cross-multiplied integer
+    * arithmetic (tvd_num = Σ|cnt_a·total_b − cnt_b·total_a|) with ONE
+    * final IEEE division — bit-identical across engines and
+    * partitionings. The demo splits `documents` into even/odd doc_id
+    * snapshots (deterministic, population-balanced).
+    *
+    * Scale: one pass per snapshot fused into one scan of the union,
+    * a (metric, bucket) count shuffle (≤ 4·buckets rows), a ≤4-row
+    * broadcast totals join. tvd_num stays in BIGINT while
+    * cnt·total < 2⁶³ — snapshots beyond ~3×10⁹ docs per bucket pair
+    * should lift the cross-products to DECIMAL(38,0).
+    */
+  def c19DriftReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    driftReportOver(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+  }
+
+  /** c19 over any two snapshots of the documents schema
+    * (doc_id, text, lang, source, n_chars).
+    */
+  def driftReportOver(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    val cols = Seq("text", "lang", "source", "n_chars").map(col)
+    val tagged = snapA.select(cols: _*).withColumn("_snap", lit("a"))
+      .unionByName(snapB.select(cols: _*).withColumn("_snap", lit("b")))
+    val bucketed = tagged.select(col("_snap"), expr(
+      """stack(4,
+        |  'tokens', CAST(least(size(split(text, ' ')) div 32, 7) AS STRING),
+        |  'chars',  CAST(least(n_chars div 256, 7) AS STRING),
+        |  'lang',   lang,
+        |  'source', source) AS (metric, bucket)""".stripMargin))
+    val bc = bucketed.groupBy("metric", "bucket")
+      .agg(sum(when(col("_snap") === "a", 1L).otherwise(0L)).as("cnt_a"),
+        sum(when(col("_snap") === "b", 1L).otherwise(0L)).as("cnt_b"))
+    val tot = bc.groupBy("metric")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("cnt_a")).as("total_a"),
+        sum(col("cnt_b")).as("total_b"))
+    bc.join(broadcast(tot), Seq("metric"))
+      .groupBy("metric", "n_buckets", "total_a", "total_b")
+      .agg(sum(abs(col("cnt_a") * col("total_b") -
+        col("cnt_b") * col("total_a"))).as("tvd_num"))
+      .withColumn("tvd", col("tvd_num").cast("double") /
+        (lit(2.0) * col("total_a") * col("total_b")))
+      .select("metric", "n_buckets", "total_a", "total_b", "tvd_num", "tvd")
+      .orderBy("metric")
+  }
 }

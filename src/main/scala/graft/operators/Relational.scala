@@ -1059,6 +1059,42 @@ object Relational {
     * of evaluation order. One shuffle on user_id, frames evaluated by
     * a single running pass per partition.
     */
+  /** q54: SCD type-2 dimension history — the standard warehouse
+    * pattern for tracking attribute changes over time (Kimball):
+    * per user, consecutive events with the same `event_type` collapse
+    * into one versioned state row with [effective_from, effective_to)
+    * validity and an is_current flag on the open row. Deterministic
+    * (ts, event_id) ordering; timestamps emitted as epoch
+    * microseconds (the session is UTC-pinned, so the NTZ wall clock
+    * IS the epoch both engines see).
+    *
+    * Scale: ONE shuffle on the entity key — both window passes (the
+    * change-detection lag and the version/lead pass) share the same
+    * partitioning and sort, so Catalyst plans a single exchange; per-
+    * entity history is processed as one sorted run, never collected.
+    */
+  def q54Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Over(Tables(spark, dir).events)
+
+  /** q54 over any events-shaped frame (user_id, ts, event_id,
+    * event_type) — spec + pipeline reuse.
+    */
+  def scd2Over(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        unix_micros(col("ts").cast("timestamp")).as("effective_from"),
+        unix_micros(col("next_ts").cast("timestamp")).as("effective_to"),
+        col("next_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   def q37RollingWindow(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     // NTZ → timestamp → epoch seconds; the session is UTC-pinned, so

@@ -42,4 +42,56 @@ class RelationalSpec extends AnyFunSuite {
     val sizes = got.values.map(_._1)
     assert(sizes.max - sizes.min <= 1)
   }
+
+  test("q54 SCD2 history matches hand-built versions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // instant-based constructor: TZ-independent epoch arithmetic
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A A B A — consecutive dup collapses, re-entry is a NEW
+    // version; user 2: single state stays current from its first event
+    val events = Seq(
+      (1L, ts(100), 10L, "A"), (1L, ts(200), 11L, "A"),
+      (1L, ts(300), 12L, "B"), (1L, ts(400), 13L, "A"),
+      (2L, ts(500), 14L, "X"), (2L, ts(600), 15L, "X"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Relational.scd2Over(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "A", 100000000L, 300000000L, false),
+      (1L, 2L, "B", 300000000L, 400000000L, false),
+      (1L, 3L, "A", 400000000L, -1L, true),
+      (2L, 1L, "X", 500000000L, -1L, true)))
+    // validity ranges tile each user's timeline: version k's
+    // effective_to == version k+1's effective_from, one open row each
+    val byUser = got.groupBy(_._1)
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 == b._4)
+        case _         =>
+      }
+      assert(sorted.count(_._6) == 1 && sorted.last._6)
+    }
+  }
+
+  test("c19 drift: identical snapshots are zero, disjoint langs are 1") {
+    import spark.implicits._
+    def docs(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = docs(Seq((1L, "x y z", "en", "web", 10L),
+      (2L, "a b", "fr", "web", 600L)))
+    val same = Corpus.driftReportOver(a, a).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getDouble(5))).toMap
+    assert(same.values.forall(_ == (0L, 0.0)))
+    // same token/char shape, fully disjoint languages
+    val b = docs(Seq((3L, "x y z", "de", "web", 10L),
+      (4L, "a b", "ja", "web", 600L)))
+    val diff = Corpus.driftReportOver(a, b).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(diff("lang") == 1.0 && diff("tokens") == 0.0 &&
+      diff("chars") == 0.0 && diff("source") == 0.0)
+  }
 }
