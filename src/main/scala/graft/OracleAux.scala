@@ -114,7 +114,12 @@ object OracleAux {
     ("c05_hash", Set("c05_mixture_build"),
       (s, d) => operators.Corpus.c05AuxHash(s, d)),
     ("c01_sigs", Set("c01_clean_corpus"),
-      (s, d) => operators.Corpus.c01AuxSigs(s, d)))
+      (s, d) => operators.Corpus.c01AuxSigs(s, d)),
+    // the f10 demo's JSONL lines — the oracle re-parses the identical
+    // byte strings with DuckDB's independent JSON parser (a true
+    // differential check of the PERMISSIVE ingest + quarantine)
+    ("f10_lines", Set("f10_jsonl_ingest"),
+      (s, d) => sources.JsonlSource.f10Lines(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

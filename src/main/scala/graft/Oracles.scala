@@ -1054,6 +1054,24 @@ object Oracles {
         |FROM src s FULL OUTER JOIN tgt t ON s.rel_path = t.rel_path
         |ORDER BY rel_path""".stripMargin,
 
+    // f10: DuckDB's yyjson parser re-parses the byte-identical lines
+    // independently of Spark's Jackson path — validity verdicts,
+    // parsed fields, and the quarantine column must all agree.
+    "f10_jsonl_ingest" ->
+      s"""WITH l AS (SELECT line
+         |  FROM '${OracleAux.Root}/f10_lines/*.parquet'),
+         |p AS (SELECT line, json_valid(line) AS ok FROM l)
+         |SELECT
+         |  CASE WHEN ok THEN CAST(line->>'doc_id' AS BIGINT) END AS doc_id,
+         |  CASE WHEN ok THEN line->>'lang' END AS lang,
+         |  CASE WHEN ok THEN line->>'source' END AS source,
+         |  CASE WHEN ok THEN CAST(line->>'n_chars' AS BIGINT) END
+         |    AS n_chars,
+         |  NOT ok AS is_corrupt,
+         |  CASE WHEN NOT ok THEN line END AS corrupt_raw
+         |FROM p
+         |ORDER BY is_corrupt, doc_id, corrupt_raw""".stripMargin,
+
     "f05_audit_rollup" ->
       """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS sz
         |           FROM documents),

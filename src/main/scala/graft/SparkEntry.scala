@@ -156,6 +156,9 @@ object SparkEntry {
       graft.sources.FilePipeline.f03SyncPlanDemo(s, dir)),
     "f05_audit_rollup" -> ((s, dir) =>
       graft.sources.FilePipeline.f05AuditDemo(s, dir)),
+    // f10: JSONL intake with corrupt-line quarantine over real files
+    "f10_jsonl_ingest" -> ((s, dir) =>
+      graft.sources.JsonlSource.f10JsonlIngest(s, dir)),
     // f07: paged-REST enumeration over the deterministic synthetic
     // endpoint (the sf dir has no HTTP surface; the fixture exercises
     // the same pagination/BFS path the HTTP fetcher uses)
