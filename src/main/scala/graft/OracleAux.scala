@@ -119,7 +119,11 @@ object OracleAux {
     // byte strings with DuckDB's independent JSON parser (a true
     // differential check of the PERMISSIVE ingest + quarantine)
     ("f10_lines", Set("f10_jsonl_ingest"),
-      (s, d) => sources.JsonlSource.f10Lines(s, d)))
+      (s, d) => sources.JsonlSource.f10Lines(s, d)),
+    // the s16 idf ln-memo (≤ 8 rows): DuckDB recomputes BM25 + RRF
+    // itself and only looks up the transcendental
+    ("s16_ln", Set("s16_hybrid_search"),
+      (s, d) => operators.HybridSearch.s16AuxLn(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

@@ -1105,6 +1105,62 @@ object Oracles {
         |WHERE cos_sim >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // s16: the whole BM25 + cosine + RRF pipeline recomputed in SQL —
+    // fixed expression trees over exact integers (identical IEEE ops
+    // in both engines), ln from the memo, ranks tie-broken on doc_id.
+    "s16_hybrid_search" ->
+      s"""WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE doc_id <> 0),
+         |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM corpus),
+         |consts AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS nd,
+         |    (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS tt),
+         |q AS (SELECT unnest(w[1:8]) AS tok
+         |      FROM (SELECT string_split(text, ' ') AS w
+         |            FROM documents WHERE doc_id = 0)),
+         |post AS (SELECT doc_id, tok
+         |  FROM (SELECT doc_id, unnest(w) AS tok FROM corpus)
+         |  WHERE tok IN (SELECT DISTINCT tok FROM q)),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM post GROUP BY doc_id, tok),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY tok),
+         |idf AS (SELECT tok,
+         |    1.0 + ((consts.nd - df) + 0.5) / (df + 0.5) AS x
+         |  FROM df, consts),
+         |term AS (SELECT tf.doc_id,
+         |    CAST(round(m.lx * ((tf.tf * 2.2) /
+         |      (tf.tf + 0.3 + 0.9 * ((dl.dl * consts.nd) / consts.tt))),
+         |      9) AS DECIMAL(28,9)) AS term
+         |  FROM q
+         |  JOIN idf USING (tok)
+         |  JOIN '${OracleAux.Root}/s16_ln/*.parquet' m ON m.x = idf.x
+         |  JOIN tf USING (tok)
+         |  JOIN dl ON dl.doc_id = tf.doc_id, consts),
+         |scored AS (SELECT doc_id, CAST(SUM(term) AS DOUBLE) AS bm25
+         |           FROM term GROUP BY doc_id),
+         |topb AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_bm25
+         |  FROM scored QUALIFY rank_bm25 <= 100),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id = 0),
+         |vec AS (SELECT vec_id AS doc_id,
+         |    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+         |      (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                             CAST(embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+         |  FROM embeddings, qv WHERE vec_id <> 0),
+         |topv AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_vec
+         |  FROM vec QUALIFY rank_vec <= 100)
+         |SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+         |  b.rank_bm25, v.rank_vec,
+         |  COALESCE(1.0 / (60.0 + b.rank_bm25), 0.0) +
+         |    COALESCE(1.0 / (60.0 + v.rank_vec), 0.0) AS rrf
+         |FROM topb b FULL OUTER JOIN topv v ON b.doc_id = v.doc_id
+         |ORDER BY rrf DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id = 0)

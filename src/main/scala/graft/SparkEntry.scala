@@ -138,6 +138,7 @@ object SparkEntry {
     "c16_quality_classifier" -> ((s, dir) => Corpus.c16QualityClassifier(s, dir)),
     "s14_kmeans_distributed" -> ((s, dir) => Ann.s14KmeansDistributed(s, dir)),
     "s15_mmr_rerank" -> ((s, dir) => Ann.s15MmrRerank(s, dir)),
+    "s16_hybrid_search" -> ((s, dir) => HybridSearch.s16HybridSearch(s, dir)),
     "c18_balanced_sample" -> ((s, dir) => Corpus.c18BalancedSample(s, dir)),
     "c17_semantic_decontam" -> ((s, dir) => Corpus.c17SemanticDecontam(s, dir)),
     "c19_drift_report" -> ((s, dir) => Corpus.c19DriftReport(s, dir)),
