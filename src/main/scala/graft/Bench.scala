@@ -67,6 +67,10 @@ object Bench {
       // st18 is stateless (no trained artifact) — one row, the
       // recurring per-drain scrub cost
       "st18_scrub" -> ((s, d) => streaming.Streams.st18BenchScrub(s, d)),
+      // st19's drift monitor, same build/recurring split (name-sort
+      // keeps build before monitor)
+      "st19_build" -> ((s, d) => streaming.Streams.st19BenchBuild(s, d)),
+      "st19_monitor" -> ((s, d) => streaming.Streams.st19BenchMonitor(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

@@ -1416,19 +1416,32 @@ object Corpus {
   /** c19 over any two snapshots of the documents schema
     * (doc_id, text, lang, source, n_chars).
     */
-  def driftReportOver(snapA: DataFrame, snapB: DataFrame): DataFrame = {
-    val cols = Seq("text", "lang", "source", "n_chars").map(col)
-    val tagged = snapA.select(cols: _*).withColumn("_snap", lit("a"))
-      .unionByName(snapB.select(cols: _*).withColumn("_snap", lit("b")))
-    val bucketed = tagged.select(col("_snap"), expr(
+  def driftReportOver(snapA: DataFrame, snapB: DataFrame): DataFrame =
+    driftFromCounts(c19BucketCounts(snapA), c19BucketCounts(snapB))
+
+  /** The c19 bucket histogram of one snapshot — (metric, bucket, cnt)
+    * rows. Persisting this IS the "frozen reference" a monitoring
+    * deployment compares against (st19's build phase).
+    */
+  def c19BucketCounts(docs: DataFrame): DataFrame =
+    docs.select(expr(
       """stack(4,
         |  'tokens', CAST(least(size(split(text, ' ')) div 32, 7) AS STRING),
         |  'chars',  CAST(least(n_chars div 256, 7) AS STRING),
         |  'lang',   lang,
         |  'source', source) AS (metric, bucket)""".stripMargin))
-    val bc = bucketed.groupBy("metric", "bucket")
-      .agg(sum(when(col("_snap") === "a", 1L).otherwise(0L)).as("cnt_a"),
-        sum(when(col("_snap") === "b", 1L).otherwise(0L)).as("cnt_b"))
+      .groupBy("metric", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The c19 report from two prebuilt bucket histograms — shared by
+    * the batch report (c19) and the streaming monitor (st19), so
+    * their drift math can never diverge. Buckets absent from one side
+    * count 0 there (full-outer union of the bucket sets).
+    */
+  def driftFromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
+    val bc = countsA.withColumnRenamed("cnt", "cnt_a")
+      .join(countsB.withColumnRenamed("cnt", "cnt_b"),
+        Seq("metric", "bucket"), "full_outer")
+      .na.fill(0L, Seq("cnt_a", "cnt_b"))
     val tot = bc.groupBy("metric")
       .agg(count(lit(1)).as("n_buckets"), sum(col("cnt_a")).as("total_a"),
         sum(col("cnt_b")).as("total_b"))

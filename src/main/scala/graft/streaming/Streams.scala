@@ -600,6 +600,75 @@ object Streams {
       }
       .start()
 
+  /** st19 build phase (bench): the one-time reference-histogram
+    * persist the drift monitor amortizes.
+    */
+  def st19BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st19", dir)
+    clearRoot(spark, root)
+    st19RefBuild(graft.Tables(spark, dir).documents, s"$root/ref")
+    Seq(root).toDF("root")
+  }
+
+  /** st19 monitor phase (bench): one corpus-sized micro-batch through
+    * [[driftBatch]] against the persisted reference — the recurring
+    * per-drain cost (one histogram pass + a tiny bucket join).
+    */
+  def st19BenchMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st19", dir)
+    driftBatch(graft.Tables(spark, dir).documents, s"$root/ref",
+      s"$root/drift", batchId = 1L)
+    Seq(s"$root/drift").toDF("drift_path")
+  }
+
+  /** st19 reference build: persist the frozen c19 bucket histogram of
+    * a reference corpus — the one-time artifact the streaming drift
+    * monitor compares every micro-batch against.
+    */
+  def st19RefBuild(refDocs: DataFrame, refPath: String): Unit =
+    graft.operators.Corpus.c19BucketCounts(refDocs)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(refPath)
+
+  /** st19's batch body: one micro-batch's c19 histogram against the
+    * persisted reference, per-metric drift rows landed under the
+    * batch's own `batch=<id>` directory (stateless given the
+    * reference → replay rewrites itself; st14/st16's idempotence
+    * discipline). The drift math is [[graft.operators.Corpus
+    * .driftFromCounts]] — EXACTLY the c19 report, so batch and
+    * monitoring semantics can never diverge.
+    */
+  def driftBatch(batch: DataFrame, refPath: String, driftPath: String,
+      batchId: Long): Unit = {
+    val ref = batch.sparkSession.read.parquet(refPath)
+    graft.operators.Corpus
+      .driftFromCounts(ref, graft.operators.Corpus.c19BucketCounts(batch))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$driftPath/batch=$batchId")
+  }
+
+  /** st19: STREAMING drift monitoring — c19's snapshot drift report as
+    * a continuous observability leg beside the admission gates: every
+    * micro-batch's bucket distributions (token/char buckets, lang,
+    * source) are compared against the frozen reference histogram and
+    * the per-metric TVD rows appended; a retraining pipeline alerts on
+    * the `drift` table instead of discovering the shift after a bad
+    * model. Per batch: one histogram pass over the batch + a
+    * bucket-count join against the tiny broadcast reference — the
+    * reference corpus itself is never re-scanned on the stream.
+    */
+  def st19DriftStream(docs: DataFrame, refPath: String,
+      driftPath: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        driftBatch(batch.toDF(), refPath, driftPath, id)
+      }
+      .start()
+
   /** st11: streaming stats-index maintenance — a row stream appended
     * to an x17 stats-indexed table with the per-file min/max manifest
     * kept fresh per micro-batch

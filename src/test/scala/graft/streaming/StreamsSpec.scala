@@ -672,6 +672,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == ids, s"replay changed the lake: $after")
   }
 
+  test("st19 drift monitor: matching batch zero, shifted batch maximal, replays clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st19")
+    val refPath = dir.resolve("ref").toString
+    val driftPath = dir.resolve("drift").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // identical token/char/source shape everywhere; lang is the dial
+    def doc(id: Long, lang: String) = (id, "w1 w2 w3", lang, "web", 20L)
+    val refDocs = (1L to 40L)
+      .map(i => doc(i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Streams.st19RefBuild(refDocs, refPath)
+
+    val batch0 = (101L to 110L).map(i => doc(i, if (i % 2 == 0) "en" else "fr"))
+    val batch1 = (201L to 210L).map(i => doc(i, "zz"))
+    val input = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = Streams.st19DriftStream(
+      input.toDS().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      refPath, driftPath, ckpt)
+    input.addData(batch0: _*)
+    q.processAllAvailable()
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val drift = spark.read.parquet(driftPath)
+    assert(drift.count() == 8) // 4 metrics × 2 batches
+    // batch 0 matches the reference distribution exactly → TVD 0;
+    // batch 1's language set is disjoint from the reference's → TVD 1
+    // fresh read per call: the replay leg below rewrites batch files,
+    // so a captured file index would go stale
+    def langTvd(b: Int): Double = spark.read.parquet(driftPath)
+      .filter(col("batch") === b && col("metric") === "lang")
+      .head.getAs[Double]("tvd")
+    assert(langTvd(0) == 0.0 && langTvd(1) == 1.0)
+    // the unshifted dimensions stay zero in BOTH batches
+    assert(drift.filter(col("metric") =!= "lang")
+      .agg(max(col("tvd"))).head.getDouble(0) == 0.0)
+    // replay: re-running a batch body rewrites its own directory with
+    // identical rows — stateless monitor, idempotent landing
+    Streams.driftBatch(
+      batch1.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      refPath, driftPath, batchId = 1L)
+    val after = spark.read.parquet(driftPath)
+    assert(after.count() == 8 && langTvd(1) == 1.0)
+  }
+
   test("st17 decontamination gate rejects benchmark-overlapping docs, replays clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st17")
