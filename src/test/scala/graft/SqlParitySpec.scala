@@ -63,6 +63,27 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM events
         |ORDER BY event_id""".stripMargin,
 
+    // Spark spells DuckDB's epoch_us as unix_micros over an NTZ→TZ
+    // cast (UTC-pinned session, so the epochs agree)
+    "q54_scd2" ->
+      """WITH ordered AS (SELECT user_id, ts, event_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, ts, event_id, event_type FROM ordered
+        |        WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |       ORDER BY ts, event_id) AS BIGINT) AS version,
+        |  event_type AS state,
+        |  unix_micros(CAST(ts AS TIMESTAMP)) AS effective_from,
+        |  unix_micros(CAST(LEAD(ts) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS TIMESTAMP)) AS effective_to,
+        |  (LEAD(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM chg
+        |ORDER BY user_id, version""".stripMargin,
+
     "q37_rolling_window" ->
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_trailing_hour,

@@ -109,6 +109,31 @@ class PlanSpec extends AnyFunSuite {
       p.contains("Contains(p_name"), s"part filter not pushed:\n$p")
   }
 
+  test("t16: chunking is shuffle-free with a pruned scan") {
+    val docs = graft.Tables(spark, dir).documents
+    val p = TextOps.chunkSplitOver(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking shuffled:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("q54: both window passes share ONE hash exchange on the entity key") {
+    val p = plan("q54_scd2")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("d14: candidate generation is equi-join only — no cartesian") {
+    val p = plan("d14_fuzzy_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s16: the tf pass joins the broadcast query terms, not the vocabulary") {
+    val p = plan("s16_hybrid_search")
+    // the exploded corpus joins the ≤8 query terms via BroadcastHashJoin
+    assert("BroadcastHashJoin \\[tok".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("x15: runtime bloom filter prunes the fact side of a selective shuffle join") {
     // thresholds forced in an isolated session (local data is far below
     // the 10 GB application-side default that gates it at real scale)
@@ -179,6 +204,10 @@ class PlanSpec extends AnyFunSuite {
       // s12 is s01's intentional scan with the label pre-filter: the
       // 1-row query side broadcasts against the filtered corpus
       "s12_ann_filtered",
+      // s16's vector leg is s01's baseline shape (1-row query vector
+      // broadcast against the corpus scan); the BM25 leg is all
+      // equi-joins — the indexed ANN probes swap in at scale
+      "s16_hybrid_search",
       // c17 is the decontamination gate: the benchmark side is small
       // by nature (eval sets are) and broadcasts whole against a
       // by-design-linear scan of the train side — s01's baseline
