@@ -1780,30 +1780,29 @@ object Oracles {
         |FROM agg
         |ORDER BY metric""".stripMargin,
 
-    // d14: the full q-gram-filter + Levenshtein-verify pipeline is
+    // d14: the full FastSS pipeline — min-id representatives,
+    // deletion-neighborhood keys, key join, Levenshtein verify — is
     // plain relational algebra + a character DP both engines define
-    // identically (ASCII corpus) — replayed end to end, no side-table.
+    // identically (ASCII corpus); replayed end to end, no side-table.
     "d14_fuzzy_join" ->
-      """WITH t AS (SELECT doc_id AS id,
-        |    array_to_string((string_split(text, ' '))[1:4], ' ') AS s,
-        |    len(array_to_string((string_split(text, ' '))[1:4], ' ')) AS len
+      """WITH t0 AS (SELECT doc_id,
+        |    array_to_string((string_split(text, ' '))[1:4], ' ') AS t0
         |  FROM documents),
-        |g AS (SELECT id, len, pos, substr(s, CAST(pos AS INT), 3) AS gm
-        |      FROM (SELECT id, s, len, unnest(range(1, len - 1)) AS pos
-        |            FROM t WHERE len >= 3)),
-        |gcand AS (SELECT a.id AS id_a, b.id AS id_b
-        |  FROM g a JOIN g b ON a.gm = b.gm AND a.id < b.id
-        |    AND abs(a.pos - b.pos) <= 1 AND abs(a.len - b.len) <= 1
-        |  GROUP BY a.id, b.id, a.len, b.len
-        |  HAVING count(*) >= greatest(a.len, b.len) - 2 - 3),
-        |keyed AS (SELECT id, unnest([len, len + 1]) AS k
-        |          FROM t WHERE len < 8),
-        |scand AS (SELECT a.id AS id_a, b.id AS id_b
-        |          FROM keyed a JOIN keyed b
-        |          ON a.k = b.k AND a.id < b.id),
-        |cand AS (SELECT DISTINCT id_a, id_b FROM
-        |  (SELECT id_a, id_b FROM gcand
-        |   UNION ALL SELECT id_a, id_b FROM scand))
+        |raw AS (SELECT doc_id AS id,
+        |    CASE WHEN doc_id % 3 = 1
+        |         THEN substr(t0, 1, 2) || substr(t0, 4)
+        |         ELSE t0 END AS s
+        |  FROM t0),
+        |u AS (SELECT min(id) AS id, s FROM raw GROUP BY s),
+        |t AS (SELECT id, s, len(s) AS len FROM u),
+        |ks AS (SELECT id, s AS k FROM t
+        |  UNION ALL
+        |  SELECT id, substr(s, 1, CAST(j AS INT) - 1) ||
+        |             substr(s, CAST(j AS INT) + 1) AS k
+        |  FROM (SELECT id, s, unnest(range(1, len + 1)) AS j
+        |        FROM t WHERE len >= 1)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM ks a JOIN ks b ON a.k = b.k AND a.id < b.id)
         |SELECT c.id_a AS doc_a, c.id_b AS doc_b,
         |  ta.s AS title_a, tb.s AS title_b,
         |  CAST(levenshtein(ta.s, tb.s) AS BIGINT) AS dist

@@ -15,26 +15,36 @@ class FuzzyJoinSpec extends AnyFunSuite {
       (3L, "quick brown fax"),   // 1 substitution — IN
       (4L, "quick brown foxx"),  // 1 insertion — IN
       (5L, "slow green turtle"), // unrelated
-      (6L, "ab"),                // short-path pair with 7
+      (6L, "ab"),                // tiny-path pair with 7
       (7L, "ac"),
-      (8L, "zz")).toDF("id", "s")
+      (8L, "zz"),
+      (9L, "quick brown fox")).toDF("id", "s") // exact dup of 1 —
+    // collapses to the min-id representative, never a pair of its own
     val got = FuzzyJoin.fuzzyJoinOver(strs, maxDist = 1)
       .orderBy("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(got.toSeq == Seq((1L, 3L, 1L), (1L, 4L, 1L), (6L, 7L, 1L)))
   }
 
-  test("d14 == brute-force Levenshtein all-pairs on corpus titles") {
+  test("d14 == brute-force Levenshtein all-pairs on distinct corpus titles") {
     import org.apache.spark.sql.functions._
+    // the demo's typo-planted titles (char-3 drop on every third doc)
     val titles = graft.Tables(spark, TestSpark.Sf001).documents
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 4), " ").as("t0"))
       .select(col("doc_id").as("id"),
-        array_join(slice(split(col("text"), " "), 1, 4), " ").as("s"))
+        when(col("doc_id") % 3 === 1,
+          concat(substring(col("t0"), 1, 2),
+            expr("substring(t0, 4, 2147483647)")))
+          .otherwise(col("t0")).as("s"))
     val got = FuzzyJoin.fuzzyJoinOver(titles, maxDist = 1)
       .select("id_a", "id_b", "dist").orderBy("id_a", "id_b")
       .collect().toSeq
-    // reference: all-pairs with only the (necessary) length-band cut —
-    // the filter the blocking must never beat on recall
-    val ref = titles.as("a").join(titles.as("b"),
+    // reference: min-id representatives, then all-pairs with only the
+    // (necessary) length-band cut — the filter the prefix blocking
+    // must never beat on recall
+    val uniq = titles.groupBy("s").agg(min(col("id")).as("id"))
+    val ref = uniq.as("a").join(uniq.as("b"),
         col("a.id") < col("b.id") &&
           abs(length(col("a.s")) - length(col("b.s"))) <= 1 &&
           levenshtein(col("a.s"), col("b.s")) <= 1)
@@ -44,5 +54,6 @@ class FuzzyJoinSpec extends AnyFunSuite {
       .collect().toSeq
     assert(got == ref)
     assert(got.nonEmpty) // the sweep finds real near-dup titles
+    assert(got.forall(_.getLong(2) == 1L)) // distinct strings ⇒ dist ≥ 1
   }
 }
