@@ -1811,6 +1811,31 @@ object Oracles {
         |WHERE levenshtein(ta.s, tb.s) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // t17: the plant and the strip both replay as RE2-portable
+    // regexp_replace ('g' flag = Spark's replace-all default) and
+    // literal replaces in the same amp-last order.
+    "t17_html_strip" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 2
+        |         THEN '<html><p class="x">' ||
+        |              replace(text, ' the ', ' <b>the</b> ') || '</p>'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |strip AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+        |      AS n_tags,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(text, '<[^>]*>', '', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      ' {2,}', ' ', 'g')) AS clean
+        |  FROM planted)
+        |SELECT doc_id, n_tags, clean,
+        |  CAST(len(clean) AS BIGINT) AS n_chars_clean
+        |FROM strip
+        |ORDER BY doc_id""".stripMargin,
+
     // t16: chunk boundaries are pure integer arithmetic on the
     // whitespace-token count (same ceil-div in both engines); the
     // chunk text is a clamped list slice re-joined on the same

@@ -122,6 +122,7 @@ object SparkEntry {
     "t14_tfidf_keywords" -> ((s, dir) => TextOps.t14TfidfKeywords(s, dir)),
     "d12_keep_best_dedup" -> ((s, dir) => Dedup.d12KeepBestDedup(s, dir)),
     "t16_chunk_split" -> ((s, dir) => TextOps.t16ChunkSplit(s, dir)),
+    "t17_html_strip" -> ((s, dir) => TextOps.t17HtmlStrip(s, dir)),
     "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
     "q54_scd2" -> (Relational.q54Scd2(_, _)),

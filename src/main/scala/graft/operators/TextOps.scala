@@ -792,6 +792,51 @@ object TextOps {
       .drop("_toks" +: langs.map(l => s"_s_$l"): _*)
   }
 
+  /** t17: HTML/markup stripping — the boilerplate-removal stage every
+    * crawl-cleaning pipeline runs before any text analysis (public
+    * practice: CCNet/Dolma/FineWeb all strip markup on intake). Tags
+    * (`<[^>]*>`) are removed, the five standard character entities +
+    * nbsp are decoded (with `&amp;` LAST, so `&amp;lt;` correctly
+    * yields the literal `&lt;` and never a spurious `<`), space runs
+    * collapse, and the result is trimmed. Every step is a codegen'd
+    * regexp_replace/replace on RE2-portable patterns — per-row,
+    * shuffle-free, replayed identically by the oracle.
+    *
+    * The synthetic corpus carries no markup, so the demo plants it
+    * deterministically (the d14 discipline): every doc with
+    * doc_id % 4 == 2 is wrapped in html/p tags with a bold-tagged
+    * token — the strip must recover the ORIGINAL text byte-exactly,
+    * which the spec asserts corpus-wide.
+    */
+  def t17HtmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 2,
+          concat(lit("<html><p class=\"x\">"),
+            expr("replace(text, ' the ', ' <b>the</b> ')"),
+            lit("</p>")))
+          .otherwise(col("text")).as("text"))
+    htmlStripOver(planted).orderBy("doc_id")
+  }
+
+  /** t17 over any (doc_id, text) frame. Output: doc_id, n_tags
+    * removed, the cleaned text, its length.
+    */
+  def htmlStripOver(docs: DataFrame): DataFrame = {
+    val noTags = regexp_replace(col("text"), "<[^>]*>", "")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("<[^>]*>"), lit(0)))
+        .cast(LongType).as("n_tags"),
+      trim(regexp_replace(decoded, " {2,}", " ")).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")).cast(LongType))
+  }
+
   /** t16: token-aware document chunking — the context-window splitter
     * every RAG / training-prep pipeline runs before embedding or
     * packing (ref's per-file copy loop has no analog; this is part of

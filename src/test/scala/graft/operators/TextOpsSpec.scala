@@ -20,6 +20,38 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 1L, 0.5)))
   }
 
+  test("t17 strips tags, decodes entities amp-last, collapses space") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html><p class=\"x\">hello <b>world</b></p>"), // 5 tags
+      (2L, "a &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y &amp; z"),
+      // amp-last: '&amp;lt;' must yield the LITERAL '&lt;', not '<'
+      (3L, "keep &amp;lt; literal"),
+      (4L, "  spaced   out  "),
+      (5L, "plain text")).toDF("doc_id", "text")
+    val got = TextOps.htmlStripOver(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, "hello world"),
+      (2L, 0L, "a <tag> \"q\" 's' x y & z"),
+      (3L, 0L, "keep &lt; literal"),
+      (4L, 0L, "spaced out"),
+      (5L, 0L, "plain text")))
+  }
+
+  test("t17 demo strip recovers every original document byte-exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    val out = TextOps.t17HtmlStrip(spark, TestSpark.Sf0001)
+    val joined = out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+    assert(joined.filter(col("clean") =!= col("text")).count() == 0)
+    // the plant is real: wrapped docs report tags, the rest report none
+    assert(joined.filter(col("doc_id") % 4 === 2 && col("n_tags") < 3)
+      .count() == 0)
+    assert(joined.filter(col("doc_id") % 4 =!= 2 && col("n_tags") =!= 0)
+      .count() == 0)
+  }
+
   test("t16 chunk boundaries match hand-built windows") {
     import spark.implicits._
     // size=4, overlap=1 → stride 3; n=8 → 3 chunks [0,4)[3,7)[6,8);
