@@ -123,7 +123,11 @@ object OracleAux {
     // the s16 idf ln-memo (≤ 8 rows): DuckDB recomputes BM25 + RRF
     // itself and only looks up the transcendental
     ("s16_ln", Set("s16_hybrid_search"),
-      (s, d) => operators.HybridSearch.s16AuxLn(s, d)))
+      (s, d) => operators.HybridSearch.s16AuxLn(s, d)),
+    // m11's payload head bytes (hex) — classification + rollup replay
+    // downstream of the non-SQL codecs
+    ("m11_heads", Set("m11_type_sniff"),
+      (s, d) => operators.Multimodal.m11AuxHeads(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

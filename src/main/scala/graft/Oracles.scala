@@ -1105,6 +1105,29 @@ object Oracles {
         |WHERE cos_sim >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // m11: the magic-byte classification + rollup replayed from the
+    // persisted head-hex side-table (the codecs aren't SQL; the
+    // routing logic downstream of the head bytes is).
+    "m11_type_sniff" ->
+      s"""WITH h AS (SELECT media_type, head_hex, len
+         |  FROM '${OracleAux.Root}/m11_heads/*.parquet'),
+         |c AS (SELECT media_type, len,
+         |    CASE
+         |      WHEN substr(head_hex, 1, 8) = '89504E47' THEN 'image/png'
+         |      WHEN substr(head_hex, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+         |      WHEN substr(head_hex, 1, 6) = '474946' THEN 'image/gif'
+         |      WHEN substr(head_hex, 1, 8) = '52494646'
+         |       AND substr(head_hex, 17, 8) = '57415645' THEN 'audio/wav'
+         |      WHEN substr(head_hex, 1, 8) = '52494646' THEN 'riff/other'
+         |      WHEN substr(head_hex, 9, 8) = '89504E47' THEN 'video/frames'
+         |      ELSE 'unknown' END AS sniffed
+         |  FROM h)
+         |SELECT media_type, sniffed, COUNT(*) AS n_files,
+         |  CAST(SUM(len) AS BIGINT) AS total_bytes
+         |FROM c
+         |GROUP BY media_type, sniffed
+         |ORDER BY media_type, sniffed""".stripMargin,
+
     // s16: the whole BM25 + cosine + RRF pipeline recomputed in SQL —
     // fixed expression trees over exact integers (identical IEEE ops
     // in both engines), ln from the memo, ranks tie-broken on doc_id.

@@ -80,6 +80,7 @@ object SparkEntry {
     "m02_frame_sample" -> ((s, dir) => Multimodal.m02FrameSample(s, dir)),
     "m03_audio_windows" -> ((s, dir) => Multimodal.m03AudioWindows(s, dir)),
     "m04_phash_dedup" -> ((s, dir) => Multimodal.m04PhashDedup(s, dir)),
+    "m11_type_sniff" -> ((s, dir) => Multimodal.m11TypeSniff(s, dir)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
     "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
     "q30_range_join" -> (RangeJoin.q30RangeJoin(_, _)),

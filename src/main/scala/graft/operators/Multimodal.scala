@@ -1320,4 +1320,53 @@ object Multimodal {
   def m09VideoDedup(spark: SparkSession, dir: String,
       maxHamming: Int = 3, minMatchFrac: Double = 0.5): DataFrame =
     m09VideoPairsOver(plantedVideoCorpus(spark, dir), maxHamming, minMatchFrac)
+
+  /** m11: content-type sniffing — the magic-byte router every binary
+    * intake runs BEFORE trusting a path extension or an upstream
+    * content-type header (public practice: `file`/libmagic semantics;
+    * mislabeled media is routed by what its bytes say, not what its
+    * name claims). Detects PNG/JPEG/GIF signatures, RIFF/WAVE (outer
+    * fourcc + the WAVE form type at offset 8), the m-family's
+    * length-prefixed PNG frame container (PNG magic at offset 4), and
+    * falls through to `unknown`. Pure codegen'd byte-slice/hex
+    * comparisons on the binary column — per-row, shuffle-free except
+    * the final small rollup; never decodes a payload.
+    */
+  def m11TypeSniff(spark: SparkSession, dir: String): DataFrame =
+    m11SniffOver(mediaTable(spark, dir))
+
+  /** The sniff verdict of a binary `payload` column. */
+  def sniffExpr(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(payload, 1, 4)) === "89504E47", "image/png")
+      .when(hex(substring(payload, 1, 3)) === "FFD8FF", "image/jpeg")
+      .when(hex(substring(payload, 1, 3)) === "474946", "image/gif")
+      .when(hex(substring(payload, 1, 4)) === "52494646" &&
+        hex(substring(payload, 9, 4)) === "57415645", "audio/wav")
+      .when(hex(substring(payload, 1, 4)) === "52494646", "riff/other")
+      .when(hex(substring(payload, 5, 4)) === "89504E47", "video/frames")
+      .otherwise("unknown")
+
+  /** m11 rollup over any (media_type, payload, meta) media frame:
+    * declared type × sniffed type with file/byte counts — the intake
+    * reconciliation report (a non-diagonal row is a mislabel).
+    */
+  def m11SniffOver(media: DataFrame): DataFrame =
+    media
+      .select(col("media_type"), sniffExpr(col("payload")).as("sniffed"),
+        col("meta.content_length").as("len"))
+      .groupBy("media_type", "sniffed")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("len")).as("total_bytes"))
+      .orderBy("media_type", "sniffed")
+
+  /** m11 oracle side-table: each payload's first 12 bytes as hex +
+    * its declared type/length — the codecs aren't SQL, the
+    * classification and rollup downstream of the head bytes are.
+    */
+  def m11AuxHeads(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        hex(substring(col("payload"), 1, 12)).as("head_hex"),
+        col("media_type"),
+        col("meta.content_length").as("len"))
 }

@@ -10,6 +10,40 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
+  test("m11 sniffs every magic-byte family and falls through to unknown") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A)
+    val rows = Seq(
+      ("png", png),
+      ("jpeg", b(0xFF, 0xD8, 0xFF, 0xE0)),
+      ("gif", b(0x47, 0x49, 0x46, 0x38, 0x39)),
+      ("wav", "RIFF".getBytes("US-ASCII") ++ b(1, 0, 0, 0) ++
+        "WAVE".getBytes("US-ASCII")),
+      ("riff", "RIFF".getBytes("US-ASCII") ++ b(1, 0, 0, 0) ++
+        "AVI ".getBytes("US-ASCII")),
+      ("vid", b(0, 0, 0, 10) ++ png), // length-prefixed frame container
+      ("junk", b(1, 2, 3)),
+      ("empty", Array.empty[Byte]))
+    val got = rows.toDF("name", "payload")
+      .select(col("name"), Multimodal.sniffExpr(col("payload")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      "png" -> "image/png", "jpeg" -> "image/jpeg", "gif" -> "image/gif",
+      "wav" -> "audio/wav", "riff" -> "riff/other",
+      "vid" -> "video/frames", "junk" -> "unknown", "empty" -> "unknown"))
+  }
+
+  test("m11 corpus sniff is diagonal: bytes agree with declared types") {
+    val got = Multimodal.m11TypeSniff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toSeq.sorted == Seq(
+      "audio" -> "audio/wav", "image" -> "image/png",
+      "video" -> "video/frames"))
+    assert(got.map(_._3).sum > 0)
+  }
+
   // ---- codec kernels: real JDK decode against hand-built payloads ----
 
   test("PNG round-trip: encode then ImageIO-decode returns the exact pixels") {
