@@ -1771,6 +1771,61 @@ object Oracles {
 
     // c19: TVD drift — exact cross-multiplied integers with one final
     // IEEE division of exactly-representable operands; replayed whole.
+    // c20: the plant, every count (length deltas, multiline-anchored
+    // regexp matches, the distinct-stop intersection) and every
+    // single-divide ratio replay on the same RE2-portable patterns;
+    // flags compare the identical correctly-rounded quotients against
+    // the identical literals.
+    "c20_gopher_rules" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1
+        |           THEN text || ' #### ## ###### ### ## #### ### ## #### ###'
+        |         WHEN doc_id % 7 = 3
+        |           THEN repeat('- item x' || chr(10), 9) || text
+        |         WHEN doc_id % 7 = 5
+        |           THEN text || chr(10) || 'to be continued...' ||
+        |                chr(10) || 'read more soon...'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id, text,
+        |    len(string_split_regex(text, '[ \n]')) AS n_words,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    len(text) - (len(string_split_regex(text, '[ \n]')) - 1)
+        |      AS sum_len,
+        |    len(text) - len(replace(text, '#', '')) AS n_hash,
+        |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell3,
+        |    len(regexp_extract_all(text, '(?m)^[-*•] ')) AS n_bullet,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell_line,
+        |    len(regexp_extract_all(text, '(^|[ \n])[^ \n]*[a-z]'))
+        |      AS n_alpha,
+        |    len(list_intersect(string_split_regex(text, '[ \n]'),
+        |      ['the','a'])) AS n_stop
+        |  FROM planted),
+        |r AS (SELECT doc_id,
+        |    CAST(n_words AS BIGINT) AS n_words,
+        |    CAST(n_lines AS BIGINT) AS n_lines,
+        |    CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+        |    CAST(n_hash + n_ell3 AS DOUBLE) / n_words AS symbol_ratio,
+        |    CAST(n_bullet AS DOUBLE) / n_lines AS bullet_ratio,
+        |    CAST(n_ell_line AS DOUBLE) / n_lines AS ellipsis_ratio,
+        |    CAST(n_alpha AS DOUBLE) / n_words AS alpha_ratio,
+        |    CAST(n_stop AS BIGINT) AS n_stop_hits
+        |  FROM m),
+        |f AS (SELECT *,
+        |    CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_words,
+        |    CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS BIGINT)
+        |      AS r_mean,
+        |    CAST(symbol_ratio < 0.1 AS BIGINT) AS r_symbol,
+        |    CAST(bullet_ratio < 0.9 AS BIGINT) AS r_bullet,
+        |    CAST(ellipsis_ratio < 0.3 AS BIGINT) AS r_ellipsis,
+        |    CAST(alpha_ratio > 0.8 AS BIGINT) AS r_alpha,
+        |    CAST(n_stop_hits >= 2 AS BIGINT) AS r_stop
+        |  FROM r)
+        |SELECT *, CAST(r_words + r_mean + r_symbol + r_bullet +
+        |    r_ellipsis + r_alpha + r_stop = 7 AS BIGINT) AS keep
+        |FROM f
+        |ORDER BY doc_id""".stripMargin,
+
     "c19_drift_report" ->
       """WITH d AS (SELECT
         |    CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap,

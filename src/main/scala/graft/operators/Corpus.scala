@@ -1454,4 +1454,112 @@ object Corpus {
       .select("metric", "n_buckets", "total_a", "total_b", "tvd_num", "tvd")
       .orderBy("metric")
   }
+
+  /** The Gopher stop set (Rae et al. 2021 §A1.1, public): a document
+    * is expected to contain at least 2 of these 8 function words.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** c20: the Gopher-style quality RULE SUITE — per-document
+    * admission flags, one per published rule, not a scalar score.
+    * t02 is the scalar composite a ranking wants; this is the
+    * rule-by-rule gate a curation pipeline tunes and AUDITS
+    * individually (public practice: Gopher §A1.1, Dolma, FineWeb all
+    * gate on named rules so a curator can see WHICH rule rejected a
+    * document). Rules: word-count bounds [50, 100000], mean word
+    * length in [3, 10], symbol-to-word ratio (# chars + '...'
+    * ellipses) < 0.1, bullet-started line fraction < 0.9,
+    * ellipsis-ended line fraction < 0.3, alphabetic-word fraction
+    * > 0.8, and ≥ 2 distinct stop words present.
+    *
+    * Determinism: every ratio is ONE IEEE division of two exact
+    * integers (correctly rounded by definition), and every flag
+    * compares such a quotient against a literal — so metrics, flags
+    * and the keep verdict replay bit-for-bit in the DuckDB oracle.
+    * Counts come from codegen'd string arithmetic (length deltas for
+    * '#'/'...', multiline-anchored regexp counts for bullet/ellipsis
+    * lines and alphabetic words — RE2-portable, no interpreted HOF
+    * in the per-row path); the word-length sum uses the t02 identity
+    * (sum of token lengths = chars − separators, exact for any
+    * single-char-delimited split).
+    *
+    * The synthetic corpus is single-line prose, so the demo plants
+    * rule violations deterministically (the t17 discipline):
+    * doc_id%7==1 appends a ####-run tail (symbol + alpha rules),
+    * ==3 prepends nine bullet lines (9/10 = 0.9 fails the strict-<
+    * bullet rule exactly), ==5 appends two ellipsis-ended lines.
+    * The stop LIST is a parameter (every production pipeline
+    * configures it per language): the published Gopher 8 is the
+    * default, but the TESTDATA vocabulary contains exactly two
+    * function words ("the", "a" — the t03 content-free-corpus note),
+    * so the demo supplies those; with the Gopher 8 the r_stop rule
+    * would degenerately reject the whole synthetic corpus.
+    *
+    * Scale: per-row, shuffle-free (the driver orderBy is
+    * presentation only); the (doc_id, text) projection reaches the
+    * scan. At 100 TB this is a map-only pass fused into whatever
+    * scan follows it.
+    */
+  def c20GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 7 === 1,
+        concat(col("text"),
+          lit(" #### ## ###### ### ## #### ### ## #### ###")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit("- item x\n" * 9), col("text")))
+        .when(col("doc_id") % 7 === 5,
+          concat(col("text"), lit("\nto be continued...\nread more soon...")))
+        .otherwise(col("text")).as("text"))
+    gopherRulesOver(planted, stops = Seq("the", "a")).orderBy("doc_id")
+  }
+
+  /** c20 over any (doc_id, text) frame. Flags are BIGINT 0/1 (the
+    * artifact convention); `keep` is the conjunction of all seven.
+    */
+  def gopherRulesOver(docs: DataFrame,
+      stops: Seq[String] = GopherStops): DataFrame = {
+    val words = split(col("text"), "[ \n]")
+    val nWords = size(words).cast("long")
+    val nLines = size(split(col("text"), "\n")).cast("long")
+    val sumLen = length(col("text")).cast("long") - (nWords - lit(1L))
+    val nHash =
+      (length(col("text")) - length(replace(col("text"), lit("#")))).cast("long")
+    val nEllSym = expr(
+      "(length(text) - length(replace(text, '...'))) div 3")
+    val nBullet = size(regexp_extract_all(
+      col("text"), lit("(?m)^[-*•] "), lit(0))).cast("long")
+    val nEllLine = size(regexp_extract_all(
+      col("text"), lit("(?m)\\.\\.\\.$"), lit(0))).cast("long")
+    // one match per token containing ≥1 [a-z]: the leading separator
+    // (or ^) is consumed WITH the match, so adjacent alphabetic
+    // tokens still count once each
+    val nAlpha = size(regexp_extract_all(
+      col("text"), lit("(^|[ \n])[^ \n]*[a-z]"), lit(0))).cast("long")
+    val nStop = size(array_intersect(
+      words, array(stops.map(lit): _*))).cast("long")
+    val meanLen = sumLen.cast("double") / nWords
+    val symbolRatio = (nHash + nEllSym).cast("double") / nWords
+    val bulletRatio = nBullet.cast("double") / nLines
+    val ellipsisRatio = nEllLine.cast("double") / nLines
+    val alphaRatio = nAlpha.cast("double") / nWords
+    def flag(c: Column): Column = when(c, 1L).otherwise(0L)
+    val rWords = flag(nWords >= 50 && nWords <= 100000)
+    val rMean = flag(meanLen >= 3.0 && meanLen <= 10.0)
+    val rSymbol = flag(symbolRatio < 0.1)
+    val rBullet = flag(bulletRatio < 0.9)
+    val rEll = flag(ellipsisRatio < 0.3)
+    val rAlpha = flag(alphaRatio > 0.8)
+    val rStop = flag(nStop >= 2)
+    docs.select(col("doc_id"),
+      nWords.as("n_words"), nLines.as("n_lines"),
+      meanLen.as("mean_word_len"), symbolRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      alphaRatio.as("alpha_ratio"), nStop.as("n_stop_hits"),
+      rWords.as("r_words"), rMean.as("r_mean"), rSymbol.as("r_symbol"),
+      rBullet.as("r_bullet"), rEll.as("r_ellipsis"), rAlpha.as("r_alpha"),
+      rStop.as("r_stop"),
+      flag(rWords + rMean + rSymbol + rBullet + rEll + rAlpha + rStop === 7)
+        .as("keep"))
+  }
 }

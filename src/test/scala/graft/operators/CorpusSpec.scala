@@ -777,4 +777,63 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(again.toSeq == got.toSeq, "c18 depends on partitioning")
   }
+
+  test("c20 gopher rules: hand-corpus metrics and flags are closed-form") {
+    import spark.implicits._
+    val docs = Seq(
+      // pristine: 50 words (the, with, 48×word), all alpha, 2 stops
+      (1L, (Seq("the", "with") ++ Seq.fill(48)("word")).mkString(" ")),
+      // too short: only the word-count rule trips
+      (2L, "the tiny with doc"),
+      // 9 bullet lines of 10 → ratio exactly 0.9, fails the strict <
+      (3L, "* bulletword here\n" * 9 + Seq.fill(25)("the and").mkString(" ")),
+      // #-runs: symbol rule trips, alpha ratio 50/60 stays just over 0.8
+      (4L, Seq.fill(25)("that have").mkString(" ") + " ####" * 10),
+      // 2 of 3 lines end in ellipsis → 2/3 > 0.3
+      (5L, Seq.fill(25)("that have").mkString(" ") +
+        "\nto be continued...\nread more soon...")
+    ).toDF("doc_id", "text")
+    val got = Corpus.gopherRulesOver(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    def flags(r: org.apache.spark.sql.Row): Seq[Long] =
+      (9 to 16).map(r.getLong)
+    // doc 1: mean = (3 + 4 + 48·4) / 50 = 199/50, everything passes
+    assert(got(1L).getLong(1) == 50L && got(1L).getLong(2) == 1L)
+    assert(got(1L).getDouble(3) == 199.0 / 50)
+    assert(got(1L).getDouble(7) == 1.0 && got(1L).getLong(8) == 2L)
+    assert(flags(got(1L)) == Seq(1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    // doc 2: only r_words trips
+    assert(flags(got(2L)) == Seq(0L, 1L, 1L, 1L, 1L, 1L, 1L, 0L))
+    // doc 3: 77 words, 10 lines, bullet 9/10 = 0.9 exactly → strict-<
+    // fails; mean = (9·(1+10+4) + 50·3)/77 = 285/77 holds; alpha 68/77
+    assert(got(3L).getLong(1) == 77L && got(3L).getLong(2) == 10L)
+    assert(got(3L).getDouble(5) == 9.0 / 10)
+    assert(got(3L).getDouble(3) == 285.0 / 77)
+    assert(got(3L).getDouble(7) == 68.0 / 77)
+    assert(flags(got(3L)) == Seq(1L, 1L, 1L, 0L, 1L, 1L, 1L, 0L))
+    // doc 4: 60 words, 40 '#' chars → 40/60; alpha 50/60 > 0.8
+    assert(got(4L).getDouble(4) == 40.0 / 60)
+    assert(got(4L).getDouble(7) == 50.0 / 60)
+    assert(flags(got(4L)) == Seq(1L, 1L, 0L, 1L, 1L, 1L, 1L, 0L))
+    // doc 5: 56 words over 3 lines, 2 ellipsis lines; '...' counts as
+    // symbol too (2/56 < 0.1 passes); 4 distinct stops
+    assert(got(5L).getLong(2) == 3L && got(5L).getDouble(6) == 2.0 / 3)
+    assert(got(5L).getLong(8) == 4L)
+    assert(flags(got(5L)) == Seq(1L, 1L, 1L, 1L, 0L, 1L, 1L, 0L))
+  }
+
+  test("c20 demo: each planted family trips exactly its rule") {
+    val rows = Corpus.c20GopherRules(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    byId.foreach { case (id, r) =>
+      if (id % 7 == 3) assert(r.getLong(12) == 0L, s"doc $id r_bullet")
+      if (id % 7 == 5) assert(r.getLong(13) == 0L, s"doc $id r_ellipsis")
+      if (id % 7 == 1) assert(r.getLong(11) == 0L, s"doc $id r_symbol")
+    }
+    // the gate discriminates: both verdicts occur on the demo corpus
+    val keeps = rows.map(_.getLong(16)).toSet
+    assert(keeps == Set(0L, 1L), s"keep verdicts: $keeps")
+  }
 }

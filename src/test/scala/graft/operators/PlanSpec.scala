@@ -117,6 +117,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("c20: the gopher rule suite is shuffle-free with a pruned scan") {
+    val docs = graft.Tables(spark, dir).documents
+    val p = Corpus.gopherRulesOver(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"gopher rules shuffled:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q54: both window passes share ONE hash exchange on the entity key") {
     val p = plan("q54_scd2")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
