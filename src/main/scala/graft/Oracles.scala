@@ -1862,6 +1862,64 @@ object Oracles {
     // deletion-neighborhood keys, key join, Levenshtein verify — is
     // plain relational algebra + a character DP both engines define
     // identically (ASCII corpus); replayed end to end, no side-table.
+    // d15: the synthetic URL plant and every canonicalization step
+    // (fragment strip, scheme/host lowering, default-port strip, path
+    // normalization, tracking-param filter + bytewise sort) replay on
+    // the same RE2-portable patterns; the dedup is a plain window.
+    "d15_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      'HTTPS://Site' || ((doc_id // 5) % 50) ||
+        |      '.Example.com/docs/' || (doc_id // 5)
+        |    WHEN doc_id % 5 = 1 THEN
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com:443/docs/' || (doc_id // 5)
+        |    WHEN doc_id % 5 = 2 THEN
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com/docs/' || (doc_id // 5) ||
+        |      '?utm_source=feed&utm_campaign=x'
+        |    WHEN doc_id % 5 = 3 THEN
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com/docs/' || (doc_id // 5) || '/'
+        |    ELSE
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com/docs/' || (doc_id // 5) ||
+        |      '?b=2&utm_medium=m&a=1#frag' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, url,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS rawpath,
+        |    regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '\?(.*)$', 1) AS query
+        |  FROM u),
+        |n AS (SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path0,
+        |    COALESCE(array_to_string(
+        |      list_sort(list_filter(string_split(query, '&'),
+        |        x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)=')
+        |          AND x <> '')), '&'), '') AS kept
+        |  FROM p),
+        |c AS (SELECT doc_id, url,
+        |    scheme || '://' || host ||
+        |    CASE WHEN path0 <> '/' AND path0 LIKE '%/'
+        |         THEN substring(path0, 1, length(path0) - 1)
+        |         ELSE path0 END ||
+        |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+        |  FROM n)
+        |SELECT doc_id, url, canon_url,
+        |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dups,
+        |  CAST(doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS BIGINT)
+        |    AS is_keeper
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
     "d14_fuzzy_join" ->
       """WITH t0 AS (SELECT doc_id,
         |    array_to_string((string_split(text, ' '))[1:4], ' ') AS t0

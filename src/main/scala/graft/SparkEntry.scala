@@ -125,6 +125,7 @@ object SparkEntry {
     "t16_chunk_split" -> ((s, dir) => TextOps.t16ChunkSplit(s, dir)),
     "t17_html_strip" -> ((s, dir) => TextOps.t17HtmlStrip(s, dir)),
     "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
+    "d15_url_dedup" -> ((s, dir) => Dedup.d15UrlDedup(s, dir)),
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
     "q54_scd2" -> (Relational.q54Scd2(_, _)),
     "m06_dhash_dedup" -> ((s, dir) => Multimodal.m06DhashDedup(s, dir)),

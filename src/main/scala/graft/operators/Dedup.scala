@@ -1437,4 +1437,87 @@ object Dedup {
       .filter(col("cos_sim") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** d15: URL canonicalization + exact dedup — the URL-level dedup
+    * stage every web-crawl corpus runs BEFORE content dedup (public
+    * practice: CommonCrawl/CCNet/RefinedWeb dedupe fetch lists by
+    * canonical URL first; it is orders of magnitude cheaper than any
+    * content pass because the key is a short string and the pass is
+    * one hash shuffle). Canonical form: lowercase scheme and host,
+    * default port stripped (:443 for https, :80 for http), fragment
+    * dropped, tracking query params dropped (utm_*, fbclid, gclid,
+    * ref — the public tracking-param list), remaining params sorted
+    * bytewise and rejoined, trailing slash normalized (non-root
+    * paths), empty path → '/'.
+    *
+    * Every step is a codegen'd regexp/string op on RE2-portable
+    * patterns; the only HOF is the short per-URL param filter. All
+    * params here are ASCII, where Java's UTF-16 and DuckDB's UTF-8
+    * byte sort orders coincide (the array_sort portability note).
+    *
+    * The corpus has no URL column, so the demo synthesizes one
+    * deterministically (the t17 discipline): doc_id div 5 picks the
+    * canonical target, doc_id % 5 the obfuscation (mixed case,
+    * explicit default port, tracking params, trailing slash,
+    * unsorted params + fragment) — every group of 5 must collapse to
+    * one canonical URL with the minimum doc_id as keeper.
+    *
+    * Scale: canonicalization is per-row; the dedup is ONE hash
+    * shuffle on the canonical string shared by both window passes
+    * (count + min, same partition key — plan-asserted single
+    * Exchange). At 100 TB the canonical key is ≤ a few hundred
+    * bytes/row, far below any content-dedup shuffle.
+    */
+  def d15UrlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val g = expr("doc_id div 5")
+    val host = concat(lit("site"), g % 50, lit(".example.com"))
+    val base = concat(host, lit("/docs/"), g)
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTPS://Site"), g % 50, lit(".Example.com/docs/"), g))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://site"), g % 50, lit(".example.com:443/docs/"), g))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://"), base, lit("?utm_source=feed&utm_campaign=x")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://"), base, lit("/")))
+      .otherwise(
+        concat(lit("https://"), base, lit("?b=2&utm_medium=m&a=1#frag")))
+    val withUrl = Tables(spark, dir).documents.select(col("doc_id"), url.as("url"))
+    urlDedupOver(withUrl).orderBy("doc_id")
+  }
+
+  /** Canonicalize a `url` string column (adds `canon_url`). */
+  def urlCanonicalizeOver(df: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    val path0 = when(rawPath === "", "/").otherwise(rawPath)
+    val path = when(path0 =!= "/" && path0.endsWith("/"),
+      expr("substring(path0, 1, length(path0) - 1)")).otherwise(path0)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= "")), "&")
+    df.withColumn("path0", path0)
+      .withColumn("canon_url", concat(scheme, lit("://"), host, path,
+        when(kept === "", "").otherwise(concat(lit("?"), kept))))
+      .drop("path0")
+  }
+
+  /** d15 over any (doc_id, url) frame: canonical URL, group size, and
+    * the min-doc_id keeper flag (BIGINT 0/1, the artifact convention).
+    */
+  def urlDedupOver(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("canon_url")
+    urlCanonicalizeOver(df)
+      .withColumn("n_dups", count(lit(1)).over(w).cast(LongType))
+      .withColumn("is_keeper",
+        when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L))
+  }
 }

@@ -578,4 +578,56 @@ class DedupSpec extends AnyFunSuite {
       assert(exact(k) == r.getDouble(2))
     }
   }
+
+  test("d15 canonicalization: hand URLs normalize to the documented form") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host case, default https port, fragment
+      ("HTTPS://WWW.Example.COM:443/A/B#sec", "https://www.example.com/A/B"),
+      // http default port; path case PRESERVED (only scheme/host fold)
+      ("http://Example.com:80/Path/", "http://example.com/Path"),
+      // non-default port kept
+      ("https://example.com:8443/x", "https://example.com:8443/x"),
+      // empty path → root; root slash survives
+      ("https://example.com", "https://example.com/"),
+      ("https://example.com/", "https://example.com/"),
+      // tracking params dropped, rest sorted bytewise
+      ("https://e.com/p?z=1&utm_source=a&a=2&gclid=g&ref=r",
+        "https://e.com/p?a=2&z=1"),
+      // tracking-only query collapses to no query at all
+      ("https://e.com/p?utm_campaign=c&fbclid=f", "https://e.com/p"),
+      // '?' with empty query
+      ("https://e.com/p?", "https://e.com/p"),
+      // fragment before query-less path, trailing slash
+      ("https://e.com/a/b/#x", "https://e.com/a/b"))
+    val got = Dedup.urlCanonicalizeOver(
+        cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+          .toDF("doc_id", "url"))
+      .orderBy("doc_id").select("canon_url").as[String].collect()
+    cases.zip(got).foreach { case ((u, want), c) =>
+      assert(c == want, s"canon($u) = $c, want $want")
+    }
+  }
+
+  test("d15 demo: every group of 5 collapses to one canonical keeper") {
+    val rows = Dedup.d15UrlDedup(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    // variants 0-3 share the bare canonical; variant 4 keeps ?a=1&b=2 —
+    // so each doc_id div 5 group yields exactly two canonical URLs
+    rows.foreach { r =>
+      val (id, nDups, keeper) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      if (id % 5 == 4) {
+        assert(nDups == 1L && keeper == 1L, s"doc $id")
+        assert(r.getString(2).endsWith("?a=1&b=2"), r.getString(2))
+      } else {
+        assert(nDups == 4L, s"doc $id n_dups $nDups")
+        assert(keeper == (if (id % 5 == 0) 1L else 0L), s"doc $id")
+      }
+    }
+    // group law: canonical URLs within a group agree across variants
+    rows.filter(_.getLong(0) % 5 != 4).groupBy(_.getLong(0) / 5)
+      .foreach { case (_, g) =>
+        assert(g.map(_.getString(2)).toSet.size == 1, "group split")
+      }
+  }
 }

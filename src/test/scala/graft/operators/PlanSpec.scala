@@ -117,6 +117,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("d15: both dedup window passes share ONE hash exchange on canon_url") {
+    import spark.implicits._
+    val df = Seq((1L, "https://a.com/x"), (2L, "https://a.com/x#f"))
+      .toDF("doc_id", "url")
+    val p = Dedup.urlDedupOver(df).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(canon_url".r.findAllIn(p).size == 1, p)
+  }
+
   test("c20: the gopher rule suite is shuffle-free with a pruned scan") {
     val docs = graft.Tables(spark, dir).documents
     val p = Corpus.gopherRulesOver(docs)
