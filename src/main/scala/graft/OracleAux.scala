@@ -127,7 +127,12 @@ object OracleAux {
     // m11's payload head bytes (hex) — classification + rollup replay
     // downstream of the non-SQL codecs
     ("m11_heads", Set("m11_type_sniff"),
-      (s, d) => operators.Multimodal.m11AuxHeads(s, d)))
+      (s, d) => operators.Multimodal.m11AuxHeads(s, d)),
+    // m12's planted chunk walk + orig/scrub payload hashes — the
+    // ancillary classification, size accounting and recovery verdict
+    // replay downstream in SQL
+    ("m12_chunks", Set("m12_png_scrub"),
+      (s, d) => operators.Multimodal.m12AuxChunks(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

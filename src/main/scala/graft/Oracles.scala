@@ -1108,6 +1108,24 @@ object Oracles {
     // m11: the magic-byte classification + rollup replayed from the
     // persisted head-hex side-table (the codecs aren't SQL; the
     // routing logic downstream of the head bytes is).
+    // m12: from the chunk side-table the PNG spec's bit-5 rule
+    // (lowercase first type char = ancillary) classifies each chunk;
+    // counts, the 8 + Σ(12+len) size identities and the
+    // hash-equality recovery verdict all replay in SQL.
+    "m12_png_scrub" ->
+      s"""WITH ch AS (SELECT * FROM '${OracleAux.Root}/m12_chunks/*.parquet')
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN substr(ctype, 1, 1) = lower(substr(ctype, 1, 1))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+         |  CAST(8 + sum(12 + clen) AS BIGINT) AS bytes_in,
+         |  CAST(8 + sum(CASE WHEN substr(ctype, 1, 1) <> lower(substr(ctype, 1, 1))
+         |    THEN 12 + clen ELSE 0 END) AS BIGINT) AS bytes_out,
+         |  CAST(any_value(h_scrub) = any_value(h_orig) AS BIGINT) AS recovered
+         |FROM ch
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "m11_type_sniff" ->
       s"""WITH h AS (SELECT media_type, head_hex, len
          |  FROM '${OracleAux.Root}/m11_heads/*.parquet'),

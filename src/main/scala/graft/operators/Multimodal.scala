@@ -117,6 +117,75 @@ object Multimodal {
       bb.array()
     }
 
+    /** Walk a PNG's chunk sequence: (type, dataLen, byteOffset) in
+      * stream order. Real parsing per the public PNG spec (ISO 15948
+      * §5): validates the 8-byte signature, every chunk's CRC32 over
+      * type+data, and the terminal IEND — a corrupt payload fails
+      * loudly instead of passing garbage downstream.
+      */
+    def pngChunks(bytes: Array[Byte]): Seq[(String, Int, Int)] = {
+      require(bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G' &&
+        bytes(4) == 0x0d && bytes(5) == 0x0a &&
+        bytes(6) == 0x1a && bytes(7) == 0x0a, "not a PNG payload")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var p = 8
+      while (p < bytes.length) {
+        require(p + 12 <= bytes.length, "truncated chunk header")
+        val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+          ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        val ctype = new String(bytes, p + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        require(len >= 0 && p + 12 + len <= bytes.length,
+          s"truncated $ctype chunk")
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, p + 4, 4 + len)
+        val stored = ((bytes(p + 8 + len) & 0xffL) << 24) |
+          ((bytes(p + 9 + len) & 0xffL) << 16) |
+          ((bytes(p + 10 + len) & 0xffL) << 8) |
+          (bytes(p + 11 + len) & 0xffL)
+        require(crc.getValue == stored, s"bad CRC in $ctype chunk")
+        out += ((ctype, len, p))
+        p += 12 + len
+      }
+      require(out.nonEmpty && out.last._1 == "IEND" && out.head._1 == "IHDR",
+        "malformed PNG chunk sequence")
+      out.toSeq
+    }
+
+    /** Splice one chunk (correct length + CRC32) immediately after
+      * IHDR — how metadata editors plant tEXt/tIME/eXIf chunks.
+      */
+    def addPngChunk(bytes: Array[Byte], ctype: String,
+        data: Array[Byte]): Array[Byte] = {
+      require(ctype.length == 4, s"chunk type must be 4 chars: $ctype")
+      val chunks = pngChunks(bytes)
+      val insertAt = chunks.head match { case (_, len, off) => off + 12 + len }
+      val tb = ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(data)
+      val bb = ByteBuffer.allocate(bytes.length + 12 + data.length)
+      bb.put(bytes, 0, insertAt)
+        .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt)
+        .put(bytes, insertAt, bytes.length - insertAt)
+      bb.array()
+    }
+
+    /** Drop every ancillary chunk (bit 5 of the type's first byte set
+      * — the PNG spec's critical/ancillary rule), keeping the
+      * signature and all critical chunks byte-identical. This is the
+      * metadata scrub: tEXt/zTXt/iTXt/tIME/eXIf all classify
+      * ancillary; IHDR/PLTE/IDAT/IEND survive.
+      */
+    def scrubPngAncillary(bytes: Array[Byte]): Array[Byte] = {
+      val kept = pngChunks(bytes).filter { case (t, _, _) => (t.charAt(0) & 0x20) == 0 }
+      val out = ByteBuffer.allocate(
+        8 + kept.map { case (_, len, _) => 12 + len }.sum)
+      out.put(bytes, 0, 8)
+      kept.foreach { case (_, len, off) => out.put(bytes, off, 12 + len) }
+      out.array()
+    }
+
     /** Parse a WAV payload back to its 16-bit PCM mono samples — a
       * real RIFF chunk walk (fmt validated, unknown chunks skipped,
       * odd sizes padded per spec), so payloads written by any
@@ -1369,4 +1438,86 @@ object Multimodal {
         hex(substring(col("payload"), 1, 12)).as("head_hex"),
         col("media_type"),
         col("meta.content_length").as("len"))
+
+  // ---- m12: PNG metadata scrub ----
+
+  /** The metadata-bearing demo image: [[synthImage]] with a tEXt
+    * (Author → "user<id>") and a tIME chunk spliced after IHDR —
+    * deterministic stand-ins for the EXIF/author/timestamp metadata
+    * real crawled images carry (and that a privacy-scrubbing pipeline
+    * must remove before training).
+    */
+  def synthMetaImage(id: Long): Array[Byte] = {
+    val base = synthImage(id)
+    val text = Codecs.addPngChunk(base, "tEXt",
+      s"Author\u0000user$id".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val year = 2020 + (id % 5).toInt
+    val time = Array[Byte]((year >> 8).toByte, (year & 0xff).toByte,
+      (1 + id % 12).toByte, (1 + id % 28).toByte,
+      (id % 24).toByte, (id % 60).toByte, (id % 60).toByte)
+    Codecs.addPngChunk(text, "tIME", time)
+  }
+
+  /** m12: PNG metadata scrubbing — drop every ancillary chunk
+    * (tEXt/zTXt/iTXt/tIME/eXIf carry author, software, GPS and
+    * timestamp metadata; the PNG spec's bit-5 critical/ancillary rule
+    * classifies them) while keeping the image data byte-identical.
+    * This is the image-side PII scrub a training-data pipeline runs
+    * at intake (c04 is the text side). The demo plants two metadata
+    * chunks on each image payload and scrubs them; `recovered`
+    * certifies the scrubbed bytes equal the pre-plant original
+    * EXACTLY (independently re-synthesized, not round-tripped).
+    *
+    * Oracle: a side-table carries the planted payload's chunk walk
+    * (type, length) plus xxhash64 of the original and scrubbed bytes
+    * — the ancillary classification, all size accounting and the
+    * recovery verdict replay in SQL (the m04/m07 side-table
+    * discipline: the byte-level kernel is spec-checked, everything
+    * downstream of it is oracled).
+    *
+    * Scale: per-row chunk walk inside one mapPartitions batch —
+    * pixels never shuffle, no decode happens at all (the walk reads
+    * 12-byte headers and skips data), output is one slim row per
+    * image.
+    */
+  def m12PngScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spreadIds(Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    ids.as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val planted = synthMetaImage(id)
+        val scrubbed = Codecs.scrubPngAncillary(planted)
+        val chunks = Codecs.pngChunks(planted)
+        val nMeta = chunks.count { case (t, _, _) => (t.charAt(0) & 0x20) != 0 }
+        (id, chunks.size.toLong, nMeta.toLong,
+          planted.length.toLong, scrubbed.length.toLong,
+          if (java.util.Arrays.equals(scrubbed, synthImage(id))) 1L else 0L)
+      }
+    }.toDF("doc_id", "n_chunks", "n_meta", "bytes_in", "bytes_out",
+      "recovered")
+      .orderBy("doc_id")
+  }
+
+  /** m12 oracle side-table: the planted payload's chunk walk (one row
+    * per chunk) plus per-doc xxhash64 of the original and scrubbed
+    * byte arrays (hashed by Spark's kernel, produced by two different
+    * code paths — re-synthesis vs splice-then-scrub).
+    */
+  def m12AuxChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spreadIds(Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    ids.as[Long].flatMap { id =>
+      val planted = synthMetaImage(id)
+      val scrubbed = Codecs.scrubPngAncillary(planted)
+      val original = synthImage(id)
+      Codecs.pngChunks(planted).zipWithIndex.map { case ((t, len, _), i) =>
+        (id, i, t, len.toLong, scrubbed, original)
+      }
+    }.toDF("doc_id", "idx", "ctype", "clen", "scrub_bytes", "orig_bytes")
+      .select(col("doc_id"), col("idx"), col("ctype"), col("clen"),
+        xxhash64(col("scrub_bytes")).as("h_scrub"),
+        xxhash64(col("orig_bytes")).as("h_orig"))
+  }
 }

@@ -586,4 +586,53 @@ class MultimodalSpec extends AnyFunSuite {
       foundPlanted.exists(_ % 60 != 2),
       "expected both re-encoded and trimmed variants among the finds")
   }
+
+  test("m12 chunk walk: planted chunks sit after IHDR and still decode") {
+    val planted = Multimodal.synthMetaImage(7L)
+    val types = Multimodal.Codecs.pngChunks(planted).map(_._1)
+    assert(types.head == "IHDR" && types.last == "IEND", types)
+    // insertion is after-IHDR each time, so the LAST splice lands first
+    assert(types(1) == "tIME" && types(2) == "tEXt", types)
+    assert(types.count(_ == "tEXt") == 1 && types.count(_ == "tIME") == 1)
+    // the planted payload is still a valid PNG with identical pixels
+    // (correct lengths + CRCs, decoder-tolerated placement)
+    val (w, h, px) = Multimodal.Codecs.decodeGray(planted)
+    val (w0, h0, px0) = Multimodal.Codecs.decodeGray(Multimodal.synthImage(7L))
+    assert(w == w0 && h == h0 && px.sameElements(px0))
+  }
+
+  test("m12 scrub: byte-exact recovery of the original, idempotent") {
+    for (id <- Seq(0L, 3L, 42L, 123L)) {
+      val original = Multimodal.synthImage(id)
+      val scrubbed = Multimodal.Codecs.scrubPngAncillary(
+        Multimodal.synthMetaImage(id))
+      assert(java.util.Arrays.equals(scrubbed, original), s"id $id")
+      assert(java.util.Arrays.equals(
+        Multimodal.Codecs.scrubPngAncillary(scrubbed), scrubbed),
+        s"id $id not idempotent")
+    }
+  }
+
+  test("m12 walker fails loudly on corruption") {
+    val planted = Multimodal.synthMetaImage(9L)
+    // flip a byte inside the first chunk's data → CRC mismatch
+    val bad = planted.clone(); bad(20) = (bad(20) ^ 0x01).toByte
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Codecs.pngChunks(bad)
+    }
+    // junk payload → signature check
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Codecs.pngChunks("not a png".getBytes)
+    }
+  }
+
+  test("m12 demo: every image recovers exactly, two metadata chunks each") {
+    val rows = Multimodal.m12PngScrub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2L, s"doc ${r.getLong(0)} n_meta")
+      assert(r.getLong(5) == 1L, s"doc ${r.getLong(0)} not recovered")
+      assert(r.getLong(3) > r.getLong(4), "scrub must shrink the payload")
+    }
+  }
 }
