@@ -71,6 +71,10 @@ object Bench {
       // keeps build before monitor)
       "st19_build" -> ((s, d) => streaming.Streams.st19BenchBuild(s, d)),
       "st19_monitor" -> ((s, d) => streaming.Streams.st19BenchMonitor(s, d)),
+      // st20's URL-frontier gate, same build/recurring split (name-sort
+      // keeps build before gate)
+      "st20_build" -> ((s, d) => streaming.Streams.st20BenchBuild(s, d)),
+      "st20_gate" -> ((s, d) => streaming.Streams.st20BenchGate(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

@@ -1468,10 +1468,17 @@ object Dedup {
     * Exchange). At 100 TB the canonical key is ≤ a few hundred
     * bytes/row, far below any content-dedup shuffle.
     */
-  def d15UrlDedup(spark: SparkSession, dir: String): DataFrame = {
-    val g = expr("doc_id div 5")
-    val host = concat(lit("site"), g % 50, lit(".example.com"))
-    val base = concat(host, lit("/docs/"), g)
+  def d15UrlDedup(spark: SparkSession, dir: String): DataFrame =
+    urlDedupOver(d15DemoUrls(Tables(spark, dir).documents,
+      expr("doc_id div 5"))).orderBy("doc_id")
+
+  /** The d15 demo URL plant over any frame with a `doc_id` column:
+    * group expression `g` picks the canonical target, doc_id % 5 the
+    * obfuscation variant. Shared by the d15 batch demo and st20's
+    * streaming drains (which shift `g` to control recurrence).
+    */
+  def d15DemoUrls(docs: DataFrame, g: Column): DataFrame = {
+    val base = concat(lit("site"), g % 50, lit(".example.com/docs/"), g)
     val url = when(col("doc_id") % 5 === 0,
         concat(lit("HTTPS://Site"), g % 50, lit(".Example.com/docs/"), g))
       .when(col("doc_id") % 5 === 1,
@@ -1482,8 +1489,7 @@ object Dedup {
         concat(lit("https://"), base, lit("/")))
       .otherwise(
         concat(lit("https://"), base, lit("?b=2&utm_medium=m&a=1#frag")))
-    val withUrl = Tables(spark, dir).documents.select(col("doc_id"), url.as("url"))
-    urlDedupOver(withUrl).orderBy("doc_id")
+    docs.select(col("doc_id"), url.as("url"))
   }
 
   /** Canonicalize a `url` string column (adds `canon_url`). */

@@ -1137,4 +1137,135 @@ object Streams {
       .select(col("user_id"), col("imp_id"), col("click_id"),
         col("imp_ts"), col("click_ts"))
   }
+
+  // ---- st20: streaming URL-frontier admission ----
+
+  /** Hash-bucket partitions for the st20 canonical-URL index — the
+    * d13 ShingleParts discipline: each drain appends ≤ UrlParts
+    * files (repartition-before-partitioned-write), and a probe opens
+    * only the buckets the batch actually touches.
+    */
+  private val UrlParts = 64
+
+  private def ubBucket(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(UrlParts.toLong)).cast("int")
+
+  /** One st20 micro-batch: canonicalize the batch's URLs (the d15
+    * kernel), keep the min-doc_id winner per in-batch canonical URL,
+    * probe the persisted canonical-URL index for already-admitted
+    * targets, land the survivors under `batch=<id>` and append their
+    * canonical URLs to the index. The audit row conserves
+    * `arrived = admitted + dup_batch + dup_lake`.
+    *
+    * Replay discipline (d13/st13): the probe EXCLUDES the replayed
+    * batch's own `batch=<id>` index directory via a discovered-
+    * partition filter, and all three landings are Overwrite on the
+    * batch directory — a replayed drain re-derives identical verdicts
+    * and rewrites identical files.
+    *
+    * Scale: this is the cheap FIRST gate of the intake service — the
+    * key is a short canonical string, the probe is partition-confined
+    * to the batch's ub buckets (index bytes read scale with batch
+    * collision surface, not lake size), and no content-derived
+    * signature is computed at all; everything content-wise (st09
+    * junk, st14 fluency, st16 classifier, st17 decontam, st13
+    * near-dup) runs only on URLs this gate admits.
+    */
+  def urlGateBatch(batch: DataFrame, lakePath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val canon = graft.operators.Dedup.urlCanonicalizeOver(batch)
+      .withColumn("ub", ubBucket(col("canon_url")))
+      .localCheckpoint(true) // one canonicalization feeds winners + audit
+    val arrived = canon.count()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+    val winners = canon
+      .withColumn("_min", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_min")).drop("_min")
+      .localCheckpoint(true) // feeds the probe anti-join AND the landing
+    val nWinners = winners.count()
+    val idxPath = s"$lakePath.urlindex"
+    val fs = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lakeUrls =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(idxPath)))
+        Seq.empty[String].toDF("canon_url")
+      else {
+        // bounded collect (≤ UrlParts values): the batch's buckets
+        // become a PARTITION filter — untouched bucket directories
+        // are never opened
+        val ubs = winners.select("ub").distinct().collect()
+          .map(_.getInt(0)).toSeq
+        spark.read.parquet(idxPath)
+          .filter(col("batch") =!= batchId)
+          .filter(col("ub").isin(ubs: _*))
+          .select("canon_url")
+      }
+    val admitted = winners.join(lakeUrls, Seq("canon_url"), "left_anti")
+      .localCheckpoint(true)
+    val nAdmitted = admitted.count()
+    admitted.drop("ub")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+    admitted.select(col("canon_url"), col("ub"))
+      .repartition(col("ub"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy("ub")
+      .parquet(s"$idxPath/batch=$batchId")
+    Seq((batchId, arrived, nAdmitted, arrived - nWinners,
+        nWinners - nAdmitted))
+      .toDF("batch_id", "arrived", "admitted", "dup_batch", "dup_lake")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.audit/batch=$batchId")
+  }
+
+  /** st20: STREAMING URL-frontier admission — d15's canonicalization
+    * + dedup as the continuous crawl-frontier gate (the public
+    * pipeline shape: a fetch list is deduped by canonical URL BEFORE
+    * any fetch or content gate spends a byte on it). Sits in front of
+    * the five content gates as the zeroth admission axis.
+    */
+  def st20UrlGateStream(urls: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    urls.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        urlGateBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st20 build phase (bench): seed the lake + URL index with the
+    * full demo frontier — the one-time base a long-lived gate probes.
+    */
+  def st20BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st20", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents.select("doc_id")
+    urlGateBatch(
+      graft.operators.Dedup.d15DemoUrls(docs, expr("doc_id div 5")),
+      s"$root/lake", batchId = -1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  /** st20 gate phase (bench): one recurring drain against the seeded
+    * index — re-crawled targets (even rows, already-admitted groups)
+    * mixed with fresh ones (odd rows, shifted groups), so the probe,
+    * both dup classes and the index append all run.
+    */
+  def st20BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st20", dir)
+    val docs = graft.Tables(spark, dir).documents
+      .select((col("doc_id") + 1000000L).as("doc_id"))
+    val g = when(col("doc_id") % 2 === 0,
+      expr("(doc_id - 1000000) div 5")).otherwise(expr("doc_id div 5"))
+    urlGateBatch(graft.operators.Dedup.d15DemoUrls(docs, g),
+      s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
 }

@@ -1295,4 +1295,77 @@ class StreamsSpec extends AnyFunSuite {
       .map(_.getLong(3)).sum == 200L)
     assert(spark.read.parquet(table).count() == 200L)
   }
+
+  test("st20 URL gate: in-batch dedup, lake probe, conservation, idempotent replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st20")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // drain 1: docs 1/2 collapse in-batch (case + default port); 3 fresh
+    val stream1 = Seq(
+      (1L, "https://A.com/x"),
+      (2L, "https://a.com:443/x"),
+      (3L, "https://b.com/y?utm_source=s"))
+    // drain 2: 10 re-crawls an admitted target (fragment variant),
+    // 11/12 collapse in-batch (trailing slash)
+    val stream2 = Seq(
+      (10L, "https://a.com/x#frag"),
+      (11L, "https://c.com/z/"),
+      (12L, "https://c.com/z"))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st20UrlGateStream(
+      input.toDS().toDF("doc_id", "url"), lake, ckpt)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val lakeRows = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("canon_url"))
+    assert(lakeRows.toMap == Map(
+      1L -> "https://a.com/x",
+      3L -> "https://b.com/y",
+      11L -> "https://c.com/z"), s"lake holds ${lakeRows.toSeq}")
+    // the lake's canonical URLs are unique corpus-wide
+    assert(lakeRows.map(_._2).distinct.length == lakeRows.length)
+    def auditOf(): Map[Long, (Long, Long, Long, Long)] =
+      spark.read.parquet(lake + ".audit").collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          (r.getAs[Long]("arrived"), r.getAs[Long]("admitted"),
+            r.getAs[Long]("dup_batch"), r.getAs[Long]("dup_lake"))).toMap
+    val audit = auditOf()
+    assert(audit(0L) == ((3L, 2L, 1L, 0L)), s"batch 0 audit: $audit")
+    assert(audit(1L) == ((3L, 1L, 1L, 1L)), s"batch 1 audit: $audit")
+    // replay drain 2 as a batch body: the probe excludes the batch's
+    // own index directory, so verdicts re-derive identically and the
+    // landings rewrite in place
+    Streams.urlGateBatch(stream2.toDF("doc_id", "url"), lake, batchId = 1L)
+    val after = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("canon_url")).toMap
+    assert(after == lakeRows.toMap, s"replay changed the lake: $after")
+    assert(auditOf() == audit, "replay changed the audit")
+  }
+
+  test("st20 bench phases: seeded index gates a mixed recurrence drain") {
+    val sf = graft.TestSpark.Sf0001
+    Streams.st20BenchBuild(spark, sf)
+    val lake = Streams.st20BenchGate(spark, sf).head().getString(0)
+    val audit = spark.read.parquet(lake + ".audit")
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // build drain: 500 arrivals, 2 canonical targets per group of 5
+    assert(audit.head == ((-1L, 500L, 200L, 300L, 0L)), audit.head)
+    // gate drain: conservation holds; every even row (250) re-crawls
+    // an admitted target and lands as dup_lake after in-batch dedup,
+    // odd rows split between fresh admissions and in-batch dups
+    val (_, arrived, admitted, dupBatch, dupLake) = audit(1)
+    assert(arrived == 500L && admitted + dupBatch + dupLake == arrived)
+    assert(admitted > 0L && dupBatch > 0L && dupLake > 0L, audit(1))
+    // no canonical URL ever admitted twice
+    val urls = spark.read.parquet(lake + ".urlindex")
+      .select("canon_url").collect().map(_.getString(0))
+    assert(urls.distinct.length == urls.length, "duplicate canon in index")
+  }
 }
