@@ -1965,6 +1965,34 @@ object Oracles {
         |WHERE levenshtein(ta.s, tb.s) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // t18: the invisible/exotic-space plants are constructed from
+    // chr() codepoints and both scrub passes replay on explicit
+    // \x{XXXX} char classes — Java \uXXXX ↔ RE2 \x{XXXX}, no \p{}
+    // property classes whose tables could drift between engines.
+    "t18_unicode_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 1 THEN chr(65279) ||
+        |           replace(text, ' the ', ' t' || chr(8203) || 'he ')
+        |         WHEN doc_id % 6 = 3 THEN replace(text, ' ', chr(160))
+        |         WHEN doc_id % 6 = 5 THEN text || chr(173) || chr(8205)
+        |         ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]')) AS BIGINT)
+        |    AS n_invisible,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\x{00A0}\x{2009}\x{202F}\x{3000}]')) AS BIGINT) AS n_spaces,
+        |  regexp_replace(regexp_replace(text,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+        |    '[\x{00A0}\x{2009}\x{202F}\x{3000}]', ' ', 'g') AS clean,
+        |  CAST(len(regexp_replace(regexp_replace(text,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g'),
+        |    '[\x{00A0}\x{2009}\x{202F}\x{3000}]', ' ', 'g')) AS BIGINT)
+        |    AS n_chars_clean
+        |FROM planted
+        |ORDER BY doc_id""".stripMargin,
+
     // t17: the plant and the strip both replay as RE2-portable
     // regexp_replace ('g' flag = Spark's replace-all default) and
     // literal replaces in the same amp-last order.

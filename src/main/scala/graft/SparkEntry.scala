@@ -125,6 +125,7 @@ object SparkEntry {
     "d12_keep_best_dedup" -> ((s, dir) => Dedup.d12KeepBestDedup(s, dir)),
     "t16_chunk_split" -> ((s, dir) => TextOps.t16ChunkSplit(s, dir)),
     "t17_html_strip" -> ((s, dir) => TextOps.t17HtmlStrip(s, dir)),
+    "t18_unicode_scrub" -> ((s, dir) => TextOps.t18UnicodeScrub(s, dir)),
     "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
     "d15_url_dedup" -> ((s, dir) => Dedup.d15UrlDedup(s, dir)),
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),

@@ -858,6 +858,60 @@ object TextOps {
     chunkSplitOver(Tables(spark, dir).documents)
       .orderBy("doc_id", "chunk_id")
 
+  /** t18: invisible-character scrub + Unicode-space normalization —
+    * the codepoint-hygiene stage every crawl-cleaning pipeline runs
+    * before tokenization (public practice: zero-width characters and
+    * exotic spaces break whitespace tokenizers, inflate dedup
+    * signatures and smuggle adversarial content past filters).
+    * Removes ZWSP/ZWNJ/ZWJ (U+200B..D), BOM/ZWNBSP (U+FEFF) and
+    * soft hyphen (U+00AD); maps NBSP (U+00A0), thin space (U+2009),
+    * narrow NBSP (U+202F) and ideographic space (U+3000) to a plain
+    * space. 1:1 or 1:0 per char — no run collapsing (that is t17's
+    * job), so a plant is recovered byte-exactly.
+    *
+    * Both passes are codegen'd regexp_replace on explicit char
+    * classes (Java `\uXXXX` ↔ RE2 `\x{XXXX}` — portable by
+    * construction; no \p{} property classes, whose tables can drift
+    * between engines). Counts are regexp counts on the RAW text.
+    *
+    * The synthetic corpus is ASCII, so the demo plants violations
+    * deterministically (the t17 discipline): doc_id%6==1 gets a BOM
+    * prefix and a ZWSP inside each ' the ', ==3 has every space
+    * turned NBSP, ==5 gets a soft-hyphen + ZWJ tail. The scrub must
+    * recover every original byte exactly (spec'd corpus-wide).
+    *
+    * Scale: per-row, shuffle-free (plan-asserted), pruned scan.
+    */
+  def t18UnicodeScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = graft.Tables(spark, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 6 === 1,
+        concat(lit("\ufeff"), replace(col("text"), lit(" the "),
+          lit(" t\u200bhe "))))
+        .when(col("doc_id") % 6 === 3,
+          replace(col("text"), lit(" "), lit("\u00a0")))
+        .when(col("doc_id") % 6 === 5,
+          concat(col("text"), lit("\u00ad\u200d")))
+        .otherwise(col("text")).as("text"))
+    unicodeScrubOver(planted).orderBy("doc_id")
+  }
+
+  private val InvisibleClass = "[\u200b\u200c\u200d\ufeff\u00ad]"
+  private val ExoticSpaceClass = "[\u00a0\u2009\u202f\u3000]"
+
+  /** t18 over any (doc_id, text) frame: per-doc removed/normalized
+    * counts, the clean text, its length.
+    */
+  def unicodeScrubOver(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(InvisibleClass), lit(0)))
+        .cast(LongType).as("n_invisible"),
+      size(regexp_extract_all(col("text"), lit(ExoticSpaceClass), lit(0)))
+        .cast(LongType).as("n_spaces"),
+      regexp_replace(
+        regexp_replace(col("text"), InvisibleClass, ""),
+        ExoticSpaceClass, " ").as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")).cast(LongType))
+
   /** t16 over any (doc_id, text) DataFrame. `chunkSize` > `overlap`
     * ≥ 0 (stride must be positive or the window never advances).
     */

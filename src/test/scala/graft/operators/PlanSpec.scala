@@ -133,6 +133,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("t18: the unicode scrub is shuffle-free with a pruned scan") {
+    val docs = graft.Tables(spark, dir).documents
+    val p = TextOps.unicodeScrubOver(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unicode scrub shuffled:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q54: both window passes share ONE hash exchange on the entity key") {
     val p = plan("q54_scd2")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)

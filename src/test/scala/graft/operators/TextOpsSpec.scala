@@ -52,6 +52,40 @@ class TextOpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("t18 scrub removes invisibles, maps exotic spaces, counts on raw text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\u200bb c\u200cd"), // ZWSP + ZWNJ inside words
+      (2L, "x\u00a0y\u2009z\u3000w"), // 3 exotic spaces, 1:1 to ' '
+      (3L, "\ufeffbom\u00adend\u200d"), // BOM + soft hyphen + ZWJ
+      (4L, "plain ascii")).toDF("doc_id", "text")
+    val got = TextOps.unicodeScrubOver(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0L, "ab cd", 5L),
+      (2L, 0L, 3L, "x y z w", 7L),
+      (3L, 3L, 0L, "bomend", 6L),
+      (4L, 0L, 0L, "plain ascii", 11L)))
+  }
+
+  test("t18 demo scrub recovers every original document byte-exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    val out = TextOps.t18UnicodeScrub(spark, TestSpark.Sf0001)
+    val joined = out.join(docs.select(col("doc_id"), col("text")), "doc_id")
+    assert(joined.filter(col("clean") =!= col("text")).count() == 0)
+    // each planted family reports its own violation class, clean docs none
+    assert(joined.filter(col("doc_id") % 6 === 1 && col("n_invisible") < 1)
+      .count() == 0)
+    assert(joined.filter(col("doc_id") % 6 === 3 && col("n_spaces") < 1)
+      .count() == 0)
+    assert(joined.filter(col("doc_id") % 6 === 5 && col("n_invisible") =!= 2)
+      .count() == 0)
+    assert(joined.filter(col("doc_id") % 6 === 0 &&
+      (col("n_invisible") =!= 0 || col("n_spaces") =!= 0)).count() == 0)
+  }
+
   test("t16 chunk boundaries match hand-built windows") {
     import spark.implicits._
     // size=4, overlap=1 → stride 3; n=8 → 3 chunks [0,4)[3,7)[6,8);
