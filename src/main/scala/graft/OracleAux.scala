@@ -132,7 +132,11 @@ object OracleAux {
     // ancillary classification, size accounting and recovery verdict
     // replay downstream in SQL
     ("m12_chunks", Set("m12_png_scrub"),
-      (s, d) => operators.Multimodal.m12AuxChunks(s, d)))
+      (s, d) => operators.Multimodal.m12AuxChunks(s, d)),
+    // m13's decoded input pixels — the exact-integer pooling replays
+    // downstream in SQL
+    ("m13_pixels", Set("m13_image_pool"),
+      (s, d) => operators.Multimodal.m13AuxPixels(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

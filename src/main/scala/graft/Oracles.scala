@@ -1108,6 +1108,17 @@ object Oracles {
     // m11: the magic-byte classification + rollup replayed from the
     // persisted head-hex side-table (the codecs aren't SQL; the
     // routing logic downstream of the head bytes is).
+    // m13: exact-integer 2x2 block pooling replayed from the decoded
+    // pixel side-table — floor mean via integer div, bit-identical.
+    "m13_image_pool" ->
+      s"""WITH px AS (SELECT * FROM '${OracleAux.Root}/m13_pixels/*.parquet')
+         |SELECT doc_id, CAST(y // 2 AS BIGINT) AS y,
+         |  CAST(x // 2 AS BIGINT) AS x,
+         |  CAST(sum(v) // 4 AS BIGINT) AS v
+         |FROM px
+         |GROUP BY doc_id, y // 2, x // 2
+         |ORDER BY doc_id, y, x""".stripMargin,
+
     // m12: from the chunk side-table the PNG spec's bit-5 rule
     // (lowercase first type char = ancillary) classifies each chunk;
     // counts, the 8 + Σ(12+len) size identities and the

@@ -186,6 +186,42 @@ object Multimodal {
       out.array()
     }
 
+    /** Average-pool a grayscale image by an integer factor: each
+      * output sample is the INTEGER mean (floor) of its f×f block —
+      * exact arithmetic, so the result is bit-identical in any
+      * engine. Dimensions must divide evenly (the demo's 8×8 with
+      * f=2 does; a production resize pads or crops first — that
+      * policy belongs to the caller, not the kernel).
+      */
+    def poolGray(w: Int, h: Int, px: Array[Int],
+        f: Int): (Int, Int, Array[Int]) = {
+      require(f > 0 && w % f == 0 && h % f == 0,
+        s"pool factor $f must divide ${w}x$h")
+      require(px.length == w * h, s"expected ${w * h} pixels")
+      val (ow, oh) = (w / f, h / f)
+      val out = new Array[Int](ow * oh)
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var s = 0
+          var dy = 0
+          while (dy < f) {
+            var dx = 0
+            while (dx < f) {
+              s += px((oy * f + dy) * w + (ox * f + dx))
+              dx += 1
+            }
+            dy += 1
+          }
+          out(oy * ow + ox) = s / (f * f)
+          ox += 1
+        }
+        oy += 1
+      }
+      (ow, oh, out)
+    }
+
     /** Parse a WAV payload back to its 16-bit PCM mono samples — a
       * real RIFF chunk walk (fmt validated, unknown chunks skipped,
       * odd sizes padded per spec), so payloads written by any
@@ -1497,6 +1533,60 @@ object Multimodal {
     }.toDF("doc_id", "n_chunks", "n_meta", "bytes_in", "bytes_out",
       "recovered")
       .orderBy("doc_id")
+  }
+
+  // ---- m13: image downsampling ----
+
+  /** m13: image downsampling — 2× average-pool thumbnails, the
+    * resize/preprocess stage every vision-training pipeline runs at
+    * intake (public practice: training resolutions are fixed; crawled
+    * images are decoded, resampled, re-encoded once, downstream
+    * stages touch only the small form). The kernel is exact-integer
+    * block pooling ([[Codecs.poolGray]] — floor mean of each f×f
+    * block), so every output sample replays bit-for-bit in SQL from
+    * a decoded-pixel side-table; the re-encode leg (pooled pixels →
+    * canonical PNG → decode) is spec'd lossless round-trip.
+    *
+    * Output: one row per OUTPUT pixel (doc_id, y, x, v) — the fully
+    * replayable form; real deployments keep the re-encoded payload
+    * column instead (same pipeline, drop the explode).
+    *
+    * Scale: decode + pool + re-encode run per-row inside one
+    * mapPartitions batch; pixels shuffle only as the slim exploded
+    * output (64→16 samples/image at the demo size), and the
+    * production form shuffles nothing.
+    */
+  def m13ImagePool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spreadIds(Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    ids.as[Long].flatMap { id =>
+      val (w, h, px) = Codecs.decodeGray(synthImage(id))
+      val (ow, _, pooled) = Codecs.poolGray(w, h, px, 2)
+      // re-encode leg: the pooled image is what a real pipeline lands
+      val png = Codecs.encodePng(ow, pooled.length / ow, pooled)
+      require(png.length > 0)
+      pooled.zipWithIndex.map { case (v, i) =>
+        (id, (i / ow).toLong, (i % ow).toLong, v.toLong)
+      }
+    }.toDF("doc_id", "y", "x", "v")
+      .orderBy("doc_id", "y", "x")
+  }
+
+  /** m13 oracle side-table: the ORIGINAL decoded pixels, one row per
+    * input sample — the pooling arithmetic downstream of the codec
+    * replays in SQL (the m04/m07 side-table discipline).
+    */
+  def m13AuxPixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spreadIds(Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    ids.as[Long].flatMap { id =>
+      val (w, _, px) = Codecs.decodeGray(synthImage(id))
+      px.zipWithIndex.map { case (v, i) =>
+        (id, (i / w).toLong, (i % w).toLong, v.toLong)
+      }
+    }.toDF("doc_id", "y", "x", "v")
   }
 
   /** m12 oracle side-table: the planted payload's chunk walk (one row

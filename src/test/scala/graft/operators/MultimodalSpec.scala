@@ -626,6 +626,41 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m13 pooling: hand fixture, lossless round-trip, odd dims rejected") {
+    // 4x4 → 2x2: each output is the floor mean of its block
+    val px = Array(
+      0, 10, 20, 30,
+      2, 12, 22, 32,
+      100, 110, 200, 210,
+      102, 112, 202, 212)
+    val (ow, oh, pooled) = Multimodal.Codecs.poolGray(4, 4, px, 2)
+    assert((ow, oh) == ((2, 2)))
+    assert(pooled.toSeq == Seq((0 + 10 + 2 + 12) / 4, (20 + 30 + 22 + 32) / 4,
+      (100 + 110 + 102 + 112) / 4, (200 + 210 + 202 + 212) / 4))
+    // pooled pixels re-encode to PNG and decode back bit-exactly
+    val png = Multimodal.Codecs.encodePng(ow, oh, pooled)
+    val (w2, h2, back) = Multimodal.Codecs.decodeGray(png)
+    assert(w2 == ow && h2 == oh && back.sameElements(pooled))
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Codecs.poolGray(3, 4, new Array[Int](12), 2)
+    }
+  }
+
+  test("m13 demo rows == plain-Scala pooling of the synthesized images") {
+    val rows = Multimodal.m13ImagePool(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(rows.nonEmpty)
+    val ids = rows.keys.map(_._1).toSeq.distinct.sorted.take(5)
+    ids.foreach { id =>
+      val (w, h, px) = Multimodal.Codecs.decodeGray(Multimodal.synthImage(id))
+      val (ow, oh, pooled) = Multimodal.Codecs.poolGray(w, h, px, 2)
+      for (y <- 0 until oh; x <- 0 until ow)
+        assert(rows((id, y.toLong, x.toLong)) == pooled(y * ow + x).toLong,
+          s"doc $id ($y,$x)")
+    }
+  }
+
   test("m12 demo: every image recovers exactly, two metadata chunks each") {
     val rows = Multimodal.m12PngScrub(spark, dir).collect()
     assert(rows.nonEmpty)
