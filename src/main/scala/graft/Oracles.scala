@@ -1891,6 +1891,44 @@ object Oracles {
     // deletion-neighborhood keys, key join, Levenshtein verify — is
     // plain relational algebra + a character DP both engines define
     // identically (ASCII corpus); replayed end to end, no side-table.
+    // d16: the re-lining, the plant, the distinct-doc line frequency,
+    // the boilerplate cut and the ordered reassembly all replay in
+    // SQL on line STRINGS (the demo keys on strings exactly so this
+    // is a full replay; the 100 TB form hashes the key).
+    "d16_line_dedup" ->
+      """WITH lined AS (SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, (len(string_split(text, ' ')) + 7) // 8),
+        |      i -> array_to_string(
+        |        string_split(text, ' ')[i*8 + 1 : i*8 + 8], ' ')),
+        |      chr(10)) AS text
+        |  FROM documents),
+        |planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 1
+        |           THEN 'subscribe to our newsletter today' || chr(10) || text
+        |         WHEN doc_id % 4 = 3
+        |           THEN text || chr(10) || 'subscribe to our newsletter today'
+        |         ELSE text END AS text
+        |  FROM lined),
+        |ln AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM planted),
+        |boiler AS (SELECT line FROM ln
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT ln.* FROM ln ANTI JOIN boiler USING (line)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM ln GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  COALESCE(a.clean, '') AS clean,
+        |  CAST(len(COALESCE(a.clean, '')) AS BIGINT) AS n_chars_clean
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // d15: the synthetic URL plant and every canonicalization step
     // (fragment strip, scheme/host lowering, default-port strip, path
     // normalization, tracking-param filter + bytewise sort) replay on

@@ -1526,4 +1526,67 @@ object Dedup {
       .withColumn("is_keeper",
         when(col("doc_id") === min(col("doc_id")).over(w), 1L).otherwise(0L))
   }
+
+  /** d16: corpus-wide boilerplate-LINE removal — the CCNet-style
+    * line-level dedup (public practice: CCNet/RefinedWeb drop lines
+    * repeated across many documents — navigation, cookie banners,
+    * signatures — BEFORE document-level dedup, because boilerplate
+    * inflates every document-level signature). A line appearing in
+    * ≥ `minDf` distinct documents is boilerplate; ALL its occurrences
+    * are removed and each document's remaining lines are reassembled
+    * in order. Distinct from d08 (substring dedup finds long SHARED
+    * SPANS pairwise; this counts exact-line document frequency —
+    * one groupBy, no pairing) and from t07 (which only scores
+    * in-document repetition).
+    *
+    * Scale: one posexplode, one line-keyed df count (map-side
+    * partial), one anti-join, one doc-keyed reassembly — shuffle
+    * keys are lines; at 100 TB swap the line string for its
+    * xxhash64 in the df count and anti-join (one-line change, d01's
+    * 8-byte-key discipline) so shuffles carry hashes, not text. The
+    * demo keys on the string so the oracle replays exactly.
+    *
+    * The corpus is single-line, so the demo first re-lines each doc
+    * (8-token lines, exact-integer boundaries) and plants a shared
+    * boilerplate line on doc_id%4==1 (front) and %4==3 (back) —
+    * minDf=50 is far above any organic 8-token line collision and
+    * far below the plant's ~n/2 document frequency.
+    */
+  def d16LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val lined = Tables(spark, dir).documents.select(col("doc_id"), expr(
+      """concat_ws(char(10), transform(
+        |  sequence(0, (size(split(text, ' ')) + 7) div 8 - 1),
+        |  i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' ')))"""
+        .stripMargin).as("text"))
+    val bp = "subscribe to our newsletter today"
+    val planted = lined.select(col("doc_id"),
+      when(col("doc_id") % 4 === 1,
+        concat(lit(bp + "\n"), col("text")))
+        .when(col("doc_id") % 4 === 3,
+          concat(col("text"), lit("\n" + bp)))
+        .otherwise(col("text")).as("text"))
+    lineDedupOver(planted, minDf = 50L).orderBy("doc_id")
+  }
+
+  /** d16 over any (doc_id, text) frame whose text is newline-lined. */
+  def lineDedupOver(docs: DataFrame, minDf: Long): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+    val kept = lines.join(boiler, Seq("line"), "left_anti")
+    val tot = lines.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_lines"))
+    val agg = kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as("clean"))
+    tot.join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("clean"), lit("")).as("clean"))
+      .withColumn("n_chars_clean", length(col("clean")).cast(LongType))
+  }
 }

@@ -609,6 +609,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 line dedup: boilerplate cut at minDf, order kept, empty-doc leg") {
+    import spark.implicits._
+    val bp = "cookie banner"
+    val docs = Seq(
+      (1L, s"alpha one\n$bp\nbeta two"),
+      (2L, s"$bp\ngamma three"),
+      (3L, s"delta four\n$bp"),
+      (4L, bp),                       // all-boilerplate doc → empty clean
+      (5L, "epsilon five\nzeta six")) // untouched
+      .toDF("doc_id", "text")
+    val got = Dedup.lineDedupOver(docs, minDf = 3L).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, "alpha one\nbeta two", 18L),
+      (2L, 2L, 1L, "gamma three", 11L),
+      (3L, 2L, 1L, "delta four", 10L),
+      (4L, 1L, 1L, "", 0L),
+      (5L, 2L, 0L, "epsilon five\nzeta six", 21L)))
+    // below the threshold nothing is boilerplate
+    val none = Dedup.lineDedupOver(docs, minDf = 5L)
+      .agg(org.apache.spark.sql.functions.sum("n_dropped")).head.getLong(0)
+    assert(none == 0L)
+  }
+
+  test("d16 demo: planted docs lose exactly the boilerplate line, others none") {
+    val rows = Dedup.d16LineDedup(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nDropped, clean) = (r.getLong(0), r.getLong(2), r.getString(3))
+      if (id % 4 == 1 || id % 4 == 3)
+        assert(nDropped == 1L, s"doc $id dropped $nDropped")
+      else assert(nDropped == 0L, s"doc $id dropped $nDropped")
+      assert(!clean.contains("subscribe to our newsletter"), s"doc $id")
+    }
+  }
+
   test("d15 demo: every group of 5 collapses to one canonical keeper") {
     val rows = Dedup.d15UrlDedup(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
