@@ -136,7 +136,11 @@ object OracleAux {
     // m13's decoded input pixels — the exact-integer pooling replays
     // downstream in SQL
     ("m13_pixels", Set("m13_image_pool"),
-      (s, d) => operators.Multimodal.m13AuxPixels(s, d)))
+      (s, d) => operators.Multimodal.m13AuxPixels(s, d)),
+    // t19's ln-memo over token counts — the score's only
+    // transcendentals; distributions replay in SQL
+    ("t19_ln", Set("t19_token_entropy"),
+      (s, d) => operators.TextOps.t19AuxLn(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

@@ -2014,6 +2014,29 @@ object Oracles {
         |WHERE levenshtein(ta.s, tb.s) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // t19: the token distribution is recomputed from raw text; only
+    // ln comes from the memo (keyed on integer counts cast to
+    // double); terms, the DECIMAL sum (VARCHAR→DOUBLE route) and the
+    // fixed-order final expression replay exactly.
+    "t19_token_entropy" ->
+      s"""WITH lnm AS (SELECT x, lx FROM '${OracleAux.Root}/t19_ln/*.parquet'),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok
+         |  WHERE len(w) > 0 GROUP BY doc_id, w),
+         |agg AS (SELECT doc_id,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) AS BIGINT) AS n_distinct,
+         |    SUM(CAST(round(CAST(c AS DOUBLE) * lc.lx, 9)
+         |      AS DECIMAL(28,9))) AS s
+         |  FROM cnt JOIN lnm lc ON lc.x = CAST(c AS DOUBLE)
+         |  GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_tokens, a.n_distinct,
+         |  round(lnn.lx - CAST(CAST(a.s AS VARCHAR) AS DOUBLE) / a.n_tokens,
+         |    6) AS entropy_nats
+         |FROM agg a JOIN lnm lnn ON lnn.x = CAST(a.n_tokens AS DOUBLE)
+         |ORDER BY a.doc_id""".stripMargin,
+
     // t18: the invisible/exotic-space plants are constructed from
     // chr() codepoints and both scrub passes replay on explicit
     // \x{XXXX} char classes — Java \uXXXX ↔ RE2 \x{XXXX}, no \p{}

@@ -127,6 +127,7 @@ object SparkEntry {
     "t16_chunk_split" -> ((s, dir) => TextOps.t16ChunkSplit(s, dir)),
     "t17_html_strip" -> ((s, dir) => TextOps.t17HtmlStrip(s, dir)),
     "t18_unicode_scrub" -> ((s, dir) => TextOps.t18UnicodeScrub(s, dir)),
+    "t19_token_entropy" -> ((s, dir) => TextOps.t19TokenEntropy(s, dir)),
     "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
     "d15_url_dedup" -> ((s, dir) => Dedup.d15UrlDedup(s, dir)),
     "d16_line_dedup" -> ((s, dir) => Dedup.d16LineDedup(s, dir)),

@@ -858,6 +858,66 @@ object TextOps {
     chunkSplitOver(Tables(spark, dir).documents)
       .orderBy("doc_id", "chunk_id")
 
+  /** t19: token-entropy quality scoring — the information-theoretic
+    * repetitiveness signal (public practice: RedPajama/Dolma-class
+    * quality suites carry an entropy signal; near-zero entropy means
+    * looping/boilerplate text no length or stopword ratio catches,
+    * maximal entropy ln(n) means no token repeats). Shannon entropy
+    * over the document's token distribution in nats, via the
+    * count-only identity H = ln(n) − (Σ_w c_w·ln c_w)/n — every ln
+    * input is an exact INTEGER cast to double, so the oracle's
+    * ln-memo is keyed on token counts alone.
+    *
+    * Complements t07: t07 reports max-share ratios (the Gopher rule
+    * inputs), entropy summarizes the WHOLE distribution in one
+    * number a curation pipeline can threshold or stratify on.
+    *
+    * Determinism (the c14 discipline): terms c·ln(c) are 9-dp-rounded
+    * and accumulated in DECIMAL(28,9) — associative, so bit-identical
+    * at any partitioning; the final expression is one divide, one
+    * subtract, one 6-dp round in a fixed order both engines replay.
+    *
+    * Scale: one token explode, a (doc, token) count shuffle with
+    * map-side partials, one doc rollup — t05's shape, bounded by
+    * corpus token volume.
+    */
+  def t19TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    entropyOver(Tables(spark, dir).documents).orderBy("doc_id")
+
+  /** t19 over any (doc_id, text) frame. */
+  def entropyOver(docs: DataFrame): DataFrame =
+    tokenCounts(docs).groupBy("doc_id")
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(LongType).as("n_distinct"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 9)
+          .cast("decimal(28,9)")).as("s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) -
+          col("s").cast("double") / col("n_tokens"), 6).as("entropy_nats"))
+
+  /** Per-doc token multiplicities — shared by the t19 score and its
+    * ln-memo producer so the memo provably covers every ln input.
+    */
+  private def tokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    .filter(length(col("w")) > 0)
+    .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+
+  /** t19 oracle ln-memo: Spark's ln of every distinct token count and
+    * every distinct doc length — the only transcendentals in the
+    * score (the c14 ln-memo rationale: DuckDB's libm ln can drift a
+    * last ulp past the 9-dp rounding).
+    */
+  def t19AuxLn(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = tokenCounts(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+    cnt.select(col("c"))
+      .union(cnt.groupBy("doc_id").agg(sum(col("c")).as("c")).select(col("c")))
+      .distinct()
+      .select(col("c").cast("double").as("x"),
+        log(col("c").cast("double")).as("lx"))
+  }
+
   /** t18: invisible-character scrub + Unicode-space normalization —
     * the codepoint-hygiene stage every crawl-cleaning pipeline runs
     * before tokenization (public practice: zero-width characters and

@@ -86,6 +86,52 @@ class TextOpsSpec extends AnyFunSuite {
       (col("n_invisible") =!= 0 || col("n_spaces") =!= 0)).count() == 0)
   }
 
+  test("t19 entropy: closed-form laws and value-exact StrictMath replay") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),     // one token type → H = 0
+      (2L, "a b c d"),     // all distinct → H = ln 4
+      (3L, "a a b b"),     // two pairs → H = ln 2
+      (4L, "a a b c"))     // mixed: replayed below
+      .toDF("doc_id", "text")
+    val got = TextOps.entropyOver(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0) == ((1L, 4L, 1L,
+      r6(StrictMath.log(4.0) - r9(4.0 * StrictMath.log(4.0)) / 4))))
+    assert(got(1) == ((2L, 4L, 4L, r6(StrictMath.log(4.0)))))
+    assert(got(2) == ((3L, 4L, 2L,
+      r6(StrictMath.log(4.0) - r9(2.0 * StrictMath.log(2.0)) * 2 / 4))))
+    // doc 4: c = (a→2, b→1, c→1); terms round to 9 dp, DECIMAL-sum,
+    // then the same fixed-order final expression
+    val s4 = BigDecimal(r9(2.0 * StrictMath.log(2.0))) + 0 + 0
+    assert(got(3) == ((4L, 4L, 3L,
+      r6(StrictMath.log(4.0) - s4.toDouble / 4))))
+    // doc 1's H is exactly 0 (ln 4 cancels): the law, not coincidence
+    assert(got(0)._4 == 0.0)
+  }
+
+  test("t19 demo: uniform synthetic docs sit in the expected entropy band") {
+    val rows = TextOps.t19TokenEntropy(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      // the 6-dp round can land half a step past ln n
+      assert(h >= 0.0 && h <= StrictMath.log(n.toDouble) + 5e-7,
+        s"doc ${r.getLong(0)} H=$h outside [0, ln n]")
+      if (d == n) assert(h == BigDecimal(StrictMath.log(n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the 31-word vocabulary forces repeats in long docs: entropy
+    // strictly below ln(n) for most, so the signal discriminates
+    assert(rows.count(r => r.getDouble(3) <
+      StrictMath.log(r.getLong(1).toDouble) - 1e-6) > rows.length / 2)
+  }
+
   test("t16 chunk boundaries match hand-built windows") {
     import spark.implicits._
     // size=4, overlap=1 → stride 3; n=8 → 3 chunks [0,4)[3,7)[6,8);
