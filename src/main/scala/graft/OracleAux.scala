@@ -140,7 +140,11 @@ object OracleAux {
     // t19's ln-memo over token counts — the score's only
     // transcendentals; distributions replay in SQL
     ("t19_ln", Set("t19_token_entropy"),
-      (s, d) => operators.TextOps.t19AuxLn(s, d)))
+      (s, d) => operators.TextOps.t19AuxLn(s, d)),
+    // the f11 demo's CSV lines — the oracle re-parses the identical
+    // bytes with an independent RE2 field grammar
+    ("f11_lines", Set("f11_csv_ingest"),
+      (s, d) => sources.CsvSource.f11Lines(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

@@ -1054,6 +1054,36 @@ object Oracles {
         |FROM src s FULL OUTER JOIN tgt t ON s.rel_path = t.rel_path
         |ORDER BY rel_path""".stripMargin,
 
+    // f11: an independent RE2 field grammar re-parses the identical
+    // CSV bytes — RFC 4180 fields (bare or quoted with "" escapes),
+    // arity-4 anchored match as the validity verdict, leading fields
+    // still extracted on wrong-arity rows (Spark's probed PERMISSIVE
+    // contract), doubled quotes unescaped after unwrapping.
+    "f11_csv_ingest" ->
+      s"""WITH l AS (SELECT line
+         |  FROM '${OracleAux.Root}/f11_lines/*.parquet'),
+         |p AS (SELECT line,
+         |    regexp_matches(line,
+         |      '^(?:[^,"]*|"(?:[^"]|"")*")(?:,(?:[^,"]*|"(?:[^"]|"")*")){3}$$')
+         |      AS ok,
+         |    regexp_extract(line,
+         |      '^([^,"]*|"(?:[^"]|"")*"),([^,"]*|"(?:[^"]|"")*"),([^,"]*|"(?:[^"]|"")*"),([^,"]*|"(?:[^"]|"")*")(?:,.*)?$$',
+         |      ['f1', 'f2', 'f3', 'f4']) AS f
+         |  FROM l),
+         |u AS (SELECT line, ok,
+         |    CAST(f['f1'] AS BIGINT) AS doc_id, f['f2'] AS lang,
+         |    CASE WHEN f['f3'] LIKE '"%'
+         |         THEN replace(substring(f['f3'], 2, length(f['f3']) - 2),
+         |                      '""', '"')
+         |         ELSE f['f3'] END AS source,
+         |    CAST(f['f4'] AS BIGINT) AS n_chars
+         |  FROM p)
+         |SELECT doc_id, lang, source, n_chars,
+         |  NOT ok AS is_corrupt,
+         |  CASE WHEN NOT ok THEN line END AS corrupt_raw
+         |FROM u
+         |ORDER BY is_corrupt, doc_id, corrupt_raw""".stripMargin,
+
     // f10: DuckDB's yyjson parser re-parses the byte-identical lines
     // independently of Spark's Jackson path — validity verdicts,
     // parsed fields, and the quarantine column must all agree.

@@ -167,6 +167,8 @@ object SparkEntry {
     "f05_audit_rollup" -> ((s, dir) =>
       graft.sources.FilePipeline.f05AuditDemo(s, dir)),
     // f10: JSONL intake with corrupt-line quarantine over real files
+    "f11_csv_ingest" -> ((s, dir) =>
+      sources.CsvSource.f11CsvIngest(s, dir)),
     "f10_jsonl_ingest" -> ((s, dir) =>
       graft.sources.JsonlSource.f10JsonlIngest(s, dir)),
     // f07: paged-REST enumeration over the deterministic synthetic
