@@ -75,6 +75,9 @@ object Bench {
       // keeps build before gate)
       "st20_build" -> ((s, d) => streaming.Streams.st20BenchBuild(s, d)),
       "st20_gate" -> ((s, d) => streaming.Streams.st20BenchGate(s, d)),
+      // st21 is stateless (no trained artifact) — one row, the
+      // recurring per-drain media-scrub cost
+      "st21_scrub" -> ((s, d) => streaming.Streams.st21BenchScrub(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

@@ -1238,6 +1238,91 @@ object Streams {
       }
       .start()
 
+  /** One st21 micro-batch: scrub PNG metadata from the batch's media
+    * payloads (the m12 kernel) and land every row under `batch=<id>`
+    * — a TRANSFORM like st18, not a gate: docs always land, never
+    * carrying author/GPS/timestamp chunks. Payloads are routed by
+    * magic bytes (the m11 discipline — trust bytes, not labels):
+    * PNGs are chunk-walked and scrubbed, everything else passes
+    * through byte-identical. The audit conserves
+    * `docs_in = pngs_scrubbed + passthrough` and accounts the bytes
+    * removed; replay is Overwrite-idempotent on the batch directory.
+    *
+    * Scale: per-row 12-byte-header chunk walks inside one
+    * mapPartitions batch — no decode, pixels never shuffle; the
+    * landing write is the only exchange.
+    */
+  def mediaScrubBatch(batch: DataFrame, lakePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    import graft.operators.Multimodal.Codecs
+    val scrubbed = batch.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          val isPng = p.length >= 8 && (p(0) & 0xff) == 0x89 &&
+            p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+          if (isPng) {
+            val out = Codecs.scrubPngAncillary(p)
+            val nMeta = Codecs.pngChunks(p)
+              .count { case (t, _, _) => (t.charAt(0) & 0x20) != 0 }
+            (id, out, 1L, nMeta.toLong, p.length.toLong, out.length.toLong)
+          } else (id, p, 0L, 0L, p.length.toLong, p.length.toLong)
+        }
+      }
+      .toDF("doc_id", "payload", "is_png", "n_meta", "bytes_in",
+        "bytes_out")
+      .localCheckpoint(true) // one scrub pass feeds lake AND audit
+    val tot = scrubbed.agg(count(lit(1)), sum(col("is_png")),
+      sum(col("n_meta")), sum(col("bytes_in")), sum(col("bytes_out"))).head()
+    scrubbed.select("doc_id", "payload")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+    Seq((batchId, tot.getLong(0), tot.getLong(1), tot.getLong(2),
+        tot.getLong(3), tot.getLong(4)))
+      .toDF("batch_id", "docs", "n_png", "n_meta", "bytes_in", "bytes_out")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.audit/batch=$batchId")
+  }
+
+  /** st21: STREAMING media-metadata scrub — m12's PNG ancillary-chunk
+    * removal as a continuous intake stage beside st18's text scrub
+    * (public pipeline shape: media metadata is PII; it must be gone
+    * BEFORE payloads land anywhere downstream systems read).
+    */
+  def st21MediaScrubStream(media: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mediaScrubBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st21 bench row: one corpus-sized drain of metadata-bearing
+    * images through the scrub — the recurring per-drain cost
+    * (stateless, no build half; st18's shape).
+    */
+  def st21BenchScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st21", dir)
+    clearRoot(spark, root)
+    val batch = graft.Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 0).select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions(_.map(id =>
+        (id, graft.operators.Multimodal.synthMetaImage(id))))
+      .toDF("doc_id", "payload")
+    mediaScrubBatch(batch, s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** st20 build phase (bench): seed the lake + URL index with the
     * full demo frontier — the one-time base a long-lived gate probes.
     */

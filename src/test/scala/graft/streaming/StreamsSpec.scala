@@ -1347,6 +1347,53 @@ class StreamsSpec extends AnyFunSuite {
     assert(auditOf() == audit, "replay changed the audit")
   }
 
+  test("st21 media scrub: PNGs scrubbed to original bytes, others pass through") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st21")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    import graft.operators.Multimodal
+    val wav = Multimodal.synthWav(4L)
+    val stream1 = Seq(
+      (1L, Multimodal.synthMetaImage(1L)), // PNG with 2 metadata chunks
+      (4L, wav))                           // non-PNG: byte-exact passthrough
+    val stream2 = Seq((7L, Multimodal.synthMetaImage(7L)))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = Streams.st21MediaScrubStream(
+      input.toDS().toDF("doc_id", "payload"), lake, ckpt)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    assert(rows.keySet == Set(1L, 4L, 7L))
+    // scrubbed PNGs equal the independently re-synthesized originals
+    assert(java.util.Arrays.equals(rows(1L), Multimodal.synthImage(1L)))
+    assert(java.util.Arrays.equals(rows(7L), Multimodal.synthImage(7L)))
+    // the WAV passed through byte-identically
+    assert(java.util.Arrays.equals(rows(4L), wav))
+    val audit = spark.read.parquet(lake + ".audit").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("docs"), r.getAs[Long]("n_png"),
+          r.getAs[Long]("n_meta"), r.getAs[Long]("bytes_in"),
+          r.getAs[Long]("bytes_out"))).toMap
+    assert(audit(0L)._1 == 2L && audit(0L)._2 == 1L && audit(0L)._3 == 2L)
+    assert(audit(1L) == ((1L, 1L, 2L,
+      Multimodal.synthMetaImage(7L).length.toLong,
+      Multimodal.synthImage(7L).length.toLong)))
+    // replay: re-running a batch body rewrites byte-identically
+    Streams.mediaScrubBatch(stream1.toDF("doc_id", "payload"), lake, 0L)
+    val after = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    assert(after.keySet == rows.keySet &&
+      after.forall { case (k, v) => java.util.Arrays.equals(v, rows(k)) })
+  }
+
   test("st20 bench phases: seeded index gates a mixed recurrence drain") {
     val sf = graft.TestSpark.Sf0001
     Streams.st20BenchBuild(spark, sf)
