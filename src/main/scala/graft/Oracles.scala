@@ -1847,17 +1847,16 @@ object Oracles {
         |         ELSE text END AS text
         |  FROM documents),
         |m AS (SELECT doc_id, text,
-        |    len(string_split_regex(text, '[ \n]')) AS n_words,
+        |    len(regexp_extract_all(text, '[^ \n]+')) AS n_words,
         |    len(string_split(text, chr(10))) AS n_lines,
-        |    len(text) - (len(string_split_regex(text, '[ \n]')) - 1)
-        |      AS sum_len,
+        |    len(regexp_replace(text, '[ \n]', '', 'g')) AS sum_len,
         |    len(text) - len(replace(text, '#', '')) AS n_hash,
         |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell3,
         |    len(regexp_extract_all(text, '(?m)^[-*•] ')) AS n_bullet,
         |    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell_line,
-        |    len(regexp_extract_all(text, '(^|[ \n])[^ \n]*[a-z]'))
+        |    len(regexp_extract_all(text, '(^|[ \n])[^ \n]*[a-zA-Z]'))
         |      AS n_alpha,
-        |    len(list_intersect(string_split_regex(text, '[ \n]'),
+        |    len(list_intersect(regexp_extract_all(lower(text), '[^ \n]+'),
         |      ['the','a'])) AS n_stop
         |  FROM planted),
         |r AS (SELECT doc_id,
@@ -2004,11 +2003,13 @@ object Oracles {
         |          AND x <> '')), '&'), '') AS kept
         |  FROM p),
         |c AS (SELECT doc_id, url,
-        |    scheme || '://' || host ||
-        |    CASE WHEN path0 <> '/' AND path0 LIKE '%/'
-        |         THEN substring(path0, 1, length(path0) - 1)
-        |         ELSE path0 END ||
-        |    CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+        |    CASE WHEN scheme = '' THEN url
+        |         ELSE scheme || '://' || host ||
+        |           CASE WHEN path0 <> '/' AND path0 LIKE '%/'
+        |                THEN substring(path0, 1, length(path0) - 1)
+        |                ELSE path0 END ||
+        |           CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+        |    END AS canon_url
         |  FROM n)
         |SELECT doc_id, url, canon_url,
         |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_dups,

@@ -1480,9 +1480,11 @@ object Corpus {
     * Counts come from codegen'd string arithmetic (length deltas for
     * '#'/'...', multiline-anchored regexp counts for bullet/ellipsis
     * lines and alphabetic words — RE2-portable, no interpreted HOF
-    * in the per-row path); the word-length sum uses the t02 identity
-    * (sum of token lengths = chars − separators, exact for any
-    * single-char-delimited split).
+    * in the per-row path); words are NON-EMPTY separator-run
+    * extractions (so double spaces and blank lines never dilute the
+    * ratios), the word-length sum is chars minus all separator
+    * chars, alphabetic means either case, and stop matching is
+    * case-folded.
     *
     * The synthetic corpus is single-line prose, so the demo plants
     * rule violations deterministically (the t17 discipline):
@@ -1519,10 +1521,16 @@ object Corpus {
     */
   def gopherRulesOver(docs: DataFrame,
       stops: Seq[String] = GopherStops): DataFrame = {
-    val words = split(col("text"), "[ \n]")
-    val nWords = size(words).cast("long")
+    // token/word counts via NON-EMPTY-run extraction, not split:
+    // split("[ \n]") keeps empty tokens at separator runs (double
+    // spaces, blank lines), silently deflating mean_word_len and
+    // alpha_ratio on ordinary multi-paragraph text
+    val nWords = size(regexp_extract_all(
+      col("text"), lit("[^ \n]+"), lit(0))).cast("long")
     val nLines = size(split(col("text"), "\n")).cast("long")
-    val sumLen = length(col("text")).cast("long") - (nWords - lit(1L))
+    // sum of word lengths = chars minus ALL separator chars — exact
+    // for any separator-run structure (the split identity is not)
+    val sumLen = length(regexp_replace(col("text"), "[ \n]", "")).cast("long")
     val nHash =
       (length(col("text")) - length(replace(col("text"), lit("#")))).cast("long")
     val nEllSym = expr(
@@ -1531,13 +1539,18 @@ object Corpus {
       col("text"), lit("(?m)^[-*•] "), lit(0))).cast("long")
     val nEllLine = size(regexp_extract_all(
       col("text"), lit("(?m)\\.\\.\\.$"), lit(0))).cast("long")
-    // one match per token containing ≥1 [a-z]: the leading separator
-    // (or ^) is consumed WITH the match, so adjacent alphabetic
-    // tokens still count once each
+    // one match per token containing ≥1 LETTER (either case — the
+    // published rule is 'contains an alphabetic character', and
+    // all-caps headers are still words): the leading separator (or ^)
+    // is consumed WITH the match, so adjacent alphabetic tokens still
+    // count once each
     val nAlpha = size(regexp_extract_all(
-      col("text"), lit("(^|[ \n])[^ \n]*[a-z]"), lit(0))).cast("long")
+      col("text"), lit("(^|[ \n])[^ \n]*[a-zA-Z]"), lit(0))).cast("long")
+    // stop matching is case-insensitive ('The' at sentence start IS
+    // 'the'); tokens re-extracted from the lowercased text
     val nStop = size(array_intersect(
-      words, array(stops.map(lit): _*))).cast("long")
+      regexp_extract_all(lower(col("text")), lit("[^ \n]+"), lit(0)),
+      array(stops.map(lit): _*))).cast("long")
     val meanLen = sumLen.cast("double") / nWords
     val symbolRatio = (nHash + nEllSym).cast("double") / nWords
     val bulletRatio = nBullet.cast("double") / nLines

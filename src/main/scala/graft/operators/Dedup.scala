@@ -1492,7 +1492,12 @@ object Dedup {
     docs.select(col("doc_id"), url.as("url"))
   }
 
-  /** Canonicalize a `url` string column (adds `canon_url`). */
+  /** Canonicalize a `url` string column (adds `canon_url`). A URL
+    * with no recognizable `scheme://` prefix (relative links,
+    * mailto:, junk) canonicalizes to ITSELF — collapsing all of them
+    * to one empty-parts key would silently dedupe distinct URLs,
+    * which in the st20 gate means permanent data loss.
+    */
   def urlCanonicalizeOver(df: DataFrame): DataFrame = {
     val noFrag = regexp_replace(col("url"), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag,
@@ -1511,8 +1516,10 @@ object Dedup {
     val kept = array_join(array_sort(filter(split(query, "&"),
       p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= "")), "&")
     df.withColumn("path0", path0)
-      .withColumn("canon_url", concat(scheme, lit("://"), host, path,
-        when(kept === "", "").otherwise(concat(lit("?"), kept))))
+      .withColumn("canon_url",
+        when(scheme === "", col("url"))
+          .otherwise(concat(scheme, lit("://"), host, path,
+            when(kept === "", "").otherwise(concat(lit("?"), kept)))))
       .drop("path0")
   }
 

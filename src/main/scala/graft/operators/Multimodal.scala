@@ -136,7 +136,9 @@ object Multimodal {
           ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
         val ctype = new String(bytes, p + 4, 4,
           java.nio.charset.StandardCharsets.US_ASCII)
-        require(len >= 0 && p + 12 + len <= bytes.length,
+        // overflow-safe form: p + 12 + len can wrap Int for a crafted
+        // length and slip past a `p + 12 + len <= length` guard
+        require(len >= 0 && len <= bytes.length - 12 - p,
           s"truncated $ctype chunk")
         val crc = new java.util.zip.CRC32
         crc.update(bytes, p + 4, 4 + len)
@@ -177,8 +179,16 @@ object Multimodal {
       * metadata scrub: tEXt/zTXt/iTXt/tIME/eXIf all classify
       * ancillary; IHDR/PLTE/IDAT/IEND survive.
       */
-    def scrubPngAncillary(bytes: Array[Byte]): Array[Byte] = {
-      val kept = pngChunks(bytes).filter { case (t, _, _) => (t.charAt(0) & 0x20) == 0 }
+    def scrubPngAncillary(bytes: Array[Byte]): Array[Byte] =
+      scrubFromChunks(bytes, pngChunks(bytes))
+
+    /** [[scrubPngAncillary]] given an already-computed chunk walk —
+      * callers that also need chunk counts walk (and CRC-validate)
+      * the payload ONCE and derive both from the same result.
+      */
+    def scrubFromChunks(bytes: Array[Byte],
+        chunks: Seq[(String, Int, Int)]): Array[Byte] = {
+      val kept = chunks.filter { case (t, _, _) => (t.charAt(0) & 0x20) == 0 }
       val out = ByteBuffer.allocate(
         8 + kept.map { case (_, len, _) => 12 + len }.sum)
       out.put(bytes, 0, 8)
@@ -1511,10 +1521,10 @@ object Multimodal {
     * discipline: the byte-level kernel is spec-checked, everything
     * downstream of it is oracled).
     *
-    * Scale: per-row chunk walk inside one mapPartitions batch —
-    * pixels never shuffle, no decode happens at all (the walk reads
-    * 12-byte headers and skips data), output is one slim row per
-    * image.
+    * Scale: ONE per-row chunk walk inside one mapPartitions batch —
+    * pixels never shuffle, no decode happens (the walk reads chunk
+    * headers and CRC-checks data in a single linear pass; the scrub
+    * reuses that walk's offsets), output is one slim row per image.
     */
   def m12PngScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1523,8 +1533,8 @@ object Multimodal {
     ids.as[Long].mapPartitions { rows =>
       rows.map { id =>
         val planted = synthMetaImage(id)
-        val scrubbed = Codecs.scrubPngAncillary(planted)
         val chunks = Codecs.pngChunks(planted)
+        val scrubbed = Codecs.scrubFromChunks(planted, chunks)
         val nMeta = chunks.count { case (t, _, _) => (t.charAt(0) & 0x20) != 0 }
         (id, chunks.size.toLong, nMeta.toLong,
           planted.length.toLong, scrubbed.length.toLong,
@@ -1598,16 +1608,21 @@ object Multimodal {
     import spark.implicits._
     val ids = spreadIds(Tables(spark, dir).documents
       .filter(col("doc_id") % 3 === 0).select(col("doc_id")))
-    ids.as[Long].flatMap { id =>
-      val planted = synthMetaImage(id)
-      val scrubbed = Codecs.scrubPngAncillary(planted)
-      val original = synthImage(id)
-      Codecs.pngChunks(planted).zipWithIndex.map { case ((t, len, _), i) =>
-        (id, i, t, len.toLong, scrubbed, original)
+      .localCheckpoint(false) // one id frame feeds both passes
+    // per-doc payload hashes computed ONCE, then joined onto the slim
+    // chunk rows — replicating full payload copies per chunk row
+    // would serialize and hash O(n_chunks × payload) instead
+    val hashes = ids.as[Long].map { id =>
+        val planted = synthMetaImage(id)
+        (id, Codecs.scrubPngAncillary(planted), synthImage(id))
+      }.toDF("doc_id", "sb", "ob")
+      .select(col("doc_id"), xxhash64(col("sb")).as("h_scrub"),
+        xxhash64(col("ob")).as("h_orig"))
+    val chunks = ids.as[Long].flatMap { id =>
+      Codecs.pngChunks(synthMetaImage(id)).zipWithIndex.map {
+        case ((t, len, _), i) => (id, i, t, len.toLong)
       }
-    }.toDF("doc_id", "idx", "ctype", "clen", "scrub_bytes", "orig_bytes")
-      .select(col("doc_id"), col("idx"), col("ctype"), col("clen"),
-        xxhash64(col("scrub_bytes")).as("h_scrub"),
-        xxhash64(col("orig_bytes")).as("h_orig"))
+    }.toDF("doc_id", "idx", "ctype", "clen")
+    chunks.join(hashes, Seq("doc_id"))
   }
 }

@@ -1244,9 +1244,12 @@ object Streams {
     * carrying author/GPS/timestamp chunks. Payloads are routed by
     * magic bytes (the m11 discipline — trust bytes, not labels):
     * PNGs are chunk-walked and scrubbed, everything else passes
-    * through byte-identical. The audit conserves
-    * `docs_in = pngs_scrubbed + passthrough` and accounts the bytes
-    * removed; replay is Overwrite-idempotent on the batch directory.
+    * through byte-identical; a PNG-tagged payload that fails the
+    * CRC-validating walk (truncated, corrupt) quarantines UNMODIFIED
+    * under `.quarantine/batch=<id>` instead of wedging the stream.
+    * The audit conserves `docs_in = pngs_scrubbed + passthrough +
+    * corrupt` and accounts the bytes removed; replay is
+    * Overwrite-idempotent on all three batch directories.
     *
     * Scale: per-row 12-byte-header chunk walks inside one
     * mapPartitions batch — no decode, pixels never shuffle; the
@@ -1264,25 +1267,41 @@ object Streams {
         rows.map { case (id, p) =>
           val isPng = p.length >= 8 && (p(0) & 0xff) == 0x89 &&
             p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
-          if (isPng) {
-            val out = Codecs.scrubPngAncillary(p)
-            val nMeta = Codecs.pngChunks(p)
+          if (!isPng) (id, p, 0L, 0L, p.length.toLong, p.length.toLong, 0L)
+          else scala.util.Try {
+            // ONE walk (CRC-validating); the scrub reuses its offsets
+            val chunks = Codecs.pngChunks(p)
+            val out = Codecs.scrubFromChunks(p, chunks)
+            val nMeta = chunks
               .count { case (t, _, _) => (t.charAt(0) & 0x20) != 0 }
-            (id, out, 1L, nMeta.toLong, p.length.toLong, out.length.toLong)
-          } else (id, p, 0L, 0L, p.length.toLong, p.length.toLong)
+            (id, out, 1L, nMeta.toLong, p.length.toLong,
+              out.length.toLong, 0L)
+          }.getOrElse {
+            // poison-pill discipline: a corrupt/truncated PNG must
+            // not wedge the stream (foreachBatch failure replays the
+            // same batch forever) — it quarantines UNMODIFIED instead
+            (id, p, 0L, 0L, p.length.toLong, p.length.toLong, 1L)
+          }
         }
       }
       .toDF("doc_id", "payload", "is_png", "n_meta", "bytes_in",
-        "bytes_out")
+        "bytes_out", "is_corrupt")
       .localCheckpoint(true) // one scrub pass feeds lake AND audit
     val tot = scrubbed.agg(count(lit(1)), sum(col("is_png")),
-      sum(col("n_meta")), sum(col("bytes_in")), sum(col("bytes_out"))).head()
-    scrubbed.select("doc_id", "payload")
+      sum(col("n_meta")), sum(col("bytes_in")), sum(col("bytes_out")),
+      sum(col("is_corrupt"))).head()
+    scrubbed.filter(col("is_corrupt") === 0L).select("doc_id", "payload")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
+    // corrupt payloads land in a quarantine prefix the lake's readers
+    // never scan — present for forensics, absent from training data
+    scrubbed.filter(col("is_corrupt") === 1L).select("doc_id", "payload")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.quarantine/batch=$batchId")
     Seq((batchId, tot.getLong(0), tot.getLong(1), tot.getLong(2),
-        tot.getLong(3), tot.getLong(4)))
-      .toDF("batch_id", "docs", "n_png", "n_meta", "bytes_in", "bytes_out")
+        tot.getLong(3), tot.getLong(4), tot.getLong(5)))
+      .toDF("batch_id", "docs", "n_png", "n_meta", "bytes_in",
+        "bytes_out", "n_corrupt")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.audit/batch=$batchId")

@@ -823,6 +823,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(flags(got(5L)) == Seq(1L, 1L, 1L, 1L, 0L, 1L, 1L, 0L))
   }
 
+  test("c20: mixed case counts as alphabetic, separator runs don't dilute") {
+    import spark.implicits._
+    val docs = Seq(
+      // all-caps words are words; 'The' matches the stop list
+      (1L, "NASA JPL REPORT The End A"),
+      // a paragraph break (blank line) must not create empty tokens
+      (2L, "word1 word2\n\nword3 word4")).toDF("doc_id", "text")
+    val got = Corpus.gopherRulesOver(docs, stops = Seq("the", "a"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 6L)          // n_words
+    assert(got(1L).getDouble(7) == 1.0)       // alpha_ratio
+    assert(got(1L).getLong(8) == 2L)          // The + A, case-folded
+    assert(got(2L).getLong(1) == 4L)          // no empty tokens
+    assert(got(2L).getLong(2) == 3L)          // blank line still a line
+    assert(got(2L).getDouble(3) == 5.0)       // 20 chars / 4 words
+    assert(got(2L).getDouble(7) == 1.0)
+  }
+
   test("c20 demo: each planted family trips exactly its rule") {
     val rows = Corpus.c20GopherRules(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)

@@ -599,7 +599,12 @@ class DedupSpec extends AnyFunSuite {
       // '?' with empty query
       ("https://e.com/p?", "https://e.com/p"),
       // fragment before query-less path, trailing slash
-      ("https://e.com/a/b/#x", "https://e.com/a/b"))
+      ("https://e.com/a/b/#x", "https://e.com/a/b"),
+      // scheme-less / malformed URLs canonicalize to THEMSELVES —
+      // distinct junk must never collapse to one shared key
+      ("foo.com/a", "foo.com/a"),
+      ("bar.com/b", "bar.com/b"),
+      ("mailto:alice@example.com", "mailto:alice@example.com"))
     val got = Dedup.urlCanonicalizeOver(
         cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
           .toDF("doc_id", "url"))

@@ -1357,7 +1357,11 @@ class StreamsSpec extends AnyFunSuite {
     val stream1 = Seq(
       (1L, Multimodal.synthMetaImage(1L)), // PNG with 2 metadata chunks
       (4L, wav))                           // non-PNG: byte-exact passthrough
-    val stream2 = Seq((7L, Multimodal.synthMetaImage(7L)))
+    // 9: PNG-tagged but corrupt (flipped data byte → bad CRC) — the
+    // poison pill that must quarantine, not wedge the stream
+    val poison = Multimodal.synthMetaImage(9L).clone()
+    poison(20) = (poison(20) ^ 0x01).toByte
+    val stream2 = Seq((7L, Multimodal.synthMetaImage(7L)), (9L, poison))
     val input = MemoryStream[(Long, Array[Byte])](spark)
     val q = Streams.st21MediaScrubStream(
       input.toDS().toDF("doc_id", "payload"), lake, ckpt)
@@ -1376,15 +1380,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rows(7L), Multimodal.synthImage(7L)))
     // the WAV passed through byte-identically
     assert(java.util.Arrays.equals(rows(4L), wav))
+    // the poison pill did NOT wedge the stream, did NOT reach the
+    // lake, and sits unmodified in quarantine
+    assert(!rows.contains(9L))
+    val quarantined = spark.read.parquet(lake + ".quarantine").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
+      .toMap
+    assert(quarantined.keySet == Set(9L) &&
+      java.util.Arrays.equals(quarantined(9L), poison))
     val audit = spark.read.parquet(lake + ".audit").collect()
       .map(r => r.getAs[Long]("batch_id") ->
         (r.getAs[Long]("docs"), r.getAs[Long]("n_png"),
           r.getAs[Long]("n_meta"), r.getAs[Long]("bytes_in"),
-          r.getAs[Long]("bytes_out"))).toMap
-    assert(audit(0L)._1 == 2L && audit(0L)._2 == 1L && audit(0L)._3 == 2L)
-    assert(audit(1L) == ((1L, 1L, 2L,
-      Multimodal.synthMetaImage(7L).length.toLong,
-      Multimodal.synthImage(7L).length.toLong)))
+          r.getAs[Long]("bytes_out"), r.getAs[Long]("n_corrupt"))).toMap
+    assert(audit(0L)._1 == 2L && audit(0L)._2 == 1L &&
+      audit(0L)._3 == 2L && audit(0L)._6 == 0L)
+    assert(audit(1L) == ((2L, 1L, 2L,
+      Multimodal.synthMetaImage(7L).length.toLong + poison.length,
+      Multimodal.synthImage(7L).length.toLong + poison.length, 1L)))
     // replay: re-running a batch body rewrites byte-identically
     Streams.mediaScrubBatch(stream1.toDF("doc_id", "payload"), lake, 0L)
     val after = spark.read.parquet(lake).collect()
