@@ -92,7 +92,9 @@ object OracleAux {
       (s, d) => operators.Multimodal.m01AuxFeatures(s, d)),
     ("m02_frames", Set("m02_frame_sample"),
       (s, d) => operators.Multimodal.m02AuxFrames(s, d)),
-    ("m03_pcm", Set("m03_audio_windows"),
+    // m14 shares m03's decoded-PCM side-table: the decimation
+    // arithmetic replays downstream in SQL
+    ("m03_pcm", Set("m03_audio_windows", "m14_audio_decimate"),
       (s, d) => operators.Multimodal.m03AuxPcm(s, d)),
     // the e12 hashed-bigram bucket counts, shared by DSIR weighting
     // and classifier scoring; the ln/model memos carry the only two

@@ -1138,6 +1138,30 @@ object Oracles {
     // m11: the magic-byte classification + rollup replayed from the
     // persisted head-hex side-table (the codecs aren't SQL; the
     // routing logic downstream of the head bytes is).
+    // m14: pair-averaged decimation replayed from the m03 PCM
+    // side-table — floor(sum/2.0) matches the kernel's floorDiv on
+    // negative sums (truncation would not); all outputs are exact
+    // integers.
+    "m14_audio_decimate" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    unnest(samples) AS v,
+         |    unnest(range(0, len(samples))) AS i
+         |  FROM '${OracleAux.Root}/m03_pcm/*.parquet'),
+         |d AS (SELECT doc_id, i // 2 AS j,
+         |    CAST(floor(sum(v) / 2.0) AS BIGINT) AS o
+         |  FROM s GROUP BY doc_id, i // 2),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in
+         |  FROM s GROUP BY doc_id)
+         |SELECT d.doc_id, n.n_in,
+         |  CAST(count(*) AS BIGINT) AS n_out,
+         |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+         |  CAST(sum(o * o) AS BIGINT) AS sum_sq,
+         |  CAST(min(o) AS BIGINT) AS v_min,
+         |  CAST(max(o) AS BIGINT) AS v_max
+         |FROM d JOIN n USING (doc_id)
+         |GROUP BY d.doc_id, n.n_in
+         |ORDER BY d.doc_id""".stripMargin,
+
     // m13: exact-integer 2x2 block pooling replayed from the decoded
     // pixel side-table — floor mean via integer div, bit-identical.
     "m13_image_pool" ->

@@ -83,6 +83,7 @@ object SparkEntry {
     "m11_type_sniff" -> ((s, dir) => Multimodal.m11TypeSniff(s, dir)),
     "m12_png_scrub" -> ((s, dir) => Multimodal.m12PngScrub(s, dir)),
     "m13_image_pool" -> ((s, dir) => Multimodal.m13ImagePool(s, dir)),
+    "m14_audio_decimate" -> ((s, dir) => Multimodal.m14AudioDecimate(s, dir)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),
     "q29_asof_join" -> (AsofJoin.q29AsofJoin(_, _)),
     "q30_range_join" -> (RangeJoin.q30RangeJoin(_, _)),

@@ -232,6 +232,29 @@ object Multimodal {
       (ow, oh, out)
     }
 
+    /** Decimate 16-bit PCM by an integer factor: each output sample
+      * is the FLOOR mean (Math.floorDiv — floor, not
+      * truncate-toward-zero, so negative sums agree with SQL floor
+      * division) of f consecutive inputs. Exact integer arithmetic,
+      * bit-identical in any engine; sample count must divide evenly
+      * (the synth corpus's multiples-of-128 do; production pads or
+      * trims first — caller policy, as in [[poolGray]]).
+      */
+    def decimatePcm(samples: Array[Short], f: Int): Array[Short] = {
+      require(f > 0 && samples.length % f == 0,
+        s"factor $f must divide ${samples.length} samples")
+      val out = new Array[Short](samples.length / f)
+      var i = 0
+      while (i < out.length) {
+        var s = 0
+        var k = 0
+        while (k < f) { s += samples(i * f + k); k += 1 }
+        out(i) = Math.floorDiv(s, f).toShort
+        i += 1
+      }
+      out
+    }
+
     /** Parse a WAV payload back to its 16-bit PCM mono samples — a
       * real RIFF chunk walk (fmt validated, unknown chunks skipped,
       * odd sizes padded per spec), so payloads written by any
@@ -1484,6 +1507,52 @@ object Multimodal {
         hex(substring(col("payload"), 1, 12)).as("head_hex"),
         col("media_type"),
         col("meta.content_length").as("len"))
+
+  // ---- m14: audio downsampling ----
+
+  /** m14: audio downsampling — 2× PCM decimation with pair
+    * averaging, the sample-rate normalization every audio-training
+    * pipeline runs at intake (training sample rates are fixed;
+    * crawled audio is decoded, resampled, re-encoded once — m13's
+    * rationale on the audio axis). Kernel is [[Codecs.decimatePcm]]
+    * (floor-mean, exact integer); the decimated clip is re-encoded
+    * as a canonical half-rate WAV (the encode leg is real), and the
+    * driver row reports exact-integer evidence of the result —
+    * counts, Σ|v|, Σv², min/max — every one replayable in SQL from
+    * the m03 PCM side-table.
+    *
+    * Scale: decode + decimate + re-encode per-row inside one
+    * mapPartitions batch; only the slim per-doc summary ever
+    * shuffles.
+    */
+  def m14AudioDecimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir, only = Some("audio"))
+      .filter(col("media_type") === "audio")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          val in = Codecs.decodeWav(p)
+          val out = Codecs.decimatePcm(in, 2)
+          val wav = Codecs.encodeWav(out, 4000f)
+          require(wav.length > 0)
+          var sumAbs = 0L; var sumSq = 0L
+          var vMin = Long.MaxValue; var vMax = Long.MinValue
+          out.foreach { s =>
+            val v = s.toLong
+            sumAbs += math.abs(v); sumSq += v * v
+            if (v < vMin) vMin = v
+            if (v > vMax) vMax = v
+          }
+          (id, in.length.toLong, out.length.toLong, sumAbs, sumSq,
+            vMin, vMax)
+        }
+      }
+      .toDF("doc_id", "n_in", "n_out", "sum_abs", "sum_sq",
+        "v_min", "v_max")
+      .orderBy("doc_id")
+  }
 
   // ---- m12: PNG metadata scrub ----
 

@@ -661,6 +661,35 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m14 decimation: floor-mean pairs incl. negatives, lossless WAV round-trip") {
+    // floorDiv semantics: (-3) pairs to -2, NOT -1 (truncation)
+    val in = Array[Short](0, 10, -1, -2, 7, 8, -32768, -32767)
+    val out = Multimodal.Codecs.decimatePcm(in, 2)
+    assert(out.toSeq == Seq[Short](5, -2, 7, -32768))
+    // round-trip through the canonical WAV encoder
+    val back = Multimodal.Codecs.decodeWav(
+      Multimodal.Codecs.encodeWav(out, 4000f))
+    assert(back.sameElements(out))
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Codecs.decimatePcm(new Array[Short](7), 2)
+    }
+  }
+
+  test("m14 demo rows == plain-Scala decimation of the synthesized clips") {
+    val rows = Multimodal.m14AudioDecimate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    rows.keys.toSeq.sorted.take(5).foreach { id =>
+      val in = Multimodal.Codecs.decodeWav(Multimodal.synthWav(id))
+      val out = Multimodal.Codecs.decimatePcm(in, 2)
+      val vs = out.map(_.toLong)
+      assert(rows(id) == ((in.length.toLong, out.length.toLong,
+        vs.map(math.abs).sum, vs.map(v => v * v).sum, vs.min, vs.max)),
+        s"doc $id")
+    }
+  }
+
   test("m12 demo: every image recovers exactly, two metadata chunks each") {
     val rows = Multimodal.m12PngScrub(spark, dir).collect()
     assert(rows.nonEmpty)
