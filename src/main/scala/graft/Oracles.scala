@@ -2069,6 +2069,32 @@ object Oracles {
         |WHERE levenshtein(ta.s, tb.s) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // t20: the sentence plant (10-token groups, cycling terminators)
+    // and the splitter (three LITERAL boundary replaces — no regex
+    // backrefs, whose syntax differs between engines — then one
+    // control-char split) replay exactly.
+    "t20_sentence_split" ->
+      """WITH planted AS (SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, (len(string_split(text, ' ')) + 9) // 10),
+        |      i -> array_to_string(
+        |             string_split(text, ' ')[i*10 + 1 : i*10 + 10], ' ')
+        |           || ['.', '!', '?'][(i % 3) + 1]), ' ') AS text
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    replace(replace(replace(text,
+        |      '. ', '.' || chr(1)), '! ', '!' || chr(1)),
+        |      '? ', '?' || chr(1)) AS t
+        |  FROM planted),
+        |s AS (SELECT doc_id,
+        |    unnest(string_split(t, chr(1))) AS sentence,
+        |    unnest(range(1, len(string_split(t, chr(1))) + 1)) AS pos
+        |  FROM m)
+        |SELECT doc_id, CAST(pos - 1 AS BIGINT) AS sent_id, sentence,
+        |  CAST(len(string_split(sentence, ' ')) AS BIGINT) AS n_tokens
+        |FROM s
+        |ORDER BY doc_id, sent_id""".stripMargin,
+
     // t19: the token distribution is recomputed from raw text; only
     // ln comes from the memo (keyed on integer counts cast to
     // double); terms, the DECIMAL sum (VARCHAR→DOUBLE route) and the

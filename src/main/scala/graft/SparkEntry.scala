@@ -129,6 +129,7 @@ object SparkEntry {
     "t17_html_strip" -> ((s, dir) => TextOps.t17HtmlStrip(s, dir)),
     "t18_unicode_scrub" -> ((s, dir) => TextOps.t18UnicodeScrub(s, dir)),
     "t19_token_entropy" -> ((s, dir) => TextOps.t19TokenEntropy(s, dir)),
+    "t20_sentence_split" -> ((s, dir) => TextOps.t20SentenceSplit(s, dir)),
     "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
     "d15_url_dedup" -> ((s, dir) => Dedup.d15UrlDedup(s, dir)),
     "d16_line_dedup" -> ((s, dir) => Dedup.d16LineDedup(s, dir)),

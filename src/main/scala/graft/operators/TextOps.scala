@@ -858,6 +858,54 @@ object TextOps {
     chunkSplitOver(Tables(spark, dir).documents)
       .orderBy("doc_id", "chunk_id")
 
+  /** t20: sentence segmentation — the rule-based splitter every
+    * sentence-granular stage (sentence dedup, per-sentence PII,
+    * sentence-bounded chunking) runs before it can exist (public
+    * practice: high-throughput pipelines use rule-based splitters —
+    * terminator + space — with abbreviation lists as a refinement;
+    * this is the distributed skeleton that refinement plugs into).
+    * A sentence ends at '.', '!' or '?' followed by a space (or at
+    * end of text); terminators stay attached to their sentence.
+    *
+    * Portability by construction: the boundary marking is three
+    * LITERAL replaces ('. ' → '.\u0001' etc.) — no regex backrefs,
+    * which Spark spells `$1` and DuckDB `\1` — then one split on the
+    * control char (which cannot occur in text).
+    *
+    * The corpus is unpunctuated, so the demo builds sentences
+    * deterministically (10-token groups, cycling terminators) and
+    * the splitter must recover exactly those groups — the
+    * construction/recovery law the spec asserts corpus-wide.
+    *
+    * Scale: per-row mark + split + posexplode; no shuffle (the
+    * driver orderBy is presentation only); pruned scan.
+    */
+  def t20SentenceSplit(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables(spark, dir).documents.select(col("doc_id"), expr(
+      """array_join(transform(
+        |  sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
+        |  i -> concat(array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '),
+        |              element_at(array('.', '!', '?'),
+        |                CAST(i % 3 + 1 AS INT)))),
+        |' ')""".stripMargin).as("text"))
+    sentenceSplitOver(planted).orderBy("doc_id", "sent_id")
+  }
+
+  /** t20 over any (doc_id, text) frame: one row per sentence with its
+    * 0-based position and token count.
+    */
+  def sentenceSplitOver(docs: DataFrame): DataFrame = {
+    val marked = Seq(". ", "! ", "? ").foldLeft(col("text")) { (c, t) =>
+      replace(c, lit(t), lit(t.charAt(0) + "\u0001"))
+    }
+    docs
+      .select(col("doc_id"), posexplode(split(marked, "\u0001"))
+        .as(Seq("sent_id", "sentence")))
+      .select(col("doc_id"), col("sent_id").cast(LongType).as("sent_id"),
+        col("sentence"),
+        size(split(col("sentence"), " ")).cast(LongType).as("n_tokens"))
+  }
+
   /** t19: token-entropy quality scoring — the information-theoretic
     * repetitiveness signal (public practice: RedPajama/Dolma-class
     * quality suites carry an entropy signal; near-zero entropy means

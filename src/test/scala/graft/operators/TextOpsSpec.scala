@@ -132,6 +132,48 @@ class TextOpsSpec extends AnyFunSuite {
       StrictMath.log(r.getLong(1).toDouble) - 1e-6) > rows.length / 2)
   }
 
+  test("t20 sentence split: boundaries, attached terminators, no-boundary doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "first one. second two! third three? tail four"),
+      (2L, "no terminators at all"),
+      // terminator NOT followed by space is not a boundary (3.14);
+      // the documented heuristic limit: 'e.g. x' DOES split
+      (3L, "pi is 3.14 here. done")).toDF("doc_id", "text")
+    val got = TextOps.sentenceSplitOver(docs).orderBy("doc_id", "sent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "first one.", 2L), (1L, 1L, "second two!", 2L),
+      (1L, 2L, "third three?", 2L), (1L, 3L, "tail four", 2L),
+      (2L, 0L, "no terminators at all", 4L),
+      (3L, 0L, "pi is 3.14 here.", 4L), (3L, 1L, "done", 1L)))
+  }
+
+  test("t20 demo: sentences reconstruct the planted text and the original") {
+    import org.apache.spark.sql.functions._
+    val split = TextOps.t20SentenceSplit(spark, TestSpark.Sf0001)
+    // every sentence is exactly 10 tokens except a doc's last
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val bad = split
+      .withColumn("last", max(col("sent_id")).over(w))
+      .filter(col("sent_id") =!= col("last") && col("n_tokens") =!= 10)
+      .count()
+    assert(bad == 0L)
+    // stripping the cycling terminators and re-joining rebuilds the
+    // ORIGINAL unpunctuated document exactly
+    val rebuilt = split
+      .withColumn("stripped",
+        regexp_replace(col("sentence"), "[.!?]$", ""))
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("sent_id"), col("stripped")))),
+        x => x.getField("stripped")), " ").as("rebuilt"))
+    val docs = graft.Tables(spark, TestSpark.Sf0001).documents
+    assert(rebuilt.join(docs, Seq("doc_id"))
+      .filter(col("rebuilt") =!= col("text")).count() == 0L)
+  }
+
   test("t16 chunk boundaries match hand-built windows") {
     import spark.implicits._
     // size=4, overlap=1 → stride 3; n=8 → 3 chunks [0,4)[3,7)[6,8);
