@@ -1054,6 +1054,27 @@ object Oracles {
         |FROM src s FULL OUTER JOIN tgt t ON s.rel_path = t.rel_path
         |ORDER BY rel_path""".stripMargin,
 
+    // f12: the member inventory and the archive's structural size are
+    // closed-form in doc_id (sub-block members: 512 header + 512 data
+    // + 1024 terminator), so the oracle reconstructs them with NO
+    // side-table — builder and walker are differentially checked
+    // against a third, independent expression of the format.
+    "f12_tar_intake" ->
+      """WITH m AS (SELECT doc_id,
+        |    unnest(range(0, doc_id % 3 + 1)) AS j
+        |  FROM documents),
+        |s AS (SELECT doc_id, j,
+        |    10 + (doc_id + j) % 50 AS size,
+        |    'doc' || doc_id || '/part' || j || '.txt' AS name
+        |  FROM m),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nm
+        |  FROM s GROUP BY doc_id)
+        |SELECT s.doc_id, CAST(s.j AS BIGINT) AS idx, s.name,
+        |  CAST(s.size AS BIGINT) AS size,
+        |  CAST(1024 * (n.nm + 1) AS BIGINT) AS tar_len
+        |FROM s JOIN n USING (doc_id)
+        |ORDER BY doc_id, idx""".stripMargin,
+
     // f11: an independent RE2 field grammar re-parses the identical
     // CSV bytes — RFC 4180 fields (bare or quoted with "" escapes),
     // arity-4 anchored match as the validity verdict, leading fields

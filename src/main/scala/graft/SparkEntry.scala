@@ -171,6 +171,8 @@ object SparkEntry {
     // f10: JSONL intake with corrupt-line quarantine over real files
     "f11_csv_ingest" -> ((s, dir) =>
       sources.CsvSource.f11CsvIngest(s, dir)),
+    "f12_tar_intake" -> ((s, dir) =>
+      sources.TarSource.f12TarIntake(s, dir)),
     "f10_jsonl_ingest" -> ((s, dir) =>
       graft.sources.JsonlSource.f10JsonlIngest(s, dir)),
     // f07: paged-REST enumeration over the deterministic synthetic
