@@ -1156,9 +1156,6 @@ object Oracles {
         |WHERE cos_sim >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
-    // m11: the magic-byte classification + rollup replayed from the
-    // persisted head-hex side-table (the codecs aren't SQL; the
-    // routing logic downstream of the head bytes is).
     // m14: pair-averaged decimation replayed from the m03 PCM
     // side-table — floor(sum/2.0) matches the kernel's floorDiv on
     // negative sums (truncation would not); all outputs are exact
@@ -1212,6 +1209,9 @@ object Oracles {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // m11: the magic-byte classification + rollup replayed from the
+    // persisted head-hex side-table (the codecs aren't SQL; the
+    // routing logic downstream of the head bytes is).
     "m11_type_sniff" ->
       s"""WITH h AS (SELECT media_type, head_hex, len
          |  FROM '${OracleAux.Root}/m11_heads/*.parquet'),

@@ -246,10 +246,10 @@ object Multimodal {
       val out = new Array[Short](samples.length / f)
       var i = 0
       while (i < out.length) {
-        var s = 0
+        var s = 0L // Long: an Int sum overflows past f ≈ 2^16 windows
         var k = 0
         while (k < f) { s += samples(i * f + k); k += 1 }
-        out(i) = Math.floorDiv(s, f).toShort
+        out(i) = Math.floorDiv(s, f.toLong).toShort
         i += 1
       }
       out
@@ -1545,6 +1545,9 @@ object Multimodal {
             if (v < vMin) vMin = v
             if (v > vMax) vMax = v
           }
+          // empty-data clips (legal RIFF) must not emit the sentinel
+          // extremes as evidence
+          if (out.isEmpty) { vMin = 0L; vMax = 0L }
           (id, in.length.toLong, out.length.toLong, sumAbs, sumSq,
             vMin, vMax)
         }

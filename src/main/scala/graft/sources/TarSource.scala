@@ -24,7 +24,11 @@ object TarSource {
 
   /** Parse a TAR payload: (name, size, dataOffset) per regular-file
     * member, in archive order. Validates each header's checksum and
-    * the structural arithmetic; stops at the first zero block.
+    * the structural arithmetic; stops at the first zero block. The
+    * ustar `prefix` field (offset 345) is honored — long paths split
+    * prefix/name rejoin; PAX (`x`/`g`) and GNU longname (`L`/`K`)
+    * override records would change the FOLLOWING member's identity,
+    * so they fail loudly instead of yielding a silently wrong name.
     */
   def tarMembers(bytes: Array[Byte]): Seq[(String, Long, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int)]
@@ -32,7 +36,12 @@ object TarSource {
     var done = false
     while (!done) {
       require(p + Block <= bytes.length, "truncated TAR header")
-      if (bytes.slice(p, p + Block).forall(_ == 0)) done = true
+      val zero = {
+        var i = 0
+        while (i < Block && bytes(p + i) == 0) i += 1
+        i == Block
+      }
+      if (zero) done = true
       else {
         // checksum: unsigned byte sum of the header with the checksum
         // field (148..155) read as spaces
@@ -45,15 +54,22 @@ object TarSource {
         }
         val stored = octal(bytes, p + 148, 8)
         require(stored == sum, s"TAR header checksum $stored != $sum")
-        val nameEnd = {
-          var e = p
-          while (e < p + 100 && bytes(e) != 0) e += 1
-          e
+        def field(off: Int, len: Int): String = {
+          var e = p + off
+          while (e < p + off + len && bytes(e) != 0) e += 1
+          new String(bytes, p + off, e - (p + off),
+            java.nio.charset.StandardCharsets.US_ASCII)
         }
-        val name = new String(bytes, p, nameEnd - p,
-          java.nio.charset.StandardCharsets.US_ASCII)
+        val prefix = field(345, 155)
+        val name0 = field(0, 100)
+        val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
         val size = octal(bytes, p + 124, 12)
         val typeflag = bytes(p + 156)
+        require(typeflag != 'x' && typeflag != 'g' &&
+          typeflag != 'L' && typeflag != 'K',
+          s"unsupported TAR override record '${typeflag.toChar}' before " +
+            s"$name — PAX/GNU extensions would change the next member's " +
+            "identity; refusing rather than mis-naming it")
         require(size >= 0 && p + Block + size <= bytes.length,
           s"truncated member $name")
         if (typeflag == '0' || typeflag == 0)
@@ -93,6 +109,10 @@ object TarSource {
     var p = 0
     members.foreach { case (name, data) =>
       require(name.length < 100, s"name too long: $name")
+      // String.getBytes(US_ASCII) would silently mangle non-ASCII to
+      // '?' — refuse instead of writing a different name than asked
+      require(name.forall(c => c >= 0x20 && c < 0x7f),
+        s"non-ASCII member name: $name")
       val ascii = java.nio.charset.StandardCharsets.US_ASCII
       name.getBytes(ascii).copyToArray(out, p)
       "0000644".getBytes(ascii).copyToArray(out, p + 100) // mode

@@ -29,13 +29,45 @@ class TarSourceSpec extends AnyFunSuite {
     assume(tarBin.isDefined, "no tar binary on this machine")
     val members = TarSource.demoMembers(7L)
     val f = java.nio.file.Files.createTempFile("graft_f12", ".tar")
-    java.nio.file.Files.write(f, TarSource.buildTar(members))
-    val proc = new ProcessBuilder(tarBin.get, "-tf", f.toString)
-      .redirectErrorStream(true).start()
-    val listed = scala.io.Source.fromInputStream(proc.getInputStream)
-      .getLines().toList
-    assert(proc.waitFor() == 0, s"tar -tf failed: $listed")
-    assert(listed == members.map(_._1).toList)
+    try {
+      java.nio.file.Files.write(f, TarSource.buildTar(members))
+      val proc = new ProcessBuilder(tarBin.get, "-tf", f.toString)
+        .redirectErrorStream(true).start()
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      val listed = try src.getLines().toList finally src.close()
+      assert(proc.waitFor() == 0, s"tar -tf failed: $listed")
+      assert(listed == members.map(_._1).toList)
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("f12 walker: ustar prefix paths rejoin, PAX records refuse loudly") {
+    // hand-build a header using the prefix field (the builder never
+    // does, so this exercises the walker against foreign archives)
+    val tar = TarSource.buildTar(Seq("file.txt" -> "data!".getBytes))
+    val withPrefix = tar.clone()
+    "very/long/dir".getBytes.copyToArray(withPrefix, 345)
+    // re-checksum after editing the header
+    java.util.Arrays.fill(withPrefix, 148, 156, ' '.toByte)
+    var sum = 0L
+    for (i <- 0 until 512) sum += withPrefix(i) & 0xff
+    f"$sum%06o".getBytes.copyToArray(withPrefix, 148)
+    withPrefix(154) = 0; withPrefix(155) = ' '
+    assert(TarSource.tarMembers(withPrefix).map(_._1) ==
+      Seq("very/long/dir/file.txt"))
+    // a PAX override record would silently rename the NEXT member —
+    // the walker must refuse, not mis-name
+    val pax = tar.clone()
+    pax(156) = 'x'
+    java.util.Arrays.fill(pax, 148, 156, ' '.toByte)
+    sum = 0L
+    for (i <- 0 until 512) sum += pax(i) & 0xff
+    f"$sum%06o".getBytes.copyToArray(pax, 148)
+    pax(154) = 0; pax(155) = ' '
+    assertThrows[IllegalArgumentException] { TarSource.tarMembers(pax) }
+    // the builder refuses names US_ASCII would silently mangle
+    assertThrows[IllegalArgumentException] {
+      TarSource.buildTar(Seq("docé.txt" -> Array.empty[Byte]))
+    }
   }
 
   test("f12 walker fails loudly on corruption") {
