@@ -2003,6 +2003,46 @@ object Oracles {
         |FROM tot t LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // d17: t20's sentence construction + boundary-to-newline marking
+    // composed with d16's line-dedup replay — the oracle composes the
+    // same two halves the operator does.
+    "d17_sentence_dedup" ->
+      """WITH sentenced AS (SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, (len(string_split(text, ' ')) + 9) // 10),
+        |      i -> array_to_string(
+        |             string_split(text, ' ')[i*10 + 1 : i*10 + 10], ' ')
+        |           || ['.', '!', '?'][(i % 3) + 1]), ' ') AS text
+        |  FROM documents),
+        |planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN text || ' all rights reserved worldwide.'
+        |         ELSE text END AS text
+        |  FROM sentenced),
+        |lined AS (SELECT doc_id,
+        |    replace(replace(replace(text,
+        |      '. ', '.' || chr(10)), '! ', '!' || chr(10)),
+        |      '? ', '?' || chr(10)) AS text
+        |  FROM planted),
+        |ln AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM lined),
+        |boiler AS (SELECT line FROM ln
+        |  GROUP BY line HAVING count(DISTINCT doc_id) >= 50),
+        |kept AS (SELECT ln.* FROM ln ANTI JOIN boiler USING (line)),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM ln GROUP BY doc_id),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_lines,
+        |  CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  COALESCE(a.clean, '') AS clean,
+        |  CAST(len(COALESCE(a.clean, '')) AS BIGINT) AS n_chars_clean
+        |FROM tot t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // d15: the synthetic URL plant and every canonicalization step
     // (fragment strip, scheme/host lowering, default-port strip, path
     // normalization, tracking-param filter + bytewise sort) replay on

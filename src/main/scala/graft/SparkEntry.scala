@@ -133,6 +133,7 @@ object SparkEntry {
     "d14_fuzzy_join" -> ((s, dir) => FuzzyJoin.d14FuzzyJoin(s, dir)),
     "d15_url_dedup" -> ((s, dir) => Dedup.d15UrlDedup(s, dir)),
     "d16_line_dedup" -> ((s, dir) => Dedup.d16LineDedup(s, dir)),
+    "d17_sentence_dedup" -> ((s, dir) => Dedup.d17SentenceDedup(s, dir)),
     "q53_revenue_deciles" -> (Relational.q53RevenueDeciles(_, _)),
     "q54_scd2" -> (Relational.q54Scd2(_, _)),
     "m06_dhash_dedup" -> ((s, dir) => Multimodal.m06DhashDedup(s, dir)),

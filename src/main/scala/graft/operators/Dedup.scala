@@ -1575,6 +1575,41 @@ object Dedup {
     lineDedupOver(planted, minDf = 50L).orderBy("doc_id")
   }
 
+  /** d17: corpus-wide duplicate-SENTENCE removal — the sentence-level
+    * form of d16 (public practice: CCNet-family pipelines dedup at
+    * paragraph/sentence granularity; a sentence repeated across many
+    * documents is boilerplate — "all rights reserved" — whatever
+    * lines it sits on). Pure composition of shipped engines, the c01
+    * discipline: t20's boundary marking turns sentences into lines
+    * (three literal replaces + the control-char split re-expressed as
+    * split-to-newline), d16's engine cuts lines with distinct-doc
+    * frequency ≥ minDf and reassembles in order. Composition means
+    * the oracle composes too — both halves' replays already exist.
+    *
+    * The demo builds t20's cycling-terminator sentences and appends
+    * one shared legal-boilerplate sentence to every doc_id%3==0
+    * document; only that sentence crosses minDf.
+    */
+  def d17SentenceDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sentenced = Tables(spark, dir).documents.select(col("doc_id"), expr(
+      """array_join(transform(
+        |  sequence(0, (size(split(text, ' ')) + 9) div 10 - 1),
+        |  i -> concat(array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '),
+        |              element_at(array('.', '!', '?'),
+        |                CAST(i % 3 + 1 AS INT)))),
+        |' ')""".stripMargin).as("text"))
+    val planted = sentenced.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" all rights reserved worldwide.")))
+        .otherwise(col("text")).as("text"))
+    // sentence → line: mark each terminator+space boundary as \n
+    val lined = planted.select(col("doc_id"),
+      Seq(". ", "! ", "? ").foldLeft(col("text")) { (c, t) =>
+        replace(c, lit(t), lit(t.charAt(0) + "\n"))
+      }.as("text"))
+    lineDedupOver(lined, minDf = 50L).orderBy("doc_id")
+  }
+
   /** d16 over any (doc_id, text) frame whose text is newline-lined. */
   def lineDedupOver(docs: DataFrame, minDf: Long): DataFrame = {
     val lines = docs.select(col("doc_id"),

@@ -651,6 +651,20 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d17 demo: only the shared boilerplate sentence is cut, docs stay intact") {
+    val rows = Dedup.d17SentenceDedup(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nDropped, clean) = (r.getLong(0), r.getLong(2), r.getString(3))
+      if (id % 3 == 0) assert(nDropped == 1L, s"doc $id dropped $nDropped")
+      else assert(nDropped == 0L, s"doc $id dropped $nDropped")
+      assert(!clean.contains("all rights reserved"), s"doc $id")
+      // surviving sentences still carry their terminators in order
+      assert(clean.nonEmpty && "[.!?]$".r.findFirstIn(clean).isDefined,
+        s"doc $id clean tail: ${clean.takeRight(12)}")
+    }
+  }
+
   test("d15 demo: every group of 5 collapses to one canonical keeper") {
     val rows = Dedup.d15UrlDedup(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
