@@ -1875,6 +1875,29 @@ object Oracles {
 
     // c19: TVD drift — exact cross-multiplied integers with one final
     // IEEE division of exactly-representable operands; replayed whole.
+    // c21: the decimal-digit GUID plant and the marker+GUID capture
+    // replay on the identical RE2-portable pattern.
+    "c21_canary_scan" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3
+        |         THEN text || ' canary ' ||
+        |              lpad(CAST(doc_id AS VARCHAR), 8, '0') ||
+        |              '-dead-beef-cafe-' ||
+        |              lpad(CAST(doc_id AS VARCHAR), 12, '0')
+        |         ELSE text END AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    regexp_extract_all(text,
+        |      'canary ([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})',
+        |      1) AS hits
+        |  FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(hits) AS BIGINT) AS n_canaries,
+        |  COALESCE(array_to_string(list_sort(hits), ','), '') AS canaries,
+        |  CAST(len(hits) = 0 AS BIGINT) AS keep
+        |FROM h
+        |ORDER BY doc_id""".stripMargin,
+
     // c20: the plant, every count (length deltas, multiline-anchored
     // regexp matches, the distinct-stop intersection) and every
     // single-divide ratio replay on the same RE2-portable patterns;

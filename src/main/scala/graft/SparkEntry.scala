@@ -154,6 +154,7 @@ object SparkEntry {
     "c17_semantic_decontam" -> ((s, dir) => Corpus.c17SemanticDecontam(s, dir)),
     "c19_drift_report" -> ((s, dir) => Corpus.c19DriftReport(s, dir)),
     "c20_gopher_rules" -> ((s, dir) => Corpus.c20GopherRules(s, dir)),
+    "c21_canary_scan" -> ((s, dir) => Corpus.c21CanaryScan(s, dir)),
     // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
     // flat c17 oracle checks the whole indexed path end-to-end
     "c17_semantic_decontam_ivf" -> ((s, dir) => Corpus.c17SemanticDecontamIvf(s, dir)),

@@ -1455,6 +1455,46 @@ object Corpus {
       .orderBy("metric")
   }
 
+  /** c21: canary-string detection — benchmark suites embed canary
+    * GUIDs (the public BIG-bench practice) precisely so that a
+    * training pipeline can PROVE it excluded them; a corpus that
+    * ships a canary is evidence of benchmark contamination that c03/
+    * c07/c17's similarity screens may miss when the surrounding text
+    * was rewritten. Scans for the `canary` marker word followed by a
+    * GUID and reports every hit; `keep` is the exclusion verdict.
+    * Pure per-row codegen'd regexp on an RE2-portable pattern —
+    * shuffle-free, and cheap enough to run unconditionally at intake.
+    *
+    * The demo plants a deterministic decimal-digit GUID (digits are
+    * valid hex) on doc_id%11==3 documents.
+    */
+  def c21CanaryScan(spark: SparkSession, dir: String): DataFrame = {
+    val guid = concat(lpad(col("doc_id").cast("string"), 8, "0"),
+      lit("-dead-beef-cafe-"),
+      lpad(col("doc_id").cast("string"), 12, "0"))
+    val planted = Tables(spark, dir).documents.select(col("doc_id"),
+      when(col("doc_id") % 11 === 3,
+        concat(col("text"), lit(" canary "), guid))
+        .otherwise(col("text")).as("text"))
+    canaryScanOver(planted).orderBy("doc_id")
+  }
+
+  /** The canary pattern: marker word + GUID (8-4-4-4-12 hex). */
+  val CanaryPattern: String =
+    "canary ([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})"
+
+  /** c21 over any (doc_id, text) frame: hit count, the GUIDs found
+    * (sorted, comma-joined — deterministic), and the keep verdict.
+    */
+  def canaryScanOver(docs: DataFrame): DataFrame = {
+    val hits = regexp_extract_all(col("text"), lit(CanaryPattern), lit(1))
+    docs.select(col("doc_id"),
+      size(hits).cast("long").as("n_canaries"),
+      array_join(array_sort(hits), ",").as("canaries"))
+      .withColumn("keep",
+        when(col("n_canaries") === 0L, 1L).otherwise(0L))
+  }
+
   /** The Gopher stop set (Rae et al. 2021 §A1.1, public): a document
     * is expected to contain at least 2 of these 8 function words.
     */

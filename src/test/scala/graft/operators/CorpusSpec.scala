@@ -841,6 +841,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(got(2L).getDouble(7) == 1.0)
   }
 
+  test("c21 canary scan: exact GUID capture, multi-hit, near-miss rejection") {
+    import spark.implicits._
+    val g1 = "0123abcd-dead-beef-cafe-0123456789ab"
+    val g2 = "ffffffff-0000-1111-2222-333333333333"
+    val docs = Seq(
+      (1L, s"clean prose with no markers"),
+      (2L, s"leaked canary $g1 mid text"),
+      (3L, s"two canary $g1 and canary $g2 hits"),
+      // near-misses: wrong GUID shape, uppercase hex, missing marker
+      (4L, "canary 1234-not-a-guid and CANARY " + g1 + s" and bare $g2"))
+      .toDF("doc_id", "text")
+    val got = Corpus.canaryScanOver(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "", 1L),
+      (2L, 1L, g1, 0L),
+      (3L, 2L, s"$g1,$g2", 0L),
+      (4L, 0L, "", 1L)))
+  }
+
+  test("c21 demo: planted docs flagged with their own GUID, others keep") {
+    val rows = Corpus.c21CanaryScan(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, c, keep) = (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))
+      if (id % 11 == 3) {
+        assert(n == 1L && keep == 0L, s"doc $id")
+        assert(c.startsWith(f"$id%08d-dead-beef-cafe-"), s"doc $id: $c")
+      } else assert(n == 0L && keep == 1L, s"doc $id")
+    }
+  }
+
   test("c20 demo: each planted family trips exactly its rule") {
     val rows = Corpus.c20GopherRules(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
