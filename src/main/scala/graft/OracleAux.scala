@@ -146,7 +146,13 @@ object OracleAux {
     // the f11 demo's CSV lines — the oracle re-parses the identical
     // bytes with an independent RE2 field grammar
     ("f11_lines", Set("f11_csv_ingest"),
-      (s, d) => sources.CsvSource.f11Lines(s, d)))
+      (s, d) => sources.CsvSource.f11Lines(s, d)),
+    // q28's xxhash64 per distinct part key + the linear-counting
+    // ln-memo — the deterministic HLL estimator replays downstream
+    ("q28_hash", Set("q28_approx_distinct"),
+      (s, d) => operators.Approx.q28AuxHash(s, d)),
+    ("q28_ln", Set("q28_approx_distinct"),
+      (s, d) => operators.Approx.q28AuxLn(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

@@ -493,6 +493,53 @@ object Oracles {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // q28: the deterministic HLL replays END-TO-END. The xxhash64
+    // kernel crosses as the q28_hash side-table; register rank is
+    // re-derived by an INDEPENDENT method (min set-bit probe over a
+    // range join, vs Spark's bin-length trick); the harmonic sum is
+    // an exact HUGEINT; the α·m²·2^R/S float chain runs in the same
+    // fixed order from the identical interpolated α·m² literal
+    // (shortest-round-trip double — both engines parse the same
+    // bits); the linear-counting ln comes from the q28_ln memo.
+    "q28_approx_distinct" ->
+      s"""WITH hm AS (SELECT pk, h FROM '${OracleAux.Root}/q28_hash/*.parquet'),
+         |lnm AS (SELECT v, lx FROM '${OracleAux.Root}/q28_ln/*.parquet'),
+         |ranks AS (SELECT h,
+         |    CAST(COALESCE(MIN(CASE WHEN ((h & 4503599627370495) >> (52 - i)) & 1 = 1
+         |                           THEN i END), 53) AS BIGINT) AS r
+         |  FROM (SELECT DISTINCT h FROM hm) dh CROSS JOIN range(1, 53) t(i)
+         |  GROUP BY h),
+         |reg AS (SELECT l.l_returnflag AS flag,
+         |    (hm.h >> 52) & 4095 AS bucket, MAX(rk.r) AS r
+         |  FROM lineitem l JOIN hm ON hm.pk = l.l_partkey
+         |  JOIN ranks rk ON rk.h = hm.h
+         |  GROUP BY flag, bucket),
+         |st AS (SELECT flag, COUNT(*) AS pres, MAX(r) AS big_r
+         |  FROM reg GROUP BY flag),
+         |hs AS (SELECT reg.flag,
+         |    SUM(CAST(CAST(1 AS BIGINT) << (st.big_r - reg.r) AS HUGEINT)) AS s_pres
+         |  FROM reg JOIN st USING (flag) GROUP BY reg.flag),
+         |est AS (SELECT st.flag, CAST(4096 - st.pres AS INTEGER) AS v, st.big_r,
+         |    hs.s_pres + CAST(4096 - st.pres AS HUGEINT) *
+         |      CAST(CAST(1 AS BIGINT) << st.big_r AS HUGEINT) AS s
+         |  FROM st JOIN hs USING (flag)),
+         |raw AS (SELECT flag, v,
+         |    (${operators.Approx.HllAlphaM2} *
+         |      CAST(CAST(1 AS BIGINT) << big_r AS DOUBLE)) / CAST(s AS DOUBLE)
+         |      AS e_raw
+         |  FROM est),
+         |fin AS (SELECT flag,
+         |    CASE WHEN e_raw <= 10240.0 AND raw.v > 0
+         |         THEN 4096.0 * lnm.lx ELSE e_raw END AS e
+         |  FROM raw LEFT JOIN lnm ON lnm.v = raw.v),
+         |ex AS (SELECT l_returnflag AS flag,
+         |    COUNT(DISTINCT l_partkey) AS exact_parts
+         |  FROM lineitem GROUP BY flag)
+         |SELECT f.flag AS l_returnflag,
+         |  CAST(floor(f.e) AS BIGINT) AS approx_parts, ex.exact_parts
+         |FROM fin f JOIN ex USING (flag)
+         |ORDER BY l_returnflag""".stripMargin,
+
     "q29_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  CAST(p.ts AS VARCHAR) AS purchase_ts,

@@ -17,28 +17,38 @@ class ApproxSpec extends AnyFunSuite {
     }
   }
 
-  test("q28 sketch is partition-order deterministic (HLL merge is commutative)") {
-    // the property that justifies q28's rows-only status: the VALUE is
-    // estimator-specific (no cross-engine oracle can exist), but for a
-    // fixed engine it is a pure function of the data SET — hostile
-    // repartitionings must reproduce it bit-for-bit, or the driver's
-    // rows-only check itself would flake
+  test("q28 sketch is partition-order deterministic (max-merge is commutative)") {
+    // registers merge by MAX, so the estimate is a pure function of
+    // the data SET — hostile repartitionings must reproduce it
+    // bit-for-bit, or the DuckDB oracle replay itself would flake
     val base = Approx.q28ApproxDistinct(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     for (parts <- Seq(1, 13)) {
       val t = graft.Tables(spark, dir)
-      val got = t.lineitem.repartition(parts)
-        .groupBy("l_returnflag")
-        .agg(
-          org.apache.spark.sql.functions.approx_count_distinct(
-            org.apache.spark.sql.functions.col("l_partkey"))
-            .as("approx_parts"),
-          org.apache.spark.sql.functions.countDistinct(
-            org.apache.spark.sql.functions.col("l_partkey"))
-            .as("exact_parts"))
+      val got = Approx.hllDistinct(
+          t.lineitem.repartition(parts)
+            .select(org.apache.spark.sql.functions.col("l_returnflag"),
+              org.apache.spark.sql.functions.col("l_partkey")),
+          "l_returnflag", org.apache.spark.sql.functions.col("l_partkey"))
         .orderBy("l_returnflag")
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      assert(got == base, s"sketch drifted under repartition($parts)")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == base.map(b => (b._1, b._2)),
+        s"sketch drifted under repartition($parts)")
+    }
+  }
+
+  test("q28 exercises both estimator branches across cardinalities") {
+    // linear counting fires below E ≤ 2.5m (n ≪ 10240), the raw
+    // harmonic estimate above it; both must stay within the bound.
+    // n = 200 ≪ 2.5m forces linear counting; n = 60000 forces raw.
+    import spark.implicits._
+    for (n <- Seq(200L, 60000L)) {
+      val df = spark.range(n).select(
+        org.apache.spark.sql.functions.lit("g").as("g"),
+        org.apache.spark.sql.functions.col("id"))
+      val est = Approx.hllDistinct(df, "g",
+        org.apache.spark.sql.functions.col("id")).collect()(0).getLong(1)
+      assert(math.abs(est - n).toDouble / n < 0.05, s"n=$n est=$est")
     }
   }
 
