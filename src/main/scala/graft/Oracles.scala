@@ -1122,6 +1122,52 @@ object Oracles {
         |FROM s JOIN n USING (doc_id)
         |ORDER BY doc_id, idx""".stripMargin,
 
+    // f13: every name, length and offset of the WET-style demo
+    // archives is closed-form in (doc_id, text) — the oracle
+    // re-synthesizes the exact header strings and measures them with
+    // strlen (bytes), so builder and walker are differentially
+    // checked against an independent expression of the framing
+    // arithmetic; NO side-table.
+    "f13_warc_intake" ->
+      """WITH cr AS (SELECT chr(13) || chr(10) AS c),
+        |d AS (SELECT doc_id, text,
+        |    'software: graft/1.0' || c ||
+        |    'format: WARC File Format 1.0' || c AS body0, c
+        |  FROM documents CROSS JOIN cr),
+        |h AS (SELECT doc_id, text, body0,
+        |    'WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
+        |      'WARC-Record-ID: <urn:graft:info:' || doc_id || '>' || c ||
+        |      'WARC-Date: 2026-01-01T00:00:00Z' || c ||
+        |      'Content-Type: text/plain' || c ||
+        |      'Content-Length: ' || strlen(body0) || c || c AS h0,
+        |    'WARC/1.0' || c || 'WARC-Type: conversion' || c ||
+        |      'WARC-Record-ID: <urn:graft:doc:' || doc_id || '>' || c ||
+        |      'WARC-Target-URI: https://example.org/doc/' || doc_id || c ||
+        |      'WARC-Date: 2026-01-01T00:00:00Z' || c ||
+        |      'Content-Type: text/plain' || c ||
+        |      'Content-Length: ' || strlen(text) || c || c AS h1
+        |  FROM d),
+        |t AS (SELECT doc_id,
+        |    CAST(strlen(h0) AS BIGINT) AS off0,
+        |    CAST(strlen(h0) + strlen(body0) + 4 AS BIGINT) AS rec0,
+        |    CAST(strlen(h1) AS BIGINT) AS lh1,
+        |    CAST(strlen(body0) AS BIGINT) AS n0,
+        |    CAST(strlen(text) AS BIGINT) AS n1
+        |  FROM h)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS idx,
+        |  'warcinfo' AS warc_type,
+        |  'urn:graft:info:' || doc_id AS record_id, '' AS target_uri,
+        |  n0 AS content_length, off0 AS content_offset,
+        |  rec0 + lh1 + n1 + 4 AS warc_len
+        |FROM t
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), 'conversion',
+        |  'urn:graft:doc:' || doc_id,
+        |  'https://example.org/doc/' || doc_id,
+        |  n1, rec0 + lh1, rec0 + lh1 + n1 + 4
+        |FROM t
+        |ORDER BY doc_id, idx""".stripMargin,
+
     // f11: an independent RE2 field grammar re-parses the identical
     // CSV bytes — RFC 4180 fields (bare or quoted with "" escapes),
     // arity-4 anchored match as the validity verdict, leading fields

@@ -175,6 +175,8 @@ object SparkEntry {
       sources.CsvSource.f11CsvIngest(s, dir)),
     "f12_tar_intake" -> ((s, dir) =>
       sources.TarSource.f12TarIntake(s, dir)),
+    "f13_warc_intake" -> ((s, dir) =>
+      sources.WarcSource.f13WarcIntake(s, dir)),
     "f10_jsonl_ingest" -> ((s, dir) =>
       graft.sources.JsonlSource.f10JsonlIngest(s, dir)),
     // f07: paged-REST enumeration over the deterministic synthetic

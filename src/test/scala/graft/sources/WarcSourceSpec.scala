@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class WarcSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val recs = Seq(
+    ("warcinfo", "urn:graft:info:1", "", WarcSource.WarcInfoContent),
+    ("conversion", "urn:graft:doc:1", "https://example.org/doc/1",
+      "hello warc éé".getBytes(UTF_8)), // multi-byte content
+    ("conversion", "urn:graft:doc:2", "https://example.org/doc/2",
+      "body with\r\n\r\nembedded separator".getBytes(US_ASCII)),
+    ("conversion", "urn:graft:doc:3", "https://example.org/doc/3",
+      Array.empty[Byte])) // zero-length content
+
+  test("f13 round-trip: records walk back out with exact ids, lengths, bytes") {
+    val warc = WarcSource.buildWarc(recs)
+    val walked = WarcSource.warcRecords(warc)
+    assert(walked.map(_._1) == recs.map(_._1))
+    assert(walked.map(_._2) == recs.map(_._2))
+    assert(walked.map(_._3) == recs.map(_._3))
+    assert(walked.map(_._4) == recs.map(_._4.length.toLong))
+    // content framed by length, NOT by scanning — the embedded
+    // \r\n\r\n body and the multi-byte UTF-8 body both recover exact
+    walked.zip(recs).foreach { case ((_, _, _, len, off), (_, _, _, data)) =>
+      assert(java.util.Arrays.equals(
+        warc.slice(off, off + len.toInt), data))
+    }
+  }
+
+  test("f13 gzip: whole-file and per-record-member layouts both inflate") {
+    val plain = WarcSource.buildWarc(recs)
+    val whole = WarcSource.maybeGunzip(WarcSource.gzip(plain))
+    assert(java.util.Arrays.equals(whole, plain))
+    // per-record members concatenate to the same decompressed stream
+    val members = WarcSource.maybeGunzip(WarcSource.gzipPerRecord(recs))
+    assert(java.util.Arrays.equals(members, plain))
+    // plain bytes pass through untouched
+    assert(WarcSource.maybeGunzip(plain) eq plain)
+  }
+
+  test("f13 walker fails loudly on corruption") {
+    val warc = WarcSource.buildWarc(recs)
+    // bad version line
+    val badv = warc.clone(); badv(5) = '9'
+    assertThrows[IllegalArgumentException] { WarcSource.warcRecords(badv) }
+    // truncated content
+    assertThrows[IllegalArgumentException] {
+      WarcSource.warcRecords(warc.take(warc.length - 10))
+    }
+    // separator overwritten after the first record's content
+    val first = WarcSource.warcRecords(warc).head
+    val sep = first._5 + first._4.toInt
+    val bads = warc.clone(); bads(sep) = 'X'
+    assertThrows[IllegalArgumentException] { WarcSource.warcRecords(bads) }
+    // missing Content-Length: hand-build a header without it
+    val noLen = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Record-ID: <urn:x>\r\n\r\nabc\r\n\r\n").getBytes(US_ASCII)
+    assertThrows[IllegalArgumentException] { WarcSource.warcRecords(noLen) }
+    // obs-fold continuation line
+    val fold = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      " folded: value\r\nWARC-Record-ID: <urn:x>\r\n" +
+      "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(US_ASCII)
+    assertThrows[IllegalArgumentException] { WarcSource.warcRecords(fold) }
+    // the builder refuses non-ASCII header values
+    assertThrows[IllegalArgumentException] {
+      WarcSource.buildWarc(Seq(("conversion", "urn:docé", "",
+        Array.empty[Byte])))
+    }
+  }
+
+  test("f13 walker accepts foreign header order, case and WARC/1.1") {
+    // a record NOT produced by our builder: different version, header
+    // case, order, an ignored extra header, and an unbracketed id
+    val foreign = ("WARC/1.1\r\ncontent-length: 4\r\n" +
+      "X-Ignored: junk\r\nWARC-TARGET-URI: http://x/y\r\n" +
+      "warc-record-id: urn:plain:7\r\nWarc-Type: response\r\n" +
+      "\r\nbody\r\n\r\n").getBytes(US_ASCII)
+    val Seq((t, id, uri, len, _)) = WarcSource.warcRecords(foreign)
+    assert(t == "response" && id == "urn:plain:7" &&
+      uri == "http://x/y" && len == 4L)
+  }
+
+  test("f13 demo: inventory matches the closed-form record plan") {
+    val rows = WarcSource.f13WarcIntake(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables(spark, TestSpark.Sf0001).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, idx) = (r.getLong(0), r.getLong(1))
+      val expect = WarcSource.demoRecords(id, texts(id))
+      val warc = WarcSource.buildWarc(expect)
+      assert(r.getString(2) == expect(idx.toInt)._1) // warc_type
+      assert(r.getString(3) == expect(idx.toInt)._2) // record_id
+      assert(r.getString(4) == expect(idx.toInt)._3) // target_uri
+      assert(r.getLong(5) == expect(idx.toInt)._4.length.toLong)
+      assert(r.getLong(7) == warc.length.toLong)
+    }
+  }
+}
