@@ -1970,6 +1970,55 @@ object Oracles {
     // IEEE division of exactly-representable operands; replayed whole.
     // c21: the decimal-digit GUID plant and the marker+GUID capture
     // replay on the identical RE2-portable pattern.
+    // c22: the demo URL plant and the host-canonicalization steps
+    // replay exactly as in d15's oracle; the rollup, the single-divide
+    // share, and the cap replay in SQL (sum widens to HUGEINT — cast
+    // back to BIGINT per the gotcha).
+    "c22_domain_mixture" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      'HTTPS://Site' || ((doc_id // 5) % 50) ||
+        |      '.Example.com/docs/' || (doc_id // 5)
+        |    WHEN doc_id % 5 = 1 THEN
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com:443/docs/' || (doc_id // 5)
+        |    WHEN doc_id % 5 = 2 THEN
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com/docs/' || (doc_id // 5) ||
+        |      '?utm_source=feed&utm_campaign=x'
+        |    WHEN doc_id % 5 = 3 THEN
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com/docs/' || (doc_id // 5) || '/'
+        |    ELSE
+        |      'https://site' || ((doc_id // 5) % 50) ||
+        |      '.example.com/docs/' || (doc_id // 5) ||
+        |      '?b=2&utm_medium=m&a=1#frag' END AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport
+        |  FROM u),
+        |h AS (SELECT doc_id,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         ELSE hostport END AS domain
+        |  FROM p),
+        |t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |d AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM h JOIN t USING (doc_id) GROUP BY domain),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM d)
+        |SELECT domain, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+        |    AS tok_share,
+        |  least(n_docs, 15) AS n_kept
+        |FROM d CROSS JOIN tot
+        |ORDER BY domain""".stripMargin,
+
     "c21_canary_scan" ->
       """WITH planted AS (SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 3

@@ -1615,4 +1615,49 @@ object Corpus {
       flag(rWords + rMean + rSymbol + rBullet + rEll + rAlpha + rStop === 7)
         .as("keep"))
   }
+
+  /** c22: per-domain mixture report + domain cap — the domain-level
+    * composition view crawl-curation pipelines publish (public
+    * practice: RefinedWeb/FineWeb report per-domain document/token
+    * shares and CAP any one domain's contribution so no single host
+    * dominates the mixture; Dolma ships the same rollup). Composes
+    * the d15 canonicalizer: synthesize the demo URLs, canonicalize,
+    * take the canonical HOST as the domain, roll up documents and
+    * ws-tokens (t01's kernel) per domain, and report each domain's
+    * token share (exact integers until ONE final IEEE divide — the
+    * c19 discipline) plus the capped doc count
+    * `n_kept = least(n_docs, cap)`.
+    *
+    * Across SFs both cap regimes are exercised: at sf≤0.01 each
+    * domain holds ≤10 docs (cap idle), at sf0.1 ~100 (cap binds on
+    * every domain); the spec additionally pins the binding regime
+    * with a tightened cap.
+    *
+    * Scale: canonicalization is per-row; the rollup is ONE map-side-
+    * combinable shuffle keyed on domain; the corpus total is a 1-row
+    * aggregate broadcast back. The final sort runs over |domains|
+    * rows, not the corpus — no unpartitioned window anywhere.
+    */
+  def c22DomainMixture(spark: SparkSession, dir: String,
+      cap: Long = 15L): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val canon = Dedup.urlCanonicalizeOver(
+      Dedup.d15DemoUrls(docs, expr("doc_id div 5")))
+    val perDoc = canon
+      .select(col("doc_id"),
+        regexp_extract(col("canon_url"),
+          "^[a-z][a-z0-9+.-]*://([^/?]*)", 1).as("domain"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")), "doc_id")
+    val dom = perDoc.groupBy("domain").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_toks").as("n_tokens"))
+    val total = dom.agg(sum("n_tokens").as("tot"))
+    dom.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot").cast("double"), 9)
+          .as("tok_share"),
+        least(col("n_docs"), lit(cap)).as("n_kept"))
+      .orderBy("domain")
+  }
 }

@@ -887,4 +887,34 @@ class CorpusSpec extends AnyFunSuite {
     val keeps = rows.map(_.getLong(16)).toSet
     assert(keeps == Set(0L, 1L), s"keep verdicts: $keeps")
   }
+
+  test("c22 domain mixture: rollup matches a plain-Scala replay, cap binds") {
+    val docs = graft.Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // every variant of doc_id%5 canonicalizes to the same host, so the
+    // expected domain is closed-form in doc_id
+    val expect = docs.groupBy { case (id, _) =>
+      s"site${(id / 5) % 50}.example.com"
+    }.map { case (dom, ds) =>
+      dom -> (ds.length.toLong, ds.map(_._2.split(" ", -1).length.toLong).sum)
+    }
+    val tot = expect.values.map(_._2).sum.toDouble
+    val rows = Corpus.c22DomainMixture(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSet == expect.keySet)
+    rows.foreach { r =>
+      val (nd, nt) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == nt, r.getString(0))
+      assert(r.getDouble(3) ==
+        BigDecimal(nt / tot).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, s"${r.getString(0)} share")
+      assert(r.getLong(4) == math.min(nd, 15L), s"${r.getString(0)} cap")
+    }
+    // shares partition the corpus
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6)
+    // the cap BINDS when a domain exceeds it: tighten cap below the
+    // ~10-docs-per-domain density of sf0.01
+    val capped = Corpus.c22DomainMixture(spark, dir, cap = 4L).collect()
+    assert(capped.forall(_.getLong(4) == 4L), "cap=4 must bind everywhere")
+  }
 }
