@@ -78,6 +78,9 @@ object Bench {
       // st21 is stateless (no trained artifact) — one row, the
       // recurring per-drain media-scrub cost
       "st21_scrub" -> ((s, d) => streaming.Streams.st21BenchScrub(s, d)),
+      // st22 is stateless — one row, the recurring per-drain WARC
+      // enumeration + conversion-text landing cost
+      "st22_intake" -> ((s, d) => streaming.Streams.st22BenchIntake(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

@@ -1342,6 +1342,117 @@ object Streams {
     Seq(s"$root/lake").toDF("lake_path")
   }
 
+  /** One st22 micro-batch: each row is an ARRIVED ARCHIVE
+    * (archive_id, payload — a WARC, possibly gzipped in either the
+    * whole-file or per-record-member layout). Records are enumerated
+    * with the f13 walker (gzip inflated transparently), and the
+    * CONVERSION records' text lands under `batch=<id>` as
+    * (archive_id, idx, record_id, target_uri, text) — warcinfo/
+    * request/response records are crawl plumbing, counted in the
+    * audit but never landed. A payload that fails the framing walk
+    * quarantines UNMODIFIED under `.quarantine/batch=<id>` instead
+    * of wedging the stream (st21's poison-pill discipline: a
+    * foreachBatch failure replays the same batch forever). The audit
+    * conserves `archives = parsed + corrupt` and carries the
+    * record/conversion counts; replay is Overwrite-idempotent on all
+    * three batch directories.
+    *
+    * Scale: one walker pass per archive inside mapPartitions;
+    * archive bytes never shuffle — only the slim conversion rows do,
+    * and the landing write is the only exchange. This is the
+    * continuous form of the reference's ingestion loop pointed at
+    * crawl drops: enumerate (f13), land, audit (f05), skip nothing
+    * silently.
+    */
+  def warcIntakeBatch(batch: DataFrame, lakePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    import graft.sources.WarcSource
+    val parsed = batch.select(col("archive_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, p) =>
+          scala.util.Try {
+            val plain = WarcSource.maybeGunzip(p)
+            val recs = WarcSource.warcRecords(plain)
+            val convs = recs.zipWithIndex.collect {
+              case ((t, rid, uri, len, off), i) if t == "conversion" =>
+                (i.toLong, rid, uri,
+                  new String(plain, off, len.toInt,
+                    java.nio.charset.StandardCharsets.UTF_8))
+            }
+            (id, 0L, recs.length.toLong, convs.length.toLong, convs,
+              Array.empty[Byte])
+          }.getOrElse(
+            (id, 1L, 0L, 0L,
+              Seq.empty[(Long, String, String, String)], p))
+        }
+      }
+      .toDF("archive_id", "is_corrupt", "n_records", "n_conversion",
+        "convs", "payload")
+      .localCheckpoint(true) // one walk feeds lake, quarantine AND audit
+    parsed.filter(col("is_corrupt") === 0L)
+      .select(col("archive_id"), explode(col("convs")).as("c"))
+      .select(col("archive_id"), col("c._1").as("idx"),
+        col("c._2").as("record_id"), col("c._3").as("target_uri"),
+        col("c._4").as("text"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+    parsed.filter(col("is_corrupt") === 1L)
+      .select(col("archive_id"), col("payload"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.quarantine/batch=$batchId")
+    val tot = parsed.agg(count(lit(1)), sum(col("is_corrupt")),
+      sum(col("n_records")), sum(col("n_conversion"))).head()
+    Seq((batchId, tot.getLong(0), tot.getLong(0) - tot.getLong(1),
+        tot.getLong(1), tot.getLong(2), tot.getLong(3)))
+      .toDF("batch_id", "archives", "parsed", "corrupt", "records",
+        "conversions")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.audit/batch=$batchId")
+  }
+
+  /** st22: STREAMING WARC intake — f13's container walker as the
+    * continuous crawl-drop front door (public pipeline shape: crawl
+    * archives arrive in batches; text must be extracted, plumbing
+    * records dropped, corrupt archives quarantined, and every
+    * arrival accounted before the content gates ever see a row).
+    */
+  def st22WarcIntakeStream(archives: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    archives.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        warcIntakeBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st22 bench row: one corpus-sized drain of per-record-member
+    * gzipped WET archives through the intake — the recurring
+    * per-drain cost (stateless; st18/st21's shape).
+    */
+  def st22BenchIntake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st22", dir)
+    clearRoot(spark, root)
+    import graft.sources.WarcSource
+    val batch = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, WarcSource.gzipPerRecord(WarcSource.demoRecords(id, text)))
+      })
+      .toDF("archive_id", "payload")
+    warcIntakeBatch(batch, s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** st20 build phase (bench): seed the lake + URL index with the
     * full demo frontier — the one-time base a long-lived gate probes.
     */

@@ -1407,6 +1407,65 @@ class StreamsSpec extends AnyFunSuite {
       after.forall { case (k, v) => java.util.Arrays.equals(v, rows(k)) })
   }
 
+  test("st22 warc intake: conversion text lands, plumbing dropped, poison quarantined") {
+    import spark.implicits._
+    import graft.sources.WarcSource
+    val dir = java.nio.file.Files.createTempDirectory("graft_st22")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def arch(id: Long, text: String) =
+      WarcSource.buildWarc(WarcSource.demoRecords(id, text))
+    // drain 1: plain + whole-file gzip; drain 2: per-record members +
+    // a truncated poison archive
+    val stream1 = Seq(
+      (1L, arch(1L, "alpha text one")),
+      (2L, WarcSource.gzip(arch(2L, "bravo text éé two"))))
+    val poison = arch(9L, "poisoned").dropRight(7)
+    val stream2 = Seq(
+      (3L, WarcSource.gzipPerRecord(WarcSource.demoRecords(3L, "charlie"))),
+      (9L, poison))
+    val input = MemoryStream[(Long, Array[Byte])](spark)
+    val q = Streams.st22WarcIntakeStream(
+      input.toDS().toDF("archive_id", "payload"), lake, ckpt)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("archive_id") ->
+        (r.getAs[Long]("idx"), r.getAs[String]("record_id"),
+          r.getAs[String]("target_uri"), r.getAs[String]("text"))).toMap
+    // only CONVERSION records land (idx 1 of each demo archive);
+    // warcinfo plumbing is counted, never landed
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L) == ((1L, "urn:graft:doc:1",
+      "https://example.org/doc/1", "alpha text one")))
+    assert(rows(2L)._4 == "bravo text éé two") // gzip + multi-byte exact
+    assert(rows(3L)._4 == "charlie")           // member-gzip layout
+    // poison quarantined unmodified, stream not wedged
+    val quarantined = spark.read.parquet(lake + ".quarantine").collect()
+      .map(r => r.getAs[Long]("archive_id") ->
+        r.getAs[Array[Byte]]("payload")).toMap
+    assert(quarantined.keySet == Set(9L) &&
+      java.util.Arrays.equals(quarantined(9L), poison))
+    // audit conserves archives = parsed + corrupt, counts plumbing
+    val audit = spark.read.parquet(lake + ".audit").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("archives"), r.getAs[Long]("parsed"),
+          r.getAs[Long]("corrupt"), r.getAs[Long]("records"),
+          r.getAs[Long]("conversions"))).toMap
+    assert(audit(0L) == ((2L, 2L, 0L, 4L, 2L)))
+    assert(audit(1L) == ((2L, 1L, 1L, 2L, 1L)))
+    // replay: re-running a batch body rewrites byte-identically
+    Streams.warcIntakeBatch(stream1.toDF("archive_id", "payload"), lake, 0L)
+    val after = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("archive_id") -> r.getAs[String]("text")).toMap
+    assert(after == rows.map { case (k, v) => k -> v._4 })
+    assert(spark.read.parquet(lake + ".audit").count() == 2L)
+  }
+
   test("st20 bench phases: seeded index gates a mixed recurrence drain") {
     val sf = graft.TestSpark.Sf0001
     Streams.st20BenchBuild(spark, sf)
