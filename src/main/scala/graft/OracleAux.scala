@@ -152,7 +152,11 @@ object OracleAux {
     ("q28_hash", Set("q28_approx_distinct"),
       (s, d) => operators.Approx.q28AuxHash(s, d)),
     ("q28_ln", Set("q28_approx_distinct"),
-      (s, d) => operators.Approx.q28AuxLn(s, d)))
+      (s, d) => operators.Approx.q28AuxLn(s, d)),
+    // m15's JPEG segment walk + orig/scrub payload hashes — the
+    // APPn/COM classification and accounting replay downstream
+    ("m15_segs", Set("m15_jpeg_scrub"),
+      (s, d) => operators.Multimodal.m15AuxSegs(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

@@ -1302,6 +1302,25 @@ object Oracles {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    // m15: m12's replay shape for the JPEG container — APPn/COM
+    // classification by marker code, size accounting over the
+    // partitioning segment walk (SOI+segments+entropy+EOI tile the
+    // byte stream, so bytes_in is their plain sum), hash-equality
+    // recovery verdict.
+    "m15_jpeg_scrub" ->
+      s"""WITH sg AS (SELECT * FROM '${OracleAux.Root}/m15_segs/*.parquet')
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segments,
+         |  CAST(sum(CASE WHEN (marker BETWEEN 225 AND 239) OR marker = 254
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+         |  CAST(sum(slen) AS BIGINT) AS bytes_in,
+         |  CAST(sum(CASE WHEN (marker BETWEEN 225 AND 239) OR marker = 254
+         |    THEN 0 ELSE slen END) AS BIGINT) AS bytes_out,
+         |  CAST(any_value(h_scrub) = any_value(h_orig) AS BIGINT) AS recovered
+         |FROM sg
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     // m11: the magic-byte classification + rollup replayed from the
     // persisted head-hex side-table (the codecs aren't SQL; the
     // routing logic downstream of the head bytes is).

@@ -1697,4 +1697,223 @@ object Multimodal {
     }.toDF("doc_id", "idx", "ctype", "clen")
     chunks.join(hashes, Seq("doc_id"))
   }
+
+  // ---- m15: JPEG metadata scrub ----
+
+  /** JPEG segment codec (public ITU T.81 + JFIF/EXIF specs). The
+    * m12 PNG walker's sibling for the OTHER dominant crawled-image
+    * container — and the one that actually carries EXIF GPS, the
+    * canonical image-PII case.
+    */
+  object Jpeg {
+    /** Synthetic entropy-stream marker code for the walk result (no
+      * real marker is > 0xFF).
+      */
+    val Ecs = 0x100
+
+    /** Walk a JPEG's segment sequence: (marker, totalLen, byteOffset)
+      * in stream order — SOI/EOI standalone, length-framed segments
+      * (the 2-byte big-endian length INCLUDES itself), and after a
+      * SOS header the entropy-coded stream (emitted as one [[Ecs]]
+      * pseudo-segment) scanned per the byte-stuffing rule: FF 00 is
+      * data, FF D0-D7 a restart marker, FF D9 ends it; any other
+      * FF-pair inside entropy fails loudly, as do truncation, a
+      * missing EOI and trailing bytes after it (the m12 discipline —
+      * corrupt payloads never pass garbage downstream).
+      */
+    def jpegSegments(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
+      require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8, "not a JPEG payload")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      out += ((0xd8, 2, 0))
+      var p = 2
+      var done = false
+      while (!done) {
+        require(p + 2 <= bytes.length, "truncated JPEG segment marker")
+        require((bytes(p) & 0xff) == 0xff,
+          f"expected JPEG marker at $p, got 0x${bytes(p) & 0xff}%02x")
+        val m = bytes(p + 1) & 0xff
+        require(m != 0x00 && m != 0xff && m != 0xd8,
+          f"unexpected JPEG marker 0x$m%02x at $p")
+        if (m == 0xd9) { // EOI
+          out += ((m, 2, p))
+          require(p + 2 == bytes.length,
+            s"${bytes.length - p - 2} trailing bytes after EOI")
+          done = true
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+          out += ((m, 2, p)) // standalone TEM/RSTn
+          p += 2
+        } else {
+          require(p + 4 <= bytes.length, "truncated JPEG segment length")
+          val len16 = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          require(len16 >= 2 && len16 <= bytes.length - 2 - p,
+            f"truncated 0x$m%02x segment")
+          out += ((m, 2 + len16, p))
+          p += 2 + len16
+          if (m == 0xda) { // SOS: scan the entropy-coded stream
+            val start = p
+            var ecsDone = false
+            while (!ecsDone) {
+              require(p < bytes.length, "truncated entropy stream")
+              if ((bytes(p) & 0xff) != 0xff) p += 1
+              else {
+                require(p + 1 < bytes.length, "truncated entropy marker")
+                val n = bytes(p + 1) & 0xff
+                if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) p += 2
+                else if (n == 0xd9) ecsDone = true
+                else throw new IllegalArgumentException(
+                  f"unexpected marker 0x$n%02x in entropy stream")
+              }
+            }
+            out += ((Ecs, p - start, start))
+          }
+        }
+      }
+      out.toSeq
+    }
+
+    /** Drop the metadata segments — APP1..APP15 (EXIF, XMP, ICC,
+      * maker notes) and COM — keeping everything else byte-identical.
+      * APP0 (the JFIF header) is structural and kept, matching the
+      * public scrubbers' default.
+      */
+    def scrubFromSegments(bytes: Array[Byte],
+        segs: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val kept = segs.filterNot { case (m, _, _) => isMeta(m) }
+      val out = java.nio.ByteBuffer.allocate(
+        kept.map(_._2).sum)
+      kept.foreach { case (_, len, off) => out.put(bytes, off, len) }
+      out.array()
+    }
+
+    /** The scrub rule: APP1-APP15 or COM. */
+    def isMeta(marker: Int): Boolean =
+      (marker >= 0xe1 && marker <= 0xef) || marker == 0xfe
+
+    /** Splice a length-framed segment immediately after APP0 — how
+      * editors plant EXIF/COM metadata.
+      */
+    def addSegment(bytes: Array[Byte], marker: Int,
+        data: Array[Byte]): Array[Byte] = {
+      val segs = jpegSegments(bytes)
+      val insertAt = segs.find { case (m, _, _) => m == 0xe0 }
+        .map { case (_, len, off) => off + len }
+        .getOrElse(2)
+      val bb = java.nio.ByteBuffer.allocate(bytes.length + 4 + data.length)
+      bb.put(bytes, 0, insertAt)
+        .put(0xff.toByte).put(marker.toByte)
+        .putShort((data.length + 2).toShort).put(data)
+        .put(bytes, insertAt, bytes.length - insertAt)
+      bb.array()
+    }
+  }
+
+  /** A canonical structural JPEG: SOI, JFIF APP0, DQT, baseline SOF0
+    * (8×8, one component), DHT, SOS and a deterministic entropy
+    * stream (always ending in a stuffed FF 00 so every payload
+    * exercises the stuffing path), EOI. Not decodable to pixels (the
+    * Huffman tables are empty) — the SCRUB never decodes; what
+    * matters is that the segment structure is real and the bytes are
+    * a pure function of the id.
+    */
+  def synthJpeg(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, data: Array[Byte]): Unit = {
+      bos.write(0xff); bos.write(marker)
+      bos.write((data.length + 2) >> 8); bos.write((data.length + 2) & 0xff)
+      bos.write(data)
+    }
+    bos.write(0xff); bos.write(0xd8) // SOI
+    seg(0xe0, "JFIF ".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array.tabulate[Byte](65)(i =>
+      if (i == 0) 0 else (1 + (i + id) % 200).toByte))
+    seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, Array.tabulate[Byte](17)(i => if (i == 0) 0 else 0))
+    seg(0xda, Array[Byte](1, 1, 0, 0, 0x3f, 0))
+    var k = 0
+    while (k < 24) { // entropy bytes with FF-stuffing
+      val b = ((id * 31 + k * 17) % 256).toInt & 0xff
+      bos.write(b)
+      if (b == 0xff) bos.write(0x00)
+      k += 1
+    }
+    bos.write(0xff); bos.write(0x00) // guaranteed stuffed-FF tail
+    bos.write(0xff); bos.write(0xd9) // EOI
+    bos.toByteArray
+  }
+
+  /** The metadata-bearing demo JPEG: [[synthJpeg]] with an APP1 EXIF
+    * segment (author + GPS-shaped payload) and a COM segment spliced
+    * after APP0 — the PII a privacy scrub must remove.
+    */
+  def synthMetaJpeg(id: Long): Array[Byte] = {
+    val exif = s"Exif  Author=user$id;GPS=${id % 90}.5,${id % 180}.25"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val com = s"created ${2020 + id % 5}".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    Jpeg.addSegment(Jpeg.addSegment(synthJpeg(id), 0xe1, exif), 0xfe, com)
+  }
+
+  /** m15: JPEG metadata scrubbing — m12's sibling for the container
+    * that carries EXIF (author, GPS, timestamps — the canonical
+    * image-PII case; public scrubbers drop APP1..APP15 + COM and
+    * keep the image stream byte-identical). The demo plants an EXIF
+    * APP1 and a COM on each payload and scrubs them; `recovered`
+    * certifies the scrubbed bytes equal the pre-plant original
+    * EXACTLY (independently re-synthesized, not round-tripped).
+    *
+    * Oracle: the m12 side-table discipline — segment walk (marker,
+    * length) + xxhash64 of original/scrubbed bytes persisted; the
+    * APPn/COM classification, all size accounting and the recovery
+    * verdict replay in SQL.
+    *
+    * Scale: ONE per-row segment walk inside mapPartitions — no
+    * decode (the entropy stream is scanned, never parsed), payloads
+    * never shuffle, output is one slim row per image.
+    */
+  def m15JpegScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spreadIds(Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 1).select(col("doc_id")))
+    ids.as[Long].mapPartitions { rows =>
+      rows.map { id =>
+        val planted = synthMetaJpeg(id)
+        val segs = Jpeg.jpegSegments(planted)
+        val scrubbed = Jpeg.scrubFromSegments(planted, segs)
+        val nMeta = segs.count { case (m, _, _) => Jpeg.isMeta(m) }
+        (id, segs.size.toLong, nMeta.toLong,
+          planted.length.toLong, scrubbed.length.toLong,
+          if (java.util.Arrays.equals(scrubbed, synthJpeg(id))) 1L else 0L)
+      }
+    }.toDF("doc_id", "n_segments", "n_meta", "bytes_in", "bytes_out",
+      "recovered")
+      .orderBy("doc_id")
+  }
+
+  /** m15 oracle side-table: the planted payload's segment walk (one
+    * row per segment) plus per-doc xxhash64 of the original and
+    * scrubbed byte arrays (two independent code paths — re-synthesis
+    * vs splice-then-scrub; the m12AuxChunks slim-row join shape).
+    */
+  def m15AuxSegs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = spreadIds(Tables(spark, dir).documents
+      .filter(col("doc_id") % 3 === 1).select(col("doc_id")))
+      .localCheckpoint(false)
+    val hashes = ids.as[Long].map { id =>
+        val planted = synthMetaJpeg(id)
+        (id, Jpeg.scrubFromSegments(planted, Jpeg.jpegSegments(planted)),
+          synthJpeg(id))
+      }.toDF("doc_id", "sb", "ob")
+      .select(col("doc_id"), xxhash64(col("sb")).as("h_scrub"),
+        xxhash64(col("ob")).as("h_orig"))
+    val segs = ids.as[Long].flatMap { id =>
+      Jpeg.jpegSegments(synthMetaJpeg(id)).zipWithIndex.map {
+        case ((m, len, _), i) => (id, i, m, len.toLong)
+      }
+    }.toDF("doc_id", "idx", "marker", "slen")
+    segs.join(hashes, Seq("doc_id"))
+  }
 }

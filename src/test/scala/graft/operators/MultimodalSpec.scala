@@ -699,4 +699,66 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getLong(3) > r.getLong(4), "scrub must shrink the payload")
     }
   }
+
+  test("m15 segment walk: canonical structure, stuffed FFs and RSTs handled") {
+    val jpeg = Multimodal.synthJpeg(7L)
+    val segs = Multimodal.Jpeg.jpegSegments(jpeg)
+    assert(segs.map(_._1) == Seq(0xd8, 0xe0, 0xdb, 0xc0, 0xc4, 0xda,
+      Multimodal.Jpeg.Ecs, 0xd9))
+    // the walk tiles the byte stream exactly
+    assert(segs.map(_._2).sum == jpeg.length)
+    // every payload ends with the guaranteed stuffed FF 00 pair
+    val (_, ecsLen, ecsOff) = segs.find(_._1 == Multimodal.Jpeg.Ecs).get
+    assert((jpeg(ecsOff + ecsLen - 2) & 0xff) == 0xff &&
+      jpeg(ecsOff + ecsLen - 1) == 0x00)
+    // restart markers inside entropy are data, not segment breaks
+    val withRst = jpeg.clone()
+    withRst(ecsOff + 2) = 0xff.toByte
+    withRst(ecsOff + 3) = 0xd3.toByte
+    val segs2 = Multimodal.Jpeg.jpegSegments(withRst)
+    assert(segs2.map(_._1) == segs.map(_._1))
+  }
+
+  test("m15 scrub: byte-exact recovery, idempotent; walker loud on corruption") {
+    val id = 11L
+    val planted = Multimodal.synthMetaJpeg(id)
+    val segs = Multimodal.Jpeg.jpegSegments(planted)
+    assert(segs.count { case (m, _, _) => Multimodal.Jpeg.isMeta(m) } == 2)
+    val scrubbed = Multimodal.Jpeg.scrubFromSegments(planted, segs)
+    assert(java.util.Arrays.equals(scrubbed, Multimodal.synthJpeg(id)))
+    // idempotent: a clean payload scrubs to itself
+    assert(java.util.Arrays.equals(
+      Multimodal.Jpeg.scrubFromSegments(scrubbed,
+        Multimodal.Jpeg.jpegSegments(scrubbed)), scrubbed))
+    // corruption legs: truncation, bad length, trailing bytes,
+    // foreign marker in entropy
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Jpeg.jpegSegments(planted.take(planted.length - 3))
+    }
+    val badLen = planted.clone(); badLen(4) = 0x7f.toByte // APP0 length
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Jpeg.jpegSegments(badLen)
+    }
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Jpeg.jpegSegments(planted :+ 0x00.toByte)
+    }
+    val (_, _, ecsOff) = Multimodal.Jpeg.jpegSegments(planted)
+      .find(_._1 == Multimodal.Jpeg.Ecs).get
+    val badEcs = planted.clone()
+    badEcs(ecsOff + 2) = 0xff.toByte
+    badEcs(ecsOff + 3) = 0xc0.toByte // SOF marker inside entropy
+    assertThrows[IllegalArgumentException] {
+      Multimodal.Jpeg.jpegSegments(badEcs)
+    }
+  }
+
+  test("m15 demo: every image recovers exactly, two metadata segments each") {
+    val rows = Multimodal.m15JpegScrub(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 2L, s"doc ${r.getLong(0)} n_meta")
+      assert(r.getLong(5) == 1L, s"doc ${r.getLong(0)} not recovered")
+      assert(r.getLong(3) > r.getLong(4), "scrub must shrink the payload")
+    }
+  }
 }
