@@ -1238,58 +1238,71 @@ object Streams {
       }
       .start()
 
-  /** One st21 micro-batch: scrub PNG metadata from the batch's media
-    * payloads (the m12 kernel) and land every row under `batch=<id>`
-    * — a TRANSFORM like st18, not a gate: docs always land, never
-    * carrying author/GPS/timestamp chunks. Payloads are routed by
-    * magic bytes (the m11 discipline — trust bytes, not labels):
-    * PNGs are chunk-walked and scrubbed, everything else passes
-    * through byte-identical; a PNG-tagged payload that fails the
-    * CRC-validating walk (truncated, corrupt) quarantines UNMODIFIED
-    * under `.quarantine/batch=<id>` instead of wedging the stream.
-    * The audit conserves `docs_in = pngs_scrubbed + passthrough +
-    * corrupt` and accounts the bytes removed; replay is
-    * Overwrite-idempotent on all three batch directories.
+  /** One st21 micro-batch: scrub media metadata from the batch's
+    * payloads and land every row under `batch=<id>` — a TRANSFORM
+    * like st18, not a gate: docs always land, never carrying
+    * author/GPS/timestamp metadata. Payloads are routed by magic
+    * bytes (the m11 discipline — trust bytes, not labels): PNGs are
+    * chunk-walked and ancillary-scrubbed (m12), JPEGs are
+    * segment-walked and EXIF/COM-scrubbed (m15), everything else
+    * passes through byte-identical; a PNG/JPEG-tagged payload that
+    * fails its validating walk (truncated, corrupt) quarantines
+    * UNMODIFIED under `.quarantine/batch=<id>` instead of wedging
+    * the stream. The audit conserves `docs = n_png + n_jpeg +
+    * passthrough + corrupt` and accounts the bytes removed; replay
+    * is Overwrite-idempotent on all three batch directories.
     *
-    * Scale: per-row 12-byte-header chunk walks inside one
-    * mapPartitions batch — no decode, pixels never shuffle; the
-    * landing write is the only exchange.
+    * Scale: per-row header/segment walks inside one mapPartitions
+    * batch — no decode, pixels never shuffle; the landing write is
+    * the only exchange.
     */
   def mediaScrubBatch(batch: DataFrame, lakePath: String,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
-    import graft.operators.Multimodal.Codecs
+    import graft.operators.Multimodal.{Codecs, Jpeg}
     val scrubbed = batch.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, p) =>
           val isPng = p.length >= 8 && (p(0) & 0xff) == 0x89 &&
             p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
-          if (!isPng) (id, p, 0L, 0L, p.length.toLong, p.length.toLong, 0L)
-          else scala.util.Try {
+          val isJpeg = p.length >= 3 && (p(0) & 0xff) == 0xff &&
+            (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff
+          if (isPng) scala.util.Try {
             // ONE walk (CRC-validating); the scrub reuses its offsets
             val chunks = Codecs.pngChunks(p)
             val out = Codecs.scrubFromChunks(p, chunks)
             val nMeta = chunks
               .count { case (t, _, _) => (t.charAt(0) & 0x20) != 0 }
-            (id, out, 1L, nMeta.toLong, p.length.toLong,
+            (id, out, 1L, 0L, nMeta.toLong, p.length.toLong,
               out.length.toLong, 0L)
           }.getOrElse {
-            // poison-pill discipline: a corrupt/truncated PNG must
+            // poison-pill discipline: a corrupt/truncated payload must
             // not wedge the stream (foreachBatch failure replays the
             // same batch forever) — it quarantines UNMODIFIED instead
-            (id, p, 0L, 0L, p.length.toLong, p.length.toLong, 1L)
+            (id, p, 0L, 0L, 0L, p.length.toLong, p.length.toLong, 1L)
           }
+          else if (isJpeg) scala.util.Try {
+            // the m15 walker: EXIF APP1..15 + COM dropped, no decode
+            val segs = Jpeg.jpegSegments(p)
+            val out = Jpeg.scrubFromSegments(p, segs)
+            val nMeta = segs.count { case (m, _, _) => Jpeg.isMeta(m) }
+            (id, out, 0L, 1L, nMeta.toLong, p.length.toLong,
+              out.length.toLong, 0L)
+          }.getOrElse {
+            (id, p, 0L, 0L, 0L, p.length.toLong, p.length.toLong, 1L)
+          }
+          else (id, p, 0L, 0L, 0L, p.length.toLong, p.length.toLong, 0L)
         }
       }
-      .toDF("doc_id", "payload", "is_png", "n_meta", "bytes_in",
-        "bytes_out", "is_corrupt")
+      .toDF("doc_id", "payload", "is_png", "is_jpeg", "n_meta",
+        "bytes_in", "bytes_out", "is_corrupt")
       .localCheckpoint(true) // one scrub pass feeds lake AND audit
     val tot = scrubbed.agg(count(lit(1)), sum(col("is_png")),
       sum(col("n_meta")), sum(col("bytes_in")), sum(col("bytes_out")),
-      sum(col("is_corrupt"))).head()
+      sum(col("is_corrupt")), sum(col("is_jpeg"))).head()
     scrubbed.filter(col("is_corrupt") === 0L).select("doc_id", "payload")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
@@ -1298,19 +1311,20 @@ object Streams {
     scrubbed.filter(col("is_corrupt") === 1L).select("doc_id", "payload")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.quarantine/batch=$batchId")
-    Seq((batchId, tot.getLong(0), tot.getLong(1), tot.getLong(2),
-        tot.getLong(3), tot.getLong(4), tot.getLong(5)))
-      .toDF("batch_id", "docs", "n_png", "n_meta", "bytes_in",
+    Seq((batchId, tot.getLong(0), tot.getLong(1), tot.getLong(6),
+        tot.getLong(2), tot.getLong(3), tot.getLong(4), tot.getLong(5)))
+      .toDF("batch_id", "docs", "n_png", "n_jpeg", "n_meta", "bytes_in",
         "bytes_out", "n_corrupt")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.audit/batch=$batchId")
   }
 
-  /** st21: STREAMING media-metadata scrub — m12's PNG ancillary-chunk
-    * removal as a continuous intake stage beside st18's text scrub
-    * (public pipeline shape: media metadata is PII; it must be gone
-    * BEFORE payloads land anywhere downstream systems read).
+  /** st21: STREAMING media-metadata scrub — the m12 PNG and m15 JPEG
+    * metadata removal as a continuous intake stage beside st18's
+    * text scrub (public pipeline shape: media metadata is PII; it
+    * must be gone BEFORE payloads land anywhere downstream systems
+    * read — and JPEG EXIF is where the GPS actually lives).
     */
   def st21MediaScrubStream(media: DataFrame, lakePath: String,
       checkpointDir: String)
@@ -1324,8 +1338,9 @@ object Streams {
       .start()
 
   /** st21 bench row: one corpus-sized drain of metadata-bearing
-    * images through the scrub — the recurring per-drain cost
-    * (stateless, no build half; st18's shape).
+    * images (PNG and JPEG alternating — both walkers run) through
+    * the scrub — the recurring per-drain cost (stateless, no build
+    * half; st18's shape).
     */
   def st21BenchScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1336,7 +1351,8 @@ object Streams {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions(_.map(id =>
-        (id, graft.operators.Multimodal.synthMetaImage(id))))
+        (id, if (id % 2 == 0) graft.operators.Multimodal.synthMetaImage(id)
+             else graft.operators.Multimodal.synthMetaJpeg(id))))
       .toDF("doc_id", "payload")
     mediaScrubBatch(batch, s"$root/lake", batchId = 1L)
     Seq(s"$root/lake").toDF("lake_path")

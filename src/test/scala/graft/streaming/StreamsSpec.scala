@@ -1356,7 +1356,8 @@ class StreamsSpec extends AnyFunSuite {
     val wav = Multimodal.synthWav(4L)
     val stream1 = Seq(
       (1L, Multimodal.synthMetaImage(1L)), // PNG with 2 metadata chunks
-      (4L, wav))                           // non-PNG: byte-exact passthrough
+      (4L, wav),                           // non-media: byte-exact passthrough
+      (5L, Multimodal.synthMetaJpeg(5L)))  // JPEG with EXIF+COM
     // 9: PNG-tagged but corrupt (flipped data byte → bad CRC) — the
     // poison pill that must quarantine, not wedge the stream
     val poison = Multimodal.synthMetaImage(9L).clone()
@@ -1374,10 +1375,12 @@ class StreamsSpec extends AnyFunSuite {
     val rows = spark.read.parquet(lake).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("payload"))
       .toMap
-    assert(rows.keySet == Set(1L, 4L, 7L))
+    assert(rows.keySet == Set(1L, 4L, 5L, 7L))
     // scrubbed PNGs equal the independently re-synthesized originals
     assert(java.util.Arrays.equals(rows(1L), Multimodal.synthImage(1L)))
     assert(java.util.Arrays.equals(rows(7L), Multimodal.synthImage(7L)))
+    // the JPEG lost its EXIF+COM and equals the re-synthesized original
+    assert(java.util.Arrays.equals(rows(5L), Multimodal.synthJpeg(5L)))
     // the WAV passed through byte-identically
     assert(java.util.Arrays.equals(rows(4L), wav))
     // the poison pill did NOT wedge the stream, did NOT reach the
@@ -1391,11 +1394,13 @@ class StreamsSpec extends AnyFunSuite {
     val audit = spark.read.parquet(lake + ".audit").collect()
       .map(r => r.getAs[Long]("batch_id") ->
         (r.getAs[Long]("docs"), r.getAs[Long]("n_png"),
-          r.getAs[Long]("n_meta"), r.getAs[Long]("bytes_in"),
-          r.getAs[Long]("bytes_out"), r.getAs[Long]("n_corrupt"))).toMap
-    assert(audit(0L)._1 == 2L && audit(0L)._2 == 1L &&
-      audit(0L)._3 == 2L && audit(0L)._6 == 0L)
-    assert(audit(1L) == ((2L, 1L, 2L,
+          r.getAs[Long]("n_jpeg"), r.getAs[Long]("n_meta"),
+          r.getAs[Long]("bytes_in"), r.getAs[Long]("bytes_out"),
+          r.getAs[Long]("n_corrupt"))).toMap
+    // drain 1: one PNG (2 meta chunks) + one JPEG (2 meta segments)
+    assert(audit(0L)._1 == 3L && audit(0L)._2 == 1L &&
+      audit(0L)._3 == 1L && audit(0L)._4 == 4L && audit(0L)._7 == 0L)
+    assert(audit(1L) == ((2L, 1L, 0L, 2L,
       Multimodal.synthMetaImage(7L).length.toLong + poison.length,
       Multimodal.synthImage(7L).length.toLong + poison.length, 1L)))
     // replay: re-running a batch body rewrites byte-identically
