@@ -1989,6 +1989,38 @@ object Oracles {
     // IEEE division of exactly-representable operands; replayed whole.
     // c21: the decimal-digit GUID plant and the marker+GUID capture
     // replay on the identical RE2-portable pattern.
+    // c23: a FULL byte-level differential check of the shard layout —
+    // the ids are rebuilt with the t09 recursive CTE, the global
+    // positions with a window prefix-sum, and every uint16-LE byte
+    // pair re-serialized with printf; the hex strings must agree
+    // character for character. UNK (−1) → +65536 mod 65536 = FFFF,
+    // the same two's-complement identity as Spark's `tok & 65535`.
+    "c23_shard_export" ->
+      s"""$SubwordIdsCte,
+         |d AS (SELECT doc_id, substr(ids, 2) AS csv,
+         |    CAST(length(ids) - length(replace(ids, ',', '')) AS BIGINT) AS n
+         |  FROM step WHERE pos > length(text)),
+         |o AS (SELECT doc_id, csv,
+         |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS ts
+         |  FROM d),
+         |e AS (SELECT doc_id, ts,
+         |    unnest(string_split(csv, ',')) AS sid,
+         |    unnest(range(1, len(string_split(csv, ',')) + 1)) AS i
+         |  FROM o),
+         |p AS (SELECT (ts + i - 1) // 256 AS shard_id,
+         |    (ts + i - 1) % 256 AS off,
+         |    (CAST(sid AS BIGINT) + 65536) % 65536 AS v
+         |  FROM e)
+         |SELECT CAST(shard_id AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  string_agg(printf('%02X%02X', v % 256, v // 256), ''
+         |    ORDER BY off) AS bytes_hex
+         |FROM p
+         |GROUP BY shard_id
+         |ORDER BY shard_id""".stripMargin,
+
     // c22: the demo URL plant and the host-canonicalization steps
     // replay exactly as in d15's oracle; the rollup, the single-divide
     // share, and the cap replay in SQL (sum widens to HUGEINT — cast

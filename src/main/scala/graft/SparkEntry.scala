@@ -157,6 +157,7 @@ object SparkEntry {
     "c20_gopher_rules" -> ((s, dir) => Corpus.c20GopherRules(s, dir)),
     "c21_canary_scan" -> ((s, dir) => Corpus.c21CanaryScan(s, dir)),
     "c22_domain_mixture" -> ((s, dir) => Corpus.c22DomainMixture(s, dir)),
+    "c23_shard_export" -> ((s, dir) => Corpus.c23ShardExport(s, dir)),
     // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
     // flat c17 oracle checks the whole indexed path end-to-end
     "c17_semantic_decontam_ivf" -> ((s, dir) => Corpus.c17SemanticDecontamIvf(s, dir)),

@@ -1616,6 +1616,55 @@ object Corpus {
         .as("keep"))
   }
 
+  /** c23: binary token-shard export — the terminal TRAIN-READY
+    * artifact below even c12's packed sequences: the public
+    * fixed-width binary shard convention (GPT-2/nanoGPT-style `.bin`
+    * files — the token stream serialized as uint16 little-endian,
+    * cut into fixed-capacity shards a data loader mmaps). Composes
+    * the t09 subword-id kernel with the c09 distributed prefix-sum:
+    * per-doc ids → global token positions (NO unpartitioned window)
+    * → shard = pos div cap → per-shard ordered byte assembly.
+    *
+    * Serialization rule: piece id & 0xFFFF little-endian; t09's UNK
+    * sentinel (−1) therefore serializes as FFFF, the conventional
+    * uint16 unknown. Output carries the shard bytes as a HEX string
+    * — byte-level, so the DuckDB oracle (which rebuilds the ids with
+    * the t09 recursive CTE and re-serializes with printf) is a full
+    * differential check of the binary layout; a real deployment
+    * lands `unhex(bytes_hex)` instead.
+    *
+    * Scale: the prefix-sum is c09's (local windows + ≤nParts-row
+    * broadcast); the assembly groupBy carries (shard, off, tok) slim
+    * rows and each group is bounded by `cap` — collect_list is safe
+    * by construction, sorted in-group for determinism. Shuffle is
+    * one exchange on shard_id.
+    */
+  def c23ShardExport(spark: SparkSession, dir: String,
+      cap: Long = 256L): DataFrame = {
+    val ids = Tables(spark, dir).documents
+      .select(col("doc_id"), TextOps.subwordIdsCol(col("text")).as("ids"))
+      .localCheckpoint(false) // feeds the offset pass AND the explode
+    val offs = packOffsetsOver(
+      ids.select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens")),
+      cap).select("doc_id", "tok_start")
+    ids.join(offs, "doc_id")
+      .select(col("tok_start"), posexplode(col("ids")).as(Seq("i", "tok")))
+      .select(((col("tok_start") + col("i")).cast("long")).as("pos"),
+        col("tok"))
+      .select(expr(s"pos div $cap").as("shard_id"),
+        expr(s"pos % $cap").as("off"),
+        expr("tok & 65535").as("v"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("off"), col("v")))),
+          s => format_string("%02X%02X",
+            s.getField("v").bitwiseAND(lit(255)),
+            shiftright(s.getField("v"), 8))),
+          "").as("bytes_hex"))
+      .orderBy("shard_id")
+  }
+
   /** c22: per-domain mixture report + domain cap — the domain-level
     * composition view crawl-curation pipelines publish (public
     * practice: RefinedWeb/FineWeb report per-domain document/token

@@ -917,4 +917,36 @@ class CorpusSpec extends AnyFunSuite {
     val capped = Corpus.c22DomainMixture(spark, dir, cap = 4L).collect()
     assert(capped.forall(_.getLong(4) == 4L), "cap=4 must bind everywhere")
   }
+
+  test("c23 shard export: shards replay from t09's ids; structure laws hold") {
+    // rebuild the expected byte stream from Spark's OWN t09 output —
+    // the prefix-sum, shard cut and uint16-LE serialization are the
+    // surfaces under test (the id kernel has t09's fuzz suite)
+    val idsByDoc = graft.operators.TextOps
+      .t09SubwordIds(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val stream = idsByDoc.sortBy(_._1).flatMap(_._2.split(",").map(_.toInt))
+    val expect = stream.zipWithIndex
+      .groupBy { case (_, pos) => pos / 256 }
+      .map { case (shard, toks) =>
+        shard.toLong -> (toks.length.toLong,
+          toks.sortBy(_._2).map { case (v0, _) =>
+            val v = v0 & 0xffff
+            f"${v & 255}%02X${v >> 8}%02X"
+          }.mkString)
+      }
+    val rows = Corpus.c23ShardExport(spark, TestSpark.Sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == expect.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (n, hex) = expect(r.getLong(0))
+      assert(r.getLong(1) == n, s"shard ${r.getLong(0)} count")
+      assert(r.getString(2) == hex, s"shard ${r.getLong(0)} bytes")
+    }
+    // structure: every shard but the last is full, hex is 4 chars/token
+    rows.dropRight(1).foreach(r => assert(r.getLong(1) == 256L))
+    rows.foreach(r => assert(r.getString(2).length == 4 * r.getLong(1)))
+    // the UNK sentinel serializes as FFFF (two's-complement identity)
+    if (stream.contains(-1))
+      assert(rows.exists(_.getString(2).contains("FFFF")))
+  }
 }
