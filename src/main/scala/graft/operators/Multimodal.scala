@@ -1716,10 +1716,13 @@ object Multimodal {
       * (the 2-byte big-endian length INCLUDES itself), and after a
       * SOS header the entropy-coded stream (emitted as one [[Ecs]]
       * pseudo-segment) scanned per the byte-stuffing rule: FF 00 is
-      * data, FF D0-D7 a restart marker, FF D9 ends it; any other
-      * FF-pair inside entropy fails loudly, as do truncation, a
-      * missing EOI and trailing bytes after it (the m12 discipline —
-      * corrupt payloads never pass garbage downstream).
+      * data, FF D0-D7 a restart marker, and ANY other FF-pair ends
+      * the scan and returns to the segment loop — which is how
+      * progressive/multi-scan JPEGs work (DHT/SOS/DNL between scans,
+      * each SOS re-entering entropy), not a corruption. Truncation,
+      * bad lengths, a missing EOI, fill bytes (FF FF) and trailing
+      * bytes after EOI fail loudly (the m12 discipline — corrupt
+      * payloads never pass garbage downstream).
       */
     def jpegSegments(bytes: Array[Byte]): Seq[(Int, Int, Int)] = {
       require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
@@ -1760,9 +1763,9 @@ object Multimodal {
                 require(p + 1 < bytes.length, "truncated entropy marker")
                 val n = bytes(p + 1) & 0xff
                 if (n == 0x00 || (n >= 0xd0 && n <= 0xd7)) p += 2
-                else if (n == 0xd9) ecsDone = true
-                else throw new IllegalArgumentException(
-                  f"unexpected marker 0x$n%02x in entropy stream")
+                else ecsDone = true // next segment (EOI, or a
+                // between-scans DHT/SOS/DNL in progressive streams) —
+                // the segment loop re-validates it
               }
             }
             out += ((Ecs, p - start, start))
@@ -1795,6 +1798,11 @@ object Multimodal {
       */
     def addSegment(bytes: Array[Byte], marker: Int,
         data: Array[Byte]): Array[Byte] = {
+      // the 16-bit length field covers payload + itself; a larger
+      // payload would wrap toShort and frame wrong bytes — refuse
+      // loudly (the buildWarc/buildTar rule)
+      require(data.length <= 0xffff - 2,
+        s"JPEG segment payload ${data.length} exceeds the 16-bit frame")
       val segs = jpegSegments(bytes)
       val insertAt = segs.find { case (m, _, _) => m == 0xe0 }
         .map { case (_, len, off) => off + len }
@@ -1830,7 +1838,7 @@ object Multimodal {
     seg(0xdb, Array.tabulate[Byte](65)(i =>
       if (i == 0) 0 else (1 + (i + id) % 200).toByte))
     seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
-    seg(0xc4, Array.tabulate[Byte](17)(i => if (i == 0) 0 else 0))
+    seg(0xc4, new Array[Byte](17)) // class/id byte + 16 zero counts
     seg(0xda, Array[Byte](1, 1, 0, 0, 0x3f, 0))
     var k = 0
     while (k < 24) { // entropy bytes with FF-stuffing

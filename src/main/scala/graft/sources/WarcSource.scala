@@ -69,7 +69,7 @@ object WarcSource {
           val ci = line.indexOf(':')
           require(ci > 0, s"malformed WARC header '$line'")
           val value = line.substring(ci + 1).trim
-          line.substring(0, ci).toLowerCase match {
+          line.substring(0, ci).toLowerCase(java.util.Locale.ROOT) match {
             case "warc-type" => wtype = value
             case "warc-record-id" =>
               rid = if (value.length >= 2 && value.head == '<' &&
@@ -164,18 +164,78 @@ object WarcSource {
 
   /** Inflate if gzipped (0x1f 0x8b magic), consuming concatenated
     * members; pass plain bytes through untouched.
+    *
+    * Deliberately NOT `GZIPInputStream`: its readTrailer() silently
+    * IGNORES malformed bytes after any member boundary, so a
+    * per-record-member archive with one corrupt mid-chain member
+    * header would inflate to a clean-looking PREFIX — every later
+    * record silently lost, the exact silent-wrong-record failure the
+    * walker exists to refuse. This is a strict RFC 1952 member-chain
+    * walk: each member's header flags are honored, the deflate
+    * stream is inflated raw, CRC32 and ISIZE trailers are verified,
+    * and every byte of the payload must belong to some member —
+    * corruption anywhere fails loudly.
     */
   def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
-      (bytes(1) & 0xff) == 0x8b) {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      bos.toByteArray
-    } else bytes
+      (bytes(1) & 0xff) == 0x8b) gunzipMembers(bytes)
+    else bytes
+
+  private def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) |
+      (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    val bos = new java.io.ByteArrayOutputStream()
+    var p = 0
+    while (p < bytes.length) {
+      require(bytes.length - p >= 18, "truncated gzip member")
+      require(u8(p) == 0x1f && u8(p + 1) == 0x8b,
+        "bad gzip member magic")
+      require(u8(p + 2) == 8, s"unsupported gzip CM ${u8(p + 2)}")
+      val flg = u8(p + 3)
+      require((flg & 0xe0) == 0, "reserved gzip FLG bits set")
+      var q = p + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        require(q + 2 <= bytes.length, "truncated FEXTRA")
+        val xlen = u8(q) | (u8(q + 1) << 8)
+        q += 2 + xlen
+      }
+      if ((flg & 8) != 0) { // FNAME: NUL-terminated
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (q < bytes.length && bytes(q) != 0) q += 1
+        q += 1
+      }
+      if ((flg & 2) != 0) q += 2 // FHCRC
+      require(q < bytes.length, "truncated gzip header")
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(bytes, q, bytes.length - q)
+        val crc = new java.util.zip.CRC32
+        val buf = new Array[Byte](8192)
+        var memberLen = 0L
+        while (!inf.finished()) {
+          val n = try inf.inflate(buf) catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"corrupt deflate stream in gzip member: ${e.getMessage}")
+          }
+          if (n > 0) { bos.write(buf, 0, n); crc.update(buf, 0, n); memberLen += n }
+          else require(inf.finished(),
+            "truncated deflate stream in gzip member")
+        }
+        val used = q + inf.getBytesRead.toInt
+        require(bytes.length - used >= 8, "truncated gzip trailer")
+        require(le32(used) == crc.getValue, "gzip member CRC mismatch")
+        require(le32(used + 4) == (memberLen & 0xffffffffL),
+          "gzip member ISIZE mismatch")
+        p = used + 8
+      } finally inf.end()
+    }
+    bos.toByteArray
+  }
 
   /** Fixed warcinfo content of the demo archives (CRLF-terminated
     * named fields, per the spec's application/warc-fields).

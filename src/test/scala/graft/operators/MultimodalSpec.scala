@@ -730,8 +730,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(
       Multimodal.Jpeg.scrubFromSegments(scrubbed,
         Multimodal.Jpeg.jpegSegments(scrubbed)), scrubbed))
-    // corruption legs: truncation, bad length, trailing bytes,
-    // foreign marker in entropy
+    // corruption legs: truncation, bad length, trailing bytes
     assertThrows[IllegalArgumentException] {
       Multimodal.Jpeg.jpegSegments(planted.take(planted.length - 3))
     }
@@ -742,14 +741,41 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Multimodal.Jpeg.jpegSegments(planted :+ 0x00.toByte)
     }
-    val (_, _, ecsOff) = Multimodal.Jpeg.jpegSegments(planted)
-      .find(_._1 == Multimodal.Jpeg.Ecs).get
-    val badEcs = planted.clone()
-    badEcs(ecsOff + 2) = 0xff.toByte
-    badEcs(ecsOff + 3) = 0xc0.toByte // SOF marker inside entropy
+    // oversized splice payloads refuse instead of wrapping the frame
     assertThrows[IllegalArgumentException] {
-      Multimodal.Jpeg.jpegSegments(badEcs)
+      Multimodal.Jpeg.addSegment(planted, 0xe1, new Array[Byte](0xfffe))
     }
+  }
+
+  test("m15 walker: progressive multi-scan streams walk; their EXIF scrubs") {
+    // hand-build a two-scan (progressive-style) stream: a marker ends
+    // the first entropy run, DHT+SOS follow, a second run, then EOI
+    val bos = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, data: Array[Byte]): Unit = {
+      bos.write(0xff); bos.write(m)
+      bos.write((data.length + 2) >> 8); bos.write((data.length + 2) & 0xff)
+      bos.write(data)
+    }
+    bos.write(0xff); bos.write(0xd8)
+    seg(0xe0, new Array[Byte](14))
+    seg(0xe1, "Exif  gps".getBytes("US-ASCII")) // the EXIF to scrub
+    seg(0xda, Array[Byte](1, 1, 0, 0, 0, 0))
+    bos.write(Array[Byte](1, 2, 3, 4))           // scan 1
+    seg(0xc4, new Array[Byte](17))               // between-scans DHT
+    seg(0xda, Array[Byte](1, 1, 0, 1, 0, 0))
+    bos.write(Array[Byte](5, 6, 7))              // scan 2
+    bos.write(0xff); bos.write(0xd9)
+    val jpeg = bos.toByteArray
+    val segs = Multimodal.Jpeg.jpegSegments(jpeg)
+    assert(segs.map(_._1) == Seq(0xd8, 0xe0, 0xe1, 0xda,
+      Multimodal.Jpeg.Ecs, 0xc4, 0xda, Multimodal.Jpeg.Ecs, 0xd9))
+    assert(segs.map(_._2).sum == jpeg.length)
+    // the scrub drops ONLY the EXIF; both scans survive byte-exact
+    val scrubbed = Multimodal.Jpeg.scrubFromSegments(jpeg, segs)
+    val segs2 = Multimodal.Jpeg.jpegSegments(scrubbed)
+    assert(segs2.map(_._1) == Seq(0xd8, 0xe0, 0xda,
+      Multimodal.Jpeg.Ecs, 0xc4, 0xda, Multimodal.Jpeg.Ecs, 0xd9))
+    assert(scrubbed.length == jpeg.length - (4 + "Exif  gps".length))
   }
 
   test("m15 demo: every image recovers exactly, two metadata segments each") {

@@ -38,10 +38,28 @@ class WarcSourceSpec extends AnyFunSuite {
     val whole = WarcSource.maybeGunzip(WarcSource.gzip(plain))
     assert(java.util.Arrays.equals(whole, plain))
     // per-record members concatenate to the same decompressed stream
-    val members = WarcSource.maybeGunzip(WarcSource.gzipPerRecord(recs))
+    val chain = WarcSource.gzipPerRecord(recs)
+    val members = WarcSource.maybeGunzip(chain)
     assert(java.util.Arrays.equals(members, plain))
     // plain bytes pass through untouched
     assert(WarcSource.maybeGunzip(plain) eq plain)
+    // strictness: a corrupt MID-CHAIN member must fail loudly, never
+    // inflate to a clean-looking prefix (GZIPInputStream's silent-
+    // trailer behavior is exactly what gunzipMembers exists to refuse)
+    val m1len = WarcSource.gzip(WarcSource.buildWarc(Seq(recs.head))).length
+    val badMagic = chain.clone(); badMagic(m1len) = 'X'.toByte
+    assertThrows[IllegalArgumentException] { WarcSource.maybeGunzip(badMagic) }
+    // flipped byte inside a member's deflate stream → CRC/format error
+    val badBody = chain.clone()
+    badBody(m1len + 20) = (badBody(m1len + 20) ^ 0x55).toByte
+    assertThrows[IllegalArgumentException] { WarcSource.maybeGunzip(badBody) }
+    // truncated trailer and trailing garbage both refuse
+    assertThrows[IllegalArgumentException] {
+      WarcSource.maybeGunzip(chain.dropRight(3))
+    }
+    assertThrows[IllegalArgumentException] {
+      WarcSource.maybeGunzip(chain ++ Array[Byte](1, 2, 3))
+    }
   }
 
   test("f13 walker fails loudly on corruption") {
