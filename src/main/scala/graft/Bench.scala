@@ -49,6 +49,16 @@ object Bench {
       // sketch (so the oracle-adjacent spec can bound the error); the
       // bench row times the sketch alone — the 100 TB path
       "q28_approx_distinct" -> ((s, d) => operators.Approx.q28BenchSketch(s, d)),
+      // the deterministic custom HLL measured beside the builtin
+      // HLL++ row above — same register-aggregation shape, so the two
+      // rows must sit in the same cost class round-over-round
+      "q28_hll_custom" -> ((s, d) => {
+        val t = graft.Tables(s, d)
+        operators.Approx.hllDistinct(
+          t.lineitem.select(org.apache.spark.sql.functions.col("l_returnflag"),
+            org.apache.spark.sql.functions.col("l_partkey")),
+          "l_returnflag", org.apache.spark.sql.functions.col("l_partkey"))
+      }),
       // st13's streaming admission measured as its two phases: the
       // one-time lake+index bootstrap, then the recurring per-drain
       // cost (gate + lake landing + index append) — name-sort keeps
