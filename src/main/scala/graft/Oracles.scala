@@ -1989,6 +1989,37 @@ object Oracles {
     // IEEE division of exactly-representable operands; replayed whole.
     // c21: the decimal-digit GUID plant and the marker+GUID capture
     // replay on the identical RE2-portable pattern.
+    // c24: the whole boundary layout replays — ids rebuilt by the t09
+    // CTE (comma count = piece count), global offsets by a window
+    // prefix-sum, per-doc sequence ranges by generate-series, the
+    // span clipping in exact integer min/max, seg_idx by a
+    // seq-partitioned row_number.
+    "c24_boundary_masks" ->
+      s"""$SubwordIdsCte,
+         |d AS (SELECT doc_id,
+         |    CAST(length(ids) - length(replace(ids, ',', '')) AS BIGINT) AS n
+         |  FROM step WHERE pos > length(text)),
+         |o AS (SELECT doc_id, n,
+         |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS ts
+         |  FROM d),
+         |e AS (SELECT doc_id, n, ts,
+         |    unnest(range(ts // 128, (ts + n - 1) // 128 + 1)) AS seq_id
+         |  FROM o WHERE n > 0),
+         |s AS (SELECT seq_id, doc_id,
+         |    greatest(ts, seq_id * 128) - seq_id * 128 AS seg_start,
+         |    least(ts + n, (seq_id + 1) * 128) -
+         |      greatest(ts, seq_id * 128) AS seg_len
+         |  FROM e)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(row_number() OVER (PARTITION BY seq_id ORDER BY seg_start)
+         |    - 1 AS BIGINT) AS seg_idx,
+         |  doc_id, CAST(seg_start AS BIGINT) AS seg_start,
+         |  CAST(seg_len AS BIGINT) AS seg_len
+         |FROM s
+         |ORDER BY seq_id, seg_idx""".stripMargin,
+
     // c23: a FULL byte-level differential check of the shard layout —
     // the ids are rebuilt with the t09 recursive CTE, the global
     // positions with a window prefix-sum, and every uint16-LE byte

@@ -1616,6 +1616,47 @@ object Corpus {
         .as("keep"))
   }
 
+  /** c24: packed-sequence boundary masks — the document-boundary
+    * layout every packed-pretraining stack needs for BLOCK-DIAGONAL
+    * attention (public practice: sequences packed from multiple
+    * documents must not cross-attend; the mask is built from each
+    * document's contiguous span inside each sequence — e.g. the
+    * attention-mask resets the T5/LLaMA packing recipes describe).
+    * One row per (sequence, segment): `seq_id, seg_idx, doc_id,
+    * seg_start, seg_len`, derived from c09's distributed prefix-sum
+    * offsets ALONE — no token materialization; span arithmetic is
+    * exact integer min/max clipping of [tok_start, tok_start+n)
+    * against [seq·L, (seq+1)·L).
+    *
+    * Scale: the explode is bounded by each doc's n_seqs (≤ n/L + 1);
+    * seg_idx is a row_number over a seq_id-KEYED window (never
+    * unpartitioned); one exchange on seq_id.
+    */
+  def c24BoundaryMasks(spark: SparkSession, dir: String,
+      seqLen: Long = 128L): DataFrame = {
+    val offs = packOffsetsOver(
+      Tables(spark, dir).documents.select(col("doc_id"),
+        element_at(TextOps.subwordStatsCol(col("text")), 1).as("n_tokens")),
+      seqLen)
+    val spans = offs.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("tok_start"), col("seq_id") * seqLen) -
+          col("seq_id") * seqLen).as("seg_start"),
+        (least(col("tok_start") + col("n_tokens"),
+          (col("seq_id") + 1) * seqLen) -
+          greatest(col("tok_start"), col("seq_id") * seqLen)).as("seg_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seq_id").orderBy("seg_start")
+    spans
+      .withColumn("seg_idx",
+        (org.apache.spark.sql.functions.row_number().over(w) - 1)
+          .cast("long"))
+      .select("seq_id", "seg_idx", "doc_id", "seg_start", "seg_len")
+      .orderBy("seq_id", "seg_idx")
+  }
+
   /** c23: binary token-shard export — the terminal TRAIN-READY
     * artifact below even c12's packed sequences: the public
     * fixed-width binary shard convention (GPT-2/nanoGPT-style `.bin`

@@ -949,4 +949,34 @@ class CorpusSpec extends AnyFunSuite {
     if (stream.contains(-1))
       assert(rows.exists(_.getString(2).contains("FFFF")))
   }
+
+  test("c24 boundary masks: segments tile every sequence; c12 cross-check") {
+    val rows = Corpus.c24BoundaryMasks(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val bySeq = rows.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, segs) =>
+      val s = segs.sortBy(_._2)
+      // seg_idx is dense from 0; segments are contiguous from 0
+      assert(s.map(_._2).toSeq == s.indices.map(_.toLong))
+      assert(s.head._4 == 0L, s"seq $seq starts at ${s.head._4}")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._5, s"gap in seq $seq")
+        case _ =>
+      }
+      assert(s.forall(_._5 > 0), s"empty segment in seq $seq")
+      // every sequence but the final partial one is exactly full
+      val total = s.map(_._5).sum
+      if (seq != lastSeq) assert(total == 128L, s"seq $seq total $total")
+    }
+    // cross-check against c12's materialized token counts per sequence
+    val c12 = Corpus.c12PackSequences(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bySeq.keySet == c12.keySet)
+    bySeq.foreach { case (seq, segs) =>
+      assert(segs.map(_._5).sum == c12(seq), s"seq $seq vs c12")
+    }
+  }
 }
