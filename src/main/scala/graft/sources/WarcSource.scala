@@ -257,6 +257,42 @@ object WarcSource {
       ("conversion", s"urn:graft:doc:$id",
         s"https://example.org/doc/$id", text.getBytes(UTF_8)))
 
+  /** The production intake the f13 demo's synthesized archives stand
+    * in for: read a directory tree of WARC drops through Spark's
+    * `binaryFile` source (the m05 rule — path-hash ids, listing
+    * distributes, payloads stay executor-side), enumerate every
+    * archive's records with the same walker (gzip inflated
+    * transparently in both layouts), and emit the slim record
+    * inventory plus the conversion text st22's gate lands. A
+    * whole-file-gzipped archive makes the FILE the parallel unit
+    * (non-splittable); the per-record-member layout is the
+    * splittable drop shape — either way only slim rows shuffle and a
+    * repartition downstream restores balance.
+    */
+  def warcFromDir(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(abs(xxhash64(col("path"))).as("archive_id"),
+        col("path"), col("content"))
+      .as[(Long, String, Array[Byte])]
+      .flatMap { case (aid, p, bytes) =>
+        val plain = maybeGunzip(bytes)
+        warcRecords(plain).zipWithIndex.map {
+          case ((t, rid, uri, len, off), i) =>
+            (aid, p, i.toLong, t, rid, uri, len,
+              if (t == "conversion")
+                new String(plain, off, len.toInt,
+                  java.nio.charset.StandardCharsets.UTF_8)
+              else null)
+        }
+      }
+      .toDF("archive_id", "path", "idx", "warc_type", "record_id",
+        "target_uri", "content_length", "text")
+  }
+
   /** f13 driver demo: synthesize one WET-style archive per document,
     * walk every record back out, and report the record inventory
     * plus the archive's structural size.

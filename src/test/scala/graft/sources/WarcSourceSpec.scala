@@ -104,6 +104,40 @@ class WarcSourceSpec extends AnyFunSuite {
       uri == "http://x/y" && len == 4L)
   }
 
+  test("f13 production intake: real files on disk, all three layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc")
+    try {
+      def recsOf(id: Long, text: String) = WarcSource.demoRecords(id, text)
+      java.nio.file.Files.write(dir.resolve("a.warc"),
+        WarcSource.buildWarc(recsOf(1L, "plain file one")))
+      java.nio.file.Files.write(dir.resolve("b.warc.gz"),
+        WarcSource.gzip(WarcSource.buildWarc(recsOf(2L, "whole-gzip two"))))
+      java.nio.file.Files.write(dir.resolve("c.warc.gz"),
+        WarcSource.gzipPerRecord(recsOf(3L, "member-gzip three")))
+      // a non-WARC file in the same drop must be glob-filtered out
+      java.nio.file.Files.write(dir.resolve("notes.txt"),
+        "not a warc".getBytes("UTF-8"))
+      val rows = WarcSource.warcFromDir(spark, dir.toString).collect()
+      assert(rows.length == 6) // 3 archives x (warcinfo + conversion)
+      val convs = rows.filter(_.getAs[String]("warc_type") == "conversion")
+        .map(r => r.getAs[String]("record_id") -> r.getAs[String]("text"))
+        .toMap
+      assert(convs == Map(
+        "urn:graft:doc:1" -> "plain file one",
+        "urn:graft:doc:2" -> "whole-gzip two",
+        "urn:graft:doc:3" -> "member-gzip three"))
+      // warcinfo plumbing rows carry no text
+      assert(rows.filter(_.getAs[String]("warc_type") == "warcinfo")
+        .forall(_.getAs[String]("text") == null))
+      // archive ids are stable path hashes, distinct per file
+      assert(rows.map(_.getAs[Long]("archive_id")).distinct.length == 3)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   test("f13 demo: inventory matches the closed-form record plan") {
     val rows = WarcSource.f13WarcIntake(spark, TestSpark.Sf0001).collect()
     assert(rows.nonEmpty)
