@@ -236,7 +236,10 @@ class PlanSpec extends AnyFunSuite {
       // by nature (eval sets are) and broadcasts whole against a
       // by-design-linear scan of the train side — s01's baseline
       // shape; IVF/banding compose in front when the benchmark grows
-      "c17_semantic_decontam")
+      "c17_semantic_decontam",
+      // c22 broadcasts its 1-row corpus-total aggregate back onto the
+      // |domains|-row rollup (q44/q50's scalar-threshold shape)
+      "c22_domain_mixture")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =
