@@ -1989,6 +1989,70 @@ object Oracles {
     // IEEE division of exactly-representable operands; replayed whole.
     // c21: the decimal-digit GUID plant and the marker+GUID capture
     // replay on the identical RE2-portable pattern.
+    // t21: the Viterbi lattice decode replayed as TWO recursive
+    // passes over the SAME vocab CTE the greedy replay uses — a
+    // forward DP whose state is the rolling 8-cost window (b1..b8 =
+    // best cost at pos−7..pos; vocab max piece len is 5, 8 leaves
+    // headroom) plus the append-only chosen-consume/id logs (sound:
+    // best[pos] is final once computed), then a backtrack walk over
+    // the logs. The per-step argmin is ORDER BY cost, ordlen DESC —
+    // the kernel's exact tie-break (UNK carries ordlen 0, so any
+    // equal-cost piece beats it; a piece is unique given end+len).
+    "t21_viterbi_tokenize" ->
+      s"""$SubwordIdsCte,
+         |fwd(doc_id, text, pos, b1, b2, b3, b4, b5, b6, b7, b8,
+         |    lens, pids) AS (
+         |  SELECT doc_id, text, 0,
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+         |    CAST(NULL AS BIGINT), CAST(0 AS BIGINT), '', ''
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, text, pos + 1, b2, b3, b4, b5, b6, b7, b8,
+         |    cand['c'], lens || ',' || CAST(cand['n'] AS VARCHAR),
+         |    pids || ',' || CAST(cand['i'] AS VARCHAR)
+         |  FROM (SELECT f.*,
+         |      (SELECT {'c': c, 'n': n, 'i': i} FROM (
+         |         SELECT CASE v.len WHEN 1 THEN b8 WHEN 2 THEN b7
+         |             WHEN 3 THEN b6 WHEN 4 THEN b5 WHEN 5 THEN b4
+         |             WHEN 6 THEN b3 WHEN 7 THEN b2 ELSE b1 END + 1 AS c,
+         |           v.len AS o, v.len AS n, v.id AS i
+         |         FROM vocab v
+         |         WHERE v.len <= f.pos + 1 AND v.len <= 8
+         |           AND substr(f.text, f.pos + 2 - v.len, v.len) = v.piece
+         |           AND (CASE v.len WHEN 1 THEN b8 WHEN 2 THEN b7
+         |             WHEN 3 THEN b6 WHEN 4 THEN b5 WHEN 5 THEN b4
+         |             WHEN 6 THEN b3 WHEN 7 THEN b2 ELSE b1 END) IS NOT NULL
+         |         UNION ALL
+         |         SELECT b8 + 3, 0, 1, -1
+         |       ) cands ORDER BY c, o DESC LIMIT 1) AS cand
+         |    FROM fwd f WHERE f.pos < length(f.text)) x),
+         |fin AS (SELECT doc_id, text, b8 AS total_cost,
+         |    string_split(substr(lens, 2), ',') AS la,
+         |    string_split(substr(pids, 2), ',') AS ia
+         |  FROM fwd WHERE pos = length(text)),
+         |bwd(doc_id, pos, la, ia, path) AS (
+         |  SELECT doc_id, length(text), la, ia, '' FROM fin
+         |  UNION ALL
+         |  SELECT doc_id, pos - CAST(la[pos] AS BIGINT), la, ia,
+         |    CASE WHEN path = '' THEN ia[pos]
+         |         ELSE ia[pos] || ',' || path END
+         |  FROM bwd WHERE pos > 0),
+         |vit AS (SELECT doc_id, path FROM bwd WHERE pos = 0),
+         |greedy AS (SELECT doc_id,
+         |    CAST(length(ids) - length(replace(ids, ',', '')) AS BIGINT)
+         |      AS n_greedy
+         |  FROM step WHERE pos > length(text))
+         |SELECT v.doc_id,
+         |  CAST(len(string_split(v.path, ',')) AS BIGINT) AS n_pieces,
+         |  CAST(len(list_filter(string_split(v.path, ','), x -> x = '-1'))
+         |    AS BIGINT) AS n_unk,
+         |  g.n_greedy AS n_pieces_greedy,
+         |  v.path AS ids_csv
+         |FROM vit v JOIN greedy g USING (doc_id)
+         |ORDER BY v.doc_id""".stripMargin,
+
     // c24: the whole boundary layout replays — ids rebuilt by the t09
     // CTE (comma count = piece count), global offsets by a window
     // prefix-sum, per-doc sequence ranges by generate-series, the

@@ -159,6 +159,7 @@ object SparkEntry {
     "c22_domain_mixture" -> ((s, dir) => Corpus.c22DomainMixture(s, dir)),
     "c23_shard_export" -> ((s, dir) => Corpus.c23ShardExport(s, dir)),
     "c24_boundary_masks" -> ((s, dir) => Corpus.c24BoundaryMasks(s, dir)),
+    "t21_viterbi_tokenize" -> ((s, dir) => TextOps.t21ViterbiTokenize(s, dir)),
     // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
     // flat c17 oracle checks the whole indexed path end-to-end
     "c17_semantic_decontam_ivf" -> ((s, dir) => Corpus.c17SemanticDecontamIvf(s, dir)),

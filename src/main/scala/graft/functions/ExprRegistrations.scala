@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -109,5 +109,11 @@ object ExprRegistrations {
       case Seq(t, v) => SubwordIds(t, v)
       case other => throw new IllegalArgumentException(
         s"subword_ids expects 2 arguments, got ${other.size}")
+    },
+    desc("viterbi_ids",
+      "viterbi_ids(text, vocab) - piece-id sequence of the COST-OPTIMAL lattice segmentation (piece cost 1, UNK char 3, ties to the longer final piece; UNK -> -1)") {
+      case Seq(t, v) => ViterbiIds(t, v)
+      case other => throw new IllegalArgumentException(
+        s"viterbi_ids expects 2 arguments, got ${other.size}")
     })
 }

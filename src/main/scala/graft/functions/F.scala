@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -90,6 +90,12 @@ object F {
     */
   def subwordIds(text: Column, vocabJoined: String): Column =
     c(SubwordIds(e(text), e(org.apache.spark.sql.functions.lit(vocabJoined))))
+
+  /** Native Viterbi lattice segmentation (e16): the cost-optimal
+    * piece-id sequence (piece 1, UNK 3, ties → longer final piece).
+    */
+  def viterbiIds(text: Column, vocabJoined: String): Column =
+    c(ViterbiIds(e(text), e(org.apache.spark.sql.functions.lit(vocabJoined))))
 
   /** One-pass per-document repetition stats (e13): [n_tokens,
     * n_distinct, top_token_count, top_2gram_count, n_2grams].

@@ -252,6 +252,41 @@ object TextOps {
   def subwordIdsCol(text: Column, vocab: Seq[String] = SubwordVocab): Column =
     graft.functions.F.subwordIds(text, graft.functions.F.joinVocab(vocab))
 
+  /** Cost-optimal piece-id sequence column (e16): the Viterbi lattice
+    * decode against the same vocab (piece cost 1, UNK 3).
+    */
+  def viterbiIdsCol(text: Column, vocab: Seq[String] = SubwordVocab): Column =
+    graft.functions.F.viterbiIds(text, graft.functions.F.joinVocab(vocab))
+
+  /** t21: Viterbi lattice tokenization — the unigram-LM DECODE rule
+    * (SentencePiece's inference step, public algorithm) with integer
+    * costs: minimize total segmentation cost (piece 1, UNK char 3 —
+    * the minimal-fertility objective; a trained LM supplies real
+    * costs at scale, the lattice DP is identical). Globally OPTIMAL
+    * where t08/t09's greedy longest-match is not: an early long match
+    * can force UNKs later ("xy" then UNK z, where x + yz segments
+    * clean) — the corpus-wide law `n_pieces ≤ n_pieces_greedy` is
+    * asserted by the spec AND replayed in the oracle.
+    *
+    * Per-row, shuffle-free, one codegen'd e16 kernel pass
+    * (O(n·maxPieceLen) forward DP + backtrack, two int arrays); the
+    * greedy column rides the same scan for the comparison.
+    */
+  def t21ViterbiTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.documents
+      .select(col("doc_id"),
+        viterbiIdsCol(col("text")).as("ids"),
+        subwordIdsCol(col("text")).as("gids"))
+      .select(col("doc_id"),
+        size(col("ids")).cast(LongType).as("n_pieces"),
+        (size(col("ids")) - size(array_remove(col("ids"), -1)))
+          .cast(LongType).as("n_unk"),
+        size(col("gids")).cast(LongType).as("n_pieces_greedy"),
+        concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
+      .orderBy("doc_id")
+  }
+
   /** t08: tokenizer-apply — greedy longest-match subword segmentation
     * of every document against the (broadcast-literal) vocab, emitting
     * model-tokenizer token counts and the UNK fallback count. Per-row,

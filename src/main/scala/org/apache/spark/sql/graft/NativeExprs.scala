@@ -220,6 +220,91 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
   }
 
+  /** Viterbi lattice segmentation (the unigram-LM DECODE step, public
+    * algorithm — SentencePiece's inference rule with integer costs):
+    * minimize total segmentation cost over the whole text, where a
+    * vocab piece costs 1 and an UNK character costs 3 (minimal-token
+    * "fertility" objective; a trained LM supplies real costs at scale
+    * — the lattice DP is identical). Deterministic tie-break: at
+    * equal cost the LONGER final piece wins, which fixes a unique
+    * predecessor per position (a piece is determined by its end and
+    * length). Emits piece ids (UNK → −1) like [[subwordIds]], but
+    * globally OPTIMAL — greedy longest-match can be beaten when an
+    * early long match blocks a longer suffix match; Viterbi never is
+    * (piece count ≤ greedy's, a law the spec and oracle both pin).
+    *
+    * One forward pass with best-cost + backpointer arrays, one
+    * backtrack; O(n·maxPieceLen) per row, no allocation beyond the
+    * two int arrays.
+    */
+  private val vocabMaxLenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def viterbiIds(text: UTF8String, vocabJoined: UTF8String): ArrayData = {
+    val joined = vocabJoined.toString
+    val vocab = subwordVocabCache.computeIfAbsent(joined, buildSubwordVocab)
+    val maxPieceLen: Int = vocabMaxLenCache.computeIfAbsent(joined,
+      j => Integer.valueOf(
+        j.split(VocabSep).foldLeft(1)((m, p) => math.max(m, p.length))))
+    val s = text.toString
+    val n = s.length
+    val best = new Array[Int](n + 1)
+    val predLen = new Array[Int](n + 1) // chosen len; 0 marks UNK
+    val predId = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      // UNK baseline: consume one char
+      best(i) = best(i - 1) + 3
+      predLen(i) = 0
+      predId(i) = -1
+      // pieces ENDING at i: scan candidates starting at each j < i is
+      // O(n·V); instead scan pieces STARTING at i−len for len ↓ —
+      // equivalently all candidate pieces anchored at each start are
+      // prefix-checked once per end via the by-first-char index
+      var len = 1
+      val lenCap = math.min(i, maxPieceLen)
+      while (len <= lenCap) {
+        val start = i - len
+        val candidates = vocab.get(s.charAt(start))
+        if (candidates != null) {
+          val ps = candidates._1
+          var k = 0
+          var found = false
+          while (k < ps.length && !found) {
+            if (ps(k).length == len && s.startsWith(ps(k), start)) {
+              val c = best(start) + 1
+              // strict <: at equal cost the longer piece (scanned
+              // later, len ascending) must win — so use <= for the
+              // longer-len preference
+              if (c < best(i) || (c == best(i) && len > predLen(i))) {
+                best(i) = c; predLen(i) = len; predId(i) = candidates._2(k)
+              }
+              found = true
+            }
+            k += 1
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    // backtrack
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var p = n
+    var count = 0
+    while (p > 0) { count += 1; p -= math.max(predLen(p), 1) }
+    val ids = new Array[Int](count)
+    p = n
+    var w = count - 1
+    while (p > 0) {
+      ids(w) = predId(p)
+      p -= math.max(predLen(p), 1)
+      w -= 1
+    }
+    out ++= ids
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+  }
+
   /** Deterministic dot product: float→double per element, left-to-right
     * fold (SURVEY.md §4 determinism discipline).
     */
@@ -757,6 +842,30 @@ case class SubwordIds(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SubwordIds =
+    copy(left = newLeft, right = newRight)
+}
+
+/** e16: Viterbi lattice segmentation — the unigram-LM decode rule
+  * with integer costs (piece 1, UNK 3; equal cost → longer final
+  * piece). Globally optimal where e11b is greedy; `viterbi_ids` in
+  * SQL after GraftExtensions registration.
+  */
+case class ViterbiIds(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "viterbi_ids"
+
+  override protected def nullSafeEval(t: Any, v: Any): Any =
+    Kernels.viterbiIds(t.asInstanceOf[UTF8String], v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v) =>
+      s"org.apache.spark.sql.graft.Kernels.viterbiIds($t, $v)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ViterbiIds =
     copy(left = newLeft, right = newRight)
 }
 

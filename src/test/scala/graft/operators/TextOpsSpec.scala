@@ -624,4 +624,74 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   private def round4(x: Double): Double = math.rint(x * 10000) / 10000
+
+  /** Reference Viterbi DP (plain Scala, the kernel's exact contract:
+    * piece 1 / UNK 3, ties to the longer final piece).
+    */
+  private def viterbiRef(s: String, vocab: Seq[String]): Seq[Int] = {
+    val n = s.length
+    val best = Array.fill(n + 1)(0)
+    val predLen = Array.fill(n + 1)(0)
+    val predId = Array.fill(n + 1)(-1)
+    for (i <- 1 to n) {
+      best(i) = best(i - 1) + 3; predLen(i) = 0; predId(i) = -1
+      for ((p, id) <- vocab.zipWithIndex if p.nonEmpty && p.length <= i &&
+          s.startsWith(p, i - p.length)) {
+        val c = best(i - p.length) + 1
+        if (c < best(i) || (c == best(i) && p.length > predLen(i))) {
+          best(i) = c; predLen(i) = p.length; predId(i) = id
+        }
+      }
+    }
+    var pos = n
+    var acc = List.empty[Int]
+    while (pos > 0) { acc = predId(pos) :: acc; pos -= math.max(predLen(pos), 1) }
+    acc
+  }
+
+  test("t21 viterbi beats greedy on a blocking fixture; kernel == reference DP") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // vocab where greedy's first long match forces an UNK: "xy" then
+    // UNK(z) costs 1+3=4; optimal "x"+"yz" costs 2
+    val vocab = Seq("x", "xy", "yz")
+    val joined = graft.functions.F.joinVocab(vocab)
+    import spark.implicits._
+    val got = Seq("xyz").toDF("t")
+      .select(graft.functions.F.viterbiIds(col("t"), joined)).collect()(0)
+      .getSeq[Int](0)
+    assert(got == Seq(0, 2), s"got $got") // x, yz
+    val greedy = Seq("xyz").toDF("t")
+      .select(graft.functions.F.subwordIds(col("t"), joined)).collect()(0)
+      .getSeq[Int](0)
+    assert(greedy == Seq(1, -1)) // xy, UNK — strictly worse
+    // kernel == reference DP on corpus texts (value-exact, all docs)
+    val texts = graft.Tables(spark, TestSpark.Sf0001).documents
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val sparkIds = graft.Tables(spark, TestSpark.Sf0001).documents
+      .select(col("doc_id"),
+        TextOps.viterbiIdsCol(col("text")).as("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    texts.foreach { case (id, t) =>
+      assert(sparkIds(id) == viterbiRef(t, TextOps.SubwordVocab),
+        s"doc $id diverges from the reference DP")
+    }
+  }
+
+  test("t21 optimality laws: n_pieces <= greedy corpus-wide; segmentation valid") {
+    val rows = TextOps.t21ViterbiTokenize(spark, TestSpark.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3),
+        s"doc ${r.getLong(0)}: viterbi ${r.getLong(1)} > greedy ${r.getLong(3)}")
+      // ids_csv length agrees with n_pieces; unk count consistent
+      val ids = r.getString(4).split(",").map(_.toInt)
+      assert(ids.length.toLong == r.getLong(1))
+      assert(ids.count(_ == -1).toLong == r.getLong(2))
+    }
+    // On THIS vocab the corpus never exercises a strict improvement
+    // (its pieces are close to prefix-closed, so greedy is optimal on
+    // the synthetic text) — the blocking FIXTURE above is the strict
+    // evidence; here the value is the corpus-wide ≤ bound plus exact
+    // reference-DP equality in the kernel test.
+  }
 }
