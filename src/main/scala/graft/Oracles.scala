@@ -1998,7 +1998,13 @@ object Oracles {
     // the logs. The per-step argmin is ORDER BY cost, ordlen DESC —
     // the kernel's exact tie-break (UNK carries ordlen 0, so any
     // equal-cost piece beats it; a piece is unique given end+len).
-    "t21_viterbi_tokenize" ->
+    "t21_viterbi_tokenize" -> {
+      // the fwd CTE's rolling window is 8 slots wide; a vocab piece
+      // longer than that would be SILENTLY dropped by `v.len <= 8`
+      // and decode a worse lattice — fail at map construction, not
+      // with a confusing value mismatch at gate time
+      require(operators.TextOps.SubwordVocab.forall(_.length <= 8),
+        "t21 oracle window (8) is narrower than a SubwordVocab piece")
       s"""$SubwordIdsCte,
          |fwd(doc_id, text, pos, b1, b2, b3, b4, b5, b6, b7, b8,
          |    lens, pids) AS (
@@ -2045,13 +2051,16 @@ object Oracles {
          |      AS n_greedy
          |  FROM step WHERE pos > length(text))
          |SELECT v.doc_id,
-         |  CAST(len(string_split(v.path, ',')) AS BIGINT) AS n_pieces,
-         |  CAST(len(list_filter(string_split(v.path, ','), x -> x = '-1'))
-         |    AS BIGINT) AS n_unk,
+         |  CAST(CASE WHEN v.path = '' THEN 0
+         |    ELSE len(string_split(v.path, ',')) END AS BIGINT) AS n_pieces,
+         |  CAST(CASE WHEN v.path = '' THEN 0
+         |    ELSE len(list_filter(string_split(v.path, ','), x -> x = '-1'))
+         |    END AS BIGINT) AS n_unk,
          |  g.n_greedy AS n_pieces_greedy,
          |  v.path AS ids_csv
          |FROM vit v JOIN greedy g USING (doc_id)
-         |ORDER BY v.doc_id""".stripMargin,
+         |ORDER BY v.doc_id""".stripMargin
+    },
 
     // c24: the whole boundary layout replays — ids rebuilt by the t09
     // CTE (comma count = piece count), global offsets by a window

@@ -277,12 +277,14 @@ object TextOps {
     t.documents
       .select(col("doc_id"),
         viterbiIdsCol(col("text")).as("ids"),
-        subwordIdsCol(col("text")).as("gids"))
+        // greedy count via the STATS kernel — same count, no array
+        // construction (the c12 kernels-cheap-arrays-not discipline)
+        element_at(subwordStatsCol(col("text")), 1).as("n_pieces_greedy"))
       .select(col("doc_id"),
         size(col("ids")).cast(LongType).as("n_pieces"),
         (size(col("ids")) - size(array_remove(col("ids"), -1)))
           .cast(LongType).as("n_unk"),
-        size(col("gids")).cast(LongType).as("n_pieces_greedy"),
+        col("n_pieces_greedy"),
         concat_ws(",", col("ids").cast("array<string>")).as("ids_csv"))
       .orderBy("doc_id")
   }

@@ -268,14 +268,14 @@ object Kernels {
         val candidates = vocab.get(s.charAt(start))
         if (candidates != null) {
           val ps = candidates._1
+          // candidates are length-DESCENDING: skip longer pieces,
+          // stop as soon as lengths fall below the target
           var k = 0
+          while (k < ps.length && ps(k).length > len) k += 1
           var found = false
-          while (k < ps.length && !found) {
-            if (ps(k).length == len && s.startsWith(ps(k), start)) {
+          while (k < ps.length && ps(k).length == len && !found) {
+            if (s.startsWith(ps(k), start)) {
               val c = best(start) + 1
-              // strict <: at equal cost the longer piece (scanned
-              // later, len ascending) must win — so use <= for the
-              // longer-len preference
               if (c < best(i) || (c == best(i) && len > predLen(i))) {
                 best(i) = c; predLen(i) = len; predId(i) = candidates._2(k)
               }
@@ -289,7 +289,6 @@ object Kernels {
       i += 1
     }
     // backtrack
-    val out = new scala.collection.mutable.ArrayBuilder.ofInt
     var p = n
     var count = 0
     while (p > 0) { count += 1; p -= math.max(predLen(p), 1) }
@@ -301,8 +300,7 @@ object Kernels {
       p -= math.max(predLen(p), 1)
       w -= 1
     }
-    out ++= ids
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.result())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(ids)
   }
 
   /** Deterministic dot product: float→double per element, left-to-right

@@ -684,7 +684,9 @@ class TextOpsSpec extends AnyFunSuite {
       assert(r.getLong(1) <= r.getLong(3),
         s"doc ${r.getLong(0)}: viterbi ${r.getLong(1)} > greedy ${r.getLong(3)}")
       // ids_csv length agrees with n_pieces; unk count consistent
-      val ids = r.getString(4).split(",").map(_.toInt)
+      // (filter the empty-string artifact of splitting "" so an
+      // empty doc reads as 0 pieces, matching the kernel)
+      val ids = r.getString(4).split(",").filter(_.nonEmpty).map(_.toInt)
       assert(ids.length.toLong == r.getLong(1))
       assert(ids.count(_ == -1).toLong == r.getLong(2))
     }
