@@ -540,6 +540,18 @@ object Oracles {
          |FROM fin f JOIN ex USING (flag)
          |ORDER BY l_returnflag""".stripMargin,
 
+    // q55: the walk replays as a recursive CTE — the oracle iterates
+    // the parent rule itself, so the pointer-doubling composition is
+    // differentially checked against a per-level walk.
+    "q55_tree_flatten" ->
+      """WITH RECURSIVE walk(id, anc, depth) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT id, anc // 2, depth + 1 FROM walk WHERE anc >= 2)
+        |SELECT id AS doc_id, CAST(anc AS BIGINT) AS root_id, depth
+        |FROM walk WHERE anc < 2
+        |ORDER BY doc_id""".stripMargin,
+
     "q29_asof_join" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  CAST(p.ts AS VARCHAR) AS purchase_ts,

@@ -1109,4 +1109,43 @@ object Relational {
           .as("sum_trailing_hour"))
       .orderBy("event_id")
   }
+
+  /** q55: hierarchy flattening — resolve every node of a parent tree
+    * to its (root, depth), the BOM-explosion / org-chart / category-
+    * tree warehouse staple Spark has no recursive CTE for. The demo
+    * tree is closed-form in doc_id (parent = id div 2; ids 0 and 1
+    * are roots), so the DuckDB oracle replays the WALK itself as a
+    * recursive CTE — a differential check of the iteration, not of a
+    * formula.
+    *
+    * Scale: POINTER DOUBLING, not per-level walking — each round
+    * composes the current ancestor jump with itself (anc ← anc(anc),
+    * depths add), so a depth-d tree converges in ⌈log₂ d⌉ keyed
+    * equi-joins (d07's contraction discipline: states checkpointed
+    * per round, convergence = no non-root ancestor remains, checked
+    * with a limit(1) existence probe — never a full count).
+    */
+  def q55TreeFlatten(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.select(col("doc_id").as("id"))
+    var state = ids.select(col("id"),
+      when(col("id") < 2, col("id")).otherwise(expr("id div 2")).as("anc"),
+      when(col("id") < 2, lit(0L)).otherwise(lit(1L)).as("depth"))
+      .localCheckpoint(false)
+    var converged =
+      state.filter(col("anc") >= 2).limit(1).count() == 0L
+    while (!converged) {
+      state = state.as("a")
+        .join(state.select(col("id").as("j_id"), col("anc").as("j_anc"),
+          col("depth").as("j_depth")).as("b"),
+          col("a.anc") === col("b.j_id"))
+        .select(col("a.id"), col("j_anc").as("anc"),
+          (col("a.depth") + col("j_depth")).as("depth"))
+        .localCheckpoint(false)
+      converged = state.filter(col("anc") >= 2).limit(1).count() == 0L
+    }
+    state
+      .select(col("id").as("doc_id"), col("anc").as("root_id"),
+        col("depth"))
+      .orderBy("doc_id")
+  }
 }

@@ -94,4 +94,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(diff("lang") == 1.0 && diff("tokens") == 0.0 &&
       diff("chars") == 0.0 && diff("source") == 0.0)
   }
+
+  test("q55 tree flatten: closed-form depth/root laws; parent consistency") {
+    val rows = Relational.q55TreeFlatten(spark, TestSpark.Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, (root, depth)) =>
+      // parent = id div 2, roots 0 and 1 ⇒ depth = floor(log2 id),
+      // root = 1 for every id ≥ 1
+      if (id == 0L) assert(root == 0L && depth == 0L)
+      else {
+        assert(root == 1L, s"id $id root $root")
+        assert(depth == (63 - java.lang.Long.numberOfLeadingZeros(id)).toLong,
+          s"id $id depth $depth")
+      }
+    }
+    // local consistency: every non-root's parent sits one level up
+    rows.foreach { case (id, (_, depth)) =>
+      if (id >= 2L) rows.get(id / 2).foreach { case (_, pDepth) =>
+        assert(pDepth == depth - 1, s"id $id parent depth")
+      }
+    }
+  }
 }
