@@ -156,7 +156,10 @@ object OracleAux {
     // m15's JPEG segment walk + orig/scrub payload hashes — the
     // APPn/COM classification and accounting replay downstream
     ("m15_segs", Set("m15_jpeg_scrub"),
-      (s, d) => operators.Multimodal.m15AuxSegs(s, d)))
+      (s, d) => operators.Multimodal.m15AuxSegs(s, d)),
+    // m16's DCT signatures — banding + popcount verify replay
+    ("m16_sigs", Set("m16_dct_dedup"),
+      (s, d) => operators.Multimodal.m16AuxSigs(s, d)))
 
   /** Write the side-tables (all of them, or only those serving the
     * `onlyFor` query filter). A failed producer is loud on stderr and

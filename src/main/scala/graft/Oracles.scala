@@ -873,6 +873,7 @@ object Oracles {
 
     "d03_dedup_simhash" -> bandedHammingSql("d03_sigs", "sh64", 16),
     "m04_phash_dedup" -> bandedHammingSql("m04_sigs", "ah64", 16),
+    "m16_dct_dedup" -> bandedHammingSql("m16_sigs", "ph64", 16),
     "m06_dhash_dedup" -> bandedHammingSql("m06_sigs", "dh64", 14),
     "m08_audio_dedup" -> bandedHammingSql("m08_sigs", "af64", 16),
 

@@ -83,6 +83,7 @@ object SparkEntry {
     "m11_type_sniff" -> ((s, dir) => Multimodal.m11TypeSniff(s, dir)),
     "m12_png_scrub" -> ((s, dir) => Multimodal.m12PngScrub(s, dir)),
     "m15_jpeg_scrub" -> ((s, dir) => Multimodal.m15JpegScrub(s, dir)),
+    "m16_dct_dedup" -> ((s, dir) => Multimodal.m16DctDedup(s, dir)),
     "m13_image_pool" -> ((s, dir) => Multimodal.m13ImagePool(s, dir)),
     "m14_audio_decimate" -> ((s, dir) => Multimodal.m14AudioDecimate(s, dir)),
     "q28_approx_distinct" -> (Approx.q28ApproxDistinct(_, _)),

@@ -790,6 +790,112 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- m16
+
+  /** 8-point DCT-II basis, cos((2x+1)·u·π/16) — StrictMath on fixed
+    * arguments, one table per JVM, bit-identical everywhere.
+    */
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0))
+
+  /** 64-bit DCT perceptual hash (the public pHash construction):
+    * block-resize to 8×8, unnormalized 2D DCT-II in a fixed fold
+    * order, bit i = coefficient i above the MEDIAN of the 63 non-DC
+    * coefficients (DC excluded and its bit left 0). The frequency-
+    * domain sibling of aHash (m04) and dHash (m06): thresholding
+    * against the median of spectral coefficients is EXACTLY invariant
+    * under contrast scaling (all coefficients and the median scale
+    * together — doubling is even IEEE-exact) and insensitive to
+    * uniform brightness shifts (only the excluded DC moves, up to the
+    * ~1e-16 cos-row residue), while localized pixel damage spreads
+    * thinly across the spectrum instead of flipping whole cells.
+    * Fixed-order arithmetic: bit-identical on every executor.
+    */
+  def dctPhash64(w: Int, h: Int, pixels: Array[Int]): Long = {
+    val g = Codecs.blockResize(w, h, pixels, 8)
+    val f = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            acc += g(y * 8 + x).toDouble * DctCos(u)(x) * DctCos(v)(y)
+            y += 1
+          }
+          x += 1
+        }
+        f(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val nonDc = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(nonDc)
+    val med = nonDc(31)
+    var bits = 0L
+    var i = 1
+    while (i < 64) { if (f(i) > med) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** (doc_id, ph64) DCT-hash signatures of an image frame — shared by
+    * the m16 pair join and its oracle side-table.
+    */
+  def m16Sigs(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, png) =>
+          val (w, h, px) = Codecs.decodeGray(png)
+          (id, dctPhash64(w, h, px))
+        }
+      }
+      .toDF("doc_id", "ph64")
+  }
+
+  /** m16: DCT-hash near-dup pairs — m04's banding template (4×16-bit
+    * bands, pigeonhole-exact for Hamming ≤ 3) on the spectral
+    * signature. Signatures shuffle, pixels never do.
+    */
+  def m16DctPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = m16Sigs(images)
+    val bnd = sigs.select(col("doc_id"), col("ph64"), explode(
+      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
+        call_function("shiftright", col("ph64"), j * lit(16))
+          .bitwiseAND(lit(0xFFFFL)).as("bh"))))
+      .as("bk"))
+      .select(col("doc_id"), col("ph64"), col("bk.band"), col("bk.bh"))
+    bnd.as("x").join(bnd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.ph64").bitwiseXOR(col("y.ph64")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** m16 driver query: spectral near-dup pairs over the SAME planted
+    * corpus m04 hashes — the three perceptual signatures (aHash m04,
+    * dHash m06, DCT m16) are deliberately comparable side by side.
+    */
+  def m16DctDedup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    m16DctPairsOver(plantedImageCorpus(spark, dir), maxHamming)
+
+  /** m16 oracle side-table: the planted corpus's DCT signatures. */
+  def m16AuxSigs(spark: SparkSession, dir: String): DataFrame =
+    m16Sigs(plantedImageCorpus(spark, dir))
+
   /** splitmix64 finalizer — the public 64-bit mixer. m04's demo needs
     * it because [[pixel]] is LINEAR in the seed: two nearby ids give
     * uniformly-shifted images, which aHash (correctly) calls

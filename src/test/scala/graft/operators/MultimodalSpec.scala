@@ -778,6 +778,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(scrubbed.length == jpeg.length - (4 + "Exif  gps".length))
   }
 
+  test("m16 dct hash: exact contrast invariance, shift stability, damage spread") {
+    val (w, h, px) = Multimodal.Codecs.decodeGray(Multimodal.synthImageNoise(7L))
+    val base = Multimodal.dctPhash64(w, h, px)
+    // contrast doubling is IEEE-EXACT invariant (exponent bump only)
+    assert(Multimodal.dctPhash64(w, h, px.map(_ * 2)) == base)
+    // brightness shift moves only the excluded DC (up to the ~1e-16
+    // cos-row residue — far below any |F − median| gap on real data)
+    assert(Multimodal.dctPhash64(w, h, px.map(_ + 50)) == base)
+    // a blown pixel spreads thinly across the spectrum — bounded flips
+    val dam = px.clone(); dam(5) = 255
+    val hd = java.lang.Long.bitCount(Multimodal.dctPhash64(w, h, dam) ^ base)
+    assert(hd > 0 && hd <= 12, s"damage flipped $hd bits")
+    // balanced signature: median thresholding sets ~half the bits
+    val n = java.lang.Long.bitCount(base)
+    assert(n >= 20 && n <= 40, s"unbalanced signature: $n bits")
+  }
+
+  test("m16 demo: pairs are exactly the planted variants within Hamming 3") {
+    import spark.implicits._
+    val got = Multimodal.m16DctDedup(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // recompute the expected set locally: planted ids, local hashes
+    val ids = graft.Tables(spark, TestSpark.Sf0001).documents
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    def hashOf(png: Array[Byte]): Long = {
+      val (w, h, px) = Multimodal.Codecs.decodeGray(png)
+      Multimodal.dctPhash64(w, h, px)
+    }
+    val expect = ids.filter(_ % 30 == 0).flatMap { id =>
+      val hm = java.lang.Long.bitCount(
+        hashOf(Multimodal.synthImageNoise(id)) ^
+          hashOf(Multimodal.synthImageVariant(id)))
+      if (hm <= 3) Some((id, id + 1000000L, hm.toLong)) else None
+    }.toSeq
+    // every expected planted pair is found (≤3 flips always share a
+    // band — pigeonhole); anything extra must be a ≤3 random collision
+    expect.foreach(e => assert(got.contains(e), s"missing planted $e"))
+    got.filterNot(expect.contains).foreach { case (a, b, hm) =>
+      assert(hm <= 3, s"non-planted pair ($a,$b) above threshold")
+    }
+    assert(expect.nonEmpty, "no planted pair within threshold — demo inert")
+  }
+
   test("m15 demo: every image recovers exactly, two metadata segments each") {
     val rows = Multimodal.m15JpegScrub(spark, dir).collect()
     assert(rows.nonEmpty)
