@@ -2075,6 +2075,43 @@ object Oracles {
          |ORDER BY v.doc_id""".stripMargin
     },
 
+    // c25: c24's replay extended with the two-span prompt/response
+    // construction — spans built per doc, empty ones dropped, clipped
+    // per sequence, seg_idx by a seq-partitioned row_number (seg_start
+    // is unique per seq: spans tile the token stream).
+    "c25_sft_pack" ->
+      s"""$SubwordIdsCte,
+         |d AS (SELECT doc_id,
+         |    CAST(length(ids) - length(replace(ids, ',', '')) AS BIGINT) AS n
+         |  FROM step WHERE pos > length(text)),
+         |o AS (SELECT doc_id, n,
+         |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS ts
+         |  FROM d),
+         |sp AS (
+         |  SELECT doc_id, ts AS lo, ts + (n // 3) AS hi,
+         |    CAST(0 AS BIGINT) AS loss_mask
+         |  FROM o WHERE n > 0 AND n // 3 > 0
+         |  UNION ALL
+         |  SELECT doc_id, ts + (n // 3), ts + n, CAST(1 AS BIGINT)
+         |  FROM o WHERE n > 0 AND n - n // 3 > 0),
+         |e AS (SELECT doc_id, lo, hi, loss_mask,
+         |    unnest(range(lo // 128, (hi - 1) // 128 + 1)) AS seq_id
+         |  FROM sp),
+         |s AS (SELECT seq_id, doc_id, loss_mask,
+         |    greatest(lo, seq_id * 128) - seq_id * 128 AS seg_start,
+         |    least(hi, (seq_id + 1) * 128) -
+         |      greatest(lo, seq_id * 128) AS seg_len
+         |  FROM e)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(row_number() OVER (PARTITION BY seq_id ORDER BY seg_start)
+         |    - 1 AS BIGINT) AS seg_idx,
+         |  doc_id, CAST(seg_start AS BIGINT) AS seg_start,
+         |  CAST(seg_len AS BIGINT) AS seg_len, loss_mask
+         |FROM s
+         |ORDER BY seq_id, seg_idx""".stripMargin,
+
     // c24: the whole boundary layout replays — ids rebuilt by the t09
     // CTE (comma count = piece count), global offsets by a window
     // prefix-sum, per-doc sequence ranges by generate-series, the

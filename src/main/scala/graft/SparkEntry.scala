@@ -162,6 +162,7 @@ object SparkEntry {
     "c24_boundary_masks" -> ((s, dir) => Corpus.c24BoundaryMasks(s, dir)),
     "t21_viterbi_tokenize" -> ((s, dir) => TextOps.t21ViterbiTokenize(s, dir)),
     "q55_tree_flatten" -> (Relational.q55TreeFlatten(_, _)),
+    "c25_sft_pack" -> ((s, dir) => Corpus.c25SftPack(s, dir)),
     // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
     // flat c17 oracle checks the whole indexed path end-to-end
     "c17_semantic_decontam_ivf" -> ((s, dir) => Corpus.c17SemanticDecontamIvf(s, dir)),

@@ -1657,6 +1657,59 @@ object Corpus {
       .orderBy("seq_id", "seg_idx")
   }
 
+  /** c25: SFT pack layout with loss masks — the instruction-tuning
+    * sibling of c24 (public practice: supervised fine-tuning packs
+    * (prompt, response) pairs and masks the PROMPT tokens out of the
+    * loss; the pack layout must carry per-span mask flags next to the
+    * doc boundaries). Each document splits at a closed-form boundary
+    * (prompt = first n div 3 tokens, response = the rest — the demo's
+    * stand-in for a real prompt/response delimiter), contributing up
+    * to two logical spans per sequence crossing: one row per
+    * (sequence, segment) with `seq_id, seg_idx, doc_id, seg_start,
+    * seg_len, loss_mask` (0 = prompt, masked; 1 = response, trained).
+    *
+    * Same scale posture as c24: offsets from c09's distributed
+    * prefix-sum alone, exact-integer span clipping, seg_idx via a
+    * seq-KEYED row_number, explode bounded per doc.
+    */
+  def c25SftPack(spark: SparkSession, dir: String,
+      seqLen: Long = 128L): DataFrame = {
+    val offs = packOffsetsOver(
+      Tables(spark, dir).documents.select(col("doc_id"),
+        element_at(TextOps.subwordStatsCol(col("text")), 1).as("n_tokens")),
+      seqLen)
+    // the two per-doc spans: [ts, ts+p) masked, [ts+p, ts+n) trained
+    val spans = offs.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
+        expr("n_tokens div 3").as("p"))
+      .select(col("doc_id"), explode(array(
+        struct(col("tok_start").as("lo"),
+          (col("tok_start") + col("p")).as("hi"), lit(0L).as("loss_mask")),
+        struct((col("tok_start") + col("p")).as("lo"),
+          (col("tok_start") + col("n_tokens")).as("hi"),
+          lit(1L).as("loss_mask")))).as("s"))
+      .select(col("doc_id"), col("s.lo"), col("s.hi"), col("s.loss_mask"))
+      .filter(col("hi") > col("lo")) // empty prompt/response spans drop
+    val clipped = spans
+      .select(col("doc_id"), col("lo"), col("hi"), col("loss_mask"),
+        explode(sequence(expr(s"lo div $seqLen"),
+          expr(s"(hi - 1) div $seqLen"))).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"), col("loss_mask"),
+        (greatest(col("lo"), col("seq_id") * seqLen) -
+          col("seq_id") * seqLen).as("seg_start"),
+        (least(col("hi"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("lo"), col("seq_id") * seqLen)).as("seg_len"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seq_id").orderBy("seg_start")
+    clipped
+      .withColumn("seg_idx",
+        (org.apache.spark.sql.functions.row_number().over(w) - 1)
+          .cast("long"))
+      .select("seq_id", "seg_idx", "doc_id", "seg_start", "seg_len",
+        "loss_mask")
+      .orderBy("seq_id", "seg_idx")
+  }
+
   /** c23: binary token-shard export — the terminal TRAIN-READY
     * artifact below even c12's packed sequences: the public
     * fixed-width binary shard convention (GPT-2/nanoGPT-style `.bin`

@@ -950,6 +950,41 @@ class CorpusSpec extends AnyFunSuite {
       assert(rows.exists(_.getString(2).contains("FFFF")))
   }
 
+  test("c25 sft pack: spans tile like c24, masks split each doc at n div 3") {
+    val rows = Corpus.c25SftPack(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // tiling: same contiguity discipline as c24
+    rows.groupBy(_._1).foreach { case (seq, segs) =>
+      val s = segs.sortBy(_._2)
+      assert(s.map(_._2).toSeq == s.indices.map(_.toLong))
+      assert(s.head._4 == 0L)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._4 + a._5, s"gap in seq $seq")
+        case _ =>
+      }
+      assert(s.forall(_._5 > 0))
+    }
+    // per doc: masked token total == n div 3, trained == the rest;
+    // c24 agreement: merging the mask split reproduces its layout
+    val c24 = Corpus.c24BoundaryMasks(spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(4)).toMap
+    val byDoc = rows.groupBy(_._3)
+    byDoc.foreach { case (doc, segs) =>
+      val masked = segs.filter(_._6 == 0L).map(_._5).sum
+      val trained = segs.filter(_._6 == 1L).map(_._5).sum
+      val n = masked + trained
+      assert(masked == n / 3, s"doc $doc masked $masked of $n")
+      // per (seq, doc): c25 lens sum to the c24 segment length
+      segs.groupBy(_._1).foreach { case (seq, ss) =>
+        assert(ss.map(_._5).sum == c24((seq, doc)), s"seq $seq doc $doc")
+      }
+    }
+    // both mask classes exist
+    assert(rows.exists(_._6 == 0L) && rows.exists(_._6 == 1L))
+  }
+
   test("c24 boundary masks: segments tile every sequence; c12 cross-check") {
     val rows = Corpus.c24BoundaryMasks(spark, TestSpark.Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
