@@ -771,24 +771,38 @@ object Multimodal {
       .toDF()
   }
 
-  def m04PhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = m04Sigs(images)
-    val bnd = sigs.select(col("doc_id"), col("ah64"), explode(
+  /** Shared banded-Hamming pair join — the ONE template all four
+    * perceptual-signature dedups (m04 aHash, m06 dHash, m08 audio,
+    * m16 DCT) instantiate, mirroring the oracle side's single
+    * `bandedHammingSql` helper: explode 4 `bandBits`-wide bands of
+    * `sigCol`, self-join on (band, hash), verify by xor/popcount —
+    * pigeonhole-exact for Hamming ≤ 3 within the banded bits. The
+    * signature frame is checkpointed once, so the decode+hash
+    * pipeline feeds BOTH join sides from one pass.
+    */
+  def bandedPairsOver(sigs0: DataFrame, sigCol: String, bandBits: Int,
+      maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    val sigs = sigs0.localCheckpoint(false)
+    val bnd = sigs.select(col("doc_id"), col(sigCol), explode(
       transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
-        call_function("shiftright", col("ah64"), j * lit(16))
-          .bitwiseAND(lit(0xFFFFL)).as("bh"))))
+        call_function("shiftright", col(sigCol), j * lit(bandBits))
+          .bitwiseAND(lit(mask)).as("bh"))))
       .as("bk"))
-      .select(col("doc_id"), col("ah64"), col("bk.band"), col("bk.bh"))
+      .select(col("doc_id"), col(sigCol), col("bk.band"), col("bk.bh"))
     bnd.as("x").join(bnd.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.ah64").bitwiseXOR(col("y.ah64")))
+        bit_count(col(s"x.$sigCol").bitwiseXOR(col(s"y.$sigCol")))
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  def m04PhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedPairsOver(m04Sigs(images), "ah64", 16, maxHamming)
 
   // ---------------------------------------------------------------- m16
 
@@ -861,28 +875,12 @@ object Multimodal {
       .toDF("doc_id", "ph64")
   }
 
-  /** m16: DCT-hash near-dup pairs — m04's banding template (4×16-bit
-    * bands, pigeonhole-exact for Hamming ≤ 3) on the spectral
-    * signature. Signatures shuffle, pixels never do.
+  /** m16: DCT-hash near-dup pairs — the shared [[bandedPairsOver]]
+    * template (4×16-bit bands, pigeonhole-exact for Hamming ≤ 3) on
+    * the spectral signature. Signatures shuffle, pixels never do.
     */
-  def m16DctPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = m16Sigs(images)
-    val bnd = sigs.select(col("doc_id"), col("ph64"), explode(
-      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
-        call_function("shiftright", col("ph64"), j * lit(16))
-          .bitwiseAND(lit(0xFFFFL)).as("bh"))))
-      .as("bk"))
-      .select(col("doc_id"), col("ph64"), col("bk.band"), col("bk.bh"))
-    bnd.as("x").join(bnd.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.ph64").bitwiseXOR(col("y.ph64")))
-          .cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
-  }
+  def m16DctPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedPairsOver(m16Sigs(images), "ph64", 16, maxHamming)
 
   /** m16 driver query: spectral near-dup pairs over the SAME planted
     * corpus m04 hashes — the three perceptual signatures (aHash m04,
@@ -1054,24 +1052,9 @@ object Multimodal {
   }
 
   def m08AudioPairsOver(audio: DataFrame, maxHamming: Int = 3,
-      windowSamples: Int = 256, hopSamples: Int = 128): DataFrame = {
-    val sigs = m08Sigs(audio, windowSamples, hopSamples)
-    val bnd = sigs.select(col("doc_id"), col("af64"), explode(
-      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
-        call_function("shiftright", col("af64"), j * lit(16))
-          .bitwiseAND(lit(0xFFFFL)).as("bh"))))
-      .as("bk"))
-      .select(col("doc_id"), col("af64"), col("bk.band"), col("bk.bh"))
-    bnd.as("x").join(bnd.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.af64").bitwiseXOR(col("y.af64")))
-          .cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
-  }
+      windowSamples: Int = 256, hopSamples: Int = 128): DataFrame =
+    bandedPairsOver(m08Sigs(audio, windowSamples, hopSamples),
+      "af64", 16, maxHamming)
 
   /** The audio demo needs ~64+ windows and DECORRELATED energies:
     * [[synthWav]]'s pure tones are near-constant-RMS (transition signs
@@ -1195,24 +1178,8 @@ object Multimodal {
       .toDF()
   }
 
-  def m06DhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = m06Sigs(images)
-    val bnd = sigs.select(col("doc_id"), col("dh64"), explode(
-      transform(sequence(lit(0), lit(3)), j => struct(j.as("band"),
-        call_function("shiftright", col("dh64"), j * lit(14))
-          .bitwiseAND(lit(0x3FFFL)).as("bh"))))
-      .as("bk"))
-      .select(col("doc_id"), col("dh64"), col("bk.band"), col("bk.bh"))
-    bnd.as("x").join(bnd.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.dh64").bitwiseXOR(col("y.dh64")))
-          .cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
-  }
+  def m06DhashPairsOver(images: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedPairsOver(m06Sigs(images), "dh64", 14, maxHamming)
 
   /** Monotone NON-affine tone curve: tone(p) = p·(p+255)/510 — a
     * gamma-style darkening (0→0, 255→255, convex in between) that

@@ -1131,9 +1131,23 @@ object Relational {
       when(col("id") < 2, col("id")).otherwise(expr("id div 2")).as("anc"),
       when(col("id") < 2, lit(0L)).otherwise(lit(1L)).as("depth"))
       .localCheckpoint(false)
+    // referential integrity, checked ONCE and loudly: the state join
+    // drops a row whose ancestor id is absent — with integrity at
+    // round 0 every composed ancestor is present inductively, without
+    // it the result would be silently incomplete (an orphaned parent
+    // reference is data corruption, not a tree)
+    require(state.select(col("anc")).filter(col("anc") >= 2)
+      .except(ids).limit(1).count() == 0L,
+      "q55: parent chain references ids absent from the table")
     var converged =
       state.filter(col("anc") >= 2).limit(1).count() == 0L
+    var rounds = 0
     while (!converged) {
+      rounds += 1
+      // doubling halves remaining depth per round: 40 rounds covers
+      // depth 2^40 — only a parent CYCLE can exhaust this (d07's cap
+      // discipline: loud, never an infinite loop)
+      require(rounds <= 40, "q55: no convergence after 40 doublings — cycle?")
       state = state.as("a")
         .join(state.select(col("id").as("j_id"), col("anc").as("j_anc"),
           col("depth").as("j_depth")).as("b"),

@@ -798,8 +798,10 @@ class MultimodalSpec extends AnyFunSuite {
   test("m16 demo: pairs are exactly the planted variants within Hamming 3") {
     import spark.implicits._
     val got = Multimodal.m16DctDedup(spark, TestSpark.Sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    // recompute the expected set locally: planted ids, local hashes
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // recompute the FULL expected set locally (the m04 template):
+    // every corpus image hashed, all pairs brute-forced — exact set
+    // equality, so a spurious or dropped pair anywhere fails
     val ids = graft.Tables(spark, TestSpark.Sf0001).documents
       .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
       .select("doc_id").collect().map(_.getLong(0))
@@ -807,19 +809,17 @@ class MultimodalSpec extends AnyFunSuite {
       val (w, h, px) = Multimodal.Codecs.decodeGray(png)
       Multimodal.dctPhash64(w, h, px)
     }
-    val expect = ids.filter(_ % 30 == 0).flatMap { id =>
-      val hm = java.lang.Long.bitCount(
-        hashOf(Multimodal.synthImageNoise(id)) ^
-          hashOf(Multimodal.synthImageVariant(id)))
-      if (hm <= 3) Some((id, id + 1000000L, hm.toLong)) else None
-    }.toSeq
-    // every expected planted pair is found (≤3 flips always share a
-    // band — pigeonhole); anything extra must be a ≤3 random collision
-    expect.foreach(e => assert(got.contains(e), s"missing planted $e"))
-    got.filterNot(expect.contains).foreach { case (a, b, hm) =>
-      assert(hm <= 3, s"non-planted pair ($a,$b) above threshold")
-    }
-    assert(expect.nonEmpty, "no planted pair within threshold — demo inert")
+    val all = ids.map(id => id -> hashOf(Multimodal.synthImageNoise(id))) ++
+      ids.filter(_ % 30 == 0)
+        .map(id => (id + 1000000L) -> hashOf(Multimodal.synthImageVariant(id)))
+    val expect = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      hm = java.lang.Long.bitCount(ha ^ hb) if hm <= 3
+    } yield (a, b, hm.toLong)).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} spurious=${got -- expect}")
+    assert(expect.exists { case (a, b, _) => b == a + 1000000L },
+      "no planted pair within threshold — demo inert")
   }
 
   test("m15 demo: every image recovers exactly, two metadata segments each") {
