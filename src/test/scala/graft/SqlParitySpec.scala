@@ -35,6 +35,17 @@ class SqlParitySpec extends AnyFunSuite {
     * call, generate_series+unnest, order-qualified string_agg, `//`).
     */
   private val sparkSqlOverride: Map[String, String] = Map(
+    // Spark spells integer division `div`, DuckDB `//` — otherwise
+    // the recursive walk is the same ANSI text on both engines
+    "q55_tree_flatten" ->
+      """WITH RECURSIVE walk(id, anc, depth) AS (
+        |  SELECT doc_id, doc_id, CAST(0 AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT id, anc div 2, depth + 1 FROM walk WHERE anc >= 2)
+        |SELECT id AS doc_id, CAST(anc AS BIGINT) AS root_id, depth
+        |FROM walk WHERE anc < 2
+        |ORDER BY doc_id""".stripMargin,
+
     "q27_percentile" ->
       """SELECT l_returnflag,
         |       percentile(l_quantity, 0.25) AS p25,
