@@ -91,6 +91,10 @@ object Bench {
       // st22 is stateless — one row, the recurring per-drain WARC
       // enumeration + conversion-text landing cost
       "st22_intake" -> ((s, d) => streaming.Streams.st22BenchIntake(s, d)),
+      // st23's domain-quota gate, build/recurring split (name-sort
+      // keeps build before gate)
+      "st23_build" -> ((s, d) => streaming.Streams.st23BenchBuild(s, d)),
+      "st23_gate" -> ((s, d) => streaming.Streams.st23BenchGate(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

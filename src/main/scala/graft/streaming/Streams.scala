@@ -1221,6 +1221,116 @@ object Streams {
       .parquet(s"$lakePath.audit/batch=$batchId")
   }
 
+  /** One st23 micro-batch: admit documents subject to a PER-DOMAIN
+    * quota — the crawl-balance axis (public practice: RefinedWeb/
+    * FineWeb cap any one domain's contribution; a continuous crawler
+    * must therefore stop ADMITTING from a domain once its budget is
+    * spent, not discover the skew at mixture time). State is a
+    * persisted per-domain admitted-count ledger under
+    * `.domcounts/batch=<id>` (append-only batch directories; the
+    * current count is the sum over OTHER batches — the d13/st20
+    * replay-exclusion discipline, so re-running a batch re-derives
+    * its own verdicts instead of double-counting itself).
+    *
+    * Within a drain: canonicalize (d15) → canonical host as domain
+    * (c22) → rank the batch's docs per domain by doc_id
+    * (deterministic) → admit while prior + rank ≤ cap → land under
+    * `batch=<id>`, append this batch's per-domain admitted counts,
+    * audit conserves arrived = admitted + over_quota.
+    *
+    * Scale: one domain-keyed window over the BATCH (never the lake);
+    * the ledger read aggregates O(|domains|·batches) slim rows —
+    * compact with x20's relayout when batch count grows.
+    */
+  def domainQuotaBatch(batch: DataFrame, lakePath: String,
+      cap: Long, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val canon = graft.operators.Dedup.urlCanonicalizeOver(batch)
+      .withColumn("domain", regexp_extract(col("canon_url"),
+        "^[a-z][a-z0-9+.-]*://([^/?]*)", 1))
+      .localCheckpoint(true) // one canonicalization feeds rank + audit
+    val arrived = canon.count()
+    val cntPath = s"$lakePath.domcounts"
+    val fs = new org.apache.hadoop.fs.Path(cntPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(cntPath)))
+        Seq.empty[(String, Long)].toDF("domain", "prior")
+      else spark.read.parquet(cntPath)
+        .filter(col("batch") =!= batchId)
+        .groupBy("domain").agg(sum(col("n")).as("prior"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("doc_id")
+    val ranked = canon
+      .withColumn("rk",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .join(prior, Seq("domain"), "left")
+      .na.fill(0L, Seq("prior"))
+    val admitted = ranked.filter(col("prior") + col("rk") <= cap)
+      .localCheckpoint(true) // feeds landing, counts AND audit
+    val nAdmitted = admitted.count()
+    admitted.select("doc_id", "url", "canon_url", "domain")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+    admitted.groupBy("domain").agg(count(lit(1)).as("n"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$cntPath/batch=$batchId")
+    Seq((batchId, arrived, nAdmitted, arrived - nAdmitted))
+      .toDF("batch_id", "arrived", "admitted", "over_quota")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.audit/batch=$batchId")
+  }
+
+  /** st23: STREAMING domain-quota admission — c22's cap enforced at
+    * intake time against a persisted ledger, in front of the content
+    * gates (a crawl can be perfectly deduped and still drown the
+    * mixture in one host's pages).
+    */
+  def st23DomainQuotaStream(urls: DataFrame, lakePath: String,
+      checkpointDir: String, cap: Long = 100L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    urls.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        domainQuotaBatch(batch.toDF(), lakePath, cap, id)
+      }
+      .start()
+
+  /** st23 build phase (bench): first drain against an empty ledger —
+    * every domain admits up to the cap.
+    */
+  def st23BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st23", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents.select("doc_id")
+    domainQuotaBatch(
+      graft.operators.Dedup.d15DemoUrls(docs, expr("doc_id div 5")),
+      s"$root/lake", cap = 8L, batchId = -1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  /** st23 gate phase (bench): a second drain of FRESH doc ids into
+    * the same domains — the ledger (not in-batch rank) must do the
+    * rejecting.
+    */
+  def st23BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st23", dir)
+    val docs = graft.Tables(spark, dir).documents
+      .select((col("doc_id") + 1000000L).as("doc_id"))
+    domainQuotaBatch(
+      graft.operators.Dedup.d15DemoUrls(docs,
+        expr("(doc_id - 1000000) div 5")),
+      s"$root/lake", cap = 8L, batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** st20: STREAMING URL-frontier admission — d15's canonicalization
     * + dedup as the continuous crawl-frontier gate (the public
     * pipeline shape: a fetch list is deduped by canonical URL BEFORE

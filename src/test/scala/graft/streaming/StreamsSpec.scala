@@ -1412,6 +1412,53 @@ class StreamsSpec extends AnyFunSuite {
       after.forall { case (k, v) => java.util.Arrays.equals(v, rows(k)) })
   }
 
+  test("st23 domain quota: ledger caps across drains, replay idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st23")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def urls(ids: Seq[Long], dom: String) =
+      ids.map(id => (id, s"https://$dom/page/$id"))
+    // drain 1: 8 docs on a.com, 3 on b.com — cap 5
+    val stream1 = urls(1L to 8L, "a.com") ++ urls(20L to 22L, "b.com")
+    // drain 2: fresh ids on both — a.com is FULL (ledger, not rank,
+    // must reject), b.com has 2 slots left
+    val stream2 = urls(100L to 103L, "a.com") ++ urls(120L to 124L, "b.com")
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st23DomainQuotaStream(
+      input.toDS().toDF("doc_id", "url"), lake, ckpt, cap = 5L)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val landed = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("domain"))
+    // drain 1: lowest 5 a.com ids + all 3 b.com
+    // drain 2: zero a.com, exactly 2 more b.com (lowest fresh ids)
+    assert(landed.filter(_._2 == "a.com").map(_._1).sorted.toSeq ==
+      (1L to 5L))
+    assert(landed.filter(_._2 == "b.com").map(_._1).sorted.toSeq ==
+      Seq(20L, 21L, 22L, 120L, 121L))
+    val audit = spark.read.parquet(lake + ".audit").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("arrived"), r.getAs[Long]("admitted"),
+          r.getAs[Long]("over_quota"))).toMap
+    assert(audit(0L) == ((11L, 8L, 3L)))
+    assert(audit(1L) == ((9L, 2L, 7L)))
+    // replay drain 2's body: the ledger read excludes batch=1's own
+    // counts, so verdicts re-derive identically and landings rewrite
+    Streams.domainQuotaBatch(stream2.toDF("doc_id", "url"), lake, 5L, 1L)
+    val after = spark.read.parquet(lake).collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    assert(after == landed.map(_._1).sorted.toSeq, "replay changed the lake")
+    assert(spark.read.parquet(lake + ".domcounts")
+      .groupBy("domain").sum("n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a.com" -> 5L, "b.com" -> 5L))
+  }
+
   test("st22 warc intake: conversion text lands, plumbing dropped, poison quarantined") {
     import spark.implicits._
     import graft.sources.WarcSource
