@@ -2199,14 +2199,15 @@ object Oracles {
         |      '.example.com/docs/' || (doc_id // 5) ||
         |      '?b=2&utm_medium=m&a=1#frag' END AS url
         |  FROM documents),
-        |p AS (SELECT doc_id,
+        |p AS (SELECT doc_id, url,
         |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
         |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
         |    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
         |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport
         |  FROM u),
         |h AS (SELECT doc_id,
-        |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |    CASE WHEN scheme = '' THEN url
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
         |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
         |         ELSE hostport END AS domain
         |  FROM p),

@@ -1788,8 +1788,7 @@ object Corpus {
       Dedup.d15DemoUrls(docs, expr("doc_id div 5")))
     val perDoc = canon
       .select(col("doc_id"),
-        regexp_extract(col("canon_url"),
-          "^[a-z][a-z0-9+.-]*://([^/?]*)", 1).as("domain"))
+        Dedup.canonDomain(col("canon_url")).as("domain"))
       .join(docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks")), "doc_id")
     val dom = perDoc.groupBy("domain").agg(

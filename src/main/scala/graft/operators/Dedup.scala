@@ -1523,6 +1523,20 @@ object Dedup {
       .drop("path0")
   }
 
+  /** Canonical-host DOMAIN of a canon_url column — the ONE definition
+    * the mixture report (c22) and the admission quota (st23) share,
+    * so the ledger's domains can never desynchronize from the
+    * report's. A URL without a recognizable scheme keeps ITSELF as
+    * its domain: collapsing all junk/relative/mailto URLs onto one
+    * "" domain would let a DESTRUCTIVE gate exhaust a single shared
+    * budget and then reject every such URL forever — the same
+    * rationale as [[urlCanonicalizeOver]]'s self-canonicalization.
+    */
+  def canonDomain(canonUrl: Column): Column = {
+    val host = regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?]*)", 1)
+    when(host === "", canonUrl).otherwise(host)
+  }
+
   /** d15 over any (doc_id, url) frame: canonical URL, group size, and
     * the min-doc_id keeper flag (BIGINT 0/1, the artifact convention).
     */

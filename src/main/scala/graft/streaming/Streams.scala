@@ -1198,7 +1198,10 @@ object Streams {
         // are never opened
         val ubs = winners.select("ub").distinct().collect()
           .map(_.getInt(0)).toSeq
-        spark.read.parquet(idxPath)
+        // explicit schema — the st23 ledger's crash-recovery rule: an
+        // index dir a failed write left empty reads as zero rows
+        spark.read.schema("canon_url STRING, ub INT, batch BIGINT")
+          .parquet(idxPath)
           .filter(col("batch") =!= batchId)
           .filter(col("ub").isin(ubs: _*))
           .select("canon_url")
@@ -1248,17 +1251,22 @@ object Streams {
     import spark.implicits._
     if (batch.isEmpty) return
     val canon = graft.operators.Dedup.urlCanonicalizeOver(batch)
-      .withColumn("domain", regexp_extract(col("canon_url"),
-        "^[a-z][a-z0-9+.-]*://([^/?]*)", 1))
+      .withColumn("domain",
+        graft.operators.Dedup.canonDomain(col("canon_url")))
       .localCheckpoint(true) // one canonicalization feeds rank + audit
     val arrived = canon.count()
     val cntPath = s"$lakePath.domcounts"
     val fs = new org.apache.hadoop.fs.Path(cntPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // EXPLICIT schema: a crash that committed the ledger dir but no
+    // data files must read as zero rows on replay, not throw
+    // UNABLE_TO_INFER_SCHEMA forever (dir presence guards the wrong
+    // condition; with a user schema an empty dir is just empty)
     val prior =
       if (!fs.exists(new org.apache.hadoop.fs.Path(cntPath)))
         Seq.empty[(String, Long)].toDF("domain", "prior")
-      else spark.read.parquet(cntPath)
+      else spark.read.schema("domain STRING, n BIGINT, batch BIGINT")
+        .parquet(cntPath)
         .filter(col("batch") =!= batchId)
         .groupBy("domain").agg(sum(col("n")).as("prior"))
     val w = org.apache.spark.sql.expressions.Window

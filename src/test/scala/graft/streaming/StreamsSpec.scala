@@ -1457,6 +1457,17 @@ class StreamsSpec extends AnyFunSuite {
       .groupBy("domain").sum("n").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("a.com" -> 5L, "b.com" -> 5L))
+    // schemeless/junk URLs are their OWN domains (the canonDomain
+    // self-domain rule): they must never share one "" budget — two
+    // distinct junk URLs both admit even at cap 1-per-domain
+    Streams.domainQuotaBatch(
+      Seq((500L, "not-a-url"), (501L, "mailto:x@y.z"))
+        .toDF("doc_id", "url"), lake, 5L, 2L)
+    val junk = spark.read.parquet(lake)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 500L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("domain")).toMap
+    assert(junk == Map(500L -> "not-a-url", 501L -> "mailto:x@y.z"))
   }
 
   test("st22 warc intake: conversion text lands, plumbing dropped, poison quarantined") {
