@@ -249,7 +249,94 @@ object Oracles {
        |    text
        |  FROM step WHERE pos <= length(text))""".stripMargin
 
+  /** Shared CTE prefix for the g01/g02 graph oracles: rebuilds the
+    * deterministic d15-style domain link graph from `documents`
+    * exactly as Graph.demoEdges does (same affine target formula,
+    * self-links dropped, doc-level links collapsed to integer
+    * weights), plus out-weights, the node set, and its count.
+    */
+  private def graphEdgesCte: String =
+    """WITH e0 AS (SELECT ((doc_id // 5) % 50) AS src,
+      |              unnest([1,2,3]) AS k, (doc_id % 5) AS v
+      |            FROM documents),
+      |edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+      |          FROM (SELECT src, ((src * 7 + k * 13 + v * 11) % 50) AS dst
+      |                FROM e0) t
+      |          WHERE dst <> src GROUP BY src, dst),
+      |ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+      |       FROM edges GROUP BY src),
+      |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+      |          UNION SELECT dst FROM edges),
+      |nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)""".stripMargin
+
+  /** g01's integer PageRank recurrence, unrolled to `iters` chained
+    * CTEs (DuckDB recursive CTEs cannot aggregate in the recursive
+    * term, and the iteration count is fixed anyway). Every step is
+    * the exact BIGINT recurrence the Spark loop runs — floor `//`
+    * equals Spark's truncating `div` on the non-negative operands.
+    */
+  private def pageRankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT nd.node,
+         |  (15 * (CAST(1000000000 AS BIGINT) // nn.n)) // 100
+         |    + (85 * COALESCE(inf.inflow, CAST(0 AS BIGINT))) // 100 AS rank
+         |  FROM nodes nd CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst,
+         |               CAST(SUM((r.rank * e.w) // o.outw) AS BIGINT) AS inflow
+         |             FROM r${i - 1} r JOIN edges e ON e.src = r.node
+         |             JOIN ow o ON o.src = e.src
+         |             GROUP BY e.dst) inf ON inf.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphEdgesCte,
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS rank
+       |       FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT nd.node, COALESCE(o.outw, CAST(0 AS BIGINT)) AS out_w,
+       |  r.rank AS rank_e9
+       |FROM nodes nd
+       |LEFT JOIN ow o ON o.src = nd.node
+       |JOIN r$iters r ON r.node = nd.node
+       |ORDER BY rank_e9 DESC, nd.node""".stripMargin
+  }
+
+  /** g02's integer HITS recurrence, unrolled: per iteration the raw
+    * authority/hub sums then exact L1 normalization to 1e9 — the
+    * `raw * 1e9 // tot` numerator goes through HUGEINT exactly as
+    * the Spark side routes it through DECIMAL(38,0) `div`.
+    */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT e.dst, CAST(SUM(h.h * e.w) AS BIGINT) AS araw
+         |  FROM h${i - 1} h JOIN edges e ON e.src = h.node GROUP BY e.dst),
+         |at$i AS (SELECT CAST(SUM(araw) AS BIGINT) AS tot FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT nd.node,
+         |    CAST((CAST(COALESCE(ar.araw, 0) AS HUGEINT) * 1000000000)
+         |         // t.tot AS BIGINT) AS a
+         |  FROM nodes nd CROSS JOIN at$i t
+         |  LEFT JOIN ar$i ar ON ar.dst = nd.node),
+         |hr$i AS MATERIALIZED (SELECT e.src, CAST(SUM(a.a * e.w) AS BIGINT) AS hraw
+         |  FROM a$i a JOIN edges e ON e.dst = a.node GROUP BY e.src),
+         |ht$i AS (SELECT CAST(SUM(hraw) AS BIGINT) AS tot FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT nd.node,
+         |    CAST((CAST(COALESCE(hr.hraw, 0) AS HUGEINT) * 1000000000)
+         |         // t.tot AS BIGINT) AS h
+         |  FROM nodes nd CROSS JOIN ht$i t
+         |  LEFT JOIN hr$i hr ON hr.src = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$graphEdgesCte,
+       |h0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS h
+       |       FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT nd.node, h.h AS hub_e9, a.a AS auth_e9
+       |FROM nodes nd
+       |JOIN h$iters h ON h.node = nd.node
+       |JOIN a$iters a ON a.node = nd.node
+       |ORDER BY auth_e9 DESC, nd.node""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "g01_pagerank" -> pageRankSql(10),
+    "g02_hits" -> hitsSql(10),
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

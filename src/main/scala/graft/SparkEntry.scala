@@ -162,6 +162,8 @@ object SparkEntry {
     "c24_boundary_masks" -> ((s, dir) => Corpus.c24BoundaryMasks(s, dir)),
     "t21_viterbi_tokenize" -> ((s, dir) => TextOps.t21ViterbiTokenize(s, dir)),
     "q55_tree_flatten" -> (Relational.q55TreeFlatten(_, _)),
+    "g01_pagerank" -> ((s, dir) => Graph.g01PageRank(s, dir)),
+    "g02_hits" -> ((s, dir) => Graph.g02Hits(s, dir)),
     "c25_sft_pack" -> ((s, dir) => Corpus.c25SftPack(s, dir)),
     // nprobe=0 probes ALL cells: brute-equal by the equality law, so the
     // flat c17 oracle checks the whole indexed path end-to-end

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** g01 PageRank / g02 HITS: the distributed integer fixed-point
+  * iterations must be BIT-IDENTICAL to a serial plain-Scala replay of
+  * the same recurrence — integer sums are order-independent, so any
+  * divergence is a logic bug, never "float noise". Plus the
+  * repartition-hostility law (the d13/c18 discipline) and the mass
+  * bounds the integer truncation guarantees.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  /** Serial replay of Graph.demoEdges over the raw doc ids. */
+  private def serialEdges(docIds: Seq[Long]): Map[(Long, Long), Long] =
+    docIds.flatMap { id =>
+      val src = (id / 5) % 50
+      val v = id % 5
+      (1L to 3L).map(k => (src, (src * 7 + k * 13 + v * 11) % 50))
+    }.filter { case (s, d) => s != d }
+      .groupBy(identity).map { case (e, hits) => e -> hits.size.toLong }
+
+  private def docIds(): Seq[Long] =
+    Tables(spark, dir).documents.select("doc_id").collect().map(_.getLong(0)).toSeq
+
+  test("g01 PageRank equals the serial integer replay bit-for-bit") {
+    val edges = serialEdges(docIds())
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet.toSeq.sorted
+    val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val n = nodes.size.toLong
+    val r0 = Graph.Scale / n
+    val base = 15L * r0 / 100L
+    var rank = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to 10) {
+      val inflow = edges.toSeq
+        .map { case ((s, d), w) => d -> rank(s) * w / outw(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = nodes.map(nd => nd -> (base + 85L * inflow.getOrElse(nd, 0L) / 100L)).toMap
+    }
+    val got = Graph.g01PageRank(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { nd =>
+      assert(got(nd) == (outw.getOrElse(nd, 0L), rank(nd)),
+        s"node $nd: got ${got(nd)}, serial (${outw.getOrElse(nd, 0L)}, ${rank(nd)})")
+    }
+    // rank mass: truncating divs only DISCARD mass, so the total never
+    // exceeds Scale; the steady-state loss is the per-iteration
+    // truncation (≤ 2 units/node + 1 unit/edge) amplified by the
+    // geometric 1/0.15 teleport factor
+    val tot = rank.values.sum
+    val band = (2L * n + edges.size.toLong) * 100L / 15L + n
+    assert(tot <= Graph.Scale && tot > Graph.Scale - band,
+      s"rank mass $tot outside the truncation band around ${Graph.Scale}")
+  }
+
+  test("g02 HITS equals the serial integer replay bit-for-bit") {
+    val edges = serialEdges(docIds())
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet.toSeq.sorted
+    val n = nodes.size.toLong
+    val s0 = Graph.Scale / n
+    var hub = nodes.map(_ -> s0).toMap
+    var auth = nodes.map(_ -> s0).toMap
+    for (_ <- 1 to 10) {
+      val araw = edges.toSeq.map { case ((s, d), w) => d -> hub(s) * w }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      val aTot = araw.values.sum
+      auth = nodes.map { nd =>
+        nd -> (BigInt(araw.getOrElse(nd, 0L)) * Graph.Scale / aTot).toLong
+      }.toMap
+      val hraw = edges.toSeq.map { case ((s, d), w) => s -> auth(d) * w }
+        .groupBy(_._1).map { case (s, cs) => s -> cs.map(_._2).sum }
+      val hTot = hraw.values.sum
+      hub = nodes.map { nd =>
+        nd -> (BigInt(hraw.getOrElse(nd, 0L)) * Graph.Scale / hTot).toLong
+      }.toMap
+    }
+    val got = Graph.g02Hits(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { nd =>
+      assert(got(nd) == (hub(nd), auth(nd)),
+        s"node $nd: got ${got(nd)}, serial (${hub(nd)}, ${auth(nd)})")
+    }
+    // L1 normalization to Scale with per-node truncation: the total
+    // sits within N units below Scale
+    val aTot = auth.values.sum
+    assert(aTot <= Graph.Scale && aTot > Graph.Scale - n,
+      s"auth mass $aTot outside the truncation band")
+  }
+
+  test("the planted edge frame is invariant under hostile repartitioning") {
+    // the iterations consume only (src,dst,w); the serial-replay tests
+    // above pin the iterations themselves, so edge-frame stability
+    // under an adversarial partitioning closes the loop
+    val docs = Tables(spark, dir).documents
+    val a = Graph.demoEdges(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Graph.demoEdges(docs.repartition(7, col("lang")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b && a.nonEmpty)
+  }
+}
