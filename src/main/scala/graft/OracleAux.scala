@@ -151,6 +151,10 @@ object OracleAux {
     // ln-memo — the deterministic HLL estimator replays downstream
     ("q28_hash", Set("q28_approx_distinct"),
       (s, d) => operators.Approx.q28AuxHash(s, d)),
+    // t22's xxhash64 CMS cell coordinates per distinct token — the
+    // sketch build/estimate/exact-compare all replay in SQL from them
+    ("t22_hash", Set("t22_cms_topk"),
+      (s, d) => operators.TextOps.t22AuxHash(s, d)),
     ("q28_ln", Set("q28_approx_distinct"),
       (s, d) => operators.Approx.q28AuxLn(s, d)),
     // m15's JPEG segment walk + orig/scrub payload hashes — the

@@ -337,6 +337,62 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankSql(10),
     "g02_hits" -> hitsSql(10),
+
+    // replays the CMS build (cell counts from the persisted xxhash
+    // coordinates), the min-over-rows estimate, and the exact counts
+    "t22_cms_topk" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+         |             FROM documents),
+         |tk AS MATERIALIZED (SELECT token FROM toks WHERE len(token) > 0),
+         |aux AS MATERIALIZED (SELECT token, cms_seed, bucket
+         |  FROM '${OracleAux.Root}/t22_hash/*.parquet'),
+         |cells AS MATERIALIZED (
+         |  SELECT cms_seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM tk JOIN aux USING (token) GROUP BY cms_seed, bucket),
+         |vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact
+         |          FROM tk GROUP BY token),
+         |est AS (SELECT a.token, MIN(c.cnt) AS est
+         |        FROM aux a JOIN cells c USING (cms_seed, bucket)
+         |        GROUP BY a.token)
+         |SELECT v.token, e.est, v.exact
+         |FROM vocab v JOIN est e USING (token)
+         |ORDER BY est DESC, token
+         |LIMIT 20""".stripMargin,
+
+    // full ratio-margin replay: 4-dp cosines, DECIMAL k-NN sums,
+    // one double division — operand-exact, so margins hash-match
+    "s17_margin_mining" ->
+      """WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |sims AS MATERIALIZED (
+        |  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+        |    round(list_dot_product(y.v, x.v) /
+        |      (sqrt(list_dot_product(y.v, y.v)) *
+        |       sqrt(list_dot_product(x.v, x.v))), 4) AS sim
+        |  FROM d x JOIN d y ON x.vec_id < 20 AND y.vec_id >= 20),
+        |fwd AS MATERIALIZED (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY x_id ORDER BY sim DESC, y_id) AS r
+        |  FROM sims QUALIFY r <= 4),
+        |sumf AS (SELECT x_id, SUM(CAST(sim AS DECIMAL(10,4))) AS sumf
+        |         FROM fwd GROUP BY x_id),
+        |sumb AS (SELECT y_id, SUM(CAST(sim AS DECIMAL(10,4))) AS sumb
+        |         FROM (SELECT *, row_number() OVER
+        |                 (PARTITION BY y_id ORDER BY sim DESC, x_id) AS r
+        |               FROM sims QUALIFY r <= 4) b
+        |         GROUP BY y_id),
+        |mg AS (SELECT f.x_id, f.y_id, f.sim,
+        |         round(f.sim * 8.0 /
+        |           CAST(sf.sumf + sb.sumb AS DOUBLE), 4) AS margin
+        |       FROM fwd f
+        |       JOIN sumf sf USING (x_id) JOIN sumb sb USING (y_id)),
+        |best AS (SELECT *, row_number() OVER
+        |           (PARTITION BY x_id ORDER BY margin DESC, y_id) AS rb
+        |         FROM mg QUALIFY rb = 1)
+        |SELECT x_id AS query_id, y_id AS match_id, sim AS cos_sim,
+        |  margin, (margin >= 1.35) AS accepted
+        |FROM best
+        |ORDER BY query_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

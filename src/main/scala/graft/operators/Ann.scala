@@ -1257,4 +1257,71 @@ object Ann {
           .as("mean_cos"))
       .orderBy("cell")
   }
+
+  // ---------------------------------------------------------------- s17
+
+  /** s17: margin-based candidate mining — the ratio-margin scoring
+    * used for parallel-corpus mining over multilingual embeddings
+    * (Artetxe & Schwenk 2019's margin(x,y) = cos(x,y) / mean of the
+    * k-NN cosines of BOTH endpoints): a raw nearest neighbor is kept
+    * only when it is closer than each side's TYPICAL neighbor — the
+    * absolute-threshold failure mode (dense hubs match everything) is
+    * what the denominator cancels.
+    *
+    *   margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+    *                = 2k · cos(x, y) / (sumF(x) + sumB(y))
+    *
+    * Determinism: cosines round to 4 dp (the ANN-family discipline),
+    * the k-NN sums accumulate as DECIMAL(10,4) (exact, order-free),
+    * and the final margin is one double division of exactly-equal
+    * operands — bit-identical in the oracle.
+    *
+    * Scale shape: X is a bounded mining batch (broadcast), so scoring
+    * is ONE pass over Y with no shuffle; the forward stats are a
+    * window per x over its |Y| scores and the backward stats one
+    * y-keyed window of width |X| — both linear in |Y|. At the 100 TB
+    * design point the scored frame comes from the indexed retrievers
+    * (s05 LSH / s06 IVF top-k per side) instead of the dense pass;
+    * the margin algebra downstream is unchanged.
+    *
+    * Output per x: its best-margin candidate — (query_id, match_id,
+    * cos_sim, margin, accepted) with accepted = margin ≥ `threshold`.
+    */
+  def s17MarginMining(spark: SparkSession, dir: String, k: Int = 4,
+      nQueries: Int = 20, threshold: Double = 1.35): DataFrame = {
+    import graft.functions.F
+    val t = Tables(spark, dir)
+    val xs = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("x_id"), col("embedding").as("xv"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("xn"))
+    val ys = t.embeddings.filter(col("vec_id") >= nQueries)
+      .select(col("vec_id").as("y_id"), col("embedding").as("yv"),
+        sqrt(F.dotProd(col("embedding"), col("embedding"))).as("yn"))
+    val sims = ys.crossJoin(broadcast(xs))
+      .select(col("x_id"), col("y_id"),
+        F.cosineSim4Pre(col("yv"), col("yn"), col("xv"), col("xn"))
+          .as("sim"))
+    val wF = Window.partitionBy("x_id").orderBy(col("sim").desc, col("y_id"))
+    val fwd = sims.withColumn("r", row_number().over(wF))
+      .filter(col("r") <= k)
+    val sumF = fwd.groupBy("x_id")
+      .agg(sum(col("sim").cast("decimal(10,4)")).as("sumf"))
+    val wB = Window.partitionBy("y_id").orderBy(col("sim").desc, col("x_id"))
+    val sumB = sims.withColumn("r", row_number().over(wB))
+      .filter(col("r") <= k)
+      .groupBy("y_id")
+      .agg(sum(col("sim").cast("decimal(10,4)")).as("sumb"))
+    val wBest = Window.partitionBy("x_id")
+      .orderBy(col("margin").desc, col("y_id"))
+    fwd.join(sumF, "x_id").join(sumB, "y_id")
+      .withColumn("margin",
+        round(col("sim") * lit(2.0 * k) /
+          (col("sumf") + col("sumb")).cast("double"), 4))
+      .withColumn("rb", row_number().over(wBest))
+      .filter(col("rb") === 1)
+      .select(col("x_id").as("query_id"), col("y_id").as("match_id"),
+        col("sim").as("cos_sim"), col("margin"),
+        (col("margin") >= threshold).as("accepted"))
+      .orderBy("query_id")
+  }
 }

@@ -1085,4 +1085,75 @@ object TextOps {
           slice(col("w"), col("chunk_id") * stride + 1, lit(chunkSize)),
           " ").as("chunk_text"))
   }
+
+  // ---------------------------------------------------------------- t22
+
+  /** Count-min sketch geometry: 4 rows (independent xxhash64 seeds) ×
+    * 1024 buckets. Error bound: overestimate ≤ 2·N/width with prob.
+    * 1 − 2^-depth per probe (Cormode & Muthukrishnan 2005).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+
+  /** t22: count-min sketch frequency estimation — the bounded-memory
+    * counterpart to t10's exact heavy hitters. The sketch is a FIXED
+    * 4×1024 cell grid no matter the corpus: the token stream fans out
+    * to its 4 cells and one groupBy(seed, bucket) with map-side
+    * combine collapses everything (per-task state ≤ 4096 counters —
+    * THE property that lets the same plan stream 100 TB; t10's exact
+    * pass keeps per-task state proportional to the live vocab).
+    * Estimates then cost one broadcast join of the 4096-row sketch
+    * against the probe set's cell coordinates and a min over the 4
+    * cells.
+    *
+    * The demo probes the full (Heaps-bounded) vocab and carries the
+    * exact count beside the estimate so the CMS guarantee is visible
+    * in the output: est ≥ exact always, with overshoot only from
+    * bucket collisions. At 100 TB the probe set would come from a
+    * sampled candidate pre-pass (the t10 KPS pattern) — the sketch
+    * itself never materializes the vocab.
+    *
+    * Output: top-`k` tokens by estimate — (token, est, exact).
+    */
+  def t22CmsTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val fan = toks
+      .select(col("token"),
+        explode(expr(s"sequence(0L, ${CmsDepth - 1}L)")).as("cms_seed"))
+      .select(col("cms_seed"),
+        pmod(xxhash64(col("cms_seed"), col("token")), lit(CmsWidth))
+          .as("bucket"))
+    val sketch = fan.groupBy("cms_seed", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    val probes = vocab
+      .select(col("token"), col("exact"),
+        explode(expr(s"sequence(0L, ${CmsDepth - 1}L)")).as("cms_seed"))
+      .select(col("token"), col("exact"), col("cms_seed"),
+        pmod(xxhash64(col("cms_seed"), col("token")), lit(CmsWidth))
+          .as("bucket"))
+    probes.join(broadcast(sketch), Seq("cms_seed", "bucket"))
+      .groupBy("token", "exact").agg(min("cnt").as("est"))
+      .orderBy(col("est").desc, col("token"))
+      .limit(k)
+      .select(col("token"), col("est"), col("exact"))
+  }
+
+  /** Oracle side-table: the xxhash64 cell coordinates per DISTINCT
+    * token (the only non-SQL kernel in t22 — DuckDB replays the
+    * sketch build, the min-estimate, and the exact comparison from
+    * these coordinates alone).
+    */
+  def t22AuxHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .select(col("token"),
+        explode(expr(s"sequence(0L, ${CmsDepth - 1}L)")).as("cms_seed"))
+      .select(col("token"), col("cms_seed"),
+        pmod(xxhash64(col("cms_seed"), col("token")), lit(CmsWidth))
+          .as("bucket"))
 }

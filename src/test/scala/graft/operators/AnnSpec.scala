@@ -405,4 +405,44 @@ class AnnSpec extends AnyFunSuite {
     val scores = rows.map(_.getDouble(3)).toSeq
     assert(scores == scores.sorted.reverse, s"mmr scores not monotone: $scores")
   }
+
+  test("s17 margin mining equals the serial ratio-margin replay bit-for-bit") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val k = 4; val nQ = 20
+    val vecs = graft.Tables(spark, dir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val xs = vecs.keys.filter(_ < nQ).toSeq.sorted
+    val ys = vecs.keys.filter(_ >= nQ).toSeq.sorted
+    def d4(v: Double): JBD = new JBD(v).setScale(4, RoundingMode.HALF_UP)
+    val sim = (for (x <- xs; y <- ys)
+      yield (x, y) -> Ann.cosine4Local(vecs(y), vecs(x))).toMap
+    val sumF = xs.map { x =>
+      x -> ys.map(y => (sim((x, y)), y)).sortBy { case (s, y) => (-s, y) }
+        .take(k).map(t => d4(t._1)).reduce(_.add(_))
+    }.toMap
+    val sumB = ys.map { y =>
+      y -> xs.map(x => (sim((x, y)), x)).sortBy { case (s, x) => (-s, x) }
+        .take(k).map(t => d4(t._1)).reduce(_.add(_))
+    }.toMap
+    val expected = xs.map { x =>
+      val fwd = ys.map(y => (sim((x, y)), y)).sortBy { case (s, y) => (-s, y) }
+        .take(k)
+      val cands = fwd.map { case (s, y) =>
+        val m = d4(s * 2.0 * k / sumF(x).add(sumB(y)).doubleValue).doubleValue
+        (y, s, m)
+      }
+      val (y, s, m) = cands.sortBy { case (y, _, m) => (-m, y) }.head
+      (x, y, s, m, m >= 1.35)
+    }
+    val got = Ann.s17MarginMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+    // the ratio margin must actually discriminate on this corpus —
+    // a fixture where every margin lands on the same side would make
+    // the accepted column vacuous
+    assert(got.exists(_._5) && got.exists(!_._5),
+      s"margin threshold not discriminating: ${got.map(_._4).toList}")
+  }
 }

@@ -696,4 +696,46 @@ class TextOpsSpec extends AnyFunSuite {
     // evidence; here the value is the corpus-wide ≤ bound plus exact
     // reference-DP equality in the kernel test.
   }
+
+  test("t22 CMS never underestimates and matches the count-weighted rebuild") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestSpark.Sf0001
+    // probe the FULL vocab (k unbounded): the CMS guarantee is
+    // per-token, not top-20
+    val rows = TextOps.t22CmsTopk(spark, dir, k = Int.MaxValue).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"CMS underestimated '${r.getString(0)}': est ${r.getLong(1)} < exact ${r.getLong(2)}")
+    }
+    // at least one estimate must be exact (a token whose 4 cells all
+    // avoid collisions) — an all-inflated sketch would hint at a
+    // bucket-math bug rather than ordinary collision overshoot
+    assert(rows.exists(r => r.getLong(1) == r.getLong(2)),
+      "no collision-free estimate anywhere — bucket math suspect")
+    // differential rebuild: the same sketch built from aggregated
+    // (token, count) pairs instead of the raw stream must yield the
+    // same estimate for every token (sum-of-counts == stream counts)
+    val toks = graft.Tables(spark, dir).documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val cells2 = vocab
+      .select(col("token"), col("n"),
+        explode(expr("sequence(0L, 3L)")).as("cms_seed"))
+      .select(col("cms_seed"),
+        pmod(xxhash64(col("cms_seed"), col("token")), lit(1024L)).as("bucket"),
+        col("n"))
+      .groupBy("cms_seed", "bucket").agg(sum("n").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val aux = TextOps.t22AuxHash(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val est2 = aux.groupBy(_._1).map { case (tok, cs) =>
+      tok -> cs.map { case (_, s, b) => cells2((s, b)) }.min
+    }
+    rows.foreach { r =>
+      assert(est2(r.getString(0)) == r.getLong(1),
+        s"rebuild disagrees for '${r.getString(0)}'")
+    }
+  }
 }
