@@ -204,6 +204,17 @@ object Bench {
           val found = operators.Dedup.d06EmbedNeardupDemo(spark, sfDir)
             .filter(col("vec_b") - col("vec_a") === 1000000L).count()
           if (nBase == 0) 0.0 else found / nBase
+        },
+        // d02 demo plants exactly one J≈0.98 near-dup per doc at
+        // (d, d+1e6); recall is planted pairs recovered / docs — this
+        // is the leg the wide-band dial (minhashDialsFor) must hold
+        // at ~1.0 while halving signature + band-join work at scale
+        safe("d02_dedup_minhash") {
+          import org.apache.spark.sql.functions.col
+          val nDocs = graft.Tables(spark, sfDir).documents.count().toDouble
+          val found = operators.Dedup.d02DedupMinhashDemo(spark, sfDir)
+            .filter(col("doc_b") - col("doc_a") === 1000000L).count()
+          if (nDocs == 0) 0.0 else found / nDocs
         }
       ).flatten
     }

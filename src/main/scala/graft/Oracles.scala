@@ -250,17 +250,21 @@ object Oracles {
        |  FROM step WHERE pos <= length(text))""".stripMargin
 
   /** Shared CTE prefix for the g01/g02 graph oracles: rebuilds the
-    * deterministic d15-style domain link graph from `documents`
-    * exactly as Graph.demoEdges does (same affine target formula,
-    * self-links dropped, doc-level links collapsed to integer
-    * weights), plus out-weights, the node set, and its count.
+    * HOST link graph g03 extracts from the planted markup — the
+    * affine link formula directly in host-name space (the extraction
+    * itself is independently oracled by g03_link_extract's
+    * regex-replay; these oracles verify the recurrence over the same
+    * edges), self-links dropped, doc-level links collapsed to integer
+    * weights, plus out-weights, the node set, and its count.
     */
   private def graphEdgesCte: String =
-    """WITH e0 AS (SELECT ((doc_id // 5) % 50) AS src,
+    """WITH e0 AS (SELECT ((doc_id // 5) % 50) AS s,
       |              unnest([1,2,3]) AS k, (doc_id % 5) AS v
       |            FROM documents),
       |edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
-      |          FROM (SELECT src, ((src * 7 + k * 13 + v * 11) % 50) AS dst
+      |          FROM (SELECT 'site' || s || '.example.com' AS src,
+      |                  'site' || ((s * 7 + k * 13 + v * 11) % 50) ||
+      |                    '.example.com' AS dst
       |                FROM e0) t
       |          WHERE dst <> src GROUP BY src, dst),
       |ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
@@ -337,6 +341,43 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankSql(10),
     "g02_hits" -> hitsSql(10),
+
+    // g03: rebuild the planted html byte-for-byte, then replay the
+    // EXTRACTION itself — canonical-link host as source, every
+    // <a href> host as destination, relative hrefs (no scheme → empty
+    // host) and self-links dropped — on the same RE2-portable
+    // patterns the Spark side codegens.
+    "g03_link_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><link rel="canonical" href="https://site' ||
+        |    ((doc_id // 5) % 50) || '.example.com/docs/' || (doc_id // 5) ||
+        |    '"/></head><body><p>' || text || '</p>' ||
+        |    '<a href="https://site' ||
+        |      ((((doc_id // 5) % 50) * 7 + 1 * 13 + (doc_id % 5) * 11) % 50) ||
+        |      '.example.com/p/' || doc_id || '">r1</a> ' ||
+        |    '<a href="https://site' ||
+        |      ((((doc_id // 5) % 50) * 7 + 2 * 13 + (doc_id % 5) * 11) % 50) ||
+        |      '.example.com/p/' || doc_id || '">r2</a> ' ||
+        |    '<a href="https://site' ||
+        |      ((((doc_id // 5) % 50) * 7 + 3 * 13 + (doc_id % 5) * 11) % 50) ||
+        |      '.example.com/p/' || doc_id || '">r3</a> ' ||
+        |    '<a href="/local/nav">nav</a></body></html>' AS html
+        |  FROM documents),
+        |e AS (SELECT
+        |    lower(regexp_extract(
+        |      regexp_extract(html, 'rel="canonical" href="([^"]*)"', 1),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS src_host,
+        |    unnest(regexp_extract_all(html, '<a href="([^"]*)"', 1)) AS href
+        |  FROM h),
+        |d AS (SELECT src_host,
+        |    lower(regexp_extract(href,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS dst_host
+        |  FROM e)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS w
+        |FROM d
+        |WHERE src_host <> '' AND dst_host <> '' AND dst_host <> src_host
+        |GROUP BY src_host, dst_host
+        |ORDER BY src_host, dst_host""".stripMargin,
 
     // replays the CMS build (cell counts from the persisted xxhash
     // coordinates), the min-over-rows estimate, and the exact counts
@@ -1408,26 +1449,35 @@ object Oracles {
     // m14: pair-averaged decimation replayed from the m03 PCM
     // side-table — floor(sum/2.0) matches the kernel's floorDiv on
     // negative sums (truncation would not); all outputs are exact
-    // integers.
+    // integers. The decimated aggregate LEFT-joins back onto the full
+    // clip set with zero defaults so a legal empty-PCM clip yields
+    // the same zeroed evidence row the kernel's out.isEmpty branch
+    // emits (an unnest-only derivation would drop the row entirely).
     "m14_audio_decimate" ->
-      s"""WITH s AS (SELECT doc_id,
+      s"""WITH base AS (SELECT doc_id, samples
+         |  FROM '${OracleAux.Root}/m03_pcm/*.parquet'),
+         |s AS (SELECT doc_id,
          |    unnest(samples) AS v,
          |    unnest(range(0, len(samples))) AS i
-         |  FROM '${OracleAux.Root}/m03_pcm/*.parquet'),
+         |  FROM base),
          |d AS (SELECT doc_id, i // 2 AS j,
          |    CAST(floor(sum(v) / 2.0) AS BIGINT) AS o
          |  FROM s GROUP BY doc_id, i // 2),
-         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in
-         |  FROM s GROUP BY doc_id)
-         |SELECT d.doc_id, n.n_in,
-         |  CAST(count(*) AS BIGINT) AS n_out,
-         |  CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
-         |  CAST(sum(o * o) AS BIGINT) AS sum_sq,
-         |  CAST(min(o) AS BIGINT) AS v_min,
-         |  CAST(max(o) AS BIGINT) AS v_max
-         |FROM d JOIN n USING (doc_id)
-         |GROUP BY d.doc_id, n.n_in
-         |ORDER BY d.doc_id""".stripMargin,
+         |agg AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_out,
+         |    CAST(sum(abs(o)) AS BIGINT) AS sum_abs,
+         |    CAST(sum(o * o) AS BIGINT) AS sum_sq,
+         |    CAST(min(o) AS BIGINT) AS v_min,
+         |    CAST(max(o) AS BIGINT) AS v_max
+         |  FROM d GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(len(b.samples) AS BIGINT) AS n_in,
+         |  CAST(COALESCE(a.n_out, 0) AS BIGINT) AS n_out,
+         |  CAST(COALESCE(a.sum_abs, 0) AS BIGINT) AS sum_abs,
+         |  CAST(COALESCE(a.sum_sq, 0) AS BIGINT) AS sum_sq,
+         |  CAST(COALESCE(a.v_min, 0) AS BIGINT) AS v_min,
+         |  CAST(COALESCE(a.v_max, 0) AS BIGINT) AS v_max
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin,
 
     // m13: exact-integer 2x2 block pooling replayed from the decoded
     // pixel side-table — floor mean via integer div, bit-identical.
@@ -2598,7 +2648,7 @@ object Oracles {
         |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path0,
         |    COALESCE(array_to_string(
         |      list_sort(list_filter(string_split(query, '&'),
-        |        x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)=')
+        |        x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')
         |          AND x <> '')), '&'), '') AS kept
         |  FROM p),
         |c AS (SELECT doc_id, url,

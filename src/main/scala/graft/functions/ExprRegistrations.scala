@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, JaccardH64, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -31,6 +31,12 @@ object ExprRegistrations {
       case Seq(a, b) => DotProd(a, b)
       case other => throw new IllegalArgumentException(
         s"dot_product expects 2 arguments, got ${other.size}")
+    },
+    desc("jaccard_h64",
+      "jaccard_h64(a, b) - exact Jaccard of two distinct long-hash arrays") {
+      case Seq(a, b) => JaccardH64(a, b)
+      case other => throw new IllegalArgumentException(
+        s"jaccard_h64 expects 2 arguments, got ${other.size}")
     },
     desc("i8_quantize",
       "i8_quantize(v) - int8 scalar quantization of a float array (scale max|v|/127)") {

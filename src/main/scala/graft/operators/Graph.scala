@@ -38,31 +38,81 @@ import graft.Tables
   * few rounds — the q55 doubling-loop discipline
   * (Relational.scala q55TreeFlatten).
   *
-  * The demo graph is a deterministic link plant over the documents
-  * table in the d15 style (Dedup.scala d15DemoUrls): each doc's d15
-  * group domain `(doc_id div 5) % 50` emits three out-links whose
-  * targets are fixed affine functions of (domain, link slot, doc
-  * variant), self-links dropped, multi-links collapsing into integer
-  * edge weights. Fully SQL-expressible, so the oracle rebuilds the
-  * identical graph from the documents table alone.
+  * The graph is EXTRACTED, not planted as numbers: g03 parses each
+  * document's markup — the doc's own canonical-URL host becomes the
+  * source node, every `<a href>` target host a destination — so the
+  * §G axis consumes actual corpus content end to end (relative links
+  * and self-links drop; doc-level multi-links collapse into integer
+  * edge weights). The synthetic corpus carries no markup, so the demo
+  * plants it deterministically (the t17/d14 discipline): a canonical
+  * link on the doc's d15 domain (Dedup.scala d15DemoUrls) plus three
+  * anchors whose target hosts are fixed affine functions of (domain,
+  * link slot, doc variant), plus a relative-link decoy. Plant and
+  * extraction are both regex/string-expressible, so the oracle
+  * rebuilds the identical host graph from the documents table alone.
   */
 object Graph {
 
   /** Rank mass carried in units of 1e-9 (BIGINT end to end). */
   val Scale = 1000000000L
 
-  /** Weighted domain link graph planted over `documents`:
-    * (src, dst, w) with w = number of doc-level links. One groupBy
-    * shuffle; everything upstream is a narrow projection of the scan.
+  /** The markup plant: each doc becomes an html page carrying its OWN
+    * canonical URL (`site{(doc_id div 5) % 50}.example.com` — the d15
+    * domain) and three outbound anchors whose target hosts follow the
+    * affine formula `(src*7 + k*13 + v*11) % 50` with v = doc_id % 5,
+    * plus one relative-href decoy the extractor must drop. Narrow
+    * per-row projection — no shuffle.
     */
-  private[operators] def demoEdges(docs: DataFrame): DataFrame =
+  private[operators] def demoLinkedDocs(docs: DataFrame): DataFrame = {
+    def anchor(k: Int) = concat(
+      lit("<a href=\"https://site"),
+      expr(s"(((doc_id div 5) % 50) * 7 + $k * 13 + (doc_id % 5) * 11) % 50"),
+      lit(".example.com/p/"), col("doc_id"), lit(s"\">r$k</a> "))
+    docs.select(col("doc_id"),
+      concat(
+        lit("<html><head><link rel=\"canonical\" href=\"https://site"),
+        expr("(doc_id div 5) % 50"), lit(".example.com/docs/"),
+        expr("doc_id div 5"), lit("\"/></head><body><p>"), col("text"),
+        lit("</p>"), anchor(1), anchor(2), anchor(3),
+        lit("<a href=\"/local/nav\">nav</a></body></html>")).as("html"))
+  }
+
+  /** g03 kernel over any (doc_id, html) frame: the weighted host link
+    * graph (src_host, dst_host, w). Source host comes from the page's
+    * `rel="canonical"` link, destinations from every `<a href>`; an
+    * href with no `scheme://` (relative links) yields no host and
+    * drops, as do self-links. One groupBy shuffle on slim string
+    * pairs; the parse is per-row codegen'd regex — pages never
+    * shuffle.
+    */
+  def linkExtractOver(docs: DataFrame): DataFrame = {
+    def host(u: org.apache.spark.sql.Column) =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     docs
-      .select(expr("(doc_id div 5) % 50").as("src"),
-        explode(expr("sequence(1L, 3L)")).as("k"),
-        expr("doc_id % 5").as("v"))
-      .select(col("src"), expr("(src * 7 + k * 13 + v * 11) % 50").as("dst"))
-      .filter(col("dst") =!= col("src"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .select(
+        host(regexp_extract(col("html"),
+          "rel=\"canonical\" href=\"([^\"]*)\"", 1)).as("src_host"),
+        explode(regexp_extract_all(col("html"),
+          lit("<a href=\"([^\"]*)\""), lit(1))).as("href"))
+      .select(col("src_host"), host(col("href")).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "" &&
+        col("dst_host") =!= col("src_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("w"))
+  }
+
+  /** g03: href link extraction — the crawl-graph builder that feeds
+    * g01/g02 (Common Crawl's host-level web graph is built exactly
+    * this way: page markup → href targets → host-granular weighted
+    * edges).
+    */
+  def g03LinkExtract(spark: SparkSession, dir: String): DataFrame =
+    linkExtractOver(demoLinkedDocs(Tables(spark, dir).documents))
+      .orderBy("src_host", "dst_host")
+
+  /** The extracted edge frame g01/g02 iterate over, as (src, dst, w). */
+  private[operators] def linkEdges(spark: SparkSession, dir: String): DataFrame =
+    linkExtractOver(demoLinkedDocs(Tables(spark, dir).documents))
+      .select(col("src_host").as("src"), col("dst_host").as("dst"), col("w"))
 
   /** g01: damped PageRank, 10 power iterations, integer fixed-point.
     *
@@ -85,9 +135,15 @@ object Graph {
     * job over the node frame; a bounded scalar, never a collect of
     * data).
     */
-  def g01PageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
-    val edges = demoEdges(Tables(spark, dir).documents)
-      .localCheckpoint(false)
+  def g01PageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame =
+    pageRankOver(linkEdges(spark, dir), iters)
+
+  /** g01 iterations over ANY weighted (src, dst, w) edge frame —
+    * node keys may be numeric or string (hosts); the integer
+    * recurrence is key-type agnostic.
+    */
+  def pageRankOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
+    val edges = edgesIn.localCheckpoint(false)
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
     val adj = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
@@ -134,8 +190,21 @@ object Graph {
     *   h(n)  = (h~(n) * Scale) div Σ h~
     *
     * Each iteration: two join+agg passes over the frozen edge frame
-    * (auth from hubs, then hubs from the fresh auth), plus two scalar
-    * normalizer aggregates (driver-side single values, not collects).
+    * (auth from hubs, then hubs from the fresh auth). Score state is
+    * SPARSE — a node absent from the frame has score EXACTLY 0 (it
+    * contributes nothing to any sum and normalizes to `0 div tot =
+    * 0`), so the per-iteration nodes⋈scores densifying join is
+    * dropped entirely and the full node set joins back once at the
+    * END. The raw-score frames are localCheckpointed (lazily) before
+    * their dual use — the normalizer aggregate and the normalize
+    * projection both read the SAME materialization instead of
+    * re-executing the edges⋈scores lineage — and the L1 normalizer
+    * rides INSIDE the plan as a broadcast 1-row global aggregate
+    * crossJoined on (the q44/q50 scalar-threshold shape), so an
+    * iteration is one materialization per phase with ZERO
+    * driver-blocking scalar actions; a vanished normalizer fails
+    * loudly in the division itself under ANSI mode (the session
+    * default), so no driver-side mass check is needed.
     * Overflow: scores ≤ 1e9 and weights are doc counts, so the raw
     * sums stay well inside Long, but the normalization numerator
     * `raw * Scale` can reach ~1e24 at large corpora — it is computed
@@ -144,43 +213,57 @@ object Graph {
     *
     * Output: (node, hub_e9, auth_e9), strongest authorities first.
     */
-  def g02Hits(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
-    val edges = demoEdges(Tables(spark, dir).documents)
-      .localCheckpoint(false)
+  def g02Hits(spark: SparkSession, dir: String, iters: Int = 10): DataFrame =
+    hitsOver(linkEdges(spark, dir), iters)
+
+  /** g02 iterations over ANY weighted (src, dst, w) edge frame. */
+  def hitsOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
+    val edges = edgesIn.localCheckpoint(false)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(false)
     val n = nodes.count()
     val s0 = Scale / n
+    // sparse score frames: absent node == score 0 (exact, not approx)
     var hubs = nodes.select(col("node"), lit(s0).as("h"))
     var auths = nodes.select(col("node"), lit(s0).as("a"))
     for (i <- 1 to iters) {
+      // lazy checkpoint BEFORE the dual use: the normalizer aggregate
+      // and the normalize projection both read one cached
+      // materialization of the edges⋈scores pass
       val aRaw = edges.join(hubs, edges("src") === hubs("node"))
         .select(col("dst"), expr("h * w").as("c"))
         .groupBy("dst").agg(sum("c").as("araw"))
-      val aTot = aRaw.agg(sum("araw")).head.getLong(0)
-      require(aTot > 0L, "g02: authority mass vanished — empty graph?")
-      auths = nodes.join(aRaw, nodes("node") === aRaw("dst"), "left")
-        .select(col("node"),
-          expr(s"CAST((CAST(coalesce(araw, 0L) AS DECIMAL(38,0)) * ${Scale}L)" +
-            s" div ${aTot}L AS BIGINT)").as("a"))
+        .localCheckpoint(false)
+      val aTot = aRaw.agg(sum("araw").as("atot"))
+      auths = aRaw.crossJoin(broadcast(aTot))
+        .select(col("dst").as("node"),
+          expr(s"CAST((CAST(araw AS DECIMAL(38,0)) * ${Scale}L)" +
+            " div atot AS BIGINT)").as("a"))
       val hRaw = edges.join(auths, edges("dst") === auths("node"))
         .select(col("src"), expr("a * w").as("c"))
         .groupBy("src").agg(sum("c").as("hraw"))
-      val hTot = hRaw.agg(sum("hraw")).head.getLong(0)
-      require(hTot > 0L, "g02: hub mass vanished — empty graph?")
-      hubs = nodes.join(hRaw, nodes("node") === hRaw("src"), "left")
-        .select(col("node"),
-          expr(s"CAST((CAST(coalesce(hraw, 0L) AS DECIMAL(38,0)) * ${Scale}L)" +
-            s" div ${hTot}L AS BIGINT)").as("h"))
+        .localCheckpoint(false)
+      val hTot = hRaw.agg(sum("hraw").as("htot"))
+      hubs = hRaw.crossJoin(broadcast(hTot))
+        .select(col("src").as("node"),
+          expr(s"CAST((CAST(hraw AS DECIMAL(38,0)) * ${Scale}L)" +
+            " div htot AS BIGINT)").as("h"))
+      // mass guard: under Spark 4's default ANSI mode a vanished
+      // normalizer (atot/htot = 0) fails LOUDLY inside the `div`
+      // itself (DIVIDE_BY_ZERO) — no driver-side check needed, and a
+      // non-ANSI session would surface it as an all-NULL score column
+      // in the output
       if (i % 3 == 0 || i == iters) {
         hubs = hubs.localCheckpoint(false)
         auths = auths.localCheckpoint(false)
       }
     }
-    nodes.join(hubs, "node").join(auths, "node")
-      .select(col("node"), col("h").as("hub_e9"), col("a").as("auth_e9"))
+    nodes.join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0L)).as("hub_e9"),
+        coalesce(col("a"), lit(0L)).as("auth_e9"))
       .orderBy(desc("auth_e9"), col("node"))
   }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -1267,7 +1267,9 @@ object Streams {
         Seq.empty[(String, Long)].toDF("domain", "prior")
       else spark.read.schema("domain STRING, n BIGINT, batch BIGINT")
         .parquet(cntPath)
-        .filter(col("batch") =!= batchId)
+        .filter(domcountsLiveFilter(
+          graft.operators.Dedup.listBatchIds(spark, cntPath)) &&
+          col("batch") =!= batchId)
         .groupBy("domain").agg(sum(col("n")).as("prior"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("domain").orderBy("doc_id")
@@ -1293,19 +1295,83 @@ object Streams {
       .parquet(s"$lakePath.audit/batch=$batchId")
   }
 
+  /** The ledger rows a reader may SUM, given the directory's batch
+    * ids: when a compacted base `batch=-(W+2)` exists (see
+    * [[domainQuotaCompactLedger]]), all history ≤ W lives ONLY in the
+    * MAX-watermark base — leftover folded directories from a
+    * compaction crash window, superseded older bases, and the
+    * pre-stream `batch=-1` build base (always folded by the first
+    * compaction) are all invisible, so a half-finished compaction can
+    * never double-count. With no base yet, every directory is live.
+    * Pure over `ids` so callers list the directory exactly once.
+    */
+  private def domcountsLiveFilter(ids: Seq[Long]): Column =
+    graft.operators.Dedup.compactWatermark(ids.toSet) match {
+      case Some(w) => col("batch") > w || col("batch") === (-w - 2L)
+      case None    => lit(true)
+    }
+
+  /** x20-for-st23: consolidate the domain-count ledger's `batch=<id>`
+    * directories with id ≤ `upTo` into ONE pre-aggregated
+    * |domains|-row base under `batch=-(W+2)` (the shared
+    * [[graft.operators.Dedup.promoteCompactBase]] watermark encoding —
+    * the directory NAME atomically publishes "all history ≤ W is
+    * folded in here"). Without this the ledger grows one directory per
+    * drain forever and every [[domainQuotaBatch]] re-aggregates
+    * O(domains·batches) rows; after compaction a drain reads one
+    * snapshot plus the uncompacted tail.
+    *
+    * Replay contract (d13's): pass `upTo = currentBatch - 1` — a
+    * foreachBatch stream may replay its LAST batch only, and a folded
+    * batch is no longer excludable by `batch =!= id`, so the
+    * replayable batch must stay out of the base.
+    *
+    * Crash posture: unlike d13's row-preserving folds, these are SUMS,
+    * where a leftover source directory would double-count — so the
+    * read side ([[domcountsLiveFilter]]) keys on the max-watermark
+    * base ALONE and ignores everything the base covers, and the shared
+    * promotion core never deletes an already-published base. Every
+    * crash window (staging only; base published + old dirs not yet
+    * deleted; two bases) therefore reads consistently, and the next
+    * compaction deletes the leftovers. Re-running with the same `upTo`
+    * is a no-op.
+    */
+  def domainQuotaCompactLedger(spark: SparkSession, lakePath: String,
+      upTo: Long): Unit = {
+    require(upTo >= 0, s"domainQuotaCompactLedger: upTo=$upTo must be >= 0")
+    val cntPath = s"$lakePath.domcounts"
+    graft.operators.Dedup.promoteCompactBase(spark, cntPath, upTo) {
+      (foldIds, staging) =>
+        // every base is ≤ -2 ≤ upTo, so foldIds carries them all — the
+        // live filter over foldIds equals the one over the full listing
+        spark.read.schema("domain STRING, n BIGINT, batch BIGINT")
+          .parquet(cntPath)
+          .filter(domcountsLiveFilter(foldIds) && col("batch") <= upTo)
+          .groupBy("domain").agg(sum(col("n")).as("n"))
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staging)
+    }
+  }
+
   /** st23: STREAMING domain-quota admission — c22's cap enforced at
     * intake time against a persisted ledger, in front of the content
     * gates (a crawl can be perfectly deduped and still drown the
-    * mixture in one host's pages).
+    * mixture in one host's pages). `compactEvery > 0` folds the
+    * ledger every that-many drains (covering everything up to the
+    * PREVIOUS batch — the replay contract), so a long-lived stream's
+    * per-drain ledger read stays O(domains + tail).
     */
   def st23DomainQuotaStream(urls: DataFrame, lakePath: String,
-      checkpointDir: String, cap: Long = 100L)
+      checkpointDir: String, cap: Long = 100L, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     urls.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         domainQuotaBatch(batch.toDF(), lakePath, cap, id)
+        if (compactEvery > 0 && id >= 1L && id % compactEvery == 0L)
+          domainQuotaCompactLedger(batch.sparkSession, lakePath, id - 1L)
       }
       .start()
 

@@ -317,6 +317,47 @@ object Kernels {
     acc
   }
 
+  /** Exact Jaccard over two DISTINCT long-hash arrays (the
+    * [[shingleHashes64]] set form): |a∩b| via one flat open-addressing
+    * probe table over the smaller... — over `a`; |a∪b| = |a|+|b|−|a∩b|.
+    * Value-identical to size(array_intersect)/size(array_union) on
+    * distinct inputs (integer counts, one IEEE division) — including
+    * the 0/0 → NaN empty-empty edge — but one primitive linear-probe
+    * pass instead of two generic set builds (measured 10×+ on the d02
+    * verify leg). Inputs MUST be distinct (duplicates would inflate
+    * the intersection count); every shingle-hash producer guarantees
+    * that.
+    */
+  def jaccardH64(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0)
+      return if (na + nb == 0) Double.NaN else 0.0
+    var cap = 4
+    while (cap < na * 2) cap <<= 1
+    val mask = cap - 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    var i = 0
+    while (i < na) {
+      val v = a.getLong(i)
+      var p = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+      while (used(p) && table(p) != v) p = (p + 1) & mask
+      if (!used(p)) { used(p) = true; table(p) = v }
+      i += 1
+    }
+    var inter = 0
+    var j = 0
+    while (j < nb) {
+      val v = b.getLong(j)
+      var p = (java.lang.Long.hashCode(v) * 0x9E3779B9) & mask
+      while (used(p) && table(p) != v) p = (p + 1) & mask
+      if (used(p)) inter += 1
+      j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** e15: int8 scalar quantization of a float vector — per-vector
     * symmetric scale max|v|/127, code = floor(v/scale + 0.5) (explicit
     * floor form so DuckDB can replay it literally: Java's Math.round
@@ -714,6 +755,33 @@ case class DotProd(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+}
+
+/** e17: native exact Jaccard over two distinct long-hash shingle sets
+  * — the dedup families' verification kernel (d02/d04/d11/d17 score
+  * every CANDIDATE pair with it, so it is the hot loop once banding
+  * has done its job). One primitive probe-table pass replaces the
+  * builtin array_intersect + array_union pair (two generic set
+  * builds per row), value-identically. `jaccard_h64(a, b)` in SQL.
+  */
+case class JaccardH64(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_h64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardH64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"org.apache.spark.sql.graft.Kernels.jaccardH64($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardH64 =
     copy(left = newLeft, right = newRight)
 }
 

@@ -333,6 +333,25 @@ class AnnSpec extends AnyFunSuite {
     assert(simq(1) > simq(2))
   }
 
+  test("ANN dial rule: widens with corpus size, fixed base dials at every gate SF") {
+    // gate SFs carry ≤ 2000 vectors — the rule must return the BASE
+    // dials there (8 bits / 4 probes), so oracle replays never see a
+    // scaled dial; the widening engages on the bench scale legs
+    // (sf1 ≈ 20k, sf3 ≈ 60k), where the fixed dials measured
+    // s02 0.5→0.3 and s04 0.6→0.3 recall decay
+    assert(Ann.srpBitsFor(500) == 8 && Ann.srpBitsFor(2000) == 8 &&
+      Ann.srpBitsFor(4000) == 8)
+    assert(Ann.srpBitsFor(20000) == 7 && Ann.srpBitsFor(60000) == 6)
+    assert(Ann.ivfProbesFor(500) == 4 && Ann.ivfProbesFor(2000) == 4)
+    assert(Ann.ivfProbesFor(20000) == 6 && Ann.ivfProbesFor(60000) == 8)
+    // monotone: the probed fraction never shrinks as the corpus grows
+    val ns = Seq(100L, 4000L, 4001L, 32000L, 32001L, 1000000L)
+    assert(ns.map(Ann.srpBitsFor).sliding(2).forall(p => p(0) >= p(1)))
+    assert(ns.map(Ann.ivfProbesFor).sliding(2).forall(p => p(0) <= p(1)))
+    // bits stay in the signature kernel's legal window
+    assert(Ann.srpBitsFor(Long.MaxValue) >= 6 && Ann.srpBitsFor(1) <= 56)
+  }
+
   test("s14 auto-cutover: rule boundary, measured sample degradation, buildIvfIndex flips") {
     import org.apache.spark.sql.functions.{array_max, avg, col}
     import spark.implicits._

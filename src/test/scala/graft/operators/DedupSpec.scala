@@ -596,6 +596,11 @@ class DedupSpec extends AnyFunSuite {
         "https://e.com/p?a=2&z=1"),
       // tracking-only query collapses to no query at all
       ("https://e.com/p?utm_campaign=c&fbclid=f", "https://e.com/p"),
+      // VALUELESS tracking params (no '=') drop too — ?fbclid and
+      // ?fbclid=f must land on the same canonical URL
+      ("https://e.com/p?fbclid&a=2&utm_source&ref", "https://e.com/p?a=2"),
+      // but a non-tracking param that merely STARTS with 'ref' stays
+      ("https://e.com/p?reference=1&refresh", "https://e.com/p?reference=1&refresh"),
       // '?' with empty query
       ("https://e.com/p?", "https://e.com/p"),
       // fragment before query-less path, trailing slash

@@ -5,28 +5,43 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{Tables, TestSpark}
 
-/** g01 PageRank / g02 HITS: the distributed integer fixed-point
-  * iterations must be BIT-IDENTICAL to a serial plain-Scala replay of
-  * the same recurrence — integer sums are order-independent, so any
-  * divergence is a logic bug, never "float noise". Plus the
-  * repartition-hostility law (the d13/c18 discipline) and the mass
+/** g01 PageRank / g02 HITS over the g03-EXTRACTED host link graph:
+  * the distributed integer fixed-point iterations must be
+  * BIT-IDENTICAL to a serial plain-Scala replay of the same
+  * recurrence — integer sums are order-independent, so any divergence
+  * is a logic bug, never "float noise". Plus the g03 extraction laws
+  * (relative/self links drop, weights collapse), the
+  * repartition-hostility law (the d13/c18 discipline), and the mass
   * bounds the integer truncation guarantees.
   */
 class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf0001
 
-  /** Serial replay of Graph.demoEdges over the raw doc ids. */
-  private def serialEdges(docIds: Seq[Long]): Map[(Long, Long), Long] =
+  private def host(i: Long) = s"site$i.example.com"
+
+  /** Serial replay of the planted link graph in HOST space — what
+    * g03 must extract from demoLinkedDocs' markup.
+    */
+  private def serialEdges(docIds: Seq[Long]): Map[(String, String), Long] =
     docIds.flatMap { id =>
       val src = (id / 5) % 50
       val v = id % 5
-      (1L to 3L).map(k => (src, (src * 7 + k * 13 + v * 11) % 50))
+      (1L to 3L).map(k => (host(src), host((src * 7 + k * 13 + v * 11) % 50)))
     }.filter { case (s, d) => s != d }
       .groupBy(identity).map { case (e, hits) => e -> hits.size.toLong }
 
   private def docIds(): Seq[Long] =
     Tables(spark, dir).documents.select("doc_id").collect().map(_.getLong(0)).toSeq
+
+  test("g03 extraction recovers the planted host graph; decoys drop") {
+    val want = serialEdges(docIds())
+    val got = Graph.g03LinkExtract(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // no self-edges, no empty hosts (the relative-href decoy)
+    assert(got.keys.forall { case (s, d) => s != d && s.nonEmpty && d.nonEmpty })
+  }
 
   test("g01 PageRank equals the serial integer replay bit-for-bit") {
     val edges = serialEdges(docIds())
@@ -43,7 +58,7 @@ class GraphSpec extends AnyFunSuite {
       rank = nodes.map(nd => nd -> (base + 85L * inflow.getOrElse(nd, 0L) / 100L)).toMap
     }
     val got = Graph.g01PageRank(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.keySet == nodes.toSet)
     nodes.foreach { nd =>
       assert(got(nd) == (outw.getOrElse(nd, 0L), rank(nd)),
@@ -81,7 +96,7 @@ class GraphSpec extends AnyFunSuite {
       }.toMap
     }
     val got = Graph.g02Hits(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.keySet == nodes.toSet)
     nodes.foreach { nd =>
       assert(got(nd) == (hub(nd), auth(nd)),
@@ -94,15 +109,16 @@ class GraphSpec extends AnyFunSuite {
       s"auth mass $aTot outside the truncation band")
   }
 
-  test("the planted edge frame is invariant under hostile repartitioning") {
+  test("the extracted edge frame is invariant under hostile repartitioning") {
     // the iterations consume only (src,dst,w); the serial-replay tests
     // above pin the iterations themselves, so edge-frame stability
     // under an adversarial partitioning closes the loop
     val docs = Tables(spark, dir).documents
-    val a = Graph.demoEdges(docs)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val b = Graph.demoEdges(docs.repartition(7, col("lang")))
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = Graph.linkExtractOver(Graph.demoLinkedDocs(docs))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val b = Graph.linkExtractOver(Graph.demoLinkedDocs(
+        docs.repartition(7, col("lang"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(a == b && a.nonEmpty)
   }
 }

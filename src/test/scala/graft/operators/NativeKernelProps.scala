@@ -129,6 +129,36 @@ object NativeKernelProps extends Properties("graft.native-kernels") {
       }
     }
 
+  property("jaccardH64 == builtin intersect/union form, bit-identical") =
+    forAll(Gen.listOfN(6,
+      Gen.zip(Gen.listOf(Gen.choose(-8L, 8L)),
+        Gen.listOf(Gen.choose(-8L, 8L))))) { pairs =>
+      import spark.implicits._
+      // distinct inputs are the kernel's contract (shingle-hash sets);
+      // the tight value range forces real overlaps
+      val vecs = pairs.zipWithIndex.map { case ((a, b), i) =>
+        (i.toLong, a.distinct, b.distinct)
+      }
+      val df = vecs.toDF("id", "a", "b")
+      val native = df
+        .select(col("id"), graft.functions.F.jaccardH64(col("a"), col("b")))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // ANSI guard: the builtin form throws on 0/0 (an edge no real
+      // shingle producer emits — they yield NULL, never []); the
+      // kernel pins it to NaN, the pre-ANSI builtin value
+      val ref = df
+        .select(col("id"),
+          when(size(array_union(col("a"), col("b"))) === 0,
+            lit(Double.NaN))
+            .otherwise(size(array_intersect(col("a"), col("b")))
+              .cast("double") / size(array_union(col("a"), col("b")))))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      vecs.forall { case (i, _, _) =>
+        // NaN == NaN for the empty-empty edge; otherwise bit equality
+        (native(i).isNaN && ref(i).isNaN) || native(i) == ref(i)
+      }
+    }
+
   property("cosineSim4 == rounded driver fold, bit-identical") =
     forAll(Gen.listOfN(6,
       Gen.zip(Gen.listOfN(8, Gen.choose(-100.0, 100.0)),

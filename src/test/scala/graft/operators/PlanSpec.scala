@@ -239,7 +239,19 @@ class PlanSpec extends AnyFunSuite {
       "c17_semantic_decontam",
       // c22 broadcasts its 1-row corpus-total aggregate back onto the
       // |domains|-row rollup (q44/q50's scalar-threshold shape)
-      "c22_domain_mixture")
+      "c22_domain_mixture",
+      // s17 scores a BOUNDED broadcast mining batch X against one
+      // linear pass over Y (s01's baseline shape); the backward-kNN
+      // sums in the margin denominator need the full X×Y score
+      // matrix, so the dense pass IS the algorithm for a mining
+      // batch — at 100 TB the batch stays bounded and the indexed
+      // s05/s06 retrievers pre-narrow Y, not X
+      "s17_margin_mining",
+      // g02 folds its L1 normalizer in as a broadcast 1-row global
+      // aggregate crossJoined onto the node frame (q44/q50's
+      // scalar-threshold shape) instead of a per-iteration driver
+      // .head sync
+      "g02_hits")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =

@@ -1470,6 +1470,59 @@ class StreamsSpec extends AnyFunSuite {
     assert(junk == Map(500L -> "not-a-url", 501L -> "mailto:x@y.z"))
   }
 
+  test("st23 ledger compaction: history folds to one base, verdicts unchanged, replay safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st23c")
+    val lake = dir.resolve("lake").toString
+    def urls(ids: Seq[Long], dom: String) =
+      ids.map(id => (id, s"https://$dom/p/$id"))
+    // batches 0..3: 2 docs/drain on a.com + 1 on b.com, cap 7 —
+    // a.com fills mid-batch-3 (admits 31, rejects 32)
+    for (b <- 0L to 3L)
+      Streams.domainQuotaBatch(
+        (urls(Seq(10 * b + 1, 10 * b + 2), "a.com") ++
+          urls(Seq(10 * b + 5), "b.com")).toDF("doc_id", "url"),
+        lake, 7L, b)
+    val ledger = () => spark.read
+      .schema("domain STRING, n BIGINT, batch BIGINT")
+      .parquet(lake + ".domcounts")
+      .groupBy("domain").agg(org.apache.spark.sql.functions.sum("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pre = ledger()
+    assert(pre == Map("a.com" -> 7L, "b.com" -> 4L))
+    // compact everything except the replayable last batch
+    Streams.domainQuotaCompactLedger(spark, lake, upTo = 2L)
+    def batchDirs() = new java.io.File(lake + ".domcounts").listFiles
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(batchDirs() == Set("batch=-4", "batch=3"), "one base + the tail")
+    assert(ledger() == pre, "compaction changed total counts")
+    // idempotent: same upTo is a no-op
+    Streams.domainQuotaCompactLedger(spark, lake, upTo = 2L)
+    assert(batchDirs() == Set("batch=-4", "batch=3"))
+    // next drain's verdicts against the compacted ledger: a.com full,
+    // b.com has 3 slots left
+    Streams.domainQuotaBatch(
+      (urls(Seq(41L, 42L), "a.com") ++ urls(Seq(45L), "b.com"))
+        .toDF("doc_id", "url"), lake, 7L, 4L)
+    val landed4 = spark.read.parquet(s"$lake/batch=4").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(landed4 == Seq(45L), "compacted prior must reject full a.com")
+    // replay the UNCOMPACTED tail batch: the base (not batch=3's own
+    // counts) supplies prior, verdicts re-derive identically
+    Streams.domainQuotaBatch(
+      (urls(Seq(31L, 32L), "a.com") ++ urls(Seq(35L), "b.com"))
+        .toDF("doc_id", "url"), lake, 7L, 3L)
+    val landed3 = spark.read.parquet(s"$lake/batch=3").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(landed3 == Seq(31L, 35L), "replay changed batch-3 verdicts")
+    assert(ledger() == Map("a.com" -> 7L, "b.com" -> 5L))
+    // second compaction folds the old base + the tail into a new base;
+    // a leftover old base (crash window) would be ignored by readers
+    Streams.domainQuotaCompactLedger(spark, lake, upTo = 3L)
+    assert(batchDirs() == Set("batch=-5", "batch=4"))
+    assert(ledger() == Map("a.com" -> 7L, "b.com" -> 5L))
+  }
+
   test("st22 warc intake: conversion text lands, plumbing dropped, poison quarantined") {
     import spark.implicits._
     import graft.sources.WarcSource
