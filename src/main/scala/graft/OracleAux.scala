@@ -94,6 +94,10 @@ object OracleAux {
       (s, d) => operators.Multimodal.m02AuxFrames(s, d)),
     // m14 shares m03's decoded-PCM side-table: the decimation
     // arithmetic replays downstream in SQL
+    ("c26_grams", Set("c26_bloom_decontam"),
+      (s, d) => operators.Corpus.c26AuxGrams(s, d)),
+    ("c26_hits", Set("c26_bloom_decontam"),
+      (s, d) => operators.Corpus.c26AuxHits(s, d)),
     ("m03_pcm", Set("m03_audio_windows", "m14_audio_decimate"),
       (s, d) => operators.Multimodal.m03AuxPcm(s, d)),
     // the e12 hashed-bigram bucket counts, shared by DSIR weighting

@@ -342,6 +342,72 @@ object Oracles {
     "g01_pagerank" -> pageRankSql(10),
     "g02_hits" -> hitsSql(10),
 
+    // c26: per-doc gram explode + bloom-verdict join + threshold
+    // replayed from the kernel-boundary side-tables (the bloom probe
+    // itself is the non-SQL kernel; the spec pins its no-false-
+    // negative law); short docs left-join back as (0, 0, clean).
+    "c26_bloom_decontam" ->
+      s"""WITH g AS (SELECT doc_id, h
+         |  FROM '${OracleAux.Root}/c26_grams/*.parquet'),
+         |v AS (SELECT h, hit FROM '${OracleAux.Root}/c26_hits/*.parquet'),
+         |agg AS (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(SUM(hit) AS BIGINT) AS n_hits
+         |  FROM g JOIN v USING (h) GROUP BY doc_id),
+         |train AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0)
+         |SELECT t.doc_id,
+         |  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(COALESCE(a.n_hits, 0) >= 1 AS BIGINT) AS contaminated
+         |FROM train t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // g04: the host-edge CTE (g01/g02's), the two mutual-backbone
+    // windows, then the d07 recursive-CTE component walk — min
+    // reachable host is the cluster id (bytewise string MIN, the same
+    // order Spark's star contraction uses); non-backbone hosts
+    // singleton to themselves via the left join.
+    "g04_host_communities" ->
+      """WITH RECURSIVE e0 AS (SELECT ((doc_id // 5) % 50) AS s,
+        |              unnest([1,2,3]) AS k, (doc_id % 5) AS v
+        |            FROM documents),
+        |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+        |          FROM (SELECT 'site' || s || '.example.com' AS src,
+        |                  'site' || ((s * 7 + k * 13 + v * 11) % 50) ||
+        |                    '.example.com' AS dst
+        |                FROM e0) t
+        |          WHERE dst <> src GROUP BY src, dst),
+        |topout AS (SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+        |    FROM edges) x WHERE rk <= 2),
+        |topin AS (SELECT src, dst FROM (
+        |    SELECT src, dst,
+        |      row_number() OVER (PARTITION BY dst ORDER BY w DESC, src) AS rk
+        |    FROM edges) x WHERE rk <= 2),
+        |bb AS (SELECT o.src, o.dst FROM topout o
+        |       JOIN topin i ON o.src = i.src AND o.dst = i.dst),
+        |-- DISTINCT over UNION ALL, not UNION: inside WITH RECURSIVE
+        |-- DuckDB gives any  a UNION b  CTE recursive treatment and
+        |-- skips the cross-part dedup
+        |nodes AS (SELECT DISTINCT host FROM (
+        |    SELECT src AS host FROM edges
+        |    UNION ALL SELECT dst FROM edges) u),
+        |bidir AS (SELECT src AS a, dst AS b FROM bb
+        |          UNION ALL SELECT dst, src FROM bb),
+        |walk(n, lab) AS (
+        |  SELECT a, a FROM bidir
+        |  UNION
+        |  SELECT e.b, wk.lab FROM walk wk JOIN bidir e ON e.a = wk.n),
+        |lab0 AS (SELECT n AS host, MIN(lab) AS cluster_id FROM walk GROUP BY n),
+        |lab AS (SELECT nd.host, COALESCE(l.cluster_id, nd.host) AS cluster_id
+        |        FROM nodes nd LEFT JOIN lab0 l ON l.host = nd.host),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM lab GROUP BY cluster_id)
+        |SELECT lab.host, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id)
+        |ORDER BY host""".stripMargin,
+
     // g03: rebuild the planted html byte-for-byte, then replay the
     // EXTRACTION itself — canonical-link host as source, every
     // <a href> host as destination, relative hrefs (no scheme → empty

@@ -165,6 +165,8 @@ object SparkEntry {
     "g01_pagerank" -> ((s, dir) => Graph.g01PageRank(s, dir)),
     "g02_hits" -> ((s, dir) => Graph.g02Hits(s, dir)),
     "g03_link_extract" -> ((s, dir) => Graph.g03LinkExtract(s, dir)),
+    "g04_host_communities" -> ((s, dir) => Graph.g04HostCommunities(s, dir)),
+    "c26_bloom_decontam" -> ((s, dir) => Corpus.c26BloomDecontam(s, dir)),
     "t22_cms_topk" -> ((s, dir) => TextOps.t22CmsTopk(s, dir)),
     "s17_margin_mining" -> ((s, dir) => Ann.s17MarginMining(s, dir)),
     "c25_sft_pack" -> ((s, dir) => Corpus.c25SftPack(s, dir)),

@@ -1802,4 +1802,117 @@ object Corpus {
         least(col("n_docs"), lit(cap)).as("n_kept"))
       .orderBy("domain")
   }
+
+  // ---------------------------------------------------------------- c26
+
+  /** The c26 demo fixture: benchmark docs (doc_id % 10 == 0) and the
+    * contaminated subset of train docs (doc_id % 7 == 0) both carry
+    * the d08 SharedPassage appended — the passage's 8 interior
+    * 13-grams are what the filter must catch; everything else is
+    * random-token text with no meaningful 13-gram collisions.
+    */
+  private[operators] def c26Bench(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" " + Dedup.SharedPassage.mkString(" "))).as("text"))
+
+  private[operators] def c26Train(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + Dedup.SharedPassage.mkString(" "))))
+          .otherwise(col("text")).as("text"))
+
+  /** The benchmark Bloom sketch as a bounded driver-side constant —
+    * the s04-centroids pattern: a FIXED-SIZE model collected once and
+    * embedded as a literal, never data. Spark's own
+    * BloomFilterAggregate builds it (bit-OR merge across partitions:
+    * order-independent, fixed hash seeds, deterministic bytes).
+    */
+  private def c26Sketch(bench: DataFrame, gramK: Int,
+      estItems: Long, numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val grams = Dedup.docShingleHashes(bench, gramK)
+      .select(explode(col("sh")).as("h")).distinct()
+    val agg = new BloomFilterAggregate(Bridge.expression(grams("h")),
+      Literal(estItems), Literal(numBits))
+    grams.agg(Bridge.column(agg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** c26: Bloom-gram decontamination — the FIXED-MEMORY version of the
+    * c03/c07 train-vs-benchmark gates (public practice: GPT-3's
+    * appendix-C 13-gram overlap filter; the Dolma/FineWeb
+    * decontamination passes run the same shape): hash every benchmark
+    * k-gram (e10 xxhash64 shingle kernel) into ONE Bloom filter, then
+    * score each training document by how many of its k-grams the
+    * filter might contain. The probe side embeds the sketch as a
+    * LITERAL (might_contain requires a constant), so scoring is pure
+    * per-row codegen with NO join at all: at 100 TB the benchmark
+    * sketch is a few hundred KB riding the task binary while the
+    * train side streams through the scan — where c03's exact-hash
+    * broadcast grows with the benchmark and c07's span join shuffles
+    * positional shingles.
+    *
+    * Determinism: fixed hash seeds inside Spark's sketch make false
+    * positives REPRODUCIBLE; the output surfaces the evidence
+    * (n_grams, n_hits) rather than a bare verdict, and `contaminated`
+    * is the n_hits >= minHits threshold. Docs too short to carry one
+    * k-gram score (0, 0, clean).
+    *
+    * Oracle: side-tables carry the per-doc hashed grams and the
+    * per-DISTINCT-gram bloom verdict (the kernel boundary); the
+    * explode -> verdict join -> per-doc aggregation -> threshold ->
+    * left-join-back all replay in SQL. The spec pins what the oracle
+    * cannot: zero false negatives (every planted passage doc flags)
+    * and a bounded false-positive count on clean docs.
+    */
+  def c26BloomDecontam(spark: SparkSession, dir: String, gramK: Int = 13,
+      minHits: Long = 1L, estItems: Long = 1L << 19,
+      numBits: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    val bits = c26Sketch(c26Bench(spark, dir), gramK, estItems, numBits)
+    val train = c26Train(spark, dir).localCheckpoint(false)
+    val grams = Dedup.docShingleHashes(train, gramK)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val hit = Bridge.column(BloomFilterMightContain(
+      Literal.create(bits,
+        org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(grams("h"))))
+    val perDoc = grams
+      .select(col("doc_id"), when(hit, 1L).otherwise(0L).as("hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("hit")).as("n_hits"))
+    train.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).cast("long")
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** c26 oracle side-tables: the per-doc hashed train grams and the
+    * bloom verdict per distinct gram (computed with the SAME literal
+    * sketch the query embeds).
+    */
+  def c26AuxGrams(spark: SparkSession, dir: String, gramK: Int = 13): DataFrame =
+    Dedup.docShingleHashes(c26Train(spark, dir), gramK)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+
+  def c26AuxHits(spark: SparkSession, dir: String, gramK: Int = 13,
+      estItems: Long = 1L << 19, numBits: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    val bits = c26Sketch(c26Bench(spark, dir), gramK, estItems, numBits)
+    val hs = c26AuxGrams(spark, dir, gramK).select(col("h")).distinct()
+    hs.select(col("h"),
+      Bridge.column(BloomFilterMightContain(
+        Literal.create(bits, org.apache.spark.sql.types.BinaryType),
+        Bridge.expression(hs("h")))).cast("long").as("hit"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -113,6 +114,57 @@ object Graph {
   private[operators] def linkEdges(spark: SparkSession, dir: String): DataFrame =
     linkExtractOver(demoLinkedDocs(Tables(spark, dir).documents))
       .select(col("src_host").as("src"), col("dst_host").as("dst"), col("w"))
+
+  /** g04: MUTUAL-backbone communities over the extracted host graph —
+    * keep an edge only when dst is among src's `k` strongest
+    * out-links AND src is among dst's `k` strongest in-links (weight
+    * desc, host asc ties), then transitive communities via the shared
+    * d07 large-star/small-star contraction
+    * ([[graft.operators.Dedup.connectedComponentsStar]] — its
+    * greatest/least/min machinery is key-type agnostic, so string
+    * hosts ride unchanged, bytewise). The mutual rule is the
+    * mutual-nearest-neighbor sparsifier: one-sided strongest links
+    * chain everything into a giant component (measured: this demo
+    * graph is ONE component even at k = 1 one-sided), while
+    * RECIPROCATED strength isolates genuinely tight neighborhoods.
+    * The backbone is SF-invariant by construction — the plant's
+    * (slot, variant) structure fixes link-weight RATIOS, corpus
+    * growth only scales magnitudes. This is how a crawl-curation
+    * pipeline turns raw link counts into domain neighborhoods for
+    * mixture/quota policy (c22/st23 operate per-domain; communities
+    * lift that to per-neighborhood).
+    *
+    * Scale: two windows (one shuffle each, on src / on dst) over the
+    * already-aggregated edge list (hosts, not pages) + a semi-join;
+    * contraction is O(log n) rounds of join+agg on ≤ k·|hosts|
+    * canonical edges. Hosts with no reciprocated strong link are
+    * singleton communities of themselves.
+    *
+    * Output: (host, cluster_id = min member host, cluster_size).
+    */
+  def g04HostCommunities(spark: SparkSession, dir: String,
+      k: Int = 2): DataFrame = {
+    val edges = linkEdges(spark, dir).localCheckpoint(false)
+    val wndOut = Window.partitionBy("src").orderBy(col("w").desc, col("dst"))
+    val wndIn = Window.partitionBy("dst").orderBy(col("w").desc, col("src"))
+    val topOut = edges.withColumn("rk", row_number().over(wndOut))
+      .filter(col("rk") <= k).select(col("src"), col("dst"))
+    val topIn = edges.withColumn("rk", row_number().over(wndIn))
+      .filter(col("rk") <= k).select(col("src"), col("dst"))
+    val backbone = topOut.join(topIn, Seq("src", "dst"), "left_semi")
+    val labels = graft.operators.Dedup.connectedComponentsStar(backbone)
+      .select(col("id").as("host"), col("lab").as("cluster_id"))
+    val nodes = edges.select(col("src").as("host"))
+      .union(edges.select(col("dst").as("host"))).distinct()
+    val lab = nodes.join(labels, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("cluster_id"), col("host")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "cluster_id")
+      .select(col("host"), col("cluster_id"), col("cluster_size"))
+      .orderBy("host")
+  }
 
   /** g01: damped PageRank, 10 power iterations, integer fixed-point.
     *

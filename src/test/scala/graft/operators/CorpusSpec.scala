@@ -8,6 +8,54 @@ class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = TestSpark.Sf001
 
+  test("c26 bloom decontamination: no false negatives vs the exact gram sets, FPs bounded") {
+    import spark.implicits._
+    val out = Corpus.c26BloomDecontam(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // serial EXACT reference on gram STRINGS (the corpus itself plants
+    // near-duplicate texts, so real overlap exists beyond the passage
+    // plant — the exact sets are the ground truth, not the plant)
+    val passage = Dedup.SharedPassage.mkString(" ")
+    val texts = graft.Tables(spark, dir).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(13).filter(_.size == 13)
+        .map(_.mkString(" ")).toSet
+    val benchSet = texts.filter(_._1 % 10 == 0)
+      .flatMap { case (_, t) => grams(t + " " + passage) }.toSet
+    val train = texts.filter(_._1 % 10 != 0).map { case (id, t) =>
+      id -> grams(if (id % 7 == 0) t + " " + passage else t)
+    }
+    assert(out.keySet == train.map(_._1).toSet)
+    var fps = 0
+    train.foreach { case (id, gs) =>
+      val (ng, nh, c) = out(id)
+      assert(ng == gs.size.toLong, s"doc $id gram count")
+      val exact = gs.count(benchSet)
+      // bloom law: no false negatives, per gram — hits can only exceed
+      assert(nh >= exact.toLong, s"doc $id: $nh hits < $exact exact")
+      if (exact > 0) assert(c == 1L, s"contaminated doc $id not flagged")
+      if (exact == 0 && c == 1L) fps += 1
+      if (id % 7 == 0) assert(c == 1L && nh >= 8L, s"planted doc $id")
+    }
+    // deterministic fixed-seed sketch: FPs possible but must stay rare
+    assert(fps <= math.max(1, train.size / 100), s"$fps bloom FP docs")
+  }
+
+  test("c26 plan: the sketch rides as a literal — no join on the scoring path") {
+    val df = Corpus.c26BloomDecontam(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly ONE join in the whole query: the short-doc backfill
+    // (train left-join scores); the bloom probe itself is a literal
+    // per-row expression — a second join would mean the sketch is
+    // being joined in as data
+    val joins = "Join".r.findAllIn(plan).size
+    assert(plan.contains("might_contain"), "bloom probe missing from plan")
+    assert(joins <= 2, s"unexpected joins on the c26 scoring path:\n$plan")
+  }
+
   test("c14 importance weights == plain-Scala DSIR recompute on a hand corpus") {
     import spark.implicits._
     // fixture bigrams are all distinct strings (no two docs share a

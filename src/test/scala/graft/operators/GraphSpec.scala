@@ -109,6 +109,41 @@ class GraphSpec extends AnyFunSuite {
       s"auth mass $aTot outside the truncation band")
   }
 
+  test("g04 mutual-backbone communities equal the serial union-find replay") {
+    val edges = serialEdges(docIds())
+    // NB: flatMap over a Map with tuple results would REBUILD a map
+    // (dedup by key) — go through .values
+    def topK(keyOf: ((String, String)) => String,
+        otherOf: ((String, String)) => String): Set[(String, String)] =
+      edges.toSeq.groupBy { case (e, _) => keyOf(e) }.values.flatMap { es =>
+        es.map { case (e, w) => (-w, otherOf(e), e) }
+          .sorted.take(2).map(_._3)
+      }.toSet
+    val bb = topK(_._1, _._2) & topK(_._2, _._1)
+    // union-find over the mutual backbone
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    bb.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet
+    val lab = nodes.map { n =>
+      val members = nodes.filter(m => find(m) == find(n))
+      n -> (members.min, members.size.toLong)
+    }.toMap
+    val got = Graph.g04HostCommunities(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == lab)
+    // the demo must be NON-TRIVIAL: more than one multi-member
+    // community outcome shape — one tight neighborhood plus
+    // reciprocation-free singletons
+    val sizes = lab.values.map(_._1).toSet.toSeq
+      .map((c: String) => lab.values.count(_._1 == c))
+    assert(sizes.exists(_ > 1) && sizes.count(_ == 1) > 1,
+      s"degenerate demo community structure: $sizes")
+  }
+
   test("the extracted edge frame is invariant under hostile repartitioning") {
     // the iterations consume only (src,dst,w); the serial-replay tests
     // above pin the iterations themselves, so edge-frame stability
