@@ -392,9 +392,13 @@ object Ann {
     * first.
     */
   def s11AnnIvfPq(spark: SparkSession, dir: String, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
+      nlist: Int = 16, nprobe: Int = 0, m: Int = 16, ksub: Int = 16,
       rerank: Int = 8): DataFrame = {
     val t = Tables(spark, dir)
+    // nprobe = 0 (default): corpus-size auto-dial, s04's ivfProbesFor
+    val probes0 =
+      if (nprobe > 0) nprobe
+      else ivfProbesFor(t.embeddings.select(col("vec_id")).count())
     val corpus = t.embeddings.filter(col("vec_id") =!= 0)
     val cents = trainCentroids(corpus, nlist)
     val books = trainPqCodebooks(corpus, m, ksub)
@@ -417,7 +421,7 @@ object Ann {
       d
     }
     val probeCells: Seq[Long] = cellScores.zipWithIndex
-      .sortBy { case (s, i) => (-s, i) }.take(nprobe)
+      .sortBy { case (s, i) => (-s, i) }.take(probes0)
       .map { case (_, i) => (i + 1).toLong }.toSeq
     val ltab = Array.tabulate(m) { j =>
       books(j).map { c =>
@@ -1091,19 +1095,23 @@ object Ann {
     * rows; recall is spec-checked against exact s03.
     */
   def s05KnnJoinLsh(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Int = 10, nBits: Int = 8, dim: Int = 64): DataFrame = {
+      nQueries: Int = 10, nBits: Int = 0, dim: Int = 64): DataFrame = {
     import graft.functions.F
     val t = Tables(spark, dir)
+    // nBits = 0 (default): corpus-size auto-dial, s02's srpBitsFor
+    val bits =
+      if (nBits > 0) nBits
+      else srpBitsFor(t.embeddings.select(col("vec_id")).count())
     val corpus = t.embeddings.filter(col("vec_id") >= nQueries)
       .select(col("vec_id"), col("embedding"),
         sqrt(F.dotProd(col("embedding"), col("embedding"))).as("cn"),
-        srpSignature(col("embedding"), nBits, dim).as("sig"))
+        srpSignature(col("embedding"), bits, dim).as("sig"))
     val queries = t.embeddings.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
         sqrt(F.dotProd(col("embedding"), col("embedding"))).as("qn"),
-        srpSignature(col("embedding"), nBits, dim).as("qsig"))
+        srpSignature(col("embedding"), bits, dim).as("qsig"))
     val probes = queries.select(col("query_id"), col("qv"), col("qn"),
-      explode(hamming2Probes(col("qsig"), nBits)).as("psig"))
+      explode(hamming2Probes(col("qsig"), bits)).as("psig"))
     val scored = corpus.join(probes, col("sig") === col("psig"))
       .select(col("query_id"), col("vec_id"),
         F.cosineSim4Pre(col("embedding"), col("cn"), col("qv"), col("qn"))
