@@ -265,7 +265,11 @@ object Oracles {
       |          FROM (SELECT 'site' || s || '.example.com' AS src,
       |                  'site' || ((s * 7 + k * 13 + v * 11) % 50) ||
       |                    '.example.com' AS dst
-      |                FROM e0) t
+      |                FROM e0
+      |                UNION ALL
+      |                SELECT 'site' || ((doc_id // 5) % 50) || '.example.com',
+      |                  'mirror.example.net'
+      |                FROM documents WHERE doc_id % 5 = 0) t
       |          WHERE dst <> src GROUP BY src, dst),
       |ow AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
       |       FROM edges GROUP BY src),
@@ -281,10 +285,14 @@ object Oracles {
     */
   private def pageRankSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
-      s"""r$i AS MATERIALIZED (SELECT nd.node,
+      s"""d$i AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
+         |  FROM r${i - 1} r LEFT JOIN ow o ON o.src = r.node
+         |  WHERE o.src IS NULL),
+         |r$i AS MATERIALIZED (SELECT nd.node,
          |  (15 * (CAST(1000000000 AS BIGINT) // nn.n)) // 100
-         |    + (85 * COALESCE(inf.inflow, CAST(0 AS BIGINT))) // 100 AS rank
-         |  FROM nodes nd CROSS JOIN nn
+         |    + (85 * (COALESCE(inf.inflow, CAST(0 AS BIGINT))
+         |             + dg.dang // nn.n)) // 100 AS rank
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$i dg
          |  LEFT JOIN (SELECT e.dst,
          |               CAST(SUM((r.rank * e.w) // o.outw) AS BIGINT) AS inflow
          |             FROM r${i - 1} r JOIN edges e ON e.src = r.node
@@ -375,7 +383,11 @@ object Oracles {
         |          FROM (SELECT 'site' || s || '.example.com' AS src,
         |                  'site' || ((s * 7 + k * 13 + v * 11) % 50) ||
         |                    '.example.com' AS dst
-        |                FROM e0) t
+        |                FROM e0
+        |                UNION ALL
+        |                SELECT 'site' || ((doc_id // 5) % 50) || '.example.com',
+        |                  'mirror.example.net'
+        |                FROM documents WHERE doc_id % 5 = 0) t
         |          WHERE dst <> src GROUP BY src, dst),
         |topout AS (SELECT src, dst FROM (
         |    SELECT src, dst,
@@ -427,6 +439,10 @@ object Oracles {
         |    '<a href="https://site' ||
         |      ((((doc_id // 5) % 50) * 7 + 3 * 13 + (doc_id % 5) * 11) % 50) ||
         |      '.example.com/p/' || doc_id || '">r3</a> ' ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN '<a href="https://mirror.example.net/snap/' || doc_id ||
+        |        '">m</a> '
+        |      ELSE '' END ||
         |    '<a href="/local/nav">nav</a></body></html>' AS html
         |  FROM documents),
         |e AS (SELECT

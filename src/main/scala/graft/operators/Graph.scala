@@ -61,20 +61,28 @@ object Graph {
     * canonical URL (`site{(doc_id div 5) % 50}.example.com` — the d15
     * domain) and three outbound anchors whose target hosts follow the
     * affine formula `(src*7 + k*13 + v*11) % 50` with v = doc_id % 5,
-    * plus one relative-href decoy the extractor must drop. Narrow
-    * per-row projection — no shuffle.
+    * plus one relative-href decoy the extractor must drop. Docs with
+    * v = 0 additionally link `mirror.example.net` — a host that is
+    * never a canonical SOURCE, so the extracted graph always carries
+    * one genuine DANGLING node (linked-to-but-never-crawled hosts are
+    * the norm on real crawl graphs; the demo must exercise g01's
+    * redistribution term at every SF). Narrow per-row projection — no
+    * shuffle.
     */
   private[operators] def demoLinkedDocs(docs: DataFrame): DataFrame = {
     def anchor(k: Int) = concat(
       lit("<a href=\"https://site"),
       expr(s"(((doc_id div 5) % 50) * 7 + $k * 13 + (doc_id % 5) * 11) % 50"),
       lit(".example.com/p/"), col("doc_id"), lit(s"\">r$k</a> "))
+    val sinkAnchor = when(col("doc_id") % 5 === 0,
+      concat(lit("<a href=\"https://mirror.example.net/snap/"),
+        col("doc_id"), lit("\">m</a> "))).otherwise(lit(""))
     docs.select(col("doc_id"),
       concat(
         lit("<html><head><link rel=\"canonical\" href=\"https://site"),
         expr("(doc_id div 5) % 50"), lit(".example.com/docs/"),
         expr("doc_id div 5"), lit("\"/></head><body><p>"), col("text"),
-        lit("</p>"), anchor(1), anchor(2), anchor(3),
+        lit("</p>"), anchor(1), anchor(2), anchor(3), sinkAnchor,
         lit("<a href=\"/local/nav\">nav</a></body></html>")).as("html"))
   }
 
@@ -172,27 +180,32 @@ object Graph {
     * operands are non-negative, so it equals the oracle's floor `//`):
     *   r0(n)   = Scale div N
     *   c(e)    = (r(src) * w(e)) div outw(src)
+    *   dang    = Σ_{m: outw(m)=0} r(m)          (dangling rank mass)
     *   r'(n)   = (15 * (Scale div N)) div 100
-    *             + (85 * Σ_{e into n} c(e)) div 100
+    *             + (85 * (Σ_{e into n} c(e) + dang div N)) div 100
     *
-    * The 15% teleport mass keeps sinks from draining rank; this graph
-    * has no dangling nodes by construction (each domain keeps ≥ 2 of
-    * its 3 slots after self-link removal), so no dangling
-    * redistribution term is needed — a require() guards the
-    * assumption loudly rather than silently leaking mass if the
-    * fixture ever changes.
+    * The 15% teleport keeps rank from pooling; the DANGLING term is
+    * the standard redistribution for nodes with no out-links (on a
+    * real crawl graph, hosts linked-to but never crawled are the
+    * norm): their rank mass is re-spread uniformly each iteration
+    * instead of silently leaking. `dang div N` truncates — mass only
+    * ever DISCARDS under integer fixed-point, never inflates, so the
+    * mass-band law below survives.
     *
     * Output: (node, out_w, rank_e9) — rank in 1e-9 units, highest
     * first. N is obtained with a driver-side count (one aggregate
     * job over the node frame; a bounded scalar, never a collect of
-    * data).
+    * data); the per-iteration dangling total rides IN-PLAN as a
+    * broadcast 1-row aggregate crossJoined on (the g02 normalizer
+    * shape), so iterations stay free of driver-blocking actions.
     */
   def g01PageRank(spark: SparkSession, dir: String, iters: Int = 10): DataFrame =
     pageRankOver(linkEdges(spark, dir), iters)
 
   /** g01 iterations over ANY weighted (src, dst, w) edge frame —
     * node keys may be numeric or string (hosts); the integer
-    * recurrence is key-type agnostic.
+    * recurrence is key-type agnostic. Dangling nodes (no out-links)
+    * are handled by the uniform redistribution term.
     */
   def pageRankOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
     val edges = edgesIn.localCheckpoint(false)
@@ -204,23 +217,30 @@ object Graph {
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(false)
-    // dangling guard: every node must carry out-weight, or the
-    // recurrence silently leaks its rank mass each iteration
-    require(nodes.join(outw, nodes("node") === outw("src"), "left_anti")
-      .limit(1).count() == 0L,
-      "g01: dangling node (no out-links) — add a redistribution term")
+    // the dangling set is FIXED across iterations (a function of the
+    // frozen edge frame alone) — compute it once, checkpointed
+    val dangSet = nodes.join(outw, nodes("node") === outw("src"), "left_anti")
+      .select("node")
+      .localCheckpoint(false)
     val n = nodes.count()
+    require(n > 0, "g01: empty edge frame — no nodes to rank")
     val r0 = Scale / n
     val base = 15L * r0 / 100L
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
+      // lazy checkpoint BEFORE the dual use: the dangling-mass
+      // aggregate and the inflow join both read one materialization
+      ranks = ranks.localCheckpoint(false)
+      val dTot = ranks.join(dangSet, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
       val inflow = adj.join(ranks, adj("src") === ranks("node"))
         .select(col("dst"), expr("(rank * w) div outw").as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
       ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .crossJoin(broadcast(dTot))
         .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("rank"))
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint(false)
+          (lit(base) + expr(
+            s"(85 * (coalesce(inflow, 0L) + dang div ${n}L)) div 100")).as("rank"))
     }
     nodes.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
       .join(ranks, "node")
@@ -276,6 +296,7 @@ object Graph {
       .distinct()
       .localCheckpoint(false)
     val n = nodes.count()
+    require(n > 0, "g02: empty edge frame — no nodes to score")
     val s0 = Scale / n
     // sparse score frames: absent node == score 0 (exact, not approx)
     var hubs = nodes.select(col("node"), lit(s0).as("h"))

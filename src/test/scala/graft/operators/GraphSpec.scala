@@ -20,14 +20,19 @@ class GraphSpec extends AnyFunSuite {
 
   private def host(i: Long) = s"site$i.example.com"
 
+  private val Sink = "mirror.example.net"
+
   /** Serial replay of the planted link graph in HOST space — what
-    * g03 must extract from demoLinkedDocs' markup.
+    * g03 must extract from demoLinkedDocs' markup. v = 0 docs also
+    * link the sink host (never a source → dangling).
     */
   private def serialEdges(docIds: Seq[Long]): Map[(String, String), Long] =
     docIds.flatMap { id =>
       val src = (id / 5) % 50
       val v = id % 5
-      (1L to 3L).map(k => (host(src), host((src * 7 + k * 13 + v * 11) % 50)))
+      val affine =
+        (1L to 3L).map(k => (host(src), host((src * 7 + k * 13 + v * 11) % 50)))
+      if (v == 0) affine :+ (host(src), Sink) else affine
     }.filter { case (s, d) => s != d }
       .groupBy(identity).map { case (e, hits) => e -> hits.size.toLong }
 
@@ -43,20 +48,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got.keys.forall { case (s, d) => s != d && s.nonEmpty && d.nonEmpty })
   }
 
-  test("g01 PageRank equals the serial integer replay bit-for-bit") {
-    val edges = serialEdges(docIds())
+  /** The g01 recurrence replayed serially — dangling mass re-spread
+    * uniformly each iteration, exactly the distributed integer
+    * fixed-point.
+    */
+  private def serialPageRank(edges: Map[(String, String), Long],
+      iters: Int = 10): (Seq[String], Map[String, Long], Map[String, Long]) = {
     val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet.toSeq.sorted
     val outw = edges.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
     val n = nodes.size.toLong
     val r0 = Graph.Scale / n
     val base = 15L * r0 / 100L
     var rank = nodes.map(_ -> r0).toMap
-    for (_ <- 1 to 10) {
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(outw.contains).map(rank).sum
       val inflow = edges.toSeq
         .map { case ((s, d), w) => d -> rank(s) * w / outw(s) }
         .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
-      rank = nodes.map(nd => nd -> (base + 85L * inflow.getOrElse(nd, 0L) / 100L)).toMap
+      rank = nodes.map(nd =>
+        nd -> (base + 85L * (inflow.getOrElse(nd, 0L) + dang / n) / 100L)).toMap
     }
+    (nodes, outw, rank)
+  }
+
+  test("g01 PageRank equals the serial integer replay bit-for-bit") {
+    val edges = serialEdges(docIds())
+    val (nodes, outw, rank) = serialPageRank(edges)
+    val n = nodes.size.toLong
     val got = Graph.g01PageRank(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got.keySet == nodes.toSet)
@@ -64,14 +82,43 @@ class GraphSpec extends AnyFunSuite {
       assert(got(nd) == (outw.getOrElse(nd, 0L), rank(nd)),
         s"node $nd: got ${got(nd)}, serial (${outw.getOrElse(nd, 0L)}, ${rank(nd)})")
     }
+    // the fixture must actually EXERCISE the dangling path: the sink
+    // host is present, has no out-links, and still carries rank
+    assert(got.contains(Sink) && got(Sink)._1 == 0L && got(Sink)._2 > 0L,
+      s"sink host not dangling-with-rank: ${got.get(Sink)}")
     // rank mass: truncating divs only DISCARD mass, so the total never
     // exceeds Scale; the steady-state loss is the per-iteration
-    // truncation (≤ 2 units/node + 1 unit/edge) amplified by the
-    // geometric 1/0.15 teleport factor
+    // truncation (≤ 2 units/node + 1 unit/edge + N units for the
+    // dangling re-spread) amplified by the geometric 1/0.15 teleport
+    // factor
     val tot = rank.values.sum
-    val band = (2L * n + edges.size.toLong) * 100L / 15L + n
+    val band = (3L * n + edges.size.toLong) * 100L / 15L + n
     assert(tot <= Graph.Scale && tot > Graph.Scale - band,
       s"rank mass $tot outside the truncation band around ${Graph.Scale}")
+  }
+
+  test("g01 redistribution conserves dangling mass on a pure sink graph") {
+    // a → c, b → c, c sinks: without redistribution c's mass is lost
+    // and every rank decays to the teleport floor; with it, c's rank
+    // feeds back uniformly
+    import spark.implicits._
+    val edges = Seq(("a", "c", 1L), ("b", "c", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankOver(edges, iters = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val serial = serialPageRank(
+      Map(("a", "c") -> 1L, ("b", "c") -> 1L))._3
+    assert(got == serial, s"got $got, serial $serial")
+    // c must out-rank the pure-teleport floor its feeders sit at
+    assert(got("c") > got("a") && got("a") == got("b"))
+  }
+
+  test("g01/g02 refuse an empty edge frame loudly") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    val e1 = intercept[IllegalArgumentException](Graph.pageRankOver(empty))
+    assert(e1.getMessage.contains("empty edge frame"))
+    val e2 = intercept[IllegalArgumentException](Graph.hitsOver(empty))
+    assert(e2.getMessage.contains("empty edge frame"))
   }
 
   test("g02 HITS equals the serial integer replay bit-for-bit") {
