@@ -205,16 +205,20 @@ object Bench {
             .filter(col("vec_b") - col("vec_a") === 1000000L).count()
           if (nBase == 0) 0.0 else found / nBase
         },
-        // d02 demo plants exactly one J≈0.98 near-dup per doc at
-        // (d, d+1e6); recall is planted pairs recovered / docs — this
+        // d02 plants one near-dup per doc at (d, d+1e6); recall is
+        // planted pairs recovered / RECOVERABLE pairs — docs too short
+        // to shingle (or whose m/(m+1) planted Jaccard sits under the
+        // verify threshold) can never be found, so counting them in
+        // the denominator would cap the metric below 1.0 and let
+        // corpus composition masquerade as dial-induced shifts. This
         // is the leg the wide-band dial (minhashDialsFor) must hold
         // at ~1.0 while halving signature + band-join work at scale
         safe("d02_dedup_minhash") {
           import org.apache.spark.sql.functions.col
-          val nDocs = graft.Tables(spark, sfDir).documents.count().toDouble
+          val nRec = operators.Dedup.d02RecallableDocs(spark, sfDir).toDouble
           val found = operators.Dedup.d02DedupMinhashDemo(spark, sfDir)
             .filter(col("doc_b") - col("doc_a") === 1000000L).count()
-          if (nDocs == 0) 0.0 else found / nDocs
+          if (nRec == 0) 0.0 else found / nRec
         }
       ).flatten
     }
@@ -250,10 +254,19 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"io":$io,"recall":$recall,"sf":"$sfDir"}"""
-    println(json)
-    // the sbt log prefix makes stdout unparseable for the driver; the
-    // file copy is the machine-readable record
+    // the FULL record (per-query io bytes + error messages) goes to the
+    // file; stdout gets ONLY a compact summary (2-dp secs, no io/errors)
+    // as the LAST line — the driver tail-captures stdout and clips long
+    // lines from the head, so the wide io map made the captured JSON
+    // unparseable (rounds 10-11 shipped `parsed: null`). One short line,
+    // printed last, survives any tail window.
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs2 = results.map { case (k, v, _, _) => "\"" + k + "\":" + f2(v) }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs2,"failed":$failed,"recall":$recall,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -1227,7 +1227,12 @@ object Oracles {
          |    FROM generate_series(0,7) g(i)
          |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j)
          |    FROM generate_series(0,6) a(i), generate_series(0,7) b(j)
-         |    WHERE j > i),
+         |    WHERE j > i
+         |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) | (CAST(1 AS BIGINT) << j)
+         |      | (CAST(1 AS BIGINT) << l)
+         |    FROM generate_series(0,5) a(i), generate_series(0,6) b(j),
+         |      generate_series(0,7) c(l)
+         |    WHERE j > i AND l > j),
          |qp AS (SELECT s.vec_id AS query_id, xor(s.sig, masks.m) AS p
          |       FROM sigs s, masks WHERE s.vec_id < 10),
          |cand AS (SELECT DISTINCT qp.query_id, s.vec_id

@@ -36,6 +36,29 @@ object Verify {
     // The cause also goes to stderr and verify_errors.json.
     import spark.implicits._
     import scala.util.control.NonFatal
+    // dial-drift guard (round-11 advice): the ANN/minhash oracle SQL
+    // replays the BASE dials (8-bit SRP, nprobe 4, 64-perm/16-band
+    // minhash) while the queries auto-dial on corpus size. If a gate
+    // corpus ever crosses a flip threshold, every affected entry goes
+    // red as an OPAQUE hash mismatch — name the cause loudly up front.
+    locally {
+      val t = Tables(spark, sfDir)
+      val nEmb = t.embeddings.count()
+      val nDocs = t.documents.count()
+      Seq(
+        (graft.operators.Ann.srpBitsFor(nEmb) != 8) ->
+          s"srpBitsFor(embeddings n=$nEmb) != 8",
+        (graft.operators.Ann.ivfProbesFor(nEmb) != 4) ->
+          s"ivfProbesFor(embeddings n=$nEmb) != 4",
+        // d02 dials on the PLANTED corpus, 2× the raw doc count
+        (graft.operators.Dedup.minhashDialsFor(2L * nDocs) != ((64, 16, 4))) ->
+          s"minhashDialsFor(planted n=${2L * nDocs}) != (64,16,4)"
+      ).collect { case (true, msg) => msg }.foreach { msg =>
+        System.err.println(s"[verify] DIAL DRIFT: $msg — this gate corpus " +
+          "crosses an auto-dial flip threshold; the oracle SQL replays the " +
+          "base dial, so the affected ANN/minhash entries WILL hash-mismatch")
+      }
+    }
     // signature side-tables for the LSH/multimodal oracle replays —
     // written before the query dump so the subsequent DuckDB compare
     // (same SF, sequential) reads side-tables matching this run

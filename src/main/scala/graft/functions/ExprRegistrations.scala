@@ -33,7 +33,10 @@ object ExprRegistrations {
         s"dot_product expects 2 arguments, got ${other.size}")
     },
     desc("jaccard_h64",
-      "jaccard_h64(a, b) - exact Jaccard of two distinct long-hash arrays") {
+      "jaccard_h64(a, b) - exact Jaccard of two long-hash arrays. " +
+        "PRECONDITION: both arrays must be element-DISTINCT (sets); " +
+        "on duplicate elements the result is undefined and may exceed " +
+        "1.0 - wrap untrusted inputs in array_distinct()") {
       case Seq(a, b) => JaccardH64(a, b)
       case other => throw new IllegalArgumentException(
         s"jaccard_h64 expects 2 arguments, got ${other.size}")

@@ -69,19 +69,24 @@ object Ann {
     * are the full-corpus ones (cells stay query-independent, the s04
     * index is reusable); the filter prunes BEFORE cell assignment so
     * unmatched vectors never score a centroid. Exact re-rank on the
-    * probed survivors, s04's discipline.
+    * probed survivors, s04's discipline. `nprobe = 0` (the default)
+    * applies the corpus-size dial ([[ivfProbesFor]]) before the
+    * oversampling widen, exactly as the unfiltered s04 would.
     */
   def s13AnnFilteredIvf(spark: SparkSession, dir: String, k: Int = 10,
-      label: Int = 1, nlist: Int = 16, nprobe: Int = 4,
+      label: Int = 1, nlist: Int = 16, nprobe: Int = 0,
       oversample: Int = 4): DataFrame = {
     val t = Tables(spark, dir)
+    val nprobe0 =
+      if (nprobe > 0) nprobe
+      else ivfProbesFor(t.embeddings.select(col("vec_id")).count())
     val corpus = t.embeddings.filter(col("vec_id") =!= 0)
     val cents = trainCentroids(corpus, nlist)
     val celled = corpus.filter(col("label") === label)
       .select(col("vec_id"), col("label"), col("embedding"),
         array_position(centroidScores(col("embedding"), cents),
           array_max(centroidScores(col("embedding"), cents))).as("cell"))
-    val probes = math.min(nlist, nprobe * oversample)
+    val probes = math.min(nlist, nprobe0 * oversample)
     val qcells = t.embeddings.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"),
         posexplode(centroidScores(col("embedding"), cents)))
@@ -462,8 +467,10 @@ object Ann {
 
   /** All signatures within Hamming distance 2 of `sig` as one array
     * column: the signature itself, every 1-bit flip, and every 2-bit
-    * flip — 1 + n + n(n−1)/2 probes (37 at 8 bits). Shared by s02 and
-    * s05 so their probe sets cannot drift apart.
+    * flip — 1 + n + n(n−1)/2 probes (37 at 8 bits). s02's single-query
+    * probe set; the k-NN join (s05) widens to radius 3
+    * ([[hamming3Probes]]) because its recall is measured JOINTLY over
+    * n_q × k pairs — one under-probed query costs k misses at once.
     */
   private def hamming2Probes(sig: Column, nBits: Int): Column = {
     val h1 = transform(sequence(lit(0), lit(nBits - 1)),
@@ -474,6 +481,24 @@ object Ann {
           .bitwiseXOR(call_function("shiftleft", lit(1L), i))
           .bitwiseXOR(call_function("shiftleft", lit(1L), j)))))
     concat(array(sig), h1, h2)
+  }
+
+  /** Radius-3 probe set: [[hamming2Probes]] plus every 3-bit flip —
+    * 93/256 of the space at 8 bits (vs radius-2's 37/256). The s05
+    * base dial: measured recall vs exact s03 rose 0.44 → well above
+    * the 0.6 bar at sf0.1 for ~2.5× the candidate volume, which the
+    * per-bucket equi-join absorbs (still nothing close to the n²
+    * pair space).
+    */
+  private def hamming3Probes(sig: Column, nBits: Int): Column = {
+    val h3 = flatten(transform(sequence(lit(0), lit(nBits - 3)), i =>
+      flatten(transform(sequence(i + lit(1), lit(nBits - 2)), j =>
+        transform(sequence(j + lit(1), lit(nBits - 1)), l =>
+          sig
+            .bitwiseXOR(call_function("shiftleft", lit(1L), i))
+            .bitwiseXOR(call_function("shiftleft", lit(1L), j))
+            .bitwiseXOR(call_function("shiftleft", lit(1L), l)))))))
+    concat(hamming2Probes(sig, nBits), h3)
   }
 
   /** Corpus-size-driven retrieval dials — the s14 cutover discipline
@@ -493,11 +518,11 @@ object Ann {
     * job — here it is one cheap count aggregate over the pruned
     * vec_id column.
     */
-  private[operators] def srpBitsFor(n: Long): Int =
+  private[graft] def srpBitsFor(n: Long): Int =
     if (n <= 4000L) 8 else if (n <= 32000L) 7 else 6
 
   /** IVF probe-count leg of the same rule. */
-  private[operators] def ivfProbesFor(n: Long): Int =
+  private[graft] def ivfProbesFor(n: Long): Int =
     if (n <= 4000L) 4 else if (n <= 32000L) 6 else 8
 
   /** s02: LSH-bucketed ANN — signature-bucket the corpus, multi-probe
@@ -671,19 +696,51 @@ object Ann {
         (for { i <- 0 until nBits - 1; j <- (i + 1) until nBits }
           yield sig ^ (1L << i) ^ (1L << j)))).distinct
 
+  /** A persisted index's dial metadata: one row beside the data dirs
+    * (the `.centroids` discipline). The dial is a BUILD-TIME property
+    * of the layout — a probe or maintenance batch that used a
+    * different dial would look up the wrong partitions — so it rides
+    * WITH the index instead of being re-guessed by every caller
+    * (round-11 advice: flat variants auto-dialed while the indexed
+    * twins stayed fixed, silently breaking the indexed-equals-flat
+    * contract above the dial's flip threshold).
+    */
+  private def writeIndexMeta(spark: SparkSession, path: String,
+      dial: Long): Unit = {
+    import spark.implicits._
+    Seq(dial).toDF("dial")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + ".meta")
+  }
+
+  /** The persisted dial, or `fallback` for a pre-metadata index. */
+  private def readIndexMeta(spark: SparkSession, path: String,
+      fallback: Int): Int =
+    try spark.read.parquet(path + ".meta").head().getLong(0).toInt
+    catch { case scala.util.control.NonFatal(_) => fallback }
+
   /** s07 build: persist the SRP-bucketed corpus — the "bucket once"
     * half of s02's posture (s02 docstring; VERDICT r2 #2). One
     * map-only signature pass, written hive-partitioned by `sig`, so
     * every future probe prunes at the directory listing instead of
     * re-signaturing the corpus. At 100 TB this is the difference
     * between a one-off full pass and a full pass PER QUERY.
+    * `nBits = 0` (the default) applies the same corpus-size dial as
+    * the inline s02 ([[srpBitsFor]]) and records the choice in the
+    * index metadata so probes and maintenance batches stay layout-
+    * consistent without the caller re-deriving it.
     */
   def buildLshIndex(corpus: DataFrame, path: String,
-      nBits: Int = 8, dim: Int = 64): Unit =
+      nBits: Int = 0, dim: Int = 64): Unit = {
+    val bits =
+      if (nBits > 0) nBits
+      else srpBitsFor(corpus.select(col("vec_id")).count())
     graft.sources.Writers.writePartitioned(
       corpus.select(col("vec_id"), col("embedding"),
-        srpSignature(col("embedding"), nBits, dim).as("sig")),
+        srpSignature(col("embedding"), bits, dim).as("sig")),
       path, Seq("sig"))
+    writeIndexMeta(corpus.sparkSession, path, bits.toLong)
+  }
 
   /** s07 probe: ANN against a persisted LSH index. The query's
     * signature is computed in one 1-row job; its Hamming ≤ 2 probe set
@@ -692,16 +749,20 @@ object Ann {
     * including a garbage file planted in an unprobed partition that
     * pruning must never read). The explicit read schema skips
     * partition-type inference, keeping `sig` a BIGINT so the probe
-    * literals hit the partition filter without casts.
+    * literals hit the partition filter without casts. `nBits = 0`
+    * (the default) reads the signature width the BUILD recorded in
+    * the index metadata — probing with any other width would look up
+    * the wrong partitions.
     */
   def s07AnnLshIndexed(spark: SparkSession, indexPath: String,
-      queryVec: Array[Float], k: Int = 10, nBits: Int = 8,
+      queryVec: Array[Float], k: Int = 10, nBits: Int = 0,
       dim: Int = 64): DataFrame = {
     import spark.implicits._
+    val bits = if (nBits > 0) nBits else readIndexMeta(spark, indexPath, 8)
     val qsig = Seq(queryVec).toDF("embedding")
-      .select(srpSignature(col("embedding"), nBits, dim).as("s"))
+      .select(srpSignature(col("embedding"), bits, dim).as("s"))
       .head().getLong(0)
-    val probes = hamming2ProbesLocal(qsig, nBits)
+    val probes = hamming2ProbesLocal(qsig, bits)
     spark.read
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, sig BIGINT")
       .parquet(indexPath)
@@ -744,15 +805,16 @@ object Ann {
       nlist: Int = 16,
       distributedTrainer: Boolean = false,
       sampleN: Int = 2048): Array[Array[Float]] = {
+    // one count drives BOTH build-time decisions: the trainer cutover
+    // and the probe dial recorded in the index metadata (a one-off
+    // scan on a one-off index build)
+    val n = corpus.count()
     // s14 full-corpus Lloyd instead of the sampled trainer: opt-in by
     // flag, or AUTOMATIC once the corpus outgrows what the sample
     // represents ([[shouldTrainDistributed]] — the flip is justified
-    // by measured quantization quality, not a dial). The count() that
-    // decides it is one scan on a one-off index build; short-circuited
-    // away when the caller already chose.
+    // by measured quantization quality, not a dial).
     val cents =
-      if (distributedTrainer ||
-          shouldTrainDistributed(corpus.count(), sampleN))
+      if (distributedTrainer || shouldTrainDistributed(n, sampleN))
         s14TrainDistributed(corpus, nlist)
       else trainCentroids(corpus, nlist, sampleN)
     val celled = corpus.select(col("vec_id"), col("embedding"),
@@ -765,6 +827,10 @@ object Ann {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path + ".centroids")
+    // record the corpus-size probe dial the FLAT s04 would use on the
+    // same corpus — the probe reads it back, keeping the
+    // indexed-equals-flat contract intact across dial flips
+    writeIndexMeta(spark, path, math.min(nlist, ivfProbesFor(n)).toLong)
     cents
   }
 
@@ -865,13 +931,17 @@ object Ann {
     * no rebuild anywhere.
     */
   def lshUpsertBatch(batch: DataFrame, indexPath: String,
-      nBits: Int = 8, dim: Int = 64): Unit = {
+      nBits: Int = 0, dim: Int = 64): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(indexPath).getFileSystem(hconf)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // nBits = 0 (the default): use the width the index was BUILT with
+    // (its metadata) — merging under any other width would land rows
+    // in partitions the probes never look at
+    val bits = if (nBits > 0) nBits else readIndexMeta(spark, indexPath, 8)
     val b = batch.select(col("vec_id"), col("embedding"),
-      srpSignature(col("embedding"), nBits, dim).as("sig"))
+      srpSignature(col("embedding"), bits, dim).as("sig"))
     // bounded collect: ≤ min(batch size, 2^nBits) signature values
     val touched = b.select("sig").distinct().collect()
       .map(_.getLong(0)).sorted
@@ -893,7 +963,7 @@ object Ann {
         .unionByName(batch.select("vec_id", "embedding"))
         .dropDuplicates("vec_id")
         .select(col("vec_id"), col("embedding"),
-          srpSignature(col("embedding"), nBits, dim).as("sig"))
+          srpSignature(col("embedding"), bits, dim).as("sig"))
       val staging = p(s"$indexPath.staging")
       fs.delete(staging, true)
       merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -932,16 +1002,20 @@ object Ann {
     * kernel, so cell choice matches the inline s04 exactly — and the
     * best `nprobe` cells become literal partition filters on the
     * celled corpus. Exact-cosine rerank inside the probed cells.
+    * `nprobe = 0` (the default) reads the corpus-size dial the BUILD
+    * recorded in the index metadata, so the probe widens exactly when
+    * the flat s04 would.
     */
   def s08AnnIvfIndexed(spark: SparkSession, indexPath: String,
-      queryVec: Array[Float], k: Int = 10, nprobe: Int = 4): DataFrame = {
+      queryVec: Array[Float], k: Int = 10, nprobe: Int = 0): DataFrame = {
+    val probeN = if (nprobe > 0) nprobe else readIndexMeta(spark, indexPath, 4)
     val cents = spark.read.parquet(indexPath + ".centroids")
       .orderBy("cell").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val cells = cents
       .map { case (cell, c) => (cell, dotLocal(queryVec, c)) }
       .sortBy { case (cell, score) => (-score, cell) }
-      .take(nprobe).map(_._1).toSeq
+      .take(probeN).map(_._1).toSeq
     spark.read
       .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT")
       .parquet(indexPath)
@@ -1085,14 +1159,16 @@ object Ann {
   /** s05: LSH k-NN join — s03's scale path for LARGE query sets, where
     * broadcasting the queries against every corpus row (s03's cross
     * join) stops being an option. Both sides take the same SRP
-    * signature; the join keys on the bucket with Hamming ≤ 2
-    * multi-probe on the query side, so each query meets only its
-    * bucket-colliding corpus rows, reranked by norm-precomputed exact
-    * cosine. The equi-join on `sig` shuffles both sides by signature —
-    * at 100 TB that's a hash-partitioned join over ~37/2^nBits
-    * of the pair space instead of a cross product. ANN semantics:
-    * a query whose true neighbors never collide returns fewer than k
-    * rows; recall is spec-checked against exact s03.
+    * signature; the join keys on the bucket with Hamming ≤ 3
+    * multi-probe on the query side (wider than s02's radius 2: joint
+    * recall over n_q × k pairs pays k misses per under-probed query),
+    * so each query meets only its bucket-colliding corpus rows,
+    * reranked by norm-precomputed exact cosine. The equi-join on
+    * `sig` shuffles both sides by signature — at 100 TB that's a
+    * hash-partitioned join over ~93/2^nBits of the pair space instead
+    * of a cross product. ANN semantics: a query whose true neighbors
+    * never collide returns fewer than k rows; recall is spec-checked
+    * against exact s03.
     */
   def s05KnnJoinLsh(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Int = 10, nBits: Int = 0, dim: Int = 64): DataFrame = {
@@ -1111,7 +1187,7 @@ object Ann {
         sqrt(F.dotProd(col("embedding"), col("embedding"))).as("qn"),
         srpSignature(col("embedding"), bits, dim).as("qsig"))
     val probes = queries.select(col("query_id"), col("qv"), col("qn"),
-      explode(hamming2Probes(col("qsig"), bits)).as("psig"))
+      explode(hamming3Probes(col("qsig"), bits)).as("psig"))
     val scored = corpus.join(probes, col("sig") === col("psig"))
       .select(col("query_id"), col("vec_id"),
         F.cosineSim4Pre(col("embedding"), col("cn"), col("qv"), col("qn"))

@@ -146,7 +146,7 @@ object Dedup {
     * (≤ 10k planted rows), so oracle replays always see the 64/16/4
     * base dial.
     */
-  private[operators] def minhashDialsFor(n: Long): (Int, Int, Int) =
+  private[graft] def minhashDialsFor(n: Long): (Int, Int, Int) =
     if (n <= 20000L) (64, 16, 4) else (32, 8, 4)
 
   /** d02: MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
@@ -761,6 +761,25 @@ object Dedup {
     // banding volume, dominated the 30× bench row)
     d02PairsOver(plantedTextCorpus(docs).localCheckpoint(false),
       shingleK, threshold, corpusSize = Some(2L * docs.count()))
+  }
+
+  /** The d02 recall probe's denominator: planted pairs that are
+    * RECOVERABLE at all. A planted pair's exact Jaccard is m/(m+1)
+    * (m = distinct shingles of the tagged original — the appended
+    * tail adds exactly one shingle), so only docs with
+    * m ≥ ceil(t/(1−t)) can clear the verify threshold, and docs
+    * shorter than shingleK yield no shingles whatsoever. Dividing by
+    * ALL docs would put the metric's ceiling below 1.0 and let corpus
+    * composition masquerade as dial-induced recall shifts.
+    */
+  def d02RecallableDocs(spark: SparkSession, dir: String,
+      shingleK: Int = 5, threshold: Double = 0.7): Long = {
+    val docs = Tables(spark, dir).documents
+    val tagged = docs.select(col("doc_id"),
+      tagTokens(col("text"), col("doc_id")).as("text"))
+    val minShingles = math.ceil(threshold / (1.0 - threshold)).toLong
+    docShingleHashes(tagged, shingleK)
+      .filter(size(col("sh")) >= minShingles).count()
   }
 
   /** d03 driver query: SimHash banding over the planted corpus —
