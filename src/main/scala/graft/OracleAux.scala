@@ -147,6 +147,11 @@ object OracleAux {
     // transcendentals; distributions replay in SQL
     ("t19_ln", Set("t19_token_entropy"),
       (s, d) => operators.TextOps.t19AuxLn(s, d)),
+    // t23's ln-memo over every (cnt, total) ratio the unigram EM
+    // evaluated — the trainer's only transcendental boundary; seed,
+    // every DP round, counts, and the loss prune replay in SQL
+    ("t23_ln", Set("t23_unigram_train"),
+      (s, d) => operators.TextOps.t23AuxLnMemo(s, d)),
     // the f11 demo's CSV lines — the oracle re-parses the identical
     // bytes with an independent RE2 field grammar
     ("f11_lines", Set("f11_csv_ingest"),

@@ -346,9 +346,165 @@ object Oracles {
        |ORDER BY auth_e9 DESC, nd.node""".stripMargin
   }
 
+  /** One t23 EM round as chained CTEs: Viterbi DP over the capped
+    * word table against inventory `inv${r-1}` (a 4-slot rolling
+    * window — [[operators.TextOps.Unigram.MaxPieceLen]] — of best
+    * costs, t21's window technique but cost-weighted), a backtrack
+    * accumulating the chosen pieces (chr(31)-joined so pieces may
+    * contain commas; −1 in the length track marks an UNK char),
+    * freq-weighted piece counts, and the re-costed inventory via the
+    * ln-memo side-table. A count divergence from the Spark trainer
+    * surfaces as a MISSING memo row (inner join) — loud, never a
+    * silent drift.
+    *
+    * NB the DP's argmin is a list-lambda fold over a PRE-JOINED
+    * candidate list (`pc$r`), not t21's correlated scalar subquery:
+    * DuckDB 1.0 silently mis-evaluates a correlated subquery inside a
+    * recursive CTE when it scans a DERIVED CTE (t21's vocab is a
+    * VALUES constant, which is why its shape is safe there — measured
+    * on this very query: len-1 candidates randomly missed). Plain
+    * joins in recursive terms are fine (the g04 walk joins a derived
+    * CTE every round). The argmin key packs (cost, length) into one
+    * BIGINT — `cost*8 + (4 − len)`, UNK len −1 → +5 — so one
+    * list_min realizes cost-asc/len-desc with UNK losing ties,
+    * exactly the kernel's tie-break.
+    */
+  private def unigramRoundSql(r: Int): String = {
+    val unk = operators.TextOps.Unigram.UnkCostE9
+    s"""pc$r AS MATERIALIZED (SELECT p.w, p.e,
+       |    list({'l': v.len, 'c': v.cost_e9}) AS cands
+       |  FROM (SELECT w, unnest(range(1, length(w) + 1)) AS e
+       |        FROM words) p
+       |  JOIN inv${r - 1} v
+       |    ON v.len <= p.e
+       |   AND substr(p.w, CAST(p.e - v.len + 1 AS INTEGER),
+       |         CAST(v.len AS INTEGER)) = v.piece
+       |  GROUP BY p.w, p.e),
+       |fwd$r(w, freq, pos, b1, b2, b3, b4, lens) AS (
+       |  SELECT w, freq, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT), ''
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w, freq, pos + 1, b2, b3, b4, k // 8,
+       |    lens || ',' || CAST(4 - (k % 8) AS VARCHAR)
+       |  FROM (SELECT f.w, f.freq, f.pos, f.b2, f.b3, f.b4, f.lens,
+       |      list_min(list_append(
+       |        list_filter(
+       |          list_transform(coalesce(c.cands, []), x ->
+       |            (CASE x['l'] WHEN 1 THEN f.b4 WHEN 2 THEN f.b3
+       |               WHEN 3 THEN f.b2 ELSE f.b1 END + x['c']) * 8
+       |              + (4 - x['l'])),
+       |          y -> y IS NOT NULL),
+       |        (f.b4 + $unk) * 8 + 5)) AS k
+       |    FROM fwd$r f
+       |    LEFT JOIN pc$r c ON c.w = f.w AND c.e = f.pos + 1
+       |    WHERE f.pos < length(f.w)) x),
+       |seg$r AS (SELECT w, freq, string_split(substr(lens, 2), ',') AS la
+       |  FROM fwd$r WHERE pos = length(w)),
+       |bwd$r(w, freq, pos, la, path) AS (
+       |  SELECT w, freq, length(w), la, '' FROM seg$r
+       |  UNION ALL
+       |  SELECT w, freq,
+       |    pos - CASE WHEN la[pos] = '-1' THEN 1
+       |               ELSE CAST(la[pos] AS BIGINT) END,
+       |    la,
+       |    CASE WHEN la[pos] = '-1' THEN path
+       |         WHEN path = '' THEN substr(w,
+       |           CAST(pos - CAST(la[pos] AS BIGINT) + 1 AS BIGINT),
+       |           CAST(la[pos] AS BIGINT))
+       |         ELSE substr(w,
+       |           CAST(pos - CAST(la[pos] AS BIGINT) + 1 AS BIGINT),
+       |           CAST(la[pos] AS BIGINT)) || chr(31) || path END
+       |  FROM bwd$r WHERE pos > 0),
+       |cnt$r AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, unnest(string_split(path, chr(31))) AS piece
+       |        FROM bwd$r WHERE pos = 0 AND path <> '') t
+       |  GROUP BY piece),
+       |tot$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt$r),
+       |inv$r AS MATERIALIZED (SELECT c.piece,
+       |    CAST(length(c.piece) AS BIGINT) AS len, c.cnt, m.cost_e9
+       |  FROM cnt$r c CROSS JOIN tot$r t
+       |  JOIN lnmemo m ON m.cnt = c.cnt AND m.total = t.total)""".stripMargin
+  }
+
+  /** t23's full replay: capped word table → weighted substring seed →
+    * [[unigramRoundSql]] × Rounds (hard-EM) → loss prune (per
+    * multi-char piece, the cost of its best segmentation WITHOUT
+    * itself, same DP minus one inventory row) → keep verdicts.
+    */
+  private def unigramTrainSql: String = {
+    val U = operators.TextOps.Unigram
+    val rounds = (1 to U.Rounds).map(unigramRoundSql).mkString(",\n")
+    val last = s"inv${U.Rounds}"
+    s"""WITH RECURSIVE lnmemo AS (SELECT cnt, total, cost_e9
+       |  FROM '${OracleAux.Root}/t23_ln/*.parquet'),
+       |words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+       |  WHERE length(w) > 0
+       |  GROUP BY w ORDER BY freq DESC, w LIMIT 50000),
+       |ls AS (SELECT w, freq,
+       |    unnest(range(1, ${U.MaxPieceLen + 1})) AS l FROM words),
+       |ss AS (SELECT w, freq, l,
+       |    unnest(range(1, length(w) - l + 2)) AS s
+       |  FROM ls WHERE l <= length(w)),
+       |sub AS (SELECT substr(w, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM ss GROUP BY piece),
+       |seed AS (SELECT piece, cnt FROM sub
+       |  ORDER BY cnt DESC, piece LIMIT ${U.SeedN}),
+       |tot0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM seed),
+       |inv0 AS MATERIALIZED (SELECT s.piece,
+       |    CAST(length(s.piece) AS BIGINT) AS len, s.cnt, m.cost_e9
+       |  FROM seed s CROSS JOIN tot0 t
+       |  JOIN lnmemo m ON m.cnt = s.cnt AND m.total = t.total),
+       |$rounds,
+       |mp AS (SELECT piece, len, cnt, cost_e9 FROM $last WHERE len > 1),
+       |ppc AS MATERIALIZED (SELECT p.pw, p.e,
+       |    list({'l': v.len, 'c': v.cost_e9}) AS cands
+       |  FROM (SELECT piece AS pw, unnest(range(1, length(piece) + 1)) AS e
+       |        FROM mp) p
+       |  JOIN $last v
+       |    ON v.piece <> p.pw AND v.len <= p.e
+       |   AND substr(p.pw, CAST(p.e - v.len + 1 AS INTEGER),
+       |         CAST(v.len AS INTEGER)) = v.piece
+       |  GROUP BY p.pw, p.e),
+       |pf(pw, pos, b1, b2, b3, b4) AS (
+       |  SELECT piece, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM mp
+       |  UNION ALL
+       |  SELECT f.pw, f.pos + 1, f.b2, f.b3, f.b4,
+       |    list_min(list_append(
+       |      list_filter(
+       |        list_transform(coalesce(c.cands, []), x ->
+       |          CASE x['l'] WHEN 1 THEN f.b4 WHEN 2 THEN f.b3
+       |            WHEN 3 THEN f.b2 ELSE f.b1 END + x['c']),
+       |        y -> y IS NOT NULL),
+       |      f.b4 + ${U.UnkCostE9}))
+       |  FROM pf f
+       |  LEFT JOIN ppc c ON c.pw = f.pw AND c.e = f.pos + 1
+       |  WHERE f.pos < length(f.pw)),
+       |alt AS (SELECT pw AS piece, b4 AS alt_cost
+       |  FROM pf WHERE pos = length(pw)),
+       |loss AS (SELECT m.piece, m.cnt, m.cost_e9,
+       |    CAST(m.cnt * (a.alt_cost - m.cost_e9) AS BIGINT) AS loss_e9
+       |  FROM mp m JOIN alt a USING (piece)),
+       |keepset AS (SELECT piece FROM loss
+       |  ORDER BY loss_e9 DESC, cnt DESC, piece LIMIT ${U.KeepMulti})
+       |SELECT piece, cnt, cost_e9, CAST(-1 AS BIGINT) AS loss_e9,
+       |  CAST(1 AS BIGINT) AS kept
+       |FROM $last WHERE len = 1
+       |UNION ALL
+       |SELECT l.piece, l.cnt, l.cost_e9, l.loss_e9,
+       |  CAST(CASE WHEN k.piece IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |FROM loss l LEFT JOIN keepset k USING (piece)
+       |ORDER BY piece""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankSql(10),
     "g02_hits" -> hitsSql(10),
+    "t23_unigram_train" -> unigramTrainSql,
 
     // c26: per-doc gram explode + bloom-verdict join + threshold
     // replayed from the kernel-boundary side-tables (the bloom probe

@@ -161,6 +161,7 @@ object SparkEntry {
     "c23_shard_export" -> ((s, dir) => Corpus.c23ShardExport(s, dir)),
     "c24_boundary_masks" -> ((s, dir) => Corpus.c24BoundaryMasks(s, dir)),
     "t21_viterbi_tokenize" -> ((s, dir) => TextOps.t21ViterbiTokenize(s, dir)),
+    "t23_unigram_train" -> ((s, dir) => TextOps.t23UnigramTrain(s, dir)),
     "q55_tree_flatten" -> (Relational.q55TreeFlatten(_, _)),
     "g01_pagerank" -> ((s, dir) => Graph.g01PageRank(s, dir)),
     "g02_hits" -> ((s, dir) => Graph.g02Hits(s, dir)),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import org.apache.spark.sql.graft.{CosineSim, DotProd, JaccardH64, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
+import org.apache.spark.sql.graft.{CosineSim, DotProd, JaccardH64, Fingerprint64, I8Dot, I8Quantize, MarkerCount, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiCostIds, ViterbiIds}
 
 /** Catalog entries for graft's native Catalyst expressions (SURVEY.md
   * §2.E). Injected via GraftExtensions so plain SQL can call them.
@@ -124,5 +124,11 @@ object ExprRegistrations {
       case Seq(t, v) => ViterbiIds(t, v)
       case other => throw new IllegalArgumentException(
         s"viterbi_ids expects 2 arguments, got ${other.size}")
+    },
+    desc("viterbi_cost_ids",
+      "viterbi_cost_ids(text, vocab, costs) - viterbi_ids against TRAINED per-piece costs (comma-joined longs, UNK cost first - the t23 unigram trainer's output)") {
+      case Seq(t, v, cst) => ViterbiCostIds(t, v, cst)
+      case other => throw new IllegalArgumentException(
+        s"viterbi_cost_ids expects 3 arguments, got ${other.size}")
     })
 }

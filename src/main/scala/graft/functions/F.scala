@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, JaccardH64, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiIds}
+import org.apache.spark.sql.graft.{Bridge, CosineSim, DotProd, Fingerprint64, I8Dot, I8Quantize, JaccardH64, MarkerCount, MinHashSig, MinHashSigText, RemoveTokenSpans, RepetitionStats, ShingleHashes64, ShinglePosHashes64, SimHash64, SrpSig64, SubwordIds, SubwordStats, ViterbiCostIds, ViterbiIds}
 
 /** Typed Column API over graft's native Catalyst expressions — usable
   * without SQL-function registration (plans embed the expression
@@ -99,6 +99,15 @@ object F {
     */
   def viterbiIds(text: Column, vocabJoined: String): Column =
     c(ViterbiIds(e(text), e(org.apache.spark.sql.functions.lit(vocabJoined))))
+
+  /** Cost-weighted Viterbi segmentation (e16's trained-cost form):
+    * per-piece costs comma-joined, UNK cost first (t23's output).
+    */
+  def viterbiCostIds(text: Column, vocabJoined: String,
+      costsJoined: String): Column =
+    c(ViterbiCostIds(e(text),
+      e(org.apache.spark.sql.functions.lit(vocabJoined)),
+      e(org.apache.spark.sql.functions.lit(costsJoined))))
 
   /** One-pass per-document repetition stats (e13): [n_tokens,
     * n_distinct, top_token_count, top_2gram_count, n_2grams].

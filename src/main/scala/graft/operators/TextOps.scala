@@ -523,6 +523,215 @@ object TextOps {
     (chars :+ " ") ++ merged
   }
 
+  // ---------------------------------------------------------------- t23
+
+  /** t23 dials, shared by the trainer, the spec's plain-Scala replay,
+    * and the oracle SQL generator so they cannot drift.
+    */
+  private[graft] object Unigram {
+    /** Max seed-piece length — also the oracle DP's rolling-window
+      * width (a longer piece would silently decode a worse lattice
+      * there, so the trainer enforces it by construction).
+      */
+    val MaxPieceLen = 4
+    /** Seed inventory size (top substrings by freq-weighted count). */
+    val SeedN = 64
+    /** EM rounds (hard/Viterbi EM — deterministic, replayable). */
+    val Rounds = 3
+    /** Multi-char pieces surviving the loss prune. */
+    val KeepMulti = 16
+    /** UNK-character cost, 1e-9 nats — worse than any inventory piece
+      * (a seed piece's cost is at most ln(total) ≈ a few tens of nats
+      * only for vanishing probabilities; 30 nats ≈ p = 1e-13).
+      */
+    val UnkCostE9 = 30000000000L
+  }
+
+  /** −ln(cnt/total) in 1e-9-nat fixed point: StrictMath.log (Spark's
+    * own log) rounded HALF_UP at 9 dp — c14's decimal discipline, so
+    * every downstream sum is an exact integer fold, partition-order
+    * independent, and the DuckDB oracle consumes the value from a
+    * memo side-table instead of trusting libm to agree on the last
+    * ulp.
+    */
+  private[graft] def lnCostE9(cnt: Long, total: Long): Long =
+    (BigDecimal(-StrictMath.log(cnt.toDouble / total.toDouble))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      * BigDecimal(1000000000L)).toLongExact
+
+  /** Integer-cost Viterbi over one word — the e16 lattice rule
+    * (minimal total cost; at equal cost the LONGER final piece wins;
+    * an uncovered char consumes as UNK at [[Unigram.UnkCostE9]]).
+    * `exclude` drops one piece from the inventory — the loss prune's
+    * "segment p without p" probe. Returns (pieces in order, UNKs
+    * dropped; total cost including UNK charges).
+    */
+  private[graft] def segmentWord(w: String,
+      cost: scala.collection.Map[String, Long],
+      maxLen: Int = Unigram.MaxPieceLen,
+      unkCost: Long = Unigram.UnkCostE9,
+      exclude: String = null): (List[String], Long) = {
+    val n = w.length
+    val best = new Array[Long](n + 1)
+    val plen = new Array[Int](n + 1) // chosen len; 0 marks UNK
+    var i = 1
+    while (i <= n) {
+      best(i) = best(i - 1) + unkCost
+      plen(i) = 0
+      var l = 1
+      val cap = math.min(maxLen, i)
+      while (l <= cap) {
+        val p = w.substring(i - l, i)
+        if (p != exclude) {
+          val c = cost.getOrElse(p, Long.MinValue)
+          if (c != Long.MinValue) {
+            val cand = best(i - l) + c
+            if (cand < best(i) || (cand == best(i) && l > plen(i))) {
+              best(i) = cand; plen(i) = l
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    var pos = n
+    var acc: List[String] = Nil
+    while (pos > 0) {
+      if (plen(pos) == 0) pos -= 1
+      else { acc = w.substring(pos - plen(pos), pos) :: acc; pos -= plen(pos) }
+    }
+    (acc, best(n))
+  }
+
+  /** The t23 training transcript: final inventory rows plus the
+    * ln-memo the oracle replay consumes (every (cnt, total) → cost
+    * pair the trainer evaluated, init and all rounds).
+    */
+  private[graft] final case class UnigramTrained(
+      rows: Seq[(String, Long, Long, Long, Long)], // piece,cnt,cost,loss,kept
+      memo: Seq[(Long, Long, Long)]) // cnt, total, cost_e9
+
+  /** t23: unigram-LM tokenizer TRAINING — the SentencePiece trainer's
+    * shape (Kudo 2018, public), simplified to hard (Viterbi) EM so
+    * every step is exact-integer deterministic and SQL-replayable:
+    *
+    *   1. ONE corpus-scale pass: the capped word-frequency table
+    *      (t11's Heaps-bounded discipline) — everything after runs on
+    *      this BOUNDED table, never the corpus;
+    *   2. seed inventory: freq-weighted substring occurrences (length
+    *      ≤ [[Unigram.MaxPieceLen]]), top [[Unigram.SeedN]] by
+    *      (count desc, piece); init costs −ln(cnt/Σcnt) in 1e-9-nat
+    *      fixed point;
+    *   3. EM rounds, ONE chained action each (c16's pattern): E-step
+    *      Viterbi-segments every word under the broadcast cost table
+    *      (typed flatMap over the bounded word table — t11's
+    *      justification: the corpus is touched once, by codegen'd
+    *      explode+count) and aggregates per-piece counts (≤ |inventory|
+    *      rows to the driver); M-step re-costs −ln(cnt/Σcnt); pieces
+    *      with zero count drop (their chars fall back to UNK);
+    *   4. loss prune: a multi-char piece's loss = cnt × (cost of its
+    *      best segmentation WITHOUT itself − its own cost) — the
+    *      corpus code-length increase if removed; keep the top
+    *      [[Unigram.KeepMulti]] by (loss desc, cnt desc, piece) plus
+    *      every surviving single char (coverage).
+    *
+    * The trained (piece, cost) rows feed the e16 cost-weighted decode
+    * kernel (`viterbi_cost_ids`) — completing BPE-train (t11) +
+    * lattice-decode (t21) into a full tokenizer axis. Scale shape:
+    * the word table is bounded at any corpus size; each EM round
+    * shuffles only (piece, partial-count) pairs with map-side combine.
+    */
+  def t23TrainCore(docs: DataFrame, maxWords: Int = 50000): UnigramTrained = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = cappedWords(docs, maxWords).as[(String, Long)]
+      .localCheckpoint(false)
+    // seed: freq-weighted substring occurrences, one chained action
+    val seedCounts: Seq[(String, Long)] = words
+      .flatMap { case (w, f) =>
+        for {
+          l <- 1 to math.min(Unigram.MaxPieceLen, w.length)
+          s <- 0 to w.length - l
+        } yield (w.substring(s, s + l), f)
+      }
+      .groupBy("_1").agg(sum("_2").as("cnt"))
+      .orderBy(col("cnt").desc, col("_1"))
+      .limit(Unigram.SeedN)
+      .as[(String, Long)].collect().toSeq
+    // ln-memo: one entry per distinct (cnt, total) the trainer sees —
+    // the ONLY transcendental boundary; everything else is integers
+    val memo = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), Long]
+    def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
+      val total = counts.map(_._2).sum
+      counts.map { case (p, c) =>
+        p -> memo.getOrElseUpdate((c, total), lnCostE9(c, total))
+      }.toMap
+    }
+    var inv: Map[String, Long] = costsOf(seedCounts)
+    var lastCounts: Seq[(String, Long)] = seedCounts
+    for (_ <- 1 to Unigram.Rounds) {
+      val bc = spark.sparkContext.broadcast(inv)
+      lastCounts = words
+        .flatMap { case (w, f) => segmentWord(w, bc.value)._1.map((_, f)) }
+        .groupBy("_1").agg(sum("_2").as("cnt"))
+        .as[(String, Long)].collect().toSeq
+        .sortBy(_._1) // determinism of the memo/emission order
+      inv = costsOf(lastCounts)
+    }
+    // loss prune over the final BOUNDED inventory (driver-side by the
+    // same bounded-artifact argument as the IVF centroid load)
+    val chars = lastCounts.filter(_._1.length == 1)
+    val multi = lastCounts.filter(_._1.length > 1)
+    val losses = multi.map { case (p, c) =>
+      val alt = segmentWord(p, inv, exclude = p)._2
+      (p, c, inv(p), c * (alt - inv(p)))
+    }
+    val kept = losses
+      .sortBy { case (p, c, _, loss) => (-loss, -c, p) }
+      .take(Unigram.KeepMulti).map(_._1).toSet
+    val rows =
+      chars.map { case (p, c) => (p, c, inv(p), -1L, 1L) } ++
+        losses.map { case (p, c, ce, loss) =>
+          (p, c, ce, loss, if (kept(p)) 1L else 0L)
+        }
+    UnigramTrained(rows.sortBy(_._1),
+      memo.map { case ((c, t), v) => (c, t, v) }.toSeq)
+  }
+
+  /** t23 driver query: the trained inventory — every final-round
+    * piece with its count, 1e-9-nat cost, prune loss (−1 for the
+    * never-pruned single chars), and the keep verdict.
+    */
+  def t23UnigramTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t23TrainCore(Tables(spark, dir).documents).rows
+      .toDF("piece", "cnt", "cost_e9", "loss_e9", "kept")
+      .orderBy("piece")
+  }
+
+  /** t23's ln-memo side-table (oracle): (cnt, total) → cost_e9 for
+    * every ratio the trainer evaluated. The oracle re-derives all
+    * counts in SQL and JOINS costs from here — a count divergence
+    * surfaces as a missing memo row, never a silent drift.
+    */
+  def t23AuxLnMemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t23TrainCore(Tables(spark, dir).documents).memo
+      .toDF("cnt", "total", "cost_e9")
+  }
+
+  /** The trained tokenizer in e16 wire form: (vocab pieces, cost
+    * string with UNK first) for [[graft.functions.F.viterbiCostIds]]
+    * — kept pieces only, piece-sorted so ids are stable.
+    */
+  def t23TrainedDecoder(docs: DataFrame): (Seq[String], String) = {
+    val kept = t23TrainCore(docs).rows.filter(_._5 == 1L)
+    val pieces = kept.map(_._1)
+    val costs = Unigram.UnkCostE9 +: kept.map(_._3)
+    (pieces, costs.mkString(","))
+  }
+
   // ---------------------------------------------------------------- t12
 
   /** t12: bigram-novelty quality signal — for each document, the

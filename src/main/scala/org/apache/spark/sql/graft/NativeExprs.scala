@@ -303,6 +303,92 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(ids)
   }
 
+  /** e16's cost-weighted form: [[viterbiIds]] with a TRAINED per-piece
+    * cost table (the t23 unigram-LM trainer's output) instead of the
+    * fixed piece-1/UNK-3 integers. `costsJoined` is comma-joined
+    * longs: the UNK-character cost FIRST, then one cost per vocab
+    * piece in vocab order (1e-9-nat fixed point — integer sums keep
+    * the DP deterministic). Same lattice, same longer-final-piece
+    * tie-break; emits piece ids (UNK → −1).
+    */
+  private val costVocabCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String),
+    (java.util.HashMap[Character, (Array[String], Array[Int], Array[Long])],
+      Long, Int)]()
+
+  def viterbiCostIds(text: UTF8String, vocabJoined: UTF8String,
+      costsJoined: UTF8String): ArrayData = {
+    val key = (vocabJoined.toString, costsJoined.toString)
+    val (vocab, unkCost, maxPieceLen) = costVocabCache.computeIfAbsent(key,
+      k => {
+        val pieces = k._1.split(VocabSep)
+        val costs = k._2.split(',').map(_.trim.toLong)
+        require(costs.length == pieces.length + 1,
+          s"viterbi_cost_ids: ${costs.length} costs for ${pieces.length} " +
+            "pieces (want pieces + 1: UNK cost first)")
+        val byFirst =
+          new java.util.HashMap[Character, (Array[String], Array[Int], Array[Long])]()
+        pieces.zipWithIndex
+          .filter(_._1.nonEmpty)
+          .distinctBy(_._1)
+          .groupBy(_._1.charAt(0))
+          .foreach { case (c, ps) =>
+            val sorted = ps.sortBy { case (p, _) => (-p.length, p) }
+            byFirst.put(c, (sorted.map(_._1), sorted.map(_._2),
+              sorted.map { case (_, i) => costs(i + 1) }))
+          }
+        val maxLen = pieces.foldLeft(1)((m, p) => math.max(m, p.length))
+        (byFirst, costs(0), maxLen)
+      })
+    val s = text.toString
+    val n = s.length
+    val best = new Array[Long](n + 1)
+    val predLen = new Array[Int](n + 1) // chosen len; 0 marks UNK
+    val predId = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      best(i) = best(i - 1) + unkCost
+      predLen(i) = 0
+      predId(i) = -1
+      var len = 1
+      val lenCap = math.min(i, maxPieceLen)
+      while (len <= lenCap) {
+        val start = i - len
+        val candidates = vocab.get(s.charAt(start))
+        if (candidates != null) {
+          val ps = candidates._1
+          var k = 0
+          while (k < ps.length && ps(k).length > len) k += 1
+          var found = false
+          while (k < ps.length && ps(k).length == len && !found) {
+            if (s.startsWith(ps(k), start)) {
+              val c = best(start) + candidates._3(k)
+              if (c < best(i) || (c == best(i) && len > predLen(i))) {
+                best(i) = c; predLen(i) = len; predId(i) = candidates._2(k)
+              }
+              found = true
+            }
+            k += 1
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    var p = n
+    var count = 0
+    while (p > 0) { count += 1; p -= math.max(predLen(p), 1) }
+    val ids = new Array[Int](count)
+    p = n
+    var w = count - 1
+    while (p > 0) {
+      ids(w) = predId(p)
+      p -= math.max(predLen(p), 1)
+      w -= 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(ids)
+  }
+
   /** Deterministic dot product: float→double per element, left-to-right
     * fold (SURVEY.md §4 determinism discipline).
     */
@@ -933,6 +1019,34 @@ case class ViterbiIds(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ViterbiIds =
     copy(left = newLeft, right = newRight)
+}
+
+/** e16's cost-weighted form: Viterbi decode against TRAINED per-piece
+  * costs (t23's unigram-LM trainer output; comma-joined longs, UNK
+  * cost first). `viterbi_cost_ids(text, vocab, costs)` in SQL after
+  * GraftExtensions registration.
+  */
+case class ViterbiCostIds(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "viterbi_cost_ids"
+
+  override protected def nullSafeEval(t: Any, v: Any, cst: Any): Any =
+    Kernels.viterbiCostIds(t.asInstanceOf[UTF8String],
+      v.asInstanceOf[UTF8String], cst.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, v, cst) =>
+      s"org.apache.spark.sql.graft.Kernels.viterbiCostIds($t, $v, $cst)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): ViterbiCostIds =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** e01: native codegen cosine similarity over two array<float> columns.

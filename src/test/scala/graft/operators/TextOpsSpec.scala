@@ -738,4 +738,120 @@ class TextOpsSpec extends AnyFunSuite {
         s"rebuild disagrees for '${r.getString(0)}'")
     }
   }
+
+  test("t23 unigram EM == plain-Scala replay value-exact") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestSpark.Sf0001
+    val U = TextOps.Unigram
+    // serial replay of the WHOLE trainer: capped words, weighted
+    // substring seed, hard-EM rounds, loss prune — sharing only the
+    // two scalar kernels (lnCostE9, segmentWord) with the distributed
+    // trainer; the EM structure itself is re-derived here
+    val texts = graft.Tables(spark, dir).documents
+      .select("text").collect().map(_.getString(0))
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+      .toSeq.sortBy { case (w, f) => (-f, w) }.take(50000)
+    val seed = words
+      .flatMap { case (w, f) =>
+        for {
+          l <- 1 to math.min(U.MaxPieceLen, w.length)
+          s <- 0 to w.length - l
+        } yield (w.substring(s, s + l), f)
+      }
+      .groupBy(_._1).map { case (p, o) => (p, o.map(_._2).sum) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(U.SeedN)
+    def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
+      val total = counts.map(_._2).sum
+      counts.map { case (p, c) => p -> TextOps.lnCostE9(c, total) }.toMap
+    }
+    var inv = costsOf(seed)
+    var last = seed
+    for (_ <- 1 to U.Rounds) {
+      last = words
+        .flatMap { case (w, f) =>
+          TextOps.segmentWord(w, inv)._1.map((_, f))
+        }
+        .groupBy(_._1).map { case (p, o) => (p, o.map(_._2).sum) }
+        .toSeq.sortBy(_._1)
+      inv = costsOf(last)
+    }
+    val multi = last.filter(_._1.length > 1)
+    val losses = multi.map { case (p, c) =>
+      (p, c * (TextOps.segmentWord(p, inv, exclude = p)._2 - inv(p)))
+    }
+    val kept = losses.sortBy { case (p, loss) =>
+      (-loss, -multi.find(_._1 == p).get._2, p)
+    }.take(U.KeepMulti).map(_._1).toSet
+    val want = last.map { case (p, c) =>
+      p -> (c, inv(p),
+        if (p.length == 1) -1L else losses.find(_._1 == p).get._2,
+        if (p.length == 1 || kept(p)) 1L else 0L)
+    }.toMap
+    val got = TextOps.t23UnigramTrain(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    // the fixture must be non-trivial on every branch: some multi-char
+    // piece pruned, some kept, single chars present
+    assert(got.exists { case (p, (_, _, _, k)) => p.length > 1 && k == 1L })
+    assert(got.exists { case (p, (_, _, _, k)) => p.length > 1 && k == 0L },
+      "prune never fired — raise SeedN or lower KeepMulti")
+    assert(got.exists { case (p, _) => p.length == 1 })
+    // cost sanity: every piece cost is positive and below the UNK cost
+    assert(got.values.forall { case (_, c, _, _) => c > 0L && c < U.UnkCostE9 })
+  }
+
+  test("t23 -> e16: the cost-weighted kernel decodes with trained costs") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestSpark.Sf0001
+    val docs = graft.Tables(spark, dir).documents
+    val (pieces, costs) = TextOps.t23TrainedDecoder(docs)
+    assert(pieces.nonEmpty && pieces == pieces.sorted)
+    val costMap = pieces.zip(costs.split(",").drop(1).map(_.toLong)).toMap
+    val idOf = pieces.zipWithIndex.toMap
+    // kernel decode over real documents == plain-Scala lattice replay
+    // (segmentWord emits pieces; map to ids, UNK chars -> -1)
+    val got = docs.limit(50)
+      .select(col("doc_id"),
+        graft.functions.F.viterbiCostIds(col("text"),
+          graft.functions.F.joinVocab(pieces), costs).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val texts = docs.limit(50).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      // re-run the DP over the full text (spaces are UNK chars): walk
+      // the same lattice serially, mapping pieces to vocab ids
+      val n = text.length
+      val best = new Array[Long](n + 1)
+      val plen = new Array[Int](n + 1)
+      for (i <- 1 to n) {
+        best(i) = best(i - 1) + TextOps.Unigram.UnkCostE9
+        plen(i) = 0
+        for (l <- 1 to math.min(TextOps.Unigram.MaxPieceLen, i)) {
+          val p = text.substring(i - l, i)
+          costMap.get(p).foreach { c =>
+            val cand = best(i - l) + c
+            if (cand < best(i) || (cand == best(i) && l > plen(i))) {
+              best(i) = cand; plen(i) = l
+            }
+          }
+        }
+      }
+      val ids = scala.collection.mutable.ListBuffer.empty[Int]
+      var pos = n
+      while (pos > 0) {
+        if (plen(pos) == 0) { ids.prepend(-1); pos -= 1 }
+        else {
+          ids.prepend(idOf(text.substring(pos - plen(pos), pos)))
+          pos -= plen(pos)
+        }
+      }
+      assert(got(id) == ids.toList, s"doc $id kernel != serial DP")
+    }
+    // trained costs beat the uniform placeholder on total lattice
+    // cost by construction (they minimize corpus code length): every
+    // in-vocab decode must be UNK-free on the words the trainer kept
+    assert(got.values.exists(_.exists(_ >= 0)), "no piece ever decoded")
+  }
 }
