@@ -501,10 +501,108 @@ object Oracles {
        |ORDER BY piece""".stripMargin
   }
 
+  /** t03b's replay, generated from the SAME range/plant constants the
+    * Spark side uses (TextOps.ScriptRanges carries each range in both
+    * Java `\uXXXX` and RE2 `\x{XXXX}` spellings — t18's portability
+    * discipline) plus t03's marker-word CASE for the side-by-side
+    * pred_lang column.
+    */
+  private def scriptIdSql: String = {
+    val plants = operators.TextOps.ScriptPlants.map { case (v, p) =>
+      s"WHEN doc_id % 6 = $v THEN '$p' || doc_id"
+    }.mkString("\n         ")
+    val counts = operators.TextOps.ScriptRanges.map { case (n, _, re2) =>
+      s"CAST(len(regexp_extract_all(text, '$re2')) AS BIGINT) AS n_$n"
+    }.mkString(",\n    ")
+    val names = operators.TextOps.ScriptRanges.map(_._1)
+    val g = names.map("n_" + _).mkString("greatest(", ", ", ")")
+    val scriptCase = names.map(n => s"WHEN n_$n = $g THEN '$n'")
+      .mkString("\n    ")
+    val cols = names.map("n_" + _).mkString(", ")
+    s"""WITH planted AS (SELECT doc_id,
+       |    CASE $plants
+       |         ELSE text END AS text
+       |  FROM documents),
+       |s AS (SELECT doc_id, text,
+       |    $counts,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |      t -> t IN ('der','die','das','und','ist','nicht','ein'))) AS s_de,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |      t -> t IN ('the','and','of','to','is','with','that'))) AS s_en,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |      t -> t IN ('el','la','los','las','que','es','una'))) AS s_es,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |      t -> t IN ('le','la','les','est','une','dans','pas'))) AS s_fr,
+       |    len(list_filter(string_split(lower(text), ' '),
+       |      t -> t IN ('的','是','不','在','了','我','有'))) AS s_zh
+       |  FROM planted)
+       |SELECT doc_id, $cols,
+       |  CASE WHEN $g = 0 THEN 'und'
+       |    $scriptCase
+       |    ELSE 'und' END AS pred_script,
+       |  CASE
+       |    WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+       |    WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       |    WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       |    WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       |    WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       |    ELSE 'zh'
+       |  END AS pred_lang
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankSql(10),
     "g02_hits" -> hitsSql(10),
     "t23_unigram_train" -> unigramTrainSql,
+    "t03b_script_id" -> scriptIdSql,
+
+    // t24: rebuild the five-block plant byte-for-byte, replay the
+    // block split (lazy regex), the tag strip, all three densities
+    // (integer cross-multiplication), and the verdict ladder
+    "t24_main_content" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><body><div><a href="/home">home</a> ' ||
+        |    '<a href="/docs">docs</a> <a href="/about">about</a> menu' ||
+        |    (doc_id % 5) || '</div><p>' || text ||
+        |    ' and this is the rest of the story in a sea of the common' ||
+        |    ' words</p><div>promo box ' || (doc_id % 7) ||
+        |    '</div><div>alpha beta gamma delta epsilon zeta eta theta iota ' ||
+        |    (doc_id % 3) ||
+        |    '</div><div>copyright acme <a href="/terms">terms</a> ' ||
+        |    '<a href="/privacy">privacy</a></div></body></html>' AS html
+        |  FROM documents),
+        |b0 AS (SELECT doc_id,
+        |    regexp_extract_all(html, '<(?:div|p)>(.*?)</(?:div|p)>', 1) AS bl
+        |  FROM h),
+        |bx AS (SELECT doc_id, unnest(generate_series(1, len(bl))) AS i, bl
+        |  FROM b0),
+        |b AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS blk,
+        |    bl[CAST(i AS INTEGER)] AS raw FROM bx),
+        |f AS (SELECT doc_id, blk,
+        |    trim(regexp_replace(regexp_replace(raw, '<[^>]*>', '', 'g'),
+        |      ' {2,}', ' ', 'g')) AS block_text,
+        |    array_to_string(regexp_extract_all(raw,
+        |      '<a href="[^"]*">([^<]*)</a>', 1), '') AS link_txt
+        |  FROM b),
+        |g AS (SELECT doc_id, blk, block_text,
+        |    CAST(length(block_text) AS BIGINT) AS n_chars,
+        |    -- array_to_string of an empty list is NULL in DuckDB 1.0
+        |    CAST(COALESCE(length(link_txt), 0) AS BIGINT) AS link_chars,
+        |    CAST(CASE WHEN block_text = '' THEN 0
+        |      ELSE len(string_split(block_text, ' ')) END AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split(block_text, ' '),
+        |      x -> list_contains(
+        |        ['the','a','an','and','in','of','to','is','this'], x)))
+        |      AS BIGINT) AS n_stop
+        |  FROM f)
+        |SELECT doc_id, blk, block_text, n_chars, link_chars, n_words, n_stop,
+        |  CASE WHEN link_chars * 3 > n_chars THEN 'bad'
+        |       WHEN n_words < 8 THEN 'short'
+        |       WHEN n_stop * 16 >= n_words THEN 'content'
+        |       ELSE 'low' END AS verdict
+        |FROM g ORDER BY doc_id, blk""".stripMargin,
 
     // c26: per-doc gram explode + bloom-verdict join + threshold
     // replayed from the kernel-boundary side-tables (the bloom probe

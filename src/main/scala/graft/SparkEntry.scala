@@ -162,6 +162,8 @@ object SparkEntry {
     "c24_boundary_masks" -> ((s, dir) => Corpus.c24BoundaryMasks(s, dir)),
     "t21_viterbi_tokenize" -> ((s, dir) => TextOps.t21ViterbiTokenize(s, dir)),
     "t23_unigram_train" -> ((s, dir) => TextOps.t23UnigramTrain(s, dir)),
+    "t24_main_content" -> ((s, dir) => TextOps.t24MainContent(s, dir)),
+    "t03b_script_id" -> ((s, dir) => TextOps.t03bScriptId(s, dir)),
     "q55_tree_flatten" -> (Relational.q55TreeFlatten(_, _)),
     "g01_pagerank" -> ((s, dir) => Graph.g01PageRank(s, dir)),
     "g02_hits" -> ((s, dir) => Graph.g02Hits(s, dir)),

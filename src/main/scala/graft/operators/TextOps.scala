@@ -1295,6 +1295,162 @@ object TextOps {
           " ").as("chunk_text"))
   }
 
+  // ---------------------------------------------------------------- t03b
+
+  /** Unicode script ranges for t03b — (name, Java char class, RE2
+    * char class). EXPLICIT `\uXXXX` ranges on both sides (t18's
+    * portability discipline: `\p{Script=...}` property tables can
+    * drift between regex engines; a literal range cannot). Names are
+    * kept alphabetical — the argmax tie-break order.
+    */
+  private[graft] val ScriptRanges: Seq[(String, String, String)] = Seq(
+    ("arabic", "[\u0600-\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("cjk", "[\u4E00-\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("cyrillic", "[\u0400-\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\u0370-\u03FF]", "[\\x{0370}-\\x{03FF}]"),
+    ("hangul", "[\uAC00-\uD7AF]", "[\\x{AC00}-\\x{D7AF}]"),
+    ("latin", "[A-Za-z]", "[A-Za-z]"))
+
+  /** The t03b plant: the synthetic corpus is pure ASCII, so docs with
+    * doc_id % 6 ∈ 1..5 swap their text for a fixed phrase in one of
+    * the five non-Latin scripts (plus the doc_id, so rows stay
+    * distinct); % 6 == 0 keeps the original Latin text. Every branch
+    * is a constant-concat the oracle rebuilds byte-for-byte.
+    */
+  private[graft] val ScriptPlants: Seq[(Int, String)] = Seq(
+    1 -> "данные поток система запрос таблица ",
+    2 -> "δεδομένα ροή σύστημα ερώτημα πίνακας ",
+    3 -> "数据 流 系统 查询 表 ",
+    4 -> "بيانات تدفق نظام استعلام جدول ",
+    5 -> "데이터 흐름 시스템 쿼리 테이블 ")
+
+  private[operators] def demoScriptDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      ScriptPlants.foldRight(col("text")) { case ((v, phrase), e) =>
+        when(col("doc_id") % 6 === v,
+          concat(lit(phrase), col("doc_id").cast("string"))).otherwise(e)
+      }.as("text"))
+
+  /** Adds per-script char counts + `pred_script` (argmax, alphabetical
+    * tie-break, zero hits → 'und') to any frame with a `text` column —
+    * the charset-level complement of [[langIdOver]]'s marker words:
+    * portable across corpora because it keys on code points, not on a
+    * language-specific vocabulary.
+    */
+  def scriptIdOver(docs: DataFrame): DataFrame = {
+    val withCounts = ScriptRanges.foldLeft(docs) { case (df, (n, jc, _)) =>
+      df.withColumn(s"n_$n",
+        size(regexp_extract_all(col("text"), lit(jc), lit(0)))
+          .cast(LongType))
+    }
+    val names = ScriptRanges.map(_._1)
+    val best = greatest(names.map(n => col(s"n_$n")): _*)
+    val pred = names.foldRight(lit("und")) { (n, e) =>
+      when(col(s"n_$n") === best && best > 0, lit(n)).otherwise(e)
+    }
+    withCounts.withColumn("pred_script", pred)
+  }
+
+  /** t03b: Unicode-script language/charset ID — per-doc script
+    * histogram over explicit code-point ranges + argmax, beside
+    * t03's marker-word verdict on the SAME planted frame so the demo
+    * COMPARES the classifiers: the marker heuristic (corpus-specific
+    * vocabulary) calls every non-Latin plant 'und', while the script
+    * ranges (portable) name them — and neither can classify what the
+    * other does without its table. Per-row codegen'd regex counting;
+    * no shuffle.
+    */
+  def t03bScriptId(spark: SparkSession, dir: String): DataFrame = {
+    val planted = demoScriptDocs(Tables(spark, dir).documents)
+    langIdOver(scriptIdOver(planted))
+      .select((col("doc_id") +:
+        ScriptRanges.map { case (n, _, _) => col(s"n_$n") }) :+
+        col("pred_script") :+ col("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t24
+
+  /** t24 stopword markers (the jusText-style function-word set the
+    * density verdict keys on) — comma-joined for the e-series marker
+    * kernel and mirrored verbatim by the oracle's list_contains.
+    */
+  private[operators] val T24Stops =
+    Seq("the", "a", "an", "and", "in", "of", "to", "is", "this")
+
+  /** The t24 plant: each doc becomes a four-block page — a nav bar
+    * (link-dense), the MAIN block (the doc's text plus a fixed
+    * stopword-bearing tail, so the stopword-density gate is satisfied
+    * by construction at any corpus composition — the synthetic corpus
+    * has docs with ZERO function words), a short promo block, and a
+    * link-dense footer. Every block is an affine function of
+    * (doc_id, text), so the oracle rebuilds the page byte-for-byte.
+    */
+  private[operators] def demoBlockPages(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><body><div><a href=\"/home\">home</a> " +
+        "<a href=\"/docs\">docs</a> <a href=\"/about\">about</a> menu"),
+      expr("doc_id % 5"),
+      lit("</div><p>"), col("text"),
+      lit(" and this is the rest of the story in a sea of the common" +
+        " words</p><div>promo box "),
+      expr("doc_id % 7"),
+      // long but function-word-free: the 'low' class must fire too
+      lit("</div><div>alpha beta gamma delta epsilon zeta eta theta iota "),
+      expr("doc_id % 3"),
+      lit("</div><div>copyright acme <a href=\"/terms\">terms</a> " +
+        "<a href=\"/privacy\">privacy</a></div></body></html>")).as("html"))
+
+  /** t24 kernel over any (doc_id, html) frame: segment the markup
+    * into block-level units (`<div>`/`<p>` bodies — g03/t17's
+    * regex-parsing discipline), compute the three densities each
+    * block's verdict keys on, classify. All counts are exact
+    * integers; density thresholds compare by CROSS-MULTIPLICATION
+    * (3·link_chars vs n_chars; 16·n_stop vs n_words), so no float
+    * ever enters the verdict. Per-row codegen'd regex — pages never
+    * shuffle; posexplode fans out to blocks only.
+    */
+  def t24BlocksOver(pages: DataFrame): DataFrame = {
+    val blocks = pages.select(col("doc_id"),
+      posexplode(regexp_extract_all(col("html"),
+        lit("<(?:div|p)>(.*?)</(?:div|p)>"), lit(1))))
+      .select(col("doc_id"), col("pos").cast(LongType).as("blk"),
+        col("col").as("raw"))
+    val txt = trim(regexp_replace(
+      regexp_replace(col("raw"), "<[^>]*>", ""), " {2,}", " "))
+    val linkTxt = array_join(regexp_extract_all(col("raw"),
+      lit("<a href=\"[^\"]*\">([^<]*)</a>"), lit(1)), "")
+    blocks
+      .select(col("doc_id"), col("blk"), txt.as("block_text"),
+        length(txt).cast(LongType).as("n_chars"),
+        length(linkTxt).cast(LongType).as("link_chars"),
+        when(txt === "", 0L)
+          .otherwise(size(split(txt, " ")).cast(LongType)).as("n_words"),
+        graft.functions.F.markerCount(txt, T24Stops.mkString(","))
+          .cast(LongType).as("n_stop"))
+      .withColumn("verdict",
+        when(col("link_chars") * 3 > col("n_chars"), "bad")
+          .when(col("n_words") < 8, "short")
+          .when(col("n_stop") * 16 >= col("n_words"), "content")
+          .otherwise("low"))
+  }
+
+  /** t24: main-content block extraction — the jusText/trafilatura
+    * density classifier (Pomikálek 2011; public) that every
+    * web-corpus pipeline runs after t17's tag strip keeps nav/footer
+    * TEXT: segment the page into block-level units, then judge each
+    * block by link density (boilerplate is link-dense), length
+    * (fragments are noise), and stopword density (real prose carries
+    * function words; listy boilerplate doesn't). `content` blocks are
+    * what feeds the corpus; `bad`/`short`/`low` are the dropped
+    * boilerplate classes. The demo plants a four-block page per doc
+    * (t17's plant discipline) so every verdict class fires at every
+    * SF and the kept content is a KNOWN exact string per page.
+    */
+  def t24MainContent(spark: SparkSession, dir: String): DataFrame =
+    t24BlocksOver(demoBlockPages(Tables(spark, dir).documents))
+      .orderBy("doc_id", "blk")
+
   // ---------------------------------------------------------------- t22
 
   /** Count-min sketch geometry: 4 rows (independent xxhash64 seeds) ×

@@ -739,6 +739,69 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t03b script ID names every planted script; marker t03 cannot") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestSpark.Sf0001
+    val rows = TextOps.t03bScriptId(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(7), r.getString(8))).toMap
+    val wantScript =
+      Map(1 -> "cyrillic", 2 -> "greek", 3 -> "cjk", 4 -> "arabic",
+        5 -> "hangul", 0 -> "latin")
+    rows.foreach { case (id, (script, lang)) =>
+      assert(script == wantScript((id % 6).toInt), s"doc $id script")
+      // the marker classifier has no vocabulary for the planted
+      // scripts — 'und' on every non-Latin doc; the comparison is the
+      // demo's point (portable ranges vs corpus-specific markers)
+      if (id % 6 != 0) assert(lang == "und", s"doc $id lang=$lang")
+    }
+    // every script class actually fired (plant coverage at this SF)
+    assert(rows.values.map(_._1).toSet ==
+      wantScript.values.toSet, "not all script classes exercised")
+    // tie-break law on a mixed text: equal counts → alphabetical
+    import spark.implicits._
+    val mixed = TextOps.scriptIdOver(
+      Seq((1L, "ab яж"), (2L, ""), (3L, "яж 数据")).toDF("doc_id", "text"))
+      .select("doc_id", "pred_script").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mixed(1L) == "cyrillic") // 2 latin vs 2 cyrillic... c < l
+    assert(mixed(2L) == "und")
+    assert(mixed(3L) == "cjk") // 2 cyr vs 2 cjk → cjk alphabetical
+  }
+
+  test("t24 planted pages recover exactly their main text; all classes fire") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.TestSpark.Sf0001
+    val texts = graft.Tables(spark, dir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tail = " and this is the rest of the story in a sea of the common words"
+    val rows = TextOps.t24MainContent(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(7)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.keySet == texts.keySet)
+    byDoc.foreach { case (id, bs) =>
+      assert(bs.length == 5, s"doc $id: ${bs.length} blocks")
+      // the content verdict selects EXACTLY the main block, and its
+      // text is the planted main body byte-for-byte
+      val content = bs.filter(_._4 == "content")
+      assert(content.map(_._2).toSeq == Seq(1L), s"doc $id content blocks")
+      assert(content.head._3 == texts(id) + tail, s"doc $id main text")
+      // nav + footer are link-dense, the promo is short, the
+      // function-word-free filler is 'low'
+      assert(bs.filter(_._2 == 0L).head._4 == "bad")
+      assert(bs.filter(_._2 == 2L).head._4 == "short")
+      assert(bs.filter(_._2 == 3L).head._4 == "low")
+      assert(bs.filter(_._2 == 4L).head._4 == "bad")
+    }
+    // kernel over arbitrary pages: empty blocks classify as short and
+    // never as content (n_chars 0 edge)
+    import spark.implicits._
+    val edge = TextOps.t24BlocksOver(
+      Seq((9L, "<div></div><p>one two</p>")).toDF("doc_id", "html"))
+      .orderBy("blk").collect()
+    assert(edge.map(_.getString(7)).toSeq == Seq("short", "short"))
+  }
+
   test("t23 unigram EM == plain-Scala replay value-exact") {
     import org.apache.spark.sql.functions._
     val dir = graft.TestSpark.Sf0001
