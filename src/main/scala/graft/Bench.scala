@@ -91,6 +91,9 @@ object Bench {
       // st22 is stateless — one row, the recurring per-drain WARC
       // enumeration + conversion-text landing cost
       "st22_intake" -> ((s, d) => streaming.Streams.st22BenchIntake(s, d)),
+      // st24 is stateless — one row, the recurring per-drain
+      // meta-robots gate + landing cost
+      "st24_gate" -> ((s, d) => streaming.Streams.st24BenchGate(s, d)),
       // st23's domain-quota gate, build/recurring split (name-sort
       // keeps build before gate)
       "st23_build" -> ((s, d) => streaming.Streams.st23BenchBuild(s, d)),

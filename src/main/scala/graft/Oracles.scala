@@ -558,6 +558,35 @@ object Oracles {
     "t23_unigram_train" -> unigramTrainSql,
     "t03b_script_id" -> scriptIdSql,
 
+    // g05: rebuild the meta-robots plant byte-for-byte, replay the
+    // case-insensitive extraction ((?i) inline group — RE2-portable)
+    // and the REP directive semantics
+    "g05_robots_gate" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head>' ||
+        |    CASE WHEN doc_id % 4 = 1
+        |           THEN '<meta name="robots" content="noindex"/>'
+        |         WHEN doc_id % 4 = 2
+        |           THEN '<meta name="robots" content="index, nofollow"/>'
+        |         WHEN doc_id % 4 = 3
+        |           THEN '<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW"/>'
+        |         ELSE '' END ||
+        |    '</head><body><p>' || text || '</p></body></html>' AS html
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    lower(regexp_extract(html,
+        |      '(?i)<meta name="robots" content="([^"]*)"', 1)) AS robots
+        |  FROM h),
+        |g AS (SELECT doc_id, robots,
+        |    CAST(contains(robots, 'noindex') OR robots = 'none'
+        |      AS BIGINT) AS noindex,
+        |    CAST(contains(robots, 'nofollow') OR robots = 'none'
+        |      AS BIGINT) AS nofollow
+        |  FROM f)
+        |SELECT doc_id, robots, noindex, nofollow,
+        |  CAST(1 - noindex AS BIGINT) AS admit
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // t24: rebuild the five-block plant byte-for-byte, replay the
     // block split (lazy regex), the tag strip, all three densities
     // (integer cross-multiplication), and the verdict ladder

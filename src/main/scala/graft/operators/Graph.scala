@@ -288,6 +288,55 @@ object Graph {
   def g02Hits(spark: SparkSession, dir: String, iters: Int = 10): DataFrame =
     hitsOver(linkEdges(spark, dir), iters)
 
+  // ---------------------------------------------------------------- g05
+
+  /** The g05 plant: meta-robots variants by doc_id % 4 — no directive
+    * (the default index,follow), a plain noindex, an index-but-
+    * nofollow, and an UPPERCASE noindex,nofollow (real pages mix
+    * cases; the extractor must be case-insensitive). Byte-exact
+    * affine construction, oracle-rebuildable.
+    */
+  private[graft] def demoRobotsDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      lit("<html><head>"),
+      when(col("doc_id") % 4 === 1,
+        lit("<meta name=\"robots\" content=\"noindex\"/>"))
+        .when(col("doc_id") % 4 === 2,
+          lit("<meta name=\"robots\" content=\"index, nofollow\"/>"))
+        .when(col("doc_id") % 4 === 3,
+          lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, NOFOLLOW\"/>"))
+        .otherwise(lit("")),
+      lit("</head><body><p>"), col("text"),
+      lit("</p></body></html>")).as("html"))
+
+  /** g05 kernel over any (doc_id, html) frame: meta-robots directive
+    * extraction (the governance flag every crawl pipeline must honor
+    * BEFORE a page enters the corpus — REP meta tags are the
+    * publisher's opt-out) + the standard directive semantics:
+    * `noindex`/`none` blocks indexing (admit = 0), `nofollow`/`none`
+    * blocks link extraction (g03 composes: a nofollow page's anchors
+    * should not feed the host graph). Case-insensitive via an inline
+    * `(?i)` group — Java ↔ RE2 portable, t18's discipline. Per-row
+    * codegen'd regex; no shuffle.
+    */
+  def robotsFlagsOver(pages: DataFrame): DataFrame = {
+    val content = lower(regexp_extract(col("html"),
+      "(?i)<meta name=\"robots\" content=\"([^\"]*)\"", 1))
+    pages
+      .select(col("doc_id"), content.as("robots"))
+      .select(col("doc_id"), col("robots"),
+        (col("robots").contains("noindex") || col("robots") === "none")
+          .cast("long").as("noindex"),
+        (col("robots").contains("nofollow") || col("robots") === "none")
+          .cast("long").as("nofollow"))
+      .withColumn("admit", lit(1L) - col("noindex"))
+  }
+
+  /** g05: meta-robots governance flags over the planted demo pages. */
+  def g05RobotsGate(spark: SparkSession, dir: String): DataFrame =
+    robotsFlagsOver(demoRobotsDocs(Tables(spark, dir).documents))
+      .orderBy("doc_id")
+
   /** g02 iterations over ANY weighted (src, dst, w) edge frame. */
   def hitsOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
     val edges = edgesIn.localCheckpoint(false)

@@ -566,6 +566,65 @@ object Streams {
       }
       .start()
 
+  /** One st24 drain body: meta-robots governance at INTAKE — a page
+    * whose publisher opted out (`noindex`) must never LAND, not be
+    * discovered at mixture time (the REP-compliance shape every
+    * public crawl pipeline runs; composes g05's extractor). Admitted
+    * pages land under `batch=<id>` (Overwrite → replays are
+    * idempotent); the audit conserves arrived = admitted + noindex.
+    * Stateless: the verdict is derivable per row, so no ledger.
+    */
+  def robotsGateBatch(batch: DataFrame, lakePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val flagged = graft.operators.Graph.robotsFlagsOver(batch)
+      .localCheckpoint(true) // one extraction pass feeds lake AND audit
+    val tot = flagged.agg(count(lit(1)), sum(col("noindex")),
+      sum(col("nofollow"))).head()
+    batch
+      .join(flagged.filter(col("admit") === 1L).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+    Seq((batchId, tot.getLong(0), tot.getLong(0) - tot.getLong(1),
+      tot.getLong(1), tot.getLong(2)))
+      .toDF("batch_id", "arrived", "admitted", "noindex", "nofollow")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.audit/batch=$batchId")
+  }
+
+  /** st24: STREAMING meta-robots admission gate — [[robotsGateBatch]]
+    * per micro-batch over a (doc_id, html) page stream.
+    */
+  def st24RobotsGate(pages: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        robotsGateBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st24's recurring per-drain cost: extraction + gate + landing +
+    * audit over the planted page corpus as one micro-batch. Stateless
+    * — no build half.
+    */
+  def st24BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st24", dir)
+    clearRoot(spark, root)
+    robotsGateBatch(
+      graft.operators.Graph.demoRobotsDocs(
+        graft.Tables(spark, dir).documents),
+      s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** st18's recurring per-drain cost: one scrub pass + lake landing +
     * audit over the full documents table as a single micro-batch. No
     * build half — the stage is stateless (patterns are code, not a

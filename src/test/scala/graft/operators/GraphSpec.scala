@@ -191,6 +191,31 @@ class GraphSpec extends AnyFunSuite {
       s"degenerate demo community structure: $sizes")
   }
 
+  test("g05 robots flags follow REP semantics, case-insensitively") {
+    val got = Graph.g05RobotsGate(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, (robots, noindex, nofollow, admit)) =>
+      (id % 4) match {
+        case 0 => assert((robots, noindex, nofollow, admit) ==
+          (("", 0L, 0L, 1L)), s"doc $id")
+        case 1 => assert((robots, noindex, nofollow, admit) ==
+          (("noindex", 1L, 0L, 0L)), s"doc $id")
+        case 2 => assert((robots, noindex, nofollow, admit) ==
+          (("index, nofollow", 0L, 1L, 1L)), s"doc $id")
+        case _ => assert((robots, noindex, nofollow, admit) ==
+          (("noindex, nofollow", 1L, 1L, 0L)), s"doc $id")
+      }
+    }
+    // the 'none' directive blocks both (REP shorthand)
+    import spark.implicits._
+    val none = Graph.robotsFlagsOver(Seq(
+      (1L, "<html><head><meta name=\"robots\" content=\"none\"/></head></html>"))
+      .toDF("doc_id", "html")).collect().head
+    assert((none.getLong(2), none.getLong(3), none.getLong(4)) == ((1L, 1L, 0L)))
+  }
+
   test("the extracted edge frame is invariant under hostile repartitioning") {
     // the iterations consume only (src,dst,w); the serial-replay tests
     // above pin the iterations themselves, so edge-frame stability

@@ -760,6 +760,50 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == ids, s"replay changed the lake: $after")
   }
 
+  test("st24 robots gate: noindex pages never land, conservation, idempotent replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st24")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def page(id: Long, meta: String) =
+      (id, s"<html><head>$meta</head><body><p>doc $id</p></body></html>")
+    val stream1 = Seq(
+      page(1L, ""),
+      page(2L, "<meta name=\"robots\" content=\"noindex\"/>"),
+      page(3L, "<meta name=\"robots\" content=\"index, nofollow\"/>"))
+    val stream2 = Seq(
+      page(4L, "<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\"/>"),
+      page(5L, "<meta name=\"robots\" content=\"none\"/>"),
+      page(6L, ""))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = Streams.st24RobotsGate(
+      input.toDS().toDF("doc_id", "html"), lake, ckpt)
+    input.addData(stream1: _*)
+    q.processAllAvailable()
+    input.addData(stream2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // ONLY publisher-permitted pages land: noindex (any case) and
+    // 'none' are out, nofollow-only still indexes
+    val landed = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L, 3L, 6L), s"landed $landed")
+    // audit conserves arrived = admitted + noindex, per batch
+    val audit = spark.read.parquet(lake + ".audit")
+      .collect().map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("arrived"), r.getAs[Long]("admitted"),
+          r.getAs[Long]("noindex"), r.getAs[Long]("nofollow"))).toMap
+    assert(audit(0L) == ((3L, 2L, 1L, 1L)) && audit(1L) == ((3L, 1L, 2L, 1L)),
+      s"audit $audit")
+    audit.values.foreach { case (a, ad, ni, _) => assert(a == ad + ni) }
+    // replay: re-running a drained batch overwrites its own directory
+    // byte-identically (stateless verdicts, per-batch Overwrite)
+    Streams.robotsGateBatch(stream1.toDF("doc_id", "html"), lake, batchId = 0L)
+    val after = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == landed, s"replay changed the lake: $after")
+  }
+
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st18")
