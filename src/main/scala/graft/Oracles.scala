@@ -487,7 +487,12 @@ object Oracles {
        |alt AS (SELECT pw AS piece, b4 AS alt_cost
        |  FROM pf WHERE pos = length(pw)),
        |loss AS (SELECT m.piece, m.cnt, m.cost_e9,
-       |    CAST(m.cnt * (a.alt_cost - m.cost_e9) AS BIGINT) AS loss_e9
+       |    -- saturated at +/-Long.MaxValue, mirroring the trainer's
+       |    -- clampedLoss (an unchecked product would error in HUGEINT
+       |    -- exactly where Scala would silently wrap)
+       |    CAST(least(greatest(CAST(m.cnt AS HUGEINT)
+       |        * (a.alt_cost - m.cost_e9), -9223372036854775807),
+       |      9223372036854775807) AS BIGINT) AS loss_e9
        |  FROM mp m JOIN alt a USING (piece)),
        |keepset AS (SELECT piece FROM loss
        |  ORDER BY loss_e9 DESC, cnt DESC, piece LIMIT ${U.KeepMulti})

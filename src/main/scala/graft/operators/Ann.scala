@@ -473,6 +473,9 @@ object Ann {
     * n_q × k pairs — one under-probed query costs k misses at once.
     */
   private def hamming2Probes(sig: Column, nBits: Int): Column = {
+    // sequence() DESCENDS when start > stop — an undersized width
+    // would yield negative shift amounts and garbage probe masks
+    require(nBits >= 2, s"hamming2Probes needs nBits >= 2, got $nBits")
     val h1 = transform(sequence(lit(0), lit(nBits - 1)),
       i => sig.bitwiseXOR(call_function("shiftleft", lit(1L), i)))
     val h2 = flatten(transform(sequence(lit(0), lit(nBits - 2)), i =>
@@ -491,6 +494,7 @@ object Ann {
     * pair space).
     */
   private def hamming3Probes(sig: Column, nBits: Int): Column = {
+    require(nBits >= 3, s"hamming3Probes needs nBits >= 3, got $nBits")
     val h3 = flatten(transform(sequence(lit(0), lit(nBits - 3)), i =>
       flatten(transform(sequence(i + lit(1), lit(nBits - 2)), j =>
         transform(sequence(j + lit(1), lit(nBits - 1)), l =>
@@ -713,11 +717,22 @@ object Ann {
       .parquet(path + ".meta")
   }
 
-  /** The persisted dial, or `fallback` for a pre-metadata index. */
+  /** The persisted dial, or `fallback` ONLY when no `.meta` exists at
+    * all (a pre-metadata index). Any other failure — a transient FS
+    * error, a corrupt file — propagates: silently probing a non-base
+    * index at the fallback width would return empty/garbage results
+    * and upserts would scatter rows out of their partitions with no
+    * error anywhere. (The builders also write `.meta` BEFORE the data
+    * dirs, so a crash mid-build cannot leave a dialed index that
+    * reads as pre-metadata.)
+    */
   private def readIndexMeta(spark: SparkSession, path: String,
-      fallback: Int): Int =
-    try spark.read.parquet(path + ".meta").head().getLong(0).toInt
-    catch { case scala.util.control.NonFatal(_) => fallback }
+      fallback: Int): Int = {
+    val meta = new org.apache.hadoop.fs.Path(path + ".meta")
+    val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(meta)) fallback
+    else spark.read.parquet(meta.toString).head().getLong(0).toInt
+  }
 
   /** s07 build: persist the SRP-bucketed corpus — the "bucket once"
     * half of s02's posture (s02 docstring; VERDICT r2 #2). One
@@ -735,11 +750,14 @@ object Ann {
     val bits =
       if (nBits > 0) nBits
       else srpBitsFor(corpus.select(col("vec_id")).count())
+    // meta FIRST: a crash after the data write would otherwise leave
+    // a complete-looking dialed index that probes read at the
+    // pre-metadata fallback width
+    writeIndexMeta(corpus.sparkSession, path, bits.toLong)
     graft.sources.Writers.writePartitioned(
       corpus.select(col("vec_id"), col("embedding"),
         srpSignature(col("embedding"), bits, dim).as("sig")),
       path, Seq("sig"))
-    writeIndexMeta(corpus.sparkSession, path, bits.toLong)
   }
 
   /** s07 probe: ANN against a persisted LSH index. The query's
@@ -813,6 +831,10 @@ object Ann {
     // flag, or AUTOMATIC once the corpus outgrows what the sample
     // represents ([[shouldTrainDistributed]] — the flip is justified
     // by measured quantization quality, not a dial).
+    // meta FIRST (see readIndexMeta): no crash window where a dialed
+    // index exists without its recorded probe dial
+    writeIndexMeta(corpus.sparkSession, path,
+      math.min(nlist, ivfProbesFor(n)).toLong)
     val cents =
       if (distributedTrainer || shouldTrainDistributed(n, sampleN))
         s14TrainDistributed(corpus, nlist)
@@ -827,10 +849,6 @@ object Ann {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(path + ".centroids")
-    // record the corpus-size probe dial the FLAT s04 would use on the
-    // same corpus — the probe reads it back, keeping the
-    // indexed-equals-flat contract intact across dial flips
-    writeIndexMeta(spark, path, math.min(nlist, ivfProbesFor(n)).toLong)
     cents
   }
 

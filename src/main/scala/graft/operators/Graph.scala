@@ -322,19 +322,25 @@ object Graph {
   def robotsFlagsOver(pages: DataFrame): DataFrame = {
     val content = lower(regexp_extract(col("html"),
       "(?i)<meta name=\"robots\" content=\"([^\"]*)\"", 1))
+    // input columns RIDE ALONG (the verdict is per ROW, and a gate
+    // that joins verdicts back by key would admit every row sharing a
+    // doc_id with an admitted one — e.g. a URL re-crawled within one
+    // micro-batch)
     pages
-      .select(col("doc_id"), content.as("robots"))
-      .select(col("doc_id"), col("robots"),
+      .withColumn("robots", content)
+      .withColumn("noindex",
         (col("robots").contains("noindex") || col("robots") === "none")
-          .cast("long").as("noindex"),
+          .cast("long"))
+      .withColumn("nofollow",
         (col("robots").contains("nofollow") || col("robots") === "none")
-          .cast("long").as("nofollow"))
+          .cast("long"))
       .withColumn("admit", lit(1L) - col("noindex"))
   }
 
   /** g05: meta-robots governance flags over the planted demo pages. */
   def g05RobotsGate(spark: SparkSession, dir: String): DataFrame =
     robotsFlagsOver(demoRobotsDocs(Tables(spark, dir).documents))
+      .select("doc_id", "robots", "noindex", "nofollow", "admit")
       .orderBy("doc_id")
 
   /** g02 iterations over ANY weighted (src, dst, w) edge frame. */

@@ -604,6 +604,17 @@ object TextOps {
     (acc, best(n))
   }
 
+  /** Prune loss cnt × Δcost, saturated at ±Long.MaxValue: at corpus
+    * scales where cnt reaches 1e12+, the raw product overflows — a
+    * silent Scala wrap would flip keep/prune verdicts while the
+    * oracle's checked HUGEINT multiply errors, a guaranteed
+    * divergence. Saturation keeps the prune ORDER correct (saturated
+    * ties fall to the (cnt, piece) tie-break) and both engines agree.
+    */
+  private[graft] def clampedLoss(cnt: Long, delta: Long): Long =
+    (BigInt(cnt) * BigInt(delta))
+      .min(BigInt(Long.MaxValue)).max(BigInt(-Long.MaxValue)).toLong
+
   /** The t23 training transcript: final inventory rows plus the
     * ln-memo the oracle replay consumes (every (cnt, total) → cost
     * pair the trainer evaluated, init and all rounds).
@@ -685,7 +696,7 @@ object TextOps {
     val multi = lastCounts.filter(_._1.length > 1)
     val losses = multi.map { case (p, c) =>
       val alt = segmentWord(p, inv, exclude = p)._2
-      (p, c, inv(p), c * (alt - inv(p)))
+      (p, c, inv(p), clampedLoss(c, alt - inv(p)))
     }
     val kept = losses
       .sortBy { case (p, c, _, loss) => (-loss, -c, p) }
@@ -699,13 +710,26 @@ object TextOps {
       memo.map { case ((c, t), v) => (c, t, v) }.toSeq)
   }
 
+  /** One training run per sf dir: a verify run consumes the trainer
+    * from THREE places (the ln-memo side-table, the driver query, the
+    * trained decoder) — without a cache each re-runs the full EM.
+    * The gate's testdata dirs are immutable, so dir is a sound key.
+    */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, UnigramTrained]()
+
+  private[graft] def t23Trained(spark: SparkSession,
+      dir: String): UnigramTrained =
+    unigramCache.computeIfAbsent(dir,
+      d => t23TrainCore(Tables(spark, d).documents))
+
   /** t23 driver query: the trained inventory — every final-round
     * piece with its count, 1e-9-nat cost, prune loss (−1 for the
     * never-pruned single chars), and the keep verdict.
     */
   def t23UnigramTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t23TrainCore(Tables(spark, dir).documents).rows
+    t23Trained(spark, dir).rows
       .toDF("piece", "cnt", "cost_e9", "loss_e9", "kept")
       .orderBy("piece")
   }
@@ -717,16 +741,16 @@ object TextOps {
     */
   def t23AuxLnMemo(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    t23TrainCore(Tables(spark, dir).documents).memo
-      .toDF("cnt", "total", "cost_e9")
+    t23Trained(spark, dir).memo.toDF("cnt", "total", "cost_e9")
   }
 
   /** The trained tokenizer in e16 wire form: (vocab pieces, cost
     * string with UNK first) for [[graft.functions.F.viterbiCostIds]]
     * — kept pieces only, piece-sorted so ids are stable.
     */
-  def t23TrainedDecoder(docs: DataFrame): (Seq[String], String) = {
-    val kept = t23TrainCore(docs).rows.filter(_._5 == 1L)
+  def t23TrainedDecoder(spark: SparkSession,
+      dir: String): (Seq[String], String) = {
+    val kept = t23Trained(spark, dir).rows.filter(_._5 == 1L)
     val pieces = kept.map(_._1)
     val costs = Unigram.UnkCostE9 +: kept.map(_._3)
     (pieces, costs.mkString(","))
@@ -1378,11 +1402,12 @@ object TextOps {
   private[operators] val T24Stops =
     Seq("the", "a", "an", "and", "in", "of", "to", "is", "this")
 
-  /** The t24 plant: each doc becomes a four-block page — a nav bar
+  /** The t24 plant: each doc becomes a FIVE-block page — a nav bar
     * (link-dense), the MAIN block (the doc's text plus a fixed
     * stopword-bearing tail, so the stopword-density gate is satisfied
     * by construction at any corpus composition — the synthetic corpus
-    * has docs with ZERO function words), a short promo block, and a
+    * has docs with ZERO function words), a short promo block, a long
+    * function-word-free filler (the 'low' class must fire too), and a
     * link-dense footer. Every block is an affine function of
     * (doc_id, text), so the oracle rebuilds the page byte-for-byte.
     */
@@ -1443,7 +1468,7 @@ object TextOps {
     * (fragments are noise), and stopword density (real prose carries
     * function words; listy boilerplate doesn't). `content` blocks are
     * what feeds the corpus; `bad`/`short`/`low` are the dropped
-    * boilerplate classes. The demo plants a four-block page per doc
+    * boilerplate classes. The demo plants a five-block page per doc
     * (t17's plant discipline) so every verdict class fires at every
     * SF and the kept content is a KNOWN exact string per page.
     */

@@ -86,7 +86,7 @@ object Streams {
     * the maintained index unchanged).
     */
   def st10LshIndexMaintain(vectors: DataFrame, indexPath: String,
-      checkpointDir: String, nBits: Int = 8, dim: Int = 64)
+      checkpointDir: String, nBits: Int = 0, dim: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -583,9 +583,11 @@ object Streams {
       .localCheckpoint(true) // one extraction pass feeds lake AND audit
     val tot = flagged.agg(count(lit(1)), sum(col("noindex")),
       sum(col("nofollow"))).head()
-    batch
-      .join(flagged.filter(col("admit") === 1L).select("doc_id"),
-        Seq("doc_id"), "left_semi")
+    // per-ROW filter on the ride-along verdict — never a join back by
+    // key, which would admit a noindex row sharing a doc_id with an
+    // admitted one (a URL re-crawled within the same micro-batch)
+    flagged.filter(col("admit") === 1L)
+      .select(batch.columns.map(col): _*)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
     Seq((batchId, tot.getLong(0), tot.getLong(0) - tot.getLong(1),

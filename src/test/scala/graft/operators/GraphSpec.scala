@@ -213,7 +213,8 @@ class GraphSpec extends AnyFunSuite {
     val none = Graph.robotsFlagsOver(Seq(
       (1L, "<html><head><meta name=\"robots\" content=\"none\"/></head></html>"))
       .toDF("doc_id", "html")).collect().head
-    assert((none.getLong(2), none.getLong(3), none.getLong(4)) == ((1L, 1L, 0L)))
+    assert((none.getAs[Long]("noindex"), none.getAs[Long]("nofollow"),
+      none.getAs[Long]("admit")) == ((1L, 1L, 0L)))
   }
 
   test("the extracted edge frame is invariant under hostile repartitioning") {

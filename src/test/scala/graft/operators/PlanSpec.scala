@@ -251,7 +251,11 @@ class PlanSpec extends AnyFunSuite {
       // aggregate crossJoined onto the node frame (q44/q50's
       // scalar-threshold shape) instead of a per-iteration driver
       // .head sync
-      "g02_hits")
+      "g02_hits",
+      // g01's dangling-mass total rides the same shape: one broadcast
+      // 1-row aggregate crossJoined per iteration — the alternative
+      // is a driver-blocking scalar action every round
+      "g01_pagerank")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =

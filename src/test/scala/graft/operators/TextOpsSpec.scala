@@ -841,7 +841,8 @@ class TextOpsSpec extends AnyFunSuite {
     }
     val multi = last.filter(_._1.length > 1)
     val losses = multi.map { case (p, c) =>
-      (p, c * (TextOps.segmentWord(p, inv, exclude = p)._2 - inv(p)))
+      (p, TextOps.clampedLoss(c,
+        TextOps.segmentWord(p, inv, exclude = p)._2 - inv(p)))
     }
     val kept = losses.sortBy { case (p, loss) =>
       (-loss, -multi.find(_._1 == p).get._2, p)
@@ -869,7 +870,7 @@ class TextOpsSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val dir = graft.TestSpark.Sf0001
     val docs = graft.Tables(spark, dir).documents
-    val (pieces, costs) = TextOps.t23TrainedDecoder(docs)
+    val (pieces, costs) = TextOps.t23TrainedDecoder(spark, dir)
     assert(pieces.nonEmpty && pieces == pieces.sorted)
     val costMap = pieces.zip(costs.split(",").drop(1).map(_.toLong)).toMap
     val idOf = pieces.zipWithIndex.toMap

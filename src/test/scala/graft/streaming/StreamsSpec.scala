@@ -775,6 +775,11 @@ class StreamsSpec extends AnyFunSuite {
       page(4L, "<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX\"/>"),
       page(5L, "<meta name=\"robots\" content=\"none\"/>"),
       page(6L, ""))
+    // a URL re-crawled WITHIN one micro-batch: same doc_id, one clean
+    // and one noindex body — the verdict is per ROW (a key-join gate
+    // would admit both)
+    val stream3 = Seq(page(7L, ""),
+      page(7L, "<meta name=\"robots\" content=\"noindex\"/>"))
     val input = MemoryStream[(Long, String)](spark)
     val q = Streams.st24RobotsGate(
       input.toDS().toDF("doc_id", "html"), lake, ckpt)
@@ -782,19 +787,26 @@ class StreamsSpec extends AnyFunSuite {
     q.processAllAvailable()
     input.addData(stream2: _*)
     q.processAllAvailable()
+    input.addData(stream3: _*)
+    q.processAllAvailable()
     q.stop()
+    // the dup-key drain landed ONLY the clean row
+    val b2 = spark.read.parquet(s"$lake/batch=2").collect()
+    assert(b2.length == 1 && !b2.head.getAs[String]("html").contains("noindex"),
+      s"dup-key drain landed ${b2.length} rows")
     // ONLY publisher-permitted pages land: noindex (any case) and
     // 'none' are out, nofollow-only still indexes
     val landed = spark.read.parquet(lake)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(landed == Set(1L, 3L, 6L), s"landed $landed")
-    // audit conserves arrived = admitted + noindex, per batch
+    assert(landed == Set(1L, 3L, 6L, 7L), s"landed $landed")
+    // audit conserves arrived = admitted + noindex, per batch — ROW
+    // counts, so the dup-key drain audits (2, 1, 1)
     val audit = spark.read.parquet(lake + ".audit")
       .collect().map(r => r.getAs[Long]("batch_id") ->
         (r.getAs[Long]("arrived"), r.getAs[Long]("admitted"),
           r.getAs[Long]("noindex"), r.getAs[Long]("nofollow"))).toMap
-    assert(audit(0L) == ((3L, 2L, 1L, 1L)) && audit(1L) == ((3L, 1L, 2L, 1L)),
-      s"audit $audit")
+    assert(audit(0L) == ((3L, 2L, 1L, 1L)) && audit(1L) == ((3L, 1L, 2L, 1L))
+      && audit(2L) == ((2L, 1L, 1L, 0L)), s"audit $audit")
     audit.values.foreach { case (a, ad, ni, _) => assert(a == ad + ni) }
     // replay: re-running a drained batch overwrites its own directory
     // byte-identically (stateless verdicts, per-batch Overwrite)
