@@ -746,10 +746,16 @@ object Ann {
     * consistent without the caller re-deriving it.
     */
   def buildLshIndex(corpus: DataFrame, path: String,
-      nBits: Int = 0, dim: Int = 64): Unit = {
+      nBits: Int = 0, dim: Int = 64,
+      corpusSize: Option[Long] = None): Unit = {
+    // the dial needs only the corpus SIZE — callers that know it
+    // cheaply pass it (the demos count the raw parquet table, a
+    // footer-only job; measured: the in-lineage count here re-read
+    // the corpus bytes and doubled the bench build row)
     val bits =
       if (nBits > 0) nBits
-      else srpBitsFor(corpus.select(col("vec_id")).count())
+      else srpBitsFor(corpusSize.getOrElse(
+        corpus.select(col("vec_id")).count()))
     // meta FIRST: a crash after the data write would otherwise leave
     // a complete-looking dialed index that probes read at the
     // pre-metadata fallback width
@@ -1064,7 +1070,7 @@ object Ann {
     val path = demoIndexPath("s07", dir)
     buildLshIndex(
       t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      path)
+      path, corpusSize = Some(t.embeddings.count()))
     val qv = t.embeddings.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     s07AnnLshIndexed(spark, path, qv, k)
@@ -1103,8 +1109,10 @@ object Ann {
   def s07BenchBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = demoIndexPath("s07", dir)
-    buildLshIndex(Tables(spark, dir).embeddings
-      .filter(col("vec_id") =!= 0).select("vec_id", "embedding"), path)
+    val t = Tables(spark, dir)
+    buildLshIndex(t.embeddings
+      .filter(col("vec_id") =!= 0).select("vec_id", "embedding"), path,
+      corpusSize = Some(t.embeddings.count()))
     Seq(path).toDF("index_path")
   }
 
@@ -1141,9 +1149,14 @@ object Ann {
     * spec-checked against exact s03 on the same data.
     */
   def s06KnnJoinIvf(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nQueries: Int = 10, nlist: Int = 16, nprobe: Int = 0): DataFrame = {
     import graft.functions.F
     val t = Tables(spark, dir)
+    // nprobe = 0 (default): corpus-size auto-dial, s04's ivfProbesFor
+    // (measured: fixed 4-of-16 probes recalled 0.44 at the 10× leg)
+    val nprobe0 =
+      if (nprobe > 0) nprobe
+      else ivfProbesFor(t.embeddings.select(col("vec_id")).count())
     val corpus = t.embeddings.filter(col("vec_id") >= nQueries)
     val cents = trainCentroids(corpus, nlist)
     val celled = corpus.select(col("vec_id"), col("embedding"),
@@ -1158,7 +1171,7 @@ object Ann {
       .orderBy(col("col").desc, col("pos"))
     val qcells = qScored
       .withColumn("crk", row_number().over(wCell))
-      .filter(col("crk") <= nprobe)
+      .filter(col("crk") <= nprobe0)
       .select(col("query_id"), col("qv"), col("qn"),
         (col("pos") + 1).cast(LongType).as("pcell"))
     val scored = celled.join(qcells, col("cell") === col("pcell"))
