@@ -722,9 +722,10 @@ object Ann {
     * error, a corrupt file — propagates: silently probing a non-base
     * index at the fallback width would return empty/garbage results
     * and upserts would scatter rows out of their partitions with no
-    * error anywhere. (The builders also write `.meta` BEFORE the data
-    * dirs, so a crash mid-build cannot leave a dialed index that
-    * reads as pre-metadata.)
+    * error anywhere. (The builders publish via [[publishStaged]] —
+    * every crash window lacks the DATA directory and fails loudly at
+    * probe time; no window pairs a new dial with old data or a dialed
+    * layout with a missing `.meta`.)
     */
   private def readIndexMeta(spark: SparkSession, path: String,
       fallback: Int): Int = {
@@ -732,6 +733,33 @@ object Ann {
     val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(meta)) fallback
     else spark.read.parquet(meta.toString).head().getLong(0).toInt
+  }
+
+  /** Publish a (re)built index from its `.staging` artifacts: delete
+    * the live artifacts DATA-FIRST, then rename the staged ones
+    * DATA-LAST. Rationale (the round-12 review's rebuild window): a
+    * REBUILD that changes the dial must never expose a state pairing
+    * the new `.meta` with the old partition layout (probes would
+    * filter directories that don't exist under that width — silently
+    * empty results) or a dialed layout with a deleted `.meta`
+    * (readIndexMeta would fall back to the base width — silently
+    * wrong partitions). With data-first-delete / data-last-rename,
+    * EVERY intermediate state lacks the data directory, and a probe
+    * fails LOUDLY on the missing path instead.
+    */
+  private def publishStaged(spark: SparkSession, path: String,
+      suffixes: Seq[String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(path).getFileSystem(hconf)
+    // "" (the data dir) must be FIRST in `suffixes`
+    suffixes.foreach(sfx => fs.delete(p(path + sfx), true))
+    suffixes.reverse.foreach { sfx =>
+      val staged = p(path + ".staging" + sfx)
+      if (!fs.rename(staged, p(path + sfx)))
+        throw new java.io.IOException(
+          s"index publish: cannot promote $staged")
+    }
   }
 
   /** s07 build: persist the SRP-bucketed corpus — the "bucket once"
@@ -756,14 +784,14 @@ object Ann {
       if (nBits > 0) nBits
       else srpBitsFor(corpusSize.getOrElse(
         corpus.select(col("vec_id")).count()))
-    // meta FIRST: a crash after the data write would otherwise leave
-    // a complete-looking dialed index that probes read at the
-    // pre-metadata fallback width
-    writeIndexMeta(corpus.sparkSession, path, bits.toLong)
+    // build into staging, then swap ([[publishStaged]]): a rebuild
+    // must never expose new-meta-over-old-layout or layout-sans-meta
     graft.sources.Writers.writePartitioned(
       corpus.select(col("vec_id"), col("embedding"),
         srpSignature(col("embedding"), bits, dim).as("sig")),
-      path, Seq("sig"))
+      path + ".staging", Seq("sig"))
+    writeIndexMeta(corpus.sparkSession, path + ".staging", bits.toLong)
+    publishStaged(corpus.sparkSession, path, Seq("", ".meta"))
   }
 
   /** s07 probe: ANN against a persisted LSH index. The query's
@@ -837,10 +865,6 @@ object Ann {
     // flag, or AUTOMATIC once the corpus outgrows what the sample
     // represents ([[shouldTrainDistributed]] — the flip is justified
     // by measured quantization quality, not a dial).
-    // meta FIRST (see readIndexMeta): no crash window where a dialed
-    // index exists without its recorded probe dial
-    writeIndexMeta(corpus.sparkSession, path,
-      math.min(nlist, ivfProbesFor(n)).toLong)
     val cents =
       if (distributedTrainer || shouldTrainDistributed(n, sampleN))
         s14TrainDistributed(corpus, nlist)
@@ -848,13 +872,20 @@ object Ann {
     val celled = corpus.select(col("vec_id"), col("embedding"),
       array_position(centroidScores(col("embedding"), cents),
         array_max(centroidScores(col("embedding"), cents))).as("cell"))
-    graft.sources.Writers.writePartitioned(celled, path, Seq("cell"))
+    // all three artifacts build into staging, then swap
+    // ([[publishStaged]]): a rebuild must never expose a probe to a
+    // mixed old/new (quantizer, layout, dial) triple
+    graft.sources.Writers.writePartitioned(celled,
+      path + ".staging", Seq("cell"))
     val spark = corpus.sparkSession
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(path + ".centroids")
+      .parquet(path + ".staging.centroids")
+    writeIndexMeta(spark, path + ".staging",
+      math.min(nlist, ivfProbesFor(n)).toLong)
+    publishStaged(spark, path, Seq("", ".centroids", ".meta"))
     cents
   }
 

@@ -320,6 +320,14 @@ object Graph {
     * codegen'd regex; no shuffle.
     */
   def robotsFlagsOver(pages: DataFrame): DataFrame = {
+    // the derived columns would silently OVERWRITE same-named input
+    // columns (withColumn semantics) and st24 would then land the
+    // derived values under the original names — refuse up front
+    val clash = pages.columns
+      .intersect(Seq("robots", "noindex", "nofollow", "admit"))
+    require(clash.isEmpty,
+      s"robotsFlagsOver: input already has column(s) ${clash.mkString(", ")}" +
+        " — rename them; the extractor emits robots/noindex/nofollow/admit")
     val content = lower(regexp_extract(col("html"),
       "(?i)<meta name=\"robots\" content=\"([^\"]*)\"", 1))
     // input columns RIDE ALONG (the verdict is per ROW, and a gate
