@@ -141,6 +141,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("t24: block extraction is shuffle-free with a pruned scan") {
+    val docs = graft.Tables(spark, dir).documents
+    val p = TextOps.t24BlocksOver(TextOps.demoBlockPages(docs))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"t24 shuffled:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("t03b: script ID is shuffle-free with a pruned scan") {
+    val docs = graft.Tables(spark, dir).documents
+    val p = TextOps.scriptIdOver(TextOps.demoScriptDocs(docs))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"t03b shuffled:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
+  test("g05: robots extraction is shuffle-free with a pruned scan") {
+    val docs = graft.Tables(spark, dir).documents
+    val p = Graph.robotsFlagsOver(Graph.demoRobotsDocs(docs))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"g05 shuffled:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q54: both window passes share ONE hash exchange on the entity key") {
     val p = plan("q54_scd2")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
