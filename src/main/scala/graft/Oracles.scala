@@ -592,6 +592,64 @@ object Oracles {
         |  CAST(1 - noindex AS BIGINT) AS admit
         |FROM g ORDER BY doc_id""".stripMargin,
 
+    // g06: rebuild the per-host robots.txt plant and the URL frontier
+    // byte-for-byte, replay the line split, the user-agent group
+    // scoping (latest UA header before each rule line — a correlated
+    // lookup, fine OUTSIDE recursive CTEs), the `*`-group rule
+    // extraction, and RFC 9309's longest-match/allow-wins-ties
+    // evaluation
+    "g06_robots_txt" ->
+      """WITH hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
+        |  FROM documents),
+        |rb AS (SELECT 'site' || s || '.example.com' AS host,
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+        |    'Allow: /private/pub' || chr(10) ||
+        |    'Disallow: /cgi' || (s % 3) || chr(10) || chr(10) ||
+        |    'User-agent: strictbot' || chr(10) || 'Disallow: /' || chr(10)
+        |      AS body
+        |  FROM hosts),
+        |l0 AS (SELECT host, string_split(body, chr(10)) AS ln FROM rb),
+        |l1 AS (SELECT host, ln,
+        |    unnest(generate_series(1, len(ln))) AS i FROM l0),
+        |lines AS (SELECT host, i - 1 AS pos,
+        |    ln[CAST(i AS INTEGER)] AS line FROM l1),
+        |ua AS (SELECT host, pos, trim(substr(line, 12)) AS agent
+        |  FROM lines WHERE line LIKE 'User-agent:%'),
+        |rl AS (SELECT host, pos,
+        |    lower(regexp_extract(line, '^(Allow|Disallow):', 1)) AS rule,
+        |    trim(regexp_extract(line, '^(?:Allow|Disallow): ?(.*)$', 1))
+        |      AS prefix
+        |  FROM lines WHERE regexp_matches(line, '^(Allow|Disallow):')),
+        |grp AS (SELECT r.host, r.rule, r.prefix,
+        |    (SELECT u.agent FROM ua u
+        |     WHERE u.host = r.host AND u.pos < r.pos
+        |     ORDER BY u.pos DESC LIMIT 1) AS agent
+        |  FROM rl r),
+        |rules AS (SELECT host, rule, prefix FROM grp
+        |  WHERE agent = '*' AND prefix <> ''),
+        |urls AS (SELECT doc_id,
+        |    'site' || ((doc_id // 5) % 50) || '.example.com' AS host,
+        |    CASE doc_id % 5 WHEN 0 THEN '/docs/' || doc_id
+        |      WHEN 1 THEN '/private/' || doc_id
+        |      WHEN 2 THEN '/private/pub/' || doc_id
+        |      WHEN 3 THEN '/cgi' || (doc_id % 3) || '/' || doc_id
+        |      ELSE '/cgi9/' || doc_id END AS path
+        |  FROM documents),
+        |m AS (SELECT u.doc_id, u.host, u.path, r.rule, r.prefix,
+        |    (r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)) AS hit
+        |  FROM urls u LEFT JOIN rules r ON r.host = u.host),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+        |    CASE WHEN hit THEN length(prefix) ELSE -1 END DESC,
+        |    CASE WHEN rule = 'allow' THEN 0 ELSE 1 END) AS rn FROM m)
+        |SELECT doc_id, host, path,
+        |  CAST(CASE WHEN hit THEN length(prefix) ELSE 0 END AS BIGINT)
+        |    AS matched_len,
+        |  CASE WHEN hit THEN rule ELSE 'none' END AS matched_rule,
+        |  CAST(CASE WHEN NOT hit OR rule = 'allow' THEN 1 ELSE 0 END
+        |    AS BIGINT) AS allowed
+        |FROM rk WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     // t24: rebuild the five-block plant byte-for-byte, replay the
     // block split (lazy regex), the tag strip, all three densities
     // (integer cross-multiplication), and the verdict ladder

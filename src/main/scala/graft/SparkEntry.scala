@@ -170,6 +170,7 @@ object SparkEntry {
     "g03_link_extract" -> ((s, dir) => Graph.g03LinkExtract(s, dir)),
     "g04_host_communities" -> ((s, dir) => Graph.g04HostCommunities(s, dir)),
     "g05_robots_gate" -> ((s, dir) => Graph.g05RobotsGate(s, dir)),
+    "g06_robots_txt" -> ((s, dir) => Graph.g06RobotsTxt(s, dir)),
     "c26_bloom_decontam" -> ((s, dir) => Corpus.c26BloomDecontam(s, dir)),
     "t22_cms_topk" -> ((s, dir) => TextOps.t22CmsTopk(s, dir)),
     "s17_margin_mining" -> ((s, dir) => Ann.s17MarginMining(s, dir)),

@@ -351,6 +351,109 @@ object Graph {
       .select("doc_id", "robots", "noindex", "nofollow", "admit")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- g06
+
+  /** The g06 plant, per DISTINCT demo host: a robots.txt body with a
+    * `*` group (a path-hierarchy allow-under-disallow pair plus one
+    * host-varying disallow, `/cgi{s % 3}`) and a SECOND user-agent
+    * group (`strictbot`, disallow-everything) the `*` evaluation must
+    * IGNORE — group scoping is where naive parsers go wrong. Bodies
+    * are affine in the host index, oracle-rebuildable.
+    */
+  private[graft] def demoRobotsTxt(docs: DataFrame): DataFrame =
+    docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
+      .select(
+        concat(lit("site"), col("s"), lit(".example.com")).as("host"),
+        concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/pub\n" +
+            "Disallow: /cgi"),
+          expr("s % 3"),
+          lit("\n\nUser-agent: strictbot\nDisallow: /\n")).as("body"))
+
+  /** The g06 demo URL frontier: one URL per doc on its d15 domain,
+    * with paths cycling through every verdict branch — unmatched,
+    * plainly disallowed, allowed by the LONGER nested rule,
+    * host-dependently disallowed (`/cgi{v3}` matches only when the
+    * doc's v3 equals the host's s % 3), and a near-miss prefix
+    * (`/cgi9…` matches no `/cgi{0..2}` rule).
+    */
+  private[graft] def demoFrontierUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("site"), expr("(doc_id div 5) % 50"),
+        lit(".example.com")).as("host"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("/docs/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("/private/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("/private/pub/"), col("doc_id")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("/cgi"), expr("doc_id % 3"), lit("/"), col("doc_id")))
+        .otherwise(concat(lit("/cgi9/"), col("doc_id"))).as("path"))
+
+  /** Parse robots.txt bodies into `*`-group rules (host, rule,
+    * prefix). Lines are scoped to their most recent `User-agent`
+    * header (one per-host window over line position — bodies are KB,
+    * hosts are the partition key); only the `*` group's Allow/
+    * Disallow lines survive, and empty prefixes drop (RFC 9309: an
+    * empty Disallow means allow-all).
+    */
+  def robotsTxtRules(robots: DataFrame): DataFrame = {
+    val lines = robots.select(col("host"),
+      posexplode(split(col("body"), "\n")).as(Seq("pos", "line")))
+    val ua = when(col("line").startsWith("User-agent:"),
+      trim(expr("substring(line, 12)")))
+    val wnd = Window.partitionBy("host").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("agent", last(ua, ignoreNulls = true).over(wnd))
+      .filter(col("agent") === "*")
+      .select(col("host"),
+        lower(regexp_extract(col("line"), "^(Allow|Disallow):", 1))
+          .as("rule"),
+        trim(regexp_extract(col("line"), "^(?:Allow|Disallow): ?(.*)$", 1))
+          .as("prefix"))
+      .filter(col("rule") =!= "" && col("prefix") =!= "")
+  }
+
+  /** g06 kernel: evaluate a URL frontier against parsed robots rules
+    * — RFC 9309's longest-match rule (most octets wins; at equal
+    * length Allow wins), no match → allowed. One equi-join on host
+    * (per-host rule sets are bounded — broadcastable at any corpus
+    * size) with a startsWith prefix test, then a per-URL argmax
+    * window on (prefix length desc, allow-first).
+    */
+  def g06UrlPermissionsOver(urls: DataFrame, robots: DataFrame): DataFrame = {
+    val rules = robotsTxtRules(robots)
+    val matched = urls.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("hit",
+        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
+    val wnd = Window.partitionBy("doc_id").orderBy(
+      when(col("hit"), length(col("prefix"))).otherwise(-1).desc,
+      when(col("rule") === "allow", 0).otherwise(1))
+    matched
+      .withColumn("rk", row_number().over(wnd))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("host"), col("path"),
+        when(col("hit"), length(col("prefix"))).otherwise(0)
+          .cast("long").as("matched_len"),
+        when(col("hit"), col("rule")).otherwise("none").as("matched_rule"),
+        when(!col("hit") || col("rule") === "allow", 1L).otherwise(0L)
+          .as("allowed"))
+  }
+
+  /** g06: robots.txt frontier permissions — the FILE-level half of
+    * crawl governance beside g05's page-level meta-robots (RFC 9309,
+    * public): a crawler must evaluate every frontier URL against the
+    * host's robots.txt BEFORE fetching. Composes with st20's URL gate
+    * and st23's domain quotas at intake.
+    */
+  def g06RobotsTxt(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    g06UrlPermissionsOver(demoFrontierUrls(docs), demoRobotsTxt(docs))
+      .orderBy("doc_id")
+  }
+
   /** g02 iterations over ANY weighted (src, dst, w) edge frame. */
   def hitsOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
     val edges = edgesIn.localCheckpoint(false)

@@ -217,6 +217,53 @@ class GraphSpec extends AnyFunSuite {
       none.getAs[Long]("admit")) == ((1L, 1L, 0L)))
   }
 
+  test("g06 robots.txt evaluation follows RFC 9309 longest-match semantics") {
+    val got = Graph.g06RobotsTxt(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getString(4),
+          r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, (hostStr, path, len, rule, allowed)) =>
+      val s = (id / 5) % 50
+      assert(hostStr == host(s) && path.endsWith(id.toString), s"doc $id row")
+      (id % 5) match {
+        // no rule matches /docs
+        case 0 => assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
+        // /private: the plain disallow
+        case 1 => assert((len, rule, allowed) ==
+          ((8L, "disallow", 0L)), s"doc $id")
+        // /private/pub: the LONGER nested allow overrides
+        case 2 => assert((len, rule, allowed) ==
+          ((12L, "allow", 1L)), s"doc $id")
+        // /cgi{v}: disallowed exactly when the doc's v matches the
+        // host's s % 3 rule
+        case 3 =>
+          if (id % 3 == s % 3)
+            assert((len, rule, allowed) == ((5L, "disallow", 0L)), s"doc $id")
+          else
+            assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
+        // /cgi9 is a near-miss prefix of no rule
+        case _ => assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
+      }
+    }
+    // the strictbot group's blanket Disallow: / must be IGNORED for
+    // the * evaluation — if group scoping leaked, EVERY url would be
+    // disallowed at len 1
+    assert(got.values.forall(_._3 != 1L), "the strictbot group leaked")
+    // the dynamic branch fires BOTH ways at this SF
+    val cgi = got.collect { case (id, v) if id % 5 == 3 => v._5 }
+    assert(cgi.toSet == Set(0L, 1L), "the /cgi branch did not fire both ways")
+    // allow-wins-ties law on a hand-built fixture: equal-length allow
+    // and disallow → allowed (RFC 9309)
+    import spark.implicits._
+    val robots = Seq(("h", "User-agent: *\nAllow: /a\nDisallow: /b\n" +
+      "Disallow: /ab\nAllow: /ab\n")).toDF("host", "body")
+    val urls = Seq((1L, "h", "/ab/x")).toDF("doc_id", "host", "path")
+    val tie = Graph.g06UrlPermissionsOver(urls, robots).collect().head
+    assert((tie.getLong(3), tie.getString(4), tie.getLong(5)) ==
+      ((3L, "allow", 1L)), s"tie-break: $tie")
+  }
+
   test("the extracted edge frame is invariant under hostile repartitioning") {
     // the iterations consume only (src,dst,w); the serial-replay tests
     // above pin the iterations themselves, so edge-frame stability
