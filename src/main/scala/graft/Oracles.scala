@@ -283,7 +283,11 @@ object Oracles {
     * the exact BIGINT recurrence the Spark loop runs — floor `//`
     * equals Spark's truncating `div` on the non-negative operands.
     */
-  private def pageRankSql(iters: Int): String = {
+  /** The unrolled g01 CTE chain (edges → r0 → r`iters`), WITHOUT the
+    * final SELECT — shared by the g01 oracle and compositions that
+    * consume host ranks (g07). Begins with `WITH`.
+    */
+  private def pageRankCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""d$i AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang
          |  FROM r${i - 1} r LEFT JOIN ow o ON o.src = r.node
@@ -302,14 +306,17 @@ object Oracles {
     s"""$graphEdgesCte,
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) // n AS rank
        |       FROM nodes CROSS JOIN nn),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def pageRankSql(iters: Int): String =
+    s"""${pageRankCtes(iters)}
        |SELECT nd.node, COALESCE(o.outw, CAST(0 AS BIGINT)) AS out_w,
        |  r.rank AS rank_e9
        |FROM nodes nd
        |LEFT JOIN ow o ON o.src = nd.node
        |JOIN r$iters r ON r.node = nd.node
        |ORDER BY rank_e9 DESC, nd.node""".stripMargin
-  }
 
   /** g02's integer HITS recurrence, unrolled: per iteration the raw
     * authority/hub sums then exact L1 normalization to 1e9 — the
@@ -557,6 +564,63 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** g06's full CTE chain (plant → parse → group scoping → rules →
+    * frontier → longest-match argmax), ending in
+    * `perm(doc_id, host, path, matched_len, matched_rule, allowed)`.
+    * No `WITH` prefix so compositions (g07) can splice it after other
+    * chains; all names are disjoint from [[pageRankCtes]]'s.
+    */
+  private def robotsPermCtes: String =
+    """hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
+      |  FROM documents),
+      |rb AS (SELECT 'site' || s || '.example.com' AS host,
+      |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+      |    'Allow: /private/pub' || chr(10) ||
+      |    'Disallow: /cgi' || (s % 3) || chr(10) || chr(10) ||
+      |    'User-agent: strictbot' || chr(10) || 'Disallow: /' || chr(10)
+      |      AS body
+      |  FROM hosts),
+      |l0 AS (SELECT host, string_split(body, chr(10)) AS ln FROM rb),
+      |l1 AS (SELECT host, ln,
+      |    unnest(generate_series(1, len(ln))) AS i FROM l0),
+      |rlines AS (SELECT host, i - 1 AS pos,
+      |    ln[CAST(i AS INTEGER)] AS line FROM l1),
+      |ua AS (SELECT host, pos, trim(substr(line, 12)) AS agent
+      |  FROM rlines WHERE line LIKE 'User-agent:%'),
+      |rl AS (SELECT host, pos,
+      |    lower(regexp_extract(line, '^(Allow|Disallow):', 1)) AS rule,
+      |    trim(regexp_extract(line, '^(?:Allow|Disallow): ?(.*)$', 1))
+      |      AS prefix
+      |  FROM rlines WHERE regexp_matches(line, '^(Allow|Disallow):')),
+      |grp AS (SELECT r.host, r.rule, r.prefix,
+      |    (SELECT u.agent FROM ua u
+      |     WHERE u.host = r.host AND u.pos < r.pos
+      |     ORDER BY u.pos DESC LIMIT 1) AS agent
+      |  FROM rl r),
+      |rules AS (SELECT host, rule, prefix FROM grp
+      |  WHERE agent = '*' AND prefix <> ''),
+      |urls AS (SELECT doc_id,
+      |    'site' || ((doc_id // 5) % 50) || '.example.com' AS host,
+      |    CASE doc_id % 5 WHEN 0 THEN '/docs/' || doc_id
+      |      WHEN 1 THEN '/private/' || doc_id
+      |      WHEN 2 THEN '/private/pub/' || doc_id
+      |      WHEN 3 THEN '/cgi' || (doc_id % 3) || '/' || doc_id
+      |      ELSE '/cgi9/' || doc_id END AS path
+      |  FROM documents),
+      |mt AS (SELECT u.doc_id, u.host, u.path, r.rule, r.prefix,
+      |    (r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)) AS hit
+      |  FROM urls u LEFT JOIN rules r ON r.host = u.host),
+      |prk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+      |    CASE WHEN hit THEN length(prefix) ELSE -1 END DESC,
+      |    CASE WHEN rule = 'allow' THEN 0 ELSE 1 END) AS rn FROM mt),
+      |perm AS (SELECT doc_id, host, path,
+      |    CAST(CASE WHEN hit THEN length(prefix) ELSE 0 END AS BIGINT)
+      |      AS matched_len,
+      |    CASE WHEN hit THEN rule ELSE 'none' END AS matched_rule,
+      |    CAST(CASE WHEN NOT hit OR rule = 'allow' THEN 1 ELSE 0 END
+      |      AS BIGINT) AS allowed
+      |  FROM prk WHERE rn = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankSql(10),
     "g02_hits" -> hitsSql(10),
@@ -599,56 +663,28 @@ object Oracles {
     // extraction, and RFC 9309's longest-match/allow-wins-ties
     // evaluation
     "g06_robots_txt" ->
-      """WITH hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
-        |  FROM documents),
-        |rb AS (SELECT 'site' || s || '.example.com' AS host,
-        |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
-        |    'Allow: /private/pub' || chr(10) ||
-        |    'Disallow: /cgi' || (s % 3) || chr(10) || chr(10) ||
-        |    'User-agent: strictbot' || chr(10) || 'Disallow: /' || chr(10)
-        |      AS body
-        |  FROM hosts),
-        |l0 AS (SELECT host, string_split(body, chr(10)) AS ln FROM rb),
-        |l1 AS (SELECT host, ln,
-        |    unnest(generate_series(1, len(ln))) AS i FROM l0),
-        |lines AS (SELECT host, i - 1 AS pos,
-        |    ln[CAST(i AS INTEGER)] AS line FROM l1),
-        |ua AS (SELECT host, pos, trim(substr(line, 12)) AS agent
-        |  FROM lines WHERE line LIKE 'User-agent:%'),
-        |rl AS (SELECT host, pos,
-        |    lower(regexp_extract(line, '^(Allow|Disallow):', 1)) AS rule,
-        |    trim(regexp_extract(line, '^(?:Allow|Disallow): ?(.*)$', 1))
-        |      AS prefix
-        |  FROM lines WHERE regexp_matches(line, '^(Allow|Disallow):')),
-        |grp AS (SELECT r.host, r.rule, r.prefix,
-        |    (SELECT u.agent FROM ua u
-        |     WHERE u.host = r.host AND u.pos < r.pos
-        |     ORDER BY u.pos DESC LIMIT 1) AS agent
-        |  FROM rl r),
-        |rules AS (SELECT host, rule, prefix FROM grp
-        |  WHERE agent = '*' AND prefix <> ''),
-        |urls AS (SELECT doc_id,
-        |    'site' || ((doc_id // 5) % 50) || '.example.com' AS host,
-        |    CASE doc_id % 5 WHEN 0 THEN '/docs/' || doc_id
-        |      WHEN 1 THEN '/private/' || doc_id
-        |      WHEN 2 THEN '/private/pub/' || doc_id
-        |      WHEN 3 THEN '/cgi' || (doc_id % 3) || '/' || doc_id
-        |      ELSE '/cgi9/' || doc_id END AS path
-        |  FROM documents),
-        |m AS (SELECT u.doc_id, u.host, u.path, r.rule, r.prefix,
-        |    (r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)) AS hit
-        |  FROM urls u LEFT JOIN rules r ON r.host = u.host),
-        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
-        |    CASE WHEN hit THEN length(prefix) ELSE -1 END DESC,
-        |    CASE WHEN rule = 'allow' THEN 0 ELSE 1 END) AS rn FROM m)
-        |SELECT doc_id, host, path,
-        |  CAST(CASE WHEN hit THEN length(prefix) ELSE 0 END AS BIGINT)
-        |    AS matched_len,
-        |  CASE WHEN hit THEN rule ELSE 'none' END AS matched_rule,
-        |  CAST(CASE WHEN NOT hit OR rule = 'allow' THEN 1 ELSE 0 END
-        |    AS BIGINT) AS allowed
-        |FROM rk WHERE rn = 1
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $robotsPermCtes
+         |SELECT doc_id, host, path, matched_len, matched_rule, allowed
+         |FROM perm
+         |ORDER BY doc_id""".stripMargin,
+
+    // g07: the governance pieces COMPOSED into a fetch plan — g01's
+    // unrolled rank CTEs + g06's permission CTEs (disjoint names) +
+    // the per-host running-budget window
+    "g07_frontier_plan" ->
+      s"""${pageRankCtes(10)},
+         |$robotsPermCtes,
+         |jn AS (SELECT p.doc_id, p.host, p.path,
+         |    CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank_e9, p.allowed
+         |  FROM perm p LEFT JOIN r10 r ON r.node = p.host),
+         |wb AS (SELECT *, SUM(allowed) OVER (PARTITION BY host
+         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS runa
+         |  FROM jn)
+         |SELECT doc_id, host, path, rank_e9, allowed,
+         |  CAST(CASE WHEN allowed = 1 AND runa <= 3 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS fetch
+         |FROM wb
+         |ORDER BY doc_id""".stripMargin,
 
     // t24: rebuild the five-block plant byte-for-byte, replay the
     // block split (lazy regex), the tag strip, all three densities

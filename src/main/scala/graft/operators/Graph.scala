@@ -454,6 +454,53 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- g07
+
+  /** g07 kernel: compose permissions × authority × budget into a
+    * fetch plan. Inputs: a permission frame (g06's output shape —
+    * doc_id, host, path, allowed) and a rank frame (g01's — node,
+    * rank_e9). Each URL gets its host's authority (unranked hosts →
+    * 0) and a per-host RUNNING budget: the first `budget` ALLOWED
+    * URLs per host (doc_id order) get `fetch = 1` — a disallowed URL
+    * never consumes a slot. One broadcast join on host (rank state is
+    * host-granular) + one host-partitioned window; no global window
+    * anywhere, so the plan scales with the frontier.
+    */
+  def frontierPlanOver(perms: DataFrame, ranks: DataFrame,
+      budget: Int): DataFrame = {
+    val wnd = Window.partitionBy("host").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perms
+      .join(broadcast(ranks.select(col("node").as("host"), col("rank_e9"))),
+        Seq("host"), "left")
+      .select(col("doc_id"), col("host"), col("path"),
+        coalesce(col("rank_e9"), lit(0L)).as("rank_e9"), col("allowed"))
+      .withColumn("runa", sum("allowed").over(wnd))
+      .select(col("doc_id"), col("host"), col("path"), col("rank_e9"),
+        col("allowed"),
+        when(col("allowed") === 1L && col("runa") <= budget, 1L)
+          .otherwise(0L).as("fetch"))
+  }
+
+  /** g07: crawl-frontier fetch planning — the governance axis
+    * COMPOSED (the st15 composition discipline, batch form): a URL is
+    * fetched only if its host's robots.txt permits it (g06), ordered
+    * by the host's link authority (g01, dangling-mass PageRank over
+    * the g03-extracted graph), within a per-host politeness budget
+    * (st23's quota idea at plan time). This is the decision every
+    * crawler makes per frontier drain; each input is independently
+    * oracled, and this oracle replays the composition end to end.
+    */
+  def g07FrontierPlan(spark: SparkSession, dir: String,
+      budget: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val perms =
+      g06UrlPermissionsOver(demoFrontierUrls(docs), demoRobotsTxt(docs))
+    val ranks = pageRankOver(linkEdges(spark, dir))
+      .select(col("node"), col("rank_e9"))
+    frontierPlanOver(perms, ranks, budget).orderBy("doc_id")
+  }
+
   /** g02 iterations over ANY weighted (src, dst, w) edge frame. */
   def hitsOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
     val edges = edgesIn.localCheckpoint(false)

@@ -264,6 +264,34 @@ class GraphSpec extends AnyFunSuite {
       ((3L, "allow", 1L)), s"tie-break: $tie")
   }
 
+  test("g07 frontier plan: budget binds on allowed URLs only, ranks ride along") {
+    val budget = 3
+    val plan = Graph.g07FrontierPlan(spark, dir, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(plan.nonEmpty)
+    // serial replay: per host in doc_id order, the first `budget`
+    // ALLOWED urls fetch; disallowed urls never consume a slot
+    plan.groupBy(_._2).foreach { case (h, rows) =>
+      var slots = 0
+      rows.sortBy(_._1).foreach { case (id, _, _, allowed, fetch) =>
+        val want = if (allowed == 1L && slots < budget) 1L else 0L
+        if (allowed == 1L) slots += 1
+        assert(fetch == want, s"host $h doc $id fetch")
+      }
+    }
+    // fetch ⊆ allowed, and the budget actually BINDS somewhere
+    assert(plan.forall { case (_, _, _, a, f) => f <= a })
+    assert(plan.exists { case (_, _, _, a, f) => a == 1L && f == 0L },
+      "budget never bound — raise docs per host or lower the budget")
+    // ranks are exactly g01's, unranked hosts zero-filled
+    val ranks = Graph.g01PageRank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    plan.foreach { case (id, h, rank, _, _) =>
+      assert(rank == ranks.getOrElse(h, 0L), s"doc $id rank")
+    }
+  }
+
   test("the extracted edge frame is invariant under hostile repartitioning") {
     // the iterations consume only (src,dst,w); the serial-replay tests
     // above pin the iterations themselves, so edge-frame stability
