@@ -574,9 +574,12 @@ object Oracles {
     """hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
       |  FROM documents),
       |rb AS (SELECT 'site' || s || '.example.com' AS host,
-      |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+      |    'User-agent: googlebot' || chr(10) || 'User-agent: *' || chr(10) ||
+      |    'Disallow: /private # keep out' || chr(10) ||
       |    'Allow: /private/pub' || chr(10) ||
-      |    'Disallow: /cgi' || (s % 3) || chr(10) || chr(10) ||
+      |    'Disallow: /cgi' || (s % 3) || chr(10) ||
+      |    'Disallow: /*.tmp$' || chr(10) || 'Allow: /dl/*/ok' || chr(10) ||
+      |    chr(10) ||
       |    'User-agent: strictbot' || chr(10) || 'Disallow: /' || chr(10)
       |      AS body
       |  FROM hosts),
@@ -584,35 +587,55 @@ object Oracles {
       |l1 AS (SELECT host, ln,
       |    unnest(generate_series(1, len(ln))) AS i FROM l0),
       |rlines AS (SELECT host, i - 1 AS pos,
-      |    ln[CAST(i AS INTEGER)] AS line FROM l1),
-      |ua AS (SELECT host, pos, trim(substr(line, 12)) AS agent
-      |  FROM rlines WHERE line LIKE 'User-agent:%'),
-      |rl AS (SELECT host, pos,
-      |    lower(regexp_extract(line, '^(Allow|Disallow):', 1)) AS rule,
-      |    trim(regexp_extract(line, '^(?:Allow|Disallow): ?(.*)$', 1))
-      |      AS prefix
-      |  FROM rlines WHERE regexp_matches(line, '^(Allow|Disallow):')),
-      |grp AS (SELECT r.host, r.rule, r.prefix,
-      |    (SELECT u.agent FROM ua u
-      |     WHERE u.host = r.host AND u.pos < r.pos
-      |     ORDER BY u.pos DESC LIMIT 1) AS agent
-      |  FROM rl r),
-      |rules AS (SELECT host, rule, prefix FROM grp
-      |  WHERE agent = '*' AND prefix <> ''),
+      |    trim(regexp_replace(ln[CAST(i AS INTEGER)], '#.*', '')) AS line
+      |  FROM l1),
+      |flg AS (SELECT host, pos, line,
+      |    regexp_matches(line, '(?i)^user-agent:') AS is_ua FROM rlines),
+      |f1 AS (SELECT host, pos, line, is_ua,
+      |    COALESCE(lag(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE)
+      |      AS prev_ua
+      |  FROM flg),
+      |f2 AS (SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
+      |      AS run_id
+      |  FROM f1),
+      |star AS (SELECT DISTINCT host, run_id FROM f2
+      |  WHERE is_ua AND
+      |    trim(regexp_extract(line, '(?i)^user-agent:\s*(.*)$', 1)) = '*'),
+      |rules AS (SELECT r.host, r.rule, r.prefix FROM (
+      |    SELECT host, run_id,
+      |      lower(regexp_extract(line, '(?i)^(allow|disallow):', 1)) AS rule,
+      |      trim(regexp_extract(line, '(?i)^(?:allow|disallow):\s*(.*)$', 1))
+      |        AS prefix
+      |    FROM f2 WHERE regexp_matches(line, '(?i)^(allow|disallow):')) r
+      |  JOIN star s ON s.host = r.host AND s.run_id = r.run_id
+      |  WHERE r.prefix <> ''),
+      |pats AS (SELECT host, rule, prefix,
+      |    CASE WHEN ends_with(w0, '$')
+      |         THEN substr(w0, 1, length(w0) - 1)
+      |         ELSE w0 || '%' END AS pattern
+      |  FROM (SELECT host, rule, prefix,
+      |      replace(replace(replace(replace(prefix,
+      |        '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS w0
+      |    FROM rules) t),
       |urls AS (SELECT doc_id,
       |    'site' || ((doc_id // 5) % 50) || '.example.com' AS host,
-      |    CASE doc_id % 5 WHEN 0 THEN '/docs/' || doc_id
+      |    CASE doc_id % 8 WHEN 0 THEN '/docs/' || doc_id
       |      WHEN 1 THEN '/private/' || doc_id
       |      WHEN 2 THEN '/private/pub/' || doc_id
       |      WHEN 3 THEN '/cgi' || (doc_id % 3) || '/' || doc_id
-      |      ELSE '/cgi9/' || doc_id END AS path
+      |      WHEN 4 THEN '/cgi9/' || doc_id
+      |      WHEN 5 THEN '/files/' || doc_id || '.tmp'
+      |      WHEN 6 THEN '/files/' || doc_id || '.tmp.bak'
+      |      ELSE '/dl/' || doc_id || '/ok' END AS path
       |  FROM documents),
       |mt AS (SELECT u.doc_id, u.host, u.path, r.rule, r.prefix,
-      |    (r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)) AS hit
-      |  FROM urls u LEFT JOIN rules r ON r.host = u.host),
-      |prk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY
+      |    (r.prefix IS NOT NULL AND u.path LIKE r.pattern ESCAPE '\') AS hit
+      |  FROM urls u LEFT JOIN pats r ON r.host = u.host),
+      |prk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, path
+      |    ORDER BY
       |    CASE WHEN hit THEN length(prefix) ELSE -1 END DESC,
-      |    CASE WHEN rule = 'allow' THEN 0 ELSE 1 END) AS rn FROM mt),
+      |    CASE WHEN rule = 'allow' THEN 0 ELSE 1 END, prefix) AS rn FROM mt),
       |perm AS (SELECT doc_id, host, path,
       |    CAST(CASE WHEN hit THEN length(prefix) ELSE 0 END AS BIGINT)
       |      AS matched_len,
@@ -678,11 +701,12 @@ object Oracles {
          |    CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank_e9, p.allowed
          |  FROM perm p LEFT JOIN r10 r ON r.node = p.host),
          |wb AS (SELECT *, SUM(allowed) OVER (PARTITION BY host
-         |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS runa
+         |    ORDER BY doc_id, path ROWS UNBOUNDED PRECEDING) AS runa
          |  FROM jn)
          |SELECT doc_id, host, path, rank_e9, allowed,
-         |  CAST(CASE WHEN allowed = 1 AND runa <= 3 THEN 1 ELSE 0 END
-         |    AS BIGINT) AS fetch
+         |  CAST(CASE WHEN allowed = 1
+         |    AND runa <= ${operators.Graph.DefaultFetchBudget}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS fetch
          |FROM wb
          |ORDER BY doc_id""".stripMargin,
 

@@ -353,84 +353,139 @@ object Graph {
 
   // ---------------------------------------------------------------- g06
 
-  /** The g06 plant, per DISTINCT demo host: a robots.txt body with a
-    * `*` group (a path-hierarchy allow-under-disallow pair plus one
-    * host-varying disallow, `/cgi{s % 3}`) and a SECOND user-agent
-    * group (`strictbot`, disallow-everything) the `*` evaluation must
-    * IGNORE — group scoping is where naive parsers go wrong. Bodies
-    * are affine in the host index, oracle-rebuildable.
+  /** The demo host column — ONE definition for the plant family
+    * (linked docs, robots bodies, frontier URLs) and g07's rank join,
+    * so the formulas cannot drift apart silently (a drifted join
+    * would zero-fill every rank and the composition would stop
+    * testing authority without failing anything).
+    */
+  private def demoHostCol: org.apache.spark.sql.Column =
+    concat(lit("site"), expr("(doc_id div 5) % 50"), lit(".example.com"))
+
+  /** The g06 plant, per DISTINCT demo host: a robots.txt body whose
+    * `*` group exercises every parser feature — a CONSECUTIVE
+    * user-agent pair (googlebot + `*` form ONE group per RFC 9309),
+    * an inline `# comment`, a path-hierarchy allow-under-disallow
+    * pair, one host-varying disallow (`/cgi{s % 3}`), a
+    * wildcard-plus-anchor rule (slash-star `.tmp$`), and a mid-path
+    * wildcard allow (`/dl/` star `/ok`) — plus a SECOND group (`strictbot`,
+    * disallow-everything) the `*` evaluation must IGNORE. Bodies are
+    * affine in the host index, oracle-rebuildable.
     */
   private[graft] def demoRobotsTxt(docs: DataFrame): DataFrame =
     docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
       .select(
         concat(lit("site"), col("s"), lit(".example.com")).as("host"),
         concat(
-          lit("User-agent: *\nDisallow: /private\nAllow: /private/pub\n" +
+          lit("User-agent: googlebot\nUser-agent: *\n" +
+            "Disallow: /private # keep out\nAllow: /private/pub\n" +
             "Disallow: /cgi"),
           expr("s % 3"),
-          lit("\n\nUser-agent: strictbot\nDisallow: /\n")).as("body"))
+          lit("\nDisallow: /*.tmp$\nAllow: /dl/*/ok\n" +
+            "\nUser-agent: strictbot\nDisallow: /\n")).as("body"))
 
   /** The g06 demo URL frontier: one URL per doc on its d15 domain,
     * with paths cycling through every verdict branch — unmatched,
     * plainly disallowed, allowed by the LONGER nested rule,
     * host-dependently disallowed (`/cgi{v3}` matches only when the
-    * doc's v3 equals the host's s % 3), and a near-miss prefix
-    * (`/cgi9…` matches no `/cgi{0..2}` rule).
+    * doc's v3 equals the host's s % 3), a near-miss literal prefix
+    * (`/cgi9…`), a wildcard-anchored disallow hit (`….tmp`), the
+    * anchor's near-miss (`….tmp.bak`), and a mid-wildcard allow hit
+    * (`/dl/…/ok`).
     */
   private[graft] def demoFrontierUrls(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      concat(lit("site"), expr("(doc_id div 5) % 50"),
-        lit(".example.com")).as("host"),
-      when(col("doc_id") % 5 === 0,
+    docs.select(col("doc_id"), demoHostCol.as("host"),
+      when(col("doc_id") % 8 === 0,
         concat(lit("/docs/"), col("doc_id")))
-        .when(col("doc_id") % 5 === 1,
+        .when(col("doc_id") % 8 === 1,
           concat(lit("/private/"), col("doc_id")))
-        .when(col("doc_id") % 5 === 2,
+        .when(col("doc_id") % 8 === 2,
           concat(lit("/private/pub/"), col("doc_id")))
-        .when(col("doc_id") % 5 === 3,
+        .when(col("doc_id") % 8 === 3,
           concat(lit("/cgi"), expr("doc_id % 3"), lit("/"), col("doc_id")))
-        .otherwise(concat(lit("/cgi9/"), col("doc_id"))).as("path"))
+        .when(col("doc_id") % 8 === 4,
+          concat(lit("/cgi9/"), col("doc_id")))
+        .when(col("doc_id") % 8 === 5,
+          concat(lit("/files/"), col("doc_id"), lit(".tmp")))
+        .when(col("doc_id") % 8 === 6,
+          concat(lit("/files/"), col("doc_id"), lit(".tmp.bak")))
+        .otherwise(concat(lit("/dl/"), col("doc_id"), lit("/ok")))
+        .as("path"))
 
   /** Parse robots.txt bodies into `*`-group rules (host, rule,
-    * prefix). Lines are scoped to their most recent `User-agent`
-    * header (one per-host window over line position — bodies are KB,
-    * hosts are the partition key); only the `*` group's Allow/
-    * Disallow lines survive, and empty prefixes drop (RFC 9309: an
-    * empty Disallow means allow-all).
+    * prefix), RFC 9309-faithfully:
+    *   - lines split on `\r?\n` (CRLF bodies are the common case in
+    *     the wild), `# comments` stripped, whitespace trimmed;
+    *   - field names matched case-insensitively (§2.1);
+    *   - CONSECUTIVE `User-agent` lines form ONE group (§2.2.1): a
+    *     header RUN is delimited by a UA line whose predecessor is
+    *     not one, and a rule belongs to the `*` evaluation iff its
+    *     run CONTAINS `*` — latest-UA-wins would silently unscope
+    *     `User-agent: googlebot\nUser-agent: *` groups;
+    *   - empty prefixes drop (an empty Disallow means allow-all).
+    * Per-host windows over line position — bodies are KB, hosts are
+    * the partition key.
     */
   def robotsTxtRules(robots: DataFrame): DataFrame = {
-    val lines = robots.select(col("host"),
-      posexplode(split(col("body"), "\n")).as(Seq("pos", "line")))
-    val ua = when(col("line").startsWith("User-agent:"),
-      trim(expr("substring(line, 12)")))
-    val wnd = Window.partitionBy("host").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lines
-      .withColumn("agent", last(ua, ignoreNulls = true).over(wnd))
-      .filter(col("agent") === "*")
+    val lines = robots
       .select(col("host"),
-        lower(regexp_extract(col("line"), "^(Allow|Disallow):", 1))
+        posexplode(split(col("body"), "\r?\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+    val byPos = Window.partitionBy("host").orderBy("pos")
+    val cum = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = lines
+      .withColumn("is_ua", col("line").rlike("(?i)^user-agent:"))
+      .withColumn("prev_ua", lag(col("is_ua"), 1, false).over(byPos))
+      .withColumn("run_id",
+        sum(when(col("is_ua") && !col("prev_ua"), 1).otherwise(0)).over(cum))
+    val starRuns = flagged
+      .filter(col("is_ua") &&
+        trim(regexp_extract(col("line"), "(?i)^user-agent:\\s*(.*)$", 1))
+          === "*")
+      .select("host", "run_id").distinct()
+    flagged
+      .select(col("host"), col("run_id"),
+        lower(regexp_extract(col("line"), "(?i)^(allow|disallow):", 1))
           .as("rule"),
-        trim(regexp_extract(col("line"), "^(?:Allow|Disallow): ?(.*)$", 1))
-          .as("prefix"))
+        trim(regexp_extract(col("line"), "(?i)^(?:allow|disallow):\\s*(.*)$",
+          1)).as("prefix"))
       .filter(col("rule") =!= "" && col("prefix") =!= "")
+      .join(starRuns, Seq("host", "run_id"), "left_semi")
+      .select("host", "rule", "prefix")
   }
 
   /** g06 kernel: evaluate a URL frontier against parsed robots rules
-    * — RFC 9309's longest-match rule (most octets wins; at equal
-    * length Allow wins), no match → allowed. One equi-join on host
+    * — RFC 9309 §2.2.2-3 match semantics: a rule is a path PREFIX
+    * where `*` matches any character sequence and a trailing `$`
+    * anchors the end; the longest rule (most octets) wins, Allow wins
+    * length ties, no match → allowed. Rules translate to SQL LIKE
+    * patterns (escape `\\ % _`, then `*` → `%`; non-anchored rules
+    * get a trailing `%`), evaluated per row. One equi-join on host
     * (per-host rule sets are bounded — broadcastable at any corpus
-    * size) with a startsWith prefix test, then a per-URL argmax
-    * window on (prefix length desc, allow-first).
+    * size), then a per-URL argmax window on (rule length desc,
+    * allow-first, prefix) — a total order, so ties in length AND type
+    * pick one deterministic rule row.
     */
   def g06UrlPermissionsOver(urls: DataFrame, robots: DataFrame): DataFrame = {
     val rules = robotsTxtRules(robots)
+      .withColumn("anch", col("prefix").endsWith("$"))
+      .withColumn("esc",
+        replace(replace(replace(col("prefix"),
+          lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"),
+          lit("\\_")))
+      .withColumn("wild", replace(col("esc"), lit("*"), lit("%")))
+      .withColumn("pattern",
+        when(col("anch"), expr("substring(wild, 1, length(wild) - 1)"))
+          .otherwise(concat(col("wild"), lit("%"))))
+      .select("host", "rule", "prefix", "pattern")
     val matched = urls.join(broadcast(rules), Seq("host"), "left")
       .withColumn("hit",
-        col("prefix").isNotNull && col("path").startsWith(col("prefix")))
-    val wnd = Window.partitionBy("doc_id").orderBy(
+        col("prefix").isNotNull && expr("path LIKE pattern ESCAPE '\\\\'"))
+    val wnd = Window.partitionBy("doc_id", "path").orderBy(
       when(col("hit"), length(col("prefix"))).otherwise(-1).desc,
-      when(col("rule") === "allow", 0).otherwise(1))
+      when(col("rule") === "allow", 0).otherwise(1),
+      col("prefix"))
     matched
       .withColumn("rk", row_number().over(wnd))
       .filter(col("rk") === 1)
@@ -468,7 +523,10 @@ object Graph {
     */
   def frontierPlanOver(perms: DataFrame, ranks: DataFrame,
       budget: Int): DataFrame = {
-    val wnd = Window.partitionBy("host").orderBy("doc_id")
+    // (doc_id, path) is a TOTAL order per host — doc_id alone is not
+    // unique (a URL re-crawled within one batch), and a ROWS frame
+    // over tied keys would hand out budget slots nondeterministically
+    val wnd = Window.partitionBy("host").orderBy("doc_id", "path")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perms
       .join(broadcast(ranks.select(col("node").as("host"), col("rank_e9"))),
@@ -482,17 +540,24 @@ object Graph {
           .otherwise(0L).as("fetch"))
   }
 
+  /** The g07 demo/oracle politeness budget — ONE constant, referenced
+    * by the oracle generator too, so the two cannot drift.
+    */
+  val DefaultFetchBudget = 3
+
   /** g07: crawl-frontier fetch planning — the governance axis
     * COMPOSED (the st15 composition discipline, batch form): a URL is
-    * fetched only if its host's robots.txt permits it (g06), ordered
-    * by the host's link authority (g01, dangling-mass PageRank over
-    * the g03-extracted graph), within a per-host politeness budget
-    * (st23's quota idea at plan time). This is the decision every
-    * crawler makes per frontier drain; each input is independently
-    * oracled, and this oracle replays the composition end to end.
+    * fetched only if its host's robots.txt permits it (g06), CARRIES
+    * the host's link authority (g01, dangling-mass PageRank over the
+    * g03-extracted graph — the priority key a downstream scheduler
+    * sorts on; it does not change which URLs fit the budget), and
+    * sits within a per-host politeness budget (st23's quota idea at
+    * plan time). This is the decision every crawler makes per
+    * frontier drain; each input is independently oracled, and this
+    * oracle replays the composition end to end.
     */
   def g07FrontierPlan(spark: SparkSession, dir: String,
-      budget: Int = 3): DataFrame = {
+      budget: Int = DefaultFetchBudget): DataFrame = {
     val docs = Tables(spark, dir).documents
     val perms =
       g06UrlPermissionsOver(demoFrontierUrls(docs), demoRobotsTxt(docs))

@@ -225,11 +225,12 @@ class GraphSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     got.foreach { case (id, (hostStr, path, len, rule, allowed)) =>
       val s = (id / 5) % 50
-      assert(hostStr == host(s) && path.endsWith(id.toString), s"doc $id row")
-      (id % 5) match {
+      assert(hostStr == host(s), s"doc $id row")
+      (id % 8) match {
         // no rule matches /docs
         case 0 => assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
-        // /private: the plain disallow
+        // /private: the plain disallow — and its inline '# keep out'
+        // comment was stripped, or the prefix would never match
         case 1 => assert((len, rule, allowed) ==
           ((8L, "disallow", 0L)), s"doc $id")
         // /private/pub: the LONGER nested allow overrides
@@ -243,16 +244,37 @@ class GraphSpec extends AnyFunSuite {
           else
             assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
         // /cgi9 is a near-miss prefix of no rule
-        case _ => assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
+        case 4 => assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
+        // *.tmp$: wildcard + end anchor hits
+        case 5 => assert((len, rule, allowed) ==
+          ((7L, "disallow", 0L)), s"doc $id")
+        // .tmp.bak: the anchor PREVENTS the match
+        case 6 => assert((len, rule, allowed) == ((0L, "none", 1L)), s"doc $id")
+        // /dl/*/ok: mid-path wildcard allow
+        case _ => assert((len, rule, allowed) ==
+          ((8L, "allow", 1L)), s"doc $id")
       }
     }
     // the strictbot group's blanket Disallow: / must be IGNORED for
     // the * evaluation — if group scoping leaked, EVERY url would be
-    // disallowed at len 1
+    // disallowed at len 1. And the `*` group's own rules must SURVIVE
+    // the consecutive googlebot header (one group per RFC 9309).
     assert(got.values.forall(_._3 != 1L), "the strictbot group leaked")
+    assert(got.values.exists(_._3 == 8L), "the consecutive-UA group dropped")
     // the dynamic branch fires BOTH ways at this SF
-    val cgi = got.collect { case (id, v) if id % 5 == 3 => v._5 }
+    val cgi = got.collect { case (id, v) if id % 8 == 3 => v._5 }
     assert(cgi.toSet == Set(0L, 1L), "the /cgi branch did not fire both ways")
+    // parser leniency the plant can't carry byte-exactly: CRLF bodies
+    // and lowercase field names parse identically
+    locally {
+      import spark.implicits._
+      val crlf = Seq(("h",
+        "user-agent: *\r\ndisallow: /a\r\nallow: /a/b\r\n")).toDF("host", "body")
+      val rules = Graph.robotsTxtRules(crlf).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(rules == Set(("disallow", "/a"), ("allow", "/a/b")),
+        s"CRLF/lowercase parse: $rules")
+    }
     // allow-wins-ties law on a hand-built fixture: equal-length allow
     // and disallow → allowed (RFC 9309)
     import spark.implicits._
