@@ -710,6 +710,60 @@ object Oracles {
          |FROM wb
          |ORDER BY doc_id""".stripMargin,
 
+    // g08: rebuild the per-host sitemap plant byte-for-byte, replay
+    // the (?s) lazy block split, the per-field extraction (optional
+    // fields '' when absent), the loc path, and the same-host scope
+    // flag
+    "g08_sitemap_extract" ->
+      """WITH hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
+        |  FROM documents),
+        |sm AS (SELECT 'site' || s || '.example.com' AS host,
+        |    '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10) ||
+        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+        |      '.example.com/p/0</loc>' || chr(10) ||
+        |    '    <lastmod>2026-01-' || lpad(CAST((s + 0) % 28 + 1 AS VARCHAR), 2, '0') ||
+        |      '</lastmod>' || chr(10) ||
+        |    '    <priority>0.' || ((s * 7 + 0) % 10) || '</priority>' ||
+        |      chr(10) || '  </url>' || chr(10) ||
+        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+        |      '.example.com/p/1</loc>' || chr(10) ||
+        |    '    <lastmod>2026-01-' || lpad(CAST((s + 1) % 28 + 1 AS VARCHAR), 2, '0') ||
+        |      '</lastmod>' || chr(10) ||
+        |    '    <priority>0.' || ((s * 7 + 1) % 10) || '</priority>' ||
+        |      chr(10) || '  </url>' || chr(10) ||
+        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+        |      '.example.com/p/2</loc>' || chr(10) ||
+        |    '    <lastmod>2026-01-' || lpad(CAST((s + 2) % 28 + 1 AS VARCHAR), 2, '0') ||
+        |      '</lastmod>' || chr(10) ||
+        |    '    <priority>0.' || ((s * 7 + 2) % 10) || '</priority>' ||
+        |      chr(10) || '  </url>' || chr(10) ||
+        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+        |      '.example.com/p/3</loc>' || chr(10) || '  </url>' || chr(10) ||
+        |    '  <url>' || chr(10) || '    <loc>https://site' || ((s + 1) % 50) ||
+        |      '.example.com/p/4</loc>' || chr(10) || '  </url>' || chr(10) ||
+        |    '</urlset>' || chr(10) AS xml
+        |  FROM hosts),
+        |b0 AS (SELECT host, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)
+        |    AS bl FROM sm),
+        |b1 AS (SELECT host, bl,
+        |    unnest(generate_series(1, len(bl))) AS i FROM b0),
+        |e AS (SELECT host, CAST(i - 1 AS BIGINT) AS ord,
+        |    bl[CAST(i AS INTEGER)] AS entry FROM b1),
+        |f AS (SELECT host, ord,
+        |    regexp_extract(entry, '<loc>([^<]*)</loc>', 1) AS loc,
+        |    regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+        |    regexp_extract(entry, '<priority>([^<]*)</priority>', 1) AS priority
+        |  FROM e)
+        |SELECT host, ord, loc,
+        |  regexp_extract(loc, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)$', 1)
+        |    AS path,
+        |  lastmod, priority,
+        |  CAST(lower(regexp_extract(loc,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) = host AS BIGINT)
+        |    AS in_scope
+        |FROM f
+        |ORDER BY host, ord""".stripMargin,
+
     // t24: rebuild the five-block plant byte-for-byte, replay the
     // block split (lazy regex), the tag strip, all three densities
     // (integer cross-multiplication), and the verdict ladder

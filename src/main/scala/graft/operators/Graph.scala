@@ -566,6 +566,76 @@ object Graph {
     frontierPlanOver(perms, ranks, budget).orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- g08
+
+  /** The g08 plant, per DISTINCT demo host: a sitemaps.org urlset with
+    * five entries — three fully-populated (loc + lastmod + priority,
+    * affine in (host, slot)), one with the OPTIONAL fields omitted
+    * (the protocol makes lastmod/priority optional), and one
+    * CROSS-HOST decoy the extractor must flag (the protocol scopes a
+    * sitemap to its own host). Multi-line XML with indentation — the
+    * extractor's block regex must span newlines.
+    */
+  private[graft] def demoSitemaps(docs: DataFrame): DataFrame = {
+    def entry(k: Int): org.apache.spark.sql.Column = {
+      val day = expr(s"lpad(cast((s + $k) % 28 + 1 as string), 2, '0')")
+      val pri = expr(s"(s * 7 + $k) % 10")
+      concat(lit("  <url>\n    <loc>https://site"), col("s"),
+        lit(s".example.com/p/$k</loc>\n    <lastmod>2026-01-"), day,
+        lit("</lastmod>\n    <priority>0."), pri,
+        lit("</priority>\n  </url>\n"))
+    }
+    docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
+      .select(
+        concat(lit("site"), col("s"), lit(".example.com")).as("host"),
+        concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          entry(0), entry(1), entry(2),
+          // optional fields omitted
+          concat(lit("  <url>\n    <loc>https://site"), col("s"),
+            lit(".example.com/p/3</loc>\n  </url>\n")),
+          // cross-host decoy
+          concat(lit("  <url>\n    <loc>https://site"),
+            expr("(s + 1) % 50"),
+            lit(".example.com/p/4</loc>\n  </url>\n")),
+          lit("</urlset>\n")).as("xml"))
+  }
+
+  /** g08 kernel over any (host, xml) frame: sitemaps.org urlset
+    * extraction — `<url>` blocks (a `(?s)` lazy regex spanning
+    * newlines, the t24 block discipline), per-block `loc` plus the
+    * OPTIONAL `lastmod`/`priority` fields ('' when absent), the loc's
+    * path, and the protocol's same-host scope flag (a sitemap only
+    * speaks for its own host — cross-host entries are flagged, not
+    * silently kept). Per-row codegen'd regex; no shuffle.
+    */
+  def sitemapExtractOver(sitemaps: DataFrame): DataFrame = {
+    def field(name: String) = regexp_extract(col("entry"),
+      s"<$name>([^<]*)</$name>", 1)
+    val locHost =
+      lower(regexp_extract(field("loc"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    sitemaps
+      .select(col("host"), posexplode(regexp_extract_all(col("xml"),
+        lit("(?s)<url>(.*?)</url>"), lit(1))).as(Seq("ord", "entry")))
+      .select(col("host"), col("ord").cast("long").as("ord"),
+        field("loc").as("loc"),
+        regexp_extract(field("loc"), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)$", 1)
+          .as("path"),
+        field("lastmod").as("lastmod"),
+        field("priority").as("priority"),
+        (locHost === col("host")).cast("long").as("in_scope"))
+  }
+
+  /** g08: sitemap URL discovery — the crawl axis's DISCOVERY half
+    * (sitemaps.org protocol, public): publishers enumerate their own
+    * URLs with freshness/priority hints; a crawler merges the
+    * in-scope entries into the frontier that g06 permissions and the
+    * g07 plan then govern.
+    */
+  def g08SitemapExtract(spark: SparkSession, dir: String): DataFrame =
+    sitemapExtractOver(demoSitemaps(Tables(spark, dir).documents))
+      .orderBy("host", "ord")
+
   /** g02 iterations over ANY weighted (src, dst, w) edge frame. */
   def hitsOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
     val edges = edgesIn.localCheckpoint(false)

@@ -314,6 +314,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g08 sitemap extraction recovers every entry, flags cross-host decoys") {
+    val rows = Graph.g08SitemapExtract(spark, graft.TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getString(2), r.getString(3), r.getString(4), r.getString(5),
+          r.getLong(6))).toMap
+    val hosts = rows.keys.map(_._1).toSet
+    assert(hosts.size == 50 && rows.size == hosts.size * 5)
+    hosts.foreach { h =>
+      val s = h.stripPrefix("site").stripSuffix(".example.com").toInt
+      (0 to 2).foreach { k =>
+        val day = f"${(s + k) % 28 + 1}%02d"
+        assert(rows((h, k.toLong)) ==
+          ((s"https://$h/p/$k", s"/p/$k", s"2026-01-$day",
+            s"0.${(s * 7 + k) % 10}", 1L)), s"$h entry $k")
+      }
+      // optional fields absent → empty strings, still in scope
+      assert(rows((h, 3L)) == ((s"https://$h/p/3", "/p/3", "", "", 1L)))
+      // the cross-host decoy is FLAGGED, not silently kept in scope
+      val (loc4, _, _, _, scope4) = rows((h, 4L))
+      assert(scope4 == 0L && loc4.contains(s"site${(s + 1) % 50}"), s"$h decoy")
+    }
+  }
+
   test("the extracted edge frame is invariant under hostile repartitioning") {
     // the iterations consume only (src,dst,w); the serial-replay tests
     // above pin the iterations themselves, so edge-frame stability
