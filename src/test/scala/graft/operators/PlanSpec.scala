@@ -279,7 +279,10 @@ class PlanSpec extends AnyFunSuite {
       // g01's dangling-mass total rides the same shape: one broadcast
       // 1-row aggregate crossJoined per iteration — the alternative
       // is a driver-blocking scalar action every round
-      "g01_pagerank")
+      "g01_pagerank",
+      // g07 composes g01's iterations (its authority input), so the
+      // same dangling-mass crossJoin appears in its plan
+      "g07_frontier_plan")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =
