@@ -590,7 +590,8 @@ object Oracles {
       |    trim(regexp_replace(ln[CAST(i AS INTEGER)], '#.*', '')) AS line
       |  FROM l1),
       |flg AS (SELECT host, pos, line,
-      |    regexp_matches(line, '(?i)^user-agent:') AS is_ua FROM rlines),
+      |    regexp_matches(line, '(?i)^user-agent\s*:') AS is_ua
+      |  FROM rlines WHERE line <> ''),
       |f1 AS (SELECT host, pos, line, is_ua,
       |    COALESCE(lag(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE)
       |      AS prev_ua
@@ -601,13 +602,13 @@ object Oracles {
       |  FROM f1),
       |star AS (SELECT DISTINCT host, run_id FROM f2
       |  WHERE is_ua AND
-      |    trim(regexp_extract(line, '(?i)^user-agent:\s*(.*)$', 1)) = '*'),
+      |    trim(regexp_extract(line, '(?i)^user-agent\s*:\s*(.*)$', 1)) = '*'),
       |rules AS (SELECT r.host, r.rule, r.prefix FROM (
       |    SELECT host, run_id,
-      |      lower(regexp_extract(line, '(?i)^(allow|disallow):', 1)) AS rule,
-      |      trim(regexp_extract(line, '(?i)^(?:allow|disallow):\s*(.*)$', 1))
+      |      lower(regexp_extract(line, '(?i)^(allow|disallow)\s*:', 1)) AS rule,
+      |      trim(regexp_extract(line, '(?i)^(?:allow|disallow)\s*:\s*(.*)$', 1))
       |        AS prefix
-      |    FROM f2 WHERE regexp_matches(line, '(?i)^(allow|disallow):')) r
+      |    FROM f2 WHERE regexp_matches(line, '(?i)^(allow|disallow)\s*:')) r
       |  JOIN star s ON s.host = r.host AND s.run_id = r.run_id
       |  WHERE r.prefix <> ''),
       |pats AS (SELECT host, rule, prefix,
@@ -680,11 +681,11 @@ object Oracles {
         |FROM g ORDER BY doc_id""".stripMargin,
 
     // g06: rebuild the per-host robots.txt plant and the URL frontier
-    // byte-for-byte, replay the line split, the user-agent group
-    // scoping (latest UA header before each rule line — a correlated
-    // lookup, fine OUTSIDE recursive CTEs), the `*`-group rule
-    // extraction, and RFC 9309's longest-match/allow-wins-ties
-    // evaluation
+    // byte-for-byte, replay the CRLF/comment-tolerant line split, the
+    // user-agent group scoping (consecutive UA lines form one RUN,
+    // empty lines dropped before run detection — RFC 9309 §2.2), the
+    // `*`-group rule extraction, and the longest-match/allow-wins-ties
+    // evaluation with wildcard/anchor rules as escaped LIKE patterns
     "g06_robots_txt" ->
       s"""WITH $robotsPermCtes
          |SELECT doc_id, host, path, matched_len, matched_rule, allowed
@@ -759,8 +760,8 @@ object Oracles {
         |    AS path,
         |  lastmod, priority,
         |  CAST(lower(regexp_extract(loc,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) = host AS BIGINT)
-        |    AS in_scope
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) = lower(host)
+        |    AS BIGINT) AS in_scope
         |FROM f
         |ORDER BY host, ord""".stripMargin,
 

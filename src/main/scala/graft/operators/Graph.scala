@@ -353,14 +353,21 @@ object Graph {
 
   // ---------------------------------------------------------------- g06
 
-  /** The demo host column — ONE definition for the plant family
-    * (linked docs, robots bodies, frontier URLs) and g07's rank join,
-    * so the formulas cannot drift apart silently (a drifted join
-    * would zero-fill every rank and the composition would stop
-    * testing authority without failing anything).
+  /** The demo host NAME builder — one definition shared by the robots
+    * bodies, the frontier URLs, and the sitemap plant, so those
+    * formulas cannot drift from each other silently (a drifted g07
+    * rank join would zero-fill every rank and the composition would
+    * stop testing authority without failing anything). The markup
+    * plant (demoLinkedDocs) builds full URLs rather than bare hosts
+    * and keeps its own inline formula — its agreement is pinned by
+    * the g07 spec's ranks-equal-g01 check instead.
     */
+  private def demoHost(s: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("site"), s, lit(".example.com"))
+
   private def demoHostCol: org.apache.spark.sql.Column =
-    concat(lit("site"), expr("(doc_id div 5) % 50"), lit(".example.com"))
+    demoHost(expr("(doc_id div 5) % 50"))
 
   /** The g06 plant, per DISTINCT demo host: a robots.txt body whose
     * `*` group exercises every parser feature — a CONSECUTIVE
@@ -375,7 +382,7 @@ object Graph {
   private[graft] def demoRobotsTxt(docs: DataFrame): DataFrame =
     docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
       .select(
-        concat(lit("site"), col("s"), lit(".example.com")).as("host"),
+        demoHost(col("s")).as("host"),
         concat(
           lit("User-agent: googlebot\nUser-agent: *\n" +
             "Disallow: /private # keep out\nAllow: /private/pub\n" +
@@ -427,29 +434,36 @@ object Graph {
     * the partition key.
     */
   def robotsTxtRules(robots: DataFrame): DataFrame = {
+    // empty lines (incl. comment-only lines after stripping) are
+    // DROPPED before run detection: RFC 9309 §2.2's ABNF permits
+    // emptylines BETWEEN the user-agent lines of one group, so a
+    // blank line must not split a header run (it would silently
+    // unscope the rules that follow — fail-open governance)
     val lines = robots
       .select(col("host"),
         posexplode(split(col("body"), "\r?\n")).as(Seq("pos", "raw")))
       .select(col("host"), col("pos"),
         trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+      .filter(col("line") =!= "")
     val byPos = Window.partitionBy("host").orderBy("pos")
     val cum = byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // §2.1 ABNF allows whitespace BEFORE the colon too
     val flagged = lines
-      .withColumn("is_ua", col("line").rlike("(?i)^user-agent:"))
+      .withColumn("is_ua", col("line").rlike("(?i)^user-agent\\s*:"))
       .withColumn("prev_ua", lag(col("is_ua"), 1, false).over(byPos))
       .withColumn("run_id",
         sum(when(col("is_ua") && !col("prev_ua"), 1).otherwise(0)).over(cum))
     val starRuns = flagged
       .filter(col("is_ua") &&
-        trim(regexp_extract(col("line"), "(?i)^user-agent:\\s*(.*)$", 1))
+        trim(regexp_extract(col("line"), "(?i)^user-agent\\s*:\\s*(.*)$", 1))
           === "*")
       .select("host", "run_id").distinct()
     flagged
       .select(col("host"), col("run_id"),
-        lower(regexp_extract(col("line"), "(?i)^(allow|disallow):", 1))
+        lower(regexp_extract(col("line"), "(?i)^(allow|disallow)\\s*:", 1))
           .as("rule"),
-        trim(regexp_extract(col("line"), "(?i)^(?:allow|disallow):\\s*(.*)$",
-          1)).as("prefix"))
+        trim(regexp_extract(col("line"),
+          "(?i)^(?:allow|disallow)\\s*:\\s*(.*)$", 1)).as("prefix"))
       .filter(col("rule") =!= "" && col("prefix") =!= "")
       .join(starRuns, Seq("host", "run_id"), "left_semi")
       .select("host", "rule", "prefix")
@@ -587,7 +601,7 @@ object Graph {
     }
     docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
       .select(
-        concat(lit("site"), col("s"), lit(".example.com")).as("host"),
+        demoHost(col("s")).as("host"),
         concat(
           lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
           entry(0), entry(1), entry(2),
@@ -623,7 +637,9 @@ object Graph {
           .as("path"),
         field("lastmod").as("lastmod"),
         field("priority").as("priority"),
-        (locHost === col("host")).cast("long").as("in_scope"))
+        // DNS names are case-insensitive — lower BOTH sides, or a
+        // mixed-case host column would flag its own URLs out of scope
+        (locHost === lower(col("host"))).cast("long").as("in_scope"))
   }
 
   /** g08: sitemap URL discovery — the crawl axis's DISCOVERY half

@@ -274,6 +274,16 @@ class GraphSpec extends AnyFunSuite {
         .map(r => (r.getString(1), r.getString(2))).toSet
       assert(rules == Set(("disallow", "/a"), ("allow", "/a/b")),
         s"CRLF/lowercase parse: $rules")
+      // RFC 9309 §2.2: empty lines (and comment-only lines) BETWEEN
+      // a group's user-agent lines must not split the group — and
+      // §2.1 allows whitespace before the colon
+      val gaps = Seq(("h",
+        "User-agent: *\n\n# note\nUser-agent: extra\nDisallow : /x\n"))
+        .toDF("host", "body")
+      val gapRules = Graph.robotsTxtRules(gaps).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSet
+      assert(gapRules == Set(("disallow", "/x")),
+        s"gap-tolerant grouping / ws-colon parse: $gapRules")
     }
     // allow-wins-ties law on a hand-built fixture: equal-length allow
     // and disallow → allowed (RFC 9309)
