@@ -568,7 +568,13 @@ object Oracles {
     * frontier → longest-match argmax), ending in
     * `perm(doc_id, host, path, matched_len, matched_rule, allowed)`.
     * No `WITH` prefix so compositions (g07) can splice it after other
-    * chains; all names are disjoint from [[pageRankCtes]]'s.
+    * chains; all names are disjoint from [[pageRankCtes]]'s. The
+    * longest-match tie-break counts OCTETS (RFC 9309 §2.2.2): DuckDB
+    * `strlen` = bytes, matching Spark's `octet_length`. The argmax
+    * window partitions by (doc_id, host, path) — the Spark kernel
+    * partitions by a minted row-unique id, which is equivalent here
+    * because the demo frontier carries no duplicate rows (SQL has no
+    * row identity to replay the duplicate-preserving form).
     */
   private def robotsPermCtes: String =
     """hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
@@ -633,12 +639,12 @@ object Oracles {
       |mt AS (SELECT u.doc_id, u.host, u.path, r.rule, r.prefix,
       |    (r.prefix IS NOT NULL AND u.path LIKE r.pattern ESCAPE '\') AS hit
       |  FROM urls u LEFT JOIN pats r ON r.host = u.host),
-      |prk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, path
+      |prk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, host, path
       |    ORDER BY
-      |    CASE WHEN hit THEN length(prefix) ELSE -1 END DESC,
+      |    CASE WHEN hit THEN strlen(prefix) ELSE -1 END DESC,
       |    CASE WHEN rule = 'allow' THEN 0 ELSE 1 END, prefix) AS rn FROM mt),
       |perm AS (SELECT doc_id, host, path,
-      |    CAST(CASE WHEN hit THEN length(prefix) ELSE 0 END AS BIGINT)
+      |    CAST(CASE WHEN hit THEN strlen(prefix) ELSE 0 END AS BIGINT)
       |      AS matched_len,
       |    CASE WHEN hit THEN rule ELSE 'none' END AS matched_rule,
       |    CAST(CASE WHEN NOT hit OR rule = 'allow' THEN 1 ELSE 0 END
@@ -651,25 +657,35 @@ object Oracles {
     "t23_unigram_train" -> unigramTrainSql,
     "t03b_script_id" -> scriptIdSql,
 
-    // g05: rebuild the meta-robots plant byte-for-byte, replay the
-    // case-insensitive extraction ((?i) inline group — RE2-portable)
-    // and the REP directive semantics
+    // g05: rebuild the meta-robots plant byte-for-byte (incl. the
+    // tolerant-markup variants: reversed attribute order, single /
+    // no quotes, whitespace around '='), replay the two-step tolerant
+    // extraction ((?i) inline groups + \b boundaries — RE2-portable,
+    // no lookaround) and the REP directive semantics
     "g05_robots_gate" ->
       """WITH h AS (SELECT doc_id,
         |    '<html><head>' ||
         |    CASE WHEN doc_id % 4 = 1
         |           THEN '<meta name="robots" content="noindex"/>'
         |         WHEN doc_id % 4 = 2
-        |           THEN '<meta name="robots" content="index, nofollow"/>'
+        |           THEN '<meta content=''index, nofollow'' name=robots />'
         |         WHEN doc_id % 4 = 3
-        |           THEN '<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW"/>'
+        |           THEN '<META NAME = ''ROBOTS'' CONTENT = "NOINDEX, NOFOLLOW"/>'
         |         ELSE '' END ||
         |    '</head><body><p>' || text || '</p></body></html>' AS html
         |  FROM documents),
-        |f AS (SELECT doc_id,
-        |    lower(regexp_extract(html,
-        |      '(?i)<meta name="robots" content="([^"]*)"', 1)) AS robots
+        |tg AS (SELECT doc_id,
+        |    regexp_extract(html,
+        |      '(?i)<meta\b[^>]*\bname\s*=\s*["'']?robots\b[^>]*>', 0) AS tag
         |  FROM h),
+        |f AS (SELECT doc_id, lower(COALESCE(
+        |    nullif(regexp_extract(tag,
+        |      '(?i)\bcontent\s*=\s*"([^"]*)"', 1), ''),
+        |    nullif(regexp_extract(tag,
+        |      '(?i)\bcontent\s*=\s*''([^'']*)''', 1), ''),
+        |    regexp_extract(tag,
+        |      '(?i)\bcontent\s*=\s*([^\s"''/>]+)', 1))) AS robots
+        |  FROM tg),
         |g AS (SELECT doc_id, robots,
         |    CAST(contains(robots, 'noindex') OR robots = 'none'
         |      AS BIGINT) AS noindex,

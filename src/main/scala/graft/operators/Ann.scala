@@ -735,17 +735,24 @@ object Ann {
     else spark.read.parquet(meta.toString).head().getLong(0).toInt
   }
 
-  /** Publish a (re)built index from its `.staging` artifacts: delete
-    * the live artifacts DATA-FIRST, then rename the staged ones
-    * DATA-LAST. Rationale (the round-12 review's rebuild window): a
-    * REBUILD that changes the dial must never expose a state pairing
-    * the new `.meta` with the old partition layout (probes would
-    * filter directories that don't exist under that width — silently
-    * empty results) or a dialed layout with a deleted `.meta`
-    * (readIndexMeta would fall back to the base width — silently
-    * wrong partitions). With data-first-delete / data-last-rename,
-    * EVERY intermediate state lacks the data directory, and a probe
-    * fails LOUDLY on the missing path instead.
+  /** Publish a (re)built index from its `.staging` artifacts: retire
+    * the live artifacts to `.old` DATA-FIRST, then rename the staged
+    * ones in DATA-LAST, then drop `.old`. Rationale (the round-12
+    * review's rebuild window): a REBUILD that changes the dial must
+    * never expose a state pairing the new `.meta` with the old
+    * partition layout (probes would filter directories that don't
+    * exist under that width — silently empty results) or a dialed
+    * layout with a deleted `.meta` (readIndexMeta would fall back to
+    * the base width — silently wrong partitions). With
+    * data-first-retire / data-last-promote, EVERY intermediate state
+    * lacks the LIVE data directory, and a probe fails LOUDLY on the
+    * missing path instead. The `.old` detour (round-12 advice) keeps
+    * the previous index recoverable IN PLACE through the whole
+    * window: a crash between retire and promote leaves the full old
+    * index under `.old` (rename it back to recover) instead of
+    * deleting the only copy; `.old` is dropped LAST, only after every
+    * staged artifact is live, and any stale `.old` from a previous
+    * crashed publish is cleared up front.
     */
   private def publishStaged(spark: SparkSession, path: String,
       suffixes: Seq[String]): Unit = {
@@ -753,13 +760,20 @@ object Ann {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(path).getFileSystem(hconf)
     // "" (the data dir) must be FIRST in `suffixes`
-    suffixes.foreach(sfx => fs.delete(p(path + sfx), true))
+    suffixes.foreach(sfx => fs.delete(p(path + ".old" + sfx), true))
+    suffixes.foreach { sfx =>
+      val live = p(path + sfx)
+      if (fs.exists(live) && !fs.rename(live, p(path + ".old" + sfx)))
+        throw new java.io.IOException(
+          s"index publish: cannot retire $live")
+    }
     suffixes.reverse.foreach { sfx =>
       val staged = p(path + ".staging" + sfx)
       if (!fs.rename(staged, p(path + sfx)))
         throw new java.io.IOException(
           s"index publish: cannot promote $staged")
     }
+    suffixes.foreach(sfx => fs.delete(p(path + ".old" + sfx), true))
   }
 
   /** s07 build: persist the SRP-bucketed corpus — the "bucket once"

@@ -302,9 +302,13 @@ object Graph {
       when(col("doc_id") % 4 === 1,
         lit("<meta name=\"robots\" content=\"noindex\"/>"))
         .when(col("doc_id") % 4 === 2,
-          lit("<meta name=\"robots\" content=\"index, nofollow\"/>"))
+          // reversed attribute order + single-quoted content +
+          // unquoted name value — real-world markup the extractor
+          // must not fail open on (ADVICE r12 #2)
+          lit("<meta content='index, nofollow' name=robots />"))
         .when(col("doc_id") % 4 === 3,
-          lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, NOFOLLOW\"/>"))
+          // uppercase + whitespace around '=' + mixed quote styles
+          lit("<META NAME = 'ROBOTS' CONTENT = \"NOINDEX, NOFOLLOW\"/>"))
         .otherwise(lit("")),
       lit("</head><body><p>"), col("text"),
       lit("</p></body></html>")).as("html"))
@@ -315,9 +319,17 @@ object Graph {
     * publisher's opt-out) + the standard directive semantics:
     * `noindex`/`none` blocks indexing (admit = 0), `nofollow`/`none`
     * blocks link extraction (g03 composes: a nofollow page's anchors
-    * should not feed the host graph). Case-insensitive via an inline
-    * `(?i)` group — Java ↔ RE2 portable, t18's discipline. Per-row
-    * codegen'd regex; no shuffle.
+    * should not feed the host graph). The extractor is tolerant of
+    * real-world markup (ADVICE r12 #2): attributes in EITHER order,
+    * double/single/no quotes, optional whitespace around `=`,
+    * case-insensitive via inline `(?i)` groups — all Java ↔ RE2
+    * portable (`\b` word boundaries, no lookaround), t18's
+    * discipline. Known narrow scope: only the FIRST meta tag whose
+    * `name` resolves to `robots` is read (multiple robots tags are
+    * rare and additive in practice), and an attribute VALUE that
+    * itself contains `name=robots` could confuse the tag match —
+    * acceptable for governance (fails CLOSED only, never open).
+    * Per-row codegen'd regex; no shuffle.
     */
   def robotsFlagsOver(pages: DataFrame): DataFrame = {
     // the derived columns would silently OVERWRITE same-named input
@@ -328,8 +340,18 @@ object Graph {
     require(clash.isEmpty,
       s"robotsFlagsOver: input already has column(s) ${clash.mkString(", ")}" +
         " — rename them; the extractor emits robots/noindex/nofollow/admit")
-    val content = lower(regexp_extract(col("html"),
-      "(?i)<meta name=\"robots\" content=\"([^\"]*)\"", 1))
+    // two-step tolerant extraction: (1) the first <meta ...> tag whose
+    // name attribute resolves to robots (either attribute order, any
+    // quote style, whitespace around '='); (2) its content value —
+    // double-quoted, then single-quoted, then unquoted token
+    val tag = regexp_extract(col("html"),
+      "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b[^>]*>", 0)
+    val content = lower(coalesce(
+      nullif(regexp_extract(tag,
+        "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+      nullif(regexp_extract(tag,
+        "(?i)\\bcontent\\s*=\\s*'([^']*)'", 1), lit("")),
+      regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*([^\\s\"'/>]+)", 1)))
     // input columns RIDE ALONG (the verdict is per ROW, and a gate
     // that joins verdicts back by key would admit every row sharing a
     // doc_id with an admitted one — e.g. a URL re-crawled within one
@@ -475,13 +497,27 @@ object Graph {
     * anchors the end; the longest rule (most octets) wins, Allow wins
     * length ties, no match → allowed. Rules translate to SQL LIKE
     * patterns (escape `\\ % _`, then `*` → `%`; non-anchored rules
-    * get a trailing `%`), evaluated per row. One equi-join on host
-    * (per-host rule sets are bounded — broadcastable at any corpus
-    * size), then a per-URL argmax window on (rule length desc,
-    * allow-first, prefix) — a total order, so ties in length AND type
-    * pick one deterministic rule row.
+    * get a trailing `%`), evaluated per row. One PLAIN equi-join on
+    * host — per-host rule sets are bounded but the TOTAL rule frame
+    * is |hosts|·|rules/host| and hosts grow with the corpus, so no
+    * forced broadcast (AQE auto-broadcasts while small, g01's
+    * discipline) — then a per-ROW argmax window on (rule octet-length
+    * desc, allow-first, prefix) — a total order, so ties in length
+    * AND type pick one deterministic rule row. The window partitions
+    * on a row-unique id minted BEFORE the join, so frontier rows that
+    * share (doc_id, host, path) — a URL re-crawled within one batch,
+    * the duplicate tolerance g07's budget window defends per-row —
+    * each keep their own verdict instead of collapsing to one.
+    * RFC 9309 §2.2.2 longest-match counts OCTETS, so the tie-break is
+    * `octet_length(prefix)` (UTF-16 char length diverges on non-ASCII
+    * rule paths), and `matched_len` reports octets too.
     */
   def g06UrlPermissionsOver(urls: DataFrame, robots: DataFrame): DataFrame = {
+    // row_uid is the internal row-identity column minted below — a
+    // same-named input would be silently overwritten (withColumn)
+    require(!urls.columns.contains("row_uid"),
+      "g06UrlPermissionsOver: input already has column row_uid — rename it;" +
+        " the kernel mints an internal row-identity column under that name")
     val rules = robotsTxtRules(robots)
       .withColumn("anch", col("prefix").endsWith("$"))
       .withColumn("esc",
@@ -493,18 +529,19 @@ object Graph {
         when(col("anch"), expr("substring(wild, 1, length(wild) - 1)"))
           .otherwise(concat(col("wild"), lit("%"))))
       .select("host", "rule", "prefix", "pattern")
-    val matched = urls.join(broadcast(rules), Seq("host"), "left")
+    val matched = urls.withColumn("row_uid", monotonically_increasing_id())
+      .join(rules, Seq("host"), "left")
       .withColumn("hit",
         col("prefix").isNotNull && expr("path LIKE pattern ESCAPE '\\\\'"))
-    val wnd = Window.partitionBy("doc_id", "path").orderBy(
-      when(col("hit"), length(col("prefix"))).otherwise(-1).desc,
+    val wnd = Window.partitionBy("row_uid").orderBy(
+      when(col("hit"), octet_length(col("prefix"))).otherwise(-1).desc,
       when(col("rule") === "allow", 0).otherwise(1),
       col("prefix"))
     matched
       .withColumn("rk", row_number().over(wnd))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("host"), col("path"),
-        when(col("hit"), length(col("prefix"))).otherwise(0)
+        when(col("hit"), octet_length(col("prefix"))).otherwise(0)
           .cast("long").as("matched_len"),
         when(col("hit"), col("rule")).otherwise("none").as("matched_rule"),
         when(!col("hit") || col("rule") === "allow", 1L).otherwise(0L)
@@ -531,9 +568,11 @@ object Graph {
     * rank_e9). Each URL gets its host's authority (unranked hosts →
     * 0) and a per-host RUNNING budget: the first `budget` ALLOWED
     * URLs per host (doc_id order) get `fetch = 1` — a disallowed URL
-    * never consumes a slot. One broadcast join on host (rank state is
-    * host-granular) + one host-partitioned window; no global window
-    * anywhere, so the plan scales with the frontier.
+    * never consumes a slot. One PLAIN equi-join on host — rank state
+    * is one row per host, which GROWS with the corpus, so no forced
+    * broadcast (AQE auto-broadcasts while small, g01's discipline) —
+    * + one host-partitioned window; no global window anywhere, so the
+    * plan scales with the frontier.
     */
   def frontierPlanOver(perms: DataFrame, ranks: DataFrame,
       budget: Int): DataFrame = {
@@ -543,7 +582,7 @@ object Graph {
     val wnd = Window.partitionBy("host").orderBy("doc_id", "path")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perms
-      .join(broadcast(ranks.select(col("node").as("host"), col("rank_e9"))),
+      .join(ranks.select(col("node").as("host"), col("rank_e9")),
         Seq("host"), "left")
       .select(col("doc_id"), col("host"), col("path"),
         coalesce(col("rank_e9"), lit(0L)).as("rank_e9"), col("allowed"))

@@ -1362,6 +1362,14 @@ object TextOps {
     * language-specific vocabulary.
     */
   def scriptIdOver(docs: DataFrame): DataFrame = {
+    // same guard as robotsFlagsOver: the derived columns would
+    // silently OVERWRITE same-named input columns (withColumn)
+    val emitted = ScriptRanges.map { case (n, _, _) => s"n_$n" } :+
+      "pred_script"
+    val clash = docs.columns.intersect(emitted)
+    require(clash.isEmpty,
+      s"scriptIdOver: input already has column(s) ${clash.mkString(", ")}" +
+        s" — rename them; the kernel emits ${emitted.mkString(", ")}")
     val withCounts = ScriptRanges.foldLeft(docs) { case (df, (n, jc, _)) =>
       df.withColumn(s"n_$n",
         size(regexp_extract_all(col("text"), lit(jc), lit(0)))
@@ -1436,6 +1444,16 @@ object TextOps {
     * shuffle; posexplode fans out to blocks only.
     */
   def t24BlocksOver(pages: DataFrame): DataFrame = {
+    // unlike robotsFlagsOver, input columns do NOT ride along here
+    // (the block explode re-projects) — refuse same-named inputs up
+    // front anyway so a caller can't mistake a silently-DROPPED
+    // column for a riding one
+    val emitted = Seq("blk", "block_text", "n_chars", "link_chars",
+      "n_words", "n_stop", "verdict")
+    val clash = pages.columns.intersect(emitted)
+    require(clash.isEmpty,
+      s"t24BlocksOver: input already has column(s) ${clash.mkString(", ")}" +
+        s" — rename them; the kernel emits ${emitted.mkString(", ")}")
     val blocks = pages.select(col("doc_id"),
       posexplode(regexp_extract_all(col("html"),
         lit("<(?:div|p)>(.*?)</(?:div|p)>"), lit(1))))

@@ -296,6 +296,63 @@ class GraphSpec extends AnyFunSuite {
       ((3L, "allow", 1L)), s"tie-break: $tie")
   }
 
+  test("g06 longest-match counts octets, preserves duplicate frontier rows") {
+    import spark.implicits._
+    // RFC 9309 §2.2.2: precedence is by OCTETS of the rule path. The
+    // allow rule is LONGER in characters (7 vs 6) but SHORTER in
+    // UTF-8 octets (7 vs 9) — a char-length tie-break would allow,
+    // the octet tie-break must disallow (ADVICE r12 #5).
+    val robots = Seq(
+      ("h", "User-agent: *\nAllow: /x*abcd\nDisallow: /x*ééé\n"))
+      .toDF("host", "body")
+    val urls = Seq((1L, "h", "/x/éééabcd")).toDF("doc_id", "host", "path")
+    val row = Graph.g06UrlPermissionsOver(urls, robots).collect().head
+    assert((row.getLong(3), row.getString(4), row.getLong(5)) ==
+      ((9L, "disallow", 0L)), s"octet longest-match: $row")
+    // duplicate frontier rows (a URL re-crawled within one batch —
+    // the tolerance g07's budget window defends per-row) each keep
+    // their own verdict instead of collapsing in the argmax window
+    // (ADVICE r12 #1), and rows sharing (doc_id, path) on DIFFERENT
+    // hosts never collapse either
+    val dups = Seq((1L, "h", "/x/ééé"), (1L, "h", "/x/ééé"),
+      (1L, "h2", "/x/ééé")).toDF("doc_id", "host", "path")
+    val out = Graph.g06UrlPermissionsOver(dups, robots).collect()
+    assert(out.length == 3, s"row count: ${out.length}")
+    assert(out.count(r => r.getString(1) == "h" && r.getLong(5) == 0L) == 2,
+      s"duplicate-row verdicts: ${out.mkString("; ")}")
+    // h2 has no robots.txt → unmatched → allowed
+    assert(out.count(r => r.getString(1) == "h2" && r.getLong(5) == 1L) == 1,
+      s"cross-host row: ${out.mkString("; ")}")
+  }
+
+  test("g05 extractor tolerates real-world meta-robots markup") {
+    import spark.implicits._
+    // each row is a syntax the byte-exact r12 extractor failed OPEN
+    // on (ADVICE r12 #2): reversed attribute order, single quotes,
+    // unquoted values, whitespace around '=', extra attributes
+    val pages = Seq(
+      (1L, "<html><head><meta content=\"noindex\" name=\"robots\"/>"),
+      (2L, "<html><head><meta name='robots' content='noindex'/>"),
+      (3L, "<html><head><meta name=robots content=noindex,nofollow>"),
+      (4L, "<html><head><meta name = \"robots\" content = \"noindex\" />"),
+      (5L, "<html><head><meta charset=\"utf-8\" name=robots " +
+        "content='noindex' data-x=\"1\">"),
+      // near-miss names must NOT match
+      (6L, "<html><head><meta name=\"robotsx\" content=\"noindex\"/>"),
+      (7L, "<html><head><meta name=\"x-robots\" content=\"\"/>"))
+      .map { case (id, h) => (id, h + "</head><body>t</body></html>") }
+      .toDF("doc_id", "html")
+    val got = Graph.robotsFlagsOver(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("robots"), r.getAs[Long]("noindex"))).toMap
+    Seq(1L, 2L, 4L, 5L).foreach { id =>
+      assert(got(id) == (("noindex", 1L)), s"doc $id: ${got(id)}")
+    }
+    assert(got(3L) == (("noindex,nofollow", 1L)), s"doc 3: ${got(3L)}")
+    assert(got(6L) == (("", 0L)), s"near-miss name matched: ${got(6L)}")
+    assert(got(7L)._2 == 0L, s"x-robots matched: ${got(7L)}")
+  }
+
   test("g07 frontier plan: budget binds on allowed URLs only, ranks ride along") {
     val budget = 3
     val plan = Graph.g07FrontierPlan(spark, dir, budget).collect()
