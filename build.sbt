@@ -15,6 +15,9 @@ run / fork := true
 // "[success] Total time ..." trailer after runMain broke that parse
 // two rounds running (BENCH parsed:null). Suppress it globally.
 ThisBuild / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -576,10 +576,25 @@ object Oracles {
     * because the demo frontier carries no duplicate rows (SQL has no
     * row identity to replay the duplicate-preserving form).
     */
-  private def robotsPermCtes: String =
+  /** The shared demo-host index CTE (one row per distinct host index
+    * s) — g05-g10's plants all derive from it, so it is spliced ONCE
+    * per composed query (the robots and sitemap chains both read it).
+    */
+  private def hostsCte: String =
     """hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
-      |  FROM documents),
-      |rb AS (SELECT 'site' || s || '.example.com' AS host,
+      |  FROM documents)""".stripMargin
+
+  private def robotsPermCtes: String =
+    s"""$hostsCte,
+      |${robotsRuleCtes},
+      |${demoUrlsCte},
+      |${permEvalCtes("urls")}""".stripMargin
+
+  /** robots.txt plant → parse → group scoping → LIKE patterns, ending
+    * in `pats(host, rule, prefix, pattern)`. Requires [[hostsCte]].
+    */
+  private def robotsRuleCtes: String =
+    """rb AS (SELECT 'site' || s || '.example.com' AS host,
       |    'User-agent: googlebot' || chr(10) || 'User-agent: *' || chr(10) ||
       |    'Disallow: /private # keep out' || chr(10) ||
       |    'Allow: /private/pub' || chr(10) ||
@@ -624,8 +639,11 @@ object Oracles {
       |  FROM (SELECT host, rule, prefix,
       |      replace(replace(replace(replace(prefix,
       |        '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS w0
-      |    FROM rules) t),
-      |urls AS (SELECT doc_id,
+      |    FROM rules) t)""".stripMargin
+
+  /** The crawled-link demo frontier — `urls(doc_id, host, path)`. */
+  private def demoUrlsCte: String =
+    """urls AS (SELECT doc_id,
       |    'site' || ((doc_id // 5) % 50) || '.example.com' AS host,
       |    CASE doc_id % 8 WHEN 0 THEN '/docs/' || doc_id
       |      WHEN 1 THEN '/private/' || doc_id
@@ -635,10 +653,16 @@ object Oracles {
       |      WHEN 5 THEN '/files/' || doc_id || '.tmp'
       |      WHEN 6 THEN '/files/' || doc_id || '.tmp.bak'
       |      ELSE '/dl/' || doc_id || '/ok' END AS path
-      |  FROM documents),
-      |mt AS (SELECT u.doc_id, u.host, u.path, r.rule, r.prefix,
-      |    (r.prefix IS NOT NULL AND u.path LIKE r.pattern ESCAPE '\') AS hit
-      |  FROM urls u LEFT JOIN pats r ON r.host = u.host),
+      |  FROM documents)""".stripMargin
+
+  /** g06's longest-match evaluation of the frontier CTE `$urlsName`
+    * against `pats`, ending in
+    * `perm(doc_id, host, path, matched_len, matched_rule, allowed)`.
+    */
+  private def permEvalCtes(urlsName: String): String =
+    s"""mt AS (SELECT u.doc_id, u.host, u.path, r.rule, r.prefix,
+      |    (r.prefix IS NOT NULL AND u.path LIKE r.pattern ESCAPE '\\') AS hit
+      |  FROM $urlsName u LEFT JOIN pats r ON r.host = u.host),
       |prk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, host, path
       |    ORDER BY
       |    CASE WHEN hit THEN strlen(prefix) ELSE -1 END DESC,
@@ -650,6 +674,60 @@ object Oracles {
       |    CAST(CASE WHEN NOT hit OR rule = 'allow' THEN 1 ELSE 0 END
       |      AS BIGINT) AS allowed
       |  FROM prk WHERE rn = 1)""".stripMargin
+
+  /** The g08 sitemap chain (plant -> block split -> field
+    * extraction -> path/scope projection), ending in
+    * `smf(host, ord, loc, path, lastmod, priority, in_scope)`.
+    * Requires [[hostsCte]]; internal names are smb0/smb1/sme/smf0
+    * so compositions (g09/g10) can splice it beside the robots and
+    * rank chains without collisions.
+    */
+  private def sitemapCtes: String =
+    """sm AS (SELECT 'site' || s || '.example.com' AS host,
+      |    '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10) ||
+      |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+      |      '.example.com/p/0</loc>' || chr(10) ||
+      |    '    <lastmod>2026-01-' || lpad(CAST((s + 0) % 28 + 1 AS VARCHAR), 2, '0') ||
+      |      '</lastmod>' || chr(10) ||
+      |    '    <priority>0.' || ((s * 7 + 0) % 10) || '</priority>' ||
+      |      chr(10) || '  </url>' || chr(10) ||
+      |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+      |      '.example.com/p/1</loc>' || chr(10) ||
+      |    '    <lastmod>2026-01-' || lpad(CAST((s + 1) % 28 + 1 AS VARCHAR), 2, '0') ||
+      |      '</lastmod>' || chr(10) ||
+      |    '    <priority>0.' || ((s * 7 + 1) % 10) || '</priority>' ||
+      |      chr(10) || '  </url>' || chr(10) ||
+      |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+      |      '.example.com/p/2</loc>' || chr(10) ||
+      |    '    <lastmod>2026-01-' || lpad(CAST((s + 2) % 28 + 1 AS VARCHAR), 2, '0') ||
+      |      '</lastmod>' || chr(10) ||
+      |    '    <priority>0.' || ((s * 7 + 2) % 10) || '</priority>' ||
+      |      chr(10) || '  </url>' || chr(10) ||
+      |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
+      |      '.example.com/p/3</loc>' || chr(10) || '  </url>' || chr(10) ||
+      |    '  <url>' || chr(10) || '    <loc>https://site' || ((s + 1) % 50) ||
+      |      '.example.com/p/4</loc>' || chr(10) || '  </url>' || chr(10) ||
+      |    '</urlset>' || chr(10) AS xml
+      |  FROM hosts),
+      |smb0 AS (SELECT host, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)
+      |    AS bl FROM sm),
+      |smb1 AS (SELECT host, bl,
+      |    unnest(generate_series(1, len(bl))) AS i FROM smb0),
+      |sme AS (SELECT host, CAST(i - 1 AS BIGINT) AS ord,
+      |    bl[CAST(i AS INTEGER)] AS entry FROM smb1),
+      |smf0 AS (SELECT host, ord,
+      |    regexp_extract(entry, '<loc>([^<]*)</loc>', 1) AS loc,
+      |    regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
+      |    regexp_extract(entry, '<priority>([^<]*)</priority>', 1) AS priority
+      |  FROM sme),
+      |smf AS (SELECT host, ord, loc,
+      |    regexp_extract(loc, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)$', 1)
+      |      AS path,
+      |    lastmod, priority,
+      |    CAST(lower(regexp_extract(loc,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) = lower(host)
+      |      AS BIGINT) AS in_scope
+      |  FROM smf0)""".stripMargin
 
   val sql: Map[String, String] = Map(
     "g01_pagerank" -> pageRankSql(10),
@@ -730,56 +808,85 @@ object Oracles {
     // g08: rebuild the per-host sitemap plant byte-for-byte, replay
     // the (?s) lazy block split, the per-field extraction (optional
     // fields '' when absent), the loc path, and the same-host scope
-    // flag
+    // flag ([[sitemapCtes]] — shared with the g09/g10 compositions)
     "g08_sitemap_extract" ->
-      """WITH hosts AS (SELECT DISTINCT ((doc_id // 5) % 50) AS s
-        |  FROM documents),
-        |sm AS (SELECT 'site' || s || '.example.com' AS host,
-        |    '<?xml version="1.0"?>' || chr(10) || '<urlset>' || chr(10) ||
-        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
-        |      '.example.com/p/0</loc>' || chr(10) ||
-        |    '    <lastmod>2026-01-' || lpad(CAST((s + 0) % 28 + 1 AS VARCHAR), 2, '0') ||
-        |      '</lastmod>' || chr(10) ||
-        |    '    <priority>0.' || ((s * 7 + 0) % 10) || '</priority>' ||
-        |      chr(10) || '  </url>' || chr(10) ||
-        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
-        |      '.example.com/p/1</loc>' || chr(10) ||
-        |    '    <lastmod>2026-01-' || lpad(CAST((s + 1) % 28 + 1 AS VARCHAR), 2, '0') ||
-        |      '</lastmod>' || chr(10) ||
-        |    '    <priority>0.' || ((s * 7 + 1) % 10) || '</priority>' ||
-        |      chr(10) || '  </url>' || chr(10) ||
-        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
-        |      '.example.com/p/2</loc>' || chr(10) ||
-        |    '    <lastmod>2026-01-' || lpad(CAST((s + 2) % 28 + 1 AS VARCHAR), 2, '0') ||
-        |      '</lastmod>' || chr(10) ||
-        |    '    <priority>0.' || ((s * 7 + 2) % 10) || '</priority>' ||
-        |      chr(10) || '  </url>' || chr(10) ||
-        |    '  <url>' || chr(10) || '    <loc>https://site' || s ||
-        |      '.example.com/p/3</loc>' || chr(10) || '  </url>' || chr(10) ||
-        |    '  <url>' || chr(10) || '    <loc>https://site' || ((s + 1) % 50) ||
-        |      '.example.com/p/4</loc>' || chr(10) || '  </url>' || chr(10) ||
-        |    '</urlset>' || chr(10) AS xml
-        |  FROM hosts),
-        |b0 AS (SELECT host, regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)
-        |    AS bl FROM sm),
-        |b1 AS (SELECT host, bl,
-        |    unnest(generate_series(1, len(bl))) AS i FROM b0),
-        |e AS (SELECT host, CAST(i - 1 AS BIGINT) AS ord,
-        |    bl[CAST(i AS INTEGER)] AS entry FROM b1),
-        |f AS (SELECT host, ord,
-        |    regexp_extract(entry, '<loc>([^<]*)</loc>', 1) AS loc,
-        |    regexp_extract(entry, '<lastmod>([^<]*)</lastmod>', 1) AS lastmod,
-        |    regexp_extract(entry, '<priority>([^<]*)</priority>', 1) AS priority
-        |  FROM e)
-        |SELECT host, ord, loc,
-        |  regexp_extract(loc, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)$', 1)
-        |    AS path,
-        |  lastmod, priority,
-        |  CAST(lower(regexp_extract(loc,
-        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) = lower(host)
-        |    AS BIGINT) AS in_scope
-        |FROM f
-        |ORDER BY host, ord""".stripMargin,
+      s"""WITH $hostsCte,
+         |$sitemapCtes
+         |SELECT host, ord, loc, path, lastmod, priority, in_scope
+         |FROM smf
+         |ORDER BY host, ord""".stripMargin,
+
+    // g09: the crawl axis composed end to end — g08's in-scope
+    // discovered URLs (minted NEGATIVE doc_ids: publisher-declared
+    // URLs take budget priority) union the crawled-link frontier,
+    // g06's permission argmax evaluates the merged set, g01's ranks
+    // and the per-host running budget plan the fetches; every chain
+    // spliced into ONE query
+    "g09_discovered_plan" ->
+      s"""${pageRankCtes(10)},
+         |$hostsCte,
+         |$robotsRuleCtes,
+         |$demoUrlsCte,
+         |$sitemapCtes,
+         |u9 AS (SELECT doc_id, host, path FROM urls
+         |  UNION ALL
+         |  SELECT -(CAST(regexp_extract(host, '^site(\\d+)\\.', 1)
+         |      AS BIGINT) * 8 + ord) - 1 AS doc_id, host, path
+         |  FROM smf WHERE in_scope = 1),
+         |${permEvalCtes("u9")},
+         |jn AS (SELECT p.doc_id, p.host, p.path,
+         |    CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank_e9, p.allowed
+         |  FROM perm p LEFT JOIN r10 r ON r.node = p.host),
+         |wb AS (SELECT *, SUM(allowed) OVER (PARTITION BY host
+         |    ORDER BY doc_id, path ROWS UNBOUNDED PRECEDING) AS runa
+         |  FROM jn)
+         |SELECT doc_id, host, path, rank_e9, allowed,
+         |  CAST(CASE WHEN allowed = 1
+         |    AND runa <= ${operators.Graph.DiscoveredFetchBudget}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS fetch
+         |FROM wb
+         |ORDER BY doc_id""".stripMargin,
+
+    // g10: recrawl/freshness planning — the admitted-ledger plant,
+    // the lastmod-vs-admitted diff (new/stale/fresh; missing lastmod
+    // on an admitted URL is fresh), and the g07 budget window over
+    // refetch-eligible rows with the freshness columns carried
+    "g10_recrawl_plan" ->
+      s"""${pageRankCtes(10)},
+         |$hostsCte,
+         |$sitemapCtes,
+         |adm AS (SELECT 'site' || s || '.example.com' AS host,
+         |    '/p/' || ord AS path,
+         |    '2026-01-' || lpad(CAST((s * 5 + ord) % 28 + 1 AS VARCHAR),
+         |      2, '0') AS admitted_on
+         |  FROM (SELECT s, unnest([0, 1, 2, 3]) AS ord FROM hosts) t
+         |  WHERE (s + ord) % 3 <> 0),
+         |disc AS (SELECT -(CAST(regexp_extract(host, '^site(\\d+)\\.', 1)
+         |      AS BIGINT) * 8 + ord) - 1 AS doc_id, host, path, lastmod
+         |  FROM smf WHERE in_scope = 1),
+         |fst AS (SELECT d.doc_id, d.host, d.path, d.lastmod, a.admitted_on,
+         |    CASE WHEN a.admitted_on IS NULL THEN 'new'
+         |         WHEN d.lastmod <> '' AND d.lastmod > a.admitted_on
+         |           THEN 'stale'
+         |         ELSE 'fresh' END AS status
+         |  FROM disc d LEFT JOIN adm a
+         |    ON a.host = d.host AND a.path = d.path),
+         |jn AS (SELECT f.*, CAST(CASE WHEN f.status <> 'fresh'
+         |      THEN 1 ELSE 0 END AS BIGINT) AS allowed,
+         |    CAST(COALESCE(r.rank, 0) AS BIGINT) AS rank_e9
+         |  FROM fst f LEFT JOIN r10 r ON r.node = f.host),
+         |wb AS (SELECT *, SUM(allowed) OVER (PARTITION BY host
+         |    ORDER BY doc_id, path ROWS UNBOUNDED PRECEDING) AS runa
+         |  FROM jn)
+         |SELECT doc_id, host, path, rank_e9, allowed,
+         |  CAST(CASE WHEN allowed = 1
+         |    AND runa <= ${operators.Graph.DefaultFetchBudget}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS fetch,
+         |  lastmod, admitted_on, status
+         |FROM wb
+         |ORDER BY doc_id""".stripMargin,
+
+
 
     // t24: rebuild the five-block plant byte-for-byte, replay the
     // block split (lazy regex), the tag strip, all three densities

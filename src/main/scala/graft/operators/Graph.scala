@@ -575,22 +575,25 @@ object Graph {
     * plan scales with the frontier.
     */
   def frontierPlanOver(perms: DataFrame, ranks: DataFrame,
-      budget: Int): DataFrame = {
+      budget: Int, carry: Seq[String] = Nil): DataFrame = {
     // (doc_id, path) is a TOTAL order per host — doc_id alone is not
     // unique (a URL re-crawled within one batch), and a ROWS frame
     // over tied keys would hand out budget slots nondeterministically
     val wnd = Window.partitionBy("host").orderBy("doc_id", "path")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // `carry` columns ride through unchanged, appended after `fetch`
+    // (g10 carries its freshness verdict; g07 carries nothing)
     perms
       .join(ranks.select(col("node").as("host"), col("rank_e9")),
         Seq("host"), "left")
-      .select(col("doc_id"), col("host"), col("path"),
-        coalesce(col("rank_e9"), lit(0L)).as("rank_e9"), col("allowed"))
+      .select(Seq(col("doc_id"), col("host"), col("path"),
+        coalesce(col("rank_e9"), lit(0L)).as("rank_e9"),
+        col("allowed")) ++ carry.map(col): _*)
       .withColumn("runa", sum("allowed").over(wnd))
-      .select(col("doc_id"), col("host"), col("path"), col("rank_e9"),
-        col("allowed"),
+      .select(Seq(col("doc_id"), col("host"), col("path"),
+        col("rank_e9"), col("allowed"),
         when(col("allowed") === 1L && col("runa") <= budget, 1L)
-          .otherwise(0L).as("fetch"))
+          .otherwise(0L).as("fetch")) ++ carry.map(col): _*)
   }
 
   /** The g07 demo/oracle politeness budget — ONE constant, referenced
@@ -690,6 +693,114 @@ object Graph {
   def g08SitemapExtract(spark: SparkSession, dir: String): DataFrame =
     sitemapExtractOver(demoSitemaps(Tables(spark, dir).documents))
       .orderBy("host", "ord")
+
+  // ---------------------------------------------------------------- g09
+
+  /** doc_id minting for DISCOVERED (sitemap) frontier rows: the
+    * frontier keys on doc_id but sitemap entries have none, so each
+    * gets a NEGATIVE id, unique per (host index, ord) — negative ids
+    * sort before every crawled-link doc_id, so publisher-DECLARED
+    * URLs take budget priority over crawled-link URLs in the per-host
+    * plan window (a deliberate, oracle-replayable policy: the
+    * publisher told us these exist; links merely suggested the rest).
+    * The host index is re-extracted from the host NAME so the formula
+    * works on g08's output schema (which drops the index).
+    */
+  private def discoveredDocId: org.apache.spark.sql.Column =
+    -(regexp_extract(col("host"), "^site(\\d+)\\.", 1).cast("long") * 8 +
+      col("ord")) - 1
+
+  /** The g09 demo politeness budget: wider than g07's so the plan
+    * interleaves BOTH sources per host (4 discovered + 10 crawled
+    * URLs compete for 6 slots) instead of starving either.
+    */
+  val DiscoveredFetchBudget = 6
+
+  /** g09: the crawl axis composed END TO END — discovery feeds the
+    * plan. g08's in-scope discovered URLs (cross-host decoys already
+    * flagged out) union the crawled-link demo frontier, the merged
+    * frontier takes g06's robots.txt permissions, and g07's
+    * rank-carrying budget window plans the fetches — the full
+    * sitemap → robots → budget decision a crawler makes per frontier
+    * drain, in ONE declarative plan. Each stage is independently
+    * oracled (g06/g07/g08); this oracle replays the composition.
+    */
+  def g09DiscoveredPlan(spark: SparkSession, dir: String,
+      budget: Int = DiscoveredFetchBudget): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val discovered = sitemapExtractOver(demoSitemaps(docs))
+      .filter(col("in_scope") === 1)
+      .select(discoveredDocId.as("doc_id"), col("host"), col("path"))
+    val frontier = demoFrontierUrls(docs).unionByName(discovered)
+    val perms = g06UrlPermissionsOver(frontier, demoRobotsTxt(docs))
+    val ranks = pageRankOver(linkEdges(spark, dir))
+      .select(col("node"), col("rank_e9"))
+    frontierPlanOver(perms, ranks, budget).orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- g10
+
+  /** The g10 plant: the lake's ADMITTED ledger for the demo sitemap
+    * URLs — per (host s, ord 0..3), entries with (s + ord) % 3 == 0
+    * were never admitted (the 'new' class), the rest were admitted on
+    * 2026-01-{(s·5+ord) % 28 + 1}. Against the sitemap lastmod
+    * 2026-01-{(s+ord) % 28 + 1} this makes all three freshness
+    * verdicts fire at every SF (new/stale/fresh), and the per-host
+    * eligible count crosses the budget on some hosts (so the budget
+    * provably binds). Affine in (s, ord) — oracle-rebuildable.
+    */
+  private[graft] def demoAdmittedLedger(docs: DataFrame): DataFrame =
+    docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
+      .select(col("s"), explode(expr("array(0L, 1L, 2L, 3L)")).as("ord"))
+      .filter((col("s") + col("ord")) % 3 =!= 0)
+      .select(demoHost(col("s")).as("host"),
+        concat(lit("/p/"), col("ord")).as("path"),
+        concat(lit("2026-01-"),
+          lpad(((col("s") * 5 + col("ord")) % 28 + 1).cast("string"), 2,
+            "0")).as("admitted_on"))
+
+  /** g10 kernel: freshness verdicts for discovered URLs against the
+    * lake's admitted ledger — f03's incremental-sync diff lifted to
+    * the crawl frontier. One LEFT equi-join on (host, path), then a
+    * per-row verdict: `new` (never admitted — fetch), `stale`
+    * (publisher's lastmod POSTDATES the admitted copy — refetch),
+    * `fresh` (otherwise — skip; a missing lastmod on an admitted URL
+    * is fresh: the protocol makes lastmod optional, and refetching on
+    * absence would re-crawl every minimal sitemap forever). ISO dates
+    * compare correctly as strings. No window, no global state.
+    */
+  def recrawlStatusOver(discovered: DataFrame,
+      admitted: DataFrame): DataFrame =
+    discovered.join(admitted, Seq("host", "path"), "left")
+      .withColumn("status",
+        when(col("admitted_on").isNull, "new")
+          .when(col("lastmod") =!= "" &&
+            col("lastmod") > col("admitted_on"), "stale")
+          .otherwise("fresh"))
+      .withColumn("refetch", (col("status") =!= "fresh").cast("long"))
+
+  /** g10: recrawl/freshness planning — which discovered URLs to
+    * REfetch, budgeted. g08's in-scope entries diff against the
+    * lake's admitted ledger ([[recrawlStatusOver]]), then the g07
+    * plan window budgets the eligible rows per host (a fresh URL
+    * never consumes a slot — the g07 allowed-only discipline), with
+    * the freshness columns carried through for the scheduler.
+    */
+  def g10RecrawlPlan(spark: SparkSession, dir: String,
+      budget: Int = DefaultFetchBudget): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val discovered = sitemapExtractOver(demoSitemaps(docs))
+      .filter(col("in_scope") === 1)
+      .select(discoveredDocId.as("doc_id"), col("host"), col("path"),
+        col("lastmod"))
+    val status = recrawlStatusOver(discovered, demoAdmittedLedger(docs))
+      .withColumn("allowed", col("refetch"))
+    val ranks = pageRankOver(linkEdges(spark, dir))
+      .select(col("node"), col("rank_e9"))
+    frontierPlanOver(status, ranks, budget,
+      carry = Seq("lastmod", "admitted_on", "status"))
+      .orderBy("doc_id")
+  }
 
   /** g02 iterations over ANY weighted (src, dst, w) edge frame. */
   def hitsOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {

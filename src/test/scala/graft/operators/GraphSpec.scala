@@ -381,6 +381,80 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("g09 composed plan: discovery feeds permissions feeds the budget") {
+    val budget = Graph.DiscoveredFetchBudget
+    val plan = Graph.g09DiscoveredPlan(spark, dir, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4), r.getLong(5)))
+    // row accounting: every crawled-link doc + 4 in-scope sitemap
+    // entries per distinct host (the cross-host decoy must NOT ride)
+    val nDocs = Tables(spark, dir).documents.count()
+    val nHosts = plan.map(_._2).distinct.length
+    assert(plan.length == nDocs + 4 * nHosts,
+      s"rows: ${plan.length} vs $nDocs docs + 4*$nHosts")
+    // discovered rows carry minted negative ids, /p/k paths, and are
+    // never robots-matched (no rule covers /p/) → all allowed
+    val disc = plan.filter(_._1 < 0)
+    assert(disc.length == 4 * nHosts)
+    assert(disc.forall { case (_, _, p, a, _) =>
+      p.startsWith("/p/") && a == 1L }, "discovered rows must be allowed")
+    // serial budget replay over the MERGED per-host order: negative
+    // ids first (publisher priority), so all 4 discovered fetch and
+    // crawled links compete for the remaining 2 slots
+    plan.groupBy(_._2).foreach { case (h, rows) =>
+      var slots = 0
+      rows.sortBy(r => (r._1, r._3)).foreach {
+        case (id, _, _, allowed, fetch) =>
+          val want = if (allowed == 1L && slots < budget) 1L else 0L
+          if (allowed == 1L) slots += 1
+          assert(fetch == want, s"host $h doc $id fetch")
+      }
+    }
+    assert(disc.forall(_._5 == 1L), "all discovered rows fit the budget")
+    assert(plan.exists { case (id, _, _, a, f) => id >= 0 && a == 1L && f == 1L },
+      "no crawled-link URL ever fetches — budget leaves them no slot")
+    assert(plan.exists { case (id, _, _, a, f) => id >= 0 && a == 1L && f == 0L },
+      "budget never binds on the crawled-link tail")
+  }
+
+  test("g10 recrawl plan: freshness verdicts and budget match the serial replay") {
+    val budget = Graph.DefaultFetchBudget
+    val rows = Graph.g10RecrawlPlan(spark, dir, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getString(8)))
+    assert(rows.nonEmpty)
+    // status replay from the affine plants: doc_id = -(s*8 + ord) - 1
+    rows.foreach { case (id, h, path, allowed, _, lastmod, status) =>
+      val k = -id - 1
+      val s = k / 8; val ord = k % 8
+      assert(h == host(s) && path == s"/p/$ord", s"doc $id identity")
+      val admitted = (s + ord) % 3 != 0
+      val lmDay = (s + ord) % 28 + 1
+      val admDay = (s * 5 + ord) % 28 + 1
+      val want =
+        if (!admitted) "new"
+        else if (ord < 3 && lmDay > admDay) "stale"
+        else "fresh"
+      assert(status == want, s"doc $id status: got $status want $want")
+      assert(allowed == (if (want == "fresh") 0L else 1L), s"doc $id allowed")
+      if (ord == 3) assert(lastmod == "", s"doc $id lastmod must be absent")
+    }
+    // all three verdicts fire at every SF (the plant guarantees it)
+    assert(rows.map(_._7).distinct.toSet == Set("new", "stale", "fresh"))
+    // serial budget replay per host; the budget provably binds
+    rows.groupBy(_._2).foreach { case (h, hr) =>
+      var slots = 0
+      hr.sortBy(r => (r._1, r._3)).foreach {
+        case (id, _, _, allowed, fetch, _, _) =>
+          val want = if (allowed == 1L && slots < budget) 1L else 0L
+          if (allowed == 1L) slots += 1
+          assert(fetch == want, s"host $h doc $id fetch")
+      }
+    }
+    assert(rows.exists { case (_, _, _, a, f, _, _) => a == 1L && f == 0L },
+      "budget never bound — the plant should cross it on some host")
+  }
+
   test("g08 sitemap extraction recovers every entry, flags cross-host decoys") {
     val rows = Graph.g08SitemapExtract(spark, graft.TestSpark.Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->

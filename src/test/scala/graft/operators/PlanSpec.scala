@@ -202,6 +202,22 @@ class PlanSpec extends AnyFunSuite {
       s"no runtime bloom filter in plan:\n$plan")
   }
 
+  test("g09/g10: every window partitions on host or row id — no global window") {
+    // the composed crawl plans stack THREE window families (robots
+    // argmax per row id, budget running-sum per host, g01's rank
+    // windows) — none may be a global (empty-partition) window, or
+    // the frontier serializes through one task at scale
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("g09_discovered_plan", "g10_recrawl_plan").foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan
+      val globals = exec.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(globals.isEmpty, s"$name has a global window:\n$exec")
+    }
+  }
+
   test("global sweep: no forced broadcast hint on an SF-scaling table lineage") {
     // The rule (VERDICT r2 #1): a forced broadcast() bypasses AQE's
     // runtime size check, so it is only ever legal on a side that is
@@ -320,8 +336,9 @@ class PlanSpec extends AnyFunSuite {
       // is a driver-blocking scalar action every round
       "g01_pagerank",
       // g07 composes g01's iterations (its authority input), so the
-      // same dangling-mass crossJoin appears in its plan
-      "g07_frontier_plan")
+      // same dangling-mass crossJoin appears in its plan — and
+      // g09/g10 compose g07's plan window in turn
+      "g07_frontier_plan", "g09_discovered_plan", "g10_recrawl_plan")
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
       val p = qe.executedPlan.toString
       val bad =
