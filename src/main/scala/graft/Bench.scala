@@ -98,6 +98,23 @@ object Bench {
       // keeps build before gate)
       "st23_build" -> ((s, d) => streaming.Streams.st23BenchBuild(s, d)),
       "st23_gate" -> ((s, d) => streaming.Streams.st23BenchGate(s, d)),
+      // st25 is stateless parse + the st20 index append — one row,
+      // the recurring per-drain sitemap-discovery cost
+      "st25_discover" -> ((s, d) => streaming.Streams.st25BenchDiscover(s, d)),
+      // the s14 distributed full-corpus trainer measured ALONE (the
+      // auto-cutover path buildIvfIndex flips to past 16×sampleN —
+      // visible at the 30× leg where the flip is live); the
+      // s14_kmeans_distributed correctness row also carries the
+      // post-train assignment report, which would mask the trainer
+      "s14_train" -> ((s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = graft.Tables(s, d).embeddings
+          .select(col("vec_id"), col("embedding"))
+        val cents = operators.Ann.s14TrainDistributed(emb, nlist = 16)
+        import s.implicits._
+        cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+          .toDF("cell", "centroid")
+      }),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

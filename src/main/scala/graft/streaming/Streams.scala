@@ -1483,6 +1483,84 @@ object Streams {
       }
       .start()
 
+  // ---- st25: streaming sitemap discovery ----
+
+  /** One st25 micro-batch: the crawl service's DISCOVERY half — parse
+    * arriving sitemap XML (the g08 kernel), land the per-entry parse
+    * under `$lakePath.discovered/batch=<id>`, and feed the IN-SCOPE
+    * entries into st20's canonical-URL admission for the SAME batch
+    * id. Cross-host decoys are flagged and stop HERE — the protocol
+    * scopes a sitemap to its own host, so a decoy URL must never
+    * reach the admission index, let alone the fetch frontier. The
+    * gate's doc_ids are minted as `xxhash64(loc)` — deterministic
+    * from the URL itself (host-agnostic, replay-stable; ties between
+    * identical URLs collapse to one winner either way), so a replayed
+    * drain re-derives identical rows and every landing is Overwrite-
+    * idempotent; the st20 half keeps its own replay discipline (the
+    * self-batch-excluding index probe). The audit conserves
+    * `entries = in_scope + cross_host`; admission accounting lives in
+    * st20's own audit row for the batch.
+    *
+    * Scale: the parse is per-row codegen'd regex (block explode fans
+    * out to entries only — no shuffle); only slim (doc_id, url) rows
+    * reach the gate, whose index probe is partition-confined to the
+    * batch's hash buckets.
+    */
+  def sitemapDiscoverBatch(batch: DataFrame, lakePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val entries = graft.operators.Graph.sitemapExtractOver(batch)
+      .localCheckpoint(true) // one parse feeds landing + audit + gate
+    val tot = entries.agg(count(lit(1)), sum(col("in_scope"))).head()
+    val (nEntries, nInScope) = (tot.getLong(0), tot.getLong(1))
+    entries.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.discovered/batch=$batchId")
+    urlGateBatch(
+      entries.filter(col("in_scope") === 1L)
+        .select(xxhash64(col("loc")).as("doc_id"), col("loc").as("url")),
+      lakePath, batchId)
+    Seq((batchId, nEntries, nInScope, nEntries - nInScope))
+      .toDF("batch_id", "entries", "in_scope", "cross_host")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.discovered.audit/batch=$batchId")
+  }
+
+  /** st25: STREAMING sitemap discovery — [[sitemapDiscoverBatch]] per
+    * micro-batch over a (host, xml) sitemap stream: g08's extraction
+    * as a continuous drain in FRONT of st20's URL gate, completing
+    * the crawl service's discovery half (publishers announce URLs;
+    * the gate dedupes them against everything already admitted).
+    */
+  def st25SitemapDiscoverStream(sitemaps: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sitemaps.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sitemapDiscoverBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st25's recurring per-drain cost: sitemap parse + scope flagging
+    * + URL-gate admission + landings over the planted per-host
+    * sitemaps as one micro-batch. Stateless parse + the st20 index
+    * append — benched as one row (the st24 shape).
+    */
+  def st25BenchDiscover(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st25", dir)
+    clearRoot(spark, root)
+    sitemapDiscoverBatch(
+      graft.operators.Graph.demoSitemaps(
+        graft.Tables(spark, dir).documents),
+      s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** One st21 micro-batch: scrub media metadata from the batch's
     * payloads and land every row under `batch=<id>` — a TRANSFORM
     * like st18, not a gate: docs always land, never carrying

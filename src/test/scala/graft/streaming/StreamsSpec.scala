@@ -816,6 +816,74 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == landed, s"replay changed the lake: $after")
   }
 
+  test("st25 sitemap discovery: decoys stop at parse, gate dedupes, replay idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_st25")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def sm(host: String, locs: Seq[String]) =
+      (host, "<?xml version=\"1.0\"?>\n<urlset>\n" +
+        locs.map(l => s"  <url>\n    <loc>$l</loc>\n  </url>\n").mkString +
+        "</urlset>\n")
+    val drain1 = Seq(
+      sm("a.example.com", Seq(
+        "https://a.example.com/p/1",
+        "https://a.example.com/p/2",
+        "https://b.example.com/decoy")), // cross-host decoy
+      sm("b.example.com", Seq("https://b.example.com/p/1")))
+    // drain 2: a re-ANNOUNCED URL plus a new one — the persisted
+    // canonical-URL index (not in-batch rank) must reject the former
+    val drain2 = Seq(
+      sm("a.example.com", Seq(
+        "https://a.example.com/p/1",
+        "https://a.example.com/p/9")))
+    val input = MemoryStream[(String, String)](spark)
+    val q = Streams.st25SitemapDiscoverStream(
+      input.toDS().toDF("host", "xml"), lake, ckpt)
+    input.addData(drain1: _*)
+    q.processAllAvailable()
+    input.addData(drain2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the discovery landing keeps EVERY parsed entry, decoy flagged
+    val disc = spark.read.parquet(lake + ".discovered")
+    assert(disc.count() == 6, s"discovered ${disc.count()}")
+    assert(disc.filter(col("in_scope") === 0L).collect()
+      .map(_.getAs[String]("loc")).toSeq ==
+      Seq("https://b.example.com/decoy"), "decoy flagging")
+    // the decoy never reaches the admitted lake; the re-announced URL
+    // admits exactly once (first drain)
+    val landed = spark.read.parquet(lake).select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(landed == Set("https://a.example.com/p/1",
+      "https://a.example.com/p/2", "https://b.example.com/p/1",
+      "https://a.example.com/p/9"), s"landed $landed")
+    val b1 = spark.read.parquet(s"$lake/batch=1").select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(b1 == Set("https://a.example.com/p/9"), s"batch 1 landed $b1")
+    // discovery audit conserves entries = in_scope + cross_host
+    val audit = spark.read.parquet(lake + ".discovered.audit").collect()
+      .map(r => r.getAs[Long]("batch_id") -> (r.getAs[Long]("entries"),
+        r.getAs[Long]("in_scope"), r.getAs[Long]("cross_host"))).toMap
+    assert(audit(0L) == ((4L, 3L, 1L)) && audit(1L) == ((2L, 2L, 0L)),
+      s"discovery audit $audit")
+    audit.values.foreach { case (e, i, c) => assert(e == i + c) }
+    // st20's own audit accounts the admission half: drain 2 saw 2
+    // in-scope URLs arrive, admitted 1, lake-duped 1
+    val gAudit = spark.read.parquet(lake + ".audit").collect()
+      .map(r => r.getAs[Long]("batch_id") -> (r.getAs[Long]("arrived"),
+        r.getAs[Long]("admitted"), r.getAs[Long]("dup_lake"))).toMap
+    assert(gAudit(1L) == ((2L, 1L, 1L)), s"gate audit $gAudit")
+    // replay drain 1: Overwrite landings + the self-batch-excluding
+    // index probe re-derive the identical lake
+    Streams.sitemapDiscoverBatch(drain1.toDF("host", "xml"), lake,
+      batchId = 0L)
+    val after = spark.read.parquet(lake).select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(after == landed, s"replay changed the lake: $after")
+  }
+
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st18")
