@@ -735,6 +735,40 @@ object Oracles {
     "t23_unigram_train" -> unigramTrainSql,
     "t03b_script_id" -> scriptIdSql,
 
+    // g11: rebuild the two planted URL families, replay the digit-run
+    // template collapse (DuckDB regexp_replace needs the 'g' flag to
+    // match Spark's replace-all default), the distinct-path counts,
+    // the host-share window, and the depth-AND-concentration verdict
+    // (integer cross-multiplication, no floats)
+    "g11_trap_detect" ->
+      ("""WITH u0 AS (
+        |  SELECT 'site' || ((doc_id // 5) % 50) || '.example.com' AS host,
+        |    '/docs/' || doc_id AS path
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'site' || ((doc_id // 5) % 50) || '.example.com',
+        |    '/cal/' || doc_id || '/' || k || '/' || k
+        |  FROM documents, (SELECT unnest([1, 2, 3, 4]) AS k) ks
+        |  WHERE doc_id % 5 = 0),
+        |t AS (SELECT host,
+        |    regexp_replace(path, '[0-9]+', '{d}', 'g') AS template, path
+        |  FROM u0),
+        |c AS (SELECT host, template,
+        |    CAST(COUNT(DISTINCT path) AS BIGINT) AS n_urls
+        |  FROM t GROUP BY 1, 2),
+        |w AS (SELECT *, SUM(n_urls) OVER (PARTITION BY host) AS host_urls,
+        |    (length(template) - length(replace(template, '{d}', ''))) // 3
+        |      AS runs
+        |  FROM c)
+        |SELECT host, template, n_urls, CAST(runs AS BIGINT) AS digit_runs,
+        |  CAST(CASE WHEN runs >= 3 AND n_urls * 4 >= host_urls
+        |    AND n_urls >= """.stripMargin +
+      operators.Graph.TrapMinUrls.toString +
+      """
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+        |FROM w
+        |ORDER BY host, template""".stripMargin),
+
     // g05: rebuild the meta-robots plant byte-for-byte (incl. the
     // tolerant-markup variants: reversed attribute order, single /
     // no quotes, whitespace around '='), replay the two-step tolerant

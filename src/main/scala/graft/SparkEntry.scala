@@ -175,6 +175,7 @@ object SparkEntry {
     "g08_sitemap_extract" -> ((s, dir) => Graph.g08SitemapExtract(s, dir)),
     "g09_discovered_plan" -> ((s, dir) => Graph.g09DiscoveredPlan(s, dir)),
     "g10_recrawl_plan" -> ((s, dir) => Graph.g10RecrawlPlan(s, dir)),
+    "g11_trap_detect" -> ((s, dir) => Graph.g11TrapDetect(s, dir)),
     "c26_bloom_decontam" -> ((s, dir) => Corpus.c26BloomDecontam(s, dir)),
     "t22_cms_topk" -> ((s, dir) => TextOps.t22CmsTopk(s, dir)),
     "s17_margin_mining" -> ((s, dir) => Ann.s17MarginMining(s, dir)),

@@ -802,6 +802,82 @@ object Graph {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- g11
+
+  /** The g11 plant: one crawled-link URL per doc (`/docs/{id}` — an
+    * id-parameterized but SHALLOW family) plus, for every 5th doc, 4
+    * calendar-style URLs (`/cal/{id}/{k}/{k}` — the classic crawler
+    * trap: a deep parameterized space that explodes combinatorially).
+    * Both families scale WITH the corpus, so their per-host shares
+    * are SF-invariant and the ratio-based verdict is stable at every
+    * scale factor.
+    */
+  private[graft] def demoTrapUrls(docs: DataFrame): DataFrame = {
+    val normal = docs.select(demoHostCol.as("host"),
+      concat(lit("/docs/"), col("doc_id")).as("path"))
+    val traps = docs.filter(col("doc_id") % 5 === 0)
+      .select(demoHostCol.as("host"), col("doc_id"),
+        explode(expr("array(1L, 2L, 3L, 4L)")).as("k"))
+      .select(col("host"),
+        concat(lit("/cal/"), col("doc_id"), lit("/"), col("k"), lit("/"),
+          col("k")).as("path"))
+    normal.unionByName(traps)
+  }
+
+  /** g11 kernel over any (host, path) frontier: crawler-trap
+    * detection by URL-template explosion (public practice — Heritrix
+    * path-repetition rules, IRLbot's spam/trap budgeting): collapse
+    * every digit run to a `{d}` slot, count DISTINCT paths per
+    * (host, template), and flag a template as a trap when it is BOTH
+    * deep (≥ 3 parameter slots — calendars, session paths, cursor
+    * chains) AND concentrated (≥ 1/4 of the host's distinct URLs —
+    * integer cross-multiplication, no floats) AND actually exploded
+    * (≥ [[TrapMinUrls]] distinct paths). Share alone would flag every
+    * id-parameterized listing (`/docs/{d}` is most of a normal
+    * site); depth alone would flag benign deep permalinks the moment
+    * one exists; and without the absolute floor a single deep URL on
+    * a small host is 100% of its frontier. A planner joins `is_trap`
+    * templates back to stop budgeting URLs the frontier will never
+    * exhaust.
+    *
+    * Scale: one groupBy on (host, template) + one host-partitioned
+    * window — no global state; templates are short strings and the
+    * per-host template set is bounded by site structure, not corpus
+    * size.
+    */
+  /** The g11 explosion floor — referenced by the oracle generator
+    * too, so the two cannot drift. 8 keeps the demo plant (0.8 URLs
+    * per doc, ≥ 10 docs per host at every SF) above the floor.
+    */
+  val TrapMinUrls = 8
+
+  def urlTrapsOver(urls: DataFrame): DataFrame = {
+    val tmpl = urls.select(col("host"),
+      regexp_replace(col("path"), "[0-9]+", "{d}").as("template"),
+      col("path"))
+    val counts = tmpl.groupBy("host", "template")
+      .agg(countDistinct(col("path")).as("n_urls"))
+    val wnd = Window.partitionBy("host")
+    val runs = expr(
+      "(length(template) - length(replace(template, '{d}', ''))) div 3")
+    counts
+      .withColumn("host_urls", sum("n_urls").over(wnd))
+      .select(col("host"), col("template"), col("n_urls"),
+        runs.cast("long").as("digit_runs"),
+        (runs >= 3 && col("n_urls") * 4 >= col("host_urls") &&
+          col("n_urls") >= TrapMinUrls)
+          .cast("long").as("is_trap"))
+  }
+
+  /** g11: crawler-trap templates over the planted demo frontier —
+    * the governance axis's SAFETY valve beside g06's permissions and
+    * g07's budgets (robots.txt can't announce a trap; the crawler
+    * must infer it from its own frontier's shape).
+    */
+  def g11TrapDetect(spark: SparkSession, dir: String): DataFrame =
+    urlTrapsOver(demoTrapUrls(Tables(spark, dir).documents))
+      .orderBy("host", "template")
+
   /** g02 iterations over ANY weighted (src, dst, w) edge frame. */
   def hitsOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
     val edges = edgesIn.localCheckpoint(false)

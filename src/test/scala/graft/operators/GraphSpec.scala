@@ -455,6 +455,43 @@ class GraphSpec extends AnyFunSuite {
       "budget never bound — the plant should cross it on some host")
   }
 
+  test("g11 trap verdict needs depth AND share AND explosion — each alone fails") {
+    // planted families: the deep+concentrated calendar template flags
+    // on every host; the id-parameterized /docs listing never does
+    val got = Graph.g11TrapDetect(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((h, t), (_, runs, trap)) =>
+      t match {
+        case "/cal/{d}/{d}/{d}" =>
+          assert(runs == 3L && trap == 1L, s"$h $t runs=$runs trap=$trap")
+        case "/docs/{d}" =>
+          assert(runs == 1L && trap == 0L, s"$h $t runs=$runs trap=$trap")
+        case other => fail(s"unexpected template $other on $h")
+      }
+    }
+    import spark.implicits._
+    // share floor: 8 deep URLs among 40 shallow ones is 17% — no flag
+    val diluted = (Seq.tabulate(40)(i => ("h", s"/page/$i")) ++
+      Seq.tabulate(8)(i => ("h", s"/cal/1/2/$i"))).toDF("host", "path")
+    val dl = Graph.urlTrapsOver(diluted).collect()
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(dl == Map("/page/{d}" -> 0L, "/cal/{d}/{d}/{d}" -> 0L), s"$dl")
+    // the same deep family at 50% share flags
+    val heavy = (Seq.tabulate(8)(i => ("h", s"/page/$i")) ++
+      Seq.tabulate(8)(i => ("h", s"/cal/1/2/$i"))).toDF("host", "path")
+    val hv = Graph.urlTrapsOver(heavy).collect()
+      .map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(hv == Map("/page/{d}" -> 0L, "/cal/{d}/{d}/{d}" -> 1L), s"$hv")
+    // explosion floor: duplicates collapse (distinct paths), and one
+    // deep URL owning 100% of a tiny host is still not a trap
+    val dup = Seq.fill(6)(("h", "/cal/1/2/3")).toDF("host", "path")
+    val d = Graph.urlTrapsOver(dup).collect().head
+    assert(d.getLong(2) == 1L && d.getLong(4) == 0L,
+      s"n=${d.getLong(2)} trap=${d.getLong(4)}")
+  }
+
   test("g08 sitemap extraction recovers every entry, flags cross-host decoys") {
     val rows = Graph.g08SitemapExtract(spark, graft.TestSpark.Sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1)) ->
