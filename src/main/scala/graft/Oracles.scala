@@ -788,15 +788,16 @@ object Oracles {
         |  FROM documents),
         |tg AS (SELECT doc_id,
         |    regexp_extract(html,
-        |      '(?i)<meta\b[^>]*\bname\s*=\s*["'']?robots\b[^>]*>', 0) AS tag
+        |      '(?i)<meta\b(?:[^>"'']|"[^"]*"|''[^'']*'')*?[\s"''/]name\s*=\s*["'']?robots\b["'']?(?:[^>"'']|"[^"]*"|''[^'']*'')*>',
+        |      0) AS tag
         |  FROM h),
         |f AS (SELECT doc_id, lower(COALESCE(
         |    nullif(regexp_extract(tag,
-        |      '(?i)\bcontent\s*=\s*"([^"]*)"', 1), ''),
+        |      '(?i)[\s"''/]content\s*=\s*"([^"]*)"', 1), ''),
         |    nullif(regexp_extract(tag,
-        |      '(?i)\bcontent\s*=\s*''([^'']*)''', 1), ''),
+        |      '(?i)[\s"''/]content\s*=\s*''([^'']*)''', 1), ''),
         |    regexp_extract(tag,
-        |      '(?i)\bcontent\s*=\s*([^\s"''/>]+)', 1))) AS robots
+        |      '(?i)[\s"''/]content\s*=\s*([^\s"''/>]+)', 1))) AS robots
         |  FROM tg),
         |g AS (SELECT doc_id, robots,
         |    CAST(contains(robots, 'noindex') OR robots = 'none'

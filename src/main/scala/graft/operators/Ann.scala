@@ -760,6 +760,18 @@ object Ann {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val fs = p(path).getFileSystem(hconf)
     // "" (the data dir) must be FIRST in `suffixes`
+    // refuse BEFORE touching anything if staging is incomplete: a
+    // retry after a crashed publish (staging already promoted, .old
+    // holding the only coherent prior copy) must fail loudly here,
+    // not destroy the recovery copy and then throw mid-promote
+    // (review r13 #4)
+    suffixes.foreach { sfx =>
+      val staged = p(path + ".staging" + sfx)
+      if (!fs.exists(staged))
+        throw new java.io.IOException(
+          s"index publish: staged artifact $staged missing — refusing" +
+            " to touch the live/.old artifacts")
+    }
     suffixes.foreach(sfx => fs.delete(p(path + ".old" + sfx), true))
     suffixes.foreach { sfx =>
       val live = p(path + sfx)

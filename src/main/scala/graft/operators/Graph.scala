@@ -324,12 +324,15 @@ object Graph {
     * double/single/no quotes, optional whitespace around `=`,
     * case-insensitive via inline `(?i)` groups — all Java ↔ RE2
     * portable (`\b` word boundaries, no lookaround), t18's
-    * discipline. Known narrow scope: only the FIRST meta tag whose
-    * `name` resolves to `robots` is read (multiple robots tags are
-    * rare and additive in practice), and an attribute VALUE that
-    * itself contains `name=robots` could confuse the tag match —
-    * acceptable for governance (fails CLOSED only, never open).
-    * Per-row codegen'd regex; no shuffle.
+    * discipline; quoted attribute values may legally contain `>` and
+    * the tag walker steps over them atomically. Known narrow scope:
+    * only the FIRST meta tag whose `name` resolves to `robots` is
+    * read (multiple robots tags are rare and additive in practice),
+    * and MALFORMED markup — an unclosed tag, unpaired quotes, a
+    * value containing the literal text `name=robots` — can still
+    * defeat a regex-level parse and fail open; well-formed HTML in
+    * any attribute order/quoting does not. Per-row codegen'd regex;
+    * no shuffle.
     */
   def robotsFlagsOver(pages: DataFrame): DataFrame = {
     // the derived columns would silently OVERWRITE same-named input
@@ -343,15 +346,25 @@ object Graph {
     // two-step tolerant extraction: (1) the first <meta ...> tag whose
     // name attribute resolves to robots (either attribute order, any
     // quote style, whitespace around '='); (2) its content value —
-    // double-quoted, then single-quoted, then unquoted token
+    // double-quoted, then single-quoted, then unquoted token. The
+    // attribute walker `(?:[^>"']|"[^"]*"|'[^']*')*` steps over
+    // QUOTED values atomically, so a legal '>' inside a quoted
+    // attribute never truncates the tag (review r13 #2), and the
+    // `[\s"'/]` delimiter before name/content stops hyphenated
+    // decoys like data-name= / data-content= from shadowing the real
+    // attribute (review r13 #3 — RE2 has no lookbehind; after
+    // `<meta` a real attribute is always preceded by one of these).
     val tag = regexp_extract(col("html"),
-      "(?i)<meta\\b[^>]*\\bname\\s*=\\s*[\"']?robots\\b[^>]*>", 0)
+      "(?i)<meta\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?" +
+        "[\\s\"'/]name\\s*=\\s*[\"']?robots\\b[\"']?" +
+        "(?:[^>\"']|\"[^\"]*\"|'[^']*')*>", 0)
     val content = lower(coalesce(
       nullif(regexp_extract(tag,
-        "(?i)\\bcontent\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
+        "(?i)[\\s\"'/]content\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
       nullif(regexp_extract(tag,
-        "(?i)\\bcontent\\s*=\\s*'([^']*)'", 1), lit("")),
-      regexp_extract(tag, "(?i)\\bcontent\\s*=\\s*([^\\s\"'/>]+)", 1)))
+        "(?i)[\\s\"'/]content\\s*=\\s*'([^']*)'", 1), lit("")),
+      regexp_extract(tag,
+        "(?i)[\\s\"'/]content\\s*=\\s*([^\\s\"'/>]+)", 1)))
     // input columns RIDE ALONG (the verdict is per ROW, and a gate
     // that joins verdicts back by key would admit every row sharing a
     // doc_id with an admitted one — e.g. a URL re-crawled within one

@@ -1513,7 +1513,12 @@ object Streams {
     if (batch.isEmpty) return
     val entries = graft.operators.Graph.sitemapExtractOver(batch)
       .localCheckpoint(true) // one parse feeds landing + audit + gate
-    val tot = entries.agg(count(lit(1)), sum(col("in_scope"))).head()
+    // coalesce: a non-empty batch whose sitemaps parse to ZERO
+    // entries (empty urlset, non-XML garbage) sums to NULL, and a
+    // bare getLong would NPE inside foreachBatch — a poison pill the
+    // checkpoint replays forever (review r13 #1)
+    val tot = entries.agg(count(lit(1)),
+      coalesce(sum(col("in_scope")), lit(0L))).head()
     val (nEntries, nInScope) = (tot.getLong(0), tot.getLong(1))
     entries.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.discovered/batch=$batchId")

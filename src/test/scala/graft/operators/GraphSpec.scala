@@ -339,7 +339,14 @@ class GraphSpec extends AnyFunSuite {
         "content='noindex' data-x=\"1\">"),
       // near-miss names must NOT match
       (6L, "<html><head><meta name=\"robotsx\" content=\"noindex\"/>"),
-      (7L, "<html><head><meta name=\"x-robots\" content=\"\"/>"))
+      (7L, "<html><head><meta name=\"x-robots\" content=\"\"/>"),
+      // a legal '>' inside a quoted value must not truncate the tag
+      // (review r13 #2)
+      (8L, "<html><head><meta name=\"robots\" content=\"noarchive > noindex\"/>"),
+      // a hyphenated decoy attribute must not shadow the real robots
+      // tag that follows (review r13 #3)
+      (9L, "<html><head><meta data-name=robots content=\"x\"/>" +
+        "<meta name=\"robots\" content=\"noindex\"/>"))
       .map { case (id, h) => (id, h + "</head><body>t</body></html>") }
       .toDF("doc_id", "html")
     val got = Graph.robotsFlagsOver(pages).collect()
@@ -351,6 +358,10 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L) == (("noindex,nofollow", 1L)), s"doc 3: ${got(3L)}")
     assert(got(6L) == (("", 0L)), s"near-miss name matched: ${got(6L)}")
     assert(got(7L)._2 == 0L, s"x-robots matched: ${got(7L)}")
+    assert(got(8L) == (("noarchive > noindex", 1L)),
+      s"quoted '>' truncated the tag: ${got(8L)}")
+    assert(got(9L) == (("noindex", 1L)),
+      s"data-name decoy shadowed the robots tag: ${got(9L)}")
   }
 
   test("g07 frontier plan: budget binds on allowed URLs only, ranks ride along") {

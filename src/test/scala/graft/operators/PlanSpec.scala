@@ -234,42 +234,46 @@ class PlanSpec extends AnyFunSuite {
     val scaling = Set("customer", "supplier", "part", "orders", "lineitem",
       "documents", "events", "embeddings")
     // Adjudicated hints (the s17/c17 NLJ-sweep precedent): each query
-    // below force-broadcasts a frame whose cardinality IS bounded at
+    // below force-broadcasts frames whose cardinality IS bounded at
     // every corpus size, but by a property the plan can't prove —
     // a point lookup on the unique vec_id key, a fixed hash-bucket
     // domain, an eval set that is small by nature, or a bounded batch
-    // contract. The WHY is recorded per name; a NEW hint inside one
-    // of these queries rides its adjudication, so keep the broadcast
-    // surface of each audited when touching it.
-    val adjudicated: Map[String, String] = Map(
+    // contract. The WHY and the EXACT hint count are recorded per
+    // name: a future change that adds one more unbounded-looking hint
+    // inside an adjudicated query raises its count past the budget
+    // and fails the sweep — no wholesale per-query blind spot
+    // (review r13 #5); removing one fails too, prompting a re-audit.
+    val adjudicated: Map[String, (Int, String)] = Map(
       // 1-row query vector: point lookup vec_id = 0 on the unique key
-      "s01_ann_bruteforce" -> "1-row query vector (vec_id point lookup)",
-      "s09_ann_quantized" -> "1-row query vector (vec_id point lookup)",
-      "s12_ann_filtered" -> "1-row query vector (vec_id point lookup)",
+      "s01_ann_bruteforce" -> ((1, "1-row query vector (vec_id point lookup)")),
+      "s09_ann_quantized" -> ((1, "1-row query vector (vec_id point lookup)")),
+      "s12_ann_filtered" -> ((1, "1-row query vector (vec_id point lookup)")),
       // probe set = Hamming ball of the 1-row query signature
       // (≤ 1 + nBits + C(nBits,2) rows at any corpus size)
-      "s02_ann_lsh" -> "Hamming-ball probe set of the 1-row query sig",
+      "s02_ann_lsh" -> ((1, "Hamming-ball probe set of the 1-row query sig")),
       // query batch: vec_id < nQueries — bounded by the caller's
       // batch-size argument, same contract as s17's mining batch
-      "s03_knn_join" -> "bounded query batch (vec_id < nQueries)",
-      // s16: 1-row query vector + ≤8 distinct query terms
-      "s16_hybrid_search" -> "1-row query vector / <=8 query terms",
-      // s17: the docstring's BOUNDED broadcast mining batch X
-      "s17_margin_mining" -> "bounded mining batch X (caller contract)",
+      "s03_knn_join" -> ((1, "bounded query batch (vec_id < nQueries)")),
+      // s16: 1-row query vector + ≤8 distinct query terms (tf pass,
+      // idf pass, vector leg)
+      "s16_hybrid_search" -> ((3, "1-row query vector / <=8 query terms")),
+      // s17: the docstring's BOUNDED broadcast mining batch X, used
+      // in the forward scores, backward-kNN sums, and margin join
+      "s17_margin_mining" -> ((3, "bounded mining batch X (caller contract)")),
       // c14 DSIR: per-bucket log-ratio table, hashed feature space
       // caps it at 2^16 rows regardless of corpus size
-      "c14_importance_weights" -> "hash-bucket weight table (<=2^16 rows)",
+      "c14_importance_weights" -> ((1, "hash-bucket weight table (<=2^16 rows)")),
       // c17: the benchmark side is small by nature (eval sets are) —
       // the NLJ sweep's own adjudication
-      "c17_semantic_decontam" -> "benchmark eval set, small by nature",
-      // c19: per-metric totals grouped by a FIXED metric-name set
-      "c19_drift_report" -> "per-metric totals (fixed metric domain)",
+      "c17_semantic_decontam" -> ((1, "benchmark eval set, small by nature")),
+      // c19: per-metric totals grouped by a FIXED metric-name set,
+      // once per compared corpus half
+      "c19_drift_report" -> ((1, "per-metric totals (fixed metric domain)")),
       // t22: the 4x1024-cell CMS sketch — groupBy(seed, bucket) with
       // bucket = hash % width caps it at 4096 rows by construction
-      "t22_cms_topk" -> "CMS sketch (<=depth*width = 4096 cells)")
+      "t22_cms_topk" -> ((1, "CMS sketch (<=depth*width = 4096 cells)")))
     val offenders = allQueryExecutions.flatMap { case (name, qe) =>
-      if (adjudicated.contains(name)) Nil
-      else qe.analyzed.collect {
+      val hits = qe.analyzed.collect {
         case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
       }.flatMap { h =>
         val leaves = h.child.collectLeaves().flatMap {
@@ -287,6 +291,13 @@ class PlanSpec extends AnyFunSuite {
         }
         if (scalingLeaves.nonEmpty && !bounded) Some(s"$name -> $scalingLeaves")
         else None
+      }
+      adjudicated.get(name) match {
+        case Some((budget, why)) if hits.length == budget => Nil
+        case Some((budget, why)) => Seq(
+          s"$name: ${hits.length} uncapped-broadcast hints vs $budget" +
+            s" adjudicated ($why) -> $hits")
+        case None => hits
       }
     }
     assert(offenders.isEmpty,

@@ -882,6 +882,17 @@ class StreamsSpec extends AnyFunSuite {
     val after = spark.read.parquet(lake).select("url")
       .collect().map(_.getString(0)).toSet
     assert(after == landed, s"replay changed the lake: $after")
+    // poison-pill guard: a non-empty drain whose sitemaps parse to
+    // ZERO entries (empty urlset, garbage) must not throw — the NULL
+    // in-scope sum is coalesced and the audit records zeros
+    Streams.sitemapDiscoverBatch(
+      Seq(("c.example.com", "<?xml version=\"1.0\"?>\n<urlset></urlset>\n"),
+        ("d.example.com", "not xml at all")).toDF("host", "xml"),
+      lake, batchId = 7L)
+    val a7 = spark.read.parquet(lake + ".discovered.audit")
+      .where("batch_id = 7").collect().head
+    assert((a7.getAs[Long]("entries"), a7.getAs[Long]("in_scope"),
+      a7.getAs[Long]("cross_host")) == ((0L, 0L, 0L)), s"zero-entry audit $a7")
   }
 
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
