@@ -101,6 +101,10 @@ object Bench {
       // st25 is stateless parse + the st20 index append — one row,
       // the recurring per-drain sitemap-discovery cost
       "st25_discover" -> ((s, d) => streaming.Streams.st25BenchDiscover(s, d)),
+      // st26's recrawl planner, build/recurring split (name-sort
+      // keeps build before plan)
+      "st26_build" -> ((s, d) => streaming.Streams.st26BenchBuild(s, d)),
+      "st26_plan" -> ((s, d) => streaming.Streams.st26BenchPlan(s, d)),
       // the s14 distributed full-corpus trainer measured ALONE (the
       // auto-cutover path buildIvfIndex flips to past 16×sampleN —
       // visible at the 30× leg where the flip is live); the

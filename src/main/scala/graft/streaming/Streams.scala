@@ -1566,6 +1566,135 @@ object Streams {
     Seq(s"$root/lake").toDF("lake_path")
   }
 
+  // ---- st26: streaming recrawl planning ----
+
+  /** One st26 micro-batch: g10's freshness diff as a CONTINUOUS
+    * drain — parse arriving sitemaps (g08), collapse to one row per
+    * distinct in-scope URL (latest lastmod wins; ISO dates order
+    * lexically), diff against the persisted `.lastmod` ledger, and
+    * land the refetch-eligible rows (`new` | `stale`) under
+    * `.refetch/batch=<id>` — the feed a downstream fetcher drains.
+    * Only state-CHANGING rows append to the ledger (a fresh
+    * re-announcement writes nothing), so ledger growth tracks actual
+    * churn, not announcement volume; a URL's current state is the
+    * MAX lastmod over its appended rows. The g10 policy holds: a
+    * missing lastmod on a known URL is fresh (refetch-on-absence
+    * would re-crawl every minimal sitemap forever), and `'' <` every
+    * ISO date, so a URL first seen without lastmod goes stale the
+    * moment a real date appears.
+    *
+    * Replay discipline (st20's): the ledger probe EXCLUDES the
+    * replayed batch's own `batch=<id>` directory and is partition-
+    * confined to the batch's hash buckets; all landings are
+    * Overwrite on the batch directory. The audit conserves
+    * `entries = in_scope + cross_host` and
+    * `n_urls = n_new + n_stale + n_fresh`.
+    */
+  def recrawlBatch(batch: DataFrame, lakePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val entries = graft.operators.Graph.sitemapExtractOver(batch)
+      .localCheckpoint(true) // one parse feeds urls + audit
+    val tot = entries.agg(count(lit(1)),
+      coalesce(sum(col("in_scope")), lit(0L))).head()
+    val (nEntries, nInScope) = (tot.getLong(0), tot.getLong(1))
+    val urls = entries.filter(col("in_scope") === 1L)
+      .select(col("loc").as("url"), col("lastmod"))
+      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+      .withColumn("ub", ubBucket(col("url")))
+      .localCheckpoint(true) // feeds probe join + both landings
+    val ledgerPath = s"$lakePath.lastmod"
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+        Seq.empty[(String, String)].toDF("url", "stored_lastmod")
+      else {
+        // bounded collect (≤ UrlParts values) → partition filter
+        val ubs = urls.select("ub").distinct().collect()
+          .map(_.getInt(0)).toSeq
+        spark.read.schema("url STRING, lastmod STRING, ub INT, batch BIGINT")
+          .parquet(ledgerPath)
+          .filter(col("batch") =!= batchId)
+          .filter(col("ub").isin(ubs: _*))
+          .groupBy("url").agg(max(col("lastmod")).as("stored_lastmod"))
+      }
+    val status = urls.join(stored, Seq("url"), "left")
+      .withColumn("status",
+        when(col("stored_lastmod").isNull, "new")
+          .when(col("lastmod") =!= "" &&
+            col("lastmod") > col("stored_lastmod"), "stale")
+          .otherwise("fresh"))
+      .localCheckpoint(true) // feeds counts + refetch + ledger append
+    val cnt = status.agg(count(lit(1)),
+      coalesce(sum(when(col("status") === "new", 1L).otherwise(0L)),
+        lit(0L)),
+      coalesce(sum(when(col("status") === "stale", 1L).otherwise(0L)),
+        lit(0L))).head()
+    val (nUrls, nNew, nStale) = (cnt.getLong(0), cnt.getLong(1),
+      cnt.getLong(2))
+    val eligible = status.filter(col("status") =!= "fresh")
+    eligible.select("url", "lastmod", "status")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.refetch/batch=$batchId")
+    eligible.select(col("url"), col("lastmod"), col("ub"))
+      .repartition(col("ub"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).partitionBy("ub")
+      .parquet(s"$ledgerPath/batch=$batchId")
+    Seq((batchId, nEntries, nInScope, nEntries - nInScope, nUrls, nNew,
+        nStale, nUrls - nNew - nStale))
+      .toDF("batch_id", "entries", "in_scope", "cross_host", "n_urls",
+        "n_new", "n_stale", "n_fresh")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.refetch.audit/batch=$batchId")
+  }
+
+  /** st26: STREAMING recrawl planning — [[recrawlBatch]] per
+    * micro-batch over a (host, xml) sitemap stream: the incremental
+    * half of the crawl service beside st25's discovery (st25 answers
+    * "what exists", st26 answers "what changed since we fetched it").
+    */
+  def st26RecrawlStream(sitemaps: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sitemaps.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        recrawlBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st26 build phase (bench): the first drain against an empty
+    * ledger — every URL is new, the ledger seeds.
+    */
+  def st26BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st26", dir)
+    clearRoot(spark, root)
+    recrawlBatch(graft.operators.Graph.demoSitemaps(
+      graft.Tables(spark, dir).documents),
+      s"$root/lake", batchId = -1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  /** st26 plan phase (bench): the recurring drain — an identical
+    * re-announcement against the seeded ledger, so the ledger (not
+    * in-batch state) does the verdicting and every URL comes back
+    * fresh.
+    */
+  def st26BenchPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st26", dir)
+    recrawlBatch(graft.operators.Graph.demoSitemaps(
+      graft.Tables(spark, dir).documents),
+      s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** One st21 micro-batch: scrub media metadata from the batch's
     * payloads and land every row under `batch=<id>` — a TRANSFORM
     * like st18, not a gate: docs always land, never carrying

@@ -895,6 +895,80 @@ class StreamsSpec extends AnyFunSuite {
       a7.getAs[Long]("cross_host")) == ((0L, 0L, 0L)), s"zero-entry audit $a7")
   }
 
+  test("st26 recrawl stream: ledger-driven freshness, latest-lastmod wins, replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st26")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def sm(host: String, entries: Seq[(String, String)]) =
+      (host, "<?xml version=\"1.0\"?>\n<urlset>\n" +
+        entries.map { case (l, lm) =>
+          "  <url>\n    <loc>" + l + "</loc>\n" +
+            (if (lm.isEmpty) "" else s"    <lastmod>$lm</lastmod>\n") +
+            "  </url>\n"
+        }.mkString + "</urlset>\n")
+    val u1 = "https://a.example.com/u1"
+    val u2 = "https://a.example.com/u2"
+    val u3 = "https://a.example.com/u3"
+    val u4 = "https://b.example.com/u4"
+    val drain1 = Seq(sm("a.example.com", Seq(
+      (u1, "2026-01-05"), (u2, ""),
+      ("https://evil.example.com/x", "2026-01-01")))) // cross-host decoy
+    val drain2 = Seq(
+      sm("a.example.com", Seq(
+        (u1, "2026-01-05"), // unchanged → fresh
+        (u2, "2026-01-07"), // date appears over stored '' → stale
+        (u3, ""))), // never seen → new
+      // u4 announced TWICE in one drain — the later date must win
+      sm("b.example.com", Seq((u4, "2026-01-02"))),
+      sm("b.example.com", Seq((u4, "2026-01-09"))))
+    val input = MemoryStream[(String, String)](spark)
+    val q = Streams.st26RecrawlStream(
+      input.toDS().toDF("host", "xml"), lake, ckpt)
+    input.addData(drain1: _*)
+    q.processAllAvailable()
+    input.addData(drain2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // drain 1: both in-scope URLs are new; the decoy never plans
+    val b0 = spark.read.parquet(s"$lake.refetch/batch=0")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(b0 == Map(u1 -> "new", u2 -> "new"), s"batch 0: $b0")
+    // drain 2: ledger (not in-batch state) verdicts; latest lastmod
+    // of a twice-announced URL wins
+    val b1 = spark.read.parquet(s"$lake.refetch/batch=1")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2))).toMap
+    assert(b1 == Map(u2 -> (("2026-01-07", "stale")),
+      u3 -> (("", "new")), u4 -> (("2026-01-09", "new"))), s"batch 1: $b1")
+    // audits conserve both identities
+    val audit = spark.read.parquet(s"$lake.refetch.audit").collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Long]("entries"), r.getAs[Long]("in_scope"),
+          r.getAs[Long]("cross_host"), r.getAs[Long]("n_urls"),
+          r.getAs[Long]("n_new"), r.getAs[Long]("n_stale"),
+          r.getAs[Long]("n_fresh"))).toMap
+    assert(audit(0L) == ((3L, 2L, 1L, 2L, 2L, 0L, 0L)), s"audit0 ${audit(0L)}")
+    assert(audit(1L) == ((5L, 5L, 0L, 4L, 2L, 1L, 1L)), s"audit1 ${audit(1L)}")
+    audit.values.foreach { case (e, i, c, u, nw, st, fr) =>
+      assert(e == i + c && u == nw + st + fr)
+    }
+    // replay the LAST drain: the self-batch-excluding probe re-derives
+    // the identical refetch plan
+    Streams.recrawlBatch(drain2.toDF("host", "xml"), lake, batchId = 1L)
+    val b1r = spark.read.parquet(s"$lake.refetch/batch=1")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(b1r == b1.map { case (k, v) => k -> v._2 },
+      s"replay changed the plan: $b1r")
+    // zero-entry drain never throws; audit records zeros
+    Streams.recrawlBatch(
+      Seq(("c.example.com", "<urlset></urlset>")).toDF("host", "xml"),
+      lake, batchId = 7L)
+    val a7 = spark.read.parquet(s"$lake.refetch.audit")
+      .where("batch_id = 7").collect().head
+    assert((a7.getAs[Long]("entries"), a7.getAs[Long]("n_urls")) == ((0L, 0L)))
+  }
+
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st18")
