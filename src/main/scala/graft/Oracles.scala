@@ -788,7 +788,7 @@ object Oracles {
         |  FROM documents),
         |tg AS (SELECT doc_id,
         |    regexp_extract(html,
-        |      '(?i)<meta\b(?:[^>"'']|"[^"]*"|''[^'']*'')*?[\s"''/]name\s*=\s*["'']?robots\b["'']?(?:[^>"'']|"[^"]*"|''[^'']*'')*>',
+        |      '(?i)<meta\b(?:[^>"'']|"[^"]*"|''[^'']*'')*?[\s"''/]name\s*=\s*(?:"robots"(?:[^>"'']|"[^"]*"|''[^'']*'')*|''robots''(?:[^>"'']|"[^"]*"|''[^'']*'')*|robots[\s/](?:[^>"'']|"[^"]*"|''[^'']*'')*|robots)>',
         |      0) AS tag
         |  FROM h),
         |f AS (SELECT doc_id, lower(COALESCE(
@@ -901,7 +901,10 @@ object Oracles {
          |  FROM smf WHERE in_scope = 1),
          |fst AS (SELECT d.doc_id, d.host, d.path, d.lastmod, a.admitted_on,
          |    CASE WHEN a.admitted_on IS NULL THEN 'new'
-         |         WHEN d.lastmod <> '' AND d.lastmod > a.admitted_on
+         |         WHEN regexp_extract(d.lastmod,
+         |             '^(\\d{4}-\\d{2}-\\d{2})', 1) <> ''
+         |           AND regexp_extract(d.lastmod,
+         |             '^(\\d{4}-\\d{2}-\\d{2})', 1) > a.admitted_on
          |           THEN 'stale'
          |         ELSE 'fresh' END AS status
          |  FROM disc d LEFT JOIN adm a

@@ -354,10 +354,18 @@ object Graph {
     // decoys like data-name= / data-content= from shadowing the real
     // attribute (review r13 #3 — RE2 has no lookbehind; after
     // `<meta` a real attribute is always preceded by one of these).
+    // the name VALUE must terminate right after `robots`: quoted
+    // values close their quote, unquoted ones hit whitespace / '/'
+    // or end the tag — `robots\b` alone would let an UNQUOTED
+    // name=robots-feed decoy match ('-' is a word boundary) and
+    // shadow a real robots tag behind it (review r13 #8)
+    val walker = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*"
     val tag = regexp_extract(col("html"),
-      "(?i)<meta\\b(?:[^>\"']|\"[^\"]*\"|'[^']*')*?" +
-        "[\\s\"'/]name\\s*=\\s*[\"']?robots\\b[\"']?" +
-        "(?:[^>\"']|\"[^\"]*\"|'[^']*')*>", 0)
+      "(?i)<meta\\b" + walker + "?[\\s\"'/]name\\s*=\\s*" +
+        "(?:\"robots\"" + walker +
+        "|'robots'" + walker +
+        "|robots[\\s/]" + walker +
+        "|robots)>", 0)
     val content = lower(coalesce(
       nullif(regexp_extract(tag,
         "(?i)[\\s\"'/]content\\s*=\\s*\"([^\"]*)\"", 1), lit("")),
@@ -779,18 +787,25 @@ object Graph {
     * (publisher's lastmod POSTDATES the admitted copy — refetch),
     * `fresh` (otherwise — skip; a missing lastmod on an admitted URL
     * is fresh: the protocol makes lastmod optional, and refetching on
-    * absence would re-crawl every minimal sitemap forever). ISO dates
-    * compare correctly as strings. No window, no global state.
+    * absence would re-crawl every minimal sitemap forever). The
+    * comparison runs on the VALIDATED `YYYY-MM-DD` date prefix —
+    * lexical ordering is only sound over one uniform format, and an
+    * unvalidated 'TBD' / RFC-822 date would sort above every ISO
+    * date (st26 ledger discipline; freshness is deliberately
+    * DATE-granular). The output keeps the RAW lastmod. No window, no
+    * global state.
     */
   def recrawlStatusOver(discovered: DataFrame,
-      admitted: DataFrame): DataFrame =
+      admitted: DataFrame): DataFrame = {
+    val lmNorm = regexp_extract(col("lastmod"),
+      "^(\\d{4}-\\d{2}-\\d{2})", 1)
     discovered.join(admitted, Seq("host", "path"), "left")
       .withColumn("status",
         when(col("admitted_on").isNull, "new")
-          .when(col("lastmod") =!= "" &&
-            col("lastmod") > col("admitted_on"), "stale")
+          .when(lmNorm =!= "" && lmNorm > col("admitted_on"), "stale")
           .otherwise("fresh"))
       .withColumn("refetch", (col("status") =!= "fresh").cast("long"))
+  }
 
   /** g10: recrawl/freshness planning — which discovered URLs to
     * REfetch, budgeted. g08's in-scope entries diff against the

@@ -1577,7 +1577,9 @@ object Streams {
     * Only state-CHANGING rows append to the ledger (a fresh
     * re-announcement writes nothing), so ledger growth tracks actual
     * churn, not announcement volume; a URL's current state is the
-    * MAX lastmod over its appended rows. The g10 policy holds: a
+    * MAX lastmod over its appended rows, and
+    * [[recrawlCompactLedger]] folds the append history so a long-
+    * lived stream's probe reads one base plus the uncompacted tail. The g10 policy holds: a
     * missing lastmod on a known URL is fresh (refetch-on-absence
     * would re-crawl every minimal sitemap forever), and `'' <` every
     * ISO date, so a URL first seen without lastmod goes stale the
@@ -1600,8 +1602,20 @@ object Streams {
     val tot = entries.agg(count(lit(1)),
       coalesce(sum(col("in_scope")), lit(0L))).head()
     val (nEntries, nInScope) = (tot.getLong(0), tot.getLong(1))
+    // VALIDATE lastmod to its date prefix before any comparison or
+    // ledger write (review r13 #6): lexical ordering is only sound
+    // over one uniform format, and an unvalidated string ('TBD', an
+    // RFC-822 date) that sorts above every ISO date would append to
+    // the ledger and wedge its URL as never-stale FOREVER via the
+    // MAX aggregation. Non-conforming values normalize to '' (treated
+    // as absent); sub-day precision and timezone suffixes truncate —
+    // freshness is deliberately DATE-granular (same-day edits don't
+    // retrigger; a crawler that refetched on sub-day deltas would
+    // hammer hosts for timezone artifacts).
+    val lmNorm = regexp_extract(col("lastmod"),
+      "^(\\d{4}-\\d{2}-\\d{2})", 1)
     val urls = entries.filter(col("in_scope") === 1L)
-      .select(col("loc").as("url"), col("lastmod"))
+      .select(col("loc").as("url"), lmNorm.as("lastmod"))
       .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
       .withColumn("ub", ubBucket(col("url")))
       .localCheckpoint(true) // feeds probe join + both landings
@@ -1612,14 +1626,22 @@ object Streams {
       if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
         Seq.empty[(String, String)].toDF("url", "stored_lastmod")
       else {
-        // bounded collect (≤ UrlParts values) → partition filter
+        // bounded collect (≤ UrlParts values) → partition filter; the
+        // live filter keys on the compaction watermark so a compacted
+        // base and leftover folded directories never double-read
+        // ([[recrawlCompactLedger]] — st23's ledger discipline)
         val ubs = urls.select("ub").distinct().collect()
           .map(_.getInt(0)).toSeq
         spark.read.schema("url STRING, lastmod STRING, ub INT, batch BIGINT")
           .parquet(ledgerPath)
-          .filter(col("batch") =!= batchId)
+          .filter(domcountsLiveFilter(
+            graft.operators.Dedup.listBatchIds(spark, ledgerPath)) &&
+            col("batch") =!= batchId)
           .filter(col("ub").isin(ubs: _*))
-          .groupBy("url").agg(max(col("lastmod")).as("stored_lastmod"))
+          // defensive re-normalization: a pre-validation ledger row
+          // must not poison the MAX
+          .groupBy("url").agg(max(regexp_extract(col("lastmod"),
+            "^(\\d{4}-\\d{2}-\\d{2})", 1)).as("stored_lastmod"))
       }
     val status = urls.join(stored, Seq("url"), "left")
       .withColumn("status",
@@ -1652,19 +1674,61 @@ object Streams {
       .parquet(s"$lakePath.refetch.audit/batch=$batchId")
   }
 
+  /** x20-for-st26: consolidate the `.lastmod` ledger's `batch=<id>`
+    * directories with id ≤ `upTo` into ONE per-URL base under
+    * `batch=-(W+2)` (the shared
+    * [[graft.operators.Dedup.promoteCompactBase]] watermark
+    * encoding), keeping the hive `ub=` layout so probes stay
+    * partition-confined. Without this a churny stream's ledger grows
+    * one directory per drain forever and every [[recrawlBatch]]
+    * probe re-aggregates the URL's full append history (review r13
+    * #7 — st23's exact failure shape on a far larger key domain);
+    * after compaction a probe reads one MAX-folded snapshot plus the
+    * uncompacted tail. Replay contract (d13's): pass
+    * `upTo = currentBatch - 1` — a folded batch is no longer
+    * excludable by `batch =!= id`. Crash posture: these folds are
+    * MAXes, which ARE double-read-safe, but the read side still keys
+    * on the watermark base alone ([[domcountsLiveFilter]] — one
+    * shared rule, not per-ledger reasoning).
+    */
+  def recrawlCompactLedger(spark: SparkSession, lakePath: String,
+      upTo: Long): Unit = {
+    require(upTo >= 0, s"recrawlCompactLedger: upTo=$upTo must be >= 0")
+    val ledgerPath = s"$lakePath.lastmod"
+    graft.operators.Dedup.promoteCompactBase(spark, ledgerPath, upTo) {
+      (foldIds, staging) =>
+        spark.read.schema("url STRING, lastmod STRING, ub INT, batch BIGINT")
+          .parquet(ledgerPath)
+          .filter(domcountsLiveFilter(foldIds) && col("batch") <= upTo)
+          .groupBy("url", "ub")
+          .agg(max(regexp_extract(col("lastmod"),
+            "^(\\d{4}-\\d{2}-\\d{2})", 1)).as("lastmod"))
+          .select("url", "lastmod", "ub")
+          .repartition(col("ub"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("ub")
+          .parquet(staging)
+    }
+  }
+
   /** st26: STREAMING recrawl planning — [[recrawlBatch]] per
     * micro-batch over a (host, xml) sitemap stream: the incremental
     * half of the crawl service beside st25's discovery (st25 answers
     * "what exists", st26 answers "what changed since we fetched it").
+    * `compactEvery > 0` folds the `.lastmod` ledger every that-many
+    * drains (covering everything up to the PREVIOUS batch — the
+    * replay contract), st23's cadence.
     */
   def st26RecrawlStream(sitemaps: DataFrame, lakePath: String,
-      checkpointDir: String)
+      checkpointDir: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     sitemaps.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         recrawlBatch(batch.toDF(), lakePath, id)
+        if (compactEvery > 0 && id >= 1L && id % compactEvery == 0L)
+          recrawlCompactLedger(batch.sparkSession, lakePath, id - 1L)
       }
       .start()
 

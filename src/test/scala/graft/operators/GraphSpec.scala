@@ -346,7 +346,14 @@ class GraphSpec extends AnyFunSuite {
       // a hyphenated decoy attribute must not shadow the real robots
       // tag that follows (review r13 #3)
       (9L, "<html><head><meta data-name=robots content=\"x\"/>" +
-        "<meta name=\"robots\" content=\"noindex\"/>"))
+        "<meta name=\"robots\" content=\"noindex\"/>"),
+      // an UNQUOTED prefixed decoy VALUE (name=robots-feed) must not
+      // shadow either — 'robots\\b' alone would match it at the '-'
+      // boundary (review r13 #8)
+      (10L, "<html><head><meta name=robots-feed content=index>" +
+        "<meta name=\"robots\" content=\"noindex\"></head>"),
+      // value terminating straight at '>' or '/>' still matches
+      (11L, "<html><head><meta name=robots>"))
       .map { case (id, h) => (id, h + "</head><body>t</body></html>") }
       .toDF("doc_id", "html")
     val got = Graph.robotsFlagsOver(pages).collect()
@@ -362,6 +369,9 @@ class GraphSpec extends AnyFunSuite {
       s"quoted '>' truncated the tag: ${got(8L)}")
     assert(got(9L) == (("noindex", 1L)),
       s"data-name decoy shadowed the robots tag: ${got(9L)}")
+    assert(got(10L) == (("noindex", 1L)),
+      s"robots-feed decoy shadowed the robots tag: ${got(10L)}")
+    assert(got(11L) == (("", 0L)), s"bare name=robots tag: ${got(11L)}")
   }
 
   test("g07 frontier plan: budget binds on allowed URLs only, ranks ride along") {
@@ -464,6 +474,21 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(rows.exists { case (_, _, _, a, f, _, _) => a == 1L && f == 0L },
       "budget never bound — the plant should cross it on some host")
+    // lastmod validation (review r13 #6): a malformed value that
+    // lexically sorts ABOVE every ISO date normalizes to absent →
+    // fresh; a W3C datetime still compares by its DATE prefix
+    import spark.implicits._
+    val adm = Seq(("h", "/p", "2026-01-05")).toDF("host", "path",
+      "admitted_on")
+    def statusOf(lm: String): String =
+      Graph.recrawlStatusOver(
+        Seq(("h", "/p", 1L, lm)).toDF("host", "path", "doc_id", "lastmod"),
+        adm).collect().head.getAs[String]("status")
+    assert(statusOf("TBD") == "fresh", "malformed lastmod compared")
+    assert(statusOf("2026-01-07T09:00:00+09:00") == "stale",
+      "W3C datetime's date prefix ignored")
+    assert(statusOf("2026-01-05T23:59:59Z") == "fresh",
+      "same-day datetime retriggered — freshness must be date-granular")
   }
 
   test("g11 trap verdict needs depth AND share AND explosion — each alone fails") {

@@ -967,6 +967,33 @@ class StreamsSpec extends AnyFunSuite {
     val a7 = spark.read.parquet(s"$lake.refetch.audit")
       .where("batch_id = 7").collect().head
     assert((a7.getAs[Long]("entries"), a7.getAs[Long]("n_urls")) == ((0L, 0L)))
+    // lastmod validation: 'TBD' sorts above every ISO date lexically
+    // — unvalidated it would append to the ledger and wedge u1 as
+    // never-stale via the MAX; validated it is fresh, writes nothing,
+    // and a LATER genuine date still goes stale
+    Streams.recrawlBatch(Seq(sm("a.example.com", Seq((u1, "TBD"))))
+      .toDF("host", "xml"), lake, batchId = 8L)
+    val a8 = spark.read.parquet(s"$lake.refetch.audit")
+      .where("batch_id = 8").collect().head
+    assert(a8.getAs[Long]("n_fresh") == 1L, "malformed lastmod not fresh")
+    Streams.recrawlBatch(Seq(sm("a.example.com", Seq((u1, "2027-06-01"))))
+      .toDF("host", "xml"), lake, batchId = 9L)
+    val b9 = spark.read.parquet(s"$lake.refetch/batch=9")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(b9 == Map(u1 -> "stale"), s"post-TBD update not stale: $b9")
+    // ledger compaction: fold everything ≤ 9 into the watermark base;
+    // verdicts must be IDENTICAL off the compacted base, and the
+    // folded batch directories are gone
+    Streams.recrawlCompactLedger(spark, lake, upTo = 9L)
+    val dirs = new java.io.File(s"$lake.lastmod").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=-11"), s"ledger dirs after compaction: $dirs")
+    Streams.recrawlBatch(Seq(sm("a.example.com", Seq((u1, "2027-06-01"))))
+      .toDF("host", "xml"), lake, batchId = 10L)
+    val a10 = spark.read.parquet(s"$lake.refetch.audit")
+      .where("batch_id = 10").collect().head
+    assert(a10.getAs[Long]("n_fresh") == 1L,
+      "compacted ledger lost u1's state")
   }
 
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
