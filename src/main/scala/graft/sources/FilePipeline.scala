@@ -89,7 +89,13 @@ object FilePipeline {
         out.write(buf, 0, read); crc.update(buf, 0, read)
         total += read; read = in.read(buf)
       }
-    } finally { in.close(); out.close() }
+    } finally {
+      // each close in its own finally: an aborted source stream whose
+      // close() throws must not leak the destination handle/lease, or
+      // every retry dies on AlreadyBeingCreatedException and one
+      // transient blip becomes a permanent failed row
+      try in.close() finally out.close()
+    }
     (total, crc.getValue)
   }
 
@@ -123,9 +129,14 @@ object FilePipeline {
     */
   private def listDir(conf: Configuration, rootDir: String,
       dir: String): (Seq[String], Seq[FileEntry]) = {
-    val root = new Path(rootDir)
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
+    // qualify the root BEFORE prefix-stripping: listStatus returns
+    // fully-qualified paths, so a RELATIVE rootDir ("data/src") would
+    // never match as a prefix and rel_path would silently become the
+    // absolute path — mis-keying every sync row and mirroring files
+    // under destRoot/<abs-path>/ (review r13 sources #4)
+    val root = fs.makeQualified(new Path(rootDir))
     val dirs = mutable.ArrayBuffer[String]()
     val files = mutable.ArrayBuffer[FileEntry]()
     val it = fs.listStatusIterator(p)
@@ -353,7 +364,16 @@ object FilePipeline {
     val src = catalog(spark, srcRoot)
     val dst = catalog(spark, dstRoot)
     val metaPlan = syncPlan(src, dst)
-    val plan = if (verifyChecksums) syncPlanChecksum(metaPlan) else metaPlan
+    // the checksum sweep materializes ONCE (eager localCheckpoint):
+    // the upgraded/!upgraded split below and the pruneDeleted leg
+    // each consume `plan` lazily, and without pinning it every
+    // consumer would re-run syncPlanChecksum's full-content CRC of
+    // every unchanged file on BOTH sides — the opt-in verification
+    // sweep costs one pass, not two or three (and all consumers see
+    // ONE consistent plan even if files change mid-run)
+    val plan =
+      if (verifyChecksums) syncPlanChecksum(metaPlan).localCheckpoint(true)
+      else metaPlan
     // checksum-upgraded rows look metadata-clean (same size, dst not
     // older), so the copy executors' idempotent skip check would skip
     // exactly the corruption the sweep found — route them force-copied

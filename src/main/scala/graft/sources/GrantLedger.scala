@@ -35,13 +35,22 @@ object GrantLedger {
       .select("principal", "resource", "role", "action")
   }
 
-  /** Apply: merge the 'create' rows into the ledger (distinct union —
-    * replaying an apply cannot duplicate grants).
+  /** Apply: merge the 'create' rows into the ledger. New rows are
+    * anti-joined against the ledger FIRST, so a replayed apply (an
+    * at-least-once orchestrator re-running the same plan with a
+    * later grantedAt) is a true no-op — the original row and its
+    * audit timestamp survive. A bare union+dropDuplicates would keep
+    * an ARBITRARY row per key, nondeterministically rewriting
+    * granted_at on every replay. The trailing dropDuplicates only
+    * guards duplicate rows WITHIN one planned frame (all carrying
+    * this call's grantedAt, so the pick is value-deterministic).
     */
   def apply(ledger: DataFrame, planned: DataFrame, grantedAt: String): DataFrame = {
     val created = planned.filter(col("action") === "create")
       .select(col("principal"), col("resource"), col("role"),
         lit(grantedAt).as("granted_at"))
+      .join(ledger.select("principal", "resource", "role"),
+        Seq("principal", "resource", "role"), "left_anti")
     ledger.unionByName(created).dropDuplicates("principal", "resource", "role")
   }
 

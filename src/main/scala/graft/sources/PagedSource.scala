@@ -194,7 +194,7 @@ object PagedSource {
           first = false
           val p = withRetry(maxRetries, baseBackoffMs)(listPage(cur, token))
           found = p.items.find(it => it.isDir && it.name == seg).map(_.id)
-          token = p.nextToken
+          token = p.nextToken.filter(_.nonEmpty)
         }
         cur = found.getOrElse(throw new FileNotFoundException(
           s"resolveRoot: no directory '$seg' under '$cur' (resolving '$name')"))
@@ -224,7 +224,7 @@ object PagedSource {
         val p = withRetry(maxRetries, baseBackoffMs)(listPage(parentId, token))
         if (firstDir.isEmpty) firstDir = p.items.find(_.isDir).map(_.id)
         found = p.items.find(it => it.isDir && it.name == preferred).map(_.id)
-        token = p.nextToken
+        token = p.nextToken.filter(_.nonEmpty)
       }
       found.orElse(firstDir).getOrElse(throw new FileNotFoundException(
         s"resolveLibrary: no directories under '$parentId'"))
@@ -343,16 +343,29 @@ object PagedSource {
     var first = true
     while (first || token.nonEmpty) {
       first = false
-      RateLimiter.acquire("list", permitsPerSec)
-      val page = withRetry(maxRetries, baseBackoffMs)(
-        fetcher.listPage(dirId, token))
+      // the permit is acquired INSIDE the retry closure (the
+      // distCopyPaged discipline): a 429/5xx retry without a fresh
+      // permit would re-hit the API outside the token bucket exactly
+      // when the server asked to slow down
+      val page = withRetry(maxRetries, baseBackoffMs) {
+        RateLimiter.acquire("list", permitsPerSec)
+        fetcher.listPage(dirId, token)
+      }
       page.items.foreach { it =>
         val rel = if (dirRel.isEmpty) it.name else s"$dirRel/${it.name}"
-        if (it.isDir) dirs += ((it.id, rel))
+        // hidden-entry rule MATCHES FilePipeline.catalog (its
+        // Spark-convention dot/underscore filter): an entry the
+        // destination catalog will never list must not be copied, or
+        // every sync re-plans it copy_new and re-downloads it forever
+        if (it.name.startsWith(".") || it.name.startsWith("_")) ()
+        else if (it.isDir) dirs += ((it.id, rel))
         else files += FileEntry(it.id, it.name, rel,
           FilePipeline.extOf(it.name), it.size, it.mtime)
       }
-      token = page.nextToken
+      // empty-string tokens are TERMINAL at the walk level too, not
+      // just in HttpJsonFetcher: any custom fetcher that surfaces
+      // Some("") would otherwise spin this loop forever
+      token = page.nextToken.filter(_.nonEmpty)
     }
     (dirs.toSeq, files.toSeq)
   }
@@ -563,7 +576,13 @@ object PagedSource {
           it.path("isDir").asBoolean(false), it.path("size").asLong(0L),
           it.path("mtime").asLong(0L))
       }
-      val next = Option(root.get("nextToken")).filter(!_.isNull).map(_.asText())
+      // filter EMPTY tokens too, not just null/absent: servers
+      // commonly emit "nextToken": "" on the last page, and an
+      // Option("") keeps walkDir's token.nonEmpty loop spinning
+      // forever (re-requesting `&token=` — often page 1 — at the
+      // rate-limiter cap)
+      val next = Option(root.get("nextToken")).filter(!_.isNull)
+        .map(_.asText()).filter(_.nonEmpty)
       Page(items, next)
     }
 

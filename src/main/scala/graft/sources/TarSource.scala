@@ -60,7 +60,19 @@ object TarSource {
           new String(bytes, p + off, e - (p + off),
             java.nio.charset.StandardCharsets.US_ASCII)
         }
+        // the prefix field exists ONLY in ustar: GNU-format archives
+        // store atime/ctime octal text at offset 345, which a blind
+        // prefix join would read as a path component ("14712345671/
+        // doc.txt") with a still-valid checksum — exactly the silent
+        // mis-naming the PAX/longname refusals below exist to stop.
+        // Honor the prefix only under the ustar magic; refuse other
+        // magics when the field is non-empty (old v7 archives leave
+        // both the magic and the field zeroed — those pass through)
+        val magic = field(257, 6)
         val prefix = field(345, 155)
+        require(prefix.isEmpty || magic == "ustar",
+          s"non-ustar TAR magic '$magic' with a non-empty prefix " +
+            "field — refusing rather than mis-naming the member")
         val name0 = field(0, 100)
         val name = if (prefix.isEmpty) name0 else s"$prefix/$name0"
         val size = octal(bytes, p + 124, 12)

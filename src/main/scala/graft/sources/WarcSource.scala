@@ -181,11 +181,24 @@ object WarcSource {
       (bytes(1) & 0xff) == 0x8b) gunzipMembers(bytes)
     else bytes
 
+  /** Hard ceiling on an archive's PLAIN (inflated) size: the walker
+    * and its content slicing are single-array by design, so an
+    * archive inflating past ~2 GiB cannot be represented — it fails
+    * LOUDLY here (streaming intakes quarantine the row) instead of
+    * dying mid-inflate with a JVM OutOfMemoryError that reads like an
+    * infrastructure problem. Production-sized monolith archives (a
+    * Common Crawl segment inflates 4-5 GiB) must arrive SHARDED; the
+    * intake processes archives independently, so smaller shards
+    * restore the bound without any code change.
+    */
+  private val MaxPlainBytes: Long = Int.MaxValue.toLong - 64
+
   private def gunzipMembers(bytes: Array[Byte]): Array[Byte] = {
     def u8(i: Int) = bytes(i) & 0xff
     def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) |
       (u8(i + 2) << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
     val bos = new java.io.ByteArrayOutputStream()
+    var grand = 0L
     var p = 0
     while (p < bytes.length) {
       require(bytes.length - p >= 18, "truncated gzip member")
@@ -222,7 +235,13 @@ object WarcSource {
               throw new IllegalArgumentException(
                 s"corrupt deflate stream in gzip member: ${e.getMessage}")
           }
-          if (n > 0) { bos.write(buf, 0, n); crc.update(buf, 0, n); memberLen += n }
+          if (n > 0) {
+            grand += n
+            require(grand <= MaxPlainBytes,
+              s"archive inflates past the single-buffer intake cap" +
+                s" (~2 GiB plain) — shard the archive; see MaxPlainBytes")
+            bos.write(buf, 0, n); crc.update(buf, 0, n); memberLen += n
+          }
           else require(inf.finished(),
             "truncated deflate stream in gzip member")
         }

@@ -106,10 +106,22 @@ object Writers {
       targetBytes: Long = 128L << 20): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(p).filter { st =>
+    val all = fs.listStatus(p).filterNot { st =>
       val n = st.getPath.getName
-      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      n.startsWith(".") || n.startsWith("_")
     }
+    // ENFORCE the per-partition-directory contract the docstring
+    // states: on a partitioned table ROOT the top-level listing sees
+    // only directories, totalBytes would be 0, and the rewrite would
+    // silently flatten the whole table into one unpartitioned file —
+    // destroying directory pruning in a single "maintenance" call
+    val subdirs = all.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compact($path): directory contains subdirectories " +
+        s"(${subdirs.take(3).mkString(", ")}…) — run compact per " +
+        "partition directory; compacting a partitioned root would " +
+        "flatten its layout")
+    val dataFiles = all.filter(_.isFile)
     val before = dataFiles.length
     val totalBytes = dataFiles.map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt

@@ -35,6 +35,23 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(byRel("sub2/d.csv").name == "d.csv")
   }
 
+  test("f01 catalog handles a RELATIVE root without mangling rel_path") {
+    // the root must qualify before prefix-stripping: listStatus
+    // returns fully-qualified paths, so an unqualified relative root
+    // would never match as a prefix and rel_path would silently
+    // become the absolute path (mis-keying every sync row)
+    val relDir = s"target/graft_relroot_${System.nanoTime()}"
+    val d = new java.io.File(relDir)
+    assert(d.mkdirs())
+    val f = new java.io.File(d, "a.txt")
+    java.nio.file.Files.write(f.toPath, "hi".getBytes)
+    try {
+      val rels = FilePipeline.catalog(spark, relDir).collect()
+        .map(_.rel_path).toSeq
+      assert(rels == Seq("a.txt"), s"rel_path mangled: $rels")
+    } finally { f.delete(); d.delete() }
+  }
+
   test("f01 catalog distributes listing when the frontier is wide") {
     val root = Files.createTempDirectory("graft_wide")
     (1 to 40).foreach { i =>
@@ -239,6 +256,15 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(plan2.filter("action = 'already'").count() == 2)
     val ledger2 = GrantLedger.apply(ledger1, plan2, "2026-08-13")
     assert(ledger2.count() == 2)
+    // a replayed apply keeps the ORIGINAL audit timestamp: re-running
+    // the SAME create plan (at-least-once orchestrator) with a later
+    // grantedAt must not rewrite granted_at — a bare union+dedup kept
+    // an arbitrary row per key and flipped it nondeterministically
+    val ledger2b = GrantLedger.apply(ledger1, plan1, "2026-09-30")
+    val dates = ledger2b.select("granted_at").collect()
+      .map(_.getString(0)).toSet
+    assert(dates == Set("2026-08-12"),
+      s"replayed apply rewrote granted_at: $dates")
   }
 
   test("f04 name resolution: SP → application fallback, cached, over live HTTP") {

@@ -99,6 +99,40 @@ class PagedSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("empty nextToken terminates the walk; hidden entries never enumerate") {
+    import PagedSource.{Page, PageFetcher, PageItem}
+    // a serializable counter the executor-side walk can bump
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    object CountingFetcher extends PageFetcher {
+      override def listPage(dirId: String,
+          token: Option[String]): Page = {
+        // a runaway loop must fail the test, not hang the suite
+        require(calls.incrementAndGet() < 50, "runaway paging loop")
+        token match {
+          case None => Page(Seq(
+            PageItem("f1", "keep.txt", isDir = false, 4L, 0L),
+            // Spark-convention hidden entries: the destination
+            // catalog never lists them, so enumerating them would
+            // make every sync re-plan them copy_new forever
+            PageItem("f2", ".hidden.txt", isDir = false, 4L, 0L),
+            PageItem("f3", "_manifest.json", isDir = false, 4L, 0L),
+            PageItem("d1", "_tmp", isDir = true, 0L, 0L)), Some("1"))
+          // the LAST page hands back an EMPTY token — common server
+          // behavior; unfiltered it spins the walk forever
+          case Some("1") =>
+            Page(Seq(PageItem("f4", "keep2.txt", isDir = false, 4L, 0L)),
+              Some(""))
+          case Some(t) => throw new IllegalStateException(s"token $t")
+        }
+      }
+      override def open(fileId: String): java.io.InputStream =
+        new java.io.ByteArrayInputStream("data".getBytes)
+    }
+    val names = PagedSource.pagedCatalog(spark, CountingFetcher)
+      .collect().map(_.name).toSet
+    assert(names == Set("keep.txt", "keep2.txt"), s"enumerated $names")
+  }
+
   test("resolveRoot maps a human-readable path to the walk's rootId") {
     // synthetic endpoint: display names ("dir3") differ from ids ("d3"),
     // so the resolution is a genuine name→id mapping, paged (pageSize 3

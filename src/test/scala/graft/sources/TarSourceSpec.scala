@@ -68,6 +68,19 @@ class TarSourceSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       TarSource.buildTar(Seq("docé.txt" -> Array.empty[Byte]))
     }
+    // a NON-ustar archive (GNU stores atime/ctime octal text where
+    // ustar keeps the prefix) must refuse rather than silently emit
+    // "14712345671/file.txt" — the prefix join is ustar-magic-gated
+    val gnu = tar.clone()
+    "ustar  ".getBytes.copyToArray(gnu, 257) // GNU old magic+version
+    "14712345671".getBytes.copyToArray(gnu, 345) // atime field
+    java.util.Arrays.fill(gnu, 148, 156, ' '.toByte)
+    sum = 0L
+    for (i <- 0 until 512) sum += gnu(i) & 0xff
+    f"$sum%06o".getBytes.copyToArray(gnu, 148)
+    gnu(154) = 0; gnu(155) = ' '
+    val e = intercept[IllegalArgumentException] { TarSource.tarMembers(gnu) }
+    assert(e.getMessage.contains("non-ustar"), e.getMessage)
   }
 
   test("f12 walker fails loudly on corruption") {

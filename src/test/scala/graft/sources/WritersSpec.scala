@@ -310,4 +310,24 @@ class WritersSpec extends AnyFunSuite {
     assert(compacted.count() == expectedCount)
     assert(compacted.agg(sum("o_orderkey")).head.getLong(0) == expectedSum)
   }
+
+  test("x08 compact refuses a partitioned table root") {
+    // the docstring's per-partition-directory contract is ENFORCED:
+    // on a partitioned root the top-level listing sees only
+    // directories (totalBytes 0) and the rewrite would silently
+    // flatten the layout into one unpartitioned file
+    val t = Tables(spark, dir)
+    val root = Files.createTempDirectory("graft_compact_part").toString +
+      "/orders"
+    t.orders.limit(100)
+      .withColumn("pk", org.apache.spark.sql.functions.expr("o_orderkey % 3"))
+      .write.partitionBy("pk").parquet(root)
+    val e = intercept[IllegalArgumentException] {
+      Writers.compact(spark, root)
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    // the partition layout is untouched
+    assert(new java.io.File(root).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("pk=")))
+  }
 }
