@@ -136,11 +136,16 @@ object Streams {
       state.update(PackState(off))
       placed.iterator
     }
+    // flatMapGroupsWithState under Append (st02's form), NOT
+    // mapGroupsWithState: Spark permits the latter only in Update
+    // output mode, so the emit-once placements could never reach an
+    // Append-only sink (parquet files) despite being append-shaped —
+    // AnalysisException at start() (review r13 #14)
     docs.groupByKey(_.source)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout())(
         (k: String, it: Iterator[DocSize], s: GroupState[PackState]) =>
-          assign(k, it, s).toSeq)
-      .flatMap(identity)
+          assign(k, it, s))
   }
 
   /** The d13 signature index maintained beside an st13 lake — a
@@ -150,26 +155,17 @@ object Streams {
   def lakeIndexPath(lakePath: String): String = s"$lakePath.index"
 
   /** List the `batch=<id>` child directories of `dir` (empty when the
-    * directory doesn't exist). This filesystem probe is what decides
-    * "no history yet" — never an exception catch: a batch directory
-    * that exists but fails to READ (corrupt files, schema drift)
-    * propagates loudly instead of silently becoming an empty lake that
-    * admits everything.
+    * directory doesn't exist) — delegates to the ONE shared parser
+    * ([[graft.operators.Dedup.listBatchIds]]: same exists-probe,
+    * prefix filter, and loud non-numeric failure naming the path), so
+    * an edge-case fix there reaches every ledger/lake listing. Never
+    * an exception catch: a batch directory that exists but fails to
+    * READ propagates loudly instead of silently becoming an empty
+    * lake that admits everything.
     */
-  private def listBatches(fs: org.apache.hadoop.fs.FileSystem,
+  private def listBatches(spark: SparkSession,
       dir: org.apache.hadoop.fs.Path): Set[Long] =
-    if (!fs.exists(dir)) Set.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map { n =>
-        // a stray non-numeric directory fails loudly WITH ITS PATH —
-        // a bare .toLong here would wedge every later admitBatch on
-        // this lake with an error naming neither
-        n.stripPrefix("batch=").toLongOption.getOrElse(
-          throw new IllegalStateException(
-            s"non-numeric batch directory '$n' under $dir — remove or " +
-              "rename it (batch directories must be batch=<long>)"))
-      }.toSet
+    graft.operators.Dedup.listBatchIds(spark, dir.toString).toSet
 
   /** st13's batch engine: admit one micro-batch of documents into a
     * near-dup-gated lake, reading the lake ONLY through its persisted
@@ -201,13 +197,13 @@ object Streams {
     // that must be rebuilt (the per-batch Overwrite makes that
     // idempotent)
     val covered =
-      listBatches(fs, new Path(s"$indexPath/bands")) intersect
-        listBatches(fs, new Path(s"$indexPath/shingles"))
+      listBatches(spark, new Path(s"$indexPath/bands")) intersect
+        listBatches(spark, new Path(s"$indexPath/shingles"))
     // a compacted base directory (batch=-(W+2)) covers every lake
     // batch ≤ W — compaction folds batch dirs away, so coverage can't
     // be judged by directory listing alone
     val watermark = graft.operators.Dedup.compactWatermark(covered)
-    val lakeBatches = listBatches(fs, new Path(lakePath))
+    val lakeBatches = listBatches(spark, new Path(lakePath))
     lakeBatches
       .filter(b => !covered(b) && !watermark.exists(b <= _) && b != batchId)
       .toSeq.sorted.foreach { b =>
@@ -274,9 +270,7 @@ object Streams {
       }
       .start()
 
-  private def st13BenchRoot(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}" +
-      s"/graft_st13_${dir.hashCode.toHexString}"
+  private def st13BenchRoot(dir: String): String = gateBenchRoot("st13", dir)
 
   /** st13 build phase (bench): seed the admission lake + its d13 index
     * from the demo corpus in one [[admitBatch]] call — the one-time
@@ -527,14 +521,28 @@ object Streams {
     // AvailableNow's final empty commit batch: nothing to land or
     // audit — bail before paying the checkpoint + aggregate jobs
     if (batch.isEmpty) return
-    val scrubbed = graft.operators.Corpus.redactPiiOver(batch)
+    // the scrub rejoins by a MINTED row-unique id, never by doc_id:
+    // duplicate doc_ids within one drain (a URL re-crawled — the
+    // tolerance robotsGateBatch defends per-row) would cross-join
+    // each original row with EVERY clean text sharing its key,
+    // multiplying lake rows past the audit's docs count (review r13
+    // sweep). The uid frame is pinned FIRST — an unpinned
+    // monotonically_increasing_id can renumber between the scrub and
+    // the join actions.
+    require(!batch.columns.contains("row_uid"),
+      "piiScrubBatch: input already has column row_uid — rename it")
+    val withUid = batch.withColumn("row_uid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val scrubbed = graft.operators.Corpus.redactPiiOver(
+      withUid.select(col("row_uid").as("doc_id"), col("text")))
       .localCheckpoint(true) // one scrub pass feeds lake AND audit
     val tot = scrubbed.agg(
       count(lit(1)), sum(col("n_emails")), sum(col("n_ssns")),
       sum(col("n_phones")), sum(col("n_ips")), sum(col("n_ccs"))).head()
-    batch.drop("text")
-      .join(scrubbed.select(col("doc_id"), col("clean_text").as("text")),
-        Seq("doc_id"))
+    withUid.drop("text")
+      .join(scrubbed.select(col("doc_id").as("row_uid"),
+        col("clean_text").as("text")), Seq("row_uid"))
+      .drop("row_uid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
     Seq((batchId, tot.getLong(0), tot.getLong(1), tot.getLong(2),
@@ -579,10 +587,21 @@ object Streams {
     val spark = batch.sparkSession
     import spark.implicits._
     if (batch.isEmpty) return
+    // NULL html (nullable source column) extracts NULL flags — at the
+    // GATE they fail CLOSED (noindex, not admitted), keeping the
+    // arrived = admitted + noindex conservation exact and the sums
+    // non-null even on an all-null batch (an un-coalesced NULL sum
+    // NPE'd foreachBatch — a poison pill the checkpoint replays
+    // forever; review r13 #9). robotsFlagsOver itself stays null-in
+    // null-out (the g05 oracle's contract).
     val flagged = graft.operators.Graph.robotsFlagsOver(batch)
+      .withColumn("noindex", coalesce(col("noindex"), lit(1L)))
+      .withColumn("nofollow", coalesce(col("nofollow"), lit(1L)))
+      .withColumn("admit", coalesce(col("admit"), lit(0L)))
       .localCheckpoint(true) // one extraction pass feeds lake AND audit
-    val tot = flagged.agg(count(lit(1)), sum(col("noindex")),
-      sum(col("nofollow"))).head()
+    val tot = flagged.agg(count(lit(1)),
+      coalesce(sum(col("noindex")), lit(0L)),
+      coalesce(sum(col("nofollow")), lit(0L))).head()
     // per-ROW filter on the ride-along verdict — never a join back by
     // key, which would admit a noindex row sharing a doc_id with an
     // admitted one (a URL re-crawled within the same micro-batch)
@@ -839,10 +858,16 @@ object Streams {
     * store involved.
     */
   def st05EnrichJoin(events: Dataset[Event], dim: DataFrame,
-      dimKey: String): DataFrame =
-    events.toDF().join(
+      dimKey: String): DataFrame = {
+    // side-qualified keys: a dimension table that ALSO carries a
+    // user_id column (the natural user-dim case) made the bare
+    // col("user_id") ambiguous against the joined plan —
+    // AMBIGUOUS_REFERENCE at query start (review r13 #10)
+    val ev = events.toDF()
+    ev.join(
       org.apache.spark.sql.functions.broadcast(dim),
-      col("user_id") === col(dimKey), "left_outer")
+      ev("user_id") === dim(dimKey), "left_outer")
+  }
 
   /** st03: streaming dedup — dropDuplicates on event_id within the
     * watermark horizon (state bounded by the horizon, exactly-once per
@@ -1241,10 +1266,17 @@ object Streams {
       .withColumn("ub", ubBucket(col("canon_url")))
       .localCheckpoint(true) // one canonicalization feeds winners + audit
     val arrived = canon.count()
+    // row_number, not min-filter: identical URLs with IDENTICAL
+    // doc_ids (st25 mints doc_id = xxhash64(loc), so a twice-
+    // announced URL ties exactly) would ALL pass a doc_id === min
+    // filter and land as duplicate rows the audit counts as zero
+    // dups; (doc_id, url) is a deterministic total order per
+    // canonical key (review r13 #11)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("canon_url")
+      .orderBy("doc_id", "url")
     val winners = canon
-      .withColumn("_min", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("_min")).drop("_min")
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
       .localCheckpoint(true) // feeds the probe anti-join AND the landing
     val nWinners = winners.count()
     val idxPath = s"$lakePath.urlindex"
@@ -1260,10 +1292,15 @@ object Streams {
         val ubs = winners.select("ub").distinct().collect()
           .map(_.getInt(0)).toSeq
         // explicit schema — the st23 ledger's crash-recovery rule: an
-        // index dir a failed write left empty reads as zero rows
+        // index dir a failed write left empty reads as zero rows; the
+        // live filter keys on the compaction watermark so a compacted
+        // base and leftover folded directories never double-read
+        // ([[urlGateCompactIndex]])
         spark.read.schema("canon_url STRING, ub INT, batch BIGINT")
           .parquet(idxPath)
-          .filter(col("batch") =!= batchId)
+          .filter(domcountsLiveFilter(
+            graft.operators.Dedup.listBatchIds(spark, idxPath)) &&
+            col("batch") =!= batchId)
           .filter(col("ub").isin(ubs: _*))
           .select("canon_url")
       }
@@ -1472,14 +1509,48 @@ object Streams {
     * any fetch or content gate spends a byte on it). Sits in front of
     * the five content gates as the zeroth admission axis.
     */
+  /** x20-for-st20: consolidate the canonical-URL index's `batch=<id>`
+    * directories with id ≤ `upTo` into ONE distinct-URL base under
+    * `batch=-(W+2)` (the shared
+    * [[graft.operators.Dedup.promoteCompactBase]] watermark
+    * encoding), keeping the hive `ub=` layout so probes stay
+    * partition-confined. Without this a long-lived st20/st25 stream's
+    * index grows one directory per drain forever and every probe
+    * opens O(batches) directories per touched bucket — the exact
+    * shape st23/st26's ledgers already compact (review r13 #12).
+    * Replay contract (d13's): pass `upTo = currentBatch - 1`.
+    */
+  def urlGateCompactIndex(spark: SparkSession, lakePath: String,
+      upTo: Long): Unit = {
+    require(upTo >= 0, s"urlGateCompactIndex: upTo=$upTo must be >= 0")
+    val idxPath = s"$lakePath.urlindex"
+    graft.operators.Dedup.promoteCompactBase(spark, idxPath, upTo) {
+      (foldIds, staging) =>
+        spark.read.schema("canon_url STRING, ub INT, batch BIGINT")
+          .parquet(idxPath)
+          .filter(domcountsLiveFilter(foldIds) && col("batch") <= upTo)
+          .select("canon_url", "ub").distinct()
+          .repartition(col("ub"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("ub")
+          .parquet(staging)
+    }
+  }
+
+  /** `compactEvery > 0` folds the canonical-URL index every that-many
+    * drains (covering everything up to the PREVIOUS batch — the
+    * replay contract), st23's cadence.
+    */
   def st20UrlGateStream(urls: DataFrame, lakePath: String,
-      checkpointDir: String)
+      checkpointDir: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     urls.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         urlGateBatch(batch.toDF(), lakePath, id)
+        if (compactEvery > 0 && id >= 1L && id % compactEvery == 0L)
+          urlGateCompactIndex(batch.sparkSession, lakePath, id - 1L)
       }
       .start()
 
@@ -1787,6 +1858,14 @@ object Streams {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, p) =>
+          // a NULL payload (failed fetch, nullable source column)
+          // must take the quarantine path, not NPE the task — the
+          // magic-byte derefs below sit OUTSIDE the Try, so a bare
+          // p.length would wedge the stream in a replay loop
+          // (review r13 #13)
+          if (p == null)
+            (id, Array.empty[Byte], 0L, 0L, 0L, 0L, 0L, 1L)
+          else {
           val isPng = p.length >= 8 && (p(0) & 0xff) == 0x89 &&
             p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
           val isJpeg = p.length >= 3 && (p(0) & 0xff) == 0xff &&
@@ -1816,6 +1895,7 @@ object Streams {
             (id, p, 0L, 0L, 0L, p.length.toLong, p.length.toLong, 1L)
           }
           else (id, p, 0L, 0L, 0L, p.length.toLong, p.length.toLong, 0L)
+          }
         }
       }
       .toDF("doc_id", "payload", "is_png", "is_jpeg", "n_meta",

@@ -515,9 +515,11 @@ class StreamsSpec extends AnyFunSuite {
   test("st12 streaming pack offsets continue exactly across drains") {
     import spark.implicits._
     val input = MemoryStream[Streams.DocSize](spark)
+    // append mode: the placements are emit-once rows, and append is
+    // what file sinks require (the flatMapGroupsWithState form)
     val q = Streams.st12StreamPack(input.toDS(), seqLen = 8L)
       .writeStream.format("memory").queryName("st12_out")
-      .outputMode("update").start()
+      .outputMode("append").start()
     // drain 1: A gets docs 1(5 tok) and 3(10); B gets 2(7)
     input.addData(
       Streams.DocSize(3L, "A", 10L), Streams.DocSize(1L, "A", 5L),
@@ -814,6 +816,16 @@ class StreamsSpec extends AnyFunSuite {
     val after = spark.read.parquet(lake)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(after == landed, s"replay changed the lake: $after")
+    // NULL html (nullable source column) fails CLOSED — never admitted,
+    // audited as noindex, and an ALL-null drain must not NPE the
+    // stream on a null aggregate sum
+    Streams.robotsGateBatch(
+      Seq((8L, null: String), (9L, null: String)).toDF("doc_id", "html"),
+      lake, batchId = 5L)
+    val a5 = spark.read.parquet(lake + ".audit").where("batch_id = 5")
+      .collect().head
+    assert((a5.getAs[Long]("arrived"), a5.getAs[Long]("admitted"),
+      a5.getAs[Long]("noindex")) == ((2L, 0L, 2L)), s"null-html audit $a5")
   }
 
   test("st25 sitemap discovery: decoys stop at parse, gate dedupes, replay idempotent") {
@@ -882,6 +894,33 @@ class StreamsSpec extends AnyFunSuite {
     val after = spark.read.parquet(lake).select("url")
       .collect().map(_.getString(0)).toSet
     assert(after == landed, s"replay changed the lake: $after")
+    // the same <loc> announced TWICE in one drain collapses to ONE
+    // admitted row: the minted doc_ids tie exactly (xxhash64 of the
+    // same URL), which a min-filter winner kept twice — row_number
+    // collapses the tie and the audit counts the in-batch dup
+    Streams.sitemapDiscoverBatch(Seq(
+      sm("d.example.com", Seq("https://d.example.com/p/1",
+        "https://d.example.com/p/1"))).toDF("host", "xml"),
+      lake, batchId = 9L)
+    assert(spark.read.parquet(s"$lake/batch=9").count() == 1,
+      "tied duplicate URLs landed more than once")
+    val g9 = spark.read.parquet(s"$lake.audit").where("batch_id = 9")
+      .collect().head
+    assert((g9.getAs[Long]("arrived"), g9.getAs[Long]("admitted"),
+      g9.getAs[Long]("dup_batch")) == ((2L, 1L, 1L)), s"tie audit $g9")
+    // canonical-URL index compaction: fold everything ≤ 9 into the
+    // watermark base, verdicts identical off the base, folded dirs gone
+    Streams.urlGateCompactIndex(spark, lake, upTo = 9L)
+    val idirs = new java.io.File(s"$lake.urlindex").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(idirs == Set("batch=-11"), s"urlindex dirs after compaction: $idirs")
+    Streams.sitemapDiscoverBatch(Seq(
+      sm("d.example.com", Seq("https://d.example.com/p/1")))
+      .toDF("host", "xml"), lake, batchId = 10L)
+    val g10 = spark.read.parquet(s"$lake.audit").where("batch_id = 10")
+      .collect().head
+    assert((g10.getAs[Long]("admitted"), g10.getAs[Long]("dup_lake")) ==
+      ((0L, 1L)), s"compacted index lost an admitted URL: $g10")
     // poison-pill guard: a non-empty drain whose sitemaps parse to
     // ZERO entries (empty urlset, garbage) must not throw — the NULL
     // in-scope sum is coalesced and the audit records zeros
@@ -1039,6 +1078,17 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
       .toMap
     assert(after == rows, s"replay changed the lake: $after")
+    // duplicate doc_ids within ONE drain scrub per ROW (the minted
+    // row-uid join): each original row keeps ITS OWN clean text, and
+    // docs_in = docs_landed holds — a doc_id key join cross-attached
+    // every clean text to every row sharing the key
+    Streams.piiScrubBatch(Seq(
+      (9L, "a@b.co wrote"), (9L, "nothing here"))
+      .toDF("doc_id", "text"), lake, batchId = 5L)
+    val b5 = spark.read.parquet(s"$lake/batch=5")
+      .collect().map(_.getAs[String]("text")).sorted.toSeq
+    assert(b5 == Seq("<EMAIL> wrote", "nothing here"),
+      s"dup-doc_id drain landed: $b5")
   }
 
   test("st13 bootstraps a fresh deployment: batch 0 admits into a lake that doesn't exist yet") {
@@ -1646,6 +1696,16 @@ class StreamsSpec extends AnyFunSuite {
       .toMap
     assert(after.keySet == rows.keySet &&
       after.forall { case (k, v) => java.util.Arrays.equals(v, rows(k)) })
+    // a NULL payload (failed fetch) quarantines instead of NPE'ing the
+    // task before the Try — the other poison-pill shape
+    Streams.mediaScrubBatch(
+      Seq((11L, null: Array[Byte])).toDF("doc_id", "payload"),
+      lake, batchId = 5L)
+    val a5 = spark.read.parquet(lake + ".audit").where("batch_id = 5")
+      .collect().head
+    assert((a5.getAs[Long]("docs"), a5.getAs[Long]("n_corrupt")) ==
+      ((1L, 1L)), s"null-payload audit $a5")
+    assert(spark.read.parquet(s"$lake.quarantine/batch=5").count() == 1)
   }
 
   test("st23 domain quota: ledger caps across drains, replay idempotent") {
