@@ -2520,7 +2520,7 @@ object Oracles {
          |  AS scrubbed FROM r4),
          |cc AS (
          |  SELECT *,
-         |    list_filter(regexp_extract_all(scrubbed, '\\d{16}'),
+         |    list_filter(regexp_extract_all(scrubbed, '\\b\\d{16}\\b'),
          |      c -> ($luhn) % 10 = 0) AS ccs
          |  FROM r5)
          |SELECT doc_id,
@@ -2538,7 +2538,8 @@ object Oracles {
          |    AS n_ips,
          |  CAST(len(ccs) AS BIGINT) AS n_ccs,
          |  list_reduce(list_prepend(scrubbed, ccs),
-         |    (acc, c) -> replace(acc, c, '<CC>')) AS clean_text
+         |    (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b',
+         |      '<CC>', 'g')) AS clean_text
          |FROM cc
          |ORDER BY doc_id""".stripMargin
     },
@@ -3692,8 +3693,11 @@ object Oracles {
         |  FROM d)
         |SELECT doc_id, n_tokens, tok_start,
         |  tok_start // 512 AS seq_first,
-        |  (tok_start + n_tokens - 1) // 512 AS seq_last,
-        |  (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1 AS n_seqs
+        |  CASE WHEN n_tokens = 0 THEN tok_start // 512
+        |       ELSE (tok_start + n_tokens - 1) // 512 END AS seq_last,
+        |  CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+        |       END AS n_seqs
         |FROM o ORDER BY doc_id""".stripMargin,
 
     // c10: epochs + residual — all-integer until the one rounded

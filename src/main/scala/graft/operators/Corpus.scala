@@ -102,7 +102,13 @@ object Corpus {
       if (removeDupSpans)
         Dedup.applySpans(deduped, Dedup.d08SpansOver(deduped))
           .withColumn("text", col("clean_text"))
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          // split('', ' ') yields [''] — a FULLY-excised doc would
+          // carry a phantom token into every later token budget, the
+          // exact edge applySpans's own n_removed avoids (review r13
+          // corpus #2)
+          .withColumn("n_tokens",
+            when(col("text") === "", 0L)
+              .otherwise(size(split(col("text"), " ")).cast("long")))
           .drop("clean_text", "n_removed")
       else deduped
 
@@ -139,6 +145,17 @@ object Corpus {
     mixturePlanOver(Tables(spark, dir).documents,
       element_at(TextOps.subwordStatsCol(col("text")), 1), targetTokens)
 
+  /** The per-source doc/token mass rollup every mixture planner
+    * starts from — ONE definition (c02/c08/c10 each carried a
+    * verbatim copy; a changed token-counting or null-source
+    * convention must reach all three through here).
+    */
+  private def perSourceMass(docs: DataFrame,
+      tokenCount: org.apache.spark.sql.Column): DataFrame = docs
+    .select(col("source"), tokenCount.as("n_tokens"))
+    .groupBy("source")
+    .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+
   /** c08: TEMPERATURE-scaled mixture planner — c02 gives every source
     * an equal token share; real multilingual/multi-domain training
     * uses exponent smoothing p_s ∝ mass_s^α (the public XLM-R /
@@ -155,11 +172,8 @@ object Corpus {
     */
   def c08TemperatureMixture(spark: SparkSession, dir: String,
       targetTokens: Long = 100000L): DataFrame = {
-    val perSource = Tables(spark, dir).documents
-      .select(col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    val perSource = perSourceMass(Tables(spark, dir).documents,
+      size(split(col("text"), " ")).cast("long"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     perSource
       // smoothed mass as a scaled integer: floor-form rounding (e15's
@@ -185,10 +199,7 @@ object Corpus {
     */
   def mixturePlanOver(docs: DataFrame, tokenCount: org.apache.spark.sql.Column,
       targetTokens: Long): DataFrame = {
-    val perSource = docs
-      .select(col("source"), tokenCount.as("n_tokens"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    val perSource = perSourceMass(docs, tokenCount)
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     perSource
       .withColumn("sample_rate",
@@ -267,11 +278,8 @@ object Corpus {
     */
   def c10MixtureEpochs(spark: SparkSession, dir: String,
       targetTokens: Long = 500000L): DataFrame = {
-    val perSource = Tables(spark, dir).documents
-      .select(col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tot_tokens"))
+    val perSource = perSourceMass(Tables(spark, dir).documents,
+      size(split(col("text"), " ")).cast("long"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     perSource
       // the |sources| window is the same bounded single-task class as
@@ -378,12 +386,23 @@ object Corpus {
       .groupBy("_pid").agg(sum(col("n_tokens")).as("_ptot"))
       .withColumn("_poff", coalesce(sum(col("_ptot")).over(wPrefix), lit(0L)))
       .select("_pid", "_poff")
+    // ZERO-token rows (empty/untokenizable text — the kernel is
+    // public "over any frame") occupy NO sequence: naive bounds gave
+    // them n_seqs = 1 mid-sequence and an INVERTED seq_last <
+    // seq_first at an exact boundary, which a sequence(first, last)
+    // caller expands DESCENDING into phantom segments (review r13
+    // corpus #3). They pin seq_first = seq_last = the sequence their
+    // offset points at, with n_seqs = 0.
     local.join(broadcast(prefixed), Seq("_pid"))
       .withColumn("tok_start", col("_poff") + col("_end_local") - col("n_tokens"))
       .withColumn("seq_first", expr(s"tok_start div $seqLen"))
       .withColumn("_last_tok", col("tok_start") + col("n_tokens") - 1)
-      .withColumn("seq_last", expr(s"_last_tok div $seqLen"))
-      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .withColumn("seq_last",
+        when(col("n_tokens") === 0L, col("seq_first"))
+          .otherwise(expr(s"_last_tok div $seqLen")))
+      .withColumn("n_seqs",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(col("seq_last") - col("seq_first") + 1))
       .select("doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
         "n_seqs")
   }
@@ -409,8 +428,16 @@ object Corpus {
     * bounded by the longest leak chain, 1-2 in practice. Deterministic:
     * same corpus → same split → same quarantine, on any cluster.
     */
+  /** The c13 demo split fractions, pinned once — the driver query's
+    * defaults and the oracle side-table assign through these same
+    * constants (the C16Iters/C16Lr discipline), so a retuned split
+    * cannot silently diverge from what the oracle replays.
+    */
+  private val C13TrainFrac = 0.8
+  private val C13ValFrac = 0.1
+
   def c13LeakproofSplit(spark: SparkSession, dir: String,
-      trainFrac: Double = 0.8, valFrac: Double = 0.1,
+      trainFrac: Double = C13TrainFrac, valFrac: Double = C13ValFrac,
       shingleK: Int = 8, minShared: Long = 3L): DataFrame =
     leakproofSplitOver(Tables(spark, dir).documents, trainFrac, valFrac,
       shingleK, minShared)
@@ -434,7 +461,7 @@ object Corpus {
 
   /** (doc_id, split) side-table for the c13 oracle replay. */
   def c13AuxAssigned(spark: SparkSession, dir: String): DataFrame =
-    c13Assign(Tables(spark, dir).documents, 0.8, 0.1)
+    c13Assign(Tables(spark, dir).documents, C13TrainFrac, C13ValFrac)
       .select("doc_id", "split")
 
   def leakproofSplitOver(docs: DataFrame, trainFrac: Double,
@@ -595,7 +622,15 @@ object Corpus {
     val intlPhone = "\\+\\d{1,3}-\\d{3}-\\d{3,4}-\\d{4}"
     val phone = "\\d{3}-\\d{3}-\\d{4}"
     val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val cc16 = "\\d{16}"
+    // \b-delimited: a 16-digit window INSIDE a longer digit run (a
+    // 17-digit reference number) is neither a candidate nor a
+    // replacement site — un-anchored \d{16} extracted the run's
+    // 16-prefix, and the literal replace then ALSO rewrote a
+    // Luhn-valid card's occurrence inside longer runs it was never
+    // extracted from, so placeholders outnumbered n_ccs (review r13
+    // corpus #1). \b is Java ↔ RE2 portable and non-consuming, so
+    // adjacent standalone cards each match.
+    val cc16 = "\\b\\d{16}\\b"
     // Each class is COUNTED on the text with every earlier-priority
     // class already redacted, so counts always equal the placeholders
     // that actually land in clean_text: a phone/SSN-shaped run inside
@@ -633,7 +668,9 @@ object Corpus {
           .cast("long").as("n_ips"),
         size(col("ccs")).cast("long").as("n_ccs"),
         aggregate(col("ccs"), col("scrubbed"),
-          (acc, c) => replace(acc, c, lit("<CC>"))).as("clean_text"))
+          (acc, c) => regexp_replace(acc,
+            concat(lit("\\b"), c, lit("\\b")), lit("<CC>")))
+          .as("clean_text"))
   }
 
   // ---------------------------------------------------------------- c07
@@ -793,7 +830,8 @@ object Corpus {
     */
   def c14AuxFeats(spark: SparkSession, dir: String): DataFrame =
     c16Featurize(
-      Tables(spark, dir).documents.select(col("doc_id"), col("text")), 65536)
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      C16Buckets)
 
   /** c14 oracle ln-memo: the exact doubles importanceWeightsOver
     * passes to `log`, with their StrictMath results — DuckDB
@@ -802,7 +840,7 @@ object Corpus {
     * last ulp, which the 9-dp term rounding cannot always absorb).
     */
   def c14AuxLn(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = 65536
+    val buckets = C16Buckets
     val (raw, target) = c14DemoFrames(spark, dir)
     val rawCounts = c16Featurize(raw, buckets)
     val tgtCounts = c16Featurize(target, buckets)
@@ -912,7 +950,7 @@ object Corpus {
     * (doc_id, n_feats, weight) for every raw doc with ≥ 1 bigram.
     */
   def importanceWeightsOver(raw: DataFrame, target: DataFrame,
-      buckets: Int = 65536): DataFrame = {
+      buckets: Int = C16Buckets): DataFrame = {
     def bucketCounts(docs: DataFrame): DataFrame = docs
       .select(col("doc_id"),
         explode(graft.functions.F.shinglePosHashes64(col("text"), 2))
@@ -996,6 +1034,10 @@ object Corpus {
     */
   private val C16Iters = 8
   private val C16Lr = 0.5
+  // also the SHARED c16Featurize hash-bucket space: c14's DSIR
+  // weights and c16ScoreIndexed's persisted-model scoring hash into
+  // this same domain — a retune must reach every user through this
+  // one constant, or scoring silently desynchronizes from training
   private val C16Buckets = 65536
   private val C16TrainCap = 4096L
 
@@ -1175,7 +1217,7 @@ object Corpus {
     * the weight doubles exactly). Emits (doc_id, n_feats, prob, keep).
     */
   def c16ScoreIndexed(docs: DataFrame, modelPath: String,
-      buckets: Int = 65536): DataFrame = {
+      buckets: Int = C16Buckets): DataFrame = {
     val spark = docs.sparkSession
     val model = spark.read.parquet(modelPath)
     val bias = model.filter(col("b") === -1L)
@@ -1616,6 +1658,41 @@ object Corpus {
         .as("keep"))
   }
 
+  /** Clip document token spans [lo, hi) against fixed-`seqLen`
+    * sequence windows and index the per-sequence segments: one row
+    * per (sequence, segment) — `seq_id, seg_idx, doc_id, seg_start,
+    * seg_len` plus any `carry` columns riding through (c25's
+    * loss_mask). The subtle arithmetic — the `(hi-1) div seqLen`
+    * upper bound and the greatest/least clip — lives ONLY here: c24
+    * is the one-span-per-doc call, c25 the two-span one (review r13
+    * corpus #7). seg_idx is a row_number over a seq_id-KEYED window
+    * (never unpartitioned); the explode is bounded per span by its
+    * sequence-crossing count.
+    */
+  private def clipSpansToSequences(spans: DataFrame, seqLen: Long,
+      carry: Seq[String] = Nil): DataFrame = {
+    val clipped = spans
+      .select(Seq(col("doc_id"), col("lo"), col("hi")) ++
+        carry.map(col) :+
+        explode(sequence(expr(s"lo div $seqLen"),
+          expr(s"(hi - 1) div $seqLen"))).as("seq_id"): _*)
+      .select(Seq(col("seq_id"), col("doc_id"),
+        (greatest(col("lo"), col("seq_id") * seqLen) -
+          col("seq_id") * seqLen).as("seg_start"),
+        (least(col("hi"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("lo"), col("seq_id") * seqLen)).as("seg_len")) ++
+        carry.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seq_id").orderBy("seg_start")
+    clipped
+      .withColumn("seg_idx",
+        (org.apache.spark.sql.functions.row_number().over(w) - 1)
+          .cast("long"))
+      .select((Seq("seq_id", "seg_idx", "doc_id", "seg_start", "seg_len")
+        ++ carry).map(col): _*)
+      .orderBy("seq_id", "seg_idx")
+  }
+
   /** c24: packed-sequence boundary masks — the document-boundary
     * layout every packed-pretraining stack needs for BLOCK-DIAGONAL
     * attention (public practice: sequences packed from multiple
@@ -1638,23 +1715,14 @@ object Corpus {
       Tables(spark, dir).documents.select(col("doc_id"),
         element_at(TextOps.subwordStatsCol(col("text")), 1).as("n_tokens")),
       seqLen)
-    val spans = offs.filter(col("n_tokens") > 0)
-      .select(col("doc_id"), col("n_tokens"), col("tok_start"),
-        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
-      .select(col("seq_id"), col("doc_id"),
-        (greatest(col("tok_start"), col("seq_id") * seqLen) -
-          col("seq_id") * seqLen).as("seg_start"),
-        (least(col("tok_start") + col("n_tokens"),
-          (col("seq_id") + 1) * seqLen) -
-          greatest(col("tok_start"), col("seq_id") * seqLen)).as("seg_len"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("seq_id").orderBy("seg_start")
-    spans
-      .withColumn("seg_idx",
-        (org.apache.spark.sql.functions.row_number().over(w) - 1)
-          .cast("long"))
-      .select("seq_id", "seg_idx", "doc_id", "seg_start", "seg_len")
-      .orderBy("seq_id", "seg_idx")
+    // [lo, hi) = the doc's whole token span; sequence bounds derive
+    // inside the shared clipper (lo div L == c09's seq_first,
+    // (hi-1) div L == seq_last — same integers)
+    clipSpansToSequences(
+      offs.filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("tok_start").as("lo"),
+          (col("tok_start") + col("n_tokens")).as("hi")),
+      seqLen)
   }
 
   /** c25: SFT pack layout with loss masks — the instruction-tuning
@@ -1690,24 +1758,7 @@ object Corpus {
           lit(1L).as("loss_mask")))).as("s"))
       .select(col("doc_id"), col("s.lo"), col("s.hi"), col("s.loss_mask"))
       .filter(col("hi") > col("lo")) // empty prompt/response spans drop
-    val clipped = spans
-      .select(col("doc_id"), col("lo"), col("hi"), col("loss_mask"),
-        explode(sequence(expr(s"lo div $seqLen"),
-          expr(s"(hi - 1) div $seqLen"))).as("seq_id"))
-      .select(col("seq_id"), col("doc_id"), col("loss_mask"),
-        (greatest(col("lo"), col("seq_id") * seqLen) -
-          col("seq_id") * seqLen).as("seg_start"),
-        (least(col("hi"), (col("seq_id") + 1) * seqLen) -
-          greatest(col("lo"), col("seq_id") * seqLen)).as("seg_len"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("seq_id").orderBy("seg_start")
-    clipped
-      .withColumn("seg_idx",
-        (org.apache.spark.sql.functions.row_number().over(w) - 1)
-          .cast("long"))
-      .select("seq_id", "seg_idx", "doc_id", "seg_start", "seg_len",
-        "loss_mask")
-      .orderBy("seq_id", "seg_idx")
+    clipSpansToSequences(spans, seqLen, carry = Seq("loss_mask"))
   }
 
   /** c23: binary token-shard export — the terminal TRAIN-READY

@@ -553,7 +553,17 @@ class CorpusSpec extends AnyFunSuite {
       // substring of the intl shape — no double tally)
       (6L, "just +1-555-867-5309 here"),
       (7L, "no pii here, just 1234 plain. digits and dots 1.2"),
-      (8L, "")).toDF("doc_id", "text")
+      (8L, ""),
+      // a Luhn-valid card standalone AND embedded in a 17-digit
+      // reference number: the reference is neither counted nor
+      // rewritten (the \b-delimited candidate/replace rule — an
+      // unanchored replace once rewrote the embedded occurrence too,
+      // leaving more placeholders than n_ccs)
+      (9L, "card 4539578763621486 ref 94539578763621486 end"),
+      // two standalone cards space-adjacent both redact (\b is
+      // non-consuming, unlike a consumed boundary group)
+      (10L, "cards 4539578763621486 4539578763621486!")
+    ).toDF("doc_id", "text")
     val got = Corpus.redactPiiOver(docs).orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getString(6)))
@@ -567,7 +577,10 @@ class CorpusSpec extends AnyFunSuite {
       // 1.2 and 1234 must NOT trip the IPv4/phone patterns
       (7L, 0L, 0L, 0L, 0L, 0L,
         "no pii here, just 1234 plain. digits and dots 1.2"),
-      (8L, 0L, 0L, 0L, 0L, 0L, "")))
+      (8L, 0L, 0L, 0L, 0L, 0L, ""),
+      (9L, 0L, 0L, 0L, 0L, 1L,
+        "card <CC> ref 94539578763621486 end"),
+      (10L, 0L, 0L, 0L, 0L, 2L, "cards <CC> <CC>!")))
   }
 
   test("c01 resolves every near-dup pair among survivors to one winner") {
