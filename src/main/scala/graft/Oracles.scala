@@ -1119,15 +1119,17 @@ object Oracles {
         |  SELECT *, row_number() OVER
         |    (PARTITION BY x_id ORDER BY sim DESC, y_id) AS r
         |  FROM sims QUALIFY r <= 4),
-        |sumf AS (SELECT x_id, SUM(CAST(sim AS DECIMAL(10,4))) AS sumf
+        |sumf AS (SELECT x_id, SUM(CAST(sim AS DECIMAL(10,4))) AS sumf,
+        |           COUNT(*) AS nf
         |         FROM fwd GROUP BY x_id),
-        |sumb AS (SELECT y_id, SUM(CAST(sim AS DECIMAL(10,4))) AS sumb
+        |sumb AS (SELECT y_id, SUM(CAST(sim AS DECIMAL(10,4))) AS sumb,
+        |           COUNT(*) AS nb
         |         FROM (SELECT *, row_number() OVER
         |                 (PARTITION BY y_id ORDER BY sim DESC, x_id) AS r
         |               FROM sims QUALIFY r <= 4) b
         |         GROUP BY y_id),
         |mg AS (SELECT f.x_id, f.y_id, f.sim,
-        |         round(f.sim * 8.0 /
+        |         round(f.sim * CAST(sf.nf + sb.nb AS DOUBLE) /
         |           CAST(sf.sumf + sb.sumb AS DOUBLE), 4) AS margin
         |       FROM fwd f
         |       JOIN sumf sf USING (x_id) JOIN sumb sb USING (y_id)),
@@ -2340,12 +2342,15 @@ object Oracles {
         |qry AS (SELECT v, sc, nrm, q FROM qz WHERE vec_id = 0),
         |cand AS (SELECT c.vec_id, c.v AS cv, qry.v AS qv, c.nrm AS cnrm,
         |           qry.nrm AS qnrm,
-        |           round(list_dot_product(c.q, qry.q) * c.sc * qry.sc /
-        |             (c.nrm * qry.nrm), 4) AS q_sim
+        |           CASE WHEN c.nrm = 0 OR qry.nrm = 0 THEN 0.0
+        |             ELSE round(list_dot_product(c.q, qry.q) * c.sc * qry.sc /
+        |               (c.nrm * qry.nrm), 4) END AS q_sim
         |         FROM qz c, qry WHERE c.vec_id <> 0
         |         ORDER BY q_sim DESC, c.vec_id LIMIT 40)
         |SELECT vec_id,
-        |  round(list_dot_product(cv, qv) / (cnrm * qnrm), 4) AS cos_sim,
+        |  CASE WHEN cnrm = 0 OR qnrm = 0 THEN 0.0
+        |    ELSE round(list_dot_product(cv, qv) / (cnrm * qnrm), 4)
+        |    END AS cos_sim,
         |  q_sim
         |FROM cand
         |ORDER BY cos_sim DESC, vec_id

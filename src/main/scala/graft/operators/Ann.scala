@@ -77,11 +77,10 @@ object Ann {
       label: Int = 1, nlist: Int = 16, nprobe: Int = 0,
       oversample: Int = 4): DataFrame = {
     val t = Tables(spark, dir)
-    val nprobe0 =
-      if (nprobe > 0) nprobe
-      else ivfProbesFor(t.embeddings.select(col("vec_id")).count())
+    val nAll = t.embeddings.select(col("vec_id")).count()
+    val nprobe0 = if (nprobe > 0) nprobe else ivfProbesFor(nAll)
     val corpus = t.embeddings.filter(col("vec_id") =!= 0)
-    val cents = trainCentroids(corpus, nlist)
+    val cents = centroidsFor(corpus, nlist, nAll)
     val celled = corpus.filter(col("label") === label)
       .select(col("vec_id"), col("label"), col("embedding"),
         array_position(centroidScores(col("embedding"), cents),
@@ -231,14 +230,25 @@ object Ann {
     val qv = quantized(t.embeddings.filter(col("vec_id") === 0))
       .select(col("embedding").as("qemb"), col("q").as("qq"),
         col("sc").as("qsc"), col("nrm").as("qnrm"))
+    // zero-norm guard (s15's NaN discipline, at the source instead
+    // of a filter): a degenerate all-zero vector scores 0/0 = NaN,
+    // and Spark sorts NaN FIRST under desc — one zero vector would
+    // seize a rerank slot and then rank 1 (review r13 ann #3). Score
+    // 0.0 instead: undefined cosine ranks with the orthogonal class.
+    // The oracle mirrors the same CASE.
     corpus.crossJoin(broadcast(qv))
-      .select(col("vec_id"), col("embedding"), col("qemb"), col("qnrm"),
-        round(F.i8Dot(col("q"), col("qq")).cast("double") * col("sc") *
-          col("qsc") / (col("nrm") * col("qnrm")), 4).as("q_sim"))
+      .select(col("vec_id"), col("embedding"), col("qemb"),
+        col("nrm"), col("qnrm"),
+        when(col("nrm") === 0.0 || col("qnrm") === 0.0, lit(0.0))
+          .otherwise(
+            round(F.i8Dot(col("q"), col("qq")).cast("double") * col("sc") *
+              col("qsc") / (col("nrm") * col("qnrm")), 4)).as("q_sim"))
       .orderBy(col("q_sim").desc, col("vec_id"))
       .limit(k * rerank)
       .select(col("vec_id"),
-        cosineSim4(col("embedding"), col("qemb")).as("cos_sim"),
+        when(col("nrm") === 0.0 || col("qnrm") === 0.0, lit(0.0))
+          .otherwise(cosineSim4(col("embedding"), col("qemb")))
+          .as("cos_sim"),
         col("q_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
@@ -263,12 +273,7 @@ object Ann {
       .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
       .limit(sampleN)
       .select("embedding").as[Array[Float]].collect()
-      .map { v =>
-        var s = 0.0; var i = 0
-        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-        val n = math.sqrt(s)
-        if (n == 0) v else v.map(x => (x / n).toFloat)
-      }
+      .map(l2normed)
     require(pts.length >= ksub, s"sample ${pts.length} < ksub $ksub")
     val dim = pts.head.length
     require(dim % m == 0, s"dim $dim not divisible by m $m")
@@ -313,9 +318,14 @@ object Ann {
   private def pqCode(v: Column, nrm: Column, cents: Array[Array[Float]],
       j: Int, dsub: Int): Column = {
     val sub = slice(v, j * dsub + 1, dsub)
+    // nrm = 0 (an all-zero vector) would make every score NaN and the
+    // argmax arbitrary garbage — route it through norm 1 instead: the
+    // sub-dot is then 0 for every centroid and the first-max
+    // tie-break assigns code 1 deterministically (review r13 ann #4)
+    val safeNrm = when(nrm === 0.0, lit(1.0)).otherwise(nrm)
     val scores = array(cents.map { c =>
       val cn2 = c.map(x => x.toDouble * x).sum
-      graft.functions.F.dotProd(sub, typedLit(c)) / nrm - lit(cn2 / 2.0)
+      graft.functions.F.dotProd(sub, typedLit(c)) / safeNrm - lit(cn2 / 2.0)
     }: _*)
     array_position(scores, array_max(scores))
   }
@@ -355,7 +365,11 @@ object Ann {
     // s04's centroid scores)
     val q = t.embeddings.filter(col("vec_id") === 0)
       .select("embedding").collect().head.getSeq[Float](0).toArray
-    val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+    // a zero-norm query would make every ADC entry NaN (0/0) and the
+    // whole ranking garbage — norm 1 keeps the table all-zero and the
+    // order falls to the deterministic vec_id tie-break
+    val qn0 = math.sqrt(q.map(x => x.toDouble * x).sum)
+    val qn = if (qn0 == 0.0) 1.0 else qn0
     val ltab = Array.tabulate(m) { j =>
       books(j).map { c =>
         var d = 0.0; var i = 0
@@ -597,21 +611,31 @@ object Ann {
     * sampled vectors) + fixed iteration count → identical centroids on
     * every run and executor.
     */
+  /** The centroid source EVERY IVF consumer shares — the same
+    * auto-cutover rule [[buildIvfIndex]] applies
+    * ([[shouldTrainDistributed]]), keyed on the caller's reference
+    * corpus size, so the flat queries, the persisted index, AND the
+    * oracle side-table producers all flip trainers at the same
+    * boundary (review r13 ann #6: the flat twin trained sampled
+    * while the index trained distributed past 16×sampleN —
+    * different centroids, different cells, silently different top-k
+    * at the 30× leg).
+    */
+  private[operators] def centroidsFor(corpus: DataFrame, nlist: Int,
+      refSize: Long, sampleN: Int = 2048): Array[Array[Float]] =
+    if (shouldTrainDistributed(refSize, sampleN))
+      s14TrainDistributed(corpus, nlist)
+    else trainCentroids(corpus, nlist, sampleN)
+
   private[operators] def trainCentroids(corpus: DataFrame, nlist: Int,
       sampleN: Int = 2048, iters: Int = 5): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    def normed(v: Array[Float]): Array[Float] = {
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0) v else v.map(x => (x / n).toFloat)
-    }
     val pts = corpus
       .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
       .limit(sampleN)
       .select("embedding").as[Array[Float]].collect()
-      .map(normed)
+      .map(l2normed)
     require(pts.length >= nlist, s"sample ${pts.length} < nlist $nlist")
     val dim = pts.head.length
     var cents = pts.take(nlist)
@@ -633,7 +657,7 @@ object Ann {
       }
       cents = Array.tabulate(nlist)(ci =>
         if (counts(ci) == 0) cents(ci) // empty cell keeps its centroid
-        else normed(sums(ci).map(_.toFloat)))
+        else l2normed(sums(ci).map(_.toFloat)))
     }
     cents
   }
@@ -662,11 +686,10 @@ object Ann {
     val t = Tables(spark, dir)
     // nprobe = 0 (the default) derives the probe count from the
     // corpus size (ivfProbesFor) so recall holds as the corpus grows
-    val probes0 =
-      if (nprobe > 0) nprobe
-      else ivfProbesFor(t.embeddings.select(col("vec_id")).count())
+    val nAll = t.embeddings.select(col("vec_id")).count()
+    val probes0 = if (nprobe > 0) nprobe else ivfProbesFor(nAll)
     val corpus = t.embeddings.filter(col("vec_id") =!= 0)
-    val cents = trainCentroids(corpus, nlist)
+    val cents = centroidsFor(corpus, nlist, nAll)
     val celled = corpus.select(col("vec_id"), col("embedding"),
       array_position(centroidScores(col("embedding"), cents),
         array_max(centroidScores(col("embedding"), cents))).as("cell"))
@@ -832,10 +855,33 @@ object Ann {
     * the index metadata — probing with any other width would look up
     * the wrong partitions.
     */
+  /** Refuse to probe an index whose last cell/sig swap crashed
+    * mid-rename: a leftover `.prev` child means some LIVE partition
+    * directory is the crash window's missing one, and a silent probe
+    * would return under-complete top-k with no error anywhere —
+    * violating publishStaged's fail-LOUD rule one layer up (review
+    * r13 ann #2). The upsert read path prefers live and falls back
+    * to `.prev`, so a maintenance batch touching the cell (or a
+    * manual rename of `.prev/<part>` back into the live tree) heals
+    * it. One listing RPC per probe.
+    */
+  private def requireNoCrashedSwap(spark: SparkSession,
+      indexPath: String): Unit = {
+    val prev = new org.apache.hadoop.fs.Path(indexPath + ".prev")
+    val fs = prev.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(prev) && fs.listStatus(prev).nonEmpty)
+      throw new IllegalStateException(
+        s"index $indexPath has leftover .prev partitions from a crashed " +
+          "swap — re-run the maintenance batch for those partitions (its " +
+          "read path self-heals from .prev) or rename them back before " +
+          "probing; probing now would silently drop their vectors")
+  }
+
   def s07AnnLshIndexed(spark: SparkSession, indexPath: String,
       queryVec: Array[Float], k: Int = 10, nBits: Int = 0,
       dim: Int = 64): DataFrame = {
     import spark.implicits._
+    requireNoCrashedSwap(spark, indexPath)
     val bits = if (nBits > 0) nBits else readIndexMeta(spark, indexPath, 8)
     val qsig = Seq(queryVec).toDF("embedding")
       .select(srpSignature(col("embedding"), bits, dim).as("s"))
@@ -882,11 +928,16 @@ object Ann {
   def buildIvfIndex(corpus: DataFrame, path: String,
       nlist: Int = 16,
       distributedTrainer: Boolean = false,
-      sampleN: Int = 2048): Array[Array[Float]] = {
-    // one count drives BOTH build-time decisions: the trainer cutover
-    // and the probe dial recorded in the index metadata (a one-off
-    // scan on a one-off index build)
-    val n = corpus.count()
+      sampleN: Int = 2048,
+      corpusSize: Option[Long] = None): Array[Array[Float]] = {
+    // ONE reference size drives BOTH build-time decisions — the
+    // trainer cutover and the probe dial recorded in the index
+    // metadata. Callers with an indexed-equals-flat twin pass the
+    // SAME count the flat path dials on (the full embeddings table,
+    // query row included) or the two sides disagree by one exactly
+    // at a dial/flip threshold (review r13 ann #1); the fallback is
+    // the indexed frame itself (a one-off scan on a one-off build).
+    val n = corpusSize.getOrElse(corpus.count())
     // s14 full-corpus Lloyd instead of the sampled trainer: opt-in by
     // flag, or AUTOMATIC once the corpus outgrows what the sample
     // represents ([[shouldTrainDistributed]] — the flip is justified
@@ -1089,6 +1140,7 @@ object Ann {
     */
   def s08AnnIvfIndexed(spark: SparkSession, indexPath: String,
       queryVec: Array[Float], k: Int = 10, nprobe: Int = 0): DataFrame = {
+    requireNoCrashedSwap(spark, indexPath)
     val probeN = if (nprobe > 0) nprobe else readIndexMeta(spark, indexPath, 4)
     val cents = spark.read.parquet(indexPath + ".centroids")
       .orderBy("cell").collect()
@@ -1140,7 +1192,7 @@ object Ann {
     val path = demoIndexPath("s08", dir)
     buildIvfIndex(
       t.embeddings.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      path)
+      path, corpusSize = Some(t.embeddings.count()))
     val qv = t.embeddings.filter(col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
     s08AnnIvfIndexed(spark, path, qv, k)
@@ -1182,8 +1234,10 @@ object Ann {
   def s08BenchBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val path = demoIndexPath("s08", dir)
-    buildIvfIndex(Tables(spark, dir).embeddings
-      .filter(col("vec_id") =!= 0).select("vec_id", "embedding"), path)
+    val t = Tables(spark, dir)
+    buildIvfIndex(t.embeddings
+      .filter(col("vec_id") =!= 0).select("vec_id", "embedding"), path,
+      corpusSize = Some(t.embeddings.count()))
     Seq(path).toDF("index_path")
   }
 
@@ -1211,11 +1265,10 @@ object Ann {
     val t = Tables(spark, dir)
     // nprobe = 0 (default): corpus-size auto-dial, s04's ivfProbesFor
     // (measured: fixed 4-of-16 probes recalled 0.44 at the 10× leg)
-    val nprobe0 =
-      if (nprobe > 0) nprobe
-      else ivfProbesFor(t.embeddings.select(col("vec_id")).count())
+    val nAll = t.embeddings.select(col("vec_id")).count()
+    val nprobe0 = if (nprobe > 0) nprobe else ivfProbesFor(nAll)
     val corpus = t.embeddings.filter(col("vec_id") >= nQueries)
-    val cents = trainCentroids(corpus, nlist)
+    val cents = centroidsFor(corpus, nlist, nAll)
     val celled = corpus.select(col("vec_id"), col("embedding"),
       sqrt(F.dotProd(col("embedding"), col("embedding"))).as("cn"),
       array_position(centroidScores(col("embedding"), cents),
@@ -1373,8 +1426,9 @@ object Ann {
   def s04AuxCentroids(spark: SparkSession, dir: String,
       nlist: Int = 16): DataFrame = {
     import spark.implicits._
-    trainCentroids(
-      Tables(spark, dir).embeddings.filter(col("vec_id") =!= 0), nlist)
+    val emb = Tables(spark, dir).embeddings
+    centroidsFor(emb.filter(col("vec_id") =!= 0), nlist,
+      emb.select(col("vec_id")).count())
       .zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
       .toDF("cell", "centroid")
   }
@@ -1385,8 +1439,9 @@ object Ann {
   def s06AuxCentroids(spark: SparkSession, dir: String,
       nlist: Int = 16, nQueries: Int = 10): DataFrame = {
     import spark.implicits._
-    trainCentroids(
-      Tables(spark, dir).embeddings.filter(col("vec_id") >= nQueries), nlist)
+    val emb = Tables(spark, dir).embeddings
+    centroidsFor(emb.filter(col("vec_id") >= nQueries), nlist,
+      emb.select(col("vec_id")).count())
       .zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }.toSeq
       .toDF("cell", "centroid")
   }
@@ -1511,17 +1566,26 @@ object Ann {
     val fwd = sims.withColumn("r", row_number().over(wF))
       .filter(col("r") <= k)
     val sumF = fwd.groupBy("x_id")
-      .agg(sum(col("sim").cast("decimal(10,4)")).as("sumf"))
+      .agg(sum(col("sim").cast("decimal(10,4)")).as("sumf"),
+        count(lit(1)).as("nf"))
     val wB = Window.partitionBy("y_id").orderBy(col("sim").desc, col("x_id"))
     val sumB = sims.withColumn("r", row_number().over(wB))
       .filter(col("r") <= k)
       .groupBy("y_id")
-      .agg(sum(col("sim").cast("decimal(10,4)")).as("sumb"))
+      .agg(sum(col("sim").cast("decimal(10,4)")).as("sumb"),
+        count(lit(1)).as("nb"))
     val wBest = Window.partitionBy("x_id")
       .orderBy(col("margin").desc, col("y_id"))
+    // the multiplier is the ACTUAL neighbor-term count (nf + nb), not
+    // the nominal 2k: a side with fewer than k scored neighbors (a
+    // small Y, a thin probe) otherwise inflates every margin by
+    // 2k / (nf + nb) and pushes sub-threshold candidates over the
+    // acceptance bar (review r13 ann #5). At full counts
+    // (nf = nb = k) the double (nf + nb) is bit-identical to the old
+    // 2.0 * k literal, so the oracle chain is unchanged there.
     fwd.join(sumF, "x_id").join(sumB, "y_id")
       .withColumn("margin",
-        round(col("sim") * lit(2.0 * k) /
+        round(col("sim") * (col("nf") + col("nb")).cast("double") /
           (col("sumf") + col("sumb")).cast("double"), 4))
       .withColumn("rb", row_number().over(wBest))
       .filter(col("rb") === 1)
