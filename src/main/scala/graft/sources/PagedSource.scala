@@ -336,9 +336,10 @@ object PagedSource {
     */
   private def walkDir(fetcher: PageFetcher, dirId: String, dirRel: String,
       maxRetries: Int, baseBackoffMs: Long, permitsPerSec: Double)
-      : (Seq[(String, String)], Seq[FileEntry]) = {
+      : (Seq[(String, String)], Seq[FileEntry], Long) = {
     val dirs = mutable.ArrayBuffer[(String, String)]()
     val files = mutable.ArrayBuffer[FileEntry]()
+    var skipped = 0L
     var token: Option[String] = None
     var first = true
     while (first || token.nonEmpty) {
@@ -356,8 +357,12 @@ object PagedSource {
         // hidden-entry rule MATCHES FilePipeline.catalog (its
         // Spark-convention dot/underscore filter): an entry the
         // destination catalog will never list must not be copied, or
-        // every sync re-plans it copy_new and re-downloads it forever
-        if (it.name.startsWith(".") || it.name.startsWith("_")) ()
+        // every sync re-plans it copy_new and re-downloads it forever.
+        // Never silently — exclusion-by-convention must stay tellable
+        // from data loss, so the count surfaces (advice r13): once in
+        // this walk's log line, and in the job-level accumulator every
+        // caller registers.
+        if (it.name.startsWith(".") || it.name.startsWith("_")) skipped += 1
         else if (it.isDir) dirs += ((it.id, rel))
         else files += FileEntry(it.id, it.name, rel,
           FilePipeline.extOf(it.name), it.size, it.mtime)
@@ -367,7 +372,11 @@ object PagedSource {
       // Some("") would otherwise spin this loop forever
       token = page.nextToken.filter(_.nonEmpty)
     }
-    (dirs.toSeq, files.toSeq)
+    if (skipped > 0)
+      System.err.println(s"[graft] walk '$dirRel': skipped $skipped " +
+        "hidden entr" + (if (skipped == 1) "y" else "ies") +
+        " (dot/underscore convention)")
+    (dirs.toSeq, files.toSeq, skipped)
   }
 
   /** f07: paged enumeration → manifest Dataset.
@@ -397,13 +406,21 @@ object PagedSource {
       permitsPerSec: Double = 0, distributeThreshold: Int = 4096)
       : Dataset[FileEntry] = {
     import spark.implicits._
+    // hidden-entry exclusions are counted, never silent: the total
+    // lands in this named accumulator (Spark UI / status APIs), each
+    // walk also logs its own count (advice r13 — 'no silent caps')
+    val hidden = spark.sparkContext
+      .longAccumulator("graft.pagedCatalog.hiddenEntriesSkipped")
     val levels = mutable.ArrayBuffer[RDD[FileEntry]]()
     var frontier: Seq[(String, String)] = Seq((rootId, ""))
     while (frontier.nonEmpty && frontier.size <= distributeThreshold) {
       val listed = spark.sparkContext
         .parallelize(frontier, math.min(frontier.size, 256))
         .map { case (id, rel) =>
-          walkDir(fetcher, id, rel, maxRetries, baseBackoffMs, permitsPerSec)
+          val (d, f, sk) =
+            walkDir(fetcher, id, rel, maxRetries, baseBackoffMs, permitsPerSec)
+          hidden.add(sk)
+          (d, f)
         }
       listed.localCheckpoint()
       frontier = listed.flatMap(_._1).collect().toSeq // materializes the level
@@ -417,7 +434,10 @@ object PagedSource {
       var n = frontier.size.toLong
       while (n > 0) {
         val listed = level.map { case (id, rel) =>
-          walkDir(fetcher, id, rel, maxRetries, baseBackoffMs, permitsPerSec)
+          val (d, f, sk) =
+            walkDir(fetcher, id, rel, maxRetries, baseBackoffMs, permitsPerSec)
+          hidden.add(sk)
+          (d, f)
         }
         listed.localCheckpoint()
         val next = listed.flatMap(_._1).repartition(256)

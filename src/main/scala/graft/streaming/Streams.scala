@@ -130,8 +130,17 @@ object Streams {
       val placed = rows.toSeq.sortBy(_.doc_id).map { d =>
         val start = off
         off += d.n_tokens
-        PackPlacement(d.doc_id, source, d.n_tokens, start,
-          start / seqLen, (start + d.n_tokens - 1) / seqLen)
+        // ZERO-token docs occupy NO sequence — c09 packOffsetsOver's
+        // rule, mirrored so st12 placements stay row-identical with a
+        // batch c09 run: the naive (start + n - 1)/L gives an INVERTED
+        // seq_last < seq_first at an exact sequence boundary, which a
+        // sequence(first, last) caller expands DESCENDING into phantom
+        // segments. Pin seq_last = seq_first (the sequence the offset
+        // points at; implied n_seqs = 0, matching c09's column).
+        val first = start / seqLen
+        val last =
+          if (d.n_tokens == 0L) first else (start + d.n_tokens - 1) / seqLen
+        PackPlacement(d.doc_id, source, d.n_tokens, start, first, last)
       }
       state.update(PackState(off))
       placed.iterator
@@ -1645,6 +1654,11 @@ object Streams {
     * lexically), diff against the persisted `.lastmod` ledger, and
     * land the refetch-eligible rows (`new` | `stale`) under
     * `.refetch/batch=<id>` — the feed a downstream fetcher drains.
+    * The feed carries BOTH lastmod forms: the validated `YYYY-MM-DD`
+    * prefix all comparisons and the ledger use, and `lastmod_raw`, the
+    * winning announcement's verbatim string — the value g10's batch
+    * kernel keeps — so the streaming and batch feeds agree for a
+    * consumer comparing them.
     * Only state-CHANGING rows append to the ledger (a fresh
     * re-announcement writes nothing), so ledger growth tracks actual
     * churn, not announcement volume; a URL's current state is the
@@ -1685,9 +1699,19 @@ object Streams {
     // hammer hosts for timezone artifacts).
     val lmNorm = regexp_extract(col("lastmod"),
       "^(\\d{4}-\\d{2}-\\d{2})", 1)
+    // the winning announcement's RAW lastmod rides along (advice r13):
+    // the batch-side g10 kernel keeps the raw value, so a consumer
+    // comparing the two feeds must see the same announcement string —
+    // the struct MAX picks the raw belonging to the winning normalized
+    // date (norm-ties break lexically on raw, deterministic). Only the
+    // NORMALIZED value enters comparisons and the ledger: MAX-over-
+    // append semantics are only sound over one uniform format.
     val urls = entries.filter(col("in_scope") === 1L)
-      .select(col("loc").as("url"), lmNorm.as("lastmod"))
-      .groupBy("url").agg(max(col("lastmod")).as("lastmod"))
+      .select(col("loc").as("url"), lmNorm.as("lm"),
+        col("lastmod").as("lm_raw"))
+      .groupBy("url").agg(max(struct(col("lm"), col("lm_raw"))).as("_m"))
+      .select(col("url"), col("_m.lm").as("lastmod"),
+        col("_m.lm_raw").as("lastmod_raw"))
       .withColumn("ub", ubBucket(col("url")))
       .localCheckpoint(true) // feeds probe join + both landings
     val ledgerPath = s"$lakePath.lastmod"
@@ -1729,7 +1753,9 @@ object Streams {
     val (nUrls, nNew, nStale) = (cnt.getLong(0), cnt.getLong(1),
       cnt.getLong(2))
     val eligible = status.filter(col("status") =!= "fresh")
-    eligible.select("url", "lastmod", "status")
+    // lastmod_raw LAST: existing consumers read (url, lastmod, status)
+    // positionally
+    eligible.select("url", "lastmod", "status", "lastmod_raw")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.refetch/batch=$batchId")
     eligible.select(col("url"), col("lastmod"), col("ub"))

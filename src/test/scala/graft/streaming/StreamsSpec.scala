@@ -956,7 +956,9 @@ class StreamsSpec extends AnyFunSuite {
     val drain2 = Seq(
       sm("a.example.com", Seq(
         (u1, "2026-01-05"), // unchanged → fresh
-        (u2, "2026-01-07"), // date appears over stored '' → stale
+        // timestamp suffix: comparisons use the date PREFIX, the feed
+        // must still carry this verbatim raw alongside
+        (u2, "2026-01-07T08:00:00Z"), // date appears over stored '' → stale
         (u3, ""))), // never seen → new
       // u4 announced TWICE in one drain — the later date must win
       sm("b.example.com", Seq((u4, "2026-01-02"))),
@@ -980,6 +982,12 @@ class StreamsSpec extends AnyFunSuite {
         (r.getString(1), r.getString(2))).toMap
     assert(b1 == Map(u2 -> (("2026-01-07", "stale")),
       u3 -> (("", "new")), u4 -> (("2026-01-09", "new"))), s"batch 1: $b1")
+    // the feed carries the winning announcement's RAW lastmod beside
+    // the normalized one (the batch g10 kernel's value) — comparisons
+    // used the date prefix, the verbatim string survives
+    val b1raw = spark.read.parquet(s"$lake.refetch/batch=1")
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(b1raw(u2) == "2026-01-07T08:00:00Z", s"raw lastmod: $b1raw")
     // audits conserve both identities
     val audit = spark.read.parquet(s"$lake.refetch.audit").collect()
       .map(r => r.getAs[Long]("batch_id") ->
