@@ -28,7 +28,8 @@ object Bench {
     // each probe hits the index its build row just wrote.
     val phaseSplit = Set("s07_ann_lsh_indexed", "s08_ann_ivf_indexed",
       "d13_indexed_admit", "c17_semantic_decontam_ivf",
-      "q28_approx_distinct")
+      "q28_approx_distinct",
+      "g12_frontier_probe", "g12_discovered_probe", "g12_recrawl_probe")
     val phased: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "s07_build" -> ((s, d) => operators.Ann.s07BenchBuild(s, d)),
       "s07_probe" -> ((s, d) => operators.Ann.s07BenchProbe(s, d)),
@@ -119,6 +120,15 @@ object Bench {
         cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
           .toDF("cell", "centroid")
       }),
+      // g12's rank index as its two phases: the one-time PageRank
+      // build+publish (what a deployment pays per rank REFRESH), then
+      // one probe row per consumer — the delta against the inline
+      // g07/g09/g10 rows is the per-drain recompute the index kills
+      // (name-sort keeps g12_build before every g12_probe_*)
+      "g12_build" -> ((s, d) => operators.Graph.g12BenchBuild(s, d)),
+      "g12_probe_g07" -> ((s, d) => operators.Graph.g12BenchProbeG07(s, d)),
+      "g12_probe_g09" -> ((s, d) => operators.Graph.g12BenchProbeG09(s, d)),
+      "g12_probe_g10" -> ((s, d) => operators.Graph.g12BenchProbeG10(s, d)),
       // the d06 collision-floor dial measured, not asserted: the
       // 8-bit high-recall opt-in rides the n²/2⁸ random-candidate
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff

@@ -729,7 +729,7 @@ object Oracles {
       |      AS BIGINT) AS in_scope
       |  FROM smf0)""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  private val sqlBase: Map[String, String] = Map(
     "g01_pagerank" -> pageRankSql(10),
     "g02_hits" -> hitsSql(10),
     "t23_unigram_train" -> unigramTrainSql,
@@ -4376,4 +4376,16 @@ object Oracles {
         |FROM walk WHERE w IS NULL AND it = (SELECT max(it) FROM walk)
         |ORDER BY rank""".stripMargin
   )
+
+  /** The g12 probe queries are INDEX-equals-INLINE contracts: each
+    * must reproduce its inline twin row-for-row (the persisted rank
+    * table is byte-identical to what the twin computes in-plan), so
+    * the oracle SQL IS the twin's — any divergence between the staged
+    * publish, the pinned read schema, and the live rank recurrence
+    * hash-mismatches here.
+    */
+  val sql: Map[String, String] = sqlBase ++ Map(
+    "g12_frontier_probe" -> sqlBase("g07_frontier_plan"),
+    "g12_discovered_probe" -> sqlBase("g09_discovered_plan"),
+    "g12_recrawl_probe" -> sqlBase("g10_recrawl_plan"))
 }

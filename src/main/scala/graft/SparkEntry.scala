@@ -176,6 +176,12 @@ object SparkEntry {
     "g09_discovered_plan" -> ((s, dir) => Graph.g09DiscoveredPlan(s, dir)),
     "g10_recrawl_plan" -> ((s, dir) => Graph.g10RecrawlPlan(s, dir)),
     "g11_trap_detect" -> ((s, dir) => Graph.g11TrapDetect(s, dir)),
+    // g12: the persisted host-rank index probed through each consumer
+    // (build-then-probe demos; row-identical to the inline twins)
+    "g12_frontier_probe" -> ((s, dir) => Graph.g12FrontierProbeDemo(s, dir)),
+    "g12_discovered_probe" ->
+      ((s, dir) => Graph.g12DiscoveredProbeDemo(s, dir)),
+    "g12_recrawl_probe" -> ((s, dir) => Graph.g12RecrawlProbeDemo(s, dir)),
     "c26_bloom_decontam" -> ((s, dir) => Corpus.c26BloomDecontam(s, dir)),
     "t22_cms_topk" -> ((s, dir) => TextOps.t22CmsTopk(s, dir)),
     "s17_margin_mining" -> ((s, dir) => Ann.s17MarginMining(s, dir)),

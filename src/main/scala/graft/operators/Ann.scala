@@ -732,7 +732,7 @@ object Ann {
     * twins stayed fixed, silently breaking the indexed-equals-flat
     * contract above the dial's flip threshold).
     */
-  private def writeIndexMeta(spark: SparkSession, path: String,
+  private[operators] def writeIndexMeta(spark: SparkSession, path: String,
       dial: Long): Unit = {
     import spark.implicits._
     Seq(dial).toDF("dial")
@@ -777,7 +777,7 @@ object Ann {
     * staged artifact is live, and any stale `.old` from a previous
     * crashed publish is cleared up front.
     */
-  private def publishStaged(spark: SparkSession, path: String,
+  private[operators] def publishStaged(spark: SparkSession, path: String,
       suffixes: Seq[String]): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def p(s: String) = new org.apache.hadoop.fs.Path(s)

@@ -634,12 +634,24 @@ object Graph {
     * oracle replays the composition end to end.
     */
   def g07FrontierPlan(spark: SparkSession, dir: String,
-      budget: Int = DefaultFetchBudget): DataFrame = {
+      budget: Int = DefaultFetchBudget): DataFrame =
+    g07PlanWith(spark, dir, inlineRanks(spark, dir), budget)
+
+  /** g07 against a PERSISTED g12 rank index instead of the inline
+    * 10-iteration PageRank — the form a production frontier drain
+    * runs: rank refresh is a periodic graph job ([[buildRankIndex]]),
+    * planning is a plan-time read. Row-identical to
+    * [[g07FrontierPlan]] when the index is current (spec-pinned).
+    */
+  def g07FrontierPlanIndexed(spark: SparkSession, dir: String,
+      indexPath: String, budget: Int = DefaultFetchBudget): DataFrame =
+    g07PlanWith(spark, dir, readRankIndex(spark, indexPath), budget)
+
+  private def g07PlanWith(spark: SparkSession, dir: String,
+      ranks: DataFrame, budget: Int): DataFrame = {
     val docs = Tables(spark, dir).documents
     val perms =
       g06UrlPermissionsOver(demoFrontierUrls(docs), demoRobotsTxt(docs))
-    val ranks = pageRankOver(linkEdges(spark, dir))
-      .select(col("node"), col("rank_e9"))
     frontierPlanOver(perms, ranks, budget).orderBy("doc_id")
   }
 
@@ -747,15 +759,25 @@ object Graph {
     * oracled (g06/g07/g08); this oracle replays the composition.
     */
   def g09DiscoveredPlan(spark: SparkSession, dir: String,
-      budget: Int = DiscoveredFetchBudget): DataFrame = {
+      budget: Int = DiscoveredFetchBudget): DataFrame =
+    g09PlanWith(spark, dir, inlineRanks(spark, dir), budget)
+
+  /** g09 against a persisted g12 rank index (see
+    * [[g07FrontierPlanIndexed]]) — row-identical to the inline form
+    * when the index is current.
+    */
+  def g09DiscoveredPlanIndexed(spark: SparkSession, dir: String,
+      indexPath: String, budget: Int = DiscoveredFetchBudget): DataFrame =
+    g09PlanWith(spark, dir, readRankIndex(spark, indexPath), budget)
+
+  private def g09PlanWith(spark: SparkSession, dir: String,
+      ranks: DataFrame, budget: Int): DataFrame = {
     val docs = Tables(spark, dir).documents
     val discovered = sitemapExtractOver(demoSitemaps(docs))
       .filter(col("in_scope") === 1)
       .select(discoveredDocId.as("doc_id"), col("host"), col("path"))
     val frontier = demoFrontierUrls(docs).unionByName(discovered)
     val perms = g06UrlPermissionsOver(frontier, demoRobotsTxt(docs))
-    val ranks = pageRankOver(linkEdges(spark, dir))
-      .select(col("node"), col("rank_e9"))
     frontierPlanOver(perms, ranks, budget).orderBy("doc_id")
   }
 
@@ -815,7 +837,19 @@ object Graph {
     * the freshness columns carried through for the scheduler.
     */
   def g10RecrawlPlan(spark: SparkSession, dir: String,
-      budget: Int = DefaultFetchBudget): DataFrame = {
+      budget: Int = DefaultFetchBudget): DataFrame =
+    g10PlanWith(spark, dir, inlineRanks(spark, dir), budget)
+
+  /** g10 against a persisted g12 rank index (see
+    * [[g07FrontierPlanIndexed]]) — row-identical to the inline form
+    * when the index is current.
+    */
+  def g10RecrawlPlanIndexed(spark: SparkSession, dir: String,
+      indexPath: String, budget: Int = DefaultFetchBudget): DataFrame =
+    g10PlanWith(spark, dir, readRankIndex(spark, indexPath), budget)
+
+  private def g10PlanWith(spark: SparkSession, dir: String,
+      ranks: DataFrame, budget: Int): DataFrame = {
     val docs = Tables(spark, dir).documents
     val discovered = sitemapExtractOver(demoSitemaps(docs))
       .filter(col("in_scope") === 1)
@@ -823,8 +857,6 @@ object Graph {
         col("lastmod"))
     val status = recrawlStatusOver(discovered, demoAdmittedLedger(docs))
       .withColumn("allowed", col("refetch"))
-    val ranks = pageRankOver(linkEdges(spark, dir))
-      .select(col("node"), col("rank_e9"))
     frontierPlanOver(status, ranks, budget,
       carry = Seq("lastmod", "admitted_on", "status"))
       .orderBy("doc_id")
@@ -957,4 +989,101 @@ object Graph {
         coalesce(col("a"), lit(0L)).as("auth_e9"))
       .orderBy(desc("auth_e9"), col("node"))
   }
+
+  // ---------------------------------------------------------------- g12
+
+  /** The rank frame the inline g07/g09/g10 forms compute per call. */
+  private def inlineRanks(spark: SparkSession, dir: String): DataFrame =
+    pageRankOver(linkEdges(spark, dir))
+      .select(col("node"), col("rank_e9"))
+
+  /** g12 build: persist g01's host-rank table as an index (the s07/s08
+    * staged-publish discipline — build into `.staging`, record the
+    * iteration dial in `.meta`, then [[Ann.publishStaged]]'s
+    * retire-to-`.old` / promote / drop-`.old` swap, so a crash never
+    * leaves a half-written table where a probe would silently read
+    * partial ranks, and the previous index stays recoverable in place).
+    *
+    * Why it exists (VERDICT r13 #1): g07/g09/g10 each recomputed the
+    * full 10-iteration PageRank INLINE per call — at 100 TB that turns
+    * every frontier-drain plan into a graph job. Rank freshness is a
+    * POLICY cadence (ranks move on crawl-graph timescales, not
+    * per-drain), so production refreshes this table periodically and
+    * every plan query is a read. The table is one slim row per HOST
+    * (millions at web scale — a few hundred MB), written as plain
+    * parquet: the consumers equi-join it on host where AQE broadcasts
+    * it while small (g01's no-forced-broadcast discipline), so no
+    * hive partitioning is needed or wanted (a dir-per-host layout
+    * would explode the listing).
+    */
+  def buildRankIndex(edges: DataFrame, path: String,
+      iters: Int = 10): Unit = {
+    val spark = edges.sparkSession
+    pageRankOver(edges, iters)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + ".staging")
+    Ann.writeIndexMeta(spark, path + ".staging", iters.toLong)
+    Ann.publishStaged(spark, path, Seq("", ".meta"))
+  }
+
+  /** g12 probe side: the persisted (node, rank_e9) frame, schema
+    * pinned (no inference job; host keys are strings). A missing index
+    * fails loudly at read — never a silent zero-rank plan.
+    */
+  def readRankIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema("node STRING, out_w BIGINT, rank_e9 BIGINT")
+      .parquet(path)
+      .select(col("node"), col("rank_e9"))
+
+  /** Fixed per-sfdir demo rank-index path (Ann.demoIndexPath — one
+    * directory reused across runs, Overwrite semantics via the staged
+    * publish).
+    */
+  private[graft] def g12DemoPath(dir: String): String =
+    Ann.demoIndexPath("g12", dir)
+
+  /** g12 driver queries: build-then-probe in one call (the s07/s08
+    * demo shape — the driver's queries take only (spark, dir)). Each
+    * must equal its inline twin row-for-row, so the oracle SQL is the
+    * twin's; GraphSpec asserts the equality and that the probe plan
+    * carries no PageRank-iteration residue.
+    */
+  def g12FrontierProbeDemo(spark: SparkSession, dir: String): DataFrame = {
+    buildRankIndex(linkEdges(spark, dir), g12DemoPath(dir))
+    g07FrontierPlanIndexed(spark, dir, g12DemoPath(dir))
+  }
+
+  def g12DiscoveredProbeDemo(spark: SparkSession, dir: String): DataFrame = {
+    buildRankIndex(linkEdges(spark, dir), g12DemoPath(dir))
+    g09DiscoveredPlanIndexed(spark, dir, g12DemoPath(dir))
+  }
+
+  def g12RecrawlProbeDemo(spark: SparkSession, dir: String): DataFrame = {
+    buildRankIndex(linkEdges(spark, dir), g12DemoPath(dir))
+    g10RecrawlPlanIndexed(spark, dir, g12DemoPath(dir))
+  }
+
+  // g12 bench phases: the combined demos above are the correctness
+  // entries, but their wall is dominated by the one-off rank build.
+  // Bench times the phases separately (name-sort keeps g12_build
+  // before every g12_*_probe row): the build row is what a deployment
+  // pays per rank REFRESH, the probe rows what every frontier drain
+  // pays — the delta against the inline g07/g09/g10 rows is the
+  // recompute this index exists to kill.
+
+  /** g12 build phase: write the rank index; 1-row audit. */
+  def g12BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buildRankIndex(linkEdges(spark, dir), g12DemoPath(dir))
+    Seq(g12DemoPath(dir)).toDF("index_path")
+  }
+
+  def g12BenchProbeG07(spark: SparkSession, dir: String): DataFrame =
+    g07FrontierPlanIndexed(spark, dir, g12DemoPath(dir))
+
+  def g12BenchProbeG09(spark: SparkSession, dir: String): DataFrame =
+    g09DiscoveredPlanIndexed(spark, dir, g12DemoPath(dir))
+
+  def g12BenchProbeG10(spark: SparkSession, dir: String): DataFrame =
+    g10RecrawlPlanIndexed(spark, dir, g12DemoPath(dir))
 }

@@ -491,6 +491,44 @@ class GraphSpec extends AnyFunSuite {
       "same-day datetime retriggered — freshness must be date-granular")
   }
 
+  test("g12 rank index: probes equal inline twins, no iteration residue in plan") {
+    val path = Graph.g12DemoPath(dir)
+    // build-then-probe demos must equal the inline forms ROW-FOR-ROW
+    // (same ordering clause, so positional compare is exact)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(Graph.g12FrontierProbeDemo(spark, dir)) ==
+      rows(Graph.g07FrontierPlan(spark, dir)), "g07 probe != inline")
+    assert(rows(Graph.g12DiscoveredProbeDemo(spark, dir)) ==
+      rows(Graph.g09DiscoveredPlan(spark, dir)), "g09 probe != inline")
+    assert(rows(Graph.g12RecrawlProbeDemo(spark, dir)) ==
+      rows(Graph.g10RecrawlPlan(spark, dir)), "g10 probe != inline")
+    // the index content IS g01's output (staged publish + pinned read
+    // schema lose nothing)
+    val idx = Graph.readRankIndex(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inline = Graph.g01PageRank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(idx == inline, "persisted ranks != g01")
+    // plan law (VERDICT r13 #1): the probe plan must carry NO
+    // PageRank-iteration residue — every inline iteration lives behind
+    // a localCheckpoint, which surfaces as an ExistingRDD scan, so the
+    // probe plan must be free of RDD scans and must instead scan the
+    // persisted index parquet; the inline twin (the expensive form)
+    // shows the residue
+    val probePlan = Graph.g07FrontierPlanIndexed(spark, dir, path)
+      .queryExecution.executedPlan.toString
+    assert(!probePlan.contains("ExistingRDD"),
+      "probe plan recomputes iteration state")
+    assert(probePlan.contains("graft_g12"),
+      "probe plan does not scan the rank index")
+    val inlinePlan = Graph.g07FrontierPlan(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(inlinePlan.contains("ExistingRDD"),
+      "inline twin lost its checkpoint discipline — re-audit the " +
+        "iteration lineage (this assertion guards the probe law's premise)")
+  }
+
   test("g11 trap verdict needs depth AND share AND explosion — each alone fails") {
     // planted families: the deep+concentrated calendar template flags
     // on every host; the id-parameterized /docs listing never does
