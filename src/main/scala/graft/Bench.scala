@@ -120,6 +120,13 @@ object Bench {
         cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
           .toDF("cell", "centroid")
       }),
+      // f14's plan execution as its two phases: the build row lands
+      // the g09 plan + g11 traps once (planning is measured by the
+      // g09/g11 rows), the fetch row measures the recurring per-drain
+      // download half against the in-memory content endpoint
+      // (name-sort keeps f14_build before f14_fetch)
+      "f14_build" -> ((s, d) => operators.Graph.f14BenchBuild(s, d)),
+      "f14_fetch" -> ((s, d) => operators.Graph.f14BenchFetch(s, d)),
       // g12's rank index as its two phases: the one-time PageRank
       // build+publish (what a deployment pays per rank REFRESH), then
       // one probe row per consumer — the delta against the inline

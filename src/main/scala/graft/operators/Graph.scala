@@ -1086,4 +1086,60 @@ object Graph {
 
   def g12BenchProbeG10(spark: SparkSession, dir: String): DataFrame =
     g10RecrawlPlanIndexed(spark, dir, g12DemoPath(dir))
+
+  // ---------------------------------------------------------------- f14
+
+  /** Deterministic in-memory content endpoint for the f14 demo/bench:
+    * bytes are an affine function of the URL (64-255 per fetch), so
+    * the bench row measures the fetch MACHINERY (partitioning,
+    * per-host permits, retry plumbing, FS landing) without network.
+    * Content-only — the crawl axis discovers URLs through sitemaps
+    * and links, never through a listing walk.
+    */
+  private[graft] final class DemoContentFetcher
+      extends graft.sources.PagedSource.PageFetcher {
+    override def listPage(dirId: String, token: Option[String])
+        : graft.sources.PagedSource.Page =
+      throw new UnsupportedOperationException(
+        "f14 demo fetcher serves content only")
+    override def open(fileId: String): java.io.InputStream = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(fileId)
+      val size = 64 + math.floorMod(h, 192)
+      new java.io.ByteArrayInputStream(
+        Array.tabulate(size)(i => ((h + i * 31) & 0xff).toByte))
+    }
+  }
+
+  private[graft] def f14DemoRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_f14_${dir.hashCode.toHexString}"
+
+  /** f14 bench, build phase: materialize the crawl PLAN (g09's
+    * composed discovery plan) and g11's trap templates once — the
+    * fetch row must measure execution, not re-planning (a deployment
+    * plans once per frontier drain and fetches from the landed plan).
+    */
+  def f14BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = f14DemoRoot(dir)
+    g09DiscoveredPlan(spark, dir)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/plan")
+    g11TrapDetect(spark, dir)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/traps")
+    Seq(root).toDF("plan_root")
+  }
+
+  /** f14 bench, fetch phase: execute the landed plan through
+    * [[graft.sources.PagedSource.executeCrawlPlan]] — the recurring
+    * per-drain cost of the crawl axis's download half.
+    */
+  def f14BenchFetch(spark: SparkSession, dir: String): DataFrame = {
+    val root = f14DemoRoot(dir)
+    graft.sources.PagedSource.executeCrawlPlan(spark,
+      new DemoContentFetcher,
+      spark.read.parquet(s"$root/plan"),
+      spark.read.parquet(s"$root/traps"),
+      s"$root/dest").toDF()
+  }
 }

@@ -536,6 +536,91 @@ object PagedSource {
       partitions, maxRetries, baseBackoffMs, permitsPerSec)
   }
 
+  /** f14: EXECUTE a crawl plan — the bridge that closes the crawl
+    * axis: g09/g10 PLAN fetches (one row per URL with `fetch = 1/0`),
+    * g11 names trap templates, and this drives the planned rows
+    * through f08's retry/rate-capped distributed fetch machinery (the
+    * reference's own download half, ref py:247-305, composed onto the
+    * crawl axis — discover → permit → plan → FETCH end to end).
+    *
+    * Inputs by schema, not by type, so any planner feeds it:
+    *   - `plan`:  (host, path, fetch, ...) — g07/g09/g10's output
+    *     shape; only `fetch = 1` rows execute (the plan's per-host
+    *     budget already decided WHAT to fetch — this stage never
+    *     second-guesses it).
+    *   - `traps`: (host, template, is_trap) — g11's output shape; a
+    *     planned URL whose digit-collapsed template is a flagged trap
+    *     is SKIPPED with the reason (the budget window can't see
+    *     template explosion — the safety valve composes here, at the
+    *     last gate before spend).
+    *
+    * Politeness: rows repartition BY HOST, so one host's fetches
+    * co-locate on one executor and the per-JVM token bucket
+    * (`fetch:<host>` keys — separate budgets per host, unlike f08's
+    * single `content` bucket: crawl politeness is a per-ORIGIN
+    * contract) caps that host's request rate cluster-wide, not just
+    * per executor. 429/503 honor Retry-After inside [[withRetry]] with
+    * a fresh permit per attempt (the distCopyPaged discipline); a
+    * permanently failing URL becomes a `failed` audit row, never a job
+    * abort.
+    *
+    * Audit conservation (spec-pinned): one row per planned URL, and
+    * `planned = fetched + skipped + failed` — trap exclusions are the
+    * `skipped` rows with reason `trap_template`, so nothing vanishes
+    * silently. Content lands under `destRoot/<host><path>`.
+    */
+  def executeCrawlPlan(spark: SparkSession, fetcher: PageFetcher,
+      plan: org.apache.spark.sql.DataFrame,
+      traps: org.apache.spark.sql.DataFrame, destRoot: String,
+      partitions: Int = 0, maxRetries: Int = 4, baseBackoffMs: Long = 100,
+      hostPermitsPerSec: Double = 0): Dataset[CopyAudit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism * 4
+    val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // g11's template collapse, re-derived per planned row (one regex
+    // projection) — the trap join is a LEFT join on (host, template)
+    // so non-trap rows ride through and the audit conserves rows
+    val trapT = traps.filter(col("is_trap") === 1L)
+      .select(col("host"), col("template")).distinct()
+      .withColumn("_trap", lit(1L))
+    val marked = plan.filter(col("fetch") === 1L)
+      .select(col("host"), col("path"),
+        regexp_replace(col("path"), "[0-9]+", "{d}").as("template"))
+      .join(trapT, Seq("host", "template"), "left")
+      .select(col("host"), col("path"),
+        coalesce(col("_trap"), lit(0L)).as("trap"))
+      .as[(String, String, Long)]
+    marked.repartition(n, col("host")).mapPartitions { rows =>
+      val conf = confSer.value
+      rows.map { case (host, path, trap) =>
+        val url = s"https://$host$path"
+        val destPath = new Path(s"$destRoot/$host$path")
+        if (trap == 1L)
+          CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+            "trap_template")
+        else try {
+          val dstFs = destPath.getFileSystem(conf)
+          dstFs.setWriteChecksum(false)
+          val (total, crc) = withRetry(maxRetries, baseBackoffMs) {
+            RateLimiter.acquire(s"fetch:$host", hostPermitsPerSec)
+            FilePipeline.streamTo(fetcher.open(url), dstFs, destPath)
+          }
+          CopyAudit(url, destPath.toString, s"$host$path", total, "fetched",
+            "", crc)
+        } catch {
+          case nc: NoContent =>
+            CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+              s"no_content: ${String.valueOf(nc.getMessage)}")
+          case ex: Exception =>
+            CopyAudit(url, destPath.toString, s"$host$path", 0L, "failed",
+              String.valueOf(ex.getMessage))
+        }
+      }
+    }
+  }
+
   /** Concrete [[PageFetcher]] over a generic JSON list endpoint:
     *
     *   GET {base}/list?dir={id}&token={t}

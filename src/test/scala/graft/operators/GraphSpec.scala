@@ -529,6 +529,22 @@ class GraphSpec extends AnyFunSuite {
         "iteration lineage (this assertion guards the probe law's premise)")
   }
 
+  test("f14 bench demo: the landed g09 plan executes end to end, audit conserves") {
+    import org.apache.spark.sql.functions.col
+    Graph.f14BenchBuild(spark, dir)
+    val audit = Graph.f14BenchFetch(spark, dir).collect()
+    val planned = spark.read.parquet(Graph.f14DemoRoot(dir) + "/plan")
+      .filter(col("fetch") === 1L).count()
+    assert(planned > 0, "demo plan never plans a fetch — vacuous")
+    assert(audit.length == planned,
+      s"audit rows ${audit.length} != planned $planned")
+    // the in-memory endpoint always serves, no g09 path is a flagged
+    // g11 template, so every planned row fetches
+    assert(audit.forall(_.getAs[String]("status") == "fetched"),
+      s"statuses: ${audit.map(_.getAs[String]("status")).distinct.toSeq}")
+    assert(audit.forall(_.getAs[Long]("bytes") >= 64L), "content landed short")
+  }
+
   test("g11 trap verdict needs depth AND share AND explosion — each alone fails") {
     // planted families: the deep+concentrated calendar template flags
     // on every host; the id-parameterized /docs listing never does

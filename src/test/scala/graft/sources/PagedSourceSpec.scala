@@ -479,6 +479,87 @@ class PagedSourceSpec extends AnyFunSuite {
       LibraryFetcher(Seq.empty, pageSize = 2).resolveLibrary())
   }
 
+  test("f14 executeCrawlPlan: trap exclusion, 429 absorption, audit conservation") {
+    import spark.implicits._
+    val content = Map(
+      "/c/a.example.com/p/1" -> "alpha",
+      "/c/a.example.com/p/2" -> "bravo-longer",
+      "/c/b.example.com/q/7" -> "charlie")
+    val contentCalls = new AtomicInteger(0)
+    val throttled = new AtomicInteger(0)
+    val requested =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath
+      requested.add(id)
+      val n = contentCalls.incrementAndGet()
+      if (n % 3 == 0) {
+        throttled.incrementAndGet()
+        ex.getResponseHeaders.add("Retry-After", "0")
+        send(ex, 429, Array.empty)
+      } else content.get(id) match {
+        case Some(c) => send(ex, 200, c.getBytes(StandardCharsets.UTF_8))
+        case None => send(ex, 404, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // crawl URLs (https://host/path) resolve against the fake:
+      // GET {base}/c/{host}{path} — the real deployment hands
+      // executeCrawlPlan an HttpJsonFetcher whose open() takes the
+      // absolute URL as-is
+      val fetcher = new CrawlRewriteFetcher(base)
+      val plan = Seq(
+        ("a.example.com", "/p/1", 1L),
+        ("a.example.com", "/p/2", 1L),
+        ("a.example.com", "/cal/3/4/4", 1L), // trap template → skipped
+        ("a.example.com", "/gone", 1L), // 404 → failed
+        ("b.example.com", "/q/7", 1L),
+        ("b.example.com", "/q/8", 0L) // not planned → NO audit row
+      ).toDF("host", "path", "fetch")
+      val traps = Seq(
+        ("a.example.com", "/cal/{d}/{d}/{d}", 1L),
+        // a NON-trap template row must not exclude anything
+        ("a.example.com", "/p/{d}", 0L)
+      ).toDF("host", "template", "is_trap")
+      val dest = Files.createTempDirectory("graft_f14_spec").toString
+      val audit = PagedSource.executeCrawlPlan(spark, fetcher, plan, traps,
+        dest, maxRetries = 8, baseBackoffMs = 1).collect()
+      // conservation: one audit row per PLANNED (fetch = 1) URL, and
+      // planned = fetched + skipped + failed
+      assert(audit.length == 5, s"audit rows: ${audit.toSeq}")
+      val byStatus =
+        audit.groupBy(_.status).view.mapValues(_.length).toMap
+      assert(byStatus == Map("fetched" -> 3, "skipped" -> 1, "failed" -> 1),
+        s"statuses: $byStatus")
+      // the trap row is skipped WITH the reason and the server never
+      // saw its URL (the whole point: never spend fetch budget on a
+      // flagged template)
+      val trap = audit.find(_.error == "trap_template").get
+      assert(trap.src == "https://a.example.com/cal/3/4/4")
+      assert(!requested.toArray.exists(_.toString.contains("/cal/")),
+        "trap URL was requested")
+      // the 404 is a failed row, not a job abort
+      val failed = audit.filter(_.status == "failed")
+      assert(failed.length == 1 && failed.head.src.endsWith("/gone"))
+      // 429s were genuinely injected and absorbed by retry
+      assert(throttled.get() > 0, "server never throttled — test is vacuous")
+      // content lands intact under destRoot/<host><path>, checksummed
+      val p1 = java.nio.file.Paths.get(dest, "a.example.com", "p", "1")
+      assert(new String(Files.readAllBytes(p1),
+        StandardCharsets.UTF_8) == "alpha")
+      val f1 = audit.find(_.src.endsWith("/p/1")).get
+      assert(f1.bytes == 5L && f1.checksum != 0L)
+    } finally server.stop(0)
+  }
+
   test("rate limiter makes progress at fractional (sub-1/s) rates") {
     // regression: with the cap clamped to permitsPerSec, a rate < 1
     // could never accumulate a whole token and acquire() hung forever
@@ -544,6 +625,23 @@ final case class TreeFetcher(depth: Int, branch: Int, filesPerDir: Int,
   }
   override def open(fileId: String): java.io.InputStream =
     new java.io.ByteArrayInputStream(Array.fill(10)('x'.toByte))
+}
+
+/** Maps a crawl URL (https://host/path) onto the spec's local fake:
+  * GET {base}/c/{host}{path}. Content-only (the crawl axis discovers
+  * URLs through sitemaps/links, never a listing walk). Top-level so
+  * the executor closure captures only the base string.
+  */
+final case class CrawlRewriteFetcher(base: String)
+    extends PagedSource.PageFetcher {
+  private val inner = new PagedSource.HttpJsonFetcher(base)
+  override def listPage(dirId: String, token: Option[String])
+      : PagedSource.Page =
+    throw new UnsupportedOperationException("content-only fake")
+  override def open(fileId: String): java.io.InputStream = {
+    val u = new java.net.URI(fileId)
+    inner.open(s"$base/c/${u.getHost}${u.getPath}")
+  }
 }
 
 /** Wraps a fetcher so one file id has no downloadable content. */
