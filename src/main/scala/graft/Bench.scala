@@ -141,7 +141,22 @@ object Bench {
       // floor the 16-bit DEFAULT avoids — the row keeps the tradeoff
       // visible round-over-round
       "d06_narrow_bands" -> ((s, d) =>
-        operators.Dedup.d06EmbedNeardupDemo(s, d, bands = 8)))
+        operators.Dedup.d06EmbedNeardupDemo(s, d, bands = 8)),
+      // base-SF recall tradeoff rows (VERDICT r13 #6): the default
+      // dials deliberately favor the scale legs, leaving s02 ~0.5 and
+      // s11 ~0.6 at sf0.1 — these rows measure the opt-in that buys
+      // recall back at base and what it costs, so the dial policy is
+      // a measured tradeoff instead of an assertion. Measured at
+      // sf0.1: s02 radius-3 probes 93/256 of the space (vs 37/256)
+      // for recall 0.5 -> 0.9 at ~equal wall; s11 at nprobe=12,
+      // rerank=64 reaches 0.9 (nprobe=8/rerank=32 still sat at 0.6 --
+      // the synthetic corpus's top-k signal is weak relative to cell
+      // noise at base, so cell misses dominate until most cells are
+      // probed; the auto-dial keeps the cheap default because recall
+      // RISES with corpus size under ivfProbesFor's growth rule).
+      "s02_radius3" -> ((s, d) => operators.Ann.s02AnnLsh(s, d, radius = 3)),
+      "s11_wide_probe" -> ((s, d) =>
+        operators.Ann.s11AnnIvfPq(s, d, nprobe = 12, rerank = 64)))
     // optional row filter (dev loops + outsized scale legs where the
     // declared-quadratic dials would dominate the run): a
     // comma-separated name list; recall probes follow the same filter
@@ -237,6 +252,12 @@ object Bench {
           topIds(operators.Ann.s10AnnPq(spark, sfDir, k = 10)))),
         safe("s11_ann_ivf_pq")(recallOf(s01,
           topIds(operators.Ann.s11AnnIvfPq(spark, sfDir, k = 10)))),
+        // the base-SF recall opt-ins measured beside their defaults
+        safe("s02_radius3")(recallOf(s01,
+          topIds(operators.Ann.s02AnnLsh(spark, sfDir, k = 10, radius = 3)))),
+        safe("s11_wide_probe")(recallOf(s01,
+          topIds(operators.Ann.s11AnnIvfPq(spark, sfDir, k = 10,
+            nprobe = 12, rerank = 64)))),
         // d06 demo plants exactly one near-dup per base vector at
         // (v, v+1e6); recall is planted pairs recovered / vectors
         safe("d06_embed_neardup_lsh") {

@@ -556,7 +556,8 @@ object Ann {
     * recall holds as the corpus grows.
     */
   def s02AnnLsh(spark: SparkSession, dir: String, k: Int = 10,
-      nBits: Int = 0, dim: Int = 64): DataFrame = {
+      nBits: Int = 0, dim: Int = 64, radius: Int = 2): DataFrame = {
+    require(radius == 2 || radius == 3, s"radius $radius not in {2, 3}")
     val t = Tables(spark, dir)
     val bits =
       if (nBits > 0) nBits
@@ -567,8 +568,14 @@ object Ann {
     val q = t.embeddings.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"),
         srpSignature(col("embedding"), bits, dim).as("qsig"))
-    val probes = q.select(col("qv"),
-      explode(hamming2Probes(col("qsig"), bits)).as("psig"))
+    // radius 3 is the measured base-SF recall opt-in (the d06
+    // wide_bands pattern): 93/256 of the space at 8 bits vs radius 2's
+    // 37/256 — the bench's s02_radius3 row keeps its recall/cost
+    // tradeoff visible beside the default
+    val probeSet =
+      if (radius == 3) hamming3Probes(col("qsig"), bits)
+      else hamming2Probes(col("qsig"), bits)
+    val probes = q.select(col("qv"), explode(probeSet).as("psig"))
     corpus.join(broadcast(probes), col("sig") === col("psig"))
       .select(col("vec_id"), cosineSim4(col("embedding"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
