@@ -1613,11 +1613,45 @@ object Streams {
       .parquet(s"$lakePath.discovered.audit/batch=$batchId")
   }
 
+  /** Feed GC — drop `batch=<id>` directories with `0 ≤ id ≤ upTo`
+    * from a downstream FEED root (`.discovered`, `.refetch`, their
+    * `.audit` siblings). Feeds differ from PROBED ledgers (st20's
+    * `.urlindex`, st23/st26's ledgers): nothing on the write path
+    * re-reads them, so per-drain growth costs storage and listings,
+    * not probe time — which is why they get a consumer-driven DELETE
+    * instead of an x20-style fold (folding a feed would merge batches
+    * a consumer tracks individually). The CONSUMER owns the cadence
+    * (review r13 #7 / VERDICT r13 #7): drain a batch, act on it, then
+    * call this with the last FULLY-PROCESSED id — never the current
+    * batch, and never an id the consumer might still replay, because
+    * a dropped batch is gone (the producer's replay rewrites its own
+    * directory via Overwrite, so producer replay stays safe
+    * regardless). Negative ids (watermark bases — never present in
+    * feeds) are refused defensively. Idempotent: missing directories
+    * are skipped.
+    */
+  def dropConsumedBatches(spark: SparkSession, feedPath: String,
+      upTo: Long): Unit = {
+    require(upTo >= 0, s"dropConsumedBatches: upTo=$upTo must be >= 0")
+    val p = new org.apache.hadoop.fs.Path(feedPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    graft.operators.Dedup.listBatchIds(spark, feedPath)
+      .filter(id => id >= 0 && id <= upTo)
+      .foreach(id =>
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true))
+  }
+
   /** st25: STREAMING sitemap discovery — [[sitemapDiscoverBatch]] per
     * micro-batch over a (host, xml) sitemap stream: g08's extraction
     * as a continuous drain in FRONT of st20's URL gate, completing
     * the crawl service's discovery half (publishers announce URLs;
     * the gate dedupes them against everything already admitted).
+    * Landing growth: `.discovered`/`.discovered.audit` gain one
+    * directory per drain — downstream feeds under the
+    * [[dropConsumedBatches]] consumer-owns-GC contract (the st20
+    * `.urlindex` this batch also appends to is PROBED state and has
+    * its own fold, [[urlGateCompactIndex]]).
     */
   def st25SitemapDiscoverStream(sitemaps: DataFrame, lakePath: String,
       checkpointDir: String)

@@ -932,6 +932,28 @@ class StreamsSpec extends AnyFunSuite {
       .where("batch_id = 7").collect().head
     assert((a7.getAs[Long]("entries"), a7.getAs[Long]("in_scope"),
       a7.getAs[Long]("cross_host")) == ((0L, 0L, 0L)), s"zero-entry audit $a7")
+    // feed GC (the consumer-owns-GC contract): the .discovered landing
+    // and its audit grow one directory per drain — a consumer that has
+    // fully processed batches ≤ 7 drops them, later batches survive,
+    // and a repeated call is a no-op
+    def feedDirs(sfx: String): Set[String] =
+      new java.io.File(lake + sfx).listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(feedDirs(".discovered") ==
+      Set("batch=0", "batch=1", "batch=7", "batch=9", "batch=10"),
+      s"pre-GC dirs: ${feedDirs(".discovered")}")
+    Streams.dropConsumedBatches(spark, lake + ".discovered", upTo = 7L)
+    Streams.dropConsumedBatches(spark, lake + ".discovered.audit", upTo = 7L)
+    assert(feedDirs(".discovered") == Set("batch=9", "batch=10"),
+      s"post-GC dirs: ${feedDirs(".discovered")}")
+    assert(feedDirs(".discovered.audit") == Set("batch=9", "batch=10"))
+    // kept batches are intact and readable
+    assert(spark.read.parquet(s"$lake.discovered/batch=9").count() == 2)
+    // idempotent: a second sweep changes nothing, a missing root is a
+    // no-op (never an exception)
+    Streams.dropConsumedBatches(spark, lake + ".discovered", upTo = 7L)
+    assert(feedDirs(".discovered") == Set("batch=9", "batch=10"))
+    Streams.dropConsumedBatches(spark, lake + ".never-existed", upTo = 7L)
   }
 
   test("st26 recrawl stream: ledger-driven freshness, latest-lastmod wins, replay") {
