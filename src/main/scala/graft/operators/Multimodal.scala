@@ -68,6 +68,14 @@ object Multimodal {
       val (w, h) = (img.getWidth, img.getHeight)
       val out = new Array[Int](w * h)
       val singleBand = img.getRaster.getNumBands == 1
+      // deep gray sources (16-bit PNG, 12-bit medical scans) carry
+      // samples above 255: `& 0xff` would WRAP them mod 256 — silent
+      // luminance garbage (review r14). Shift the top 8 bits down
+      // instead; 8-bit sources shift by 0 and are untouched.
+      val grayShift =
+        if (singleBand)
+          math.max(0, img.getRaster.getSampleModel.getSampleSize(0) - 8)
+        else 0
       var y = 0
       while (y < h) {
         var x = 0
@@ -76,7 +84,7 @@ object Multimodal {
             if (singleBand) {
               // gray sources: raw raster sample — getRGB would route the
               // linear gray space through sRGB gamma and corrupt values
-              img.getRaster.getSample(x, y, 0) & 0xff
+              (img.getRaster.getSample(x, y, 0) >>> grayShift) & 0xff
             } else {
               val rgb = img.getRGB(x, y)
               val r = (rgb >> 16) & 0xff
@@ -149,6 +157,15 @@ object Multimodal {
         require(crc.getValue == stored, s"bad CRC in $ctype chunk")
         out += ((ctype, len, p))
         p += 12 + len
+        // IEND must be the FINAL byte (ISO 15948 §5.6): decoders stop
+        // at the first IEND, so bytes after an interior one are a
+        // covert channel the scrub would otherwise pass through —
+        // crafted "critical"-typed chunks there survive
+        // scrubPngAncillary while staying invisible to every decoder
+        // (review r14)
+        if (ctype == "IEND")
+          require(p == bytes.length,
+            s"${bytes.length - p} trailing bytes after IEND")
       }
       require(out.nonEmpty && out.last._1 == "IEND" && out.head._1 == "IHDR",
         "malformed PNG chunk sequence")
@@ -275,7 +292,15 @@ object Multimodal {
         val a = bytes(pos); val b = bytes(pos + 1)
         val c = bytes(pos + 2); val d = bytes(pos + 3)
         val size = bb.getInt(pos + 4)
+        // a NEGATIVE declared size (crafted/corrupt) must fail loudly:
+        // unvalidated, `pos += 8 + size` advances by ≤ 0 and the walk
+        // spins forever — an executor HANG, strictly worse than a
+        // throw (review r14)
+        require(size >= 0, s"negative RIFF chunk size $size at offset $pos")
         if (a == 'f' && b == 'm' && c == 't' && d == ' ') {
+          // a short fmt chunk must not read its "fields" out of the
+          // NEXT chunk's bytes (PCM fmt is ≥ 16 bytes by spec)
+          require(size >= 16, s"short fmt chunk ($size bytes)")
           val audioFormat = bb.getShort(pos + 8)
           val channels = bb.getShort(pos + 10)
           val bits = bb.getShort(pos + 22)
@@ -287,7 +312,13 @@ object Multimodal {
           dataOff = pos + 8
           dataLen = size
         }
-        pos += 8 + size + (size & 1) // chunks are word-aligned
+        // Long advance: 8 + size + pad can wrap Int for a ~2^31 size
+        // and land `pos` NEGATIVE (then bytes(pos) throws a misleading
+        // AIOOBE); a past-the-end advance just ends the walk — a
+        // truncated final chunk is tolerated by the min() below, the
+        // decoder's long-standing torn-tail contract
+        val next = pos.toLong + 8L + size + (size & 1) // word-aligned
+        pos = if (next > bytes.length) bytes.length else next.toInt
       }
       require(fmtOk && dataOff >= 0, "missing fmt/data chunk in WAVE payload")
       val n = math.min(dataLen.toLong, (bytes.length - dataOff).toLong).toInt / 2
@@ -386,11 +417,19 @@ object Multimodal {
       var pos = 0
       while (pos + 4 <= container.length) {
         val len = ByteBuffer.wrap(container, pos, 4).getInt
-        require(len >= 0 && pos + 4 + len <= container.length,
+        // overflow-safe form (the pngChunks rule): pos + 4 + len wraps
+        // Int for a crafted ~2^31 length and would slip past the
+        // additive guard into copyOfRange with a misleading error
+        require(len >= 0 && len <= container.length - pos - 4,
           s"corrupt frame container at offset $pos")
         out += java.util.Arrays.copyOfRange(container, pos + 4, pos + 4 + len)
         pos += 4 + len
       }
+      // a torn/truncated container must fail LOUDLY, not silently
+      // return fewer frames: 1-3 trailing bytes are a partial length
+      // prefix, i.e. a write that stopped mid-frame (review r14)
+      require(pos == container.length,
+        s"${container.length - pos} trailing bytes after the last frame")
       out.toArray
     }
   }

@@ -113,6 +113,52 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial codec bytes fail loudly — never hang, wrap, or pass through") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a NEGATIVE RIFF chunk size once spun decodeWav's walk forever
+    // (pos += 8 + size with size = -8 never advances) — an executor
+    // HANG; it must throw instead (review r14)
+    val evilWav = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(24).put("WAVE".getBytes)
+      .put("junk".getBytes).putInt(-8)
+      .put(new Array[Byte](12)).array()
+    val e1 = intercept[IllegalArgumentException](Codecs.decodeWav(evilWav))
+    assert(e1.getMessage.contains("negative RIFF chunk size"), e1.getMessage)
+    // a SHORT fmt chunk must not read its fields out of the next
+    // chunk's bytes
+    val shortFmt = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes).putInt(32).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(4).putInt(0x00010001)
+      .put("data".getBytes).putInt(4).putInt(0).array()
+    val e2 = intercept[IllegalArgumentException](Codecs.decodeWav(shortFmt))
+    assert(e2.getMessage.contains("short fmt chunk"), e2.getMessage)
+    // 16-bit grayscale decodes SCALED (top 8 bits), never wrapped mod
+    // 256: sample 0x8001 must read ~0x80, not 0x01
+    val deep = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    deep.getRaster.setSample(0, 0, 0, 0x8001)
+    deep.getRaster.setSample(1, 0, 0, 0x00ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(deep, "png", bos)
+    val (_, _, px16) = Codecs.decodeGray(bos.toByteArray)
+    assert(px16(0) == 0x80 && px16(1) == 0x00,
+      s"16-bit gray wrapped: ${px16.toSeq}")
+    // 1-3 trailing bytes = a torn frame container (partial length
+    // prefix) — fewer frames silently was the old behavior
+    val packed = Codecs.packFrames(Seq(Array[Byte](1, 2, 3)))
+    val e3 = intercept[IllegalArgumentException](
+      Codecs.unpackFrames(packed ++ Array[Byte](7)))
+    assert(e3.getMessage.contains("trailing bytes"), e3.getMessage)
+    // chunks AFTER an interior IEND are a scrub-evasion channel
+    // (decoders stop at the first IEND; crafted critical-typed chunks
+    // there would survive the scrub invisibly) — the walker refuses
+    val png = Multimodal.synthImage(3L)
+    val iendOff = Codecs.pngChunks(png).last._3
+    val doubled = png ++ java.util.Arrays.copyOfRange(png, iendOff, png.length)
+    val e4 = intercept[IllegalArgumentException](Codecs.pngChunks(doubled))
+    assert(e4.getMessage.contains("after IEND"), e4.getMessage)
+  }
+
   // ---- table + pipeline: real payloads flow through the real codecs ----
 
   test("m01 media table has binary payloads that actually decode") {
