@@ -1195,11 +1195,22 @@ object Dedup {
     // packed into one long (doc_id << 24 | pos) so the aggregate
     // stays a HashAggregate — min over a struct plans as a
     // SortAggregate, which would SORT exactly the hottest buckets.
-    // Bound: token positions < 2^24 (a 16M-token single document is
-    // far beyond any sane row size; the kernel's array would overflow
-    // long before).
+    // Bounds ENFORCED, not assumed (review r14): token positions
+    // < 2^24 (a 16M-token document is beyond any sane row size) and
+    // 0 ≤ doc_id < 2^39 — the kernel is public "over any frame", and
+    // a hash-MINTED id (st25 mints xxhash64 doc_ids, full 64-bit
+    // range incl. negatives) would shift-wrap into a garbage packed
+    // key and silently elect the wrong canonical copy. Out-of-range
+    // rows fail loudly in-plan instead.
+    val packable =
+      col("doc_id") >= 0 && col("doc_id") < lit(1L << 39) &&
+        col("pos") < lit(1L << 24)
     val canon = high.groupBy("h")
-      .agg(min(shiftleft(col("doc_id"), 24) + col("pos")).as("packed"))
+      .agg(min(when(packable, shiftleft(col("doc_id"), 24) + col("pos"))
+        .otherwise(raise_error(concat(lit("d08: doc_id/pos outside the " +
+          "packable range (need 0 <= doc_id < 2^39, pos < 2^24): "),
+          col("doc_id").cast("string"), lit("/"),
+          col("pos").cast("string"))).cast(LongType))).as("packed"))
       .select(col("h"),
         shiftright(col("packed"), 24).as("c_doc"),
         col("packed").bitwiseAND(lit((1L << 24) - 1)).as("c_pos"))

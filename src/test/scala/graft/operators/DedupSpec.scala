@@ -389,6 +389,19 @@ class DedupSpec extends AnyFunSuite {
       (d.toLong, start, start + 15L, 16L)
     }.toSet
     assert(out.toSet == expected)
+    // the canonical pack (doc_id << 24 | pos) is only sound for
+    // 0 ≤ doc_id < 2^39 — a hash-MINTED id (negative, the st25 class)
+    // must fail LOUDLY in the high-df branch, not shift-wrap into a
+    // garbage canonical election (review r14)
+    val withNeg = docs.union(
+      Seq((-7L, s"${filler(9, 3)} $p")).toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      Dedup.d08SpansOver(withNeg, shingleK = 8, minSpanTokens = 15,
+        maxDf = 2).collect()
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.toString + msgs(t.getCause)
+    assert(msgs(e).contains("packable"), s"wrong failure: ${msgs(e)}")
   }
 
   test("d08 merges overlapping runs from different partners into one maximal span") {
