@@ -4377,6 +4377,76 @@ object Oracles {
         |ORDER BY rank""".stripMargin
   )
 
+  /** g13: rebuild BOTH discovery plants byte-for-byte — the robots
+    * bodies with their two Sitemap announcements and the
+    * `<sitemapindex>` XML — then replay directive extraction (line
+    * split, comment strip, case-insensitive field, trim, scope flag)
+    * and index-block extraction (lazy (?s) blocks, optional lastmod,
+    * scope flag) entirely in SQL, union the channels.
+    */
+  private val g13Sql: String =
+    s"""WITH $hostsCte,
+       |g13rb AS (SELECT 'site' || s || '.example.com' AS host,
+       |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+       |    'Sitemap: https://site' || s ||
+       |      '.example.com/sitemap_index.xml' || chr(10) ||
+       |    'sitemap: https://cdn.example.net/shared/' || s ||
+       |      '.xml # mirrored copy' AS body
+       |  FROM hosts),
+       |g13l0 AS (SELECT host, string_split(body, chr(10)) AS ln FROM g13rb),
+       |g13l1 AS (SELECT host, ln,
+       |    unnest(generate_series(1, len(ln))) AS i FROM g13l0),
+       |g13ln AS (SELECT host, i - 1 AS pos,
+       |    trim(regexp_replace(ln[CAST(i AS INTEGER)], '#.*', '')) AS line
+       |  FROM g13l1),
+       |g13r AS (SELECT host, 'robots' AS source, CAST(pos AS BIGINT) AS ord,
+       |    trim(regexp_extract(line, '(?i)^sitemap\\s*:\\s*(.*)$$', 1)) AS loc,
+       |    '' AS lastmod
+       |  FROM g13ln WHERE regexp_matches(line, '(?i)^sitemap\\s*:')),
+       |g13ix AS (SELECT 'site' || s || '.example.com' AS host,
+       |    '<?xml version="1.0"?>' || chr(10) || '<sitemapindex>' || chr(10) ||
+       |    '  <sitemap>' || chr(10) || '    <loc>https://site' || s ||
+       |      '.example.com/sm/0.xml</loc>' || chr(10) ||
+       |    '    <lastmod>2026-02-' ||
+       |      lpad(CAST((s * 3 + 0) % 28 + 1 AS VARCHAR), 2, '0') ||
+       |      '</lastmod>' || chr(10) || '  </sitemap>' || chr(10) ||
+       |    '  <sitemap>' || chr(10) || '    <loc>https://site' || s ||
+       |      '.example.com/sm/1.xml</loc>' || chr(10) ||
+       |    '    <lastmod>2026-02-' ||
+       |      lpad(CAST((s * 3 + 1) % 28 + 1 AS VARCHAR), 2, '0') ||
+       |      '</lastmod>' || chr(10) || '  </sitemap>' || chr(10) ||
+       |    '  <sitemap>' || chr(10) || '    <loc>https://site' || s ||
+       |      '.example.com/sm/2.xml</loc>' || chr(10) ||
+       |    '    <lastmod>2026-02-' ||
+       |      lpad(CAST((s * 3 + 2) % 28 + 1 AS VARCHAR), 2, '0') ||
+       |      '</lastmod>' || chr(10) || '  </sitemap>' || chr(10) ||
+       |    '  <sitemap>' || chr(10) || '    <loc>https://site' || s ||
+       |      '.example.com/sm/3.xml</loc>' || chr(10) ||
+       |      '  </sitemap>' || chr(10) ||
+       |    '  <sitemap>' || chr(10) || '    <loc>https://site' ||
+       |      ((s + 1) % 50) || '.example.com/sm/4.xml</loc>' || chr(10) ||
+       |      '  </sitemap>' || chr(10) ||
+       |    '</sitemapindex>' || chr(10) AS xml
+       |  FROM hosts),
+       |g13b0 AS (SELECT host,
+       |    regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1) AS bl
+       |  FROM g13ix),
+       |g13b1 AS (SELECT host, bl,
+       |    unnest(generate_series(1, len(bl))) AS i FROM g13b0),
+       |g13i AS (SELECT host, 'index' AS source, CAST(i - 1 AS BIGINT) AS ord,
+       |    regexp_extract(bl[CAST(i AS INTEGER)], '<loc>([^<]*)</loc>', 1)
+       |      AS loc,
+       |    regexp_extract(bl[CAST(i AS INTEGER)],
+       |      '<lastmod>([^<]*)</lastmod>', 1) AS lastmod
+       |  FROM g13b1),
+       |g13u AS (SELECT * FROM g13r UNION ALL SELECT * FROM g13i)
+       |SELECT host, source, ord, loc, lastmod,
+       |  CAST(lower(regexp_extract(loc,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) = lower(host)
+       |    AS BIGINT) AS in_scope
+       |FROM g13u
+       |ORDER BY host, source, ord""".stripMargin
+
   /** The g12 probe queries are INDEX-equals-INLINE contracts: each
     * must reproduce its inline twin row-for-row (the persisted rank
     * table is byte-identical to what the twin computes in-plan), so
@@ -4387,5 +4457,6 @@ object Oracles {
   val sql: Map[String, String] = sqlBase ++ Map(
     "g12_frontier_probe" -> sqlBase("g07_frontier_plan"),
     "g12_discovered_probe" -> sqlBase("g09_discovered_plan"),
-    "g12_recrawl_probe" -> sqlBase("g10_recrawl_plan"))
+    "g12_recrawl_probe" -> sqlBase("g10_recrawl_plan"),
+    "g13_sitemap_discovery" -> g13Sql)
 }

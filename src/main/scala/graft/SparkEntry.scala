@@ -182,6 +182,8 @@ object SparkEntry {
     "g12_discovered_probe" ->
       ((s, dir) => Graph.g12DiscoveredProbeDemo(s, dir)),
     "g12_recrawl_probe" -> ((s, dir) => Graph.g12RecrawlProbeDemo(s, dir)),
+    "g13_sitemap_discovery" ->
+      ((s, dir) => Graph.g13SitemapDiscovery(s, dir)),
     "c26_bloom_decontam" -> ((s, dir) => Corpus.c26BloomDecontam(s, dir)),
     "t22_cms_topk" -> ((s, dir) => TextOps.t22CmsTopk(s, dir)),
     "s17_margin_mining" -> ((s, dir) => Ann.s17MarginMining(s, dir)),

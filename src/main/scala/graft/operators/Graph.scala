@@ -1087,6 +1087,128 @@ object Graph {
   def g12BenchProbeG10(spark: SparkSession, dir: String): DataFrame =
     g10RecrawlPlanIndexed(spark, dir, g12DemoPath(dir))
 
+  // ---------------------------------------------------------------- g13
+
+  /** The g13 robots plant, per distinct demo host: a `*` governance
+    * group (so directive extraction provably coexists with rule
+    * parsing) plus two sitemap announcements — one same-host INDEX
+    * announcement, and one lowercase-field cross-host announcement
+    * carrying an inline comment (field-name case-insensitivity,
+    * comment stripping, and the scope flag all exercised). Affine in
+    * the host index, oracle-rebuildable.
+    */
+  private[graft] def demoG13Robots(docs: DataFrame): DataFrame =
+    docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
+      .select(demoHost(col("s")).as("host"),
+        concat(
+          lit("User-agent: *\nDisallow: /private\nSitemap: https://site"),
+          col("s"),
+          lit(".example.com/sitemap_index.xml\nsitemap: https://cdn.example.net/shared/"),
+          col("s"), lit(".xml # mirrored copy")).as("body"))
+
+  /** The g13 index plant, per distinct demo host: a sitemaps.org
+    * `<sitemapindex>` with five `<sitemap>` children — three fully
+    * populated (loc + lastmod, affine in (host, slot)), one with the
+    * OPTIONAL lastmod omitted, and one CROSS-HOST decoy the extractor
+    * must flag. The wrapper tag name CONTAINS "sitemap", so the block
+    * regex's exact-tag match is load-bearing, not decorative.
+    */
+  private[graft] def demoSitemapIndexes(docs: DataFrame): DataFrame = {
+    def child(k: Int): org.apache.spark.sql.Column = {
+      val day = expr(s"lpad(cast((s * 3 + $k) % 28 + 1 as string), 2, '0')")
+      concat(lit("  <sitemap>\n    <loc>https://site"), col("s"),
+        lit(s".example.com/sm/$k.xml</loc>\n    <lastmod>2026-02-"), day,
+        lit("</lastmod>\n  </sitemap>\n"))
+    }
+    docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
+      .select(
+        demoHost(col("s")).as("host"),
+        concat(
+          lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+          child(0), child(1), child(2),
+          concat(lit("  <sitemap>\n    <loc>https://site"), col("s"),
+            lit(".example.com/sm/3.xml</loc>\n  </sitemap>\n")),
+          concat(lit("  <sitemap>\n    <loc>https://site"),
+            expr("(s + 1) % 50"),
+            lit(".example.com/sm/4.xml</loc>\n  </sitemap>\n")),
+          lit("</sitemapindex>\n")).as("xml"))
+  }
+
+  /** g13 kernel A over any (host, body) robots frame: every
+    * `Sitemap:` directive. RFC 9309 §2.3 + sitemaps.org: the
+    * directive is GROUP-INDEPENDENT — it binds to the robots FILE,
+    * not to a user-agent group, so no run scoping applies (unlike
+    * Allow/Disallow, deliberately); field names match
+    * case-insensitively, `#` comments strip, values trim. The
+    * announced URL's host yields a same-host scope flag — cross-host
+    * announcements are LEGAL per the protocol (cross-submission), but
+    * a crawler cross-verifies before trusting them, so they are
+    * FLAGGED, never silently kept or dropped (the g08 discipline).
+    * Output: (host, ord = the directive's line position, sitemap_url,
+    * in_scope). Per-row codegen'd regex; no shuffle.
+    */
+  def robotsSitemapsOver(robots: DataFrame): DataFrame = {
+    val lines = robots
+      .select(col("host"),
+        posexplode(split(col("body"), "\r?\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("line"))
+    val url = trim(regexp_extract(col("line"),
+      "(?i)^sitemap\\s*:\\s*(.*)$", 1))
+    val urlHost =
+      lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    lines
+      .filter(col("line").rlike("(?i)^sitemap\\s*:"))
+      .select(col("host"), col("pos").cast("long").as("ord"),
+        url.as("sitemap_url"),
+        (urlHost === lower(col("host"))).cast("long").as("in_scope"))
+  }
+
+  /** g13 kernel B over any (host, xml) frame: sitemaps.org
+    * `<sitemapindex>` extraction — the NESTING level above g08's
+    * urlsets (the protocol caps one sitemap at 50k URLs / 50 MB, so
+    * any large site shards behind an index; discovery must walk
+    * index → leaves before g08 can parse a single URL). `(?s)` lazy
+    * `<sitemap>` blocks (the exact-tag match must NOT swallow the
+    * `<sitemapindex>` wrapper, whose name contains the child tag's),
+    * per-block loc + OPTIONAL lastmod ('' when absent), same-host
+    * scope flag. Per-row codegen'd regex; no shuffle.
+    */
+  def sitemapIndexExtractOver(indexes: DataFrame): DataFrame = {
+    def field(name: String) = regexp_extract(col("entry"),
+      s"<$name>([^<]*)</$name>", 1)
+    val locHost = lower(regexp_extract(field("loc"),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    indexes
+      .select(col("host"), posexplode(regexp_extract_all(col("xml"),
+        lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as(Seq("ord", "entry")))
+      .select(col("host"), col("ord").cast("long").as("ord"),
+        field("loc").as("loc"),
+        field("lastmod").as("lastmod"),
+        (locHost === lower(col("host"))).cast("long").as("in_scope"))
+  }
+
+  /** g13: the discovery BOOTSTRAP composed — where does a crawler get
+    * sitemaps FROM? robots.txt announces them (`Sitemap:` directives,
+    * kernel A), and announced INDEX files shard into child sitemaps
+    * (kernel B); this emits one row per discovered sitemap FILE with
+    * its source channel, completing the chain in front of g08 (which
+    * parses the leaf urlsets): robots → index → sitemaps → urls →
+    * permissions → plan → fetch.
+    */
+  def g13SitemapDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val fromRobots = robotsSitemapsOver(demoG13Robots(docs))
+      .select(col("host"), lit("robots").as("source"), col("ord"),
+        col("sitemap_url").as("loc"), lit("").as("lastmod"),
+        col("in_scope"))
+    val fromIndex = sitemapIndexExtractOver(demoSitemapIndexes(docs))
+      .select(col("host"), lit("index").as("source"), col("ord"),
+        col("loc"), col("lastmod"), col("in_scope"))
+    fromRobots.unionByName(fromIndex)
+      .orderBy("host", "source", "ord")
+  }
+
   // ---------------------------------------------------------------- f14
 
   /** Deterministic in-memory content endpoint for the f14 demo/bench:

@@ -529,6 +529,43 @@ class GraphSpec extends AnyFunSuite {
         "iteration lineage (this assertion guards the probe law's premise)")
   }
 
+  test("g13 discovery bootstrap: directives and index children, decoys flagged") {
+    val rows = Graph.g13SitemapDiscovery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getLong(5)))
+    val hosts = rows.map(_._1).distinct
+    assert(hosts.nonEmpty)
+    hosts.foreach { h =>
+      val s = h.stripPrefix("site").takeWhile(_.isDigit).toInt
+      val hr = rows.filter(_._1 == h)
+      // robots channel: exactly 2 directives — the same-host INDEX
+      // announcement (uppercase field, line 2) and the cross-host
+      // lowercase-field one whose inline comment must be stripped
+      val rb = hr.filter(_._2 == "robots").sortBy(_._3)
+      assert(rb.length == 2, s"$h robots rows: ${rb.toSeq}")
+      assert(rb(0) == ((h, "robots", 2L,
+        s"https://$h/sitemap_index.xml", "", 1L)), s"$h: ${rb(0)}")
+      assert(rb(1) == ((h, "robots", 3L,
+        s"https://cdn.example.net/shared/$s.xml", "", 0L)),
+        s"comment not stripped or scope wrong: ${rb(1)}")
+      // index channel: 5 children — the <sitemapindex> wrapper (whose
+      // tag name CONTAINS "sitemap") must NOT become a block
+      val ix = hr.filter(_._2 == "index").sortBy(_._3)
+      assert(ix.length == 5, s"$h index rows: ${ix.length}")
+      (0 to 2).foreach { k =>
+        val day = f"${(s * 3 + k) % 28 + 1}%02d"
+        assert(ix(k) == ((h, "index", k.toLong,
+          s"https://$h/sm/$k.xml", s"2026-02-$day", 1L)), s"$h child $k")
+      }
+      assert(ix(3)._5 == "" && ix(3)._6 == 1L, "optional lastmod not ''")
+      assert(ix(4)._6 == 0L, "cross-host index decoy not flagged")
+    }
+    // the discovered leaf names feed g08's urlset parse downstream —
+    // the chain composes by SCHEMA: in-scope rows are (host, loc)
+    // exactly what a fetcher resolves before st25 drains the XML
+    assert(rows.filter(_._6 == 1L).forall(r => r._4.contains(r._1)))
+  }
+
   test("f14 bench demo: the landed g09 plan executes end to end, audit conserves") {
     import org.apache.spark.sql.functions.col
     Graph.f14BenchBuild(spark, dir)
