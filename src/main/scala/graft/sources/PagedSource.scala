@@ -273,6 +273,26 @@ object PagedSource {
     */
   final class NoContent(msg: String) extends IOException(msg)
 
+  /** 304-Not-Modified signal from a conditional fetch — the server
+    * confirmed the stored copy is CURRENT. Permanent for the attempt
+    * (retrying cannot make the resource newer) and not an error for
+    * the job: [[executeRecrawlPlan]] turns it into a `not_modified`
+    * audit row — the cheapest possible recrawl outcome (one request,
+    * zero body bytes).
+    */
+  final class NotModified extends IOException("HTTP 304: not modified")
+
+  /** A content endpoint that understands HTTP conditional requests —
+    * the protocol half of incremental recrawling (g10/st26 PLAN
+    * staleness from sitemap lastmod; the fetch layer then lets the
+    * SERVER confirm: If-Modified-Since → 304 skips the body
+    * entirely). `validator` is the stored copy's date (the admitted
+    * ledger's value); servers answer 304 when nothing changed since.
+    */
+  trait ConditionalFetcher extends PageFetcher {
+    def openIfModifiedSince(url: String, validator: String): InputStream
+  }
+
   /** Bounded retry with exponential backoff. Throttled errors honor
     * the server's Retry-After (never sleeping less than the backoff
     * schedule); other IOExceptions back off exponentially; 404 is
@@ -287,6 +307,7 @@ object PagedSource {
       catch {
         case e: FileNotFoundException => throw e
         case e: NoContent => throw e // permanent per item, by contract
+        case e: NotModified => throw e // the copy IS current — done
         case t: Throttled if attempt < maxRetries =>
           Thread.sleep(math.max(t.retryAfterMs, baseBackoffMs << attempt))
           attempt += 1
@@ -621,6 +642,84 @@ object PagedSource {
     }
   }
 
+  /** f15: execute a RECRAWL plan with HTTP conditional requests —
+    * [[executeCrawlPlan]]'s sibling for g10/st26's freshness plans.
+    * The planner decided WHAT is worth refetching from sitemap
+    * lastmod hints; this stage lets the SERVER confirm: a `stale` row
+    * with a stored validator fetches via If-Modified-Since and a 304
+    * answer becomes a `not_modified` audit row (one request, zero
+    * body bytes — the recrawl economics the conditional-request
+    * protocol exists for), while `new` rows (no stored copy, nothing
+    * to validate against) fetch unconditionally. Everything else is
+    * executeCrawlPlan's contract verbatim: trap exclusion, per-host
+    * politeness buckets, retry with Retry-After, loud per-row audit.
+    *
+    * `plan` schema: (host, path, fetch, status, admitted_on) —
+    * g10/recrawlBatch's output shape (`status` ∈ new|stale,
+    * `admitted_on` = the stored copy's date, NULL/'' for new rows).
+    * Audit conservation (spec-pinned):
+    * `planned = fetched + not_modified + skipped + failed`.
+    */
+  def executeRecrawlPlan(spark: SparkSession, fetcher: ConditionalFetcher,
+      plan: org.apache.spark.sql.DataFrame,
+      traps: org.apache.spark.sql.DataFrame, destRoot: String,
+      partitions: Int = 0, maxRetries: Int = 4, baseBackoffMs: Long = 100,
+      hostPermitsPerSec: Double = 0): Dataset[CopyAudit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, regexp_replace}
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism * 4
+    val confSer = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val trapT = traps.filter(col("is_trap") === 1L)
+      .select(col("host"), col("template")).distinct()
+      .withColumn("_trap", lit(1L))
+    val marked = plan.filter(col("fetch") === 1L)
+      .select(col("host"), col("path"),
+        regexp_replace(col("path"), "[0-9]+", "{d}").as("template"),
+        col("status"), coalesce(col("admitted_on"), lit("")).as("validator"))
+      .join(trapT, Seq("host", "template"), "left")
+      .select(col("host"), col("path"),
+        coalesce(col("_trap"), lit(0L)).as("trap"),
+        col("status"), col("validator"))
+      .as[(String, String, Long, String, String)]
+    marked.repartition(n, col("host")).mapPartitions { rows =>
+      val conf = confSer.value
+      rows.map { case (host, path, trap, status, validator) =>
+        val url = s"https://$host$path"
+        val destPath = new Path(s"$destRoot/$host$path")
+        if (trap == 1L)
+          CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+            "trap_template")
+        else try {
+          val dstFs = destPath.getFileSystem(conf)
+          dstFs.setWriteChecksum(false)
+          val (total, crc) = withRetry(maxRetries, baseBackoffMs) {
+            RateLimiter.acquire(s"fetch:$host", hostPermitsPerSec)
+            val in =
+              if (status == "stale" && validator.nonEmpty)
+                fetcher.openIfModifiedSince(url, validator)
+              else fetcher.open(url)
+            FilePipeline.streamTo(in, dstFs, destPath)
+          }
+          CopyAudit(url, destPath.toString, s"$host$path", total, "fetched",
+            "", crc)
+        } catch {
+          case _: NotModified =>
+            // the stored copy is current — the destination is NOT
+            // touched (a 304 carries no body to land)
+            CopyAudit(url, destPath.toString, s"$host$path", 0L,
+              "not_modified", "")
+          case nc: NoContent =>
+            CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+              s"no_content: ${String.valueOf(nc.getMessage)}")
+          case ex: Exception =>
+            CopyAudit(url, destPath.toString, s"$host$path", 0L, "failed",
+              String.valueOf(ex.getMessage))
+        }
+      }
+    }
+  }
+
   /** Concrete [[PageFetcher]] over a generic JSON list endpoint:
     *
     *   GET {base}/list?dir={id}&token={t}
@@ -637,14 +736,25 @@ object PagedSource {
     */
   final class HttpJsonFetcher(baseUrl: String, auth: AuthProvider = NoAuth,
       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000)
-      extends PageFetcher {
+      extends ConditionalFetcher {
 
-    private def connect(url: String): HttpURLConnection = {
+    private def connect(url: String,
+        extraHeaders: Map[String, String] = Map.empty,
+        allow304: Boolean = false): HttpURLConnection = {
       val c = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
       c.setConnectTimeout(connectTimeoutMs)
       c.setReadTimeout(readTimeoutMs)
       auth.headers().foreach { case (k, v) => c.setRequestProperty(k, v) }
+      extraHeaders.foreach { case (k, v) => c.setRequestProperty(k, v) }
       val code = c.getResponseCode
+      // 304 is only MEANINGFUL on a conditional request — an
+      // unconditional one receiving it is a server bug and falls
+      // through to the generic >= 400... it's 3xx, so guard it here
+      if (code == 304) {
+        c.disconnect()
+        if (allow304) throw new NotModified
+        else throw new IOException(s"HTTP 304 on unconditional request: $url")
+      }
       if (code == 429 || code == 503) {
         val retryMs = Option(c.getHeaderField("Retry-After"))
           .flatMap(_.toLongOption).map(_ * 1000).getOrElse(1000L)
@@ -694,6 +804,13 @@ object PagedSource {
     override def open(fileId: String): InputStream = {
       val url = if (fileId.startsWith("http")) fileId else s"$baseUrl$fileId"
       connect(url).getInputStream
+    }
+
+    override def openIfModifiedSince(fileId: String,
+        validator: String): InputStream = {
+      val url = if (fileId.startsWith("http")) fileId else s"$baseUrl$fileId"
+      connect(url, Map("If-Modified-Since" -> validator),
+        allow304 = true).getInputStream
     }
   }
 

@@ -560,6 +560,83 @@ class PagedSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("f15 executeRecrawlPlan: 304s audit not_modified, new rows fetch unconditionally") {
+    import spark.implicits._
+    // url → (body, current-validator): the server answers 304 when the
+    // request's If-Modified-Since is >= the resource's validator
+    val content = Map(
+      "/c/a.example.com/p/1" -> ("alpha", "2026-01-05"),
+      "/c/a.example.com/p/2" -> ("bravo", "2026-01-07"),
+      "/c/a.example.com/p/3" -> ("charlie", "2026-01-09"))
+    val sawConditional =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val requested =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath
+      requested.add(id)
+      val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
+      if (ims != null) sawConditional.add(id)
+      content.get(id) match {
+        case Some((_, cur)) if ims != null && ims >= cur =>
+          send(ex, 304, Array.empty)
+        case Some((body, _)) =>
+          send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
+        case None => send(ex, 404, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = new CondRewriteFetcher(base)
+      val plan = Seq(
+        // stored copy current → server confirms with 304
+        ("a.example.com", "/p/1", 1L, "stale", Some("2026-01-05")),
+        // stored copy older than the resource → real fetch
+        ("a.example.com", "/p/2", 1L, "stale", Some("2026-01-01")),
+        // never admitted → unconditional (NO If-Modified-Since header)
+        ("a.example.com", "/p/3", 1L, "new", None),
+        ("a.example.com", "/cal/1/2/2", 1L, "stale", Some("2026-01-01")),
+        ("a.example.com", "/gone", 1L, "new", None),
+        ("a.example.com", "/p/9", 0L, "stale", Some("2026-01-01"))
+      ).toDF("host", "path", "fetch", "status", "admitted_on")
+      val traps = Seq(("a.example.com", "/cal/{d}/{d}/{d}", 1L))
+        .toDF("host", "template", "is_trap")
+      val dest = Files.createTempDirectory("graft_f15_spec").toString
+      val audit = PagedSource.executeRecrawlPlan(spark, fetcher, plan,
+        traps, dest, maxRetries = 4, baseBackoffMs = 1).collect()
+      // conservation: planned = fetched + not_modified + skipped + failed
+      assert(audit.length == 5, s"audit: ${audit.toSeq}")
+      val byStatus = audit.groupBy(_.status).view.mapValues(_.length).toMap
+      assert(byStatus == Map("fetched" -> 2, "not_modified" -> 1,
+        "skipped" -> 1, "failed" -> 1), s"statuses: $byStatus")
+      // the 304 row landed NOTHING (a 304 carries no body) and the
+      // request really was conditional
+      val nm = audit.find(_.status == "not_modified").get
+      assert(nm.src.endsWith("/p/1") && nm.bytes == 0L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dest, "a.example.com", "p", "1")),
+        "304 must not touch the destination")
+      assert(sawConditional.contains("/c/a.example.com/p/1"))
+      // the stale-but-outdated row fetched for real
+      val f2 = audit.find(_.src.endsWith("/p/2")).get
+      assert(f2.status == "fetched" && f2.bytes == 5L)
+      // the new row's request carried NO validator
+      assert(!sawConditional.contains("/c/a.example.com/p/3"),
+        "new row sent If-Modified-Since")
+      assert(audit.find(_.src.endsWith("/p/3")).get.status == "fetched")
+      // trap never requested; 404 failed
+      assert(!requested.toArray.exists(_.toString.contains("/cal/")))
+      assert(audit.find(_.status == "failed").get.src.endsWith("/gone"))
+    } finally server.stop(0)
+  }
+
   test("rate limiter makes progress at fractional (sub-1/s) rates") {
     // regression: with the cap clamped to permitsPerSec, a rate < 1
     // could never accumulate a whole token and acquire() hung forever
@@ -642,6 +719,24 @@ final case class CrawlRewriteFetcher(base: String)
     val u = new java.net.URI(fileId)
     inner.open(s"$base/c/${u.getHost}${u.getPath}")
   }
+}
+
+/** [[CrawlRewriteFetcher]]'s conditional sibling for the f15 spec. */
+final case class CondRewriteFetcher(base: String)
+    extends PagedSource.ConditionalFetcher {
+  private val inner = new PagedSource.HttpJsonFetcher(base)
+  private def rewrite(fileId: String): String = {
+    val u = new java.net.URI(fileId)
+    s"$base/c/${u.getHost}${u.getPath}"
+  }
+  override def listPage(dirId: String, token: Option[String])
+      : PagedSource.Page =
+    throw new UnsupportedOperationException("content-only fake")
+  override def open(fileId: String): java.io.InputStream =
+    inner.open(rewrite(fileId))
+  override def openIfModifiedSince(fileId: String,
+      validator: String): java.io.InputStream =
+    inner.openIfModifiedSince(rewrite(fileId), validator)
 }
 
 /** Wraps a fetcher so one file id has no downloadable content. */
