@@ -106,6 +106,10 @@ object Bench {
       // keeps build before plan)
       "st26_build" -> ((s, d) => streaming.Streams.st26BenchBuild(s, d)),
       "st26_plan" -> ((s, d) => streaming.Streams.st26BenchPlan(s, d)),
+      // st27 is stateless parse + feed/audit landings — one row, the
+      // recurring per-drain discovery-bootstrap cost
+      "st27_bootstrap" ->
+        ((s, d) => streaming.Streams.st27BenchBootstrap(s, d)),
       // the s14 distributed full-corpus trainer measured ALONE (the
       // auto-cutover path buildIvfIndex flips to past 16×sampleN —
       // visible at the 30× leg where the flip is live); the

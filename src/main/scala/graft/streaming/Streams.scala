@@ -1680,6 +1680,104 @@ object Streams {
     Seq(s"$root/lake").toDF("lake_path")
   }
 
+  // ---- st27: streaming discovery bootstrap ----
+
+  /** One st27 micro-batch: the discovery BOOTSTRAP (g13) as a
+    * continuous drain — the stage in FRONT of st25: arriving
+    * robots.txt bodies and sitemap-INDEX payloads (`kind` ∈
+    * robots|index) run g13's two kernels, and every in-scope
+    * discovered sitemap FILE lands under `$lakePath.sitemaps/
+    * batch=<id>` — the feed a fetcher drains to produce the (host,
+    * xml) leaf stream st25 parses. Cross-host announcements are
+    * FLAGGED in the audit and excluded from the feed (the st25 decoy
+    * discipline: a cross-host reference is legal cross-submission but
+    * must be verified out-of-band before a fetcher trusts it).
+    * Landings are Overwrite on the batch directory (replay-
+    * idempotent; the parse is stateless, so a replayed drain
+    * re-derives identical rows); the feed is a downstream feed under
+    * the [[dropConsumedBatches]] consumer-owns-GC contract. The audit
+    * conserves `announced = in_scope + cross_host` and
+    * `announced = from_robots + from_index`.
+    */
+  def discoveryBootstrapBatch(batch: DataFrame, lakePath: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    val g = graft.operators.Graph
+    val fromRobots = g.robotsSitemapsOver(
+      batch.filter(col("kind") === "robots")
+        .select(col("host"), col("payload").as("body")))
+      .select(col("host"), lit("robots").as("source"), col("ord"),
+        col("sitemap_url").as("loc"), lit("").as("lastmod"),
+        col("in_scope"))
+    val fromIndex = g.sitemapIndexExtractOver(
+      batch.filter(col("kind") === "index")
+        .select(col("host"), col("payload").as("xml")))
+      .select(col("host"), lit("index").as("source"), col("ord"),
+        col("loc"), col("lastmod"), col("in_scope"))
+    val announced = fromRobots.unionByName(fromIndex)
+      .localCheckpoint(true) // one parse feeds landing + audit
+    // coalesce EVERY aggregate sum: a non-empty drain whose payloads
+    // parse to ZERO announcements sums to NULL, and a bare getLong
+    // NPEs inside foreachBatch — the checkpoint replays the poison
+    // batch forever (st25's review r13 #1 lesson)
+    val tot = announced.agg(count(lit(1)),
+      coalesce(sum(col("in_scope")), lit(0L)),
+      coalesce(sum(when(col("source") === "robots", 1L).otherwise(0L)),
+        lit(0L))).head()
+    val (nAll, nInScope, nRobots) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    announced.filter(col("in_scope") === 1L)
+      .select("host", "source", "loc", "lastmod")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.sitemaps/batch=$batchId")
+    Seq((batchId, nAll, nInScope, nAll - nInScope, nRobots, nAll - nRobots))
+      .toDF("batch_id", "announced", "in_scope", "cross_host",
+        "from_robots", "from_index")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.sitemaps.audit/batch=$batchId")
+  }
+
+  /** st27: STREAMING discovery bootstrap — [[discoveryBootstrapBatch]]
+    * per micro-batch over a (host, kind, payload) stream, completing
+    * the crawl service's start-of-chain: st27 discovers WHICH sitemap
+    * files exist (from robots.txt + indexes), st25 parses their
+    * urlsets into the admission gate, st26 plans recrawls — robots →
+    * index → sitemaps → urls, every stage a drain.
+    */
+  def st27DiscoveryBootstrapStream(payloads: DataFrame, lakePath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    payloads.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        discoveryBootstrapBatch(batch.toDF(), lakePath, id)
+      }
+      .start()
+
+  /** st27's recurring per-drain cost: both g13 kernels + feed/audit
+    * landings over the planted per-host robots bodies and sitemap
+    * indexes as one micro-batch (stateless — the st25 bench shape).
+    */
+  def st27BenchBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st27", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents
+    val g = graft.operators.Graph
+    val payloads = g.demoG13Robots(docs)
+      .select(col("host"), lit("robots").as("kind"),
+        col("body").as("payload"))
+      .unionByName(g.demoSitemapIndexes(docs)
+        .select(col("host"), lit("index").as("kind"),
+          col("xml").as("payload")))
+    discoveryBootstrapBatch(payloads, s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   // ---- st26: streaming recrawl planning ----
 
   /** One st26 micro-batch: g10's freshness diff as a CONTINUOUS

@@ -956,6 +956,63 @@ class StreamsSpec extends AnyFunSuite {
     Streams.dropConsumedBatches(spark, lake + ".never-existed", upTo = 7L)
   }
 
+  test("st27 discovery bootstrap: robots+index drains land the sitemap feed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st27")
+    val lake = dir.resolve("lake").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val robots = ("a.example.com", "robots",
+      "User-agent: *\nDisallow: /x\n" +
+        "Sitemap: https://a.example.com/sitemap_index.xml\n" +
+        "sitemap: https://cdn.example.net/a.xml # mirror")
+    val index = ("a.example.com", "index",
+      "<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+        "  <sitemap>\n    <loc>https://a.example.com/sm/0.xml</loc>\n" +
+        "    <lastmod>2026-02-03</lastmod>\n  </sitemap>\n" +
+        "  <sitemap>\n    <loc>https://b.example.com/sm/9.xml</loc>\n" +
+        "  </sitemap>\n</sitemapindex>\n")
+    val input = MemoryStream[(String, String, String)](spark)
+    val q = Streams.st27DiscoveryBootstrapStream(
+      input.toDS().toDF("host", "kind", "payload"), lake, ckpt)
+    input.addData(robots, index)
+    q.processAllAvailable()
+    q.stop()
+    // the feed holds ONLY the in-scope announcements — the same-host
+    // robots directive and the same-host index child; both decoys
+    // (the cross-host cdn mirror, the cross-host index entry) stop
+    // at the audit
+    val feed = spark.read.parquet(s"$lake.sitemaps/batch=0")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(feed == Set(
+      ("robots", "https://a.example.com/sitemap_index.xml", ""),
+      ("index", "https://a.example.com/sm/0.xml", "2026-02-03")),
+      s"feed: $feed")
+    val a = spark.read.parquet(s"$lake.sitemaps.audit")
+      .where("batch_id = 0").collect().head
+    assert((a.getAs[Long]("announced"), a.getAs[Long]("in_scope"),
+      a.getAs[Long]("cross_host"), a.getAs[Long]("from_robots"),
+      a.getAs[Long]("from_index")) == ((4L, 2L, 2L, 2L, 2L)), s"audit $a")
+    // replay: Overwrite landings re-derive the identical feed
+    Streams.discoveryBootstrapBatch(
+      Seq(robots, index).toDF("host", "kind", "payload"), lake, batchId = 0L)
+    val replayed = spark.read.parquet(s"$lake.sitemaps/batch=0")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(replayed == feed.map(t => (t._1, t._2)),
+      s"replay changed the feed: $replayed")
+    // poison-pill guard: a non-empty drain whose payloads announce
+    // NOTHING (comment-only robots, empty index) must not NPE — the
+    // audit records zeros
+    Streams.discoveryBootstrapBatch(Seq(
+      ("c.example.com", "robots", "# nothing here\nUser-agent: *\n"),
+      ("d.example.com", "index", "<sitemapindex></sitemapindex>"))
+      .toDF("host", "kind", "payload"), lake, batchId = 7L)
+    val a7 = spark.read.parquet(s"$lake.sitemaps.audit")
+      .where("batch_id = 7").collect().head
+    assert((a7.getAs[Long]("announced"), a7.getAs[Long]("in_scope")) ==
+      ((0L, 0L)), s"zero-announcement audit $a7")
+  }
+
   test("st26 recrawl stream: ledger-driven freshness, latest-lastmod wins, replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st26")
