@@ -2588,6 +2588,42 @@ object Oracles {
         |FROM walk GROUP BY doc
         |ORDER BY doc_id""".stripMargin,
 
+    // c27: d07's pair + component chain, then the soft-dedup weight
+    // arithmetic — full-corpus left join (singletons = their own
+    // cluster), cluster sizes, one rounded division
+    "c27_dup_weights" ->
+      """WITH RECURSIVE pairs AS (
+        |  WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  sh AS (SELECT doc_id,
+        |           list_distinct(list_transform(range(1, len(w)-5+2),
+        |             i -> array_to_string(w[i:i+4], ' '))) AS s
+        |         FROM toks WHERE len(w) >= 5),
+        |  inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |  inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |            FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |            GROUP BY 1, 2)
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) za ON doc_a = za.doc_id
+        |  JOIN (SELECT doc_id, len(s) AS n FROM sh) zb ON doc_b = zb.doc_id
+        |  WHERE round(CAST(n_inter AS DOUBLE)/(za.n+zb.n-n_inter), 4) >= 0.5),
+        |bidir AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |walk(doc, lab) AS (
+        |  SELECT a, a FROM bidir
+        |  UNION
+        |  SELECT e.b, w.lab FROM walk w JOIN bidir e ON e.a = w.doc),
+        |labs AS (SELECT doc, CAST(MIN(lab) AS BIGINT) AS cluster_id
+        |  FROM walk GROUP BY doc),
+        |fullset AS (SELECT d.doc_id,
+        |    COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN labs l ON l.doc = d.doc_id),
+        |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |  FROM fullset GROUP BY cluster_id)
+        |SELECT f.doc_id, f.cluster_id, s.cluster_size,
+        |  round(1.0 / s.cluster_size, 6) AS weight
+        |FROM fullset f JOIN sz s USING (cluster_id)
+        |ORDER BY f.doc_id""".stripMargin,
+
     "c08_mixture_temperature" ->
       """WITH per AS (
         |  SELECT source, COUNT(*) AS n_docs,

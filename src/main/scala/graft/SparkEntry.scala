@@ -185,6 +185,7 @@ object SparkEntry {
     "g13_sitemap_discovery" ->
       ((s, dir) => Graph.g13SitemapDiscovery(s, dir)),
     "c26_bloom_decontam" -> ((s, dir) => Corpus.c26BloomDecontam(s, dir)),
+    "c27_dup_weights" -> ((s, dir) => Corpus.c27DupWeights(s, dir)),
     "t22_cms_topk" -> ((s, dir) => TextOps.t22CmsTopk(s, dir)),
     "s17_margin_mining" -> ((s, dir) => Ann.s17MarginMining(s, dir)),
     "c25_sft_pack" -> ((s, dir) => Corpus.c25SftPack(s, dir)),

@@ -1966,4 +1966,39 @@ object Corpus {
         Literal.create(bits, org.apache.spark.sql.types.BinaryType),
         Bridge.expression(hs("h")))).cast("long").as("hit"))
   }
+
+  // ---------------------------------------------------------------- c27
+
+  /** c27: duplicate-cluster sampling weights — SOFT dedup (public
+    * practice: the middle ground between keeping every near-dup copy
+    * (over-trains the shared content) and d07/d12's hard one-per-
+    * cluster drop (loses whatever differs between copies). Every
+    * member of a near-dup cluster is downweighted to 1/|cluster|, so
+    * the cluster's EXPECTED contribution to a weighted-sampling epoch
+    * equals one document's — repetition-aware sampling, composable
+    * with c02/c05's per-source rates by multiplication. Clusters are
+    * d07's transitive resolution over d04's exact-Jaccard pairs;
+    * unclustered docs are their own singleton (cluster_id = doc_id,
+    * size 1, weight 1 — g04's coalesce convention).
+    *
+    * Scale: the cluster pass is d07's (O(collisions) pair edges,
+    * O(log n) star-contraction rounds — never all-pairs); on top ride
+    * ONE cluster-keyed count and one doc-keyed join back to the
+    * corpus id set. Weights are one exact double division of two
+    * integers rounded once, bit-identical in both engines.
+    */
+  def c27DupWeights(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val labs = Dedup.d07DedupClusters(spark, dir, threshold)
+    val full = Tables(spark, dir).documents.select("doc_id")
+      .join(labs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = full.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
 }

@@ -1075,4 +1075,33 @@ class CorpusSpec extends AnyFunSuite {
       assert(segs.map(_._5).sum == c12(seq), s"seq $seq vs c12")
     }
   }
+
+  test("c27 soft-dedup weights: 1/cluster over d07's labels, singletons at 1") {
+    val d = TestSpark.Sf0001
+    val rows = Corpus.c27DupWeights(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = graft.Tables(spark, d).documents.count()
+    // full-corpus coverage: exactly one weight row per document
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == rows.length)
+    // clustered docs carry d07's exact labels; everything else is its
+    // own singleton at weight 1
+    val labs = graft.operators.Dedup.d07DedupClusters(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, cl, sz, w) =>
+      assert(cl == labs.getOrElse(id, id), s"doc $id cluster")
+      assert(w == BigDecimal(1.0 / sz)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"doc $id weight $w for size $sz")
+      if (!labs.contains(id)) assert(sz == 1L && w == 1.0, s"singleton $id")
+    }
+    // the soft-dedup LAW: each cluster's expected epoch contribution
+    // is one document (Σ weight = size · 1/size = 1, up to the one
+    // 6-dp rounding per member)
+    assert(labs.nonEmpty, "no clusters at this SF — the law is vacuous")
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val s = members.map(_._4).sum
+      assert(math.abs(s - 1.0) <= 1e-6 * members.length,
+        s"cluster $cl weight mass $s over ${members.length} members")
+    }
+  }
 }
