@@ -1478,6 +1478,14 @@ object Corpus {
     * the batch report (c19) and the streaming monitor (st19), so
     * their drift math can never diverge. Buckets absent from one side
     * count 0 there (full-outer union of the bucket sets).
+    *
+    * Bound (review r14): the exact cross-multiplied TVD numerator
+    * `cnt·total` stays inside Long for snapshots up to ~3·10⁹
+    * documents each; past that the product fails LOUDLY under the
+    * session's ANSI mode (never a silent wrap). Snapshots at that
+    * scale should compare SAMPLED histograms (drift is a ratio
+    * statistic — subsampling both sides preserves it), or route the
+    * products through DECIMAL(38,0) in a caller-owned variant.
     */
   def driftFromCounts(countsA: DataFrame, countsB: DataFrame): DataFrame = {
     val bc = countsA.withColumnRenamed("cnt", "cnt_a")
