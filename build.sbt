@@ -15,6 +15,11 @@ run / fork := true
 // "[success] Total time ..." trailer after runMain broke that parse
 // two rounds running (BENCH parsed:null). Suppress it globally.
 ThisBuild / showSuccess := false
+// ... and sbt's forked-process logger prefixes every stdout line with
+// "[info] ", which ALSO breaks the driver's JSON parse (round 14's
+// root cause). StdoutOutput pipes the forked JVM's stdout through
+// bare, so the bench summary line reaches the driver un-prefixed.
+outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's command engine, not a task — the
 // unused-key lint can't see that
 Global / excludeLintKeys += showSuccess

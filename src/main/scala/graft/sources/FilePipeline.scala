@@ -68,6 +68,22 @@ object FilePipeline {
     if (i > 0 && i < name.length - 1) name.substring(i + 1).toLowerCase else ""
   }
 
+  /** True when a destination-relative path contains a `.`/`..` segment
+    * — the write guard every copy/fetch executor applies BEFORE
+    * building its destination path (VERDICT r14 #1). Hadoop `Path`
+    * does NOT resolve dot segments; the local/DFS layer resolves them
+    * at create time, so `destRoot + "/a/../../x"` lands OUTSIDE
+    * destRoot — an arbitrary-file-write primitive when the path
+    * originates from untrusted content (a crawled sitemap's `<loc>`,
+    * a hostile listing endpoint's entry names). Segment-exact: a
+    * literal filename like `..x` or `a.b` is fine; only the exact
+    * `.`/`..` segments that the FS layer treats as navigation are
+    * rejected. Callers audit the rejected row as `skipped` with
+    * reason `unsafe_path` — loud, conserved, never written.
+    */
+  def unsafeRelPath(rel: String): Boolean =
+    rel.split("/", -1).exists(seg => seg == "." || seg == "..")
+
   /** Shared streaming copy (1 MiB buffer): create the destination with
     * its parents and drain `in` into it, returning (bytes copied,
     * CRC32C of those bytes). Both copy executors (FS and paged) route
@@ -235,9 +251,15 @@ object FilePipeline {
     manifest.repartition(n).mapPartitions { rows =>
       val conf = confSer.value
       rows.map { e =>
-        val destPath = new Path(
-          destRoot + "/" + (if (e.rel_path.nonEmpty) e.rel_path else e.name))
-        try {
+        val rel = if (e.rel_path.nonEmpty) e.rel_path else e.name
+        val destPath = new Path(destRoot + "/" + rel)
+        if (unsafeRelPath(rel))
+          // defense in depth (VERDICT r14 #1): manifests normally come
+          // from our own walks, but a hostile/buggy fetcher could list
+          // a `..` entry name — reject BEFORE the write, loudly
+          CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "skipped",
+            "unsafe_path")
+        else try {
           val srcPath = new Path(e.path)
           val srcFs = srcPath.getFileSystem(conf)
           val dstFs = destPath.getFileSystem(conf)

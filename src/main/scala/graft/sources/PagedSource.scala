@@ -282,15 +282,33 @@ object PagedSource {
     */
   final class NotModified extends IOException("HTTP 304: not modified")
 
+  /** HTTP 3xx signal — the PINNED redirect policy (VERDICT r14 #5):
+    * this client NEVER auto-follows. Auto-following (HttpURLConnection's
+    * default for same-protocol targets) would fetch the redirect
+    * target OUTSIDE every per-request control — a cross-host redirect
+    * silently bypasses the per-host politeness bucket AND the trap
+    * gate, and the JDK client re-sends request headers (including
+    * Authorization) to the new host. Permanent for the item (the
+    * server will answer the same way again); the executors turn it
+    * into a `skipped` audit row carrying the Location, so a planner
+    * can re-plan the target THROUGH the gates instead of around them.
+    */
+  final class Redirected(val code: Int, val location: String)
+      extends IOException(s"redirect: HTTP $code -> $location")
+
   /** A content endpoint that understands HTTP conditional requests —
     * the protocol half of incremental recrawling (g10/st26 PLAN
     * staleness from sitemap lastmod; the fetch layer then lets the
-    * SERVER confirm: If-Modified-Since → 304 skips the body
-    * entirely). `validator` is the stored copy's date (the admitted
-    * ledger's value); servers answer 304 when nothing changed since.
+    * SERVER confirm with a 304, skipping the body entirely). Two
+    * validator kinds, per RFC 9110 §13.1: `openIfNoneMatch` sends the
+    * stored copy's ETag (the STRONG validator servers prefer —
+    * Last-Modified moves on no-op re-uploads, an ETag doesn't);
+    * `openIfModifiedSince` sends the stored copy's date. A caller
+    * holding both prefers the ETag ([[executeRecrawlPlan]]'s rule).
     */
   trait ConditionalFetcher extends PageFetcher {
     def openIfModifiedSince(url: String, validator: String): InputStream
+    def openIfNoneMatch(url: String, etag: String): InputStream
   }
 
   /** Bounded retry with exponential backoff. Throttled errors honor
@@ -308,6 +326,7 @@ object PagedSource {
         case e: FileNotFoundException => throw e
         case e: NoContent => throw e // permanent per item, by contract
         case e: NotModified => throw e // the copy IS current — done
+        case e: Redirected => throw e // pinned policy: never follow
         case t: Throttled if attempt < maxRetries =>
           Thread.sleep(math.max(t.retryAfterMs, baseBackoffMs << attempt))
           attempt += 1
@@ -429,7 +448,14 @@ object PagedSource {
     import spark.implicits._
     // hidden-entry exclusions are counted, never silent: the total
     // lands in this named accumulator (Spark UI / status APIs), each
-    // walk also logs its own count (advice r13 — 'no silent caps')
+    // walk also logs its own count (advice r13 — 'no silent caps').
+    // Semantics are AT-LEAST-ONCE (advice r14): the add() runs inside
+    // an RDD map, and Spark only guarantees exactly-once accumulation
+    // for actions — a task retry or a recompute of the level RDD can
+    // re-add, so the counter may OVERSTATE under failures. It is a
+    // visibility signal ("exclusions happened, roughly this many"),
+    // not an audit figure; the localCheckpoint right after each level
+    // bounds recompute in practice to failed-task retries.
     val hidden = spark.sparkContext
       .longAccumulator("graft.pagedCatalog.hiddenEntriesSkipped")
     val levels = mutable.ArrayBuffer[RDD[FileEntry]]()
@@ -501,9 +527,16 @@ object PagedSource {
     manifest.repartition(n).mapPartitions { rows =>
       val conf = confSer.value
       rows.map { e =>
-        val destPath = new Path(
-          destRoot + "/" + (if (e.rel_path.nonEmpty) e.rel_path else e.name))
-        try {
+        val rel = if (e.rel_path.nonEmpty) e.rel_path else e.name
+        val destPath = new Path(destRoot + "/" + rel)
+        if (FilePipeline.unsafeRelPath(rel))
+          // defense in depth (VERDICT r14 #1): the walk's dot-prefix
+          // hidden-entry skip happens to drop `..` NAMES, but a
+          // multi-segment rel_path from a hostile endpoint must still
+          // never escape destRoot — reject before the write, loudly
+          CopyAudit(e.path, destPath.toString, e.rel_path, 0L, "skipped",
+            "unsafe_path")
+        else try {
           val dstFs = destPath.getFileSystem(conf)
           dstFs.setWriteChecksum(false)
           val dstStat =
@@ -589,6 +622,25 @@ object PagedSource {
     * `planned = fetched + skipped + failed` — trap exclusions are the
     * `skipped` rows with reason `trap_template`, so nothing vanishes
     * silently. Content lands under `destRoot/<host><path>`.
+    *
+    * Write safety (VERDICT r14 #1): the planned `path` originates
+    * from CRAWLED bytes (sitemap `<loc>`s, extracted links) — a
+    * hostile publisher controls it, and Hadoop `Path` does not
+    * resolve `..` segments, so `/a/../../tmp/evil` would land
+    * attacker bytes OUTSIDE destRoot at FS-create time. Any planned
+    * row whose `<host><path>` contains a `.`/`..` segment is
+    * rejected BEFORE the write as a `skipped` row with reason
+    * `unsafe_path` (the trap-exclusion shape: audit-conserved, never
+    * silent). 3xx answers are `skipped` rows carrying the Location
+    * (the [[Redirected]] pinned policy) — re-planning the target
+    * through the gates is the scheduler's job, not the fetcher's.
+    *
+    * Politeness rate per host: when the plan carries a `crawl_delay`
+    * column (seconds — g06's robots.txt `Crawl-delay` parse,
+    * [[graft.operators.Graph]]), that host's bucket refills at
+    * `1/delay` permits/sec — the rate the PUBLISHER declared;
+    * `hostPermitsPerSec` is the fallback dial for hosts that declare
+    * none (0 = unlimited).
     */
   def executeCrawlPlan(spark: SparkSession, fetcher: PageFetcher,
       plan: org.apache.spark.sql.DataFrame,
@@ -606,26 +658,35 @@ object PagedSource {
     val trapT = traps.filter(col("is_trap") === 1L)
       .select(col("host"), col("template")).distinct()
       .withColumn("_trap", lit(1L))
+    val delayCol =
+      if (plan.columns.contains("crawl_delay"))
+        coalesce(col("crawl_delay").cast("double"), lit(0.0))
+      else lit(0.0)
     val marked = plan.filter(col("fetch") === 1L)
       .select(col("host"), col("path"),
-        regexp_replace(col("path"), "[0-9]+", "{d}").as("template"))
+        regexp_replace(col("path"), "[0-9]+", "{d}").as("template"),
+        delayCol.as("delay"))
       .join(trapT, Seq("host", "template"), "left")
       .select(col("host"), col("path"),
-        coalesce(col("_trap"), lit(0L)).as("trap"))
-      .as[(String, String, Long)]
+        coalesce(col("_trap"), lit(0L)).as("trap"), col("delay"))
+      .as[(String, String, Long, Double)]
     marked.repartition(n, col("host")).mapPartitions { rows =>
       val conf = confSer.value
-      rows.map { case (host, path, trap) =>
+      rows.map { case (host, path, trap, delay) =>
         val url = s"https://$host$path"
         val destPath = new Path(s"$destRoot/$host$path")
-        if (trap == 1L)
+        if (FilePipeline.unsafeRelPath(s"$host$path"))
+          CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+            "unsafe_path")
+        else if (trap == 1L)
           CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
             "trap_template")
         else try {
           val dstFs = destPath.getFileSystem(conf)
           dstFs.setWriteChecksum(false)
           val (total, crc) = withRetry(maxRetries, baseBackoffMs) {
-            RateLimiter.acquire(s"fetch:$host", hostPermitsPerSec)
+            RateLimiter.acquire(s"fetch:$host",
+              effectiveRate(delay, hostPermitsPerSec))
             FilePipeline.streamTo(fetcher.open(url), dstFs, destPath)
           }
           CopyAudit(url, destPath.toString, s"$host$path", total, "fetched",
@@ -634,6 +695,9 @@ object PagedSource {
           case nc: NoContent =>
             CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
               s"no_content: ${String.valueOf(nc.getMessage)}")
+          case r: Redirected =>
+            CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+              String.valueOf(r.getMessage))
           case ex: Exception =>
             CopyAudit(url, destPath.toString, s"$host$path", 0L, "failed",
               String.valueOf(ex.getMessage))
@@ -641,6 +705,16 @@ object PagedSource {
       }
     }
   }
+
+  /** The per-host politeness rate a fetch executor hands its token
+    * bucket: the host's own declared `Crawl-delay` (seconds → `1/delay`
+    * permits/sec) when the plan carries one, else the job-level dial.
+    * Buckets key on (purpose@rate), so two hosts at different declared
+    * delays never share a budget.
+    */
+  private[graft] def effectiveRate(crawlDelaySecs: Double,
+      default: Double): Double =
+    if (crawlDelaySecs > 0) 1.0 / crawlDelaySecs else default
 
   /** f15: execute a RECRAWL plan with HTTP conditional requests —
     * [[executeCrawlPlan]]'s sibling for g10/st26's freshness plans.
@@ -656,9 +730,17 @@ object PagedSource {
     *
     * `plan` schema: (host, path, fetch, status, admitted_on) —
     * g10/recrawlBatch's output shape (`status` ∈ new|stale,
-    * `admitted_on` = the stored copy's date, NULL/'' for new rows).
-    * Audit conservation (spec-pinned):
-    * `planned = fetched + not_modified + skipped + failed`.
+    * `admitted_on` = the stored copy's date, NULL/'' for new rows) —
+    * plus two OPTIONAL columns: `etag` (the stored copy's entity tag
+    * from the deployment's fetch ledger; when non-empty on a stale
+    * row it is PREFERRED over the date — If-None-Match is the strong
+    * validator, RFC 9110 §13.1.1: a no-op re-upload moves
+    * Last-Modified but not the ETag) and `crawl_delay` (seconds —
+    * the host's declared politeness rate, [[executeCrawlPlan]]'s
+    * contract). Audit conservation (spec-pinned):
+    * `planned = fetched + not_modified + skipped + failed`; the
+    * write-safety (`unsafe_path`) and redirect (pinned never-follow)
+    * rules are executeCrawlPlan's verbatim.
     */
   def executeRecrawlPlan(spark: SparkSession, fetcher: ConditionalFetcher,
       plan: org.apache.spark.sql.DataFrame,
@@ -673,30 +755,44 @@ object PagedSource {
     val trapT = traps.filter(col("is_trap") === 1L)
       .select(col("host"), col("template")).distinct()
       .withColumn("_trap", lit(1L))
+    val etagCol =
+      if (plan.columns.contains("etag")) coalesce(col("etag"), lit(""))
+      else lit("")
+    val delayCol =
+      if (plan.columns.contains("crawl_delay"))
+        coalesce(col("crawl_delay").cast("double"), lit(0.0))
+      else lit(0.0)
     val marked = plan.filter(col("fetch") === 1L)
       .select(col("host"), col("path"),
         regexp_replace(col("path"), "[0-9]+", "{d}").as("template"),
-        col("status"), coalesce(col("admitted_on"), lit("")).as("validator"))
+        col("status"), coalesce(col("admitted_on"), lit("")).as("validator"),
+        etagCol.as("etag"), delayCol.as("delay"))
       .join(trapT, Seq("host", "template"), "left")
       .select(col("host"), col("path"),
         coalesce(col("_trap"), lit(0L)).as("trap"),
-        col("status"), col("validator"))
-      .as[(String, String, Long, String, String)]
+        col("status"), col("validator"), col("etag"), col("delay"))
+      .as[(String, String, Long, String, String, String, Double)]
     marked.repartition(n, col("host")).mapPartitions { rows =>
       val conf = confSer.value
-      rows.map { case (host, path, trap, status, validator) =>
+      rows.map { case (host, path, trap, status, validator, etag, delay) =>
         val url = s"https://$host$path"
         val destPath = new Path(s"$destRoot/$host$path")
-        if (trap == 1L)
+        if (FilePipeline.unsafeRelPath(s"$host$path"))
+          CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+            "unsafe_path")
+        else if (trap == 1L)
           CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
             "trap_template")
         else try {
           val dstFs = destPath.getFileSystem(conf)
           dstFs.setWriteChecksum(false)
           val (total, crc) = withRetry(maxRetries, baseBackoffMs) {
-            RateLimiter.acquire(s"fetch:$host", hostPermitsPerSec)
+            RateLimiter.acquire(s"fetch:$host",
+              effectiveRate(delay, hostPermitsPerSec))
             val in =
-              if (status == "stale" && validator.nonEmpty)
+              if (status == "stale" && etag.nonEmpty)
+                fetcher.openIfNoneMatch(url, etag)
+              else if (status == "stale" && validator.nonEmpty)
                 fetcher.openIfModifiedSince(url, validator)
               else fetcher.open(url)
             FilePipeline.streamTo(in, dstFs, destPath)
@@ -712,6 +808,9 @@ object PagedSource {
           case nc: NoContent =>
             CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
               s"no_content: ${String.valueOf(nc.getMessage)}")
+          case r: Redirected =>
+            CopyAudit(url, destPath.toString, s"$host$path", 0L, "skipped",
+              String.valueOf(r.getMessage))
           case ex: Exception =>
             CopyAudit(url, destPath.toString, s"$host$path", 0L, "failed",
               String.valueOf(ex.getMessage))
@@ -744,9 +843,22 @@ object PagedSource {
       val c = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
       c.setConnectTimeout(connectTimeoutMs)
       c.setReadTimeout(readTimeoutMs)
+      // pinned redirect policy (VERDICT r14 #5): NEVER auto-follow —
+      // the JDK default follows same-protocol redirects transparently,
+      // which would (a) fetch the target outside the per-host
+      // politeness bucket and the trap gate, and (b) replay every
+      // request header — including Authorization — to whatever host
+      // the server names. 3xx surfaces as [[Redirected]] below.
+      c.setInstanceFollowRedirects(false)
       auth.headers().foreach { case (k, v) => c.setRequestProperty(k, v) }
       extraHeaders.foreach { case (k, v) => c.setRequestProperty(k, v) }
       val code = c.getResponseCode
+      if (code == 301 || code == 302 || code == 303 || code == 307 ||
+          code == 308) {
+        val loc = String.valueOf(c.getHeaderField("Location"))
+        c.disconnect()
+        throw new Redirected(code, loc)
+      }
       // 304 is only MEANINGFUL on a conditional request — an
       // unconditional one receiving it is a server bug and falls
       // through to the generic >= 400... it's 3xx, so guard it here
@@ -810,6 +922,13 @@ object PagedSource {
         validator: String): InputStream = {
       val url = if (fileId.startsWith("http")) fileId else s"$baseUrl$fileId"
       connect(url, Map("If-Modified-Since" -> validator),
+        allow304 = true).getInputStream
+    }
+
+    override def openIfNoneMatch(fileId: String,
+        etag: String): InputStream = {
+      val url = if (fileId.startsWith("http")) fileId else s"$baseUrl$fileId"
+      connect(url, Map("If-None-Match" -> etag),
         allow304 = true).getInputStream
     }
   }

@@ -1885,9 +1885,16 @@ object Streams {
     val (nUrls, nNew, nStale) = (cnt.getLong(0), cnt.getLong(1),
       cnt.getLong(2))
     val eligible = status.filter(col("status") =!= "fresh")
-    // lastmod_raw LAST: existing consumers read (url, lastmod, status)
-    // positionally
-    eligible.select("url", "lastmod", "status", "lastmod_raw")
+    // new columns append LAST: existing consumers read
+    // (url, lastmod, status) positionally. `stored_lastmod` is the
+    // ledger's value BEFORE this drain ('' for new rows) — the
+    // conditional-fetch validator st28's drain hands f15 (the ledger
+    // itself already holds the NEW lastmod by the time a fetcher
+    // drains the feed, so the feed must carry the old one or the
+    // If-Modified-Since date is lost)
+    eligible.select(col("url"), col("lastmod"), col("status"),
+        col("lastmod_raw"),
+        coalesce(col("stored_lastmod"), lit("")).as("stored_lastmod"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.refetch/batch=$batchId")
     eligible.select(col("url"), col("lastmod"), col("ub"))
@@ -1985,6 +1992,282 @@ object Streams {
     recrawlBatch(graft.operators.Graph.demoSitemaps(
       graft.Tables(spark, dir).documents),
       s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  // ---- st28: the streaming fetch drain ----
+
+  /** Drain st27's `.sitemaps/batch=<id>` feed ONCE: fetch every
+    * announced sitemap FILE through the per-host politeness bucket
+    * and land the fetched XML as (host, loc, xml) rows under
+    * `$lakePath.sitemapxml/batch=<id>` — exactly the (host, xml)
+    * stream st25/st26 parse, closing the crawl service's one manual
+    * splice (VERDICT r14 #2): robots → index (st27) → FETCH (this) →
+    * urlset parse (st25/st26) → plan → content fetch, every stage a
+    * drain.
+    *
+    * Contract per consumed feed batch:
+    *  - one audit row per announced file, conserved
+    *    (`planned = fetched + skipped + failed`) under
+    *    `.sitemapxml.audit/batch=<id>`; 3xx answers are `skipped`
+    *    rows carrying the Location (the f14 pinned redirect policy —
+    *    a sitemap fetch must not follow a redirect around the
+    *    politeness bucket), permanent failures are `failed` rows,
+    *    never a drain abort;
+    *  - landings are Overwrite on the SAME batch id (a crash between
+    *    landing and GC replays idempotently — re-land, re-audit,
+    *    re-drop);
+    *  - the consumed `.sitemaps/batch=<id>` directory is DROPPED
+    *    after its landing+audit commit ([[dropConsumedBatches]] —
+    *    this drain IS the feed's consumer, so it owns the GC cadence).
+    *
+    * Scale: rows repartition by host, so the per-JVM `fetch:<host>`
+    * token bucket caps each origin cluster-wide (f14's politeness
+    * shape); sitemap XML rides as row content to the landing write —
+    * it never shuffles again downstream (st25 parses per-row).
+    * Returns the consumed batch ids (empty when the feed is empty —
+    * an idle tick is free).
+    */
+  def sitemapFetchDrainOnce(spark: SparkSession, lakePath: String,
+      fetcher: graft.sources.PagedSource.PageFetcher,
+      hostPermitsPerSec: Double = 0, maxRetries: Int = 4,
+      baseBackoffMs: Long = 100): Seq[Long] = {
+    import spark.implicits._
+    val feed = s"$lakePath.sitemaps"
+    val ids = graft.operators.Dedup.listBatchIds(spark, feed)
+      .filter(_ >= 0).sorted
+    ids.foreach { id =>
+      val rows = spark.read
+        .schema("host STRING, source STRING, loc STRING, lastmod STRING")
+        .parquet(s"$feed/batch=$id")
+        // robots + index may announce the same file — fetch it once
+        .select(col("host"), col("loc")).distinct()
+        .as[(String, String)]
+      // NOTE: the closure references PagedSource by FULL PATH — a
+      // driver-side `val P = PagedSource` alias would be captured as a
+      // value and the module object is not Serializable
+      val fetched = rows.repartition(col("host")).mapPartitions { it =>
+        it.map { case (host, loc) =>
+          try {
+            val in = graft.sources.PagedSource
+              .withRetry(maxRetries, baseBackoffMs) {
+                graft.sources.PagedSource.RateLimiter
+                  .acquire(s"fetch:$host", hostPermitsPerSec)
+                fetcher.open(loc)
+              }
+            val bytes = try in.readAllBytes() finally in.close()
+            (host, loc,
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+              "fetched", "")
+          } catch {
+            case r: graft.sources.PagedSource.Redirected =>
+              (host, loc, "", "skipped", String.valueOf(r.getMessage))
+            case nc: graft.sources.PagedSource.NoContent =>
+              (host, loc, "", "skipped",
+                s"no_content: ${String.valueOf(nc.getMessage)}")
+            case ex: Exception =>
+              (host, loc, "", "failed", String.valueOf(ex.getMessage))
+          }
+        }
+      }.toDF("host", "loc", "xml", "status", "error")
+        .localCheckpoint(true) // one fetch pass feeds landing + audit
+      fetched.filter(col("status") === "fetched")
+        .select("host", "loc", "xml")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$lakePath.sitemapxml/batch=$id")
+      val tot = fetched.agg(count(lit(1)),
+        coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
+          lit(0L)),
+        coalesce(sum(when(col("status") === "skipped", 1L).otherwise(0L)),
+          lit(0L))).head()
+      val (nAll, nFetched, nSkipped) =
+        (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      Seq((id, nAll, nFetched, nSkipped, nAll - nFetched - nSkipped))
+        .toDF("batch_id", "planned", "fetched", "skipped", "failed")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$lakePath.sitemapxml.audit/batch=$id")
+      dropConsumedBatches(spark, feed, id)
+    }
+    ids
+  }
+
+  /** Drain st26's `.refetch/batch=<id>` feed ONCE through
+    * [[graft.sources.PagedSource.executeRecrawlPlan]] — the content
+    * half of the crawl service's fetch stage: each feed row's URL
+    * splits into (host, path), its `stored_lastmod` becomes the
+    * If-Modified-Since validator (`new` rows fetch unconditionally —
+    * f15's contract verbatim, including the unsafe-path guard, the
+    * pinned redirect policy, trap exclusion against `traps`, and the
+    * per-host politeness bucket), and content lands under
+    * `destRoot/<host><path>`.
+    *
+    * Contract per consumed feed batch: the per-URL f15 audit lands
+    * under `.fetched/batch=<id>` (a URL that fails to parse into
+    * host+path is a `skipped` row with reason `bad_url` — conserved,
+    * never silent), the roll-up under `.fetched.audit/batch=<id>`
+    * conserves `planned = fetched + not_modified + skipped + failed`,
+    * landings are Overwrite on the batch id (replay-idempotent), and
+    * the consumed feed directory is dropped after the commit.
+    * Returns the consumed batch ids.
+    */
+  def refetchDrainOnce(spark: SparkSession, lakePath: String,
+      fetcher: graft.sources.PagedSource.ConditionalFetcher,
+      traps: DataFrame, destRoot: String, hostPermitsPerSec: Double = 0,
+      maxRetries: Int = 4, baseBackoffMs: Long = 100): Seq[Long] = {
+    import spark.implicits._
+    val feed = s"$lakePath.refetch"
+    val ids = graft.operators.Dedup.listBatchIds(spark, feed)
+      .filter(_ >= 0).sorted
+    ids.foreach { id =>
+      val rows = spark.read
+        .schema("url STRING, lastmod STRING, status STRING, " +
+          "lastmod_raw STRING, stored_lastmod STRING")
+        .parquet(s"$feed/batch=$id")
+        .select(col("url"),
+          lower(regexp_extract(col("url"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)).as("host"),
+          regexp_extract(col("url"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/.*)$", 1).as("path"),
+          col("status"),
+          coalesce(col("stored_lastmod"), lit("")).as("admitted_on"))
+        .localCheckpoint(true) // one parse feeds plan + bad-row audit
+      val plan = rows.filter(col("host") =!= "" && col("path") =!= "")
+        .select(col("host"), col("path"), lit(1L).as("fetch"),
+          col("status"), col("admitted_on"))
+      val audit = graft.sources.PagedSource.executeRecrawlPlan(spark,
+        fetcher, plan, traps, destRoot, maxRetries = maxRetries,
+        baseBackoffMs = baseBackoffMs,
+        hostPermitsPerSec = hostPermitsPerSec).toDF()
+      // a feed URL the regex can't split never reaches the executor —
+      // it audits as skipped/bad_url so the batch still conserves
+      val bad = rows.filter(col("host") === "" || col("path") === "")
+        .select(col("url").as("src"), lit("").as("dest"),
+          lit("").as("rel_path"), lit(0L).as("bytes"),
+          lit("skipped").as("status"), lit("bad_url").as("error"),
+          lit(0L).as("checksum"))
+      val all = audit.unionByName(bad)
+        .localCheckpoint(true) // one fetch pass feeds landing + audit
+      all.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$lakePath.fetched/batch=$id")
+      val tot = all.agg(count(lit(1)),
+        coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
+          lit(0L)),
+        coalesce(sum(when(col("status") === "not_modified", 1L)
+          .otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("status") === "skipped", 1L).otherwise(0L)),
+          lit(0L))).head()
+      val (nAll, nF, nNm, nSk) = (tot.getLong(0), tot.getLong(1),
+        tot.getLong(2), tot.getLong(3))
+      Seq((id, nAll, nF, nNm, nSk, nAll - nF - nNm - nSk))
+        .toDF("batch_id", "planned", "fetched", "not_modified", "skipped",
+          "failed")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$lakePath.fetched.audit/batch=$id")
+      dropConsumedBatches(spark, feed, id)
+    }
+    ids
+  }
+
+  /** st28: the STREAMING fetch drain — both feed consumers
+    * ([[sitemapFetchDrainOnce]] for st27's announced sitemap files,
+    * [[refetchDrainOnce]] for st26's refetch-eligible URLs) driven by
+    * any ticker stream (a `rate` source at the deployment's drain
+    * cadence; the tick ROWS are ignored — new work is discovered by
+    * listing the feeds, so a tick against empty feeds is a no-op and
+    * a replayed tick after a crash re-consumes only what the crashed
+    * drain left undropped). This closes the crawl service end to end:
+    * st27 announces, this fetches the announcements, st25/st26 parse
+    * what it landed, st26 plans, this executes the plan.
+    */
+  def st28FetchDrainStream(ticks: DataFrame, lakePath: String,
+      fetcher: graft.sources.PagedSource.ConditionalFetcher,
+      traps: DataFrame, destRoot: String, checkpointDir: String,
+      hostPermitsPerSec: Double = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        sitemapFetchDrainOnce(s, lakePath, fetcher, hostPermitsPerSec)
+        refetchDrainOnce(s, lakePath, fetcher, traps, destRoot,
+          hostPermitsPerSec)
+        ()
+      }
+      .start()
+
+  /** Deterministic in-memory conditional endpoint for the st28 bench:
+    * sitemap locs answer a 2-entry urlset for the loc's own host;
+    * conditional content requests answer 304 for every third URL (so
+    * the not_modified path is exercised at scale), everything else
+    * serves affine bytes (the f14 DemoContentFetcher shape — the row
+    * measures drain MACHINERY, not network).
+    */
+  private[graft] final class DemoCrawlFetcher
+      extends graft.sources.PagedSource.ConditionalFetcher {
+    override def listPage(dirId: String, token: Option[String])
+        : graft.sources.PagedSource.Page =
+      throw new UnsupportedOperationException(
+        "st28 demo fetcher serves content only")
+    override def open(fileId: String): java.io.InputStream = {
+      val host = fileId.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*://", "")
+        .takeWhile(c => c != '/' && c != '?' && c != '#')
+      if (fileId.endsWith(".xml")) {
+        val h = math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(fileId), 1000)
+        val xml = s"<?xml version=\"1.0\"?>\n<urlset>\n" +
+          s"  <url><loc>https://$host/p/$h</loc>" +
+          s"<lastmod>2026-03-0${h % 9 + 1}</lastmod></url>\n" +
+          s"  <url><loc>https://$host/p/${h + 1}</loc></url>\n</urlset>\n"
+        new java.io.ByteArrayInputStream(
+          xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else {
+        val h = scala.util.hashing.MurmurHash3.stringHash(fileId)
+        val size = 64 + math.floorMod(h, 192)
+        new java.io.ByteArrayInputStream(
+          Array.tabulate(size)(i => ((h + i * 31) & 0xff).toByte))
+      }
+    }
+    override def openIfModifiedSince(fileId: String,
+        validator: String): java.io.InputStream =
+      if (math.floorMod(
+          scala.util.hashing.MurmurHash3.stringHash(fileId), 3) == 0)
+        throw new graft.sources.PagedSource.NotModified
+      else open(fileId)
+    override def openIfNoneMatch(fileId: String,
+        etag: String): java.io.InputStream =
+      openIfModifiedSince(fileId, etag)
+  }
+
+  /** st28 bench row: one full drain cycle — st27 announces the demo
+    * hosts' sitemap files and st26 plans the demo urlsets (seeding is
+    * part of the row: a real drain's cycle starts from what the
+    * upstream stages just landed, and the fetch machinery dominates
+    * the wall anyway), then both drains consume through the in-memory
+    * endpoint — the recurring per-cycle cost of the crawl service's
+    * fetch stage.
+    */
+  def st28BenchDrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st28", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents
+    val g = graft.operators.Graph
+    val payloads = g.demoG13Robots(docs)
+      .select(col("host"), lit("robots").as("kind"),
+        col("body").as("payload"))
+      .unionByName(g.demoSitemapIndexes(docs)
+        .select(col("host"), lit("index").as("kind"),
+          col("xml").as("payload")))
+    discoveryBootstrapBatch(payloads, s"$root/lake", batchId = 1L)
+    recrawlBatch(g.demoSitemaps(docs), s"$root/lake", batchId = 1L)
+    val fetcher = new DemoCrawlFetcher
+    val traps = Seq.empty[(String, String, Long)]
+      .toDF("host", "template", "is_trap")
+    sitemapFetchDrainOnce(spark, s"$root/lake", fetcher)
+    refetchDrainOnce(spark, s"$root/lake", fetcher, traps, s"$root/dest")
     Seq(s"$root/lake").toDF("lake_path")
   }
 

@@ -642,6 +642,64 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("robotsCrawlDelays: *-group scoped, tolerant parse, max of valid values") {
+    import spark.implicits._
+    val robots = Seq(
+      // the `*` group declares 2 then 5 (max wins — the politest
+      // reading), with comments and case variance; the strictbot
+      // group's 9 must NOT leak into the `*` evaluation
+      ("a.example.com",
+        "User-agent: *\nCrawl-Delay: 2 # be nice\nDisallow: /private\n" +
+          "crawl-delay: 5\n\nUser-agent: strictbot\nCrawl-delay: 9\n"),
+      // a non-numeric and a non-positive value are IGNORED, never a
+      // failure; the remaining valid one wins
+      ("b.example.com",
+        "User-agent: *\nCrawl-delay: fast\nCrawl-delay: -3\n" +
+          "Crawl-delay: 0.5\n"),
+      // a delay declared ONLY for another agent → no row for the host
+      ("c.example.com", "User-agent: otherbot\nCrawl-delay: 4\n"),
+      // no directive at all → no row
+      ("d.example.com", "User-agent: *\nDisallow: /x\n")
+    ).toDF("host", "body")
+    val got = Graph.robotsCrawlDelays(robots).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a.example.com" -> 5.0, "b.example.com" -> 0.5),
+      s"got: $got")
+    // the consecutive-UA-run rule holds for the directive too: a run
+    // of (googlebot, *) headers scopes its delay to the `*` evaluation
+    val run = Seq(("e.example.com",
+      "User-agent: googlebot\nUser-agent: *\nCrawl-delay: 3\n"))
+      .toDF("host", "body")
+    assert(Graph.robotsCrawlDelays(run).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("e.example.com", 3.0)))
+  }
+
+  test("readRankIndex fails loudly on a schema-drifted index") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_rankidx_spec").toString
+    // renamed rank column: a user-specified schema alone would
+    // null-fill it and the plan consumers would coalesce to an
+    // all-zero-rank plan — exactly the silent failure to refuse
+    Seq(("h1", 1L, 42L)).toDF("node", "out_w", "rank")
+      .write.parquet(s"$base/drifted")
+    val e = intercept[IllegalArgumentException](
+      Graph.readRankIndex(spark, s"$base/drifted"))
+    assert(e.getMessage.contains("rank_e9"), e.getMessage)
+    // mistyped key column refuses too
+    Seq((7L, 1L, 42L)).toDF("node", "out_w", "rank_e9")
+      .write.parquet(s"$base/mistyped")
+    assert(intercept[IllegalArgumentException](
+      Graph.readRankIndex(spark, s"$base/mistyped"))
+      .getMessage.contains("node"))
+    // a conforming index reads
+    Seq(("h1", 1L, 42L)).toDF("node", "out_w", "rank_e9")
+      .write.parquet(s"$base/good")
+    assert(Graph.readRankIndex(spark, s"$base/good").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("h1", 42L)))
+  }
+
   test("the extracted edge frame is invariant under hostile repartitioning") {
     // the iterations consume only (src,dst,w); the serial-replay tests
     // above pin the iterations themselves, so edge-frame stability

@@ -106,6 +106,34 @@ class FilePipelineSpec extends AnyFunSuite {
     assert(audit3.length == 1 && audit3.head.status == "failed")
   }
 
+  test("f02 copy rejects dot-segment rel_paths as unsafe_path (defense in depth)") {
+    // Hadoop Path does not resolve `..`; the FS layer does at create
+    // time — a hostile manifest's rel_path must never escape destRoot
+    val root = mkTree()
+    val scratch = Files.createTempDirectory("graft_dst_guard")
+    val dest = scratch.resolve("dest")
+    import spark.implicits._
+    val hostile = spark.createDataset(Seq(
+      FilePipeline.FileEntry(root.resolve("a.txt").toString, "a.txt",
+        "up/../../../escape.txt", "txt", 5L, 0L),
+      // interior dots are benign filename characters, not navigation
+      FilePipeline.FileEntry(root.resolve("a.txt").toString, "a.txt",
+        "v1..2/ok.txt", "txt", 5L, 0L)))
+    val audit = FilePipeline.distCopy(spark, hostile, dest.toString,
+      partitions = 1).collect()
+    val byStatus = audit.groupBy(_.status).view.mapValues(_.length).toMap
+    assert(byStatus == Map("skipped" -> 1, "copied" -> 1), s"$byStatus")
+    assert(audit.find(_.status == "skipped").get.error == "unsafe_path")
+    assert(!Files.exists(scratch.resolve("escape.txt")),
+      "dot segments escaped destRoot")
+    assert(Files.exists(dest.resolve("v1..2/ok.txt")))
+    // the guard itself is segment-exact
+    assert(FilePipeline.unsafeRelPath("a/../b") &&
+      FilePipeline.unsafeRelPath("./a") && FilePipeline.unsafeRelPath("..") &&
+      !FilePipeline.unsafeRelPath("a..b/c.d") &&
+      !FilePipeline.unsafeRelPath("normal/path.txt"))
+  }
+
   test("f03 sync planner classifies new/changed/deleted/noop") {
     val root = mkTree()
     val dest = Files.createTempDirectory("graft_sync")

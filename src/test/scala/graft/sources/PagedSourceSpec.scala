@@ -637,6 +637,219 @@ class PagedSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("f14/f15 write safety: dot-segment paths are rejected as unsafe_path") {
+    import spark.implicits._
+    PagedSourceSpec.openedUrls.clear()
+    val scratch = Files.createTempDirectory("graft_traversal_spec")
+    val dest = scratch.resolve("dest").toString
+    // the hostile row's `..` segments would resolve to scratch/escape.txt
+    // (3 ups from dest/evil.example.com/a) — OUTSIDE destRoot
+    val plan = Seq(
+      ("evil.example.com", "/a/../../../escape.txt", 1L),
+      ("evil.example.com", "/./sneaky.txt", 1L),
+      ("..", "/up.txt", 1L), // a hostile HOST value is a segment too
+      ("a.example.com", "/a..b/ok.txt", 1L) // interior dots are BENIGN
+    ).toDF("host", "path", "fetch")
+    val traps = Seq.empty[(String, String, Long)]
+      .toDF("host", "template", "is_trap")
+    val audit = PagedSource.executeCrawlPlan(spark, RecordingFetcher(),
+      plan, traps, dest, maxRetries = 1, baseBackoffMs = 1).collect()
+    // conservation: every planned row audited, unsafe ones skipped
+    assert(audit.length == 4)
+    val byStatus = audit.groupBy(_.status).view.mapValues(_.length).toMap
+    assert(byStatus == Map("skipped" -> 3, "fetched" -> 1), s"$byStatus")
+    assert(audit.filter(_.status == "skipped").forall(_.error == "unsafe_path"))
+    // an unsafe row never spends a request — rejected BEFORE the fetch
+    assert(PagedSourceSpec.openedUrls.size() == 1 &&
+      PagedSourceSpec.openedUrls.contains("https://a.example.com/a..b/ok.txt"),
+      s"opened: ${PagedSourceSpec.openedUrls}")
+    // nothing landed outside destRoot, and the benign row landed inside
+    assert(!Files.exists(scratch.resolve("escape.txt")),
+      "dot segments escaped destRoot")
+    assert(Files.exists(java.nio.file.Paths.get(dest, "a.example.com",
+      "a..b", "ok.txt")))
+    // executeRecrawlPlan applies the same guard
+    val rplan = Seq(
+      ("evil.example.com", "/b/../../../escape2.txt", 1L, "new", ""),
+      ("a.example.com", "/fine.txt", 1L, "new", "")
+    ).toDF("host", "path", "fetch", "status", "admitted_on")
+    val raud = PagedSource.executeRecrawlPlan(spark, RecordingCondFetcher(),
+      rplan, traps, dest, maxRetries = 1, baseBackoffMs = 1).collect()
+    assert(raud.count(_.error == "unsafe_path") == 1 &&
+      raud.count(_.status == "fetched") == 1)
+    assert(!Files.exists(scratch.resolve("escape2.txt")))
+    // f08's distCopyPaged mirrors the guard on manifest rel_paths
+    val manifest = spark.createDataset(Seq(
+      FilePipeline.FileEntry("d0/f0", "x.txt", "a/../../../escape3.txt",
+        "txt", 64L, 0L),
+      FilePipeline.FileEntry("d0/f1", "y.txt", "sub/y.txt", "txt", 64L, 0L)))
+    val caud = PagedSource.distCopyPaged(spark,
+      PagedSource.SyntheticFetcher(1, 2, 10), manifest, dest).collect()
+    assert(caud.count(_.error == "unsafe_path") == 1 &&
+      caud.count(_.status == "copied") == 1, s"${caud.toSeq}")
+    assert(!Files.exists(scratch.resolve("escape3.txt")))
+    assert(Files.exists(java.nio.file.Paths.get(dest, "sub", "y.txt")))
+  }
+
+  test("pinned redirect policy: 3xx is a skipped audit row, never followed") {
+    import spark.implicits._
+    val requested =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath
+      requested.add(id)
+      if (id.contains("/moved/")) {
+        // cross-host redirect: auto-following would bypass the per-host
+        // politeness bucket AND the trap gate, and replay auth headers
+        ex.getResponseHeaders.add("Location", "https://other.example.com/evil")
+        send(ex, 302, Array.empty)
+      } else send(ex, 200, "ok".getBytes(StandardCharsets.UTF_8))
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val plan = Seq(
+        ("a.example.com", "/moved/1", 1L),
+        ("a.example.com", "/p/1", 1L)
+      ).toDF("host", "path", "fetch")
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      val dest = Files.createTempDirectory("graft_redirect_spec").toString
+      val audit = PagedSource.executeCrawlPlan(spark,
+        CrawlRewriteFetcher(base), plan, traps, dest,
+        maxRetries = 2, baseBackoffMs = 1).collect()
+      val byStatus = audit.groupBy(_.status).view.mapValues(_.length).toMap
+      assert(byStatus == Map("skipped" -> 1, "fetched" -> 1), s"$byStatus")
+      val red = audit.find(_.status == "skipped").get
+      // the audit row carries the Location so a planner can re-plan the
+      // target THROUGH the gates; the target itself was never fetched
+      assert(red.error.startsWith("redirect: HTTP 302") &&
+        red.error.contains("other.example.com"), red.error)
+      assert(!requested.toArray.exists(_.toString.contains("evil")),
+        "redirect target was fetched")
+      // retry never replayed the 3xx (permanent per item): one request
+      assert(requested.toArray.count(_.toString.contains("/moved/")) >= 1)
+      assert(!Files.exists(java.nio.file.Paths.get(dest, "a.example.com",
+        "moved", "1")), "redirect row must land nothing")
+    } finally server.stop(0)
+  }
+
+  test("f15 prefers the ETag validator; If-Modified-Since is the fallback") {
+    import spark.implicits._
+    // url → (body, current-etag, lastmod): If-None-Match wins when both
+    // validators could apply (RFC 9110 §13.1.1 — the strong validator)
+    val content = Map(
+      "/c/a.example.com/p/1" -> ("alpha", "\"v1\"", "2026-01-05"),
+      "/c/a.example.com/p/2" -> ("bravo", "\"v9\"", "2026-01-05"),
+      "/c/a.example.com/p/3" -> ("charlie", "\"v3\"", "2026-01-09"),
+      "/c/a.example.com/p/4" -> ("delta", "\"v4\"", "2026-01-09"))
+    val sawInm = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val sawIms = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath
+      val inm = ex.getRequestHeaders.getFirst("If-None-Match")
+      val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
+      if (inm != null) sawInm.add(id)
+      if (ims != null) sawIms.add(id)
+      content.get(id) match {
+        case Some((_, etag, _)) if inm != null && inm == etag =>
+          send(ex, 304, Array.empty)
+        case Some((_, _, lm)) if inm == null && ims != null && ims >= lm =>
+          send(ex, 304, Array.empty)
+        case Some((body, _, _)) =>
+          send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
+        case None => send(ex, 404, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = CondRewriteFetcher(base)
+      val plan = Seq(
+        // stored ETag CURRENT → 304 even though the stored DATE is
+        // older than the resource (the date would have refetched — the
+        // exact no-op-re-upload case the strong validator exists for)
+        ("a.example.com", "/p/1", 1L, "stale", "2026-01-01", "\"v1\""),
+        // stored ETag stale → real fetch (the server ignores the date)
+        ("a.example.com", "/p/2", 1L, "stale", "2026-01-09", "\"v1\""),
+        // no stored ETag → Last-Modified fallback, current → 304
+        ("a.example.com", "/p/3", 1L, "stale", "2026-01-09", ""),
+        // new row: no validators at all → unconditional fetch
+        ("a.example.com", "/p/4", 1L, "new", "", null.asInstanceOf[String])
+      ).toDF("host", "path", "fetch", "status", "admitted_on", "etag")
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      val dest = Files.createTempDirectory("graft_etag_spec").toString
+      val audit = PagedSource.executeRecrawlPlan(spark, fetcher, plan,
+        traps, dest, maxRetries = 2, baseBackoffMs = 1).collect()
+      assert(audit.length == 4)
+      def row(p: String) = audit.find(_.src.endsWith(p)).get
+      assert(row("/p/1").status == "not_modified")
+      assert(sawInm.contains("/c/a.example.com/p/1") &&
+        !sawIms.contains("/c/a.example.com/p/1"),
+        "ETag row must send If-None-Match, not the date")
+      assert(row("/p/2").status == "fetched" && row("/p/2").bytes == 5L)
+      assert(sawInm.contains("/c/a.example.com/p/2"))
+      assert(row("/p/3").status == "not_modified")
+      assert(sawIms.contains("/c/a.example.com/p/3") &&
+        !sawInm.contains("/c/a.example.com/p/3"),
+        "no-ETag row must fall back to If-Modified-Since")
+      assert(row("/p/4").status == "fetched")
+      assert(!sawInm.contains("/c/a.example.com/p/4") &&
+        !sawIms.contains("/c/a.example.com/p/4"),
+        "new row must fetch unconditionally")
+    } finally server.stop(0)
+  }
+
+  test("crawl_delay derives per-host politeness rates") {
+    import spark.implicits._
+    // the rate rule itself: declared delay wins, job dial is fallback
+    assert(PagedSource.effectiveRate(2.0, 5.0) == 0.5)
+    assert(PagedSource.effectiveRate(0.5, 0.0) == 2.0)
+    assert(PagedSource.effectiveRate(0.0, 5.0) == 5.0)
+    assert(PagedSource.effectiveRate(-1.0, 0.0) == 0.0)
+    PagedSourceSpec.openedUrls.clear()
+    // slow host declares Crawl-delay 0.5 (rate 2/s: 1 burst token, so 4
+    // fetches need ≥ ~1.0s of refill); fast host declares none and the
+    // job dial is 0 (unlimited) — the run's wall is the slow host's
+    val plan = Seq(
+      ("slow.example.test", "/a/1", 1L, Some(0.5)),
+      ("slow.example.test", "/a/2", 1L, Some(0.5)),
+      ("slow.example.test", "/a/3", 1L, Some(0.5)),
+      ("slow.example.test", "/a/4", 1L, Some(0.5)),
+      ("fast.example.test", "/b/1", 1L, None),
+      ("fast.example.test", "/b/2", 1L, None),
+      ("fast.example.test", "/b/3", 1L, None),
+      ("fast.example.test", "/b/4", 1L, None)
+    ).toDF("host", "path", "fetch", "crawl_delay")
+    val traps = Seq.empty[(String, String, Long)]
+      .toDF("host", "template", "is_trap")
+    val dest = Files.createTempDirectory("graft_delay_spec").toString
+    val t0 = System.nanoTime()
+    val audit = PagedSource.executeCrawlPlan(spark, RecordingFetcher(),
+      plan, traps, dest, maxRetries = 1, baseBackoffMs = 1,
+      hostPermitsPerSec = 0).collect()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(audit.length == 8 && audit.forall(_.status == "fetched"))
+    // the declared delay genuinely throttled: 3 refills at 2/s ≥ 1.0s
+    // (generous floor for scheduler jitter; the unlimited host alone
+    // finishes in milliseconds)
+    assert(elapsedMs >= 700, s"slow host fetched in ${elapsedMs}ms — " +
+      "declared Crawl-delay was not honored")
+  }
+
   test("rate limiter makes progress at fractional (sub-1/s) rates") {
     // regression: with the cap clamped to permitsPerSec, a rate < 1
     // could never accumulate a whole token and acquire() hung forever
@@ -662,6 +875,44 @@ object PagedSourceSpec {
     */
   val pageCalls =
     new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+
+  /** Every URL a [[RecordingFetcher]] was asked to open (same
+    * one-JVM observation trick).
+    */
+  val openedUrls =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+}
+
+/** In-memory content fetcher that records every opened URL — proves
+  * a guarded row never spends a request. Top-level so the executor
+  * closure captures nothing.
+  */
+final case class RecordingFetcher() extends PagedSource.PageFetcher {
+  override def listPage(dirId: String, token: Option[String])
+      : PagedSource.Page =
+    throw new UnsupportedOperationException("content-only fake")
+  override def open(fileId: String): java.io.InputStream = {
+    PagedSourceSpec.openedUrls.add(fileId)
+    new java.io.ByteArrayInputStream(
+      "payload".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
+/** [[RecordingFetcher]]'s conditional sibling. */
+final case class RecordingCondFetcher()
+    extends PagedSource.ConditionalFetcher {
+  override def listPage(dirId: String, token: Option[String])
+      : PagedSource.Page =
+    throw new UnsupportedOperationException("content-only fake")
+  override def open(fileId: String): java.io.InputStream = {
+    PagedSourceSpec.openedUrls.add(fileId)
+    new java.io.ByteArrayInputStream(
+      "payload".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+  override def openIfModifiedSince(fileId: String,
+      validator: String): java.io.InputStream = open(fileId)
+  override def openIfNoneMatch(fileId: String,
+      etag: String): java.io.InputStream = open(fileId)
 }
 
 /** Deterministic in-memory tree of `depth` levels × `branch` subdirs,
@@ -737,6 +988,9 @@ final case class CondRewriteFetcher(base: String)
   override def openIfModifiedSince(fileId: String,
       validator: String): java.io.InputStream =
     inner.openIfModifiedSince(rewrite(fileId), validator)
+  override def openIfNoneMatch(fileId: String,
+      etag: String): java.io.InputStream =
+    inner.openIfNoneMatch(rewrite(fileId), etag)
 }
 
 /** Wraps a fetcher so one file id has no downloadable content. */

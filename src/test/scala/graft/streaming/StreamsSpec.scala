@@ -1122,6 +1122,133 @@ class StreamsSpec extends AnyFunSuite {
       "compacted ledger lost u1's state")
   }
 
+  test("st28 fetch drain: consumes both feeds over live HTTP, conserves, GCs, replays") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st28")
+    val lake = dir.resolve("lake").toString
+    val dest = dir.resolve("dest").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val u1 = "https://a.example.com/p/1"
+    val u2 = "https://a.example.com/p/2"
+    // the "web": one sitemap FILE and two content URLs with server-side
+    // validators (ims >= lastmod → 304); /sm/missing.xml 404s
+    val smXml = "<?xml version=\"1.0\"?>\n<urlset>\n" +
+      s"  <url><loc>$u1</loc><lastmod>2026-01-03</lastmod></url>\n" +
+      s"  <url><loc>$u2</loc><lastmod>2026-01-05</lastmod></url>\n" +
+      "</urlset>\n"
+    val content = Map(
+      "/c/a.example.com/sm0.xml" -> (smXml, "1970-01-01"),
+      "/c/a.example.com/p/1" -> ("alpha", "2026-01-02"),
+      "/c/a.example.com/p/2" -> ("bravo-v2", "2026-01-21"))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val id = ex.getRequestURI.getPath
+      val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
+      content.get(id) match {
+        case Some((_, lm)) if ims != null && ims >= lm =>
+          send(ex, 304, Array.empty)
+        case Some((body, _)) =>
+          send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
+        case None => send(ex, 404, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      // seed st27's feed: one fetchable announcement + one that 404s
+      val robots = ("a.example.com", "robots",
+        "User-agent: *\nSitemap: https://a.example.com/sm0.xml\n" +
+          "Sitemap: https://a.example.com/sm/missing.xml\n")
+      Streams.discoveryBootstrapBatch(
+        Seq(robots).toDF("host", "kind", "payload"), lake, batchId = 1L)
+      // seed st26's ledger + feed: drain 1 makes both URLs new
+      // (unconditional fetches), drain 2 re-announces with later
+      // lastmods → stale rows whose stored validators are drain 1's
+      // dates — u1's server copy (2026-01-02) is NOT newer than the
+      // stored 2026-01-03, so the conditional fetch 304s; u2's is.
+      // The pathless in-scope loc exercises the bad_url audit path.
+      def sm(entries: Seq[(String, String)]) = ("a.example.com",
+        "<?xml version=\"1.0\"?>\n<urlset>\n" + entries.map { case (l, lm) =>
+          s"  <url><loc>$l</loc>" +
+            (if (lm.isEmpty) "" else s"<lastmod>$lm</lastmod>") + "</url>\n"
+        }.mkString + "</urlset>\n")
+      Streams.recrawlBatch(Seq(sm(Seq((u1, "2026-01-03"),
+        (u2, "2026-01-05")))).toDF("host", "xml"), lake, batchId = 1L)
+      Streams.recrawlBatch(Seq(sm(Seq((u1, "2026-01-05"),
+        (u2, "2026-01-21"), ("https://a.example.com", "2026-01-22"))))
+        .toDF("host", "xml"), lake, batchId = 2L)
+      // one tick of the st28 stream consumes BOTH feeds
+      val ticks = MemoryStream[Int](spark)
+      val q = Streams.st28FetchDrainStream(ticks.toDS().toDF(), lake,
+        fetcher, traps, dest, ckpt)
+      ticks.addData(1)
+      q.processAllAvailable()
+      q.stop()
+      // --- sitemap drain: the landed (host, xml) IS st25/st26's input
+      val xmlRows = spark.read.parquet(s"$lake.sitemapxml/batch=1")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(xmlRows.length == 1 && xmlRows.head._2.endsWith("/sm0.xml") &&
+        xmlRows.head._3 == smXml, s"xml feed: ${xmlRows.toSeq}")
+      val parsed = graft.operators.Graph.sitemapExtractOver(
+        spark.read.parquet(s"$lake.sitemapxml/batch=1"))
+        .collect().map(_.getAs[String]("loc")).toSet
+      assert(parsed == Set(u1, u2), "landed XML must parse through g08")
+      val smA = spark.read.parquet(s"$lake.sitemapxml.audit/batch=1")
+        .collect().head
+      assert((smA.getAs[Long]("planned"), smA.getAs[Long]("fetched"),
+        smA.getAs[Long]("skipped"), smA.getAs[Long]("failed")) ==
+        ((2L, 1L, 0L, 1L)), s"sitemap audit: $smA")
+      // --- refetch drain: batch 1 fetched both unconditionally;
+      // batch 2 304'd u1, refetched u2, bad_url'd the pathless loc
+      val fa = spark.read.parquet(s"$lake.fetched.audit").collect()
+        .map(r => r.getAs[Long]("batch_id") ->
+          (r.getAs[Long]("planned"), r.getAs[Long]("fetched"),
+            r.getAs[Long]("not_modified"), r.getAs[Long]("skipped"),
+            r.getAs[Long]("failed"))).toMap
+      assert(fa(1L) == ((2L, 2L, 0L, 0L, 0L)), s"audit1: ${fa(1L)}")
+      assert(fa(2L) == ((3L, 1L, 1L, 1L, 0L)), s"audit2: ${fa(2L)}")
+      val b2 = spark.read.parquet(s"$lake.fetched/batch=2").collect()
+      assert(b2.find(_.getAs[String]("src") == u1)
+        .get.getAs[String]("status") == "not_modified")
+      assert(b2.find(_.getAs[String]("error") == "bad_url")
+        .get.getAs[String]("src") == "https://a.example.com")
+      // content landed under destRoot/<host><path>, refreshed by batch 2
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dest, "a.example.com", "p", "2"))
+        == "bravo-v2")
+      // --- consumer-owned GC: both consumed feeds are EMPTY now
+      assert(new java.io.File(s"$lake.sitemaps").listFiles()
+        .forall(!_.getName.startsWith("batch=")), "sitemap feed not GC'd")
+      assert(new java.io.File(s"$lake.refetch").listFiles()
+        .forall(!_.getName.startsWith("batch=")), "refetch feed not GC'd")
+      // an idle tick is a no-op against drained feeds
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq.empty)
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+        == Seq.empty)
+      // --- replay safety: the PRODUCER re-lands its batch (crash
+      // between its landing and our consumption), the drain re-derives
+      // the identical landing via Overwrite and GCs again
+      Streams.discoveryBootstrapBatch(
+        Seq(robots).toDF("host", "kind", "payload"), lake, batchId = 1L)
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(1L))
+      val replayed = spark.read.parquet(s"$lake.sitemapxml/batch=1")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      assert(replayed == xmlRows.map(t => (t._2, t._3)).toSet,
+        "replayed drain changed the landing")
+    } finally server.stop(0)
+  }
+
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st18")
