@@ -110,9 +110,12 @@ object Bench {
       // recurring per-drain discovery-bootstrap cost
       "st27_bootstrap" ->
         ((s, d) => streaming.Streams.st27BenchBootstrap(s, d)),
-      // st28 closes the crawl service: one full drain cycle (seed the
-      // st27 + st26 feeds, then consume both through the in-memory
-      // conditional endpoint) — the recurring fetch-stage cost
+      // st28 closes the crawl service, build/drain split: the build
+      // row seeds both feeds (upstream stages' costs, measured by
+      // their own rows), the drain row consumes them through the
+      // in-memory conditional endpoint — the recurring fetch-stage
+      // cost (name-sort keeps build before drain)
+      "st28_build" -> ((s, d) => streaming.Streams.st28BenchBuild(s, d)),
       "st28_drain" -> ((s, d) => streaming.Streams.st28BenchDrain(s, d)),
       // the s14 distributed full-corpus trainer measured ALONE (the
       // auto-cutover path buildIvfIndex flips to past 16×sampleN —

@@ -4490,9 +4490,62 @@ object Oracles {
     * publish, the pinned read schema, and the live rank recurrence
     * hash-mismatches here.
     */
+  /** g14: rebuild the Crawl-delay plant byte-for-byte, then replay
+    * the full `*`-group scoping (line split, comment strip, UA-run
+    * detection — the g06 rule machinery with disjoint CTE names) and
+    * the tolerant value parse (TRY_CAST, non-positive dropped, max of
+    * the valid in-scope values; hosts with none produce no row).
+    */
+  private val g14Sql: String =
+    s"""WITH $hostsCte,
+       |g14rb AS (SELECT 'site' || s || '.example.com' AS host,
+       |    'User-agent: googlebot' || chr(10) || 'User-agent: *' || chr(10) ||
+       |    'Crawl-delay: ' || (s % 6) || chr(10) ||
+       |    CASE WHEN s % 5 = 0 THEN 'crawl-delay: ' || (s % 7) ||
+       |      '.5 # mirrored' || chr(10) ELSE '' END ||
+       |    CASE WHEN s % 4 = 1 THEN 'Crawl-delay: fast' || chr(10)
+       |      ELSE '' END ||
+       |    'Disallow: /x' || chr(10) || chr(10) ||
+       |    'User-agent: strictbot' || chr(10) || 'Crawl-delay: 9' || chr(10)
+       |      AS body
+       |  FROM hosts),
+       |g14l0 AS (SELECT host, string_split(body, chr(10)) AS ln FROM g14rb),
+       |g14l1 AS (SELECT host, ln,
+       |    unnest(generate_series(1, len(ln))) AS i FROM g14l0),
+       |g14ln AS (SELECT host, i - 1 AS pos,
+       |    trim(regexp_replace(ln[CAST(i AS INTEGER)], '#.*', '')) AS line
+       |  FROM g14l1),
+       |g14f AS (SELECT host, pos, line,
+       |    regexp_matches(line, '(?i)^user-agent\\s*:') AS is_ua
+       |  FROM g14ln WHERE line <> ''),
+       |g14f1 AS (SELECT host, pos, line, is_ua,
+       |    COALESCE(lag(is_ua) OVER (PARTITION BY host ORDER BY pos), FALSE)
+       |      AS prev_ua
+       |  FROM g14f),
+       |g14f2 AS (SELECT *, SUM(CASE WHEN is_ua AND NOT prev_ua THEN 1
+       |    ELSE 0 END)
+       |    OVER (PARTITION BY host ORDER BY pos ROWS UNBOUNDED PRECEDING)
+       |      AS run_id
+       |  FROM g14f1),
+       |g14star AS (SELECT DISTINCT host, run_id FROM g14f2
+       |  WHERE is_ua AND
+       |    trim(regexp_extract(line, '(?i)^user-agent\\s*:\\s*(.*)$$', 1))
+       |      = '*'),
+       |g14v AS (SELECT f.host,
+       |    TRY_CAST(trim(regexp_extract(f.line,
+       |      '(?i)^crawl-delay\\s*:\\s*(.*)$$', 1)) AS DOUBLE) AS delay
+       |  FROM g14f2 f JOIN g14star st
+       |    ON st.host = f.host AND st.run_id = f.run_id
+       |  WHERE regexp_matches(f.line, '(?i)^crawl-delay\\s*:'))
+       |SELECT host, max(delay) AS crawl_delay
+       |FROM g14v WHERE delay IS NOT NULL AND delay > 0
+       |GROUP BY host
+       |ORDER BY host""".stripMargin
+
   val sql: Map[String, String] = sqlBase ++ Map(
     "g12_frontier_probe" -> sqlBase("g07_frontier_plan"),
     "g12_discovered_probe" -> sqlBase("g09_discovered_plan"),
     "g12_recrawl_probe" -> sqlBase("g10_recrawl_plan"),
-    "g13_sitemap_discovery" -> g13Sql)
+    "g13_sitemap_discovery" -> g13Sql,
+    "g14_crawl_delay" -> g14Sql)
 }

@@ -184,6 +184,7 @@ object SparkEntry {
     "g12_recrawl_probe" -> ((s, dir) => Graph.g12RecrawlProbeDemo(s, dir)),
     "g13_sitemap_discovery" ->
       ((s, dir) => Graph.g13SitemapDiscovery(s, dir)),
+    "g14_crawl_delay" -> ((s, dir) => Graph.g14CrawlDelay(s, dir)),
     "c26_bloom_decontam" -> ((s, dir) => Corpus.c26BloomDecontam(s, dir)),
     "c27_dup_weights" -> ((s, dir) => Corpus.c27DupWeights(s, dir)),
     "t22_cms_topk" -> ((s, dir) => TextOps.t22CmsTopk(s, dir)),

@@ -602,6 +602,40 @@ object Graph {
           .as("allowed"))
   }
 
+  /** The g14 plant, per distinct demo host: a robots body exercising
+    * every Crawl-delay parse feature — a consecutive-UA run
+    * (googlebot + `*` form one group), an integer value that is
+    * NON-POSITIVE on s%6==0 hosts (ignored), a lowercase fractional
+    * value with an inline comment on s%5==0 hosts, a non-numeric
+    * decoy on s%4==1 hosts (ignored, never a failure), and a
+    * `strictbot` group whose delay the `*` evaluation must not see.
+    * Hosts where no valid in-scope value survives produce NO row.
+    * Affine in the host index, oracle-rebuildable.
+    */
+  private[graft] def demoCrawlDelayRobots(docs: DataFrame): DataFrame =
+    docs.select(expr("(doc_id div 5) % 50").as("s")).distinct()
+      .select(demoHost(col("s")).as("host"),
+        concat(
+          lit("User-agent: googlebot\nUser-agent: *\nCrawl-delay: "),
+          expr("s % 6"), lit("\n"),
+          when(expr("s % 5 = 0"),
+            concat(lit("crawl-delay: "), expr("s % 7"),
+              lit(".5 # mirrored\n"))).otherwise(lit("")),
+          when(expr("s % 4 = 1"), lit("Crawl-delay: fast\n"))
+            .otherwise(lit("")),
+          lit("Disallow: /x\n\nUser-agent: strictbot\nCrawl-delay: 9\n"))
+          .as("body"))
+
+  /** g14: robots.txt Crawl-delay extraction over the planted demo
+    * bodies — the per-host politeness rate publishers actually
+    * declare ([[robotsCrawlDelays]]); f14/f15 derive their
+    * `fetch:<host>` token-bucket rates from this column
+    * (rate = 1/delay, job dial as fallback).
+    */
+  def g14CrawlDelay(spark: SparkSession, dir: String): DataFrame =
+    robotsCrawlDelays(demoCrawlDelayRobots(Tables(spark, dir).documents))
+      .orderBy("host")
+
   /** g06: robots.txt frontier permissions — the FILE-level half of
     * crawl governance beside g05's page-level meta-robots (RFC 9309,
     * public): a crawler must evaluate every frontier URL against the

@@ -427,13 +427,27 @@ object Streams {
     * for text it cannot score, and a sub-two-token "document" is junk
     * for a training corpus anyway. Route such docs around the gate
     * explicitly if a pipeline wants to keep them.
+    *
+    * Verdicts are per ROW, keyed on a minted row-unique id (the
+    * piiScrubBatch/robotsGateBatch discipline, r15 wave): scoring and
+    * rejoining by doc_id would MERGE duplicate doc_ids' bigrams into
+    * one score and then admit every row sharing the key — a gibberish
+    * twin riding a fluent doc's id straight into the lake.
     */
   def fluencyBatch(batch: DataFrame, lmPath: String, lakePath: String,
       batchId: Long, minLp: Double): Unit = {
-    val scored = graft.operators.TextOps.lmScoreIndexed(batch, lmPath)
-    val admitted = batch.join(
-      scored.filter(col("mean_lp") >= minLp).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    require(!batch.columns.contains("row_uid"),
+      "fluencyBatch: input already has column row_uid — rename it")
+    // pinned FIRST: an unpinned monotonically_increasing_id can
+    // renumber between the scoring and rejoin actions
+    val withUid = batch.withColumn("row_uid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val scored = graft.operators.TextOps.lmScoreIndexed(
+      withUid.select(col("row_uid").as("doc_id"), col("text")), lmPath)
+    val admitted = withUid.join(
+      scored.filter(col("mean_lp") >= minLp)
+        .select(col("doc_id").as("row_uid")),
+      Seq("row_uid"), "left_semi").drop("row_uid")
     admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
   }
@@ -463,14 +477,21 @@ object Streams {
     * is never re-scanned on the stream; the gate is stateless given
     * the frozen weight table, so replays just rewrite their own
     * `batch=<id>` directory (st14's idempotence discipline, no lake
-    * read, no exclusion dance).
+    * read, no exclusion dance). Verdicts are per ROW on a minted
+    * row-unique id (fluencyBatch's rule — a key-join would admit a
+    * junk twin sharing an admitted doc's id).
     */
   def classifierBatch(batch: DataFrame, modelPath: String,
       lakePath: String, batchId: Long): Unit = {
-    val scored = graft.operators.Corpus.c16ScoreIndexed(batch, modelPath)
-    val admitted = batch.join(
-      scored.filter(col("keep")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    require(!batch.columns.contains("row_uid"),
+      "classifierBatch: input already has column row_uid — rename it")
+    val withUid = batch.withColumn("row_uid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val scored = graft.operators.Corpus.c16ScoreIndexed(
+      withUid.select(col("row_uid").as("doc_id"), col("text")), modelPath)
+    val admitted = withUid.join(
+      scored.filter(col("keep")).select(col("doc_id").as("row_uid")),
+      Seq("row_uid"), "left_semi").drop("row_uid")
     admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
   }
@@ -487,10 +508,23 @@ object Streams {
   def contaminationBatch(batch: DataFrame, benchPath: String,
       lakePath: String, batchId: Long, shingleK: Int = 5,
       minShared: Long = 3L): Unit = {
+    // per-ROW verdicts on a minted id (fluencyBatch's rule). Here the
+    // key-join failure mode was the REVERSE direction — an anti-join
+    // by doc_id rejects a clean row sharing a contaminated one's id
+    // (fails closed, but still the wrong rows) — and screening by a
+    // duplicated key also merges two texts' shingle counts past
+    // minShared when neither alone crosses it.
+    require(!batch.columns.contains("row_uid"),
+      "contaminationBatch: input already has column row_uid — rename it")
+    val withUid = batch.withColumn("row_uid", monotonically_increasing_id())
+      .localCheckpoint(true)
     val flagged = graft.operators.Corpus
-      .c03ScreenIndexed(batch, benchPath, shingleK, minShared)
-      .select("doc_id")
-    val admitted = batch.join(flagged, Seq("doc_id"), "left_anti")
+      .c03ScreenIndexed(
+        withUid.select(col("row_uid").as("doc_id"), col("text")),
+        benchPath, shingleK, minShared)
+      .select(col("doc_id").as("row_uid"))
+    val admitted = withUid.join(flagged, Seq("row_uid"), "left_anti")
+      .drop("row_uid")
     admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
   }
@@ -1095,7 +1129,13 @@ object Streams {
     * `fluent` − `admitted` = near-dup rejects — the conservation a
     * service operator alarms on. doc_id = xxhash64(path, text): stable
     * across replays, distinct for identical text landing as distinct
-    * files (those are st09's exact-dedup job, not an id collision).
+    * files (those are st09's exact-dedup job, not an id collision) —
+    * and CONTENT-DERIVED, which is why this cycle's internal doc_id
+    * key-joins are safe: two rows share an id only when (path, text)
+    * are byte-identical, so a key-join can never cross-admit distinct
+    * texts. The standalone gate bodies (fluencyBatch etc.) mint
+    * row_uids instead because their callers' ids carry no such
+    * guarantee.
     *
     * Cost per cycle at scale: one remote enumeration, copies bounded
     * by the diff, one drain bounded by new files, gates bounded by
@@ -2241,15 +2281,18 @@ object Streams {
       openIfModifiedSince(fileId, etag)
   }
 
-  /** st28 bench row: one full drain cycle — st27 announces the demo
-    * hosts' sitemap files and st26 plans the demo urlsets (seeding is
-    * part of the row: a real drain's cycle starts from what the
-    * upstream stages just landed, and the fetch machinery dominates
-    * the wall anyway), then both drains consume through the in-memory
-    * endpoint — the recurring per-cycle cost of the crawl service's
-    * fetch stage.
+  /** st28 bench, build phase: seed both feeds — st27 announces the
+    * demo hosts' sitemap files and st26 plans the demo urlsets (the
+    * upstream stages' own costs, already measured by the
+    * st27_bootstrap / st26_build / st26_plan rows; name-sort keeps
+    * this before st28_drain). The recrawl seed lands under a NEGATIVE
+    * feed id (the drain ignores id < 0), then every URL re-announces
+    * one month later — the consumable feed rows are all `stale` WITH
+    * stored validators, so the drain row measures the conditional
+    * path (including the demo endpoint's ~1/3 304 answers), not the
+    * all-new unconditional degenerate.
     */
-  def st28BenchDrain(spark: SparkSession, dir: String): DataFrame = {
+  def st28BenchBuild(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = gateBenchRoot("st28", dir)
     clearRoot(spark, root)
@@ -2262,7 +2305,23 @@ object Streams {
         .select(col("host"), lit("index").as("kind"),
           col("xml").as("payload")))
     discoveryBootstrapBatch(payloads, s"$root/lake", batchId = 1L)
-    recrawlBatch(g.demoSitemaps(docs), s"$root/lake", batchId = 1L)
+    val sm = g.demoSitemaps(docs)
+    recrawlBatch(sm, s"$root/lake", batchId = -1L)
+    recrawlBatch(sm.withColumn("xml",
+      regexp_replace(col("xml"), "2026-01", "2026-02")),
+      s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
+  /** st28 bench, drain phase: consume both seeded feeds through the
+    * in-memory conditional endpoint — the recurring per-cycle cost of
+    * the crawl service's fetch stage (sitemap fetch + landing + audit
+    * + feed GC, then the conditional content refetch through f15's
+    * executor with its audit + GC).
+    */
+  def st28BenchDrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st28", dir)
     val fetcher = new DemoCrawlFetcher
     val traps = Seq.empty[(String, String, Long)]
       .toDF("host", "template", "is_trap")

@@ -674,6 +674,64 @@ class StreamsSpec extends AnyFunSuite {
     assert(after == ids, s"replay changed the lake: $after")
   }
 
+  test("gate verdicts are per ROW: a twin sharing an admitted doc_id is judged alone") {
+    import spark.implicits._
+    // duplicate doc_ids inside one drain (a URL re-crawled, a buggy
+    // upstream id mint) must not let one row's verdict ride another's
+    // key: scoring by doc_id would MERGE the texts' features and then
+    // key-join BOTH rows to the merged verdict (r15 review wave —
+    // robotsGateBatch/piiScrubBatch already minted row ids; the three
+    // standalone gate bodies now do too)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupid")
+    // st14: fluent text + a gibberish twin on the SAME id
+    val lmPath = dir.resolve("lm").toString
+    graft.operators.TextOps.lmTrainTables(
+      Seq((1L, (1 to 40).map(i => s"r$i").mkString(" ")))
+        .toDF("doc_id", "text"), lmPath)
+    val fluent = (5 to 12).map(i => s"r$i").mkString(" ")
+    val lakeF = dir.resolve("lakeF").toString
+    Streams.fluencyBatch(
+      Seq((7L, fluent), (7L, "zz qq ww ee rr tt"),
+        (8L, "xx yy zz aa bb cc")).toDF("doc_id", "text"),
+      lmPath, lakeF, batchId = 0L, minLp = -3.0)
+    val landedF = spark.read.parquet(lakeF).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(landedF == Set((7L, fluent)),
+      s"fluency gate landed $landedF — the twin must be judged alone")
+    // st16: exemplar-like text + a junk twin on the SAME id
+    val modelPath = dir.resolve("model").toString
+    graft.operators.Corpus.c16ModelBuild(Seq(
+      (1L, "alpha beta gamma", 1), (2L, "alpha beta delta", 1),
+      (3L, "epsilon zeta eta", 0), (4L, "iota kappa lambda", 0),
+      (5L, "mu nu xi omicron", 0)).toDF("doc_id", "text", "label"),
+      modelPath)
+    val lakeC = dir.resolve("lakeC").toString
+    Streams.classifierBatch(
+      Seq((7L, "alpha beta rho"), (7L, "qq ww ee rr"))
+        .toDF("doc_id", "text"), modelPath, lakeC, batchId = 0L)
+    val landedC = spark.read.parquet(lakeC).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(landedC == Set((7L, "alpha beta rho")),
+      s"classifier gate landed $landedC")
+    // st17: a clean row must NOT be anti-joined away by a contaminated
+    // twin sharing its id (this one failed CLOSED before — still the
+    // wrong rows)
+    val benchPath = dir.resolve("bench").toString
+    graft.operators.Corpus.c03BenchBuild(
+      Seq((1L, (1 to 8).map(i => s"s$i").mkString(" ")))
+        .toDF("doc_id", "text"), benchPath)
+    val clean = (1 to 8).map(i => s"t$i").mkString(" ")
+    val contaminated = (1 to 7).map(i => s"s$i").mkString(" ")
+    val lakeD = dir.resolve("lakeD").toString
+    Streams.contaminationBatch(
+      Seq((7L, clean), (7L, contaminated)).toDF("doc_id", "text"),
+      benchPath, lakeD, batchId = 0L)
+    val landedD = spark.read.parquet(lakeD).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(landedD == Set((7L, clean)),
+      s"decontam gate landed $landedD")
+  }
+
   test("st19 drift monitor: matching batch zero, shifted batch maximal, replays clean") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max}
