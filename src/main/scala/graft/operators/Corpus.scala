@@ -1889,7 +1889,7 @@ object Corpus {
     * BloomFilterAggregate builds it (bit-OR merge across partitions:
     * order-independent, fixed hash seeds, deterministic bytes).
     */
-  private def c26Sketch(bench: DataFrame, gramK: Int,
+  private[operators] def c26Sketch(bench: DataFrame, gramK: Int,
       estItems: Long, numBits: Long): Array[Byte] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -1898,8 +1898,20 @@ object Corpus {
       .select(explode(col("sh")).as("h")).distinct()
     val agg = new BloomFilterAggregate(Bridge.expression(grams("h")),
       Literal(estItems), Literal(numBits))
-    grams.agg(Bridge.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val row = grams.agg(Bridge.column(agg.toAggregateExpression()).as("bf"))
+      .head()
+    // BloomFilterAggregate over ZERO rows returns NULL, and
+    // might_contain(NULL, h) is NULL → every train doc would score
+    // (0 hits, clean) with no error anywhere — an empty or
+    // sub-one-k-gram benchmark silently DISABLES the decontamination
+    // gate (review r15 wave; c17BenchBuild's empty-benchmark
+    // discipline applied here).
+    require(!row.isNullAt(0),
+      s"c26Sketch: the benchmark contributed zero $gramK-grams — an " +
+        "empty sketch passes every train document as clean; supply a " +
+        "non-empty benchmark (or lower gramK) instead of silently " +
+        "skipping the gate")
+    row.getAs[Array[Byte]](0)
   }
 
   /** c26: Bloom-gram decontamination — the FIXED-MEMORY version of the

@@ -921,7 +921,8 @@ object PagedSource {
     override def openIfModifiedSince(fileId: String,
         validator: String): InputStream = {
       val url = if (fileId.startsWith("http")) fileId else s"$baseUrl$fileId"
-      connect(url, Map("If-Modified-Since" -> validator),
+      connect(url,
+        Map("If-Modified-Since" -> toHttpDateValidator(validator)),
         allow304 = true).getInputStream
     }
 
@@ -932,6 +933,35 @@ object PagedSource {
         allow304 = true).getInputStream
     }
   }
+
+  /** IMF-fixdate (RFC 9110 §5.6.7's preferred HTTP-date form): the
+    * RFC_1123_DATE_TIME formatter is NOT used because it emits
+    * unpadded single-digit days, which the fixdate ABNF forbids.
+    */
+  private lazy val HttpDateFmt = java.time.format.DateTimeFormatter
+    .ofPattern("EEE, dd MMM uuuu HH:mm:ss 'GMT'", java.util.Locale.US)
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** RFC 9110 §13.1.3: a recipient MUST ignore If-Modified-Since
+    * unless the value is a valid HTTP-date — so sending the bare ISO
+    * `YYYY-MM-DD` our sitemap-lastmod ledgers store would silently
+    * disable conditional fetching against every conforming server
+    * (200 + full body forever, never a 304; the recrawl economics
+    * gone with no error anywhere — review r15 wave). Date-shaped
+    * validators convert to midnight-UTC IMF-fixdate here, at the
+    * protocol boundary; anything else (a stored Last-Modified header,
+    * already an HTTP-date) passes through verbatim, as does a
+    * date-SHAPED string with out-of-range fields (the server ignores
+    * it — fail-open to an unconditional fetch, never an exception in
+    * the fetch path).
+    */
+  private[graft] def toHttpDateValidator(validator: String): String =
+    if (validator != null && validator.matches("\\d{4}-\\d{2}-\\d{2}"))
+      try HttpDateFmt.format(
+        java.time.LocalDate.parse(validator)
+          .atStartOfDay(java.time.ZoneOffset.UTC))
+      catch { case _: java.time.DateTimeException => validator }
+    else validator
 
   /** Shared mapper — ObjectMapper construction is Jackson's most
     * expensive operation (per-instance introspection caches); readTree

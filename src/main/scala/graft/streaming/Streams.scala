@@ -2096,8 +2096,16 @@ object Streams {
                 fetcher.open(loc)
               }
             val bytes = try in.readAllBytes() finally in.close()
+            // gzip is a FIRST-CLASS sitemap form (sitemaps.org caps
+            // uncompressed shards and publishers ship sitemap.xml.gz)
+            // — decoding raw gzip bytes as UTF-8 yields garbage that
+            // g08 parses to ZERO entries while the audit says
+            // "fetched": silent discovery loss (review r15 wave).
+            // maybeGunzip inflates on the gzip magic (multi-member
+            // aware) and passes plain bytes through untouched.
+            val plain = graft.sources.WarcSource.maybeGunzip(bytes)
             (host, loc,
-              new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+              new String(plain, java.nio.charset.StandardCharsets.UTF_8),
               "fetched", "")
           } catch {
             case r: graft.sources.PagedSource.Redirected =>

@@ -56,6 +56,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(joins <= 2, s"unexpected joins on the c26 scoring path:\n$plan")
   }
 
+  test("c26 refuses an empty benchmark sketch loudly") {
+    import spark.implicits._
+    // zero benchmark docs AND docs too short to carry one 13-gram:
+    // both yield a NULL BloomFilterAggregate, and might_contain(NULL)
+    // would score every train doc (0 hits, clean) — the gate silently
+    // OFF. Must raise instead (r15 wave).
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val short = Seq((1L, "too short for thirteen")).toDF("doc_id", "text")
+    for (bench <- Seq(empty, short)) {
+      val ex = intercept[IllegalArgumentException] {
+        Corpus.c26Sketch(bench, gramK = 13,
+          estItems = 1L << 10, numBits = 1L << 14)
+      }
+      assert(ex.getMessage.contains("zero 13-grams"), ex.getMessage)
+    }
+  }
+
   test("c14 importance weights == plain-Scala DSIR recompute on a hand corpus") {
     import spark.implicits._
     // fixture bigrams are all distinct strings (no two docs share a

@@ -578,13 +578,24 @@ class PagedSourceSpec extends AnyFunSuite {
       if (body.nonEmpty) ex.getResponseBody.write(body)
       ex.close()
     }
+    val badDates =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     server.createContext("/c/", (ex: HttpExchange) => {
       val id = ex.getRequestURI.getPath
       requested.add(id)
       val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
       if (ims != null) sawConditional.add(id)
+      // a conforming server MUST ignore a non-HTTP-date validator
+      // (RFC 9110 §13.1.3) — this fake instead RECORDS it, so the spec
+      // can pin that the wire form is IMF-fixdate, not the ledger's
+      // bare ISO date
+      if (ims != null && !ims.matches(PagedSourceSpec.ImfFixdate))
+        badDates.add(ims)
+      val imsIso =
+        if (ims == null || !ims.matches(PagedSourceSpec.ImfFixdate)) null
+        else PagedSourceSpec.httpDateToIso(ims)
       content.get(id) match {
-        case Some((_, cur)) if ims != null && ims >= cur =>
+        case Some((_, cur)) if imsIso != null && imsIso >= cur =>
           send(ex, 304, Array.empty)
         case Some((body, _)) =>
           send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
@@ -634,7 +645,29 @@ class PagedSourceSpec extends AnyFunSuite {
       // trap never requested; 404 failed
       assert(!requested.toArray.exists(_.toString.contains("/cal/")))
       assert(audit.find(_.status == "failed").get.src.endsWith("/gone"))
+      // every conditional request carried IMF-fixdate on the wire —
+      // a bare ISO date is a validator RFC 9110 servers must IGNORE,
+      // silently turning every recrawl into a full fetch
+      assert(badDates.isEmpty, s"non-HTTP-date validators sent: $badDates")
     } finally server.stop(0)
+  }
+
+  test("ISO validators convert to IMF-fixdate at the protocol boundary") {
+    // date-shaped → midnight-UTC fixdate (2-digit day — RFC_1123's
+    // unpadded day would violate the fixdate ABNF)
+    assert(PagedSource.toHttpDateValidator("2026-01-05")
+      == "Mon, 05 Jan 2026 00:00:00 GMT")
+    assert(PagedSource.toHttpDateValidator("2026-08-16")
+      == "Sun, 16 Aug 2026 00:00:00 GMT")
+    // an already-HTTP-date validator (a stored Last-Modified header)
+    // passes through verbatim
+    val httpDate = "Sat, 29 Oct 1994 19:43:31 GMT"
+    assert(PagedSource.toHttpDateValidator(httpDate) == httpDate)
+    // date-SHAPED garbage (out-of-range fields from a hostile lastmod)
+    // must not throw in the fetch path — it passes through and the
+    // server ignores it (fail-open to an unconditional fetch)
+    assert(PagedSource.toHttpDateValidator("9999-99-99") == "9999-99-99")
+    assert(PagedSource.toHttpDateValidator("") == "")
   }
 
   test("f14/f15 write safety: dot-segment paths are rejected as unsafe_path") {
@@ -763,10 +796,14 @@ class PagedSourceSpec extends AnyFunSuite {
       val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
       if (inm != null) sawInm.add(id)
       if (ims != null) sawIms.add(id)
+      val imsIso =
+        if (ims == null || !ims.matches(PagedSourceSpec.ImfFixdate)) null
+        else PagedSourceSpec.httpDateToIso(ims)
       content.get(id) match {
         case Some((_, etag, _)) if inm != null && inm == etag =>
           send(ex, 304, Array.empty)
-        case Some((_, _, lm)) if inm == null && ims != null && ims >= lm =>
+        case Some((_, _, lm))
+            if inm == null && imsIso != null && imsIso >= lm =>
           send(ex, 304, Array.empty)
         case Some((body, _, _)) =>
           send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
@@ -881,6 +918,24 @@ object PagedSourceSpec {
     */
   val openedUrls =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The IMF-fixdate shape RFC 9110 §5.6.7 prescribes — what a
+    * conforming server must receive in If-Modified-Since (anything
+    * else it MUST ignore, §13.1.3).
+    */
+  val ImfFixdate =
+    "^[A-Z][a-z]{2}, \\d{2} [A-Z][a-z]{2} \\d{4} \\d{2}:\\d{2}:\\d{2} GMT$"
+
+  /** Parse a received HTTP-date header back to its ISO calendar date
+    * — the fake servers' validators are ISO dates, and parsing with
+    * the JDK's STANDARD formatter (not the production one) keeps the
+    * assertion independent of the code under test.
+    */
+  def httpDateToIso(header: String): String =
+    java.time.ZonedDateTime.parse(header,
+      java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+      .withZoneSameInstant(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
 }
 
 /** In-memory content fetcher that records every opened URL — proves

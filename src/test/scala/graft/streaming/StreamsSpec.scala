@@ -1210,8 +1210,13 @@ class StreamsSpec extends AnyFunSuite {
     server.createContext("/c/", (ex: HttpExchange) => {
       val id = ex.getRequestURI.getPath
       val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
+      // the wire form is IMF-fixdate (r15: RFC 9110 §13.1.3 — servers
+      // ignore anything else); convert back to the fixture's ISO form
+      val imsIso =
+        if (ims == null) null
+        else graft.sources.PagedSourceSpec.httpDateToIso(ims)
       content.get(id) match {
-        case Some((_, lm)) if ims != null && ims >= lm =>
+        case Some((_, lm)) if imsIso != null && imsIso >= lm =>
           send(ex, 304, Array.empty)
         case Some((body, _)) =>
           send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
@@ -1305,6 +1310,45 @@ class StreamsSpec extends AnyFunSuite {
       assert(replayed == xmlRows.map(t => (t._2, t._3)).toSet,
         "replayed drain changed the landing")
     } finally server.stop(0)
+  }
+
+  test("st28 sitemap drain inflates gzipped sitemaps (sitemap.xml.gz)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st28_gz")
+    val lake = dir.resolve("lake").toString
+    val xml = "<?xml version=\"1.0\"?>\n<urlset>\n" +
+      "  <url><loc>https://a.example.com/p/1</loc></url>\n</urlset>\n"
+    // seed st27's feed directly: one gzipped announcement, one plain
+    Seq(
+      ("a.example.com", "robots", "https://a.example.com/sm.xml.gz", ""),
+      ("a.example.com", "robots", "https://a.example.com/sm.xml", ""))
+      .toDF("host", "source", "loc", "lastmod")
+      .write.parquet(s"$lake.sitemaps/batch=1")
+    val fetcher = new graft.sources.PagedSource.PageFetcher {
+      override def listPage(dirId: String, token: Option[String])
+          : graft.sources.PagedSource.Page =
+        throw new UnsupportedOperationException("content-only fake")
+      override def open(fileId: String): java.io.InputStream = {
+        val plain = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bytes =
+          if (fileId.endsWith(".gz")) graft.sources.WarcSource.gzip(plain)
+          else plain
+        new java.io.ByteArrayInputStream(bytes)
+      }
+    }
+    assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(1L))
+    val landed = spark.read.parquet(s"$lake.sitemapxml/batch=1")
+      .collect().map(r => r.getString(1) -> r.getString(2)).toMap
+    // BOTH forms land as the same parseable XML text — raw gzip bytes
+    // decoded as UTF-8 would be garbage g08 parses to zero entries
+    assert(landed == Map(
+      "https://a.example.com/sm.xml.gz" -> xml,
+      "https://a.example.com/sm.xml" -> xml), s"landed: $landed")
+    val parsed = graft.operators.Graph.sitemapExtractOver(
+      spark.read.parquet(s"$lake.sitemapxml/batch=1"))
+      .collect().map(_.getAs[String]("loc"))
+    assert(parsed.toSeq == Seq("https://a.example.com/p/1",
+      "https://a.example.com/p/1"), "gz sitemap must parse through g08")
   }
 
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
