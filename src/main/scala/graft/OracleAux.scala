@@ -113,11 +113,11 @@ object OracleAux {
     // training a third time (producers run in declaration order)
     ("c16_exp", Set("c16_quality_classifier"),
       (s, d) => operators.Corpus.c16AuxExp(s, d)),
-    ("t15_ln", Set("t15_lm_score"),
+    ("t15_ln", Set("t15_lm_score", "c28_ccnet_buckets"),
       (s, d) => operators.TextOps.t15AuxLn(s, d)),
     ("c18_cents", Set("c18_balanced_sample"),
       (s, d) => operators.Ann.c18AuxCentroids(s, d)),
-    ("c05_hash", Set("c05_mixture_build"),
+    ("c05_hash", Set("c05_mixture_build", "c28_ccnet_buckets"),
       (s, d) => operators.Corpus.c05AuxHash(s, d)),
     ("c01_sigs", Set("c01_clean_corpus"),
       (s, d) => operators.Corpus.c01AuxSigs(s, d)),

@@ -2076,6 +2076,50 @@ object Oracles {
         |FROM t
         |ORDER BY doc_id, idx""".stripMargin,
 
+    // f16 manifest: the shard assignment (row_number div capacity —
+    // Spark derives it through c09's distributed prefix-sum over unit
+    // weights) and every record's PLAIN byte size re-synthesized
+    // string-for-string (the f13 differential discipline: header
+    // strings rebuilt, measured with strlen = bytes).
+    "f16_warc_export" ->
+      """WITH cr AS (SELECT chr(13) || chr(10) AS c),
+        |d AS (SELECT doc_id, text,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // 64 AS shard_id, c
+        |  FROM documents CROSS JOIN cr),
+        |recs AS (SELECT shard_id,
+        |    strlen('WARC/1.0' || c || 'WARC-Type: conversion' || c ||
+        |      'WARC-Record-ID: <urn:graft:doc:' || doc_id || '>' || c ||
+        |      'WARC-Target-URI: https://example.org/doc/' || doc_id || c ||
+        |      'WARC-Date: 2026-01-01T00:00:00Z' || c ||
+        |      'Content-Type: text/plain' || c ||
+        |      'Content-Length: ' || strlen(text) || c || c) +
+        |      strlen(text) + 4 AS rec_bytes
+        |  FROM d),
+        |wi AS (SELECT DISTINCT shard_id,
+        |    strlen('WARC/1.0' || c || 'WARC-Type: warcinfo' || c ||
+        |      'WARC-Record-ID: <urn:graft:shard:' || shard_id || '>' || c ||
+        |      'WARC-Date: 2026-01-01T00:00:00Z' || c ||
+        |      'Content-Type: text/plain' || c ||
+        |      'Content-Length: ' ||
+        |      strlen('software: graft/1.0' || c ||
+        |             'format: WARC File Format 1.0' || c) || c || c) +
+        |      strlen('software: graft/1.0' || c ||
+        |             'format: WARC File Format 1.0' || c) + 4 AS wi_bytes
+        |  FROM d)
+        |SELECT r.shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) + 1 AS BIGINT) AS n_records,
+        |  CAST(sum(rec_bytes) + min(wi.wi_bytes) AS BIGINT) AS plain_bytes
+        |FROM recs r JOIN wi ON wi.shard_id = r.shard_id
+        |GROUP BY r.shard_id ORDER BY r.shard_id""".stripMargin,
+
+    // f16 round-trip: the expected recovery is the documents table
+    // itself — a hash match proves the encoder → gzip-member layout →
+    // walker → UTF-8 path preserves every byte of every document.
+    "f16_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://example.org/doc/' || doc_id AS target_uri, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // f11: an independent RE2 field grammar re-parses the identical
     // CSV bytes — RFC 4180 fields (bare or quoted with "" escapes),
     // arity-4 anchored match as the validity verdict, leading fields
@@ -4111,6 +4155,72 @@ object Oracles {
          |  CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) / count(*)
          |    AS mean_lp
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // c28: the full t15 LM replay (same CTEs, same ln-memo — c28's
+    // scores are the t15 kernel verbatim), then the CCNet recipe on
+    // top: hash-sample gate from the c05 aux (pmod(xxhash64, 2^20) is
+    // divisible-compatible with mod 4), per-lang ntile(3) cutoffs on
+    // the sample, per-row >= assignment, the unscored/unsampled rows.
+    "c28_ccnet_buckets" ->
+      s"""WITH rtoks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents
+         |  WHERE source = (SELECT min(source) FROM documents)),
+         |rbg0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |         FROM rtoks WHERE len(w) >= 2),
+         |rbg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM rbg0),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |        FROM rbg GROUP BY 1, 2),
+         |prefix AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+         |           FROM big GROUP BY 1),
+         |uni AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2
+         |        FROM rbg GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM rbg),
+         |atoks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |          FROM documents),
+         |abg0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+         |         FROM atoks WHERE len(w) >= 2),
+         |abg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM abg0),
+         |p AS (SELECT a.doc_id,
+         |    CASE WHEN b.c12 IS NOT NULL
+         |           THEN CAST(b.c12 AS DOUBLE) / CAST(pf.c1 AS DOUBLE)
+         |         WHEN u.c2 IS NOT NULL
+         |           THEN 0.4 * (CAST(u.c2 AS DOUBLE) / tot.T)
+         |         ELSE 0.4 * (1.0 / tot.T) END AS pv
+         |  FROM abg a LEFT JOIN big b ON a.w1 = b.w1 AND a.w2 = b.w2
+         |             LEFT JOIN prefix pf ON a.w1 = pf.w1
+         |             LEFT JOIN uni u ON a.w2 = u.w2
+         |             CROSS JOIN tot),
+         |s AS (SELECT p.doc_id,
+         |    CAST(round(l.lx, 9) AS DECIMAL(28,9)) AS term
+         |  FROM p JOIN '${OracleAux.Root}/t15_ln/*.parquet' l
+         |    ON l.x = p.pv),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(CAST(SUM(term) AS VARCHAR) AS DOUBLE) / count(*)
+         |      AS mean_lp
+         |  FROM s GROUP BY doc_id),
+         |h AS (SELECT doc_id, h
+         |      FROM '${OracleAux.Root}/c05_hash/*.parquet'),
+         |smp AS (SELECT d.lang, sc.doc_id, sc.mean_lp,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY sc.mean_lp DESC, sc.doc_id) AS tile
+         |  FROM sc JOIN documents d USING (doc_id)
+         |          JOIN h ON h.doc_id = sc.doc_id
+         |  WHERE h.h % 4 = 0),
+         |b AS (SELECT lang,
+         |    min(CASE WHEN tile = 1 THEN mean_lp END) AS b1,
+         |    min(CASE WHEN tile = 2 THEN mean_lp END) AS b2
+         |  FROM smp GROUP BY lang)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  sc.mean_lp,
+         |  CASE WHEN sc.mean_lp IS NULL THEN 'unscored'
+         |       WHEN b.b1 IS NULL THEN 'unsampled'
+         |       WHEN sc.mean_lp >= b.b1 THEN 'head'
+         |       WHEN sc.mean_lp >= b.b2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |                 LEFT JOIN b ON b.lang = d.lang
+         |ORDER BY d.doc_id""".stripMargin,
 
     // c18 downstream of the persisted quantizer: cell assignment
     // (first-max by dot, the array_position convention), centrality,

@@ -212,6 +212,13 @@ object SparkEntry {
       sources.TarSource.f12TarIntake(s, dir)),
     "f13_warc_intake" -> ((s, dir) =>
       sources.WarcSource.f13WarcIntake(s, dir)),
+    // f16: the WARC write half — manifest + full export→intake
+    // round-trip (the oracle hash proves byte preservation)
+    "f16_warc_export" -> ((s, dir) =>
+      sources.WarcSource.f16WarcExportDemo(s, dir)),
+    "f16_warc_roundtrip" -> ((s, dir) =>
+      sources.WarcSource.f16WarcRoundtrip(s, dir)),
+    "c28_ccnet_buckets" -> ((s, dir) => Corpus.c28CcnetBuckets(s, dir)),
     "f10_jsonl_ingest" -> ((s, dir) =>
       graft.sources.JsonlSource.f10JsonlIngest(s, dir)),
     // f07: paged-REST enumeration over the deterministic synthetic

@@ -2026,4 +2026,68 @@ object Corpus {
         round(lit(1.0) / col("cluster_size"), 6).as("weight"))
       .orderBy("doc_id")
   }
+
+  // ---------------------------------------------------------------- c28
+
+  /** c28: CCNet-style perplexity bucketing — the public web-corpus
+    * curation recipe (Wenzek et al. 2020): score every document under
+    * a reference LM (t15's stupid-backoff scorer — mean per-bigram
+    * log-prob; perplexity is exp(−score), same ordering), compute
+    * per-LANGUAGE tercile cutoffs, and label each document
+    * `head`/`middle`/`tail` — head is the most reference-like third,
+    * the slice CCNet keeps outright, middle the re-usable reserve,
+    * tail the discard candidate. Mixture builders consume the label
+    * as a sampling stratum (c02/c05 compose by filtering on it).
+    *
+    * The cutoffs come from a DETERMINISTIC hash sample (x06's gate,
+    * `pmod(xxhash64(doc_id), sampleMod) = 0`), not the full corpus —
+    * CCNet's own recipe computes its percentiles on a sample, and it
+    * is what keeps the operator scale-honest: the only order
+    * statistic (an ntile window per language) runs over the SAMPLE,
+    * whose size the `sampleMod` dial bounds, while the full corpus
+    * only takes a per-row broadcast-join comparison against the two
+    * cutoff values per language. Ties order by (mean_lp desc,
+    * doc_id) — deterministic in both engines.
+    *
+    * Row contract: a document the LM cannot score (< 2 whitespace
+    * tokens — no bigram) buckets as `unscored` (st14's cannot-vouch
+    * rule); a language with no sampled scored document buckets as
+    * `unsampled` (no cutoffs exist — route it explicitly rather than
+    * defaulting into a quality tier). A doc AT a cutoff buckets into
+    * the better tier (`>=` — cutoffs are the tier's minimum).
+    */
+  def c28CcnetBuckets(spark: SparkSession, dir: String,
+      sampleMod: Long = 4L): DataFrame = {
+    require(sampleMod > 0, s"sampleMod $sampleMod must be positive")
+    val docs = Tables(spark, dir).documents
+    // t15's exact scorer (decimal-summed 9-dp StrictMath terms): the
+    // shared kernel keeps c28's scores bit-identical with t15's, so
+    // the oracle replays them through the same ln-memo
+    val scores = TextOps.t15LmScore(spark, dir)
+    val sample = scores
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("mean_lp").desc, col("doc_id"))
+    val bounds = sample
+      .withColumn("tile", ntile(3).over(w))
+      .groupBy("lang")
+      .agg(min(when(col("tile") === 1, col("mean_lp"))).as("b1"),
+        min(when(col("tile") === 2, col("mean_lp"))).as("b2"))
+    // no forced broadcast on the cutoff side: its |langs|-row size is
+    // a data property the plan can't prove (the sweep's rule), and AQE
+    // broadcasts a few-row side at runtime anyway
+    docs.select(col("doc_id"), col("lang"))
+      .join(scores, Seq("doc_id"), "left")
+      .join(bounds, Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_lp"),
+        when(col("mean_lp").isNull, "unscored")
+          .when(col("b1").isNull, "unsampled")
+          .when(col("mean_lp") >= col("b1"), "head")
+          .when(col("mean_lp") >= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
 }

@@ -312,6 +312,116 @@ object WarcSource {
         "target_uri", "content_length", "text")
   }
 
+  /** f16: WARC shard EXPORT — the WRITE half of f13 (the reference
+    * pipeline only CONSUMES archives; a complete engine must also
+    * produce them, because WARC/WET is the interchange format crawl
+    * corpora move between pipelines in). Documents are packed into
+    * fixed-capacity shards in doc_id order, each shard built with the
+    * canonical [[buildWarc]] encoder — one `warcinfo` header record
+    * (`urn:graft:shard:<id>`) followed by one WET-style `conversion`
+    * record per document (f13's demo record shape, so anything that
+    * reads f13's output reads these) — and landed as
+    * `shard-<id>.warc.gz` in the per-record gzip-member layout (the
+    * splittable Common Crawl drop shape [[gzipPerRecord]] exists
+    * for). Returns the per-shard manifest: doc/record counts, PLAIN
+    * (pre-gzip) byte size — closed-form in the inputs, so the DuckDB
+    * oracle replays it string-for-string (f13's differential
+    * discipline) — and the gzipped size actually landed.
+    *
+    * Scale: shard ranks come from c09's DISTRIBUTED prefix-sum over
+    * unit weights (no unpartitioned window anywhere); each shard
+    * group holds ≤ `docsPerShard` documents by construction (the c23
+    * bounded-collect class — `docsPerShard` sizes the memory unit);
+    * archive bytes are built and written executor-side and never
+    * shuffle (the m-family posture); the only exchange is the
+    * shard-id group-by. Re-export is Overwrite-idempotent per shard
+    * file.
+    */
+  def f16WarcExport(docs: DataFrame, outRoot: String,
+      docsPerShard: Long = 64L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(docsPerShard > 0, s"docsPerShard $docsPerShard must be positive")
+    // rank div docsPerShard via the c09 prefix-sum with unit weights:
+    // seq_first IS the 0-based global rank's shard
+    val ranked = graft.operators.Corpus.packOffsetsOver(
+      docs.select(col("doc_id"), lit(1L).as("n_tokens")), docsPerShard)
+      .select(col("doc_id"), col("seq_first").as("shard_id"))
+    val confSer = new FilePipeline.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    docs.select(col("doc_id"), col("text")).join(ranked, "doc_id")
+      .select(col("shard_id"), col("doc_id"), col("text"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        // bounded by construction: ≤ docsPerShard members
+        val members = it.map(t => (t._2, t._3)).toSeq.sortBy(_._1)
+        val recs = ("warcinfo", s"urn:graft:shard:$sid", "",
+          WarcInfoContent) +: members.map { case (id, text) =>
+          ("conversion", s"urn:graft:doc:$id",
+            s"https://example.org/doc/$id", text.getBytes(UTF_8))
+        }
+        val plains = recs.map(r => buildWarc(Seq(r)))
+        val gz = {
+          val bos = new java.io.ByteArrayOutputStream()
+          plains.foreach(p => bos.write(gzip(p)))
+          bos.toByteArray
+        }
+        val out = new org.apache.hadoop.fs.Path(
+          f"$outRoot/shard-$sid%05d.warc.gz")
+        val fs = out.getFileSystem(confSer.value)
+        val os = fs.create(out, true)
+        try os.write(gz) finally os.close()
+        (sid, members.length.toLong, recs.length.toLong,
+          plains.map(_.length.toLong).sum, gz.length.toLong)
+      }
+      .toDF("shard_id", "n_docs", "n_records", "plain_bytes", "gz_bytes")
+      .orderBy("shard_id")
+  }
+
+  private def f16DemoRoot(dir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_f16${tag}_${dir.hashCode.toHexString}"
+
+  /** f16 driver query: export the corpus as WARC shards and report
+    * the manifest's oracle-replayable columns (gz_bytes stays in the
+    * public API but out of the oracle — deflate output is
+    * deterministic bytes, not SQL).
+    */
+  def f16WarcExportDemo(spark: SparkSession, dir: String,
+      docsPerShard: Long = 64L): DataFrame = {
+    val root = f16DemoRoot(dir, "")
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    f16WarcExport(Tables(spark, dir).documents.select("doc_id", "text"),
+      root, docsPerShard)
+      .select("shard_id", "n_docs", "n_records", "plain_bytes")
+  }
+
+  /** f16 round-trip driver query: export, then read every shard back
+    * through the f13 production intake ([[warcFromDir]] — binaryFile
+    * listing, member-chain gunzip, the validating walker) and emit
+    * the recovered documents. The oracle is a plain SELECT over
+    * `documents`: a hash match proves the whole write→read path —
+    * encoder, gzip member layout, walker framing, UTF-8 round-trip —
+    * preserves every byte of every document.
+    */
+  def f16WarcRoundtrip(spark: SparkSession, dir: String,
+      docsPerShard: Long = 64L): DataFrame = {
+    val root = f16DemoRoot(dir, "rt")
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    f16WarcExport(Tables(spark, dir).documents.select("doc_id", "text"),
+      root, docsPerShard).collect() // materialize the export (side effect)
+    warcFromDir(spark, root)
+      .filter(col("warc_type") === "conversion")
+      .select(
+        regexp_extract(col("record_id"), "^urn:graft:doc:(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"), col("text"))
+      .orderBy("doc_id")
+  }
+
   /** f13 driver demo: synthesize one WET-style archive per document,
     * walk every record back out, and report the record inventory
     * plus the archive's structural size.

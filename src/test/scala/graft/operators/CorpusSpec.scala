@@ -73,6 +73,57 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("c28 buckets == plain-Scala ntile replay over the hash sample") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val out = Corpus.c28CcnetBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4)))
+    assert(out.nonEmpty)
+    // the one non-Scala kernel: the sample gate's xxhash64 verdict
+    val inSample = graft.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        (pmod(xxhash64(col("doc_id")), lit(4L)) === 0L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // replay: per lang, ntile(3) over the sampled scored docs ordered
+    // by (mean_lp desc, doc_id) — standard ntile (first n%3 tiles one
+    // larger) — then min-per-tile cutoffs and the >= assignment
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val sample = rows.filter(r => r._3.isDefined && inSample(r._1))
+        .sortBy(r => (-r._3.get, r._1))
+      val bounds =
+        if (sample.isEmpty) None
+        else {
+          val n = sample.length
+          val base = n / 3
+          val sizes = (0 until 3).map(i => base + (if (i < n % 3) 1 else 0))
+          val t1 = sample.take(sizes(0))
+          val t2 = sample.slice(sizes(0), sizes(0) + sizes(1))
+          Some((t1.map(_._3.get).min,
+            if (t2.isEmpty) None else Some(t2.map(_._3.get).min)))
+        }
+      rows.foreach { case (id, _, lp, bucket) =>
+        val want = (lp, bounds) match {
+          case (None, _) => "unscored"
+          case (_, None) => "unsampled"
+          case (Some(v), Some((b1, _))) if v >= b1 => "head"
+          case (Some(v), Some((_, Some(b2)))) if v >= b2 => "middle"
+          case _ => "tail"
+        }
+        assert(bucket == want, s"doc $id lang $lang: $bucket != $want")
+      }
+      // cutoffs are the tier's minimum: within a sampled lang, every
+      // SAMPLED scored doc's tile agrees with its assigned bucket
+      bounds.foreach { case (b1, _) =>
+        sample.headOption.foreach { top =>
+          assert(top._3.get >= b1 && rows.find(_._1 == top._1).get._4 == "head")
+        }
+      }
+    }
+    // every verdict class is exercised or explicitly absent
+    val buckets = out.map(_._4).toSet
+    assert(Set("head", "middle", "tail").subsetOf(buckets), buckets)
+  }
+
   test("c14 importance weights == plain-Scala DSIR recompute on a hand corpus") {
     import spark.implicits._
     // fixture bigrams are all distinct strings (no two docs share a

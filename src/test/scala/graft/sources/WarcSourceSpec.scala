@@ -18,6 +18,53 @@ class WarcSourceSpec extends AnyFunSuite {
     ("conversion", "urn:graft:doc:3", "https://example.org/doc/3",
       Array.empty[Byte])) // zero-length content
 
+  test("f16 export: shard layout, manifest math, byte-exact round-trip") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_f16_spec").toString
+    // multi-byte UTF-8, an EMPTY doc, and an un-aligned tail shard
+    val docs = Seq(
+      (1L, "hello warc éé"), (2L, ""), (3L, "plain text body"),
+      (4L, "four"), (5L, "five"), (6L, "six"), (7L, "seven"))
+      .toDF("doc_id", "text")
+    val manifest = WarcSource.f16WarcExport(docs, root, docsPerShard = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // rank div 3 over 7 docs: shards of 3, 3, 1 (+1 warcinfo each)
+    assert(manifest.map(m => (m._1, m._2, m._3)).toSeq ==
+      Seq((0L, 3L, 4L), (1L, 3L, 4L), (2L, 1L, 2L)))
+    // plain_bytes replays serially from the same canonical builder
+    val byShard = Seq(1L to 3L, 4L to 6L, 7L to 7L)
+    val texts = Map(1L -> "hello warc éé", 2L -> "", 3L -> "plain text body",
+      4L -> "four", 5L -> "five", 6L -> "six", 7L -> "seven")
+    manifest.zip(byShard).foreach { case ((sid, _, _, plain, gz), ids) =>
+      val recs = ("warcinfo", s"urn:graft:shard:$sid", "",
+        WarcSource.WarcInfoContent) +: ids.map(id =>
+        ("conversion", s"urn:graft:doc:$id", s"https://example.org/doc/$id",
+          texts(id).getBytes(UTF_8))).toSeq
+      assert(plain ==
+        recs.map(r => WarcSource.buildWarc(Seq(r)).length.toLong).sum)
+      // the landed file IS the per-record gzip-member layout, exactly
+      val f = java.nio.file.Paths.get(root, f"shard-$sid%05d.warc.gz")
+      val bytes = java.nio.file.Files.readAllBytes(f)
+      assert(bytes.length.toLong == gz)
+      assert(java.util.Arrays.equals(WarcSource.maybeGunzip(bytes),
+        recs.flatMap(r => WarcSource.buildWarc(Seq(r))).toArray))
+    }
+    // full round-trip through the production intake: every document
+    // byte-exact, including the multi-byte and empty ones
+    val back = WarcSource.warcFromDir(spark, root)
+      .filter(col("warc_type") === "conversion")
+      .select(col("record_id"), col("target_uri"), col("text"))
+      .collect()
+      .map(r => (r.getString(0).stripPrefix("urn:graft:doc:").toLong,
+        r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(back.toSeq == (1L to 7L).map(id =>
+      (id, s"https://example.org/doc/$id", texts(id))))
+  }
+
   test("f13 round-trip: records walk back out with exact ids, lengths, bytes") {
     val warc = WarcSource.buildWarc(recs)
     val walked = WarcSource.warcRecords(warc)
