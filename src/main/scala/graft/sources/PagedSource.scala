@@ -868,8 +868,25 @@ object PagedSource {
         else throw new IOException(s"HTTP 304 on unconditional request: $url")
       }
       if (code == 429 || code == 503) {
-        val retryMs = Option(c.getHeaderField("Retry-After"))
-          .flatMap(_.toLongOption).map(_ * 1000).getOrElse(1000L)
+        // RFC 9110 §10.2.3: Retry-After is delay-seconds OR an
+        // HTTP-date. The date form used to fall through to the 1 s
+        // default — under-waiting exactly when a server names a long
+        // hold (a maintenance window), hammering it through every
+        // retry. The server's Date header (falling back to local
+        // clock) anchors the delta so client clock skew cancels.
+        val retryMs = Option(c.getHeaderField("Retry-After")).map { v =>
+          v.toLongOption.map(_ * 1000).getOrElse {
+            try {
+              val at = java.time.ZonedDateTime.parse(v,
+                java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+                .toInstant.toEpochMilli
+              val now = c.getHeaderFieldDate("Date", System.currentTimeMillis)
+              math.max(0L, at - now)
+            } catch {
+              case _: java.time.format.DateTimeParseException => 1000L
+            }
+          }
+        }.getOrElse(1000L)
         c.disconnect()
         throw new Throttled(retryMs)
       }

@@ -652,6 +652,48 @@ class PagedSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("Retry-After honors the HTTP-date form, anchored on the server clock") {
+    // RFC 9110 §10.2.3: Retry-After is delay-seconds OR an HTTP-date;
+    // the date form used to collapse to the 1 s default — under-waiting
+    // exactly when a server names a long hold
+    val fmt = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/f", (ex: HttpExchange) => {
+      if (attempts.incrementAndGet() == 1) {
+        // the JDK HttpServer stamps its own Date header (the anchor
+        // the client subtracts), so the hold is date-relative to the
+        // server's real clock — a skewed-Date leg is not expressible
+        // through this server, which is fine: the anchoring code path
+        // (at − serverDate) is exactly what this leg times
+        ex.getResponseHeaders.add("Retry-After",
+          fmt.format(java.time.ZonedDateTime
+            .now(java.time.ZoneOffset.UTC).plusSeconds(2)))
+        ex.sendResponseHeaders(429, -1); ex.close()
+      } else {
+        val b = "ok".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val f = new PagedSource.HttpJsonFetcher(base)
+      val t0 = System.nanoTime()
+      val got = PagedSource.withRetry(maxRetries = 3, baseBackoffMs = 1) {
+        f.open(s"$base/f")
+      }
+      val body = new String(got.readAllBytes(), StandardCharsets.UTF_8)
+      val waitedMs = (System.nanoTime() - t0) / 1000000
+      assert(body == "ok" && attempts.get() == 2)
+      // honored the ~2 s server-anchored hold (clock skew cancelled);
+      // generous lower bound to stay load-tolerant
+      assert(waitedMs >= 1500, s"waited only ${waitedMs}ms")
+      assert(waitedMs < 60000, s"clock skew leaked into the wait: ${waitedMs}ms")
+    } finally server.stop(0)
+  }
+
   test("ISO validators convert to IMF-fixdate at the protocol boundary") {
     // date-shaped → midnight-UTC fixdate (2-digit day — RFC_1123's
     // unpadded day would violate the fixdate ABNF)
