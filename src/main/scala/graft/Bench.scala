@@ -110,6 +110,12 @@ object Bench {
       // recurring per-drain discovery-bootstrap cost
       "st27_bootstrap" ->
         ((s, d) => streaming.Streams.st27BenchBootstrap(s, d)),
+      // st29's perplexity-bucket gate, build/gate split: the build
+      // row persists the LM + per-lang cutoffs once, the gate row
+      // measures the recurring per-drain scoring + landing (name-sort
+      // keeps build before gate)
+      "st29_build" -> ((s, d) => streaming.Streams.st29BenchBuild(s, d)),
+      "st29_gate" -> ((s, d) => streaming.Streams.st29BenchGate(s, d)),
       // st28 closes the crawl service, build/drain split: the build
       // row seeds both feeds (upstream stages' costs, measured by
       // their own rows), the drain row consumes them through the

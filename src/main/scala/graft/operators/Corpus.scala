@@ -2064,16 +2064,9 @@ object Corpus {
     // shared kernel keeps c28's scores bit-identical with t15's, so
     // the oracle replays them through the same ln-memo
     val scores = TextOps.t15LmScore(spark, dir)
-    val sample = scores
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0L)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("mean_lp").desc, col("doc_id"))
-    val bounds = sample
-      .withColumn("tile", ntile(3).over(w))
-      .groupBy("lang")
-      .agg(min(when(col("tile") === 1, col("mean_lp"))).as("b1"),
-        min(when(col("tile") === 2, col("mean_lp"))).as("b2"))
+    val bounds = c28BoundsOf(
+      scores.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+      sampleMod)
     // no forced broadcast on the cutoff side: its |langs|-row size is
     // a data property the plan can't prove (the sweep's rule), and AQE
     // broadcasts a few-row side at runtime anyway
@@ -2083,11 +2076,59 @@ object Corpus {
       .select(col("doc_id"), col("lang"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("mean_lp"),
-        when(col("mean_lp").isNull, "unscored")
-          .when(col("b1").isNull, "unsampled")
-          .when(col("mean_lp") >= col("b1"), "head")
-          .when(col("mean_lp") >= col("b2"), "middle")
-          .otherwise("tail").as("bucket"))
+        c28Bucket(col("mean_lp"), col("b1"), col("b2")).as("bucket"))
       .orderBy("doc_id")
+  }
+
+  /** The per-language tercile cutoffs of a scored+lang'd frame's hash
+    * sample — ONE definition shared by the batch report (c28) and the
+    * persisted gate build ([[c28GateBuild]]), so their cutoff math
+    * can never drift. Input: (doc_id, mean_lp, lang, …).
+    */
+  private[graft] def c28BoundsOf(scored: DataFrame,
+      sampleMod: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("mean_lp").desc, col("doc_id"))
+    scored
+      .filter(pmod(xxhash64(col("doc_id")), lit(sampleMod)) === 0L)
+      .withColumn("tile", ntile(3).over(w))
+      .groupBy("lang")
+      .agg(min(when(col("tile") === 1, col("mean_lp"))).as("b1"),
+        min(when(col("tile") === 2, col("mean_lp"))).as("b2"))
+  }
+
+  /** The c28 bucket verdict of a score against a language's cutoffs —
+    * ONE definition (c28 report + st29 gate): `unscored` for a
+    * score-less doc (st14's cannot-vouch rule), `unsampled` for a
+    * cutoff-less language, head/middle/tail by `>=` (cutoffs are the
+    * tier's minimum; a null b2 falls through to tail).
+    */
+  private[graft] def c28Bucket(lp: Column, b1: Column,
+      b2: Column): Column =
+    when(lp.isNull, "unscored")
+      .when(b1.isNull, "unsampled")
+      .when(lp >= b1, "head")
+      .when(lp >= b2, "middle")
+      .otherwise("tail")
+
+  /** Persist the c28 gate's train-once artifacts under `gatePath`:
+    * the t15 LM tables (`<path>/lm` — [[TextOps.lmTrainTables]]) and
+    * the per-language tercile cutoffs (`<path>/cutoffs`), computed by
+    * scoring `docs` against the reference through the SAME persisted
+    * tables the gate will read (build and gate provably share one
+    * LM). The st14/st16/st17 shape: reference corpus and cutoff
+    * sample are never re-scanned on the stream.
+    */
+  def c28GateBuild(docs: DataFrame, refDocs: DataFrame,
+      gatePath: String, sampleMod: Long = 4L): Unit = {
+    require(sampleMod > 0, s"sampleMod $sampleMod must be positive")
+    TextOps.lmTrainTables(refDocs.select("doc_id", "text"), s"$gatePath/lm")
+    val scores = TextOps.lmScoreIndexed(
+      docs.select(col("doc_id"), col("text")), s"$gatePath/lm")
+    c28BoundsOf(scores.join(docs.select(col("doc_id"), col("lang")),
+        "doc_id"), sampleMod)
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$gatePath/cutoffs")
   }
 }

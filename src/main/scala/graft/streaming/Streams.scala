@@ -2338,6 +2338,116 @@ object Streams {
     Seq(s"$root/lake").toDF("lake_path")
   }
 
+  /** One st29 micro-batch: CCNet-style perplexity admission — score
+    * the batch against the PERSISTED t15 LM (trained once by
+    * [[graft.operators.Corpus.c28GateBuild]], never re-scanned here),
+    * bucket each row against the persisted per-language tercile
+    * cutoffs (the c28 verdict expression verbatim — report and gate
+    * share one definition), and land only the rows whose bucket is in
+    * `keep` under `batch=<id>`. The SIXTH admission axis beside st09
+    * (junk), st13 (near-dup), st14 (raw fluency floor), st16 (trained
+    * classifier) and st17 (decontamination): where st14 cuts at an
+    * absolute log-prob floor, this cuts at the corpus-relative
+    * per-language tercile CCNet curates by — the head/middle slice.
+    *
+    * Verdicts are per ROW on a minted row-unique id (fluencyBatch's
+    * rule — a key-join would admit a junk twin sharing an admitted
+    * doc's id). `unscored` (< 2 tokens) and `unsampled` (no cutoffs
+    * for the language) rows are rejected unless their class is named
+    * in `keep` — the gate cannot vouch for what it cannot judge.
+    * Replays rewrite their own `batch=<id>` directory (stateless
+    * given the artifacts — st14's idempotence discipline). The audit
+    * conserves `arrived = n_head + n_middle + n_tail + n_unscored +
+    * n_unsampled` and `admitted = Σ kept classes`.
+    */
+  def ppxGateBatch(batch: DataFrame, gatePath: String, lakePath: String,
+      batchId: Long, keep: Set[String] = Set("head", "middle")): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batch.isEmpty) return
+    require(!batch.columns.contains("row_uid"),
+      "ppxGateBatch: input already has column row_uid — rename it")
+    val withUid = batch.withColumn("row_uid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val scored = graft.operators.TextOps.lmScoreIndexed(
+      withUid.select(col("row_uid").as("doc_id"), col("text")),
+      s"$gatePath/lm")
+    val cutoffs = spark.read
+      .schema("lang STRING, b1 DOUBLE, b2 DOUBLE")
+      .parquet(s"$gatePath/cutoffs")
+    val verdicts = withUid
+      .join(scored.select(col("doc_id").as("row_uid"), col("mean_lp")),
+        Seq("row_uid"), "left")
+      .join(cutoffs, Seq("lang"), "left")
+      .withColumn("bucket", graft.operators.Corpus
+        .c28Bucket(col("mean_lp"), col("b1"), col("b2")))
+      .localCheckpoint(true) // one scoring pass feeds lake AND audit
+    val keepCol = col("bucket").isin(keep.toSeq: _*)
+    verdicts.filter(keepCol)
+      .select(batch.columns.map(col): _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath/batch=$batchId")
+    def cnt(b: String) =
+      coalesce(sum(when(col("bucket") === b, 1L).otherwise(0L)), lit(0L))
+    val tot = verdicts.agg(count(lit(1)),
+      coalesce(sum(when(keepCol, 1L).otherwise(0L)), lit(0L)),
+      cnt("head"), cnt("middle"), cnt("tail"), cnt("unscored"),
+      cnt("unsampled")).head()
+    Seq((batchId, tot.getLong(0), tot.getLong(1), tot.getLong(2),
+      tot.getLong(3), tot.getLong(4), tot.getLong(5), tot.getLong(6)))
+      .toDF("batch_id", "arrived", "admitted", "n_head", "n_middle",
+        "n_tail", "n_unscored", "n_unsampled")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$lakePath.audit/batch=$batchId")
+  }
+
+  /** st29: STREAMING perplexity-bucket admission — [[ppxGateBatch]]
+    * per micro-batch over a (doc_id, lang, text) stream.
+    */
+  def st29PpxGateStream(docs: DataFrame, gatePath: String,
+      lakePath: String, checkpointDir: String,
+      keep: Set[String] = Set("head", "middle"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ppxGateBatch(batch.toDF(), gatePath, lakePath, id, keep)
+      }
+      .start()
+
+  /** st29 build phase (bench): train + persist the LM tables and the
+    * per-language cutoffs — the one-time artifacts the gate amortizes
+    * (the st14/st16 build shape).
+    */
+  def st29BenchBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st29", dir)
+    clearRoot(spark, root)
+    val docs = graft.Tables(spark, dir).documents
+    val ref = docs.select(min(col("source"))).collect().head.getString(0)
+    graft.operators.Corpus.c28GateBuild(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      docs.filter(col("source") === ref).select("doc_id", "text"),
+      s"$root/gate")
+    Seq(root).toDF("root")
+  }
+
+  /** st29 gate phase (bench): one corpus-sized micro-batch through
+    * [[ppxGateBatch]] against the frozen artifacts — one LM scoring
+    * pass + a |langs|-row cutoff join + the lake landing.
+    */
+  def st29BenchGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = gateBenchRoot("st29", dir)
+    ppxGateBatch(
+      graft.Tables(spark, dir).documents
+        .select(col("doc_id"), col("lang"), col("text")),
+      s"$root/gate", s"$root/lake", batchId = 1L)
+    Seq(s"$root/lake").toDF("lake_path")
+  }
+
   /** One st21 micro-batch: scrub media metadata from the batch's
     * payloads and land every row under `batch=<id>` — a TRANSFORM
     * like st18, not a gate: docs always land, never carrying

@@ -1351,6 +1351,72 @@ class StreamsSpec extends AnyFunSuite {
       "https://a.example.com/p/1"), "gz sitemap must parse through g08")
   }
 
+  test("st29 perplexity gate == the c28 report's verdicts; per-row twins; replays") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = TestSpark.Sf001
+    val root = java.nio.file.Files.createTempDirectory("graft_st29")
+    val gate = root.resolve("gate").toString
+    val lake = root.resolve("lake").toString
+    val docs = graft.Tables(spark, dir).documents
+    val ref = docs.select(org.apache.spark.sql.functions.min(col("source")))
+      .collect().head.getString(0)
+    graft.operators.Corpus.c28GateBuild(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      docs.filter(col("source") === ref).select("doc_id", "text"), gate)
+    // gate the whole corpus as one drain: the admitted set must equal
+    // the c28 BATCH report's head+middle rows exactly — report and
+    // gate share the scorer, the cutoff math, and the verdict
+    // expression, and this pins that they cannot drift
+    Streams.ppxGateBatch(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      gate, lake, batchId = 1L)
+    val admitted = spark.read.parquet(s"$lake/batch=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val report = graft.operators.Corpus.c28CcnetBuckets(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(admitted == report.filter(kv =>
+      kv._2 == "head" || kv._2 == "middle").keySet)
+    // audit conserves: arrived = Σ buckets, admitted = head + middle,
+    // and the bucket counts equal the report's
+    val a = spark.read.parquet(s"$lake.audit/batch=1").collect().head
+    def g(n: String) = a.getAs[Long](n)
+    assert(g("arrived") == report.size)
+    assert(g("arrived") == g("n_head") + g("n_middle") + g("n_tail") +
+      g("n_unscored") + g("n_unsampled"))
+    assert(g("admitted") == g("n_head") + g("n_middle"))
+    val want = report.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(g("n_head") == want.getOrElse("head", 0L) &&
+      g("n_tail") == want.getOrElse("tail", 0L))
+    // per-ROW verdicts: a gibberish twin riding an admitted doc's id
+    // is judged alone (the fluencyBatch rule); the sub-2-token row is
+    // unscored → rejected
+    val goodId = admitted.head
+    val goodText = docs.filter(col("doc_id") === goodId)
+      .select("text", "lang").collect().head
+    val twins = Seq(
+      (goodId, goodText.getString(1), goodText.getString(0)),
+      (goodId, goodText.getString(1), "zxq9 vvb7 qqp3 mmz1 kkt5 wwx8"),
+      (goodId, goodText.getString(1), "tiny"))
+      .toDF("doc_id", "lang", "text")
+    Streams.ppxGateBatch(twins, gate, s"$root/lake2", batchId = 1L)
+    val landed = spark.read.parquet(s"$root/lake2/batch=1")
+      .select("text").collect().map(_.getString(0))
+    assert(landed.contains(goodText.getString(0)), "real doc rejected")
+    assert(!landed.contains("tiny"), "unscored row admitted")
+    assert(!landed.contains("zxq9 vvb7 qqp3 mmz1 kkt5 wwx8"),
+      "all-OOV gibberish (mean_lp ≈ ln(0.4/T) ≈ −11) rode the twin id in")
+    val a2 = spark.read.parquet(s"$root/lake2.audit/batch=1")
+      .collect().head
+    assert(a2.getAs[Long]("arrived") == 3L &&
+      a2.getAs[Long]("n_unscored") == 1L)
+    // replay idempotence: rerun the SAME batch id → identical landing
+    Streams.ppxGateBatch(twins, gate, s"$root/lake2", batchId = 1L)
+    val replay = spark.read.parquet(s"$root/lake2/batch=1")
+      .select("text").collect().map(_.getString(0)).sorted
+    assert(replay.toSeq == landed.sorted.toSeq)
+  }
+
   test("st18 PII scrub stage lands clean text, audits counts, replays clean") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_st18")
