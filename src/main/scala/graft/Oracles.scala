@@ -779,6 +779,8 @@ object Oracles {
         |    '<html><head>' ||
         |    CASE WHEN doc_id % 4 = 1
         |           THEN '<meta name="robots" content="noindex"/>'
+        |         WHEN doc_id % 12 = 2
+        |           THEN '<meta content=''none, noarchive'' name=robots />'
         |         WHEN doc_id % 4 = 2
         |           THEN '<meta content=''index, nofollow'' name=robots />'
         |         WHEN doc_id % 4 = 3
@@ -800,10 +802,14 @@ object Oracles {
         |      '(?i)[\s"''/]content\s*=\s*([^\s"''/>]+)', 1))) AS robots
         |  FROM tg),
         |g AS (SELECT doc_id, robots,
-        |    CAST(contains(robots, 'noindex') OR robots = 'none'
-        |      AS BIGINT) AS noindex,
-        |    CAST(contains(robots, 'nofollow') OR robots = 'none'
-        |      AS BIGINT) AS nofollow
+        |    CAST(list_contains(list_transform(string_split(robots, ','),
+        |        x -> trim(x)), 'noindex')
+        |      OR list_contains(list_transform(string_split(robots, ','),
+        |        x -> trim(x)), 'none') AS BIGINT) AS noindex,
+        |    CAST(list_contains(list_transform(string_split(robots, ','),
+        |        x -> trim(x)), 'nofollow')
+        |      OR list_contains(list_transform(string_split(robots, ','),
+        |        x -> trim(x)), 'none') AS BIGINT) AS nofollow
         |  FROM f)
         |SELECT doc_id, robots, noindex, nofollow,
         |  CAST(1 - noindex AS BIGINT) AS admit

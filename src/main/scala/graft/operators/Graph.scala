@@ -301,6 +301,11 @@ object Graph {
       lit("<html><head>"),
       when(col("doc_id") % 4 === 1,
         lit("<meta name=\"robots\" content=\"noindex\"/>"))
+        // `none` in a comma LIST (legal: none + a non-REP directive)
+        // — the exact-match `=== "none"` semantics failed OPEN here;
+        // token matching must block it (review r15 wave)
+        .when(col("doc_id") % 12 === 2,
+          lit("<meta content='none, noarchive' name=robots />"))
         .when(col("doc_id") % 4 === 2,
           // reversed attribute order + single-quoted content +
           // unquoted name value — real-world markup the extractor
@@ -377,13 +382,22 @@ object Graph {
     // that joins verdicts back by key would admit every row sharing a
     // doc_id with an admitted one — e.g. a URL re-crawled within one
     // micro-batch)
+    //
+    // directives match as comma-separated TOKENS, not substrings
+    // (review r15 wave): the value grammar is a comma list, and the
+    // old `robots === "none"` exact-match failed OPEN on the legal
+    // combination `none, noarchive` — a publisher's opt-out admitted
+    // — while substring contains() also fired on exotic foreign
+    // tokens. The token arrays are 1-3 elements, so the interpreted
+    // HOF cost is bounded per row (the c04 card-list precedent).
+    val toks = transform(split(content, ","), t => trim(t))
     pages
       .withColumn("robots", content)
       .withColumn("noindex",
-        (col("robots").contains("noindex") || col("robots") === "none")
+        (array_contains(toks, "noindex") || array_contains(toks, "none"))
           .cast("long"))
       .withColumn("nofollow",
-        (col("robots").contains("nofollow") || col("robots") === "none")
+        (array_contains(toks, "nofollow") || array_contains(toks, "none"))
           .cast("long"))
       .withColumn("admit", lit(1L) - col("noindex"))
   }
@@ -699,6 +713,14 @@ object Graph {
     * plan time). This is the decision every crawler makes per
     * frontier drain; each input is independently oracled, and this
     * oracle replays the composition end to end.
+    *
+    * Overflow posture (g01, r15 note): the per-edge contribution
+    * `rank * w` holds rank ≤ 1e9 against doc-count weights, so it
+    * stays inside Long up to ~9e9 links between one host pair; past
+    * that the session's ANSI mode fails the multiply LOUDLY (never a
+    * silent wrap) — the remedy at that scale is pre-bucketing edge
+    * weights, or lifting the product to DECIMAL(38,0) as g02's
+    * normalizer already does.
     */
   def g07FrontierPlan(spark: SparkSession, dir: String,
       budget: Int = DefaultFetchBudget): DataFrame =

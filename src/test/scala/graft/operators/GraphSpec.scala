@@ -202,6 +202,10 @@ class GraphSpec extends AnyFunSuite {
           (("", 0L, 0L, 1L)), s"doc $id")
         case 1 => assert((robots, noindex, nofollow, admit) ==
           (("noindex", 1L, 0L, 0L)), s"doc $id")
+        // %12==2 plants `none, noarchive` — `none` in a comma LIST
+        // must block both (the exact-match semantics failed OPEN here)
+        case 2 if id % 12 == 2 => assert((robots, noindex, nofollow,
+          admit) == (("none, noarchive", 1L, 1L, 0L)), s"doc $id")
         case 2 => assert((robots, noindex, nofollow, admit) ==
           (("index, nofollow", 0L, 1L, 1L)), s"doc $id")
         case _ => assert((robots, noindex, nofollow, admit) ==
@@ -215,6 +219,15 @@ class GraphSpec extends AnyFunSuite {
       .toDF("doc_id", "html")).collect().head
     assert((none.getAs[Long]("noindex"), none.getAs[Long]("nofollow"),
       none.getAs[Long]("admit")) == ((1L, 1L, 0L)))
+    // token, not substring: a foreign token CONTAINING a directive
+    // must not fire it (fail-closed was wrong rows; the grammar is a
+    // comma list)
+    val exotic = Graph.robotsFlagsOver(Seq(
+      (2L, "<html><head><meta name=\"robots\" " +
+        "content=\"nonexistent, notnoindex\"/></head></html>"))
+      .toDF("doc_id", "html")).collect().head
+    assert((exotic.getAs[Long]("noindex"), exotic.getAs[Long]("nofollow"),
+      exotic.getAs[Long]("admit")) == ((0L, 0L, 1L)))
   }
 
   test("g06 robots.txt evaluation follows RFC 9309 longest-match semantics") {
@@ -365,7 +378,13 @@ class GraphSpec extends AnyFunSuite {
     assert(got(3L) == (("noindex,nofollow", 1L)), s"doc 3: ${got(3L)}")
     assert(got(6L) == (("", 0L)), s"near-miss name matched: ${got(6L)}")
     assert(got(7L)._2 == 0L, s"x-robots matched: ${got(7L)}")
-    assert(got(8L) == (("noarchive > noindex", 1L)),
+    // the point of doc 8 is the TAG: a legal '>' inside the quoted
+    // value must not truncate extraction. The VALUE itself is one
+    // bogus comma-token ("noarchive > noindex"), which the r15
+    // token-grammar semantics correctly IGNORE (REP: unknown
+    // directives are ignored) — the old substring match fired
+    // noindex on it
+    assert(got(8L) == (("noarchive > noindex", 0L)),
       s"quoted '>' truncated the tag: ${got(8L)}")
     assert(got(9L) == (("noindex", 1L)),
       s"data-name decoy shadowed the robots tag: ${got(9L)}")
