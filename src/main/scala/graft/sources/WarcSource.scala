@@ -312,6 +312,14 @@ object WarcSource {
         "target_uri", "content_length", "text")
   }
 
+  /** f16's default shard capacity. ONE definition shared by the
+    * export, both demo entry points, and the DuckDB oracle's shard
+    * divisor (ADVICE r15 #4 — the oracle used to hard-code `// 64`,
+    * so any caller overriding the demo parameter silently diverged
+    * from it).
+    */
+  val DefaultDocsPerShard: Long = 64L
+
   /** f16: WARC shard EXPORT — the WRITE half of f13 (the reference
     * pipeline only CONSUMES archives; a complete engine must also
     * produce them, because WARC/WET is the interchange format crawl
@@ -335,13 +343,33 @@ object WarcSource {
     * archive bytes are built and written executor-side and never
     * shuffle (the m-family posture); the only exchange is the
     * shard-id group-by. Re-export is Overwrite-idempotent per shard
-    * file.
+    * file: each attempt writes an attempt-unique dot-temp and renames
+    * into place (ADVICE r15 #2 — a task retry or speculative
+    * duplicate writing the final path directly could tear the shard
+    * while the manifest row, built from in-memory bytes, still
+    * reported it clean; rename is atomic and every attempt's bytes
+    * are identical, so any winner is correct), and shard files left
+    * by a previous LARGER export to the same root are swept at
+    * plan-build time (a lingering `shard-00009` beside a fresh
+    * 3-shard export would resurrect vanished docs through
+    * [[warcFromDir]]'s directory listing).
     */
   def f16WarcExport(docs: DataFrame, outRoot: String,
-      docsPerShard: Long = 64L): DataFrame = {
+      docsPerShard: Long = DefaultDocsPerShard): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(docsPerShard > 0, s"docsPerShard $docsPerShard must be positive")
+    // stale-shard + orphaned-temp sweep (driver-side, one listing):
+    // evaluation then re-creates every CURRENT shard
+    val rootPath = new org.apache.hadoop.fs.Path(outRoot)
+    val rfs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rfs.exists(rootPath))
+      rfs.listStatus(rootPath).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.matches("shard-\\d{5}\\.warc\\.gz") ||
+            nm.matches("\\.shard-\\d{5}\\.warc\\.gz\\..*\\.tmp"))
+          rfs.delete(st.getPath, false)
+      }
     // rank div docsPerShard via the c09 prefix-sum with unit weights:
     // seq_first IS the 0-based global rank's shard
     val ranked = graft.operators.Corpus.packOffsetsOver(
@@ -370,8 +398,25 @@ object WarcSource {
         val out = new org.apache.hadoop.fs.Path(
           f"$outRoot/shard-$sid%05d.warc.gz")
         val fs = out.getFileSystem(confSer.value)
-        val os = fs.create(out, true)
+        fs.setWriteChecksum(false) // no .crc sidecars (f14's discipline)
+        // attempt-unique dot-temp → rename (ADVICE r15 #2): never two
+        // writers on one final path; dot-prefix keeps readers
+        // (binaryFile listings skip hidden files) off in-flight bytes
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId().toString)
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        val tmp = new org.apache.hadoop.fs.Path(
+          f"$outRoot/.shard-$sid%05d.warc.gz.$attempt%s.tmp")
+        val os = fs.create(tmp, true)
         try os.write(gz) finally os.close()
+        fs.delete(out, false) // HDFS rename refuses an existing dest
+        if (!fs.rename(tmp, out)) {
+          // a concurrent attempt won with identical bytes — drop ours;
+          // anything else is a real FS failure and must be loud
+          fs.delete(tmp, false)
+          if (!fs.exists(out))
+            throw new java.io.IOException(s"f16: failed to land $out")
+        }
         (sid, members.length.toLong, recs.length.toLong,
           plains.map(_.length.toLong).sum, gz.length.toLong)
       }
@@ -389,7 +434,7 @@ object WarcSource {
     * deterministic bytes, not SQL).
     */
   def f16WarcExportDemo(spark: SparkSession, dir: String,
-      docsPerShard: Long = 64L): DataFrame = {
+      docsPerShard: Long = DefaultDocsPerShard): DataFrame = {
     val root = f16DemoRoot(dir, "")
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -407,7 +452,7 @@ object WarcSource {
     * preserves every byte of every document.
     */
   def f16WarcRoundtrip(spark: SparkSession, dir: String,
-      docsPerShard: Long = 64L): DataFrame = {
+      docsPerShard: Long = DefaultDocsPerShard): DataFrame = {
     val root = f16DemoRoot(dir, "rt")
     val p = new org.apache.hadoop.fs.Path(root)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

@@ -63,6 +63,24 @@ class WarcSourceSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(back.toSeq == (1L to 7L).map(id =>
       (id, s"https://example.org/doc/$id", texts(id))))
+    // a SMALLER re-export to the same root sweeps the stale tail
+    // shards and any orphaned attempt-temp (ADVICE r15 #2: without
+    // the sweep, shard-00001/2 linger and warcFromDir resurrects
+    // docs 4-7); the fresh shard re-lands via temp + atomic rename
+    val orphan = java.nio.file.Paths.get(root,
+      ".shard-00000.warc.gz.999.tmp")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    val manifest2 = WarcSource.f16WarcExport(
+      docs.filter(col("doc_id") <= 2L), root, docsPerShard = 3L)
+      .collect()
+    assert(manifest2.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 2L)))
+    val left = new java.io.File(root).listFiles().map(_.getName).sorted
+    assert(left.toSeq == Seq("shard-00000.warc.gz"),
+      s"stale shards/temps survived the re-export: ${left.toSeq}")
+    val back2 = WarcSource.warcFromDir(spark, root)
+      .filter(col("warc_type") === "conversion").count()
+    assert(back2 == 2L, s"resurrected docs: $back2")
   }
 
   test("f13 round-trip: records walk back out with exact ids, lengths, bytes") {
