@@ -781,6 +781,9 @@ object Oracles {
         |           THEN '<meta name="robots" content="noindex"/>'
         |         WHEN doc_id % 12 = 2
         |           THEN '<meta content=''none, noarchive'' name=robots />'
+        |         WHEN doc_id % 12 = 10
+        |           THEN '<meta name="robots" content="noindex,' ||
+        |                chr(9) || 'nofollow">'
         |         WHEN doc_id % 4 = 2
         |           THEN '<meta content=''index, nofollow'' name=robots />'
         |         WHEN doc_id % 4 = 3
@@ -803,13 +806,15 @@ object Oracles {
         |  FROM tg),
         |g AS (SELECT doc_id, robots,
         |    CAST(list_contains(list_transform(string_split(robots, ','),
-        |        x -> trim(x)), 'noindex')
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), 'noindex')
         |      OR list_contains(list_transform(string_split(robots, ','),
-        |        x -> trim(x)), 'none') AS BIGINT) AS noindex,
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), 'none')
+        |      AS BIGINT) AS noindex,
         |    CAST(list_contains(list_transform(string_split(robots, ','),
-        |        x -> trim(x)), 'nofollow')
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), 'nofollow')
         |      OR list_contains(list_transform(string_split(robots, ','),
-        |        x -> trim(x)), 'none') AS BIGINT) AS nofollow
+        |        x -> regexp_replace(x, '^\s+|\s+$', '', 'g')), 'none')
+        |      AS BIGINT) AS nofollow
         |  FROM f)
         |SELECT doc_id, robots, noindex, nofollow,
         |  CAST(1 - noindex AS BIGINT) AS admit
@@ -2084,13 +2089,16 @@ object Oracles {
 
     // f16 manifest: the shard assignment (row_number div capacity —
     // Spark derives it through c09's distributed prefix-sum over unit
-    // weights) and every record's PLAIN byte size re-synthesized
+    // weights; the divisor is the SHARED DefaultDocsPerShard constant,
+    // ADVICE r15 #4) and every record's PLAIN byte size re-synthesized
     // string-for-string (the f13 differential discipline: header
     // strings rebuilt, measured with strlen = bytes).
     "f16_warc_export" ->
-      """WITH cr AS (SELECT chr(13) || chr(10) AS c),
+      s"""WITH cr AS (SELECT chr(13) || chr(10) AS c),
         |d AS (SELECT doc_id, text,
-        |    (row_number() OVER (ORDER BY doc_id) - 1) // 64 AS shard_id, c
+        |    (row_number() OVER (ORDER BY doc_id) - 1)
+        |      // ${graft.sources.WarcSource.DefaultDocsPerShard}
+        |      AS shard_id, c
         |  FROM documents CROSS JOIN cr),
         |recs AS (SELECT shard_id,
         |    strlen('WARC/1.0' || c || 'WARC-Type: conversion' || c ||

