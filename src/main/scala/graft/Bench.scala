@@ -123,6 +123,12 @@ object Bench {
       // cost (name-sort keeps build before drain)
       "st28_build" -> ((s, d) => streaming.Streams.st28BenchBuild(s, d)),
       "st28_drain" -> ((s, d) => streaming.Streams.st28BenchDrain(s, d)),
+      // st30's robots bootstrap, build/drain split: the build row
+      // seeds the host feed (the deployment's job), the drain row
+      // measures the recurring per-tick robots fetch + st27 parse +
+      // landings — host-bounded, so it should stay FLAT across SFs
+      "st30_build" -> ((s, d) => streaming.Streams.st30BenchBuild(s, d)),
+      "st30_drain" -> ((s, d) => streaming.Streams.st30BenchDrain(s, d)),
       // the s14 distributed full-corpus trainer measured ALONE (the
       // auto-cutover path buildIvfIndex flips to past 16×sampleN —
       // visible at the 30× leg where the flip is live); the

@@ -1351,6 +1351,306 @@ class StreamsSpec extends AnyFunSuite {
       "https://a.example.com/p/1"), "gz sitemap must parse through g08")
   }
 
+  test("st28 validator ledger: captured ETag drives the next drain's If-None-Match") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st28_led")
+    val lake = dir.resolve("lake").toString
+    val dest = dir.resolve("dest").toString
+    val u1 = "https://a.example.com/p/1"
+    val u2 = "https://a.example.com/p/2"
+    // request log: (path, If-None-Match, If-Modified-Since)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String, String)]()
+    // /p/2's resource CHANGES after its first serve (version counter):
+    // the stored "a" validator must then miss and the 200 must hand
+    // back the NEW etag for the ledger to store
+    val p2Served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val inm = ex.getRequestHeaders.getFirst("If-None-Match")
+      val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
+      seen.add((path, String.valueOf(inm), String.valueOf(ims)))
+      def ok(body: String, etag: String, lm: String): Unit = {
+        ex.getResponseHeaders.add("ETag", etag)
+        ex.getResponseHeaders.add("Last-Modified", lm)
+        send(ex, 200, body.getBytes(StandardCharsets.UTF_8))
+      }
+      path match {
+        case "/c/a.example.com/p/1" =>
+          if (inm == "\"tag-1\"") send(ex, 304, Array.empty)
+          else ok("v1", "\"tag-1\"", "Mon, 05 Jan 2026 00:00:00 GMT")
+        case "/c/a.example.com/p/2" =>
+          val cur = if (p2Served.getAndIncrement() == 0) "\"a\"" else "\"b\""
+          if (inm == cur) send(ex, 304, Array.empty)
+          else ok(if (cur == "\"a\"") "v1" else "v2", cur,
+            "Tue, 06 Jan 2026 00:00:00 GMT")
+        case _ => send(ex, 404, Array.empty)
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      def feed(id: Long, rows: Seq[(String, String, String)]): Unit =
+        rows.map { case (url, status, stored) =>
+          (url, "", status, "", stored) }
+          .toDF("url", "lastmod", "status", "lastmod_raw", "stored_lastmod")
+          .write.parquet(s"$lake.refetch/batch=$id")
+      def auditOf(id: Long): Map[String, String] =
+        spark.read.parquet(s"$lake.fetched/batch=$id").collect()
+          .map(r => r.getAs[String]("src") -> r.getAs[String]("status"))
+          .toMap
+      // drain 1: both URLs new → unconditional 200s; the responses'
+      // validators land in the ledger
+      feed(1L, Seq((u1, "new", ""), (u2, "new", "")))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+        == Seq(1L))
+      assert(auditOf(1L) == Map(u1 -> "fetched", u2 -> "fetched"))
+      val led1 = spark.read.parquet(s"$lake.validators/batch=1").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(led1 == Map(
+        u1 -> (("\"tag-1\"", "Mon, 05 Jan 2026 00:00:00 GMT")),
+        u2 -> (("\"a\"", "Tue, 06 Jan 2026 00:00:00 GMT"))), s"$led1")
+      // drain 2: both stale (the feed's stored_lastmod is only the
+      // sitemap HINT) — the plan must prefer the ledger's CAPTURED
+      // etag: u1's still matches (304, nothing written), u2's
+      // resource changed (200 with the NEW etag, ledger updated)
+      feed(2L, Seq((u1, "stale", "2026-01-03"), (u2, "stale", "2026-01-03")))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+        == Seq(2L))
+      assert(auditOf(2L) == Map(u1 -> "not_modified", u2 -> "fetched"))
+      // the wire requests carried If-None-Match, NOT If-Modified-Since
+      val drain2 = seen.toArray.map(
+        _.asInstanceOf[(String, String, String)]).drop(2)
+      assert(drain2.forall(r => r._2 != "null" && r._3 == "null"),
+        s"stale rows with a stored etag must send INM only: " +
+          s"${drain2.toSeq}")
+      assert(drain2.find(_._1.endsWith("/p/1")).get._2 == "\"tag-1\"")
+      assert(drain2.find(_._1.endsWith("/p/2")).get._2 == "\"a\"")
+      // latest-wins: u2's ledger row is now the NEW etag
+      val latest = Streams.validatorLedgerLatest(spark, s"$lake.validators")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(latest == Map(u1 -> "\"tag-1\"", u2 -> "\"b\""), s"$latest")
+      // drain 3: u2 stale again → INM "b" → 304 (the full cycle:
+      // fetch → ledger → conditional refetch → confirm)
+      feed(3L, Seq((u2, "stale", "2026-01-03")))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+        == Seq(3L))
+      assert(auditOf(3L) == Map(u2 -> "not_modified"))
+      // ledger compaction folds dead batch dirs, preserving latest-wins
+      Streams.compactValidatorLedger(spark, s"$lake.validators",
+        replayFloor = Long.MaxValue, minBatches = 2)
+      val dirs = new java.io.File(s"$lake.validators").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq
+      assert(dirs == Seq("batch=3"), s"compaction left $dirs")
+      val after = Streams.validatorLedgerLatest(spark, s"$lake.validators")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(after == latest, s"compaction changed the ledger: $after")
+    } finally server.stop(0)
+  }
+
+  test("redirect hop: 3xx targets re-enter through the gates, cross-host pays the new host's bucket") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_replan")
+    val lake = dir.resolve("lake").toString
+    val dest = dir.resolve("dest").toString
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      def redirect(code: Int, loc: String): Unit = {
+        ex.getResponseHeaders.add("Location", loc)
+        ex.sendResponseHeaders(code, -1)
+      }
+      def ok(body: String): Unit = {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      }
+      ex.getRequestURI.getPath match {
+        // cross-host absolute redirect: the target must pay
+        // b.example.com's politeness bucket, not a's
+        case "/c/a.example.com/p/1" =>
+          redirect(302, "https://b.example.com/q/1")
+        // RELATIVE Location (legal per RFC 9110 §10.2.2) — must
+        // resolve against the source URL
+        case "/c/a.example.com/p/2" => redirect(301, "/p/2b")
+        case "/c/b.example.com/q/1" => ok("cross-host target")
+        case "/c/a.example.com/p/2b" => ok("relative target")
+        case _ => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      def feed(id: Long, urls: Seq[String]): Unit =
+        urls.map(u => (u, "", "new", "", ""))
+          .toDF("url", "lastmod", "status", "lastmod_raw", "stored_lastmod")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$lake.refetch/batch=$id")
+      feed(1L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      // drain the content feed: both answers are 3xx → skipped rows
+      // whose Locations flow through the hop into the .replan feed
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
+        hostPermitsPerSec = 5) == Seq(1L))
+      val fa = spark.read.parquet(s"$lake.fetched.audit/batch=1")
+        .collect().head
+      assert((fa.getAs[Long]("planned"), fa.getAs[Long]("skipped"),
+        fa.getAs[Long]("redirected"), fa.getAs[Long]("replanned")) ==
+        ((2L, 2L, 2L, 2L)), s"fetched audit: $fa")
+      val ga = spark.read.parquet(s"$lake.replan.audit/batch=1")
+        .collect().head
+      assert((ga.getAs[Long]("arrived"), ga.getAs[Long]("admitted")) ==
+        ((2L, 2L)), s"gate audit: $ga")
+      // the replan drain fetches the admitted targets — the relative
+      // form resolved, the cross-host one under the NEW host's path
+      assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
+        dest, hostPermitsPerSec = 5) == Seq(1L))
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        dest, "b.example.com", "q", "1")) == "cross-host target")
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        dest, "a.example.com", "p", "2b")) == "relative target")
+      // the cross-host fetch paid the TARGET host's politeness bucket
+      assert(graft.sources.PagedSource.RateLimiter
+        .currentRate("fetch:b.example.com").contains(5.0),
+        "cross-host target must hit the new host's bucket")
+      val ra = spark.read.parquet(s"$lake.replanfetched.audit/batch=1")
+        .collect().head
+      assert((ra.getAs[Long]("planned"), ra.getAs[Long]("fetched"),
+        ra.getAs[Long]("failed")) == ((2L, 2L, 0L)), s"replan audit: $ra")
+      // the feeds are consumer-GC'd
+      assert(new java.io.File(s"$lake.replan").listFiles()
+        .forall(!_.getName.startsWith("batch=")), "replan feed not GC'd")
+      // cycle bound: the SAME redirects arriving again dedup against
+      // the .replan index — nothing re-admitted, nothing re-fetched
+      feed(2L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
+        hostPermitsPerSec = 5) == Seq(2L))
+      val ga2 = spark.read.parquet(s"$lake.replan.audit/batch=2")
+        .collect().head
+      assert((ga2.getAs[Long]("arrived"), ga2.getAs[Long]("admitted"),
+        ga2.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)), s"$ga2")
+      // the gate still lands its (empty) batch dir — the drain
+      // consumes it as a zero-planned no-op
+      assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
+        dest) == Seq(2L))
+      assert(spark.read.parquet(s"$lake.replanfetched.audit/batch=2")
+        .collect().head.getAs[Long]("planned") == 0L,
+        "deduped targets must not be re-fetched")
+    } finally server.stop(0)
+  }
+
+  test("st30 robots bootstrap: seeded hosts flow robots → st27 → sitemap fetch, audits conserve") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st30")
+    val lake = dir.resolve("lake").toString
+    val dest = dir.resolve("dest").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val smXml = "<?xml version=\"1.0\"?>\n<urlset>\n" +
+      "  <url><loc>https://a.example.com/p/1</loc></url>\n" +
+      "  <url><loc>https://a.example.com/p/2</loc></url>\n</urlset>\n"
+    val pages = Map(
+      "/c/a.example.com/robots.txt" ->
+        ("User-agent: *\nDisallow: /private\n" +
+          "Sitemap: https://a.example.com/sm0.xml\n"),
+      "/c/a.example.com/sm0.xml" -> smXml)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      pages.get(ex.getRequestURI.getPath) match {
+        case Some(body) =>
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        case None => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      // seed: one live host (mixed case — must normalize), one with
+      // no robots.txt, one malformed (must never spend a request)
+      Seq("A.Example.COM", "b.example.com", "bad host!")
+        .toDF("host").write.parquet(s"$lake.seedhosts/batch=1")
+      // ONE tick of the st28 stream runs the whole chain: robots
+      // drain → st27 parse → sitemap drain — NO hand-fed payloads
+      val ticks = MemoryStream[Int](spark)
+      val q = Streams.st28FetchDrainStream(ticks.toDS().toDF(), lake,
+        fetcher, traps, dest, ckpt)
+      ticks.addData(1)
+      q.processAllAvailable()
+      q.stop()
+      // robots audit conserves: seeded = fetched + skipped + failed
+      val ra = spark.read.parquet(s"$lake.robotstxt.audit/batch=1")
+        .collect().head
+      assert((ra.getAs[Long]("seeded"), ra.getAs[Long]("fetched"),
+        ra.getAs[Long]("skipped"), ra.getAs[Long]("failed")) ==
+        ((3L, 1L, 2L, 0L)), s"robots audit: $ra")
+      // st27 landed the announcement under the SAME batch id...
+      val sm = spark.read.parquet(s"$lake.sitemaps.audit/batch=1")
+        .collect().head
+      assert((sm.getAs[Long]("announced"), sm.getAs[Long]("in_scope")) ==
+        ((1L, 1L)), s"st27 audit: $sm")
+      // ...and the SAME tick's sitemap drain already fetched the
+      // urlset — the leaf XML st25/st26 parse
+      val xml = spark.read.parquet(s"$lake.sitemapxml/batch=1")
+        .collect().map(r => (r.getString(0), r.getString(2)))
+      assert(xml.toSeq == Seq(("a.example.com", smXml)), s"${xml.toSeq}")
+      assert(graft.operators.Graph.sitemapExtractOver(
+        spark.read.parquet(s"$lake.sitemapxml/batch=1"))
+        .collect().map(_.getAs[String]("loc")).toSet ==
+        Set("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      // consumer-owned GC: the seed feed is drained
+      assert(new java.io.File(s"$lake.seedhosts").listFiles()
+        .forall(!_.getName.startsWith("batch=")), "seed feed not GC'd")
+      // staleness policy: the host re-seeded within the refetch window
+      // is skipped/fresh — no second request, no new landing
+      Seq("a.example.com").toDF("host")
+        .write.parquet(s"$lake.seedhosts/batch=2")
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher) == Seq(2L))
+      val ra2 = spark.read.parquet(s"$lake.robotstxt.audit/batch=2")
+        .collect().head
+      assert((ra2.getAs[Long]("seeded"), ra2.getAs[Long]("fetched"),
+        ra2.getAs[Long]("skipped")) == ((1L, 0L, 1L)), s"$ra2")
+      // replay safety: the producer re-lands batch 1 (crash before
+      // consumption drop) — the ledger probe EXCLUDES the current id,
+      // so the drain re-fetches instead of trusting its own
+      // half-committed rows, and the landing re-derives identically
+      Seq("a.example.com").toDF("host")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$lake.seedhosts/batch=1")
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher) == Seq(1L))
+      val ra1b = spark.read.parquet(s"$lake.robotstxt.audit/batch=1")
+        .collect().head
+      assert(ra1b.getAs[Long]("fetched") == 1L, s"replay skipped: $ra1b")
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=1")
+        .collect().map(_.getAs[String]("loc")).toSeq ==
+        Seq("https://a.example.com/sm0.xml"), "replay changed the landing")
+    } finally server.stop(0)
+  }
+
   test("st29 perplexity gate == the c28 report's verdicts; per-row twins; replays") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -1766,6 +2066,56 @@ class StreamsSpec extends AnyFunSuite {
     // 2 arrived, both fluent, no classifier (kept = fluent), decontam
     // screened out the quoting doc, near-dup admitted the survivor
     assert(audits == Seq((2L, 2L, 2L, 1L, 1L)), s"got $audits")
+  }
+
+  test("st15 with the perplexity gate: only the tercile axis separates two fluent docs") {
+    import StreamsSpec.LocalFsFetcher
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st15x")
+    val remote = dir.resolve("remote").toString
+    val root = dir.resolve("svc").toString
+    val lmPath = dir.resolve("lm").toString
+    val gatePath = dir.resolve("gate").toString
+    new java.io.File(remote).mkdirs()
+    def span(p: String, a: Int, b: Int) =
+      (a to b).map(i => s"$p$i").mkString(" ")
+    // every doc leads with the en markers so the service's t03 lang
+    // derivation maps them onto the gate's 'en' cutoffs
+    val marker = "the and of to is with that"
+    val good = marker + " " + span("g", 1, 10)
+    val mid = marker + " " + span("g", 1, 5) + " " + span("x", 6, 10)
+    val bad = marker + " " + span("x", 1, 10)
+    // st14's LM knows BOTH chains — both stream docs are FLUENT;
+    // only the corpus-RELATIVE tercile can separate them
+    graft.operators.TextOps.lmTrainTables(
+      Seq((1L, good), (2L, bad)).toDF("doc_id", "text"), lmPath)
+    // the c28 gate artifacts: LM from the g-chain reference, terciles
+    // from a 3-doc 'en' corpus (good=head, mid=middle, bad=tail)
+    graft.operators.Corpus.c28GateBuild(
+      Seq((10L, "en", good), (11L, "en", mid), (12L, "en", bad))
+        .toDF("doc_id", "lang", "text"),
+      Seq((1L, marker + " " + span("g", 1, 30))).toDF("doc_id", "text"),
+      gatePath, sampleMod = 1L)
+    def drop(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(remote, name), text + "\n")
+    drop("a.txt", good)
+    drop("b.txt", bad)
+    val fetcher = LocalFsFetcher(remote)
+    val audit = Streams.st15ServiceCycle(spark, fetcher, root, lmPath,
+      ppxGatePath = gatePath).collect()
+    assert(audit.length == 2 && audit.forall(_.status == "copied"))
+    val lake = spark.read.parquet(s"$root/lake")
+      .select("text").collect().map(_.getString(0)).toSet
+    assert(lake == Set(good), s"lake = $lake")
+    val audits = spark.read.parquet(s"$root/audit").collect()
+      .map(r => (r.getAs[Long]("arrived"), r.getAs[Long]("fluent"),
+        r.getAs[Long]("kept"), r.getAs[Long]("screened"),
+        r.getAs[Long]("curated"), r.getAs[Long]("admitted"))).toSeq
+    // 2 arrived, both fluent, classifier/decontam off (kept =
+    // screened = fluent), the SIXTH axis cut the tail doc, near-dup
+    // admitted the survivor — conservation through all six gates
+    assert(audits == Seq((2L, 2L, 2L, 2L, 1L, 1L)), s"got $audits")
   }
 
   test("st15 with PII scrub: docs land redacted, counts conserve through the transform") {
