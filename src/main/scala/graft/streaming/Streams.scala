@@ -2228,8 +2228,22 @@ object Streams {
     *    landing and GC replays idempotently — re-land, re-audit,
     *    re-drop);
     *  - the consumed `.sitemaps/batch=<id>` directory is DROPPED
-    *    after its landing+audit commit ([[dropConsumedBatches]] —
-    *    this drain IS the feed's consumer, so it owns the GC cadence).
+    *    after its landing+audit commit (this drain IS the feed's
+    *    consumer, so it owns the GC cadence);
+    *  - a fetched file that is actually a `<sitemapindex>` (legal:
+    *    robots.txt `Sitemap:` directives point at indexes as often
+    *    as at urlsets — the protocol caps one file at 50k URLs, so
+    *    real sites shard behind one) does NOT land as urlset XML —
+    *    g08 would parse its `<sitemap>` blocks to ZERO entries and
+    *    every child silently vanish (the r15 gzip silent-loss class).
+    *    Its IN-SCOPE children land as a fresh announcement batch
+    *    under `batch=<[[IndexChildBase]] + id>` — the same feed,
+    *    consumed by the NEXT drain tick. The derived id namespace is
+    *    disjoint from producer ids, and the chase is depth-ONE by
+    *    protocol (sitemaps.org forbids an index referencing an
+    *    index): an index found inside an expansion batch audits
+    *    `skipped`/`nested_index` instead of expanding again, so a
+    *    self-referencing index cannot loop the drain.
     *
     * Scale: rows repartition by host, so the per-JVM `fetch:<host>`
     * token bucket caps each origin cluster-wide (f14's politeness
@@ -2288,27 +2302,163 @@ object Streams {
           }
         }
       }.toDF("host", "loc", "xml", "status", "error")
-        .localCheckpoint(true) // one fetch pass feeds landing + audit
-      fetched.filter(col("status") === "fetched")
+      // index chase: classify fetched XML BEFORE landing — a
+      // <sitemapindex> is an announcement list, not a urlset. Beyond
+      // depth one the protocol forbids nesting, so the verdict flips
+      // to skipped/nested_index (request spent, content refused —
+      // the NoContent audit shape).
+      val allowExpand = id < IndexChildBase
+      val isIndex = col("status") === "fetched" &&
+        col("xml").rlike("(?is)<\\s*sitemapindex[\\s>]")
+      val routed = fetched
+        .withColumn("kind",
+          when(isIndex && lit(allowExpand), "index")
+            .when(isIndex, "nested").otherwise("leaf"))
+        .withColumn("status",
+          when(col("kind") === "nested", "skipped").otherwise(col("status")))
+        .withColumn("error",
+          when(col("kind") === "nested", "nested_index")
+            .otherwise(col("error")))
+        .localCheckpoint(true) // one fetch pass feeds landings + audit
+      routed.filter(col("status") === "fetched" && col("kind") === "leaf")
         .select("host", "loc", "xml")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$lakePath.sitemapxml/batch=$id")
-      val tot = fetched.agg(count(lit(1)),
+      // in-scope index children re-enter THIS feed as a derived-id
+      // announcement batch the next tick fetches (cross-host decoys
+      // stop here — the st25/st27 discipline); Overwrite on the
+      // derived id keeps a crash replay idempotent
+      val children =
+        if (allowExpand)
+          graft.operators.Graph.sitemapIndexExtractOver(
+            routed.filter(col("kind") === "index")
+              .select(col("host"), col("xml")))
+            .filter(col("in_scope") === 1L)
+            .select(col("host"), lit("index").as("source"), col("loc"),
+              col("lastmod")).distinct()
+            .localCheckpoint(true) // feeds the landing AND the count
+        else spark.emptyDataFrame
+          .select(lit("").as("host"), lit("").as("source"),
+            lit("").as("loc"), lit("").as("lastmod")).limit(0)
+      val nChildren = children.count()
+      if (nChildren > 0)
+        children.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$feed/batch=${IndexChildBase + id}")
+      val tot = routed.agg(count(lit(1)),
         coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
           lit(0L)),
         coalesce(sum(when(col("status") === "skipped", 1L).otherwise(0L)),
+          lit(0L)),
+        coalesce(sum(when(col("kind") === "index", 1L).otherwise(0L)),
           lit(0L))).head()
-      val (nAll, nFetched, nSkipped) =
-        (tot.getLong(0), tot.getLong(1), tot.getLong(2))
-      Seq((id, nAll, nFetched, nSkipped, nAll - nFetched - nSkipped))
-        .toDF("batch_id", "planned", "fetched", "skipped", "failed")
+      val (nAll, nFetched, nSkipped, nIdx) =
+        (tot.getLong(0), tot.getLong(1), tot.getLong(2), tot.getLong(3))
+      Seq((id, nAll, nFetched, nSkipped, nAll - nFetched - nSkipped,
+          nIdx, nChildren))
+        .toDF("batch_id", "planned", "fetched", "skipped", "failed",
+          "indexes", "index_children")
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$lakePath.sitemapxml.audit/batch=$id")
-      dropConsumedBatches(spark, feed, id)
+      // drop ONLY the consumed dir: the ≤-id sweep would be wrong
+      // here — a derived expansion id (2^40+) as upTo would reap
+      // producer batches landed after our listing
+      val p = new org.apache.hadoop.fs.Path(feed)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)
     }
     ids
   }
+
+  /** The disjoint batch-id namespace for index-expansion batches in
+    * [[sitemapFetchDrainOnce]]: producer (stream micro-batch) ids
+    * never approach 2^40, and one level of derivation cannot reach
+    * 2^41 — `id < IndexChildBase` IS the depth test.
+    */
+  private[graft] val IndexChildBase: Long = 1L << 40
+
+  /** Drain the `.sitemapxml/batch=<id>` feed ONCE through BOTH parse
+    * consumers under the same batch id: st25's
+    * [[sitemapDiscoverBatch]] (g08 urlset parse → `.discovered`
+    * landing + st20 canonical-URL admission) and st26's
+    * [[recrawlBatch]] (lastmod diff against the `.lastmod` ledger →
+    * the `.refetch` feed st28's content drain executes). This closes
+    * the crawl service's REMAINING manual splice: the fetch drain
+    * landed (host, loc, xml) rows "exactly the stream st25/st26
+    * parse" — but nothing drained them into the parsers; a
+    * deployment had to wire its own file stream. Landings follow
+    * each consumer's Overwrite-idempotent replay contract (both
+    * exclude their own batch id from ledger/index probes); the
+    * consumed feed dir drops after the commit (single-dir delete —
+    * derived index-expansion ids make a ≤-id sweep unsafe). Ledger
+    * upkeep (`.lastmod` / `.urlindex` compaction) stays the
+    * deployment's periodic job via [[recrawlCompactLedger]] /
+    * [[urlGateCompactIndex]]. Returns consumed ids.
+    */
+  def sitemapParseDrainOnce(spark: SparkSession, lakePath: String)
+      : Seq[Long] = {
+    val feed = s"$lakePath.sitemapxml"
+    val ids = graft.operators.Dedup.listBatchIds(spark, feed)
+      .filter(_ >= 0).sorted
+    ids.foreach { id =>
+      val xml = spark.read.schema("host STRING, loc STRING, xml STRING")
+        .parquet(s"$feed/batch=$id")
+        .select("host", "xml")
+        .localCheckpoint(true) // one read feeds both consumers
+      sitemapDiscoverBatch(xml, lakePath, id)
+      recrawlBatch(xml, lakePath, id)
+      val p = new org.apache.hadoop.fs.Path(feed)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)
+    }
+    ids
+  }
+
+  /** One full crawl-service tick in pipeline order. `parse = false`
+    * is [[st28FetchDrainStream]]'s fetch-stage contract (a
+    * deployment wiring its own st25/st26 streams over `.sitemapxml`);
+    * `parse = true` is the COMPLETE loop ([[crawlServiceStream]]).
+    */
+  private def crawlTickOnce(spark: SparkSession, lakePath: String,
+      fetcher: graft.sources.PagedSource.ConditionalFetcher,
+      traps: DataFrame, destRoot: String, hostPermitsPerSec: Double,
+      parse: Boolean): Unit = {
+    robotsFetchDrainOnce(spark, lakePath, fetcher, hostPermitsPerSec)
+    sitemapFetchDrainOnce(spark, lakePath, fetcher, hostPermitsPerSec)
+    if (parse) sitemapParseDrainOnce(spark, lakePath)
+    refetchDrainOnce(spark, lakePath, fetcher, traps, destRoot,
+      hostPermitsPerSec)
+    replanFetchDrainOnce(spark, lakePath, fetcher, traps, destRoot,
+      hostPermitsPerSec)
+  }
+
+  /** The COMPLETE crawl service as ONE ticker stream — every stage
+    * of the loop, once per tick, in pipeline order:
+    *
+    *   `.seedhosts` → st30 robots fetch → st27 robots/index parse →
+    *   st28 sitemap fetch (+ gzip inflate + index chase) →
+    *   st25/st26 urlset parse + recrawl plan → st28 conditional
+    *   content fetch (+ validator ledger) → redirect re-plan.
+    *
+    * A bare seeded host list becomes fetched content under
+    * `destRoot/<host><path>` with no hand-fed payloads and no manual
+    * splices anywhere; every stage audits conservatively and GCs its
+    * consumed feed. A seed advances one stage per tick (drain order
+    * is pipeline order, so the common case advances several).
+    */
+  def crawlServiceStream(ticks: DataFrame, lakePath: String,
+      fetcher: graft.sources.PagedSource.ConditionalFetcher,
+      traps: DataFrame, destRoot: String, checkpointDir: String,
+      hostPermitsPerSec: Double = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ticks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        crawlTickOnce(batch.sparkSession, lakePath, fetcher, traps,
+          destRoot, hostPermitsPerSec, parse = true)
+      }
+      .start()
 
   /** Drain st26's `.refetch/batch=<id>` feed ONCE through
     * [[graft.sources.PagedSource.executeRecrawlPlan]] — the content
@@ -2424,7 +2574,13 @@ object Streams {
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$lakePath.fetched.audit/batch=$id")
-      dropConsumedBatches(spark, feed, id)
+      // single-dir delete, not the ≤-id sweep: with the parse drain,
+      // feed ids inherit the sitemap namespace (index-expansion ids
+      // included), and a 2^40 upTo would reap producer batches landed
+      // after this drain's listing
+      val fp = new org.apache.hadoop.fs.Path(feed)
+      fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(fp, s"batch=$id"), true)
     }
     ids
   }
@@ -2559,7 +2715,11 @@ object Streams {
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$lakePath.replanfetched.audit/batch=$id")
-      dropConsumedBatches(spark, feed, id)
+      // single-dir delete (refetchDrainOnce's rule: .replan ids
+      // inherit the mixed-namespace feed ids)
+      val fp = new org.apache.hadoop.fs.Path(feed)
+      fp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(fp, s"batch=$id"), true)
     }
     ids
   }
@@ -2638,13 +2798,16 @@ object Streams {
     * cadence; the tick ROWS are ignored — new work is discovered by
     * listing the feeds, so a tick against empty feeds is a no-op and
     * a replayed tick after a crash re-consumes only what the crashed
-    * drain left undropped). This closes the crawl service end to end:
+    * drain left undropped). This is the service's FETCH-stage ticker:
     * [[robotsFetchDrainOnce]] bootstraps robots.txt from seeded hosts
     * (st30 — the zeroth stage, landing st27's announcements), this
-    * fetches the announcements, st25/st26 parse what it landed, st26
-    * plans, this executes the plan. Drain order within one tick is
-    * the pipeline order (robots → sitemaps → content), so a seed
-    * flows one full stage per tick with no idle hops.
+    * fetches the announcements and executes the refetch plan, and
+    * the redirect re-plan drain closes each tick; the PARSE stage
+    * between them (`.sitemapxml` → st25/st26) is the deployment's
+    * own stream wiring here — [[crawlServiceStream]] is the same
+    * ticker WITH the parse drain spliced in, the complete loop in
+    * one call. Drain order within one tick is pipeline order, so a
+    * seed flows at least one stage per tick with no idle hops.
     */
   def st28FetchDrainStream(ticks: DataFrame, lakePath: String,
       fetcher: graft.sources.PagedSource.ConditionalFetcher,
@@ -2655,16 +2818,8 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        robotsFetchDrainOnce(s, lakePath, fetcher, hostPermitsPerSec)
-        sitemapFetchDrainOnce(s, lakePath, fetcher, hostPermitsPerSec)
-        refetchDrainOnce(s, lakePath, fetcher, traps, destRoot,
-          hostPermitsPerSec)
-        // after the content fetch: targets its 3xx rows re-planned
-        // (gate-admitted this tick) fetch through the NEW host's rules
-        replanFetchDrainOnce(s, lakePath, fetcher, traps, destRoot,
-          hostPermitsPerSec)
-        ()
+        crawlTickOnce(batch.sparkSession, lakePath, fetcher, traps,
+          destRoot, hostPermitsPerSec, parse = false)
       }
       .start()
 

@@ -1351,6 +1351,92 @@ class StreamsSpec extends AnyFunSuite {
       "https://a.example.com/p/1"), "gz sitemap must parse through g08")
   }
 
+  test("st28 index chase: a fetched sitemapindex expands once, children fetch next tick") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_st28_idx")
+    val lake = dir.resolve("lake").toString
+    def urlset(locs: String*): String =
+      "<?xml version=\"1.0\"?>\n<urlset>\n" + locs.map(l =>
+        s"  <url><loc>$l</loc></url>\n").mkString + "</urlset>\n"
+    def index(locs: String*): String =
+      "<?xml version=\"1.0\"?>\n<sitemapindex>\n" + locs.map(l =>
+        s"  <sitemap>\n    <loc>$l</loc>\n  </sitemap>\n").mkString +
+        "</sitemapindex>\n"
+    val pages = Map(
+      // the announced file is an INDEX: two in-scope children, one
+      // cross-host decoy (must stop here), one NESTED index child
+      "/c/a.example.com/sm_index.xml" -> index(
+        "https://a.example.com/c1.xml", "https://a.example.com/c2.xml",
+        "https://evil.example.com/x.xml",
+        "https://a.example.com/nested_index.xml"),
+      "/c/a.example.com/c1.xml" -> urlset("https://a.example.com/p/1"),
+      "/c/a.example.com/c2.xml" -> urlset("https://a.example.com/p/2"),
+      "/c/a.example.com/nested_index.xml" ->
+        index("https://a.example.com/deep.xml"))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      pages.get(ex.getRequestURI.getPath) match {
+        case Some(body) =>
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        case None => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      Seq(("a.example.com", "robots",
+          "https://a.example.com/sm_index.xml", ""))
+        .toDF("host", "source", "loc", "lastmod")
+        .write.parquet(s"$lake.sitemaps/batch=1")
+      // tick 1: the index is fetched, recognized, and EXPANDED — not
+      // landed as urlset XML (g08 would parse it to zero entries and
+      // every child silently vanish)
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher)
+        == Seq(1L))
+      val a1 = spark.read.parquet(s"$lake.sitemapxml.audit/batch=1")
+        .collect().head
+      assert((a1.getAs[Long]("planned"), a1.getAs[Long]("fetched"),
+        a1.getAs[Long]("indexes"), a1.getAs[Long]("index_children")) ==
+        ((1L, 1L, 1L, 3L)), s"index audit: $a1")
+      assert(spark.read.parquet(s"$lake.sitemapxml/batch=1").count() == 0L,
+        "an index file must not land as urlset XML")
+      val childId = Streams.IndexChildBase + 1L
+      val kids = spark.read.parquet(s"$lake.sitemaps/batch=$childId")
+        .collect().map(_.getAs[String]("loc")).toSet
+      assert(kids == Set("https://a.example.com/c1.xml",
+        "https://a.example.com/c2.xml",
+        "https://a.example.com/nested_index.xml"),
+        s"children: $kids (the cross-host decoy must stop at the chase)")
+      // tick 2: the children fetch; the nested index is refused at
+      // depth two (sitemaps.org forbids nesting — a self-referencing
+      // index cannot loop the drain)
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher)
+        == Seq(childId))
+      val a2 = spark.read
+        .parquet(s"$lake.sitemapxml.audit/batch=$childId").collect().head
+      assert((a2.getAs[Long]("planned"), a2.getAs[Long]("fetched"),
+        a2.getAs[Long]("skipped"), a2.getAs[Long]("indexes"),
+        a2.getAs[Long]("index_children")) == ((3L, 2L, 1L, 0L, 0L)),
+        s"child audit: $a2")
+      val locs = graft.operators.Graph.sitemapExtractOver(
+        spark.read.parquet(s"$lake.sitemapxml/batch=$childId"))
+        .collect().map(_.getAs[String]("loc")).toSet
+      assert(locs == Set("https://a.example.com/p/1",
+        "https://a.example.com/p/2"), s"parsed: $locs")
+      // no second-level expansion batch exists, and the feed drained
+      assert(new java.io.File(s"$lake.sitemaps").listFiles()
+        .forall(!_.getName.startsWith("batch=")),
+        "feed not GC'd / nested expansion leaked")
+    } finally server.stop(0)
+  }
+
   test("st28 validator ledger: captured ETag drives the next drain's If-None-Match") {
     import spark.implicits._
     import java.net.InetSocketAddress
@@ -1648,6 +1734,93 @@ class StreamsSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$lake.sitemaps/batch=1")
         .collect().map(_.getAs[String]("loc")).toSeq ==
         Seq("https://a.example.com/sm0.xml"), "replay changed the landing")
+    } finally server.stop(0)
+  }
+
+  test("crawl service loop: a bare seeded host becomes fetched content in one tick") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_svc_loop")
+    val lake = dir.resolve("lake").toString
+    val dest = dir.resolve("dest").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val pages = Map(
+      "/c/a.example.com/robots.txt" ->
+        "User-agent: *\nSitemap: https://a.example.com/sm0.xml\n",
+      "/c/a.example.com/sm0.xml" ->
+        ("<?xml version=\"1.0\"?>\n<urlset>\n" +
+          "  <url><loc>https://a.example.com/p/1</loc>" +
+          "<lastmod>2026-01-05</lastmod></url>\n" +
+          "  <url><loc>https://a.example.com/p/2</loc></url>\n</urlset>\n"),
+      "/c/a.example.com/p/1" -> "content-one",
+      "/c/a.example.com/p/2" -> "content-two")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      pages.get(ex.getRequestURI.getPath) match {
+        case Some(body) =>
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        case None => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      Seq("a.example.com").toDF("host")
+        .write.parquet(s"$lake.seedhosts/batch=1")
+      // ONE tick of the FULL loop: seed → robots → st27 → sitemap
+      // fetch → parse/plan → content fetch — no hand-fed stage
+      val ticks = MemoryStream[Int](spark)
+      val q = Streams.crawlServiceStream(ticks.toDS().toDF(), lake,
+        fetcher, traps, dest, ckpt)
+      ticks.addData(1)
+      q.processAllAvailable()
+      // content landed under destRoot/<host><path>
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        dest, "a.example.com", "p", "1")) == "content-one")
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        dest, "a.example.com", "p", "2")) == "content-two")
+      // every stage audited and conserved under the SAME batch id
+      def one(path: String): org.apache.spark.sql.Row =
+        spark.read.parquet(path).collect().head
+      val ra = one(s"$lake.robotstxt.audit/batch=1")
+      assert((ra.getAs[Long]("seeded"), ra.getAs[Long]("fetched")) ==
+        ((1L, 1L)), s"$ra")
+      val sa = one(s"$lake.sitemaps.audit/batch=1")
+      assert((sa.getAs[Long]("announced"), sa.getAs[Long]("in_scope")) ==
+        ((1L, 1L)), s"$sa")
+      val xa = one(s"$lake.sitemapxml.audit/batch=1")
+      assert((xa.getAs[Long]("planned"), xa.getAs[Long]("fetched")) ==
+        ((1L, 1L)), s"$xa")
+      val da = one(s"$lake.discovered.audit/batch=1")
+      assert((da.getAs[Long]("entries"), da.getAs[Long]("in_scope")) ==
+        ((2L, 2L)), s"$da")
+      val fa = one(s"$lake.fetched.audit/batch=1")
+      assert((fa.getAs[Long]("planned"), fa.getAs[Long]("fetched")) ==
+        ((2L, 2L)), s"$fa")
+      // the st20 gate admitted both discovered URLs
+      assert(spark.read.parquet(s"$lake/batch=1")
+        .select("url").collect().map(_.getString(0)).toSet ==
+        Set("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      // every consumed feed is GC'd
+      Seq(".seedhosts", ".sitemaps", ".sitemapxml", ".refetch")
+        .foreach { f =>
+          assert(new java.io.File(s"$lake$f").listFiles()
+            .forall(!_.getName.startsWith("batch=")), s"$f not GC'd")
+        }
+      // tick 2 is idle: robots is fresh, no feeds — nothing re-runs
+      ticks.addData(2)
+      q.processAllAvailable()
+      q.stop()
+      assert(!new java.io.File(s"$lake.robotstxt.audit/batch=2").exists(),
+        "idle tick must not re-fetch a fresh host")
     } finally server.stop(0)
   }
 
