@@ -293,6 +293,11 @@ object Graph {
     * `raw * Scale` can reach ~1e24 at large corpora — it is computed
     * as a DECIMAL(38,0) product with Spark's integral `div` (the
     * oracle mirrors it in HUGEINT), exact at any realistic scale.
+    * The per-edge `h * w` product shares g01's dense-pair bound
+    * (> ~9e9 links between one host pair fails the multiply LOUDLY
+    * under ANSI, never a silent wrap); g01 — the production
+    * planners' rank source — lifts it to DECIMAL(38,0), and the
+    * same lift applies here if HITS ever meets that density.
     *
     * Output: (node, hub_e9, auth_e9), strongest authorities first.
     */
