@@ -2488,8 +2488,10 @@ object Streams {
     * Last-Modified header outranks the sitemap lastmod hint as the
     * date validator, and a 304 confirms the stored row without
     * touching it. The ledger is the drain's OWN state (probed, not a
-    * consumed feed): batch dirs below the replayable feed window fold
-    * into one via [[compactValidatorLedger]], so the read stays
+    * consumed feed), keyed by a monotonic write SEQUENCE rather than
+    * the feed id (feed ids mix the producer and index-expansion
+    * namespaces, whose numeric order is not write order); seq dirs
+    * fold via [[compactValidatorLedger]], so the read stays
     * O(recent) over a long-lived service.
     */
   def refetchDrainOnce(spark: SparkSession, lakePath: String,
@@ -2501,11 +2503,12 @@ object Streams {
     val ledgerRoot = s"$lakePath.validators"
     val ids = graft.operators.Dedup.listBatchIds(spark, feed)
       .filter(_ >= 0).sorted
-    // ledger upkeep BEFORE the drain: fold long-dead batch dirs (ids
-    // below the replayable feed window) so the per-batch latest-wins
-    // read stays O(recent), not O(service lifetime)
-    compactValidatorLedger(spark, ledgerRoot,
-      replayFloor = ids.headOption.getOrElse(Long.MaxValue))
+    // ledger upkeep BEFORE the drain: fold old seq dirs so the
+    // per-batch latest-wins read stays O(recent), not O(service
+    // lifetime). Always safe — ledger writes APPEND at a fresh seq
+    // (never Overwrite an old dir), so no replay can collide with a
+    // folded directory.
+    compactValidatorLedger(spark, ledgerRoot)
     ids.foreach { id =>
       val rows = spark.read
         .schema("url STRING, lastmod STRING, status STRING, " +
@@ -2548,15 +2551,27 @@ object Streams {
         .localCheckpoint(true) // one fetch pass feeds landing + audit
       all.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$lakePath.fetched/batch=$id")
-      // validator ledger append (Overwrite on the batch id — replay
-      // rewrites its own directory): only 200s that actually carried
-      // a validator update a URL's stored row; a 304 confirms the
-      // existing one and writes nothing
+      // validator ledger append: only 200s that actually carried a
+      // validator update a URL's stored row; a 304 confirms the
+      // existing one and writes nothing. Ledger dirs key on a
+      // MONOTONIC write sequence (max existing id + 1), NOT the feed
+      // id — feed ids mix two namespaces (producer vs the 2^40
+      // index-expansion ids), whose numeric order is not write
+      // order: keyed on them, one capture under an expansion id
+      // would outrank every LATER capture for the same URL forever,
+      // and conditional fetches would silently ship stale validators
+      // (the 304 economics gone, nothing failing). The drain ticker
+      // serializes batches, so the listing-derived seq is unique; a
+      // crash-replayed batch APPENDS an identical-rows dir at a new
+      // seq — latest-wins reads it identically and compaction folds
+      // the duplicate away.
+      val ledgerSeq = (graft.operators.Dedup
+        .listBatchIds(spark, ledgerRoot).filter(_ >= 0) :+ -1L).max + 1
       all.filter(col("status") === "fetched" &&
           (col("etag") =!= "" || col("last_modified") =!= ""))
         .select(col("src").as("url"), col("etag"), col("last_modified"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$ledgerRoot/batch=$id")
+        .parquet(s"$ledgerRoot/batch=$ledgerSeq")
       // redirect re-planning hop (VERDICT r15 missing #4)
       val (nRd, nRp) = redirectReplanHop(spark, lakePath, all, id)
       val tot = all.agg(count(lit(1)),
@@ -2755,21 +2770,20 @@ object Streams {
           col("v.last_modified").as("led_last_modified"))
   }
 
-  /** Fold validator-ledger batch dirs that can no longer be replayed
-    * (id < `replayFloor`, the smallest feed batch still present — a
-    * dropped feed batch never re-runs, so its ledger dir is final)
-    * into ONE latest-wins dir at the largest folded id. Crash-safe:
-    * the merged rows land via Overwrite on that id FIRST (they
+  /** Fold the validator ledger's seq dirs into ONE latest-wins dir
+    * at the largest folded seq. Safe at any time: ledger writes only
+    * APPEND at fresh seqs (refetchDrainOnce's monotonic-seq rule),
+    * so nothing ever Overwrites a folded directory. Crash-safe: the
+    * merged rows land via Overwrite on the target seq FIRST (they
     * subsume its originals), then the older dirs drop — a crash
     * between the two leaves duplicates that latest-wins reads
     * correctly. Keeps the per-drain ledger read O(recent batches)
     * over a long-lived service instead of O(every drain ever).
     */
   private[graft] def compactValidatorLedger(spark: SparkSession,
-      ledgerRoot: String, replayFloor: Long,
-      minBatches: Int = 64): Unit = {
+      ledgerRoot: String, minBatches: Int = 64): Unit = {
     val foldable = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
-      .filter(id => id >= 0 && id < replayFloor).sorted
+      .filter(_ >= 0).sorted
     if (foldable.length < minBatches) return
     val target = foldable.max
     spark.read

@@ -1503,7 +1503,9 @@ class StreamsSpec extends AnyFunSuite {
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
         == Seq(1L))
       assert(auditOf(1L) == Map(u1 -> "fetched", u2 -> "fetched"))
-      val led1 = spark.read.parquet(s"$lake.validators/batch=1").collect()
+      // ledger dirs key on a WRITE sequence starting at 0, not the
+      // feed id (feed ids mix namespaces — write order is the law)
+      val led1 = spark.read.parquet(s"$lake.validators/batch=0").collect()
         .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
       assert(led1 == Map(
         u1 -> (("\"tag-1\"", "Mon, 05 Jan 2026 00:00:00 GMT")),
@@ -1534,15 +1536,29 @@ class StreamsSpec extends AnyFunSuite {
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
         == Seq(3L))
       assert(auditOf(3L) == Map(u2 -> "not_modified"))
-      // ledger compaction folds dead batch dirs, preserving latest-wins
+      // ledger compaction folds seq dirs, preserving latest-wins
       Streams.compactValidatorLedger(spark, s"$lake.validators",
-        replayFloor = Long.MaxValue, minBatches = 2)
+        minBatches = 2)
       val dirs = new java.io.File(s"$lake.validators").listFiles()
         .map(_.getName).filter(_.startsWith("batch=")).toSeq
-      assert(dirs == Seq("batch=3"), s"compaction left $dirs")
+      assert(dirs == Seq("batch=2"), s"compaction left $dirs")
       val after = Streams.validatorLedgerLatest(spark, s"$lake.validators")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(after == latest, s"compaction changed the ledger: $after")
+      // cross-namespace ordering: a drain consuming an INDEX-EXPANSION
+      // feed id (2^40+) appends at the next small seq — keyed on the
+      // feed id, this dir would outrank every later capture forever
+      // and conditional fetches would ship stale validators
+      feed(Streams.IndexChildBase + 9L, Seq((u1, "new", "")))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+        == Seq(Streams.IndexChildBase + 9L))
+      val dirs2 = new java.io.File(s"$lake.validators").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
+      assert(dirs2 == Seq("batch=2", "batch=3"),
+        s"expansion-id drain must append at seq 3: $dirs2")
+      assert(Streams.validatorLedgerLatest(spark, s"$lake.validators")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        == latest)
     } finally server.stop(0)
   }
 
