@@ -1164,6 +1164,11 @@ object Streams {
       .localCheckpoint(true)
     val raw = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // recursive: the landing zone is a TREE when the remote is one
+      // (the crawl service mirrors host/path; st08's sync preserves
+      // rel_path) — without this, nested landings silently never
+      // drain (zero docs, no error) and only flat drops worked
+      .option("recursiveFileLookup", "true")
       .text(landing)
       .select(
         xxhash64(input_file_name(), col("value")).as("doc_id"),

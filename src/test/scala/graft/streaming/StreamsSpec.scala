@@ -1840,6 +1840,83 @@ class StreamsSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("crawl-to-corpus: the crawl service's landings feed the corpus service") {
+    import StreamsSpec.LocalFsFetcher
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_c2c")
+    val lake = dir.resolve("crawl").toString
+    val dest = dir.resolve("dest").toString
+    val svc = dir.resolve("svc").toString
+    val lmPath = dir.resolve("lm").toString
+    def span(p: String, a: Int, b: Int) =
+      (a to b).map(i => s"$p$i").mkString(" ")
+    // the "web": two fluent pages and one all-OOV junk page — real
+    // crawls land junk; the CORPUS service's gates are where it dies
+    val pages = Map(
+      "/c/a.example.com/robots.txt" ->
+        "User-agent: *\nSitemap: https://a.example.com/sm0.xml\n",
+      "/c/a.example.com/sm0.xml" ->
+        ("<?xml version=\"1.0\"?>\n<urlset>\n" +
+          "  <url><loc>https://a.example.com/p/1</loc></url>\n" +
+          "  <url><loc>https://a.example.com/p/2</loc></url>\n" +
+          "  <url><loc>https://a.example.com/p/3</loc></url>\n" +
+          "</urlset>\n"),
+      "/c/a.example.com/p/1" -> span("r", 1, 10),
+      "/c/a.example.com/p/2" -> span("r", 11, 20),
+      "/c/a.example.com/p/3" -> span("z", 1, 10))
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      pages.get(ex.getRequestURI.getPath) match {
+        case Some(body) =>
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+        case None => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      // HALF ONE — the reference's download loop, distributed: a
+      // seeded host becomes crawled page files in one tick
+      Seq("a.example.com").toDF("host")
+        .write.parquet(s"$lake.seedhosts/batch=1")
+      val ticks = MemoryStream[Int](spark)
+      val q = Streams.crawlServiceStream(ticks.toDS().toDF(), lake,
+        fetcher, traps, dest, dir.resolve("ckpt").toString)
+      ticks.addData(1)
+      q.processAllAvailable()
+      q.stop()
+      // HALF TWO — the corpus service ingests the crawl's landing
+      // tree (st08's paged sync walks it like any remote) and gates
+      // it: st09 quality, st14 fluency, st13 near-dup
+      graft.operators.TextOps.lmTrainTables(
+        Seq((1L, span("r", 1, 40))).toDF("doc_id", "text"), lmPath)
+      val audit = Streams.st15ServiceCycle(spark, LocalFsFetcher(dest),
+        svc, lmPath).collect()
+      assert(audit.length == 3 && audit.forall(_.status == "copied"),
+        s"sync: ${audit.toSeq}")
+      val corpus = spark.read.parquet(s"$svc/lake")
+        .select("text").collect().map(_.getString(0)).toSet
+      // the two fluent crawled pages are the corpus; the junk page
+      // died at the fluency gate — seeds to curated corpus with no
+      // hand-fed stage anywhere
+      assert(corpus == Set(span("r", 1, 10), span("r", 11, 20)),
+        s"corpus = $corpus")
+      val sa = spark.read.parquet(s"$svc/audit").collect()
+        .map(r => (r.getAs[Long]("arrived"), r.getAs[Long]("fluent"),
+          r.getAs[Long]("curated"), r.getAs[Long]("admitted"))).toSeq
+      assert(sa == Seq((3L, 2L, 2L, 2L)), s"service audit: $sa")
+    } finally server.stop(0)
+  }
+
   test("st29 perplexity gate == the c28 report's verdicts; per-row twins; replays") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
