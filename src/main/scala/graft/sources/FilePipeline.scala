@@ -352,7 +352,12 @@ object FilePipeline {
     * every unchanged file on BOTH sides — a full-content verification
     * sweep, distributed as one mapPartitions over the noop pairs (no
     * shuffle: the plan join already co-located the pair on one row).
-    * Plain metadata sync stays the cheap default.
+    * Plain metadata sync stays the cheap default. A pair the sweep
+    * CANNOT read (a file vanished or went unreadable mid-sweep) also
+    * upgrades to `copy_changed` rather than aborting the job (the
+    * distCopy discipline: one bad file must not kill the other 10M)
+    * — self-healing either way: a sick destination re-copies, a
+    * vanished source then fails ITS copy as a loud audit row.
     */
   def syncPlanChecksum(plan: DataFrame): DataFrame = {
     val spark = plan.sparkSession
@@ -369,8 +374,10 @@ object FilePipeline {
         rows.map { case (rel, sp, dp, ss, ds, sm, dm) =>
           val spth = new Path(sp)
           val dpth = new Path(dp)
-          val same = checksumOf(spth.getFileSystem(conf), spth) ==
-            checksumOf(dpth.getFileSystem(conf), dpth)
+          val same =
+            try checksumOf(spth.getFileSystem(conf), spth) ==
+              checksumOf(dpth.getFileSystem(conf), dpth)
+            catch { case _: java.io.IOException => false }
           (rel, if (same) "noop" else "copy_changed", sp, dp, ss, ds, sm, dm)
         }
       }

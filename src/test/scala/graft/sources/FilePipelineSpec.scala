@@ -266,6 +266,32 @@ class FilePipelineSpec extends AnyFunSuite {
     val again = FilePipeline.syncCopy(spark, root.toString, dest.toString,
       partitions = 2, verifyChecksums = true).collect()
     assert(again.isEmpty, s"expected converged checksum sync, got ${again.toSeq}")
+    // a destination that VANISHES between plan and sweep must not
+    // abort the job (one bad file vs the other 10M — the distCopy
+    // discipline): the unreadable pair upgrades to copy_changed and
+    // the copy re-lands it
+    Files.delete(victim)
+    val plan = FilePipeline.syncPlan(
+      FilePipeline.catalog(spark, root.toString),
+      FilePipeline.catalog(spark, dest.toString))
+    // fake the blind-spot shape for the vanished file: hand the sweep
+    // a noop row whose dst_path no longer exists
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val ghost = col("rel_path") === "sub1/deep/c.txt"
+    val withGhost = plan
+      .withColumn("action", when(ghost, "noop").otherwise(col("action")))
+      .withColumn("dst_path",
+        when(ghost, lit(victim.toString)).otherwise(col("dst_path")))
+      .withColumn("dst_size",
+        when(ghost, col("src_size")).otherwise(col("dst_size")))
+      .withColumn("dst_mtime",
+        when(ghost, col("src_mtime")).otherwise(col("dst_mtime")))
+    val sweep = FilePipeline.syncPlanChecksum(withGhost)
+      .filter(col("rel_path") === "sub1/deep/c.txt").collect()
+    assert(sweep.length == 1 &&
+      sweep.head.getAs[String]("action") == "copy_changed",
+      s"vanished pair must upgrade, got ${sweep.toSeq}")
   }
 
   test("f04 grant ledger merge is idempotent") {
