@@ -2382,8 +2382,23 @@ object Streams {
     */
   private[graft] val IndexChildBase: Long = 1L << 40
 
+  /** The parse-side batch id of a `.sitemapxml` feed id: BOTH feed
+    * namespaces map into one DENSE monotonic space — producer id k →
+    * 2k, index-expansion id ([[IndexChildBase]] + k) → 2k + 1, i.e.
+    * right after its parent. Deterministic, so a crash-replayed feed
+    * batch re-derives the SAME parse id (the gate/ledger probes'
+    * same-id replay exclusion holds); order-preserving; and — the
+    * point — COMPACTABLE: the st20/st26 x20-style folds key on
+    * `batch ≤ upTo`, and a raw 2^40 id handed through would sit
+    * above every watermark forever, one immortal ledger/index dir
+    * per index chase on a long-lived service.
+    */
+  private[graft] def parseBatchId(feedId: Long): Long =
+    if (feedId < IndexChildBase) 2 * feedId
+    else 2 * (feedId - IndexChildBase) + 1
+
   /** Drain the `.sitemapxml/batch=<id>` feed ONCE through BOTH parse
-    * consumers under the same batch id: st25's
+    * consumers under the feed id's [[parseBatchId]]: st25's
     * [[sitemapDiscoverBatch]] (g08 urlset parse → `.discovered`
     * landing + st20 canonical-URL admission) and st26's
     * [[recrawlBatch]] (lastmod diff against the `.lastmod` ledger →
@@ -2395,23 +2410,42 @@ object Streams {
     * each consumer's Overwrite-idempotent replay contract (both
     * exclude their own batch id from ledger/index probes); the
     * consumed feed dir drops after the commit (single-dir delete —
-    * derived index-expansion ids make a ≤-id sweep unsafe). Ledger
-    * upkeep (`.lastmod` / `.urlindex` compaction) stays the
-    * deployment's periodic job via [[recrawlCompactLedger]] /
-    * [[urlGateCompactIndex]]. Returns consumed ids.
+    * derived index-expansion ids make a ≤-id sweep unsafe). Probed-
+    * state upkeep is built in: once the `.lastmod` ledger passes
+    * `compactPastBatches` append dirs, it and the `.urlindex` fold
+    * up to just below the smallest replayable parse id
+    * ([[recrawlCompactLedger]] / [[urlGateCompactIndex]] — the st23
+    * cadence, size-triggered; 0 disables). Returns consumed ids.
     */
-  def sitemapParseDrainOnce(spark: SparkSession, lakePath: String)
-      : Seq[Long] = {
+  def sitemapParseDrainOnce(spark: SparkSession, lakePath: String,
+      compactPastBatches: Int = 64): Seq[Long] = {
     val feed = s"$lakePath.sitemapxml"
     val ids = graft.operators.Dedup.listBatchIds(spark, feed)
       .filter(_ >= 0).sorted
+    // probed-state upkeep BEFORE the drain (the st23 cadence, made
+    // size-triggered): once the `.lastmod` ledger has accumulated
+    // more than `compactPastBatches` append dirs, fold it AND the
+    // `.urlindex` up to just below the smallest REPLAYABLE parse id
+    // (ids still in the feed can re-run and must stay excludable by
+    // `batch =!= id`; everything below them is final). Without this
+    // a drain-composed service's probes re-aggregate every drain
+    // ever (review r13 #7's failure shape).
+    if (compactPastBatches > 0 && ids.nonEmpty) {
+      val upTo = ids.map(parseBatchId).min - 1
+      if (upTo >= 0 && graft.operators.Dedup
+          .listBatchIds(spark, s"$lakePath.lastmod")
+          .count(id => id >= 0 && id <= upTo) > compactPastBatches) {
+        recrawlCompactLedger(spark, lakePath, upTo)
+        urlGateCompactIndex(spark, lakePath, upTo)
+      }
+    }
     ids.foreach { id =>
       val xml = spark.read.schema("host STRING, loc STRING, xml STRING")
         .parquet(s"$feed/batch=$id")
         .select("host", "xml")
         .localCheckpoint(true) // one read feeds both consumers
-      sitemapDiscoverBatch(xml, lakePath, id)
-      recrawlBatch(xml, lakePath, id)
+      sitemapDiscoverBatch(xml, lakePath, parseBatchId(id))
+      recrawlBatch(xml, lakePath, parseBatchId(id))
       val p = new org.apache.hadoop.fs.Path(feed)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)

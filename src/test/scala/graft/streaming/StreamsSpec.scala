@@ -1815,14 +1815,16 @@ class StreamsSpec extends AnyFunSuite {
       val xa = one(s"$lake.sitemapxml.audit/batch=1")
       assert((xa.getAs[Long]("planned"), xa.getAs[Long]("fetched")) ==
         ((1L, 1L)), s"$xa")
-      val da = one(s"$lake.discovered.audit/batch=1")
+      // parse-side landings sit under parseBatchId(1) = 2 (the dense
+      // remap that keeps the st20/st26 probed state compactable)
+      val da = one(s"$lake.discovered.audit/batch=2")
       assert((da.getAs[Long]("entries"), da.getAs[Long]("in_scope")) ==
         ((2L, 2L)), s"$da")
-      val fa = one(s"$lake.fetched.audit/batch=1")
+      val fa = one(s"$lake.fetched.audit/batch=2")
       assert((fa.getAs[Long]("planned"), fa.getAs[Long]("fetched")) ==
         ((2L, 2L)), s"$fa")
       // the st20 gate admitted both discovered URLs
-      assert(spark.read.parquet(s"$lake/batch=1")
+      assert(spark.read.parquet(s"$lake/batch=2")
         .select("url").collect().map(_.getString(0)).toSet ==
         Set("https://a.example.com/p/1", "https://a.example.com/p/2"))
       // every consumed feed is GC'd
@@ -1837,6 +1839,41 @@ class StreamsSpec extends AnyFunSuite {
       q.stop()
       assert(!new java.io.File(s"$lake.robotstxt.audit/batch=2").exists(),
         "idle tick must not re-fetch a fresh host")
+      // an index-EXPANSION feed batch (2^40 + 1) parses under the
+      // dense id 2*1+1 = 3, never an immortal 2^40 ledger/index dir
+      Seq(("a.example.com", "https://a.example.com/sm0.xml",
+          pages("/c/a.example.com/sm0.xml")))
+        .toDF("host", "loc", "xml")
+        .write.parquet(
+          s"$lake.sitemapxml/batch=${Streams.IndexChildBase + 1L}")
+      assert(Streams.sitemapParseDrainOnce(spark, lake)
+        == Seq(Streams.IndexChildBase + 1L))
+      assert(new java.io.File(s"$lake.discovered/batch=3").exists,
+        "expansion batch must parse under its dense id")
+      // both URLs are known (lastmod unchanged, index has them):
+      // nothing refetch-eligible, nothing re-admitted
+      assert(spark.read.parquet(s"$lake.refetch/batch=3").count() == 0L)
+      // probed-state compaction: with the fold threshold at 1, the
+      // next drain folds the .lastmod ledger + .urlindex up to below
+      // the replayable window, and the folded state still verdicts —
+      // a re-announcement is all-fresh and all-dup
+      Seq(("a.example.com", "https://a.example.com/sm0.xml",
+          pages("/c/a.example.com/sm0.xml")))
+        .toDF("host", "loc", "xml")
+        .write.parquet(s"$lake.sitemapxml/batch=5")
+      assert(Streams.sitemapParseDrainOnce(spark, lake,
+        compactPastBatches = 1) == Seq(5L))
+      val lmDirs = new java.io.File(s"$lake.lastmod").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
+      assert(lmDirs.forall(d => d == "batch=10" ||
+        d.stripPrefix("batch=").toLong < 0),
+        s"ledger history must fold to the watermark base: $lmDirs")
+      val ga = one(s"$lake.audit/batch=10")
+      assert((ga.getAs[Long]("arrived"), ga.getAs[Long]("admitted"),
+        ga.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)),
+        s"folded index must still dedup: $ga")
+      assert(spark.read.parquet(s"$lake.refetch/batch=10").count() == 0L,
+        "folded ledger must still verdict fresh")
     } finally server.stop(0)
   }
 
