@@ -129,6 +129,24 @@ object Bench {
       // landings — host-bounded, so it should stay FLAT across SFs
       "st30_build" -> ((s, d) => streaming.Streams.st30BenchBuild(s, d)),
       "st30_drain" -> ((s, d) => streaming.Streams.st30BenchDrain(s, d)),
+      // the COMPLETE crawl-service loop as one row (VERDICT r16 #4):
+      // every stage drain above is benched individually; this is the
+      // one-call crawlServiceStream tick — seeds → robots → st27 →
+      // sitemap fetch → parse/plan → conditional content fetch →
+      // redirect re-plan. Host-bounded, FLAT across SFs by design
+      "svc_crawl_build" ->
+        ((s, d) => streaming.Streams.crawlServiceBenchBuild(s, d)),
+      "svc_crawl_tick" ->
+        ((s, d) => streaming.Streams.crawlServiceBenchTick(s, d)),
+      // the COMPLETE corpus-service cycle as one row (VERDICT r16 #6):
+      // sync + st09 + st14 + st29 + st13 + stats in one call — the
+      // st15 composition's recurring cost (build persists the LM +
+      // c28 artifacts + the remote fixture). The svc_ prefix sorts
+      // BOTH service rows after every st row, so the one-call loops
+      // run against warm drain machinery — the rows measure the
+      // recurring composition cost, not one-time JIT
+      "svc_corpus_build" -> ((s, d) => streaming.Streams.st15BenchBuild(s, d)),
+      "svc_corpus_cycle" -> ((s, d) => streaming.Streams.st15BenchCycle(s, d)),
       // the s14 distributed full-corpus trainer measured ALONE (the
       // auto-cutover path buildIvfIndex flips to past 16×sampleN —
       // visible at the 30× leg where the flip is live); the

@@ -1790,17 +1790,23 @@ object Corpus {
     * broadcast); the assembly groupBy carries (shard, off, tok) slim
     * rows and each group is bounded by `cap` — collect_list is safe
     * by construction, sorted in-group for determinism. Shuffle is
-    * one exchange on shard_id.
+    * one exchange on shard_id. The offsets side re-runs the subword
+    * kernel in stats-only form instead of checkpointing the exploded
+    * id ARRAYS for reuse (c12's rule, applied here in the r17 review
+    * wave: kernels are cheap CPU, but a localCheckpoint of the full
+    * token stream materializes the corpus's token MASS to
+    * memory-and-disk — at 100 TB that cache IS the bottleneck).
     */
   def c23ShardExport(spark: SparkSession, dir: String,
       cap: Long = 256L): DataFrame = {
-    val ids = Tables(spark, dir).documents
-      .select(col("doc_id"), TextOps.subwordIdsCol(col("text")).as("ids"))
-      .localCheckpoint(false) // feeds the offset pass AND the explode
+    val docs = Tables(spark, dir).documents
     val offs = packOffsetsOver(
-      ids.select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens")),
+      docs.select(col("doc_id"),
+        element_at(TextOps.subwordStatsCol(col("text")), 1).as("n_tokens")),
       cap).select("doc_id", "tok_start")
-    ids.join(offs, "doc_id")
+    docs
+      .select(col("doc_id"), TextOps.subwordIdsCol(col("text")).as("ids"))
+      .join(offs, "doc_id")
       .select(col("tok_start"), posexplode(col("ids")).as(Seq("i", "tok")))
       .select(((col("tok_start") + col("i")).cast("long")).as("pos"),
         col("tok"))

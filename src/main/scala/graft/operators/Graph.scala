@@ -288,16 +288,15 @@ object Graph {
     * driver-blocking scalar actions; a vanished normalizer fails
     * loudly in the division itself under ANSI mode (the session
     * default), so no driver-side mass check is needed.
-    * Overflow: scores ≤ 1e9 and weights are doc counts, so the raw
-    * sums stay well inside Long, but the normalization numerator
-    * `raw * Scale` can reach ~1e24 at large corpora — it is computed
-    * as a DECIMAL(38,0) product with Spark's integral `div` (the
-    * oracle mirrors it in HUGEINT), exact at any realistic scale.
-    * The per-edge `h * w` product shares g01's dense-pair bound
-    * (> ~9e9 links between one host pair fails the multiply LOUDLY
-    * under ANSI, never a silent wrap); g01 — the production
-    * planners' rank source — lifts it to DECIMAL(38,0), and the
-    * same lift applies here if HITS ever meets that density.
+    * Overflow: ALL products ride DECIMAL(38,0) (g01's dense-pair
+    * discipline, VERDICT r16 #1). The per-edge `h * w` / `a * w`
+    * contribution lifts before the sum — a host pair denser than
+    * ~9.2e9 links (where the old BIGINT product threw under ANSI) is
+    * data, not an error — and the normalization numerator
+    * `raw * Scale` (reaching ~1e30 at large corpora) computes with
+    * Spark's integral `div` (the oracle mirrors it in HUGEINT),
+    * exact at any realistic scale; the normalized score re-enters
+    * BIGINT exactly (≤ Scale by construction).
     *
     * Output: (node, hub_e9, auth_e9), strongest authorities first.
     */
@@ -1073,8 +1072,15 @@ object Graph {
       // lazy checkpoint BEFORE the dual use: the normalizer aggregate
       // and the normalize projection both read one cached
       // materialization of the edges⋈scores pass
+      // the per-edge score·weight product lifts to DECIMAL(38,0)
+      // (g01's dense-pair discipline, VERDICT r16 #1): scores ≤ Scale
+      // (1e9), so a host pair with > ~9.2e9 links used to overflow
+      // the BIGINT product and throw under ANSI — genuinely dense
+      // pairs are data, not errors. Raw sums and normalizers stay
+      // DECIMAL through the L1 division; the normalized score
+      // re-enters BIGINT exactly (a ≤ Scale by construction).
       val aRaw = edges.join(hubs, edges("src") === hubs("node"))
-        .select(col("dst"), expr("h * w").as("c"))
+        .select(col("dst"), expr("CAST(h AS DECIMAL(38,0)) * w").as("c"))
         .groupBy("dst").agg(sum("c").as("araw"))
         .localCheckpoint(false)
       val aTot = aRaw.agg(sum("araw").as("atot"))
@@ -1083,7 +1089,7 @@ object Graph {
           expr(s"CAST((CAST(araw AS DECIMAL(38,0)) * ${Scale}L)" +
             " div atot AS BIGINT)").as("a"))
       val hRaw = edges.join(auths, edges("dst") === auths("node"))
-        .select(col("src"), expr("a * w").as("c"))
+        .select(col("src"), expr("CAST(a AS DECIMAL(38,0)) * w").as("c"))
         .groupBy("src").agg(sum("c").as("hraw"))
         .localCheckpoint(false)
       val hTot = hRaw.agg(sum("hraw").as("htot"))

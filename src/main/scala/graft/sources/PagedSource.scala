@@ -433,52 +433,101 @@ object PagedSource {
     private val buckets =
       new java.util.concurrent.ConcurrentHashMap[String, Bucket]()
     private final class Bucket(rate0: Double) {
+      // an explicit lock, not the monitor: the eviction sweep needs
+      // tryLock — a waiter inside acquire HOLDS the lock while it
+      // sleeps (politeness sleeps run to 300 s), and a sweep that
+      // blocked behind one would stall every other caller of the map
+      private val lock = new java.util.concurrent.locks.ReentrantLock()
       private var permitsPerSec = rate0
       private var tokens = 1.0
       private var last = System.nanoTime()
-      // volatile: read by the eviction sweep without the monitor (a
-      // waiter inside acquire HOLDS the monitor while it sleeps)
+      // set ONLY under the lock (by tryRetire); once retired, a bucket
+      // never grants again — acquire returns false and the caller
+      // re-resolves the map entry. This closes the acquire/evict race
+      // (ADVICE r16 #4): a thread holding a long-idle instance from
+      // computeIfAbsent could previously have it evicted underneath,
+      // leaving its budget running in parallel with a fresh bucket's.
+      private var retired = false
       @volatile private[RateLimiter] var lastUsed = System.nanoTime()
-      private[RateLimiter] def currentRate: Double = synchronized(permitsPerSec)
-      def acquire(requestedRate: Double): Unit = synchronized {
-        val entry = System.nanoTime()
-        if (requestedRate > 0)
-          permitsPerSec =
-            if (entry - lastUsed > RateResetIdleNanos) requestedRate
-            else math.min(permitsPerSec, requestedRate)
-        lastUsed = entry
-        if (permitsPerSec <= 0) return // created politely, now unlimited
-        // cap never below one full token, or fractional rates (< 1/s)
-        // could accumulate forever without ever reaching a whole permit
-        val cap = math.max(permitsPerSec, 1.0)
-        var acquired = false
-        while (!acquired) {
-          val now = System.nanoTime()
-          tokens = math.min(cap, tokens + (now - last) / 1e9 * permitsPerSec)
-          last = now
-          lastUsed = now
-          if (tokens >= 1.0) { tokens -= 1.0; acquired = true }
-          else Thread.sleep((((1.0 - tokens) / permitsPerSec) * 1000).toLong + 1)
-        }
+      private[RateLimiter] def currentRate: Double = {
+        lock.lock()
+        try permitsPerSec finally lock.unlock()
+      }
+      /** Retire if idle past `olderThan`. tryLock: a bucket whose lock
+        * is held has an ACTIVE acquirer (possibly mid-sleep) — it is
+        * not idle, skip it this sweep.
+        */
+      private[RateLimiter] def tryRetire(now: Long, olderThan: Long): Boolean = {
+        if (!lock.tryLock()) return false
+        try {
+          if (!retired && now - lastUsed > olderThan) retired = true
+          retired
+        } finally lock.unlock()
+      }
+      /** False iff this instance was retired by the sweep — the caller
+        * must re-resolve the map entry and acquire on the live bucket.
+        */
+      def acquire(requestedRate: Double): Boolean = {
+        lock.lock()
+        try {
+          if (retired) return false
+          val entry = System.nanoTime()
+          if (requestedRate > 0)
+            permitsPerSec =
+              if (entry - lastUsed > RateResetIdleNanos) requestedRate
+              else math.min(permitsPerSec, requestedRate)
+          lastUsed = entry
+          if (permitsPerSec <= 0) return true // created politely, now unlimited
+          // cap never below one full token, or fractional rates (< 1/s)
+          // could accumulate forever without ever reaching a whole permit
+          val cap = math.max(permitsPerSec, 1.0)
+          var acquired = false
+          while (!acquired) {
+            val now = System.nanoTime()
+            tokens = math.min(cap, tokens + (now - last) / 1e9 * permitsPerSec)
+            last = now
+            lastUsed = now
+            if (tokens >= 1.0) { tokens -= 1.0; acquired = true }
+            else Thread.sleep((((1.0 - tokens) / permitsPerSec) * 1000).toLong + 1)
+          }
+          true
+        } finally lock.unlock()
       }
     }
     def acquire(key: String, permitsPerSec: Double): Unit = {
-      val b =
-        if (permitsPerSec > 0) {
-          if (buckets.size > MaxBuckets) evictIdle(RateResetIdleNanos)
-          buckets.computeIfAbsent(key, _ => new Bucket(permitsPerSec))
-        } else buckets.get(key) // unlimited caller, declared-rate bucket wins
-      if (b != null) b.acquire(permitsPerSec)
+      while (true) {
+        val b =
+          if (permitsPerSec > 0) {
+            if (buckets.size > MaxBuckets) evictIdle(RateResetIdleNanos)
+            buckets.computeIfAbsent(key, _ => new Bucket(permitsPerSec))
+          } else buckets.get(key) // unlimited caller, declared-rate bucket wins
+        if (b == null) return
+        if (b.acquire(permitsPerSec)) return
+        // raced the idle sweep: the instance retired between map lookup
+        // and acquire — drop the dead entry (remove is instance-keyed,
+        // a fresh replacement is left alone) and re-resolve
+        buckets.remove(key, b)
+      }
     }
     /** Remove buckets idle longer than `olderThanNanos` (test hook +
       * the over-[[MaxBuckets]] sweep). A reaped bucket's host starts
       * over at one token — politer than the burst it had accrued.
+      * Retirement is atomic with acquisition (per-bucket lock), so a
+      * reaped instance can never grant again — exactly one budget per
+      * key at all times.
       */
     private[graft] def evictIdle(olderThanNanos: Long): Unit = {
       val now = System.nanoTime()
       val it = buckets.entrySet().iterator()
-      while (it.hasNext)
-        if (now - it.next().getValue.lastUsed > olderThanNanos) it.remove()
+      while (it.hasNext) {
+        val e = it.next()
+        // instance-keyed removal, never it.remove(): a racing acquirer
+        // that saw the retired instance may have removed it and minted
+        // a fresh bucket already — a key-only remove here would reap
+        // the replacement while its holder still grants against it
+        if (e.getValue.tryRetire(now, olderThanNanos))
+          buckets.remove(e.getKey, e.getValue)
+      }
     }
     private[graft] def currentRate(key: String): Option[Double] =
       Option(buckets.get(key)).map(_.currentRate)

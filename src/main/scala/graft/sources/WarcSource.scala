@@ -409,10 +409,16 @@ object WarcSource {
           f"$outRoot/.shard-$sid%05d.warc.gz.$attempt%s.tmp")
         val os = fs.create(tmp, true)
         try os.write(gz) finally os.close()
-        fs.delete(out, false) // HDFS rename refuses an existing dest
+        // rename-FIRST commit (ADVICE r16 #2): an existing dest here
+        // can only be a concurrent/zombie attempt's IDENTICAL bytes
+        // (stale shards from older exports were swept at plan time),
+        // so it must never be deleted — the old delete-then-rename
+        // order let a losing attempt delete the winner's committed
+        // shard and die before its own rename, leaving the manifest
+        // pointing at a missing file. HDFS rename refuses an existing
+        // dest (we drop tmp: the winner is byte-identical); a failed
+        // rename with NO dest is a real FS failure and must be loud.
         if (!fs.rename(tmp, out)) {
-          // a concurrent attempt won with identical bytes — drop ours;
-          // anything else is a real FS failure and must be loud
           fs.delete(tmp, false)
           if (!fs.exists(out))
             throw new java.io.IOException(s"f16: failed to land $out")

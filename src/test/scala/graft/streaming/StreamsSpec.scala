@@ -1589,8 +1589,14 @@ class StreamsSpec extends AnyFunSuite {
         // RELATIVE Location (legal per RFC 9110 §10.2.2) — must
         // resolve against the source URL
         case "/c/a.example.com/p/2" => redirect(301, "/p/2b")
+        // TWO-hop chain (the http→https→www shape): the replan drain
+        // must feed its own 3xx answers back through the hop (ADVICE
+        // r16 #1 — they used to die as skipped rows, content lost)
+        case "/c/a.example.com/p/3" => redirect(301, "/p/3b")
+        case "/c/a.example.com/p/3b" => redirect(302, "/p/3c")
         case "/c/b.example.com/q/1" => ok("cross-host target")
         case "/c/a.example.com/p/2b" => ok("relative target")
+        case "/c/a.example.com/p/3c" => ok("multi-hop target")
         case _ => ex.sendResponseHeaders(404, -1)
       }
       ex.close()
@@ -1606,22 +1612,25 @@ class StreamsSpec extends AnyFunSuite {
           .toDF("url", "lastmod", "status", "lastmod_raw", "stored_lastmod")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$lake.refetch/batch=$id")
-      feed(1L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
-      // drain the content feed: both answers are 3xx → skipped rows
-      // whose Locations flow through the hop into the .replan feed
+      feed(1L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2",
+        "https://a.example.com/p/3"))
+      // drain the content feed: all three answers are 3xx → skipped
+      // rows whose Locations flow through the hop into the .replan feed
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
         hostPermitsPerSec = 5) == Seq(1L))
       val fa = spark.read.parquet(s"$lake.fetched.audit/batch=1")
         .collect().head
       assert((fa.getAs[Long]("planned"), fa.getAs[Long]("skipped"),
         fa.getAs[Long]("redirected"), fa.getAs[Long]("replanned")) ==
-        ((2L, 2L, 2L, 2L)), s"fetched audit: $fa")
+        ((3L, 3L, 3L, 3L)), s"fetched audit: $fa")
       val ga = spark.read.parquet(s"$lake.replan.audit/batch=1")
         .collect().head
       assert((ga.getAs[Long]("arrived"), ga.getAs[Long]("admitted")) ==
-        ((2L, 2L)), s"gate audit: $ga")
+        ((3L, 3L)), s"gate audit: $ga")
       // the replan drain fetches the admitted targets — the relative
-      // form resolved, the cross-host one under the NEW host's path
+      // form resolved, the cross-host one under the NEW host's path;
+      // the chain's middle hop (p/3b) 3xxes again and re-enters the
+      // gate under the derived id for the NEXT cycle
       assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
         dest, hostPermitsPerSec = 5) == Seq(1L))
       assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
@@ -1635,8 +1644,28 @@ class StreamsSpec extends AnyFunSuite {
       val ra = spark.read.parquet(s"$lake.replanfetched.audit/batch=1")
         .collect().head
       assert((ra.getAs[Long]("planned"), ra.getAs[Long]("fetched"),
-        ra.getAs[Long]("failed")) == ((2L, 2L, 0L)), s"replan audit: $ra")
-      // the feeds are consumer-GC'd
+        ra.getAs[Long]("skipped"), ra.getAs[Long]("failed"),
+        ra.getAs[Long]("redirected"), ra.getAs[Long]("replanned")) ==
+        ((3L, 2L, 1L, 0L, 1L, 1L)), s"replan audit: $ra")
+      // the consumed producer batch is GC'd; the hop's derived batch
+      // (disjoint id namespace) is the only thing left in the feed
+      assert(new java.io.File(s"$lake.replan").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq ==
+        Seq(s"batch=${Streams.IndexChildBase + 1L}"),
+        "hop must land the derived batch and GC the consumed one")
+      // next cycle: the derived batch drains — the chain's terminal
+      // target lands, nothing further re-plans
+      assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
+        dest, hostPermitsPerSec = 5) ==
+        Seq(Streams.IndexChildBase + 1L))
+      assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+        dest, "a.example.com", "p", "3c")) == "multi-hop target")
+      val ra2 = spark.read.parquet(s"$lake.replanfetched.audit/" +
+        s"batch=${Streams.IndexChildBase + 1L}").collect().head
+      assert((ra2.getAs[Long]("planned"), ra2.getAs[Long]("fetched"),
+        ra2.getAs[Long]("redirected")) == ((1L, 1L, 0L)),
+        s"hop-batch audit: $ra2")
+      // now the feeds are fully consumer-GC'd
       assert(new java.io.File(s"$lake.replan").listFiles()
         .forall(!_.getName.startsWith("batch=")), "replan feed not GC'd")
       // cycle bound: the SAME redirects arriving again dedup against
@@ -1751,6 +1780,172 @@ class StreamsSpec extends AnyFunSuite {
         .collect().map(_.getAs[String]("loc")).toSeq ==
         Seq("https://a.example.com/sm0.xml"), "replay changed the landing")
     } finally server.stop(0)
+  }
+
+  test("conditional discovery: unchanged robots and sitemap answer 304 with zero body bytes") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cond_disc")
+    val lake = dir.resolve("lake").toString
+    // robots version: v1 serves ETag "r1", v2 (after rotation) "r2";
+    // BOTH bodies announce the SAME sitemap file, whose ETag never
+    // rotates — the discovery shape where 304 economics are biggest
+    val robotsV = new java.util.concurrent.atomic.AtomicInteger(1)
+    // request log: (path, If-None-Match)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String)]()
+    val smXml = "<?xml version=\"1.0\"?>\n<urlset>\n" +
+      "  <url><loc>https://a.example.com/p/1</loc></url>\n</urlset>\n"
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val inm = String.valueOf(
+        ex.getRequestHeaders.getFirst("If-None-Match"))
+      seen.add((path, inm))
+      def ok(body: String, etag: String): Unit = {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("ETag", etag)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      }
+      path match {
+        case "/c/a.example.com/robots.txt" =>
+          val cur = s""""r${robotsV.get()}""""
+          if (inm == cur) ex.sendResponseHeaders(304, -1)
+          else ok("User-agent: *\n" +
+            "Sitemap: https://a.example.com/sm0.xml\n", cur)
+        case "/c/a.example.com/sm0.xml" =>
+          if (inm == "\"s1\"") ex.sendResponseHeaders(304, -1)
+          else ok(smXml, "\"s1\"")
+        case _ => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      def seed(id: Long): Unit =
+        Seq("a.example.com").toDF("host")
+          .write.parquet(s"$lake.seedhosts/batch=$id")
+      def robotsAudit(id: Long): (Long, Long, Long) = {
+        val r = spark.read.parquet(s"$lake.robotstxt.audit/batch=$id")
+          .collect().head
+        (r.getAs[Long]("fetched"), r.getAs[Long]("skipped"),
+          r.getAs[Long]("not_modified"))
+      }
+      // tick 1: unconditional 200s; both responses' validators land
+      seed(1L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher) == Seq(1L))
+      assert(robotsAudit(1L) == ((1L, 0L, 0L)))
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(1L))
+      val led = Streams.validatorLedgerLatest(spark, s"$lake.validators")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(led == Map(
+        "https://a.example.com/robots.txt" -> "\"r1\"",
+        "https://a.example.com/sm0.xml" -> "\"s1\""), s"ledger: $led")
+      // tick 2, robots STALE but unchanged: the refetch sends the
+      // captured ETag and the 304 lands a not_modified row — zero
+      // body bytes, no re-announcement
+      seed(2L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(2L))
+      assert(robotsAudit(2L) == ((0L, 0L, 1L)))
+      assert(!new java.io.File(s"$lake.sitemaps/batch=2").exists(),
+        "a 304'd robots must not re-announce")
+      assert(seen.toArray.map(_.asInstanceOf[(String, String)]).toSeq
+        .filter(_._1.endsWith("robots.txt")).map(_._2) ==
+        Seq("null", "\"r1\""), "second robots request must send INM")
+      // the 304 RESTARTED the staleness window: a re-seed within it
+      // is skipped/fresh, no request at all
+      seed(3L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher) == Seq(3L))
+      assert(robotsAudit(3L) == ((0L, 1L, 0L)))
+      // ETag rotation: robots CHANGED — the conditional refetch
+      // misses, the 200 re-announces, and the ledger stores the new
+      // tag; the re-announced sitemap is UNCHANGED and 304s
+      robotsV.set(2)
+      seed(4L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(4L))
+      assert(robotsAudit(4L) == ((1L, 0L, 0L)))
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=4")
+        .collect().map(_.getAs[String]("loc")).toSeq ==
+        Seq("https://a.example.com/sm0.xml"))
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(4L))
+      val xa = spark.read.parquet(s"$lake.sitemapxml.audit/batch=4")
+        .collect().head
+      assert((xa.getAs[Long]("planned"), xa.getAs[Long]("fetched"),
+        xa.getAs[Long]("failed"), xa.getAs[Long]("not_modified")) ==
+        ((1L, 0L, 0L, 1L)), s"sitemap audit: $xa")
+      assert(spark.read.parquet(s"$lake.sitemapxml/batch=4").count() == 0L,
+        "a 304'd sitemap must not land XML")
+      assert(seen.toArray.map(_.asInstanceOf[(String, String)]).toSeq
+        .filter(_._1.endsWith("sm0.xml")).map(_._2) ==
+        Seq("null", "\"s1\""), "second sitemap request must send INM")
+      // latest-wins across both drains' captures
+      val led2 = Streams.validatorLedgerLatest(spark, s"$lake.validators")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(led2 == Map(
+        "https://a.example.com/robots.txt" -> "\"r2\"",
+        "https://a.example.com/sm0.xml" -> "\"s1\""), s"ledger: $led2")
+    } finally server.stop(0)
+  }
+
+  test("robots staleness ledger folds below the replayable window, verdicts unchanged") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_robledger")
+    val lake = dir.resolve("lake").toString
+    val fetcher = new Streams.DemoRobotsFetcher
+    def seed(id: Long, hosts: Seq[String]): Unit =
+      hosts.toDF("host")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$lake.seedhosts/batch=$id")
+    def audit(id: Long): (Long, Long) = {
+      val r = spark.read.parquet(s"$lake.robotstxt.audit/batch=$id")
+        .collect().head
+      (r.getAs[Long]("fetched"), r.getAs[Long]("skipped"))
+    }
+    def ledgerDirs: Seq[String] =
+      new java.io.File(s"$lake.robotstxt.ledger").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
+    // a PRE-COLUMN dir (old builds stored host only): the probe and
+    // the fold must fall back to its partition id as the seen value
+    Seq("e.example.com").toDF("host")
+      .write.parquet(s"$lake.robotstxt.ledger/batch=0")
+    // three drains build history at seen = 1, 2, 3
+    seed(1L, Seq("a.example.com")); seed(2L, Seq("c.example.com"))
+    seed(3L, Seq("d.example.com"))
+    assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher)
+      == Seq(1L, 2L, 3L))
+    assert(ledgerDirs == Seq("batch=0", "batch=1", "batch=2", "batch=3"))
+    // empty feed → nothing is replayable → everything folds into the
+    // max dir, per-host seen values preserved as data
+    assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+      compactPastBatches = 2) == Seq.empty)
+    assert(ledgerDirs == Seq("batch=3"), s"fold left $ledgerDirs")
+    // verdicts unchanged post-fold: within a window of 3, host a
+    // (seen=1) is stale and refetches; d (seen=3) and the legacy e
+    // (seen=0 → fresh under a window of 100) skip
+    seed(4L, Seq("a.example.com", "d.example.com"))
+    assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+      refetchAfterBatches = 3) == Seq(4L))
+    assert(audit(4L) == ((1L, 1L)), s"post-fold verdicts: ${audit(4L)}")
+    seed(5L, Seq("e.example.com"))
+    assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+      refetchAfterBatches = 100) == Seq(5L))
+    assert(audit(5L) == ((0L, 1L)),
+      "legacy pre-column row must survive the fold as its partition id")
+    // replay exclusion survives the fold: re-land batch 4 (crash
+    // before the feed drop) — the probe excludes ONLY id 4, reads a's
+    // folded seen=1, and re-fetches instead of trusting its own
+    // half-committed rows
+    seed(4L, Seq("a.example.com"))
+    assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+      refetchAfterBatches = 3) == Seq(4L))
+    assert(audit(4L) == ((1L, 0L)), s"replay verdict: ${audit(4L)}")
   }
 
   test("crawl service loop: a bare seeded host becomes fetched content in one tick") {
