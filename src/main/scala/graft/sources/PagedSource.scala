@@ -10,6 +10,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 
 import graft.sources.FilePipeline.{CopyAudit, FileEntry, SerializableHadoopConf}
 
@@ -751,6 +752,124 @@ object PagedSource {
     val plan = FilePipeline.syncPlan(src, dst)
     distCopyPaged(spark, fetcher, FilePipeline.copyTargets(plan), dstRoot,
       partitions, maxRetries, baseBackoffMs, permitsPerSec)
+  }
+
+  /** f17: CONDITIONAL incremental sync from a paged source — f09 with
+    * RFC 9110 validators on the DOWNLOAD half (VERDICT r16 #1's
+    * machinery applied to the reference's own axis). The f03 diff
+    * plans by size+mtime, but SharePoint-class remotes bump mtimes on
+    * metadata-only updates (permissions, a no-op re-save) — exactly
+    * the case ETags exist for: a planned `copy_changed` file whose
+    * captured ETag still matches answers 304, landing a
+    * `not_modified` audit row with ZERO body bytes, and the
+    * destination's mtime is touched to the remote's so the NEXT sync
+    * plans it `noop` (without the touch every later sync would
+    * re-304 the same file forever — one wasted request per cycle).
+    *
+    * Validators persist in [[ValidatorLedger]] seq dirs under
+    * `<dstRoot>.validators`, keyed by the remote item id
+    * (`FileEntry.path` — stable across renames where a rel_path is
+    * not): every 200 that carried an ETag/Last-Modified appends its
+    * capture, the ledger compacts size-triggered at sync start, and
+    * the conditional request prefers the ETag (If-None-Match) over
+    * the date form. The conditional is attempted ONLY when the
+    * destination file exists at the remote's listed size — a missing
+    * or size-diverged local copy needs the bytes regardless of what
+    * the server would confirm (a 304 against a truncated local file
+    * would "confirm" bytes we do not have, and the mtime touch would
+    * then hide the corruption from every later diff).
+    *
+    * Plain [[PageFetcher]]s degrade gracefully (runtime match, the
+    * st30/st28 rule): every copy is unconditional `openCapturing`,
+    * which still FEEDS the ledger when the transport exposes
+    * validators, so upgrading the fetcher later makes old captures
+    * immediately useful. Audit conservation: one row per planned
+    * file, `planned = copied + not_modified + skipped + failed`.
+    * Returns [[FetchAudit]] rows (CopyAudit + the captured
+    * validators), eagerly materialized — the ledger append is part of
+    * the call's contract, so the copy cannot re-run lazily.
+    */
+  def syncCopyPagedConditional(spark: SparkSession, fetcher: PageFetcher,
+      dstRoot: String, rootId: String = "", partitions: Int = 0,
+      maxRetries: Int = 4, baseBackoffMs: Long = 100,
+      permitsPerSec: Double = 0, compactPastBatches: Int = 64)
+      : Dataset[FetchAudit] = {
+    import spark.implicits._
+    val ledgerRoot = s"$dstRoot.validators"
+    if (compactPastBatches > 0)
+      ValidatorLedger.compact(spark, ledgerRoot, compactPastBatches)
+    val src = pagedCatalog(spark, fetcher, rootId, maxRetries,
+      baseBackoffMs, permitsPerSec)
+    val dst = FilePipeline.catalog(spark, dstRoot)
+    val targets = FilePipeline.copyTargets(FilePipeline.syncPlan(src, dst))
+    val led = ValidatorLedger.latest(spark, ledgerRoot)
+    val n = if (partitions > 0) partitions
+      else spark.sparkContext.defaultParallelism * 4
+    val confSer = new SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val audits = targets.toDF()
+      .join(led, col("path") === led("url"), "left")
+      .select(col("path"), col("rel_path"), col("size"), col("mtime"),
+        coalesce(col("led_etag"), lit("")).as("etag"),
+        coalesce(col("led_last_modified"), lit("")).as("lm"))
+      .as[(String, String, Long, Long, String, String)]
+      .repartition(n)
+      .mapPartitions { rows =>
+        val conf = confSer.value
+        rows.map { case (id, rel0, size, mtime, etag, lm) =>
+          val rel = if (rel0.nonEmpty) rel0 else id
+          val destPath = new Path(dstRoot + "/" + rel)
+          if (FilePipeline.unsafeRelPath(rel))
+            FetchAudit(id, destPath.toString, rel0, 0L, "skipped",
+              "unsafe_path")
+          else try {
+            val dstFs = destPath.getFileSystem(conf)
+            dstFs.setWriteChecksum(false)
+            // conditional ONLY when the local copy plausibly IS the
+            // stored-validator content: present, at the listed size
+            val canCondition = (etag.nonEmpty || lm.nonEmpty) &&
+              dstFs.exists(destPath) &&
+              dstFs.getFileStatus(destPath).getLen == size
+            try {
+              val (in, vals) = withRetry(maxRetries, baseBackoffMs) {
+                RateLimiter.acquire("content", permitsPerSec)
+                fetcher match {
+                  case cf: ConditionalFetcher
+                      if canCondition && etag.nonEmpty =>
+                    cf.openIfNoneMatchCapturing(id, etag)
+                  case cf: ConditionalFetcher if canCondition =>
+                    cf.openIfModifiedSinceCapturing(id, lm)
+                  case f => f.openCapturing(id)
+                }
+              }
+              val (total, crc) = FilePipeline.streamTo(in, dstFs, destPath)
+              FetchAudit(id, destPath.toString, rel0, total, "copied", "",
+                crc, vals.etag, vals.lastModified)
+            } catch {
+              case _: NotModified =>
+                // the server confirmed the local bytes are current:
+                // record the remote's mtime so the next diff plans noop
+                dstFs.setTimes(destPath, mtime, -1)
+                FetchAudit(id, destPath.toString, rel0, 0L,
+                  "not_modified", "")
+            }
+          } catch {
+            case nc: NoContent =>
+              FetchAudit(id, destPath.toString, rel0, 0L, "skipped",
+                s"no_content: ${String.valueOf(nc.getMessage)}")
+            case ex: Exception =>
+              FetchAudit(id, destPath.toString, rel0, 0L, "failed",
+                String.valueOf(ex.getMessage))
+          }
+        }
+      }
+      .localCheckpoint(true) // one copy pass feeds caller + ledger append
+    ValidatorLedger.appendSeq(
+      audits.filter(col("status") === "copied" &&
+          (col("etag") =!= "" || col("last_modified") =!= ""))
+        .select(col("src").as("url"), col("etag"), col("last_modified")),
+      ledgerRoot)
+    audits
   }
 
   /** f14: EXECUTE a crawl plan — the bridge that closes the crawl

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The per-URL response-validator ledger — ONE implementation shared
+  * by every conditional-fetch surface (the crawl service's content /
+  * robots / sitemap drains in [[graft.streaming.Streams]], and the
+  * f17 conditional paged sync in [[PagedSource]]). A 200 whose
+  * response carried an ETag/Last-Modified appends a
+  * `(url, etag, last_modified)` row; the next cycle reads the ledger
+  * back (latest row per URL wins) and sends If-None-Match (the strong
+  * validator servers prefer) or If-Modified-Since, so an unchanged
+  * resource answers 304 with zero body bytes.
+  *
+  * Layout: `<root>/batch=<seq>` append dirs keyed by a MONOTONIC
+  * write sequence (max existing id + 1) — never a caller's batch id,
+  * whose namespaces (producer vs index-expansion) are not in write
+  * order. Replay contract: a crash-replayed writer appends identical
+  * rows at a NEW seq; latest-wins reads them identically and
+  * [[compact]] folds the duplicate away. Fold keeps the per-cycle
+  * read O(recent) over a long-lived service instead of O(every write
+  * ever).
+  */
+object ValidatorLedger {
+
+  /** The ledger's CURRENT state: latest captured (etag, last_modified)
+    * per URL across `batch=*` dirs, latest-wins by seq. Columns
+    * prefixed `led_` so the caller's join never collides. Empty frame
+    * when no ledger exists yet.
+    */
+  def latest(spark: SparkSession, ledgerRoot: String): DataFrame = {
+    val ids = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
+      .filter(_ >= 0)
+    if (ids.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "url STRING, led_etag STRING, led_last_modified STRING"))
+    else
+      spark.read
+        .schema("url STRING, etag STRING, last_modified STRING, " +
+          "batch BIGINT")
+        .option("basePath", ledgerRoot)
+        .parquet(ids.map(i => s"$ledgerRoot/batch=$i"): _*)
+        // latest-wins: struct max orders on batch first; the string
+        // fields break (impossible within one well-formed batch) ties
+        // deterministically
+        .groupBy("url")
+        .agg(max(struct(col("batch"), col("etag"),
+          col("last_modified"))).as("v"))
+        .select(col("url"), col("v.etag").as("led_etag"),
+          col("v.last_modified").as("led_last_modified"))
+  }
+
+  /** Append captured validators at the next free seq. `caps` must
+    * carry (url, etag, last_modified); an empty frame writes nothing
+    * (no empty dirs on idle cycles). Callers are serialized per
+    * service tick, so the max-plus-one allocation cannot race.
+    */
+  def appendSeq(caps: DataFrame, ledgerRoot: String): Unit = {
+    if (caps.isEmpty) return
+    val spark = caps.sparkSession
+    val seq = (graft.operators.Dedup
+      .listBatchIds(spark, ledgerRoot).filter(_ >= 0) :+ -1L).max + 1
+    caps.select("url", "etag", "last_modified")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ledgerRoot/batch=$seq")
+  }
+
+  /** Fold the ledger's seq dirs into ONE latest-wins dir at the
+    * largest folded seq. Safe at any time: writes only APPEND at
+    * fresh seqs, so nothing ever Overwrites a folded directory.
+    * Crash-safe: the merged rows land via Overwrite on the target seq
+    * FIRST (they subsume its originals), then the older dirs drop — a
+    * crash between the two leaves duplicates that latest-wins reads
+    * correctly.
+    */
+  def compact(spark: SparkSession, ledgerRoot: String,
+      minBatches: Int = 64): Unit = {
+    val foldable = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
+      .filter(_ >= 0).sorted
+    if (foldable.length < minBatches) return
+    val target = foldable.max
+    spark.read
+      .schema("url STRING, etag STRING, last_modified STRING, " +
+        "batch BIGINT")
+      .option("basePath", ledgerRoot)
+      .parquet(foldable.map(i => s"$ledgerRoot/batch=$i"): _*)
+      .groupBy("url")
+      .agg(max(struct(col("batch"), col("etag"),
+        col("last_modified"))).as("v"))
+      .select(col("url"), col("v.etag").as("etag"),
+        col("v.last_modified").as("last_modified"))
+      .localCheckpoint(true) // sever lineage from the dirs being folded
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ledgerRoot/batch=$target")
+    val p = new org.apache.hadoop.fs.Path(ledgerRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    foldable.filter(_ != target).foreach(id =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true))
+  }
+}

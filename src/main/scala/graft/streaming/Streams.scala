@@ -2977,71 +2977,21 @@ object Streams {
     ids
   }
 
-  /** The per-URL validator ledger's CURRENT state: latest captured
-    * (etag, last_modified) per URL across `.validators/batch=*` dirs,
-    * latest-wins by batch id (one URL may be refetched across many
-    * drains). Columns prefixed `led_` so the caller's join never
-    * collides. Empty frame when no ledger exists yet.
+  /** The per-URL validator ledger's CURRENT state — delegates to the
+    * shared [[graft.sources.ValidatorLedger]] (one implementation for
+    * every conditional-fetch surface: the crawl drains here and the
+    * f17 conditional paged sync).
     */
   private[graft] def validatorLedgerLatest(spark: SparkSession,
-      ledgerRoot: String): DataFrame = {
-    val ids = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
-      .filter(_ >= 0)
-    if (ids.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "url STRING, led_etag STRING, led_last_modified STRING"))
-    else
-      spark.read
-        .schema("url STRING, etag STRING, last_modified STRING, " +
-          "batch BIGINT")
-        .option("basePath", ledgerRoot)
-        .parquet(ids.map(i => s"$ledgerRoot/batch=$i"): _*)
-        // latest-wins: struct max orders on batch first; the string
-        // fields break (impossible within one well-formed batch) ties
-        // deterministically
-        .groupBy("url")
-        .agg(max(struct(col("batch"), col("etag"),
-          col("last_modified"))).as("v"))
-        .select(col("url"), col("v.etag").as("led_etag"),
-          col("v.last_modified").as("led_last_modified"))
-  }
+      ledgerRoot: String): DataFrame =
+    graft.sources.ValidatorLedger.latest(spark, ledgerRoot)
 
-  /** Fold the validator ledger's seq dirs into ONE latest-wins dir
-    * at the largest folded seq. Safe at any time: ledger writes only
-    * APPEND at fresh seqs (refetchDrainOnce's monotonic-seq rule),
-    * so nothing ever Overwrites a folded directory. Crash-safe: the
-    * merged rows land via Overwrite on the target seq FIRST (they
-    * subsume its originals), then the older dirs drop — a crash
-    * between the two leaves duplicates that latest-wins reads
-    * correctly. Keeps the per-drain ledger read O(recent batches)
-    * over a long-lived service instead of O(every drain ever).
+  /** Fold the validator ledger's seq dirs —
+    * [[graft.sources.ValidatorLedger.compact]].
     */
   private[graft] def compactValidatorLedger(spark: SparkSession,
-      ledgerRoot: String, minBatches: Int = 64): Unit = {
-    val foldable = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
-      .filter(_ >= 0).sorted
-    if (foldable.length < minBatches) return
-    val target = foldable.max
-    spark.read
-      .schema("url STRING, etag STRING, last_modified STRING, " +
-        "batch BIGINT")
-      .option("basePath", ledgerRoot)
-      .parquet(foldable.map(i => s"$ledgerRoot/batch=$i"): _*)
-      .groupBy("url")
-      .agg(max(struct(col("batch"), col("etag"),
-        col("last_modified"))).as("v"))
-      .select(col("url"), col("v.etag").as("etag"),
-        col("v.last_modified").as("last_modified"))
-      .localCheckpoint(true) // sever lineage from the dirs being folded
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ledgerRoot/batch=$target")
-    val p = new org.apache.hadoop.fs.Path(ledgerRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    foldable.filter(_ != target).foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true))
-  }
+      ledgerRoot: String, minBatches: Int = 64): Unit =
+    graft.sources.ValidatorLedger.compact(spark, ledgerRoot, minBatches)
 
   /** st28: the STREAMING fetch drain — both feed consumers
     * ([[sitemapFetchDrainOnce]] for st27's announced sitemap files,

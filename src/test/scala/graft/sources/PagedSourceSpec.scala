@@ -560,6 +560,102 @@ class PagedSourceSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("f17 conditional paged sync: metadata-only mtime bumps 304 with zero body bytes") {
+    import scala.collection.concurrent.TrieMap
+    // the "remote": two files whose listing mtime can bump without a
+    // content change (the SharePoint metadata-only-update shape), and
+    // whose content endpoint honors If-None-Match
+    val bodies = TrieMap("f1.txt" -> "alpha", "f2.txt" -> "bravo")
+    val etags = TrieMap("f1.txt" -> "\"e1\"", "f2.txt" -> "\"e2\"")
+    val mtimes = TrieMap("f1.txt" -> 1000L, "f2.txt" -> 2000L)
+    // request log: (path, If-None-Match)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, String)]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def send(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(code, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/list", (ex: HttpExchange) => {
+      val items = Seq("f1.txt", "f2.txt").map { n =>
+        s"""{"id":"/c/$n","name":"$n","isDir":false,""" +
+          s""""size":${bodies(n).length},"mtime":${mtimes(n)}}"""
+      }.mkString(",")
+      send(ex, 200, s"""{"items":[$items]}"""
+        .getBytes(StandardCharsets.UTF_8))
+    })
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val name = ex.getRequestURI.getPath.stripPrefix("/c/")
+      val inm = String.valueOf(
+        ex.getRequestHeaders.getFirst("If-None-Match"))
+      seen.add((name, inm))
+      if (inm == etags(name)) send(ex, 304, Array.empty)
+      else {
+        ex.getResponseHeaders.add("ETag", etags(name))
+        send(ex, 200, bodies(name).getBytes(StandardCharsets.UTF_8))
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = new PagedSource.HttpJsonFetcher(base)
+      val dst = Files.createTempDirectory("graft_f17").toString + "/mirror"
+      def sync() = PagedSource
+        .syncCopyPagedConditional(spark, fetcher, dst, maxRetries = 2,
+          baseBackoffMs = 1)
+        .collect().sortBy(_.src)
+      def fileText(n: String): String = new String(
+        Files.readAllBytes(java.nio.file.Paths.get(dst, n)),
+        StandardCharsets.UTF_8)
+      // sync 1: both new → unconditional copies; validators captured
+      val a1 = sync()
+      assert(a1.map(_.status).toSeq == Seq("copied", "copied"), s"${a1.toSeq}")
+      assert(a1.map(_.etag).toSeq == Seq("\"e1\"", "\"e2\""))
+      assert(fileText("f1.txt") == "alpha" && fileText("f2.txt") == "bravo")
+      val led = graft.sources.ValidatorLedger
+        .latest(spark, s"$dst.validators")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(led == Map("/c/f1.txt" -> "\"e1\"", "/c/f2.txt" -> "\"e2\""),
+        s"ledger: $led")
+      // sync 2: unchanged remote → empty plan, zero content requests
+      seen.clear()
+      assert(sync().isEmpty, "unchanged remote must plan nothing")
+      assert(seen.isEmpty, "unchanged remote must cost zero content requests")
+      // sync 3: metadata-ONLY update (mtime bumps past the local copy,
+      // content identical) → the diff plans copy_changed, the stored
+      // ETag rides If-None-Match, the 304 lands not_modified with zero
+      // bytes, and the dest mtime is touched to the remote's
+      val bump = System.currentTimeMillis() + 60000L
+      mtimes("f1.txt") = bump; mtimes("f2.txt") = bump
+      val a3 = sync()
+      assert(a3.map(_.status).toSeq == Seq("not_modified", "not_modified"),
+        s"${a3.toSeq}")
+      assert(a3.forall(_.bytes == 0L))
+      assert(seen.toArray.map(_.asInstanceOf[(String, String)]).toMap ==
+        Map("f1.txt" -> "\"e1\"", "f2.txt" -> "\"e2\""),
+        "the refetch must send the captured ETags")
+      assert(fileText("f1.txt") == "alpha" && fileText("f2.txt") == "bravo")
+      // sync 4: the touch recorded the new mtime — plans nothing
+      seen.clear()
+      assert(sync().isEmpty, "a 304-confirmed file must re-plan as noop")
+      assert(seen.isEmpty)
+      // sync 5: a REAL change on f2 (content + etag + mtime) — the
+      // conditional misses, the 200 lands, the ledger stores the new
+      // tag; untouched f1 stays out of the plan entirely
+      bodies("f2.txt") = "bravo-v2"; etags("f2.txt") = "\"e2b\""
+      mtimes("f2.txt") = bump + 60000L
+      val a5 = sync()
+      assert(a5.map(a => (a.src, a.status)).toSeq ==
+        Seq(("/c/f2.txt", "copied")), s"${a5.toSeq}")
+      assert(fileText("f2.txt") == "bravo-v2")
+      assert(graft.sources.ValidatorLedger
+        .latest(spark, s"$dst.validators")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
+        Map("/c/f1.txt" -> "\"e1\"", "/c/f2.txt" -> "\"e2b\""))
+    } finally server.stop(0)
+  }
+
   test("f15 executeRecrawlPlan: 304s audit not_modified, new rows fetch unconditionally") {
     import spark.implicits._
     // url → (body, current-validator): the server answers 304 when the
