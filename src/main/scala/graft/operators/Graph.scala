@@ -1321,13 +1321,21 @@ object Graph {
       s"<$name>([^<]*)</$name>", 1)
     val locHost = lower(regexp_extract(field("loc"),
       "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // extra input columns RIDE ALONG (the robotsFlagsOver rule): the
+    // sitemap drain's announcement ledger needs each child keyed by
+    // the PARENT index's loc, which only the caller knows — callers
+    // passing the bare (host, xml) frame see the same output as ever
+    val carry = indexes.columns.filterNot(c => c == "host" || c == "xml")
     indexes
-      .select(col("host"), posexplode(regexp_extract_all(col("xml"),
-        lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1))).as(Seq("ord", "entry")))
-      .select(col("host"), col("ord").cast("long").as("ord"),
+      .select((Seq(col("host")) ++ carry.map(col) :+
+        posexplode(regexp_extract_all(col("xml"),
+          lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
+          .as(Seq("ord", "entry"))): _*)
+      .select((Seq(col("host"), col("ord").cast("long").as("ord"),
         field("loc").as("loc"),
         field("lastmod").as("lastmod"),
-        (locHost === lower(col("host"))).cast("long").as("in_scope"))
+        (locHost === lower(col("host"))).cast("long").as("in_scope")) ++
+        carry.map(col)): _*)
   }
 
   /** g13: the discovery BOOTSTRAP composed — where does a crawler get

@@ -1770,6 +1770,95 @@ object Streams {
 
   // ---- st30: robots.txt fetch bootstrap (the chain's true start) ----
 
+  /** The announcement LEDGER — what makes a discovery 304 a cheap
+    * heartbeat instead of a silent freeze (review r17 #1/#3/#4): a
+    * 304 confirms the ANNOUNCING body (robots.txt, a sitemap index)
+    * is unchanged, but its announcements still need to re-enter the
+    * feed so downstream stages re-check THEIR level conditionally —
+    * without that, a steady-state host whose robots never changes
+    * would never re-fetch its sitemaps and discovery/recrawl freezes
+    * permanently. Rows: `(src_key, host, source, loc, lastmod)` at
+    * `batch=<drain id>` dirs, REPLACE semantics per src_key (a
+    * re-fetched announcer's row set supersedes its old one —
+    * latest-batch-wins per key, read as a set). src_key = the
+    * announcing entity (the host for robots.txt, the index file's
+    * loc for `<sitemapindex>` children), so partial knowledge is
+    * never a problem: one host's 304'd index and fetched index
+    * update independently.
+    *
+    * Replay contract (ORDER-dependent, deliberately): each drain
+    * writes the ledger BEFORE it appends response validators, so a
+    * 304 on crash-replay (possible only if the validator append
+    * committed) implies the same attempt's ledger write committed
+    * too — the re-announce probe therefore does NOT exclude the
+    * current batch id (unlike the staleness probes: these rows are
+    * whole-set Overwrites, not half-commit-prone aggregates).
+    */
+  private def announceLedgerWrite(rows: DataFrame, ledgerRoot: String,
+      batchId: Long): Unit = {
+    if (rows.isEmpty) return
+    rows.select("src_key", "host", "source", "loc", "lastmod")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ledgerRoot/batch=$batchId")
+  }
+
+  /** The latest announcement SET for each key in `keys` (a 1-column
+    * `src_key` frame): each key's rows from its highest ledger batch.
+    * Empty frame when no ledger exists.
+    */
+  private def announceLedgerLatest(spark: SparkSession,
+      ledgerRoot: String, keys: DataFrame): DataFrame = {
+    val ids = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
+      .filter(_ >= 0)
+    if (ids.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "host STRING, source STRING, loc STRING, lastmod STRING"))
+    val rows = spark.read
+      .schema("src_key STRING, host STRING, source STRING, " +
+        "loc STRING, lastmod STRING, batch BIGINT")
+      .option("basePath", ledgerRoot)
+      .parquet(ids.map(i => s"$ledgerRoot/batch=$i"): _*)
+      .join(keys.select("src_key"), Seq("src_key"), "left_semi")
+    rows.join(rows.groupBy("src_key").agg(max(col("batch")).as("_mb")),
+        Seq("src_key"))
+      .filter(col("batch") === col("_mb"))
+      .select("host", "source", "loc", "lastmod")
+  }
+
+  /** Fold announcement-ledger dirs at ids ≤ `upTo` (below every
+    * replayable feed id — the compactRobotsLedger discipline) into
+    * ONE dir holding each key's latest set. Crash-safe like every
+    * other fold here: merged rows Overwrite the max folded dir
+    * FIRST, then older dirs drop; leftovers read correctly under
+    * latest-batch-wins (the folded dir's partition id ≥ every true
+    * batch it absorbed, and its content IS each key's latest set).
+    */
+  private[graft] def compactAnnounceLedger(spark: SparkSession,
+      ledgerRoot: String, upTo: Long, minBatches: Int): Unit = {
+    val foldable = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
+      .filter(i => i >= 0 && i <= upTo).sorted
+    if (foldable.length <= minBatches) return
+    val target = foldable.max
+    val rows = spark.read
+      .schema("src_key STRING, host STRING, source STRING, " +
+        "loc STRING, lastmod STRING, batch BIGINT")
+      .option("basePath", ledgerRoot)
+      .parquet(foldable.map(i => s"$ledgerRoot/batch=$i"): _*)
+    rows.join(rows.groupBy("src_key").agg(max(col("batch")).as("_mb")),
+        Seq("src_key"))
+      .filter(col("batch") === col("_mb"))
+      .select("src_key", "host", "source", "loc", "lastmod")
+      .localCheckpoint(true) // sever lineage from the dirs being folded
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ledgerRoot/batch=$target")
+    val p = new org.apache.hadoop.fs.Path(ledgerRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    foldable.filter(_ != target).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true))
+  }
+
   /** RFC 9309 §2.5's fetch cap: parsers must handle at least 500 KiB;
     * bytes past the cap are dropped (a hostile endless robots body
     * must not buffer unbounded executor memory).
@@ -1809,11 +1898,19 @@ object Streams {
     *    [[refetchDrainOnce]]'s capture contract), the refetch sends
     *    If-None-Match (preferred) or If-Modified-Since — an unchanged
     *    robots.txt answers 304 and lands a `not_modified` audit row
-    *    with ZERO body bytes: no re-parse, no re-announcement (the
-    *    prior announcements were already consumed), but the staleness
-    *    window RESTARTS (the server just confirmed the parsed state
-    *    is current). Robots files change rarest of anything a crawler
-    *    fetches, so this is where the 304 economics are biggest;
+    *    with ZERO body bytes (no re-parse), the staleness window
+    *    RESTARTS, and the host's STORED announcement set RE-enters
+    *    the `.sitemaps` feed from the `.robotstxt.announcements`
+    *    ledger (written per fetched host, REPLACE semantics, BEFORE
+    *    the validator capture — the announce-ledger replay order):
+    *    the 304 is a cheap HEARTBEAT, not a freeze — each announced
+    *    sitemap is then re-checked conditionally downstream, so an
+    *    unchanged level costs one 304 and a changed one re-parses
+    *    (review r17 #1: without the re-announce, a steady-state host
+    *    whose robots never changes would never re-check its sitemaps
+    *    and discovery/recrawl froze permanently). Robots files change
+    *    rarest of anything a crawler fetches, so this is where the
+    *    304 economics are biggest;
     *  - fetched AND not-modified hosts append `(host, seen=<id>)` to
     *    the `.robotstxt.ledger/batch=<id>` staleness ledger (latest
     *    `seen` per host wins; the probe excludes the CURRENT id so a
@@ -1846,14 +1943,16 @@ object Streams {
     val valRoot = s"$lakePath.validators"
     val ids = graft.operators.Dedup.listBatchIds(spark, feed)
       .filter(_ >= 0).sorted
+    val annRoot = s"$lakePath.robotstxt.announcements"
     // staleness-ledger upkeep BEFORE the drain: fold history below
     // the replayable window (everything under the smallest PENDING
     // feed id is final — a consumed feed dir can never replay; with
     // an empty feed, nothing can replay at all)
-    if (compactPastBatches > 0)
-      compactRobotsLedger(spark, ledgerRoot,
-        if (ids.nonEmpty) ids.min - 1 else Long.MaxValue,
-        compactPastBatches)
+    if (compactPastBatches > 0) {
+      val upTo = if (ids.nonEmpty) ids.min - 1 else Long.MaxValue
+      compactRobotsLedger(spark, ledgerRoot, upTo, compactPastBatches)
+      compactAnnounceLedger(spark, annRoot, upTo, compactPastBatches)
+    }
     ids.foreach { id =>
       val hosts = spark.read.schema("host STRING")
         .parquet(s"$feed/batch=$id")
@@ -1931,11 +2030,31 @@ object Streams {
         }
       }.toDF("host", "payload", "status", "error", "r_etag", "r_lm")
         .localCheckpoint(true) // one fetch pass feeds st27 + ledgers + audit
-      // fetched bodies ARE st27's batch — parse + land under this id
+      // announcement ledger for FETCHED hosts, written BEFORE the
+      // validator capture (the announce-ledger replay order): on a
+      // later 304 the host's announcements re-enter the feed from
+      // here — without this, a steady-state host whose robots never
+      // changes would never re-check its sitemaps (review r17 #1)
+      announceLedgerWrite(
+        graft.operators.Graph.robotsSitemapsOver(
+          results.filter(col("status") === "fetched")
+            .select(col("host"), col("payload").as("body")))
+          .filter(col("in_scope") === 1L)
+          .select(col("host").as("src_key"), col("host"),
+            lit("robots").as("source"),
+            col("sitemap_url").as("loc"), lit("").as("lastmod")),
+        annRoot, id)
+      // fetched bodies ARE st27's batch — parse + land under this id;
+      // 304'd hosts RE-announce their stored set (the heartbeat: the
+      // sitemap drain re-checks each file conditionally, so an
+      // unchanged level costs one 304 and a changed one re-parses)
       discoveryBootstrapBatch(
         results.filter(col("status") === "fetched")
           .select(col("host"), lit("robots").as("kind"), col("payload")),
-        lakePath, id)
+        lakePath, id,
+        reannounce = announceLedgerLatest(spark, annRoot,
+          results.filter(col("status") === "not_modified")
+            .select(col("host").as("src_key"))))
       // staleness window restarts on 304 too: the server confirmed
       // the already-parsed state is current
       results.filter(col("status").isin("fetched", "not_modified"))
@@ -1945,17 +2064,13 @@ object Streams {
       // validator capture → the shared ledger at a fresh seq (a crash
       // replay appends identical rows at a new seq; latest-wins reads
       // them identically and compaction folds the duplicate away)
-      val caps = results.filter(col("status") === "fetched" &&
-          (col("r_etag") =!= "" || col("r_lm") =!= ""))
-        .select(concat(lit("https://"), col("host"),
-          lit("/robots.txt")).as("url"),
-          col("r_etag").as("etag"), col("r_lm").as("last_modified"))
-      if (!caps.isEmpty) {
-        val seq = (graft.operators.Dedup
-          .listBatchIds(spark, valRoot).filter(_ >= 0) :+ -1L).max + 1
-        caps.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$valRoot/batch=$seq")
-      }
+      graft.sources.ValidatorLedger.appendSeq(
+        results.filter(col("status") === "fetched" &&
+            (col("r_etag") =!= "" || col("r_lm") =!= ""))
+          .select(concat(lit("https://"), col("host"),
+            lit("/robots.txt")).as("url"),
+            col("r_etag").as("etag"), col("r_lm").as("last_modified")),
+        valRoot)
       val tot = results.agg(count(lit(1)),
         coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
           lit(0L)),
@@ -2028,13 +2143,24 @@ object Streams {
     * re-derives identical rows); the feed is a downstream feed under
     * the [[dropConsumedBatches]] consumer-owns-GC contract. The audit
     * conserves `announced = in_scope + cross_host` and
-    * `announced = from_robots + from_index`.
+    * `announced = from_robots + from_index`; `reannounce` rows (the
+    * robots drain's 304 heartbeat — stored announcement sets from the
+    * `.robotstxt.announcements` ledger) land IN the feed beside the
+    * in-scope parses and count in the appended `re_announced` column
+    * (feed rows = in_scope + re_announced).
     */
   def discoveryBootstrapBatch(batch: DataFrame, lakePath: String,
-      batchId: Long): Unit = {
+      batchId: Long, reannounce: DataFrame = null): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return
+    // re-announcements (review r17 #1): stored (host, source, loc,
+    // lastmod) sets for announcers whose body answered 304 this drain
+    // — they re-enter the feed beside the freshly parsed ones, so the
+    // next stage re-checks each file conditionally. Checkpointed: it
+    // feeds the landing AND the audit count.
+    val reann = Option(reannounce).map(_.localCheckpoint(true))
+    val nReann = reann.map(_.count()).getOrElse(0L)
+    if (batch.isEmpty && nReann == 0L) return
     val g = graft.operators.Graph
     val fromRobots = g.robotsSitemapsOver(
       batch.filter(col("kind") === "robots")
@@ -2061,11 +2187,17 @@ object Streams {
       (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     announced.filter(col("in_scope") === 1L)
       .select("host", "source", "loc", "lastmod")
+      .unionByName(reann.map(_.select("host", "source", "loc", "lastmod"))
+        .getOrElse(Seq.empty[(String, String, String, String)]
+          .toDF("host", "source", "loc", "lastmod")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.sitemaps/batch=$batchId")
-    Seq((batchId, nAll, nInScope, nAll - nInScope, nRobots, nAll - nRobots))
+    // `re_announced` APPENDS (the ServiceAudit order rule); feed rows
+    // = in_scope + re_announced
+    Seq((batchId, nAll, nInScope, nAll - nInScope, nRobots,
+        nAll - nRobots, nReann))
       .toDF("batch_id", "announced", "in_scope", "cross_host",
-        "from_robots", "from_index")
+        "from_robots", "from_index", "re_announced")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath.sitemaps.audit/batch=$batchId")
@@ -2351,10 +2483,19 @@ object Streams {
     *    the loc (200 responses land theirs at a fresh seq — the
     *    refetchDrainOnce capture contract, index files included), the
     *    fetch sends If-None-Match/If-Modified-Since and an unchanged
-    *    sitemap answers 304: a `not_modified` audit row with zero
-    *    body bytes, no landing, no downstream re-parse — st25/st26's
-    *    ledgers already hold the file's state, which the server just
-    *    confirmed;
+    *    LEAF sitemap answers 304: a `not_modified` audit row with
+    *    zero body bytes, no landing, no downstream re-parse —
+    *    st25/st26's ledgers already hold the urlset's state, which
+    *    the server just confirmed. An unchanged INDEX 304s too, but
+    *    its stored CHILDREN re-announce from the
+    *    `.sitemapindex.children` ledger (written per fetched index
+    *    loc at expansion time, REPLACE semantics, BEFORE the
+    *    validator capture) into the derived-id batch the next tick
+    *    fetches — each child is then re-checked conditionally, so a
+    *    changed child behind a byte-stable index is found (review
+    *    r17 #3). Crash-replays that 304 where attempt one 200'd
+    *    CARRY the landed XML forward instead of truncating the
+    *    batch's landing (review r17 #2);
     *  - landings are Overwrite on the SAME batch id (a crash between
     *    landing and GC replays idempotently — re-land, re-audit,
     *    re-drop);
@@ -2392,6 +2533,11 @@ object Streams {
     val ids = graft.operators.Dedup.listBatchIds(spark, feed)
       .filter(_ >= 0).sorted
     val valRoot = s"$lakePath.validators"
+    val annRoot = s"$lakePath.sitemapindex.children"
+    // children-ledger upkeep: fold below the replayable window (ledger
+    // dirs carry producer ids only — expansion batches never expand)
+    compactAnnounceLedger(spark, annRoot,
+      if (ids.nonEmpty) ids.min - 1 else Long.MaxValue, 64)
     ids.foreach { id =>
       // captured validators per announced file (VERDICT r16 #1): a
       // RE-announced sitemap whose captured ETag/Last-Modified still
@@ -2474,26 +2620,76 @@ object Streams {
           when(col("kind") === "nested", "nested_index")
             .otherwise(col("error")))
         .localCheckpoint(true) // one fetch pass feeds landings + audit
+      // XML landing with replay CARRY-FORWARD (review r17 #2): a
+      // crash-replay of this batch after its validator capture
+      // committed answers 304 where attempt one answered 200 — the
+      // Overwrite below would otherwise erase attempt one's landed,
+      // not-yet-parsed XML. Rows already in this batch's landing whose
+      // loc 304'd THIS attempt ride forward (the capture commits
+      // after the landing, so a 304 implies the landed rows exist).
+      val nmLocs = routed.filter(col("status") === "not_modified")
+        .select("loc")
+        .localCheckpoint(true) // feeds carry-forward + children reann
+      val landPath = s"$lakePath.sitemapxml/batch=$id"
+      val lp = new org.apache.hadoop.fs.Path(landPath)
+      val carried =
+        if (lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(lp))
+          spark.read.schema("host STRING, loc STRING, xml STRING")
+            .parquet(landPath)
+            .join(nmLocs, Seq("loc"), "left_semi")
+            .select("host", "loc", "xml")
+        else spark.emptyDataFrame
+          .select(lit("").as("host"), lit("").as("loc"),
+            lit("").as("xml")).limit(0)
       routed.filter(col("status") === "fetched" && col("kind") === "leaf")
         .select("host", "loc", "xml")
+        .unionByName(carried)
+        // EAGER checkpoint: `carried` reads the very directory the
+        // write below Overwrites — unsevered, the write would consume
+        // its own input
+        .localCheckpoint(true)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$lakePath.sitemapxml/batch=$id")
+        .parquet(landPath)
       // in-scope index children re-enter THIS feed as a derived-id
       // announcement batch the next tick fetches (cross-host decoys
       // stop here — the st25/st27 discipline); Overwrite on the
-      // derived id keeps a crash replay idempotent
-      val children =
+      // derived id keeps a crash replay idempotent. Children are
+      // LEDGERED per parent index loc (announce-ledger REPLACE
+      // semantics), written BEFORE the validator capture, so an index
+      // that later 304s RE-announces its stored children — without
+      // that, changed child sitemaps behind a byte-stable index file
+      // would never be re-checked (review r17 #3).
+      val freshChildren =
         if (allowExpand)
           graft.operators.Graph.sitemapIndexExtractOver(
             routed.filter(col("kind") === "index")
-              .select(col("host"), col("xml")))
+              .select(col("host"), col("xml"),
+                col("loc").as("parent_loc")))
             .filter(col("in_scope") === 1L)
             .select(col("host"), lit("index").as("source"), col("loc"),
-              col("lastmod")).distinct()
-            .localCheckpoint(true) // feeds the landing AND the count
+              col("lastmod"), col("parent_loc")).distinct()
+            .localCheckpoint(true) // feeds the ledger AND the landing
+        else spark.emptyDataFrame
+          .select(lit("").as("host"), lit("").as("source"),
+            lit("").as("loc"), lit("").as("lastmod"),
+            lit("").as("parent_loc")).limit(0)
+      announceLedgerWrite(
+        freshChildren.select(col("parent_loc").as("src_key"),
+          col("host"), col("source"), col("loc"), col("lastmod")),
+        annRoot, id)
+      val reannChildren =
+        if (allowExpand)
+          announceLedgerLatest(spark, annRoot,
+            nmLocs.select(col("loc").as("src_key")))
         else spark.emptyDataFrame
           .select(lit("").as("host"), lit("").as("source"),
             lit("").as("loc"), lit("").as("lastmod")).limit(0)
+      val children = freshChildren
+        .select("host", "source", "loc", "lastmod")
+        .unionByName(reannChildren)
+        .distinct()
+        .localCheckpoint(true) // feeds the landing AND the count
       val nChildren = children.count()
       if (nChildren > 0)
         children.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2501,16 +2697,12 @@ object Streams {
       // validator capture → the shared ledger at a fresh seq (index
       // files included: a re-announced index that 304s skips the
       // whole chase). Same replay contract as the content drain's.
-      val caps = routed.filter(col("status") === "fetched" &&
-          (col("r_etag") =!= "" || col("r_lm") =!= ""))
-        .select(col("loc").as("url"), col("r_etag").as("etag"),
-          col("r_lm").as("last_modified"))
-      if (!caps.isEmpty) {
-        val seq = (graft.operators.Dedup
-          .listBatchIds(spark, valRoot).filter(_ >= 0) :+ -1L).max + 1
-        caps.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$valRoot/batch=$seq")
-      }
+      graft.sources.ValidatorLedger.appendSeq(
+        routed.filter(col("status") === "fetched" &&
+            (col("r_etag") =!= "" || col("r_lm") =!= ""))
+          .select(col("loc").as("url"), col("r_etag").as("etag"),
+            col("r_lm").as("last_modified")),
+        valRoot)
       val tot = routed.agg(count(lit(1)),
         coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
           lit(0L)),

@@ -1796,8 +1796,12 @@ class StreamsSpec extends AnyFunSuite {
     // request log: (path, If-None-Match)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, String)]()
-    val smXml = "<?xml version=\"1.0\"?>\n<urlset>\n" +
-      "  <url><loc>https://a.example.com/p/1</loc></url>\n</urlset>\n"
+    def urlset(locs: String*): String =
+      "<?xml version=\"1.0\"?>\n<urlset>\n" + locs.map(l =>
+        s"  <url><loc>$l</loc></url>\n").mkString + "</urlset>\n"
+    // the sitemap's content/etag rotate in the heartbeat leg
+    @volatile var smBody = urlset("https://a.example.com/p/1")
+    @volatile var smTag = "\"s1\""
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/c/", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
@@ -1817,8 +1821,8 @@ class StreamsSpec extends AnyFunSuite {
           else ok("User-agent: *\n" +
             "Sitemap: https://a.example.com/sm0.xml\n", cur)
         case "/c/a.example.com/sm0.xml" =>
-          if (inm == "\"s1\"") ex.sendResponseHeaders(304, -1)
-          else ok(smXml, "\"s1\"")
+          if (inm == smTag) ex.sendResponseHeaders(304, -1)
+          else ok(smBody, smTag)
         case _ => ex.sendResponseHeaders(404, -1)
       }
       ex.close()
@@ -1847,25 +1851,42 @@ class StreamsSpec extends AnyFunSuite {
         "https://a.example.com/robots.txt" -> "\"r1\"",
         "https://a.example.com/sm0.xml" -> "\"s1\""), s"ledger: $led")
       // tick 2, robots STALE but unchanged: the refetch sends the
-      // captured ETag and the 304 lands a not_modified row — zero
-      // body bytes, no re-announcement
+      // captured ETag, the 304 lands a not_modified row with zero
+      // body bytes — and the stored announcement set RE-enters the
+      // feed (the heartbeat: without it, discovery would freeze while
+      // robots stays byte-stable)
       seed(2L)
       assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
         refetchAfterBatches = 0) == Seq(2L))
       assert(robotsAudit(2L) == ((0L, 0L, 1L)))
-      assert(!new java.io.File(s"$lake.sitemaps/batch=2").exists(),
-        "a 304'd robots must not re-announce")
+      val sa2 = spark.read.parquet(s"$lake.sitemaps.audit/batch=2")
+        .collect().head
+      assert((sa2.getAs[Long]("announced"),
+        sa2.getAs[Long]("re_announced")) == ((0L, 1L)), s"$sa2")
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=2")
+        .collect().map(_.getAs[String]("loc")).toSeq ==
+        Seq("https://a.example.com/sm0.xml"),
+        "a 304'd robots must re-announce its stored set")
       assert(seen.toArray.map(_.asInstanceOf[(String, String)]).toSeq
         .filter(_._1.endsWith("robots.txt")).map(_._2) ==
         Seq("null", "\"r1\""), "second robots request must send INM")
+      // ...and the re-announced unchanged sitemap costs one 304
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(2L))
+      val xa2 = spark.read.parquet(s"$lake.sitemapxml.audit/batch=2")
+        .collect().head
+      assert((xa2.getAs[Long]("planned"), xa2.getAs[Long]("fetched"),
+        xa2.getAs[Long]("not_modified")) == ((1L, 0L, 1L)), s"$xa2")
+      assert(spark.read.parquet(s"$lake.sitemapxml/batch=2").count() == 0L,
+        "a first-attempt 304 has nothing to land")
       // the 304 RESTARTED the staleness window: a re-seed within it
       // is skipped/fresh, no request at all
       seed(3L)
       assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher) == Seq(3L))
       assert(robotsAudit(3L) == ((0L, 1L, 0L)))
       // ETag rotation: robots CHANGED — the conditional refetch
-      // misses, the 200 re-announces, and the ledger stores the new
-      // tag; the re-announced sitemap is UNCHANGED and 304s
+      // misses, the 200 re-announces (a fresh parse, not the ledger),
+      // and the ledger stores the new tag; the re-announced sitemap
+      // is UNCHANGED and 304s
       robotsV.set(2)
       seed(4L)
       assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
@@ -1882,15 +1903,144 @@ class StreamsSpec extends AnyFunSuite {
         ((1L, 0L, 0L, 1L)), s"sitemap audit: $xa")
       assert(spark.read.parquet(s"$lake.sitemapxml/batch=4").count() == 0L,
         "a 304'd sitemap must not land XML")
-      assert(seen.toArray.map(_.asInstanceOf[(String, String)]).toSeq
-        .filter(_._1.endsWith("sm0.xml")).map(_._2) ==
-        Seq("null", "\"s1\""), "second sitemap request must send INM")
       // latest-wins across both drains' captures
       val led2 = Streams.validatorLedgerLatest(spark, s"$lake.validators")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(led2 == Map(
         "https://a.example.com/robots.txt" -> "\"r2\"",
         "https://a.example.com/sm0.xml" -> "\"s1\""), s"ledger: $led2")
+      // HEARTBEAT: the sitemap CHANGES while robots stays byte-stable
+      // — the robots 304 re-announces, the sitemap conditional misses,
+      // and the NEW urlset lands and parses (before the announcement
+      // ledger, this exact case froze forever)
+      smBody = urlset("https://a.example.com/p/1",
+        "https://a.example.com/p/2")
+      smTag = "\"s2\""
+      seed(5L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(5L))
+      assert(robotsAudit(5L) == ((0L, 0L, 1L)))
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(5L))
+      val xa5 = spark.read.parquet(s"$lake.sitemapxml.audit/batch=5")
+        .collect().head
+      assert((xa5.getAs[Long]("planned"), xa5.getAs[Long]("fetched"),
+        xa5.getAs[Long]("not_modified")) == ((1L, 1L, 0L)), s"$xa5")
+      assert(spark.read.parquet(s"$lake.sitemapxml/batch=5")
+        .collect().map(_.getAs[String]("xml")).toSeq == Seq(smBody),
+        "the changed urlset must land")
+      // CRASH-REPLAY idempotence (the landing survives a replay that
+      // 304s): re-land the consumed announcement batch — the replayed
+      // fetch 304s against the stored "s2", and the carry-forward
+      // keeps attempt one's landed-but-unparsed XML instead of
+      // truncating it to an empty Overwrite
+      Seq(("a.example.com", "robots", "https://a.example.com/sm0.xml", ""))
+        .toDF("host", "source", "loc", "lastmod")
+        .write.parquet(s"$lake.sitemaps/batch=5")
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(5L))
+      assert(spark.read.parquet(s"$lake.sitemapxml/batch=5")
+        .collect().map(_.getAs[String]("xml")).toSeq == Seq(smBody),
+        "replay must carry the first attempt's landed XML forward")
+      // robots-side replay: re-land the consumed seed batch — the
+      // replayed drain 304s (validators committed) and re-announces
+      // from the ledger, so the feed landing re-derives instead of
+      // vanishing
+      seed(5L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(5L))
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=5")
+        .collect().map(_.getAs[String]("loc")).toSeq ==
+        Seq("https://a.example.com/sm0.xml"),
+        "a replayed 304 must re-announce from the ledger")
+    } finally server.stop(0)
+  }
+
+  test("index chase heartbeat: a 304'd index re-announces its stored children") {
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_hb")
+    val lake = dir.resolve("lake").toString
+    val idxXml = "<?xml version=\"1.0\"?>\n<sitemapindex>\n" +
+      "  <sitemap><loc>https://a.example.com/c1.xml</loc></sitemap>\n" +
+      "</sitemapindex>\n"
+    def urlset(locs: String*): String =
+      "<?xml version=\"1.0\"?>\n<urlset>\n" + locs.map(l =>
+        s"  <url><loc>$l</loc></url>\n").mkString + "</urlset>\n"
+    @volatile var cBody = urlset("https://a.example.com/p/1")
+    @volatile var cTag = "\"c1\""
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      val inm = String.valueOf(
+        ex.getRequestHeaders.getFirst("If-None-Match"))
+      def ok(body: String, etag: String): Unit = {
+        val b = body.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("ETag", etag)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b)
+      }
+      ex.getRequestURI.getPath match {
+        case "/c/a.example.com/idx.xml" =>
+          if (inm == "\"i1\"") ex.sendResponseHeaders(304, -1)
+          else ok(idxXml, "\"i1\"")
+        case "/c/a.example.com/c1.xml" =>
+          if (inm == cTag) ex.sendResponseHeaders(304, -1)
+          else ok(cBody, cTag)
+        case _ => ex.sendResponseHeaders(404, -1)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      def announce(id: Long): Unit =
+        Seq(("a.example.com", "robots", "https://a.example.com/idx.xml", ""))
+          .toDF("host", "source", "loc", "lastmod")
+          .write.parquet(s"$lake.sitemaps/batch=$id")
+      def xmlAudit(id: Long): (Long, Long, Long) = {
+        val r = spark.read.parquet(s"$lake.sitemapxml.audit/batch=$id")
+          .collect().head
+        (r.getAs[Long]("fetched"), r.getAs[Long]("not_modified"),
+          r.getAs[Long]("index_children"))
+      }
+      val childId = Streams.IndexChildBase
+      // announce 1: the index fetches, expands, and its children are
+      // LEDGERED under the index's loc
+      announce(1L)
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(1L))
+      assert(xmlAudit(1L) == ((1L, 0L, 1L)))
+      // the child fetches (its validator captured)
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher)
+        == Seq(childId + 1L))
+      assert(xmlAudit(childId + 1L) == ((1L, 0L, 0L)))
+      // announce 2, index UNCHANGED: the 304 re-announces the stored
+      // children — and the unchanged child then costs one 304 too
+      announce(2L)
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(2L))
+      assert(xmlAudit(2L) == ((0L, 1L, 1L)), s"${xmlAudit(2L)}")
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=${childId + 2L}")
+        .collect().map(_.getAs[String]("loc")).toSeq ==
+        Seq("https://a.example.com/c1.xml"),
+        "a 304'd index must re-announce its stored children")
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher)
+        == Seq(childId + 2L))
+      assert(xmlAudit(childId + 2L) == ((0L, 1L, 0L)))
+      // the child CHANGES behind the byte-stable index: the heartbeat
+      // re-announces, the child's conditional misses, the new urlset
+      // lands (before the ledger this froze forever)
+      cBody = urlset("https://a.example.com/p/1",
+        "https://a.example.com/p/2")
+      cTag = "\"c2\""
+      announce(3L)
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher) == Seq(3L))
+      assert(Streams.sitemapFetchDrainOnce(spark, lake, fetcher)
+        == Seq(childId + 3L))
+      assert(xmlAudit(childId + 3L) == ((1L, 0L, 0L)))
+      assert(spark.read
+        .parquet(s"$lake.sitemapxml/batch=${childId + 3L}")
+        .collect().map(_.getAs[String]("xml")).toSeq == Seq(cBody),
+        "the changed child urlset must land")
     } finally server.stop(0)
   }
 
