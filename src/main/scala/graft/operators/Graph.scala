@@ -1324,8 +1324,18 @@ object Graph {
     // extra input columns RIDE ALONG (the robotsFlagsOver rule): the
     // sitemap drain's announcement ledger needs each child keyed by
     // the PARENT index's loc, which only the caller knows — callers
-    // passing the bare (host, xml) frame see the same output as ever
+    // passing the bare (host, xml) frame see the same output as ever.
+    // A carried column shadowing one of the kernel's OUTPUT names
+    // (or its internal `entry`) would silently collide — refuse
+    // loudly (robotsFlagsOver's clash rule): rename before calling
+    // (the drain passes its `loc` as `parent_loc` for exactly this).
     val carry = indexes.columns.filterNot(c => c == "host" || c == "xml")
+    val clash = carry.intersect(
+      Seq("ord", "entry", "loc", "lastmod", "in_scope"))
+    require(clash.isEmpty,
+      s"sitemapIndexExtractOver: input column(s) ${clash.mkString(", ")}" +
+        " collide with the kernel's outputs — rename them (e.g." +
+        " loc -> parent_loc)")
     indexes
       .select((Seq(col("host")) ++ carry.map(col) :+
         posexplode(regexp_extract_all(col("xml"),

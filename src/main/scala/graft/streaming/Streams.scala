@@ -1777,34 +1777,60 @@ object Streams {
     * feed so downstream stages re-check THEIR level conditionally —
     * without that, a steady-state host whose robots never changes
     * would never re-fetch its sitemaps and discovery/recrawl freezes
-    * permanently. Rows: `(src_key, host, source, loc, lastmod)` at
-    * `batch=<drain id>` dirs, REPLACE semantics per src_key (a
-    * re-fetched announcer's row set supersedes its old one —
-    * latest-batch-wins per key, read as a set). src_key = the
-    * announcing entity (the host for robots.txt, the index file's
-    * loc for `<sitemapindex>` children), so partial knowledge is
-    * never a problem: one host's 304'd index and fetched index
-    * update independently.
+    * permanently. Rows: `(src_key, host, source, loc, lastmod)` —
+    * REPLACE semantics per src_key (a re-fetched announcer's row set
+    * supersedes its old one: latest-seq-wins per key, read as a
+    * set). src_key = the announcing entity (the host for robots.txt,
+    * the index file's loc for `<sitemapindex>` children), so partial
+    * knowledge is never a problem: one host's 304'd index and
+    * fetched index update independently.
     *
-    * Replay contract (ORDER-dependent, deliberately): each drain
-    * writes the ledger BEFORE it appends response validators, so a
-    * 304 on crash-replay (possible only if the validator append
-    * committed) implies the same attempt's ledger write committed
-    * too — the re-announce probe therefore does NOT exclude the
-    * current batch id (unlike the staleness probes: these rows are
-    * whole-set Overwrites, not half-commit-prone aggregates).
+    * Layout: APPEND-ONLY seq dirs ([[graft.sources.ValidatorLedger]]'s
+    * proven replay shape, NOT per-batch Overwrites — review r17 wave
+    * 2: keying dirs on the drain's batch id let a mixed-status
+    * crash-replay Overwrite a 304'd announcer's same-dir rows away).
+    * Each drain appends its fetched announcers' CURRENT sets at a
+    * fresh seq; a replay appends again at a new seq with identical or
+    * superseding content, and latest-set-per-key reads both states
+    * identically. WITHDRAWAL is explicit: an announcer fetched with
+    * ZERO in-scope announcements appends a TOMBSTONE row (loc = "" —
+    * real announced locs are absolute URLs, never empty), so its old
+    * set stops re-announcing; the probe drops tombstones after the
+    * latest-set selection. Each drain appends BEFORE its validator
+    * capture, so a 304 (only possible once the capture committed)
+    * implies the announcer's set is in the ledger.
     */
-  private def announceLedgerWrite(rows: DataFrame, ledgerRoot: String,
-      batchId: Long): Unit = {
-    if (rows.isEmpty) return
-    rows.select("src_key", "host", "source", "loc", "lastmod")
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ledgerRoot/batch=$batchId")
+  private def announceLedgerAppend(rows: DataFrame,
+      ledgerRoot: String): Unit = {
+    val r = rows.select("src_key", "host", "source", "loc", "lastmod")
+      .localCheckpoint(true) // one evaluation feeds the guard + write
+    if (r.isEmpty) return
+    val spark = rows.sparkSession
+    val seq = (graft.operators.Dedup
+      .listBatchIds(spark, ledgerRoot).filter(_ >= 0) :+ -1L).max + 1
+    r.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$ledgerRoot/batch=$seq")
+  }
+
+  /** Each key's rows from its highest ledger seq — ONE latest-set
+    * selection shared by the probe and the fold (tombstone rows ride
+    * through; only the probe drops them).
+    */
+  private def latestAnnounceSets(spark: SparkSession, ledgerRoot: String,
+      ids: Seq[Long]): DataFrame = {
+    val rows = spark.read
+      .schema("src_key STRING, host STRING, source STRING, " +
+        "loc STRING, lastmod STRING, batch BIGINT")
+      .option("basePath", ledgerRoot)
+      .parquet(ids.map(i => s"$ledgerRoot/batch=$i"): _*)
+    rows.join(rows.groupBy("src_key").agg(max(col("batch")).as("_mb")),
+        Seq("src_key"))
+      .filter(col("batch") === col("_mb"))
   }
 
   /** The latest announcement SET for each key in `keys` (a 1-column
-    * `src_key` frame): each key's rows from its highest ledger batch.
-    * Empty frame when no ledger exists.
+    * `src_key` frame), tombstones dropped. Empty frame when no ledger
+    * exists.
     */
   private def announceLedgerLatest(spark: SparkSession,
       ledgerRoot: String, keys: DataFrame): DataFrame = {
@@ -1815,40 +1841,26 @@ object Streams {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "host STRING, source STRING, loc STRING, lastmod STRING"))
-    val rows = spark.read
-      .schema("src_key STRING, host STRING, source STRING, " +
-        "loc STRING, lastmod STRING, batch BIGINT")
-      .option("basePath", ledgerRoot)
-      .parquet(ids.map(i => s"$ledgerRoot/batch=$i"): _*)
+    latestAnnounceSets(spark, ledgerRoot, ids)
       .join(keys.select("src_key"), Seq("src_key"), "left_semi")
-    rows.join(rows.groupBy("src_key").agg(max(col("batch")).as("_mb")),
-        Seq("src_key"))
-      .filter(col("batch") === col("_mb"))
+      .filter(col("loc") =!= "") // tombstones announce nothing
       .select("host", "source", "loc", "lastmod")
   }
 
-  /** Fold announcement-ledger dirs at ids ≤ `upTo` (below every
-    * replayable feed id — the compactRobotsLedger discipline) into
-    * ONE dir holding each key's latest set. Crash-safe like every
-    * other fold here: merged rows Overwrite the max folded dir
-    * FIRST, then older dirs drop; leftovers read correctly under
-    * latest-batch-wins (the folded dir's partition id ≥ every true
-    * batch it absorbed, and its content IS each key's latest set).
+  /** Fold the announcement ledger's seq dirs into ONE dir holding
+    * each key's latest set (tombstones included — they keep withdrawn
+    * sets dead). Append-only seqs make this safe at any time
+    * (ValidatorLedger.compact's contract): merged rows Overwrite the
+    * max folded seq FIRST, then older dirs drop; a crash between the
+    * two leaves duplicates that latest-set-per-key reads correctly.
     */
   private[graft] def compactAnnounceLedger(spark: SparkSession,
-      ledgerRoot: String, upTo: Long, minBatches: Int): Unit = {
+      ledgerRoot: String, minBatches: Int = 64): Unit = {
     val foldable = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
-      .filter(i => i >= 0 && i <= upTo).sorted
-    if (foldable.length <= minBatches) return
+      .filter(_ >= 0).sorted
+    if (foldable.length < minBatches) return
     val target = foldable.max
-    val rows = spark.read
-      .schema("src_key STRING, host STRING, source STRING, " +
-        "loc STRING, lastmod STRING, batch BIGINT")
-      .option("basePath", ledgerRoot)
-      .parquet(foldable.map(i => s"$ledgerRoot/batch=$i"): _*)
-    rows.join(rows.groupBy("src_key").agg(max(col("batch")).as("_mb")),
-        Seq("src_key"))
-      .filter(col("batch") === col("_mb"))
+    latestAnnounceSets(spark, ledgerRoot, foldable)
       .select("src_key", "host", "source", "loc", "lastmod")
       .localCheckpoint(true) // sever lineage from the dirs being folded
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1857,6 +1869,48 @@ object Streams {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     foldable.filter(_ != target).foreach(i =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true))
+  }
+
+  /** Crash-safe Overwrite of a directory whose NEW content derives
+    * from its OWN current rows (the carry-forward landings): stage →
+    * retire live to `.prev` → promote → drop `.prev` (st07's swap
+    * invariant), with dot-prefixed siblings so batch-dir listings
+    * never see them. [[recoverSwap]] must run before READING such a
+    * directory — a crash between retire and promote leaves the only
+    * complete copy under `.prev`.
+    */
+  private def swapWrite(df: DataFrame, dirPath: String): Unit = {
+    val spark = df.sparkSession
+    val live = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = live.getParent
+    val stg = new org.apache.hadoop.fs.Path(parent,
+      "." + live.getName + ".stg")
+    val prev = new org.apache.hadoop.fs.Path(parent,
+      "." + live.getName + ".prev")
+    fs.delete(stg, true)
+    df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(stg.toString)
+    fs.delete(prev, true)
+    if (fs.exists(live) && !fs.rename(live, prev))
+      throw new java.io.IOException(s"swapWrite: cannot retire $live")
+    if (!fs.rename(stg, live)) {
+      if (fs.exists(prev)) fs.rename(prev, live)
+      throw new java.io.IOException(s"swapWrite: cannot promote $stg")
+    }
+    fs.delete(prev, true)
+  }
+
+  /** Restore a [[swapWrite]] directory caught mid-swap by a crash:
+    * live missing + `.prev` present → rename back. Call before any
+    * read that feeds a carry-forward.
+    */
+  private def recoverSwap(spark: SparkSession, dirPath: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new org.apache.hadoop.fs.Path(live.getParent,
+      "." + live.getName + ".prev")
+    if (!fs.exists(live) && fs.exists(prev)) fs.rename(prev, live)
   }
 
   /** RFC 9309 §2.5's fetch cap: parsers must handle at least 500 KiB;
@@ -1949,9 +2003,10 @@ object Streams {
     // feed id is final — a consumed feed dir can never replay; with
     // an empty feed, nothing can replay at all)
     if (compactPastBatches > 0) {
-      val upTo = if (ids.nonEmpty) ids.min - 1 else Long.MaxValue
-      compactRobotsLedger(spark, ledgerRoot, upTo, compactPastBatches)
-      compactAnnounceLedger(spark, annRoot, upTo, compactPastBatches)
+      compactRobotsLedger(spark, ledgerRoot,
+        if (ids.nonEmpty) ids.min - 1 else Long.MaxValue,
+        compactPastBatches)
+      compactAnnounceLedger(spark, annRoot, compactPastBatches)
     }
     ids.foreach { id =>
       val hosts = spark.read.schema("host STRING")
@@ -2030,31 +2085,42 @@ object Streams {
         }
       }.toDF("host", "payload", "status", "error", "r_etag", "r_lm")
         .localCheckpoint(true) // one fetch pass feeds st27 + ledgers + audit
-      // announcement ledger for FETCHED hosts, written BEFORE the
+      // announcement ledger for FETCHED hosts, appended BEFORE the
       // validator capture (the announce-ledger replay order): on a
       // later 304 the host's announcements re-enter the feed from
       // here — without this, a steady-state host whose robots never
-      // changes would never re-check its sitemaps (review r17 #1)
-      announceLedgerWrite(
-        graft.operators.Graph.robotsSitemapsOver(
+      // changes would never re-check its sitemaps (review r17 #1).
+      // A fetched host with ZERO in-scope announcements appends a
+      // tombstone: its robots no longer announces, so the heartbeat
+      // must stop re-announcing the withdrawn set.
+      val fetchedAnn = graft.operators.Graph.robotsSitemapsOver(
           results.filter(col("status") === "fetched")
             .select(col("host"), col("payload").as("body")))
-          .filter(col("in_scope") === 1L)
-          .select(col("host").as("src_key"), col("host"),
-            lit("robots").as("source"),
-            col("sitemap_url").as("loc"), lit("").as("lastmod")),
-        annRoot, id)
+        .filter(col("in_scope") === 1L)
+        .select(col("host").as("src_key"), col("host"),
+          lit("robots").as("source"),
+          col("sitemap_url").as("loc"), lit("").as("lastmod"))
+      val tombstones = results.filter(col("status") === "fetched")
+        .select(col("host").as("src_key"))
+        .join(fetchedAnn.select("src_key"), Seq("src_key"), "left_anti")
+        .select(col("src_key"), lit("").as("host"),
+          lit("").as("source"), lit("").as("loc"), lit("").as("lastmod"))
+      announceLedgerAppend(fetchedAnn.unionByName(tombstones), annRoot)
       // fetched bodies ARE st27's batch — parse + land under this id;
       // 304'd hosts RE-announce their stored set (the heartbeat: the
       // sitemap drain re-checks each file conditionally, so an
-      // unchanged level costs one 304 and a changed one re-parses)
+      // unchanged level costs one 304 and a changed one re-parses).
+      // The probe is skipped when nothing 304'd — an all-fetched or
+      // all-skipped drain never reads the ledger.
+      val nmHosts = results.filter(col("status") === "not_modified")
+        .select(col("host").as("src_key"))
       discoveryBootstrapBatch(
         results.filter(col("status") === "fetched")
           .select(col("host"), lit("robots").as("kind"), col("payload")),
         lakePath, id,
-        reannounce = announceLedgerLatest(spark, annRoot,
-          results.filter(col("status") === "not_modified")
-            .select(col("host").as("src_key"))))
+        reannounce =
+          if (nmHosts.isEmpty) null
+          else announceLedgerLatest(spark, annRoot, nmHosts))
       // staleness window restarts on 304 too: the server confirmed
       // the already-parsed state is current
       results.filter(col("status").isin("fetched", "not_modified"))
@@ -2527,17 +2593,16 @@ object Streams {
   def sitemapFetchDrainOnce(spark: SparkSession, lakePath: String,
       fetcher: graft.sources.PagedSource.PageFetcher,
       hostPermitsPerSec: Double = 0, maxRetries: Int = 4,
-      baseBackoffMs: Long = 100): Seq[Long] = {
+      baseBackoffMs: Long = 100, compactPastBatches: Int = 64): Seq[Long] = {
     import spark.implicits._
     val feed = s"$lakePath.sitemaps"
     val ids = graft.operators.Dedup.listBatchIds(spark, feed)
       .filter(_ >= 0).sorted
     val valRoot = s"$lakePath.validators"
     val annRoot = s"$lakePath.sitemapindex.children"
-    // children-ledger upkeep: fold below the replayable window (ledger
-    // dirs carry producer ids only — expansion batches never expand)
-    compactAnnounceLedger(spark, annRoot,
-      if (ids.nonEmpty) ids.min - 1 else Long.MaxValue, 64)
+    // children-ledger upkeep (append-only seqs — safe at any time)
+    if (compactPastBatches > 0)
+      compactAnnounceLedger(spark, annRoot, compactPastBatches)
     ids.foreach { id =>
       // captured validators per announced file (VERDICT r16 #1): a
       // RE-announced sitemap whose captured ETag/Last-Modified still
@@ -2631,6 +2696,9 @@ object Streams {
         .select("loc")
         .localCheckpoint(true) // feeds carry-forward + children reann
       val landPath = s"$lakePath.sitemapxml/batch=$id"
+      // a prior attempt may have crashed mid-swap: restore the only
+      // complete copy before reading it
+      recoverSwap(spark, landPath)
       val lp = new org.apache.hadoop.fs.Path(landPath)
       val carried =
         if (lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2642,15 +2710,16 @@ object Streams {
         else spark.emptyDataFrame
           .select(lit("").as("host"), lit("").as("loc"),
             lit("").as("xml")).limit(0)
-      routed.filter(col("status") === "fetched" && col("kind") === "leaf")
-        .select("host", "loc", "xml")
-        .unionByName(carried)
-        // EAGER checkpoint: `carried` reads the very directory the
-        // write below Overwrites — unsevered, the write would consume
-        // its own input
-        .localCheckpoint(true)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(landPath)
+      // swapWrite, not a direct Overwrite (review r17 wave 2): the
+      // merged landing derives from the directory being replaced — a
+      // plain Overwrite deletes the carried rows' only durable copy
+      // before the new write commits, so a crash inside the replay's
+      // landing would lose the 304'd XML permanently
+      swapWrite(
+        routed.filter(col("status") === "fetched" && col("kind") === "leaf")
+          .select("host", "loc", "xml")
+          .unionByName(carried),
+        landPath)
       // in-scope index children re-enter THIS feed as a derived-id
       // announcement batch the next tick fetches (cross-host decoys
       // stop here — the st25/st27 discipline); Overwrite on the
@@ -2674,12 +2743,24 @@ object Streams {
           .select(lit("").as("host"), lit("").as("source"),
             lit("").as("loc"), lit("").as("lastmod"),
             lit("").as("parent_loc")).limit(0)
-      announceLedgerWrite(
+      // ledger append with withdrawal tombstones: an index fetched
+      // with ZERO in-scope children (all cross-host, or emptied) must
+      // stop re-announcing its old set
+      val idxKeys = routed.filter(col("kind") === "index")
+        .select(col("loc").as("src_key"))
+      val idxTombstones = idxKeys
+        .join(freshChildren.select(col("parent_loc").as("src_key")),
+          Seq("src_key"), "left_anti")
+        .select(col("src_key"), lit("").as("host"),
+          lit("").as("source"), lit("").as("loc"), lit("").as("lastmod"))
+      announceLedgerAppend(
         freshChildren.select(col("parent_loc").as("src_key"),
-          col("host"), col("source"), col("loc"), col("lastmod")),
-        annRoot, id)
+          col("host"), col("source"), col("loc"), col("lastmod"))
+          .unionByName(idxTombstones),
+        annRoot)
+      // the re-announce probe is skipped when nothing 304'd
       val reannChildren =
-        if (allowExpand)
+        if (allowExpand && !nmLocs.isEmpty)
           announceLedgerLatest(spark, annRoot,
             nmLocs.select(col("loc").as("src_key")))
         else spark.emptyDataFrame
@@ -2820,8 +2901,12 @@ object Streams {
       sitemapDiscoverBatch(xml, lakePath, parseBatchId(id))
       recrawlBatch(xml, lakePath, parseBatchId(id))
       val p = new org.apache.hadoop.fs.Path(feed)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)
+      // swap siblings a crashed fetch-drain attempt may have left
+      // (ids are never reused, so these can only be orphans)
+      fs.delete(new org.apache.hadoop.fs.Path(p, s".batch=$id.prev"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(p, s".batch=$id.stg"), true)
     }
     ids
   }

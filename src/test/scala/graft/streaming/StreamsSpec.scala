@@ -1818,8 +1818,10 @@ class StreamsSpec extends AnyFunSuite {
         case "/c/a.example.com/robots.txt" =>
           val cur = s""""r${robotsV.get()}""""
           if (inm == cur) ex.sendResponseHeaders(304, -1)
-          else ok("User-agent: *\n" +
-            "Sitemap: https://a.example.com/sm0.xml\n", cur)
+          // v3 WITHDRAWS the announcement (no Sitemap directive)
+          else ok(if (robotsV.get() >= 3) "User-agent: *\n"
+            else "User-agent: *\n" +
+              "Sitemap: https://a.example.com/sm0.xml\n", cur)
         case "/c/a.example.com/sm0.xml" =>
           if (inm == smTag) ex.sendResponseHeaders(304, -1)
           else ok(smBody, smTag)
@@ -1951,6 +1953,22 @@ class StreamsSpec extends AnyFunSuite {
         .collect().map(_.getAs[String]("loc")).toSeq ==
         Seq("https://a.example.com/sm0.xml"),
         "a replayed 304 must re-announce from the ledger")
+      // WITHDRAWAL: robots drops its Sitemap directive — the re-fetch
+      // appends a tombstone, so later 304 heartbeats re-announce
+      // NOTHING (without it the withdrawn set re-announced forever)
+      robotsV.set(3)
+      seed(6L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(6L))
+      assert(robotsAudit(6L) == ((1L, 0L, 0L)))
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=6").count() == 0L,
+        "a fetched robots with no directives announces nothing")
+      seed(7L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(7L))
+      assert(robotsAudit(7L) == ((0L, 0L, 1L)))
+      assert(!new java.io.File(s"$lake.sitemaps/batch=7").exists(),
+        "a tombstoned announcer's heartbeat must re-announce nothing")
     } finally server.stop(0)
   }
 
