@@ -1814,15 +1814,21 @@ object Streams {
 
   /** Each key's rows from its highest ledger seq — ONE latest-set
     * selection shared by the probe and the fold (tombstone rows ride
-    * through; only the probe drops them).
+    * through; only the probe drops them). `keys` confines the whole
+    * selection: the semi-join lands BELOW the max aggregate, so a
+    * probe for this drain's 304'd announcers never re-aggregates the
+    * full ledger (the re-aggregate-all-history shape — review r17
+    * wave 3); the fold passes None and takes everything.
     */
   private def latestAnnounceSets(spark: SparkSession, ledgerRoot: String,
-      ids: Seq[Long]): DataFrame = {
-    val rows = spark.read
+      ids: Seq[Long], keys: Option[DataFrame]): DataFrame = {
+    var rows = spark.read
       .schema("src_key STRING, host STRING, source STRING, " +
         "loc STRING, lastmod STRING, batch BIGINT")
       .option("basePath", ledgerRoot)
       .parquet(ids.map(i => s"$ledgerRoot/batch=$i"): _*)
+    keys.foreach(k =>
+      rows = rows.join(k.select("src_key"), Seq("src_key"), "left_semi"))
     rows.join(rows.groupBy("src_key").agg(max(col("batch")).as("_mb")),
         Seq("src_key"))
       .filter(col("batch") === col("_mb"))
@@ -1841,11 +1847,29 @@ object Streams {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "host STRING, source STRING, loc STRING, lastmod STRING"))
-    latestAnnounceSets(spark, ledgerRoot, ids)
-      .join(keys.select("src_key"), Seq("src_key"), "left_semi")
+    latestAnnounceSets(spark, ledgerRoot, ids, Some(keys))
       .filter(col("loc") =!= "") // tombstones announce nothing
       .select("host", "source", "loc", "lastmod")
   }
+
+  /** Pad withdrawal TOMBSTONES onto a fetched announcers' row set:
+    * every key in `announcerKeys` (1-column `src_key` — the entities
+    * FETCHED this drain) absent from `rows` appends a loc="" row, so
+    * its old ledger set stops re-announcing. ONE definition for both
+    * drains (robots hosts, index locs). Deliberate semantics: a 200
+    * whose body parses to ZERO announcements IS a withdrawal — the
+    * served body is the announcer's authoritative current state (a
+    * transient 200 error page pauses that host's heartbeat for the
+    * outage; recovery serves the real body under its own validator,
+    * the conditional refetch misses, and the set restores itself).
+    */
+  private def withTombstones(announcerKeys: DataFrame,
+      rows: DataFrame): DataFrame =
+    rows.unionByName(
+      announcerKeys.select("src_key")
+        .join(rows.select("src_key"), Seq("src_key"), "left_anti")
+        .select(col("src_key"), lit("").as("host"), lit("").as("source"),
+          lit("").as("loc"), lit("").as("lastmod")))
 
   /** Fold the announcement ledger's seq dirs into ONE dir holding
     * each key's latest set (tombstones included — they keep withdrawn
@@ -1858,9 +1882,11 @@ object Streams {
       ledgerRoot: String, minBatches: Int = 64): Unit = {
     val foldable = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
       .filter(_ >= 0).sorted
-    if (foldable.length < minBatches) return
+    // fold strictly past the threshold — compactRobotsLedger's
+    // cadence, so the one compactPastBatches knob means one thing
+    if (foldable.length <= minBatches) return
     val target = foldable.max
-    latestAnnounceSets(spark, ledgerRoot, foldable)
+    latestAnnounceSets(spark, ledgerRoot, foldable, None)
       .select("src_key", "host", "source", "loc", "lastmod")
       .localCheckpoint(true) // sever lineage from the dirs being folded
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -2100,12 +2126,11 @@ object Streams {
         .select(col("host").as("src_key"), col("host"),
           lit("robots").as("source"),
           col("sitemap_url").as("loc"), lit("").as("lastmod"))
-      val tombstones = results.filter(col("status") === "fetched")
-        .select(col("host").as("src_key"))
-        .join(fetchedAnn.select("src_key"), Seq("src_key"), "left_anti")
-        .select(col("src_key"), lit("").as("host"),
-          lit("").as("source"), lit("").as("loc"), lit("").as("lastmod"))
-      announceLedgerAppend(fetchedAnn.unionByName(tombstones), annRoot)
+        .localCheckpoint(true) // one parse feeds the tombstone anti-join + append
+      announceLedgerAppend(
+        withTombstones(results.filter(col("status") === "fetched")
+          .select(col("host").as("src_key")), fetchedAnn),
+        annRoot)
       // fetched bodies ARE st27's batch — parse + land under this id;
       // 304'd hosts RE-announce their stored set (the heartbeat: the
       // sitemap drain re-checks each file conditionally, so an
@@ -2746,17 +2771,12 @@ object Streams {
       // ledger append with withdrawal tombstones: an index fetched
       // with ZERO in-scope children (all cross-host, or emptied) must
       // stop re-announcing its old set
-      val idxKeys = routed.filter(col("kind") === "index")
-        .select(col("loc").as("src_key"))
-      val idxTombstones = idxKeys
-        .join(freshChildren.select(col("parent_loc").as("src_key")),
-          Seq("src_key"), "left_anti")
-        .select(col("src_key"), lit("").as("host"),
-          lit("").as("source"), lit("").as("loc"), lit("").as("lastmod"))
       announceLedgerAppend(
-        freshChildren.select(col("parent_loc").as("src_key"),
-          col("host"), col("source"), col("loc"), col("lastmod"))
-          .unionByName(idxTombstones),
+        withTombstones(
+          routed.filter(col("kind") === "index")
+            .select(col("loc").as("src_key")),
+          freshChildren.select(col("parent_loc").as("src_key"),
+            col("host"), col("source"), col("loc"), col("lastmod"))),
         annRoot)
       // the re-announce probe is skipped when nothing 304'd
       val reannChildren =
