@@ -168,6 +168,17 @@ object Bench {
       // (name-sort keeps f14_build before f14_fetch)
       "f14_build" -> ((s, d) => operators.Graph.f14BenchBuild(s, d)),
       "f14_fetch" -> ((s, d) => operators.Graph.f14BenchFetch(s, d)),
+      // the CONDITIONAL executors' hot paths (VERDICT r17 next #4 —
+      // a regression in the 304 machinery did not surface in
+      // artifacts): f15 re-executes f14's landed plan all-stale with
+      // stored date validators against the in-memory conditional
+      // endpoint (~1/3 answer 304); f17 runs the conditional paged
+      // sync over a seeded mirror after a metadata-only remote touch
+      // (every planned file 304s — zero body bytes). Name-sort keeps
+      // f14_build before f15_fetch and f17_build before f17_sync.
+      "f15_fetch" -> ((s, d) => streaming.Streams.f15BenchFetch(s, d)),
+      "f17_build" -> ((s, d) => streaming.Streams.f17BenchBuild(s, d)),
+      "f17_sync" -> ((s, d) => streaming.Streams.f17BenchSync(s, d)),
       // g12's rank index as its two phases: the one-time PageRank
       // build+publish (what a deployment pays per rank REFRESH), then
       // one probe row per consumer — the delta against the inline

@@ -68,20 +68,30 @@ object ValidatorLedger {
       .parquet(s"$ledgerRoot/batch=$seq")
   }
 
-  /** Fold the ledger's seq dirs into ONE latest-wins dir at the
-    * largest folded seq. Safe at any time: writes only APPEND at
-    * fresh seqs, so nothing ever Overwrites a folded directory.
-    * Crash-safe: the merged rows land via Overwrite on the target seq
-    * FIRST (they subsume its originals), then the older dirs drop — a
-    * crash between the two leaves duplicates that latest-wins reads
-    * correctly.
+  /** Fold the ledger's seq dirs into ONE latest-wins dir at a FRESH
+    * seq (`max + 1`). Safe at any time: writes only APPEND at fresh
+    * seqs, so nothing ever Overwrites a folded directory. Crash-safe
+    * at every window (VERDICT r17 #1 — the old fold Overwrote the max
+    * existing dir, and a crash mid-Overwrite erased the only durable
+    * copy of the newest states): the merged rows stage under a
+    * dot-prefixed sibling (invisible to `batch=` listings), RENAME
+    * atomically to the fresh seq, and only then do the folded dirs
+    * drop — a crash before the rename leaves the ledger untouched, a
+    * crash after it leaves duplicates that latest-wins reads
+    * correctly. The stale staging a crash leaves is deleted (and the
+    * fold redone) by the next compact call.
     */
   def compact(spark: SparkSession, ledgerRoot: String,
       minBatches: Int = 64): Unit = {
     val foldable = graft.operators.Dedup.listBatchIds(spark, ledgerRoot)
       .filter(_ >= 0).sorted
-    if (foldable.length < minBatches) return
-    val target = foldable.max
+    // fold strictly past the threshold — the announce/robots ledgers'
+    // cadence, so the one compactPastBatches knob means one thing
+    if (foldable.length <= minBatches) return
+    val p = new org.apache.hadoop.fs.Path(ledgerRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stg = new org.apache.hadoop.fs.Path(p, ".fold.stg")
+    fs.delete(stg, true)
     spark.read
       .schema("url STRING, etag STRING, last_modified STRING, " +
         "batch BIGINT")
@@ -92,12 +102,14 @@ object ValidatorLedger {
         col("last_modified"))).as("v"))
       .select(col("url"), col("v.etag").as("etag"),
         col("v.last_modified").as("last_modified"))
-      .localCheckpoint(true) // sever lineage from the dirs being folded
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ledgerRoot/batch=$target")
-    val p = new org.apache.hadoop.fs.Path(ledgerRoot)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    foldable.filter(_ != target).foreach(id =>
+      .parquet(stg.toString)
+    val target = new org.apache.hadoop.fs.Path(p,
+      s"batch=${foldable.max + 1}")
+    if (!fs.rename(stg, target))
+      throw new java.io.IOException(
+        s"ValidatorLedger.compact: cannot promote $stg to $target")
+    foldable.foreach(id =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true))
   }
 }

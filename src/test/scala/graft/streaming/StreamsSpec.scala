@@ -31,6 +31,52 @@ object StreamsSpec {
     override def open(fileId: String): java.io.InputStream =
       new java.io.FileInputStream(fileId)
   }
+
+  /** [[LocalFsFetcher]]'s CONDITIONAL sibling for the service-path
+    * f17 legs: the listing's mtimes ride `mtimeBumpMs` past the real
+    * files (the SharePoint metadata-only-touch shape — the diff plans
+    * `copy_changed` with the bytes unchanged), and the content
+    * endpoint serves/validates a bytes-derived ETag, so a stored
+    * validator answers 304.
+    */
+  final case class CondLocalFsFetcher(root: String, mtimeBumpMs: Long,
+      pageSize: Int = 2)
+      extends graft.sources.PagedSource.ConditionalFetcher {
+    import graft.sources.PagedSource.{Page, PageItem, RespValidators}
+    private def etagOf(fileId: String): String =
+      "\"" + java.util.Arrays.hashCode(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(fileId))) + "\""
+    override def listPage(dirId: String, token: Option[String]): Page = {
+      val dir = new java.io.File(if (dirId.isEmpty) root else dirId)
+      val all = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
+        .sortBy(_.getName)
+        .map(f => PageItem(f.getAbsolutePath, f.getName, f.isDirectory,
+          f.length(), f.lastModified() + mtimeBumpMs))
+      val off = token.map(_.toInt).getOrElse(0)
+      Page(all.slice(off, off + pageSize).toSeq,
+        if (off + pageSize < all.length) Some((off + pageSize).toString)
+        else None)
+    }
+    override def open(fileId: String): java.io.InputStream =
+      new java.io.FileInputStream(fileId)
+    override def openIfModifiedSince(fileId: String,
+        validator: String): java.io.InputStream = open(fileId)
+    override def openIfNoneMatch(fileId: String,
+        etag: String): java.io.InputStream =
+      if (etag == etagOf(fileId))
+        throw new graft.sources.PagedSource.NotModified
+      else open(fileId)
+    override def openCapturing(fileId: String)
+        : (java.io.InputStream, RespValidators) =
+      (open(fileId), RespValidators(etagOf(fileId), ""))
+    override def openIfNoneMatchCapturing(fileId: String, etag: String)
+        : (java.io.InputStream, RespValidators) =
+      if (etag == etagOf(fileId))
+        throw new graft.sources.PagedSource.NotModified
+      else (open(fileId), RespValidators(etagOf(fileId), ""))
+  }
 }
 
 class StreamsSpec extends AnyFunSuite {
@@ -360,6 +406,36 @@ class StreamsSpec extends AnyFunSuite {
     assert(audit3.isEmpty, audit3.mkString("; "))
     Seq(1L, 2L, 3L).foreach(k =>
       assert(snapshot(k) == allBefore(k), s"partition $k moved on a no-op drain"))
+
+    // drain 4 (f17 through the SERVICE — VERDICT r17 next #1): a
+    // conditional fetcher whose listing mtimes ride a metadata-only
+    // bump plans both files copy_changed; with no validators stored
+    // yet they re-copy ONCE and the responses' ETags land in the
+    // landing zone's ledger
+    val cond1 = StreamsSpec.CondLocalFsFetcher(remote, 3600000L)
+    val audit4 = Streams.st08PagedIngest(spark, cond1, landing, lake,
+      ckpt, nParts = 8).collect()
+    assert(audit4.map(_.status).sorted.toSeq == Seq("copied", "copied"),
+      audit4.mkString("; "))
+    assert(audit4.forall(_.etag.nonEmpty), "validators must be captured")
+    // the re-copied paths are stream-tracked: empty drain, lake as-is
+    val lakeAfter3 = lakeState()
+    assert(lakeState() == lakeAfter3)
+    // drain 5: ANOTHER metadata-only touch — every planned file now
+    // answers 304 from the stored validators THROUGH the service
+    // path: not_modified audit rows, ZERO body bytes, lake untouched
+    val cond2 = StreamsSpec.CondLocalFsFetcher(remote, 7200000L)
+    val audit5 = Streams.st08PagedIngest(spark, cond2, landing, lake,
+      ckpt, nParts = 8).collect()
+    assert(audit5.map(_.status).sorted.toSeq ==
+      Seq("not_modified", "not_modified"), audit5.mkString("; "))
+    assert(audit5.forall(_.bytes == 0L), "a 304 must move zero body bytes")
+    assert(lakeState() == lakeAfter3)
+    // drain 6: the 304's mtime touch re-plans noop — empty plan
+    val audit6 = Streams.st08PagedIngest(spark, cond2, landing, lake,
+      ckpt, nParts = 8).collect()
+    assert(audit6.isEmpty,
+      s"a 304-confirmed file must re-plan as noop: ${audit6.mkString("; ")}")
   }
 
   // (LocalFsFetcher lives in the companion object: an inner class would
@@ -1536,12 +1612,14 @@ class StreamsSpec extends AnyFunSuite {
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
         == Seq(3L))
       assert(auditOf(3L) == Map(u2 -> "not_modified"))
-      // ledger compaction folds seq dirs, preserving latest-wins
+      // ledger compaction folds seq dirs to a FRESH seq (crash-safe:
+      // the fold never Overwrites the dir holding the newest states
+      // — VERDICT r17 #1), preserving latest-wins
       Streams.compactValidatorLedger(spark, s"$lake.validators",
         minBatches = 2)
       val dirs = new java.io.File(s"$lake.validators").listFiles()
         .map(_.getName).filter(_.startsWith("batch=")).toSeq
-      assert(dirs == Seq("batch=2"), s"compaction left $dirs")
+      assert(dirs == Seq("batch=3"), s"compaction left $dirs")
       val after = Streams.validatorLedgerLatest(spark, s"$lake.validators")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(after == latest, s"compaction changed the ledger: $after")
@@ -1554,8 +1632,8 @@ class StreamsSpec extends AnyFunSuite {
         == Seq(Streams.IndexChildBase + 9L))
       val dirs2 = new java.io.File(s"$lake.validators").listFiles()
         .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
-      assert(dirs2 == Seq("batch=2", "batch=3"),
-        s"expansion-id drain must append at seq 3: $dirs2")
+      assert(dirs2 == Seq("batch=3", "batch=4"),
+        s"expansion-id drain must append at seq 4: $dirs2")
       assert(Streams.validatorLedgerLatest(spark, s"$lake.validators")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
         == latest)
@@ -1615,7 +1693,9 @@ class StreamsSpec extends AnyFunSuite {
       feed(1L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2",
         "https://a.example.com/p/3"))
       // drain the content feed: all three answers are 3xx → skipped
-      // rows whose Locations flow through the hop into the .replan feed
+      // rows whose Locations flow through the hop into the .replan
+      // feed under the DENSE hop id 2·1 = 2 (replanHopId — never a
+      // raw feed id: the gate's index must stay watermark-foldable)
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
         hostPermitsPerSec = 5) == Seq(1L))
       val fa = spark.read.parquet(s"$lake.fetched.audit/batch=1")
@@ -1623,7 +1703,7 @@ class StreamsSpec extends AnyFunSuite {
       assert((fa.getAs[Long]("planned"), fa.getAs[Long]("skipped"),
         fa.getAs[Long]("redirected"), fa.getAs[Long]("replanned")) ==
         ((3L, 3L, 3L, 3L)), s"fetched audit: $fa")
-      val ga = spark.read.parquet(s"$lake.replan.audit/batch=1")
+      val ga = spark.read.parquet(s"$lake.replan.audit/batch=2")
         .collect().head
       assert((ga.getAs[Long]("arrived"), ga.getAs[Long]("admitted")) ==
         ((3L, 3L)), s"gate audit: $ga")
@@ -1632,7 +1712,7 @@ class StreamsSpec extends AnyFunSuite {
       // the chain's middle hop (p/3b) 3xxes again and re-enters the
       // gate under the derived id for the NEXT cycle
       assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
-        dest, hostPermitsPerSec = 5) == Seq(1L))
+        dest, hostPermitsPerSec = 5) == Seq(2L))
       assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
         dest, "b.example.com", "q", "1")) == "cross-host target")
       assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
@@ -1641,27 +1721,27 @@ class StreamsSpec extends AnyFunSuite {
       assert(graft.sources.PagedSource.RateLimiter
         .currentRate("fetch:b.example.com").contains(5.0),
         "cross-host target must hit the new host's bucket")
-      val ra = spark.read.parquet(s"$lake.replanfetched.audit/batch=1")
+      val ra = spark.read.parquet(s"$lake.replanfetched.audit/batch=2")
         .collect().head
       assert((ra.getAs[Long]("planned"), ra.getAs[Long]("fetched"),
         ra.getAs[Long]("skipped"), ra.getAs[Long]("failed"),
         ra.getAs[Long]("redirected"), ra.getAs[Long]("replanned")) ==
         ((3L, 2L, 1L, 0L, 1L, 1L)), s"replan audit: $ra")
       // the consumed producer batch is GC'd; the hop's derived batch
-      // (disjoint id namespace) is the only thing left in the feed
+      // (2·2+1 = 5 — the odd replan-source half of the dense
+      // namespace) is the only thing left in the feed
       assert(new java.io.File(s"$lake.replan").listFiles()
         .map(_.getName).filter(_.startsWith("batch=")).toSeq ==
-        Seq(s"batch=${Streams.IndexChildBase + 1L}"),
+        Seq("batch=5"),
         "hop must land the derived batch and GC the consumed one")
       // next cycle: the derived batch drains — the chain's terminal
       // target lands, nothing further re-plans
       assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
-        dest, hostPermitsPerSec = 5) ==
-        Seq(Streams.IndexChildBase + 1L))
+        dest, hostPermitsPerSec = 5) == Seq(5L))
       assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
         dest, "a.example.com", "p", "3c")) == "multi-hop target")
-      val ra2 = spark.read.parquet(s"$lake.replanfetched.audit/" +
-        s"batch=${Streams.IndexChildBase + 1L}").collect().head
+      val ra2 = spark.read.parquet(s"$lake.replanfetched.audit/batch=5")
+        .collect().head
       assert((ra2.getAs[Long]("planned"), ra2.getAs[Long]("fetched"),
         ra2.getAs[Long]("redirected")) == ((1L, 1L, 0L)),
         s"hop-batch audit: $ra2")
@@ -1673,17 +1753,47 @@ class StreamsSpec extends AnyFunSuite {
       feed(2L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
         hostPermitsPerSec = 5) == Seq(2L))
-      val ga2 = spark.read.parquet(s"$lake.replan.audit/batch=2")
+      val ga2 = spark.read.parquet(s"$lake.replan.audit/batch=4")
         .collect().head
       assert((ga2.getAs[Long]("arrived"), ga2.getAs[Long]("admitted"),
         ga2.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)), s"$ga2")
       // the gate still lands its (empty) batch dir — the drain
       // consumes it as a zero-planned no-op
       assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
-        dest) == Seq(2L))
-      assert(spark.read.parquet(s"$lake.replanfetched.audit/batch=2")
+        dest) == Seq(4L))
+      assert(spark.read.parquet(s"$lake.replanfetched.audit/batch=4")
         .collect().head.getAs[Long]("planned") == 0L,
         "deduped targets must not be re-fetched")
+      // x20 fold for the replan index (VERDICT r17 wrong #4): with
+      // the feeds empty nothing can replay, so a threshold of 1
+      // folds every gate batch to the watermark base — and the
+      // folded index must still verdict: the same redirects a THIRD
+      // time are all dup_lake, nothing re-fetched
+      feed(3L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
+        hostPermitsPerSec = 5) == Seq(3L))
+      assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
+        dest, compactPastBatches = 1) == Seq(6L))
+      val idxDirs = new java.io.File(s"$lake.replan.urlindex").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
+      assert(idxDirs.count(_.stripPrefix("batch=").toLong < 0) == 1 &&
+        idxDirs.forall(d => d.stripPrefix("batch=").toLong < 0 ||
+          d.stripPrefix("batch=").toLong >= 6L),
+        s"index history must fold to the watermark base: $idxDirs")
+      val ga3 = spark.read.parquet(s"$lake.replan.audit/batch=6")
+        .collect().head
+      assert((ga3.getAs[Long]("arrived"), ga3.getAs[Long]("admitted"),
+        ga3.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)), s"$ga3")
+      // ...and the FOLDED base must still verdict: a fourth arrival
+      // of the same redirects probes the watermark base alone
+      feed(4L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
+        hostPermitsPerSec = 5) == Seq(4L))
+      val ga4 = spark.read.parquet(s"$lake.replan.audit/batch=8")
+        .collect().head
+      assert((ga4.getAs[Long]("arrived"), ga4.getAs[Long]("admitted"),
+        ga4.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)),
+        s"folded index must still verdict dup_lake: $ga4")
     } finally server.stop(0)
   }
 
@@ -1784,6 +1894,7 @@ class StreamsSpec extends AnyFunSuite {
 
   test("conditional discovery: unchanged robots and sitemap answer 304 with zero body bytes") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     import java.net.InetSocketAddress
     import java.nio.charset.StandardCharsets
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
@@ -1793,6 +1904,8 @@ class StreamsSpec extends AnyFunSuite {
     // BOTH bodies announce the SAME sitemap file, whose ETag never
     // rotates — the discovery shape where 304 economics are biggest
     val robotsV = new java.util.concurrent.atomic.AtomicInteger(1)
+    // the 404-withdrawal leg's switch: true = robots.txt is GONE
+    val robots404 = new java.util.concurrent.atomic.AtomicBoolean(false)
     // request log: (path, If-None-Match)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[
       (String, String)]()
@@ -1817,9 +1930,11 @@ class StreamsSpec extends AnyFunSuite {
       path match {
         case "/c/a.example.com/robots.txt" =>
           val cur = s""""r${robotsV.get()}""""
-          if (inm == cur) ex.sendResponseHeaders(304, -1)
+          // the 404 leg: the file is GONE — conditional or not
+          if (robots404.get()) ex.sendResponseHeaders(404, -1)
+          else if (inm == cur) ex.sendResponseHeaders(304, -1)
           // v3 WITHDRAWS the announcement (no Sitemap directive)
-          else ok(if (robotsV.get() >= 3) "User-agent: *\n"
+          else ok(if (robotsV.get() == 3) "User-agent: *\n"
             else "User-agent: *\n" +
               "Sitemap: https://a.example.com/sm0.xml\n", cur)
         case "/c/a.example.com/sm0.xml" =>
@@ -1969,6 +2084,61 @@ class StreamsSpec extends AnyFunSuite {
       assert(robotsAudit(7L) == ((0L, 0L, 1L)))
       assert(!new java.io.File(s"$lake.sitemaps/batch=7").exists(),
         "a tombstoned announcer's heartbeat must re-announce nothing")
+      // RECOVERY: robots returns with its directive (v4) — the fresh
+      // parse replaces the tombstone and the set re-announces
+      robotsV.set(4)
+      seed(8L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(8L))
+      assert(robotsAudit(8L) == ((1L, 0L, 0L)))
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=8")
+        .collect().map(_.getAs[String]("loc")).toSeq ==
+        Seq("https://a.example.com/sm0.xml"))
+      // 404 WITHDRAWAL (VERDICT r17 wrong #2): the robots file
+      // VANISHES — RFC 9309 absent-robots is allow-all, and the
+      // declared sitemaps are gone with the file that declared them.
+      // The confirmed 404 must tombstone the stored announcement set
+      // (not just fail to re-announce this tick)...
+      robots404.set(true)
+      seed(9L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(9L))
+      assert(robotsAudit(9L) == ((0L, 1L, 0L)), s"${robotsAudit(9L)}")
+      assert(!new java.io.File(s"$lake.sitemaps/batch=9").exists())
+      val annLatest = {
+        val ann = spark.read
+          .parquet(s"$lake.robotstxt.announcements")
+          .filter(col("src_key") === "a.example.com")
+          .localCheckpoint(true)
+        val mb = ann.agg(org.apache.spark.sql.functions.max(
+          col("batch").cast("long"))).head().getLong(0)
+        ann.filter(col("batch") === mb)
+          .collect().map(_.getAs[String]("loc")).toSeq
+      }
+      assert(annLatest == Seq(""),
+        s"404 must tombstone the stored set, got $annLatest")
+      // ...restart the staleness window (absent-robots is a cacheable
+      // verdict: a re-seed inside the window costs no request)...
+      val nReq = seen.size()
+      seed(10L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher) == Seq(10L))
+      assert(robotsAudit(10L) == ((0L, 1L, 0L)))
+      assert(seen.size() == nReq,
+        "a confirmed 404 inside the window must not re-spend a request")
+      // ...and CLEAR the stored validators: robots RESTORED
+      // byte-identical (same ETag "r4") must fetch 200 and re-announce
+      // — with the pre-404 ETag still stored it would 304 against the
+      // withdrawn state and the set would stay frozen forever
+      robots404.set(false)
+      seed(11L)
+      assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+        refetchAfterBatches = 0) == Seq(11L))
+      assert(robotsAudit(11L) == ((1L, 0L, 0L)),
+        s"restored robots must re-fetch, not 304: ${robotsAudit(11L)}")
+      assert(spark.read.parquet(s"$lake.sitemaps/batch=11")
+        .collect().map(_.getAs[String]("loc")).toSeq ==
+        Seq("https://a.example.com/sm0.xml"),
+        "the restored robots' fresh parse must replace the tombstone")
     } finally server.stop(0)
   }
 
@@ -2114,6 +2284,94 @@ class StreamsSpec extends AnyFunSuite {
     assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
       refetchAfterBatches = 3) == Seq(4L))
     assert(audit(4L) == ((1L, 0L)), s"replay verdict: ${audit(4L)}")
+  }
+
+  test("announcement + robots ledger folds are crash-safe at every torn window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, max}
+    val dir = java.nio.file.Files.createTempDirectory("graft_fold")
+    // --- announcement ledger (SET semantics → dir-level atomicity) ---
+    val ann = dir.resolve("ann").toString
+    def putAnn(seq: Long, rows: Seq[(String, String)]): Unit =
+      rows.map { case (k, loc) => (k, k, "robots", loc, "") }
+        .toDF("src_key", "host", "source", "loc", "lastmod")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$ann/batch=$seq")
+    def latestSets(): Map[String, Set[String]] = {
+      val rows = spark.read.parquet(ann).localCheckpoint(true)
+      val mb = rows.groupBy("src_key")
+        .agg(org.apache.spark.sql.functions.max("batch").as("mb"))
+      rows.join(mb, Seq("src_key"))
+        .filter(col("batch") === col("mb"))
+        .collect()
+        .map(r => r.getAs[String]("src_key") -> r.getAs[String]("loc"))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    }
+    // h1's set supersedes (seq 0 → 2), h2 tombstoned at seq 1
+    putAnn(0L, Seq(("h1", "s0"), ("h2", "sX")))
+    putAnn(1L, Seq(("h2", "")))
+    putAnn(2L, Seq(("h1", "s1"), ("h1", "s2")))
+    val want = Map("h1" -> Set("s1", "s2"), "h2" -> Set(""))
+    assert(latestSets() == want)
+    // torn window 1: crash mid-staging — the dot-dir is invisible and
+    // the next fold replaces it
+    val stg = new java.io.File(s"$ann/.fold.stg")
+    assert(stg.mkdirs())
+    java.nio.file.Files.writeString(stg.toPath.resolve("junk"), "junk")
+    assert(latestSets() == want, "stale fold staging must be invisible")
+    // the fold lands at a FRESH seq via atomic rename (never a
+    // partial fold dir — a truncated SET at the max seq would win the
+    // latest-set selection, VERDICT r17 wrong #1's erasure class) and
+    // keeps supersession + tombstones
+    Streams.compactAnnounceLedger(spark, ann, minBatches = 1)
+    assert(new java.io.File(ann).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted ==
+      Seq("batch=3"), "fold must promote to a fresh seq")
+    assert(latestSets() == want)
+    // torn window 2: crash between the rename and the old-dir deletes
+    // — a leftover old dir beside the fold reads identically (the
+    // fold's seq outranks everything it folded)
+    putAnn(0L, Seq(("h1", "s0"), ("h2", "sX")))
+    assert(latestSets() == want,
+      "a leftover folded dir must lose to the promoted fold")
+    // --- robots staleness ledger (per-ROW max → append-into-target) ---
+    val rob = dir.resolve("rob").toString
+    def putRob(seq: Long, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("host", "seen")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$rob/batch=$seq")
+    def seenOf(): Map[String, Long] =
+      spark.read.schema("host STRING, seen BIGINT, batch BIGINT")
+        .option("basePath", rob)
+        .parquet(new java.io.File(rob).listFiles()
+          .map(_.getName).filter(_.startsWith("batch="))
+          .map(n => s"$rob/$n").toSeq: _*)
+        .groupBy("host")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.coalesce(col("seen"),
+            col("batch"))).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    putRob(0L, Seq(("a", 0L)))
+    putRob(1L, Seq(("a", 1L), ("b", 1L)))
+    putRob(2L, Seq(("b", 2L)))
+    val wantRob = Map("a" -> 1L, "b" -> 2L)
+    assert(seenOf() == wantRob)
+    // torn window: a crash mid-append leaves a SUBSET of fold rows in
+    // the target beside ALL intact originals — per-host max unchanged
+    // (fold rows duplicate the max values, and append deletes nothing)
+    Seq(("a", 1L)).toDF("host", "seen")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$rob/batch=2")
+    assert(seenOf() == wantRob,
+      "a partial fold append must not change any host's clock")
+    // the fold redone: appends the per-host max into the target and
+    // drops the older dirs — clocks preserved as data
+    Streams.compactRobotsLedger(spark, rob, upTo = Long.MaxValue,
+      minBatches = 1)
+    assert(new java.io.File(rob).listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted ==
+      Seq("batch=2"), "robots fold must keep the target id")
+    assert(seenOf() == wantRob)
   }
 
   test("crawl service loop: a bare seeded host becomes fetched content in one tick") {
@@ -2633,6 +2891,33 @@ class StreamsSpec extends AnyFunSuite {
       .collect()
     assert(audit3.isEmpty, audit3.mkString("; "))
     assert(lakeTexts() == lakeBefore && audits() == auditsBefore)
+
+    // cycle 4 (f17 through the SERVICE — VERDICT r17 next #1): a
+    // conditional fetcher with metadata-only-bumped mtimes plans all
+    // seven files copy_changed; no validators stored yet → one
+    // seeding re-copy, ETags captured, nothing re-streams (paths are
+    // stream-tracked), lake and audits untouched
+    val cond1 = StreamsSpec.CondLocalFsFetcher(remote, 3600000L)
+    val audit4 = Streams.st15ServiceCycle(spark, cond1, root, lmPath)
+      .collect()
+    assert(audit4.length == 7 && audit4.forall(_.status == "copied"),
+      audit4.mkString("; "))
+    assert(audit4.forall(_.etag.nonEmpty))
+    assert(lakeTexts() == lakeBefore && audits() == auditsBefore)
+    // cycle 5: ANOTHER metadata-only touch — every planned file
+    // answers 304 through the service path: not_modified rows, zero
+    // body bytes, nothing moves
+    val cond2 = StreamsSpec.CondLocalFsFetcher(remote, 7200000L)
+    val audit5 = Streams.st15ServiceCycle(spark, cond2, root, lmPath)
+      .collect()
+    assert(audit5.length == 7 &&
+      audit5.forall(_.status == "not_modified"), audit5.mkString("; "))
+    assert(audit5.forall(_.bytes == 0L), "a 304 must move zero body bytes")
+    assert(lakeTexts() == lakeBefore && audits() == auditsBefore)
+    // cycle 6: the 304's mtime touch re-plans noop — empty plan
+    val audit6 = Streams.st15ServiceCycle(spark, cond2, root, lmPath)
+      .collect()
+    assert(audit6.isEmpty, audit6.mkString("; "))
 
     // maintenance stayed fresh: the doclen stats table covers exactly
     // the admissions and prunes by token count (g is the only 9-token
