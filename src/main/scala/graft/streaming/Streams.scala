@@ -1654,6 +1654,43 @@ object Streams {
     }
   }
 
+  /** x20-for-the-REPLAN-gate: consolidate `.replan.urlindex` batch
+    * dirs with `0 ≤ id ≤ upTo` into the MAX foldable dir by APPEND
+    * (VERDICT r17 wrong #4 + this round's review: redirect hop ids
+    * are non-monotonic across time — a deep chain's id can exceed
+    * future first-hop ids — so [[urlGateCompactIndex]]'s watermark
+    * base would read those future dirs as already-folded and the next
+    * fold would delete them un-merged: permanent dedup loss). Append
+    * preserves set-membership under every torn window (any subset of
+    * fold rows beside the intact originals probes identically — the
+    * compactRobotsLedger posture), keeps the hive `ub=` layout so
+    * probes stay partition-confined, and publishes no watermark. The
+    * caller guarantees no id ≤ `upTo` can be written again (the
+    * pending-chain clamp), so the target — an already-consumed hop
+    * id — never collides with a replay's own-id exclusion.
+    */
+  private def replanGateCompactIndex(spark: SparkSession, feed: String,
+      upTo: Long): Unit = {
+    val idxPath = s"$feed.urlindex"
+    val foldable = graft.operators.Dedup.listBatchIds(spark, idxPath)
+      .filter(i => i >= 0 && i <= upTo).sorted
+    if (foldable.length <= 1) return
+    val target = foldable.max
+    spark.read.schema("canon_url STRING, ub INT, batch BIGINT")
+      .option("basePath", idxPath)
+      .parquet(foldable.map(i => s"$idxPath/batch=$i"): _*)
+      .select("canon_url", "ub").distinct()
+      .localCheckpoint(true) // sever lineage from the dir appended into
+      .repartition(col("ub"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("ub")
+      .parquet(s"$idxPath/batch=$target")
+    val p = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    foldable.filter(_ != target).foreach(i =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true))
+  }
+
   /** `compactEvery > 0` folds the canonical-URL index every that-many
     * drains (covering everything up to the PREVIOUS batch — the
     * replay contract), st23's cadence.
@@ -2224,7 +2261,15 @@ object Streams {
               col("error") === "no_robots")
             .select(concat(lit("https://"), col("host"),
               lit("/robots.txt")).as("url"),
-              lit("").as("etag"), lit("").as("last_modified"))),
+              lit("").as("etag"), lit("").as("last_modified"))
+            // only URLs that actually HOLD a stored validator — the
+            // common no-robots host would otherwise append one dead
+            // ledger row per 404 forever (round-18 review #3); `leds`
+            // is the pre-drain read, and a second 404 sees the
+            // cleared (empty) row and skips
+            .join(leds.filter(leds("led_etag") =!= "" ||
+                leds("led_last_modified") =!= "").select("url"),
+              Seq("url"), "left_semi")),
         valRoot)
       val tot = results.agg(count(lit(1)),
         coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
@@ -2712,6 +2757,15 @@ object Streams {
     if (compactPastBatches > 0)
       compactAnnounceLedger(spark, annRoot, compactPastBatches)
     ids.foreach { id =>
+      // re-check existence at the top of each iteration: the
+      // zero-children cleanup below can delete a STALE derived batch
+      // (IndexChildBase + k) that this drain's up-front listing
+      // already captured — reading the deleted path would throw and
+      // kill the service stream (round-18 review #2)
+      val feedDir = new org.apache.hadoop.fs.Path(s"$feed/batch=$id")
+      val feedFs = feedDir
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (feedFs.exists(feedDir)) {
       // captured validators per announced file (VERDICT r16 #1): a
       // RE-announced sitemap whose captured ETag/Last-Modified still
       // matches answers 304 — a `not_modified` row with zero body
@@ -2919,9 +2973,8 @@ object Streams {
       // drop ONLY the consumed dir: the ≤-id sweep would be wrong
       // here — a derived expansion id (2^40+) as upTo would reap
       // producer batches landed after our listing
-      val p = new org.apache.hadoop.fs.Path(feed)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)
+      feedFs.delete(feedDir, true)
+      } // feedFs.exists guard (stale derived batch deleted mid-drain)
     }
     ids
   }
@@ -3328,15 +3381,26 @@ object Streams {
     * index was the one gate index with no fold): once more than
     * `compactPastBatches` index dirs sit below the smallest hop id
     * any pending feed could still write or replay, the
-    * `.replan.urlindex` folds to a watermark base
-    * ([[urlGateCompactIndex]], the st20/st25 cadence; 0 disables).
-    * The replayable window folds over EVERY upstream feed — `.replan`
-    * and `.refetch` ids map through [[replanHopId]], and the
-    * sitemap-side feeds (`.sitemapxml`, `.sitemaps`, `.seedhosts`)
-    * through `2 × parseBatchId` (a pending upstream batch k lands
-    * `.refetch` under `parseBatchId(k)`, whose hop gates at twice
-    * that) — the parse drain's pending-upstream clamp (ADVICE r16
-    * #3), applied to this axis.
+    * `.replan.urlindex` folds — but NOT to a watermark base: hop ids
+    * are NON-monotonic across time (a deep chain from refetch id r
+    * reaches ~2^h·r while later refetch batches r′ ∈ (r, 2^(h-1)·r]
+    * gate below it), so a published watermark could sit ABOVE future
+    * hop ids and the live filter would read their dirs as dead —
+    * permanent dedup loss. Instead the fold APPENDs the folded dirs'
+    * distinct (canon_url, ub) rows into the max foldable dir and
+    * drops the rest ([[replanGateCompactIndex]]): set-membership
+    * semantics make a torn append harmless (any subset of fold rows
+    * beside the intact originals probes identically), no watermark
+    * is ever published, and the target id — an already-consumed hop
+    * id — can never be written again. The replayable window folds
+    * over EVERY upstream feed — `.replan` and `.refetch` ids map
+    * through [[replanHopId]], and the sitemap-side feeds
+    * (`.sitemapxml`, `.sitemaps`, `.seedhosts`) through
+    * `2 × parseBatchId` (a pending upstream batch k lands `.refetch`
+    * under `parseBatchId(k)`, whose hop gates at twice that) — the
+    * parse drain's pending-upstream clamp (ADVICE r16 #3), applied
+    * to this axis; an id outside every pending chain is final, so
+    * folding it can never collide with a replay's own-id exclusion.
     */
   def replanFetchDrainOnce(spark: SparkSession, lakePath: String,
       fetcher: graft.sources.PagedSource.ConditionalFetcher,
@@ -3359,14 +3423,11 @@ object Streams {
          graft.operators.Dedup
           .listBatchIds(spark, s"$lakePath.seedhosts"))
           .filter(_ >= 0).map(k => 2 * parseBatchId(k))
-      // cap below IndexChildBase: legacy roots may hold pre-dense
-      // 2^40 hop ids, and a watermark above them would read every
-      // later DENSE id as already-folded — silent dup_lake loss
-      val upTo = (pendingHop :+ IndexChildBase).min - 1
+      val upTo = (pendingHop :+ Long.MaxValue).min - 1
       if (upTo >= 0 && graft.operators.Dedup
           .listBatchIds(spark, s"$feed.urlindex")
           .count(i => i >= 0 && i <= upTo) > compactPastBatches)
-        urlGateCompactIndex(spark, feed, upTo)
+        replanGateCompactIndex(spark, feed, upTo)
     }
     ids.foreach { id =>
       val rows = spark.read.schema("url STRING")
