@@ -1382,7 +1382,12 @@ object Streams {
     val canon = graft.operators.Dedup.urlCanonicalizeOver(batch)
       .withColumn("ub", ubBucket(col("canon_url")))
       .localCheckpoint(true) // one canonicalization feeds winners + audit
-    val arrived = canon.count()
+    // one job for both audit inputs: arrived rows AND the per-batch
+    // winner count (= distinct canonical URLs — the row_number()===1
+    // selection below keeps exactly one row per canonical key)
+    val cRow = canon.agg(count(lit(1)),
+      countDistinct(col("canon_url"))).head()
+    val (arrived, nWinners) = (cRow.getLong(0), cRow.getLong(1))
     // row_number, not min-filter: identical URLs with IDENTICAL
     // doc_ids (st25 mints doc_id = xxhash64(loc), so a twice-
     // announced URL ties exactly) would ALL pass a doc_id === min
@@ -1395,7 +1400,6 @@ object Streams {
       .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
       .localCheckpoint(true) // feeds the probe anti-join AND the landing
-    val nWinners = winners.count()
     val idxPath = s"$lakePath.urlindex"
     val fs = new org.apache.hadoop.fs.Path(idxPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2120,7 +2124,9 @@ object Streams {
           when(col("host").rlike(
             "^[a-z0-9]([a-z0-9-]*[a-z0-9])?(\\.[a-z0-9]([a-z0-9-]*[a-z0-9])?)*$"),
             0L).otherwise(1L))
-        .localCheckpoint(true) // one parse feeds probe + audit
+        // no checkpoint: the one consumer is `marked` below (the
+        // audit reads the checkpointed `results` since the
+        // status-counts rework), so materializing here is a wasted job
       // staleness probe: latest `seen` per host, EXCLUDING the
       // current id (replay safety); pre-fold dirs carry no seen
       // column and fall back to their partition id
@@ -2189,21 +2195,42 @@ object Streams {
         }
       }.toDF("host", "payload", "status", "error", "r_etag", "r_lm")
         .localCheckpoint(true) // one fetch pass feeds st27 + ledgers + audit
+      // ONE bounded collect (≤ 4 statuses × 2) feeds every
+      // count-derived decision below — the audit row, the heartbeat
+      // probe guard, the withdrawal guard, and the ledger-write
+      // guards each used to pay their own aggregation job per batch
+      // (builder thread #4: the composed tick is ~all per-action
+      // fixed cost)
+      val counts = results.groupBy(col("status"),
+          (col("error") === "no_robots").as("nr"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      val nAll = counts.map(_._3).sum
+      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val (nF, nSk, nNm) =
+        (nOf("fetched"), nOf("skipped"), nOf("not_modified"))
+      val nNoRobots = counts.filter(c => c._1 == "skipped" && c._2)
+        .map(_._3).sum
       // fetched bodies ARE st27's batch — parse + land under this id;
       // 304'd hosts RE-announce their stored set (the heartbeat: the
       // sitemap drain re-checks each file conditionally, so an
       // unchanged level costs one 304 and a changed one re-parses).
       // The probe is skipped when nothing 304'd — an all-fetched or
       // all-skipped drain never reads the ledger.
-      val nmHosts = results.filter(col("status") === "not_modified")
-        .select(col("host").as("src_key"))
-      val announced = discoveryBootstrapBatch(
-        results.filter(col("status") === "fetched")
-          .select(col("host"), lit("robots").as("kind"), col("payload")),
-        lakePath, id,
-        reannounce =
-          if (nmHosts.isEmpty) null
-          else announceLedgerLatest(spark, annRoot, nmHosts))
+      val announced =
+        if (nF == 0L && nNm == 0L)
+          spark.emptyDataFrame.select(lit("").as("host"),
+            lit("").as("source"), lit(0L).as("ord"), lit("").as("loc"),
+            lit("").as("lastmod"), lit(0L).as("in_scope")).limit(0)
+        else discoveryBootstrapBatch(
+          results.filter(col("status") === "fetched")
+            .select(col("host"), lit("robots").as("kind"), col("payload")),
+          lakePath, id,
+          reannounce =
+            if (nNm == 0L) null
+            else announceLedgerLatest(spark, annRoot,
+              results.filter(col("status") === "not_modified")
+                .select(col("host").as("src_key"))))
       // announcement ledger, appended BEFORE the validator capture
       // (the announce-ledger replay order: a 304 implies the set is
       // ledgered): on a later 304 the host's announcements re-enter
@@ -2220,27 +2247,31 @@ object Streams {
       //     withdrawn; without the tombstone the stale set would
       //     linger as the host's "latest" forever),
       // so the old set stops re-announcing on the next heartbeat.
-      val withdrawableKeys = results.filter(
-          col("status") === "fetched" ||
-            (col("status") === "skipped" && col("error") === "no_robots"))
-        .select(col("host").as("src_key"))
-      announceLedgerAppend(
-        withTombstones(withdrawableKeys,
-          announced.filter(col("in_scope") === 1L &&
-              col("source") === "robots")
-            .select(col("host").as("src_key"), col("host"),
-              col("source"), col("loc"), col("lastmod"))),
-        annRoot)
+      if (nF > 0L || nNoRobots > 0L) {
+        val withdrawableKeys = results.filter(
+            col("status") === "fetched" ||
+              (col("status") === "skipped" && col("error") === "no_robots"))
+          .select(col("host").as("src_key"))
+        announceLedgerAppend(
+          withTombstones(withdrawableKeys,
+            announced.filter(col("in_scope") === 1L &&
+                col("source") === "robots")
+              .select(col("host").as("src_key"), col("host"),
+                col("source"), col("loc"), col("lastmod"))),
+          annRoot)
+      }
       // staleness window restarts on 304 too (the server confirmed
       // the already-parsed state is current) and on a confirmed 404
       // (absent-robots IS a cacheable verdict — RFC 9309 §2.4 allows
       // caching; re-seeding a 404'd host inside the window must not
-      // re-spend a request on it)
-      results.filter(col("status").isin("fetched", "not_modified") ||
-          (col("status") === "skipped" && col("error") === "no_robots"))
-        .select(col("host"), lit(id).as("seen"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$ledgerRoot/batch=$id")
+      // re-spend a request on it). Skipped when nothing qualifies —
+      // no empty ledger dirs on all-fresh/all-bad drains.
+      if (nF + nNm + nNoRobots > 0L)
+        results.filter(col("status").isin("fetched", "not_modified") ||
+            (col("status") === "skipped" && col("error") === "no_robots"))
+          .select(col("host"), lit(id).as("seen"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$ledgerRoot/batch=$id")
       // validator capture → the shared ledger at a fresh seq (a crash
       // replay appends identical rows at a new seq; latest-wins reads
       // them identically and compaction folds the duplicate away).
@@ -2251,35 +2282,27 @@ object Streams {
       // withdrew, and its announcement set would stay frozen until
       // the server happened to rotate the tag. Cleared, the restored
       // robots fetches 200 and the fresh parse replaces the tombstone.
-      graft.sources.ValidatorLedger.appendSeq(
-        results.filter(col("status") === "fetched" &&
-            (col("r_etag") =!= "" || col("r_lm") =!= ""))
-          .select(concat(lit("https://"), col("host"),
-            lit("/robots.txt")).as("url"),
-            col("r_etag").as("etag"), col("r_lm").as("last_modified"))
-          .unionByName(results.filter(col("status") === "skipped" &&
-              col("error") === "no_robots")
+      if (nF > 0L || nNoRobots > 0L)
+        graft.sources.ValidatorLedger.appendSeq(
+          results.filter(col("status") === "fetched" &&
+              (col("r_etag") =!= "" || col("r_lm") =!= ""))
             .select(concat(lit("https://"), col("host"),
               lit("/robots.txt")).as("url"),
-              lit("").as("etag"), lit("").as("last_modified"))
-            // only URLs that actually HOLD a stored validator — the
-            // common no-robots host would otherwise append one dead
-            // ledger row per 404 forever (round-18 review #3); `leds`
-            // is the pre-drain read, and a second 404 sees the
-            // cleared (empty) row and skips
-            .join(leds.filter(leds("led_etag") =!= "" ||
-                leds("led_last_modified") =!= "").select("url"),
-              Seq("url"), "left_semi")),
-        valRoot)
-      val tot = results.agg(count(lit(1)),
-        coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
-          lit(0L)),
-        coalesce(sum(when(col("status") === "skipped", 1L).otherwise(0L)),
-          lit(0L)),
-        coalesce(sum(when(col("status") === "not_modified", 1L)
-          .otherwise(0L)), lit(0L))).head()
-      val (nAll, nF, nSk, nNm) = (tot.getLong(0), tot.getLong(1),
-        tot.getLong(2), tot.getLong(3))
+              col("r_etag").as("etag"), col("r_lm").as("last_modified"))
+            .unionByName(results.filter(col("status") === "skipped" &&
+                col("error") === "no_robots")
+              .select(concat(lit("https://"), col("host"),
+                lit("/robots.txt")).as("url"),
+                lit("").as("etag"), lit("").as("last_modified"))
+              // only URLs that actually HOLD a stored validator — the
+              // common no-robots host would otherwise append one dead
+              // ledger row per 404 forever (round-18 review #3); `leds`
+              // is the pre-drain read, and a second 404 sees the
+              // cleared (empty) row and skips
+              .join(leds.filter(leds("led_etag") =!= "" ||
+                  leds("led_last_modified") =!= "").select("url"),
+                Seq("url"), "left_semi")),
+          valRoot)
       Seq((id, nAll, nF, nSk, nAll - nF - nSk - nNm, nNm))
         .toDF("batch_id", "seeded", "fetched", "skipped", "failed",
           "not_modified")
@@ -2847,6 +2870,18 @@ object Streams {
           when(col("kind") === "nested", "nested_index")
             .otherwise(col("error")))
         .localCheckpoint(true) // one fetch pass feeds landings + audit
+      // ONE bounded collect (≤ 4 statuses × 3 kinds) feeds every
+      // count-derived decision below — audit row, carry-forward and
+      // reann guards, children-chase guards, ledger-write guards —
+      // each used to pay its own aggregation job per batch (builder
+      // thread #4: the composed tick is ~all per-action fixed cost)
+      val counts = routed.groupBy("status", "kind").count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val nAll = counts.map(_._3).sum
+      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val (nFetched, nSkipped, nNm) =
+        (nOf("fetched"), nOf("skipped"), nOf("not_modified"))
+      val nIdx = counts.filter(_._2 == "index").map(_._3).sum
       // XML landing with replay CARRY-FORWARD (review r17 #2): a
       // crash-replay of this batch after its validator capture
       // committed answers 304 where attempt one answered 200 — the
@@ -2854,17 +2889,22 @@ object Streams {
       // not-yet-parsed XML. Rows already in this batch's landing whose
       // loc 304'd THIS attempt ride forward (the capture commits
       // after the landing, so a 304 implies the landed rows exist).
-      val nmLocs = routed.filter(col("status") === "not_modified")
-        .select("loc")
-        .localCheckpoint(true) // feeds carry-forward + children reann
+      // With nothing 304'd there is nothing to carry — no landing
+      // read, no checkpoint.
+      val nmLocs =
+        if (nNm == 0L) null
+        else routed.filter(col("status") === "not_modified")
+          .select("loc")
+          .localCheckpoint(true) // feeds carry-forward + children reann
       val landPath = s"$lakePath.sitemapxml/batch=$id"
       // a prior attempt may have crashed mid-swap: restore the only
       // complete copy before reading it
       recoverSwap(spark, landPath)
       val lp = new org.apache.hadoop.fs.Path(landPath)
       val carried =
-        if (lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .exists(lp))
+        if (nNm > 0L &&
+            lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(lp))
           spark.read.schema("host STRING, loc STRING, xml STRING")
             .parquet(landPath)
             .join(nmLocs, Seq("loc"), "left_semi")
@@ -2892,7 +2932,7 @@ object Streams {
       // that, changed child sitemaps behind a byte-stable index file
       // would never be re-checked (review r17 #3).
       val freshChildren =
-        if (allowExpand)
+        if (allowExpand && nIdx > 0L)
           graft.operators.Graph.sitemapIndexExtractOver(
             routed.filter(col("kind") === "index")
               .select(col("host"), col("xml"),
@@ -2907,32 +2947,42 @@ object Streams {
             lit("").as("parent_loc")).limit(0)
       // ledger append with withdrawal tombstones: an index fetched
       // with ZERO in-scope children (all cross-host, or emptied) must
-      // stop re-announcing its old set
-      announceLedgerAppend(
-        withTombstones(
-          routed.filter(col("kind") === "index")
-            .select(col("loc").as("src_key")),
-          freshChildren.select(col("parent_loc").as("src_key"),
-            col("host"), col("source"), col("loc"), col("lastmod"))),
-        annRoot)
+      // stop re-announcing its old set. Leaf-only batches (the common
+      // case) have no announcers to ledger or withdraw — skipped
+      // without a job.
+      if (nIdx > 0L)
+        announceLedgerAppend(
+          withTombstones(
+            routed.filter(col("kind") === "index")
+              .select(col("loc").as("src_key")),
+            freshChildren.select(col("parent_loc").as("src_key"),
+              col("host"), col("source"), col("loc"), col("lastmod"))),
+          annRoot)
       // the re-announce probe is skipped when nothing 304'd
       val reannChildren =
-        if (allowExpand && !nmLocs.isEmpty)
+        if (allowExpand && nNm > 0L)
           announceLedgerLatest(spark, annRoot,
             nmLocs.select(col("loc").as("src_key")))
         else spark.emptyDataFrame
           .select(lit("").as("host"), lit("").as("source"),
             lit("").as("loc"), lit("").as("lastmod")).limit(0)
-      val children = freshChildren
-        .select("host", "source", "loc", "lastmod")
-        .unionByName(reannChildren)
-        .distinct()
-        .localCheckpoint(true) // feeds the landing AND the count
-      val nChildren = children.count()
-      if (nChildren > 0)
-        children.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$feed/batch=${IndexChildBase + id}")
-      else if (allowExpand) {
+      // a leaf-only, nothing-304'd batch provably has zero children —
+      // no union/distinct/count jobs
+      val nChildren =
+        if (!allowExpand || (nIdx == 0L && nNm == 0L)) 0L
+        else {
+          val children = freshChildren
+            .select("host", "source", "loc", "lastmod")
+            .unionByName(reannChildren)
+            .distinct()
+            .localCheckpoint(true) // feeds the landing AND the count
+          val n = children.count()
+          if (n > 0)
+            children.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$feed/batch=${IndexChildBase + id}")
+          n
+        }
+      if (nChildren == 0L && allowExpand) {
         // ADVICE r17 #3: a crash-replay of a batch whose index was
         // withdrawn/emptied between attempts would otherwise leave
         // attempt one's stale derived-children dir in place, and the
@@ -2945,24 +2995,13 @@ object Streams {
       // validator capture → the shared ledger at a fresh seq (index
       // files included: a re-announced index that 304s skips the
       // whole chase). Same replay contract as the content drain's.
-      graft.sources.ValidatorLedger.appendSeq(
-        routed.filter(col("status") === "fetched" &&
-            (col("r_etag") =!= "" || col("r_lm") =!= ""))
-          .select(col("loc").as("url"), col("r_etag").as("etag"),
-            col("r_lm").as("last_modified")),
-        valRoot)
-      val tot = routed.agg(count(lit(1)),
-        coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
-          lit(0L)),
-        coalesce(sum(when(col("status") === "skipped", 1L).otherwise(0L)),
-          lit(0L)),
-        coalesce(sum(when(col("kind") === "index", 1L).otherwise(0L)),
-          lit(0L)),
-        coalesce(sum(when(col("status") === "not_modified", 1L)
-          .otherwise(0L)), lit(0L))).head()
-      val (nAll, nFetched, nSkipped, nIdx, nNm) =
-        (tot.getLong(0), tot.getLong(1), tot.getLong(2), tot.getLong(3),
-          tot.getLong(4))
+      if (nFetched > 0L)
+        graft.sources.ValidatorLedger.appendSeq(
+          routed.filter(col("status") === "fetched" &&
+              (col("r_etag") =!= "" || col("r_lm") =!= ""))
+            .select(col("loc").as("url"), col("r_etag").as("etag"),
+              col("r_lm").as("last_modified")),
+          valRoot)
       Seq((id, nAll, nFetched, nSkipped,
           nAll - nFetched - nSkipped - nNm, nIdx, nChildren, nNm))
         .toDF("batch_id", "planned", "fetched", "skipped", "failed",
@@ -3253,20 +3292,23 @@ object Streams {
         .select(col("src").as("url"), col("etag"), col("last_modified"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$ledgerRoot/batch=$ledgerSeq")
+      // ONE bounded collect feeds the audit row AND the hop guard
+      // (status × is-redirect ≤ 8 rows) — the hop's internal count
+      // and the audit agg each used to be their own job per batch
+      val counts = all.groupBy(col("status"),
+          col("error").rlike("^redirect: HTTP 3\\d\\d -> ").as("rd"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      val nAll = counts.map(_._3).sum
+      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val (nF, nNm, nSk) =
+        (nOf("fetched"), nOf("not_modified"), nOf("skipped"))
       // redirect re-planning hop (VERDICT r15 missing #4) under the
       // dense hop id (r17 wrong #4 — the gate's index must stay
       // watermark-foldable)
       val (nRd, nRp) = redirectReplanHop(spark, lakePath, all,
-        replanHopId(id, fromReplan = false))
-      val tot = all.agg(count(lit(1)),
-        coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
-          lit(0L)),
-        coalesce(sum(when(col("status") === "not_modified", 1L)
-          .otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("status") === "skipped", 1L).otherwise(0L)),
-          lit(0L))).head()
-      val (nAll, nF, nNm, nSk) = (tot.getLong(0), tot.getLong(1),
-        tot.getLong(2), tot.getLong(3))
+        replanHopId(id, fromReplan = false),
+        counts.filter(_._2).map(_._3).sum)
       Seq((id, nAll, nF, nNm, nSk, nAll - nF - nNm - nSk, nRd, nRp))
         .toDF("batch_id", "planned", "fetched", "not_modified", "skipped",
           "failed", "redirected", "replanned")
@@ -3298,18 +3340,20 @@ object Streams {
     * under the TARGET host's own politeness/trap/write-safety rules.
     * A redirect CYCLE is bounded by the `.replan` index: the second
     * encounter of any target is a `dup_lake` verdict, not a fetch.
-    * Returns (3xx rows, targets handed to the gate).
+    * `nRedirected` is the caller's precomputed 3xx-row count (it
+    * already aggregates the audit's status counts — one bounded
+    * collect serves both); a zero-redirect batch never plans a job
+    * here. Returns (3xx rows, targets handed to the gate).
     */
   private def redirectReplanHop(spark: SparkSession, lakePath: String,
-      all: DataFrame, batchId: Long): (Long, Long) = {
+      all: DataFrame, batchId: Long, nRedirected: Long): (Long, Long) = {
     import spark.implicits._
+    if (nRedirected == 0L) return (0L, 0L)
     val redirects = all.filter(col("status") === "skipped" &&
         col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
       .select(col("src"), regexp_extract(col("error"),
         "^redirect: HTTP 3\\d\\d -> (.*)$", 1).as("loc"))
       .as[(String, String)]
-    val nRedirected = redirects.count()
-    if (nRedirected == 0L) return (0L, 0L)
     val targets = redirects.flatMap { case (src, loc) =>
       try {
         val r = new java.net.URI(src).resolve(loc.trim)
@@ -3455,22 +3499,24 @@ object Streams {
         .localCheckpoint(true) // one fetch pass feeds landing + audit
       all.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$lakePath.replanfetched/batch=$id")
+      // ONE bounded collect feeds the audit row AND the hop guard
+      // (refetchDrainOnce's shape)
+      val counts = all.groupBy(col("status"),
+          col("error").rlike("^redirect: HTTP 3\\d\\d -> ").as("rd"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      val nAll = counts.map(_._3).sum
+      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val (nF, nNm, nSk) =
+        (nOf("fetched"), nOf("not_modified"), nOf("skipped"))
       // next hop (ADVICE r16 #1): 3xx rows from THIS hop's fetches
       // re-enter the re-planning gate under the dense derived id —
       // the `.replan` feed being drained is listed once up front, so
       // the derived batch lands for the NEXT cycle and this one's
       // single-dir delete below cannot reap it
       val (nRd, nRp) = redirectReplanHop(spark, lakePath, all,
-        replanHopId(id, fromReplan = true))
-      val tot = all.agg(count(lit(1)),
-        coalesce(sum(when(col("status") === "fetched", 1L).otherwise(0L)),
-          lit(0L)),
-        coalesce(sum(when(col("status") === "not_modified", 1L)
-          .otherwise(0L)), lit(0L)),
-        coalesce(sum(when(col("status") === "skipped", 1L).otherwise(0L)),
-          lit(0L))).head()
-      val (nAll, nF, nNm, nSk) = (tot.getLong(0), tot.getLong(1),
-        tot.getLong(2), tot.getLong(3))
+        replanHopId(id, fromReplan = true),
+        counts.filter(_._2).map(_._3).sum)
       Seq((id, nAll, nF, nNm, nSk, nAll - nF - nNm - nSk, nRd, nRp))
         .toDF("batch_id", "planned", "fetched", "not_modified", "skipped",
           "failed", "redirected", "replanned")
