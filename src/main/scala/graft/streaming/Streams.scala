@@ -1384,10 +1384,15 @@ object Streams {
       .localCheckpoint(true) // one canonicalization feeds winners + audit
     // one job for both audit inputs: arrived rows AND the per-batch
     // winner count (= distinct canonical URLs — the row_number()===1
-    // selection below keeps exactly one row per canonical key)
+    // selection below keeps exactly one row per canonical key).
+    // countDistinct skips a NULL group, but the window keeps one
+    // winner for it (st20 is public over arbitrary frames) — the max
+    // term adds it back so audit conservation holds (review #2)
     val cRow = canon.agg(count(lit(1)),
-      countDistinct(col("canon_url"))).head()
-    val (arrived, nWinners) = (cRow.getLong(0), cRow.getLong(1))
+      countDistinct(col("canon_url")),
+      max(when(col("canon_url").isNull, 1L).otherwise(0L))).head()
+    val (arrived, nWinners) =
+      (cRow.getLong(0), cRow.getLong(1) + cRow.getLong(2))
     // row_number, not min-filter: identical URLs with IDENTICAL
     // doc_ids (st25 mints doc_id = xxhash64(loc), so a twice-
     // announced URL ties exactly) would ALL pass a doc_id === min
@@ -1676,22 +1681,35 @@ object Streams {
   private def replanGateCompactIndex(spark: SparkSession, feed: String,
       upTo: Long): Unit = {
     val idxPath = s"$feed.urlindex"
-    val foldable = graft.operators.Dedup.listBatchIds(spark, idxPath)
-      .filter(i => i >= 0 && i <= upTo).sorted
-    if (foldable.length <= 1) return
-    val target = foldable.max
+    val ids = graft.operators.Dedup.listBatchIds(spark, idxPath)
+    val positives = ids.filter(i => i >= 0 && i <= upTo).sorted
+    // legacy watermark bases (batch=-(W+2), ≤ -2) RETIRE through the
+    // fold: while one exists, domcountsLiveFilter hides every dir at
+    // id ≤ W — including future hop dirs the non-monotonic id space
+    // can mint below W (this round's review #1) — so its rows merge
+    // into the target and the base deletes, after which the live
+    // filter is pass-through and the bug class is gone
+    val bases = ids.filter(_ <= -2L)
+    if (positives.isEmpty || positives.length + bases.length <= 1) return
+    val target = positives.max
+    // read everything EXCEPT the target: appending the target's own
+    // rows back would double it at every fold (review #3); overlap
+    // between the sources and the target stays, which set-membership
+    // probes (anti-joins) tolerate
+    val sources = positives.filter(_ != target) ++ bases
+    if (sources.isEmpty) return
     spark.read.schema("canon_url STRING, ub INT, batch BIGINT")
       .option("basePath", idxPath)
-      .parquet(foldable.map(i => s"$idxPath/batch=$i"): _*)
+      .parquet(sources.map(i => s"$idxPath/batch=$i"): _*)
       .select("canon_url", "ub").distinct()
-      .localCheckpoint(true) // sever lineage from the dir appended into
+      .localCheckpoint(true) // sever lineage from the dirs being folded
       .repartition(col("ub"))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("ub")
       .parquet(s"$idxPath/batch=$target")
     val p = new org.apache.hadoop.fs.Path(idxPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    foldable.filter(_ != target).foreach(i =>
+    sources.foreach(i =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true))
   }
 
@@ -1912,6 +1930,19 @@ object Streams {
       .filter(col("loc") =!= "") // tombstones announce nothing
       .select("host", "source", "loc", "lastmod")
   }
+
+  /** ONE bounded collect of per-(status, flag) row counts over a
+    * drain's checkpointed result frame — the count-derived decisions
+    * (audit row, ledger-write guards, probe/hop guards) share it
+    * instead of each paying its own aggregation job per batch
+    * (builder thread #4: the composed tick is ~all per-action fixed
+    * cost). `flag` must be a non-null boolean column; result size is
+    * bounded by |statuses| × 2.
+    */
+  private def statusCounts(df: DataFrame,
+      flag: Column): Array[(String, Boolean, Long)] =
+    df.groupBy(col("status"), flag.as("_f")).count().collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
 
   /** Pad withdrawal TOMBSTONES onto a fetched announcers' row set:
     * every key in `announcerKeys` (1-column `src_key` — the entities
@@ -2195,16 +2226,10 @@ object Streams {
         }
       }.toDF("host", "payload", "status", "error", "r_etag", "r_lm")
         .localCheckpoint(true) // one fetch pass feeds st27 + ledgers + audit
-      // ONE bounded collect (≤ 4 statuses × 2) feeds every
-      // count-derived decision below — the audit row, the heartbeat
+      // one statusCounts collect feeds the audit row, the heartbeat
       // probe guard, the withdrawal guard, and the ledger-write
-      // guards each used to pay their own aggregation job per batch
-      // (builder thread #4: the composed tick is ~all per-action
-      // fixed cost)
-      val counts = results.groupBy(col("status"),
-          (col("error") === "no_robots").as("nr"))
-        .count().collect()
-        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      // guards below
+      val counts = statusCounts(results, col("error") === "no_robots")
       val nAll = counts.map(_._3).sum
       def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
       val (nF, nSk, nNm) =
@@ -3292,13 +3317,11 @@ object Streams {
         .select(col("src").as("url"), col("etag"), col("last_modified"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$ledgerRoot/batch=$ledgerSeq")
-      // ONE bounded collect feeds the audit row AND the hop guard
-      // (status × is-redirect ≤ 8 rows) — the hop's internal count
-      // and the audit agg each used to be their own job per batch
-      val counts = all.groupBy(col("status"),
-          col("error").rlike("^redirect: HTTP 3\\d\\d -> ").as("rd"))
-        .count().collect()
-        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      // one statusCounts collect feeds the audit row AND the hop
+      // guard — the hop's internal count and the audit agg each used
+      // to be their own job per batch
+      val counts = statusCounts(all,
+        col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
       val nAll = counts.map(_._3).sum
       def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
       val (nF, nNm, nSk) =
@@ -3499,12 +3522,10 @@ object Streams {
         .localCheckpoint(true) // one fetch pass feeds landing + audit
       all.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$lakePath.replanfetched/batch=$id")
-      // ONE bounded collect feeds the audit row AND the hop guard
-      // (refetchDrainOnce's shape)
-      val counts = all.groupBy(col("status"),
-          col("error").rlike("^redirect: HTTP 3\\d\\d -> ").as("rd"))
-        .count().collect()
-        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+      // one statusCounts collect feeds the audit row AND the hop
+      // guard (refetchDrainOnce's shape)
+      val counts = statusCounts(all,
+        col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
       val nAll = counts.map(_._3).sum
       def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
       val (nF, nNm, nSk) =

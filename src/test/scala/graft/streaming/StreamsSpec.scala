@@ -1732,12 +1732,17 @@ class StreamsSpec extends AnyFunSuite {
       feed(3L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
         hostPermitsPerSec = 5) == Seq(3L))
+      // a legacy watermark base must RETIRE through the fold: while
+      // one exists the live filter hides every dir at id ≤ W, and
+      // the non-monotonic hop-id space can mint future dirs below W
+      assert(new java.io.File(s"$lake.replan.urlindex/batch=-4").mkdirs())
       assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
         dest, compactPastBatches = 1) == Seq(6L))
       val idxDirs = new java.io.File(s"$lake.replan.urlindex").listFiles()
         .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
       assert(idxDirs == Seq("batch=6"),
-        s"index history must fold into the max foldable dir: $idxDirs")
+        s"index history must fold into the max foldable dir " +
+          s"(legacy base retired): $idxDirs")
       val ga3 = spark.read.parquet(s"$lake.replan.audit/batch=6")
         .collect().head
       assert((ga3.getAs[Long]("arrived"), ga3.getAs[Long]("admitted"),
