@@ -1682,7 +1682,7 @@ object Streams {
       upTo: Long): Unit = {
     val idxPath = s"$feed.urlindex"
     val ids = graft.operators.Dedup.listBatchIds(spark, idxPath)
-    val positives = ids.filter(i => i >= 0 && i <= upTo).sorted
+    val positives = ids.filter(i => i >= 0 && i <= upTo)
     // legacy watermark bases (batch=-(W+2), ≤ -2) RETIRE through the
     // fold: while one exists, domcountsLiveFilter hides every dir at
     // id ≤ W — including future hop dirs the non-monotonic id space
@@ -1697,7 +1697,6 @@ object Streams {
     // between the sources and the target stays, which set-membership
     // probes (anti-joins) tolerate
     val sources = positives.filter(_ != target) ++ bases
-    if (sources.isEmpty) return
     spark.read.schema("canon_url STRING, ub INT, batch BIGINT")
       .option("basePath", idxPath)
       .parquet(sources.map(i => s"$idxPath/batch=$i"): _*)
@@ -1709,7 +1708,13 @@ object Streams {
       .parquet(s"$idxPath/batch=$target")
     val p = new org.apache.hadoop.fs.Path(idxPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    sources.foreach(i =>
+    // bases delete FIRST (wave-3 review #1): with a base still
+    // published and the positive sources already gone, a crash would
+    // leave the merged rows only in a target the base's live filter
+    // HIDES (target ≤ W is the premise); bases-first, a crash leaves
+    // the filter pass-through with intact originals beside duplicate
+    // target rows — which the anti-join probes tolerate
+    (bases ++ positives.filter(_ != target)).foreach(i =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true))
   }
 
@@ -3491,9 +3496,15 @@ object Streams {
           .listBatchIds(spark, s"$lakePath.seedhosts"))
           .filter(_ >= 0).map(k => 2 * parseBatchId(k))
       val upTo = (pendingHop :+ Long.MaxValue).min - 1
-      if (upTo >= 0 && graft.operators.Dedup
-          .listBatchIds(spark, s"$feed.urlindex")
-          .count(i => i >= 0 && i <= upTo) > compactPastBatches)
+      val idxIds = graft.operators.Dedup
+        .listBatchIds(spark, s"$feed.urlindex")
+      // fire on size — or IMMEDIATELY when a legacy watermark base
+      // exists (wave-3 review #2): while the base sits, the live
+      // filter hides every dir at id ≤ W, so retirement must not
+      // wait for compactPastBatches fresh dirs to accumulate
+      if (upTo >= 0 &&
+          (idxIds.count(i => i >= 0 && i <= upTo) > compactPastBatches ||
+            (idxIds.exists(_ <= -2L) && idxIds.exists(_ >= 0))))
         replanGateCompactIndex(spark, feed, upTo)
     }
     ids.foreach { id =>
