@@ -1679,9 +1679,8 @@ object Streams {
     * id — never collides with a replay's own-id exclusion.
     */
   private def replanGateCompactIndex(spark: SparkSession, feed: String,
-      upTo: Long): Unit = {
+      upTo: Long, ids: Seq[Long]): Unit = {
     val idxPath = s"$feed.urlindex"
-    val ids = graft.operators.Dedup.listBatchIds(spark, idxPath)
     val positives = ids.filter(i => i >= 0 && i <= upTo)
     // legacy watermark bases (batch=-(W+2), ≤ -2) RETIRE through the
     // fold: while one exists, domcountsLiveFilter hides every dir at
@@ -1696,7 +1695,8 @@ object Streams {
     // rows back would double it at every fold (review #3); overlap
     // between the sources and the target stays, which set-membership
     // probes (anti-joins) tolerate
-    val sources = positives.filter(_ != target) ++ bases
+    val rest = positives.filter(_ != target)
+    val sources = rest ++ bases
     spark.read.schema("canon_url STRING, ub INT, batch BIGINT")
       .option("basePath", idxPath)
       .parquet(sources.map(i => s"$idxPath/batch=$i"): _*)
@@ -1713,8 +1713,13 @@ object Streams {
     // leave the merged rows only in a target the base's live filter
     // HIDES (target ≤ W is the premise); bases-first, a crash leaves
     // the filter pass-through with intact originals beside duplicate
-    // target rows — which the anti-join probes tolerate
-    (bases ++ positives.filter(_ != target)).foreach(i =>
+    // target rows — which the anti-join probes tolerate. Among
+    // SEVERAL leftover bases the MAX-watermark one (the most
+    // negative id) deletes LAST (wave-4 review #1): it is the one
+    // domcountsLiveFilter keys on, so while it stands the superseded
+    // bases are already invisible and a crash between deletes can
+    // never demote the watermark onto a half-deleted state.
+    (bases.sorted.reverse ++ rest).foreach(i =>
       fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$i"), true))
   }
 
@@ -3504,8 +3509,9 @@ object Streams {
       // wait for compactPastBatches fresh dirs to accumulate
       if (upTo >= 0 &&
           (idxIds.count(i => i >= 0 && i <= upTo) > compactPastBatches ||
-            (idxIds.exists(_ <= -2L) && idxIds.exists(_ >= 0))))
-        replanGateCompactIndex(spark, feed, upTo)
+            (idxIds.exists(_ <= -2L) &&
+              idxIds.exists(i => i >= 0 && i <= upTo))))
+        replanGateCompactIndex(spark, feed, upTo, idxIds)
     }
     ids.foreach { id =>
       val rows = spark.read.schema("url STRING")

@@ -1757,6 +1757,26 @@ class StreamsSpec extends AnyFunSuite {
       assert((ga4.getAs[Long]("arrived"), ga4.getAs[Long]("admitted"),
         ga4.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)),
         s"folded index must still verdict dup_lake: $ga4")
+      // IMMEDIATE retirement: a legacy base beside any foldable dir
+      // retires on the next drain even under the DEFAULT size
+      // threshold (while it stands, the live filter hides every dir
+      // at id ≤ W — waiting for 64 fresh dirs would re-admit indexed
+      // targets the whole time)
+      assert(new java.io.File(s"$lake.replan.urlindex/batch=-4").mkdirs())
+      assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
+        dest) == Seq(8L))
+      val idxDirs2 = new java.io.File(s"$lake.replan.urlindex").listFiles()
+        .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
+      assert(idxDirs2 == Seq("batch=8"),
+        s"a legacy base must retire on the first drain: $idxDirs2")
+      feed(5L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
+        hostPermitsPerSec = 5) == Seq(5L))
+      val ga5 = spark.read.parquet(s"$lake.replan.audit/batch=10")
+        .collect().head
+      assert((ga5.getAs[Long]("arrived"), ga5.getAs[Long]("admitted"),
+        ga5.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)),
+        s"retired-base index must still verdict dup_lake: $ga5")
     } finally server.stop(0)
   }
 
