@@ -3503,14 +3503,14 @@ object Streams {
       val upTo = (pendingHop :+ Long.MaxValue).min - 1
       val idxIds = graft.operators.Dedup
         .listBatchIds(spark, s"$feed.urlindex")
-      // fire on size — or IMMEDIATELY when a legacy watermark base
-      // exists (wave-3 review #2): while the base sits, the live
-      // filter hides every dir at id ≤ W, so retirement must not
-      // wait for compactPastBatches fresh dirs to accumulate
-      if (upTo >= 0 &&
-          (idxIds.count(i => i >= 0 && i <= upTo) > compactPastBatches ||
-            (idxIds.exists(_ <= -2L) &&
-              idxIds.exists(i => i >= 0 && i <= upTo))))
+      // the foldable window, computed ONCE for both trigger arms and
+      // matching the fold's own filter. Fire on size — or IMMEDIATELY
+      // when a legacy watermark base exists (wave-3 review #2): while
+      // the base sits, the live filter hides every dir at id ≤ W, so
+      // retirement must not wait for compactPastBatches fresh dirs
+      val nFoldable = idxIds.count(i => i >= 0 && i <= upTo)
+      if (upTo >= 0 && (nFoldable > compactPastBatches ||
+          (nFoldable > 0 && idxIds.exists(_ <= -2L))))
         replanGateCompactIndex(spark, feed, upTo, idxIds)
     }
     ids.foreach { id =>

@@ -1625,6 +1625,9 @@ class StreamsSpec extends AnyFunSuite {
         // RELATIVE Location (legal per RFC 9110 §10.2.2) — must
         // resolve against the source URL
         case "/c/a.example.com/p/2" => redirect(301, "/p/2b")
+        // the legacy-base retirement leg's redirect: its target's
+        // canonical URL lives ONLY in a planted watermark base
+        case "/c/a.example.com/p/4" => redirect(302, "/p/base-only")
         // TWO-hop chain (the http→https→www shape): the replan drain
         // must feed its own 3xx answers back through the hop (ADVICE
         // r16 #1 — they used to die as skipped rows, content lost)
@@ -1761,22 +1764,37 @@ class StreamsSpec extends AnyFunSuite {
       // retires on the next drain even under the DEFAULT size
       // threshold (while it stands, the live filter hides every dir
       // at id ≤ W — waiting for 64 fresh dirs would re-admit indexed
-      // targets the whole time)
-      assert(new java.io.File(s"$lake.replan.urlindex/batch=-4").mkdirs())
+      // targets the whole time). The base is REAL this time: it holds
+      // the ONLY index copy of p/4's redirect target, so the leg also
+      // proves retirement MERGES the base's rows instead of just
+      // deleting them (wave-5 review #1).
+      locally {
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        graft.operators.Dedup.urlCanonicalizeOver(
+            Seq((999L, "https://a.example.com/p/base-only"))
+              .toDF("doc_id", "url"))
+          .select(col("canon_url"),
+            // UrlParts = 64, the gate's hash-bucket dial
+            pmod(xxhash64(col("canon_url")), lit(64L)).cast("int")
+              .as("ub"))
+          .write.partitionBy("ub")
+          .parquet(s"$lake.replan.urlindex/batch=-4")
+      }
       assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
         dest) == Seq(8L))
       val idxDirs2 = new java.io.File(s"$lake.replan.urlindex").listFiles()
         .map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
       assert(idxDirs2 == Seq("batch=8"),
         s"a legacy base must retire on the first drain: $idxDirs2")
-      feed(5L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2"))
+      feed(5L, Seq("https://a.example.com/p/1", "https://a.example.com/p/2",
+        "https://a.example.com/p/4"))
       assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest,
         hostPermitsPerSec = 5) == Seq(5L))
       val ga5 = spark.read.parquet(s"$lake.replan.audit/batch=10")
         .collect().head
       assert((ga5.getAs[Long]("arrived"), ga5.getAs[Long]("admitted"),
-        ga5.getAs[Long]("dup_lake")) == ((2L, 0L, 2L)),
-        s"retired-base index must still verdict dup_lake: $ga5")
+        ga5.getAs[Long]("dup_lake")) == ((3L, 0L, 3L)),
+        s"retired-base rows must still verdict dup_lake: $ga5")
     } finally server.stop(0)
   }
 
