@@ -1941,18 +1941,31 @@ object Streams {
       .select("host", "source", "loc", "lastmod")
   }
 
-  /** ONE bounded collect of per-(status, flag) row counts over a
-    * drain's checkpointed result frame — the count-derived decisions
-    * (audit row, ledger-write guards, probe/hop guards) share it
-    * instead of each paying its own aggregation job per batch
-    * (builder thread #4: the composed tick is ~all per-action fixed
-    * cost). `flag` must be a non-null boolean column; result size is
-    * bounded by |statuses| × 2.
+  /** ONE bounded collect of per-(status, second-column) row counts
+    * over a drain's checkpointed result frame — the count-derived
+    * decisions (audit row, ledger-write guards, probe/hop guards)
+    * share it instead of each paying its own aggregation job per
+    * batch (builder thread #4: the composed tick is ~all per-action
+    * fixed cost). `second` must be non-null (booleans stringify to
+    * "true"/"false" — [[StatusTally.flagged]]); result size is
+    * bounded by |statuses| × |second values|.
     */
-  private def statusCounts(df: DataFrame,
-      flag: Column): Array[(String, Boolean, Long)] =
-    df.groupBy(col("status"), flag.as("_f")).count().collect()
-      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+  private def statusCounts(df: DataFrame, second: Column): StatusTally =
+    new StatusTally(
+      df.groupBy(col("status"), second.cast("string").as("_f"))
+        .count().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+
+  /** The drains' shared status tally (one definition for the nAll /
+    * per-status / per-flag sums four drains used to re-declare).
+    */
+  private final class StatusTally(
+      val counts: Array[(String, String, Long)]) {
+    val nAll: Long = counts.map(_._3).sum
+    def of(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+    def second(v: String): Long = counts.filter(_._2 == v).map(_._3).sum
+    def flagged: Long = second("true")
+  }
 
   /** Pad withdrawal TOMBSTONES onto a fetched announcers' row set:
     * every key in `announcerKeys` (1-column `src_key` — the entities
@@ -2196,8 +2209,14 @@ object Streams {
         .as[(String, Long, Long, String, String)]
       val results = marked.repartition(col("host")).mapPartitions { it =>
         it.map { case (host, bad, fr, etag, lm) =>
-          if (bad == 1L) (host, null: String, "skipped", "bad_host", "", "")
-          else if (fr == 1L) (host, null: String, "skipped", "fresh", "", "")
+          // had_val rides through the fetch untouched: the 404
+          // validator-clear below needs "did this URL HOLD a stored
+          // validator" without re-scanning the ledger (wave-6 #6)
+          val hadVal = if (etag.nonEmpty || lm.nonEmpty) 1L else 0L
+          if (bad == 1L)
+            (host, null: String, "skipped", "bad_host", "", "", hadVal)
+          else if (fr == 1L)
+            (host, null: String, "skipped", "fresh", "", "", hadVal)
           else try {
             val url = s"https://$host/robots.txt"
             val (in, vals) = graft.sources.PagedSource
@@ -2217,35 +2236,35 @@ object Streams {
             val bytes = try in.readNBytes(RobotsMaxBytes) finally in.close()
             (host, new String(bytes,
               java.nio.charset.StandardCharsets.UTF_8), "fetched", "",
-              vals.etag, vals.lastModified)
+              vals.etag, vals.lastModified, hadVal)
           } catch {
             case _: graft.sources.PagedSource.NotModified =>
-              (host, null: String, "not_modified", "", "", "")
+              (host, null: String, "not_modified", "", "", "", hadVal)
             case _: java.io.FileNotFoundException =>
-              (host, null: String, "skipped", "no_robots", "", "")
+              (host, null: String, "skipped", "no_robots", "", "", hadVal)
             case r: graft.sources.PagedSource.Redirected =>
               (host, null: String, "skipped", String.valueOf(r.getMessage),
-                "", "")
+                "", "", hadVal)
             case nc: graft.sources.PagedSource.NoContent =>
               (host, null: String, "skipped",
-                s"no_content: ${String.valueOf(nc.getMessage)}", "", "")
+                s"no_content: ${String.valueOf(nc.getMessage)}", "", "",
+                hadVal)
             case ex: Exception =>
               (host, null: String, "failed", String.valueOf(ex.getMessage),
-                "", "")
+                "", "", hadVal)
           }
         }
-      }.toDF("host", "payload", "status", "error", "r_etag", "r_lm")
+      }.toDF("host", "payload", "status", "error", "r_etag", "r_lm",
+          "had_val")
         .localCheckpoint(true) // one fetch pass feeds st27 + ledgers + audit
       // one statusCounts collect feeds the audit row, the heartbeat
       // probe guard, the withdrawal guard, and the ledger-write
       // guards below
-      val counts = statusCounts(results, col("error") === "no_robots")
-      val nAll = counts.map(_._3).sum
-      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val tally = statusCounts(results, col("error") === "no_robots")
+      val nAll = tally.nAll
       val (nF, nSk, nNm) =
-        (nOf("fetched"), nOf("skipped"), nOf("not_modified"))
-      val nNoRobots = counts.filter(c => c._1 == "skipped" && c._2)
-        .map(_._3).sum
+        (tally.of("fetched"), tally.of("skipped"), tally.of("not_modified"))
+      val nNoRobots = tally.flagged
       // fetched bodies ARE st27's batch — parse + land under this id;
       // 304'd hosts RE-announce their stored set (the heartbeat: the
       // sitemap drain re-checks each file conditionally, so an
@@ -2283,10 +2302,24 @@ object Streams {
       //     linger as the host's "latest" forever),
       // so the old set stops re-announcing on the next heartbeat.
       if (nF > 0L || nNoRobots > 0L) {
-        val withdrawableKeys = results.filter(
-            col("status") === "fetched" ||
-              (col("status") === "skipped" && col("error") === "no_robots"))
+        // a 404'd host withdraws ONLY when it actually HOLDS a live
+        // stored set (one bounded probe for the batch's no_robots
+        // keys): the common never-announced no-robots host would
+        // otherwise append a fresh tombstone every staleness window
+        // forever (wave-6 review #5). A fetched host always enters —
+        // its tombstone-on-zero-announcements is supersession, not
+        // growth (the next fetch replaces the row set either way).
+        val noRobotsWithSets =
+          if (nNoRobots == 0L)
+            spark.emptyDataFrame.select(lit("").as("src_key")).limit(0)
+          else announceLedgerLatest(spark, annRoot,
+              results.filter(col("status") === "skipped" &&
+                  col("error") === "no_robots")
+                .select(col("host").as("src_key")))
+            .select(col("host").as("src_key")).distinct()
+        val withdrawableKeys = results.filter(col("status") === "fetched")
           .select(col("host").as("src_key"))
+          .unionByName(noRobotsWithSets)
         announceLedgerAppend(
           withTombstones(withdrawableKeys,
             announced.filter(col("in_scope") === 1L &&
@@ -2325,18 +2358,17 @@ object Streams {
               lit("/robots.txt")).as("url"),
               col("r_etag").as("etag"), col("r_lm").as("last_modified"))
             .unionByName(results.filter(col("status") === "skipped" &&
-                col("error") === "no_robots")
+                col("error") === "no_robots" &&
+                // only URLs that actually HELD a stored validator —
+                // the common no-robots host would otherwise append
+                // one dead ledger row per 404 forever (review #3);
+                // had_val rode through the fetch tuple, so this costs
+                // no ledger re-scan (wave-6 #6), and a second 404
+                // sees the cleared row's absence and skips
+                col("had_val") === 1L)
               .select(concat(lit("https://"), col("host"),
                 lit("/robots.txt")).as("url"),
-                lit("").as("etag"), lit("").as("last_modified"))
-              // only URLs that actually HOLD a stored validator — the
-              // common no-robots host would otherwise append one dead
-              // ledger row per 404 forever (round-18 review #3); `leds`
-              // is the pre-drain read, and a second 404 sees the
-              // cleared (empty) row and skips
-              .join(leds.filter(leds("led_etag") =!= "" ||
-                  leds("led_last_modified") =!= "").select("url"),
-                Seq("url"), "left_semi")),
+                lit("").as("etag"), lit("").as("last_modified"))),
           valRoot)
       Seq((id, nAll, nF, nSk, nAll - nF - nSk - nNm, nNm))
         .toDF("batch_id", "seeded", "fetched", "skipped", "failed",
@@ -2910,13 +2942,11 @@ object Streams {
       // reann guards, children-chase guards, ledger-write guards —
       // each used to pay its own aggregation job per batch (builder
       // thread #4: the composed tick is ~all per-action fixed cost)
-      val counts = routed.groupBy("status", "kind").count().collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      val nAll = counts.map(_._3).sum
-      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val tally = statusCounts(routed, col("kind"))
+      val nAll = tally.nAll
       val (nFetched, nSkipped, nNm) =
-        (nOf("fetched"), nOf("skipped"), nOf("not_modified"))
-      val nIdx = counts.filter(_._2 == "index").map(_._3).sum
+        (tally.of("fetched"), tally.of("skipped"), tally.of("not_modified"))
+      val nIdx = tally.second("index")
       // XML landing with replay CARRY-FORWARD (review r17 #2): a
       // crash-replay of this batch after its validator capture
       // committed answers 304 where attempt one answered 200 — the
@@ -3087,8 +3117,19 @@ object Streams {
     * a raw `IndexChildBase + j`, which no `batch ≤ upTo` fold can
     * ever watermark — one immortal `.replan.urlindex` dir per
     * multi-hop chain on a long-lived service. Chains grow ~2× per
-    * hop (r → 2r → 4r+1 → 8r+3 …), so even deep chains stay far
-    * under [[IndexChildBase]].
+    * hop (r → 2r → 4r+1 → 8r+3 …); [[redirectReplanHop]] caps the
+    * chain at the [[IndexChildBase]] boundary (~40 hops) so a
+    * hostile unbounded chain can neither reach the expansion
+    * namespace nor overflow.
+    *
+    * UPGRADE boundary: a root written by the pre-dense scheme may
+    * hold pending `.replan` feed dirs at raw ids that numerically
+    * collide with new hop ids (the namespaces overlap — that was the
+    * old scheme's defect). Drain the `.replan` feed to empty on the
+    * old build before upgrading; an in-flight upgrade risks one
+    * Overwrite of a pending legacy batch (its planned URLs re-enter
+    * through the gates on the next encounter — bounded by the
+    * dedup index, never silent corruption of probed state).
     */
   private[graft] def replanHopId(feedId: Long, fromReplan: Boolean): Long =
     if (fromReplan) 2 * feedId + 1 else 2 * feedId
@@ -3330,18 +3371,17 @@ object Streams {
       // one statusCounts collect feeds the audit row AND the hop
       // guard — the hop's internal count and the audit agg each used
       // to be their own job per batch
-      val counts = statusCounts(all,
+      val tally = statusCounts(all,
         col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
-      val nAll = counts.map(_._3).sum
-      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val nAll = tally.nAll
       val (nF, nNm, nSk) =
-        (nOf("fetched"), nOf("not_modified"), nOf("skipped"))
+        (tally.of("fetched"), tally.of("not_modified"), tally.of("skipped"))
       // redirect re-planning hop (VERDICT r15 missing #4) under the
       // dense hop id (r17 wrong #4 — the gate's index must stay
       // watermark-foldable)
       val (nRd, nRp) = redirectReplanHop(spark, lakePath, all,
         replanHopId(id, fromReplan = false),
-        counts.filter(_._2).map(_._3).sum)
+        tally.flagged)
       Seq((id, nAll, nF, nNm, nSk, nAll - nF - nNm - nSk, nRd, nRp))
         .toDF("batch_id", "planned", "fetched", "not_modified", "skipped",
           "failed", "redirected", "replanned")
@@ -3382,6 +3422,15 @@ object Streams {
       all: DataFrame, batchId: Long, nRedirected: Long): (Long, Long) = {
     import spark.implicits._
     if (nRedirected == 0L) return (0L, 0L)
+    // CHAIN CAP (wave-6 review #4): hop ids double per hop, so a
+    // hostile unbounded chain of distinct redirect targets would walk
+    // the id into the expansion namespace and eventually overflow
+    // Long — where a negative gate id masquerades as a compaction
+    // watermark base and poisons the whole index. A chain that deep
+    // (~40 hops; public clients cap at 5–20) stops re-planning: its
+    // 3xx rows stay audited (`redirected` > 0, `replanned` = 0 — the
+    // loud-drop shape), content unfetched by policy.
+    if (batchId >= IndexChildBase || batchId < 0L) return (nRedirected, 0L)
     val redirects = all.filter(col("status") === "skipped" &&
         col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
       .select(col("src"), regexp_extract(col("error"),
@@ -3541,12 +3590,11 @@ object Streams {
         .parquet(s"$lakePath.replanfetched/batch=$id")
       // one statusCounts collect feeds the audit row AND the hop
       // guard (refetchDrainOnce's shape)
-      val counts = statusCounts(all,
+      val tally = statusCounts(all,
         col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
-      val nAll = counts.map(_._3).sum
-      def nOf(s: String): Long = counts.filter(_._1 == s).map(_._3).sum
+      val nAll = tally.nAll
       val (nF, nNm, nSk) =
-        (nOf("fetched"), nOf("not_modified"), nOf("skipped"))
+        (tally.of("fetched"), tally.of("not_modified"), tally.of("skipped"))
       // next hop (ADVICE r16 #1): 3xx rows from THIS hop's fetches
       // re-enter the re-planning gate under the dense derived id —
       // the `.replan` feed being drained is listed once up front, so
@@ -3554,7 +3602,7 @@ object Streams {
       // single-dir delete below cannot reap it
       val (nRd, nRp) = redirectReplanHop(spark, lakePath, all,
         replanHopId(id, fromReplan = true),
-        counts.filter(_._2).map(_._3).sum)
+        tally.flagged)
       Seq((id, nAll, nF, nNm, nSk, nAll - nF - nNm - nSk, nRd, nRp))
         .toDF("batch_id", "planned", "fetched", "not_modified", "skipped",
           "failed", "redirected", "replanned")

@@ -370,6 +370,7 @@ class StreamsSpec extends AnyFunSuite {
     // bump plans both files copy_changed; with no validators stored
     // yet they re-copy ONCE and the responses' ETags land in the
     // landing zone's ledger
+    val lakeAfter3 = lakeState()
     val cond1 = new Streams.CondLocalDirFetcher(remote, 3600000L, pageSize = 2)
     val audit4 = Streams.st08PagedIngest(spark, cond1, landing, lake,
       ckpt, nParts = 8).collect()
@@ -377,8 +378,8 @@ class StreamsSpec extends AnyFunSuite {
       audit4.mkString("; "))
     assert(audit4.forall(_.etag.nonEmpty), "validators must be captured")
     // the re-copied paths are stream-tracked: empty drain, lake as-is
-    val lakeAfter3 = lakeState()
-    assert(lakeState() == lakeAfter3)
+    assert(lakeState() == lakeAfter3,
+      "a seeding re-copy must not re-stream into the lake")
     // drain 5: ANOTHER metadata-only touch — every planned file now
     // answers 304 from the stored validators THROUGH the service
     // path: not_modified audit rows, ZERO body bytes, lake untouched
