@@ -2260,7 +2260,8 @@ object Streams {
       // one statusCounts collect feeds the audit row, the heartbeat
       // probe guard, the withdrawal guard, and the ledger-write
       // guards below
-      val tally = statusCounts(results, col("error") === "no_robots")
+      val tally = statusCounts(results,
+        col("status") === "skipped" && col("error") === "no_robots")
       val nAll = tally.nAll
       val (nF, nSk, nNm) =
         (tally.of("fetched"), tally.of("skipped"), tally.of("not_modified"))
@@ -3378,10 +3379,12 @@ object Streams {
         (tally.of("fetched"), tally.of("not_modified"), tally.of("skipped"))
       // redirect re-planning hop (VERDICT r15 missing #4) under the
       // dense hop id (r17 wrong #4 — the gate's index must stay
-      // watermark-foldable)
+      // watermark-foldable); hop-0 caps only on overflow — an
+      // expansion-namespace feed id legitimately hops above
+      // IndexChildBase here (wave-7 review #1)
+      val hopId = replanHopId(id, fromReplan = false)
       val (nRd, nRp) = redirectReplanHop(spark, lakePath, all,
-        replanHopId(id, fromReplan = false),
-        tally.flagged)
+        hopId, tally.flagged, capped = hopId < 0L)
       Seq((id, nAll, nF, nNm, nSk, nAll - nF - nNm - nSk, nRd, nRp))
         .toDF("batch_id", "planned", "fetched", "not_modified", "skipped",
           "failed", "redirected", "replanned")
@@ -3419,18 +3422,24 @@ object Streams {
     * here. Returns (3xx rows, targets handed to the gate).
     */
   private def redirectReplanHop(spark: SparkSession, lakePath: String,
-      all: DataFrame, batchId: Long, nRedirected: Long): (Long, Long) = {
+      all: DataFrame, batchId: Long, nRedirected: Long,
+      capped: Boolean): (Long, Long) = {
     import spark.implicits._
     if (nRedirected == 0L) return (0L, 0L)
     // CHAIN CAP (wave-6 review #4): hop ids double per hop, so a
     // hostile unbounded chain of distinct redirect targets would walk
     // the id into the expansion namespace and eventually overflow
     // Long — where a negative gate id masquerades as a compaction
-    // watermark base and poisons the whole index. A chain that deep
-    // (~40 hops; public clients cap at 5–20) stops re-planning: its
-    // 3xx rows stay audited (`redirected` > 0, `replanned` = 0 — the
-    // loud-drop shape), content unfetched by policy.
-    if (batchId >= IndexChildBase || batchId < 0L) return (nRedirected, 0L)
+    // watermark base and poisons the whole index. A capped hop stops
+    // re-planning LOUDLY: its 3xx rows stay audited (`redirected` >
+    // 0, `replanned` = 0), content unfetched by policy. The CALLER
+    // decides the cap (wave-7 review #1): the replan drain caps at
+    // the IndexChildBase boundary (~40 hops from any dense source;
+    // public clients cap at 5–20), while the refetch drain's hop-0 —
+    // whose id can legitimately sit in the expansion namespace when a
+    // deployment hand-lands `.refetch` under a derived id — caps only
+    // on genuine overflow (negative).
+    if (capped) return (nRedirected, 0L)
     val redirects = all.filter(col("status") === "skipped" &&
         col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
       .select(col("src"), regexp_extract(col("error"),
@@ -3599,10 +3608,12 @@ object Streams {
       // re-enter the re-planning gate under the dense derived id —
       // the `.replan` feed being drained is listed once up front, so
       // the derived batch lands for the NEXT cycle and this one's
-      // single-dir delete below cannot reap it
+      // single-dir delete below cannot reap it. Chains CAP at the
+      // IndexChildBase boundary (~40 hops) — the loud-drop shape
+      val hopId = replanHopId(id, fromReplan = true)
       val (nRd, nRp) = redirectReplanHop(spark, lakePath, all,
-        replanHopId(id, fromReplan = true),
-        tally.flagged)
+        hopId, tally.flagged,
+        capped = hopId >= IndexChildBase || hopId < 0L)
       Seq((id, nAll, nF, nNm, nSk, nAll - nF - nNm - nSk, nRd, nRp))
         .toDF("batch_id", "planned", "fetched", "not_modified", "skipped",
           "failed", "redirected", "replanned")

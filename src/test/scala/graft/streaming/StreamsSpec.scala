@@ -1796,6 +1796,23 @@ class StreamsSpec extends AnyFunSuite {
       assert((ga5.getAs[Long]("arrived"), ga5.getAs[Long]("admitted"),
         ga5.getAs[Long]("dup_lake")) == ((3L, 0L, 3L)),
         s"retired-base rows must still verdict dup_lake: $ga5")
+      // CHAIN CAP: a replan batch whose NEXT hop id would cross the
+      // IndexChildBase boundary stops re-planning LOUDLY — redirects
+      // counted, nothing handed to the gate, no derived batch minted
+      val capId = Streams.IndexChildBase / 2
+      Seq("https://a.example.com/p/3").toDF("url")
+        .write.parquet(s"$lake.replan/batch=$capId")
+      assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
+        dest, hostPermitsPerSec = 5) == Seq(10L, capId))
+      val rc = spark.read
+        .parquet(s"$lake.replanfetched.audit/batch=$capId")
+        .collect().head
+      assert((rc.getAs[Long]("planned"), rc.getAs[Long]("redirected"),
+        rc.getAs[Long]("replanned")) == ((1L, 1L, 0L)),
+        s"capped chain must drop loudly: $rc")
+      assert(new java.io.File(s"$lake.replan").listFiles()
+        .forall(!_.getName.startsWith("batch=")),
+        "a capped hop must mint no derived batch")
     } finally server.stop(0)
   }
 
@@ -1868,6 +1885,12 @@ class StreamsSpec extends AnyFunSuite {
       // consumer-owned GC: the seed feed is drained
       assert(new java.io.File(s"$lake.seedhosts").listFiles()
         .forall(!_.getName.startsWith("batch=")), "seed feed not GC'd")
+      // a NEVER-announced 404 host (b) must not grow the announcement
+      // ledger: tombstones only withdraw live stored sets (wave-6 #5)
+      assert(spark.read.parquet(s"$lake.robotstxt.announcements")
+        .filter(org.apache.spark.sql.functions.col("src_key") ===
+          "b.example.com").count() == 0L,
+        "a never-announced 404 host must not tombstone")
       // staleness policy: the host re-seeded within the refetch window
       // is skipped/fresh — no second request, no new landing
       Seq("a.example.com").toDF("host")
