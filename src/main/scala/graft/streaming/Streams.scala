@@ -3118,10 +3118,17 @@ object Streams {
     * a raw `IndexChildBase + j`, which no `batch ≤ upTo` fold can
     * ever watermark — one immortal `.replan.urlindex` dir per
     * multi-hop chain on a long-lived service. Chains grow ~2× per
-    * hop (r → 2r → 4r+1 → 8r+3 …); [[redirectReplanHop]] caps the
-    * chain at the [[IndexChildBase]] boundary (~40 hops) so a
-    * hostile unbounded chain can neither reach the expansion
-    * namespace nor overflow.
+    * hop (r → 2r → 4r+1 → 8r+3 …); the REPLAN drain caps its chains
+    * at the [[IndexChildBase]] boundary (~40 hops from any dense
+    * source), so a hostile unbounded chain can neither reach the
+    * expansion namespace nor overflow. ONE documented carve-out
+    * (wave-7): the refetch drain's hop-0 caps only on genuine
+    * overflow, so a deployment that hand-lands `.refetch` under an
+    * expansion-namespace id gates its redirects at `2·(2^40+k)` —
+    * depth-one re-planning works (its own next hop is then capped),
+    * at the cost of a `.replan.urlindex` dir above every
+    * pending-chain fold watermark until a fully quiescent tick folds
+    * it. Code must therefore NOT assume every `.replan` id is dense.
     *
     * UPGRADE boundary: a root written by the pre-dense scheme may
     * hold pending `.replan` feed dirs at raw ids that numerically
@@ -3373,7 +3380,8 @@ object Streams {
       // guard — the hop's internal count and the audit agg each used
       // to be their own job per batch
       val tally = statusCounts(all,
-        col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
+        col("status") === "skipped" &&
+          col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
       val nAll = tally.nAll
       val (nF, nNm, nSk) =
         (tally.of("fetched"), tally.of("not_modified"), tally.of("skipped"))
@@ -3600,7 +3608,8 @@ object Streams {
       // one statusCounts collect feeds the audit row AND the hop
       // guard (refetchDrainOnce's shape)
       val tally = statusCounts(all,
-        col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
+        col("status") === "skipped" &&
+          col("error").rlike("^redirect: HTTP 3\\d\\d -> "))
       val nAll = tally.nAll
       val (nF, nNm, nSk) =
         (tally.of("fetched"), tally.of("not_modified"), tally.of("skipped"))
