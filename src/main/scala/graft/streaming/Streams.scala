@@ -1764,12 +1764,18 @@ object Streams {
     * batch's hash buckets.
     */
   def sitemapDiscoverBatch(batch: DataFrame, lakePath: String,
-      batchId: Long): Unit = {
+      batchId: Long, parsed: DataFrame = null): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return
-    val entries = graft.operators.Graph.sitemapExtractOver(batch)
-      .localCheckpoint(true) // one parse feeds landing + audit + gate
+    if (parsed == null && batch.isEmpty) return
+    // `parsed` is the caller's pre-parsed (and checkpointed) g08
+    // frame — the parse drain hands ONE parse to st25 AND st26 (the
+    // r17-wrong-#5 single-parse rule: the two consumers' views of a
+    // landing cannot drift, and the tick pays one parse, not two)
+    val entries =
+      if (parsed != null) parsed
+      else graft.operators.Graph.sitemapExtractOver(batch)
+        .localCheckpoint(true) // one parse feeds landing + audit + gate
     // coalesce: a non-empty batch whose sitemaps parse to ZERO
     // entries (empty urlset, non-XML garbage) sums to NULL, and a
     // bare getLong would NPE inside foreachBatch — a poison pill the
@@ -2583,12 +2589,16 @@ object Streams {
     * `n_urls = n_new + n_stale + n_fresh`.
     */
   def recrawlBatch(batch: DataFrame, lakePath: String,
-      batchId: Long): Unit = {
+      batchId: Long, parsed: DataFrame = null): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    if (batch.isEmpty) return
-    val entries = graft.operators.Graph.sitemapExtractOver(batch)
-      .localCheckpoint(true) // one parse feeds urls + audit
+    if (parsed == null && batch.isEmpty) return
+    // `parsed` = the caller's pre-parsed g08 frame (the parse drain's
+    // single-parse contract — see [[sitemapDiscoverBatch]])
+    val entries =
+      if (parsed != null) parsed
+      else graft.operators.Graph.sitemapExtractOver(batch)
+        .localCheckpoint(true) // one parse feeds urls + audit
     val tot = entries.agg(count(lit(1)),
       coalesce(sum(col("in_scope")), lit(0L))).head()
     val (nEntries, nInScope) = (tot.getLong(0), tot.getLong(1))
@@ -3204,9 +3214,20 @@ object Streams {
       val xml = spark.read.schema("host STRING, loc STRING, xml STRING")
         .parquet(s"$feed/batch=$id")
         .select("host", "xml")
-        .localCheckpoint(true) // one read feeds both consumers
-      sitemapDiscoverBatch(xml, lakePath, parseBatchId(id))
-      recrawlBatch(xml, lakePath, parseBatchId(id))
+      // ONE g08 parse feeds BOTH consumers (the r17-wrong-#5
+      // single-parse rule applied to the parse drain: st25's
+      // discovery and st26's recrawl plan derive from the SAME
+      // entries frame, so their views of a landing cannot drift —
+      // and the tick pays one parse + one checkpoint, not two of
+      // each). An empty landing skips both calls, preserving the
+      // callees' no-audit-on-empty contract.
+      if (!xml.isEmpty) {
+        val entries = graft.operators.Graph.sitemapExtractOver(xml)
+          .localCheckpoint(true)
+        sitemapDiscoverBatch(xml, lakePath, parseBatchId(id),
+          parsed = entries)
+        recrawlBatch(xml, lakePath, parseBatchId(id), parsed = entries)
+      }
       val p = new org.apache.hadoop.fs.Path(feed)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(p, s"batch=$id"), true)
