@@ -1763,19 +1763,24 @@ object Streams {
     * reach the gate, whose index probe is partition-confined to the
     * batch's hash buckets.
     */
+  /** The parse consumers' shared parsed-or-extract recipe: use the
+    * caller's pre-parsed (checkpointed) g08 frame when given — the
+    * parse drain's single-parse contract — else parse and checkpoint
+    * here (the standalone st25/st26 stream paths). One definition so
+    * the two consumers' fallback paths cannot drift.
+    */
+  private def parsedOrExtract(batch: DataFrame,
+      parsed: DataFrame): DataFrame =
+    if (parsed != null) parsed
+    else graft.operators.Graph.sitemapExtractOver(batch)
+      .localCheckpoint(true) // one parse feeds landing + audit + gate
+
   def sitemapDiscoverBatch(batch: DataFrame, lakePath: String,
       batchId: Long, parsed: DataFrame = null): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     if (parsed == null && batch.isEmpty) return
-    // `parsed` is the caller's pre-parsed (and checkpointed) g08
-    // frame — the parse drain hands ONE parse to st25 AND st26 (the
-    // r17-wrong-#5 single-parse rule: the two consumers' views of a
-    // landing cannot drift, and the tick pays one parse, not two)
-    val entries =
-      if (parsed != null) parsed
-      else graft.operators.Graph.sitemapExtractOver(batch)
-        .localCheckpoint(true) // one parse feeds landing + audit + gate
+    val entries = parsedOrExtract(batch, parsed)
     // coalesce: a non-empty batch whose sitemaps parse to ZERO
     // entries (empty urlset, non-XML garbage) sums to NULL, and a
     // bare getLong would NPE inside foreachBatch — a poison pill the
@@ -2593,12 +2598,7 @@ object Streams {
     val spark = batch.sparkSession
     import spark.implicits._
     if (parsed == null && batch.isEmpty) return
-    // `parsed` = the caller's pre-parsed g08 frame (the parse drain's
-    // single-parse contract — see [[sitemapDiscoverBatch]])
-    val entries =
-      if (parsed != null) parsed
-      else graft.operators.Graph.sitemapExtractOver(batch)
-        .localCheckpoint(true) // one parse feeds urls + audit
+    val entries = parsedOrExtract(batch, parsed)
     val tot = entries.agg(count(lit(1)),
       coalesce(sum(col("in_scope")), lit(0L))).head()
     val (nEntries, nInScope) = (tot.getLong(0), tot.getLong(1))
