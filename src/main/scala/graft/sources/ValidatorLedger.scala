@@ -59,13 +59,26 @@ object ValidatorLedger {
     * service tick, so the max-plus-one allocation cannot race.
     */
   def appendSeq(caps: DataFrame, ledgerRoot: String): Unit = {
-    if (caps.isEmpty) return
     val spark = caps.sparkSession
     val seq = (graft.operators.Dedup
       .listBatchIds(spark, ledgerRoot).filter(_ >= 0) :+ -1L).max + 1
+    // ONE job evaluates the capture exactly once: write at the fresh
+    // seq with an Observation counting rows; a zero-row append deletes
+    // its own empty dir afterward (the isEmpty guard cost a second
+    // evaluation job per drain). A crash inside the delete window
+    // leaves one empty dir — reads carry explicit schemas, so it reads
+    // as zero rows and the next compact folds it away.
+    val obs = org.apache.spark.sql.Observation()
     caps.select("url", "etag", "last_modified")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("_n"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$ledgerRoot/batch=$seq")
+    if (obs.get("_n").asInstanceOf[Long] == 0L) {
+      val p = new org.apache.hadoop.fs.Path(s"$ledgerRoot/batch=$seq")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
   }
 
   /** Fold the ledger's seq dirs into ONE latest-wins dir at a FRESH
@@ -80,6 +93,16 @@ object ValidatorLedger {
     * crash after it leaves duplicates that latest-wins reads
     * correctly. The stale staging a crash leaves is deleted (and the
     * fold redone) by the next compact call.
+    *
+    * Filesystem assumption (ADVICE r18 #1): the crash-safety argument
+    * hinges on `fs.rename` of the staging DIRECTORY being atomic —
+    * true on HDFS and local/POSIX filesystems. On object-store
+    * connectors where rename is copy+delete (e.g. S3A without a
+    * committer layer), the guarantee degrades to the torn window this
+    * fold exists to close; run ledgers there over an HDFS/ABFS-class
+    * path or an atomic-rename layer. The same assumption (and remedy)
+    * applies to every `.fold.stg` sibling in the codebase — the
+    * announce/robots ledger folds and `swapWrite`.
     */
   def compact(spark: SparkSession, ledgerRoot: String,
       minBatches: Int = 64): Unit = {

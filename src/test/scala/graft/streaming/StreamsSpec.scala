@@ -35,6 +35,34 @@ object StreamsSpec {
   // The conditional local fixture for the service-path f17 legs is
   // the main-side Streams.CondLocalDirFetcher (bytes-derived ETag +
   // metadata-only mtime bump) — no test twin to keep in sync.
+
+  /** Robots endpoint for the announce-bucket leg: one sitemap per
+    * host, a constant ETag captured on fetch, NotModified on any
+    * If-None-Match — so drain 2 is a pure 304 heartbeat. Top-level
+    * for the no-$outer serialization rule.
+    */
+  final case class HeartbeatRobotsFetcher()
+      extends graft.sources.PagedSource.ConditionalFetcher {
+    override def listPage(dirId: String, token: Option[String])
+        : graft.sources.PagedSource.Page =
+      throw new UnsupportedOperationException("robots only")
+    override def open(fileId: String): java.io.InputStream = {
+      val host = fileId.stripPrefix("https://")
+        .takeWhile(c => c != '/' && c != '?')
+      val s = host.stripPrefix("site").takeWhile(_.isDigit)
+      new java.io.ByteArrayInputStream(
+        s"User-agent: *\nSitemap: https://$host/sm_$s.xml\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    override def openIfModifiedSince(fileId: String, validator: String)
+        : java.io.InputStream = open(fileId)
+    override def openIfNoneMatch(fileId: String, etag: String)
+        : java.io.InputStream =
+      throw new graft.sources.PagedSource.NotModified
+    override def openCapturing(fileId: String)
+        : (java.io.InputStream, graft.sources.PagedSource.RespValidators) =
+      (open(fileId), graft.sources.PagedSource.RespValidators("\"tag\"", ""))
+  }
 }
 
 class StreamsSpec extends AnyFunSuite {
@@ -2317,10 +2345,18 @@ class StreamsSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_fold")
     // --- announcement ledger (SET semantics → dir-level atomicity) ---
     val ann = dir.resolve("ann").toString
+    // fixture dirs follow the live kb= layout (r19: appends partition
+    // by key bucket so heartbeat probes prune) — a flat dir beside
+    // bucketed ones would break partition discovery, which is the
+    // documented pre-bucket upgrade boundary, not a crash window
     def putAnn(seq: Long, rows: Seq[(String, String)]): Unit =
       rows.map { case (k, loc) => (k, k, "robots", loc, "") }
         .toDF("src_key", "host", "source", "loc", "lastmod")
+        .withColumn("kb", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("src_key")),
+          org.apache.spark.sql.functions.lit(16)).cast("int"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("kb")
         .parquet(s"$ann/batch=$seq")
     def latestSets(): Map[String, Set[String]] = {
       val rows = spark.read.parquet(ann).localCheckpoint(true)
@@ -3606,5 +3642,182 @@ class StreamsSpec extends AnyFunSuite {
     val urls = spark.read.parquet(lake + ".urlindex")
       .select("canon_url").collect().map(_.getString(0))
     assert(urls.distinct.length == urls.length, "duplicate canon in index")
+  }
+
+  test("st13 conditional landing: an identical replay moves zero lake bytes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_st13cond")
+      .toString
+    val lake = s"$dir/lake"
+    // fully distinct shingle sets per doc — the near-dup gate must
+    // admit every row, so the leg tests the LANDING, not the gate
+    def mk(ids: Seq[Long]) = ids
+      .map(i => (i, (1 to 30).map(k => s"w${i}x$k").mkString(" ")))
+      .toDF("doc_id", "text")
+    Streams.admitBatch(mk(1L to 5L), lake, batchId = 0L)
+    Streams.admitBatch(mk(101L to 105L), lake, batchId = 1L)
+    val a1 = spark.read.parquet(s"$lake.audit/batch=1").collect().head
+    assert(a1.getAs[String]("outcome") == "landed" &&
+      a1.getAs[Long]("n_rows") == 5L, s"$a1")
+    def lakeFiles() = new java.io.File(s"$lake/batch=1").listFiles()
+      .filter(f => !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val files1 = lakeFiles()
+    val bandRows = spark.read
+      .parquet(s"${Streams.lakeIndexPath(lake)}/bands").count()
+    Thread.sleep(1100) // mtime resolution: a rewrite WOULD move mtimes
+    // identical replay (the foreachBatch at-least-once shape): the
+    // stored fingerprint matches → no staging write, no target swap
+    Streams.admitBatch(mk(101L to 105L), lake, batchId = 1L)
+    assert(lakeFiles() == files1,
+      "identical replay must leave lake file mtimes untouched")
+    val a2 = spark.read.parquet(s"$lake.audit/batch=1").collect().head
+    assert(a2.getAs[String]("outcome") == "skipped_identical" &&
+      a2.getAs[Long]("content_fp") == a1.getAs[Long]("content_fp"),
+      s"$a2")
+    assert(spark.read.parquet(s"${Streams.lakeIndexPath(lake)}/bands")
+      .count() == bandRows, "index row count must not change on replay")
+    // a DIFFERENT replay of the same id (one novel doc appended) must
+    // rewrite — the guard is conditional, not a landing freeze
+    Streams.admitBatch(mk(101L to 106L), lake, batchId = 1L)
+    val a3 = spark.read.parquet(s"$lake.audit/batch=1").collect().head
+    assert(a3.getAs[String]("outcome") == "landed" &&
+      a3.getAs[Long]("n_rows") == 6L, s"$a3")
+    assert(spark.read.parquet(s"$lake/batch=1").count() == 6L)
+  }
+
+  test("announce ledger heartbeat probe opens only the probed keys' buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_annkb")
+      .toString
+    val lake = s"$dir/lake"
+    val hosts = (0 until 40).map(i => s"site$i.example.com")
+    val fetcher = StreamsSpec.HeartbeatRobotsFetcher()
+    hosts.toDF("host").write.parquet(s"$lake.seedhosts/batch=1")
+    assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher) == Seq(1L))
+    val annRoot = s"$lake.robotstxt.announcements"
+    // the ledger landed hive-partitioned by key bucket (appends key
+    // on their own monotonic seq, so take the latest seq dir)
+    val annSeq = new java.io.File(annRoot).listFiles()
+      .map(_.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    val kbDirs = new java.io.File(s"$annRoot/batch=$annSeq").listFiles()
+      .filter(_.getName.startsWith("kb=")).map(_.getName).toSet
+    assert(kbDirs.size > 1, s"expected multiple kb= buckets, got $kbDirs")
+    // poisoned-partition proof (the s07/s08 shape): corrupt every
+    // bucket EXCEPT one probed host's — a heartbeat probe for that
+    // host must still succeed, because untouched bucket directories
+    // are never opened
+    val probeHost = hosts.head
+    val probeKb = spark.range(1)
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(probeHost)),
+        org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .head().getInt(0)
+    kbDirs.filter(_ != s"kb=$probeKb").foreach { d =>
+      new java.io.File(s"$annRoot/batch=$annSeq/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val out = new java.io.FileOutputStream(f)
+          out.write("not parquet at all".getBytes); out.close()
+          // kill the crc sidecar so the corruption isn't caught by it
+          val crc = new java.io.File(f.getParent, s".${f.getName}.crc")
+          if (crc.exists()) crc.delete()
+        }
+    }
+    // the heartbeat: re-seed ONLY the probed host with the staleness
+    // skip disabled — drain 1 captured its ETag, so this fetch 304s
+    // and the drain re-announces the stored set from the ledger (the
+    // read under test)
+    Seq(probeHost).toDF("host").write
+      .parquet(s"$lake.seedhosts/batch=2")
+    assert(Streams.robotsFetchDrainOnce(spark, lake, fetcher,
+      refetchAfterBatches = 0) == Seq(2L))
+    val audit = spark.read.parquet(s"$lake.robotstxt.audit/batch=2")
+      .collect().head
+    assert(audit.getAs[Long]("not_modified") == 1L, s"$audit")
+    // the 304'd host's stored set re-entered the feed — read through
+    // a ledger where every unprobed bucket is GARBAGE: the probe
+    // cannot have opened them
+    val feed = spark.read.parquet(s"$lake.sitemaps/batch=2")
+      .select("loc").collect().map(_.getString(0)).toSet
+    assert(feed == Set(s"https://$probeHost/sm_0.xml"), s"$feed")
+  }
+
+  test("replan index fold converges over a hand-landed expansion-namespace feed id") {
+    // VERDICT r18 next #6: the documented carve-out — a deployment
+    // that hand-lands `.refetch` under an IndexChildBase+k id gates
+    // its redirects at 2·(2^40+k), above every pending-chain fold
+    // watermark. Pin the carve-out's BOUND: the huge dir resists
+    // folding only while chains are pending, and a QUIESCENT tick
+    // folds it — the index converges to one directory.
+    import spark.implicits._
+    import java.net.InetSocketAddress
+    import java.nio.charset.StandardCharsets
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = java.nio.file.Files.createTempDirectory("graft_replanhl")
+    val lake = dir.resolve("lake").toString
+    val dest = dir.resolve("dest").toString
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/c/", (ex: HttpExchange) => {
+      ex.getRequestURI.getPath match {
+        case "/c/a.example.com/hand/1" =>
+          ex.getResponseHeaders.add("Location", "/hand/1b")
+          ex.sendResponseHeaders(301, -1)
+        case _ =>
+          val b = "target".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b)
+      }
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fetcher = graft.sources.CondRewriteFetcher(base)
+      val traps = Seq.empty[(String, String, Long)]
+        .toDF("host", "template", "is_trap")
+      val handId = Streams.IndexChildBase + 3L
+      def feed(id: Long, urls: Seq[String]): Unit =
+        urls.map(u => (u, "", "new", "", ""))
+          .toDF("url", "lastmod", "status", "lastmod_raw", "stored_lastmod")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$lake.refetch/batch=$id")
+      // the hand-landed expansion-namespace batch: one redirecting URL
+      feed(handId, Seq("https://a.example.com/hand/1"))
+      assert(Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+        == Seq(handId))
+      val hugeHop = 2L * handId
+      def idxIds() = graft.operators.Dedup
+        .listBatchIds(spark, s"$lake.replan.urlindex").filter(_ >= 0)
+      assert(idxIds().contains(hugeHop),
+        s"hand-landed hop-0 gates at 2*(2^40+3), got ${idxIds()}")
+      // drain the hop (its own next hop is capped — depth-one works);
+      // then run a few DENSE chains so small index dirs accumulate
+      assert(Streams.replanFetchDrainOnce(spark, lake, fetcher, traps,
+        dest) == Seq(hugeHop))
+      feed(1L, Seq("https://a.example.com/hand/1"))
+      Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+      Streams.replanFetchDrainOnce(spark, lake, fetcher, traps, dest)
+      assert(idxIds().size > 1, s"fixture should hold several dirs: ${idxIds()}")
+      // QUIESCENT tick (all feeds drained): the fold window is
+      // unbounded, so the whole index — huge id included — converges
+      // to ONE directory (compactPastBatches=1 forces the fold now)
+      Streams.replanFetchDrainOnce(spark, lake, fetcher, traps, dest,
+        compactPastBatches = 1)
+      assert(idxIds() == Seq(hugeHop),
+        s"quiescent fold must converge to the max dir, got ${idxIds()}")
+      // and dedup survives the fold: the same redirect arriving again
+      // is dup_lake — nothing re-enters the replan feed
+      feed(7L, Seq("https://a.example.com/hand/1"))
+      Streams.refetchDrainOnce(spark, lake, fetcher, traps, dest)
+      val ga = spark.read
+        .parquet(s"$lake.replan.audit/batch=${2L * 7L}")
+        .collect().head
+      assert((ga.getAs[Long]("arrived"), ga.getAs[Long]("admitted"),
+        ga.getAs[Long]("dup_lake")) == ((1L, 0L, 1L)),
+        s"post-fold dedup broken: $ga")
+    } finally server.stop(0)
   }
 }
