@@ -241,41 +241,50 @@ object Streams {
       }
     // CONDITIONAL landing (VERDICT r18 next #3): the lake's write
     // half gets its fetch half's 304 economics. Every landing's audit
-    // row stores a content fingerprint of what landed (bit_xor over
-    // per-row xxhash64 + the row count — order-independent, since
-    // landing order is nondeterministic, and exact for the
-    // deterministic-replay case it guards); a replay whose admitted
-    // rows fingerprint identically SKIPS the staging write and the
-    // target swap entirely — zero bytes move and the lake files'
-    // mtimes stay untouched. The probe costs one agg job and only on
-    // the replay path (target exists + stored fingerprint found); a
-    // first landing pays nothing — its fingerprint rides the staging
-    // write as an Observation.
+    // row stores a content fingerprint of what landed — the row
+    // count, bit_xor of per-row xxhash64, AND their exact DECIMAL sum
+    // (review r19 wave 1 #2: xor alone cancels duplicate PAIRS, so
+    // two multisets differing by a swapped duplicate pair would
+    // fingerprint identically; the sum breaks that class, and
+    // DECIMAL(38,0) cannot overflow under ANSI where a BIGINT sum
+    // would throw). Order-independent, since landing order is
+    // nondeterministic. A replay whose admitted rows fingerprint
+    // identically SKIPS the staging write and the target swap
+    // entirely — zero bytes move and the lake files' mtimes stay
+    // untouched. The probe costs one agg job and only on the replay
+    // path (target exists + stored fingerprint found); a first
+    // landing pays nothing — its fingerprint rides the staging write
+    // as an Observation.
     val target = new Path(s"$lakePath/batch=$batchId")
     val auditDir = s"$lakePath.audit/batch=$batchId"
     def withFph(df: DataFrame): DataFrame =
       df.withColumn("_fph", xxhash64(df.columns.map(col): _*))
-    val stored: Option[(Long, Long)] =
+    val fpAggs: Seq[Column] = Seq(
+      coalesce(expr("bit_xor(_fph)"), lit(0L)).as("_fp"),
+      count(lit(1)).as("_n"),
+      coalesce(sum(col("_fph").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO)).cast("string").as("_fs"))
+    val stored: Option[(Long, Long, String)] =
       if (!fs.exists(target)) None
       else graft.sources.DriverParquet.readRows(spark, auditDir)
         .headOption.flatMap(r =>
-          for (fp <- r.get("content_fp"); n <- r.get("n_rows"))
-            yield (fp.asInstanceOf[Long], n.asInstanceOf[Long]))
-    val probed: Option[(Long, Long)] = stored.map { _ =>
-      val r = withFph(admitted).agg(
-        coalesce(expr("bit_xor(_fph)"), lit(0L)), count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
+          for (fp <- r.get("content_fp"); n <- r.get("n_rows");
+               s <- r.get("content_sum"))
+            yield (fp.asInstanceOf[Long], n.asInstanceOf[Long],
+              s.asInstanceOf[String]))
+    val probed: Option[(Long, Long, String)] = stored.map { _ =>
+      val r = withFph(admitted).agg(fpAggs.head, fpAggs.tail: _*).head()
+      (r.getLong(0), r.getLong(1), r.getString(2))
     }
     val skip = stored.isDefined && stored == probed
-    val (fpFinal, nFinal) =
+    val (fpFinal, nFinal, fsFinal) =
       if (skip) probed.get
       else {
         val staging = new Path(s"$lakePath.staging_$batchId")
         fs.delete(staging, true)
         val obs = org.apache.spark.sql.Observation()
         withFph(admitted)
-          .observe(obs, coalesce(expr("bit_xor(_fph)"), lit(0L)).as("_fp"),
-            count(lit(1)).as("_n"))
+          .observe(obs, fpAggs.head, fpAggs.tail: _*)
           .drop("_fph")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(staging.toString)
@@ -285,14 +294,15 @@ object Streams {
           throw new java.io.IOException(
             s"admitBatch: cannot promote $staging")
         val m = obs.get
-        (m("_fp").asInstanceOf[Long], m("_n").asInstanceOf[Long])
+        (m("_fp").asInstanceOf[Long], m("_n").asInstanceOf[Long],
+          m("_fs").asInstanceOf[String])
       }
     // audit LAST (both paths): a crash before it leaves no/stale
     // fingerprint and the next replay simply rewrites — idempotent
     landAuditRow(spark, auditDir,
       "batch_id BIGINT, n_rows BIGINT, content_fp BIGINT, " +
-        "outcome STRING",
-      batchId, nFinal, fpFinal,
+        "content_sum STRING, outcome STRING",
+      batchId, nFinal, fpFinal, fsFinal,
       if (skip) "skipped_identical" else "landed")
     // self-maintenance: each drain appends ≤ ShingleParts shingle files
     // + a bands file, so a long-lived stream grows one index directory
@@ -2047,6 +2057,28 @@ object Streams {
     */
   private def latestAnnounceSets(spark: SparkSession, ledgerRoot: String,
       ids: Seq[Long], keys: Option[DataFrame]): DataFrame = {
+    // make the documented upgrade boundary ACTUALLY loud (review r19
+    // wave 1 #1): a pre-bucket root's flat dirs would null-fill kb
+    // under the explicit schema and the probe's isin filter would
+    // silently drop every row — a 304'd host's stored set would stop
+    // re-announcing with nothing failing. Probe the first non-empty
+    // dir for the kb= layout and refuse a flat one.
+    {
+      val p = new org.apache.hadoop.fs.Path(ledgerRoot)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val firstNonEmpty = ids.sorted.iterator
+        .map(i => new org.apache.hadoop.fs.Path(p, s"batch=$i"))
+        .find(d => fs.exists(d) && fs.listStatus(d).exists(st =>
+          !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_")))
+      firstNonEmpty.foreach { d =>
+        if (!fs.listStatus(d).exists(_.getPath.getName.startsWith("kb=")))
+          throw new IllegalStateException(
+            s"announce ledger $ledgerRoot holds pre-bucket FLAT batch " +
+              s"dirs (no kb= layout in $d) — retire the root before " +
+              "running this build (see announceLedgerAppend scaladoc)")
+      }
+    }
     var rows = spark.read
       .schema("src_key STRING, host STRING, source STRING, " +
         "loc STRING, lastmod STRING, kb INT, batch BIGINT")
@@ -2118,37 +2150,17 @@ object Streams {
       org.apache.spark.sql.types.StructType.fromDDL(ddl),
       Seq(values.toSeq))
 
-  /** ONE bounded collect of per-(status, second-column) row counts
-    * over a drain's checkpointed result frame — the count-derived
-    * decisions (audit row, ledger-write guards, probe/hop guards)
-    * share it instead of each paying its own aggregation job per
-    * batch (builder thread #4: the composed tick is ~all per-action
-    * fixed cost). A null `second` value reads as "" (ADVICE r18 #2:
-    * the contract used to be documented, not enforced — a nullable
-    * column's rows silently dropped out of second()/flagged sums);
-    * booleans stringify to "true"/"false" — [[StatusTally.flagged]].
-    * Result size is bounded by |statuses| × |second values|.
-    */
-  private def statusCounts(df: DataFrame, second: Column): StatusTally = {
-    val rows = df.groupBy(col("status"),
-        coalesce(second.cast("string"), lit("")).as("_f"))
-      .count().collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    new StatusTally(rows.map(_._3).sum,
-      rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap,
-      rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap)
-  }
-
-  /** [[statusCounts]] folded into the frame's EAGER localCheckpoint
+  /** The drains' per-(status, second-column) tally, folded into the
+    * frame's EAGER localCheckpoint
     * as an Observation — the tally costs no job of its own (verified:
     * Observation fires on `localCheckpoint(eager = true)`'s internal
     * action). The status / second-value domains are DECLARED — fixed
     * by the drains' row construction; nAll counts independently, so
     * a status outside the declared list surfaces as a nonzero
     * derived `failed = nAll − Σof(...)` in the audit, never as a
-    * silently-shrunk total. Null `second` reads as "" (the
-    * statusCounts contract). Returns the checkpointed frame and the
-    * tally.
+    * silently-shrunk total. Null `second` reads as "" (ADVICE r18
+    * #2 — enforced, not documented). Returns the checkpointed frame
+    * and the tally.
     */
   private def checkpointWithTally(df: DataFrame, second: Column,
       statuses: Seq[String], seconds: Seq[String])
@@ -2477,7 +2489,7 @@ object Streams {
       // ONE job checkpoints the fetch pass (it feeds st27 + ledgers +
       // audit) AND tallies it (the audit row, the heartbeat probe
       // guard, the withdrawal guard, and the ledger-write guards all
-      // read the tally; the separate statusCounts collect was one
+      // read the tally; the separate tally collect was one
       // more job per drain batch)
       val (results, tally) = checkpointWithTally(resultsRaw,
         col("status") === "skipped" && col("error") === "no_robots",
