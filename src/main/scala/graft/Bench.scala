@@ -313,7 +313,11 @@ object Bench {
       .sortBy(-_._2).take(math.max(repK, 0)).map(_._1).toSet
     val fnByName = timed.toMap
     // name order preserved (firstPass order), so a build row's rep
-    // refreshes its fixtures before its gate row's reps run
+    // refreshes its fixtures before its gate row's reps run. Rep
+    // failures are LOUD in the artifact (the round-8 silent-rows
+    // rule applied to the rep path): each lands in "rep_errors", so
+    // a median-of-fewer row is tellable from a healthy median-of-3.
+    val repErrors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repTimes: Map[String, Seq[Double]] = firstPass.collect {
       case (name, t1, None, _) if repRows(name) =>
         val extra = (1 to 2).flatMap { i =>
@@ -328,6 +332,10 @@ object Bench {
           } catch {
             case NonFatal(t) =>
               System.err.println(s"[bench] rep $i of '$name' failed (keeping fewer reps): $t")
+              repErrors(name) = (repErrors.getOrElse(name, "") +
+                s"rep $i: ${t.getClass.getSimpleName}: " +
+                Option(t.getMessage).getOrElse("").linesIterator
+                  .take(1).mkString.take(150) + "; ").take(400)
               None
           }
         }
@@ -452,9 +460,12 @@ object Bench {
     val reps = repTimes.toSeq.sortBy(_._1).map { case (k, ts) =>
       s"${jstr(k)}:[${ts.map(f).mkString(",")}]"
     }.mkString("{", ",", "}")
+    val repErrs = repErrors.toSeq.map { case (k, m) =>
+      s"${jstr(k)}:${jstr(m)}"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"io":$io,"recall":$recall,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"failed":$failed,"errors":$errors,"io":$io,"recall":$recall,"reps":$reps,"rep_errors":$repErrs,"sf":"$sfDir"}"""
     // the FULL record (per-query io bytes + error messages) goes to the
     // file; stdout gets ONLY a compact summary (2-dp secs, no io/errors)
     // as the LAST line — the driver tail-captures stdout and clips long
@@ -473,7 +484,7 @@ object Bench {
       .map { case (k, v, _, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs2,"failed":$failed,"recall":$recall,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs2,"failed":$failed,"rep_errors":$repErrs,"recall":$recall,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -58,24 +58,38 @@ object ValidatorLedger {
     * (no empty dirs on idle cycles). Callers are serialized per
     * service tick, so the max-plus-one allocation cannot race.
     */
-  def appendSeq(caps: DataFrame, ledgerRoot: String): Unit = {
-    val spark = caps.sparkSession
+  def appendSeq(caps: DataFrame, ledgerRoot: String): Unit =
+    appendAtFreshSeq(caps.select("url", "etag", "last_modified"),
+      ledgerRoot)
+
+  /** Append `rows` at the root's fresh `batch=<max existing + 1>` seq
+    * in ONE job: the write carries an Observation counting rows, and
+    * a zero-row append deletes its own empty dir afterward (the old
+    * isEmpty guard cost a second evaluation job per drain). A crash
+    * inside the delete window leaves one empty dir — every ledger
+    * read carries an explicit schema, so it reads as zero rows and
+    * the next compact folds it away. ONE definition shared by the
+    * validator and announcement ledgers (review r19 wave 2 #3), so
+    * their crash-window semantics cannot silently diverge; optional
+    * `partitionCols` keep bucketed layouts (the announce ledger's
+    * `kb=`).
+    */
+  private[graft] def appendAtFreshSeq(rows: DataFrame, root: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val spark = rows.sparkSession
     val seq = (graft.operators.Dedup
-      .listBatchIds(spark, ledgerRoot).filter(_ >= 0) :+ -1L).max + 1
-    // ONE job evaluates the capture exactly once: write at the fresh
-    // seq with an Observation counting rows; a zero-row append deletes
-    // its own empty dir afterward (the isEmpty guard cost a second
-    // evaluation job per drain). A crash inside the delete window
-    // leaves one empty dir — reads carry explicit schemas, so it reads
-    // as zero rows and the next compact folds it away.
+      .listBatchIds(spark, root).filter(_ >= 0) :+ -1L).max + 1
     val obs = org.apache.spark.sql.Observation()
-    caps.select("url", "etag", "last_modified")
-      .observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("_n"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$ledgerRoot/batch=$seq")
+    val observed = rows.observe(obs, count(lit(1)).as("_n"))
+    val arranged =
+      if (partitionCols.isEmpty) observed
+      else observed.repartition(partitionCols.map(col): _*)
+    val w = arranged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(s"$root/batch=$seq")
     if (obs.get("_n").asInstanceOf[Long] == 0L) {
-      val p = new org.apache.hadoop.fs.Path(s"$ledgerRoot/batch=$seq")
+      val p = new org.apache.hadoop.fs.Path(s"$root/batch=$seq")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true)
     }

@@ -272,8 +272,14 @@ object Streams {
                s <- r.get("content_sum"))
             yield (fp.asInstanceOf[Long], n.asInstanceOf[Long],
               s.asInstanceOf[String]))
+    // on the replay path the gate output is pinned ONCE (review r19
+    // wave 2 #2): the probe agg and a fingerprint-mismatch rewrite
+    // must not each re-run the gate semi-join over the raw source
+    val admittedOnce =
+      if (stored.isDefined) admitted.localCheckpoint(true) else admitted
     val probed: Option[(Long, Long, String)] = stored.map { _ =>
-      val r = withFph(admitted).agg(fpAggs.head, fpAggs.tail: _*).head()
+      val r = withFph(admittedOnce).agg(fpAggs.head, fpAggs.tail: _*)
+        .head()
       (r.getLong(0), r.getLong(1), r.getString(2))
     }
     val skip = stored.isDefined && stored == probed
@@ -283,7 +289,7 @@ object Streams {
         val staging = new Path(s"$lakePath.staging_$batchId")
         fs.delete(staging, true)
         val obs = org.apache.spark.sql.Observation()
-        withFph(admitted)
+        withFph(admittedOnce)
           .observe(obs, fpAggs.head, fpAggs.tail: _*)
           .drop("_fph")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1428,9 +1434,18 @@ object Streams {
     */
   private val UrlParts = 64
 
-  private def ubBucket(c: org.apache.spark.sql.Column)
+  /** ONE bucket formula for every hash-partitioned probe layout
+    * (review r19 wave 2 #6) — a seed/width change here reaches the
+    * url index and the announce ledger together, so a probe's
+    * partition filter can never silently stop matching the buckets
+    * the writer used.
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column, parts: Int)
       : org.apache.spark.sql.Column =
-    pmod(xxhash64(c), lit(UrlParts.toLong)).cast("int")
+    pmod(xxhash64(key), lit(parts.toLong)).cast("int")
+
+  private def ubBucket(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = hashBucket(c, UrlParts)
 
   /** One st20 micro-batch: canonicalize the batch's URLs (the d15
     * kernel), keep the min-doc_id winner per in-batch canonical URL,
@@ -2003,8 +2018,13 @@ object Streams {
     * O(keys touched), not O(uncompacted tail bytes).
     */
   private val AnnParts = 16
-  private def annKb(key: Column): Column =
-    pmod(xxhash64(key), lit(AnnParts)).cast("int")
+  private def annKb(key: Column): Column = hashBucket(key, AnnParts)
+
+  /** Roots whose kb= layout has been verified this JVM — the
+    * upgrade-boundary probe's once-per-root cache.
+    */
+  private val annLayoutVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** UPGRADE boundary (the [[replanHopId]] discipline): a ledger root
     * written by the pre-bucket scheme holds FLAT `batch=` dirs, and
@@ -2018,30 +2038,14 @@ object Streams {
     */
 
   private def announceLedgerAppend(rows: DataFrame,
-      ledgerRoot: String): Unit = {
-    val spark = rows.sparkSession
-    val seq = (graft.operators.Dedup
-      .listBatchIds(spark, ledgerRoot).filter(_ >= 0) :+ -1L).max + 1
-    // ONE job: write at the fresh seq with an Observation counting the
-    // rows; a zero-row append deletes its own empty dir afterward (the
-    // no-empty-ledger-dirs guard used to cost a checkpoint + isEmpty
-    // job per drain). A crash inside the delete window leaves one
-    // empty dir — every ledger read carries an explicit schema, so it
-    // reads as zero rows and the next fold removes it.
-    val obs = org.apache.spark.sql.Observation()
-    rows.select("src_key", "host", "source", "loc", "lastmod")
-      .withColumn("kb", annKb(col("src_key")))
-      .observe(obs, count(lit(1)).as("_n"))
-      .repartition(col("kb"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy("kb")
-      .parquet(s"$ledgerRoot/batch=$seq")
-    if (obs.get("_n").asInstanceOf[Long] == 0L) {
-      val p = new org.apache.hadoop.fs.Path(s"$ledgerRoot/batch=$seq")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-    }
-  }
+      ledgerRoot: String): Unit =
+    // the one-job observe-count-and-delete-empty append, shared with
+    // the validator ledger so the crash-window semantics stay ONE
+    // definition ([[graft.sources.ValidatorLedger.appendAtFreshSeq]])
+    graft.sources.ValidatorLedger.appendAtFreshSeq(
+      rows.select("src_key", "host", "source", "loc", "lastmod")
+        .withColumn("kb", annKb(col("src_key"))),
+      ledgerRoot, partitionCols = Seq("kb"))
 
   /** Each key's rows from its highest ledger seq — ONE latest-set
     * selection shared by the probe and the fold (tombstone rows ride
@@ -2062,8 +2066,11 @@ object Streams {
     // under the explicit schema and the probe's isin filter would
     // silently drop every row — a 304'd host's stored set would stop
     // re-announcing with nothing failing. Probe the first non-empty
-    // dir for the kb= layout and refuse a flat one.
-    {
+    // dir for the kb= layout and refuse a flat one. The verdict is
+    // cached per root (review r19 wave 2 #5): a root can only go
+    // flat → bucketed (every write path is bucketed), so a
+    // steady-state heartbeat pays the LIST RPCs once, not per drain.
+    if (!annLayoutVerified.contains(ledgerRoot)) {
       val p = new org.apache.hadoop.fs.Path(ledgerRoot)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val firstNonEmpty = ids.sorted.iterator
@@ -2077,6 +2084,9 @@ object Streams {
             s"announce ledger $ledgerRoot holds pre-bucket FLAT batch " +
               s"dirs (no kb= layout in $d) — retire the root before " +
               "running this build (see announceLedgerAppend scaladoc)")
+        // only a VERIFIED-bucketed root caches; an all-empty listing
+        // proves nothing and re-probes next call
+        annLayoutVerified.add(ledgerRoot)
       }
     }
     var rows = spark.read
