@@ -325,7 +325,12 @@ object Bench {
             resets.get(name).foreach(r =>
               r(spark, sfDir).write.format("noop").mode("overwrite").save())
             val t0 = System.nanoTime()
-            run(fnByName(name))
+            // reps wrap the SAME Instrument.measure barrier as the
+            // first pass (metrics discarded) — its ~30 ms constant
+            // must land in every sample or the median reads
+            // systematically lower than unrepped rows and prior
+            // rounds' single-run cells
+            Instrument.measure(spark)(run(fnByName(name)))
             val sec = (System.nanoTime() - t0) / 1e9
             spark.catalog.clearCache()
             Some(sec)

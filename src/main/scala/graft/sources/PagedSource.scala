@@ -617,8 +617,12 @@ object PagedSource {
       permitsPerSec: Double = 0, distributeThreshold: Int = 4096)
       : Dataset[FileEntry] = {
     import spark.implicits._
+    // column-pruned projection, not a lambda map: the untagged
+    // callers must not pay a per-entry tuple decode/encode pass for
+    // an etag they never read
     pagedCatalogTagged(spark, fetcher, rootId, maxRetries, baseBackoffMs,
-      permitsPerSec, distributeThreshold).map(_._1)
+      permitsPerSec, distributeThreshold)
+      .select(col("_1.*")).as[FileEntry]
   }
 
   /** [[pagedCatalog]] with each file's LISTED entity tag riding along

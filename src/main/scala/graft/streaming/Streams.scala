@@ -294,6 +294,15 @@ object Streams {
           .drop("_fph")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(staging.toString)
+        // TOMBSTONE the stale audit BEFORE the swap (review r19 wave
+        // 3 #1): a crash after the rename but before the new audit
+        // would otherwise leave the OLD fingerprint beside NEW lake
+        // content, and a later replay that reverts to the old content
+        // would false-skip against it — pinning the lake to content
+        // no audit describes, forever. With the delete first, every
+        // crash window inside the swap leaves NO stored fingerprint,
+        // so the next replay rewrites.
+        fs.delete(new Path(auditDir), true)
         fs.mkdirs(new Path(lakePath))
         fs.delete(target, true)
         if (!fs.rename(staging, target))
@@ -303,8 +312,9 @@ object Streams {
         (m("_fp").asInstanceOf[Long], m("_n").asInstanceOf[Long],
           m("_fs").asInstanceOf[String])
       }
-    // audit LAST (both paths): a crash before it leaves no/stale
-    // fingerprint and the next replay simply rewrites — idempotent
+    // audit LAST (both paths): with the pre-swap tombstone above, a
+    // crash before this line leaves no fingerprint and the next
+    // replay simply rewrites — idempotent
     landAuditRow(spark, auditDir,
       "batch_id BIGINT, n_rows BIGINT, content_fp BIGINT, " +
         "content_sum STRING, outcome STRING",
@@ -2018,7 +2028,10 @@ object Streams {
     * O(keys touched), not O(uncompacted tail bytes).
     */
   private val AnnParts = 16
-  private def annKb(key: Column): Column = hashBucket(key, AnnParts)
+  // private[graft]: the specs' fixtures and probes reuse THIS
+  // definition instead of re-inlining the formula (review r19 wave 3)
+  private[graft] def annKb(key: Column): Column =
+    hashBucket(key, AnnParts)
 
   /** Roots whose kb= layout has been verified this JVM — the
     * upgrade-boundary probe's once-per-root cache.

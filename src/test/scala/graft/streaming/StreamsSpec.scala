@@ -2352,9 +2352,7 @@ class StreamsSpec extends AnyFunSuite {
     def putAnn(seq: Long, rows: Seq[(String, String)]): Unit =
       rows.map { case (k, loc) => (k, k, "robots", loc, "") }
         .toDF("src_key", "host", "source", "loc", "lastmod")
-        .withColumn("kb", org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.xxhash64(col("src_key")),
-          org.apache.spark.sql.functions.lit(16)).cast("int"))
+        .withColumn("kb", Streams.annKb(col("src_key")))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("kb")
         .parquet(s"$ann/batch=$seq")
@@ -3711,10 +3709,7 @@ class StreamsSpec extends AnyFunSuite {
     // are never opened
     val probeHost = hosts.head
     val probeKb = spark.range(1)
-      .select(org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.xxhash64(
-          org.apache.spark.sql.functions.lit(probeHost)),
-        org.apache.spark.sql.functions.lit(16)).cast("int"))
+      .select(Streams.annKb(org.apache.spark.sql.functions.lit(probeHost)))
       .head().getInt(0)
     kbDirs.filter(_ != s"kb=$probeKb").foreach { d =>
       new java.io.File(s"$annRoot/batch=$annSeq/$d").listFiles()
