@@ -488,8 +488,11 @@ object Bench {
     val qs2 = results.sortBy(-_._2).take(20)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
+    // stdout carries only the rep-failure COUNT (the full messages
+    // live in the artifact) — a systemic rep failure must not widen
+    // the tail-captured line past the driver's clip window
     val compact =
-      s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs2,"failed":$failed,"rep_errors":$repErrs,"recall":$recall,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"queries":$qs2,"failed":$failed,"rep_failures":${repErrors.size},"recall":$recall,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -836,7 +836,7 @@ object PagedSource {
       ValidatorLedger.compact(spark, ledgerRoot, compactPastBatches)
     val srcTagged = pagedCatalogTagged(spark, fetcher, rootId, maxRetries,
       baseBackoffMs, permitsPerSec)
-    val src = srcTagged.map(_._1)
+    val src = srcTagged.select(col("_1.*")).as[FileEntry]
     val dst = FilePipeline.catalog(spark, dstRoot)
     val targets = FilePipeline.copyTargets(FilePipeline.syncPlan(src, dst))
     val led = ValidatorLedger.latest(spark, ledgerRoot)

@@ -656,31 +656,31 @@ object Streams {
     val scrubbed = graft.operators.Corpus.redactPiiOver(
       withUid.select(col("row_uid").as("doc_id"), col("text")))
       .localCheckpoint(true) // one scrub pass feeds lake AND audit
-    // scrub tallies ride the landing write as an Observation on the
-    // scrubbed join arm (every scrubbed row passes through the join's
-    // build of the landing, so the pre-join placement counts the full
-    // batch) — one job lands AND audits
-    val obs = org.apache.spark.sql.Observation()
+    // the tally stays an EXACT agg here, deliberately (review r19
+    // wave 4 #1): the landing's join puts the scrubbed arm in a
+    // shuffle-MAP stage, and an Observation there double-counts under
+    // map-stage re-execution (executor loss, speculative tasks) —
+    // Spark dedups accumulator updates only for result-stage
+    // completions. Every other gate's observe sits in its write's
+    // result stage; this one can't, so it pays the one cheap agg job
+    // over the checkpointed frame instead of risking inflated audits.
+    val tot = scrubbed.agg(
+      count(lit(1)), coalesce(sum(col("n_emails")), lit(0L)),
+      coalesce(sum(col("n_ssns")), lit(0L)),
+      coalesce(sum(col("n_phones")), lit(0L)),
+      coalesce(sum(col("n_ips")), lit(0L)),
+      coalesce(sum(col("n_ccs")), lit(0L))).head()
     withUid.drop("text")
-      .join(scrubbed
-        .observe(obs, count(lit(1)).as("_n"),
-          coalesce(sum(col("n_emails")), lit(0L)).as("_em"),
-          coalesce(sum(col("n_ssns")), lit(0L)).as("_ssn"),
-          coalesce(sum(col("n_phones")), lit(0L)).as("_ph"),
-          coalesce(sum(col("n_ips")), lit(0L)).as("_ip"),
-          coalesce(sum(col("n_ccs")), lit(0L)).as("_cc"))
-        .select(col("doc_id").as("row_uid"),
-          col("clean_text").as("text")), Seq("row_uid"))
+      .join(scrubbed.select(col("doc_id").as("row_uid"),
+        col("clean_text").as("text")), Seq("row_uid"))
       .drop("row_uid")
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$lakePath/batch=$batchId")
-    val m = obs.get
     landAuditRow(spark, s"$lakePath.audit/batch=$batchId",
       "batch_id BIGINT, docs BIGINT, n_emails BIGINT, n_ssns BIGINT, " +
         "n_phones BIGINT, n_ips BIGINT, n_ccs BIGINT",
-      batchId, m("_n").asInstanceOf[Long], m("_em").asInstanceOf[Long],
-      m("_ssn").asInstanceOf[Long], m("_ph").asInstanceOf[Long],
-      m("_ip").asInstanceOf[Long], m("_cc").asInstanceOf[Long])
+      batchId, tot.getLong(0), tot.getLong(1), tot.getLong(2),
+      tot.getLong(3), tot.getLong(4), tot.getLong(5))
   }
 
   /** st18: STREAMING PII redaction — c04's scrub engine
@@ -2156,8 +2156,17 @@ object Streams {
     * while a cluster session with thousands of shuffle partitions
     * keeps its wide I/O fan-out.
     */
-  private def drainFetchPartitions(spark: SparkSession): Int =
-    math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt) * 4
+  private def drainFetchPartitions(spark: SparkSession): Int = {
+    // min(shuffle dial, cores): an UNTUNED session keeping Spark's
+    // default 200 must not fan out 800 tasks where the old cores×4
+    // gave 32 (review r19 wave 4 #2) — the micro-batch dial only
+    // SHRINKS the fan-out below the cores-based default, never
+    // inflates it. Non-numeric dials ("auto") fall back to cores.
+    val cores = spark.sparkContext.defaultParallelism
+    val dial = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(cores)
+    math.max(1, math.min(dial, cores)) * 4
+  }
 
   /** Land a drain's ONE-ROW audit from driver-held counts without a
     * Spark job ([[graft.sources.DriverParquet]] — VERDICT r18 next #2:
