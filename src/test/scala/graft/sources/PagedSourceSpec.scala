@@ -896,10 +896,14 @@ class PagedSourceSpec extends AnyFunSuite {
         // the client subtracts), so the hold is date-relative to the
         // server's real clock — a skewed-Date leg is not expressible
         // through this server, which is fine: the anchoring code path
-        // (at − serverDate) is exactly what this leg times
+        // (at − serverDate) is exactly what this leg times. +3 s, not
+        // +2: both Retry-After and Date truncate to whole seconds, so
+        // the anchored delay is (3 − date-rollover) ∈ {2 s, 3 s} — a
+        // +2 s hold legitimately waits only ~1 s when the Date stamp
+        // rolls into the next second, flaking the ≥1500 ms bound
         ex.getResponseHeaders.add("Retry-After",
           fmt.format(java.time.ZonedDateTime
-            .now(java.time.ZoneOffset.UTC).plusSeconds(2)))
+            .now(java.time.ZoneOffset.UTC).plusSeconds(3)))
         ex.sendResponseHeaders(429, -1); ex.close()
       } else {
         val b = "ok".getBytes(StandardCharsets.UTF_8)
