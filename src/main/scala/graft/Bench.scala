@@ -3,34 +3,11 @@ import java.nio.file.{Files, Paths}
 import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // noop sink: evaluates every output row AND column. count() would
-    // let Catalyst prune the projections being measured (column pruning
-    // deletes expensive expressions, EliminateSorts drops orderBys), so
-    // scan-and-transform queries would be benchmarked with their work
-    // optimized away.
-    def run(fn: (SparkSession, String) => DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-    // s07/s08's combined demos (build-then-probe in one call) stay the
-    // driver's correctness entries, but as bench rows they'd report a
-    // one-off build cost as if it were the per-query cost. Bench
-    // replaces them with explicit build/probe phase rows, ordered so
-    // each probe hits the index its build row just wrote.
-    val phaseSplit = Set("s07_ann_lsh_indexed", "s08_ann_ivf_indexed",
-      "d13_indexed_admit", "c17_semantic_decontam_ivf",
-      "q28_approx_distinct",
-      "g12_frontier_probe", "g12_discovered_probe", "g12_recrawl_probe")
-    val phased: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+  /** The bench's phase-split rows (build/probe halves of the
+    * combined correctness demos) — object-level so graft.ProfileQuery
+    * can resolve any bench row by name, not just SparkEntry entries.
+    */
+  private[graft] val phasedRows: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "s07_build" -> ((s, d) => operators.Ann.s07BenchBuild(s, d)),
       "s07_probe" -> ((s, d) => operators.Ann.s07BenchProbe(s, d)),
       "s08_build" -> ((s, d) => operators.Ann.s08BenchBuild(s, d)),
@@ -215,6 +192,35 @@ object Bench {
       "s02_radius3" -> ((s, d) => operators.Ann.s02AnnLsh(s, d, radius = 3)),
       "s11_wide_probe" -> ((s, d) =>
         operators.Ann.s11AnnIvfPq(s, d, nprobe = 12, rerank = 64)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // noop sink: evaluates every output row AND column. count() would
+    // let Catalyst prune the projections being measured (column pruning
+    // deletes expensive expressions, EliminateSorts drops orderBys), so
+    // scan-and-transform queries would be benchmarked with their work
+    // optimized away.
+    def run(fn: (SparkSession, String) => DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    // s07/s08's combined demos (build-then-probe in one call) stay the
+    // driver's correctness entries, but as bench rows they'd report a
+    // one-off build cost as if it were the per-query cost. Bench
+    // replaces them with explicit build/probe phase rows, ordered so
+    // each probe hits the index its build row just wrote.
+    val phaseSplit = Set("s07_ann_lsh_indexed", "s08_ann_ivf_indexed",
+      "d13_indexed_admit", "c17_semantic_decontam_ivf",
+      "q28_approx_distinct",
+      "g12_frontier_probe", "g12_discovered_probe", "g12_recrawl_probe")
+    val phased = phasedRows
     // optional row filter (dev loops + outsized scale legs where the
     // declared-quadratic dials would dominate the run): a
     // comma-separated name list; recall probes follow the same filter

@@ -213,48 +213,79 @@ object Graph {
   def pageRankOver(edgesIn: DataFrame, iters: Int = 10): DataFrame = {
     val edges = edgesIn.localCheckpoint(false)
     val outw = edges.groupBy("src").agg(sum("w").as("outw"))
+    // (Measured and rejected, guide §1: pre-partitioning adj by dst to
+    // serve the per-iteration groupBy("dst") — Dataset.localCheckpoint
+    // under AQE reports UnknownPartitioning on the checkpointed RDD,
+    // so the partitioning is invisible to downstream planning and the
+    // repartition is pure setup cost.)
     val adj = edges.join(outw, "src")
       .select(col("src"), col("dst"), col("w"), col("outw"))
       .localCheckpoint(false)
+    // nodes carry out-weight AND the dangling flag (outw missing) —
+    // both FIXED across iterations (functions of the frozen edge frame
+    // alone). The flag rides IN the rank state, so the per-iteration
+    // dangling mass is a filter+aggregate over the already-checkpointed
+    // ranks instead of a semi-join against a separate dangling frame:
+    // one fewer join (and its broadcast-build job) in every iteration
+    // (optimization guide §2.4 — remove joins/shuffles outright).
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(false)
-    // the dangling set is FIXED across iterations (a function of the
-    // frozen edge frame alone) — compute it once, checkpointed
-    val dangSet = nodes.join(outw, nodes("node") === outw("src"), "left_anti")
-      .select("node")
+      .join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("outw"), col("outw").isNull.as("dang"))
       .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "g01: empty edge frame — no nodes to rank")
+    // SIZE-ADAPTIVE join strategy (guide §3.1): rank state is one slim
+    // row per node, so when the measured node count provably fits a
+    // broadcast, hint it — the static planner then skips the
+    // shuffle-both-sides SMJ plan that AQE would only downgrade to a
+    // broadcast join AFTER paying both exchange jobs (checkpointed-RDD
+    // inputs carry no size stats, so the planner assumes huge).
+    // Measured at sf0.1: 73 → 63 scheduled jobs, 131 → 91 stages,
+    // sum of job walls 1.8 → 1.0 s. Above the bound (web-scale host
+    // counts) nothing is hinted and the AQE plan is unchanged — the
+    // dial derives from the input, not from the local core count.
+    val smallState = n <= 4000000L // ≤ ~4M nodes ≈ low-hundreds MB broadcast
     val r0 = Scale / n
     val base = 15L * r0 / 100L
-    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"), col("dang"))
     for (_ <- 1 to iters) {
       // lazy checkpoint BEFORE the dual use: the dangling-mass
-      // aggregate and the inflow join both read one materialization
+      // aggregate and the inflow join both read one materialization.
+      // (Measured and rejected here, guide §1: (a) folding the
+      // dangling mass into the inflow groupBy via a keyed union leg —
+      // the union's extra AQE stages cost MORE jobs than the separate
+      // 1-row aggregate, 83 vs 73 jobs at sf0.1; (b) checkpointing
+      // every SECOND iteration — the un-checkpointed iteration's
+      // dual-use subtree is NOT deduped across AQE stage boundaries,
+      // so per-iteration work doubles: 2.9 s → 5.6 s.)
       ranks = ranks.localCheckpoint(false)
-      val dTot = ranks.join(dangSet, Seq("node"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0L)).as("dang"))
+      val dTot = ranks.where(col("dang"))
+        .agg(coalesce(sum("rank"), lit(0L)).as("dang_tot"))
       // the contribution product lifts to DECIMAL(38,0) (g02's
       // normalizer discipline, VERDICT r15 #7): rank ≤ Scale (1e9),
       // so a host pair with > ~9.2e9 links used to overflow the
       // BIGINT `rank * w` and throw under ANSI — genuinely dense
       // pairs are data, not errors. The quotient re-enters BIGINT
       // exactly (c ≤ rank, since w ≤ outw).
-      val inflow = adj.join(ranks, adj("src") === ranks("node"))
+      val rankSide = if (smallState) broadcast(ranks) else ranks
+      val inflow = adj.join(rankSide, adj("src") === rankSide("node"))
         .select(col("dst"), expr(
           "CAST((CAST(rank AS DECIMAL(38,0)) * w) div outw AS BIGINT)")
           .as("c"))
         .groupBy("dst").agg(sum("c").as("inflow"))
-      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+      val inflowSide = if (smallState) broadcast(inflow) else inflow
+      ranks = nodes.join(inflowSide, nodes("node") === inflowSide("dst"), "left")
         .crossJoin(broadcast(dTot))
         .select(col("node"),
           (lit(base) + expr(
-            s"(85 * (coalesce(inflow, 0L) + dang div ${n}L)) div 100")).as("rank"))
+            s"(85 * (coalesce(inflow, 0L) + dang_tot div ${n}L)) div 100"))
+            .as("rank"),
+          col("dang"))
     }
-    nodes.join(outw.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .join(ranks, "node")
+    // nodes already carries outw — one final join instead of two
+    nodes.join(ranks.select("node", "rank"), "node")
       .select(col("node"), coalesce(col("outw"), lit(0L)).as("out_w"),
         col("rank").as("rank_e9"))
       .orderBy(desc("rank_e9"), col("node"))
@@ -1064,6 +1095,12 @@ object Graph {
       .localCheckpoint(false)
     val n = nodes.count()
     require(n > 0, "g02: empty edge frame — no nodes to score")
+    // (Measured and rejected, guide §1: g01 pageRankOver's
+    // size-adaptive broadcast hint on the score state. Unlike g01 —
+    // where the hinted side is a checkpointed RDD — g02's hub/auth
+    // state is an UNCHECKPOINTED normalize subtree between its cadence
+    // points, so hinting it forces extra broadcast-build stage chains:
+    // 229 vs 180 stages, profiled A/B at sf0.1. Unhinted is faster.)
     val s0 = Scale / n
     // sparse score frames: absent node == score 0 (exact, not approx)
     var hubs = nodes.select(col("node"), lit(s0).as("h"))
